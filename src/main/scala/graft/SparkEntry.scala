@@ -1,197 +1,27 @@
 package graft
 
-import graft.exec.Runner
-import graft.model._
+import graft.queries._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 gets a `queries` entry (built through
-  * the engine API in graft.model / graft.exec) and, where ANSI-SQL
+  * Every operator from SURVEY.md §2 (and the Phase-3 extensions) gets a
+  * `queries` entry built through the engine API, and, where ANSI-SQL
   * expressible, a DuckDB `oracleSql` equivalent over the same parquet
   * tables. Column names are aligned between both sides (the driver's
-  * compare hashes values under sorted column names).
+  * compare hashes values under sorted column names); multi-row results
+  * carry an identical ORDER BY on both sides.
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
   /** Flagship: the fused quick-check pass — N checks, ONE scan, one-row
-    * result (ValidatorTable.scala:100-143 re-expressed declaratively). */
+    * result. */
   def entry(spark: SparkSession): DataFrame =
-    fusedQuery(spark, "/root/testdata/sf0.001")
+    CheckQueries.fusedQuery(spark, "/root/testdata/sf0.001")
 
-  private def fusedQuery(s: SparkSession, dir: String): DataFrame =
-    Runner.verdictDF(t(s, dir, "lineitem"), Seq(
-      MinNumRows(1000, "rowcount"),
-      NullCheck("l_returnflag", Some("1"), "null_rf"),
-      NegativeCheck("l_discount", Some("0"), "neg_disc"),
-      RangeCheck("l_quantity", Some(Bound.Num(2)), Some(Bound.Num(49)),
-        inclusive = false, Some("10%"), "range_qty"),
-      StringRegexCheck("l_returnflag", "^[ANR]$", Some("0"), "re_rf"),
-      ColumnMaxCheck("l_quantity", Bound.Num(50), "max_qty"),
-      ColumnSumCheck("l_quantity", Some(1.0), Some(1.0e9), inclusive = false, "sum_qty")))
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CheckQueries.queries ++ RelationalQueries.queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- parity: the reference's ten checks + execution machinery ----
-    "chk_fused" -> ((s, dir) => fusedQuery(s, dir)),
-
-    "chk_rowcount" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "lineitem"), Seq(MinNumRows(1000, "rowcount")))),
-
-    "chk_nullcheck" -> ((s, dir) =>
-      Runner.verdictDF(
-        t(s, dir, "lineitem").withColumn("ls_null", expr("nullif(l_linestatus, 'F')")),
-        Seq(NullCheck("ls_null", Some("30%"), "nullcheck")))),
-
-    "chk_negative" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "customer"),
-        Seq(NegativeCheck("c_acctbal", Some("100"), "neg")))),
-
-    "chk_range" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "lineitem"), Seq(
-        RangeCheck("l_quantity", Some(Bound.Num(2)), Some(Bound.Num(49)),
-          inclusive = false, Some("10%"), "range1"),
-        RangeCheck("l_discount", Some(Bound.Num(0.0)), Some(Bound.Num(0.1)),
-          inclusive = true, None, "range2"),
-        RangeCheck("l_discount", None, Some(Bound.Ref("l_tax")),
-          inclusive = false, Some("50%"), "range3")))),
-
-    "chk_strlen" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "documents"), Seq(
-        StringLengthCheck("text", Some(100), Some(400), Some("40%"), "strlen")))),
-
-    "chk_regex" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "orders"), Seq(
-        StringRegexCheck("o_orderpriority", "^[1-3]-", Some("0.3"), "regex")))),
-
-    "chk_colmax" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "lineitem"), Seq(
-        ColumnMaxCheck("l_quantity", Bound.Num(50), "qmax"),
-        ColumnMaxCheck("l_returnflag", Bound.Str("R"), "fmax")))),
-
-    "chk_colsum" -> ((s, dir) =>
-      Runner.verdictDF(t(s, dir, "lineitem"), Seq(
-        ColumnSumCheck("l_quantity", Some(100000.0), Some(2000000.0),
-          inclusive = false, "colsum")))),
-
-    "chk_unique_dup" -> ((s, dir) =>
-      Runner.uniqueDF(t(s, dir, "lineitem"), Seq("l_orderkey"), "unique")),
-
-    "chk_unique_ok" -> ((s, dir) =>
-      Runner.uniqueDF(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber"), "unique")),
-
-    "chk_colstats" -> ((s, dir) =>
-      Runner.colStatsDF(t(s, dir, "lineitem"), "l_quantity")),
-
-    "chk_detail" -> ((s, dir) =>
-      Runner.errorDetailsDF(t(s, dir, "customer"), Seq("c_custkey"),
-        Seq(NegativeCheck("c_acctbal")), 20, deterministic = true)),
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "chk_fused" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT) AS null_rf_errs,
-        | CAST(count(*) FILTER (WHERE l_discount < 0) AS BIGINT) AS neg_disc_errs,
-        | CAST(count(*) FILTER (WHERE l_quantity <= 2 OR l_quantity >= 49) AS BIGINT) AS range_qty_errs,
-        | CAST(count(*) FILTER (WHERE NOT regexp_matches(l_returnflag, '^[ANR]$') AND l_returnflag IS NOT NULL) AS BIGINT) AS re_rf_errs,
-        | max(l_quantity) AS max_qty_max,
-        | sum(l_quantity) AS sum_qty_sum,
-        | count(*) FILTER (WHERE l_returnflag IS NULL) > 1 AS null_rf_failed,
-        | count(*) FILTER (WHERE l_discount < 0) > 0 AS neg_disc_failed,
-        | count(*) FILTER (WHERE l_quantity <= 2 OR l_quantity >= 49) > CAST(floor(count(*) * 0.10) AS BIGINT) AS range_qty_failed,
-        | count(*) FILTER (WHERE NOT regexp_matches(l_returnflag, '^[ANR]$') AND l_returnflag IS NOT NULL) > 0 AS re_rf_failed,
-        | count(*) < 1000 AS rowcount_failed,
-        | max(l_quantity) != 50.0 AS max_qty_failed,
-        | (sum(l_quantity) <= 1.0 OR sum(l_quantity) >= 1000000000.0) AS sum_qty_failed
-        |FROM lineitem""".stripMargin,
-
-    "chk_rowcount" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | count(*) < 1000 AS rowcount_failed FROM lineitem""".stripMargin,
-
-    "chk_nullcheck" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE nullif(l_linestatus, 'F') IS NULL) AS BIGINT) AS nullcheck_errs,
-        | count(*) FILTER (WHERE nullif(l_linestatus, 'F') IS NULL) > CAST(floor(count(*) * 0.30) AS BIGINT) AS nullcheck_failed
-        |FROM lineitem""".stripMargin,
-
-    "chk_negative" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS neg_errs,
-        | count(*) FILTER (WHERE c_acctbal < 0) > 100 AS neg_failed
-        |FROM customer""".stripMargin,
-
-    "chk_range" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE l_quantity <= 2 OR l_quantity >= 49) AS BIGINT) AS range1_errs,
-        | CAST(count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.1) AS BIGINT) AS range2_errs,
-        | CAST(count(*) FILTER (WHERE l_discount >= l_tax) AS BIGINT) AS range3_errs,
-        | count(*) FILTER (WHERE l_quantity <= 2 OR l_quantity >= 49) > CAST(floor(count(*) * 0.10) AS BIGINT) AS range1_failed,
-        | count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.1) > 0 AS range2_failed,
-        | count(*) FILTER (WHERE l_discount >= l_tax) > CAST(floor(count(*) * 0.50) AS BIGINT) AS range3_failed
-        |FROM lineitem""".stripMargin,
-
-    "chk_strlen" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE length(text) < 100 OR length(text) > 400) AS BIGINT) AS strlen_errs,
-        | count(*) FILTER (WHERE length(text) < 100 OR length(text) > 400) > CAST(floor(count(*) * 0.40) AS BIGINT) AS strlen_failed
-        |FROM documents""".stripMargin,
-
-    "chk_regex" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | CAST(count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-') AND o_orderpriority IS NOT NULL) AS BIGINT) AS regex_errs,
-        | count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-') AND o_orderpriority IS NOT NULL) > CAST(floor(count(*) * 0.3) AS BIGINT) AS regex_failed
-        |FROM orders""".stripMargin,
-
-    "chk_colmax" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | max(l_quantity) AS qmax_max, max(l_returnflag) AS fmax_max,
-        | max(l_quantity) != 50.0 AS qmax_failed,
-        | max(l_returnflag) != 'R' AS fmax_failed
-        |FROM lineitem""".stripMargin,
-
-    "chk_colsum" ->
-      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
-        | sum(l_quantity) AS colsum_sum,
-        | (sum(l_quantity) <= 100000.0 OR sum(l_quantity) >= 2000000.0) AS colsum_failed
-        |FROM lineitem""".stripMargin,
-
-    "chk_unique_dup" ->
-      """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
-        | count(*) > 0 AS unique_failed
-        |FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1)""".stripMargin,
-
-    "chk_unique_ok" ->
-      """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
-        | count(*) > 0 AS unique_failed
-        |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
-
-    "chk_colstats" ->
-      """WITH fp AS (SELECT count(l_quantity) AS cnt, avg(l_quantity) AS mean,
-        |  min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
-        |SELECT CAST(fp.cnt AS BIGINT) AS cnt, round(fp.mean, 6) AS mean,
-        | fp.mn AS mn, fp.mx AS mx,
-        | round(sqrt(sum((l_quantity - fp.mean) * (l_quantity - fp.mean)) / greatest(fp.cnt - 1, 1)), 6) AS stddev,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 0) AS BIGINT) AS b0,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 1) AS BIGINT) AS b1,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 2) AS BIGINT) AS b2,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 3) AS BIGINT) AS b3,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 4) AS BIGINT) AS b4,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 5) AS BIGINT) AS b5,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 6) AS BIGINT) AS b6,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 7) AS BIGINT) AS b7,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 8) AS BIGINT) AS b8,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 9) AS BIGINT) AS b9
-        |FROM lineitem, fp
-        |GROUP BY fp.cnt, fp.mean, fp.mn, fp.mx""".stripMargin,
-
-    "chk_detail" ->
-      """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal < 0 ORDER BY c_custkey LIMIT 20""".stripMargin,
-  )
+  def oracleSql: Map[String, String] =
+    CheckQueries.oracleSql ++ RelationalQueries.oracleSql
 }

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.ops.Analytics
+import graft.queries.CheckQueries.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-grade relational extensions (SURVEY.md §7 Phase 3): joins,
+  * windows, top-k, set ops, rollup/cube, event-time + session windows,
+  * distinct counts, percentiles. Each has a DuckDB oracle except the
+  * approx sketches (engine-specific results → rows-only check).
+  *
+  * Determinism rules for oracle parity: explicit ORDER BY with full
+  * tie-breaks on both sides; `round(x, n)` on any double that accumulates
+  * in engine-dependent order; counts CAST to BIGINT in DuckDB.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Broadcast dim join: orders ⋈ customer ⋈ nation, revenue per nation.
+    // Dims broadcast → the fact side never shuffles for the join.
+    "q_join_bcast" -> ((s, dir) =>
+      Analytics.dimJoin(t(s, dir, "orders"), Seq(
+          (t(s, dir, "customer"), col("o_custkey") === col("c_custkey")),
+          (t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1L)).as("n_orders"))
+        .orderBy("n_name")),
+
+    // Fact-fact join: lineitem ⋈ orders (shuffle join on orderkey; AQE may
+    // still broadcast at small SF), revenue by priority.
+    "q_join_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1L)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1L)).as("n_with_orders"))
+        .crossJoin(
+          c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+            .agg(count(lit(1L)).as("n_without_orders")))
+    }),
+
+    // Per-group top-k via row_number window (WindowGroupLimit pushes the
+    // top-k below the shuffle).
+    "q_window_topk" -> ((s, dir) =>
+      Analytics.topKPerGroup(t(s, dir, "lineitem"),
+          Seq(col("l_suppkey")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                col("l_extendedprice"), col("rn"))
+        .orderBy("l_suppkey", "rn")),
+
+    // Running per-user aggregate over event time.
+    "q_window_running" -> ((s, dir) =>
+      Analytics.runningAgg(t(s, dir, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          sum(col("value")), "running")
+        .select(col("event_id"), col("user_id"), round(col("running"), 4).as("running"))
+        .orderBy("event_id")),
+
+    // Global top-k: TakeOrderedAndProject (k rows cross the network).
+    "q_topk" -> ((s, dir) =>
+      Analytics.topK(t(s, dir, "orders"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // Set operations over nation keys.
+    "q_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      c.intersect(su).agg(count(lit(1L)).as("n_both"))
+        .crossJoin(c.except(su).agg(count(lit(1L)).as("n_cust_only")))
+        .crossJoin(c.union(su).distinct().agg(count(lit(1L)).as("n_any")))
+    }),
+
+    // Hierarchical aggregates.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1L)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1L)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("pri"), col("n"))
+        .orderBy("st", "pri")),
+
+    // Tumbling event-time window (batch twin of the streaming path).
+    "q_timewindow" -> ((s, dir) =>
+      Analytics.tumblingAgg(t(s, dir, "events"), col("ts"), "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1L)).as("n"), round(sum("value"), 4).as("sum_value")))
+        .select("w_start", "event_type", "n", "sum_value")
+        .orderBy("w_start", "event_type")),
+
+    // Session windows (30 min gap) → sessions/events per user.
+    "q_session" -> ((s, dir) =>
+      Analytics.sessionAgg(t(s, dir, "events"), col("ts"), "30 minutes",
+          Seq(col("user_id")), Seq(count(lit(1L)).as("cnt")))
+        .groupBy("user_id")
+        .agg(count(lit(1L)).as("n_sessions"), sum("cnt").as("n_events"))
+        .orderBy("user_id")),
+
+    // Exact distinct counts (shuffle-dedup partial aggregates).
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1L)).as("n_rows"))),
+
+    // HLL sketches — constant memory at any scale. Engine-specific values
+    // → no oracle (rows-only check).
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // Exact percentiles (interpolated, R-7 — same method as DuckDB's
+    // quantile_cont).
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
+
+    // Approximate percentiles (GK sketch) — no oracle.
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_bcast" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE EXISTS
+        |   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        | (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, CAST(rn AS INT) AS rn
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_setops" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT DISTINCT c_nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n_both,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT DISTINCT c_nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)) AS n_cust_only,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT DISTINCT c_nationkey FROM customer UNION SELECT DISTINCT s_nationkey FROM supplier)) AS n_any""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+
+    "q_timewindow" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_session" ->
+      """WITH s AS (
+        | SELECT user_id,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        | FROM events)
+        |SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem""".stripMargin,
+  )
+}

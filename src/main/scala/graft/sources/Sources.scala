@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source surface mirroring the reference's four source kinds
+  * (ValidatorTable.scala:228-392, ConfigParser.scala:19-25): metastore
+  * table, orc, parquet, and the generic format+options loader. All return
+  * lazy DataFrames; an optional `condition` is applied at open so Catalyst
+  * pushes it into the scan (ValidatorTable.scala:20-22).
+  */
+object Sources {
+
+  def hiveTable(s: SparkSession, name: String, condition: Option[String] = None): DataFrame =
+    where(s.table(name), condition)
+
+  def parquet(s: SparkSession, path: String, condition: Option[String] = None): DataFrame =
+    where(s.read.parquet(path), condition)
+
+  def orc(s: SparkSession, path: String, condition: Option[String] = None): DataFrame =
+    where(s.read.orc(path), condition)
+
+  def csv(s: SparkSession, path: String, options: Map[String, String] = Map.empty,
+      condition: Option[String] = None): DataFrame =
+    where(s.read.options(options).csv(path), condition)
+
+  def json(s: SparkSession, path: String, options: Map[String, String] = Map.empty,
+      condition: Option[String] = None): DataFrame =
+    where(s.read.options(options).json(path), condition)
+
+  /** Generic DataSource loader: `format` + `options` + paths
+    * (ValidatorTable.scala:277-326). */
+  def format(s: SparkSession, fmt: String, options: Map[String, String],
+      paths: Seq[String], condition: Option[String] = None): DataFrame = {
+    val r = s.read.format(fmt).options(options)
+    where(if (paths.isEmpty) r.load() else r.load(paths: _*), condition)
+  }
+
+  /** Testdata table loader. Handles TIMESTAMP(NANOS) parquet (which Spark 4
+    * rejects by default): reads nanos as long via the legacy conf and
+    * converts to a microsecond TimestampType column in place. The testdata
+    * generator emits whole-microsecond values, so the ns→µs conversion is
+    * lossless here. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else s.read.parquet(s"$dir/$name.parquet")
+    df
+  }
+
+  private def where(df: DataFrame, condition: Option[String]): DataFrame =
+    condition.fold(df)(df.where)
+}
