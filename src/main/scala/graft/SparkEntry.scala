@@ -20,8 +20,8 @@ object SparkEntry {
     CheckQueries.fusedQuery(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CheckQueries.queries ++ RelationalQueries.queries
+    CheckQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    CheckQueries.oracleSql ++ RelationalQueries.oracleSql
+    CheckQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
 }

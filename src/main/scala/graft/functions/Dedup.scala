@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (with a provable
+  * length prefilter), MinHash+LSH (the 100 TB path), SimHash banding.
+  *
+  * Scale design: every variant is scan → narrow per-row feature → one
+  * shuffle on a compact key (hash / band signature / 16-bit chunk) →
+  * bounded candidate verification. Nothing materializes O(n²) pairs:
+  * candidate generation is always key-equality (shuffle-join-able), and
+  * verification only touches colliding pairs.
+  */
+object Dedup {
+
+  /** Distinct char k-grams of a string column (the Jaccard feature set). */
+  def shingles(c: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(c) - k, lit(0))),
+      i => substring(c, i + lit(1), lit(k))))
+
+  /** MinHash signature: for seeds 1..n, min over shingles of the seeded
+    * 64-bit hash. Pr[sig_j(A)=sig_j(B)] = jaccard(A,B). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+
+  /** LSH banding: one row per (id, band, bandHash). Two docs share a
+    * (band, bandHash) key with prob 1-(1-j^r)^b — the classic S-curve.
+    * The band hash is the shuffle key; signature arrays never shuffle. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
+      .toDF(idCol, "band", "band_hash")
+
+  /** Candidate pairs from LSH banding: equi-join on (band, band_hash),
+    * deduplicated. */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = lshBands(df, idCol, sigCol, bands, rowsPerBand)
+    val a = banded.toDF("id_a", "band", "band_hash")
+    val b = banded.toDF("id_b", "band", "band_hash")
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over two shingle-set columns: |∩| / |∪| (as integer
+    * sizes — exact, no float accumulation). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Length-ratio prefilter for jaccard >= tauPct/100: since
+    * |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), any pair with
+    * 100*min < tau*max cannot reach the threshold — provably no false
+    * negatives. Integer arithmetic only (no float threshold edge). */
+  def sizeCompatible(sizeA: Column, sizeB: Column, tauPct: Int): Column =
+    least(sizeA, sizeB) * 100 >= greatest(sizeA, sizeB) * tauPct
+
+  /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
+    * tauPct/100 (integer threshold compare — no float boundary). */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      tauPct: Int = 51): DataFrame = {
+    val withSh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val cands = lshCandidates(withSig, idCol, "sig", bands, numHashes / bands)
+    val sh = withSh.select(col(idCol), col("sh"))
+    cands
+      .join(sh.toDF("jid_a", "sh_a"), col("id_a") === col("jid_a"))
+      .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .where(col("inter") * 100 >= col("uni") * tauPct)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+  }
+
+  /** Exact duplicate groups by full-content hash: (hash, n, canonical id =
+    * min id). One shuffle on the 64-bit hash. */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(count(lit(1L)).as("n"), min(col(idCol)).as("keep_id"))
+      .where(col("n") > 1)
+
+  /** SimHash near-dup candidate pairs: band the 64-bit fingerprint into
+    * four 16-bit chunks (pigeonhole: hamming<=3 ⇒ some chunk equal), join
+    * per chunk, verify with bit_count(xor) <= maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = array((0 until 4).map(i =>
+      shiftright(col(simhashCol), i * 16).bitwiseAND(lit(0xffffL))): _*)
+    val chunked = docs.select(col(idCol), col(simhashCol), posexplode(chunks))
+      .toDF(idCol, simhashCol, "chunk_idx", "chunk")
+    val a = chunked.toDF("id_a", "sim_a", "chunk_idx", "chunk")
+    val b = chunked.toDF("id_b", "sim_b", "chunk_idx", "chunk")
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

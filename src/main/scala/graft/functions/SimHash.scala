@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash (Charikar 2002): 64-bit locality-sensitive fingerprint of a
+  * token multiset — near-identical documents differ in few bits, so
+  * near-dup detection becomes a small-Hamming-distance join.
+  *
+  * Implemented as a native Catalyst `Expression` (not a Scala UDF): the
+  * per-row work is a tight loop over token bytes with zero allocation
+  * beyond the bit-count vector, evaluated directly on Tungsten's
+  * `ArrayData`/`UTF8String` without serialization to JVM objects. A
+  * 64-way higher-order-function composition could express this with
+  * built-ins but would allocate per bit per token; this is the
+  * "custom Expression beats UDF beats composition" case from the design
+  * preference order.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = SimHash64.hash64(arr.getUTF8String(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (v(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** FNV-1a 64-bit over UTF-8 bytes with a murmur-style finalizer (public
+    * constants). Deterministic across JVMs/runs. */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // fmix64 finalizer for avalanche
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+}
+
+/** Registration of graft's custom Catalyst expressions for SQL + Column
+  * use (public `call_function` route — no private Column constructors). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  /** tokens array<string> → 64-bit simhash. Requires register(spark). */
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.functions.{Dedup, GraftFunctions, Similarity, TextFunctions => TF}
+import graft.queries.CheckQueries.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the documents/embeddings tables:
+  * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+  * embedding similarity (brute-force + LSH-bucketed ANN).
+  *
+  * Oracles exist for everything expressible in DuckDB SQL (text stats,
+  * quality, exact dedup, exact Jaccard pairs, brute-force kNN); the
+  * hash-based operators (xxhash64/simhash signatures, LSH bucketing) are
+  * engine-specific → rows-only checks + ScalaTest recall assertions
+  * against the exact variants.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language corpus stats: token counts (whitespace + BPE-ish regex),
+    // char-class ratios. One scan, one small shuffle on lang.
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(TF.tokenCountWs(col("text")).cast("long")).as("ws_tokens"),
+             sum(TF.tokenCountRegex(col("text")).cast("long")).as("re_tokens"),
+             round(avg(TF.alphaRatio(col("text"))), 6).as("avg_alpha"),
+             round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy("lang")),
+
+    // Per-source quality scoring (composite heuristic + components).
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(round(avg(TF.qualityScore(col("text"))), 6).as("avg_quality"),
+             round(avg(TF.avgTokenLength(col("text"))), 6).as("avg_tok_len"),
+             round(avg(TF.digitRatio(col("text"))), 6).as("avg_digit"))
+        .orderBy("source")),
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    // Hash-free but stopword-list-driven → rows-only check; accuracy is
+    // asserted in ScalaTest on planted natural-language texts.
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TF.langId(col("text")).as("predicted"))
+        .agg(count(lit(1L)).as("n"))
+        .orderBy("lang", "predicted")),
+
+    // Document fingerprints: exact content hash + winnowing min-gram hash.
+    // xxhash64-based → rows-only check (deterministic across runs).
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.contentHash(col("text")).as("content_hash"),
+                TF.minGramFingerprint(col("text"), 8).as("min_gram_fp"))
+        .orderBy("doc_id")),
+
+    // Exact dedup summary (md5 here for oracle parity; the engine API
+    // Dedup.exactDupGroups uses xxhash64 and is covered by ScalaTest).
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.agg(count(lit(1L)).as("total"),
+               countDistinct(md5(col("text"))).as("n_distinct"))
+        .crossJoin(
+          docs.groupBy(md5(col("text"))).agg(count(lit(1L)).as("n"))
+            .where(col("n") > 1).agg(count(lit(1L)).as("n_dup_groups")))
+    }),
+
+    // Exact char-5-gram Jaccard near-dup pairs at tau=0.51, with the
+    // provable length-ratio prefilter. Restricted to doc_id < 1000 (the
+    // exact-audit slice); the unrestricted scale path is dedup_minhash.
+    "dedup_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+        .withColumn("sz", size(col("sh")))
+      val a = sh.toDF("id_a", "sh_a", "sz_a")
+      val b = sh.toDF("id_b", "sh_b", "sz_b")
+      a.crossJoin(b)
+        .where(col("id_a") < col("id_b") &&
+               Dedup.sizeCompatible(col("sz_a"), col("sz_b"), 51))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+        .where(col("inter") * 100 >= col("uni") * 51)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash + LSH banding near-dup pairs (the 100 TB path: shuffle only
+    // on band hashes, verify only colliding pairs). xxhash64 signatures →
+    // rows-only check; recall vs exact Jaccard asserted in ScalaTest.
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 5, numHashes = 64, bands = 16, tauPct = 51)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash (custom Catalyst expression) near-dup summary via 16-bit
+    // chunk banding. Aggregated so the result is non-empty even if no
+    // pair is within the Hamming radius.
+    "dedup_simhash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.simhash64(TF.tokensWs(col("text"))).as("sim"))
+      Dedup.simhashNearDupPairs(docs, "doc_id", "sim", maxHamming = 3)
+        .agg(count(lit(1L)).as("n_pairs"),
+             coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
+    }),
+
+    // Brute-force cosine kNN: 5 query vectors vs the corpus, top-5 each.
+    "sim_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed approximate NN self-join (8 hyperplanes → 256 buckets).
+    // Plane literals are seeded → deterministic, but engine-specific →
+    // rows-only; recall vs brute force asserted in ScalaTest.
+    "sim_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      Similarity.annSelfJoin(emb, "vec_id", "embedding", dim, numPlanes = 8, k = 3)
+        .agg(count(lit(1L)).as("n_results"),
+             round(avg(col("cos")), 4).as("avg_cos"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS re_tokens,
+        | round(avg(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)), 6) AS avg_alpha,
+        | round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      """WITH m AS (SELECT source,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS avgtok
+        | FROM documents)
+        |SELECT source,
+        | round(avg(round(0.5 * alpha + 0.2 * (1.0 - digit) +
+        |   0.3 * (CASE WHEN avgtok BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END), 6)), 6) AS avg_quality,
+        | round(avg(avgtok), 6) AS avg_tok_len,
+        | round(avg(digit), 6) AS avg_digit
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total,
+        | (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM documents) AS n_distinct,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT md5(text) h FROM documents GROUP BY 1 HAVING count(*) > 1)) AS n_dup_groups""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM documents WHERE doc_id < 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
+        |WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |ORDER BY 1, 2""".stripMargin,
+
+    "sim_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+        | SELECT q.qid, c.vec_id,
+        |  round(list_cosine_similarity(c.v, q.qv), 4) AS cos,
+        |  row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC, c.vec_id) AS rank
+        | FROM c, q WHERE c.vec_id != q.qid)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.{Dedup, GraftFunctions, Similarity, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Text / dedup / similarity operator semantics on planted fixtures. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace and regex pre-tokenization") {
+    val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
+      .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((2, 2), (3, 3), (1, 4))) // "one,two!" ws-split -> 1; regex -> [one][,][two][!]
+  }
+
+  test("char class ratios") {
+    val r = Seq("ab12 x.").toDF("text")
+      .select(TF.alphaRatio(col("text")).as("a"), TF.digitRatio(col("text")).as("d"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 3.0 / 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0 / 7.0) < 1e-12)
+  }
+
+  test("stopword ratio and langId classify planted natural-language texts") {
+    val texts = Seq(
+      ("en", "the cat sat on the mat and it was happy in the sun"),
+      ("de", "der hund und die katze sind nicht mit der maus auf dem tisch"),
+      ("es", "el perro y la casa de los amigos se ven en el parque"),
+      ("fr", "le chien et la maison est pour les amis que nous aimons"))
+    val df = texts.toDF("truth", "text")
+      .select(col("truth"), TF.langId(col("text")).as("pred"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(1)),
+      rows.map(r => s"${r.getString(0)}->${r.getString(1)}").mkString(","))
+    val swr = Seq("the cat the dog").toDF("t")
+      .select(TF.stopwordRatio(col("t"), Seq("the"))).head().getDouble(0)
+    assert(swr == 0.5)
+  }
+
+  test("fingerprints: equal texts agree, disjoint texts differ") {
+    val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
+      .toDF("id", "text")
+      .select(col("id"), TF.contentHash(col("text")).as("ch"),
+              TF.minGramFingerprint(col("text"), 8).as("fp"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L)._1 != m(3L)._1)
+    assert(m(1L)._2 != m(3L)._2)
+  }
+
+  test("shingles produce distinct char k-grams; jaccard exact on known sets") {
+    val sh = Seq(("abcde", "bcdef")).toDF("a", "b")
+      .select(Dedup.shingles(col("a"), 3).as("sa"), Dedup.shingles(col("b"), 3).as("sb"))
+    val r = sh.select(size(col("sa")), size(col("sb")),
+        Dedup.jaccard(col("sa"), col("sb"))).head()
+    // abcde -> abc,bcd,cde ; bcdef -> bcd,cde,def ; inter=2 union=4
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("sizeCompatible prefilter never drops a pair above threshold") {
+    // jaccard(A,B) >= 0.51 implies min/max >= 0.51
+    val ok = Seq((100, 51), (100, 50)).toDF("a", "b")
+      .select(Dedup.sizeCompatible(col("a"), col("b"), 51)).collect().map(_.getBoolean(0))
+    assert(ok.toSeq == Seq(true, false))
+  }
+
+  test("minhash LSH finds planted near-duplicates with exact-jaccard verification") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val docs = (
+      Seq((0L, base), (1L, base + " ok"), (2L, "completely different content here about spark engines and columnar execution")) ++
+      (3L to 40L).map(i => (i, s"unrelated filler document number $i with some random words like alpha beta gamma $i"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, tauPct = 51)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missed planted near-dup: $pairs")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("exact dup groups via content hash") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "same"), (4L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n") == 3L)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("simhash: identical token sets equal, near sets close, disjoint sets far") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "zq xw vv kk pp ll mm nn oo qq rr ss tt uu")).toDF("id", "text")
+      .select(col("id"), GraftFunctions.simhash64(TF.tokensWs(col("text"))).as("sim"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < 16, s"near docs too far: ${hamming(m(1L), m(2L))}")
+    assert(hamming(m(1L), m(3L)) > 16, s"far docs too near: ${hamming(m(1L), m(3L))}")
+  }
+
+  test("simhash banding join finds hamming<=3 pairs (pigeonhole guarantee)") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, 0x0000000000000000L), (2L, 0x0000000000000007L), // hamming 3
+      (3L, 0x00000000000000FFL), (4L, 0xFFFFFFFFFFFFFFFFL)
+    ).toDF("doc_id", "sim")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "sim", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine similarity exact values") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+                 (Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val vs = df.collect().map(_.getDouble(0))
+    assert(vs(0) == 0.0)
+    assert(math.abs(vs(1) - 1.0) < 1e-12)
+    assert(math.abs(vs(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("brute-force kNN ranks by cosine on sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
+      .orderBy("rank").collect()
+    assert(res.length == 5)
+    assert(res.map(_.getAs[Double]("cos")).sliding(2).forall(p => p(0) >= p(1)))
+    assert(res.forall(_.getAs[Long]("vec_id") != 0L))
+  }
+
+  test("ANN self-join recall vs brute force on sf0.001") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // ground truth: for each vector, its true nearest neighbor
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 1, scoreDp = 9)
+      .select(col("qid"), col("vec_id").as("nn")).as[(Long, Long)].collect().toMap
+    // these embeddings' nearest neighbors sit at ~70 deg: p/plane ~ 0.6,
+    // so 4 planes x 16 tables -> expected recall ~ 1-(1-0.6^4)^16 ~ 0.89
+    val ann = Similarity.annSelfJoin(emb, "vec_id", "embedding", dim,
+        numPlanes = 4, k = 1, numTables = 16)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toMap
+    val hits = truth.count { case (q0, nn) => ann.get(q0).contains(nn) }
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.6, s"ANN recall too low: $recall")
+  }
+}
