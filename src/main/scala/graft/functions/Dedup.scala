@@ -21,11 +21,22 @@ object Dedup {
       sequence(lit(0), greatest(length(c) - k, lit(0))),
       i => substring(c, i + lit(1), lit(k))))
 
-  /** MinHash signature: for seeds 1..n, min over shingles of the seeded
-    * 64-bit hash. Pr[sig_j(A)=sig_j(B)] = jaccard(A,B). */
+  /** MinHash signature: for seeds 1..n, min over shingles of a seeded
+    * 64-bit hash. Pr[sig_j(A)=sig_j(B)] = jaccard(A,B).
+    *
+    * Single-traversal evaluation: the shingle strings are hashed ONCE
+    * (`transform(sh, xxhash64)` — the first argument of `aggregate` is
+    * evaluated exactly once), then one fold over the hashed longs keeps a
+    * running array of n per-seed minima, remixing the precomputed 8-byte
+    * hash per seed. Cost per row: |sh| string hashes + |sh|·n long
+    * hash/min ops — vs the naive n nested traversals that re-hash every
+    * shingle string n times. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      j => array_min(transform(shingleArr, s => xxhash64(s, j))))
+    aggregate(
+      transform(shingleArr, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(numHashes)),
+        (m, j) => least(m, xxhash64(h, j))))
 
   /** LSH banding: one row per (id, band, bandHash). Two docs share a
     * (band, bandHash) key with prob 1-(1-j^r)^b — the classic S-curve.
@@ -64,15 +75,44 @@ object Dedup {
     least(sizeA, sizeB) * 100 >= greatest(sizeA, sizeB) * tauPct
 
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
-    * tauPct/100 (integer threshold compare — no float boundary). */
+    * tauPct/100 (integer threshold compare — no float boundary).
+    *
+    * The (id, shingles, signature) DataFrame is persisted ONCE and shared
+    * by all four downstream uses (both sides of the band self-join, both
+    * sides of the verification join) — without the cache barrier, Spark
+    * would recompute shingling + signatures per join side. At corpus
+    * scale this is the standard shape: one featurization pass
+    * materialized, then shuffles only on compact band keys and id pairs. */
+  /** Fraction (as percent) of agreeing minhash components — an unbiased
+    * estimator of jaccard with std ≈ sqrt(j(1-j)/n). 64 long compares in a
+    * native expression: ~10× cheaper than an exact shingle-set intersect.
+    * Requires GraftFunctions.register on the session. */
+  def sigAgreementPct(sigA: Column, sigB: Column, numHashes: Int): Column =
+    GraftFunctions.minhashAgree(sigA, sigB) * 100L / numHashes
+
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       tauPct: Int = 51): DataFrame = {
-    val withSh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
-    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val cands = lshCandidates(withSig, idCol, "sig", bands, numHashes / bands)
-    val sh = withSh.select(col(idCol), col("sh"))
-    cands
+    GraftFunctions.register(docs.sparkSession)
+    val featurized = docs
+      .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(featurized, idCol, "sig", bands, numHashes / bands)
+    // Screen candidates on the cheap signature estimate 2.5σ below tau
+    // (σ = sqrt(τ(1-τ)/64) ≈ 6.3% → 16-point margin): band collisions from
+    // a template-heavy corpus produce masses of sub-threshold pairs, and
+    // the estimate rejects them without touching the shingle sets. Only
+    // survivors pay for the exact intersect.
+    val sigs = featurized.select(col(idCol), col("sig"))
+    val screened = cands
+      .join(sigs.toDF("sid_a", "sig_a"), col("id_a") === col("sid_a"))
+      .join(sigs.toDF("sid_b", "sig_b"), col("id_b") === col("sid_b"))
+      .where(sigAgreementPct(col("sig_a"), col("sig_b"), numHashes) >=
+        lit(math.max(tauPct - 16, 0)))
+      .select(col("id_a"), col("id_b"))
+    val sh = featurized.select(col(idCol), col("sh"))
+    screened
       .join(sh.toDF("jid_a", "sh_a"), col("id_a") === col("jid_a"))
       .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -86,10 +86,24 @@ object SimHash64 {
 /** Registration of graft's custom Catalyst expressions for SQL + Column
   * use (public `call_function` route — no private Column constructors). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_agree", exprs => MinHashAgree(exprs.head, exprs(1)), "built-in")
+  }
 
   /** tokens array<string> → 64-bit simhash. Requires register(spark). */
   def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** shingles array<string> → array<long> minhash signature of n seeds.
+    * Requires register(spark). */
+  def minhashSig(c: Column, numHashes: Int): Column =
+    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** #agreeing components of two signatures. Requires register(spark). */
+  def minhashAgree(a: Column, b: Column): Column = call_function("minhash_agree", a, b)
 }
