@@ -74,6 +74,13 @@ object Dedup {
   def sizeCompatible(sizeA: Column, sizeB: Column, tauPct: Int): Column =
     least(sizeA, sizeB) * 100 >= greatest(sizeA, sizeB) * tauPct
 
+  /** Fraction (as percent) of agreeing minhash components — an unbiased
+    * estimator of jaccard with std ≈ sqrt(j(1-j)/n). 64 long compares in a
+    * native expression: ~10× cheaper than an exact shingle-set intersect.
+    * Requires GraftFunctions.register on the session. */
+  def sigAgreementPct(sigA: Column, sigB: Column, numHashes: Int): Column =
+    GraftFunctions.minhashAgree(sigA, sigB) * 100L / numHashes
+
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
     * tauPct/100 (integer threshold compare — no float boundary).
     *
@@ -83,13 +90,6 @@ object Dedup {
     * would recompute shingling + signatures per join side. At corpus
     * scale this is the standard shape: one featurization pass
     * materialized, then shuffles only on compact band keys and id pairs. */
-  /** Fraction (as percent) of agreeing minhash components — an unbiased
-    * estimator of jaccard with std ≈ sqrt(j(1-j)/n). 64 long compares in a
-    * native expression: ~10× cheaper than an exact shingle-set intersect.
-    * Requires GraftFunctions.register on the session. */
-  def sigAgreementPct(sigA: Column, sigB: Column, numHashes: Int): Column =
-    GraftFunctions.minhashAgree(sigA, sigB) * 100L / numHashes
-
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       tauPct: Int = 51): DataFrame = {
@@ -117,6 +117,58 @@ object Dedup {
       .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .where(col("inter") * 100 >= col("uni") * tauPct)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+  }
+
+  /** EXACT Jaccard near-dup self-join at tauPct/100 via AllPairs prefix
+    * filtering (Bayardo, Ma & Srikant, WWW'07; Chaudhuri et al. ICDE'06) —
+    * no cartesian product, provably no false negatives:
+    *
+    *   - jaccard(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉ (since |A∪B| ≥ |A|),
+    *   - so indexing only each doc's first |A| - ⌈τ·|A|⌉ + 1 shingles
+    *     under one global canonical order (rarest-first, to minimize
+    *     collisions) guarantees every qualifying pair shares at least one
+    *     indexed shingle — candidates come from an EQUI-join on shingle.
+    *
+    * Pipeline shape: explode → document-frequency count → per-doc
+    * rarest-first rank (window over doc id — many small groups, no skew) →
+    * prefix index → self-join on shingle + size-ratio prefilter → distinct
+    * pairs → exact intersect verify. Every stage is a key-partitioned
+    * shuffle; candidate volume scales with real similarity, not n². */
+  def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, tauPct: Int = 51): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(docs.sparkSession)
+    // Work on SORTED HASHED shingles throughout: 8-byte longs instead of
+    // UTF8Strings shrink every shuffle and let verification run as a
+    // linear merge. Hashing a deduplicated gram set preserves set
+    // cardinalities (64-bit collisions are negligible at any corpus size).
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("gs"))
+      .select(col("id"), sort_array(transform(col("gs"), s => xxhash64(s))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val dfreq = tokens.groupBy("g").agg(count(lit(1L)).as("df"))
+    // minimum overlap ⌈τ·sz⌉ in pure integer arithmetic (no float edge):
+    val minOverlap = floor((col("sz") * tauPct + lit(99)) / 100)
+    val prefix = tokens.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .where(col("rk") <= col("sz") - minOverlap + 1)
+      .select(col("g"), col("id"), col("sz"))
+    val cands = prefix.toDF("g", "id_a", "sz_a")
+      .join(prefix.toDF("g", "id_b", "sz_b"), Seq("g"))
+      .where(col("id_a") < col("id_b") &&
+        sizeCompatible(col("sz_a"), col("sz_b"), tauPct))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sh.toDF("jid_a", "sh_a", "sz_a"), col("id_a") === col("jid_a"))
+      .join(sh.toDF("jid_b", "sh_b", "sz_b"), col("id_b") === col("jid_b"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))

@@ -92,6 +92,45 @@ case class MinHashAgree(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| of two SORTED long arrays via a linear merge — the verification
+  * kernel of the exact set-similarity join. Two sorted-array cursors and
+  * long compares only; `array_intersect` on string arrays builds a hash
+  * set of UTF8Strings per row pair (~10× the cost at typical shingle-set
+  * sizes). Inputs must be deduplicated and ascending (sort_array over
+  * array_distinct hashes). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashSig {
   /** fmix64 finalizer (MurmurHash3 / SplitMix64 public constants) — full
     * avalanche, so per-seed minima are independent uniform hashes. */

@@ -94,6 +94,15 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_agree", exprs => MinHashAgree(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. Requires register(spark). */
@@ -106,4 +115,18 @@ object GraftFunctions {
 
   /** #agreeing components of two signatures. Requires register(spark). */
   def minhashAgree(a: Column, b: Column): Column = call_function("minhash_agree", a, b)
+
+  /** |A∩B| of two sorted long arrays. Requires register(spark). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+
+  /** Fused-loop cosine similarity of two vectors. Requires register(spark). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** vector → array<long> of per-table sign-LSH bucket ids. Requires
+    * register(spark). */
+  def cosineLshBuckets(vec: Column, numPlanes: Int, numTables: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("cosine_lsh_buckets", vec, lit(numPlanes), lit(numTables), lit(seed))
+  }
 }

@@ -31,26 +31,34 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       scoreDp: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol),
-        round(cosine(col(vecCol), col(qvecCol)), scoreDp).as("cos"))
+        round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), scoreDp).as("cos"))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j)).
-    * Planes are deterministic pseudo-random literals baked into the plan
-    * (seeded driver-side), so the bucketing is reproducible and the
-    * executor-side work is pure column math. */
-  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Column] = (0 until numPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, p) > 0, lit(1L << j)).otherwise(lit(0L))
+    * Plane entries are ±1 Rademacher values derived on the EXECUTORS from
+    * xxhash64(component index, plane, seed) — reproducible, and the plan
+    * size is O(numPlanes) regardless of vector dimension (baking
+    * dim × planes × tables gaussian literals into the plan grows it into
+    * codegen-pressure territory). Sign-LSH with Rademacher projections is
+    * a standard angle-preserving family (projection is near-gaussian by
+    * CLT). The dimension is read from `size(vec)` per row — no driver-side
+    * peek at the data while building the query. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Long = 42L): Column = {
+    val idx = sequence(lit(0), size(vec) - 1)
+    (0 until numPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, idx, (x, i) =>
+          x.cast("double") * when(pmod(xxhash64(i, lit(j), lit(seed)), lit(2)) === 0,
+            lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -61,24 +69,37 @@ object Similarity {
     * p = 1 - θ/π — tune tables up / planes down for higher recall.
     * Shuffles carry only (id, table, bucket) triples and candidate id
     * pairs — never vector pairs; vectors are joined back once per
-    * distinct candidate pair. */
+    * distinct candidate pair.
+    *
+    * Skew bound: buckets holding more than `maxBucket` vectors are
+    * DROPPED from candidate generation (a dense bucket is a
+    * low-information hash — it would contribute O(n²) pairs while mostly
+    * pairing dissimilar vectors; neighbors it contained still meet in
+    * their other `numTables-1` tables). This caps per-bucket work at
+    * O(maxBucket²) no matter how skewed the data. */
   def annSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numPlanes: Int, k: Int, numTables: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val tb = explode(array((0 until numTables).map(t => struct(
-      lit(t).as("tbl"),
-      hyperplaneBucket(col(vecCol), dim, numPlanes, seed + t * 7919).as("bucket"))): _*))
-    val bucketed = corpus.select(col(idCol), tb.as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cands = bucketed.toDF("id_a", "tbl", "bucket")
-      .join(bucketed.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+      numPlanes: Int, k: Int, numTables: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val bucketed = corpus
+      .select(col(idCol), posexplode(
+        GraftFunctions.cosineLshBuckets(col(vecCol), numPlanes, numTables, seed)))
+      .toDF(idCol, "tbl", "bucket")
+    val capped = bucketed
+      .withColumn("bucket_n", count(lit(1L)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cands = capped.toDF("id_a", "tbl", "bucket")
+      .join(capped.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = corpus.select(col(idCol), col(vecCol))
     val scored = cands
       .join(vecs.toDF("id_a", "vec_a"), "id_a")
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cos"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -67,25 +67,16 @@ object PipelineQueries {
             .where(col("n") > 1).agg(count(lit(1L)).as("n_dup_groups")))
     }),
 
-    // Exact char-5-gram Jaccard near-dup pairs at tau=0.51, with the
-    // provable length-ratio prefilter. Restricted to doc_id < 1000 (the
-    // exact-audit slice); the unrestricted scale path is dedup_minhash.
-    "dedup_jaccard" -> ((s, dir) => {
-      val sh = t(s, dir, "documents").where(col("doc_id") < 1000)
-        .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
-        .withColumn("sz", size(col("sh")))
-      val a = sh.toDF("id_a", "sh_a", "sz_a")
-      val b = sh.toDF("id_b", "sh_b", "sz_b")
-      a.crossJoin(b)
-        .where(col("id_a") < col("id_b") &&
-               Dedup.sizeCompatible(col("sz_a"), col("sz_b"), 51))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-        .where(col("inter") * 100 >= col("uni") * 51)
-        .select(col("id_a"), col("id_b"),
-          round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
-    }),
+    // Exact char-5-gram Jaccard near-dup pairs at tau=0.51 via AllPairs
+    // prefix filtering — equi-join candidate generation (no cartesian),
+    // provably zero false negatives, exact-intersect verify. Restricted to
+    // doc_id < 1000 (the exact-audit slice); the estimated scale path is
+    // dedup_minhash.
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardNearDupPairs(
+          t(s, dir, "documents").where(col("doc_id") < 1000),
+          "doc_id", "text", shingleK = 5, tauPct = 51)
+        .orderBy("id_a", "id_b")),
 
     // MinHash + LSH banding near-dup pairs (the 100 TB path: shuffle only
     // on band hashes, verify only colliding pairs). xxhash64 signatures →
@@ -117,16 +108,15 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed approximate NN self-join (8 hyperplanes → 256 buckets).
-    // Plane literals are seeded → deterministic, but engine-specific →
-    // rows-only; recall vs brute force asserted in ScalaTest.
-    "sim_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      Similarity.annSelfJoin(emb, "vec_id", "embedding", dim, numPlanes = 8, k = 3)
+    // LSH-bucketed approximate NN self-join (8 hyperplanes → 256 buckets,
+    // dense buckets capped). Seeded hash-derived planes → deterministic,
+    // but engine-specific → rows-only; recall vs brute force asserted in
+    // ScalaTest.
+    "sim_ann" -> ((s, dir) =>
+      Similarity.annSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numPlanes = 8, k = 3)
         .agg(count(lit(1L)).as("n_results"),
-             round(avg(col("cos")), 4).as("avg_cos"))
-    }),
+             round(avg(col("cos")), 4).as("avg_cos"))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -136,14 +136,13 @@ class PipelineSpec extends SparkSuite {
 
   test("ANN self-join recall vs brute force on sf0.001") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // ground truth: for each vector, its true nearest neighbor
     val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 1, scoreDp = 9)
       .select(col("qid"), col("vec_id").as("nn")).as[(Long, Long)].collect().toMap
     // these embeddings' nearest neighbors sit at ~70 deg: p/plane ~ 0.6,
     // so 4 planes x 16 tables -> expected recall ~ 1-(1-0.6^4)^16 ~ 0.89
-    val ann = Similarity.annSelfJoin(emb, "vec_id", "embedding", dim,
+    val ann = Similarity.annSelfJoin(emb, "vec_id", "embedding",
         numPlanes = 4, k = 1, numTables = 16)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toMap
     val hits = truth.count { case (q0, nn) => ann.get(q0).contains(nn) }
