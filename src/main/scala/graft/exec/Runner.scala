@@ -52,14 +52,25 @@ object Runner {
 
   val NumBins = 10 // SecondPassStatsAggregator.scala:11
 
+  /** Labels key the fused pass's aggregate columns; two checks sharing one
+    * would silently read each other's results via fieldIndex (the
+    * reference indexes positionally and cannot collide). */
+  def duplicateLabels(checks: Seq[CheckSpec]): Seq[String] =
+    checks.groupBy(_.label).collect { case (l, cs) if cs.size > 1 => l }.toSeq.sorted
+
   def configCheck(spark: SparkSession, table: TableSpec): Seq[String] = {
     val schema = table.open(spark).schema
-    table.checks.flatMap(c => CheckCompiler.configCheck(c, schema).map(e => s"${c.label}: $e"))
+    duplicateLabels(table.checks).map(l =>
+      s"duplicate check label '$l' — give same-type checks distinct labels") ++
+      table.checks.flatMap(c => CheckCompiler.configCheck(c, schema).map(e => s"${c.label}: $e"))
   }
 
   def run(spark: SparkSession, table: TableSpec,
           detailedErrors: Boolean = true, numErrorsToReport: Int = 100,
           numKeyCols: Int = 2): TableResult = {
+    val dups = duplicateLabels(table.checks)
+    require(dups.isEmpty, s"duplicate check labels: ${dups.mkString(", ")} — " +
+      "aggregate columns are keyed by label; give same-type checks distinct labels")
     val df = table.open(spark)
     val timings = scala.collection.mutable.Map[String, Long]()
     def timed[T](k: String)(f: => T): T = {
@@ -81,8 +92,13 @@ object Runner {
         }
         val row = df.agg(cols.head, cols.tail: _*).head()
         colStats.zipWithIndex.map { case (cs, i) =>
-          cs.label -> (row.getLong(4 * i), row.getDouble(4 * i + 1),
-                       row.getDouble(4 * i + 2), row.getDouble(4 * i + 3))
+          // Empty table / all-NULL column: avg/min/max aggregate to NULL —
+          // report count=0 stats instead of crashing on getDouble.
+          if (row.getLong(4 * i) == 0L || row.isNullAt(4 * i + 1))
+            cs.label -> (0L, 0.0, 0.0, 0.0)
+          else
+            cs.label -> (row.getLong(4 * i), row.getDouble(4 * i + 1),
+                         row.getDouble(4 * i + 2), row.getDouble(4 * i + 3))
         }.toMap
       }
 
@@ -180,19 +196,28 @@ object Runner {
     val rowChecks = checks.collect { case rc: RowCheckSpec => rc }
     val aggCols = count(lit(1L)).as("row_cnt") +: checks.flatMap(CheckCompiler.fusedAggColumn)
     val agged = df.agg(aggCols.head, aggCols.tail: _*)
-    val verdicts = rowChecks.map(rc => CheckCompiler.failedExpr(rc, col("row_cnt"))) ++
+    // Empty-input verdicts must be definite booleans, not NULL (aggregates
+    // over zero rows yield NULL and a NULL comparison would leak through
+    // as a non-verdict): row checks pass on an empty table (the reference
+    // only evaluates them when count > 0, RowBased.scala:80-82), colmax
+    // fails (no max to equal the expectation — consistent with the driver
+    // path's NULL handling), colsum compares against 0 (the driver path's
+    // numAt default).
+    val verdicts = rowChecks.map(rc =>
+      coalesce(CheckCompiler.failedExpr(rc, col("row_cnt")), lit(false))
+        .as(s"${rc.label}_failed")) ++
       checks.collect {
         case MinNumRows(minRows, label) =>
           (col("row_cnt") < lit(minRows)).as(s"${label}_failed")
         case ColumnMaxCheck(_, expected, label) =>
           val actual = col(s"${label}_max")
-          (expected match {
+          coalesce(expected match {
             case Bound.Num(v) => actual.cast(DoubleType) =!= lit(v)
             case Bound.Str(s) => actual =!= lit(s)
             case Bound.Ref(c) => throw new IllegalArgumentException(s"columnMaxCheck expected cannot be a column ref: $c")
-          }).as(s"${label}_failed")
+          }, lit(true)).as(s"${label}_failed")
         case ColumnSumCheck(_, mn, mx, inclusive, label) =>
-          val s = col(s"${label}_sum").cast(DoubleType)
+          val s = coalesce(col(s"${label}_sum").cast(DoubleType), lit(0.0))
           val lo = mn.map(m => if (inclusive) s < lit(m) else s <= lit(m))
           val hi = mx.map(m => if (inclusive) s > lit(m) else s >= lit(m))
           (lo ++ hi).reduce(_ || _).as(s"${label}_failed")
@@ -235,7 +260,9 @@ object Runner {
     val c = col(column).cast(DoubleType)
     val fpRow = df.agg(count(c).as("cnt"), avg(c).as("mean"),
       min(c).as("mn"), max(c).as("mx")).head()
-    val fp = (fpRow.getLong(0), fpRow.getDouble(1), fpRow.getDouble(2), fpRow.getDouble(3))
+    val fp =
+      if (fpRow.getLong(0) == 0L || fpRow.isNullAt(1)) (0L, 0.0, 0.0, 0.0)
+      else (fpRow.getLong(0), fpRow.getDouble(1), fpRow.getDouble(2), fpRow.getDouble(3))
     val (cnt, mean, mn, mx) = fp
     val aggCols = secondPassCols(cs, fp)
     df.agg(aggCols.head, aggCols.tail: _*).select(

@@ -39,9 +39,12 @@ final case class Threshold(raw: String) {
   val isPercent: Boolean = trimmed.endsWith("%")
   val value: Double = trimmed.stripSuffix("%").trim.toDouble
 
+  // FP evaluation order mirrors the reference exactly
+  // (RowBased.scala:64-66: value * (rowCount / 100.0)) — the other
+  // association can differ by 1 after truncation at exact-boundary cases.
   def errorLimit(rowCount: Long): Long =
-    if (isPercent) (rowCount * (value / 100.0)).toLong
-    else if (value < 1.0) (rowCount * value).toLong
+    if (isPercent) (value * (rowCount / 100.0)).toLong
+    else if (value < 1.0) (value * rowCount).toLong
     else value.toLong
 
   /** The limit as a fraction of rowCount, or None for absolute limits —

@@ -165,24 +165,31 @@ object CheckQueries {
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
 
+    // CASE guard on mx = mn mirrors Runner.secondPassCols (binSize == 0 →
+    // everything in bin 0) — without it a constant column would divide by
+    // zero here while the Spark side reports bin 0.
     "chk_colstats" ->
       """WITH fp AS (SELECT count(l_quantity) AS cnt, avg(l_quantity) AS mean,
-        |  min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
-        |SELECT CAST(fp.cnt AS BIGINT) AS cnt, round(fp.mean, 6) AS mean,
-        | fp.mn AS mn, fp.mx AS mx,
-        | round(sqrt(sum((l_quantity - fp.mean) * (l_quantity - fp.mean)) / greatest(fp.cnt - 1, 1)), 6) AS stddev,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 0) AS BIGINT) AS b0,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 1) AS BIGINT) AS b1,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 2) AS BIGINT) AS b2,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 3) AS BIGINT) AS b3,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 4) AS BIGINT) AS b4,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 5) AS BIGINT) AS b5,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 6) AS BIGINT) AS b6,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 7) AS BIGINT) AS b7,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 8) AS BIGINT) AS b8,
-        | CAST(count(*) FILTER (WHERE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) = 9) AS BIGINT) AS b9
-        |FROM lineitem, fp
-        |GROUP BY fp.cnt, fp.mean, fp.mn, fp.mx""".stripMargin,
+        |  min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem),
+        |b AS (SELECT l_quantity, fp.cnt, fp.mean, fp.mn, fp.mx,
+        |  CASE WHEN fp.mx = fp.mn THEN 0
+        |       ELSE least(9, CAST(floor((l_quantity - fp.mn) / ((fp.mx - fp.mn) / 10)) AS BIGINT)) END AS bin
+        | FROM lineitem, fp)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, round(mean, 6) AS mean,
+        | mn, mx,
+        | round(sqrt(sum((l_quantity - mean) * (l_quantity - mean)) / greatest(cnt - 1, 1)), 6) AS stddev,
+        | CAST(count(*) FILTER (WHERE bin = 0) AS BIGINT) AS b0,
+        | CAST(count(*) FILTER (WHERE bin = 1) AS BIGINT) AS b1,
+        | CAST(count(*) FILTER (WHERE bin = 2) AS BIGINT) AS b2,
+        | CAST(count(*) FILTER (WHERE bin = 3) AS BIGINT) AS b3,
+        | CAST(count(*) FILTER (WHERE bin = 4) AS BIGINT) AS b4,
+        | CAST(count(*) FILTER (WHERE bin = 5) AS BIGINT) AS b5,
+        | CAST(count(*) FILTER (WHERE bin = 6) AS BIGINT) AS b6,
+        | CAST(count(*) FILTER (WHERE bin = 7) AS BIGINT) AS b7,
+        | CAST(count(*) FILTER (WHERE bin = 8) AS BIGINT) AS b8,
+        | CAST(count(*) FILTER (WHERE bin = 9) AS BIGINT) AS b9
+        |FROM b
+        |GROUP BY cnt, mean, mn, mx""".stripMargin,
 
     "chk_detail" ->
       """SELECT c_custkey, c_acctbal FROM customer

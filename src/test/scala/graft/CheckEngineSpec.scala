@@ -181,6 +181,51 @@ class CheckEngineSpec extends SparkSuite {
     assert(configCheck(NullCheck("num", Some("25%")), schema).isEmpty)
   }
 
+  test("duplicate check labels are rejected up front (run + configCheck)") {
+    val df = Seq[(String, Option[Int], Option[Int])](("a", Some(1), None)).toDF("key", "x", "y")
+    val t = TableSpec("t", _ => df, checks = Seq(NullCheck("x"), NullCheck("y")))
+    val e = intercept[IllegalArgumentException](Runner.run(spark, t))
+    assert(e.getMessage.contains("duplicate check labels"))
+    assert(Runner.configCheck(spark, t).exists(_.contains("duplicate check label")))
+    // distinct labels on the same check type are fine
+    val ok = TableSpec("t", _ => df, checks = Seq(
+      NullCheck("x", None, "null_x"), NullCheck("y", None, "null_y")))
+    val r = Runner.run(spark, ok)
+    assert(r.results.map(_.label).toSet == Set("null_x", "null_y"))
+    assert(!r.results.find(_.label == "null_x").get.failed)
+    assert(r.results.find(_.label == "null_y").get.failed)
+  }
+
+  test("empty table: colstats reports count=0 instead of crashing; verdicts definite") {
+    val df = Seq(("a", 1.0)).toDF("key", "v").where("v > 99")
+    val r = Runner.run(spark, TableSpec("t", _ => df, checks = Seq(
+      ColStats("v"), NullCheck("v", None, "nulls"))))
+    val stats = r.results.find(_.label == "colstats").get.metrics("stats").asInstanceOf[ColumnStats]
+    assert(stats.count == 0L)
+    assert(!r.results.find(_.label == "nulls").get.failed)
+    // declarative path: aggregates over zero rows must still produce
+    // boolean verdicts (NULL would leak as a non-verdict)
+    val v = Runner.verdictDF(df, Seq(
+      NullCheck("v", None, "n"),
+      ColumnMaxCheck("v", Bound.Num(5), "m"),
+      ColumnSumCheck("v", Some(1.0), None, inclusive = false, "s"))).collect().head
+    assert(!v.getAs[Boolean]("n_failed")) // row checks pass on empty input
+    assert(v.getAs[Boolean]("m_failed"))  // no max to equal expectation
+    assert(v.getAs[Boolean]("s_failed"))  // sum treated as 0 <= 1
+  }
+
+  test("percent threshold FP evaluation order matches the reference exactly") {
+    // (value * (rowCount / 100.0)).toLong — for rowCount=70, value=30%:
+    // 30 * 0.7 = 21.000000000000004 -> 21; the reversed association
+    // 70 * 0.3 = 21.0 (same here) but e.g. rowCount=110, 30%:
+    // 30 * 1.1 = 33.00000000000001 -> 33 vs 110 * 0.3 = 33.0 -> 33 — and
+    // rowCount=29, 7%: 7 * 0.29 = 2.0299999999999994 -> 2 vs
+    // 29 * 0.07 = 2.0300000000000002 -> 2. Assert the reference formula.
+    assert(Threshold("30%").errorLimit(70) == (30.0 * (70 / 100.0)).toLong)
+    assert(Threshold("7%").errorLimit(29) == (7.0 * (29 / 100.0)).toLong)
+    assert(Threshold("0.5").errorLimit(5) == 2L) // fraction: (0.5 * 5).toLong
+  }
+
   test("verdictDF is fully declarative: one row, correct flags") {
     val df = Seq(("a", -1), ("b", 2), ("c", 3)).toDF("key", "data")
     val v = Runner.verdictDF(df, Seq(
