@@ -1,0 +1,276 @@
+package graft.config
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** YAML/JSON config text → [[GraftConfig]] — the reference's front door
+  * (ConfigParser.scala:51-66, validator/JsonDecoders.scala:10-39),
+  * rebuilt on snakeyaml (bundled with Spark) instead of circe-yaml.
+  *
+  * Pipeline: snakeyaml → [[CVal]] tree → resolve `vars` (CLI vars first,
+  * first-write-wins) → substitute `$var`s through the rest of the tree →
+  * typed decode with accumulated error messages. Decoding after
+  * substitution is equivalent to the reference's per-field
+  * `substituteVariables` copies and keeps the typed model substitution-free.
+  */
+object ConfigParser {
+
+  def parseFile(path: String, cliVars: Map[String, String] = Map.empty,
+      spark: Option[SparkSession] = None): Either[Seq[String], GraftConfig] = {
+    val text =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case e: Exception => return Left(Seq(s"cannot read config '$path': ${e.getMessage}")) }
+    parse(text, cliVars, spark)
+  }
+
+  def parse(text: String, cliVars: Map[String, String] = Map.empty,
+      spark: Option[SparkSession] = None): Either[Seq[String], GraftConfig] = {
+    val root =
+      try CVal.fromJava(new org.yaml.snakeyaml.Yaml().load[Any](text))
+      catch { case e: Exception => return Left(Seq(s"YAML parse error: ${e.getMessage}")) }
+    root match {
+      case obj: CVal.CObj => decode(obj, cliVars, spark)
+      case other => Left(Seq(s"config root must be a mapping, got ${other.render.take(80)}"))
+    }
+  }
+
+  private def decode(raw: CVal.CObj, cliVars: Map[String, String],
+      spark: Option[SparkSession]): Either[Seq[String], GraftConfig] = {
+    val errs = mutable.ArrayBuffer[String]()
+
+    // -- vars: resolved BEFORE substitution of the rest of the config
+    val varSub = new VarSub
+    varSub.addStrings(cliVars)
+    val varSpecs = raw.get("vars") match {
+      case Some(CVal.CArr(vs)) => vs.flatMap(v => decodeVar(v, errs))
+      case Some(other) => errs += s"'vars' must be a list, got ${other.render.take(80)}"; Vector.empty
+      case None => Vector.empty
+    }
+    varSpecs.foreach { v =>
+      (v, spark) match {
+        case (VarSql(name, _), None) =>
+          errs += s"variable '$name' is sql-kind but no SparkSession was provided"
+        case _ => varSub.resolve(spark.orNull, v)
+      }
+    }
+
+    // -- substitute everything below the vars section
+    val sub = CVal.CObj(raw.fields.map {
+      case ("vars", v) => ("vars", v)
+      case (k, v) => (k, varSub.substitute(v))
+    })
+    errs ++= varSub.errors
+
+    def intField(key: String): Option[Int] = sub.get(key) match {
+      case Some(CVal.CLong(n)) => Some(n.toInt)
+      case Some(other) => errs += s"'$key' must be an integer, got ${other.render.take(40)}"; None
+      case None => errs += s"missing required field '$key'"; None
+    }
+    val numKeyCols = intField("numKeyCols")
+    val numErrors = intField("numErrorsToReport")
+    val detailedErrors = sub.get("detailedErrors") match {
+      case Some(CVal.CBool(b)) => b
+      case Some(other) => errs += s"'detailedErrors' must be a boolean, got ${other.render.take(40)}"; true
+      case None => true
+    }
+    val email = sub.get("email").flatMap(decodeEmail(_, errs))
+    val outputs = sub.get("outputs") match {
+      case Some(CVal.CArr(os)) => os.flatMap(decodeOutput(_, errs))
+      case Some(other) => errs += s"'outputs' must be a list, got ${other.render.take(80)}"; Vector.empty
+      case None => Vector.empty
+    }
+    val tables = sub.get("tables") match {
+      case Some(CVal.CArr(ts)) => ts.flatMap(decodeTable(_, errs))
+      case Some(other) => errs += s"'tables' must be a list, got ${other.render.take(80)}"; Vector.empty
+      case None => errs += "missing required field 'tables'"; Vector.empty
+    }
+
+    if (errs.nonEmpty) Left(errs.toSeq.distinct)
+    else Right(GraftConfig(numKeyCols.get, numErrors.get, email, detailedErrors,
+      varSpecs, outputs, tables))
+  }
+
+  private def decodeVar(v: CVal, errs: mutable.ArrayBuffer[String]): Option[VarSpec] = v match {
+    case o: CVal.CObj =>
+      (o.get("name"), o.get("value"), o.get("env"), o.get("shell"), o.get("sql")) match {
+        case (Some(CVal.CStr(n)), Some(value), None, None, None) => Some(VarValue(n, value))
+        case (Some(CVal.CStr(n)), None, Some(CVal.CStr(e)), None, None) => Some(VarEnv(n, e))
+        case (Some(CVal.CStr(n)), None, None, Some(CVal.CStr(s)), None) => Some(VarShell(n, s))
+        case (Some(CVal.CStr(n)), None, None, None, Some(CVal.CStr(q))) => Some(VarSql(n, q))
+        case _ => errs += s"var must have 'name' and exactly one of value/env/shell/sql: ${v.render.take(120)}"; None
+      }
+    case other => errs += s"var entry must be a mapping: ${other.render.take(80)}"; None
+  }
+
+  private def decodeEmail(v: CVal, errs: mutable.ArrayBuffer[String]): Option[EmailConfig] = v match {
+    case o: CVal.CObj =>
+      (o.get("smtpHost"), o.get("subject"), o.get("from"), o.get("to")) match {
+        case (Some(CVal.CStr(h)), Some(CVal.CStr(s)), Some(CVal.CStr(f)), Some(CVal.CArr(to))) =>
+          Some(EmailConfig(h, s, f, to.collect { case CVal.CStr(t) => t }))
+        case _ => errs += s"email needs smtpHost/subject/from/to: ${v.render.take(120)}"; None
+      }
+    case other => errs += s"'email' must be a mapping: ${other.render.take(80)}"; None
+  }
+
+  private def decodeOutput(v: CVal, errs: mutable.ArrayBuffer[String]): Option[OutputSpec] = v match {
+    case o: CVal.CObj if o.has("filename") =>
+      (o.get("filename"), o.get("append")) match {
+        case (Some(CVal.CStr(f)), Some(CVal.CBool(a))) => Some(FileOutput(f, a))
+        case (Some(CVal.CStr(f)), None) => Some(FileOutput(f, append = false))
+        case _ => errs += s"bad file output: ${v.render.take(120)}"; None
+      }
+    case o: CVal.CObj if o.has("pipe") =>
+      (o.get("pipe"), o.get("ignoreError")) match {
+        case (Some(CVal.CStr(p)), Some(CVal.CBool(i))) => Some(PipeOutput(p, i))
+        case (Some(CVal.CStr(p)), None) => Some(PipeOutput(p, ignoreError = false))
+        case _ => errs += s"bad pipe output: ${v.render.take(120)}"; None
+      }
+    case other => errs += s"output needs 'filename' or 'pipe': ${other.render.take(120)}"; None
+  }
+
+  /** Source dispatch in the reference's try-order: hive | orc | parquet |
+    * format (ConfigParser.scala:20-25). */
+  private def decodeTable(v: CVal, errs: mutable.ArrayBuffer[String]): Option[TableConfig] = v match {
+    case o: CVal.CObj =>
+      val source: Option[SourceSpec] =
+        (o.get("db"), o.get("table"), o.get("orcFile"), o.get("parquetFile"), o.get("format")) match {
+          case (Some(CVal.CStr(db)), Some(CVal.CStr(t)), _, _, _) => Some(HiveSource(db, t))
+          case (_, _, Some(CVal.CStr(f)), _, _) => Some(OrcSource(f))
+          case (_, _, _, Some(CVal.CStr(f)), _) => Some(ParquetSource(f))
+          case (_, _, _, _, Some(CVal.CStr(fmt))) =>
+            val options = o.get("options") match {
+              case Some(CVal.CObj(fs)) => fs.collect { case (k, CVal.CStr(s)) => k -> s }.toMap
+              case _ => Map.empty[String, String]
+            }
+            val loadData = o.get("loadData") match {
+              case Some(CVal.CArr(ps)) => ps.collect { case CVal.CStr(p) => p }
+              case _ => Vector.empty[String]
+            }
+            Some(FormatSource(fmt, options, loadData))
+          case _ =>
+            errs += s"table needs db+table, orcFile, parquetFile or format: ${v.render.take(120)}"
+            None
+        }
+      val condition = o.get("condition").collect { case CVal.CStr(c) => c }
+      val keyColumns = o.get("keyColumns").collect {
+        case CVal.CArr(ks) => ks.collect { case CVal.CStr(k) => k }
+      }
+      val checks = o.get("checks") match {
+        case Some(CVal.CArr(cs)) => uniquifyLabels(cs.flatMap(decodeCheck(_, errs)))
+        case Some(other) => errs += s"'checks' must be a list: ${other.render.take(80)}"; Vector.empty
+        case None => errs += s"table ${source.map(_.describe).getOrElse("?")} has no checks"; Vector.empty
+      }
+      source.map(TableConfig(_, condition, keyColumns, checks))
+    case other => errs += s"table entry must be a mapping: ${other.render.take(80)}"; None
+  }
+
+  /** Check dispatch by `type` with the reference's field names
+    * (JsonDecoders.scala:14-25). Labels don't exist in the reference
+    * (results are positional); ours key the fused-pass aggregate columns,
+    * so they are derived from type+column and uniquified. */
+  private def decodeCheck(v: CVal, errs: mutable.ArrayBuffer[String]): Option[CheckSpec] = v match {
+    case o: CVal.CObj =>
+      def str(k: String): Option[String] = o.get(k).collect { case CVal.CStr(s) => s }
+      def int(k: String): Option[Int] = o.get(k).collect { case CVal.CLong(n) => n.toInt }
+      def boolOr(k: String, d: Boolean): Boolean =
+        o.get(k).collect { case CVal.CBool(b) => b }.getOrElse(d)
+      def bound(k: String): Option[Bound] = o.get(k).collect {
+        case CVal.CLong(n) => Bound.Num(n.toDouble)
+        case CVal.CDbl(d) => Bound.Num(d)
+        case CVal.CStr(s) => Bound.parse(s) // backtick prefix → column ref
+      }
+      def num(k: String): Option[Double] = o.get(k).collect {
+        case CVal.CLong(n) => n.toDouble
+        case CVal.CDbl(d) => d
+      }
+      val threshold = str("threshold").orElse(o.get("threshold").collect {
+        case CVal.CLong(n) => n.toString
+        case CVal.CDbl(d) => d.toString
+      })
+      def col(forType: String): Option[String] = str("column") match {
+        case some @ Some(_) => some
+        case None => errs += s"$forType needs 'column': ${v.render.take(100)}"; None
+      }
+      str("type") match {
+        case Some("rowCount") =>
+          o.get("minNumRows").collect { case CVal.CLong(n) => n } match {
+            case Some(n) => Some(MinNumRows(n, "rowcount"))
+            case None => errs += s"rowCount needs integer 'minNumRows': ${v.render.take(100)}"; None
+          }
+        case Some("nullCheck") => col("nullCheck").map(c => NullCheck(c, threshold, s"nullcheck_$c"))
+        case Some("negativeCheck") => col("negativeCheck").map(c => NegativeCheck(c, threshold, s"negcheck_$c"))
+        case Some("rangeCheck") => col("rangeCheck").flatMap { c =>
+          val (mn, mx) = (bound("minValue"), bound("maxValue"))
+          if (mn.isEmpty && mx.isEmpty) {
+            errs += s"rangeCheck needs minValue and/or maxValue: ${v.render.take(100)}"; None
+          } else Some(RangeCheck(c, mn, mx, boolOr("inclusive", d = false), threshold, s"rangecheck_$c"))
+        }
+        case Some("stringLengthCheck") => col("stringLengthCheck").flatMap { c =>
+          val (mn, mx) = (int("minLength"), int("maxLength"))
+          if (mn.isEmpty && mx.isEmpty) {
+            errs += s"stringLengthCheck needs minLength and/or maxLength: ${v.render.take(100)}"; None
+          } else Some(StringLengthCheck(c, mn, mx, threshold, s"strlen_$c"))
+        }
+        case Some("stringRegexCheck") => col("stringRegexCheck").flatMap { c =>
+          str("regex") match {
+            case Some(re) => Some(StringRegexCheck(c, re, threshold, s"regex_$c"))
+            case None => errs += s"stringRegexCheck needs 'regex': ${v.render.take(100)}"; None
+          }
+        }
+        case Some("columnMaxCheck") => col("columnMaxCheck").flatMap { c =>
+          bound("value") match {
+            case Some(b) => Some(ColumnMaxCheck(c, b, s"colmax_$c"))
+            case None => errs += s"columnMaxCheck needs 'value': ${v.render.take(100)}"; None
+          }
+        }
+        case Some("columnSumCheck") => col("columnSumCheck").flatMap { c =>
+          val (mn, mx) = (num("minValue"), num("maxValue"))
+          if (mn.isEmpty && mx.isEmpty) {
+            errs += s"columnSumCheck needs minValue and/or maxValue: ${v.render.take(100)}"; None
+          } else Some(ColumnSumCheck(c, mn, mx, boolOr("inclusive", d = false), s"colsum_$c"))
+        }
+        case Some("uniqueCheck") =>
+          o.get("columns") match {
+            case Some(CVal.CArr(cs)) if cs.nonEmpty =>
+              Some(UniqueCheck(cs.collect { case CVal.CStr(c) => c }, "unique_" + cs.collect {
+                case CVal.CStr(c) => c }.mkString("_")))
+            case _ => errs += s"uniqueCheck needs non-empty 'columns': ${v.render.take(100)}"; None
+          }
+        case Some("colstats") => col("colstats").map(c => ColStats(c, s"colstats_$c"))
+        case Some(other) =>
+          errs += s"unknown check type '$other' (choose one of: rowCount, nullCheck, negativeCheck, " +
+            "rangeCheck, stringLengthCheck, stringRegexCheck, columnMaxCheck, columnSumCheck, " +
+            "uniqueCheck, colstats)"
+          None
+        case None => errs += s"check needs a 'type': ${v.render.take(100)}"; None
+      }
+    case other => errs += s"check entry must be a mapping: ${other.render.take(80)}"; None
+  }
+
+  private def uniquifyLabels(checks: Vector[CheckSpec]): Vector[CheckSpec] = {
+    val seen = mutable.Map[String, Int]()
+    checks.map { c =>
+      val n = seen.getOrElse(c.label, 0)
+      seen(c.label) = n + 1
+      if (n == 0) c
+      else {
+        val l = s"${c.label}_${n + 1}"
+        c match {
+          case x: NullCheck => x.copy(label = l)
+          case x: NegativeCheck => x.copy(label = l)
+          case x: RangeCheck => x.copy(label = l)
+          case x: StringLengthCheck => x.copy(label = l)
+          case x: StringRegexCheck => x.copy(label = l)
+          case x: MinNumRows => x.copy(label = l)
+          case x: ColumnMaxCheck => x.copy(label = l)
+          case x: ColumnSumCheck => x.copy(label = l)
+          case x: UniqueCheck => x.copy(label = l)
+          case x: ColStats => x.copy(label = l)
+        }
+      }
+    }
+  }
+}

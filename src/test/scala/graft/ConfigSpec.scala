@@ -1,0 +1,304 @@
+package graft
+
+import graft.config._
+import graft.exec.Runner
+import graft.model._
+
+/** Config parsing, variable substitution and the CLI contract — mirrors
+  * the reference's ConfigParserSpec / VarSubstitutionSpec / ConfigVarSpec
+  * shapes on our snakeyaml-based layer. */
+class ConfigSpec extends SparkSuite {
+
+  private val fullYaml =
+    s"""numKeyCols: 2
+       |numErrorsToReport: 742
+       |email:
+       |  smtpHost: smtpHost
+       |  subject: subject
+       |  from: from
+       |  to:
+       |   - to
+       |detailedErrors: true
+       |vars:
+       |  - name: foo
+       |    value: bar
+       |outputs:
+       |  - filename: /tmp/graft_sample.json
+       |  - pipe: cat > /dev/null
+       |    ignoreError: true
+       |tables:
+       |  - db: foo
+       |    table: bar
+       |    keyColumns:
+       |      - one
+       |      - two
+       |    checks:
+       |      - type: rowCount
+       |        minNumRows: 10294
+       |      - type: nullCheck
+       |        column: mdse_item_i
+       |  - orcFile: LocalFile.orc
+       |    condition: "foo < 10"
+       |    checks:
+       |      - type: nullCheck
+       |        column: start_d
+       |  - parquetFile: LocFile.parquet
+       |    condition: "bar < 10"
+       |    checks:
+       |      - type: nullCheck
+       |        column: end_d
+       |  - format: llama
+       |    checks:
+       |      - type: nullCheck
+       |        column: start_d
+       |    options:
+       |      key: value
+       |    loadData:
+       |      - data.llama
+       |""".stripMargin
+
+  test("full config round-trips to the typed model (all 4 source kinds)") {
+    val cfg = ConfigParser.parse(fullYaml).fold(e => fail(e.mkString("; ")), identity)
+    assert(cfg.numKeyCols == 2)
+    assert(cfg.numErrorsToReport == 742)
+    assert(cfg.detailedErrors)
+    assert(cfg.email.contains(EmailConfig("smtpHost", "subject", "from", Seq("to"))))
+    assert(cfg.vars == Seq(VarValue("foo", CVal.CStr("bar"))))
+    assert(cfg.outputs == Seq(
+      FileOutput("/tmp/graft_sample.json", append = false),
+      PipeOutput("cat > /dev/null", ignoreError = true)))
+    assert(cfg.tables.map(_.source) == Seq(
+      HiveSource("foo", "bar"), OrcSource("LocalFile.orc"),
+      ParquetSource("LocFile.parquet"),
+      FormatSource("llama", Map("key" -> "value"), Seq("data.llama"))))
+    assert(cfg.tables.head.keyColumns.contains(Seq("one", "two")))
+    assert(cfg.tables.head.checks == Seq(
+      MinNumRows(10294, "rowcount"), NullCheck("mdse_item_i", None, "nullcheck_mdse_item_i")))
+    assert(cfg.tables(1).condition.contains("foo < 10"))
+  }
+
+  test("all ten check types decode with reference field names") {
+    val yaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks:
+        |      - { type: rowCount, minNumRows: 5 }
+        |      - { type: nullCheck, column: a, threshold: "10%" }
+        |      - { type: negativeCheck, column: b }
+        |      - { type: rangeCheck, column: c, minValue: 0, maxValue: 10, inclusive: true }
+        |      - { type: rangeCheck, column: c2, minValue: "`other" }
+        |      - { type: stringLengthCheck, column: d, minLength: 1, maxLength: 8 }
+        |      - { type: stringRegexCheck, column: e, regex: "^x" }
+        |      - { type: columnMaxCheck, column: f, value: 42 }
+        |      - { type: columnSumCheck, column: g, minValue: 1.5 }
+        |      - { type: uniqueCheck, columns: [k1, k2] }
+        |      - { type: colstats, column: h }
+        |""".stripMargin
+    val cfg = ConfigParser.parse(yaml).fold(e => fail(e.mkString("; ")), identity)
+    val checks = cfg.tables.head.checks
+    assert(checks == Seq(
+      MinNumRows(5, "rowcount"),
+      NullCheck("a", Some("10%"), "nullcheck_a"),
+      NegativeCheck("b", None, "negcheck_b"),
+      RangeCheck("c", Some(Bound.Num(0)), Some(Bound.Num(10)), inclusive = true, None, "rangecheck_c"),
+      RangeCheck("c2", Some(Bound.Ref("other")), None, inclusive = false, None, "rangecheck_c2"),
+      StringLengthCheck("d", Some(1), Some(8), None, "strlen_d"),
+      StringRegexCheck("e", "^x", None, "regex_e"),
+      ColumnMaxCheck("f", Bound.Num(42), "colmax_f"),
+      ColumnSumCheck("g", Some(1.5), None, inclusive = false, "colsum_g"),
+      UniqueCheck(Seq("k1", "k2"), "unique_k1_k2"),
+      ColStats("h", "colstats_h")))
+  }
+
+  test("same-column same-type checks get uniquified labels") {
+    val yaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks:
+        |      - { type: nullCheck, column: a }
+        |      - { type: nullCheck, column: a, threshold: "1" }
+        |""".stripMargin
+    val cfg = ConfigParser.parse(yaml).fold(e => fail(e.mkString("; ")), identity)
+    assert(cfg.tables.head.checks.map(_.label) == Seq("nullcheck_a", "nullcheck_a_2"))
+  }
+
+  test("variable substitution: $var, ${var}, typed whole-string, interpolation") {
+    val yaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |vars:
+        |  - name: minRows
+        |    value: 42
+        |  - name: col
+        |    value: acct
+        |tables:
+        |  - parquetFile: $col.parquet
+        |    condition: "${col}_bal < 10"
+        |    checks:
+        |      - { type: rowCount, minNumRows: $minRows }
+        |      - { type: nullCheck, column: $col }
+        |""".stripMargin
+    val cfg = ConfigParser.parse(yaml).fold(e => fail(e.mkString("; ")), identity)
+    assert(cfg.tables.head.source == ParquetSource("acct.parquet"))
+    assert(cfg.tables.head.condition.contains("acct_bal < 10"))
+    // $minRows was a whole-string reference to a NUMBER — typed replacement
+    assert(cfg.tables.head.checks.head == MinNumRows(42, "rowcount"))
+    assert(cfg.tables.head.checks(1) == NullCheck("acct", None, "nullcheck_acct"))
+  }
+
+  test("vars: env, shell and sql kinds resolve; cli-provided vars are usable") {
+    val yaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |vars:
+        |  - name: home
+        |    env: HOME
+        |  - name: shellvar
+        |    shell: echo hello
+        |  - name: sqlvar
+        |    sql: SELECT 41 + 1
+        |tables:
+        |  - parquetFile: $home/$shellvar/$sqlvar/$clivar.parquet
+        |    checks:
+        |      - { type: rowCount, minNumRows: 1 }
+        |""".stripMargin
+    val cfg = ConfigParser.parse(yaml, Map("clivar" -> "cli_value"), Some(spark))
+      .fold(e => fail(e.mkString("; ")), identity)
+    val home = sys.env("HOME")
+    assert(cfg.tables.head.source == ParquetSource(s"$home/hello/42/cli_value.parquet"))
+  }
+
+  test("undefined variable, duplicate definition and self-reference are errors") {
+    def errsOf(yaml: String): Seq[String] =
+      ConfigParser.parse(yaml).left.getOrElse(fail("expected errors"))
+    assert(errsOf(
+      """numKeyCols: 1
+        |numErrorsToReport: 1
+        |tables:
+        |  - parquetFile: $nope.parquet
+        |    checks: [{ type: rowCount, minNumRows: 1 }]
+        |""".stripMargin).exists(_.contains("undefined variable 'nope'")))
+    assert(errsOf(
+      """numKeyCols: 1
+        |numErrorsToReport: 1
+        |vars:
+        |  - { name: a, value: one }
+        |  - { name: a, value: two }
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks: [{ type: rowCount, minNumRows: 1 }]
+        |""".stripMargin).exists(_.contains("already defined")))
+    assert(errsOf(
+      """numKeyCols: 1
+        |numErrorsToReport: 1
+        |vars:
+        |  - { name: a, value: $b }
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks: [{ type: rowCount, minNumRows: 1 }]
+        |""".stripMargin).exists(_.contains("may not reference")))
+  }
+
+  test("parse errors are accumulated, not first-only") {
+    val errs = ConfigParser.parse(
+      """numKeyCols: 1
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks:
+        |      - { type: wrongType, column: a }
+        |      - { type: nullCheck }
+        |""".stripMargin).left.getOrElse(fail("expected errors"))
+    assert(errs.exists(_.contains("numErrorsToReport")))
+    assert(errs.exists(_.contains("unknown check type 'wrongType'")))
+    assert(errs.exists(_.contains("nullCheck needs 'column'")))
+  }
+
+  test("config file end-to-end: same results as the programmatic TableSpec") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg").toFile
+    val cfgFile = new java.io.File(dir, "conf.yaml")
+    val reportFile = new java.io.File(dir, "report.json")
+    val yaml =
+      s"""numKeyCols: 2
+         |numErrorsToReport: 5
+         |vars:
+         |  - name: sf
+         |    value: "$sf0001"
+         |tables:
+         |  - parquetFile: $$sf/customer.parquet
+         |    condition: "c_custkey <= 100"
+         |    checks:
+         |      - { type: rowCount, minNumRows: 1000 }
+         |      - { type: nullCheck, column: c_name }
+         |      - { type: negativeCheck, column: c_acctbal }
+         |""".stripMargin
+    java.nio.file.Files.writeString(cfgFile.toPath, yaml)
+
+    val cfg = ConfigParser.parseFile(cfgFile.getPath, Map.empty, Some(spark))
+      .fold(e => fail(e.mkString("; ")), identity)
+    val fromConfig = Runner.run(spark, cfg.tables.head.toTableSpec,
+      cfg.detailedErrors, cfg.numErrorsToReport, cfg.numKeyCols)
+
+    val programmatic = Runner.run(spark, TableSpec("t",
+      s => s.read.parquet(s"$sf0001/customer.parquet"),
+      condition = Some("c_custkey <= 100"),
+      checks = Seq(MinNumRows(1000, "rowcount"),
+        NullCheck("c_name", None, "nullcheck_c_name"),
+        NegativeCheck("c_acctbal", None, "negcheck_c_acctbal"))),
+      numErrorsToReport = 5)
+
+    assert(fromConfig.rowCount == programmatic.rowCount)
+    assert(fromConfig.results.map(r => (r.label, r.failed, r.metrics.get("errorCount"))) ==
+      programmatic.results.map(r => (r.label, r.failed, r.metrics.get("errorCount"))))
+    assert(fromConfig.failed) // rowCount 100 < 1000
+
+    // CLI contract: report written, FAIL status, non-fatal
+    val (fatal, validatorFail, report) = Main.run(spark,
+      Main.Cli(config = cfgFile.getPath, jsonReport = Some(reportFile.getPath)))
+    assert(!fatal)
+    assert(validatorFail)
+    assert(report.exists(_.contains("\"rowcount\"")))
+    val written = java.nio.file.Files.readString(reportFile.toPath)
+    assert(written.contains("\"status\":\"FAIL\""))
+  }
+
+  test("configCheck path: bad column in config is fatal, no checks run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg2").toFile
+    val cfgFile = new java.io.File(dir, "conf.yaml")
+    java.nio.file.Files.writeString(cfgFile.toPath,
+      s"""numKeyCols: 2
+         |numErrorsToReport: 5
+         |tables:
+         |  - parquetFile: $sf0001/customer.parquet
+         |    checks:
+         |      - { type: nullCheck, column: no_such_column }
+         |""".stripMargin)
+    val (fatal, validatorFail, report) = Main.run(spark, Main.Cli(config = cfgFile.getPath))
+    assert(fatal)
+    assert(!validatorFail)
+    assert(report.isEmpty)
+  }
+
+  test("Main.parseArgs: flags, vars, errors") {
+    assert(Main.parseArgs(Seq("--config", "c.yaml", "--exitErrorOnFail")) ==
+      Right(Main.Cli(config = "c.yaml", exitErrorOnFail = true)))
+    assert(Main.parseArgs(Seq("--config", "c.yaml", "--vars", "a=1,b=two")) ==
+      Right(Main.Cli(config = "c.yaml", vars = Map("a" -> "1", "b" -> "two"))))
+    assert(Main.parseArgs(Seq()).isLeft)
+    assert(Main.parseArgs(Seq("--config", "c.yaml", "--vars", "novalue")).isLeft)
+    assert(Main.parseArgs(Seq("--bogus")).isLeft)
+  }
+
+  test("report file append concatenates runs") {
+    val f = java.nio.file.Files.createTempFile("graft_report", ".json")
+    java.nio.file.Files.delete(f)
+    report.ReportIO.writeFile(spark, f.toString, "{\"run\":1}", append = true)
+    report.ReportIO.writeFile(spark, f.toString, "{\"run\":2}", append = true)
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size() == 2)
+    assert(lines.get(0).contains("\"run\":1") && lines.get(1).contains("\"run\":2"))
+  }
+}
