@@ -64,12 +64,21 @@ object TextFunctions {
 
   /** Language-ID: argmax of per-language stopword hit counts; "und"
     * (undetermined) when no list scores a hit. Pure Column composition —
-    * one pass, no shuffle, no UDF. */
+    * one pass, no shuffle, no UDF.
+    *
+    * Space-delimited languages score whitespace-token hits; `zh` scores
+    * CHARACTER occurrences of its (single-character) stopwords, because
+    * real Chinese text is unsegmented and would never produce a
+    * whitespace token equal to a stopword. */
   def langId(c: Column, lists: Map[String, Seq[String]] = StopwordLists): Column = {
     val toks = tokensWs(lower(c))
-    val scores: Seq[(String, Column)] = lists.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(sw, t)))
+    val scores: Seq[(String, Column)] = lists.toSeq.sortBy(_._1).map {
+      case (lang, words) if words.forall(_.length == 1) =>
+        // single-char stopwords (zh): count matching characters directly
+        lang -> (length(c) - length(regexp_replace(c, "[" + words.mkString + "]", "")))
+      case (lang, words) =>
+        val sw = array(words.map(lit): _*)
+        lang -> size(filter(toks, t => array_contains(sw, t)))
     }
     val best = greatest(scores.map(_._2): _*)
     // first lang (alphabetical) achieving the max, deterministic tie-break

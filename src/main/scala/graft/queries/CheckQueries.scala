@@ -13,6 +13,22 @@ object CheckQueries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Sources.table(s, dir, name)
 
+  /** Materialize a testdata table in another format (once per sf dir) so
+    * the orc / generic-format loaders get exercised against the SAME rows
+    * the DuckDB oracle reads from parquet. Build-output area only. */
+  private def fixture(s: SparkSession, dir: String, name: String, fmt: String): String = {
+    val out = s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$name.$fmt"
+    if (!new java.io.File(out).exists()) {
+      val df = t(s, dir, name)
+      fmt match {
+        case "orc" => df.write.mode("overwrite").orc(out)
+        case "json" => df.write.mode("overwrite").json(out)
+        case other => throw new IllegalArgumentException(s"no fixture writer for $other")
+      }
+    }
+    out
+  }
+
   /** Flagship: the fused quick-check pass — N checks, ONE scan, one-row
     * result (ValidatorTable.scala:100-143 re-expressed declaratively). */
   
@@ -84,6 +100,24 @@ object CheckQueries {
     "chk_detail" -> ((s, dir) =>
       Runner.errorDetailsDF(t(s, dir, "customer"), Seq("c_custkey"),
         Seq(NegativeCheck("c_acctbal")), 20, deterministic = true)),
+
+    // ---- source loaders beyond parquet, proven against the same rows ----
+    "chk_orc" -> ((s, dir) =>
+      Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
+        MinNumRows(5, "rowcount"),
+        NullCheck("n_name", None, "null_name"),
+        ColumnMaxCheck("n_regionkey", Bound.Num(4), "max_rk")))),
+
+    // nullCheck rides on r_name (never null): the JSON writer drops
+    // all-null fields entirely, so an always-null column would not even
+    // appear in the inferred schema.
+    "chk_format" -> ((s, dir) =>
+      Runner.verdictDF(
+        graft.sources.Sources.format(s, "json", Map.empty,
+          Seq(fixture(s, dir, "region", "json"))), Seq(
+        MinNumRows(5, "rowcount"),
+        NullCheck("r_name", None, "null_name"),
+        ColumnMaxCheck("r_regionkey", Bound.Num(4), "max_rk")))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -194,5 +228,25 @@ object CheckQueries {
     "chk_detail" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal < 0 ORDER BY c_custkey LIMIT 20""".stripMargin,
+
+    // oracles read the parquet view of the same table the fixture was
+    // written from — proving the orc / format loaders reproduce the rows
+    "chk_orc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        | CAST(count(*) FILTER (WHERE n_name IS NULL) AS BIGINT) AS null_name_errs,
+        | max(n_regionkey) AS max_rk_max,
+        | count(*) FILTER (WHERE n_name IS NULL) > 0 AS null_name_failed,
+        | count(*) < 5 AS rowcount_failed,
+        | max(n_regionkey) != 4.0 AS max_rk_failed
+        |FROM nation""".stripMargin,
+
+    "chk_format" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        | CAST(count(*) FILTER (WHERE r_name IS NULL) AS BIGINT) AS null_name_errs,
+        | max(r_regionkey) AS max_rk_max,
+        | count(*) FILTER (WHERE r_name IS NULL) > 0 AS null_name_failed,
+        | count(*) < 5 AS rowcount_failed,
+        | max(r_regionkey) != 4.0 AS max_rk_failed
+        |FROM region""".stripMargin,
   )
 }

@@ -40,8 +40,8 @@ object PipelineQueries {
         .orderBy("source")),
 
     // Language-ID heuristic vs the labeled lang column (confusion counts).
-    // Hash-free but stopword-list-driven → rows-only check; accuracy is
-    // asserted in ScalaTest on planted natural-language texts.
+    // Deterministic stopword counting → full DuckDB oracle; accuracy is
+    // additionally asserted in ScalaTest on planted natural-language texts.
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("lang"), TF.langId(col("text")).as("predicted"))
@@ -120,6 +120,34 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Mirrors TextFunctions.langId exactly: whitespace-token stopword hits
+    // per space-delimited language, character hits for zh, greatest-wins
+    // with alphabetical-first tie-break and "und" when all scores are 0.
+    "text_langid" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |  length(text) - length(regexp_replace(text, '[的是了在我有和就不人]', '', 'g')) AS zh_sc
+        | FROM documents),
+        |sc AS (
+        | SELECT lang, zh_sc,
+        |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','sich','auf'], t))) AS de_sc,
+        |  len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))) AS en_sc,
+        |  len(list_filter(toks, t -> list_contains(['el','la','que','de','y','en','los','se','del','las'], t))) AS es_sc,
+        |  len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS fr_sc
+        | FROM s),
+        |p AS (
+        | SELECT lang, CASE
+        |   WHEN de_sc = best AND best > 0 THEN 'de'
+        |   WHEN en_sc = best AND best > 0 THEN 'en'
+        |   WHEN es_sc = best AND best > 0 THEN 'es'
+        |   WHEN fr_sc = best AND best > 0 THEN 'fr'
+        |   WHEN zh_sc = best AND best > 0 THEN 'zh'
+        |   ELSE 'und' END AS predicted
+        | FROM (SELECT *, greatest(de_sc, en_sc, es_sc, fr_sc, zh_sc) AS best FROM sc))
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,

@@ -27,7 +27,10 @@ class PipelineSpec extends SparkSuite {
       ("en", "the cat sat on the mat and it was happy in the sun"),
       ("de", "der hund und die katze sind nicht mit der maus auf dem tisch"),
       ("es", "el perro y la casa de los amigos se ven en el parque"),
-      ("fr", "le chien et la maison est pour les amis que nous aimons"))
+      ("fr", "le chien et la maison est pour les amis que nous aimons"),
+      // unsegmented Chinese: no whitespace tokens — must classify via
+      // per-character stopword hits
+      ("zh", "我在这里有一本书他是我的朋友我们就不去了"))
     val df = texts.toDF("truth", "text")
       .select(col("truth"), TF.langId(col("text")).as("pred"))
     val rows = df.collect()
