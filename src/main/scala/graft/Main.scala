@@ -66,7 +66,9 @@ object Main {
 
     val results: Seq[TableResult] = tables.map(t =>
       Runner.run(spark, t, config.detailedErrors, config.numErrorsToReport, config.numKeyCols))
-    val report = JsonReport.report(results)
+    val report = JsonReport.fullReport(results,
+      config.numKeyCols, config.numErrorsToReport, config.detailedErrors,
+      config.resolvedVars, master = spark.sparkContext.master)
 
     val sinks = config.outputs ++ cli.jsonReport.map(FileOutput(_, append = false))
     val sinkErrors = sinks.flatMap(o => ReportIO.emit(spark, o, report).left.toOption)

@@ -125,7 +125,9 @@ final case class TableConfig(
     TableSpec(source.describe, source.load, condition, keyColumns, checks)
 }
 
-/** Typed whole-run configuration (ValidatorConfig.scala:16-24). */
+/** Typed whole-run configuration (ValidatorConfig.scala:16-24).
+  * `resolvedVars` carries the final substitution dictionary (string form)
+  * for the report's varSubDict section (ValidatorConfig.scala:84). */
 final case class GraftConfig(
     numKeyCols: Int,
     numErrorsToReport: Int,
@@ -133,4 +135,5 @@ final case class GraftConfig(
     detailedErrors: Boolean,
     vars: Seq[VarSpec],
     outputs: Seq[OutputSpec],
-    tables: Seq[TableConfig])
+    tables: Seq[TableConfig],
+    resolvedVars: Seq[(String, String)] = Nil)

@@ -90,7 +90,8 @@ object ConfigParser {
 
     if (errs.nonEmpty) Left(errs.toSeq.distinct)
     else Right(GraftConfig(numKeyCols.get, numErrors.get, email, detailedErrors,
-      varSpecs, outputs, tables))
+      varSpecs, outputs, tables,
+      varSub.entries.map { case (k, v) => k -> v.asInterpolation }))
   }
 
   private def decodeVar(v: CVal, errs: mutable.ArrayBuffer[String]): Option[VarSpec] = v match {

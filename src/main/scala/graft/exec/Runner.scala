@@ -125,7 +125,7 @@ object Runner {
         CheckResult(label, failed,
           Map("rowCount" -> rowCount, "minNumRows" -> minRows,
               "relativeErrorPct" -> (if (failed) relErr else 0.0)),
-          if (failed) s"rowCount $rowCount < $minRows (${f"$relErr%.2f"}%% short)"
+          if (failed) f"rowCount $rowCount < $minRows ($relErr%.2f%% short)"
           else s"rowCount $rowCount >= $minRows")
       case ColumnMaxCheck(c, expected, label) =>
         val actual = row.get(row.fieldIndex(s"${label}_max"))

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column operators: media (image/audio/video) carried as
+  * opaque `binary` columns with typed metadata alongside — the standard
+  * lakehouse shape for a training-data pipeline at 100 TB (blobs stay in
+  * columnar files; only compact metadata shuffles).
+  *
+  * Two tiers:
+  *   - pure-Column metadata ops (format sniffing by magic bytes, byte
+  *     length, content hash, PNG header geometry) — codegen-friendly, no
+  *     UDF, run inside the scan;
+  *   - a typed `mapPartitions` decode pipeline ([[decodeBatch]]) with a
+  *     pluggable per-blob decoder — the Spark-side plumbing (schema,
+  *     encoder, partition streaming) is real; the default decoder is a
+  *     clearly-marked STUB because no image/audio codec libraries exist
+  *     in this environment.
+  */
+object Multimodal {
+
+  /** Container format by magic bytes (public file signatures). */
+  def sniffFormat(bin: Column): Column = {
+    val h = hex(substring(bin, 1, 8)) // hex of the first 8 bytes
+    when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("52494646"), "riff") // wav / webp / avi container
+      .when(h.startsWith("424D"), "bmp")
+      .when(h.startsWith("000000"), "mp4ish") // ftyp boxes start with size
+      .otherwise("unknown")
+  }
+
+  def byteLength(bin: Column): Column = length(bin)
+
+  def contentHash(bin: Column): Column = xxhash64(bin)
+
+  /** PNG IHDR geometry straight from the header bytes (width at offset
+    * 17..20, height at 21..24, big-endian — PNG spec): pure Column math,
+    * no decode. Callers must guard on sniffFormat === "png". */
+  def pngWidth(bin: Column): Column =
+    conv(hex(substring(bin, 17, 4)), 16, 10).cast("int")
+  def pngHeight(bin: Column): Column =
+    conv(hex(substring(bin, 21, 4)), 16, 10).cast("int")
+
+  /** One metadata struct per blob — the column a pipeline materializes
+    * next to the binary at ingest. */
+  def mediaMeta(bin: Column): Column = {
+    val fmt = sniffFormat(bin)
+    struct(
+      byteLength(bin).as("n_bytes"),
+      fmt.as("format"),
+      contentHash(bin).as("content_hash"),
+      when(fmt === "png", pngWidth(bin)).as("width"),
+      when(fmt === "png", pngHeight(bin)).as("height"))
+  }
+
+  /** Decoded-media record produced by the decode stage. */
+  final case class DecodedMedia(
+      id: Long, format: String, width: Int, height: Int, pixelsHash: Long)
+
+  /** STUB decoder — this environment has no image codecs. For PNG it
+    * parses the real header geometry; for everything else it derives
+    * deterministic pseudo-dimensions from a content hash so downstream
+    * plumbing is testable. A production deployment swaps in a real codec
+    * (e.g. TwelveMonkeys ImageIO) without touching the pipeline shape. */
+  def stubDecode(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G')
+      ("png", be32(16), be32(20), h)
+    else
+      ("unknown", 1 + (math.abs(h) % 4096).toInt, 1 + (math.abs(h >> 12) % 4096).toInt, h)
+  }
+
+  /** Decode stage as a typed partition-streaming map — the Scala analog
+    * of a pandas-batch UDF: each partition's blobs stream through the
+    * decoder without collecting to the driver, output is a typed Dataset
+    * with a proper schema. Decoder is pluggable; default is [[stubDecode]]. */
+  def decodeBatch(df: DataFrame, idCol: String, binCol: String,
+      decode: Array[Byte] => (String, Int, Int, Long) = stubDecode): Dataset[DecodedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (fmt, w, h, px) = decode(bytes)
+        DecodedMedia(id, fmt, w, h, px)
+      })
+  }
+}

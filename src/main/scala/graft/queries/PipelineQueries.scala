@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, GraftFunctions, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, GraftFunctions, Multimodal => MM, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -98,6 +98,32 @@ object PipelineQueries {
              coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     }),
 
+    // Multimodal metadata over binary columns: blobs synthesized from the
+    // documents table with real magic bytes (deterministic by doc_id), then
+    // sniffed/measured by the ACTUAL binary operators — format by magic,
+    // byte length, content distinctness, PNG header geometry. The oracle
+    // mirrors the synthesis rule; the engine side must recover it by
+    // inspection.
+    "mm_meta" -> ((s, dir) => {
+      val pngHdr = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 0x0D, 'I', 'H', 'D', 'R', 0, 0, 0, 0x40, 0, 0, 0, 0x20))
+      val jpgHdr = lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+      val withBlob = t(s, dir, "documents").withColumn("blob",
+        when(col("doc_id") % 3 === 0, concat(pngHdr, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 3 === 1, concat(jpgHdr, encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8")))
+      withBlob
+        .groupBy(MM.sniffFormat(col("blob")).as("format"))
+        .agg(count(lit(1L)).as("n"),
+             sum(MM.byteLength(col("blob"))).cast("long").as("total_bytes"),
+             countDistinct(col("blob")).as("n_distinct"),
+             coalesce(max(when(MM.sniffFormat(col("blob")) === "png",
+               MM.pngWidth(col("blob")))), lit(-1)).as("png_w"),
+             coalesce(max(when(MM.sniffFormat(col("blob")) === "png",
+               MM.pngHeight(col("blob")))), lit(-1)).as("png_h"))
+        .orderBy("format")
+    }),
+
     // Brute-force cosine kNN: 5 query vectors vs the corpus, top-5 each.
     "sim_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -190,6 +216,25 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    // mirrors the blob synthesis rule; the Spark side must recover format
+    // and PNG geometry from the bytes themselves
+    "mm_meta" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR\x00\x00\x00\x40\x00\x00\x00\x20'::BLOB || encode(text)
+        |  WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |  ELSE encode(text) END AS blob,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'unknown' END AS format
+        | FROM documents)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(octet_length(blob)) AS BIGINT) AS total_bytes,
+        | CAST(count(DISTINCT blob) AS BIGINT) AS n_distinct,
+        | CAST(CASE WHEN format = 'png' THEN 64 ELSE -1 END AS INT) AS png_w,
+        | CAST(CASE WHEN format = 'png' THEN 32 ELSE -1 END AS INT) AS png_h
+        |FROM b GROUP BY format ORDER BY format""".stripMargin,
 
     "sim_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Binary-column (multimodal) operators: magic sniffing, PNG header
+  * geometry, metadata struct, and the typed mapPartitions decode stage. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  // a minimal valid PNG header: signature + IHDR length/type + 64x32 dims
+  private val pngHeader: Array[Byte] = Array[Byte](
+    0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+    0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+    0, 0, 0, 0x40, 0, 0, 0, 0x20)
+  private val jpegHeader: Array[Byte] =
+    Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+
+  test("format sniffing by magic bytes") {
+    val rows = Seq(
+      (1L, pngHeader ++ "payload".getBytes),
+      (2L, jpegHeader ++ "payload".getBytes),
+      (3L, "GIF89a-something".getBytes),
+      (4L, "RIFFxxxxWAVE".getBytes),
+      (5L, "plain text bytes".getBytes)).toDF("id", "blob")
+    val got = rows.select(col("id"), Multimodal.sniffFormat(col("blob")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "riff", 5L -> "unknown"))
+  }
+
+  test("PNG header geometry is read straight from the bytes") {
+    val df = Seq((1L, pngHeader ++ Array.fill[Byte](10)(0))).toDF("id", "blob")
+    val r = df.select(Multimodal.pngWidth(col("blob")), Multimodal.pngHeight(col("blob"))).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 32)
+  }
+
+  test("mediaMeta struct: bytes, format, hash, guarded dims") {
+    val df = Seq(
+      (1L, pngHeader ++ "x".getBytes),
+      (2L, "just text".getBytes)).toDF("id", "blob")
+    val rows = df.select(col("id"), Multimodal.mediaMeta(col("blob")).as("m"))
+      .select("id", "m.n_bytes", "m.format", "m.width", "m.height").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == pngHeader.length + 1)
+    assert(byId(1L).getString(2) == "png")
+    assert(byId(1L).getInt(3) == 64 && byId(1L).getInt(4) == 32)
+    assert(byId(2L).getString(2) == "unknown")
+    assert(byId(2L).isNullAt(3) && byId(2L).isNullAt(4)) // dims only for png
+  }
+
+  test("decodeBatch streams partitions through the (stub) decoder with a typed schema") {
+    val df = Seq(
+      (10L, pngHeader ++ "pixels".getBytes),
+      (11L, "not an image".getBytes)).toDF("doc_id", "blob").repartition(2)
+    val decoded = Multimodal.decodeBatch(df, "doc_id", "blob")
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("id", "format", "width", "height", "pixelsHash"))
+    val byId = decoded.collect().map(d => d.id -> d).toMap
+    assert(byId(10L).format == "png")
+    assert(byId(10L).width == 64 && byId(10L).height == 32)
+    assert(byId(11L).format == "unknown")
+    assert(byId(11L).width > 0 && byId(11L).height > 0) // deterministic fake
+    // determinism: same bytes -> same decode
+    val again = Multimodal.decodeBatch(df, "doc_id", "blob").collect().map(d => d.id -> d).toMap
+    assert(again == byId)
+  }
+}
