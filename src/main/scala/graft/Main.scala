@@ -19,6 +19,7 @@ object Main {
   final case class Cli(
       config: String = "",
       jsonReport: Option[String] = None,
+      htmlReport: Option[String] = None,
       vars: Map[String, String] = Map.empty,
       exitErrorOnFail: Boolean = false,
       verbose: Boolean = false)
@@ -29,6 +30,7 @@ object Main {
       case Nil => Right(acc)
       case "--config" :: f :: t => loop(t, acc.copy(config = f))
       case "--jsonReport" :: f :: t => loop(t, acc.copy(jsonReport = Some(f)))
+      case "--htmlReport" :: f :: t => loop(t, acc.copy(htmlReport = Some(f)))
       case "--vars" :: kvs :: t =>
         val pairs = kvs.split(',').toSeq.map(_.split("=", 2))
         if (pairs.exists(_.length != 2)) Left(s"bad --vars '$kvs', expected k=v[,k=v…]")
@@ -71,7 +73,9 @@ object Main {
       config.resolvedVars, master = spark.sparkContext.master)
 
     val sinks = config.outputs ++ cli.jsonReport.map(FileOutput(_, append = false))
-    val sinkErrors = sinks.flatMap(o => ReportIO.emit(spark, o, report).left.toOption)
+    val sinkErrors = sinks.flatMap(o => ReportIO.emit(spark, o, report).left.toOption) ++
+      cli.htmlReport.flatMap(f =>
+        ReportIO.writeFile(spark, f, graft.report.HtmlReport.report(results)).left.toOption)
     sinkErrors.foreach(e => System.err.println(s"[graft] output: $e"))
 
     (sinkErrors.nonEmpty, results.exists(_.failed), Some(report))

@@ -65,6 +65,18 @@ class ReportSpec extends SparkSuite {
     assert(got == expected, s"\ngot:      $got\nexpected: $expected")
   }
 
+  test("HTML report renders status, checks and timers with escaping") {
+    val df = Seq(("k<1>", -5)).toDF("key", "v")
+    val result = Runner.run(spark, TableSpec("t&demo", _ => df,
+      checks = Seq(NegativeCheck("v", None, "neg"))))
+    val html = graft.report.HtmlReport.report(Seq(result))
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("t&amp;demo"))                       // escaping
+    assert(html.contains("""<span class="fail">FAIL</span>""")) // verdict
+    assert(html.contains("neg"))
+    assert(html.contains("""class="timer""""))
+  }
+
   test("report is valid JSON (spot-parse with Spark's JSON reader)") {
     val df = Seq(("a", 1)).toDF("key", "v")
     val result = Runner.run(spark, TableSpec("t", _ => df,

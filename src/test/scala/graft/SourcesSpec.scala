@@ -1,0 +1,48 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Source loaders beyond what the oracle queries exercise: the
+  * catalog-table path (reference ValidatorTable.scala:228-261), csv/json
+  * readers, and scan-level condition pushdown. */
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hiveTable reads catalog tables (temp view and saved table)") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").createOrReplaceTempView("graft_src_view")
+    val viaView = Sources.hiveTable(spark, "graft_src_view", condition = Some("id > 1"))
+    assert(viaView.collect().map(_.getString(1)).toSeq == Seq("b"))
+
+    spark.sql("DROP TABLE IF EXISTS graft_src_tbl")
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
+      .write.mode("overwrite").saveAsTable("graft_src_tbl")
+    val viaTable = Sources.hiveTable(spark, "graft_src_tbl", condition = Some("id >= 2"))
+    assert(viaTable.count() == 2)
+    spark.sql("DROP TABLE graft_src_tbl")
+  }
+
+  test("csv and json loaders round-trip with options") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    df.write.mode("overwrite").json(s"$dir/j")
+    val csv = Sources.csv(spark, s"$dir/c",
+      Map("header" -> "true", "inferSchema" -> "true"), condition = Some("id = 2"))
+    assert(csv.collect().map(_.getAs[String]("name")).toSeq == Seq("beta"))
+    val json = Sources.json(spark, s"$dir/j")
+    assert(json.count() == 2)
+  }
+
+  test("condition reaches the parquet scan as a pushed filter") {
+    val plan = Sources.parquet(spark, s"$sf0001/lineitem.parquet",
+        condition = Some("l_orderkey = 1"))
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"filter not pushed into scan:\n$plan")
+    // column pruning: the scan reads only the projected columns
+    assert(plan.contains("ReadSchema") && plan.contains("l_quantity") &&
+      !plan.contains("l_comment"), "projection not pruned at scan")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.{MinNumRows, NegativeCheck}
+import graft.streaming.Streams
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming operators driven through MemoryStream: windowed /
+  * session aggregation with watermarks, streaming dedup, custom state via
+  * mapGroupsWithState, and the per-micro-batch check monitor. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts: tumbling event-time windows close as the watermark passes") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = Streams.windowedCounts(
+      input.toDF().toDF("ts", "user"), "ts", "5 minutes", "1 minute", col("user"))
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((ts(20), "a")) // advances max event time
+      q.processAllAvailable()
+      input.addData((ts(30), "a")) // watermark now past the first window
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("user", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)),
+        s"unexpected closed windows: $rows")
+    } finally q.stop()
+  }
+
+  test("sessionCounts: rows within the gap merge into one session") {
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = Streams.sessionCounts(
+      input.toDF().toDF("ts", "user"), "ts", "5 minutes", "1 minute", col("user"))
+    val q = out.writeStream.format("memory").queryName("sess_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // a: 3 events chained within the gap; b: 1 event
+      input.addData((ts(0), "a"), (ts(3), "a"), (ts(6), "a"), (ts(1), "b"))
+      q.processAllAvailable()
+      input.addData((ts(30), "c"))
+      q.processAllAvailable()
+      input.addData((ts(45), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_counts")
+        .select("user", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("a", 3L)) && rows.contains(("b", 1L)),
+        s"unexpected sessions: $rows")
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate keys within and across micro-batches") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = Streams.dedupStream(input.toDF().toDF("ts", "id"), "ts", "10 minutes", "id")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(0), 1L), (ts(0), 1L), (ts(1), 2L))
+      q.processAllAvailable()
+      input.addData((ts(0), 1L), (ts(2), 3L)) // cross-batch duplicate of id 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"dedup produced: $ids")
+    } finally q.stop()
+  }
+
+  test("runningKeyStats keeps per-key state across micro-batches") {
+    val input = MemoryStream[(String, Double)](spark)
+    val out = Streams.runningKeyStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("key_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0))
+      q.processAllAvailable()
+      // update mode: take the LAST emitted row per key
+      val last = spark.table("key_stats").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last("a") == ((3L, 6.0)), s"state for a: ${last("a")}")
+      assert(last("b") == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("checkMonitor validates every micro-batch with the fused pass") {
+    val input = MemoryStream[(Long, Double)](spark)
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
+    val q = Streams.checkMonitor(
+      input.toDF().toDF("id", "amount"),
+      Seq(MinNumRows(2, "rc"), NegativeCheck("amount", Some("0"), "neg"))) {
+      (batchId: Long, row: Row) =>
+        verdicts.synchronized {
+          verdicts += ((batchId, row.getAs[Boolean]("neg_failed"), row.getAs[Long]("row_cnt")))
+        }
+    }.start()
+    try {
+      input.addData((1L, 5.0), (2L, 6.0))
+      q.processAllAvailable()
+      input.addData((3L, -1.0), (4L, 2.0), (5L, 3.0))
+      q.processAllAvailable()
+      val byBatch = verdicts.synchronized(verdicts.toList)
+      assert(byBatch.length == 2)
+      assert(byBatch.head == ((0L, false, 2L)))
+      assert(byBatch(1) == ((1L, true, 3L))) // the -1.0 trips negativeCheck
+    } finally q.stop()
+  }
+}
