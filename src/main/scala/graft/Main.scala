@@ -22,6 +22,7 @@ object Main {
       htmlReport: Option[String] = None,
       vars: Map[String, String] = Map.empty,
       exitErrorOnFail: Boolean = false,
+      emailOnPass: Boolean = false,
       verbose: Boolean = false)
 
   def parseArgs(args: Seq[String]): Either[String, Cli] = {
@@ -36,6 +37,7 @@ object Main {
         if (pairs.exists(_.length != 2)) Left(s"bad --vars '$kvs', expected k=v[,k=v…]")
         else loop(t, acc.copy(vars = acc.vars ++ pairs.map(p => p(0) -> p(1))))
       case "--exitErrorOnFail" :: t => loop(t, acc.copy(exitErrorOnFail = true))
+      case "--emailOnPass" :: t => loop(t, acc.copy(emailOnPass = true))
       case "--verbose" :: t => loop(t, acc.copy(verbose = true))
       case other :: _ => Left(s"unknown option '$other'")
     }
@@ -78,6 +80,15 @@ object Main {
         ReportIO.writeFile(spark, f, graft.report.HtmlReport.report(results)).left.toOption)
     sinkErrors.foreach(e => System.err.println(s"[graft] output: $e"))
 
+    // email on failure (or on pass with --emailOnPass), reference
+    // Main.scala:105-108; a delivery problem is logged, not fatal
+    config.email.foreach { ec =>
+      graft.report.Emailer.sendReport(ec, results, cli.emailOnPass).foreach {
+        case Left(err) => System.err.println(s"[graft] email: $err")
+        case Right(_) => ()
+      }
+    }
+
     (sinkErrors.nonEmpty, results.exists(_.failed), Some(report))
   }
 
@@ -87,7 +98,8 @@ object Main {
       case Left(err) =>
         System.err.println(s"[graft] $err")
         System.err.println("usage: graft.Main --config <file> [--jsonReport <file>] " +
-          "[--vars k=v[,k=v…]] [--exitErrorOnFail] [--verbose]")
+          "[--htmlReport <file>] [--vars k=v[,k=v…]] [--exitErrorOnFail] " +
+          "[--emailOnPass] [--verbose]")
         println("DATA_VALIDATOR_STATUS=FAIL")
         sys.exit(-1)
     }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.{CheckQueries, PipelineQueries, RelationalQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions: these lock in the scale properties the
+  * operators were designed for — a regression that silently flips a
+  * broadcast join to a shuffle join or reintroduces a cartesian product
+  * fails here, not at 100 TB. */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    (CheckQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries)(
+      name)(spark, sf0001)
+
+  test("q_join_bcast broadcasts the dimension side (no shuffle of the fact table)") {
+    val p = plan(q("q_join_bcast"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(q("q_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("GlobalSort"), "top-k must not globally sort")
+  }
+
+  test("q_window_topk rides WindowGroupLimit (per-partition top-k heaps)") {
+    val p = plan(q("q_window_topk"))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("dedup_jaccard has no cartesian product or nested-loop join") {
+    val p = plan(q("dedup_jaccard"))
+    assert(!p.contains("CartesianProduct"), s"cartesian reintroduced:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join reintroduced:\n$p")
+  }
+
+  test("chk_fused is one aggregate over one scan (no shuffle beyond the final agg)") {
+    val p = plan(q("chk_fused"))
+    // one partial+final HashAggregate pair over a single parquet scan
+    assert("HashAggregate".r.findAllIn(p).size == 2, s"expected exactly partial+final agg:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
+  }
+
+  test("chk_detail early-terminates via a limit, not a full materialization") {
+    val p = plan(q("chk_detail"))
+    assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"),
+      s"expected limit-based early termination:\n$p")
+  }
+
+  test("sim_knn scans the corpus without shuffling it (broadcast of queries only)") {
+    val p = plan(q("sim_knn"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the query set:\n$p")
+    // the only Exchange should be the final top-k window partitioning,
+    // never a repartition of the corpus for the join itself
+    val joinIdx = p.indexOf("Join")
+    val exchBeforeJoin = p.substring(joinIdx).contains("ShuffleExchange")
+    assert(!exchBeforeJoin, s"corpus shuffled before join:\n$p")
+  }
+}
