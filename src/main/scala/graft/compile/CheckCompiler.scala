@@ -106,7 +106,22 @@ object CheckCompiler {
           case Bound.Ref(rc) if schema.fields.forall(_.name != rc) =>
             s"range bound column '$rc' not found"
         }
-        field(c).swap.toSeq ++ refErrs ++ badThreshold(t)
+        // bound/column type compatibility (reference areTypesCompatible,
+        // ValidatorBase.scala:229-256) — under ANSI mode an incompatible
+        // comparison would otherwise throw mid-scan instead of at config
+        // time
+        val typeErrs = field(c).toSeq.flatMap { f =>
+          (mn.toSeq ++ mx.toSeq).collect {
+            case Bound.Num(_) if !isNumeric(f.dataType) =>
+              s"numeric range bound on non-numeric column '$c' (${f.dataType.simpleString})"
+            case Bound.Str(_) if f.dataType != StringType =>
+              s"string range bound on non-string column '$c' (${f.dataType.simpleString})"
+            case Bound.Ref(rc) if schema.fields.exists(rf => rf.name == rc &&
+                isNumeric(rf.dataType) != isNumeric(f.dataType)) =>
+              s"range bound column '$rc' type incompatible with '$c'"
+          }
+        }
+        field(c).swap.toSeq ++ refErrs ++ typeErrs ++ badThreshold(t)
       case StringLengthCheck(c, _, _, t, _) =>
         field(c) match {
           case Left(e) => Seq(e) ++ badThreshold(t)
@@ -117,9 +132,23 @@ object CheckCompiler {
       case StringRegexCheck(c, re, t, _) =>
         val reErr = try { java.util.regex.Pattern.compile(re); Nil }
           catch { case e: Exception => Seq(s"bad regex '$re': ${e.getMessage}") }
-        field(c).swap.toSeq ++ reErr ++ badThreshold(t)
+        val typeErr = field(c).toSeq.collect {
+          case f if f.dataType != StringType =>
+            s"stringRegexCheck on non-string column '$c' (${f.dataType.simpleString})"
+        }
+        field(c).swap.toSeq ++ reErr ++ typeErr ++ badThreshold(t)
       case _: MinNumRows => Nil
-      case ColumnMaxCheck(c, _, _) => field(c).swap.toSeq
+      case ColumnMaxCheck(c, expected, _) =>
+        val typeErr = field(c).toSeq.flatMap { f =>
+          expected match {
+            case Bound.Num(_) if !isNumeric(f.dataType) =>
+              Seq(s"numeric columnMaxCheck on non-numeric column '$c' (${f.dataType.simpleString})")
+            case Bound.Str(_) if f.dataType != StringType =>
+              Seq(s"string columnMaxCheck on non-string column '$c' (${f.dataType.simpleString})")
+            case _ => Nil
+          }
+        }
+        field(c).swap.toSeq ++ typeErr
       case ColumnSumCheck(c, _, _, _, _) =>
         field(c) match {
           case Left(e) => Seq(e)

@@ -124,6 +124,18 @@ object PipelineQueries {
         .orderBy("format")
     }),
 
+    // Embedding-cosine near-dup: vectors whose cosine exceeds 0.99 are
+    // duplicates. Candidates from the skew-capped LSH self-join (never
+    // all-pairs), exact-cosine verified; summary row is stable under the
+    // approximate candidate set only in expectation → rows-only check,
+    // recall asserted in ScalaTest against brute force.
+    "dedup_embed" -> ((s, dir) =>
+      Similarity.annSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numPlanes = 8, k = 10)
+        .where(col("cos") >= 0.99 && col("id_a") < col("id_b"))
+        .agg(count(lit(1L)).as("n_dup_pairs"),
+             coalesce(round(min(col("cos")), 4), lit(-1.0)).as("min_cos"))),
+
     // Brute-force cosine kNN: 5 query vectors vs the corpus, top-5 each.
     "sim_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -181,6 +181,26 @@ class CheckEngineSpec extends SparkSuite {
     assert(configCheck(NullCheck("num", Some("25%")), schema).isEmpty)
   }
 
+  test("configCheck rejects type-incompatible bounds before any scan (ANSI safety)") {
+    val schema = Seq(("a", 1, "s")).toDF("key", "num", "str").schema
+    import graft.compile.CheckCompiler.configCheck
+    // numeric bound on string column / string bound on numeric column
+    assert(configCheck(RangeCheck("str", Some(Bound.Num(1)), None), schema).nonEmpty)
+    assert(configCheck(RangeCheck("num", Some(Bound.Str("x")), None), schema).nonEmpty)
+    // ref bound must be type-compatible with the checked column
+    assert(configCheck(RangeCheck("num", None, Some(Bound.Ref("str"))), schema).nonEmpty)
+    assert(configCheck(RangeCheck("num", None, Some(Bound.Ref("key"))), schema).nonEmpty)
+    // regex needs a string column; colmax expected type must match
+    assert(configCheck(StringRegexCheck("num", ".*"), schema).nonEmpty)
+    assert(configCheck(ColumnMaxCheck("str", Bound.Num(5)), schema).nonEmpty)
+    assert(configCheck(ColumnMaxCheck("num", Bound.Str("x")), schema).nonEmpty)
+    // compatible combinations stay clean
+    assert(configCheck(RangeCheck("num", Some(Bound.Num(0)), Some(Bound.Num(9))), schema).isEmpty)
+    assert(configCheck(RangeCheck("str", Some(Bound.Str("a")), None), schema).isEmpty)
+    assert(configCheck(ColumnMaxCheck("num", Bound.Num(5)), schema).isEmpty)
+    assert(configCheck(ColumnMaxCheck("str", Bound.Str("x")), schema).isEmpty)
+  }
+
   test("duplicate check labels are rejected up front (run + configCheck)") {
     val df = Seq[(String, Option[Int], Option[Int])](("a", Some(1), None)).toDF("key", "x", "y")
     val t = TableSpec("t", _ => df, checks = Seq(NullCheck("x"), NullCheck("y")))
