@@ -99,6 +99,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -122,6 +124,10 @@ object GraftFunctions {
 
   /** Fused-loop cosine similarity of two vectors. Requires register(spark). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** One-pass language ID (same semantics as TextFunctions.langId).
+    * Requires register(spark). */
+  def langId(c: Column): Column = call_function("lang_id", c)
 
   /** vector → array<long> of per-table sign-LSH bucket ids. Requires
     * register(spark). */

@@ -41,12 +41,16 @@ object PipelineQueries {
 
     // Language-ID heuristic vs the labeled lang column (confusion counts).
     // Deterministic stopword counting → full DuckDB oracle; accuracy is
-    // additionally asserted in ScalaTest on planted natural-language texts.
-    "text_langid" -> ((s, dir) =>
+    // additionally asserted in ScalaTest on planted natural-language
+    // texts, and the native expression is asserted equal to the
+    // Column-composition TextFunctions.langId.
+    "text_langid" -> ((s, dir) => {
+      GraftFunctions.register(s)
       t(s, dir, "documents")
-        .groupBy(col("lang"), TF.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), GraftFunctions.langId(col("text")).as("predicted"))
         .agg(count(lit(1L)).as("n"))
-        .orderBy("lang", "predicted")),
+        .orderBy("lang", "predicted")
+    }),
 
     // Document fingerprints: exact content hash + winnowing min-gram hash.
     // xxhash64-based → rows-only check (deterministic across runs).

@@ -41,6 +41,16 @@ class PipelineSpec extends SparkSuite {
     assert(swr == 0.5)
   }
 
+  test("native lang_id expression agrees with the Column composition on real docs") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val disagree = docs.select(
+        TF.langId(col("text")).as("hof"),
+        GraftFunctions.langId(col("text")).as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(disagree == 0L)
+  }
+
   test("fingerprints: equal texts agree, disjoint texts differ") {
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
       .toDF("id", "text")
