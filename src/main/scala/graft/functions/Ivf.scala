@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the standard
+  * scale path for embedding search next to LSH: partition the corpus
+  * into `nLists` Voronoi cells (KMeans centroids), then answer each
+  * query by scanning only its `nProbe` nearest cells.
+  *
+  * Scale shape: one training pass (sampled), one narrow assignment pass
+  * (`model.transform` — no shuffle of vectors beyond the initial scan),
+  * and per query a candidate set of ~nProbe/nLists of the corpus joined
+  * by LIST-ID EQUALITY — the join key is a small int, vectors shuffle
+  * once, and recall/cost trades off via nProbe with no plan change.
+  * Centroids travel as a broadcast DataFrame, never as plan literals.
+  */
+object Ivf {
+
+  /** Squared L2 distance between two array columns (KMeans assigns by
+    * euclidean distance, so probe ranking must match its metric). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact k-NN of each query against only the probed cells.
+    * At this corpus size KMeans trains on the full data; at scale, train
+    * on a sample (`corpus.sample(...)`) — assignment cost is unchanged. */
+  def ivfKnn(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      scoreDp: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+
+    val featurized = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__list")
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .select(col(idCol), col(vecCol), col("__list"))
+
+    // centroids as data (tiny: nLists rows), broadcast into the probe rank
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("__list", "__centroid")
+    val probeW = Window.partitionBy(col(qidCol)).orderBy(col("__cdist"), col("__list"))
+    val probes = queries.select(col(qidCol), col(qvecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist", sqDist(col(qvecCol), col("__centroid")))
+      .withColumn("__crank", row_number().over(probeW))
+      .where(col("__crank") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("__list"))
+
+    val scored = probes.join(assigned, "__list")
+      .where(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol),
+        round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), scoreDp).as("cos"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, GraftFunctions, Multimodal => MM, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -148,6 +148,20 @@ object PipelineQueries {
       Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 5)
         .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // IVF kNN: KMeans-cell index, probe the 4 nearest of 16 cells per
+    // query. Seeded → deterministic per engine, but KMeans cells are not
+    // DuckDB-expressible → rows-only; recall vs brute force asserted in
+    // ScalaTest.
+    "sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ivf.ivfKnn(emb, "vec_id", "embedding", q, "qid", "qvec", k = 5,
+          nLists = 16, nProbe = 4)
+        .agg(count(lit(1L)).as("n_results"),
+             round(avg(col("cos")), 4).as("avg_cos"))
     }),
 
     // LSH-bucketed approximate NN self-join (8 hyperplanes → 256 buckets,

@@ -147,6 +147,20 @@ class PipelineSpec extends SparkSuite {
     assert(res.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("IVF kNN recall vs brute force on sf0.001") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = graft.functions.Similarity
+      .bruteForceKnn(emb, "vec_id", "embedding", q, "qid", "qvec", 1, scoreDp = 9)
+      .select(col("qid"), col("vec_id").as("nn")).as[(Long, Long)].collect().toMap
+    val ivf = graft.functions.Ivf
+      .ivfKnn(emb, "vec_id", "embedding", q, "qid", "qvec", k = 1, nLists = 16, nProbe = 6)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toMap
+    val recall = truth.count { case (qid, nn) => ivf.get(qid).contains(nn) }.toDouble / truth.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("ANN self-join recall vs brute force on sf0.001") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     // ground truth: for each vector, its true nearest neighbor
