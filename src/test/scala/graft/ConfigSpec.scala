@@ -292,6 +292,16 @@ class ConfigSpec extends SparkSuite {
     assert(Main.parseArgs(Seq("--bogus")).isLeft)
   }
 
+  test("pipe output delivers the report to a program's stdin") {
+    val f = java.nio.file.Files.createTempFile("graft_pipe", ".json")
+    val r = report.ReportIO.pipe(s"cat > $f", "{\"piped\":true}")
+    assert(r.isRight)
+    assert(java.nio.file.Files.readString(f).contains("\"piped\":true"))
+    // non-zero exit: error unless ignoreError
+    assert(report.ReportIO.pipe("exit 3", "x").isLeft)
+    assert(report.ReportIO.pipe("exit 3", "x", ignoreError = true).isRight)
+  }
+
   test("report file append concatenates runs") {
     val f = java.nio.file.Files.createTempFile("graft_report", ".json")
     java.nio.file.Files.delete(f)
