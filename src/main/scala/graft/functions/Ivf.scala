@@ -38,7 +38,9 @@ object Ivf {
     GraftFunctions.register(spark)
 
     val featurized = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    // few iterations suffice: cells only gate CANDIDATE generation (exact
+    // cosine re-ranks); extra KMeans convergence buys little recall
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("__list")
       .fit(featurized)
     val assigned = model.transform(featurized)
