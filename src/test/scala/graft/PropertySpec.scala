@@ -1,0 +1,65 @@
+package graft
+
+import graft.model.{Bound, Threshold}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants for the pure (non-Spark) kernels: the
+  * threshold grammar, bound parsing, and the hash utilities backing the
+  * dedup operators. */
+object PropertySpec extends Properties("graft") {
+
+  private val genValidThreshold: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 1000000).map(_.toString),
+    Gen.choose(0.0, 0.999999).map(d => f"$d%.6f"),
+    Gen.choose(0, 100).map(n => s"$n%"),
+    Gen.choose(0, 100).map(n => s"$n %"))
+
+  property("threshold: accepted strings evaluate to a non-negative limit") =
+    forAll(genValidThreshold, Gen.choose(0L, 10000000L)) { (raw, rows) =>
+      Threshold.isValid(raw) && Threshold(raw).errorLimit(rows) >= 0L
+    }
+
+  property("threshold: limit is monotone in rowCount for fraction forms") =
+    forAll(Gen.choose(0.0, 0.999), Gen.choose(0L, 100000L), Gen.choose(0L, 100000L)) {
+      (frac, a, b) =>
+        val t = Threshold(f"$frac%.4f")
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        t.errorLimit(lo) <= t.errorLimit(hi)
+    }
+
+  property("threshold: junk is rejected") =
+    forAll(Gen.oneOf(
+      Gen.alphaStr.suchThat(s => s.nonEmpty && !s.forall(_.isDigit)),
+      Gen.oneOf("-1", "1e3", ".5", "%", "25%%"))) { raw =>
+      !Threshold.isValid(raw)
+    }
+
+  property("bound parse: numbers→Num") =
+    forAll(Gen.choose(-1e9, 1e9)) { d => Bound.parse(d.toString) == Bound.Num(d) }
+
+  property("bound parse: backtick→Ref") =
+    forAll(Gen.identifier) { id => Bound.parse("`" + id) == Bound.Ref(id) }
+
+  property("bound parse: non-numeric strings→Str") =
+    forAll(Gen.alphaStr.suchThat(s => s.nonEmpty && s.toDoubleOption.isEmpty)) { s =>
+      Bound.parse(s) == Bound.Str(s)
+    }
+
+  property("mix64: collision-free over random long sets") =
+    forAll(Gen.listOfN(200, Gen.long)) { xs =>
+      val distinct = xs.distinct
+      distinct.map(graft.functions.MinHashSig.mix64).distinct.size == distinct.size
+    }
+
+  property("minhash per-seed salts are pairwise distinct") =
+    forAll(Gen.choose(1, 256)) { n =>
+      graft.functions.MinHashSig.seeds(n).distinct.length == n
+    }
+
+  property("simhash string hash: deterministic and collision-free on distinct tokens") =
+    forAll(Gen.listOfN(100, Gen.identifier)) { xs =>
+      val distinct = xs.distinct.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      Prop(distinct.map(graft.functions.SimHash64.hash64).distinct.size == distinct.size)
+    }
+}
