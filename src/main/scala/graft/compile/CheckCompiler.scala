@@ -72,15 +72,19 @@ object CheckCompiler {
 
   /** Declarative verdict for a row-based check, evaluated INSIDE the plan on
     * the aggregated row (no driver round-trip): errorCount > errorLimit.
-    * Fraction/percent limits truncate toward zero — `cast(long)` truncates
-    * for non-negative values, matching the reference's `.toLong`
-    * (RowBased.scala:62-71). */
+    * The limit expression mirrors Threshold.errorLimit TERM FOR TERM —
+    * same FP association (value * (rowCount / 100.0)) and the same
+    * truncation (`cast(long)` truncates toward zero for non-negative
+    * values, matching `.toLong`) — so the in-plan verdict can never
+    * disagree with the driver path at an exact FP boundary. */
   def failedExpr(check: RowCheckSpec, rowCount: Column): Column = {
     val t = check.thresholdOrZero
-    val limit = t.fraction match {
-      case Some(f) => (rowCount.cast(DoubleType) * lit(f)).cast(LongType)
-      case None    => lit(t.value.toLong)
-    }
+    val limit =
+      if (t.isPercent)
+        (lit(t.value) * (rowCount.cast(DoubleType) / lit(100.0))).cast(LongType)
+      else if (t.value < 1.0)
+        (lit(t.value) * rowCount.cast(DoubleType)).cast(LongType)
+      else lit(t.value.toLong)
     (col(s"${check.label}_errs") > limit).as(s"${check.label}_failed")
   }
 

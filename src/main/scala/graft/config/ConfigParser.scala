@@ -174,23 +174,41 @@ object ConfigParser {
     * so they are derived from type+column and uniquified. */
   private def decodeCheck(v: CVal, errs: mutable.ArrayBuffer[String]): Option[CheckSpec] = v match {
     case o: CVal.CObj =>
-      def str(k: String): Option[String] = o.get(k).collect { case CVal.CStr(s) => s }
-      def int(k: String): Option[Int] = o.get(k).collect { case CVal.CLong(n) => n.toInt }
-      def boolOr(k: String, d: Boolean): Boolean =
-        o.get(k).collect { case CVal.CBool(b) => b }.getOrElse(d)
-      def bound(k: String): Option[Bound] = o.get(k).collect {
-        case CVal.CLong(n) => Bound.Num(n.toDouble)
-        case CVal.CDbl(d) => Bound.Num(d)
-        case CVal.CStr(s) => Bound.parse(s) // backtick prefix → column ref
+      // present-but-wrong-typed fields are ERRORS, not silently-dropped
+      // bounds — a mistyped minLength would otherwise weaken the check
+      // with no diagnostic
+      def badType(k: String, want: String, got: CVal): None.type = {
+        errs += s"'$k' must be $want, got ${got.render.take(60)}"; None
       }
-      def num(k: String): Option[Double] = o.get(k).collect {
-        case CVal.CLong(n) => n.toDouble
-        case CVal.CDbl(d) => d
+      def str(k: String): Option[String] = o.get(k).flatMap {
+        case CVal.CStr(s) => Some(s)
+        case other => badType(k, "a string", other)
       }
-      val threshold = str("threshold").orElse(o.get("threshold").collect {
-        case CVal.CLong(n) => n.toString
-        case CVal.CDbl(d) => d.toString
-      })
+      def int(k: String): Option[Int] = o.get(k).flatMap {
+        case CVal.CLong(n) => Some(n.toInt)
+        case other => badType(k, "an integer", other)
+      }
+      def boolOr(k: String, d: Boolean): Boolean = o.get(k).flatMap {
+        case CVal.CBool(b) => Some(b)
+        case other => badType(k, "a boolean", other)
+      }.getOrElse(d)
+      def bound(k: String): Option[Bound] = o.get(k).flatMap {
+        case CVal.CLong(n) => Some(Bound.Num(n.toDouble))
+        case CVal.CDbl(d) => Some(Bound.Num(d))
+        case CVal.CStr(s) => Some(Bound.parse(s)) // backtick prefix → column ref
+        case other => badType(k, "a number, string or `column ref", other)
+      }
+      def num(k: String): Option[Double] = o.get(k).flatMap {
+        case CVal.CLong(n) => Some(n.toDouble)
+        case CVal.CDbl(d) => Some(d)
+        case other => badType(k, "a number", other)
+      }
+      val threshold = o.get("threshold").flatMap {
+        case CVal.CStr(s) => Some(s)
+        case CVal.CLong(n) => Some(n.toString)
+        case CVal.CDbl(d) => Some(d.toString)
+        case other => badType("threshold", "a string or number", other)
+      }
       def col(forType: String): Option[String] = str("column") match {
         case some @ Some(_) => some
         case None => errs += s"$forType needs 'column': ${v.render.take(100)}"; None
@@ -252,13 +270,15 @@ object ConfigParser {
   }
 
   private def uniquifyLabels(checks: Vector[CheckSpec]): Vector[CheckSpec] = {
-    val seen = mutable.Map[String, Int]()
+    val seen = mutable.Set[String]()
     checks.map { c =>
-      val n = seen.getOrElse(c.label, 0)
-      seen(c.label) = n + 1
-      if (n == 0) c
+      if (seen.add(c.label)) c
       else {
-        val l = s"${c.label}_${n + 1}"
+        // suffix until free — a generated label may itself collide with a
+        // later derived one (e.g. columns `a`, `a`, `a_2`)
+        var n = 2
+        while (!seen.add(s"${c.label}_$n")) n += 1
+        val l = s"${c.label}_$n"
         c match {
           case x: NullCheck => x.copy(label = l)
           case x: NegativeCheck => x.copy(label = l)

@@ -21,22 +21,10 @@ object Dedup {
       sequence(lit(0), greatest(length(c) - k, lit(0))),
       i => substring(c, i + lit(1), lit(k))))
 
-  /** MinHash signature: for seeds 1..n, min over shingles of a seeded
-    * 64-bit hash. Pr[sig_j(A)=sig_j(B)] = jaccard(A,B).
-    *
-    * Single-traversal evaluation: the shingle strings are hashed ONCE
-    * (`transform(sh, xxhash64)` — the first argument of `aggregate` is
-    * evaluated exactly once), then one fold over the hashed longs keeps a
-    * running array of n per-seed minima, remixing the precomputed 8-byte
-    * hash per seed. Cost per row: |sh| string hashes + |sh|·n long
-    * hash/min ops — vs the naive n nested traversals that re-hash every
-    * shingle string n times. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    aggregate(
-      transform(shingleArr, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(1), lit(numHashes)),
-        (m, j) => least(m, xxhash64(h, j))))
+  // MinHash signatures are computed by the native MinHashSig expression
+  // (GraftFunctions.minhashSig) — one string hash per shingle + tight
+  // per-seed mixes; the equivalent aggregate/zip_with HOF composition
+  // measured ~20× slower at sf0.1 and was removed with its last caller.
 
   /** LSH banding: one row per (id, band, bandHash). Two docs share a
     * (band, bandHash) key with prob 1-(1-j^r)^b — the classic S-curve.
@@ -93,6 +81,9 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       tauPct: Int = 51): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "a remainder would silently drop signature components from banding")
     GraftFunctions.register(docs.sparkSession)
     val featurized = docs
       .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
@@ -100,16 +91,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(featurized, idCol, "sig", bands, numHashes / bands)
     // Screen candidates on the cheap signature estimate 2.5σ below tau
-    // (σ = sqrt(τ(1-τ)/64) ≈ 6.3% → 16-point margin): band collisions from
+    // (σ = sqrt(τ(1-τ)/n), computed from the ACTUAL signature width —
+    // at n=64, τ=0.51 this is the 16-point margin): band collisions from
     // a template-heavy corpus produce masses of sub-threshold pairs, and
     // the estimate rejects them without touching the shingle sets. Only
     // survivors pay for the exact intersect.
+    val tau = tauPct / 100.0
+    val marginPts = math.ceil(2.5 * math.sqrt(tau * (1 - tau) / numHashes) * 100).toInt
     val sigs = featurized.select(col(idCol), col("sig"))
     val screened = cands
       .join(sigs.toDF("sid_a", "sig_a"), col("id_a") === col("sid_a"))
       .join(sigs.toDF("sid_b", "sig_b"), col("id_b") === col("sid_b"))
       .where(sigAgreementPct(col("sig_a"), col("sig_b"), numHashes) >=
-        lit(math.max(tauPct - 16, 0)))
+        lit(math.max(tauPct - marginPts, 0)))
       .select(col("id_a"), col("id_b"))
     val sh = featurized.select(col(idCol), col("sh"))
     screened

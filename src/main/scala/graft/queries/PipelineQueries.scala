@@ -247,24 +247,32 @@ object PipelineQueries {
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
 
-    // mirrors the blob synthesis rule; the Spark side must recover format
-    // and PNG geometry from the bytes themselves
+    // the oracle sniffs the blob by MAGIC BYTES with the same rules as
+    // Multimodal.sniffFormat (not by the synthesis rule) — so the two
+    // sides agree even for text that happens to start with an ASCII
+    // magic prefix like "BM", "GIF8" or "RIFF"
     "mm_meta" ->
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN
         |    '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR\x00\x00\x00\x40\x00\x00\x00\x20'::BLOB || encode(text)
         |  WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
-        |  ELSE encode(text) END AS blob,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
-        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |  ELSE encode(text) END AS blob
+        | FROM documents),
+        |f AS (SELECT blob,
+        |  CASE WHEN hex(blob) LIKE '89504E47%' THEN 'png'
+        |       WHEN hex(blob) LIKE 'FFD8FF%' THEN 'jpeg'
+        |       WHEN hex(blob) LIKE '47494638%' THEN 'gif'
+        |       WHEN hex(blob) LIKE '52494646%' THEN 'riff'
+        |       WHEN hex(blob) LIKE '424D%' THEN 'bmp'
+        |       WHEN hex(blob) LIKE '000000%' THEN 'mp4ish'
         |       ELSE 'unknown' END AS format
-        | FROM documents)
+        | FROM b)
         |SELECT format, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(octet_length(blob)) AS BIGINT) AS total_bytes,
         | CAST(count(DISTINCT blob) AS BIGINT) AS n_distinct,
         | CAST(CASE WHEN format = 'png' THEN 64 ELSE -1 END AS INT) AS png_w,
         | CAST(CASE WHEN format = 'png' THEN 32 ELSE -1 END AS INT) AS png_h
-        |FROM b GROUP BY format ORDER BY format""".stripMargin,
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     "sim_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -31,11 +31,15 @@ object Emailer {
       crlf + stuffed
   }
 
-  /** One SMTP conversation; Left(error) on any unexpected reply. */
+  /** One SMTP conversation; Left(error) on any unexpected reply. Connect
+    * and read timeouts bound the whole exchange — a black-holed SMTP host
+    * must never hang the validator run past its report. */
   def send(host: String, port: Int, from: String, to: Seq[String],
-      message: String): Either[String, Unit] =
+      message: String, timeoutMs: Int = 10000): Either[String, Unit] =
     Try {
-      val socket = new Socket(host, port)
+      val socket = new Socket()
+      socket.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      socket.setSoTimeout(timeoutMs)
       try {
         val in = new BufferedReader(new InputStreamReader(socket.getInputStream))
         val out = new PrintWriter(socket.getOutputStream, true)

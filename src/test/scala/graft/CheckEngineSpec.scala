@@ -246,6 +246,21 @@ class CheckEngineSpec extends SparkSuite {
     assert(Threshold("0.5").errorLimit(5) == 2L) // fraction: (0.5 * 5).toLong
   }
 
+  test("driver and declarative verdicts agree at percent-threshold FP boundaries") {
+    // 29% of 100: value*(rowCount/100.0) = 29.0 exactly, while the other
+    // association 100*(29/100.0) = 28.999999999999996 truncates to 28 —
+    // both paths must use the reference association or they disagree with
+    // exactly 29 errors
+    val df = (1 to 100).map(i => ("k" + i, if (i <= 29) -1 else 1)).toDF("key", "v")
+    val spec = NegativeCheck("v", Some("29%"), "neg")
+    val driver = Runner.run(spark, TableSpec("t", _ => df, checks = Seq(spec)))
+      .results.head.failed
+    val declarative = Runner.verdictDF(df, Seq(spec))
+      .head().getAs[Boolean]("neg_failed")
+    assert(driver == declarative, s"driver=$driver declarative=$declarative")
+    assert(!driver) // 29 errors > limit 29 is false
+  }
+
   test("verdictDF is fully declarative: one row, correct flags") {
     val df = Seq(("a", -1), ("b", 2), ("c", 3)).toDF("key", "data")
     val v = Runner.verdictDF(df, Seq(

@@ -126,6 +126,34 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.tables.head.checks.map(_.label) == Seq("nullcheck_a", "nullcheck_a_2"))
   }
 
+  test("label uniquification survives a derived-label collision (a, a, a_2)") {
+    val yaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks:
+        |      - { type: nullCheck, column: a }
+        |      - { type: nullCheck, column: a }
+        |      - { type: nullCheck, column: a_2 }
+        |""".stripMargin
+    val cfg = ConfigParser.parse(yaml).fold(e => fail(e.mkString("; ")), identity)
+    val labels = cfg.tables.head.checks.map(_.label)
+    assert(labels.distinct.size == labels.size, s"labels collide: $labels")
+  }
+
+  test("present-but-mistyped check fields are errors, not silently dropped bounds") {
+    val errs = ConfigParser.parse(
+      """numKeyCols: 1
+        |numErrorsToReport: 10
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks:
+        |      - { type: stringLengthCheck, column: d, minLength: 2.5, maxLength: 8 }
+        |""".stripMargin).left.getOrElse(fail("expected errors"))
+    assert(errs.exists(_.contains("'minLength' must be an integer")), errs.mkString("; "))
+  }
+
   test("variable substitution: $var, ${var}, typed whole-string, interpolation") {
     val yaml =
       """numKeyCols: 1

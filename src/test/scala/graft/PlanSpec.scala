@@ -54,10 +54,14 @@ class PlanSpec extends SparkSuite {
     val p = plan(q("sim_knn"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"expected broadcast of the query set:\n$p")
-    // the only Exchange should be the final top-k window partitioning,
-    // never a repartition of the corpus for the join itself
-    val joinIdx = p.indexOf("Join")
-    val exchBeforeJoin = p.substring(joinIdx).contains("ShuffleExchange")
-    assert(!exchBeforeJoin, s"corpus shuffled before join:\n$p")
+    // the corpus (streamed) side of the join must feed straight from the
+    // scan — no Exchange between the join and its first child (shuffles
+    // after the join only touch the tiny top-k result and are fine)
+    val joinIdx = p.indexOf("NestedLoopJoin")
+    val bcastIdx = p.indexOf("BroadcastExchange", joinIdx)
+    assert(joinIdx >= 0 && bcastIdx > joinIdx, s"unexpected join shape:\n$p")
+    val streamedSide = p.substring(joinIdx, bcastIdx)
+    assert(!streamedSide.contains("Exchange "),
+      s"corpus shuffled before the join:\n$streamedSide")
   }
 }
