@@ -85,8 +85,10 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "a remainder would silently drop signature components from banding")
     GraftFunctions.register(docs.sparkSession)
+    // featurize once with the fused kernel: sorted hashed shingle set
+    // (also the verification representation) + signature derived from it
     val featurized = docs
-      .select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol), GraftFunctions.charShingleHashes(col(textCol), shingleK).as("sh"))
       .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(featurized, idCol, "sig", bands, numHashes / bands)
@@ -109,7 +111,7 @@ object Dedup {
     screened
       .join(sh.toDF("jid_a", "sh_a"), col("id_a") === col("jid_a"))
       .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
@@ -135,13 +137,14 @@ object Dedup {
       shingleK: Int = 5, tauPct: Int = 51): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(docs.sparkSession)
-    // Work on SORTED HASHED shingles throughout: 8-byte longs instead of
-    // UTF8Strings shrink every shuffle and let verification run as a
-    // linear merge. Hashing a deduplicated gram set preserves set
-    // cardinalities (64-bit collisions are negligible at any corpus size).
+    // Work on SORTED HASHED shingles throughout (one fused kernel):
+    // 8-byte longs instead of UTF8Strings shrink every shuffle and let
+    // verification run as a linear merge. Hashing a deduplicated gram set
+    // preserves set cardinalities (64-bit collisions are negligible at
+    // any corpus size).
     val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("gs"))
-      .select(col("id"), sort_array(transform(col("gs"), s => xxhash64(s))).as("sh"))
+      .select(col(idCol).as("id"),
+        GraftFunctions.charShingleHashes(col(textCol), shingleK).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))

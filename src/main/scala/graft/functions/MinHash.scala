@@ -27,9 +27,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType | LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires array<string>, got ${other.simpleString}")
+      s"minhash_sig requires array<string> (raw shingles) or array<bigint> " +
+        s"(pre-hashed shingles), got ${other.simpleString}")
+  }
+
+  private val preHashed = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -40,7 +46,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val h = SimHash64.hash64(arr.getUTF8String(t))
+        val h = if (preHashed) arr.getLong(t) else SimHash64.hash64(arr.getUTF8String(t))
         var j = 0
         while (j < numHashes) {
           val v = MinHashSig.mix64(h ^ seeds(j))
@@ -54,6 +60,54 @@ case class MinHashSig(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SORTED DISTINCT 64-bit hashes of a string's character k-grams — the
+  * featurization kernel shared by the Jaccard and MinHash dedup paths.
+  * Gram positions replicate the Column-DSL formulation exactly
+  * (`substring(c, i+1, k)` for i in [0, max(len-k, 0)], so a short
+  * string yields one truncated gram), and hashing a DISTINCT gram set
+  * preserves set cardinalities (64-bit collisions negligible).
+  *
+  * One pass, one allocation: the HOF chain (sequence → substring
+  * transform → array_distinct → xxhash transform → sort_array)
+  * materializes four intermediate arrays of boxed values per row and
+  * dominated both dedup featurize stages. */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_shingle_hashes requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numChars()
+    val n = math.max(len - k, 0) + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = SimHash64.hash64(s.substringSQL(i + 1, k))
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // dedupe in place on the sorted array
+    var out = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hashes(j) != hashes(j - 1)) { hashes(out) = hashes(j); out += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
     copy(child = newChild)
 }
 

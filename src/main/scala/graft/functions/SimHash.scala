@@ -97,6 +97,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_shingle_hashes", exprs => CharShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq), "built-in")
@@ -121,6 +124,11 @@ object GraftFunctions {
   /** |A∩B| of two sorted long arrays. Requires register(spark). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** text → sorted distinct 64-bit hashes of its char k-grams. Requires
+    * register(spark). */
+  def charShingleHashes(c: Column, k: Int): Column =
+    call_function("char_shingle_hashes", c, org.apache.spark.sql.functions.lit(k))
 
   /** Fused-loop cosine similarity of two vectors. Requires register(spark). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

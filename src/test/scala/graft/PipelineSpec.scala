@@ -80,6 +80,28 @@ class PipelineSpec extends SparkSuite {
     assert(ok.toSeq == Seq(true, false))
   }
 
+  test("fused shingle-hash kernel agrees with the Column shingles composition") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // per-doc distinct-gram cardinality identical
+    val szDiff = docs.select(
+        size(Dedup.shingles(col("text"), 5)).as("hof_sz"),
+        size(GraftFunctions.charShingleHashes(col("text"), 5)).as("native_sz"))
+      .where(col("hof_sz") =!= col("native_sz")).count()
+    assert(szDiff == 0L)
+    // pairwise intersections identical (string intersect vs hashed merge)
+    val sample = docs.where(col("doc_id") < 20)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("gs"),
+        GraftFunctions.charShingleHashes(col("text"), 5).as("hs"))
+    val pairDiff = sample.toDF("id_a", "gs_a", "hs_a")
+      .crossJoin(sample.toDF("id_b", "gs_b", "hs_b"))
+      .where(col("id_a") < col("id_b"))
+      .where(size(array_intersect(col("gs_a"), col("gs_b"))) =!=
+        GraftFunctions.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .count()
+    assert(pairDiff == 0L)
+  }
+
   test("minhash LSH finds planted near-duplicates with exact-jaccard verification") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
     val docs = (
