@@ -17,28 +17,61 @@ import scala.collection.mutable
   */
 object ConfigParser {
 
+  /** Load from the filesystem, or from the classpath with a
+    * `classpath:` prefix (ConfigParser.scala:38-49). */
   def parseFile(path: String, cliVars: Map[String, String] = Map.empty,
-      spark: Option[SparkSession] = None): Either[Seq[String], GraftConfig] = {
+      spark: Option[SparkSession] = None,
+      lint: Boolean = false): Either[Seq[String], GraftConfig] = {
     val text =
-      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      catch { case e: Exception => return Left(Seq(s"cannot read config '$path': ${e.getMessage}")) }
-    parse(text, cliVars, spark)
+      try {
+        if (path.startsWith("classpath:")) {
+          val res = path.stripPrefix("classpath:")
+          val is = getClass.getResourceAsStream(res)
+          if (is == null) return Left(Seq(s"config '$res' not found on classpath"))
+          try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally is.close()
+        } else
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            java.nio.charset.StandardCharsets.UTF_8)
+      } catch {
+        case e: Exception => return Left(Seq(s"cannot read config '$path': ${e.getMessage}"))
+      }
+    parse(text, cliVars, spark, lint)
+  }
+
+  /** Standalone config linter (reference ConfigParser.main,
+    * ConfigParser.scala:68-79): validates structure without side effects —
+    * shell commands don't run, no Spark session starts (their variables
+    * resolve to placeholders); exit 0 iff the config decodes. */
+  def main(args: Array[String]): Unit = {
+    if (args.length != 1) {
+      System.err.println("usage: graft.config.ConfigParser <config-file>")
+      sys.exit(1)
+    }
+    parseFile(args(0), lint = true) match {
+      case Right(cfg) =>
+        println(s"OK: ${cfg.tables.size} tables, " +
+          s"${cfg.tables.map(_.checks.size).sum} checks, ${cfg.vars.size} vars")
+      case Left(errors) =>
+        errors.foreach(e => System.err.println(s"error: $e"))
+        sys.exit(1)
+    }
   }
 
   def parse(text: String, cliVars: Map[String, String] = Map.empty,
-      spark: Option[SparkSession] = None): Either[Seq[String], GraftConfig] = {
+      spark: Option[SparkSession] = None,
+      lint: Boolean = false): Either[Seq[String], GraftConfig] = {
     val root =
       try CVal.fromJava(new org.yaml.snakeyaml.Yaml().load[Any](text))
       catch { case e: Exception => return Left(Seq(s"YAML parse error: ${e.getMessage}")) }
     root match {
-      case obj: CVal.CObj => decode(obj, cliVars, spark)
+      case obj: CVal.CObj => decode(obj, cliVars, spark, lint)
       case other => Left(Seq(s"config root must be a mapping, got ${other.render.take(80)}"))
     }
   }
 
   private def decode(raw: CVal.CObj, cliVars: Map[String, String],
-      spark: Option[SparkSession]): Either[Seq[String], GraftConfig] = {
+      spark: Option[SparkSession], lint: Boolean = false): Either[Seq[String], GraftConfig] = {
     val errs = mutable.ArrayBuffer[String]()
 
     // -- vars: resolved BEFORE substitution of the rest of the config
@@ -51,6 +84,9 @@ object ConfigParser {
     }
     varSpecs.foreach { v =>
       (v, spark) match {
+        case (vs @ (_: VarShell | _: VarSql), _) if lint =>
+          // lint mode: validate structure without running commands or SQL
+          varSub.add(vs.name, CVal.CStr("0"))
         case (VarSql(name, _), None) =>
           errs += s"variable '$name' is sql-kind but no SparkSession was provided"
         case _ => varSub.resolve(spark.orNull, v)

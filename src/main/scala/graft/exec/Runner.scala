@@ -60,8 +60,12 @@ object Runner {
 
   def configCheck(spark: SparkSession, table: TableSpec): Seq[String] = {
     val schema = table.open(spark).schema
-    duplicateLabels(table.checks).map(l =>
-      s"duplicate check label '$l' — give same-type checks distinct labels") ++
+    val keyErrs = table.keyColumns.toSeq.flatten
+      .filterNot(schema.fieldNames.contains)
+      .map(k => s"key column '$k' not found") // ValidatorTable.checkKeyCols (:50-74)
+    keyErrs ++
+      duplicateLabels(table.checks).map(l =>
+        s"duplicate check label '$l' — give same-type checks distinct labels") ++
       table.checks.flatMap(c => CheckCompiler.configCheck(c, schema).map(e => s"${c.label}: $e"))
   }
 

@@ -310,6 +310,37 @@ class ConfigSpec extends SparkSuite {
     assert(report.isEmpty)
   }
 
+  test("lint mode validates structure without executing shell/sql vars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lint").toFile
+    val canary = new java.io.File(dir, "canary")
+    val cfgFile = new java.io.File(dir, "conf.yaml")
+    java.nio.file.Files.writeString(cfgFile.toPath,
+      s"""numKeyCols: 1
+         |numErrorsToReport: 1
+         |vars:
+         |  - { name: sideeffect, shell: "touch ${canary.getPath}" }
+         |  - { name: needsspark, sql: "SELECT 1" }
+         |tables:
+         |  - parquetFile: $$sideeffect/$$needsspark.parquet
+         |    checks: [{ type: rowCount, minNumRows: 1 }]
+         |""".stripMargin)
+    val linted = ConfigParser.parseFile(cfgFile.getPath, lint = true)
+    assert(linted.isRight, linted.left.getOrElse(Nil).mkString("; "))
+    assert(!canary.exists(), "lint mode executed a shell command")
+    // and a broken config still fails lint
+    java.nio.file.Files.writeString(cfgFile.toPath, "numKeyCols: 1\n")
+    assert(ConfigParser.parseFile(cfgFile.getPath, lint = true).isLeft)
+  }
+
+  test("configCheck reports missing keyColumns") {
+    val spec = model.TableSpec("t",
+      s => s.read.parquet(s"$sf0001/customer.parquet"),
+      keyColumns = Some(Seq("c_custkey", "no_such_col")),
+      checks = Seq(model.NullCheck("c_name")))
+    val errs = exec.Runner.configCheck(spark, spec)
+    assert(errs.exists(_.contains("key column 'no_such_col' not found")), errs.mkString("; "))
+  }
+
   test("Main.parseArgs: flags, vars, errors") {
     assert(Main.parseArgs(Seq("--config", "c.yaml", "--exitErrorOnFail")) ==
       Right(Main.Cli(config = "c.yaml", exitErrorOnFail = true)))
