@@ -102,6 +102,27 @@ object PipelineQueries {
              coalesce(min(col("hamming")), lit(-1)).as("min_hamming"))
     }),
 
+    // End-to-end corpus curation: quality-filter → exact dedup (keep the
+    // lowest doc_id per content hash) → corpus summary. The deterministic
+    // composition of the pipeline stages, verified stage by stage against
+    // the oracle; the probabilistic near-dup stage is dedup_minhash.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TF.qualityScore(col("text")).as("q"))
+      val quality = scored.where(col("q") >= 0.5)
+      val kept = quality
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      docs.agg(count(lit(1L)).as("n_input"))
+        .crossJoin(quality.agg(count(lit(1L)).as("n_quality")))
+        .crossJoin(kept.agg(count(lit(1L)).as("n_kept"),
+          round(avg(col("q")), 6).as("avg_q_kept"),
+          sum(length(col("text"))).cast("long").as("kept_chars")))
+    }),
+
     // Multimodal metadata over binary columns: blobs synthesized from the
     // documents table with real magic bytes (deterministic by doc_id), then
     // sniffed/measured by the ACTUAL binary operators — format by magic,
@@ -246,6 +267,24 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH scored AS (SELECT doc_id, text,
+        |  round(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+        |   + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))
+        |   + 0.3 * (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |       / greatest(len(string_split_regex(trim(text), '\s+')), 1) BETWEEN 3.0 AND 12.0
+        |     THEN 1.0 ELSE 0.0 END), 6) AS q
+        | FROM documents),
+        |quality AS (SELECT * FROM scored WHERE q >= 0.5),
+        |kept AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM quality) WHERE rn = 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+        | (SELECT CAST(count(*) AS BIGINT) FROM quality) AS n_quality,
+        | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+        | (SELECT round(avg(q), 6) FROM kept) AS avg_q_kept,
+        | (SELECT CAST(sum(length(text)) AS BIGINT) FROM kept) AS kept_chars""".stripMargin,
 
     // the oracle sniffs the blob by MAGIC BYTES with the same rules as
     // Multimodal.sniffFormat (not by the synthesis rule) — so the two
