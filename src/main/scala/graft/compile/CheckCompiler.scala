@@ -95,6 +95,10 @@ object CheckCompiler {
     def field(c: String): Either[String, StructField] =
       schema.fields.find(_.name == c).toRight(s"column '$c' not found")
     def isNumeric(dt: DataType) = dt.isInstanceOf[NumericType]
+    // EXTENSION over the reference (SURVEY §1.2): temporal columns accept
+    // string bounds (ISO literals), via Catalyst's string→temporal coercion
+    def isTemporal(dt: DataType) =
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
 
     check match {
       case NullCheck(c, t, _) => field(c).swap.toSeq ++ badThreshold(t)
@@ -118,8 +122,8 @@ object CheckCompiler {
           (mn.toSeq ++ mx.toSeq).collect {
             case Bound.Num(_) if !isNumeric(f.dataType) =>
               s"numeric range bound on non-numeric column '$c' (${f.dataType.simpleString})"
-            case Bound.Str(_) if f.dataType != StringType =>
-              s"string range bound on non-string column '$c' (${f.dataType.simpleString})"
+            case Bound.Str(_) if f.dataType != StringType && !isTemporal(f.dataType) =>
+              s"string range bound on non-string/temporal column '$c' (${f.dataType.simpleString})"
             case Bound.Ref(rc) if schema.fields.exists(rf => rf.name == rc &&
                 isNumeric(rf.dataType) != isNumeric(f.dataType)) =>
               s"range bound column '$rc' type incompatible with '$c'"
@@ -147,8 +151,8 @@ object CheckCompiler {
           expected match {
             case Bound.Num(_) if !isNumeric(f.dataType) =>
               Seq(s"numeric columnMaxCheck on non-numeric column '$c' (${f.dataType.simpleString})")
-            case Bound.Str(_) if f.dataType != StringType =>
-              Seq(s"string columnMaxCheck on non-string column '$c' (${f.dataType.simpleString})")
+            case Bound.Str(_) if f.dataType != StringType && !isTemporal(f.dataType) =>
+              Seq(s"string columnMaxCheck on non-string/temporal column '$c' (${f.dataType.simpleString})")
             case _ => Nil
           }
         }

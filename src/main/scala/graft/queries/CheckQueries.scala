@@ -101,6 +101,16 @@ object CheckQueries {
       Runner.errorDetailsDF(t(s, dir, "customer"), Seq("c_custkey"),
         Seq(NegativeCheck("c_acctbal")), 20, deterministic = true)),
 
+    // rangeCheck on a TIMESTAMP column with ISO-string bounds — an
+    // extension over the reference, which can only check string/boolean/
+    // numeric columns (SURVEY §1.2)
+    "chk_tsrange" -> ((s, dir) =>
+      Runner.verdictDF(t(s, dir, "events"), Seq(
+        RangeCheck("ts",
+          Some(Bound.Str("2024-01-10 00:00:00")),
+          Some(Bound.Str("2024-01-20 00:00:00")),
+          inclusive = false, Some("50%"), "tsrange")))),
+
     // ---- source loaders beyond parquet, proven against the same rows ----
     "chk_orc" -> ((s, dir) =>
       Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
@@ -228,6 +238,15 @@ object CheckQueries {
     "chk_detail" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal < 0 ORDER BY c_custkey LIMIT 20""".stripMargin,
+
+    "chk_tsrange" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        | CAST(count(*) FILTER (WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |   OR ts >= TIMESTAMP '2024-01-20 00:00:00') AS BIGINT) AS tsrange_errs,
+        | count(*) FILTER (WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+        |   OR ts >= TIMESTAMP '2024-01-20 00:00:00')
+        |   > CAST(floor(50 * (count(*) / 100.0)) AS BIGINT) AS tsrange_failed
+        |FROM events""".stripMargin,
 
     // oracles read the parquet view of the same table the fixture was
     // written from — proving the orc / format loaders reproduce the rows

@@ -201,6 +201,21 @@ class CheckEngineSpec extends SparkSuite {
     assert(configCheck(ColumnMaxCheck("str", Bound.Str("x")), schema).isEmpty)
   }
 
+  test("rangeCheck extends to timestamp columns with ISO-string bounds") {
+    import java.sql.Timestamp
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-05 00:00:00")),
+      ("b", Timestamp.valueOf("2024-01-15 00:00:00")),
+      ("c", Timestamp.valueOf("2024-01-25 00:00:00"))).toDF("key", "ts")
+    val spec = RangeCheck("ts",
+      Some(Bound.Str("2024-01-10 00:00:00")), Some(Bound.Str("2024-01-20 00:00:00")),
+      inclusive = false, None, "tsr")
+    // superset over the reference: temporal columns are checkable
+    assert(graft.compile.CheckCompiler.configCheck(spec, df.schema).isEmpty)
+    val r = Runner.run(spark, TableSpec("t", _ => df, checks = Seq(spec)))
+    assert(r.results.head.metrics("errorCount") == 2L) // a (early) and c (late)
+  }
+
   test("duplicate check labels are rejected up front (run + configCheck)") {
     val df = Seq[(String, Option[Int], Option[Int])](("a", Some(1), None)).toDF("key", "x", "y")
     val t = TableSpec("t", _ => df, checks = Seq(NullCheck("x"), NullCheck("y")))
