@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration route for graft's native expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * makes every function available in SQL and via `call_function` on all
+  * sessions of the application — the idiomatic `SparkSessionExtensions`
+  * injection point, equivalent to the per-session
+  * [[graft.functions.GraftFunctions.register]] used programmatically. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array",
+      exprs => SimHash64(exprs.head))
+    inject("minhash_sig", "minhash_sig(shingles, n) - n-component MinHash signature",
+      exprs => MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("minhash_agree", "minhash_agree(a, b) - agreeing signature components",
+      exprs => MinHashAgree(exprs.head, exprs(1)))
+    inject("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of sorted long arrays",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)))
+    inject("char_shingle_hashes", "char_shingle_hashes(text, k) - sorted distinct k-gram hashes",
+      exprs => CharShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("cosine_sim", "cosine_sim(a, b) - cosine similarity of two vectors",
+      exprs => CosineSim(exprs.head, exprs(1)))
+    inject("cosine_lsh_buckets", "cosine_lsh_buckets(vec, planes, tables, seed) - sign-LSH bucket ids",
+      exprs => CosineLshBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()))
+    inject("lang_id", "lang_id(text) - stopword language identification",
+      exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq))
+  }
+}
