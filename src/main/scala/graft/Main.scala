@@ -104,10 +104,15 @@ object Main {
         sys.exit(-1)
     }
     // Under spark-submit the master comes from the launcher; standalone
-    // runs (tests, local CLI) fall back to all local cores.
-    val builder = SparkSession.builder()
+    // runs (tests, local CLI) fall back to all local cores. Hive support
+    // backs the db+table source kind (reference Main.scala:86-87);
+    // enabled when the hive classes are on the classpath.
+    val builder0 = SparkSession.builder()
       .appName("graft-validator")
       .config("spark.ui.enabled", "false")
+    val builder =
+      try builder0.enableHiveSupport()
+      catch { case _: IllegalArgumentException => builder0 }
     val spark =
       if (sys.props.contains("spark.master")) builder.getOrCreate()
       else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")).getOrCreate()
