@@ -216,6 +216,25 @@ class CheckEngineSpec extends SparkSuite {
     assert(r.results.head.metrics("errorCount") == 2L) // a (early) and c (late)
   }
 
+  test("rangeCheck extends to DATE columns and DECIMAL columns") {
+    import java.sql.Date
+    val dates = Seq(("a", Date.valueOf("2024-01-05")), ("b", Date.valueOf("2024-06-15")))
+      .toDF("key", "d")
+    val dSpec = RangeCheck("d", Some(Bound.Str("2024-03-01")), None,
+      inclusive = false, None, "dr")
+    assert(graft.compile.CheckCompiler.configCheck(dSpec, dates.schema).isEmpty)
+    val dr = Runner.run(spark, TableSpec("t", _ => dates, checks = Seq(dSpec)))
+    assert(dr.results.head.metrics("errorCount") == 1L) // only 2024-01-05 below
+
+    val decimals = Seq(("a", BigDecimal("10.50")), ("b", BigDecimal("-3.25")))
+      .toDF("key", "v")
+    val r = Runner.run(spark, TableSpec("t", _ => decimals, checks = Seq(
+      NegativeCheck("v", None, "neg"),
+      ColumnSumCheck("v", Some(0.0), None, inclusive = false, "sum"))))
+    assert(r.results.find(_.label == "neg").get.metrics("errorCount") == 1L)
+    assert(!r.results.find(_.label == "sum").get.failed) // 7.25 > 0
+  }
+
   test("duplicate check labels are rejected up front (run + configCheck)") {
     val df = Seq[(String, Option[Int], Option[Int])](("a", Some(1), None)).toDF("key", "x", "y")
     val t = TableSpec("t", _ => df, checks = Seq(NullCheck("x"), NullCheck("y")))

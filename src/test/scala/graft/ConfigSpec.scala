@@ -341,6 +341,12 @@ class ConfigSpec extends SparkSuite {
     assert(errs.exists(_.contains("key column 'no_such_col' not found")), errs.mkString("; "))
   }
 
+  test("missing config file is fatal, not a crash") {
+    val (fatal, validatorFail, report) = Main.run(spark,
+      Main.Cli(config = "/no/such/config.yaml"))
+    assert(fatal && !validatorFail && report.isEmpty)
+  }
+
   test("Main.parseArgs: flags, vars, errors") {
     assert(Main.parseArgs(Seq("--config", "c.yaml", "--exitErrorOnFail")) ==
       Right(Main.Cli(config = "c.yaml", exitErrorOnFail = true)))

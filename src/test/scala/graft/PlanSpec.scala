@@ -37,6 +37,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join reintroduced:\n$p")
   }
 
+  test("dedup_minhash joins by key equality with the signature screen in place") {
+    val p = plan(q("dedup_minhash"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration degraded to all-pairs:\n$p")
+    assert(p.contains("minhash_agree"), s"candidate screen missing from the plan:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"featurization not shared via cache:\n$p")
+  }
+
   test("chk_fused is one aggregate over one scan (no shuffle beyond the final agg)") {
     val p = plan(q("chk_fused"))
     // one partial+final HashAggregate pair over a single parquet scan
