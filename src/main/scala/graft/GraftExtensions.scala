@@ -43,5 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(3).eval().asInstanceOf[Number].longValue()))
     inject("lang_id", "lang_id(text) - stopword language identification",
       exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq))
+    inject("jpeg_dims", "jpeg_dims(blob) - array(width, height) from a JPEG SOF header",
+      exprs => JpegDims(exprs.head))
   }
 }

@@ -58,6 +58,18 @@ object Main {
       config: GraftConfig): (Boolean, Boolean, Option[String]) = {
     val tables = config.tables.map(_.toTableSpec)
 
+    // pre-flight: every file sink must be creatable/appendable BEFORE the
+    // first Spark job (reference Main.scala:55-66) — discovering a bad
+    // report path after an hour-long run wastes the whole run
+    val fileSinks = (config.outputs.collect { case FileOutput(f, _) => f } ++
+      cli.jsonReport ++ cli.htmlReport).distinct
+    val preflightErrors = fileSinks.flatMap(f =>
+      ReportIO.canAppendOrCreate(spark, f).left.toOption)
+    if (preflightErrors.nonEmpty) {
+      preflightErrors.foreach(e => System.err.println(s"[graft] preflight: $e"))
+      return (true, false, None)
+    }
+
     // config check: metadata-only schema validation, no data read
     val configErrors = tables.flatMap { t =>
       try Runner.configCheck(spark, t).map(e => s"${t.name}: $e")
@@ -109,6 +121,7 @@ object Main {
     // enabled when the hive classes are on the classpath.
     val builder0 = SparkSession.builder()
       .appName("graft-validator")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val builder =
       try builder0.enableHiveSupport()

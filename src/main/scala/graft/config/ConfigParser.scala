@@ -146,7 +146,13 @@ object ConfigParser {
     case o: CVal.CObj =>
       (o.get("smtpHost"), o.get("subject"), o.get("from"), o.get("to")) match {
         case (Some(CVal.CStr(h)), Some(CVal.CStr(s)), Some(CVal.CStr(f)), Some(CVal.CArr(to))) =>
-          Some(EmailConfig(h, s, f, to.collect { case CVal.CStr(t) => t }))
+          // present-but-wrong-typed recipients are errors, not silent drops
+          // (same policy as decodeCheck's badType)
+          val bad = to.filterNot(_.isInstanceOf[CVal.CStr])
+          if (bad.nonEmpty) {
+            errs += s"email 'to' entries must be strings, got ${bad.map(_.render.take(40)).mkString(", ")}"
+            None
+          } else Some(EmailConfig(h, s, f, to.collect { case CVal.CStr(t) => t }))
         case _ => errs += s"email needs smtpHost/subject/from/to: ${v.render.take(120)}"; None
       }
     case other => errs += s"'email' must be a mapping: ${other.render.take(80)}"; None
@@ -192,8 +198,19 @@ object ConfigParser {
             None
         }
       val condition = o.get("condition").collect { case CVal.CStr(c) => c }
-      val keyColumns = o.get("keyColumns").collect {
-        case CVal.CArr(ks) => ks.collect { case CVal.CStr(k) => k }
+      // a typoed keyColumns must not silently disable error-detail keying
+      // — present-but-wrong-typed is an error (decodeCheck's badType policy)
+      val keyColumns = o.get("keyColumns") match {
+        case Some(CVal.CArr(ks)) =>
+          val bad = ks.filterNot(_.isInstanceOf[CVal.CStr])
+          if (bad.nonEmpty) {
+            errs += s"'keyColumns' entries must be strings, got ${bad.map(_.render.take(40)).mkString(", ")}"
+            None
+          } else Some(ks.collect { case CVal.CStr(k) => k })
+        case Some(other) =>
+          errs += s"'keyColumns' must be a list of strings, got ${other.render.take(60)}"
+          None
+        case None => None
       }
       val checks = o.get("checks") match {
         case Some(CVal.CArr(cs)) => uniquifyLabels(cs.flatMap(decodeCheck(_, errs)))

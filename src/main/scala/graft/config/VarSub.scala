@@ -17,7 +17,7 @@ import scala.util.{Failure, Success, Try}
   *     string form (:79-124);
   *   - referencing an undefined variable is an error (:96-103).
   */
-final class VarSub {
+final class VarSub(envGet: String => String = System.getenv) {
   import VarSub._
 
   private val dict = mutable.LinkedHashMap[String, CVal]()
@@ -46,10 +46,16 @@ final class VarSub {
   def resolve(spark: SparkSession, v: VarSpec): Unit = v match {
     case VarValue(name, value) => add(name, substitute(value))
     case VarEnv(name, env) =>
-      substituteString(env).flatMap(e => sys.env.get(e).toRight(
-        s"variable '$name': environment variable '$e' not set")) match {
-        case Right(value) => add(name, CVal.CStr(value))
+      substituteString(env) match {
         case Left(e) => errs += e
+        case Right(e) => readEnv(e, envGet) match {
+          case EnvPresent(value) => add(name, CVal.CStr(value))
+          case EnvUnset => errs += s"variable '$name': environment variable '$e' not set"
+          case EnvInaccessible(m) =>
+            errs += s"variable '$name': environment variable '$e' inaccessible (security): $m"
+          case EnvError(m) =>
+            errs += s"variable '$name': reading environment variable '$e' failed: $m"
+        }
       }
     case VarShell(name, shell) =>
       substituteString(shell) match {
@@ -110,7 +116,14 @@ final class VarSub {
   private def substituteString(s: String): Either[String, String] = {
     val before = errs.size
     val out = substituteStr(s).asInterpolation
-    if (errs.size > before) Left(errs.remove(errs.size - 1)) else Right(out)
+    if (errs.size > before) {
+      // claim ALL errors this substitution added (a string can reference
+      // several undefined variables) so none linger in the shared buffer
+      // for the caller to double-report
+      val added = errs.slice(before, errs.size).mkString("; ")
+      errs.remove(before, errs.size - before)
+      Left(added)
+    } else Right(out)
   }
 
   private def hasVarRef(v: CVal): Boolean = v match {
@@ -122,6 +135,28 @@ final class VarSub {
 }
 
 object VarSub {
+
+  /** Environment-variable read taxonomy (reference
+    * EnvironmentVariables.scala:6-56): a variable can be Present, Unset,
+    * Inaccessible (a security manager denies the read), or Error (any
+    * other failure) — the last two are distinct failure modes, not
+    * "unset", and their diagnostics must say so. */
+  sealed trait EnvResult
+  final case class EnvPresent(value: String) extends EnvResult
+  case object EnvUnset extends EnvResult
+  final case class EnvInaccessible(msg: String) extends EnvResult
+  final case class EnvError(msg: String) extends EnvResult
+
+  /** `get` is injectable so the four-state matrix is testable without a
+    * real security manager. */
+  def readEnv(name: String, get: String => String = System.getenv): EnvResult =
+    try Option(get(name)).fold[EnvResult](EnvUnset)(EnvPresent.apply)
+    catch {
+      case e: SecurityException => EnvInaccessible(Option(e.getMessage).getOrElse("denied"))
+      case scala.util.control.NonFatal(t) =>
+        EnvError(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+    }
+
   private val NameRegexStr = "[A-Za-z][A-Za-z0-9_]*"
   private val NameRegex = NameRegexStr.r
   /** `$name` or `${name}` (VarSubstitution.scala:148-150). */

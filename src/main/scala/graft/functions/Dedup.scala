@@ -69,6 +69,28 @@ object Dedup {
   def sigAgreementPct(sigA: Column, sigB: Column, numHashes: Int): Column =
     GraftFunctions.minhashAgree(sigA, sigB) * 100L / numHashes
 
+  /** Materialize-then-release cache protocol shared by the dedup APIs:
+    * the big featurization DataFrame is persisted only for the duration
+    * of ONE job that computes the (small) pair result, then unpersisted —
+    * a long-lived session accumulates no cache blocks per call. The pair
+    * result is captured with an eager `localCheckpoint` (pairs are tiny
+    * relative to the corpus; its blocks are reaped by the ContextCleaner
+    * once the caller drops the DataFrame, unlike `persist`, which pins
+    * blocks until an explicit unpersist). Callers that would rather keep
+    * full lineage (e.g. long fault-tolerant cluster jobs where a lost
+    * executor must recompute) pass `materialize = false` and own the
+    * featurization cache: result consumption keeps using the cache, and
+    * the caller clears it (`spark.catalog.clearCache()` or unpersist via
+    * the plan) when done. */
+  private def materializeAndRelease(result: DataFrame, featurized: DataFrame,
+      materialize: Boolean): DataFrame =
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true) // one job, featurization cached during it
+      featurized.unpersist(blocking = false)
+      out
+    }
+
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
     * tauPct/100 (integer threshold compare — no float boundary).
     *
@@ -77,10 +99,11 @@ object Dedup {
     * sides of the verification join) — without the cache barrier, Spark
     * would recompute shingling + signatures per join side. At corpus
     * scale this is the standard shape: one featurization pass
-    * materialized, then shuffles only on compact band keys and id pairs. */
+    * materialized, then shuffles only on compact band keys and id pairs.
+    * Cache lifecycle per [[materializeAndRelease]]. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      tauPct: Int = 51): DataFrame = {
+      tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "a remainder would silently drop signature components from banding")
@@ -108,7 +131,7 @@ object Dedup {
         lit(math.max(tauPct - marginPts, 0)))
       .select(col("id_a"), col("id_b"))
     val sh = featurized.select(col(idCol), col("sh"))
-    screened
+    val result = screened
       .join(sh.toDF("jid_a", "sh_a"), col("id_a") === col("jid_a"))
       .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -116,6 +139,7 @@ object Dedup {
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    materializeAndRelease(result, featurized, materialize)
   }
 
   /** EXACT Jaccard near-dup self-join at tauPct/100 via AllPairs prefix
@@ -132,9 +156,10 @@ object Dedup {
     * rarest-first rank (window over doc id — many small groups, no skew) →
     * prefix index → self-join on shingle + size-ratio prefilter → distinct
     * pairs → exact intersect verify. Every stage is a key-partitioned
-    * shuffle; candidate volume scales with real similarity, not n². */
+    * shuffle; candidate volume scales with real similarity, not n².
+    * Cache lifecycle per [[materializeAndRelease]]. */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, tauPct: Int = 51): DataFrame = {
+      shingleK: Int = 5, tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(docs.sparkSession)
     // Work on SORTED HASHED shingles throughout (one fused kernel):
@@ -161,7 +186,7 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         sizeCompatible(col("sz_a"), col("sz_b"), tauPct))
       .select("id_a", "id_b").distinct()
-    cands
+    val result = cands
       .join(sh.toDF("jid_a", "sh_a", "sz_a"), col("id_a") === col("jid_a"))
       .join(sh.toDF("jid_b", "sh_b", "sz_b"), col("id_b") === col("jid_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -169,6 +194,7 @@ object Dedup {
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    materializeAndRelease(result, sh, materialize)
   }
 
   /** Exact duplicate groups by full-content hash: (hash, n, canonical id =

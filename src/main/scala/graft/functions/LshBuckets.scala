@@ -41,10 +41,12 @@ case class CosineSim(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"cosine_sim requires array<float|double>, got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
-  private val leftFloat = left.dataType match {
+  // lazy: reading child.dataType on an unresolved child must surface as a
+  // TypeCheckFailure at analysis, not an UnresolvedException at construction
+  private lazy val leftFloat = left.dataType match {
     case ArrayType(FloatType, _) => true; case _ => false
   }
-  private val rightFloat = right.dataType match {
+  private lazy val rightFloat = right.dataType match {
     case ArrayType(FloatType, _) => true; case _ => false
   }
 
@@ -81,7 +83,8 @@ case class CosineLshBuckets(child: Expression, numPlanes: Int, numTables: Int,
       s"cosine_lsh_buckets requires array<float|double>, got ${other.simpleString}")
   }
 
-  private val isFloat = child.dataType match {
+  // lazy for the same unresolved-children reason as CosineSim's flags
+  private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

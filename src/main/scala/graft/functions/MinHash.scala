@@ -33,7 +33,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
         s"(pre-hashed shingles), got ${other.simpleString}")
   }
 
-  private val preHashed = child.dataType match {
+  // lazy: constructing with an unresolved child must not throw here — the
+  // type error belongs to checkInputDataTypes at analysis time
+  private lazy val preHashed = child.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
   }

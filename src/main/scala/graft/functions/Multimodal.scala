@@ -44,16 +44,28 @@ object Multimodal {
   def pngHeight(bin: Column): Column =
     conv(hex(substring(bin, 21, 4)), 16, 10).cast("int")
 
+  /** JPEG geometry via the native SOF-marker walk ([[JpegDims]] — the
+    * offsets are variable, unlike PNG's fixed IHDR, so this is the one
+    * header parse that needs an expression). NULL when no frame header.
+    * Requires [[GraftFunctions.register]] on the session. */
+  def jpegWidth(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 1)
+  def jpegHeight(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 2)
+
   /** One metadata struct per blob — the column a pipeline materializes
-    * next to the binary at ingest. */
+    * next to the binary at ingest. Geometry is recovered headers-only for
+    * png (fixed-offset IHDR) and jpeg (SOF walk); other formats carry
+    * NULL dims until their decoder lands. Requires
+    * [[GraftFunctions.register]] for the jpeg path. */
   def mediaMeta(bin: Column): Column = {
     val fmt = sniffFormat(bin)
     struct(
       byteLength(bin).as("n_bytes"),
       fmt.as("format"),
       contentHash(bin).as("content_hash"),
-      when(fmt === "png", pngWidth(bin)).as("width"),
-      when(fmt === "png", pngHeight(bin)).as("height"))
+      when(fmt === "png", pngWidth(bin))
+        .when(fmt === "jpeg", jpegWidth(bin)).as("width"),
+      when(fmt === "png", pngHeight(bin))
+        .when(fmt === "jpeg", jpegHeight(bin)).as("height"))
   }
 
   /** Decoded-media record produced by the decode stage. */
@@ -75,8 +87,11 @@ object Multimodal {
     if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
         bytes(2) == 'N' && bytes(3) == 'G')
       ("png", be32(16), be32(20), h)
-    else
-      ("unknown", 1 + (math.abs(h) % 4096).toInt, 1 + (math.abs(h >> 12) % 4096).toInt, h)
+    else JpegDims.parse(bytes) match {
+      case Some((w, ht)) => ("jpeg", w, ht, h)
+      case None =>
+        ("unknown", 1 + (math.abs(h) % 4096).toInt, 1 + (math.abs(h >> 12) % 4096).toInt, h)
+    }
   }
 
   /** Decode stage as a typed partition-streaming map — the Scala analog

@@ -104,6 +104,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_dims", exprs => JpegDims(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -132,6 +134,10 @@ object GraftFunctions {
 
   /** Fused-loop cosine similarity of two vectors. Requires register(spark). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** JPEG blob → array(width, height) from its SOF header, NULL if absent.
+    * Requires register(spark). */
+  def jpegDims(c: Column): Column = call_function("jpeg_dims", c)
 
   /** One-pass language ID (same semantics as TextFunctions.langId).
     * Requires register(spark). */

@@ -22,6 +22,12 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // join types that emit unmatched rows of the REPLICATED side would
+    // emit each such row saltFactor times — reject them
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin replicates the right side; joinType '$joinType' would emit " +
+        "unmatched right rows saltFactor times (use inner/left-preserving types)")
     // per-row deterministic-at-runtime spread; the salt only routes rows
     // to reducers, so its exact values never affect results
     val salted = skewed.withColumn("__salt",

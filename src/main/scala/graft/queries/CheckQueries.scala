@@ -118,6 +118,26 @@ object CheckQueries {
         NullCheck("n_name", None, "null_name"),
         ColumnMaxCheck("n_regionkey", Bound.Num(4), "max_rk")))),
 
+    // The metastore-backed source kind — the reference's PRIMARY production
+    // path (db+table is first in its source decode order,
+    // ConfigParser.scala:20-25, ValidatorTable.scala:228-261). The testdata
+    // table is saved into the session catalog ONCE (external table over a
+    // build-output path), then read back through Sources.hiveTable — the
+    // full catalog data path — and validated against the same rows the
+    // DuckDB oracle reads from parquet.
+    "chk_hive" -> ((s, dir) => {
+      val tbl = "graft_supplier_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/supplier_catalog"
+        t(s, dir, "supplier").write.mode("overwrite")
+          .option("path", loc).saveAsTable(tbl)
+      }
+      Runner.verdictDF(graft.sources.Sources.hiveTable(s, tbl), Seq(
+        MinNumRows(1, "rowcount"),
+        NullCheck("s_name", None, "null_name"),
+        ColumnMaxCheck("s_nationkey", Bound.Num(24), "max_nk")))
+    }),
+
     // nullCheck rides on r_name (never null): the JSON writer drops
     // all-null fields entirely, so an always-null column would not even
     // appear in the inferred schema.
@@ -258,6 +278,15 @@ object CheckQueries {
         | count(*) < 5 AS rowcount_failed,
         | max(n_regionkey) != 4.0 AS max_rk_failed
         |FROM nation""".stripMargin,
+
+    "chk_hive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        | CAST(count(*) FILTER (WHERE s_name IS NULL) AS BIGINT) AS null_name_errs,
+        | max(s_nationkey) AS max_nk_max,
+        | count(*) FILTER (WHERE s_name IS NULL) > 0 AS null_name_failed,
+        | count(*) < 1 AS rowcount_failed,
+        | max(s_nationkey) != 24.0 AS max_nk_failed
+        |FROM supplier""".stripMargin,
 
     "chk_format" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,

@@ -130,22 +130,36 @@ object PipelineQueries {
     // mirrors the synthesis rule; the engine side must recover it by
     // inspection.
     "mm_meta" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val pngHdr = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
         0, 0, 0, 0x0D, 'I', 'H', 'D', 'R', 0, 0, 0, 0x40, 0, 0, 0, 0x20))
-      val jpgHdr = lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+      // a REAL (headers-only) JPEG prefix: SOI + APP0/JFIF + SOF0 with
+      // 8-bit precision, height 48, width 96, 1 component — the engine
+      // side must recover the geometry by walking the markers
+      val jpgHdr = lit(Array[Byte](
+        0xFF.toByte, 0xD8.toByte, // SOI
+        0xFF.toByte, 0xE0.toByte, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+        0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // APP0, len 16
+        0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08,
+        0x00, 0x30, 0x00, 0x60, 0x01, 0x01, 0x11, 0x00)) // SOF0: h=48 w=96
       val withBlob = t(s, dir, "documents").withColumn("blob",
         when(col("doc_id") % 3 === 0, concat(pngHdr, encode(col("text"), "UTF-8")))
           .when(col("doc_id") % 3 === 1, concat(jpgHdr, encode(col("text"), "UTF-8")))
           .otherwise(encode(col("text"), "UTF-8")))
+        .withColumn("format", MM.sniffFormat(col("blob"))) // computed ONCE per row
       withBlob
-        .groupBy(MM.sniffFormat(col("blob")).as("format"))
+        .groupBy(col("format"))
         .agg(count(lit(1L)).as("n"),
              sum(MM.byteLength(col("blob"))).cast("long").as("total_bytes"),
              countDistinct(col("blob")).as("n_distinct"),
-             coalesce(max(when(MM.sniffFormat(col("blob")) === "png",
+             coalesce(max(when(col("format") === "png",
                MM.pngWidth(col("blob")))), lit(-1)).as("png_w"),
-             coalesce(max(when(MM.sniffFormat(col("blob")) === "png",
-               MM.pngHeight(col("blob")))), lit(-1)).as("png_h"))
+             coalesce(max(when(col("format") === "png",
+               MM.pngHeight(col("blob")))), lit(-1)).as("png_h"),
+             coalesce(max(when(col("format") === "jpeg",
+               MM.jpegWidth(col("blob")))), lit(-1)).as("jpg_w"),
+             coalesce(max(when(col("format") === "jpeg",
+               MM.jpegHeight(col("blob")))), lit(-1)).as("jpg_h"))
         .orderBy("format")
     }),
 
@@ -294,7 +308,8 @@ object PipelineQueries {
       """WITH b AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN
         |    '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR\x00\x00\x00\x40\x00\x00\x00\x20'::BLOB || encode(text)
-        |  WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |  WHEN doc_id % 3 = 1 THEN
+        |    '\xFF\xD8\xFF\xE0\x00\x10\x4A\x46\x49\x46\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00\xFF\xC0\x00\x0B\x08\x00\x30\x00\x60\x01\x01\x11\x00'::BLOB || encode(text)
         |  ELSE encode(text) END AS blob
         | FROM documents),
         |f AS (SELECT blob,
@@ -310,7 +325,9 @@ object PipelineQueries {
         | CAST(sum(octet_length(blob)) AS BIGINT) AS total_bytes,
         | CAST(count(DISTINCT blob) AS BIGINT) AS n_distinct,
         | CAST(CASE WHEN format = 'png' THEN 64 ELSE -1 END AS INT) AS png_w,
-        | CAST(CASE WHEN format = 'png' THEN 32 ELSE -1 END AS INT) AS png_h
+        | CAST(CASE WHEN format = 'png' THEN 32 ELSE -1 END AS INT) AS png_h,
+        | CAST(CASE WHEN format = 'jpeg' THEN 96 ELSE -1 END AS INT) AS jpg_w,
+        | CAST(CASE WHEN format = 'jpeg' THEN 48 ELSE -1 END AS INT) AS jpg_h
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     "sim_knn" ->

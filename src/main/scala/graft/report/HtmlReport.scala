@@ -25,6 +25,24 @@ object HtmlReport {
     s"""<tr><td>${escape(c.label)}</td><td>${status(c.failed)}</td>""" +
       s"""<td>${escape(c.message)}</td></tr>"""
 
+  /** Per-row failure examples, like the reference's HTML report
+    * (Reports.scala:13-19): key + offending columns of up to
+    * numErrorsToReport rows that violated a failed check. */
+  private def detailsHtml(t: TableResult): String =
+    if (t.errorDetails.isEmpty) ""
+    else {
+      val cols = t.errorDetails.head.schema.fieldNames.toSeq
+      val header = cols.map(c => s"<th>${escape(c)}</th>").mkString
+      val body = t.errorDetails.map { r =>
+        "<tr>" + cols.indices.map { i =>
+          val v = if (r.isNullAt(i)) "NULL" else r.get(i).toString
+          s"<td>${escape(v)}</td>"
+        }.mkString + "</tr>"
+      }.mkString
+      s"""<h3>error details (${t.errorDetails.size})</h3>""" +
+        s"""<table border="1" class="details"><tr>$header</tr>$body</table>"""
+    }
+
   private def tableHtml(t: TableResult): String = {
     val timers = t.timings.toSeq.sortBy(_._1).map { case (l, ns) =>
       s"""<li class="timer">${escape(l)}: ${ns / 1000000} ms</li>"""
@@ -33,6 +51,7 @@ object HtmlReport {
       s"""<p>rowCount: ${t.rowCount}, errorDetails: ${t.errorDetails.size}</p>""" +
       s"""<table border="1"><tr><th>check</th><th>status</th><th>message</th></tr>""" +
       t.results.map(checkHtml).mkString + "</table>" +
+      detailsHtml(t) +
       s"""<ul class="timers">$timers</ul>"""
   }
 

@@ -12,6 +12,34 @@ import scala.util.{Failure, Success, Try}
   * session can reach (file://, hdfs://, s3a://…) works unchanged. */
 object ReportIO {
 
+  /** Pre-flight writability probe (reference Main.scala:55-66,
+    * IO.canAppendOrCreate IO.scala:134-139): verify a report path could be
+    * created or appended BEFORE any check runs — an hour-long 100 TB run
+    * followed by a failed report write is exactly what this prevents.
+    * Existing path must be a writable file; otherwise the nearest existing
+    * ancestor must be a writable directory. Uses FileSystem.access so it
+    * works on any Hadoop filesystem the session can reach. */
+  def canAppendOrCreate(spark: SparkSession, path: String): Either[String, Unit] =
+    Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isDirectory)
+          throw new java.io.IOException("path is a directory")
+        fs.access(p, org.apache.hadoop.fs.permission.FsAction.WRITE)
+      } else {
+        var anc = p.getParent
+        while (anc != null && !fs.exists(anc)) anc = anc.getParent
+        if (anc == null) throw new java.io.IOException("no existing ancestor directory")
+        if (!fs.getFileStatus(anc).isDirectory)
+          throw new java.io.IOException(s"ancestor '$anc' is not a directory")
+        fs.access(anc, org.apache.hadoop.fs.permission.FsAction.WRITE)
+      }
+    } match {
+      case Success(_) => Right(())
+      case Failure(t) => Left(s"report path '$path' is not writable: ${t.getMessage}")
+    }
+
   /** Left(error) on failure. */
   def writeFile(spark: SparkSession, path: String, content: String,
       append: Boolean = false): Either[String, Unit] =

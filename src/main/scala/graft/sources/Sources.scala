@@ -37,19 +37,20 @@ object Sources {
   }
 
   /** Testdata table loader. Handles TIMESTAMP(NANOS) parquet (which Spark 4
-    * rejects by default): reads nanos as long via the legacy conf and
-    * converts to a microsecond TimestampType column in place. The testdata
-    * generator emits whole-microsecond values, so the ns→µs conversion is
-    * lossless here. */
-  def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else s.read.parquet(s"$dir/$name.parquet")
-    df
-  }
+    * rejects by default): reads nanos as long and converts to a
+    * microsecond TimestampType column in place. The testdata generator
+    * emits whole-microsecond values, so the ns→µs conversion is lossless
+    * here.
+    *
+    * PURE: requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
+    * session (set at build time by Main/Bench/Verify/SharedSpark) — a
+    * loader mutating shared session conf would be racy under concurrent
+    * use of one session. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s.read.parquet(s"$dir/$name.parquet")
 
   private def where(df: DataFrame, condition: Option[String]): DataFrame =
     condition.fold(df)(df.where)

@@ -376,4 +376,155 @@ class ConfigSpec extends SparkSuite {
     assert(lines.size() == 2)
     assert(lines.get(0).contains("\"run\":1") && lines.get(1).contains("\"run\":2"))
   }
+
+  test("pre-flight writability: good paths pass, impossible paths are diagnosed") {
+    // creatable: missing file under an existing writable dir
+    assert(report.ReportIO.canAppendOrCreate(spark, "/tmp/graft_preflight_new.json").isRight)
+    // creatable through a missing subdir whose nearest ancestor is writable
+    assert(report.ReportIO.canAppendOrCreate(spark,
+      "/tmp/graft_preflight_missing_dir/sub/report.json").isRight)
+    // appendable: existing file
+    val f = java.nio.file.Files.createTempFile("graft_preflight", ".json")
+    assert(report.ReportIO.canAppendOrCreate(spark, f.toString).isRight)
+    // impossible: an existing FILE as ancestor (robust even when running
+    // as root, which bypasses permission bits on the local FS)
+    val under = s"$f/sub/report.json"
+    val err = report.ReportIO.canAppendOrCreate(spark, under).left.getOrElse(fail("expected Left"))
+    assert(err.contains("not writable"))
+    // a directory as the report path is rejected
+    assert(report.ReportIO.canAppendOrCreate(spark, "/tmp").isLeft)
+  }
+
+  test("bad output path fails fast: fatal BEFORE any check executes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_preflight_cfg").toFile
+    val cfgFile = new java.io.File(dir, "conf.yaml")
+    val f = java.nio.file.Files.createTempFile("graft_blocker", ".txt")
+    val yaml =
+      s"""numKeyCols: 2
+         |numErrorsToReport: 5
+         |outputs:
+         |  - filename: $f/cannot/create/report.json
+         |tables:
+         |  - parquetFile: $sf0001/customer.parquet
+         |    checks:
+         |      - { type: rowCount, minNumRows: 1 }
+         |""".stripMargin
+    java.nio.file.Files.writeString(cfgFile.toPath, yaml)
+    val (fatal, validatorFail, reportJson) = Main.run(spark, Main.Cli(config = cfgFile.getPath))
+    assert(fatal)
+    assert(!validatorFail)
+    // report is None: the run aborted before the check phase, not after it
+    assert(reportJson.isEmpty)
+  }
+
+  test("env-var taxonomy: present / unset / inaccessible / error are distinct") {
+    import VarSub._
+    assert(readEnv("X", _ => "v") == EnvPresent("v"))
+    assert(readEnv("X", _ => null) == EnvUnset)
+    assert(readEnv("X", _ => throw new SecurityException("denied"))
+      .isInstanceOf[EnvInaccessible])
+    assert(readEnv("X", _ => throw new IllegalStateException("boom"))
+      .isInstanceOf[EnvError])
+
+    def errOf(get: String => String): String = {
+      val vs = new VarSub(get)
+      vs.resolve(null, VarEnv("v", "NAME"))
+      vs.errors.mkString("; ")
+    }
+    assert(errOf(_ => null).contains("not set"))
+    assert(errOf(_ => throw new SecurityException("no")).contains("inaccessible"))
+    assert(errOf(_ => throw new IllegalStateException("io")).contains("failed"))
+    val ok = new VarSub(_ => "val")
+    ok.resolve(null, VarEnv("v", "NAME"))
+    assert(ok.errors.isEmpty && ok.entries == Seq("v" -> CVal.CStr("val")))
+  }
+
+  test("multiple undefined variables in one env/shell/sql source: all reported, none stale") {
+    val vs = new VarSub
+    vs.resolve(null, VarShell("x", "echo $a and $b"))
+    assert(vs.errors.size == 1, s"expected one combined error, got: ${vs.errors}")
+    assert(vs.errors.head.contains("'a'") && vs.errors.head.contains("'b'"))
+  }
+
+  test("mistyped keyColumns and email recipients are errors, not silent drops") {
+    def errsOf(yaml: String): Seq[String] =
+      ConfigParser.parse(yaml).left.getOrElse(fail("expected errors"))
+    val base =
+      """numKeyCols: 1
+        |numErrorsToReport: 1
+        |tables:
+        |  - parquetFile: f.parquet
+        |    keyColumns: %s
+        |    checks: [{ type: rowCount, minNumRows: 1 }]
+        |""".stripMargin
+    assert(errsOf(base.format("notalist"))
+      .exists(_.contains("'keyColumns' must be a list")))
+    assert(errsOf(base.format("[ok, 42]"))
+      .exists(_.contains("'keyColumns' entries must be strings")))
+    val emailYaml =
+      """numKeyCols: 1
+        |numErrorsToReport: 1
+        |email:
+        |  smtpHost: h
+        |  subject: s
+        |  from: f
+        |  to: [a@b.c, 7]
+        |tables:
+        |  - parquetFile: f.parquet
+        |    checks: [{ type: rowCount, minNumRows: 1 }]
+        |""".stripMargin
+    assert(errsOf(emailYaml).exists(_.contains("'to' entries must be strings")))
+  }
+
+  test("flagship config run: vars + two tables + file/pipe/html outputs in one pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flagship").toFile
+    val cfgFile = new java.io.File(dir, "conf.yaml")
+    val jsonOut = new java.io.File(dir, "report.json")
+    val htmlOut = new java.io.File(dir, "report.html")
+    val pipeOut = new java.io.File(dir, "piped.json")
+    val yaml =
+      s"""numKeyCols: 2
+         |numErrorsToReport: 3
+         |detailedErrors: true
+         |vars:
+         |  - name: sf
+         |    value: "$sf0001"
+         |  - name: home
+         |    env: HOME
+         |outputs:
+         |  - filename: ${jsonOut.getPath}
+         |  - pipe: cat > ${pipeOut.getPath}
+         |tables:
+         |  - parquetFile: $$sf/customer.parquet
+         |    keyColumns: [c_custkey]
+         |    checks:
+         |      - { type: rowCount, minNumRows: 1 }
+         |      - { type: negativeCheck, column: c_acctbal }
+         |  - parquetFile: $$sf/lineitem.parquet
+         |    condition: "l_quantity <= 50"
+         |    checks:
+         |      - { type: rowCount, minNumRows: 100 }
+         |      - { type: stringRegexCheck, column: l_returnflag, regex: "^[ANR]$$" }
+         |      - { type: uniqueCheck, columns: [l_orderkey, l_linenumber] }
+         |""".stripMargin
+    java.nio.file.Files.writeString(cfgFile.toPath, yaml)
+
+    val (fatal, validatorFail, reportJson) = Main.run(spark,
+      Main.Cli(config = cfgFile.getPath, htmlReport = Some(htmlOut.getPath)))
+    assert(!fatal)
+    // customer.c_acctbal has negatives in the testdata → FAIL is expected,
+    // carried as validatorFail (exit -1 only with --exitErrorOnFail)
+    assert(validatorFail)
+    val json = reportJson.getOrElse(fail("no report"))
+    // all sinks delivered the same report
+    assert(java.nio.file.Files.readString(jsonOut.toPath).trim == json.trim)
+    assert(java.nio.file.Files.readString(pipeOut.toPath).trim == json.trim)
+    // report carries both tables, the resolved var dict, and error details
+    assert(json.contains("customer.parquet") && json.contains("lineitem.parquet"))
+    assert(json.contains(s""""sf":"$sf0001""""))
+    assert(json.contains(s""""home":"${sys.env("HOME")}""""))
+    assert(json.contains("\"quickCheckError\""))
+    val html = java.nio.file.Files.readString(htmlOut.toPath)
+    assert(html.contains("error details") && html.contains("c_custkey"))
+  }
 }

@@ -15,6 +15,12 @@ class MultimodalSpec extends SparkSuite {
     0, 0, 0, 0x40, 0, 0, 0, 0x20)
   private val jpegHeader: Array[Byte] =
     Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  // SOI + APP0/JFIF + SOF0 (precision 8, height 48, width 96, 1 component)
+  private val jpegFull: Array[Byte] = Array[Byte](
+    0xFF.toByte, 0xD8.toByte,
+    0xFF.toByte, 0xE0.toByte, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+    0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+    0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08, 0x00, 0x30, 0x00, 0x60, 0x01, 0x01, 0x11, 0x00)
 
   test("format sniffing by magic bytes") {
     val rows = Seq(
@@ -35,9 +41,11 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("mediaMeta struct: bytes, format, hash, guarded dims") {
+    graft.functions.GraftFunctions.register(spark)
     val df = Seq(
       (1L, pngHeader ++ "x".getBytes),
-      (2L, "just text".getBytes)).toDF("id", "blob")
+      (2L, "just text".getBytes),
+      (3L, jpegFull ++ "entropy".getBytes)).toDF("id", "blob")
     val rows = df.select(col("id"), Multimodal.mediaMeta(col("blob")).as("m"))
       .select("id", "m.n_bytes", "m.format", "m.width", "m.height").collect()
     val byId = rows.map(r => r.getLong(0) -> r).toMap
@@ -45,7 +53,27 @@ class MultimodalSpec extends SparkSuite {
     assert(byId(1L).getString(2) == "png")
     assert(byId(1L).getInt(3) == 64 && byId(1L).getInt(4) == 32)
     assert(byId(2L).getString(2) == "unknown")
-    assert(byId(2L).isNullAt(3) && byId(2L).isNullAt(4)) // dims only for png
+    assert(byId(2L).isNullAt(3) && byId(2L).isNullAt(4)) // dims only for png/jpeg
+    assert(byId(3L).getString(2) == "jpeg")
+    assert(byId(3L).getInt(3) == 96 && byId(3L).getInt(4) == 48)
+  }
+
+  test("JPEG SOF walk: geometry recovered, truncated/markerless blobs yield NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, jpegFull),
+      (2L, jpegHeader ++ "payload".getBytes), // sniffs jpeg but has no SOF
+      (3L, "text".getBytes)).toDF("id", "blob")
+    val rows = df.select(col("id"),
+      Multimodal.jpegWidth(col("blob")).as("w"),
+      Multimodal.jpegHeight(col("blob")).as("h")).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 96 && byId(1L).getInt(2) == 48)
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(2))
+    assert(byId(3L).isNullAt(1) && byId(3L).isNullAt(2))
+    // direct parse used by the stub decoder agrees
+    assert(graft.functions.JpegDims.parse(jpegFull).contains((96, 48)))
+    assert(graft.functions.JpegDims.parse("nope".getBytes).isEmpty)
   }
 
   test("decodeBatch streams partitions through the (stub) decoder with a typed schema") {

@@ -31,18 +31,46 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  // The dedup APIs materialize eagerly by default (cache released before
+  // returning), so plan-shape assertions inspect the materialize=false
+  // variant — the identical computation plan, left lazy.
+  private def docs = graft.sources.Sources.table(spark, sf0001, "documents")
+
   test("dedup_jaccard has no cartesian product or nested-loop join") {
-    val p = plan(q("dedup_jaccard"))
+    val df = graft.functions.Dedup.jaccardNearDupPairs(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") < 1000),
+      "doc_id", "text", shingleK = 5, tauPct = 51, materialize = false)
+    val p = plan(df)
+    spark.catalog.clearCache() // this variant leaves the cache to the caller
     assert(!p.contains("CartesianProduct"), s"cartesian reintroduced:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join reintroduced:\n$p")
   }
 
   test("dedup_minhash joins by key equality with the signature screen in place") {
-    val p = plan(q("dedup_minhash"))
+    val df = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, tauPct = 51, materialize = false)
+    val p = plan(df)
+    spark.catalog.clearCache() // this variant leaves the cache to the caller
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair enumeration degraded to all-pairs:\n$p")
     assert(p.contains("minhash_agree"), s"candidate screen missing from the plan:\n$p")
     assert(p.contains("InMemoryTableScan"), s"featurization not shared via cache:\n$p")
+  }
+
+  test("dedup_minhash default path releases its featurization cache") {
+    spark.catalog.clearCache()
+    val lazyCount = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      materialize = false).count()
+    spark.catalog.clearCache()
+    val eager = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+    assert(eager.count() == lazyCount, "materialized path changed the result")
+    // featurization blocks are unpersisted (async): only the checkpointed
+    // pair result may remain in storage
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def stored = spark.sparkContext.getRDDStorageInfo.length
+    while (stored > 1 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(stored <= 1, s"featurization cache still pinned: ${
+      spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
   }
 
   test("chk_fused is one aggregate over one scan (no shuffle beyond the final agg)") {

@@ -75,6 +75,12 @@ class ReportSpec extends SparkSuite {
     assert(html.contains("""<span class="fail">FAIL</span>""")) // verdict
     assert(html.contains("neg"))
     assert(html.contains("""class="timer""""))
+    // per-row failure examples (reference Reports.scala:13-19): the
+    // offending row appears, keys escaped, under an error-details table
+    assert(html.contains("error details (1)"))
+    assert(html.contains("""<table border="1" class="details">"""))
+    assert(html.contains("<th>key</th>") && html.contains("<th>v</th>"))
+    assert(html.contains("<td>k&lt;1&gt;</td>") && html.contains("<td>-5</td>"))
   }
 
   test("report is valid JSON (spot-parse with Spark's JSON reader)") {
