@@ -24,7 +24,7 @@ object Bench {
     // The source-loader queries materialize their format fixture on first
     // construction; do that outside the timed region so the measurement is
     // query time, not a one-off file write.
-    Seq("chk_orc", "chk_format").foreach(n =>
+    Seq("chk_orc", "chk_format", "chk_csv", "chk_hive").foreach(n =>
       selected.get(n).foreach(f => try f(spark, sfDir) catch { case _: Throwable => () }))
     val timings = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()

@@ -58,4 +58,45 @@ object Analytics {
     df.groupBy(session_window(ts, gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .drop("session_window")
+
+  /** As-of join (the time-series "attach the latest right row at or
+    * before each left row's timestamp, per key" operator — Spark has no
+    * built-in): implemented as union + last-value window, NOT a range
+    * join. Tag each side, union on (keys, ts), and per key carry the
+    * right side's values forward with `last(ignoreNulls)` over
+    * (ts, side); left rows then read the most recent right values.
+    *
+    * Scale shape: ONE shuffle on the keys and a per-key sort — cost is
+    * O(n log n) per key, independent of match distance. The naive range
+    * join (l.ts >= r.ts) explodes to O(|L|·|R|) pairs per key before
+    * aggregation; a 100 TB event stream cannot pay that.
+    *
+    * Semantics: inclusive (right row AT the left timestamp matches —
+    * right sorts before left on ties); left rows with no prior right row
+    * get NULLs, like a left outer as-of. `right` must be unique per
+    * (keys, ts) — pre-aggregate otherwise (the window's last() among
+    * same-(key, ts) right rows would be nondeterministic). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val rVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
+    val lCols = left.columns.toSeq.filterNot(keys.contains)
+    val collisions = rVals.intersect(lCols)
+    require(collisions.isEmpty,
+      s"asofJoin: rename right-side value columns colliding with left: ${collisions.mkString(", ")}")
+    val rTypes = rVals.map(c => c -> right.schema(c).dataType).toMap
+    val lTypes = lCols.map(c => c -> left.schema(c).dataType).toMap
+    val l = left.select(keys.map(col) ++
+      Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      lCols.map(col) ++ rVals.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val r = right.select(keys.map(col) ++
+      Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++ rVals.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select((keys.map(col) ++ lCols.map(col) :+ col("__side")) ++
+        rVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
 }

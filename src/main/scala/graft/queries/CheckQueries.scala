@@ -23,6 +23,7 @@ object CheckQueries {
       fmt match {
         case "orc" => df.write.mode("overwrite").orc(out)
         case "json" => df.write.mode("overwrite").json(out)
+        case "csv" => df.write.mode("overwrite").option("header", "true").csv(out)
         case other => throw new IllegalArgumentException(s"no fixture writer for $other")
       }
     }
@@ -137,6 +138,16 @@ object CheckQueries {
         NullCheck("s_name", None, "null_name"),
         ColumnMaxCheck("s_nationkey", Bound.Num(24), "max_nk")))
     }),
+
+    // csv loader with options (header + schema inference) — the loader's
+    // typed round-trip proven against the parquet oracle
+    "chk_csv" -> ((s, dir) =>
+      Runner.verdictDF(
+        graft.sources.Sources.csv(s, fixture(s, dir, "part", "csv"),
+          Map("header" -> "true", "inferSchema" -> "true")), Seq(
+        MinNumRows(1, "rowcount"),
+        NullCheck("p_name", None, "null_name"),
+        ColumnMaxCheck("p_retailprice", Bound.Num(2000.0), "max_price")))),
 
     // nullCheck rides on r_name (never null): the JSON writer drops
     // all-null fields entirely, so an always-null column would not even
@@ -287,6 +298,15 @@ object CheckQueries {
         | count(*) < 1 AS rowcount_failed,
         | max(s_nationkey) != 24.0 AS max_nk_failed
         |FROM supplier""".stripMargin,
+
+    "chk_csv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        | CAST(count(*) FILTER (WHERE p_name IS NULL) AS BIGINT) AS null_name_errs,
+        | max(p_retailprice) AS max_price_max,
+        | count(*) FILTER (WHERE p_name IS NULL) > 0 AS null_name_failed,
+        | count(*) < 1 AS rowcount_failed,
+        | max(p_retailprice) != 2000.0 AS max_price_failed
+        |FROM part""".stripMargin,
 
     "chk_format" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,

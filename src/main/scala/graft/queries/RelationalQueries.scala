@@ -57,6 +57,27 @@ object RelationalQueries {
                 col("l_extendedprice"), col("rn"))
         .orderBy("l_suppkey", "rn")),
 
+    // As-of join: each click event picks up the value of the user's most
+    // recent purchase at or before its timestamp. Union + last-value
+    // window — ONE shuffle on user_id, no range-join pair explosion.
+    // Right side pre-aggregated to one row per (user, ts) so the match is
+    // deterministic; DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("asof_value"))
+      // NULL-free output (has_match + sentinel) — a NULL double column
+      // would hash as NaN and break engine-independent comparison
+      Analytics.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").isNotNull.as("has_match"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // Running per-user aggregate over event time.
     "q_window_running" -> ((s, dir) =>
       Analytics.runningAgg(t(s, dir, "events"),
@@ -169,6 +190,19 @@ object RelationalQueries {
         |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         | FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the independent implementation of
+    // the same inclusive latest-at-or-before semantics
+    "q_asof" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS asof_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     l AS (SELECT event_id, user_id, ts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id,
+        | r.asof_value IS NOT NULL AS has_match,
+        | coalesce(r.asof_value, -1.0) AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_window_running" ->
       """SELECT event_id, user_id,

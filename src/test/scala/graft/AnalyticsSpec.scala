@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.{Analytics, Skew}
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the relational operators that are not fully pinned
+  * by their DuckDB oracles: as-of join edges (ties, no-match, collisions)
+  * and salted-join input validation. */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asofJoin: latest-at-or-before per key, inclusive ties, NULL before first right row") {
+    val left = Seq(
+      (1L, "u1", 10L), // before any right row -> NULL
+      (2L, "u1", 20L), // tie with right ts=20 -> inclusive match
+      (3L, "u1", 35L), // between 30 and 40 -> value at 30
+      (4L, "u2", 50L), // other key, after its only right row
+      (5L, "u3", 50L)  // key with no right rows at all -> NULL
+    ).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("u1", 20L, 2.0),
+      ("u1", 30L, 3.0),
+      ("u1", 40L, 4.0),
+      ("u2", 45L, 45.0)
+    ).toDF("key", "r_ts", "v")
+    val got = Analytics.asofJoin(left, right, Seq("key"), "ts", "r_ts")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
+  }
+
+  test("asofJoin rejects colliding value-column names up front") {
+    val l = Seq((1L, "k", 10L, 1.0)).toDF("id", "key", "ts", "v")
+    val r = Seq(("k", 5L, 2.0)).toDF("key", "r_ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.asofJoin(l, r, Seq("key"), "ts", "r_ts")
+    }
+    assert(e.getMessage.contains("collid"))
+  }
+
+  test("asofJoin plans with no join operator: union + one key-partitioned window") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "ts")
+    val r = Seq(("k", 5L, 2.0)).toDF("key", "r_ts", "v")
+    val p = Analytics.asofJoin(l, r, Seq("key"), "ts", "r_ts")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), s"expected a window stage:\n$p")
+  }
+
+  test("saltedJoin rejects join types that preserve the replicated side") {
+    val a = Seq((1, "x")).toDF("k", "a")
+    val b = Seq((1, "y")).toDF("k", "b")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, Seq("k"), saltFactor = 4, joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("replicates"))
+    // left-preserving types still work
+    assert(Skew.saltedJoin(a, b, Seq("k"), 4, "left").count() == 1)
+  }
+}

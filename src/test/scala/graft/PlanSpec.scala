@@ -73,6 +73,12 @@ class PlanSpec extends SparkSuite {
       spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
   }
 
+  test("q_asof has no join operator — union + window, not a range-join explosion") {
+    val p = plan(q("q_asof"))
+    assert(!p.contains("Join"), s"as-of degraded to a join (range joins explode at scale):\n$p")
+    assert(p.contains("Window"), s"expected the last-value window:\n$p")
+  }
+
   test("chk_fused is one aggregate over one scan (no shuffle beyond the final agg)") {
     val p = plan(q("chk_fused"))
     // one partial+final HashAggregate pair over a single parquet scan
