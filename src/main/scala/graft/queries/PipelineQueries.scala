@@ -123,6 +123,36 @@ object PipelineQueries {
           sum(length(col("text"))).cast("long").as("kept_chars")))
     }),
 
+    // Deterministic GROUP-KEYED train/valid/test split (hash of source,
+    // not doc_id — all docs of one source land in one split, so
+    // near-identical documents from a source can't leak from train into
+    // eval). md5 bucketing is engine-portable → full DuckDB oracle.
+    "pipeline_split" -> ((s, dir) =>
+      graft.ops.DataPrep.hashSplit(t(s, dir, "documents"), col("source"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1L)).as("n_docs"),
+             round(avg(col("n_chars")), 6).as("avg_chars"),
+             countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")),
+
+    // Sequence packing per source shard: contiguous docs accumulate into
+    // packs of ~2048 whitespace tokens (start-offset binning, one window
+    // pass). Summary per source; window semantics mirrored in DuckDB.
+    "pipeline_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TF.tokenCountWs(col("text")).cast("long").as("toks"))
+      graft.ops.DataPrep.packByBudget(d, Seq(col("source")), Seq(col("doc_id")),
+          col("toks"), budget = 2048L)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1L)).as("n_docs"), sum("toks").as("pack_toks"))
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_packs"),
+             max(col("pack_toks")).as("max_pack_toks"),
+             sum(col("n_docs")).cast("long").as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Multimodal metadata over binary columns: blobs synthesized from the
     // documents table with real magic bytes (deterministic by doc_id), then
     // sniffed/measured by the ACTUAL binary operators — format by magic,
@@ -299,6 +329,30 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
         | (SELECT round(avg(q), 6) FROM kept) AS avg_q_kept,
         | (SELECT CAST(sum(length(text)) AS BIGINT) FROM kept) AS kept_chars""".stripMargin,
+
+    "pipeline_split" ->
+      """WITH s AS (SELECT *, CASE
+        |  WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 4)) AS INT) % 1000 < 800 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 4)) AS INT) % 1000 < 900 THEN 'valid'
+        |  ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 6) AS avg_chars,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |p AS (SELECT *, CAST(floor((cum - toks) / 2048.0) AS BIGINT) AS pack_id FROM c),
+        |g AS (SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS pack_toks FROM p GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_packs,
+        | max(pack_toks) AS max_pack_toks,
+        | CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // the oracle sniffs the blob by MAGIC BYTES with the same rules as
     // Multimodal.sniffFormat (not by the synthesis rule) — so the two

@@ -48,6 +48,52 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("hashSplit: deterministic, group-leakage-free, fractions validated") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+    val split = graft.ops.DataPrep.hashSplit(docs, col("source"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    // every source lands in EXACTLY one split (no leakage across splits)
+    val perSplit = split.groupBy("split").agg(countDistinct(col("source")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalSources = docs.select(countDistinct(col("source"))).head().getLong(0)
+    assert(perSplit.values.sum == totalSources,
+      s"a source spans multiple splits: $perSplit vs $totalSources distinct")
+    // deterministic: re-running yields the identical assignment
+    val again = graft.ops.DataPrep.hashSplit(docs, col("source"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = split.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      graft.ops.DataPrep.hashSplit(docs, col("source"), Seq("train" -> 0.5, "test" -> 0.2))
+    }
+  }
+
+  test("packByBudget: contiguous packs, overflow bounded by one row, all rows packed") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long").as("toks"))
+    val budget = 1024L
+    val packed = graft.ops.DataPrep.packByBudget(docs, Seq(col("source")),
+      Seq(col("doc_id")), col("toks"), budget)
+    assert(packed.count() == docs.count()) // packing drops nothing
+    val stats = packed.groupBy("source", "pack_id")
+      .agg(sum("toks").as("pack_toks"), max("toks").as("max_row"))
+      .collect()
+    stats.foreach { r =>
+      assert(r.getLong(2) <= budget + r.getLong(3),
+        s"pack ${r.get(0)}/${r.get(1)} exceeds budget + one row: $r")
+    }
+    // pack ids are contiguous from 0 within each source
+    val ids = packed.groupBy("source").agg(
+      min("pack_id").as("mn"), max("pack_id").as("mx"),
+      countDistinct(col("pack_id")).as("n")).collect()
+    ids.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1,
+        s"non-contiguous pack ids: $r")
+    }
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
