@@ -50,7 +50,11 @@ object Ivf {
     val trainSet =
       if (trainFraction >= 1.0) featurized
       else featurized.sample(withReplacement = false, trainFraction, seed)
+    // random init, not k-means|| : the parallel init runs several extra
+    // distributed passes to seed centroids, but cells only GATE candidate
+    // generation here (exact cosine re-ranks), so cheap seeds suffice
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("__fv").setPredictionCol("__list")
       .fit(trainSet)
     val assigned = model.transform(featurized)
