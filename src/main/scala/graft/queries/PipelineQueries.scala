@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
+import graft.functions.{Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,34 @@ object PipelineQueries {
           round(avg(col("q")), 6).as("avg_q_kept"),
           sum(length(col("text"))).cast("long").as("kept_chars")))
     }),
+
+    // Benchmark decontamination (the n-gram overlap protocol): treat
+    // every 31st doc as the "eval set", flag corpus docs sharing a
+    // 30-char window. The operator default is the published 13 for
+    // natural text; this synthetic corpus is template-heavy (13-char
+    // windows recur across unrelated docs), so the query uses 30 —
+    // which flags exactly the planted duplicates of benchmark docs.
+    // Oracle joins raw grams; the engine joins 64-bit gram hashes
+    // (same result, 8-byte keys).
+    "pipeline_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 31 === 0)
+      val corpus = docs.where(col("doc_id") % 31 =!= 0)
+      val bad = Decontam.contaminatedIds(corpus, bench, "doc_id", "text", n = 30)
+      corpus.agg(count(lit(1L)).as("n_corpus"))
+        .crossJoin(bench.agg(count(lit(1L)).as("n_bench")))
+        .crossJoin(bad.agg(count(lit(1L)).as("n_contaminated")))
+    }),
+
+    // Vocabulary statistics: global top-20 whitespace tokens with a full
+    // deterministic tie-break — the counting shuffle carries (token,
+    // partial count) pairs, the top-k is a TakeOrdered, never a full sort.
+    "pipeline_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokensWs(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1L)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
 
     // Deterministic GROUP-KEYED train/valid/test split (hash of source,
     // not doc_id — all docs of one source land in one split, so
@@ -329,6 +357,27 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
         | (SELECT round(avg(q), 6) FROM kept) AS avg_q_kept,
         | (SELECT CAST(sum(length(text)) AS BIGINT) FROM kept) AS kept_chars""".stripMargin,
+
+    "pipeline_decontam" ->
+      """WITH b AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 30, 0) + 1),
+        |    i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 = 0)),
+        |c AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 30, 0) + 1),
+        |    i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 != 0),
+        |bad AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (g))
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 != 0) AS n_corpus,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 = 0) AS n_bench,
+        | (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_contaminated""".stripMargin,
+
+    "pipeline_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "pipeline_split" ->
       """WITH s AS (SELECT *, CASE

@@ -94,6 +94,33 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("decontamination: 13-gram overlap flags exactly the leaking docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content with no overlap whatsoever in any window"),
+      (3L, "short"), // shorter than 13 chars: its single truncated gram can't match
+      (4L, "quick brown fox jumps over the") // shares a >=13-char window
+    ).toDF("doc_id", "text")
+    val flagged = graft.functions.Decontam.contaminatedIds(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 4L), s"got $flagged")
+    val kept = graft.functions.Decontam.dropContaminated(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("decontamination plan: broadcast left-semi, corpus not shuffled for the match") {
+    val bench = Seq((1L, "a" * 40)).toDF("doc_id", "text")
+    val corpus = Seq((2L, "b" * 40)).toDF("doc_id", "text")
+    val p = graft.functions.Decontam.contaminatedIds(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast left-semi match:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the gram match:\n$p")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
