@@ -86,6 +86,21 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, s"expected a single scan:\n$p")
   }
 
+  test("fused check pass prunes the scan to the checked columns") {
+    // chk_negative checks only c_acctbal on an 8-column customer table —
+    // the parquet ReadSchema must carry just that column
+    val p = plan(q("chk_negative"))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$p"))
+    assert(read.contains("c_acctbal") && !read.contains("c_name"),
+      s"scan not pruned to the checked column: $read")
+  }
+
+  test("pipeline_vocab top-k is a TakeOrdered over partial aggregates, not a global sort") {
+    val p = plan(q("pipeline_vocab"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
   test("chk_detail early-terminates via a limit, not a full materialization") {
     val p = plan(q("chk_detail"))
     assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"),
