@@ -23,6 +23,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Vector scaled to unit L2 norm (zero vectors pass through unscaled —
+    * dividing by a zero norm would poison downstream math with NaN). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Mean-pooled centroid vector per group (per-source / per-cluster
+    * embedding aggregation): posexplode to (group, position, value),
+    * average per position, reassemble ordered by position. Shuffles
+    * carry scalar (group, pos, partial-avg) triples — never whole
+    * vectors — and partial aggregation combines map-side, so the
+    * exchange volume is groups × dim, independent of corpus size. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+      centroidCol: String = "centroid"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v")).as("__avg"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__avg")))),
+        s => s.getField("__avg")).as(centroidCol))
+
   /** Exact k-NN of each query vector against the corpus: broadcast the
     * (small) query set, score all corpus rows, per-query top-k.
     * O(|corpus| * |queries| * dim) compute, ZERO shuffles of the corpus —

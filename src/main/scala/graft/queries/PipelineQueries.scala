@@ -233,6 +233,19 @@ object PipelineQueries {
         .agg(count(lit(1L)).as("n_dup_pairs"),
              coalesce(round(min(col("cos")), 4), lit(-1.0)).as("min_cos"))),
 
+    // Mean-pooled centroid per group (mod-5 buckets stand in for real
+    // cluster/source groups): dimension count and centroid L2 norm.
+    // Per-position averages mirror exactly in DuckDB; 6-dp rounding
+    // absorbs summation-order differences.
+    "sim_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(
+          t(s, dir, "embeddings").withColumn("g", col("vec_id") % 5),
+          "g", "embedding")
+        .select(col("g"),
+          size(col("centroid")).as("dim"),
+          round(Similarity.l2Norm(col("centroid")), 6).as("centroid_norm"))
+        .orderBy("g")),
+
     // Brute-force cosine kNN: 5 query vectors vs the corpus, top-5 each.
     "sim_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -432,6 +445,13 @@ object PipelineQueries {
         | CAST(CASE WHEN format = 'jpeg' THEN 96 ELSE -1 END AS INT) AS jpg_w,
         | CAST(CASE WHEN format = 'jpeg' THEN 48 ELSE -1 END AS INT) AS jpg_h
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
+    "sim_centroid" ->
+      """WITH e AS (SELECT vec_id % 5 AS g, generate_subscripts(embedding, 1) AS pos,
+        |  unnest(embedding) AS v FROM embeddings),
+        |a AS (SELECT g, pos, avg(v) AS v FROM e GROUP BY 1, 2)
+        |SELECT g, CAST(count(*) AS INT) AS dim, round(sqrt(sum(v * v)), 6) AS centroid_norm
+        |FROM a GROUP BY g ORDER BY g""".stripMargin,
 
     "sim_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

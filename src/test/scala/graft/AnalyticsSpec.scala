@@ -94,6 +94,25 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("l2Normalize scales to unit norm; zero vectors pass through") {
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+    val got = df.select(col("id"), graft.functions.Similarity.l2Normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(0.6, 0.8))
+    assert(got(2L) == Seq(0.0, 0.0)) // no NaN from a zero norm
+  }
+
+  test("groupCentroids: elementwise mean per group, positions preserved") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)),
+      ("a", Seq(3.0, 4.0, 5.0)),
+      ("b", Seq(10.0, 0.0, -10.0))).toDF("g", "v")
+    val got = graft.functions.Similarity.groupCentroids(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 3.0, 4.0))
+    assert(got("b") == Seq(10.0, 0.0, -10.0))
+  }
+
   test("decontamination: 13-gram overlap flags exactly the leaking docs") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
