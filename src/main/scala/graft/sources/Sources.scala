@@ -52,6 +52,20 @@ object Sources {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Write a catalog table bucketed (and sorted) by join keys: two
+    * tables bucketed the same way join WITHOUT an exchange — the scan
+    * already delivers the required hash distribution, so at 100 TB the
+    * recurring fact⋈fact join pays zero shuffle after a one-time
+    * bucketed write. Buckets also serve as pre-sorted runs, eliminating
+    * the sort of a sort-merge join. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   private def where(df: DataFrame, condition: Option[String]): DataFrame =
     condition.fold(df)(df.where)
 }

@@ -45,4 +45,27 @@ class SourcesSpec extends SparkSuite {
     assert(plan.contains("ReadSchema") && plan.contains("l_quantity") &&
       !plan.contains("l_comment"), "projection not pruned at scan")
   }
+
+  test("co-bucketed tables join without an exchange (the pre-shuffled fact join)") {
+    import org.apache.spark.sql.functions.col
+    val base = "/root/repo/target/fixtures/bucketed"
+    Sources.writeBucketed(Sources.table(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+      "graft_li_bkt", s"$base/li", Seq("l_orderkey"), numBuckets = 4)
+    Sources.writeBucketed(Sources.table(spark, sf0001, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "graft_ord_bkt", s"$base/ord", Seq("o_orderkey"), numBuckets = 4)
+    // disable broadcast so the join must pick a distribution-requiring
+    // strategy — bucketing must satisfy it without an Exchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Sources.hiveTable(spark, "graft_li_bkt")
+        .join(Sources.hiveTable(spark, "graft_ord_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
