@@ -94,6 +94,30 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("NULL and empty text degrade gracefully through text + dedup operators") {
+    import graft.functions.{Dedup, GraftFunctions, TextFunctions => TF}
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "a real document with plenty of text to shingle and hash"),
+      (2L, "a real document with plenty of text to shingle and hash"), // exact dup of 1
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    // per-row text functions: NULL in -> NULL out, no crash
+    val r = docs.select(col("doc_id"),
+      TF.tokenCountWs(col("text")).as("t"),
+      GraftFunctions.langId(col("text")).as("l")).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(3L).isNullAt(1) && r(3L).isNullAt(2))
+    // minhash dedup: NULL-text rows drop out of featurization (their
+    // shingle array is NULL -> the band explode emits nothing); the real
+    // duplicate pair is still found and nothing throws
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(p => (p.getLong(0), p.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // exact dedup groups NULLs by their (shared) hash without crashing
+    assert(Dedup.exactDupGroups(docs, "doc_id", "text").count() >= 1)
+  }
+
   test("l2Normalize scales to unit norm; zero vectors pass through") {
     val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
     val got = df.select(col("id"), graft.functions.Similarity.l2Normalize(col("v")).as("n"))
