@@ -21,11 +21,10 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    // The source-loader queries materialize their format fixture on first
-    // construction; do that outside the timed region so the measurement is
-    // query time, not a one-off file write.
-    Seq("chk_orc", "chk_format", "chk_csv", "chk_hive").foreach(n =>
-      selected.get(n).foreach(f => try f(spark, sfDir) catch { case _: Throwable => () }))
+    // Build every non-parquet fixture up front so the source-loader
+    // queries time query execution, not a one-off file write.
+    try graft.queries.CheckQueries.materializeFixtures(spark, sfDir)
+    catch { case _: Throwable => () } // a broken fixture then fails ITS query, visibly
     val timings = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
     selected.foreach { case (name, fn) =>
@@ -47,7 +46,7 @@ object Bench {
     // Skipped for subset runs and with SPARK_GRAFT_SCALE=0.
     val scaleJson =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) ""
-      else {
+      else try {
         import org.apache.spark.sql.functions.{col, lit}
         val docs = graft.sources.Sources.table(spark, sfDir, "documents")
           .select("doc_id", "text")
@@ -62,6 +61,12 @@ object Bench {
         val (t10, p10) = run(big)
         f""","scale":{"dedup_minhash_sec":$t1%.3f,"dedup_minhash_10x_sec":$t10%.3f,""" +
           f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10}"""
+      } catch {
+        // a scale-block failure must not swallow the per-query timings
+        // already collected — report it inside the JSON instead
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          s""","scale":{"error":${graft.report.JsonReport.esc(msg)}}"""
       }
     val jstr: String => String = graft.report.JsonReport.esc
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

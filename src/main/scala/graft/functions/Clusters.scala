@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-dup pair → cluster resolution: the step between "found the
+  * similar pairs" and "dropped the right documents". Every pair operator
+  * in [[Dedup]] emits an edge list; deduplicating a corpus needs the
+  * connected components of that graph (transitive closure) and one
+  * canonical keep-id per component.
+  *
+  * Algorithm: iterative min-label propagation with pointer doubling
+  * (label(v) ← label(label(v)) each round — the shortcutting idea behind
+  * the O(log n)-round MapReduce CC algorithms, Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14). Plain propagation needs
+  * O(diameter) rounds — a pathological chain of 10⁶ near-dup docs would
+  * need 10⁶ shuffles; with doubling the reached distance compounds
+  * geometrically, so rounds stay logarithmic.
+  *
+  * Scale shape: every round is two hash-partitioned equi-joins and one
+  * partial-aggregated min — all keyed on node id, nothing driver-side.
+  * Each round's result is `localCheckpoint`ed: iterative DataFrame loops
+  * otherwise stack lineage (and analysis cost) per round. The edge list
+  * is persisted once and reused by every round. State is O(|nodes in
+  * pairs|), NOT O(corpus): only documents that appear in some pair enter
+  * the graph — at 100 TB the pair graph is orders of magnitude smaller
+  * than the corpus.
+  */
+object Clusters {
+
+  /** (id, component) for every node appearing in `pairs`; `component` is
+    * the MINIMUM id reachable through the pair graph — the conventional
+    * canonical keep-id. Throws if `maxIter` rounds do not converge (the
+    * doubling bound makes that a data-scale red flag, not a tuning knob:
+    * 25 rounds cover components of diameter far beyond 2^20). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      // propagate: the min label in v's neighborhood (map-side partial min,
+      // one shuffle on dst)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
+        .select(col("dst").as("id"), col("nlbl"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // referenced twice below — compute once
+      // compress: follow the label pointer one hop — label(label(v)).
+      // Valid because lbl(v) is always the id of a node CONNECTED to v
+      // (labels start as own ids and only ever take a neighbor's label),
+      // so its label is also connected; monotone (labels only decrease).
+      val next = prop
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — with pointer doubling this " +
+          "indicates a component of astronomically large diameter or corrupt input")
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Near-dup-aware dedup: keep ONE document per cluster (the minimum id),
+    * drop every other member. `pairs` is any [[Dedup]] pair result over
+    * `docs`. Non-members (docs in no pair) always survive — the drop list
+    * is proportional to the duplicate count, joined LEFT ANTI on the id. */
+  def dropNearDupMembers(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val drop = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

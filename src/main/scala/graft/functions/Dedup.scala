@@ -64,8 +64,7 @@ object Dedup {
 
   /** Fraction (as percent) of agreeing minhash components — an unbiased
     * estimator of jaccard with std ≈ sqrt(j(1-j)/n). 64 long compares in a
-    * native expression: ~10× cheaper than an exact shingle-set intersect.
-    * Requires GraftFunctions.register on the session. */
+    * native expression: ~10× cheaper than an exact shingle-set intersect. */
   def sigAgreementPct(sigA: Column, sigB: Column, numHashes: Int): Column =
     GraftFunctions.minhashAgree(sigA, sigB) * 100L / numHashes
 
@@ -107,7 +106,6 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "a remainder would silently drop signature components from banding")
-    GraftFunctions.register(docs.sparkSession)
     // featurize once with the fused kernel: sorted hashed shingle set
     // (also the verification representation) + signature derived from it
     val featurized = docs
@@ -161,7 +159,6 @@ object Dedup {
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(docs.sparkSession)
     // Work on SORTED HASHED shingles throughout (one fused kernel):
     // 8-byte longs instead of UTF8Strings shrink every shuffle and let
     // verification run as a linear merge. Hashing a deduplicated gram set

@@ -34,17 +34,27 @@ object Ivf {
     * full passes otherwise) run over a small fraction — assignment cost
     * is unchanged and recall degrades negligibly (cells only gate
     * CANDIDATE generation; exact cosine re-ranks). Default 1.0 keeps
-    * exact behavior at test SF; at 100 TB pass e.g. 1e-4. */
+    * exact behavior at test SF; at 100 TB pass e.g. 1e-4.
+    *
+    * Cache protocol (same materialize-then-release shape as
+    * [[Dedup.minhashNearDupPairs]]): the featurized corpus is persisted
+    * for the duration of the call — the KMeans iterations, the
+    * assignment pass and the probe join all read ONE materialized
+    * array→vector conversion instead of recomputing it per consumer —
+    * then released after the (small) result is captured eagerly.
+    * `materialize = false` keeps full lineage and hands cache ownership
+    * to the caller. */
   def ivfKnn(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      scoreDp: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+      scoreDp: Int = 4, trainFraction: Double = 1.0,
+      materialize: Boolean = true): DataFrame = {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = corpus.sparkSession
-    GraftFunctions.register(spark)
 
     val featurized = corpus.withColumn("__fv", array_to_vector(col(vecCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // few iterations suffice: cells only gate CANDIDATE generation (exact
     // cosine re-ranks); extra KMeans convergence buys little recall
     val trainSet =
@@ -77,6 +87,12 @@ object Ivf {
       .select(col(qidCol), col(idCol),
         round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), scoreDp).as("cos"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val result = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true) // result is small: k rows per query
+      featurized.unpersist(blocking = false)
+      out
+    }
   }
 }

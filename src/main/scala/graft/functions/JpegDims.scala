@@ -62,8 +62,11 @@ object JpegDims {
         val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
         if (len < 2) return None
         if (isSof(m)) {
-          // payload: precision(1) height(2) width(2) ... — T.81 §B.2.2
-          if (o + 9 > b.length) return None
+          // payload: precision(1) height(2) width(2) ... — T.81 §B.2.2.
+          // A declared segment length too short to CONTAIN the geometry
+          // (len < 2 length bytes + 1 + 2 + 2) marks a corrupt header:
+          // reading on would return bytes of the NEXT segment as w/h.
+          if (len < 7 || o + 9 > b.length) return None
           val h = ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff)
           val w = ((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff)
           return Some((w, h))

@@ -47,15 +47,16 @@ object Multimodal {
   /** JPEG geometry via the native SOF-marker walk ([[JpegDims]] — the
     * offsets are variable, unlike PNG's fixed IHDR, so this is the one
     * header parse that needs an expression). NULL when no frame header.
-    * Requires [[GraftFunctions.register]] on the session. */
+    * Self-contained (direct expression construction) — no session
+    * registration needed. */
   def jpegWidth(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 1)
   def jpegHeight(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 2)
 
   /** One metadata struct per blob — the column a pipeline materializes
     * next to the binary at ingest. Geometry is recovered headers-only for
     * png (fixed-offset IHDR) and jpeg (SOF walk); other formats carry
-    * NULL dims until their decoder lands. Requires
-    * [[GraftFunctions.register]] for the jpeg path. */
+    * NULL dims until their decoder lands. Pure Column algebra — usable on
+    * any session without registration. */
   def mediaMeta(bin: Column): Column = {
     val fmt = sniffFormat(bin)
     struct(

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -83,9 +82,17 @@ object SimHash64 {
   }
 }
 
-/** Registration of graft's custom Catalyst expressions for SQL + Column
-  * use (public `call_function` route — no private Column constructors). */
+/** graft's custom Catalyst expressions, exposed two ways:
+  *
+  *   - **Column builders** (below): direct expression construction via
+  *     [[org.apache.spark.sql.GraftColumn]] — self-contained, no session
+  *     state, usable on any session without prior registration;
+  *   - **SQL names**: [[register]] (per-session) or
+  *     [[graft.GraftExtensions]] (spark.sql.extensions) make the same
+  *     expressions callable from SQL text.
+  */
 object GraftFunctions {
+  import org.apache.spark.sql.GraftColumn
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -112,41 +119,37 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 
-  /** tokens array<string> → 64-bit simhash. Requires register(spark). */
-  def simhash64(c: Column): Column = call_function("simhash64", c)
+  /** tokens array<string> → 64-bit simhash. */
+  def simhash64(c: Column): Column = GraftColumn(SimHash64(GraftColumn.expr(c)))
 
-  /** shingles array<string> → array<long> minhash signature of n seeds.
-    * Requires register(spark). */
+  /** shingles array<string> → array<long> minhash signature of n seeds. */
   def minhashSig(c: Column, numHashes: Int): Column =
-    call_function("minhash_sig", c, org.apache.spark.sql.functions.lit(numHashes))
+    GraftColumn(MinHashSig(GraftColumn.expr(c), numHashes))
 
-  /** #agreeing components of two signatures. Requires register(spark). */
-  def minhashAgree(a: Column, b: Column): Column = call_function("minhash_agree", a, b)
+  /** #agreeing components of two signatures. */
+  def minhashAgree(a: Column, b: Column): Column =
+    GraftColumn(MinHashAgree(GraftColumn.expr(a), GraftColumn.expr(b)))
 
-  /** |A∩B| of two sorted long arrays. Requires register(spark). */
+  /** |A∩B| of two sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
-    call_function("sorted_intersect_count", a, b)
+    GraftColumn(SortedIntersectCount(GraftColumn.expr(a), GraftColumn.expr(b)))
 
-  /** text → sorted distinct 64-bit hashes of its char k-grams. Requires
-    * register(spark). */
+  /** text → sorted distinct 64-bit hashes of its char k-grams. */
   def charShingleHashes(c: Column, k: Int): Column =
-    call_function("char_shingle_hashes", c, org.apache.spark.sql.functions.lit(k))
+    GraftColumn(CharShingleHashes(GraftColumn.expr(c), k))
 
-  /** Fused-loop cosine similarity of two vectors. Requires register(spark). */
-  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  /** Fused-loop cosine similarity of two vectors. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumn(CosineSim(GraftColumn.expr(a), GraftColumn.expr(b)))
 
-  /** JPEG blob → array(width, height) from its SOF header, NULL if absent.
-    * Requires register(spark). */
-  def jpegDims(c: Column): Column = call_function("jpeg_dims", c)
+  /** JPEG blob → array(width, height) from its SOF header, NULL if absent. */
+  def jpegDims(c: Column): Column = GraftColumn(JpegDims(GraftColumn.expr(c)))
 
-  /** One-pass language ID (same semantics as TextFunctions.langId).
-    * Requires register(spark). */
-  def langId(c: Column): Column = call_function("lang_id", c)
+  /** One-pass language ID (same semantics as TextFunctions.langId). */
+  def langId(c: Column): Column =
+    GraftColumn(LangIdExpr(GraftColumn.expr(c), TextFunctions.StopwordLists.toSeq))
 
-  /** vector → array<long> of per-table sign-LSH bucket ids. Requires
-    * register(spark). */
-  def cosineLshBuckets(vec: Column, numPlanes: Int, numTables: Int, seed: Long): Column = {
-    import org.apache.spark.sql.functions.lit
-    call_function("cosine_lsh_buckets", vec, lit(numPlanes), lit(numTables), lit(seed))
-  }
+  /** vector → array<long> of per-table sign-LSH bucket ids. */
+  def cosineLshBuckets(vec: Column, numPlanes: Int, numTables: Int, seed: Long): Column =
+    GraftColumn(CosineLshBuckets(GraftColumn.expr(vec), numPlanes, numTables, seed))
 }

@@ -54,7 +54,6 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       scoreDp: Int = 4): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol),
@@ -84,11 +83,20 @@ object Similarity {
     * low-information hash — it would contribute O(n²) pairs while mostly
     * pairing dissimilar vectors; neighbors it contained still meet in
     * their other `numTables-1` tables). This caps per-bucket work at
-    * O(maxBucket²) no matter how skewed the data. */
+    * O(maxBucket²) no matter how skewed the data.
+    *
+    * Two result modes:
+    *   - rank mode (default): per-id top-`k` by cosine, with a `rank`
+    *     column — the kNN-style result;
+    *   - threshold mode (`minCos = Some(t)`): ALL candidate pairs with
+    *     cos >= t, no rank cap — the DEDUP-style result. A near-dup
+    *     semantic must use this: a vector with more than k near-identical
+    *     neighbours would silently lose pairs beyond rank k under the
+    *     rank cap. */
   def annSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, k: Int, numTables: Int = 8,
-      seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
-    GraftFunctions.register(corpus.sparkSession)
+      seed: Long = 42L, maxBucket: Int = 256,
+      minCos: Option[Double] = None): DataFrame = {
     val bucketed = corpus
       .select(col(idCol), posexplode(
         GraftFunctions.cosineLshBuckets(col(vecCol), numPlanes, numTables, seed)))
@@ -108,7 +116,11 @@ object Similarity {
       .join(vecs.toDF("id_b", "vec_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         GraftFunctions.cosineSim(col("vec_a"), col("vec_b")).as("cos"))
-    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    minCos match {
+      case Some(t) => scored.where(col("cos") >= t)
+      case None =>
+        val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
   }
 }

@@ -75,7 +75,13 @@ object Analytics {
     * right sorts before left on ties); left rows with no prior right row
     * get NULLs, like a left outer as-of. `right` must be unique per
     * (keys, ts) — pre-aggregate otherwise (the window's last() among
-    * same-(key, ts) right rows would be nondeterministic). */
+    * same-(key, ts) right rows would be nondeterministic).
+    *
+    * Row atomicity: ALL right value columns travel as ONE struct carried
+    * forward by a single last(ignoreNulls=true) — so a right row holding
+    * a legitimate NULL in one value column delivers that NULL as-is. (A
+    * per-column carry would back-fill the NULL from an OLDER right row,
+    * mixing columns of different right rows in one output row.) */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String): DataFrame = {
     val rVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
@@ -83,20 +89,24 @@ object Analytics {
     val collisions = rVals.intersect(lCols)
     require(collisions.isEmpty,
       s"asofJoin: rename right-side value columns colliding with left: ${collisions.mkString(", ")}")
-    val rTypes = rVals.map(c => c -> right.schema(c).dataType).toMap
+    if (rVals.isEmpty) return left.select((keys ++ lCols).map(col): _*)
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lTypes = lCols.map(c => c -> left.schema(c).dataType).toMap
     val l = left.select(keys.map(col) ++
       Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-      lCols.map(col) ++ rVals.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+      lCols.map(col) :+ lit(null).cast(rStruct).as("__rv"): _*)
     val r = right.select(keys.map(col) ++
       Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++ rVals.map(col): _*)
+      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) :+
+      struct(rVals.map(col): _*).as("__rv"): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((keys.map(col) ++ lCols.map(col) :+ col("__side")) ++
-        rVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select((keys.map(col) ++ lCols.map(col) :+ col("__side")) :+
+        last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
       .where(col("__side") === 1)
-      .drop("__side")
+      .select((keys.map(col) ++ lCols.map(col)) ++
+        rVals.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -28,10 +28,16 @@ object Skew {
     require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"saltedJoin replicates the right side; joinType '$joinType' would emit " +
         "unmatched right rows saltFactor times (use inner/left-preserving types)")
-    // per-row deterministic-at-runtime spread; the salt only routes rows
-    // to reducers, so its exact values never affect results
+    // Retry-stable spread: the salt is a pure function of the row's
+    // CONTENT (xxhash64 over all columns), so a task retry reproduces the
+    // same routing — unlike monotonically_increasing_id, whose value
+    // depends on the row's position within a task attempt. The salt only
+    // routes rows to reducers, so exact values never affect results;
+    // fully-identical rows share a salt (acceptable: they are
+    // indistinguishable anyway, and a hot KEY still spreads because its
+    // rows differ in the non-key columns).
     val salted = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -223,13 +223,15 @@ object PipelineQueries {
 
     // Embedding-cosine near-dup: vectors whose cosine exceeds 0.99 are
     // duplicates. Candidates from the skew-capped LSH self-join (never
-    // all-pairs), exact-cosine verified; summary row is stable under the
-    // approximate candidate set only in expectation → rows-only check,
-    // recall asserted in ScalaTest against brute force.
+    // all-pairs) in THRESHOLD mode — every candidate pair at or above the
+    // cutoff survives; a rank-k cap would drop pairs of a vector with >k
+    // near-identical clones. Summary row is stable under the approximate
+    // candidate set only in expectation → rows-only check, recall
+    // asserted in ScalaTest against brute force.
     "dedup_embed" -> ((s, dir) =>
       Similarity.annSelfJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
-          numPlanes = 8, k = 10)
-        .where(col("cos") >= 0.99 && col("id_a") < col("id_b"))
+          numPlanes = 8, k = 10, minCos = Some(0.99))
+        .where(col("id_a") < col("id_b"))
         .agg(count(lit(1L)).as("n_dup_pairs"),
              coalesce(round(min(col("cos")), 4), lit(-1.0)).as("min_cos"))),
 

@@ -30,6 +30,20 @@ class AnalyticsSpec extends SparkSuite {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin: a right row's legitimate NULL is delivered, not back-filled") {
+    // right row at ts=30 has v2 = NULL; a per-column carry would
+    // back-fill v2 from the OLDER row at ts=20, mixing two right rows
+    val left = Seq((1L, "k", 35L)).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("k", 20L, Some(2.0), Some("old")),
+      ("k", 30L, Some(3.0), None: Option[String])
+    ).toDF("key", "r_ts", "v1", "v2")
+    val row = Analytics.asofJoin(left, right, Seq("key"), "ts", "r_ts")
+      .select("v1", "v2").head()
+    assert(row.getDouble(0) == 3.0)
+    assert(row.isNullAt(1), s"v2 must stay NULL (row atomicity), got ${row.get(1)}")
+  }
+
   test("asofJoin rejects colliding value-column names up front") {
     val l = Seq((1L, "k", 10L, 1.0)).toDF("id", "key", "ts", "v")
     val r = Seq(("k", 5L, 2.0)).toDF("key", "r_ts", "v")
@@ -173,5 +187,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(e.getMessage.contains("replicates"))
     // left-preserving types still work
     assert(Skew.saltedJoin(a, b, Seq("k"), 4, "left").count() == 1)
+  }
+
+  test("saltedJoin: content-derived salt is retry-stable and result-equivalent") {
+    val skewed = (1 to 500).map(i => (i % 3, s"row_$i")).toDF("k", "payload")
+    val dim = Seq((0, "zero"), (1, "one"), (2, "two")).toDF("k", "name")
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), saltFactor = 4)
+    val plain = skewed.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name").except(plain.select("k", "payload", "name")).isEmpty)
+    // routing determinism: the salt assignment is a pure function of row
+    // content, so two independent runs produce the identical salt per row
+    // (monotonically_increasing_id would differ across partition layouts)
+    val s1 = skewed.repartition(7).withColumn("__salt",
+      pmod(xxhash64(col("k"), col("payload")), lit(4L))).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val s2 = skewed.repartition(2).withColumn("__salt",
+      pmod(xxhash64(col("k"), col("payload")), lit(4L))).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s1 == s2, "salt must not depend on partitioning/attempt layout")
   }
 }

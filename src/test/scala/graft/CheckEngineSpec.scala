@@ -307,4 +307,13 @@ class CheckEngineSpec extends SparkSuite {
     assert(row.getAs[Boolean]("neg_failed"))
     assert(row.getAs[Boolean]("rc_failed"))
   }
+
+  test("bound-less columnSumCheck is rejected at construction with a clear message") {
+    // without the guard, a min=max=None spec would reach verdictDF and
+    // blow up in (lo ++ hi).reduce with an opaque UnsupportedOperationException
+    val e = intercept[IllegalArgumentException] {
+      ColumnSumCheck("data", None, None, inclusive = false, "colsum")
+    }
+    assert(e.getMessage.contains("columnSumCheck needs a bound"))
+  }
 }

@@ -76,6 +76,31 @@ class MultimodalSpec extends SparkSuite {
     assert(graft.functions.JpegDims.parse("nope".getBytes).isEmpty)
   }
 
+  test("JPEG SOF with a declared length too short for geometry yields NULL, not garbage") {
+    // SOI + SOF0 claiming len=4 (< 7 needed for precision+height+width),
+    // followed by plausible trailing bytes that a naive reader would
+    // misinterpret as geometry
+    val corrupt = Array[Byte](
+      0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x04, 0x08, 0x00,
+      0x30, 0x00, 0x60, 0x01, 0x01, 0x11, 0x00)
+    assert(graft.functions.JpegDims.parse(corrupt).isEmpty,
+      "corrupt SOF (len < 7) must not read the next segment's bytes as w/h")
+  }
+
+  test("Column builders are self-contained: fresh session, no register() call") {
+    // newSession() has its own function registry — call_function-based
+    // builders would fail analysis here with an undefined-function error
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = Seq((1L, jpegFull)).toDF("id", "blob")
+    val r = df.select(
+      Multimodal.jpegWidth(col("blob")).as("w"),
+      graft.functions.GraftFunctions.simhash64(split(lit("a b c"), " ")).as("s")).head()
+    assert(r.getInt(0) == 96)
+    assert(!r.isNullAt(1))
+  }
+
   test("decodeBatch streams partitions through the (stub) decoder with a typed schema") {
     val df = Seq(
       (10L, pngHeader ++ "pixels".getBytes),

@@ -198,4 +198,21 @@ class PipelineSpec extends SparkSuite {
     val recall = hits.toDouble / truth.size
     assert(recall >= 0.6, s"ANN recall too low: $recall")
   }
+
+  test("annSelfJoin threshold mode keeps ALL pairs of a >k clone cluster") {
+    // 12 identical vectors (cos = 1.0 pairwise) + unrelated fillers: the
+    // dedup semantic needs all C(12,2) = 66 pairs; rank mode with k = 10
+    // would cap each id at 10 partners and lose pairs
+    val clone = Seq.fill(12)(Array.fill(16)(0.5f))
+    val rnd = new scala.util.Random(7)
+    val fill = Seq.fill(50)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val df = (clone ++ fill).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+    val pairs = Similarity.annSelfJoin(df, "vec_id", "embedding",
+        numPlanes = 8, k = 10, minCos = Some(0.99))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clonePairs = pairs.filter { case (a, b) => a < 12 && b < 12 }
+    assert(clonePairs.size == 66, s"expected all 66 clone pairs, got ${clonePairs.size}")
+  }
 }
