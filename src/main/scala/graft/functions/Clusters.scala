@@ -33,20 +33,38 @@ object Clusters {
     * the MINIMUM id reachable through the pair graph — the conventional
     * canonical keep-id. Throws if `maxIter` rounds do not converge (the
     * doubling bound makes that a data-scale red flag, not a tuning knob:
-    * 25 rounds cover components of diameter far beyond 2^20). */
+    * 25 rounds cover components of diameter far beyond 2^20).
+    *
+    * Round cost: ONE materialization job (propagate + compress fused into
+    * a single checkpointed plan; the intra-round intermediate is persisted
+    * so its self-join computes it once) + one narrow aggregate for the
+    * convergence check. The check exploits monotonicity instead of a
+    * join: labels only ever DECREASE, so any change strictly lowers
+    * sum(lbl) — equal decimal sums across rounds ⟺ converged. The first
+    * propagate round is fused into initialization (lbl₀ = min(id, min
+    * neighbor)), saving a full round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // no distinct(): every pair operator emits unique (a<b) pairs, and a
+    // duplicate edge is harmless to min-propagation anyway — deduping
+    // would cost a full shuffle of the edge list per call
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // init ⊕ first propagate in one aggregation: every node of any edge,
+    // labeled min(self, min neighbor)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
       .localCheckpoint(true)
-    var changed = 1L
+    // exact decimal sum: overflow-safe monotone convergence witness
+    def lblSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
+    var converged = false
+    while (!converged && rounds < maxIter) {
       // propagate: the min label in v's neighborhood (map-side partial min,
       // one shuffle on dst)
       val nbrMin = edges
@@ -56,7 +74,7 @@ object Clusters {
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // referenced twice below — compute once
+        .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below — computed once
       // compress: follow the label pointer one hop — label(label(v)).
       // Valid because lbl(v) is always the id of a node CONNECTED to v
       // (labels start as own ids and only ever take a neighbor's label),
@@ -65,18 +83,20 @@ object Clusters {
         .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") =!= col("old")).count()
+        .localCheckpoint(true) // truncate per-round lineage growth
+      prop.unpersist(blocking = false)
+      val s = lblSum(next)
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
       labels = next
       rounds += 1
     }
     edges.unpersist(blocking = false)
-    if (changed > 0)
+    if (!converged && rounds >= maxIter)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — with pointer doubling this " +
-          "indicates a component of astronomically large diameter or corrupt input")
+        s"connectedComponents did not converge in $maxIter rounds — with " +
+          "pointer doubling this indicates a component of astronomically " +
+          "large diameter or corrupt input")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

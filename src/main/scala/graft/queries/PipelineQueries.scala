@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
+import graft.functions.{Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -81,6 +81,47 @@ object PipelineQueries {
           t(s, dir, "documents").where(col("doc_id") < 1000),
           "doc_id", "text", shingleK = 5, tauPct = 51)
         .orderBy("id_a", "id_b")),
+
+    // Near-dup pair → CLUSTER resolution: connected components over the
+    // deterministic exact-Jaccard pair graph (min-label propagation with
+    // pointer doubling, O(log n) rounds — Clusters.connectedComponents).
+    // One row per node in some pair; `component` = min reachable id (the
+    // canonical keep-id). Hash-matched against a DuckDB WITH RECURSIVE
+    // transitive-closure oracle.
+    "dedup_cluster" -> ((s, dir) =>
+      Clusters.connectedComponents(
+        Dedup.jaccardNearDupPairs(
+          t(s, dir, "documents").where(col("doc_id") < 1000),
+          "doc_id", "text", shingleK = 5, tauPct = 51),
+        "id_a", "id_b")
+        .orderBy("id")),
+
+    // Near-dup-AWARE curation: quality filter → exact dedup → near-dup
+    // CLUSTER drop (keep the min doc_id of every connected component of
+    // the exact-Jaccard pair graph) → summary. The full "found pairs →
+    // dropped the right docs" path, end-to-end against the recursive
+    // oracle. Restricted to the exact-audit slice (doc_id < 1000) so the
+    // pair stage is the provably-exact AllPairs variant; the estimated
+    // 100 TB pair stage is dedup_minhash and plugs into the same
+    // Clusters.dropNearDupMembers.
+    "pipeline_curate_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val scored = docs.select(col("doc_id"), col("text"),
+        TF.qualityScore(col("text")).as("q"))
+      val quality = scored.where(col("q") >= 0.5)
+      val kept = quality
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val pairs = Dedup.jaccardNearDupPairs(kept, "doc_id", "text",
+        shingleK = 5, tauPct = 51)
+      val fin = Clusters.dropNearDupMembers(kept, "doc_id", pairs)
+      quality.agg(count(lit(1L)).as("n_quality"))
+        .crossJoin(kept.agg(count(lit(1L)).as("n_exact")))
+        .crossJoin(fin.agg(count(lit(1L)).as("n_final"),
+          sum(length(col("text"))).cast("long").as("final_chars")))
+    }),
 
     // MinHash + LSH banding near-dup pairs (the 100 TB path: shuffle only
     // on band hashes, verify only colliding pairs). xxhash64 signatures →
@@ -354,6 +395,62 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM documents WHERE doc_id < 1000),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
+        | WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |   51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "pipeline_curate_near" ->
+      """WITH RECURSIVE scored AS (SELECT doc_id, text,
+        |  round(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+        |   + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))
+        |   + 0.3 * (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |       / greatest(len(string_split_regex(trim(text), '\s+')), 1) BETWEEN 3.0 AND 12.0
+        |     THEN 1.0 ELSE 0.0 END), 6) AS q
+        | FROM documents WHERE doc_id < 1000),
+        |quality AS (SELECT * FROM scored WHERE q >= 0.5),
+        |kept AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM quality) WHERE rn = 1),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM kept),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
+        | WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |   51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |fin AS (SELECT * FROM kept
+        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM quality) AS n_quality,
+        | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_exact,
+        | (SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_final,
+        | (SELECT CAST(sum(length(text)) AS BIGINT) FROM fin) AS final_chars""".stripMargin,
 
     "pipeline_curate" ->
       """WITH scored AS (SELECT doc_id, text,

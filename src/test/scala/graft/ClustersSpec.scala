@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Clusters
+import org.apache.spark.sql.functions._
+
+/** Near-dup pair → cluster resolution (Clusters.connectedComponents /
+  * dropNearDupMembers): exact component assignments on known graphs,
+  * pointer-doubling convergence on an adversarial chain, and the
+  * keep-min / drop-rest dedup semantics. */
+class ClustersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)], maxIter: Int = 25) =
+    Clusters.connectedComponents(
+        pairs.toDF("id_a", "id_b"), "id_a", "id_b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("components of a forest: chain + triangle + isolated pair") {
+    // 1-2-3 chain, {10,11,12} triangle, 20-21 pair; transitive closure
+    // must label every member with its component's minimum
+    val got = components(Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("bridging edge merges two clusters transitively") {
+    // two far-apart clusters joined by one edge: min label must cross it
+    val got = components(Seq((5L, 6L), (100L, 101L), (6L, 100L)))
+    assert(got.values.toSet == Set(5L), "one component, labeled by global min")
+    assert(got.keySet == Set(5L, 6L, 100L, 101L))
+  }
+
+  test("adversarial chain converges in logarithmic rounds (pointer doubling)") {
+    // a 512-node path is the worst case for plain propagation (O(n)
+    // rounds); with label-pointer doubling the reached distance compounds
+    // geometrically, so 15 rounds must suffice (2^15 >> 512). Descending
+    // ids make the min label start at the FAR end of the chain.
+    val n = 512
+    val chain = (1 until n).map(i => ((n - i).toLong, (n - i - 1).toLong))
+    val got = components(chain, maxIter = 15)
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every node labeled with the chain min")
+  }
+
+  test("round cap throws rather than returning half-merged clusters") {
+    val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong))
+    val e = intercept[IllegalStateException] {
+      components(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("empty pair list yields an empty (schema-correct) result") {
+    val empty = Clusters.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+    assert(empty.columns.toSeq == Seq("id", "component"))
+    assert(empty.count() == 0)
+  }
+
+  test("dropNearDupMembers keeps the min id per cluster and all non-members") {
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // clusters {1,3,5} and {6,7}; 0,2,4,8,9 in no pair
+    val pairs = Seq((3L, 1L), (3L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Clusters.dropNearDupMembers(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 8L, 9L))
+  }
+}
