@@ -476,6 +476,20 @@ class ConfigSpec extends SparkSuite {
     assert(errsOf(emailYaml).exists(_.contains("'to' entries must be strings")))
   }
 
+  test("committed flagship config parses: the CLI smoke's YAML cannot rot") {
+    // scripts/flagship_smoke.sh drives configs/flagship.yaml through the
+    // real CLI process; this guard keeps the committed YAML structurally
+    // valid under plain `sbt test` (same CLI vars the script passes)
+    val cliVars = Map("sf" -> "/sf", "fixdir" -> "/fix", "out" -> "/tmp", "minKey" -> "0")
+    val cfg = ConfigParser.parseFile("configs/flagship.yaml", cliVars, lint = true)
+      .fold(e => fail(e.mkString("; ")), identity)
+    assert(cfg.tables.size == 3)
+    assert(cfg.tables.map(_.source.getClass.getSimpleName) ==
+      Seq("ParquetSource", "OrcSource", "FormatSource"))
+    assert(cfg.outputs.size == 2)
+    assert(cfg.tables.flatMap(_.checks).size == 9)
+  }
+
   test("flagship config run: vars + two tables + file/pipe/html outputs in one pass") {
     val dir = java.nio.file.Files.createTempDirectory("graft_flagship").toFile
     val cfgFile = new java.io.File(dir, "conf.yaml")
