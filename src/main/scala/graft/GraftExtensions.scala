@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => LangIdExpr(exprs.head, TextFunctions.StopwordLists.toSeq))
     inject("jpeg_dims", "jpeg_dims(blob) - array(width, height) from a JPEG SOF header",
       exprs => JpegDims(exprs.head))
+    inject("wav_info", "wav_info(blob) - array(rate, channels, bits) from a RIFF fmt chunk",
+      exprs => WavInfo(exprs.head))
   }
 }

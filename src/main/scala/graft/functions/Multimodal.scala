@@ -52,13 +52,23 @@ object Multimodal {
   def jpegWidth(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 1)
   def jpegHeight(bin: Column): Column = element_at(GraftFunctions.jpegDims(bin), 2)
 
+  /** WAV audio parameters via the native RIFF chunk walk ([[WavInfo]] —
+    * chunk offsets are variable like JPEG's markers: LIST/INFO chunks may
+    * precede `fmt `). NULL when no well-formed fmt chunk. Self-contained
+    * — no session registration needed. */
+  def wavSampleRate(bin: Column): Column = element_at(GraftFunctions.wavInfo(bin), 1)
+  def wavChannels(bin: Column): Column = element_at(GraftFunctions.wavInfo(bin), 2)
+  def wavBitsPerSample(bin: Column): Column = element_at(GraftFunctions.wavInfo(bin), 3)
+
   /** One metadata struct per blob — the column a pipeline materializes
     * next to the binary at ingest. Geometry is recovered headers-only for
-    * png (fixed-offset IHDR) and jpeg (SOF walk); other formats carry
-    * NULL dims until their decoder lands. Pure Column algebra — usable on
-    * any session without registration. */
+    * png (fixed-offset IHDR) and jpeg (SOF walk); audio parameters for
+    * riff/wav (chunk walk); other formats carry NULL metadata until their
+    * decoder lands. Pure Column algebra — usable on any session without
+    * registration. */
   def mediaMeta(bin: Column): Column = {
     val fmt = sniffFormat(bin)
+    val wav = GraftFunctions.wavInfo(bin) // computed once, sliced thrice
     struct(
       byteLength(bin).as("n_bytes"),
       fmt.as("format"),
@@ -66,7 +76,10 @@ object Multimodal {
       when(fmt === "png", pngWidth(bin))
         .when(fmt === "jpeg", jpegWidth(bin)).as("width"),
       when(fmt === "png", pngHeight(bin))
-        .when(fmt === "jpeg", jpegHeight(bin)).as("height"))
+        .when(fmt === "jpeg", jpegHeight(bin)).as("height"),
+      when(fmt === "riff", element_at(wav, 1)).as("sample_rate"),
+      when(fmt === "riff", element_at(wav, 2)).as("channels"),
+      when(fmt === "riff", element_at(wav, 3)).as("bits_per_sample"))
   }
 
   /** Decoded-media record produced by the decode stage. */

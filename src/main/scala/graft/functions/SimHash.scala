@@ -113,6 +113,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_dims", exprs => JpegDims(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_info", exprs => WavInfo(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -144,6 +146,10 @@ object GraftFunctions {
 
   /** JPEG blob → array(width, height) from its SOF header, NULL if absent. */
   def jpegDims(c: Column): Column = GraftColumn(JpegDims(GraftColumn.expr(c)))
+
+  /** WAV blob → array(sample_rate, channels, bits_per_sample) from its
+    * RIFF fmt chunk, NULL if absent/corrupt. */
+  def wavInfo(c: Column): Column = GraftColumn(WavInfo(GraftColumn.expr(c)))
 
   /** One-pass language ID (same semantics as TextFunctions.langId). */
   def langId(c: Column): Column =

@@ -241,9 +241,21 @@ object PipelineQueries {
         0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // APP0, len 16
         0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08,
         0x00, 0x30, 0x00, 0x60, 0x01, 0x01, 0x11, 0x00)) // SOF0: h=48 w=96
+      // a REAL (headers-only) WAV prefix: RIFF/WAVE with a LIST chunk
+      // BEFORE `fmt ` — the engine side must walk the chunk list, a
+      // fixed-offset read would land inside LIST. fmt: PCM, stereo,
+      // 48000 Hz, 16-bit; then a data chunk header carrying the text.
+      val wavHdr = lit(Array[Byte](
+        'R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+        'L', 'I', 'S', 'T', 0x06, 0, 0, 0, 'I', 'N', 'F', 'O', 'a', 'b',
+        'f', 'm', 't', ' ', 0x10, 0, 0, 0,
+        0x01, 0x00, 0x02, 0x00, 0x80.toByte, 0xBB.toByte, 0x00, 0x00,
+        0x00, 0xEE.toByte, 0x02, 0x00, 0x04, 0x00, 0x10, 0x00,
+        'd', 'a', 't', 'a', 0, 0, 0, 0))
       val withBlob = t(s, dir, "documents").withColumn("blob",
-        when(col("doc_id") % 3 === 0, concat(pngHdr, encode(col("text"), "UTF-8")))
-          .when(col("doc_id") % 3 === 1, concat(jpgHdr, encode(col("text"), "UTF-8")))
+        when(col("doc_id") % 4 === 0, concat(pngHdr, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 1, concat(jpgHdr, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 2, concat(wavHdr, encode(col("text"), "UTF-8")))
           .otherwise(encode(col("text"), "UTF-8")))
         .withColumn("format", MM.sniffFormat(col("blob"))) // computed ONCE per row
       withBlob
@@ -258,7 +270,13 @@ object PipelineQueries {
              coalesce(max(when(col("format") === "jpeg",
                MM.jpegWidth(col("blob")))), lit(-1)).as("jpg_w"),
              coalesce(max(when(col("format") === "jpeg",
-               MM.jpegHeight(col("blob")))), lit(-1)).as("jpg_h"))
+               MM.jpegHeight(col("blob")))), lit(-1)).as("jpg_h"),
+             coalesce(max(when(col("format") === "riff",
+               MM.wavSampleRate(col("blob")))), lit(-1)).as("wav_rate"),
+             coalesce(max(when(col("format") === "riff",
+               MM.wavChannels(col("blob")))), lit(-1)).as("wav_ch"),
+             coalesce(max(when(col("format") === "riff",
+               MM.wavBitsPerSample(col("blob")))), lit(-1)).as("wav_bits"))
         .orderBy("format")
     }),
 
@@ -521,10 +539,12 @@ object PipelineQueries {
     // magic prefix like "BM", "GIF8" or "RIFF"
     "mm_meta" ->
       """WITH b AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN
+        |  CASE WHEN doc_id % 4 = 0 THEN
         |    '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR\x00\x00\x00\x40\x00\x00\x00\x20'::BLOB || encode(text)
-        |  WHEN doc_id % 3 = 1 THEN
+        |  WHEN doc_id % 4 = 1 THEN
         |    '\xFF\xD8\xFF\xE0\x00\x10\x4A\x46\x49\x46\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00\xFF\xC0\x00\x0B\x08\x00\x30\x00\x60\x01\x01\x11\x00'::BLOB || encode(text)
+        |  WHEN doc_id % 4 = 2 THEN
+        |    '\x52\x49\x46\x46\x00\x00\x00\x00\x57\x41\x56\x45\x4C\x49\x53\x54\x06\x00\x00\x00\x49\x4E\x46\x4F\x61\x62\x66\x6D\x74\x20\x10\x00\x00\x00\x01\x00\x02\x00\x80\xBB\x00\x00\x00\xEE\x02\x00\x04\x00\x10\x00\x64\x61\x74\x61\x00\x00\x00\x00'::BLOB || encode(text)
         |  ELSE encode(text) END AS blob
         | FROM documents),
         |f AS (SELECT blob,
@@ -542,7 +562,10 @@ object PipelineQueries {
         | CAST(CASE WHEN format = 'png' THEN 64 ELSE -1 END AS INT) AS png_w,
         | CAST(CASE WHEN format = 'png' THEN 32 ELSE -1 END AS INT) AS png_h,
         | CAST(CASE WHEN format = 'jpeg' THEN 96 ELSE -1 END AS INT) AS jpg_w,
-        | CAST(CASE WHEN format = 'jpeg' THEN 48 ELSE -1 END AS INT) AS jpg_h
+        | CAST(CASE WHEN format = 'jpeg' THEN 48 ELSE -1 END AS INT) AS jpg_h,
+        | CAST(CASE WHEN format = 'riff' THEN 48000 ELSE -1 END AS INT) AS wav_rate,
+        | CAST(CASE WHEN format = 'riff' THEN 2 ELSE -1 END AS INT) AS wav_ch,
+        | CAST(CASE WHEN format = 'riff' THEN 16 ELSE -1 END AS INT) AS wav_bits
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
 
     "sim_centroid" ->

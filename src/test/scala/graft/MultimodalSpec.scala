@@ -88,6 +88,53 @@ class MultimodalSpec extends SparkSuite {
       "corrupt SOF (len < 7) must not read the next segment's bytes as w/h")
   }
 
+  // RIFF/WAVE with a LIST chunk BEFORE fmt (PCM stereo 48 kHz 16-bit) —
+  // a fixed-offset reader would land inside LIST and mis-parse
+  private val wavHeader: Array[Byte] = Array[Byte](
+    'R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+    'L', 'I', 'S', 'T', 0x06, 0, 0, 0, 'I', 'N', 'F', 'O', 'a', 'b',
+    'f', 'm', 't', ' ', 0x10, 0, 0, 0,
+    0x01, 0x00, 0x02, 0x00, 0x80.toByte, 0xBB.toByte, 0x00, 0x00,
+    0x00, 0xEE.toByte, 0x02, 0x00, 0x04, 0x00, 0x10, 0x00,
+    'd', 'a', 't', 'a', 0, 0, 0, 0)
+
+  test("WAV chunk walk: fmt found past a LIST chunk; corrupt/truncated yield NULL") {
+    import graft.functions.WavInfo
+    assert(WavInfo.parse(wavHeader ++ "samples".getBytes).contains((48000, 2, 16)))
+    // odd-size leading chunk: the pad byte must be skipped to stay aligned
+    val oddChunk = Array[Byte]('J', 'U', 'N', 'K', 0x03, 0, 0, 0, 1, 2, 3, 0) // 3 + pad
+    val padded = wavHeader.take(12) ++ oddChunk ++ wavHeader.drop(26)
+    assert(WavInfo.parse(padded).contains((48000, 2, 16)))
+    // not RIFF / not WAVE / truncated before fmt payload
+    assert(WavInfo.parse("RIFFxxxxAVI ".getBytes).isEmpty)
+    assert(WavInfo.parse("plain".getBytes).isEmpty)
+    assert(WavInfo.parse(wavHeader.take(34)).isEmpty)
+    // declared fmt size too small to contain the PCM fields
+    val badFmt = wavHeader.clone
+    badFmt(30) = 0x08 // fmt size 8 < 16
+    assert(WavInfo.parse(badFmt).isEmpty)
+    // zero channels marks a corrupt header, not an exotic file
+    val zeroCh = wavHeader.clone
+    zeroCh(36) = 0x00
+    assert(WavInfo.parse(zeroCh).isEmpty)
+  }
+
+  test("wav Column accessors ride the same parse; non-riff rows are NULL") {
+    val df = Seq(
+      (1L, wavHeader ++ "audio".getBytes),
+      (2L, "not audio".getBytes)).toDF("id", "blob")
+    val rows = df.select(col("id"),
+      Multimodal.wavSampleRate(col("blob")).as("r"),
+      Multimodal.wavChannels(col("blob")).as("c"),
+      Multimodal.wavBitsPerSample(col("blob")).as("b"),
+      Multimodal.mediaMeta(col("blob")).getField("sample_rate").as("m")).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 48000 && byId(1L).getInt(2) == 2 && byId(1L).getInt(3) == 16)
+    assert(byId(1L).getInt(4) == 48000)
+    assert(byId(2L).isNullAt(1) && byId(2L).isNullAt(2) && byId(2L).isNullAt(3))
+    assert(byId(2L).isNullAt(4))
+  }
+
   test("Column builders are self-contained: fresh session, no register() call") {
     // newSession() has its own function registry — call_function-based
     // builders would fail analysis here with an undefined-function error
