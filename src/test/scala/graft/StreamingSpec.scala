@@ -126,6 +126,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: file-source stream resumes exactly-once, dedup state survives the kill") {
+    // the production restart path: a file-source stream with a REAL
+    // checkpoint dir is stopped mid-stream and a NEW query resumes from
+    // the checkpoint — offsets (no reprocessing), the file-sink metadata
+    // log (no duplicate output), and the dedup state store (cross-restart
+    // duplicates still dropped) must all survive
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val chk = new java.io.File(root, "chk").getPath
+    val out = new java.io.File(root, "out").getPath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+
+    def startQuery() = Streams.dedupStream(
+        spark.readStream.schema(schema).parquet(in.getPath), "ts", "2 hours", "id")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", chk).option("path", out)
+      .outputMode(OutputMode.Append).start()
+
+    // run 1: ids 0..99 (id 1 duplicated in-batch)
+    ((0 to 99).map(i => (ts(i), i.toLong)) :+ ((ts(1), 1L)))
+      .toDF("ts", "id").write.mode("append").parquet(in.getPath)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+    assert(spark.read.parquet(out).count() == 100)
+
+    // run 2: duplicates of (1, ts1) and (95, ts95) — only droppable if the
+    // RESTORED state store still holds run-1 keys — plus fresh 100..109
+    (Seq((ts(1), 1L), (ts(95), 95L)) ++ (100 to 109).map(i => (ts(i), i.toLong)))
+      .toDF("ts", "id").write.mode("append").parquet(in.getPath)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(out).select("id").as[Long].collect().toSeq
+    assert(after.size == 110, s"expected 110 rows after restart, got ${after.size}")
+    assert(after.distinct.size == 110, "restart emitted duplicate rows")
+    assert(after.toSet == ((0 to 109).map(_.toLong).toSet))
+
+    // run 3: nothing new to process — a resume with no input must not
+    // re-emit or reprocess anything
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(out).count() == 110)
+  }
+
   test("checkMonitor validates every micro-batch with the fused pass") {
     val input = MemoryStream[(Long, Double)](spark)
     val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
