@@ -59,8 +59,17 @@ object Bench {
         val big = (0 until 10).map(i => docs.select(
           (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))).reduce(_ union _)
         val (t10, p10) = run(big)
+        // cluster resolution over the 10× pair graph: each replica group
+        // is a dense K₁₀-plus component — CC must converge in few rounds
+        // on a graph ~1000× the 1× pair count
+        val bigPairs = graft.functions.Dedup.minhashNearDupPairs(big, "doc_id", "text")
+        val tc0 = System.nanoTime()
+        val nNodes = graft.functions.Clusters
+          .connectedComponents(bigPairs, "id_a", "id_b").count()
+        val tcc = (System.nanoTime() - tc0) / 1e9
         f""","scale":{"dedup_minhash_sec":$t1%.3f,"dedup_minhash_10x_sec":$t10%.3f,""" +
-          f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10}"""
+          f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
+          f""""cluster_10x_sec":$tcc%.3f,"cluster_10x_nodes":$nNodes}"""
       } catch {
         // a scale-block failure must not swallow the per-query timings
         // already collected — report it inside the JSON instead
