@@ -35,10 +35,11 @@ object Clusters {
     * doubling bound makes that a data-scale red flag, not a tuning knob:
     * 25 rounds cover components of diameter far beyond 2^20).
     *
-    * Round cost: ONE materialization job (propagate + compress fused into
-    * a single checkpointed plan; the intra-round intermediate is persisted
-    * so its self-join computes it once) + one narrow aggregate for the
-    * convergence check. The check exploits monotonicity instead of a
+    * Round cost: ONE job. Propagate + compress fuse into a single
+    * checkpointed plan (the intra-round intermediate is persisted so its
+    * self-join computes it once), and the convergence check rides the
+    * same action as an observed metric (CollectMetrics) rather than a
+    * second aggregate job. The check exploits monotonicity instead of a
     * join: labels only ever DECREASE, so any change strictly lowers
     * sum(lbl) — equal decimal sums across rounds ⟺ converged. The first
     * propagate round is fused into initialization (lbl₀ = min(id, min
@@ -52,40 +53,41 @@ object Clusters {
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One ACTION per round: the convergence sum rides the checkpoint
+    // materialization as an observed metric (CollectMetrics node) instead
+    // of a second aggregate job. The exact decimal sum is an overflow-safe
+    // monotone convergence witness. Fallback to an explicit aggregate if
+    // the observation doesn't surface (defensive — semantics identical).
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lsum"))
+        .localCheckpoint(true)
+      // the checkpoint action has completed synchronously above; obs.get
+      // only waits for the (async) listener delivery — bound that wait and
+      // keep the explicit aggregate as a defensive fallback
+      val s = try {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Await
+          .result(scala.concurrent.Future(obs.get), scala.concurrent.duration.Duration(5, "s"))
+          .getOrElse("lsum", null).asInstanceOf[java.math.BigDecimal] // null on empty input
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          out.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      }
+      (out, s)
+    }
     // init ⊕ first propagate in one aggregation: every node of any edge,
     // labeled min(self, min neighbor)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min("dst").as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
-      .localCheckpoint(true)
-    // exact decimal sum: overflow-safe monotone convergence witness
-    def lblSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = lblSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      edges.groupBy(col("src").as("id"))
+        .agg(min("dst").as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("lbl")))
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      // propagate: the min label in v's neighborhood (map-side partial min,
-      // one shuffle on dst)
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
-        .select(col("dst").as("id"), col("nlbl"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below — computed once
-      // compress: follow the label pointer one hop — label(label(v)).
-      // Valid because lbl(v) is always the id of a node CONNECTED to v
-      // (labels start as own ids and only ever take a neighbor's label),
-      // so its label is also connected; monotone (labels only decrease).
-      val next = prop
-        .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // truncate per-round lineage growth
+      val (prop, nextPlan) = roundStep(edges, labels)
+      val (next, s) = checkpointWithSum(nextPlan)
       prop.unpersist(blocking = false)
-      val s = lblSum(next)
       converged = java.util.Objects.equals(s, prevSum)
       prevSum = s
       labels = next
@@ -98,6 +100,33 @@ object Clusters {
           "pointer doubling this indicates a component of astronomically " +
           "large diameter or corrupt input")
     labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** One propagation round's plan, exposed for plan-shape assertions:
+    * returns (prop — persisted, caller unpersists after materializing
+    * `next`; next — the un-checkpointed round result). Every join is a
+    * key equality (id / lbl) — the shape that keeps each round a pair of
+    * hash-partitioned shuffles at any graph size. */
+  private[graft] def roundStep(edges: DataFrame, labels: DataFrame): (DataFrame, DataFrame) = {
+    // propagate: the min label in v's neighborhood (map-side partial min,
+    // one shuffle on dst)
+    val nbrMin = edges
+      .join(labels.select(col("id").as("src"), col("lbl")), "src")
+      .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
+      .select(col("dst").as("id"), col("nlbl"))
+    val prop = labels.join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below — computed once
+    // compress: follow the label pointer one hop — label(label(v)).
+    // Valid because lbl(v) is always the id of a node CONNECTED to v
+    // (labels start as own ids and only ever take a neighbor's label),
+    // so its label is also connected; monotone (labels only decrease).
+    val next = prop
+      .join(prop.select(col("id").as("lbl"), col("lbl").as("plbl")), Seq("lbl"), "left")
+      .select(col("id"),
+        least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+    (prop, next)
   }
 
   /** Near-dup-aware dedup: keep ONE document per cluster (the minimum id),

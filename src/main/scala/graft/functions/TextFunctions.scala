@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines: tokenization,
@@ -98,4 +98,89 @@ object TextFunctions {
     array_min(transform(
       sequence(lit(0), greatest(length(c) - k, lit(0))),
       i => xxhash64(substring(c, i + lit(1), lit(k)))))
+
+  // ---- Repetition filters (the Gopher-style quality signals: Rae et
+  // al. 2021, "Scaling Language Models", appendix A1.1 — excess repeated
+  // lines / characters / n-grams mark low-quality machine-generated or
+  // boilerplate text) ----
+
+  /** Whitespace tokens regrouped into fixed-width "lines" of `width`
+    * tokens — a deterministic line structure for corpora without natural
+    * newlines (real pipelines split on '\n' instead; pass those lines to
+    * the fraction helpers directly). */
+  def tokenLines(c: Column, width: Int): Column = {
+    val toks = tokensWs(c)
+    transform(
+      sequence(lit(0), greatest(ceil(size(toks) / lit(width.toDouble)).cast("int"), lit(1)) - 1),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+  }
+
+  /** Fraction of array entries that are repeats of another entry's value
+    * (0 for empty input). */
+  def duplicateFraction(arr: Column): Column =
+    when(size(arr) <= 0, lit(0.0)).otherwise(
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+
+  /** Fraction of CHARACTERS living in entries that occur more than once
+    * (0 when the entries hold no characters). Quadratic in the entry
+    * count per row — fine for per-document line lists, not for token
+    * lists of unbounded length. */
+  def duplicateCharFraction(arr: Column): Column = {
+    val dup = aggregate(arr, lit(0L), (acc, x) =>
+      acc + when(size(filter(arr, y => y === x)) > 1,
+        length(x).cast("long")).otherwise(lit(0L)))
+    val tot = aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    when(tot <= 0, lit(0.0)).otherwise(dup.cast("double") / tot)
+  }
+
+  /** Per-document repetition statistics: duplicate-line fraction,
+    * duplicate-line character fraction (over [[tokenLines]] of
+    * `lineWidth` tokens), and top-n-gram fraction — occurrences of the
+    * modal word n-gram over the number of n-gram positions (0 when the
+    * document has fewer than n tokens).
+    *
+    * Scale shape: the line metrics are per-row Column algebra inside the
+    * scan; the n-gram mode uses explode → two-level partial-aggregated
+    * groupBy keyed on (doc, gram) — never a per-row O(tokens²) loop, and
+    * the shuffle carries (id, gram-hash-sized) pairs only. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      lineWidth: Int = 8, n: Int = 2): DataFrame = {
+    val toks = tokensWs(col(textCol))
+    val lines = tokenLines(col(textCol), lineWidth)
+    val base = docs.select(col(idCol),
+      duplicateFraction(lines).as("dup_line_frac"),
+      duplicateCharFraction(lines).as("dup_line_char_frac"),
+      (size(toks) - n + 1).as("__positions"))
+    val grams = docs.select(col(idCol), explode(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("gram"))
+    val top = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1L)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_c"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("dup_line_frac"), col("dup_line_char_frac"),
+        coalesce(col("top_c").cast("double") /
+          greatest(col("__positions"), lit(1)), lit(0.0)).as("top_ngram_frac"))
+  }
+
+  // ---- PII scrubbing (regex redaction — the cheap first line of a
+  // privacy pass; patterns are RE2-compatible so the same regexes run on
+  // Spark (Java regex) and SQL oracles) ----
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2} \\d{3} \\d{3} \\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-class PII match counts as a struct (emails, phones, ipv4s). */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(EmailRe)).as("emails"),
+    regexp_count(c, lit(PhoneRe)).as("phones"),
+    regexp_count(c, lit(Ipv4Re)).as("ipv4s"))
+
+  /** Text with every PII match replaced by a typed placeholder. Email
+    * runs first so an address's digit clusters can't half-match the
+    * looser phone/ip patterns afterwards. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
 }

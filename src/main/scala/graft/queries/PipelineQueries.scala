@@ -52,6 +52,48 @@ object PipelineQueries {
         .orderBy("lang", "predicted")
     }),
 
+    // Repetition filters (Gopher-style quality signals): duplicate-line
+    // fraction, duplicate-line CHARACTER fraction (over width-8 token
+    // lines) and top-bigram fraction, per document. A third of the slice
+    // gets its text doubled so real repetition is planted — the engine
+    // must measure it, the oracle mirrors the same construction. Line
+    // metrics are in-scan Column algebra; the n-gram mode is an explode →
+    // partial-agg groupBy on (doc, gram) — never a per-row O(tokens²) pass.
+    "text_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat_ws(" ", col("text"), col("text")))
+            .otherwise(col("text")).as("text"))
+      TF.repetitionStats(docs, "doc_id", "text", lineWidth = 8, n = 2)
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: per-source match counts per class (email / phone /
+    // IPv4 planted deterministically by doc_id) and the total byte delta
+    // of the redacted corpus. Pure regexp Column algebra inside the scan;
+    // the oracle runs the same RE2-compatible patterns in DuckDB.
+    "text_pii" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call +1 555 867 5309")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit(" from 192.168.1.7")).otherwise(lit("")))
+          .as("text"))
+      aug.select(col("source"), TF.piiCounts(col("text")).as("pii"),
+          (length(col("text")) - length(TF.redactPii(col("text")))).as("delta"))
+        .groupBy("source")
+        .agg(sum(col("pii.emails")).cast("long").as("n_emails"),
+             sum(col("pii.phones")).cast("long").as("n_phones"),
+             sum(col("pii.ipv4s")).cast("long").as("n_ipv4s"),
+             sum(col("delta")).cast("long").as("redacted_delta"))
+        .orderBy("source")
+    }),
+
     // Document fingerprints: exact content hash + winnowing min-gram hash.
     // xxhash64-based → rows-only check (deterministic across runs).
     "text_fingerprint" -> ((s, dir) =>
@@ -392,6 +434,60 @@ object PipelineQueries {
         | round(avg(avgtok), 6) AS avg_tok_len,
         | round(avg(digit), 6) AS avg_digit
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors TextFunctions.repetitionStats term for term: width-8 token
+    // lines (trailing partial line included), duplicate-entry fractions,
+    // and the modal-bigram share of bigram positions.
+    "text_repetition" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text
+        | FROM documents WHERE doc_id < 30),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |ln AS (SELECT doc_id, toks,
+        |  list_transform(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1)),
+        |    i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')) AS lines
+        | FROM tk),
+        |base AS (SELECT doc_id,
+        |  (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) AS dup_line_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+        |   ELSE list_sum(list_transform(lines, x ->
+        |       CASE WHEN len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END)) * 1.0
+        |     / list_sum(list_transform(lines, x -> length(x))) END AS dup_line_char_frac,
+        |  len(toks) - 1 AS positions
+        | FROM ln),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |   range(0, CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END),
+        |   i -> array_to_string(toks[(i+1):(i+2)], ' '))) AS gram
+        | FROM tk),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | round(b.dup_line_frac, 6) AS dup_line_frac,
+        | round(b.dup_line_char_frac, 6) AS dup_line_char_frac,
+        | round(coalesce(top_c * 1.0 / greatest(b.positions, 1), 0.0), 6) AS top_ngram_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same RE2-compatible patterns, same left-to-right redaction order
+    // (email first so its digit clusters can't half-match phone/ip).
+    "text_pii" ->
+      """WITH aug AS (
+        | SELECT doc_id, source,
+        |  text ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 867 5309' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' from 192.168.1.7' ELSE '' END) AS text
+        | FROM documents)
+        |SELECT source,
+        | CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        | CAST(sum(len(regexp_extract_all(text, '\+\d{1,2} \d{3} \d{3} \d{4}'))) AS BIGINT) AS n_phones,
+        | CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ipv4s,
+        | CAST(sum(length(text) - length(
+        |   regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\+\d{1,2} \d{3} \d{3} \d{4}', '<PHONE>', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))) AS BIGINT) AS redacted_delta
+        |FROM aug GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total,

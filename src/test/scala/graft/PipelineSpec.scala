@@ -63,6 +63,60 @@ class PipelineSpec extends SparkSuite {
     assert(m(1L)._2 != m(3L)._2)
   }
 
+  test("tokenLines regroups whitespace tokens into fixed-width lines") {
+    // 10 tokens at width 4 -> 3 lines, last one partial
+    val r = Seq("a b c d e f g h i j").toDF("text")
+      .select(TF.tokenLines(col("text"), 4).as("lines")).head()
+    assert(r.getSeq[String](0) == Seq("a b c d", "e f g h", "i j"))
+    // fewer tokens than width -> one line; empty text -> one empty line
+    val r2 = Seq("x y", " ").toDF("text")
+      .select(TF.tokenLines(col("text"), 4).as("lines"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(r2 == Seq(Seq("x y"), Seq("")))
+  }
+
+  test("duplicate fractions: entry share vs character share") {
+    val df = Seq(Tuple1(Seq("aaaa", "bb", "aaaa", "c"))).toDF("arr")
+      .select(TF.duplicateFraction(col("arr")).as("f"),
+              TF.duplicateCharFraction(col("arr")).as("cf"))
+    val r = df.head()
+    // 4 entries, 3 distinct -> 1/4 of ENTRIES are repeats; 8 of 11 CHARS
+    // live in duplicated entries
+    assert(math.abs(r.getDouble(0) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 8.0 / 11.0) < 1e-12)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("arr")
+      .select(TF.duplicateFraction(col("arr")), TF.duplicateCharFraction(col("arr"))).head()
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
+  }
+
+  test("repetitionStats flags a doubled document, leaves unique text clean") {
+    // 8 distinct tokens doubled -> lines = [t1..t8, t1..t8]: both line
+    // metrics 1.0; every bigram except the seam appears twice
+    val doubled = "q1 q2 q3 q4 q5 q6 q7 q8 q1 q2 q3 q4 q5 q6 q7 q8"
+    val clean = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val out = TF.repetitionStats(
+        Seq((1L, doubled), (2L, clean)).toDF("id", "text"), "id", "text",
+        lineWidth = 8, n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 0.5 && out(1L)._2 == 1.0) // 1 dup line of 2; all chars dup'd
+    assert(math.abs(out(1L)._3 - 2.0 / 15.0) < 1e-12) // modal bigram 2 of 15 positions
+    assert(out(2L) == ((0.0, 0.0, 1.0 / 7.0))) // all bigrams unique -> mode 1/7
+  }
+
+  test("PII counts and redaction: email, phone, ipv4") {
+    val s = "mail a.user+tag@sub.example.org or call +44 123 456 7890 at 10.0.0.255 now"
+    val r = Seq(s, "no pii here 1.2.3.4567").toDF("text")
+      .select(TF.piiCounts(col("text")).as("pii"), TF.redactPii(col("text")).as("red"))
+      .collect()
+    val p = r(0).getStruct(0)
+    assert((p.getInt(0), p.getInt(1), p.getInt(2)) == ((1, 1, 1)))
+    assert(r(0).getString(1) == "mail <EMAIL> or call <PHONE> at <IP> now")
+    val p2 = r(1).getStruct(0) // 4-digit final octet fails the \b boundary
+    assert((p2.getInt(0), p2.getInt(1), p2.getInt(2)) == ((0, 0, 0)))
+    assert(r(1).getString(1) == "no pii here 1.2.3.4567")
+  }
+
   test("shingles produce distinct char k-grams; jaccard exact on known sets") {
     val sh = Seq(("abcde", "bcdef")).toDF("a", "b")
       .select(Dedup.shingles(col("a"), 3).as("sa"), Dedup.shingles(col("b"), 3).as("sb"))

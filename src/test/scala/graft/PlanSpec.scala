@@ -107,6 +107,27 @@ class PlanSpec extends SparkSuite {
       s"expected limit-based early termination:\n$p")
   }
 
+  test("connectedComponents round: key-equality joins only, no cartesian/nested-loop") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // representative inputs at the loop's steady state: a symmetric edge
+    // list and a labels relation — the exact shapes roundStep receives
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val e0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val (prop, next) = graft.functions.Clusters.roundStep(edges, labels)
+    val p = plan(next)
+    prop.unpersist(blocking = false)
+    // a regression to a non-equi join here becomes O(V·E) per round at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CC round degraded to a non-equi join:\n$p")
+    // the self-join intermediate must come from the persisted relation,
+    // not be recomputed per branch
+    assert(p.contains("InMemoryTableScan"), s"prop not shared via cache:\n$p")
+  }
+
   test("sim_knn scans the corpus without shuffling it (broadcast of queries only)") {
     val p = plan(q("sim_knn"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
