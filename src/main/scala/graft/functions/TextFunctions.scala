@@ -163,6 +163,61 @@ object TextFunctions {
           greatest(col("__positions"), lit(1)), lit(0.0)).as("top_ngram_frac"))
   }
 
+  // ---- Markup / boilerplate cleaning (the normalization pass that runs
+  // before any quality scoring or dedup — both of which are sensitive to
+  // tag soup and whitespace noise) ----
+
+  /** HTML/XML tags replaced by a space (so `a<br>b` keeps a token
+    * boundary); literal `<` that never closes is left untouched. */
+  val HtmlTagRe = "<[^>]*>"
+  /** C0 control characters except tab/newline/CR (those are whitespace,
+    * handled by [[normalizeWs]]), plus DEL. */
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  def stripHtml(c: Column): Column = regexp_replace(c, HtmlTagRe, " ")
+
+  /** Runs of whitespace collapsed to one space, ends trimmed. */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** The standard cleaning composition: strip tags → drop control chars →
+    * normalize whitespace. Pure in-scan Column algebra. */
+  def cleanText(c: Column): Column =
+    normalizeWs(regexp_replace(stripHtml(c), CtrlRe, ""))
+
+  // ---- Unigram LM quality scoring (the CCNet-style filter: Wenzek et
+  // al. 2020 — score documents by a language model trained on the corpus
+  // itself; documents full of rare/garbage tokens score low). A unigram
+  // model is the degenerate-but-cheap variant: p(doc) = Π p(tok),
+  // p(tok) = count(tok)/N over the corpus, OOV floored at count 1. ----
+
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram distribution, restricted to the top-`topV` vocabulary
+    * (count-desc, token-asc tie-break); out-of-vocabulary tokens take
+    * log(1/N). Returns (idCol, lm_logprob, n_oov, n_toks).
+    *
+    * Scale shape: token counting is one partial-aggregated shuffle on
+    * token; the vocabulary is a TakeOrdered bounded by `topV` and joined
+    * by BROADCAST (never a corpus shuffle); the per-doc aggregate
+    * shuffles only (id, partial-avg) pairs; the corpus total rides a
+    * 1-row cross join, never the driver. */
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 65536): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokensWs(lower(col(textCol)))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1L)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("tok")).limit(topV)
+    val total = counts.agg(sum("c").cast("double").as("n_total"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(log(coalesce(col("c"), lit(1L)).cast("double"))).as("avg_ln_c"),
+           sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+           count(lit(1L)).as("n_toks"))
+      .crossJoin(total)
+      .select(col(idCol),
+        (col("avg_ln_c") - log(col("n_total"))).as("lm_logprob"),
+        col("n_oov"), col("n_toks"))
+  }
+
   // ---- PII scrubbing (regex redaction — the cheap first line of a
   // privacy pass; patterns are RE2-compatible so the same regexes run on
   // Spark (Java regex) and SQL oracles) ----

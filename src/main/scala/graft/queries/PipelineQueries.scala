@@ -94,6 +94,40 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Markup cleaning: HTML planted on half the corpus (plus a control
+    // char) must be stripped and whitespace-normalized; per-source char
+    // counts before/after prove the cleaning. Pure in-scan regex algebra.
+    "text_clean" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<p class=\"x\"> "), col("text"), lit(" </p>"),
+            lit("\u0007"), lit("<br/>")))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("source"), col("text"), TF.cleanText(col("text")).as("clean"))
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(length(col("text"))).cast("long").as("raw_chars"),
+             sum(length(col("clean"))).cast("long").as("clean_chars"),
+             sum(when(col("clean") =!= col("text"), 1L).otherwise(0L))
+               .cast("long").as("n_changed"))
+        .orderBy("source")
+    }),
+
+    // CCNet-style unigram LM quality score: every document scored by the
+    // corpus's own top-500 unigram distribution (OOV floored at count 1),
+    // summarized per source. Counting is one token shuffle; the vocab is
+    // broadcast; the corpus never shuffles for scoring.
+    "text_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = TF.unigramLmScores(docs, "doc_id", "text", topV = 500)
+      docs.select(col("doc_id"), col("source")).join(scores, "doc_id")
+        .groupBy("source")
+        .agg(round(avg(col("lm_logprob")), 6).as("avg_lm"),
+             sum(col("n_oov")).cast("long").as("n_oov"),
+             sum(col("n_toks")).cast("long").as("n_toks"))
+        .orderBy("source")
+    }),
+
     // Document fingerprints: exact content hash + winnowing min-gram hash.
     // xxhash64-based → rows-only check (deterministic across runs).
     "text_fingerprint" -> ((s, dir) =>
@@ -488,6 +522,46 @@ object PipelineQueries {
         |     '\+\d{1,2} \d{3} \d{3} \d{4}', '<PHONE>', 'g'),
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))) AS BIGINT) AS redacted_delta
         |FROM aug GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same regexes, same composition order: tags → space, control chars
+    // dropped, whitespace runs collapsed, ends trimmed.
+    "text_clean" ->
+      """WITH aug AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN '<p class="x"> ' || text || ' </p>' || chr(7) || '<br/>'
+        |   ELSE text END AS text
+        | FROM documents),
+        |c AS (SELECT source, text,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '<[^>]*>', ' ', 'g'),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        | FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS raw_chars,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+        | CAST(sum(CASE WHEN clean != text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors TextFunctions.unigramLmScores: top-500 vocab by (count
+    // desc, token asc), OOV floored at count 1, natural log, corpus-total
+    // denominator.
+    "text_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM counts),
+        |scored AS (SELECT t.doc_id,
+        |   avg(ln(coalesce(v.c, 1))) - ln((SELECT n_total FROM tot)) AS lm_logprob,
+        |   CAST(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |   CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+        |SELECT d.source, round(avg(s.lm_logprob), 6) AS avg_lm,
+        | CAST(sum(s.n_oov) AS BIGINT) AS n_oov,
+        | CAST(sum(s.n_toks) AS BIGINT) AS n_toks
+        |FROM scored s JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total,

@@ -117,6 +117,32 @@ class PipelineSpec extends SparkSuite {
     assert(r(1).getString(1) == "no pii here 1.2.3.4567")
   }
 
+  test("cleanText strips tags, drops control chars, normalizes whitespace") {
+    val dirty = "<p class=\"x\">Hello</p>  world\t <br/>"
+    val r = Seq(dirty, "already clean").toDF("text")
+      .select(TF.cleanText(col("text")).as("c")).collect().map(_.getString(0))
+    assert(r(0) == "Hello world")
+    assert(r(1) == "already clean")
+    // a lone '<' that never closes is NOT a tag
+    val lt = Seq("a < b and c").toDF("text")
+      .select(TF.cleanText(col("text"))).head().getString(0)
+    assert(lt == "a < b and c")
+  }
+
+  test("unigram LM scores rank common-token docs above rare/OOV docs") {
+    val docs = Seq((1L, "a a a a"), (2L, "a a b b"), (3L, "z q"))
+      .toDF("id", "text")
+    // vocab top-2 by count = a(6), b(2); N = 10; z/q are OOV (count 1)
+    val out = TF.unigramLmScores(docs, "id", "text", topV = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    val lnN = math.log(10.0)
+    assert(math.abs(out(1L)._1 - (math.log(6.0) - lnN)) < 1e-9)
+    assert(math.abs(out(2L)._1 - ((2 * math.log(6.0) + 2 * math.log(2.0)) / 4 - lnN)) < 1e-9)
+    assert(math.abs(out(3L)._1 - (0.0 - lnN)) < 1e-9) // all OOV -> ln(1/N)
+    assert(out(1L)._2 == 0L && out(3L)._2 == 2L) // OOV counts
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
+  }
+
   test("shingles produce distinct char k-grams; jaccard exact on known sets") {
     val sh = Seq(("abcde", "bcdef")).toDF("a", "b")
       .select(Dedup.shingles(col("a"), 3).as("sa"), Dedup.shingles(col("b"), 3).as("sb"))
