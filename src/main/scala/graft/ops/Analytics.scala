@@ -109,4 +109,35 @@ object Analytics {
       .select((keys.map(col) ++ lCols.map(col)) ++
         rVals.map(c => col("__rv").getField(c).as(c)): _*)
   }
+
+  /** Interval (point-in-range) join at scale: match point rows
+    * (timestamp `ptsTs`) to interval rows ([`startCol`, `endCol`],
+    * inclusive both ends) WITHOUT a range-join pair explosion. Intervals
+    * explode to the fixed-width time bins they overlap, points take
+    * their single bin, and the match is a bin EQUI-join + exact interval
+    * filter. Every qualifying (point, interval) pair meets in exactly
+    * one bin — the point's — so no post-join dedup is needed.
+    *
+    * Scale shape: the shuffle key is the bin, so both sides
+    * hash-partition; an interval spanning k bins replicates k times —
+    * pick `binSeconds` near the typical interval length (replication
+    * ≈ avg(len)/binSeconds + 1). The naive `l.ts BETWEEN r.s AND r.e`
+    * plans as a nested-loop over all pairs; a 100 TB event table cannot
+    * pay that. Column names must not collide across the two inputs. */
+  def binnedIntervalJoin(points: DataFrame, ptsTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val collisions = points.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(collisions.isEmpty,
+      s"binnedIntervalJoin: rename colliding columns: ${collisions.mkString(", ")}")
+    val w = lit(binSeconds)
+    val pb = points.withColumn("__bin", floor(unix_timestamp(col(ptsTs)) / w))
+    val ib = intervals.withColumn("__bin", explode(sequence(
+      floor(unix_timestamp(col(startCol)) / w),
+      floor(unix_timestamp(col(endCol)) / w))))
+    pb.join(ib, "__bin")
+      .where(col(ptsTs) >= col(startCol) && col(ptsTs) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -48,6 +48,32 @@ object DataPrep {
     df.withColumn(splitCol, label)
   }
 
+  /** Deterministic Bernoulli sample: keep rows whose [[hashBucket]] of
+    * `key` (10000 buckets) falls below `rate`·10000. Unlike `sample()`,
+    * membership is a pure function of the key — the same subset
+    * reproduces across engines, re-runs and cluster sizes, and two
+    * samples at rates r1 < r2 are NESTED (the r1 sample is a subset of
+    * the r2 sample), which makes scaling-law subsets consistent. Pure
+    * per-row Column math inside the scan, zero shuffles. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.where(hashBucket(key, 10000) < math.round(rate * 10000).toInt)
+  }
+
+  /** Stratified [[hashSample]]: per-stratum rates (stratum value → rate),
+    * `defaultRate` for unlisted strata. Used to rebalance a corpus
+    * (e.g. downsample the dominant language) without a shuffle. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r"))
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 10000).toInt)) {
+      case (acc, (s, r)) =>
+        when(stratum === lit(s), lit(math.round(r * 10000).toInt)).otherwise(acc)
+    }
+    df.where(hashBucket(key, 10000) < threshold)
+  }
+
   /** Sequence packing: within each `packKeys` group, walk rows in
     * `order` and assign pack ids by START offset of the running size —
     * pack = floor((cumsum - size) / budget). One window pass; cutting by

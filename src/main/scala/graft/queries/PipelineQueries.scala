@@ -281,6 +281,20 @@ object PipelineQueries {
              countDistinct(col("source")).as("n_sources"))
         .orderBy("split")),
 
+    // Deterministic stratified sampling: per-language rates keyed on
+    // doc_id md5 buckets — reproducible across engines/runs/cluster
+    // sizes, and nested across rates (a 10% sample is a subset of the
+    // 50% sample). Pure in-scan Column math, zero shuffles before the
+    // summary agg.
+    "pipeline_sample" -> ((s, dir) =>
+      graft.ops.DataPrep.stratifiedHashSample(
+          t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(length(col("text"))).cast("long").as("sampled_chars"))
+        .orderBy("lang")),
+
     // Sequence packing per source shard: contiguous docs accumulate into
     // packs of ~2048 whitespace tokens (start-offset binning, one window
     // pass). Summary per source; window semantics mirrored in DuckDB.
@@ -382,6 +396,29 @@ object PipelineQueries {
           size(col("centroid")).as("dim"),
           round(Similarity.l2Norm(col("centroid")), 6).as("centroid_norm"))
         .orderBy("g")),
+
+    // Int8 quantization round-trip: the 4× storage/shuffle compression
+    // for embedding corpora. Per mod-5 group: max |q| (must be ≤ 127),
+    // average scale, average relative L2 reconstruction error. Pure
+    // per-row Column algebra; the oracle recomputes the same math over
+    // DuckDB lists.
+    "sim_quantize" -> ((s, dir) => {
+      val qz = t(s, dir, "embeddings")
+        .withColumn("g", col("vec_id") % 5)
+        .withColumn("qs", Similarity.quantizeInt8(col("embedding")))
+      val deq = Similarity.dequantizeInt8(col("qs.q"), col("qs.scale"))
+      val relErr = sqrt(aggregate(zip_with(col("embedding"), deq,
+          (v, d) => pow(v.cast("double") - d, 2)), lit(0.0), (a, x) => a + x)) /
+        Similarity.l2Norm(col("embedding"))
+      qz.select(col("g"),
+          array_max(transform(col("qs.q"), x => abs(x))).as("maxq"),
+          col("qs.scale").as("scale"), relErr.as("rel_err"))
+        .groupBy("g")
+        .agg(max(col("maxq")).as("max_abs_q"),
+             round(avg(col("scale")), 6).as("avg_scale"),
+             round(avg(col("rel_err")), 6).as("avg_rel_err"))
+        .orderBy("g")
+    }),
 
     // Brute-force cosine kNN: 5 query vectors vs the corpus, top-5 each.
     "sim_knn" -> ((s, dir) => {
@@ -690,6 +727,18 @@ object PipelineQueries {
         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
+    // Same md5-bucket rule as pipeline_split (conv of the first 4 hex
+    // chars), 10000 buckets, per-lang thresholds.
+    "pipeline_sample" ->
+      """WITH s AS (SELECT *,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS b
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sampled_chars
+        |FROM s
+        |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "pipeline_pack" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks FROM documents),
@@ -744,6 +793,28 @@ object PipelineQueries {
         |a AS (SELECT g, pos, avg(v) AS v FROM e GROUP BY 1, 2)
         |SELECT g, CAST(count(*) AS INT) AS dim, round(sqrt(sum(v * v)), 6) AS centroid_norm
         |FROM a GROUP BY g ORDER BY g""".stripMargin,
+
+    // Same symmetric-int8 math over DuckDB lists: scale = 127/max|v|
+    // (1.0 for a zero vector), q = round(v*scale), relative L2 error of
+    // the round-trip. round() half-away-from-zero in both engines.
+    "sim_quantize" ->
+      """WITH q AS (SELECT vec_id % 5 AS g, embedding,
+        |  CASE WHEN list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) > 0
+        |   THEN 127.0 / list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+        |   ELSE 1.0 END AS scale
+        | FROM embeddings),
+        |e AS (SELECT g, scale,
+        |  list_max(list_transform(embedding, v ->
+        |    abs(CAST(round(CAST(v AS DOUBLE) * scale) AS INT)))) AS maxq,
+        |  sqrt(list_sum(list_transform(embedding, v ->
+        |    pow(CAST(v AS DOUBLE) - CAST(round(CAST(v AS DOUBLE) * scale) AS INT) / scale, 2)))) /
+        |  sqrt(list_sum(list_transform(embedding, v ->
+        |    CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS rel_err
+        | FROM q)
+        |SELECT g, CAST(max(maxq) AS INT) AS max_abs_q,
+        | round(avg(scale), 6) AS avg_scale,
+        | round(avg(rel_err), 6) AS avg_rel_err
+        |FROM e GROUP BY g ORDER BY g""".stripMargin,
 
     "sim_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

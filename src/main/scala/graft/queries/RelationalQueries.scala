@@ -78,6 +78,26 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Interval (point-in-range) join via fixed-width bin equi-join — no
+    // range-join pair explosion: per-event-type "first 30 minutes"
+    // windows, counting ALL events landing inside each window. The
+    // oracle is DuckDB's native inequality join; the engine must get
+    // identical pairs from the binned equi-join + exact filter.
+    "q_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.groupBy(col("event_type").as("itype"))
+        .agg(min(col("ts")).as("w_start"))
+        .select(col("itype"), col("w_start"),
+          (col("w_start") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      Analytics.binnedIntervalJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          iv, "w_start", "w_end", binSeconds = 1800L)
+        .groupBy("itype")
+        .agg(count(lit(1L)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy("itype")
+    }),
+
     // Running per-user aggregate over event time.
     "q_window_running" -> ((s, dir) =>
       Analytics.runningAgg(t(s, dir, "events"),
@@ -190,6 +210,16 @@ object RelationalQueries {
         |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         | FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    // DuckDB's native inequality join is the independent implementation
+    // of the same inclusive point-in-interval semantics
+    "q_interval" ->
+      """WITH iv AS (SELECT event_type AS itype, min(ts) AS w_start,
+        |    min(ts) + INTERVAL 30 MINUTE AS w_end FROM events GROUP BY 1)
+        |SELECT itype, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM events ev JOIN iv ON ev.ts >= iv.w_start AND ev.ts <= iv.w_end
+        |GROUP BY itype ORDER BY itype""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the independent implementation of
     // the same inclusive latest-at-or-before semantics

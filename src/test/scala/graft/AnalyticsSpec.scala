@@ -83,6 +83,61 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("binnedIntervalJoin matches the naive range join, inclusive boundaries") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // intervals spanning <1, exactly 1, and several bins (binSeconds=10)
+    val points = (0L to 100L by 7).map(s => (s, ts(s))).toSeq.toDF("pid", "pts")
+    val ivs = Seq(
+      (1L, ts(3), ts(5)),    // inside one bin
+      (2L, ts(10), ts(19)),  // exactly one bin
+      (3L, ts(15), ts(64)),  // spans 6 bins
+      (4L, ts(98), ts(98)),  // degenerate point interval
+      (5L, ts(200), ts(210)) // matches nothing
+    ).toDF("iid", "s", "e")
+    val got = Analytics.binnedIntervalJoin(points, "pts", ivs, "s", "e", 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(ivs)
+      .where(col("pts") >= col("s") && col("pts") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"binned=$got vs naive=$want")
+    assert(want.contains((98L, 4L))) // inclusive degenerate interval
+    // every pair appears exactly ONCE despite multi-bin intervals
+    val withDups = Analytics.binnedIntervalJoin(points, "pts", ivs, "s", "e", 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withDups.length == withDups.toSet.size, "duplicate pairs from bin explosion")
+  }
+
+  test("binnedIntervalJoin rejects colliding columns and non-positive bins") {
+    val df = Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts")
+    intercept[IllegalArgumentException] {
+      Analytics.binnedIntervalJoin(df, "ts", df, "ts", "ts", 10L)
+    }
+    val iv = Seq((2L, new java.sql.Timestamp(0L), new java.sql.Timestamp(1L))).toDF("i", "s", "e")
+    intercept[IllegalArgumentException] {
+      Analytics.binnedIntervalJoin(df, "ts", iv, "s", "e", 0L)
+    }
+  }
+
+  test("hashSample: deterministic, nested across rates, stratified thresholds") {
+    import graft.ops.DataPrep
+    val df = (0L until 2000L).toDF("id")
+    val s10 = DataPrep.hashSample(df, col("id"), 0.1).select("id").collect().map(_.getLong(0)).toSet
+    val s10b = DataPrep.hashSample(df, col("id"), 0.1).select("id").collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b, "same key + rate must give the same subset")
+    val s50 = DataPrep.hashSample(df, col("id"), 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s50), "lower-rate sample must nest inside higher-rate")
+    // rates land near target (md5 buckets are uniform-ish)
+    assert(math.abs(s10.size / 2000.0 - 0.1) < 0.03 && math.abs(s50.size / 2000.0 - 0.5) < 0.05)
+    // stratified: stratum-specific rate applies, default elsewhere
+    val strat = df.withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = DataPrep.stratifiedHashSample(strat, col("id"), col("g"),
+        Map("a" -> 1.0), defaultRate = 0.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 2000L by 2).toSet, "rate 1.0 keeps all of stratum a, default 0 drops b")
+    intercept[IllegalArgumentException] { DataPrep.hashSample(df, col("id"), 1.5) }
+  }
+
   test("packByBudget: contiguous packs, overflow bounded by one row, all rows packed") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
       .select(col("doc_id"), col("source"),

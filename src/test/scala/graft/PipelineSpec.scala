@@ -143,6 +143,24 @@ class PipelineSpec extends SparkSuite {
     assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
   }
 
+  test("int8 quantization: known values, clamp-free max, zero-vector passthrough") {
+    val qz = Seq(Tuple1(Seq(0.5f, -1.0f, 0.25f)), Tuple1(Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec").select(Similarity.quantizeInt8(col("vec")).as("qs"))
+      .select(col("qs.q").as("q"), col("qs.scale").as("s")).collect()
+    // scale = 127/1.0; round(63.5)=64 (half-up), round(-127)=-127, round(31.75)=32
+    assert(qz(0).getSeq[Int](0) == Seq(64, -127, 32))
+    assert(math.abs(qz(0).getDouble(1) - 127.0) < 1e-12)
+    assert(qz(1).getSeq[Int](0) == Seq(0, 0, 0) && qz(1).getDouble(1) == 1.0)
+    // round-trip error bounded by half a quantization step per element
+    val err = Seq(Tuple1(Seq(0.5f, -1.0f, 0.25f))).toDF("vec")
+      .select(Similarity.quantizeInt8(col("vec")).as("qs"), col("vec"))
+      .select(zip_with(col("vec"),
+        Similarity.dequantizeInt8(col("qs.q"), col("qs.scale")),
+        (v, d) => abs(v.cast("double") - d)).as("errs"))
+      .select(array_max(col("errs"))).head().getDouble(0)
+    assert(err <= 0.5 / 127.0 + 1e-12)
+  }
+
   test("shingles produce distinct char k-grams; jaccard exact on known sets") {
     val sh = Seq(("abcde", "bcdef")).toDF("a", "b")
       .select(Dedup.shingles(col("a"), 3).as("sa"), Dedup.shingles(col("b"), 3).as("sb"))

@@ -128,6 +128,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("InMemoryTableScan"), s"prop not shared via cache:\n$p")
   }
 
+  test("q_interval joins by bin EQUALITY — no cartesian / nested-loop range join") {
+    val p = plan(q("q_interval"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degraded to a pair explosion:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join on the bin:\n$p")
+  }
+
+  test("text_lm scores via a BROADCAST vocab join and a TakeOrdered vocab cut") {
+    val p = plan(q("text_lm"))
+    // the token->logprob lookup must never shuffle the exploded corpus
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    // top-V vocabulary selection must be a bounded TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut not TakeOrdered:\n$p")
+    // (the 1-row corpus-total crossJoin legitimately plans as a broadcast
+    // nested loop — only a true CartesianProduct would be a regression)
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM scoring:\n$p")
+  }
+
   test("sim_knn scans the corpus without shuffling it (broadcast of queries only)") {
     val p = plan(q("sim_knn"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

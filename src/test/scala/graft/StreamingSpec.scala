@@ -93,22 +93,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("stateless curation ops (quality, langId, hashSplit) run unchanged on a stream") {
+  test("stateless curation ops (quality, langId, hashSplit, clean, PII) run unchanged on a stream") {
     import graft.functions.{GraftFunctions, TextFunctions => TF}
     GraftFunctions.register(spark)
     val docs = Seq(
       (1L, "srcA", "the quick brown fox jumps over the lazy dog and runs on"),
       (2L, "srcB", "le chat est sur la table et le chien est dans le jardin"),
-      (3L, "srcA", "1234 5678 90 12 34 56"))
+      (3L, "srcA", "1234 5678 90 12 34 56"),
+      (4L, "srcB", "email me at bob@example.com about  the <b>offer</b> today"))
     // batch reference: the same Column pipeline on a static DataFrame
     def curate(df: org.apache.spark.sql.DataFrame) =
       graft.ops.DataPrep.hashSplit(df, col("source"),
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"),
           round(TF.qualityScore(col("text")), 6).as("q"),
-          GraftFunctions.langId(col("text")).as("lang"))
+          GraftFunctions.langId(col("text")).as("lang"),
+          TF.cleanText(TF.redactPii(col("text"))).as("clean"))
     val batch = curate(docs.toDF("doc_id", "source", "text"))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getString(4))).toMap
 
     val input = MemoryStream[(Long, String, String)](spark)
     val q = curate(input.toDF().toDF("doc_id", "source", "text"))
@@ -117,10 +119,10 @@ class StreamingSpec extends SparkSuite {
     try {
       input.addData(docs.head)
       q.processAllAvailable()
-      input.addData(docs(1), docs(2))
+      input.addData(docs(1), docs(2), docs(3))
       q.processAllAvailable()
       val streamed = spark.table("stream_curate")
-        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getString(4))).toMap
       // per-row curation is batch/stream-identical — same splits, scores, langs
       assert(streamed == batch, s"stream diverged from batch:\n$streamed\nvs\n$batch")
     } finally q.stop()
