@@ -218,6 +218,43 @@ object TextFunctions {
         col("n_oov"), col("n_toks"))
   }
 
+  // ---- Context-budget truncation ----
+
+  /** Document cut to its first `maxTokens` whitespace tokens (joined by
+    * single spaces — internal whitespace runs are normalized as a side
+    * effect). The standard pre-tokenizer guard before sequence packing. */
+  def truncateTokens(c: Column, maxTokens: Int): Column = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    concat_ws(" ", slice(tokensWs(c), 1, maxTokens))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF (tf · ln(N/df),
+    * df = number of documents containing the term). Returns
+    * (idCol, rank, term, tfidf) — `scoreDp`-rounded score with a term
+    * tie-break, so ranking is deterministic across engines.
+    *
+    * Scale shape: tf and df are partial-aggregated groupBys keyed on
+    * (doc, term) / term; the tf⋈df join is a key-equality shuffle on the
+    * term (both sides corpus-vocabulary-sized — the honest cost of
+    * corpus-wide idf); the per-doc top-k rides WindowGroupLimit; the
+    * corpus size joins as a 1-row broadcast, never via the driver. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, scoreDp: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokensWs(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1L)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1L)).as("df"))
+    val n = docs.agg(count(lit(1L)).cast("double").as("__n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(docFreq, "term").crossJoin(n)
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("__n_docs") / col("df")), scoreDp).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
   // ---- PII scrubbing (regex redaction — the cheap first line of a
   // privacy pass; patterns are RE2-compatible so the same regexes run on
   // Spark (Java regex) and SQL oracles) ----

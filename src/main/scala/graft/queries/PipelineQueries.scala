@@ -128,6 +128,31 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Token-budget truncation: cut each document to its first 64
+    // whitespace tokens; per-source token/char totals before and after.
+    // Pure in-scan Column algebra (the engine re-tokenizes its own
+    // truncated output — proving the round trip).
+    "text_truncate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("text"),
+        TF.truncateTokens(col("text"), 64).as("cut"))
+      d.groupBy("source")
+        .agg(sum(TF.tokenCountWs(col("text")).cast("long")).as("toks_before"),
+             sum(TF.tokenCountWs(col("cut")).cast("long")).as("toks_after"),
+             sum(length(col("cut"))).cast("long").as("chars_after"),
+             sum(when(col("cut") =!= col("text"), 1L).otherwise(0L))
+               .cast("long").as("n_cut"))
+        .orderBy("source")
+    }),
+
+    // TF-IDF keyword extraction: top-3 characteristic terms per document
+    // (corpus-wide idf), emitted for the doc_id<20 audit slice with a
+    // deterministic 6-dp score + term tie-break. The tf⋈df join is a
+    // term-keyed shuffle; the top-k is a WindowGroupLimit.
+    "text_tfidf" -> ((s, dir) =>
+      TF.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .where(col("doc_id") < 20)
+        .orderBy("doc_id", "rank")),
+
     // Document fingerprints: exact content hash + winnowing min-gram hash.
     // xxhash64-based → rows-only check (deterministic across runs).
     "text_fingerprint" -> ((s, dir) =>
@@ -505,6 +530,39 @@ object PipelineQueries {
         | round(avg(avgtok), 6) AS avg_tok_len,
         | round(avg(digit), 6) AS avg_digit
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Truncation mirrored with list slicing; token counts after the cut
+    // are least(n, 64) because single-space joining re-splits cleanly.
+    "text_truncate" ->
+      """WITH d AS (SELECT source, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT source, text, toks,
+        |  array_to_string(toks[1:64], ' ') AS cut FROM d)
+        |SELECT source,
+        | CAST(sum(len(toks)) AS BIGINT) AS toks_before,
+        | CAST(sum(least(len(toks), 64)) AS BIGINT) AS toks_after,
+        | CAST(sum(length(cut)) AS BIGINT) AS chars_after,
+        | CAST(sum(CASE WHEN cut != text THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same tf · ln(N/df) with the same 6-dp-rounded score and term
+    // tie-break; df counted over distinct (doc, term) pairs.
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+        | FROM tf JOIN df USING (term)),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) AS rank
+        | FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 AND doc_id < 20 ORDER BY doc_id, rank""".stripMargin,
 
     // Mirrors TextFunctions.repetitionStats term for term: width-8 token
     // lines (trailing partial line included), duplicate-entry fractions,

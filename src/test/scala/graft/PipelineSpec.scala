@@ -143,6 +143,32 @@ class PipelineSpec extends SparkSuite {
     assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
   }
 
+  test("truncateTokens cuts at the token budget and round-trips cleanly") {
+    val r = Seq("a  b c d e", "x y").toDF("text")
+      .select(TF.truncateTokens(col("text"), 3).as("cut")).collect().map(_.getString(0))
+    assert(r(0) == "a b c") // budget applied, whitespace normalized
+    assert(r(1) == "x y")   // short doc unchanged (modulo ws normalization)
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(TF.truncateTokens(col("t"), 0))
+    }
+  }
+
+  test("tfidf ranks a document's distinctive term above corpus-wide terms") {
+    // "apple" appears in all docs (idf = ln(1) = 0); each doc's unique
+    // term has idf = ln(3) and must rank first
+    val docs = Seq((1L, "apple kiwi apple"), (2L, "apple mango"), (3L, "apple plum plum"))
+      .toDF("id", "text")
+    val top = TF.tfidfTopTerms(docs, "id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(top(1L)._1 == "kiwi" && top(2L)._1 == "mango" && top(3L)._1 == "plum")
+    // plum: tf=2, idf=ln(3) -> double kiwi's score
+    assert(math.abs(top(3L)._2 - 2 * math.log(3.0)) < 1e-5)
+    // ties (same rounded score) break alphabetically: doc 2's rank-2 term
+    val doc2 = TF.tfidfTopTerms(docs, "id", "text", k = 3)
+      .where(col("id") === 2L).collect().map(r => r.getString(2)).toSeq
+    assert(doc2 == Seq("mango", "apple")) // apple idf=0 ranks below
+  }
+
   test("int8 quantization: known values, clamp-free max, zero-vector passthrough") {
     val qz = Seq(Tuple1(Seq(0.5f, -1.0f, 0.25f)), Tuple1(Seq(0.0f, 0.0f, 0.0f)))
       .toDF("vec").select(Similarity.quantizeInt8(col("vec")).as("qs"))
