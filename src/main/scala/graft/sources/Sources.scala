@@ -66,6 +66,40 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Hive-style partitioned writer with small-file discipline: without
+    * the pre-shuffle, EVERY task holding any rows of a partition value
+    * opens its own file — 10k tasks × 100 partition values = 1M tiny
+    * files, the classic 100 TB writer failure. Repartitioning on the
+    * partition columns (+ a content-hash salt when one partition value
+    * is too big for one task) routes each partition value to exactly
+    * `shardsPerPartition` tasks → that many files, each additionally
+    * bounded by `maxRecordsPerFile`. The salt hashes the non-partition
+    * columns, so it is retry-stable and splits WITHIN a partition. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      shardsPerPartition: Int = 1, maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(shardsPerPartition > 0, "shardsPerPartition must be positive")
+    val keys = partitionCols.map(col)
+    // explicit partition COUNT: an un-numbered repartition is fair game
+    // for AQE coalescing, which would re-merge the shards of a small
+    // write (and at scale leave the shard count to the advisory size
+    // instead of the requested parallelism)
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val routed =
+      if (shardsPerPartition == 1) df.repartition(n, keys: _*)
+      else {
+        val others = df.columns.filterNot(partitionCols.contains).map(col)
+        df.withColumn("__shard",
+            pmod(xxhash64(others: _*), lit(shardsPerPartition.toLong)))
+          .repartition(n, keys :+ col("__shard"): _*)
+          .drop("__shard")
+      }
+    routed.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   private def where(df: DataFrame, condition: Option[String]): DataFrame =
     condition.fold(df)(df.where)
 }

@@ -34,6 +34,46 @@ class SourcesSpec extends SparkSuite {
     assert(json.count() == 2)
   }
 
+  test("writePartitioned: one file per partition value, sharding splits big partitions") {
+    import java.nio.file.{Files, Paths}
+    val docs = Sources.table(spark, sf0001, "documents")
+    val out = Files.createTempDirectory("graft_pw").toString
+
+    def filesPerPartition(base: String): Map[String, Int] = {
+      val root = Paths.get(base)
+      val dirs = Files.list(root).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+        .filter(p => p.getFileName.toString.startsWith("lang="))
+        .map { p =>
+          val n = Files.list(p).iterator()
+          var c = 0
+          while (n.hasNext) { if (n.next().toString.endsWith(".parquet")) c += 1 }
+          p.getFileName.toString -> c
+        }.toMap
+    }
+
+    Sources.writePartitioned(docs, s"$out/one", Seq("lang"))
+    val one = filesPerPartition(s"$out/one")
+    assert(one.nonEmpty && one.values.forall(_ == 1),
+      s"expected exactly one file per lang partition, got $one")
+    assert(spark.read.parquet(s"$out/one").count() == docs.count())
+
+    Sources.writePartitioned(docs, s"$out/sharded", Seq("lang"), shardsPerPartition = 3)
+    val sharded = filesPerPartition(s"$out/sharded")
+    assert(sharded.values.forall(c => c >= 1 && c <= 3),
+      s"expected 1..3 files per partition, got $sharded")
+    assert(sharded.values.exists(_ > 1), s"salt never split a partition: $sharded")
+    assert(spark.read.parquet(s"$out/sharded").count() == docs.count())
+
+    // partition pruning: a lang filter must become a PartitionFilter, and
+    // the shard column must not leak into the read schema
+    val pruned = spark.read.parquet(s"$out/one").where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not prune partitions:\n$plan")
+    assert(!pruned.columns.contains("__shard"))
+  }
+
   test("condition reaches the parquet scan as a pushed filter") {
     val plan = Sources.parquet(spark, s"$sf0001/lineitem.parquet",
         condition = Some("l_orderkey = 1"))
