@@ -19,7 +19,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected =
-      if (args.isEmpty) SparkEntry.queries
+      if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("1"))
+        Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+      else if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // Build every non-parquet fixture up front so the source-loader
     // queries time query execution, not a one-off file write.
@@ -27,15 +29,23 @@ object Bench {
     catch { case _: Throwable => () } // a broken fixture then fails ITS query, visibly
     val timings = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
+        if (explain)
+          System.err.println(s"== $name ==\n" + fn(spark, sfDir).queryExecution.executedPlan)
         fn(spark, sfDir).count()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // Outside the timed region: let ContextCleaner reclaim checkpoint /
+      // shuffle blocks orphaned by the eagerly-materializing APIs, so a
+      // long run's accumulated blocks don't squeeze later queries'
+      // execution memory into spills.
+      System.gc()
     }
     // Scale-trend check (SURVEY §8's one-off measurement, now repeatable
     // per round): replicate the documents corpus 10× — true pair count

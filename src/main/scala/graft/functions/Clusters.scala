@@ -35,15 +35,14 @@ object Clusters {
     * doubling bound makes that a data-scale red flag, not a tuning knob:
     * 25 rounds cover components of diameter far beyond 2^20).
     *
-    * Round cost: ONE job. Propagate + compress fuse into a single
-    * checkpointed plan (the intra-round intermediate is persisted so its
-    * self-join computes it once), and the convergence check rides the
-    * same action as an observed metric (CollectMetrics) rather than a
-    * second aggregate job. The check exploits monotonicity instead of a
-    * join: labels only ever DECREASE, so any change strictly lowers
-    * sum(lbl) — equal decimal sums across rounds ⟺ converged. The first
-    * propagate round is fused into initialization (lbl₀ = min(id, min
-    * neighbor)), saving a full round. */
+    * Round cost: one checkpointed job over the fused propagate+compress
+    * plan (the intra-round intermediate is persisted so its self-join
+    * computes it once) plus a trivial aggregate over the now-cached
+    * labels for the convergence check. The check exploits monotonicity
+    * instead of a join: labels only ever DECREASE, so any change
+    * strictly lowers sum(lbl) — equal decimal sums across rounds ⟺
+    * converged. The first propagate round is fused into initialization
+    * (lbl₀ = min(id, min neighbor)), saving a full round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -53,28 +52,20 @@ object Clusters {
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // One ACTION per round: the convergence sum rides the checkpoint
-    // materialization as an observed metric (CollectMetrics node) instead
-    // of a second aggregate job. The exact decimal sum is an overflow-safe
-    // monotone convergence witness. Fallback to an explicit aggregate if
-    // the observation doesn't surface (defensive — semantics identical).
+    // The heavy work per round is ONE checkpointed job; the convergence
+    // sum is then a direct aggregate over the freshly-checkpointed labels
+    // (cached blocks, one narrow pass — microseconds at any graph size
+    // next to the round's joins). The exact decimal sum is an
+    // overflow-safe monotone convergence witness. An earlier variant rode
+    // the sum on the checkpoint action itself as an Observation metric,
+    // but observation delivery is ASYNCHRONOUS on the listener bus — in a
+    // busy session each round could stall a full listener-timeout before
+    // falling back to this same aggregate, turning a 3-round resolve into
+    // tens of seconds. Determinism beats saving a trivial job.
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val obs = org.apache.spark.sql.Observation()
-      val out = df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lsum"))
-        .localCheckpoint(true)
-      // the checkpoint action has completed synchronously above; obs.get
-      // only waits for the (async) listener delivery — bound that wait and
-      // keep the explicit aggregate as a defensive fallback
-      val s = try {
-        import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Await
-          .result(scala.concurrent.Future(obs.get), scala.concurrent.duration.Duration(5, "s"))
-          .getOrElse("lsum", null).asInstanceOf[java.math.BigDecimal] // null on empty input
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          out.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-      }
-      (out, s)
+      val out = df.localCheckpoint(true)
+      val s = out.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      (out, s) // s is null on empty input; Objects.equals handles it
     }
     // init ⊕ first propagate in one aggregation: every node of any edge,
     // labeled min(self, min neighbor)

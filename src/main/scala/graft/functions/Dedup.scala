@@ -90,6 +90,78 @@ object Dedup {
       out
     }
 
+  /** MinHash featurization — (`idCol`, `sh` sorted hashed shingle set,
+    * `sig` minhash signature). This is the persistable dedup INDEX
+    * representation: write it to parquet once per corpus snapshot, read
+    * it back for every incremental batch ([[minhashNearDupAgainst]]) —
+    * the standing corpus is never re-shingled. */
+  def minhashFeaturize(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64): DataFrame =
+    docs
+      .select(col(idCol), GraftFunctions.charShingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+
+  /** Incremental EXACT dedup: `batch` minus rows whose content hash
+    * already appears in `corpus` — the arriving-crawl case (dedup the
+    * new batch against the standing corpus without touching the corpus
+    * or re-deduplicating the batch against itself).
+    *
+    * Shape: the corpus reduces to DISTINCT 64-bit content hashes (a
+    * partial-agg shuffle on the hash), then one LEFT ANTI hash join.
+    * When the hash set is small — or AQE watches it shrink — the anti
+    * join broadcasts and the batch never shuffles at all. */
+  def exactDedupAgainst(batch: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus.select(xxhash64(col(textCol)).as("__seen_h")).distinct()
+    batch.join(seen, xxhash64(col(textCol)) === col("__seen_h"), "left_anti")
+  }
+
+  /** Incremental NEAR-dup matches: (batch id, `corpus_id`, `jaccard`)
+    * pairs of `batch` docs against a standing corpus INDEX (a
+    * [[minhashFeaturize]] result, typically read back from parquet) at
+    * jaccard ≥ tauPct/100.
+    *
+    * Same band → signature-screen → exact-verify cascade as
+    * [[minhashNearDupPairs]], but the band join is batch-bands ×
+    * index-bands rather than a self-join: per-batch cost scales with the
+    * BATCH size and the collision volume, not the corpus. The index side
+    * is scanned once per stage (bands / sigs / shingles); callers running
+    * many batches against one index should persist it.
+    *
+    * To then drop the matched batch docs:
+    * {{{ batch.join(matches.select(idCol).distinct(), Seq(idCol), "left_anti") }}} */
+  def minhashNearDupAgainst(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 5, numHashes: Int = 64,
+      bands: Int = 16, tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val bf = minhashFeaturize(batch, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshBands(bf, idCol, "sig", bands, rowsPerBand)
+      .toDF(idCol, "band", "band_hash")
+      .join(lshBands(index, idCol, "sig", bands, rowsPerBand)
+        .toDF("corpus_id", "band", "band_hash"), Seq("band", "band_hash"))
+      .select(col(idCol), col("corpus_id")).distinct()
+    val tau = tauPct / 100.0
+    val marginPts = math.ceil(2.5 * math.sqrt(tau * (1 - tau) / numHashes) * 100).toInt
+    val screened = cands
+      .join(bf.select(col(idCol), col("sig").as("sig_b")), idCol)
+      .join(index.select(col(idCol).as("corpus_id"), col("sig").as("sig_i")), "corpus_id")
+      .where(sigAgreementPct(col("sig_b"), col("sig_i"), numHashes) >=
+        lit(math.max(tauPct - marginPts, 0)))
+      .select(col(idCol), col("corpus_id"))
+    val result = screened
+      .join(bf.select(col(idCol), col("sh").as("sh_b")), idCol)
+      .join(index.select(col(idCol).as("corpus_id"), col("sh").as("sh_i")), "corpus_id")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_b"), col("sh_i")))
+      .withColumn("uni", size(col("sh_b")) + size(col("sh_i")) - col("inter"))
+      .where(col("inter") * 100 >= col("uni") * tauPct)
+      .select(col(idCol), col("corpus_id"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    materializeAndRelease(result, bf, materialize)
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
     * tauPct/100 (integer threshold compare — no float boundary).
     *
@@ -108,9 +180,7 @@ object Dedup {
         "a remainder would silently drop signature components from banding")
     // featurize once with the fused kernel: sorted hashed shingle set
     // (also the verification representation) + signature derived from it
-    val featurized = docs
-      .select(col(idCol), GraftFunctions.charShingleHashes(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+    val featurized = minhashFeaturize(docs, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(featurized, idCol, "sig", bands, numHashes / bands)
     // Screen candidates on the cheap signature estimate 2.5σ below tau

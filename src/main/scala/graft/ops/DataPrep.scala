@@ -74,6 +74,126 @@ object DataPrep {
     df.where(hashBucket(key, 10000) < threshold)
   }
 
+  /** Sliding-window token chunking: split each document's whitespace
+    * tokens into windows of `chunkSize` starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping context windows; the last window
+    * may be shorter). Returns the input columns plus (`chunkIdCol`,
+    * `chunkCol`) — one output row per window.
+    *
+    * This is the other half of corpus shaping next to [[packByBudget]]:
+    * packing BINS short documents into budget-sized groups, chunking
+    * SPLITS long documents into trainer-sized windows. Pure in-scan
+    * Column algebra (split → start offsets → slices → posexplode): no
+    * shuffle, no state, output volume ≈ tokens/stride per doc. */
+  def chunkTokens(df: DataFrame, text: Column, chunkSize: Int, stride: Int,
+      chunkIdCol: String = "chunk_id", chunkCol: String = "chunk"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val toks = split(trim(text), "\\s+")
+    // Window starts 0, stride, 2·stride, … ≤ lastToken — every token is
+    // covered; a doc shorter than chunkSize yields exactly one window.
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    val windows = transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize))))
+    df.select(col("*"), posexplode(windows).as(Seq(chunkIdCol, chunkCol)))
+  }
+
+  /** Rebalance a corpus to TARGET mix proportions by downsampling — the
+    * static data-mixing step of LLM corpus assembly (choose language /
+    * domain weights, then realize them without upsampling).
+    *
+    * Given `targets` (stratum → weight, weights > 0), the largest
+    * realizable corpus honoring the mix keeps `budget = min_s(n_s / w_s)`
+    * weighted rows: the binding stratum is kept whole (rate 1.0) and
+    * every other stratum is downsampled to `w_s · budget` rows via
+    * [[stratifiedHashSample]] (deterministic, nested, engine-portable
+    * md5 buckets). Strata absent from `targets` are dropped.
+    *
+    * Executes ONE tiny aggregation job at call time (stratum counts —
+    * cardinality = #languages/#domains, collected to the driver to
+    * derive rates); the sampling itself is per-row Column math inside
+    * the scan, zero shuffles. */
+  def mixToTarget(df: DataFrame, key: Column, stratum: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "need at least one target stratum")
+    targets.foreach { case (s, w) => require(w > 0, s"target weight for '$s' must be > 0") }
+    val counts: Map[String, Long] = df
+      .groupBy(stratum.cast("string").as("__s")).agg(count(lit(1L)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no target stratum present in the corpus")
+    val budget = present.map { case (s, w) => counts(s).toDouble / w }.min
+    val rates = present.map { case (s, w) => s -> w * budget / counts(s).toDouble }
+    stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
+  }
+
+  /** Per-group cap: keep at most `k` rows per `group`, ranked by `order`
+    * (the web-curation "domain cap" — bound any one domain's share of the
+    * corpus by keeping its top-k docs by quality). `order` must be a
+    * TOTAL order (append a unique id as tie-break) or the kept subset is
+    * nondeterministic across runs.
+    *
+    * One shuffle on the group key. Spark's WindowGroupLimit rule pushes
+    * the rank<=k cut to a per-partition top-k BEFORE the exchange, so the
+    * shuffle carries at most k rows per group per input partition — a
+    * domain with a billion rows never assembles in one place. */
+  def capPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    require(group.nonEmpty, "need at least one group column")
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The corpus-quantile of `score` — ONE tiny aggregation job. The
+    * default is `approx_percentile` (a mergeable sketch: map-side
+    * partials, no global sort — the 100 TB route; `accuracy` bounds the
+    * rank error at 1/accuracy). `exact = true` uses the exact
+    * interpolated percentile (engine-portable semantics — matches
+    * DuckDB/Postgres `quantile_cont`/`percentile_cont`), which buffers
+    * per-partition values and is for modest cardinalities or oracles. */
+  def quantileThreshold(df: DataFrame, score: Column, q: Double,
+      exact: Boolean = false, accuracy: Int = 10000): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val agg = if (exact) percentile(score, lit(q))
+      else percentile_approx(score, lit(q), lit(accuracy))
+    df.agg(agg.cast("double")).head.getDouble(0)
+  }
+
+  /** Keep rows whose `score` is at or above (`keepUpper`, default) / at
+    * or below the corpus `q`-quantile — quality-percentile filtering
+    * ("drop the bottom quartile by LM score"). The threshold is derived
+    * by [[quantileThreshold]] (one tiny job at call time) and folded into
+    * the returned plan as a LITERAL: the filter itself is per-row math
+    * inside the scan — no join, no second shuffle. */
+  def filterByQuantile(df: DataFrame, score: Column, q: Double,
+      keepUpper: Boolean = true, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val t = quantileThreshold(df, score, q, exact, accuracy)
+    df.where(if (keepUpper) score >= lit(t) else score <= lit(t))
+  }
+
+  /** Deterministic shuffle key for `key` under `seed`: md5 of the
+    * seed-prefixed key. A pure key function (like [[hashBucket]]):
+    * the same (seed, key) orders identically across engines, re-runs and
+    * cluster sizes; a different seed is a fresh independent permutation. */
+  def shuffleKey(key: Column, seed: Long): Column =
+    md5(concat(lit(seed.toString), key.cast("string")))
+
+  /** Deterministic global shuffle — the training-order randomization step
+    * (break source/crawl locality before sharding to the trainer).
+    * Orders by [[shuffleKey]] with the key itself as tie-break, so the
+    * permutation is total and reproducible. At scale this is Spark's
+    * range-partitioned sort: sampled range bounds, one exchange, no
+    * single-point assembly; `orderBy(...).limit(n)` collapses to a
+    * TakeOrdered (no full sort) when only a prefix is needed. */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Long = 0L,
+      keyCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(keyCol, shuffleKey(key, seed))
+      .orderBy(col(keyCol), key)
+
   /** Sequence packing: within each `packKeys` group, walk rows in
     * `order` and assign pack ids by START offset of the running size —
     * pack = floor((cumsum - size) / budget). One window pass; cutting by

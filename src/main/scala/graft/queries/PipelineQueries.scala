@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
+import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -337,6 +337,99 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Corpus mixing to TARGET proportions: derive per-language rates from
+    // the target weights and the observed counts (one tiny counts job),
+    // keep the binding stratum whole, downsample the rest — deterministic
+    // md5-bucket membership, zero shuffles in the sampling pass.
+    "pipeline_mix" -> ((s, dir) =>
+      graft.ops.DataPrep.mixToTarget(t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1, "es" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(length(col("text"))).cast("long").as("mixed_chars"))
+        .orderBy("lang")),
+
+    // Sliding-window token chunking (context-window shaping): 32-token
+    // windows every 16 tokens — overlapping trainer-sized examples from
+    // long documents, the complement of pipeline_pack's binning. Pure
+    // in-scan posexplode; chunk text compared verbatim.
+    "pipeline_chunk" -> ((s, dir) =>
+      graft.ops.DataPrep.chunkTokens(
+          t(s, dir, "documents").where(col("doc_id") < 100).select("doc_id", "text"),
+          col("text"), chunkSize = 32, stride = 16)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+                TF.tokenCountWs(col("chunk")).cast("long").as("n_toks"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
+    // docs (a planted banner on every 4th doc) scored per document. The
+    // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
+    // the per-doc aggregate shuffle carries one row per document.
+    "text_boilerplate" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("subscribe to our newsletter all rights reserved click here to continue "),
+                 col("text")))
+          .otherwise(col("text")).as("text"))
+      Boilerplate.boilerplateFractions(planted, "doc_id", "text", n = 5, minDf = 50L)
+        .where(col("doc_id") < 60)
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+                round(col("boiler_frac"), 6).as("boiler_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain cap: each source keeps its top-5 documents by
+    // (n_chars desc, doc_id) — bounding any one domain's share of the
+    // corpus. WindowGroupLimit cuts to k per group BEFORE the group-key
+    // exchange (plan-asserted): a billion-row domain never assembles.
+    "pipeline_domain_cap" -> ((s, dir) =>
+      graft.ops.DataPrep.capPerGroup(t(s, dir, "documents"),
+          Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")), k = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("source", "doc_id")),
+
+    // Quality-percentile filter: keep docs at/above the corpus p75 of
+    // n_chars. The threshold is ONE tiny aggregation job folded into the
+    // plan as a literal (exact interpolated percentile here to mirror
+    // DuckDB quantile_cont; the 100 TB route passes exact=false for the
+    // mergeable approx_percentile sketch); the filter runs in-scan.
+    "pipeline_quantile" -> ((s, dir) =>
+      graft.ops.DataPrep.filterByQuantile(
+          t(s, dir, "documents"), col("n_chars"), 0.75, exact = true)
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"),
+             min(col("n_chars")).as("min_chars"),
+             sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang")),
+
+    // Deterministic training-order shuffle: md5(seed‖key) is a pure key
+    // function, so the permutation reproduces on any engine/cluster/run.
+    // Taking the order's first 30 collapses to a TakeOrdered
+    // (plan-asserted — no full sort materializes for a prefix).
+    "pipeline_shuffle" -> ((s, dir) => {
+      val first30 = graft.ops.DataPrep.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"), seed = 42L)
+        .limit(30)
+      first30.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("shuffle_key"), col("doc_id"))))
+    }),
+
+    // Incremental dedup: drop batch docs whose exact content already
+    // exists in the standing corpus (corpus = doc_id%5==0, batch =
+    // doc_id%3==0; they share the %15 docs). The corpus reduces to
+    // DISTINCT 64-bit hashes, then a LEFT ANTI hash join — the batch is
+    // never re-deduplicated against itself.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactDedupAgainst(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 5 === 0), "text")
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_kept"),
+             sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     // Multimodal metadata over binary columns: blobs synthesized from the
     // documents table with real magic bytes (deterministic by doc_id), then
     // sniffed/measured by the ACTUAL binary operators — format by magic,
@@ -408,6 +501,20 @@ object PipelineQueries {
         .where(col("id_a") < col("id_b"))
         .agg(count(lit(1L)).as("n_dup_pairs"),
              coalesce(round(min(col("cos")), 4), lit(-1.0)).as("min_cos"))),
+
+    // SemDeDup-style semantic dedup end to end: embedding near-dup PAIRS
+    // (skew-capped LSH, threshold mode) → connected components → keep one
+    // representative per cluster. Composition of the pair, cluster and
+    // drop operators; seeded LSH candidates → rows-only check here,
+    // planted-clone collapse asserted in ScalaTest.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.annSelfJoin(emb, "vec_id", "embedding",
+        numPlanes = 8, k = 10, minCos = Some(0.99))
+      val kept = Clusters.dropNearDupMembers(emb, "vec_id", pairs)
+      kept.agg(count(lit(1L)).as("n_kept"),
+               sum(col("vec_id")).cast("long").as("kept_id_sum"))
+    }),
 
     // Mean-pooled centroid per group (mod-5 buckets stand in for real
     // cluster/source groups): dimension count and centroid L2 norm.
@@ -809,6 +916,92 @@ object PipelineQueries {
         | max(pack_toks) AS max_pack_toks,
         | CAST(sum(n_docs) AS BIGINT) AS n_docs
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // Mirrors mixToTarget's rate derivation exactly: budget = min(n/w)
+    // over target strata present in the corpus; threshold = floor(w *
+    // budget / n * 10000 + 0.5) (Scala math.round); same md5 bucket rule
+    // as pipeline_split/pipeline_sample.
+    "pipeline_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |t(lang, w) AS (VALUES ('en', 0.4), ('zh', 0.2), ('de', 0.2), ('fr', 0.1), ('es', 0.1)),
+        |b AS (SELECT min(n / w) AS budget FROM c JOIN t USING (lang)),
+        |r AS (SELECT lang, CAST(floor(w * (SELECT budget FROM b) / n * 10000 + 0.5) AS INT) AS thr
+        |  FROM c JOIN t USING (lang)),
+        |k AS (SELECT d.* FROM documents d JOIN r USING (lang)
+        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 < thr)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS mixed_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Window starts 0, 16, 32, … ≤ len-1; each window slices 32 tokens
+    // (the last one shorter); chunk text compared verbatim.
+    "pipeline_chunk" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        | FROM documents WHERE doc_id < 100),
+        |chunks AS (
+        | SELECT doc_id, CAST(s / 16 AS INT) AS chunk_id,
+        |        array_to_string(list_slice(l, s + 1, s + 32), ' ') AS chunk
+        | FROM toks, unnest(range(0, greatest(len(l) - 1, 0) + 1, 16)) AS u(s))
+        |SELECT doc_id, chunk_id, chunk,
+        | CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same banner plant, word-5-grams as STRINGS (the engine carries
+    // xxhash64 of the same strings — a collision can only inflate one
+    // doc's n_boiler, never deflate), df >= 50 across distinct docs.
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN 'subscribe to our newsletter all rights reserved click here to continue ' || text
+        |  ELSE text END AS text FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM d),
+        |grams AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(l) - 5, -1) + 1),
+        |    i -> array_to_string(list_slice(l, i + 1, i + 5), ' '))) AS g FROM toks),
+        |boiler AS (SELECT g FROM (
+        |  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1) WHERE df >= 50),
+        |frac AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |   CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM grams LEFT JOIN boiler b USING (g) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_boiler,
+        | round(n_boiler * 1.0 / n_grams, 6) AS boiler_frac
+        |FROM frac WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+
+    // quantile_cont is the same interpolated percentile as Spark's exact
+    // `percentile`; n_chars is integral so the interpolation is exact in
+    // double on both engines (no ulp edge at the threshold).
+    "pipeline_quantile" ->
+      """WITH thr AS (SELECT quantile_cont(n_chars, 0.75) AS t FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(n_chars) AS min_chars,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents, thr WHERE n_chars >= t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical md5 hex on both engines; hex-string ordering is plain
+    // byte order in both
+    "pipeline_shuffle" ->
+      """WITH s AS (SELECT doc_id, md5('42' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents ORDER BY shuffle_key, doc_id LIMIT 30)
+        |SELECT doc_id, shuffle_key,
+        | CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM s""".stripMargin,
+
+    // the engine anti-joins on xxhash64(text); the oracle anti-joins on
+    // the text itself — identical unless a 64-bit collision (negligible)
+    "dedup_incremental" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents b
+        |WHERE b.doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 = 0 AND c.text = b.text)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the oracle sniffs the blob by MAGIC BYTES with the same rules as
     // Multimodal.sniffFormat (not by the synthesis rule) — so the two

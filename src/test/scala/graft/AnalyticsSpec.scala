@@ -262,4 +262,99 @@ class AnalyticsSpec extends SparkSuite {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(s1 == s2, "salt must not depend on partitioning/attempt layout")
   }
+
+  test("chunkTokens: full coverage, overlap, short-doc and bounds behavior") {
+    import graft.ops.DataPrep
+    val doc = (1 to 40).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = DataPrep.chunkTokens(df, col("text"), chunkSize = 16, stride = 8)
+      .select("doc_id", "chunk_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts 0,8,16,24,32 -> 5 windows; the last is the 8-token tail
+    assert(d1.length == 5)
+    assert(d1.head == (1 to 16).map(i => s"t$i").mkString(" "))
+    assert(d1(1).startsWith("t9 "), "stride-8 window overlaps the previous by 8 tokens")
+    assert(d1.last == (33 to 40).map(i => s"t$i").mkString(" "))
+    // every token appears in >= 1 chunk (full coverage)
+    val covered = d1.flatMap(_.split(" ")).toSet
+    assert((1 to 40).forall(i => covered(s"t$i")))
+    // a doc shorter than chunkSize yields exactly one whole-doc chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c")))
+    intercept[IllegalArgumentException] {
+      DataPrep.chunkTokens(df, col("text"), chunkSize = 8, stride = 9)
+    }
+  }
+
+  test("capPerGroup keeps exactly the top-k of each group under a total order") {
+    import graft.ops.DataPrep
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 10) yield (g, i.toLong, (i % 5).toLong))
+      .toDF("g", "id", "score")
+    val kept = DataPrep.capPerGroup(df, Seq(col("g")),
+        Seq(col("score").desc, col("id")), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // scores are i%5: top-3 by (score desc, id asc) = ids 4, 9 (score 4), 3 (score 3)
+    assert(kept == Set(("a", 4L), ("a", 9L), ("a", 3L), ("b", 4L), ("b", 9L), ("b", 3L)))
+    // k larger than any group passes everything through
+    assert(DataPrep.capPerGroup(df, Seq(col("g")), Seq(col("id")), k = 100).count() == 20)
+    intercept[IllegalArgumentException] {
+      DataPrep.capPerGroup(df, Seq(col("g")), Seq(col("id")), k = 0)
+    }
+  }
+
+  test("filterByQuantile: exact interpolated threshold; approx within rank error") {
+    import graft.ops.DataPrep
+    val df = (1L to 100L).toDF("v")
+    // exact p75 of 1..100 interpolates to 75.25 -> keep 76..100
+    val upper = DataPrep.filterByQuantile(df, col("v"), 0.75, exact = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(upper == (76L to 100L).toSet)
+    // keepUpper=false at p25 (=25.75) -> keep 1..25
+    val lower = DataPrep.filterByQuantile(df, col("v"), 0.25, keepUpper = false, exact = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(lower == (1L to 25L).toSet)
+    // the sketch route lands within its rank-error bound
+    val approx = DataPrep.filterByQuantile(df, col("v"), 0.75).count()
+    assert(math.abs(approx - 25L) <= 2, s"approx kept $approx of expected ~25")
+  }
+
+  test("deterministicShuffle: reproducible seed-keyed permutation") {
+    import graft.ops.DataPrep
+    val df = (1L to 500L).toDF("id")
+    def order(seed: Long) = DataPrep.deterministicShuffle(df, col("id"), seed)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(7L)
+    assert(o1 == order(7L), "same seed must reproduce the same order")
+    assert(o1.toSet == (1L to 500L).toSet, "a permutation keeps every row exactly once")
+    assert(o1 != order(8L), "a different seed must give a different permutation")
+    assert(o1 != (1L to 500L).toSeq, "the shuffled order must not be the identity")
+  }
+
+  test("mixToTarget: binding stratum whole, others downsampled, unlisted dropped") {
+    import graft.ops.DataPrep
+    // a:1200 b:600 c:200 x:100; targets .5/.3/.2 -> budget = min(2400,
+    // 2000, 1000) = 1000 -> keep a~500 b~300 c=200(all); x dropped
+    val df = ((0 until 1200).map(i => (s"a$i", "a")) ++
+              (0 until 600).map(i => (s"b$i", "b")) ++
+              (0 until 200).map(i => (s"c$i", "c")) ++
+              (0 until 100).map(i => (s"x$i", "x"))).toDF("id", "g")
+    val mixed = DataPrep.mixToTarget(df, col("id"), col("g"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val counts = mixed.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("c", 0L) == 200L, "binding stratum must be kept whole")
+    assert(!counts.contains("x"), "stratum absent from targets must be dropped")
+    assert(math.abs(counts("a") - 500L) < 60, s"a ~ 500, got ${counts("a")}")
+    assert(math.abs(counts("b") - 300L) < 45, s"b ~ 300, got ${counts("b")}")
+    // deterministic: same inputs -> identical subset
+    val again = DataPrep.mixToTarget(df, col("id"), col("g"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).select("id").collect().map(_.getString(0)).toSet
+    assert(mixed.select("id").collect().map(_.getString(0)).toSet == again)
+    intercept[IllegalArgumentException] {
+      DataPrep.mixToTarget(df, col("id"), col("g"), Map("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      DataPrep.mixToTarget(df, col("id"), col("g"), Map("zz" -> 1.0))
+    }
+  }
 }

@@ -339,4 +339,84 @@ class PipelineSpec extends SparkSuite {
     val clonePairs = pairs.filter { case (a, b) => a < 12 && b < 12 }
     assert(clonePairs.size == 66, s"expected all 66 clone pairs, got ${clonePairs.size}")
   }
+
+  test("exactDedupAgainst drops batch rows already in the corpus, keeps the rest") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),   // exact dup of corpus 1 -> dropped
+      (11L, "delta epsilon zeta"), // exact dup of corpus 2 -> dropped
+      (12L, "alpha beta gamma "),  // trailing space: NOT an exact dup -> kept
+      (13L, "novel content here")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupAgainst(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L))
+  }
+
+  test("minhashNearDupAgainst matches near-copies via a parquet round-tripped index") {
+    def doc(seed: Int) = (0 until 60).map(i => s"w${(i * 131 + seed * 17) % 97}").mkString(" ")
+    val corpus = (1L to 5L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    // write the corpus index once, read it back — the incremental protocol
+    Dedup.minhashFeaturize(corpus, "doc_id", "text").write.mode("overwrite").parquet(idxDir)
+    val index = spark.read.parquet(idxDir)
+    val batch = Seq(
+      (101L, doc(1)),                       // exact copy of corpus 1
+      (102L, doc(2).replace("w5", "w999")), // near-copy of corpus 2
+      (103L, doc(1000))).toDF("doc_id", "text") // novel
+    val m = Dedup.minhashNearDupAgainst(batch, index, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(m.contains(101L -> 1L), s"exact copy must match its corpus doc, got ${m.toSeq}")
+    assert(m.exists(_._1 == 102L), s"near-copy must match, got ${m.toSeq}")
+    assert(!m.exists(_._1 == 103L), s"novel doc must not match, got ${m.toSeq}")
+    // the documented drop composition removes exactly the matched ids
+    val matches = Dedup.minhashNearDupAgainst(batch, index, "doc_id", "text")
+    val kept = batch.join(matches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(103L))
+  }
+
+  test("semantic dedup collapses a planted clone cluster to one representative") {
+    import graft.functions.Clusters
+    // 8 clones of one vector + 20 well-separated singletons
+    val dim = 16
+    def unit(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0f); a(i % dim) = 1f; a
+    }
+    val clones = (0L until 8L).map(i => (i, Array.fill(dim)(0.25f)))
+    val singles = (100L until 116L).map(i => (i, unit((i - 100).toInt)))
+    val df = (clones ++ singles).toDF("vec_id", "embedding")
+    val pairs = Similarity.annSelfJoin(df, "vec_id", "embedding",
+      numPlanes = 6, k = 10, numTables = 12, minCos = Some(0.999))
+    val kept = Clusters.dropNearDupMembers(df, "vec_id", pairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.count(_ < 8L) == 1, s"clone cluster must keep exactly one member, kept $kept")
+    assert((100L until 116L).forall(kept), "singletons must all survive")
+  }
+
+  test("boilerplate: planted banner flagged by df, clean and short docs survive") {
+    import graft.functions.Boilerplate
+    val banner = "one two three four five six"
+    // 4 docs carry the banner (df=4 per banner gram), 2 are clean, 1 is
+    // too short to have any 5-gram
+    val docs = ((0 until 4).map(i => (i.toLong, s"$banner unique$i tail$i words$i here$i now$i")) ++
+      Seq((10L, "clean text with enough words to have grams but none repeated"),
+          (11L, "another clean document sharing no five gram with anything else"),
+          (12L, "too short"))).toDF("doc_id", "text")
+    val grams = Boilerplate.boilerplateGrams(docs, "text", n = 5, minDf = 4L)
+      .collect().map(_.getLong(1))
+    // banner has 6 tokens -> gram positions fully inside it: 2 ("one two
+    // three four five", "two three four five six"); both reach df=4
+    assert(grams.length == 2 && grams.forall(_ == 4L), s"expected 2 grams at df=4")
+    val frac = Boilerplate.boilerplateFractions(docs, "doc_id", "text", n = 5, minDf = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!frac.contains(12L), "doc with no gram positions produces no fraction row")
+    (0L until 4L).foreach { id =>
+      assert(frac(id) == (7L, 2L), s"banner doc $id: 11 tokens -> 7 grams, 2 boiler")
+    }
+    assert(frac(10L)._2 == 0L && frac(11L)._2 == 0L)
+    val kept = Boilerplate.dropBoilerplateDocs(docs, "doc_id", "text",
+        n = 5, minDf = 4L, maxFrac = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L, 12L), "banner docs dropped; clean + short kept")
+  }
 }

@@ -161,4 +161,61 @@ class PlanSpec extends SparkSuite {
     assert(!streamedSide.contains("Exchange "),
       s"corpus shuffled before the join:\n$streamedSide")
   }
+
+  test("text_boilerplate joins the survivor gram set by BROADCAST, never cartesian") {
+    val p = plan(q("text_boilerplate"))
+    // the per-position membership probe must broadcast the df-filtered
+    // gram set — shuffling the exploded corpus to meet it would be the
+    // 100 TB killer
+    assert(p.contains("BroadcastHashJoin"), s"gram membership join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"exploded corpus shuffled/crossed for the gram probe:\n$p")
+  }
+
+  test("pipeline_chunk explodes in-scan: no Exchange below the Generate") {
+    val p = plan(q("pipeline_chunk"))
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, s"expected a Generate (posexplode):\n$p")
+    // everything below the generator must be scan-local; the only
+    // shuffle allowed is the final presentation ORDER BY above it
+    assert(!p.substring(gen).contains("Exchange"),
+      s"chunking shuffled before the explode:\n${p.substring(gen)}")
+  }
+
+  test("pipeline_domain_cap cuts to k per group BEFORE the exchange (WindowGroupLimit)") {
+    val p = plan(q("pipeline_domain_cap"))
+    // a billion-row domain must never assemble: the rank<=k cut runs as a
+    // per-partition top-k heap on both sides of the group-key exchange
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("pipeline_shuffle takes the order prefix without a full sort") {
+    val p = plan(q("pipeline_shuffle"))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered for orderBy+limit:\n$p")
+  }
+
+  test("pipeline_quantile filters in-scan with a literal threshold: no join in the plan") {
+    val p = plan(q("pipeline_quantile"))
+    // the quantile is resolved to a LITERAL before the plan is built — a
+    // threshold JOIN would shuffle the corpus against a 1-row side
+    assert(!p.contains("Join"), s"quantile threshold must fold to a literal:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only the summary agg may shuffle:\n$p")
+  }
+
+  test("dedup_incremental anti-joins the corpus hash set without shuffling it twice") {
+    val p = plan(q("dedup_incremental"))
+    assert(p.contains("LeftAnti"), s"expected a LEFT ANTI join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"anti join must be hash-keyed:\n$p")
+  }
+
+  test("pipeline_mix samples inside the scan: Filter directly over the file scan") {
+    val p = plan(q("pipeline_mix"))
+    // the mix is a per-row predicate — no join against a rates table, no
+    // shuffle before the summary aggregate's own exchange
+    assert(!p.contains("Join"), s"mix must not join a rates side:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"mix pass should only shuffle for the summary agg:\n$p")
+  }
 }
