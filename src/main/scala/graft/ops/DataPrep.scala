@@ -91,9 +91,17 @@ object DataPrep {
     require(stride > 0 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
     val toks = split(trim(text), "\\s+")
-    // Window starts 0, stride, 2·stride, … ≤ lastToken — every token is
-    // covered; a doc shorter than chunkSize yields exactly one window.
-    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    // Window starts 0, stride, 2·stride, … capped at the stride-ceiling of
+    // (tokens − chunkSize): generation stops once a window reaches the
+    // document end, so no window is fully contained in the previous one
+    // (trailing windows would otherwise duplicate training content). Every
+    // token is still covered; a doc shorter than chunkSize yields exactly
+    // one window.
+    val lastStart = greatest(
+      (((size(toks) - lit(chunkSize) + lit(stride - 1)) / lit(stride)).cast("int")
+        * lit(stride)),
+      lit(0))
+    val starts = sequence(lit(0), lastStart, lit(stride))
     val windows = transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize))))
     df.select(col("*"), posexplode(windows).as(Seq(chunkIdCol, chunkCol)))
   }
@@ -123,7 +131,11 @@ object DataPrep {
     val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no target stratum present in the corpus")
     val budget = present.map { case (s, w) => counts(s).toDouble / w }.min
-    val rates = present.map { case (s, w) => s -> w * budget / counts(s).toDouble }
+    // the binding stratum's rate is 1.0 by construction, but w*(n/w)/n can
+    // round to 1+ulp in double — clamp so the derived rate stays valid
+    val rates = present.map { case (s, w) =>
+      s -> math.min(1.0, w * budget / counts(s).toDouble)
+    }
     stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
   }
 
@@ -159,7 +171,10 @@ object DataPrep {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
     val agg = if (exact) percentile(score, lit(q))
       else percentile_approx(score, lit(q), lit(accuracy))
-    df.agg(agg.cast("double")).head.getDouble(0)
+    val row = df.agg(agg.cast("double")).head
+    require(!row.isNullAt(0),
+      s"quantileThreshold: input has no non-null '$score' values (empty input?)")
+    row.getDouble(0)
   }
 
   /** Keep rows whose `score` is at or above (`keepUpper`, default) / at

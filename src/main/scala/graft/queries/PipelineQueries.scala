@@ -210,18 +210,28 @@ object PipelineQueries {
       val scored = docs.select(col("doc_id"), col("text"),
         TF.qualityScore(col("text")).as("q"))
       val quality = scored.where(col("q") >= 0.5)
-      val kept = quality
+      // The quality+window subtree feeds the pair featurization, the
+      // cluster-drop anti-join AND the summary aggregates — persist it for
+      // the duration of this one call (materialize-and-release, same
+      // protocol as Dedup) instead of recomputing the window scan 3-4×.
+      // Keeping the rank column lets ONE pass produce both the quality
+      // count and the exact-dedup count.
+      val ranked = quality
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("rn") === 1).drop("rn")
+        .persist()
+      val kept = ranked.where(col("rn") === 1).drop("rn")
       val pairs = Dedup.jaccardNearDupPairs(kept, "doc_id", "text",
         shingleK = 5, tauPct = 51)
       val fin = Clusters.dropNearDupMembers(kept, "doc_id", pairs)
-      quality.agg(count(lit(1L)).as("n_quality"))
-        .crossJoin(kept.agg(count(lit(1L)).as("n_exact")))
+      val result = ranked.agg(count(lit(1L)).as("n_quality"),
+          count(when(col("rn") === 1, 1)).as("n_exact"))
         .crossJoin(fin.agg(count(lit(1L)).as("n_final"),
           sum(length(col("text"))).cast("long").as("final_chars")))
+      val out = result.localCheckpoint(true)
+      ranked.unpersist(blocking = false)
+      out
     }),
 
     // MinHash + LSH banding near-dup pairs (the 100 TB path: shuffle only
@@ -252,17 +262,18 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
       val scored = docs.select(col("doc_id"), col("text"),
         TF.qualityScore(col("text")).as("q"))
-      val quality = scored.where(col("q") >= 0.5)
-      val kept = quality
+      // Keep the dedup rank as a column and fold the quality and
+      // kept-subset statistics into ONE conditional aggregation pass —
+      // the window subtree runs once, not once per crossJoined aggregate.
+      val ranked = scored.where(col("q") >= 0.5)
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("rn") === 1)
       docs.agg(count(lit(1L)).as("n_input"))
-        .crossJoin(quality.agg(count(lit(1L)).as("n_quality")))
-        .crossJoin(kept.agg(count(lit(1L)).as("n_kept"),
-          round(avg(col("q")), 6).as("avg_q_kept"),
-          sum(length(col("text"))).cast("long").as("kept_chars")))
+        .crossJoin(ranked.agg(count(lit(1L)).as("n_quality"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          round(avg(when(col("rn") === 1, col("q"))), 6).as("avg_q_kept"),
+          sum(when(col("rn") === 1, length(col("text")))).cast("long").as("kept_chars")))
     }),
 
     // Benchmark decontamination (the n-gram overlap protocol): treat
@@ -933,8 +944,10 @@ object PipelineQueries {
         | CAST(sum(length(text)) AS BIGINT) AS mixed_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // Window starts 0, 16, 32, … ≤ len-1; each window slices 32 tokens
-    // (the last one shorter); chunk text compared verbatim.
+    // Window starts 0, 16, 32, … capped at the stride-ceiling of
+    // (len − 32): generation stops once a window reaches the document end
+    // (no window fully contained in the previous one); the last window may
+    // still be shorter. Chunk text compared verbatim.
     "pipeline_chunk" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
@@ -942,7 +955,9 @@ object PipelineQueries {
         |chunks AS (
         | SELECT doc_id, CAST(s / 16 AS INT) AS chunk_id,
         |        array_to_string(list_slice(l, s + 1, s + 32), ' ') AS chunk
-        | FROM toks, unnest(range(0, greatest(len(l) - 1, 0) + 1, 16)) AS u(s))
+        | FROM toks, unnest(range(0,
+        |   greatest(CAST(ceil((len(l) - 32) / 16.0) AS INT) * 16, 0) + 1,
+        |   16)) AS u(s))
         |SELECT doc_id, chunk_id, chunk,
         | CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,

@@ -271,11 +271,13 @@ class AnalyticsSpec extends SparkSuite {
       .select("doc_id", "chunk_id", "chunk").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     val d1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
-    // starts 0,8,16,24,32 -> 5 windows; the last is the 8-token tail
-    assert(d1.length == 5)
+    // starts 0,8,16,24 -> 4 windows; generation stops once a window reaches
+    // the document end (a start-32 window would be a pure subset of the
+    // start-24 one and duplicate training content)
+    assert(d1.length == 4)
     assert(d1.head == (1 to 16).map(i => s"t$i").mkString(" "))
     assert(d1(1).startsWith("t9 "), "stride-8 window overlaps the previous by 8 tokens")
-    assert(d1.last == (33 to 40).map(i => s"t$i").mkString(" "))
+    assert(d1.last == (25 to 40).map(i => s"t$i").mkString(" "))
     // every token appears in >= 1 chunk (full coverage)
     val covered = d1.flatMap(_.split(" ")).toSet
     assert((1 to 40).forall(i => covered(s"t$i")))

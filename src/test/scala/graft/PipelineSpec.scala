@@ -353,7 +353,13 @@ class PipelineSpec extends SparkSuite {
   }
 
   test("minhashNearDupAgainst matches near-copies via a parquet round-tripped index") {
+    // All corpus docs are 60-token windows of the SAME 97-token cycle, so
+    // docs {1,3,5} and {2,4} are genuinely mutual near-dups (char-5-gram
+    // jaccard >= tau) — the ground-truth pair set below reflects that. The
+    // novel doc draws from a DISJOINT token alphabet (n-prefixed) so its
+    // jaccard against every corpus doc is exactly 0.
     def doc(seed: Int) = (0 until 60).map(i => s"w${(i * 131 + seed * 17) % 97}").mkString(" ")
+    val novel = (0 until 60).map(i => s"n${i}x").mkString(" ")
     val corpus = (1L to 5L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
     val idxDir = java.nio.file.Files.createTempDirectory("mh_index").toString
     // write the corpus index once, read it back — the incremental protocol
@@ -362,12 +368,14 @@ class PipelineSpec extends SparkSuite {
     val batch = Seq(
       (101L, doc(1)),                       // exact copy of corpus 1
       (102L, doc(2).replace("w5", "w999")), // near-copy of corpus 2
-      (103L, doc(1000))).toDF("doc_id", "text") // novel
+      (103L, novel)).toDF("doc_id", "text") // disjoint vocabulary
     val m = Dedup.minhashNearDupAgainst(batch, index, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(m.contains(101L -> 1L), s"exact copy must match its corpus doc, got ${m.toSeq}")
-    assert(m.exists(_._1 == 102L), s"near-copy must match, got ${m.toSeq}")
-    assert(!m.exists(_._1 == 103L), s"novel doc must not match, got ${m.toSeq}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // Full ground-truth pair set (independently computable: jaccard of the
+    // char-5-gram sets >= tau): 101 matches the {1,3,5} clique, 102 the
+    // {2,4} clique, 103 nothing.
+    val expected = Set(101L -> 1L, 101L -> 3L, 101L -> 5L, 102L -> 2L, 102L -> 4L)
+    assert(m == expected, s"expected $expected, got $m")
     // the documented drop composition removes exactly the matched ids
     val matches = Dedup.minhashNearDupAgainst(batch, index, "doc_id", "text")
     val kept = batch.join(matches.select("doc_id").distinct(), Seq("doc_id"), "left_anti")

@@ -7,7 +7,21 @@ import org.apache.spark.sql.DataFrame
   * operators were designed for — a regression that silently flips a
   * broadcast join to a shuffle join or reintroduces a cartesian product
   * fails here, not at 100 TB. */
-class PlanSpec extends SparkSuite {
+class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
+
+  // Plan-shape assertions inspect the pre-execution physical plan; AQE can
+  // re-plan at runtime (and its pre-action plan string is warm-up/order
+  // sensitive), so pin the static planner for this suite only.
+  private var aqeWas: String = "true"
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    super.afterAll()
+  }
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
@@ -62,14 +76,17 @@ class PlanSpec extends SparkSuite {
     val lazyCount = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
       materialize = false).count()
     spark.catalog.clearCache()
+    // storage is session-global: earlier tests may have left checkpointed
+    // RDDs pinned, so assert RELATIVE growth, not an absolute count
+    val baseline = spark.sparkContext.getRDDStorageInfo.length
     val eager = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text")
     assert(eager.count() == lazyCount, "materialized path changed the result")
-    // featurization blocks are unpersisted (async): only the checkpointed
-    // pair result may remain in storage
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    // featurization blocks are unpersisted (async): beyond the baseline,
+    // only the checkpointed pair result may remain in storage
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     def stored = spark.sparkContext.getRDDStorageInfo.length
-    while (stored > 1 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(stored <= 1, s"featurization cache still pinned: ${
+    while (stored > baseline + 1 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(stored <= baseline + 1, s"featurization cache still pinned: ${
       spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
   }
 
