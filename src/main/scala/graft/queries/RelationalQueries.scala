@@ -162,12 +162,19 @@ object RelationalQueries {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1L)).as("n_rows"))),
 
-    // HLL sketches — constant memory at any scale. Engine-specific values
-    // → no oracle (rows-only check).
+    // HLL sketches — constant memory at any scale. Made oracle-VISIBLE:
+    // the exact distinct counts anchor the row (DuckDB recomputes them)
+    // and the sketch estimates are verified in-engine against the
+    // configured 5% relative-error bound — the driver's check is now
+    // "HLL error within rsd", not "returns rows".
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey"))) * 100
+          <= countDistinct(col("l_partkey")) * 5).as("parts_err_ok"),
+        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) * 100
+          <= countDistinct(col("l_orderkey")) * 5).as("orders_err_ok"))),
 
     // Exact percentiles (interpolated, R-7 — same method as DuckDB's
     // quantile_cont).
@@ -177,11 +184,21 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
-    // Approximate percentiles (GK sketch) — no oracle.
+    // Approximate percentiles (GK sketch). Made oracle-VISIBLE: the exact
+    // interpolated percentiles anchor the row (DuckDB quantile_cont
+    // recomputes them) and the sketch estimates are verified in-engine
+    // within a 2% relative band — with accuracy=10000 the rank error is
+    // n/10000, far inside that band at any test SF.
     "q_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"))),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          - expr("percentile(l_extendedprice, 0.5)"))
+          <= expr("percentile(l_extendedprice, 0.5)") * 0.02).as("ap50_ok"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          - expr("percentile(l_extendedprice, 0.99)"))
+          <= expr("percentile(l_extendedprice, 0.99)") * 0.02).as("ap99_ok"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -290,6 +307,18 @@ object RelationalQueries {
       """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
         | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+        |FROM lineitem""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        | true AS parts_err_ok, true AS orders_err_ok
+        |FROM lineitem""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+        | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
   )
 }
