@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     UDF, run inside the scan;
   *   - a typed `mapPartitions` decode pipeline ([[decodeBatch]]) with a
   *     pluggable per-blob decoder — the Spark-side plumbing (schema,
-  *     encoder, partition streaming) is real; the default decoder is a
-  *     clearly-marked STUB because no image/audio codec libraries exist
-  *     in this environment.
+  *     encoder, partition streaming) is real. PNG decode is REAL too
+  *     (pure-JVM zlib + filter reversal, [[PngCodec]]); JPEG/audio
+  *     remain header-walk stubs because no entropy-codec libraries
+  *     exist in this environment.
   */
 object Multimodal {
 
@@ -86,25 +87,36 @@ object Multimodal {
   final case class DecodedMedia(
       id: Long, format: String, width: Int, height: Int, pixelsHash: Long)
 
-  /** STUB decoder — this environment has no image codecs. For PNG it
-    * parses the real header geometry; for everything else it derives
-    * deterministic pseudo-dimensions from a content hash so downstream
-    * plumbing is testable. A production deployment swaps in a real codec
-    * (e.g. TwelveMonkeys ImageIO) without touching the pipeline shape. */
+  /** Default decoder. PNG is a REAL decode ([[PngCodec.decode8]]: zlib
+    * inflate + filter reversal, pure JVM) — pixelsHash is the FNV-1a of
+    * the decoded samples, so two encodings of the same image agree and a
+    * filter-reversal bug changes the hash. JPEG/other formats remain
+    * header-walk geometry + content-hash STUBS (no entropy decoder
+    * offline); a production deployment swaps in a codec (e.g.
+    * TwelveMonkeys ImageIO) without touching the pipeline shape. */
   def stubDecode(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    def fnv(b: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
     def be32(off: Int): Int =
       ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
-        bytes(2) == 'N' && bytes(3) == 'G')
-      ("png", be32(16), be32(20), h)
-    else JpegDims.parse(bytes) match {
-      case Some((w, ht)) => ("jpeg", w, ht, h)
+    PngCodec.decode8(bytes) match {
+      case Some((w, ht, _, px)) => ("png", w, ht, fnv(px))
       case None =>
-        ("unknown", 1 + (math.abs(h) % 4096).toInt, 1 + (math.abs(h >> 12) % 4096).toInt, h)
+        if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+            bytes(2) == 'N' && bytes(3) == 'G')
+          ("png", be32(16), be32(20), fnv(bytes)) // unsupported PNG profile: headers only
+        else JpegDims.parse(bytes) match {
+          case Some((w, ht)) => ("jpeg", w, ht, fnv(bytes))
+          case None =>
+            val h = fnv(bytes)
+            ("unknown", 1 + (math.abs(h) % 4096).toInt,
+              1 + (math.abs(h >> 12) % 4096).toInt, h)
+        }
     }
   }
 

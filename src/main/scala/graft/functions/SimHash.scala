@@ -115,6 +115,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_info", exprs => WavInfo(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_gray_fixture", exprs => PngGrayFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_pixel_stats", exprs => PngPixelStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -158,4 +164,11 @@ object GraftFunctions {
   /** vector → array<long> of per-table sign-LSH bucket ids. */
   def cosineLshBuckets(vec: Column, numPlanes: Int, numTables: Int, seed: Long): Column =
     GraftColumn(CosineLshBuckets(GraftColumn.expr(vec), numPlanes, numTables, seed))
+
+  /** id → real grayscale PNG with the arithmetic pixel rule (fixture). */
+  def pngGrayFixture(id: Column, width: Int, height: Int): Column =
+    GraftColumn(PngGrayFixture(GraftColumn.expr(id), width, height))
+
+  /** PNG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
+  def pngPixelStats(c: Column): Column = GraftColumn(PngPixelStats(GraftColumn.expr(c)))
 }

@@ -550,6 +550,29 @@ object PipelineQueries {
         .orderBy("format")
     }),
 
+    // REAL PNG decode, oracle-checked: each doc_id becomes a genuine
+    // deflate-compressed grayscale PNG (filters rotate 0-4 across rows)
+    // whose pixel values follow an arithmetic rule; the engine must
+    // recover width/height/sum/min/max by ACTUALLY decoding (zlib
+    // inflate + per-filter reversal — PngCodec), and the oracle evaluates
+    // the same rule arithmetically, no codec needed. A decoder bug in any
+    // filter type corrupts px_sum and fails the hash match.
+    "mm_decode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val st = GraftFunctions.pngPixelStats(
+        GraftFunctions.pngGrayFixture(col("doc_id"), 16, 8))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("width"),
+          element_at(col("st"), 2).as("height"),
+          element_at(col("st"), 3).as("n_px"),
+          element_at(col("st"), 4).as("px_sum"),
+          element_at(col("st"), 5).as("px_min"),
+          element_at(col("st"), 6).as("px_max"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: vectors whose cosine exceeds 0.99 are
     // duplicates. Candidates from the skew-capped LSH self-join (never
     // all-pairs) in THRESHOLD mode — every candidate pair at or above the
@@ -1327,6 +1350,18 @@ object PipelineQueries {
         |   WHERE vec_id < 500 AND vec_id % 100 < 2) AS n_planted,
         | true AS partner_recall_ok
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // Same pixel rule the fixture encodes: pixel i = (doc_id*31+i*7)%256
+    // over a 16x8 grayscale image — the oracle never touches PNG bytes;
+    // the engine must reproduce these numbers from a real decode.
+    "mm_decode" ->
+      """WITH px AS (SELECT doc_id,
+        |  list_transform(range(0, 128), i -> (doc_id*31 + i*7) % 256) AS p
+        | FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        | CAST(128 AS BIGINT) AS n_px, CAST(list_sum(p) AS BIGINT) AS px_sum,
+        | CAST(list_min(p) AS BIGINT) AS px_min, CAST(list_max(p) AS BIGINT) AS px_max
+        |FROM px ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

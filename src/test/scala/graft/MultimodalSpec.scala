@@ -164,4 +164,44 @@ class MultimodalSpec extends SparkSuite {
     val again = Multimodal.decodeBatch(df, "doc_id", "blob").collect().map(d => d.id -> d).toMap
     assert(again == byId)
   }
+
+  test("PNG codec round-trips every filter type and channel layout exactly") {
+    import graft.functions.PngCodec
+    val rnd = new scala.util.Random(7)
+    // height 10 spans filters 0-4 twice; widths hit odd strides
+    for (channels <- Seq(1, 2, 3, 4); width <- Seq(1, 5, 16)) {
+      val px = Array.fill[Byte](width * 10 * channels)(rnd.nextInt(256).toByte)
+      val png = PngCodec.encode8(width, 10, channels, px)
+      val Some((w, h, ch, out)) = PngCodec.decode8(png)
+      assert((w, h, ch) == (width, 10, channels))
+      assert(out.toSeq == px.toSeq,
+        s"filter reversal corrupted pixels at channels=$channels width=$width")
+    }
+  }
+
+  test("PNG decode rejects corrupt / unsupported / truncated input as None") {
+    import graft.functions.PngCodec
+    val good = PngCodec.encode8(8, 4, 1, Array.fill[Byte](32)(9))
+    assert(PngCodec.decode8(good).isDefined)
+    // dropping just the 12-byte IEND leaves a complete IDAT (and decodes);
+    // cut 5 bytes INTO the IDAT body to make the zlib stream unfinishable
+    assert(PngCodec.decode8(good.dropRight(17)).isEmpty, "truncated IDAT")
+    assert(PngCodec.decode8("not a png at all".getBytes).isEmpty)
+    assert(PngCodec.decode8(pngHeader ++ "garbage-idat".getBytes).isEmpty,
+      "header-only blob has no decodable IDAT")
+    val interlaced = good.clone(); interlaced(8 + 8 + 12) = 1 // IHDR interlace=1
+    assert(PngCodec.decode8(interlaced).isEmpty, "Adam7 outside the supported profile")
+  }
+
+  test("decodeBatch PNG path hashes DECODED samples, not the compressed bytes") {
+    import graft.functions.PngCodec
+    val px = Array.tabulate[Byte](16 * 8)(i => ((i * 13 + 5) % 256).toByte)
+    val df = Seq((1L, PngCodec.encode8(16, 8, 1, px))).toDF("doc_id", "blob")
+    val d = Multimodal.decodeBatch(df, "doc_id", "blob").collect().head
+    assert(d.format == "png" && d.width == 16 && d.height == 8)
+    // pixelsHash is the FNV of DECODED samples — recompute independently
+    var expect = 0xcbf29ce484222325L
+    px.foreach { b => expect ^= (b & 0xffL); expect *= 0x100000001b3L }
+    assert(d.pixelsHash == expect, "pixelsHash is not the decoded-sample hash")
+  }
 }
