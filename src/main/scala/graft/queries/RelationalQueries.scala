@@ -147,6 +147,48 @@ object RelationalQueries {
         .select("w_start", "event_type", "n", "sum_value")
         .orderBy("w_start", "event_type")),
 
+    // Streaming↔batch parity, oracle-visible: the SAME tumbling-window
+    // aggregation as q_timewindow computed through Structured Streaming —
+    // readStream over the events parquet, complete-mode windowed agg into
+    // a memory sink, one AvailableNow pass — and returned as the query
+    // result, which the driver hash-compares against the BATCH oracle in
+    // DuckDB. Batch/stream unification is the whole point of declaring
+    // the agg once; this makes it a correctness gate instead of a
+    // ScalaTest-only assertion.
+    "q_stream_parity" -> ((s, dir) => {
+      // the file-stream source monitors a DIRECTORY (that is its contract
+      // — files arrive over time); the testdata table is a single file,
+      // so stage it once into the build-output fixture area
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+      val staged = new java.io.File(stage, "events.parquet")
+      if (!staged.exists()) {
+        stage.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // same raw-nanos schema + ns→µs conversion as the batch loader
+      // (Sources.table): the parquet ts column is INT64 nanoseconds
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(raw)
+        .parquet(stage.getPath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("ts", "event_type", "value")
+      val counted = stream
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1L)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = counted.writeStream.format("memory")
+        .queryName("q_stream_parity_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_parity_mem").orderBy("w_start", "event_type")
+    }),
+
     // Session windows (30 min gap) → sessions/events per user.
     "q_session" -> ((s, dir) =>
       Analytics.sessionAgg(t(s, dir, "events"), col("ts"), "30 minutes",
@@ -283,6 +325,13 @@ object RelationalQueries {
         |ORDER BY st, pri""".stripMargin,
 
     "q_timewindow" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Identical to q_timewindow's batch oracle — the engine side arrives
+    // at it through the streaming runtime instead.
+    "q_stream_parity" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
