@@ -90,6 +90,20 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
   }
 
+  test("annSelfJoin candidates come from (table,bucket) equi-joins — never all-pairs") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    for (minCos <- Seq(None, Some(0.99))) {
+      val df = graft.functions.Similarity.annSelfJoin(
+        emb, "vec_id", "embedding", numPlanes = 8, k = 3, minCos = minCos)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"ANN candidate generation degraded to all-pairs (minCos=$minCos):\n$p")
+      assert(p.contains("cosine_lsh_buckets"),
+        s"bucketing expression missing from the plan (minCos=$minCos):\n$p")
+    }
+  }
+
   test("q_asof has no join operator — union + window, not a range-join explosion") {
     val p = plan(q("q_asof"))
     assert(!p.contains("Join"), s"as-of degraded to a join (range joins explode at scale):\n$p")
