@@ -31,9 +31,11 @@ object Clusters {
 
   /** (id, component) for every node appearing in `pairs`; `component` is
     * the MINIMUM id reachable through the pair graph — the conventional
-    * canonical keep-id. Throws if `maxIter` rounds do not converge (the
-    * doubling bound makes that a data-scale red flag, not a tuning knob:
-    * 25 rounds cover components of diameter far beyond 2^20).
+    * canonical keep-id. Throws if `maxIter` BATCHES (two propagate+
+    * compress rounds each) do not converge — the doubling bound makes
+    * that a data-scale red flag, not a tuning knob: the default 25
+    * batches = 50 doubling rounds cover components of diameter far
+    * beyond 2^40.
     *
     * Round cost: one checkpointed job over the fused propagate+compress
     * plan (the intra-round intermediate is persisted so its self-join
@@ -97,9 +99,10 @@ object Clusters {
     edges.unpersist(blocking = false)
     if (!converged && rounds >= maxIter)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — with " +
-          "pointer doubling this indicates a component of astronomically " +
-          "large diameter or corrupt input")
+        s"connectedComponents did not converge in $maxIter batches " +
+          s"(${2 * maxIter} propagate+compress rounds) — with pointer " +
+          "doubling this indicates a component of astronomically large " +
+          "diameter or corrupt input")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

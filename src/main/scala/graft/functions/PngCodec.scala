@@ -108,8 +108,18 @@ object PngCodec {
     var sawEnd = false
     while (!sawEnd && o + 8 <= b.length) {
       val len = be32(o)
-      if (len < 0 || o + 12 + len > b.length) return None
+      // Long arithmetic: a crafted length near Int.MaxValue would wrap
+      // the Int sum negative and slip past the bound straight into an
+      // out-of-bounds read
+      if (len < 0 || o.toLong + 12L + len > b.length) return None
       val tag = new String(b, o + 4, 4, "US-ASCII")
+      // CRC check on the chunks we consume — corrupt framing is rejected,
+      // not silently decoded
+      if (tag == "IHDR" || tag == "IDAT") {
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, o + 4, 4 + len)
+        if (crc.getValue.toInt != be32(o + 8 + len)) return None
+      }
       tag match {
         case "IHDR" =>
           if (len != 13) return None
@@ -135,7 +145,11 @@ object PngCodec {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // 0 bytes with output space left means the stream is truncated
+        // (needsInput) or demands a preset dictionary (FDICT — never valid
+        // in PNG); both are unrecoverable, and looping on would spin
+        // forever
+        if (n == 0) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -219,6 +233,7 @@ case class PngPixelStats(child: Expression)
   override def nullSafeEval(input: Any): Any =
     PngCodec.decode8(input.asInstanceOf[Array[Byte]]) match {
       case Some((w, h, _, px)) =>
+        // px is never empty: decode8 rejects non-positive dimensions
         var sum = 0L; var mn = 255L; var mx = 0L
         var i = 0
         while (i < px.length) {
@@ -226,7 +241,6 @@ case class PngPixelStats(child: Expression)
           sum += v; if (v < mn) mn = v; if (v > mx) mx = v
           i += 1
         }
-        if (px.isEmpty) { mn = -1L; mx = -1L }
         new GenericArrayData(Array(w.toLong, h.toLong, px.length.toLong, sum, mn, mx))
       case None => null
     }

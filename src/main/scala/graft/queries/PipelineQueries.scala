@@ -585,7 +585,11 @@ object PipelineQueries {
     // the false-positive count (provably 0 — ANN candidates are scored by
     // the same exact cosine) and a recall >= 90% verdict.
     "dedup_embed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // bounded audit slice, same discipline as dedup_minhash/sim_ann:
+      // the exact all-pairs baseline must never grow quadratically with
+      // the corpus — the scale path under audit is the LSH join
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+        .select("vec_id", "embedding")
       val aug = emb
         .union(emb.where(col("vec_id") % 100 < 2)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
@@ -616,7 +620,9 @@ object PipelineQueries {
     // kept set IS the exact kept set (clone recall at cos≈1.0 makes the
     // sets deterministically identical).
     "dedup_semantic" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // bounded audit slice — see dedup_embed
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+        .select("vec_id", "embedding")
       val aug = emb
         .union(emb.where(col("vec_id") % 100 < 2)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
@@ -1283,9 +1289,10 @@ object PipelineQueries {
     "dedup_embed" ->
       """WITH aug AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE vec_id < 1000
         | UNION ALL
         | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
-        | WHERE vec_id % 100 < 2),
+        | WHERE vec_id < 1000 AND vec_id % 100 < 2),
         |p AS (SELECT count(*) AS n
         | FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.v, b.v) >= 0.99)
@@ -1298,9 +1305,10 @@ object PipelineQueries {
     "dedup_semantic" ->
       """WITH RECURSIVE aug AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | WHERE vec_id < 1000
         | UNION ALL
         | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
-        | WHERE vec_id % 100 < 2),
+        | WHERE vec_id < 1000 AND vec_id % 100 < 2),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         | FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         | WHERE list_cosine_similarity(a.v, b.v) >= 0.99),

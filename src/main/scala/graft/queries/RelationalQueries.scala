@@ -206,17 +206,19 @@ object RelationalQueries {
 
     // HLL sketches — constant memory at any scale. Made oracle-VISIBLE:
     // the exact distinct counts anchor the row (DuckDB recomputes them)
-    // and the sketch estimates are verified in-engine against the
-    // configured 5% relative-error bound — the driver's check is now
-    // "HLL error within rsd", not "returns rows".
+    // and the sketch estimates are verified in-engine within 15% — three
+    // times the configured rsd (0.05 is a relative STANDARD DEVIATION,
+    // a ~1σ miss rate of one in three; the 3σ band is a meaningful gate
+    // that stays stable across regenerated data). The driver's check is
+    // now "HLL error within 3·rsd", not "returns rows".
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_orderkey")).as("n_orders"),
         (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey"))) * 100
-          <= countDistinct(col("l_partkey")) * 5).as("parts_err_ok"),
+          <= countDistinct(col("l_partkey")) * 15).as("parts_err_ok"),
         (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) * 100
-          <= countDistinct(col("l_orderkey")) * 5).as("orders_err_ok"))),
+          <= countDistinct(col("l_orderkey")) * 15).as("orders_err_ok"))),
 
     // Exact percentiles (interpolated, R-7 — same method as DuckDB's
     // quantile_cont).

@@ -183,13 +183,53 @@ class MultimodalSpec extends SparkSuite {
     import graft.functions.PngCodec
     val good = PngCodec.encode8(8, 4, 1, Array.fill[Byte](32)(9))
     assert(PngCodec.decode8(good).isDefined)
-    // dropping just the 12-byte IEND leaves a complete IDAT (and decodes);
-    // cut 5 bytes INTO the IDAT body to make the zlib stream unfinishable
-    assert(PngCodec.decode8(good.dropRight(17)).isEmpty, "truncated IDAT")
+    // chunk-building helpers mirroring the PNG framing
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunkOf(tag: String, body: Array[Byte]) = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      be32(body.length) ++ tag.getBytes("US-ASCII") ++ body ++ be32(crc.getValue.toInt)
+    }
+    def readLen(o: Int) = ((good(o) & 0xff) << 24) | ((good(o + 1) & 0xff) << 16) |
+      ((good(o + 2) & 0xff) << 8) | (good(o + 3) & 0xff)
+    val sig = good.take(8)
+    val ihdrBody = good.slice(16, 16 + readLen(8))
+    val idatOff = 8 + 12 + readLen(8)
+    val idatBody = good.slice(idatOff + 8, idatOff + 8 + readLen(idatOff))
+    // a VALIDLY-FRAMED IDAT whose body is a strict prefix of the zlib
+    // stream (length + CRC recomputed): exercises the inflate loop's
+    // truncated-stream exit, not the chunk bounds check
+    val truncated = sig ++ chunkOf("IHDR", ihdrBody) ++
+      chunkOf("IDAT", idatBody.take(idatBody.length / 2)) ++
+      chunkOf("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode8(truncated).isEmpty, "truncated zlib stream inside IDAT")
+    // a zlib header with the FDICT bit set (0x78 0x20 — checksum-valid):
+    // never legal in PNG; the decoder must reject it, not spin forever
+    // waiting for a preset dictionary
+    val fdict = sig ++ chunkOf("IHDR", ihdrBody) ++
+      chunkOf("IDAT", Array[Byte](0x78, 0x20)) ++
+      chunkOf("IEND", Array.emptyByteArray)
+    assert(PngCodec.decode8(fdict).isEmpty, "FDICT stream must be rejected")
+    // corrupt the IDAT CRC (zlib body untouched): framing check must fire
+    val badCrc = good.clone()
+    badCrc(idatOff + 8 + readLen(idatOff)) = (badCrc(idatOff + 8 + readLen(idatOff)) ^ 0x01).toByte
+    assert(PngCodec.decode8(badCrc).isEmpty, "corrupt chunk CRC accepted")
+    // dropping 17 bytes cuts the IDAT framing: bounds check must fire
+    assert(PngCodec.decode8(good.dropRight(17)).isEmpty, "chunk runs past the buffer")
+    // a declared chunk length near Int.MaxValue must not overflow the
+    // bounds check into an out-of-bounds read
+    val hugeLen = sig ++ chunkOf("IHDR", ihdrBody) ++
+      (be32(0x7ffffff0) ++ "IDAT".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4))
+    assert(PngCodec.decode8(hugeLen).isEmpty, "overflowing length field")
     assert(PngCodec.decode8("not a png at all".getBytes).isEmpty)
     assert(PngCodec.decode8(pngHeader ++ "garbage-idat".getBytes).isEmpty,
       "header-only blob has no decodable IDAT")
-    val interlaced = good.clone(); interlaced(8 + 8 + 12) = 1 // IHDR interlace=1
+    // interlace=1 with a RECOMPUTED CRC, so the profile gate (not the
+    // CRC check) is what rejects it
+    val ihdrInterlaced = ihdrBody.clone(); ihdrInterlaced(12) = 1
+    val interlaced = sig ++ chunkOf("IHDR", ihdrInterlaced) ++
+      chunkOf("IDAT", idatBody) ++ chunkOf("IEND", Array.emptyByteArray)
     assert(PngCodec.decode8(interlaced).isEmpty, "Adam7 outside the supported profile")
   }
 
