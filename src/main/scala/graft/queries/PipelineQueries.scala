@@ -270,6 +270,56 @@ object PipelineQueries {
           (col("n_hit") * 100 >= col("n_exact") * 90).as("recall_ok"))
     }),
 
+    // Incremental near-dup via the parquet INDEX protocol, end to end and
+    // oracle-VISIBLE: the standing corpus is featurized once and written
+    // as a parquet minhash index (written fresh each run — the protocol's
+    // write is part of what's exercised), the arriving batch is banded
+    // against the index read back from disk, and the matches are compared
+    // in-engine to the exact cross-Jaccard ground truth over the same
+    // hashed shingles (bounded 200×500 audit; the scale path is the
+    // batch-bands × index-bands equi-join). DuckDB recomputes the exact
+    // cross-pair count from string shingles.
+    "dedup_incr_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // corpus/batch from a mod split so both exist at every SF; the
+      // batch additionally carries PLANTED near-copies of corpus docs
+      // (a short appended suffix keeps char-5-gram jaccard near 1) so
+      // the ground truth is never vacuous
+      val corpus = docs.where(col("doc_id") < 300 && col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text")
+      val batch = docs.where(col("doc_id") < 300 && col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+        .union(corpus.where(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" planted copy")).as("text")))
+      val idxPath = s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/minhash_index"
+      Dedup.minhashFeaturize(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val found = Dedup.minhashNearDupAgainst(batch, index, "doc_id", "text",
+          shingleK = 5, numHashes = 64, bands = 16, tauPct = 51)
+        .select(col("doc_id").as("id_b"), col("corpus_id").as("id_a"))
+      // exact cross ground truth on the same hashed shingles — deliberate
+      // bounded all-pairs audit with the size prefilter, merge intersect
+      val shc = corpus.select(col("doc_id").as("id_a"),
+        GraftFunctions.charShingleHashes(col("text"), 5).as("sh_a"))
+      val shb = batch.select(col("doc_id").as("id_b"),
+        GraftFunctions.charShingleHashes(col("text"), 5).as("sh_b"))
+      val exact = shb.crossJoin(shc)
+        .where(Dedup.sizeCompatible(size(col("sh_a")), size(col("sh_b")), 51))
+        .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .where(col("inter") * 100 >= (size(col("sh_a")) + size(col("sh_b")) - col("inter")) * 51)
+        .select("id_a", "id_b")
+        .localCheckpoint(true)
+      exact.agg(count(lit(1L)).as("n_exact"))
+        .crossJoin(found.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1L)).as("n_false")))
+        .crossJoin(found.join(exact, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1L)).as("n_hit")))
+        .select(col("n_exact"), col("n_false"),
+          (col("n_hit") * 100 >= col("n_exact") * 90).as("recall_ok"))
+    }),
+
     // SimHash (custom Catalyst expression) near-dup pairs via 16-bit
     // chunk banding, made oracle-VISIBLE: the banding's pigeonhole
     // completeness (hamming <= 3 ⇒ some chunk equal, so the banded pair
@@ -1278,6 +1328,34 @@ object PipelineQueries {
         |  AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
         | WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |   51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+        |SELECT CAST(n AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false,
+        | true AS recall_ok FROM p""".stripMargin,
+
+    // The exact batch×corpus cross-Jaccard ground truth the incremental
+    // index path must reproduce (string shingles; the engine's 64-bit
+    // hashed shingles agree up to negligible collisions).
+    "dedup_incr_near" ->
+      """WITH b AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' planted copy' FROM documents
+        | WHERE doc_id < 300 AND doc_id % 3 != 0 AND doc_id % 10 = 1),
+        |shc AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM documents WHERE doc_id < 300 AND doc_id % 3 != 0),
+        |shb AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM b),
+        |p AS (
+        | SELECT count(*) AS n
+        | FROM shb b JOIN shc c
+        |  ON 100 * least(len(b.s), len(c.s)) >= 51 * greatest(len(b.s), len(c.s))
+        | WHERE 100 * len(list_intersect(b.s, c.s)) >=
+        |   51 * (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))))
         |SELECT CAST(n AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false,
         | true AS recall_ok FROM p""".stripMargin,
 
