@@ -154,7 +154,11 @@ object RelationalQueries {
     // result, which the driver hash-compares against the BATCH oracle in
     // DuckDB. Batch/stream unification is the whole point of declaring
     // the agg once; this makes it a correctness gate instead of a
-    // ScalaTest-only assertion.
+    // ScalaTest-only assertion. Complete output mode is the HARNESS
+    // choice (full result table over a bounded fixture, no watermark
+    // cutoff to mirror in the oracle); unbounded production streams use
+    // the append+watermark operators in streaming/Streams.scala, whose
+    // state stays bounded.
     "q_stream_parity" -> ((s, dir) => {
       // the file-stream source monitors a DIRECTORY (that is its contract
       // — files arrive over time); the testdata table is a single file,
