@@ -275,4 +275,47 @@ object TextFunctions {
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(c,
       EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+
+  /** CCNet-style cross-corpus LINE dedup (Wenzek et al. 2020 §4.1 —
+    * dropping lines that recur across many documents removes headers,
+    * navigation, legal banners): every line occurring in at least
+    * `minDf` DISTINCT documents is deleted from every document, and the
+    * survivors are reassembled in original order. Lines here are
+    * [[tokenLines]] of `lineWidth` tokens (this corpus has no natural
+    * newlines; real pipelines split on '\n' — the dataflow is
+    * identical). Complements [[Boilerplate]]: that flags whole documents
+    * by n-gram share, this rewrites documents line by line.
+    *
+    * Returns (idCol, n_lines, n_dropped, clean) for EVERY input document
+    * — one whose every line is common comes back with an empty `clean`.
+    *
+    * Scale shape: lines explode in-scan; the df count shuffles DISTINCT
+    * (doc, 8-byte line-hash) pairs with map-side partials; the
+    * duplicated-line set (bounded by truly-common lines, tiny next to
+    * the corpus) broadcasts back; reassembly is ONE doc-keyed shuffle
+    * carrying each document's own lines. Nothing is quadratic and the
+    * corpus text crosses the wire once. */
+  def dropDuplicatedLines(docs: DataFrame, idCol: String, textCol: String,
+      lineWidth: Int = 8, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would delete every line, got $minDf")
+    val lines = docs
+      .select(col(idCol), posexplode(tokenLines(col(textCol), lineWidth)))
+      .toDF(idCol, "__pos", "__line")
+    val common = lines
+      .select(col(idCol), xxhash64(col("__line")).as("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1L)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__h"), lit(1).as("__dup"))
+    lines.withColumn("__h", xxhash64(col("__line")))
+      .join(broadcast(common), Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1L)).as("n_lines"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls: only surviving lines enter the
+        // reassembly, ordered by their original position
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line"))).as("clean"))
+  }
 }

@@ -473,6 +473,26 @@ object PipelineQueries {
                 TF.tokenCountWs(col("chunk")).cast("long").as("n_toks"))
         .orderBy("doc_id", "chunk_id")),
 
+    // CCNet-style cross-corpus LINE dedup: an 8-token banner line planted
+    // on every 5th doc (plus any naturally recurring template lines) must
+    // be deleted from every document and the survivors reassembled in
+    // order. Per-source totals prove the rewrite; the oracle rebuilds the
+    // same width-8 line structure from strings.
+    "text_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("dup0 dup1 dup2 dup3 dup4 dup5 dup6 dup7 "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TF.dropDuplicatedLines(planted, "doc_id", "text", lineWidth = 8, minDf = 50L)
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(col("n_lines")).cast("long").as("lines_total"),
+             sum(col("n_dropped")).cast("long").as("lines_dropped"),
+             sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
     // docs (a planted banner on every 4th doc) scored per document. The
     // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
@@ -1181,6 +1201,36 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk,
         | CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same banner plant, same width-8 token-line structure as
+    // TextFunctions.tokenLines (trailing partial line included, empty
+    // doc → one empty line), df over DISTINCT docs, survivors rejoined
+    // in position order with single spaces.
+    "text_line_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0
+        |   THEN 'dup0 dup1 dup2 dup3 dup4 dup5 dup6 dup7 ' || text
+        |   ELSE text END AS text
+        | FROM documents),
+        |tk AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |e AS (SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+        |   array_to_string(toks[(u.i*8+1):(u.i*8+8)], ' ') AS line
+        | FROM tk, unnest(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1))) AS u(i)),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM e GROUP BY line),
+        |f AS (SELECT e.doc_id, e.source, e.pos, e.line, (df.df >= 50) AS dup
+        | FROM e JOIN df USING (line)),
+        |g AS (SELECT doc_id, source,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  array_to_string(list_transform(
+        |    list_sort(list(struct_pack(pos := pos, line := line)) FILTER (WHERE NOT dup)),
+        |    s -> s.line), ' ') AS clean
+        | FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_lines) AS BIGINT) AS lines_total,
+        | CAST(sum(n_dropped) AS BIGINT) AS lines_dropped,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // Same banner plant, word-5-grams as STRINGS (the engine carries
     // xxhash64 of the same strings — a collision can only inflate one
