@@ -144,4 +144,31 @@ object Clusters {
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Near-dup-aware dedup keeping the BEST member per cluster under an
+    * explicit preference order (e.g. quality desc, then id for
+    * determinism) — what a curation pipeline actually wants: when five
+    * near-copies of a page exist, keep the cleanest, not the one with
+    * the smallest id. Callers MUST make the order total (append the id
+    * column) or ties pick an arbitrary-but-deterministic winner by the
+    * window's sort.
+    *
+    * Scale shape: the ranking window runs ONLY over cluster members
+    * (O(nodes-in-pairs), joined to the component map); everything else
+    * passes through an ANTI join against the (small, broadcastable)
+    * member-id list. The corpus is never windowed wholesale. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+      order: Seq[org.apache.spark.sql.Column],
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val members = docs.join(comps, Seq(idCol))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("component")).orderBy(order: _*)))
+      .where(col("__rk") === 1)
+      .drop("__rk", "component")
+    val nonMembers = docs.join(comps.select(idCol), Seq(idCol), "left_anti")
+    nonMembers.unionByName(members)
+  }
 }

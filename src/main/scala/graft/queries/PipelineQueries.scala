@@ -246,6 +246,23 @@ object PipelineQueries {
       out
     }),
 
+    // Quality-aware cluster representatives: keep the HIGHEST-quality
+    // member of every exact-Jaccard near-dup cluster (tie-broken by id)
+    // instead of the min id — the curation semantic a real pipeline
+    // wants. Summary anchors: kept count, kept id sum (exact), kept
+    // chars. Hash-matched against the recursive-closure + window oracle.
+    "pipeline_curate_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"), TF.qualityScore(col("text")).as("q"))
+      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        shingleK = 5, tauPct = 51)
+      Clusters.keepBestPerCluster(docs, "doc_id", pairs,
+          Seq(col("q").desc, col("doc_id")))
+        .agg(count(lit(1L)).as("n_kept"),
+             sum(col("doc_id")).cast("long").as("kept_id_sum"),
+             sum(length(col("text"))).cast("long").as("kept_chars"))
+    }),
+
     // MinHash + LSH banding near-dup pairs (the 100 TB path: shuffle only
     // on band hashes, verify only colliding pairs), made oracle-VISIBLE:
     // the engine computes both the LSH pair set and the exact AllPairs
@@ -1092,6 +1109,45 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_exact,
         | (SELECT CAST(count(*) AS BIGINT) FROM fin) AS n_final,
         | (SELECT CAST(sum(length(text)) AS BIGINT) FROM fin) AS final_chars""".stripMargin,
+
+    // Recursive transitive closure over the same exact pair graph, then
+    // one row per component by (quality desc, id); singletons pass
+    // through. Quality mirrors TextFunctions.qualityScore.
+    "pipeline_curate_best" ->
+      """WITH RECURSIVE scored AS (SELECT doc_id, text,
+        |  round(0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text))
+        |   + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text))
+        |   + 0.3 * (CASE WHEN list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |       / greatest(len(string_split_regex(trim(text), '\s+')), 1) BETWEEN 3.0 AND 12.0
+        |     THEN 1.0 ELSE 0.0 END), 6) AS q
+        | FROM documents WHERE doc_id < 1000),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM scored),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
+        | WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |   51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |best AS (SELECT s.doc_id, s.text FROM (
+        |  SELECT s.*, row_number() OVER (PARTITION BY comp.component
+        |    ORDER BY s.q DESC, s.doc_id) AS rk
+        |  FROM scored s JOIN comp ON s.doc_id = comp.id) s WHERE s.rk = 1),
+        |kept AS (SELECT doc_id, text FROM scored
+        |  WHERE doc_id NOT IN (SELECT id FROM comp)
+        |  UNION ALL SELECT doc_id, text FROM best)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+        | CAST(sum(length(text)) AS BIGINT) AS kept_chars FROM kept""".stripMargin,
 
     "pipeline_curate" ->
       """WITH scored AS (SELECT doc_id, text,
