@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => JpegDims(exprs.head))
     inject("wav_info", "wav_info(blob) - array(rate, channels, bits) from a RIFF fmt chunk",
       exprs => WavInfo(exprs.head))
+    inject("png_gray_fixture", "png_gray_fixture(id, w, h) - deterministic grayscale PNG fixture",
+      exprs => PngGrayFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("png_pixel_stats", "png_pixel_stats(blob) - array(w, h, n, sum, min, max) of decoded samples",
+      exprs => PngPixelStats(exprs.head))
   }
 }

@@ -23,7 +23,8 @@ class ExtensionsSpec extends SparkSuite {
         | sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS inter,
         | size(minhash_sig(array('x', 'y'), 8)) AS sig_n,
         | size(char_shingle_hashes('abcdef', 3)) AS grams,
-        | size(cosine_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 2, 7L)) AS tables
+        | size(cosine_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 2, 7L)) AS tables,
+        | element_at(png_pixel_stats(png_gray_fixture(7L, 4, 2)), 4) AS px_sum
         |""".stripMargin).head()
     assert(r.getString(0) == "en")
     assert(r.getDouble(1) == 0.96)
@@ -32,5 +33,8 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getInt(5) == 8)
     assert(r.getInt(6) == 4)   // abc bcd cde def
     assert(r.getInt(7) == 2)   // one bucket id per table
+    // pixels (7*31 + i*7) % 256 for i in 0..7, summed after a REAL
+    // encode→decode round trip through the injected SQL functions
+    assert(r.getLong(8) == 1420L)
   }
 }
