@@ -510,6 +510,27 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Repeated-substring SPAN removal (Lee et al. 2022 semantics): a
+    // 50-char sentence planted on every 6th doc must be cut from every
+    // occurrence EXCEPT the canonical first (min doc id keeps its text).
+    // 30-char windows anchor the detection; the oracle rebuilds the same
+    // marking/merge/cut from string windows.
+    "text_span_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog again")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.SpanDedup.dropRepeatedSpans(planted, "doc_id", "text", L = 30)
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(col("n_spans")).cast("long").as("n_spans"),
+             sum(col("chars_removed")).cast("long").as("chars_removed"),
+             sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
     // docs (a planted banner on every 4th doc) scored per document. The
     // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
@@ -1257,6 +1278,50 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk,
         | CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same plant, same 30-char window marking (keep = min doc id per
+    // window, df over distinct docs), same cumulative-max span merge,
+    // same between-spans + tail reassembly. The engine anchors on
+    // xxhash64 of the identical windows — 64-bit collisions are the only
+    // possible divergence (negligible).
+    "text_span_dedup" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 6 = 0
+        |   THEN text || ' the quick brown fox jumps over the lazy dog again'
+        |   ELSE text END AS text
+        | FROM documents),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |   substr(text, CAST(u.i AS INT) + 1, 30) AS gram
+        | FROM d, unnest(range(0, greatest(length(text) - 30, 0) + 1)) AS u(i)),
+        |own AS (SELECT gram, min(doc_id) AS keep, count(DISTINCT doc_id) AS df
+        | FROM g GROUP BY gram),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+        | WHERE own.df >= 2 AND g.doc_id != own.keep),
+        |w AS (SELECT doc_id, pos, max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+        |sb AS (SELECT doc_id, pos,
+        |   CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM w),
+        |sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 30 AS e FROM (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM sb) GROUP BY 1, 2),
+        |segs AS (
+        | SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+        |        s AS ke FROM sp
+        | UNION ALL
+        | SELECT doc_id, max(e) AS ks, NULL AS ke FROM sp GROUP BY doc_id),
+        |cln AS (SELECT segs.doc_id,
+        |   string_agg(substr(d.text, ks + 1, coalesce(ke, length(d.text)) - ks),
+        |     '' ORDER BY ks) AS clean
+        | FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
+        |spn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id),
+        |res AS (SELECT d.doc_id, d.source, length(d.text) AS raw_len,
+        |   coalesce(c.clean, d.text) AS clean, coalesce(spn.n_spans, 0) AS n_spans
+        | FROM d LEFT JOIN cln c USING (doc_id) LEFT JOIN spn USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        | CAST(sum(raw_len - length(clean)) AS BIGINT) AS chars_removed,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        |FROM res GROUP BY source ORDER BY source""".stripMargin,
 
     // Same banner plant, same width-8 token-line structure as
     // TextFunctions.tokenLines (trailing partial line included, empty

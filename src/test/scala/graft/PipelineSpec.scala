@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSuite {
   import spark.implicits._
 
+  test("span dedup cuts repeated substrings everywhere but the first document") {
+    import graft.functions.SpanDedup
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars >= L
+    val docs = Seq(
+      (1L, s"alpha prefix one $shared"),
+      (2L, s"totally different beta text $shared with a tail"),
+      (3L, "nothing repeated in this document at all ok"),
+      (4L, shared)). // the whole doc is the shared passage
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropRepeatedSpans(docs, "doc_id", "text", L = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // doc 1 is canonical for the shared windows: untouched
+    assert(out(1L) == (s"alpha prefix one $shared", 0, 0))
+    // doc 3 shares nothing: untouched
+    assert(out(3L) == ("nothing repeated in this document at all ok", 0, 0))
+    // docs 2 and 4 lose exactly the repeated span; their unique text
+    // stays. Doc 2's span includes the LEADING SPACE — " <shared>" is
+    // itself a repeated substring of docs 1 and 2, so the cut is
+    // maximal-repeat, not just the planted constant
+    val (clean2, spans2, removed2) = out(2L)
+    assert(spans2 == 1 && removed2 == shared.length + 1)
+    assert(clean2 == "totally different beta text with a tail")
+    val (clean4, spans4, removed4) = out(4L)
+    assert(spans4 == 1 && removed4 == shared.length && clean4 == "")
+  }
+
   test("token counts: whitespace and regex pre-tokenization") {
     val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
       .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))
