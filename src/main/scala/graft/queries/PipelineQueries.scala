@@ -144,6 +144,31 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // CCNet-style perplexity bucketing: documents split into head /
+    // middle / tail thirds by unigram-LM score (head = most fluent),
+    // the standard quality partition before mixing. Thresholds are the
+    // exact tertiles of the 6dp-rounded scores (one tiny driver-side
+    // job folded in as literals — the same protocol as
+    // pipeline_quantile; rounding first makes the threshold compare
+    // engine-exact). The 100 TB route swaps in approx_percentile.
+    "pipeline_ppl_buckets" -> ((s, dir) => {
+      val scores = TF.unigramLmScores(t(s, dir, "documents"), "doc_id", "text", topV = 500)
+        .withColumn("lm_r", round(col("lm_logprob"), 6))
+      val thr = scores.agg(
+        expr("percentile(lm_r, 1.0/3.0)").as("t1"),
+        expr("percentile(lm_r, 2.0/3.0)").as("t2")).head()
+      val (t1, t2) = (thr.getDouble(0), thr.getDouble(1))
+      scores.withColumn("bucket",
+          when(col("lm_r") >= t2, "head")
+            .when(col("lm_r") >= t1, "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(count(lit(1L)).as("n_docs"),
+             round(avg(col("lm_r")), 6).as("avg_lm"),
+             sum(col("n_toks")).cast("long").as("n_toks"))
+        .orderBy("bucket")
+    }),
+
     // TF-IDF keyword extraction: top-3 characteristic terms per document
     // (corpus-wide idf), emitted for the doc_id<20 audit slice with a
     // deterministic 6-dp score + term tie-break. The tf⋈df join is a
@@ -1053,6 +1078,29 @@ object PipelineQueries {
         | CAST(sum(s.n_toks) AS BIGINT) AS n_toks
         |FROM scored s JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Same per-doc LM construction as text_lm, scores rounded to 6dp
+    // BEFORE the tertile thresholds (quantile_cont is the same R-7
+    // interpolation as Spark's percentile over identical inputs).
+    "pipeline_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 500),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM counts),
+        |scored AS (SELECT t.doc_id,
+        |   round(avg(ln(coalesce(v.c, 1))) - ln((SELECT n_total FROM tot)), 6) AS lm_r,
+        |   CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id),
+        |thr AS (SELECT quantile_cont(lm_r, 1.0/3.0) AS t1,
+        |        quantile_cont(lm_r, 2.0/3.0) AS t2 FROM scored)
+        |SELECT CASE WHEN lm_r >= t2 THEN 'head'
+        |            WHEN lm_r >= t1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(lm_r), 6) AS avg_lm,
+        | CAST(sum(n_toks) AS BIGINT) AS n_toks
+        |FROM scored, thr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total,
