@@ -276,6 +276,35 @@ object TextFunctions {
     regexp_replace(regexp_replace(regexp_replace(c,
       EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
 
+  /** Gopher document-filter rules (Rae et al. 2021, appendix A1.1) as a
+    * per-row verdict struct — the published word-level subset: word
+    * count in [minWords, maxWords], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipsis) below 0.1, at least 80% of
+    * words containing an alphabetic character, and at least 2 stopword
+    * hits. The line-based rules (bullet/ellipsis line starts) need
+    * natural newlines and are omitted for this corpus. Pure in-scan
+    * Column algebra; conjunction in `pass`. */
+  def gopherFlags(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val toks = tokensWs(c)
+    val n = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+      .cast("double") / greatest(n, lit(1)).cast("double")
+    val symbols = regexp_count(c, lit("#|\\.\\.\\.")) // '#' or ascii ellipsis
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopList = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stopList, lower(t))))
+    val wordsOk = n >= minWords && n <= maxWords
+    val lenOk = meanLen >= 3.0 && meanLen <= 10.0
+    val symOk = symbols.cast("double") < n.cast("double") * 0.1
+    val alphaOk = alphaWords.cast("double") >= n.cast("double") * 0.8
+    val stopOk = stopHits >= 2
+    struct(
+      wordsOk.as("words_ok"), lenOk.as("mean_len_ok"), symOk.as("symbol_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stopword_ok"),
+      (wordsOk && lenOk && symOk && alphaOk && stopOk).as("pass"))
+  }
+
   /** CCNet-style cross-corpus LINE dedup (Wenzek et al. 2020 §4.1 —
     * dropping lines that recur across many documents removes headers,
     * navigation, legal banners): every line occurring in at least

@@ -144,6 +144,27 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Gopher filter rules over the corpus: per-source pass counts and
+    // per-rule failure tallies (the published word-level subset). A
+    // planted degenerate doc per 25 (text replaced by '#' runs) must
+    // fail the symbol/alpha/stopword rules — the filter has to catch it.
+    "text_gopher" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 25 === 0,
+          concat_ws(" ", array_repeat(lit("###"), 60)))
+          .otherwise(col("text")).as("text"))
+      aug.select(col("source"), TF.gopherFlags(col("text"), minWords = 20).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+             sum(when(col("g.pass"), 1L).otherwise(0L)).cast("long").as("n_pass"),
+             sum(when(!col("g.words_ok"), 1L).otherwise(0L)).cast("long").as("f_words"),
+             sum(when(!col("g.mean_len_ok"), 1L).otherwise(0L)).cast("long").as("f_len"),
+             sum(when(!col("g.symbol_ok"), 1L).otherwise(0L)).cast("long").as("f_symbol"),
+             sum(when(!col("g.alpha_ok"), 1L).otherwise(0L)).cast("long").as("f_alpha"),
+             sum(when(!col("g.stopword_ok"), 1L).otherwise(0L)).cast("long").as("f_stop"))
+        .orderBy("source")
+    }),
+
     // CCNet-style perplexity bucketing: documents split into head /
     // middle / tail thirds by unigram-LM score (head = most fluent),
     // the standard quality partition before mixing. Thresholds are the
@@ -1078,6 +1099,42 @@ object PipelineQueries {
         | CAST(sum(s.n_toks) AS BIGINT) AS n_toks
         |FROM scored s JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Same plant, same five word-level rules: token count bounds, mean
+    // word length in [3,10], '#'/ellipsis symbol ratio < 0.1, >= 80%
+    // alphabetic words, >= 2 stopword hits.
+    "text_gopher" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 25 = 0
+        |   THEN array_to_string(list_transform(range(0, 60), i -> '###'), ' ')
+        |   ELSE text END AS text
+        | FROM documents),
+        |m AS (SELECT source,
+        |  len(string_split_regex(trim(text), '\s+')) AS n,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) * 1.0
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_len,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> list_contains(['the','be','to','of','and','that','have','with'], lower(t)))) AS stop_hits
+        | FROM d),
+        |f AS (SELECT source,
+        |  (n >= 20 AND n <= 100000) AS words_ok,
+        |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_len_ok,
+        |  (symbols * 1.0 < n * 0.1) AS symbol_ok,
+        |  (alpha_words * 1.0 >= n * 0.8) AS alpha_ok,
+        |  (stop_hits >= 2) AS stopword_ok
+        | FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN words_ok AND mean_len_ok AND symbol_ok AND alpha_ok AND stopword_ok
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        | CAST(sum(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_words,
+        | CAST(sum(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        | CAST(sum(CASE WHEN NOT symbol_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+        | CAST(sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+        | CAST(sum(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_stop
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Same per-doc LM construction as text_lm, scores rounded to 6dp
     // BEFORE the tertile thresholds (quantile_cont is the same R-7
