@@ -186,6 +186,37 @@ object CheckQueries {
         MinNumRows(1, "rowcount"),
         NullCheck("c_name", None, "null_name"),
         ColumnMaxCheck("c_nationkey", Bound.Num(24), "max_nk")))),
+
+    // Corrupt-record accounting — malformed rows are a fact of life in
+    // any 100 TB ingest, and a validator must COUNT them, not crash or
+    // silently drop them. The fixture is a JSONL file with every 10th
+    // line truncated mid-string (built through Spark, no driver-side
+    // row handling); the PERMISSIVE reader routes each bad line into
+    // the corrupt-record column, and the oracle predicts the exact
+    // good/bad split from the corruption rule.
+    "chk_badrecords" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val stage = s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/badrecords_jsonl"
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .select(when(col("doc_id") % 10 === 0,
+            col("j").substr(lit(1), greatest(length(col("j")) - 5, lit(1))))
+          .otherwise(col("j")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(stage)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(stage)
+        .agg(count(lit(1L)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, length(col("text"))))
+            .cast("long").as("good_chars"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +383,15 @@ object CheckQueries {
         | count(*) < 1 AS rowcount_failed,
         | max(c_nationkey) != 24.0 AS max_nk_failed
         |FROM customer""".stripMargin,
+
+    // The corruption RULE predicts the split: every 10th line truncated
+    // mid-string can never parse, the rest parse exactly.
+    "chk_badrecords" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 200) AS n_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id < 200 AND doc_id % 10 = 0) AS n_corrupt,
+        | (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents
+        |   WHERE doc_id < 200 AND doc_id % 10 != 0) AS good_chars""".stripMargin,
   )
 }
