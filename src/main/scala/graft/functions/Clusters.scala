@@ -75,9 +75,13 @@ object Clusters {
       edges.groupBy(col("src").as("id"))
         .agg(min("dst").as("nmin"))
         .select(col("id"), least(col("id"), col("nmin")).as("lbl")))
-    var rounds = 0
+    // maxIter keeps its original meaning — a bound on propagate+compress
+    // ROUNDS — converted to batches here (two rounds per batch), so a
+    // caller-supplied bound is never silently doubled
+    val maxBatches = (maxIter + 1) / 2
+    var batches = 0
     var converged = false
-    while (!converged && rounds < maxIter) {
+    while (!converged && batches < maxBatches) {
       // TWO doubling rounds per materialization: the dominant per-round
       // cost at the low end is the FIXED job overhead of the checkpoint +
       // convergence aggregate (scheduling, block registration), not the
@@ -94,13 +98,13 @@ object Clusters {
       converged = java.util.Objects.equals(s, prevSum)
       prevSum = s
       labels = next
-      rounds += 1
+      batches += 1
     }
     edges.unpersist(blocking = false)
-    if (!converged && rounds >= maxIter)
+    if (!converged && batches >= maxBatches)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter batches " +
-          s"(${2 * maxIter} propagate+compress rounds) — with pointer " +
+        s"connectedComponents did not converge in $maxBatches batches " +
+          s"(~$maxIter propagate+compress rounds) — with pointer " +
           "doubling this indicates a component of astronomically large " +
           "diameter or corrupt input")
     labels.select(col("id"), col("lbl").as("component"))

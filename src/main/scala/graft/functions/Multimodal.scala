@@ -107,8 +107,14 @@ object Multimodal {
     PngCodec.decode8(bytes) match {
       case Some((w, ht, _, px)) => ("png", w, ht, fnv(px))
       case None =>
+        // unsupported-profile PNG fallback: only trust the fixed-offset
+        // dims if the first chunk really is a sane IHDR — a blob bearing
+        // just the 8-byte signature must land in "unknown", not report
+        // garbage (possibly negative) geometry as a png
         if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
-            bytes(2) == 'N' && bytes(3) == 'G')
+            bytes(2) == 'N' && bytes(3) == 'G' &&
+            bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R' &&
+            be32(16) > 0 && be32(20) > 0)
           ("png", be32(16), be32(20), fnv(bytes)) // unsupported PNG profile: headers only
         else JpegDims.parse(bytes) match {
           case Some((w, ht)) => ("jpeg", w, ht, fnv(bytes))

@@ -98,7 +98,7 @@ object PngCodec {
   /** Decode a PNG: chunk walk → concatenated IDAT → Inflater → filter
     * reversal. Returns (width, height, channels, samples) or None for
     * anything outside the supported profile (or corrupt). */
-  def decode8(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+  def decode8(b: Array[Byte], maxSamples: Long = 1L << 26): Option[(Int, Int, Int, Array[Byte])] = {
     if (b.length < 8 + 25 || !Signature.indices.forall(i => b(i) == Signature(i))) return None
     def be32(o: Int): Int =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
@@ -128,8 +128,21 @@ object PngCodec {
           channels = channelsOf(b(o + 17) & 0xff)
           val interlace = b(o + 20) & 0xff
           if (bitDepth != 8 || channels < 0 || interlace != 0) return None
-          if (width <= 0 || height <= 0 || width.toLong * height * channels > (1 << 28)) return None
-        case "IDAT" => idat.write(b, o + 8, len)
+          // decompression-bomb guard: the declared geometry bounds every
+          // allocation below (raw + px ≈ 2×samples). 2^26 samples ≈ 64 MB
+          // per buffer by default — a crafted ~100-byte header cannot
+          // trigger multi-hundred-MB allocations on a scanning executor.
+          if (width <= 0 || height <= 0 || width.toLong * height * channels > maxSamples) return None
+        case "IDAT" =>
+          // IDAT before IHDR is invalid framing, and accumulated
+          // compressed bytes are bounded by what the declared geometry
+          // could legitimately decompress to: raw filtered size plus the
+          // deflate stored-block worst case (~5 bytes / 64 KiB) and the
+          // 6-byte zlib envelope. Anything past that is a bomb or junk.
+          if (width < 0) return None
+          val rawCap = (width.toLong * channels + 1L) * height
+          if (idat.size().toLong + len > rawCap + rawCap / 1000L + 1024L) return None
+          idat.write(b, o + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped
       }

@@ -163,15 +163,16 @@ object RelationalQueries {
       // the file-stream source monitors a DIRECTORY (that is its contract
       // — files arrive over time); the testdata table is a single file,
       // so stage it once into the build-output fixture area
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val stage = new java.io.File(
-        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/events_stream")
+        s"/root/repo/target/fixtures/$dirKey/events_stream")
       val staged = new java.io.File(stage, "events.parquet")
-      if (!staged.exists()) {
-        stage.mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      // copy unconditionally: a stale staged copy after an in-place
+      // fixture regen would silently diverge from the DuckDB oracle
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // same raw-nanos schema + ns→µs conversion as the batch loader
       // (Sources.table): the parquet ts column is INT64 nanoseconds
       val raw = s.read.parquet(s"$dir/events.parquet").schema
@@ -184,13 +185,18 @@ object RelationalQueries {
         .agg(count(lit(1L)).as("n"), round(sum("value"), 4).as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
+      // per-dir sink name: active stream names must be session-unique,
+      // and a lingering view from a prior (possibly failed) run for a
+      // different dir must not be read back as this run's result
+      val sink = s"q_stream_parity_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
       val q = counted.writeStream.format("memory")
-        .queryName("q_stream_parity_mem")
+        .queryName(sink)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      s.table("q_stream_parity_mem").orderBy("w_start", "event_type")
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).orderBy("w_start", "event_type")
     }),
 
     // Session windows (30 min gap) → sessions/events per user.
