@@ -177,6 +177,50 @@ object DataPrep {
     row.getDouble(0)
   }
 
+  /** The 1-row aggregation computing ALL of `splits`' quantiles in ONE
+    * job — exposed so plan tests can assert which percentile expression
+    * the chosen path ships. Default `approx_percentile` (mergeable
+    * sketch: map-side partials, bounded memory — the ONLY shape that
+    * survives 100 TB); `exact = true` buffers every value in the
+    * aggregation buffer and exists solely for small-scale oracle audits. */
+  def quantileThresholdsDF(df: DataFrame, score: Column, splits: Seq[Double],
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile splits must be in [0,1], got $splits")
+    val pcts = array(splits.map(lit): _*)
+    val agg = if (exact) percentile(score, pcts)
+      else percentile_approx(score, pcts, lit(accuracy))
+    // approx_percentile preserves the input type (e.g. array<bigint> for
+    // a bigint score) — normalize so callers always read doubles
+    df.agg(agg.cast("array<double>").as("thresholds"))
+  }
+
+  /** Assign each row a named quantile bucket of `score` — the CCNet-style
+    * head/middle/tail quality partition generalized to any split vector.
+    * `names` has one more entry than `splits`, in ASCENDING score order
+    * (names(0) = below the first split … names.last = at/above the last).
+    * Thresholds come from [[quantileThresholdsDF]] (one tiny job, approx
+    * by default — `exact` is the oracle-audit path only) and are folded
+    * into the returned plan as LITERALS: bucket assignment is per-row
+    * math inside the scan — no join, no second shuffle, nothing that
+    * won't hold at corpus scale. */
+  def bucketByQuantiles(df: DataFrame, score: Column, splits: Seq[Double],
+      names: Seq[String], bucketCol: String = "bucket",
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(names.length == splits.length + 1,
+      s"need ${splits.length + 1} bucket names for ${splits.length} splits, got ${names.length}")
+    require(splits == splits.sorted, s"splits must be ascending, got $splits")
+    val row = quantileThresholdsDF(df, score, splits, exact, accuracy).head
+    require(!row.isNullAt(0),
+      "bucketByQuantiles: input has no non-null score values (empty input?)")
+    val ts = row.getSeq[Double](0)
+    val ordered = ts.zip(names.init).foldRight(lit(names.last): Column) {
+      case ((t, name), rest) => when(score < lit(t), name).otherwise(rest)
+    }
+    // a null score must not silently land in the top bucket
+    df.withColumn(bucketCol, when(score.isNull, lit(null)).otherwise(ordered))
+  }
+
   /** Keep rows whose `score` is at or above (`keepUpper`, default) / at
     * or below the corpus `q`-quantile — quality-percentile filtering
     * ("drop the bottom quartile by LM score"). The threshold is derived

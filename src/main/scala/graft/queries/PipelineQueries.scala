@@ -167,22 +167,19 @@ object PipelineQueries {
 
     // CCNet-style perplexity bucketing: documents split into head /
     // middle / tail thirds by unigram-LM score (head = most fluent),
-    // the standard quality partition before mixing. Thresholds are the
-    // exact tertiles of the 6dp-rounded scores (one tiny driver-side
-    // job folded in as literals — the same protocol as
-    // pipeline_quantile; rounding first makes the threshold compare
-    // engine-exact). The 100 TB route swaps in approx_percentile.
+    // the standard quality partition before mixing, via the engine API
+    // DataPrep.bucketByQuantiles. The API's DEFAULT path is
+    // approx_percentile (mergeable sketch — the 100 TB route,
+    // plan-asserted in PlanSpec); `exact = true` here is the
+    // oracle-audit override so the tertiles of the 6dp-rounded scores
+    // match DuckDB's quantile_cont bit-for-bit (rounding first makes
+    // the threshold compare engine-exact).
     "pipeline_ppl_buckets" -> ((s, dir) => {
       val scores = TF.unigramLmScores(t(s, dir, "documents"), "doc_id", "text", topV = 500)
         .withColumn("lm_r", round(col("lm_logprob"), 6))
-      val thr = scores.agg(
-        expr("percentile(lm_r, 1.0/3.0)").as("t1"),
-        expr("percentile(lm_r, 2.0/3.0)").as("t2")).head()
-      val (t1, t2) = (thr.getDouble(0), thr.getDouble(1))
-      scores.withColumn("bucket",
-          when(col("lm_r") >= t2, "head")
-            .when(col("lm_r") >= t1, "middle")
-            .otherwise("tail"))
+      graft.ops.DataPrep.bucketByQuantiles(scores, col("lm_r"),
+          splits = Seq(1.0 / 3.0, 2.0 / 3.0),
+          names = Seq("tail", "middle", "head"), exact = true)
         .groupBy("bucket")
         .agg(count(lit(1L)).as("n_docs"),
              round(avg(col("lm_r")), 6).as("avg_lm"),

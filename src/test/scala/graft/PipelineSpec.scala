@@ -454,4 +454,30 @@ class PipelineSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 11L, 12L), "banner docs dropped; clean + short kept")
   }
+
+  test("bucketByQuantiles: tertile assignment, approx/exact agreement, null safety") {
+    import spark.implicits._
+    // 90 well-separated values (1..30, 101..130, 201..230): the tertile
+    // thresholds land in the wide gaps, so approx and exact MUST agree
+    val vals = ((1 to 30) ++ (101 to 130) ++ (201 to 230)).map(_.toDouble)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("v")
+    def buckets(exact: Boolean) = graft.ops.DataPrep.bucketByQuantiles(
+        df, col("v"), Seq(1.0 / 3.0, 2.0 / 3.0), Seq("tail", "middle", "head"),
+        exact = exact)
+      .groupBy("bucket").count()
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    val exact = buckets(exact = true)
+    assert(exact == Map("tail" -> 30L, "middle" -> 30L, "head" -> 30L, "NULL" -> 1L),
+      s"exact tertiles: $exact")
+    // the approx threshold is a MEMBER value (not interpolated), so with
+    // strict < one boundary row may shift a bucket — counts land within ±1
+    val approx = buckets(exact = false)
+    assert(approx("NULL") == 1L && approx.values.sum == 91L, s"approx tertiles: $approx")
+    Seq("tail", "middle", "head").foreach { b =>
+      assert(math.abs(approx(b) - 30L) <= 1L, s"approx bucket $b off by >1: $approx")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.DataPrep.bucketByQuantiles(df, col("v"), Seq(0.5), Seq("only"))
+    }
+  }
 }

@@ -234,6 +234,29 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"only the summary agg may shuffle:\n$p")
   }
 
+  test("bucketByQuantiles threshold job ships approx_percentile by DEFAULT (exact is audit-only)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // the default (corpus-scale) path must aggregate with the mergeable
+    // approx_percentile sketch — exact percentile buffers every value in
+    // the agg buffer, an OOM at 100 TB, and may only appear when a caller
+    // explicitly opts into the oracle-audit path
+    val approx = plan(graft.ops.DataPrep.quantileThresholdsDF(
+      docs, col("n_chars"), Seq(1.0 / 3.0, 2.0 / 3.0)))
+    assert(approx.contains("percentile_approx"), s"default must be approx_percentile:\n$approx")
+    assert(approx.contains("partial_percentile_approx"),
+      s"approx sketch must partial-aggregate map-side:\n$approx")
+    val exact = plan(graft.ops.DataPrep.quantileThresholdsDF(
+      docs, col("n_chars"), Seq(1.0 / 3.0, 2.0 / 3.0), exact = true))
+    assert(exact.contains("percentile") && !exact.contains("percentile_approx"),
+      s"exact=true must ship the exact percentile:\n$exact")
+    // the bucketed plan itself folds the thresholds as literals: per-row
+    // math inside the scan, no join against a threshold row
+    val bucketed = plan(graft.ops.DataPrep.bucketByQuantiles(
+      docs, col("n_chars"), Seq(1.0 / 3.0, 2.0 / 3.0), Seq("tail", "middle", "head")))
+    assert(!bucketed.contains("Join"), s"bucket assignment must fold thresholds to literals:\n$bucketed")
+  }
+
   test("dedup_incremental anti-joins the corpus hash set without shuffling it twice") {
     val p = plan(q("dedup_incremental"))
     assert(p.contains("LeftAnti"), s"expected a LEFT ANTI join:\n$p")
