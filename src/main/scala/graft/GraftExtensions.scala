@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("png_pixel_stats", "png_pixel_stats(blob) - array(w, h, n, sum, min, max) of decoded samples",
       exprs => PngPixelStats(exprs.head))
+    inject("wav_pcm_fixture", "wav_pcm_fixture(id) - deterministic mono 16-bit PCM WAV fixture",
+      exprs => WavPcmFixture(exprs.head))
+    inject("wav_pcm_stats", "wav_pcm_stats(blob) - array(rate, ch, bits, n, sum, min, max, sumsq) of decoded PCM samples",
+      exprs => WavPcmStats(exprs.head))
   }
 }

@@ -171,4 +171,11 @@ object GraftFunctions {
 
   /** PNG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
   def pngPixelStats(c: Column): Column = GraftColumn(PngPixelStats(GraftColumn.expr(c)))
+
+  /** id → real mono 16-bit PCM WAV with the arithmetic sample rule (fixture). */
+  def wavPcmFixture(id: Column): Column = GraftColumn(WavPcmFixture(GraftColumn.expr(id)))
+
+  /** WAV blob → array(rate, ch, bits, n, sum, min, max, sumsq) of DECODED
+    * PCM samples. */
+  def wavPcmStats(c: Column): Column = GraftColumn(WavPcmStats(GraftColumn.expr(c)))
 }

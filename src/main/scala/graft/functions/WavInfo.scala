@@ -80,4 +80,136 @@ object WavInfo {
     }
     None
   }
+
+  /** REAL sample decode: (rate, channels, bits, samples) from a PCM
+    * RIFF/WAVE — fmt chunk for the parameters, `data` chunk for the
+    * payload. PCM needs no entropy codec: 16-bit samples are signed
+    * little-endian words, 8-bit samples are unsigned bytes (per the
+    * spec, stored excess-128) — returned centered to signed so both
+    * widths share an amplitude convention. None when not RIFF/WAVE, not
+    * integer PCM (format code 1), unsupported width, missing chunks, or
+    * a data chunk whose declared size overruns the blob (corruption —
+    * refuse rather than decode another chunk's bytes as audio). */
+  def parsePcm(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var pcmFmt = false
+    var data: Option[(Int, Int)] = None // payload offset, byte length
+    while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(b, o + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      if (tag(b, o, "fmt ")) {
+        if (size < 16 || o + 8 + 16 > b.length) return None
+        pcmFmt = le16(b, o + 8) == 1 // integer PCM; anything else is coded audio
+        val channels = le16(b, o + 10)
+        val rate = le32(b, o + 12)
+        val bits = le16(b, o + 22)
+        if (channels == 0 || rate <= 0 || rate > Int.MaxValue || bits == 0) return None
+        fmt = Some((rate.toInt, channels, bits))
+      } else if (tag(b, o, "data")) {
+        if (o.toLong + 8L + size > b.length) return None
+        data = Some((o + 8, size.toInt))
+      }
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    (fmt, data) match {
+      case (Some((rate, ch, bits)), Some((off, len))) if pcmFmt && bits == 16 =>
+        val n = len / 2
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) { s(i) = (le16(b, off + 2 * i) << 16) >> 16; i += 1 }
+        Some((rate, ch, bits, s))
+      case (Some((rate, ch, bits)), Some((off, len))) if pcmFmt && bits == 8 =>
+        val s = new Array[Int](len)
+        var i = 0
+        while (i < len) { s(i) = (b(off + i) & 0xff) - 128; i += 1 }
+        Some((rate, ch, bits, s))
+      case _ => None
+    }
+  }
+}
+
+/** id → real PCM WAV fixture: a genuine RIFF/WAVE byte stream (JUNK
+  * chunk before `fmt ` so fixed-offset readers fail, mono 16-bit
+  * 8000 Hz) whose sample i is ((id·31 + i·7) mod 4096) − 2048 over
+  * 160 + (id mod 8)·16 samples — an arithmetic rule an external oracle
+  * evaluates without touching the container, same protocol as
+  * [[PngGrayFixture]]. */
+case class WavPcmFixture(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_pcm_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_pcm_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val n = 160 + (((id % 8) + 8) % 8).toInt * 16
+    val dataLen = n * 2
+    // RIFF size = WAVE(4) + JUNK(8+4) + fmt(8+16) + data(8+dataLen)
+    val riffSize = 4 + 12 + 24 + 8 + dataLen
+    val out = new Array[Byte](8 + riffSize)
+    def put(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s(i).toByte; i += 1 } }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    put(0, "RIFF"); le32(4, riffSize); put(8, "WAVE")
+    put(12, "JUNK"); le32(16, 4) // 4 zero bytes already there
+    put(24, "fmt "); le32(28, 16)
+    le16(32, 1); le16(34, 1); le32(36, 8000); le32(40, 16000); le16(44, 2); le16(46, 16)
+    put(48, "data"); le32(52, dataLen)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 31 + i.toLong * 7) % 4096 + 4096) % 4096).toInt - 2048
+      le16(56 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmFixture =
+    copy(child = newChild)
+}
+
+/** WAV blob → array(rate, channels, bits, n_samples, s_sum, s_min,
+  * s_max, s_sumsq) computed from the DECODED PCM samples ([[WavInfo
+  * .parsePcm]]) — integer moments, so an external oracle recomputes
+  * them exactly and RMS/mean derive downstream without float drift.
+  * NULL for non-PCM / corrupt / empty-data input. */
+case class WavPcmStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_pcm_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_pcm_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((rate, ch, bits, s)) if s.nonEmpty =>
+        var sum = 0L; var sumsq = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          sum += v; sumsq += v * v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        new GenericArrayData(Array(rate.toLong, ch.toLong, bits.toLong,
+          s.length.toLong, sum, mn, mx, sumsq))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
 }

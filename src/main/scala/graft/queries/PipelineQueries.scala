@@ -712,15 +712,27 @@ object PipelineQueries {
       GraftFunctions.register(s)
       val st = GraftFunctions.pngPixelStats(
         GraftFunctions.pngGrayFixture(col("doc_id"), 16, 8))
+      // audio path: a REAL RIFF/WAVE (JUNK chunk before fmt) whose PCM
+      // samples follow an arithmetic rule — wav_pcm_stats must walk the
+      // container and decode the 16-bit data payload to match the
+      // oracle's rule-evaluated amplitude moments
+      val wst = GraftFunctions.wavPcmStats(
+        GraftFunctions.wavPcmFixture(col("doc_id")))
       t(s, dir, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"), st.as("st"), wst.as("wst"))
         .select(col("doc_id"),
           element_at(col("st"), 1).as("width"),
           element_at(col("st"), 2).as("height"),
           element_at(col("st"), 3).as("n_px"),
           element_at(col("st"), 4).as("px_sum"),
           element_at(col("st"), 5).as("px_min"),
-          element_at(col("st"), 6).as("px_max"))
+          element_at(col("st"), 6).as("px_max"),
+          element_at(col("wst"), 1).as("wav_rate"),
+          element_at(col("wst"), 4).as("wav_n"),
+          element_at(col("wst"), 5).as("wav_sum"),
+          element_at(col("wst"), 6).as("wav_min"),
+          element_at(col("wst"), 7).as("wav_max"),
+          element_at(col("wst"), 8).as("wav_sumsq"))
         .orderBy("doc_id")
     }),
 
@@ -1715,11 +1727,17 @@ object PipelineQueries {
     // the engine must reproduce these numbers from a real decode.
     "mm_decode" ->
       """WITH px AS (SELECT doc_id,
-        |  list_transform(range(0, 128), i -> (doc_id*31 + i*7) % 256) AS p
+        |  list_transform(range(0, 128), i -> (doc_id*31 + i*7) % 256) AS p,
+        |  list_transform(range(0, 160 + (doc_id % 8) * 16),
+        |                 i -> ((doc_id*31 + i*7) % 4096) - 2048) AS w
         | FROM documents WHERE doc_id < 50)
         |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(128 AS BIGINT) AS n_px, CAST(list_sum(p) AS BIGINT) AS px_sum,
-        | CAST(list_min(p) AS BIGINT) AS px_min, CAST(list_max(p) AS BIGINT) AS px_max
+        | CAST(list_min(p) AS BIGINT) AS px_min, CAST(list_max(p) AS BIGINT) AS px_max,
+        | CAST(8000 AS BIGINT) AS wav_rate,
+        | CAST(len(w) AS BIGINT) AS wav_n, CAST(list_sum(w) AS BIGINT) AS wav_sum,
+        | CAST(list_min(w) AS BIGINT) AS wav_min, CAST(list_max(w) AS BIGINT) AS wav_max,
+        | CAST(list_sum(list_transform(w, v -> v*v)) AS BIGINT) AS wav_sumsq
         |FROM px ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

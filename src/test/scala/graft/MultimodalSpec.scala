@@ -244,4 +244,47 @@ class MultimodalSpec extends SparkSuite {
     px.foreach { b => expect ^= (b & 0xffL); expect *= 0x100000001b3L }
     assert(d.pixelsHash == expect, "pixelsHash is not the decoded-sample hash")
   }
+
+  test("WAV PCM fixture round-trips through parsePcm; stats match the sample rule") {
+    import graft.functions.{WavInfo, WavPcmFixture, WavPcmStats}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = 13L
+    val wav = WavPcmFixture(Literal(id)).nullSafeEval(id).asInstanceOf[Array[Byte]]
+    // the fixture leads with a JUNK chunk — the geometry walker must
+    // still find fmt (guards against fixed-offset parsing regressions)
+    assert(WavInfo.parse(wav).contains((8000, 1, 16)))
+    val Some((rate, ch, bits, s)) = WavInfo.parsePcm(wav)
+    assert((rate, ch, bits) == (8000, 1, 16))
+    val n = 160 + (id % 8).toInt * 16
+    assert(s.length == n)
+    val rule = (0 until n).map(i => (((id * 31 + i * 7) % 4096).toInt) - 2048)
+    assert(s.toSeq == rule, "decoded samples must follow the arithmetic rule")
+    val stats = WavPcmStats(Literal(wav)).nullSafeEval(wav)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].toLongArray()
+    assert(stats.toSeq == Seq[Long](8000, 1, 16, n, rule.map(_.toLong).sum,
+      rule.min, rule.max, rule.map(v => v.toLong * v).sum))
+  }
+
+  test("parsePcm rejects non-PCM, truncated-data and unsupported-width blobs") {
+    import graft.functions.{WavInfo, WavPcmFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val wav = WavPcmFixture(Literal(1L)).nullSafeEval(1L).asInstanceOf[Array[Byte]]
+    // data chunk declares more bytes than the blob carries → corrupt
+    assert(WavInfo.parsePcm(wav.dropRight(10)).isEmpty, "overrunning data chunk accepted")
+    // format code 2 (ADPCM): coded audio, not raw samples — must refuse
+    val adpcm = wav.clone(); adpcm(32) = 2
+    assert(WavInfo.parsePcm(adpcm).isEmpty, "non-PCM format decoded as PCM")
+    assert(WavInfo.parse(adpcm).isDefined, "geometry walk still reads the fmt header")
+    // 24-bit declared width: outside the supported profile
+    val w24 = wav.clone(); w24(46) = 24
+    assert(WavInfo.parsePcm(w24).isEmpty, "unsupported sample width accepted")
+    // 8-bit path: excess-128 bytes decode centered
+    val mono8 = Array[Byte]('R', 'I', 'F', 'F', 30, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0, 1, 0, 0x40, 0x1F, 0, 0, 0x40, 0x1F, 0, 0, 1, 0, 8, 0,
+      'd', 'a', 't', 'a', 3, 0, 0, 0, 0x80.toByte, 0x00, 0xFF.toByte, 0x00)
+    val Some((r8, c8, b8, s8)) = WavInfo.parsePcm(mono8)
+    assert((r8, c8, b8) == (8000, 1, 8) && s8.toSeq == Seq(0, -128, 127))
+    assert(WavInfo.parsePcm("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks → no decode")
+  }
 }
