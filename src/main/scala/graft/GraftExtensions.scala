@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("png_pixel_stats", "png_pixel_stats(blob) - array(w, h, n, sum, min, max) of decoded samples",
       exprs => PngPixelStats(exprs.head))
+    inject("jpeg_gray_fixture", "jpeg_gray_fixture(id, wb, hb) - deterministic constant-block baseline JPEG fixture",
+      exprs => JpegGrayFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("jpeg_pixel_stats", "jpeg_pixel_stats(blob) - array(w, h, n, sum, min, max) of decoded samples",
+      exprs => JpegPixelStats(exprs.head))
     inject("wav_pcm_fixture", "wav_pcm_fixture(id) - deterministic mono 16-bit PCM WAV fixture",
       exprs => WavPcmFixture(exprs.head))
     inject("wav_pcm_stats", "wav_pcm_stats(blob) - array(rate, ch, bits, n, sum, min, max, sumsq) of decoded PCM samples",

@@ -87,13 +87,14 @@ object Multimodal {
   final case class DecodedMedia(
       id: Long, format: String, width: Int, height: Int, pixelsHash: Long)
 
-  /** Default decoder. PNG is a REAL decode ([[PngCodec.decode8]]: zlib
-    * inflate + filter reversal, pure JVM) — pixelsHash is the FNV-1a of
-    * the decoded samples, so two encodings of the same image agree and a
-    * filter-reversal bug changes the hash. JPEG/other formats remain
-    * header-walk geometry + content-hash STUBS (no entropy decoder
-    * offline); a production deployment swaps in a codec (e.g.
-    * TwelveMonkeys ImageIO) without touching the pipeline shape. */
+  /** Default decoder. PNG and baseline JPEG are REAL decodes
+    * ([[PngCodec.decode8]]: zlib inflate + filter reversal;
+    * [[JpegCodec.decode]]: Huffman + dequant + IDCT — both pure JVM) —
+    * pixelsHash is the FNV-1a of the decoded samples, so two encodings
+    * of the same image agree and an entropy/transform bug changes the
+    * hash. Out-of-profile JPEGs (progressive, subsampled) fall back to
+    * header-walk geometry + content hash; a production deployment may
+    * swap in a full codec without touching the pipeline shape. */
   def stubDecode(bytes: Array[Byte]): (String, Int, Int, Long) = {
     def fnv(b: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -116,12 +117,17 @@ object Multimodal {
             bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R' &&
             be32(16) > 0 && be32(20) > 0)
           ("png", be32(16), be32(20), fnv(bytes)) // unsupported PNG profile: headers only
-        else JpegDims.parse(bytes) match {
-          case Some((w, ht)) => ("jpeg", w, ht, fnv(bytes))
-          case None =>
-            val h = fnv(bytes)
-            ("unknown", 1 + (math.abs(h) % 4096).toInt,
-              1 + (math.abs(h >> 12) % 4096).toInt, h)
+        else JpegCodec.decode(bytes) match {
+          // real decode: hash of DECODED samples
+          case Some((w, ht, _, px)) => ("jpeg", w, ht, fnv(px))
+          case None => JpegDims.parse(bytes) match {
+            // out-of-profile JPEG (progressive/subsampled): headers only
+            case Some((w, ht)) => ("jpeg", w, ht, fnv(bytes))
+            case None =>
+              val h = fnv(bytes)
+              ("unknown", 1 + (math.abs(h) % 4096).toInt,
+                1 + (math.abs(h >> 12) % 4096).toInt, h)
+          }
         }
     }
   }

@@ -172,6 +172,13 @@ object GraftFunctions {
   /** PNG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
   def pngPixelStats(c: Column): Column = GraftColumn(PngPixelStats(GraftColumn.expr(c)))
 
+  /** id → real baseline JPEG with the arithmetic constant-block rule (fixture). */
+  def jpegGrayFixture(id: Column, wBlocks: Int, hBlocks: Int): Column =
+    GraftColumn(JpegGrayFixture(GraftColumn.expr(id), wBlocks, hBlocks))
+
+  /** JPEG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
+  def jpegPixelStats(c: Column): Column = GraftColumn(JpegPixelStats(GraftColumn.expr(c)))
+
   /** id → real mono 16-bit PCM WAV with the arithmetic sample rule (fixture). */
   def wavPcmFixture(id: Column): Column = GraftColumn(WavPcmFixture(GraftColumn.expr(id)))
 

@@ -718,8 +718,15 @@ object PipelineQueries {
       // oracle's rule-evaluated amplitude moments
       val wst = GraftFunctions.wavPcmStats(
         GraftFunctions.wavPcmFixture(col("doc_id")))
+      // jpeg path: a REAL Huffman-coded baseline JPEG whose 8×8 blocks
+      // are constants under an arithmetic rule — constant blocks carry
+      // only an exactly-representable DC coefficient, so the full
+      // entropy-decode + dequant + IDCT pipeline must reproduce the
+      // rule bit-for-bit for the stats to hash-match the oracle
+      val jst = GraftFunctions.jpegPixelStats(
+        GraftFunctions.jpegGrayFixture(col("doc_id"), 3, 2))
       t(s, dir, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"), st.as("st"), wst.as("wst"))
+        .select(col("doc_id"), st.as("st"), wst.as("wst"), jst.as("jst"))
         .select(col("doc_id"),
           element_at(col("st"), 1).as("width"),
           element_at(col("st"), 2).as("height"),
@@ -732,7 +739,13 @@ object PipelineQueries {
           element_at(col("wst"), 5).as("wav_sum"),
           element_at(col("wst"), 6).as("wav_min"),
           element_at(col("wst"), 7).as("wav_max"),
-          element_at(col("wst"), 8).as("wav_sumsq"))
+          element_at(col("wst"), 8).as("wav_sumsq"),
+          element_at(col("jst"), 1).as("jpg_w"),
+          element_at(col("jst"), 2).as("jpg_h"),
+          element_at(col("jst"), 3).as("jpg_n"),
+          element_at(col("jst"), 4).as("jpg_sum"),
+          element_at(col("jst"), 5).as("jpg_min"),
+          element_at(col("jst"), 6).as("jpg_max"))
         .orderBy("doc_id")
     }),
 
@@ -1729,7 +1742,8 @@ object PipelineQueries {
       """WITH px AS (SELECT doc_id,
         |  list_transform(range(0, 128), i -> (doc_id*31 + i*7) % 256) AS p,
         |  list_transform(range(0, 160 + (doc_id % 8) * 16),
-        |                 i -> ((doc_id*31 + i*7) % 4096) - 2048) AS w
+        |                 i -> ((doc_id*31 + i*7) % 4096) - 2048) AS w,
+        |  list_transform(range(0, 6), k -> (doc_id*31 + k*7) % 256) AS j
         | FROM documents WHERE doc_id < 50)
         |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         | CAST(128 AS BIGINT) AS n_px, CAST(list_sum(p) AS BIGINT) AS px_sum,
@@ -1737,7 +1751,10 @@ object PipelineQueries {
         | CAST(8000 AS BIGINT) AS wav_rate,
         | CAST(len(w) AS BIGINT) AS wav_n, CAST(list_sum(w) AS BIGINT) AS wav_sum,
         | CAST(list_min(w) AS BIGINT) AS wav_min, CAST(list_max(w) AS BIGINT) AS wav_max,
-        | CAST(list_sum(list_transform(w, v -> v*v)) AS BIGINT) AS wav_sumsq
+        | CAST(list_sum(list_transform(w, v -> v*v)) AS BIGINT) AS wav_sumsq,
+        | CAST(24 AS BIGINT) AS jpg_w, CAST(16 AS BIGINT) AS jpg_h,
+        | CAST(384 AS BIGINT) AS jpg_n, CAST(64 * list_sum(j) AS BIGINT) AS jpg_sum,
+        | CAST(list_min(j) AS BIGINT) AS jpg_min, CAST(list_max(j) AS BIGINT) AS jpg_max
         |FROM px ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -245,6 +245,95 @@ class MultimodalSpec extends SparkSuite {
     assert(d.pixelsHash == expect, "pixelsHash is not the decoded-sample hash")
   }
 
+  test("JPEG constant-block fixture decodes bit-exactly to the arithmetic rule") {
+    import graft.functions.{JpegCodec, JpegGrayFixture, JpegPixelStats}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = 42L
+    val jpg = JpegGrayFixture(Literal(id), 3, 2).nullSafeEval(id).asInstanceOf[Array[Byte]]
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "SOI framing")
+    val Some((w, h, nc, px)) = JpegCodec.decode(jpg)
+    assert((w, h, nc) == (24, 16, 1))
+    val vals = Array.tabulate(6)(k => ((id * 31 + k * 7) % 256).toInt)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val k = (y / 8) * 3 + (x / 8)
+      assert((px(y * 24 + x) & 0xff) == vals(k),
+        s"pixel ($x,$y) expected block value ${vals(k)}, got ${px(y * 24 + x) & 0xff}")
+    }
+    val stats = JpegPixelStats(Literal(jpg)).nullSafeEval(jpg)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].toLongArray()
+    assert(stats.toSeq == Seq[Long](24, 16, 384, 64L * vals.map(_.toLong).sum,
+      vals.min, vals.max))
+  }
+
+  test("JPEG AC coefficients round-trip the entropy path; IDCT matches a reference") {
+    import graft.functions.JpegCodec
+    // blocks exercising the AC machinery: long zero runs (ZRL), negative
+    // values, high-frequency coefficients, saturating DC steps
+    val rnd = new scala.util.Random(11)
+    val blocks = Array.tabulate(4) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = rnd.between(-120, 120)
+      b match {
+        case 0 => blk(1) = 5; blk(8) = -3 // low-frequency ACs
+        case 1 => blk(63) = 7 // forces a ZRL chain to the last position
+        case 2 => (1 until 64).foreach(i => blk(i) = rnd.between(-9, 10)) // dense
+        case 3 => // DC-only
+      }
+      blk
+    }
+    val q = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val jpg = JpegCodec.encodeGrayCoefficients(2, 2, q, blocks)
+    val Some((w, h, nc, px)) = JpegCodec.decode(jpg)
+    assert((w, h, nc) == (16, 16, 1))
+    // reference: independent direct (non-separable) IDCT over the known
+    // dequantized coefficients — if the decoder's Huffman/RLE/zigzag/
+    // dequant recovered different coefficients, pixels diverge
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (b <- 0 until 4) {
+      val coef = Array.tabulate(64)(i => blocks(b)(i).toDouble * q(i))
+      val bx = b % 2; val by = b / 2
+      for (r <- 0 until 8; cc <- 0 until 8) {
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          acc += c(u) * c(v) * coef(v * 8 + u) *
+            math.cos((2 * cc + 1) * u * math.Pi / 16) *
+            math.cos((2 * r + 1) * v * math.Pi / 16)
+        val expect = math.max(0, math.min(255, math.round(acc / 4.0 + 128.0))).toInt
+        val got = px((by * 8 + r) * 16 + bx * 8 + cc) & 0xff
+        assert(got == expect, s"block $b pixel ($cc,$r): expected $expect got $got")
+      }
+    }
+  }
+
+  test("JPEG decode rejects out-of-profile and corrupt streams as None") {
+    import graft.functions.JpegCodec
+    val good = JpegCodec.encodeGrayBlocks(2, 1, Array(10, 200))
+    assert(JpegCodec.decode(good).isDefined)
+    // progressive SOF2: real format, outside the baseline profile
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2; while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)) i += 1; i
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty, "progressive must be refused, not misdecoded")
+    // truncated entropy segment
+    assert(JpegCodec.decode(good.dropRight(8)).isEmpty, "truncated scan accepted")
+    // zero quant entry = division garbage downstream: reject at DQT
+    val zq = good.clone()
+    val dqtAt = {
+      var i = 2; while (!((zq(i) & 0xff) == 0xff && (zq(i + 1) & 0xff) == 0xdb)) i += 1; i
+    }
+    zq(dqtAt + 5) = 0
+    assert(JpegCodec.decode(zq).isEmpty, "zero quantizer accepted")
+    assert(JpegCodec.decode("not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty, "SOI alone")
+    // a 100-byte header declaring a huge image must not allocate planes
+    val bomb = good.clone()
+    bomb(sofAt + 5) = 0x7f; bomb(sofAt + 6) = 0xff.toByte // height 32767
+    bomb(sofAt + 7) = 0x7f; bomb(sofAt + 8) = 0xff.toByte // width 32767
+    assert(JpegCodec.decode(bomb).isEmpty, "decompression-bomb geometry accepted")
+  }
+
   test("WAV PCM fixture round-trips through parsePcm; stats match the sample rule") {
     import graft.functions.{WavInfo, WavPcmFixture, WavPcmStats}
     import org.apache.spark.sql.catalyst.expressions.Literal
