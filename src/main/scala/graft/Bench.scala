@@ -78,35 +78,95 @@ object Bench {
           import org.apache.spark.sql.functions.{col, lit}
           val docs = graft.sources.Sources.table(s2, sfDir, "documents")
             .select("doc_id", "text")
-          // min-of-2: this box's run-to-run variance exceeds 3× (measured:
-          // identical code+data gave 21.6s and 66.7s back to back), so a
-          // single sample can fire the regression gate on pure noise. The
-          // minimum is the stable estimator of intrinsic cost.
-          def run(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
-            def once(): (Double, Long) = {
-              val t0 = System.nanoTime()
-              val n = graft.functions.Dedup.minhashNearDupPairs(df, "doc_id", "text").count()
-              ((System.nanoTime() - t0) / 1e9, n)
-            }
-            val (ta, na) = once(); val (tb, nb) = once()
-            require(na == nb, s"nondeterministic pair count: $na vs $nb")
-            (math.min(ta, tb), na)
-          }
-          val (t1, p1) = run(docs)
           val big = (0 until 10).map(i => docs.select(
             (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))).reduce(_ union _)
-          val (t10, p10) = run(big)
+          def once(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = graft.functions.Dedup.minhashNearDupPairs(df, "doc_id", "text").count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          // warm-up: one untimed pass over BOTH corpus sizes absorbs
+          // codegen/JIT/classloading and first-touch shuffle setup, so
+          // the timed samples measure the operator, not JVM cold start
+          // (the r5 gate straddled its threshold partly on this)
+          once(docs); once(big)
+          // min-of-3 with the 1× and 10× samples INTERLEAVED: session
+          // drift (GC residue, cache pressure) accumulates over the
+          // block, and running all 10× samples last systematically
+          // inflates the numerator of the ratio gate. Alternating pairs
+          // expose both sizes to the same environment. Min-of-3 because
+          // this box's run-to-run variance exceeds 3× (measured:
+          // identical code+data gave 21.6s and 66.7s back to back) — a
+          // single sample can fire the regression gate on pure noise;
+          // the minimum is the stable estimator of intrinsic cost.
+          val pairsSamples = (0 until 3).map { _ =>
+            System.gc()
+            val a = once(docs)
+            System.gc()
+            val b = once(big)
+            (a, b)
+          }
+          require(pairsSamples.map(_._1._2).distinct.size == 1 &&
+            pairsSamples.map(_._2._2).distinct.size == 1,
+            s"nondeterministic pair counts: $pairsSamples")
+          val t1 = pairsSamples.map(_._1._1).min
+          val t10 = pairsSamples.map(_._2._1).min
+          val p1 = pairsSamples.head._1._2
+          val p10 = pairsSamples.head._2._2
           // cluster resolution over the 10× pair graph: each replica group
           // is a dense K₁₀-plus component — CC must converge in few rounds
           // on a graph ~1000× the 1× pair count
           val bigPairs = graft.functions.Dedup.minhashNearDupPairs(big, "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val tc0 = System.nanoTime()
-          val nNodes = graft.functions.Clusters
-            .connectedComponents(bigPairs, "id_a", "id_b").count()
+          val (cc10, b10) = graft.functions.Clusters
+            .connectedComponentsStats(bigPairs, "id_a", "id_b")
+          val nNodes = cc10.count()
           val tcc = (System.nanoTime() - tc0) / 1e9
+          // 100× pair-graph stress (~2.5M edges): replicate the
+          // MATERIALIZED 10× pair list with disjoint id offsets — the
+          // candidate-generation cost is already measured above; this
+          // isolates the pair→cluster step at another order of magnitude
+          // and logs the doubling-round count to prove O(log d) held
+          val pairs100 = (0 until 10).map(j => bigPairs.select(
+            (col("id_a") + lit(j * 1000000000L)).as("id_a"),
+            (col("id_b") + lit(j * 1000000000L)).as("id_b"))).reduce(_ union _)
+          val tcx0 = System.nanoTime()
+          val (cc100, b100) = graft.functions.Clusters
+            .connectedComponentsStats(pairs100, "id_a", "id_b")
+          val nNodes100 = cc100.count()
+          val tcc100 = (System.nanoTime() - tcx0) / 1e9
+          bigPairs.unpersist(blocking = false)
+          // span-dedup anchor stride: same corpus, stride 1 (every
+          // position shuffles an ownership pair) vs 4 (winnowed anchors,
+          // ~2/(k+1) density) — the documented shuffle-volume cut
+          def spanRun(stride: Int): (Double, Long) = {
+            def once(): (Double, Long) = {
+              val t0 = System.nanoTime()
+              val r = graft.functions.SpanDedup
+                .dropRepeatedSpans(docs, "doc_id", "text", L = 30, stride = stride)
+                .agg(org.apache.spark.sql.functions.sum(col("n_spans"))).head.getLong(0)
+              ((System.nanoTime() - t0) / 1e9, r)
+            }
+            val (ta, na) = once(); val (tb, nb) = once()
+            require(na == nb, s"nondeterministic span count at stride=$stride: $na vs $nb")
+            (math.min(ta, tb), na)
+          }
+          val (ts1, n1) = spanRun(1)
+          val (ts4, n4) = spanRun(4)
+          // the quantity stride actually cuts: rows entering the
+          // ownership distinct+groupBy shuffle
+          val rows1 = graft.functions.SpanDedup
+            .anchorGrams(docs, "doc_id", "text", 30, 1).count()
+          val rows4 = graft.functions.SpanDedup
+            .anchorGrams(docs, "doc_id", "text", 30, 4).count()
           f""","scale":{"dedup_minhash_sec":$t1%.3f,"dedup_minhash_10x_sec":$t10%.3f,""" +
             f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
-            f""""cluster_10x_sec":$tcc%.3f,"cluster_10x_nodes":$nNodes}"""
+            f""""cluster_10x_sec":$tcc%.3f,"cluster_10x_nodes":$nNodes,"cluster_10x_rounds":${2 * b10},""" +
+            f""""cluster_100x_sec":$tcc100%.3f,"cluster_100x_nodes":$nNodes100,"cluster_100x_rounds":${2 * b100},""" +
+            f""""span_stride1_sec":$ts1%.3f,"span_stride4_sec":$ts4%.3f,""" +
+            f""""span_stride1_spans":$n1,"span_stride4_spans":$n4,""" +
+            f""""span_stride1_shuffle_rows":$rows1,"span_stride4_shuffle_rows":$rows4}"""
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead
@@ -121,14 +181,18 @@ object Bench {
     val total = timings.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson,"sf":"$sfDir"}"""
-    println(line)
-    // Also write the JSON to a file: the driver parses stdout mixed with
-    // sbt/log4j noise and has lost the line's tail before (BENCH_r04 had
-    // parsed:null). The file is the durable copy.
+    // The file is the durable copy: the driver has lost the stdout line's
+    // tail to log interleaving before (BENCH_r04/r05 had parsed:null).
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // The machine-readable line is the LAST thing on stdout: everything
+    // Spark/sbt logs goes to stderr, and printing after the file write +
+    // session teardown means no later output can truncate or interleave
+    // it in the driver's captured log.
+    System.out.println(line)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WavPcmFixture(exprs.head))
     inject("wav_pcm_stats", "wav_pcm_stats(blob) - array(rate, ch, bits, n, sum, min, max, sumsq) of decoded PCM samples",
       exprs => WavPcmStats(exprs.head))
+    inject("winnowed_anchors", "winnowed_anchors(hashes, stride) - array(struct(pos, g)) of winnowed sliding-window minima",
+      exprs => WinnowedAnchorsExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

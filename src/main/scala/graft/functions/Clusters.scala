@@ -31,11 +31,10 @@ object Clusters {
 
   /** (id, component) for every node appearing in `pairs`; `component` is
     * the MINIMUM id reachable through the pair graph — the conventional
-    * canonical keep-id. Throws if `maxIter` BATCHES (two propagate+
-    * compress rounds each) do not converge — the doubling bound makes
-    * that a data-scale red flag, not a tuning knob: the default 25
-    * batches = 50 doubling rounds cover components of diameter far
-    * beyond 2^40.
+    * canonical keep-id. Throws if ~`maxIter` propagate+compress ROUNDS
+    * (run as two-round batches) do not converge — the doubling bound
+    * makes that a data-scale red flag, not a tuning knob: the default
+    * 25 rounds cover components of diameter far beyond 2^20.
     *
     * Round cost: one checkpointed job over the fused propagate+compress
     * plan (the intra-round intermediate is persisted so its self-join
@@ -46,7 +45,14 @@ object Clusters {
     * converged. The first propagate round is fused into initialization
     * (lbl₀ = min(id, min neighbor)), saving a full round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of materialized BATCHES the
+    * loop ran (two doubling rounds each) — the scale bench logs it to
+    * prove logarithmic-round convergence on stress graphs. */
+  def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // no distinct(): every pair operator emits unique (a<b) pairs, and a
     // duplicate edge is harmless to min-propagation anyway — deduping
@@ -107,7 +113,7 @@ object Clusters {
           s"(~$maxIter propagate+compress rounds) — with pointer " +
           "doubling this indicates a component of astronomically large " +
           "diameter or corrupt input")
-    labels.select(col("id"), col("lbl").as("component"))
+    (labels.select(col("id"), col("lbl").as("component")), batches)
   }
 
   /** One propagation round's plan, exposed for plan-shape assertions:

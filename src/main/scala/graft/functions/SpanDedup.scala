@@ -1,8 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Repeated-SUBSTRING removal — the span-level dedup of Lee et al. 2022
   * ("Deduplicating Training Data Makes Language Models Better"): text
@@ -39,14 +45,74 @@ object SpanDedup {
     transform(sequence(lit(0), greatest(length(text) - L, lit(0))),
       i => xxhash64(text.substr(i + lit(1), lit(L))))
 
+  /** Winnowed anchor positions (0-based) over the hash array `h`: for
+    * every run of `stride` consecutive positions, the LEFTMOST-minimum
+    * hash position is selected (Schleimer et al., SIGMOD 2003). The
+    * selection depends only on the hash values — i.e. on CONTENT — so
+    * two occurrences of a repeated substring anchor the same relative
+    * positions even when their absolute offsets differ mod `stride`.
+    * (A fixed every-k-th-position stride would NOT have this property:
+    * occurrences misaligned mod k would anchor different windows and
+    * the repeat would be invisible to the equi-join.) Guarantee: any
+    * window of `stride` consecutive positions contains an anchor, so
+    * any repeat of length >= L + stride - 1 carries at least one
+    * common anchor in all its occurrences.
+    *
+    * Returns array<struct<pos, g>> — anchor position and its window
+    * hash. `h` MUST be a bound lambda variable (see the call site):
+    * passing the hash-array EXPRESSION here would inline it into every
+    * transform element, and interpreted higher-order functions get no
+    * common-subexpression elimination — the full O(n) array would be
+    * recomputed for each of the n window starts, turning the in-scan
+    * pass O(n²·hash). Measured: that mistake hung the sf0.1 bench. */
+  private[graft] def winnowedAnchorsColumn(h: Column, stride: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(h) - stride, lit(0))),
+      s => {
+        val win = slice(h, s + 1, lit(stride))
+        val p = s + array_position(win, array_min(win)).cast("int") - 1
+        struct(p.as("pos"), element_at(h, p + 1).as("g"))
+      }))
+
+  /** The (doc, position, window-hash) rows entering the ownership pass —
+    * exactly what the distinct+groupBy shuffles, exposed so the bench
+    * can measure the stride volume cut directly. stride 1 anchors every
+    * position; stride > 1 selects winnowed anchors via the native
+    * one-pass deque expression ([[WinnowedAnchorsExpr]] — the Column
+    * formulation kept below is the executable spec, not the shipping
+    * path). */
+  private[graft] def anchorGrams(docs: DataFrame, idCol: String, textCol: String,
+      L: Int, stride: Int): DataFrame =
+    if (stride == 1)
+      docs.select(col(idCol), posexplode(posWindowHashes(col(textCol), L)))
+        .toDF(idCol, "__pos", "__g")
+    else
+      docs.select(col(idCol),
+          explode(org.apache.spark.sql.GraftColumn(WinnowedAnchorsExpr(
+            org.apache.spark.sql.GraftColumn.expr(posWindowHashes(col(textCol), L)),
+            stride))).as("__a"))
+        .select(col(idCol), col("__a.pos").as("__pos"), col("__a.g").as("__g"))
+
   /** (idCol, clean, n_spans, chars_removed) for EVERY input document.
     * `clean` is the text with all non-canonical repeated spans cut;
-    * untouched documents pass through with n_spans = 0. */
+    * untouched documents pass through with n_spans = 0.
+    *
+    * `stride` trades ownership-shuffle volume for anchor resolution:
+    * stride 1 anchors every position (one distinct (doc, hash) pair per
+    * character — ~L× corpus bytes through the shuffle); stride k keeps
+    * only winnowed anchors (expected density 2/(k+1)), cutting shuffle
+    * volume ~k/2× while still detecting EVERY repeat of length
+    * >= L + k - 1 deterministically. The approximation is confined to
+    * span edges: up to k - 1 characters at each boundary of a repeated
+    * passage may survive the cut (the interior is always covered,
+    * since consecutive anchors inside a repeat are < k apart and each
+    * covers L >= k positions). */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      L: Int = 30): DataFrame = {
+      L: Int = 30, stride: Int = 1): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
-    val pg = docs.select(col(idCol), posexplode(posWindowHashes(col(textCol), L)))
-      .toDF(idCol, "__pos", "__g")
+    require(stride >= 1 && stride <= L,
+      s"stride must be in [1, L]: anchors $stride apart must overlap L-char windows, got $stride")
+    val pg = anchorGrams(docs, idCol, textCol, L, stride)
     // ownership: min doc id per window + how many distinct docs carry it
     val own = pg.select(col(idCol), col("__g")).distinct()
       .groupBy("__g")
@@ -89,4 +155,67 @@ object SpanDedup {
         coalesce(size(col("__spans")), lit(0)).as("n_spans"),
         (length(t) - length(col("clean"))).as("chars_removed"))
   }
+}
+
+/** Native winnowed-anchor selection: hash array → array<struct<pos int,
+  * g bigint>> of the leftmost-minimum position of every `stride`-length
+  * sliding window, deduplicated (Schleimer et al. 2003 — the same
+  * selection [[SpanDedup]] defines in Column algebra).
+  *
+  * A native expression with a measured justification, per this repo's
+  * convention: the Column formulation is interpreted per window start
+  * (slice + array_min + array_position allocate and rescan per
+  * position — O(n·k) allocating lambda evals; 18.6s for the sf0.1
+  * corpus at stride 4 vs 6.7s for the stride-1 path it was meant to
+  * beat). This is the classic O(n) monotonic-deque sliding minimum:
+  * one pass, zero allocation per element. The Column version remains
+  * the executable spec; PropertySpec asserts they agree. */
+case class WinnowedAnchorsExpr(child: Expression, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("g", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnowed_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnowed_anchors requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData].toLongArray()
+    val n = h.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    def emit(p: Int): Unit = out += InternalRow(p, h(p))
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n < stride) {
+      // single short window: leftmost argmin of the whole array
+      var best = 0
+      var i = 1
+      while (i < n) { if (h(i) < h(best)) best = i; i += 1 }
+      emit(best)
+    } else {
+      // monotonic deque of indices; strict pops keep the LEFTMOST of
+      // equal minima, matching array_position's first-match semantics
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      var last = -1
+      var i = 0
+      while (i < n) {
+        while (tail > head && h(dq(tail - 1)) > h(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - stride) head += 1
+        if (i >= stride - 1 && dq(head) != last) { last = dq(head); emit(last) }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedAnchorsExpr =
+    copy(child = newChild)
 }

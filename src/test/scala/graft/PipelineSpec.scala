@@ -34,6 +34,41 @@ class PipelineSpec extends SparkSuite {
     assert(spans4 == 1 && removed4 == shared.length && clean4 == "")
   }
 
+  test("span dedup stride: winnowed anchors find misaligned repeats, edges within stride-1") {
+    import graft.functions.SpanDedup
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJ" // 46 chars
+    val stride = 4
+    // offsets 17 and 20 differ mod 4 — a fixed every-k-th-position
+    // anchor would see disjoint window sets and MISS this repeat;
+    // content-defined winnowing must catch it (46 >= L + stride - 1 = 23)
+    val docs = Seq(
+      (1L, s"alpha prefix one ${shared}"),
+      (2L, s"beta other intro ppp${shared}qqq tail"),
+      (3L, "nothing repeated here at all in this one")).toDF("doc_id", "text")
+    val out = SpanDedup.dropRepeatedSpans(docs, "doc_id", "text", L = 20, stride = stride)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L)._2 == 0, "canonical doc untouched")
+    assert(out(3L)._2 == 0, "clean doc untouched")
+    val (clean2, spans2, removed2) = out(2L)
+    assert(spans2 >= 1, "misaligned repeat must be detected")
+    // the cut covers the repeat interior; each edge may keep < stride chars
+    assert(removed2 >= shared.length - 2 * (stride - 1) && removed2 <= shared.length + 1,
+      s"removed $removed2 outside the winnowing edge-tolerance band")
+    assert(!clean2.contains(shared.substring(stride - 1, shared.length - stride + 1)),
+      "repeat interior must be gone")
+    assert(clean2.startsWith("beta other intro ppp".dropRight(0).take(20)) ||
+      clean2.contains("beta other intro"), "unique prefix survives")
+    assert(clean2.contains("tail"), "unique suffix survives")
+    // stride=1 on the same input is the exact-cover baseline
+    val exact = SpanDedup.dropRepeatedSpans(docs, "doc_id", "text", L = 20, stride = 1)
+      .where(col("doc_id") === 2L).head()
+    assert(exact.getInt(3) == shared.length, "stride=1 cuts the full repeat")
+    intercept[IllegalArgumentException] {
+      SpanDedup.dropRepeatedSpans(docs, "doc_id", "text", L = 20, stride = 21)
+    }
+  }
+
   test("token counts: whitespace and regex pre-tokenization") {
     val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
       .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))

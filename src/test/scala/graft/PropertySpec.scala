@@ -62,4 +62,28 @@ object PropertySpec extends Properties("graft") {
       val distinct = xs.distinct.map(org.apache.spark.unsafe.types.UTF8String.fromString)
       Prop(distinct.map(graft.functions.SimHash64.hash64).distinct.size == distinct.size)
     }
+
+  property("winnowed anchors: native deque selection matches the per-window argmin spec") =
+    forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.choose(1, 8)) { (hs, stride) =>
+      // small hash range forces ties, exercising the leftmost tie-break
+      val h = hs.toArray
+      // reference: leftmost argmin of every stride-window, deduplicated
+      // in first-occurrence order — the Column formulation's semantics
+      val expect =
+        if (h.isEmpty) Seq.empty[Int]
+        else (0 to math.max(h.length - stride, 0)).map { s =>
+          val win = h.slice(s, math.min(s + stride, h.length))
+          s + win.indexOf(win.min)
+        }.distinct
+      val got = graft.functions.WinnowedAnchorsExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(h),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+          stride)
+        .nullSafeEval(new org.apache.spark.sql.catalyst.util.GenericArrayData(h))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      Prop(got.map(_.getInt(0)) == expect &&
+        got.forall(r => r.getLong(1) == h(r.getInt(0))))
+    }
 }
