@@ -467,30 +467,65 @@ object JpegCodec {
     * row-major block order over a wBlocks×hBlocks grid) as a grayscale
     * baseline JPEG with quant table `qtab` (natural order). The real
     * entropy path: zigzag, DC difference coding, AC run-length with
-    * EOB/ZRL, canonical Huffman, byte stuffing. */
+    * EOB/ZRL, canonical Huffman, byte stuffing; `restartInterval > 0`
+    * adds DRI + RSTn markers with predictor resets every that many
+    * MCUs, exercising the decoder's restart resync. */
   def encodeGrayCoefficients(wBlocks: Int, hBlocks: Int, qtab: Array[Int],
-      blocks: Array[Array[Int]]): Array[Byte] = {
-    require(qtab.length == 64 && qtab.forall(q => q >= 1 && q <= 255), "8-bit quant table")
+      blocks: Array[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
     require(blocks.length == wBlocks * hBlocks, "one coefficient block per grid cell")
+    encodeBaseline(wBlocks, hBlocks, Seq(qtab), Seq(blocks), restartInterval)
+  }
+
+  /** Three-component 4:4:4 variant: Y uses quant/Huffman table 0,
+    * Cb/Cr share table 1 (the conventional layout) — exercising the
+    * decoder's multi-table DQT/DHT and interleaved-MCU paths. Blocks
+    * are quantized coefficients per component. */
+  def encodeColor444Coefficients(wBlocks: Int, hBlocks: Int,
+      qtabLuma: Array[Int], qtabChroma: Array[Int],
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(y.length == wBlocks * hBlocks && cb.length == y.length && cr.length == y.length,
+      "one coefficient block per grid cell per component")
+    encodeBaseline(wBlocks, hBlocks, Seq(qtabLuma, qtabChroma), Seq(y, cb, cr),
+      restartInterval)
+  }
+
+  private def encodeBaseline(wBlocks: Int, hBlocks: Int, qtabs: Seq[Array[Int]],
+      comps: Seq[Array[Array[Int]]], restartInterval: Int): Array[Byte] = {
+    qtabs.foreach(q =>
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255), "8-bit quant table"))
+    val nComp = comps.length
+    // component c uses qtab/huff table 0 for luma, 1 for chroma
+    def tabOf(c: Int): Int = if (c == 0) 0 else 1
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     marker(0xd8) // SOI
-    marker(0xdb); u16(2 + 1 + 64); out.write(0x00) // DQT, 8-bit, table 0
-    var i = 0
-    while (i < 64) { out.write(qtab(Zigzag(i))); i += 1 } // stored in zigzag order
-    marker(0xc4); u16(2 + 1 + 16 + StdDcVals.length); out.write(0x00) // DHT DC 0
-    StdDcBits.foreach(out.write); out.write(StdDcVals, 0, StdDcVals.length)
-    marker(0xc4); u16(2 + 1 + 16 + StdAcVals.length); out.write(0x10) // DHT AC 0
-    StdAcBits.foreach(out.write); out.write(StdAcVals, 0, StdAcVals.length)
-    marker(0xc0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component, 1×1
-    out.write(8); u16(hBlocks * 8); u16(wBlocks * 8); out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
-    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
-    out.write(1); out.write(1); out.write(0x00)
+    qtabs.zipWithIndex.foreach { case (q, ti) =>
+      marker(0xdb); u16(2 + 1 + 64); out.write(ti) // DQT, 8-bit
+      var i = 0
+      while (i < 64) { out.write(q(Zigzag(i))); i += 1 } // stored in zigzag order
+    }
+    (0 until qtabs.length).foreach { ti =>
+      marker(0xc4); u16(2 + 1 + 16 + StdDcVals.length); out.write(ti) // DHT DC
+      StdDcBits.foreach(out.write); out.write(StdDcVals, 0, StdDcVals.length)
+      marker(0xc4); u16(2 + 1 + 16 + StdAcVals.length); out.write(0x10 | ti) // DHT AC
+      StdAcBits.foreach(out.write); out.write(StdAcVals, 0, StdAcVals.length)
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) } // DRI
+    marker(0xc0); u16(2 + 6 + 3 * nComp) // SOF0: 8-bit, 1×1 sampling
+    out.write(8); u16(hBlocks * 8); u16(wBlocks * 8); out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1); out.write(0x11); out.write(tabOf(c))
+    }
+    marker(0xda); u16(2 + 1 + 2 * nComp + 3) // SOS
+    out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1); out.write((tabOf(c) << 4) | tabOf(c))
+    }
     out.write(0); out.write(63); out.write(0)
-    val dcH = new Huff(StdDcBits, StdDcVals).encodeMap
-    val acH = new Huff(StdAcBits, StdAcVals).encodeMap
+    val dcH = (0 until qtabs.length).map(_ => new Huff(StdDcBits, StdDcVals).encodeMap)
+    val acH = (0 until qtabs.length).map(_ => new Huff(StdAcBits, StdAcVals).encodeMap)
     val w = new BitWriter(out)
     def emit(sym: Int, tab: Map[Int, (Int, Int)]): Unit = {
       val (code, len) = tab(sym)
@@ -498,29 +533,45 @@ object JpegCodec {
     }
     def emitValue(v: Int, s: Int): Unit =
       if (s > 0) w.write(if (v < 0) v + (1 << s) - 1 else v, s)
-    var pred = 0
-    blocks.foreach { blk =>
-      require(blk.length == 64, "64 coefficients per block")
-      val diff = blk(0) - pred
-      pred = blk(0)
-      val s = category(diff)
-      require(s <= 11, s"DC difference $diff out of baseline range")
-      emit(s, dcH); emitValue(diff, s)
-      var k = 1
-      var zeros = 0
-      while (k < 64) {
-        val v = blk(Zigzag(k))
-        if (v == 0) zeros += 1
-        else {
-          while (zeros > 15) { emit(0xf0, acH); zeros -= 16 } // ZRL
-          val sz = category(v)
-          require(sz <= 10, s"AC coefficient $v out of baseline range")
-          emit((zeros << 4) | sz, acH); emitValue(v, sz)
-          zeros = 0
-        }
-        k += 1
+    val pred = new Array[Int](nComp)
+    val nMcu = wBlocks * hBlocks
+    var rstIdx = 0
+    var mcu = 0
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        w.flush() // byte-align before the marker, pad bits all-ones
+        marker(0xd0 | rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(pred, 0)
       }
-      if (zeros > 0) emit(0x00, acH) // EOB
+      var c = 0
+      while (c < nComp) {
+        val blk = comps(c)(mcu)
+        require(blk.length == 64, "64 coefficients per block")
+        val t = tabOf(c)
+        val diff = blk(0) - pred(c)
+        pred(c) = blk(0)
+        val s = category(diff)
+        require(s <= 11, s"DC difference $diff out of baseline range")
+        emit(s, dcH(t)); emitValue(diff, s)
+        var k = 1
+        var zeros = 0
+        while (k < 64) {
+          val v = blk(Zigzag(k))
+          if (v == 0) zeros += 1
+          else {
+            while (zeros > 15) { emit(0xf0, acH(t)); zeros -= 16 } // ZRL
+            val sz = category(v)
+            require(sz <= 10, s"AC coefficient $v out of baseline range")
+            emit((zeros << 4) | sz, acH(t)); emitValue(v, sz)
+            zeros = 0
+          }
+          k += 1
+        }
+        if (zeros > 0) emit(0x00, acH(t)) // EOB
+        c += 1
+      }
+      mcu += 1
     }
     w.flush()
     marker(0xd9) // EOI

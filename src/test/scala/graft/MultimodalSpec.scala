@@ -245,6 +245,19 @@ class MultimodalSpec extends SparkSuite {
     assert(d.pixelsHash == expect, "pixelsHash is not the decoded-sample hash")
   }
 
+  test("decodeBatch JPEG path hashes DECODED samples for in-profile streams") {
+    import graft.functions.{JpegCodec, Multimodal}
+    import spark.implicits._
+    val jpg = JpegCodec.encodeGrayBlocks(2, 1, Array(5, 230))
+    val d = Multimodal.decodeBatch(Seq((1L, jpg)).toDF("doc_id", "blob"),
+      "doc_id", "blob").collect().head
+    assert(d.format == "jpeg" && d.width == 16 && d.height == 8)
+    val Some((_, _, _, px)) = JpegCodec.decode(jpg)
+    var expect = 0xcbf29ce484222325L
+    px.foreach { b => expect ^= (b & 0xffL); expect *= 0x100000001b3L }
+    assert(d.pixelsHash == expect, "pixelsHash must be the decoded-sample hash, not the bytes")
+  }
+
   test("JPEG constant-block fixture decodes bit-exactly to the arithmetic rule") {
     import graft.functions.{JpegCodec, JpegGrayFixture, JpegPixelStats}
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -303,6 +316,59 @@ class MultimodalSpec extends SparkSuite {
         assert(got == expect, s"block $b pixel ($cc,$r): expected $expect got $got")
       }
     }
+  }
+
+  test("JPEG 4:4:4 color decode: interleaved MCUs, dual tables, YCbCr to RGB") {
+    import graft.functions.JpegCodec
+    // constant blocks per component: only DC coefficients, exactly
+    // representable, so Y/Cb/Cr planes are known and RGB must equal the
+    // JFIF conversion computed independently here
+    val qL = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val qC = Array.tabulate(64)(i => if (i == 0) 8 else 24) // distinct chroma table
+    val yv = Array(200, 64); val cbv = Array(90, 180); val crv = Array(160, 60)
+    def dcBlocks(vals: Array[Int]) = vals.map { v =>
+      val b = new Array[Int](64); b(0) = v - 128; b
+    }
+    val jpg = JpegCodec.encodeColor444Coefficients(2, 1, qL, qC,
+      dcBlocks(yv), dcBlocks(cbv), dcBlocks(crv))
+    val Some((w, h, nc, px)) = JpegCodec.decode(jpg)
+    assert((w, h, nc) == (16, 8, 3))
+    def cl(d: Double): Int = math.max(0, math.min(255, math.round(d))).toInt
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val b = x / 8
+      val (yy, cb, cr) = (yv(b).toDouble, cbv(b) - 128.0, crv(b) - 128.0)
+      val expect = (cl(yy + 1.402 * cr), cl(yy - 0.344136 * cb - 0.714136 * cr),
+        cl(yy + 1.772 * cb))
+      val got = ((px((y * 16 + x) * 3) & 0xff), (px((y * 16 + x) * 3 + 1) & 0xff),
+        (px((y * 16 + x) * 3 + 2) & 0xff))
+      assert(got == expect, s"pixel ($x,$y): expected $expect got $got")
+    }
+  }
+
+  test("JPEG restart markers: predictor resets and byte-aligned resync decode exactly") {
+    import graft.functions.JpegCodec
+    val q = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val vals = Array(10, 250, 13, 99, 180, 7) // big DC jumps across restarts
+    val blocks = vals.map { v => val b = new Array[Int](64); b(0) = v - 128; b }
+    // restart every MCU: maximal marker density, every predictor reset
+    for (ri <- Seq(1, 2)) {
+      val jpg = JpegCodec.encodeGrayCoefficients(3, 2, q, blocks, restartInterval = ri)
+      val Some((w, h, _, px)) = JpegCodec.decode(jpg)
+      assert((w, h) == (24, 16))
+      for (k <- 0 until 6) {
+        val (bx, by) = (k % 3, k / 3)
+        assert((px(by * 8 * 24 + bx * 8) & 0xff) == vals(k),
+          s"restartInterval=$ri block $k: expected ${vals(k)}")
+      }
+    }
+    // corrupt restart structure: wrong RST index must be refused
+    val jpg1 = JpegCodec.encodeGrayCoefficients(3, 2, q, blocks, restartInterval = 1)
+    var idx = -1
+    for (i <- 2 until jpg1.length - 1)
+      if ((jpg1(i) & 0xff) == 0xff && (jpg1(i + 1) & 0xff) == 0xd0 && idx < 0) idx = i
+    assert(idx > 0, "fixture must contain RST0")
+    val bad = jpg1.clone(); bad(idx + 1) = 0xd5.toByte // RST0 -> RST5, out of sequence
+    assert(JpegCodec.decode(bad).isEmpty, "out-of-sequence restart accepted")
   }
 
   test("JPEG decode rejects out-of-profile and corrupt streams as None") {
