@@ -194,7 +194,10 @@ object JpegCodec {
           nComp = b(o + 7) & 0xff
           if (precision != 8 || width <= 0 || height <= 0) return None
           if (nComp != 1 && nComp != 3) return None
-          if (width.toLong * height * nComp > maxSamples) return None
+          // bound the BLOCK-PADDED planes, not just w×h: a 1×(2^26)
+          // image pads to 8 columns — 8× the declared sample count
+          if (((width + 7L) / 8 * 8) * ((height + 7L) / 8 * 8) * nComp > maxSamples)
+            return None
           if (len < 8 + 3 * nComp) return None
           var c = 0
           while (c < nComp) {
@@ -263,6 +266,10 @@ object JpegCodec {
           if (o + len > b.length || len < 6) return None
           val ns = b(o + 2) & 0xff
           if (ns != nComp) return None // non-interleaved multi-scan: out of profile
+          // declared length must actually contain the component specs +
+          // spectral bytes — a short len with a plausible ns would read
+          // past the segment (and potentially the buffer)
+          if (len < 6 + 2 * ns) return None
           var c = 0
           while (c < ns) {
             val cs = b(o + 3 + 2 * c) & 0xff

@@ -63,6 +63,28 @@ object PropertySpec extends Properties("graft") {
       Prop(distinct.map(graft.functions.SimHash64.hash64).distinct.size == distinct.size)
     }
 
+  property("jpeg decode: random and mutated streams never throw — None, not exceptions") =
+    forAll(Gen.oneOf(
+      // pure noise (usually fails the SOI gate — exercises the cheap path)
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // noise behind a valid SOI so the marker walk actually runs
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(bs => Array[Byte](0xff.toByte, 0xd8.toByte) ++ bs),
+      // a VALID fixture with random byte flips: deep corruption of real
+      // DQT/DHT/SOF/SOS/entropy structure — the hardest crash surface
+      Gen.zip(Gen.choose(0L, 255L), Gen.listOf(
+          Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue))))
+        .map { case (id, flips) =>
+          val base = graft.functions.JpegCodec.encodeGrayBlocks(3, 2,
+            Array.tabulate(6)(k => ((id * 31 + k * 7) % 256).toInt))
+          flips.foreach { case (pos, v) => base(pos % base.length) = v }
+          base
+        })) { bytes =>
+      // the scan contract for untrusted corpora: an executor must get
+      // None for garbage, never an exception that kills the whole job
+      graft.functions.JpegCodec.decode(bytes) match { case _ => Prop(true) }
+    }
+
   property("winnowed anchors: native deque selection matches the per-window argmin spec") =
     forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.choose(1, 8)) { (hs, stride) =>
       // small hash range forces ties, exercising the leftmost tie-break
