@@ -85,6 +85,33 @@ object PropertySpec extends Properties("graft") {
       graft.functions.JpegCodec.decode(bytes) match { case _ => Prop(true) }
     }
 
+  property("png/wav decode: random and mutated streams never throw — None, not exceptions") =
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // mutated valid PNG: real chunk/zlib/filter structure, corrupted
+      Gen.zip(Gen.choose(0L, 255L), Gen.listOf(
+          Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue))))
+        .map { case (seed, flips) =>
+          val px = Array.tabulate(16 * 8)(i => ((seed * 31 + i * 7) % 256).toByte)
+          val base = graft.functions.PngCodec.encode8(16, 8, 1, px)
+          flips.foreach { case (pos, v) => base(pos % base.length) = v }
+          base
+        },
+      // mutated valid WAV: real RIFF chunk list, corrupted
+      Gen.zip(Gen.choose(0L, 255L), Gen.listOf(
+          Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue))))
+        .map { case (id, flips) =>
+          val base = graft.functions.WavPcmFixture(
+            org.apache.spark.sql.catalyst.expressions.Literal(id))
+            .nullSafeEval(id).asInstanceOf[Array[Byte]]
+          flips.foreach { case (pos, v) => base(pos % base.length) = v }
+          base
+        })) { bytes =>
+      graft.functions.PngCodec.decode8(bytes) match { case _ => () }
+      graft.functions.WavInfo.parse(bytes) match { case _ => () }
+      graft.functions.WavInfo.parsePcm(bytes) match { case _ => Prop(true) }
+    }
+
   property("winnowed anchors: native deque selection matches the per-window argmin spec") =
     forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.choose(1, 8)) { (hs, stride) =>
       // small hash range forces ties, exercising the leftmost tie-break
