@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("jpeg_pixel_stats", "jpeg_pixel_stats(blob) - array(w, h, n, sum, min, max) of decoded samples",
       exprs => JpegPixelStats(exprs.head))
+    inject("jpeg_color_fixture", "jpeg_color_fixture(id, wb, hb) - deterministic 4:4:4 color baseline JPEG fixture",
+      exprs => JpegColorFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("jpeg_rgb_stats", "jpeg_rgb_stats(blob) - array(w, h, n, r_sum, g_sum, b_sum) of decoded RGB samples",
+      exprs => JpegRgbStats(exprs.head))
     inject("wav_pcm_fixture", "wav_pcm_fixture(id) - deterministic mono 16-bit PCM WAV fixture",
       exprs => WavPcmFixture(exprs.head))
     inject("wav_pcm_stats", "wav_pcm_stats(blob) - array(rate, ch, bits, n, sum, min, max, sumsq) of decoded PCM samples",

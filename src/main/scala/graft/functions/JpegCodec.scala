@@ -637,6 +637,75 @@ case class JpegGrayFixture(child: Expression, wBlocks: Int, hBlocks: Int)
     copy(child = newChild)
 }
 
+/** id → real COLOR (3-component 4:4:4) baseline JPEG fixture: block k
+  * of the luma plane is (id·31 + k·7) mod 256, Cb is (id·17 + k·11)
+  * mod 256, Cr is (id·23 + k·13) mod 256 — constant blocks, so the
+  * decoded planes equal the rules exactly, and the RGB output is the
+  * JFIF conversion of rule values: an external oracle reproduces it
+  * with FLOOR(x + 0.5) clamped to [0, 255] (exactly Java's
+  * Math.round), no codec required. Exercises the full interleaved-MCU
+  * + dual-table + color-convert path under the correctness gate. */
+case class JpegColorFixture(child: Expression, wBlocks: Int, hBlocks: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_color_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_color_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    def dcBlocks(mulId: Long, mulK: Long) = Array.tabulate(wBlocks * hBlocks) { k =>
+      val blk = new Array[Int](64)
+      blk(0) = (((id * mulId + k.toLong * mulK) % 256 + 256) % 256).toInt - 128
+      blk
+    }
+    val qC = { val t = Array.fill(64)(24); t(0) = 8; t }
+    JpegCodec.encodeColor444Coefficients(wBlocks, hBlocks, JpegCodec.FixtureQtab, qC,
+      dcBlocks(31, 7), dcBlocks(17, 11), dcBlocks(23, 13))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegColorFixture =
+    copy(child = newChild)
+}
+
+/** Color JPEG blob → array(width, height, n_samples, r_sum, g_sum,
+  * b_sum) computed from the DECODED interleaved RGB samples. NULL for
+  * non-JPEG, grayscale, unsupported-profile or corrupt input. */
+case class JpegRgbStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_rgb_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_rgb_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    JpegCodec.decode(input.asInstanceOf[Array[Byte]]) match {
+      case Some((w, h, 3, px)) =>
+        var r = 0L; var g = 0L; var bb = 0L
+        var i = 0
+        while (i < px.length) {
+          r += px(i) & 0xff; g += px(i + 1) & 0xff; bb += px(i + 2) & 0xff
+          i += 3
+        }
+        new GenericArrayData(Array(w.toLong, h.toLong, px.length.toLong, r, g, bb))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegRgbStats =
+    copy(child = newChild)
+}
+
 /** JPEG blob → array(width, height, n_samples, sample_sum, sample_min,
   * sample_max) computed from the DECODED samples (real Huffman +
   * dequant + IDCT — an entropy or transform bug corrupts the stats).

@@ -179,6 +179,13 @@ object GraftFunctions {
   /** JPEG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
   def jpegPixelStats(c: Column): Column = GraftColumn(JpegPixelStats(GraftColumn.expr(c)))
 
+  /** id → real color 4:4:4 baseline JPEG with per-plane block rules (fixture). */
+  def jpegColorFixture(id: Column, wBlocks: Int, hBlocks: Int): Column =
+    GraftColumn(JpegColorFixture(GraftColumn.expr(id), wBlocks, hBlocks))
+
+  /** color JPEG blob → array(w, h, n_samples, r_sum, g_sum, b_sum) of DECODED RGB. */
+  def jpegRgbStats(c: Column): Column = GraftColumn(JpegRgbStats(GraftColumn.expr(c)))
+
   /** id → real mono 16-bit PCM WAV with the arithmetic sample rule (fixture). */
   def wavPcmFixture(id: Column): Column = GraftColumn(WavPcmFixture(GraftColumn.expr(id)))
 

@@ -749,6 +749,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // COLOR decode under the correctness gate: a real interleaved-MCU
+    // 4:4:4 baseline JPEG (Y/Cb/Cr constant-block rules, dual
+    // quant/Huffman tables) must decode and color-convert to the RGB
+    // the oracle derives arithmetically — FLOOR(x+0.5) clamped is
+    // exactly Java's Math.round, and IEEE754 ops on identical literals
+    // agree bit-for-bit across engines, so the sums compare exactly.
+    "mm_color" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val st = GraftFunctions.jpegRgbStats(
+        GraftFunctions.jpegColorFixture(col("doc_id"), 3, 2))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("width"),
+          element_at(col("st"), 2).as("height"),
+          element_at(col("st"), 3).as("n_px"),
+          element_at(col("st"), 4).as("r_sum"),
+          element_at(col("st"), 5).as("g_sum"),
+          element_at(col("st"), 6).as("b_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: vectors whose cosine exceeds 0.99 are
     // duplicates. Candidates from the skew-capped LSH self-join (never
     // all-pairs) in THRESHOLD mode — every candidate pair at or above the
@@ -1756,6 +1778,26 @@ object PipelineQueries {
         | CAST(384 AS BIGINT) AS jpg_n, CAST(64 * list_sum(j) AS BIGINT) AS jpg_sum,
         | CAST(list_min(j) AS BIGINT) AS jpg_min, CAST(list_max(j) AS BIGINT) AS jpg_max
         |FROM px ORDER BY doc_id""".stripMargin,
+
+    "mm_color" ->
+      """WITH p AS (SELECT doc_id,
+        |  list_transform(range(0, 6), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |          + 1.402*(((doc_id*23 + k*13) % 256) - 128) + 0.5)))) AS rv,
+        |  list_transform(range(0, 6), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |          - 0.344136*(((doc_id*17 + k*11) % 256) - 128)
+        |          - 0.714136*(((doc_id*23 + k*13) % 256) - 128) + 0.5)))) AS gv,
+        |  list_transform(range(0, 6), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |          + 1.772*(((doc_id*17 + k*11) % 256) - 128) + 0.5)))) AS bv
+        | FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(24 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        | CAST(1152 AS BIGINT) AS n_px,
+        | CAST(64*list_sum(rv) AS BIGINT) AS r_sum,
+        | CAST(64*list_sum(gv) AS BIGINT) AS g_sum,
+        | CAST(64*list_sum(bv) AS BIGINT) AS b_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
