@@ -72,5 +72,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnowed_anchors", "winnowed_anchors(hashes, stride) - array(struct(pos, g)) of winnowed sliding-window minima",
       exprs => WinnowedAnchorsExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("png_resize", "png_resize(blob, out_w, out_h, bilinear) - decode, resize, re-encode a PNG",
+      exprs => PngResize(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Boolean]))
+    inject("png_frames_fixture", "png_frames_fixture(id, w, h) - deterministic multi-frame PNG-concat fixture",
+      exprs => PngFramesFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("png_frame_split", "png_frame_split(blob) - array of per-frame PNG blobs from a concatenated container",
+      exprs => PngFrameSplit(exprs.head))
+    inject("wav_frame_stats", "wav_frame_stats(blob, frame_len) - array(n_frames, zero_crossings, energy_max, energy_min) of decoded PCM",
+      exprs => WavFrameStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

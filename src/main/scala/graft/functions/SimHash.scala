@@ -125,6 +125,20 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_resize", exprs => PngResize(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_frames_fixture", exprs => PngFramesFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_frame_split", exprs => PngFrameSplit(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_frame_stats", exprs => WavFrameStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -192,4 +206,22 @@ object GraftFunctions {
   /** WAV blob → array(rate, ch, bits, n, sum, min, max, sumsq) of DECODED
     * PCM samples. */
   def wavPcmStats(c: Column): Column = GraftColumn(WavPcmStats(GraftColumn.expr(c)))
+
+  /** PNG blob → resized PNG blob (decode → nearest/bilinear kernel →
+    * re-encode). */
+  def pngResize(c: Column, outW: Int, outH: Int, bilinear: Boolean): Column =
+    GraftColumn(PngResize(GraftColumn.expr(c), outW, outH, bilinear))
+
+  /** id → multi-frame blob: 4 + (id mod 3) concatenated real PNGs with a
+    * per-frame arithmetic pixel rule (fixture). */
+  def pngFramesFixture(id: Column, frameW: Int, frameH: Int): Column =
+    GraftColumn(PngFramesFixture(GraftColumn.expr(id), frameW, frameH))
+
+  /** multi-frame blob → array of per-frame PNG blobs. */
+  def pngFrameSplit(c: Column): Column = GraftColumn(PngFrameSplit(GraftColumn.expr(c)))
+
+  /** WAV blob → array(n_frames, zero_crossings, energy_max, energy_min)
+    * of DECODED PCM windowed features. */
+  def wavFrameStats(c: Column, frameLen: Int): Column =
+    GraftColumn(WavFrameStats(GraftColumn.expr(c), frameLen))
 }

@@ -213,3 +213,62 @@ case class WavPcmStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
     copy(child = newChild)
 }
+
+/** WAV blob → array(n_frames, zero_crossings, energy_max, energy_min):
+  * windowed features over the DECODED PCM samples — the speech-pipeline
+  * primitives (frame energy for voice-activity gating, zero-crossing
+  * rate for voicing) computed in exact integer arithmetic so an external
+  * oracle reproduces them from the sample rule alone.
+  *
+  *   - frames: consecutive non-overlapping windows of `frameLen`
+  *     samples; a trailing partial window is ignored (standard framing);
+  *   - zero crossings: count of adjacent sample pairs over the WHOLE
+  *     signal whose signs differ (negative vs non-negative);
+  *   - energy: per-frame sum of squared samples; max and min over full
+  *     frames (16-bit amplitudes bound each frame's energy by
+  *     frameLen · 2^30, so Long never overflows).
+  *
+  * NULL for non-PCM / corrupt input or when no full frame exists. */
+case class WavFrameStats(child: Expression, frameLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_frame_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_frame_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((_, _, _, s)) if s.length >= frameLen =>
+        var zc = 0L
+        var i = 1
+        while (i < s.length) {
+          if ((s(i - 1) < 0) != (s(i) < 0)) zc += 1
+          i += 1
+        }
+        val nf = s.length / frameLen
+        var eMax = Long.MinValue; var eMin = Long.MaxValue
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var j = f * frameLen
+          val end = j + frameLen
+          while (j < end) { val v = s(j).toLong; e += v * v; j += 1 }
+          if (e > eMax) eMax = e
+          if (e < eMin) eMin = e
+          f += 1
+        }
+        new GenericArrayData(Array(nf.toLong, zc, eMax, eMin))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavFrameStats =
+    copy(child = newChild)
+}

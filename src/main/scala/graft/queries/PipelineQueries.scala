@@ -771,6 +771,74 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Resize under the correctness gate: decode → kernel → RE-ENCODE as a
+    // real PNG → decode again for stats, so a bug anywhere in the chain
+    // corrupts the numbers. Two kernels, two geometries: bilinear 2×
+    // downscale (every tap weighs 1/4 — all dyadic rationals, so the
+    // IEEE-754 result is bit-exact reproducible in DuckDB) and
+    // nearest-neighbor 1.5× upscale (the half-pixel source map is pure
+    // integer division, reproducible with // alone).
+    "mm_resize" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val src = GraftFunctions.pngGrayFixture(col("doc_id"), 16, 8)
+      val bi = GraftFunctions.pngPixelStats(
+        GraftFunctions.pngResize(src, 8, 4, bilinear = true))
+      val nn = GraftFunctions.pngPixelStats(
+        GraftFunctions.pngResize(src, 24, 12, bilinear = false))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), bi.as("b"), nn.as("n"))
+        .select(col("doc_id"),
+          element_at(col("b"), 1).as("bi_w"), element_at(col("b"), 2).as("bi_h"),
+          element_at(col("b"), 4).as("bi_sum"),
+          element_at(col("b"), 5).as("bi_min"), element_at(col("b"), 6).as("bi_max"),
+          element_at(col("n"), 1).as("nn_w"), element_at(col("n"), 2).as("nn_h"),
+          element_at(col("n"), 4).as("nn_sum"),
+          element_at(col("n"), 5).as("nn_min"), element_at(col("n"), 6).as("nn_max"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling from a multi-frame container: chunk-walk split into
+    // per-frame blobs (variable frame count by doc), every-2nd-frame
+    // sampling as a declarative position predicate on posexplode, REAL
+    // per-frame decode for the stats. The oracle replays the per-frame
+    // arithmetic rule over the same sampled positions.
+    "mm_frames" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val frames = GraftFunctions.pngFrameSplit(
+        GraftFunctions.pngFramesFixture(col("doc_id"), 8, 4))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), frames.as("frames"))
+        .select(col("doc_id"), size(col("frames")).cast("long").as("n_frames"),
+          posexplode(col("frames")).as(Seq("pos", "frame")))
+        .where(col("pos") % 2 === 0)
+        .select(col("doc_id"), col("n_frames"),
+          GraftFunctions.pngPixelStats(col("frame")).as("st"))
+        .groupBy("doc_id", "n_frames")
+        .agg(count(lit(1L)).as("n_sampled"),
+          sum(element_at(col("st"), 4)).as("px_sum"),
+          min(element_at(col("st"), 5)).as("px_min"),
+          max(element_at(col("st"), 6)).as("px_max"))
+        .orderBy("doc_id")
+    }),
+
+    // Windowed audio features over DECODED PCM: non-overlapping frame
+    // energies (voice-activity primitive) and whole-signal zero-crossing
+    // count (voicing primitive) — exact integer arithmetic end to end,
+    // so the oracle evaluates the sample rule and matches bit-for-bit.
+    "mm_audio" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ast = GraftFunctions.wavFrameStats(
+        GraftFunctions.wavPcmFixture(col("doc_id")), 64)
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), ast.as("a"))
+        .select(col("doc_id"),
+          element_at(col("a"), 1).as("n_frames"),
+          element_at(col("a"), 2).as("zero_crossings"),
+          element_at(col("a"), 3).as("energy_max"),
+          element_at(col("a"), 4).as("energy_min"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: vectors whose cosine exceeds 0.99 are
     // duplicates. Candidates from the skew-capped LSH self-join (never
     // all-pairs) in THRESHOLD mode — every candidate pair at or above the
@@ -1798,6 +1866,70 @@ object PipelineQueries {
         | CAST(64*list_sum(gv) AS BIGINT) AS g_sum,
         | CAST(64*list_sum(bv) AS BIGINT) AS b_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // bilinear 2x downscale of the 16x8 rule image: output (x,y) is the
+    // round-half-up mean of the 2x2 source block (half-pixel centers make
+    // every tap weigh exactly 1/4); nearest 24x12 upscale: source index
+    // is ((2*dst+1)*src_dim) // (2*dst_dim) — both reproducible exactly
+    "mm_resize" ->
+      """WITH px AS (SELECT doc_id,
+        |  list_transform(range(0, 32), o -> FLOOR((
+        |      ((doc_id*31 + ((o//8)*2*16 + (o%8)*2)*7) % 256)
+        |    + ((doc_id*31 + ((o//8)*2*16 + (o%8)*2 + 1)*7) % 256)
+        |    + ((doc_id*31 + (((o//8)*2 + 1)*16 + (o%8)*2)*7) % 256)
+        |    + ((doc_id*31 + (((o//8)*2 + 1)*16 + (o%8)*2 + 1)*7) % 256)) / 4.0
+        |    + 0.5)) AS bi,
+        |  list_transform(range(0, 288), o ->
+        |    (doc_id*31 + ((((2*(o//24) + 1)*8) // 24)*16
+        |                  + (((2*(o%24) + 1)*16) // 48))*7) % 256) AS nn
+        | FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        | CAST(8 AS BIGINT) AS bi_w, CAST(4 AS BIGINT) AS bi_h,
+        | CAST(list_sum(bi) AS BIGINT) AS bi_sum,
+        | CAST(list_min(bi) AS BIGINT) AS bi_min,
+        | CAST(list_max(bi) AS BIGINT) AS bi_max,
+        | CAST(24 AS BIGINT) AS nn_w, CAST(12 AS BIGINT) AS nn_h,
+        | CAST(list_sum(nn) AS BIGINT) AS nn_sum,
+        | CAST(list_min(nn) AS BIGINT) AS nn_min,
+        | CAST(list_max(nn) AS BIGINT) AS nn_max
+        |FROM px ORDER BY doc_id""".stripMargin,
+
+    // frame f of doc d holds 8x4 pixels (d*31 + f*97 + i*7) % 256 over
+    // 4 + d%3 frames; sampling keeps even frame positions
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, 4 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, nf,
+        |  list_filter(range(0, nf), p -> p % 2 = 0) AS ps FROM f)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        | CAST(len(ps) AS BIGINT) AS n_sampled,
+        | CAST(list_sum(list_transform(ps, p -> list_sum(list_transform(range(0, 32),
+        |   i -> (doc_id*31 + p*97 + i*7) % 256)))) AS BIGINT) AS px_sum,
+        | CAST(list_min(list_transform(ps, p -> list_min(list_transform(range(0, 32),
+        |   i -> (doc_id*31 + p*97 + i*7) % 256)))) AS BIGINT) AS px_min,
+        | CAST(list_max(list_transform(ps, p -> list_max(list_transform(range(0, 32),
+        |   i -> (doc_id*31 + p*97 + i*7) % 256)))) AS BIGINT) AS px_max
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // sample i = ((doc_id*31 + i*7) % 4096) - 2048 over n samples;
+    // zero crossings pair adjacent samples, energies are per-64-sample
+    // frame sums of squares (full frames only) — all integer math
+    "mm_audio" ->
+      """WITH w AS (SELECT doc_id, 160 + (doc_id % 8) * 16 AS n,
+        |  list_transform(range(0, 160 + (doc_id % 8) * 16),
+        |                 i -> ((doc_id*31 + i*7) % 4096) - 2048) AS s
+        | FROM documents WHERE doc_id < 50),
+        |e AS (SELECT doc_id, n // 64 AS nf,
+        |  list_transform(range(1, n),
+        |    i -> CASE WHEN (s[i] < 0) <> (s[i+1] < 0) THEN 1 ELSE 0 END) AS zc1,
+        |  list_transform(range(0, n // 64), f -> list_sum(list_transform(range(0, 64),
+        |    j -> s[f*64 + j + 1] * s[f*64 + j + 1]))) AS fe
+        | FROM w)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        | CAST(list_sum(zc1) AS BIGINT) AS zero_crossings,
+        | CAST(list_max(fe) AS BIGINT) AS energy_max,
+        | CAST(list_min(fe) AS BIGINT) AS energy_min
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -442,4 +442,95 @@ class MultimodalSpec extends SparkSuite {
     assert((r8, c8, b8) == (8000, 1, 8) && s8.toSeq == Seq(0, -128, 127))
     assert(WavInfo.parsePcm("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks → no decode")
   }
+
+  test("resize kernels: identity, exact 2x box mean, nearest duplication, channel independence") {
+    import graft.functions.ImageOps
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    // identity geometry is a no-op for both kernels
+    assert(ImageOps.resizeNearest(px, w, h, 1, w, h).toSeq == px.toSeq)
+    assert(ImageOps.resizeBilinear(px, w, h, 1, w, h).toSeq == px.toSeq)
+    // 2x downscale bilinear == round-half-up mean of each 2x2 block
+    val down = ImageOps.resizeBilinear(px, w, h, 1, w / 2, h / 2)
+    for (y <- 0 until h / 2; x <- 0 until w / 2) {
+      val s = (px((2 * y) * w + 2 * x) & 0xff) + (px((2 * y) * w + 2 * x + 1) & 0xff) +
+        (px((2 * y + 1) * w + 2 * x) & 0xff) + (px((2 * y + 1) * w + 2 * x + 1) & 0xff)
+      assert((down(y * (w / 2) + x) & 0xff) == (s + 2) / 4, s"bilinear 2x down at ($x,$y)")
+    }
+    // 2x upscale nearest duplicates each source pixel into a 2x2 block
+    val up = ImageOps.resizeNearest(px, w, h, 1, 2 * w, 2 * h)
+    for (y <- 0 until 2 * h; x <- 0 until 2 * w)
+      assert(up(y * 2 * w + x) == px((y / 2) * w + x / 2), s"nearest 2x up at ($x,$y)")
+    // non-integer scale: source index follows the half-pixel integer map
+    val odd = ImageOps.resizeNearest(px, w, h, 1, 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val sx = ((2 * x + 1) * w) / (2 * 4); val sy = ((2 * y + 1) * h) / (2 * 3)
+      assert(odd(y * 4 + x) == px(sy * w + sx))
+    }
+    // channels resize independently and stay interleaved
+    val rgb = Array.tabulate(w * h * 3)(i => ((i % 3) * 50 + (i / 3) * 9 % 128).toByte)
+    val rgbDown = ImageOps.resizeBilinear(rgb, w, h, 3, w / 2, h / 2)
+    for (c <- 0 until 3) {
+      val plane = Array.tabulate(w * h)(i => rgb(i * 3 + c))
+      val planeDown = ImageOps.resizeBilinear(plane, w, h, 1, w / 2, h / 2)
+      for (i <- 0 until (w / 2) * (h / 2))
+        assert(rgbDown(i * 3 + c) == planeDown(i), s"channel $c drifted under interleave")
+    }
+  }
+
+  test("PngResize expression re-encodes a real PNG whose pixels are the kernel output") {
+    import graft.functions.{ImageOps, PngCodec, PngGrayFixture, PngResize}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = 23L
+    val src = PngGrayFixture(Literal(id), 16, 8).nullSafeEval(id).asInstanceOf[Array[Byte]]
+    val Some((_, _, _, srcPx)) = PngCodec.decode8(src)
+    val out = PngResize(Literal(src), 8, 4, bilinear = true).nullSafeEval(src)
+      .asInstanceOf[Array[Byte]]
+    val Some((ow, oh, ch, outPx)) = PngCodec.decode8(out)
+    assert((ow, oh, ch) == (8, 4, 1))
+    assert(outPx.toSeq == ImageOps.resizeBilinear(srcPx, 16, 8, 1, 8, 4).toSeq)
+    // garbage input → NULL, not a crash; absurd output geometry → NULL
+    assert(PngResize(Literal("junk".getBytes), 4, 4, bilinear = false)
+      .nullSafeEval("junk".getBytes) == null)
+    assert(PngResize(Literal(src), 1 << 14, 1 << 14, bilinear = false)
+      .nullSafeEval(src) == null, "bomb-cap geometry must be refused")
+  }
+
+  test("splitFrames round-trips a concatenated container; junk framing is refused") {
+    import graft.functions.{ImageOps, PngCodec, PngFramesFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = 7L // nf = 4 + 7%3 = 5
+    val blob = PngFramesFixture(Literal(id), 8, 4).nullSafeEval(id).asInstanceOf[Array[Byte]]
+    val Some(frames) = ImageOps.splitFrames(blob)
+    assert(frames.length == 5)
+    for (f <- frames.indices) {
+      val Some((w, h, ch, px)) = PngCodec.decode8(frames(f))
+      assert((w, h, ch) == (8, 4, 1))
+      val rule = (0 until 32).map(i => (((id * 31 + f * 97 + i * 7) % 256).toInt).toByte)
+      assert(px.toSeq == rule, s"frame $f pixels must follow the per-frame rule")
+    }
+    // the whole blob must be consumed: trailing junk is corruption
+    assert(ImageOps.splitFrames(blob ++ Array[Byte](1, 2, 3)).isEmpty)
+    // a truncated last frame is corruption, not a shorter video
+    assert(ImageOps.splitFrames(blob.dropRight(4)).isEmpty)
+    assert(ImageOps.splitFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("WavFrameStats matches direct framing/zero-crossing math; degenerate input is NULL") {
+    import graft.functions.{WavFrameStats, WavPcmFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = 5L
+    val wav = WavPcmFixture(Literal(id)).nullSafeEval(id).asInstanceOf[Array[Byte]]
+    val n = 160 + (id % 8).toInt * 16
+    val s = (0 until n).map(i => (((id * 31 + i * 7) % 4096).toInt) - 2048)
+    val zc = (1 until n).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+    val energies = s.grouped(64).filter(_.size == 64)
+      .map(_.map(v => v.toLong * v).sum).toSeq
+    val got = WavFrameStats(Literal(wav), 64).nullSafeEval(wav)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData].toLongArray()
+    assert(got.toSeq == Seq((n / 64).toLong, zc, energies.max, energies.min))
+    // frame longer than the signal → no full frame → NULL
+    assert(WavFrameStats(Literal(wav), 100000).nullSafeEval(wav) == null)
+    assert(WavFrameStats(Literal("junk".getBytes), 64).nullSafeEval("junk".getBytes) == null)
+  }
 }

@@ -112,6 +112,28 @@ object PropertySpec extends Properties("graft") {
       graft.functions.WavInfo.parsePcm(bytes) match { case _ => Prop(true) }
     }
 
+  property("frame split / resize / frame stats: random and mutated streams never throw") =
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // mutated valid multi-frame container: real chunk framing, corrupted
+      Gen.zip(Gen.choose(0L, 255L), Gen.listOf(
+          Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue))))
+        .map { case (id, flips) =>
+          val base = graft.functions.PngFramesFixture(
+            org.apache.spark.sql.catalyst.expressions.Literal(id), 8, 4)
+            .nullSafeEval(id).asInstanceOf[Array[Byte]]
+          flips.foreach { case (pos, v) => base(pos % base.length) = v }
+          base
+        })) { bytes =>
+      graft.functions.ImageOps.splitFrames(bytes) match { case _ => () }
+      graft.functions.PngResize(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes), 4, 4, bilinear = true)
+        .nullSafeEval(bytes) match { case _ => () }
+      graft.functions.WavFrameStats(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes), 64)
+        .nullSafeEval(bytes) match { case _ => Prop(true) }
+    }
+
   property("winnowed anchors: native deque selection matches the per-window argmin spec") =
     forAll(Gen.listOf(Gen.choose(0L, 30L)), Gen.choose(1, 8)) { (hs, stride) =>
       // small hash range forces ties, exercising the leftmost tie-break
