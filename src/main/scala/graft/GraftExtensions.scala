@@ -86,5 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("wav_frame_stats", "wav_frame_stats(blob, frame_len) - array(n_frames, zero_crossings, energy_max, energy_min) of decoded PCM",
       exprs => WavFrameStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("bloom_any_contain", "bloom_any_contain(hashes, sketch) - true when any hash might be in the Bloom sketch",
+      exprs => BloomAnyContain(exprs.head, exprs(1)))
   }
 }

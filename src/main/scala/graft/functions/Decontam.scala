@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination: flag (or drop) training documents that
   * share a long character n-gram with an evaluation set — the 13-gram
@@ -9,11 +15,22 @@ import org.apache.spark.sql.functions._
   * training corpus that contains eval text inflates benchmark scores;
   * this pass runs after dedup and before packing.
   *
-  * Scale shape: the benchmark side is small by construction (eval sets
-  * are thousands of docs), so its distinct gram-hash set broadcasts;
-  * the corpus side explodes grams in-scan and LEFT SEMI joins against
-  * the broadcast — the corpus never shuffles for the match, and only
-  * matched ids (tiny) shuffle for the final distinct.
+  * Two scale shapes:
+  *
+  *   - **exact** ([[contaminatedIds]]): the benchmark's distinct gram-hash
+  *     set broadcasts, the corpus explodes grams in-scan and LEFT SEMI
+  *     joins against it — the corpus never shuffles for the match;
+  *   - **sketched** ([[contaminatedIdsBloom]]): when even the distinct
+  *     gram set is too large to broadcast as an exact set (multi-benchmark
+  *     suites, paragraph-level grams), a Bloom filter built over the
+  *     benchmark grams (one distributed pass, mergeable partials, O(bits)
+  *     footprint fixed by the configured capacity — independent of corpus
+  *     size) replaces the set, and the corpus side becomes a pure in-scan
+  *     predicate: no explode, no join, no shuffle at all. The error is
+  *     one-sided by construction: a contaminated document is NEVER kept;
+  *     a clean document is dropped with probability ≈ grams-per-doc × fpp
+  *     (pick fpp accordingly — 1e-6 keeps the expected clean-doc loss of
+  *     a 1000-gram doc at 0.1%).
   */
 object Decontam {
 
@@ -38,4 +55,94 @@ object Decontam {
   def dropContaminated(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame =
     corpus.join(contaminatedIds(corpus, bench, idCol, textCol, n), Seq(idCol), "left_anti")
+
+  /** Serialized Bloom filter over the benchmark's gram hashes — built
+    * distributedly (`DataFrameStatFunctions.bloomFilter` runs a
+    * treeAggregate of mergeable partial sketches), sized by
+    * `expectedGrams`/`fpp` and nothing else. Reusable across corpora:
+    * build once per eval suite, feed to [[mightContainAny]] scans. */
+  def buildGramBloom(bench: DataFrame, textCol: String, n: Int,
+      expectedGrams: Long, fpp: Double): Array[Byte] = {
+    require(n > 0, "n-gram length must be positive")
+    val sketch = bench
+      .select(explode(GraftFunctions.charShingleHashes(col(textCol), n)).as("__g"))
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** In-scan predicate: does ANY of the document's gram hashes possibly
+    * appear in the sketch? */
+  def mightContainAny(hashes: org.apache.spark.sql.Column, sketch: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn(BloomAnyContain(GraftColumn.expr(hashes),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(sketch, BinaryType)))
+  }
+
+  /** Sketched contamination flagging: ids of corpus docs whose any gram
+    * MIGHT overlap the benchmark. Superset of [[contaminatedIds]]'s
+    * result by construction (Bloom filters have no false negatives).
+    * The corpus side is a single scan+filter — zero shuffles, zero
+    * explodes; only the benchmark pays the sketch-build pass. */
+  def contaminatedIdsBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      expectedGrams: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
+    val sketch = buildGramBloom(bench, textCol, n, expectedGrams, fpp)
+    corpus
+      .where(mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch))
+      .select(col(idCol))
+  }
+
+  /** The corpus minus possibly-contaminated docs — the inverted in-scan
+    * predicate, so the whole flag-and-drop is one shuffle-free pass. */
+  def dropContaminatedBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      expectedGrams: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
+    val sketch = buildGramBloom(bench, textCol, n, expectedGrams, fpp)
+    corpus.where(!mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch))
+  }
+}
+
+/** array<long> hashes × serialized Bloom sketch → true when ANY hash
+  * might be a member. A native expression so the sketch deserializes
+  * ONCE per task (transient lazy) and the membership loop runs directly
+  * on Tungsten ArrayData with early exit — a higher-order `exists` over
+  * a UDF would re-enter the JVM per element and could not cache the
+  * deserialized filter. The sketch child must be foldable (a literal or
+  * resolved broadcast value): membership against a per-row sketch is a
+  * different operator with a per-row deserialize cost. */
+case class BloomAnyContain(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_any_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), BinaryType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), BinaryType) => TypeCheckResult.TypeCheckFailure(
+      "bloom_any_contain requires a foldable (constant) sketch")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bloom_any_contain requires (array<bigint>, binary), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(hashes: Any, sketchBytes: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && filter.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomAnyContain =
+    copy(left = newLeft, right = newRight)
 }

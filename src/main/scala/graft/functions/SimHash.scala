@@ -139,6 +139,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wav_frame_stats", exprs => WavFrameStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_any_contain", exprs => BloomAnyContain(exprs.head, exprs(1)), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */

@@ -455,6 +455,34 @@ object PipelineQueries {
         .crossJoin(bad.agg(count(lit(1L)).as("n_contaminated")))
     }),
 
+    // Sketched decontamination under the gate: the Bloom path (corpus
+    // side = ONE shuffle-free scan with an in-scan might-contain
+    // predicate — the 100 TB shape when the benchmark gram set outgrows
+    // an exact broadcast) against the exact path as in-engine truth.
+    // Verdicts in-row: the Bloom flag set must be a SUPERSET of the
+    // exact set (one-sided error by construction — zero false keeps),
+    // and the false-positive overhead must stay under 5% of the corpus
+    // (fpp 1e-6 × ~1k grams/doc ⇒ expected per-doc FP ~1e-3). The exact
+    // count is DuckDB-recomputable; the booleans pin the sketch path.
+    "pipeline_decontam_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 31 === 0)
+      val corpus = docs.where(col("doc_id") % 31 =!= 0)
+      val exact = Decontam.contaminatedIds(corpus, bench, "doc_id", "text", n = 30)
+        .localCheckpoint(true) // bounded: distinct contaminated ids
+      val bloom = Decontam.contaminatedIdsBloom(corpus, bench, "doc_id", "text",
+          n = 30, expectedGrams = 1L << 17, fpp = 1e-6)
+        .localCheckpoint(true) // bounded: flagged ids only
+      corpus.agg(count(lit(1L)).as("n_corpus"))
+        .crossJoin(exact.agg(count(lit(1L)).as("n_exact")))
+        .crossJoin(exact.join(bloom, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1L)).as("n_missed")))
+        .crossJoin(bloom.agg(count(lit(1L)).as("n_bloom")))
+        .select(col("n_corpus"), col("n_exact"),
+          (col("n_missed") === 0).as("superset_ok"),
+          ((col("n_bloom") - col("n_exact")) * 20 <= col("n_corpus")).as("fp_bounded_ok"))
+    }),
+
     // Vocabulary statistics: global top-20 whitespace tokens with a full
     // deterministic tie-break — the counting shuffle carries (token,
     // partial count) pairs, the top-k is a TakeOrdered, never a full sort.
@@ -1420,6 +1448,24 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 != 0) AS n_corpus,
         | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 = 0) AS n_bench,
         | (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_contaminated""".stripMargin,
+
+    // the exact contaminated count is recomputed from raw grams; the
+    // sketch-path booleans (superset, bounded FP overhead) must hold
+    "pipeline_decontam_bloom" ->
+      """WITH b AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 30, 0) + 1),
+        |    i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 = 0)),
+        |c AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 30, 0) + 1),
+        |    i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 != 0),
+        |bad AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (g))
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 != 0) AS n_corpus,
+        | (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_exact,
+        | true AS superset_ok, true AS fp_bounded_ok""".stripMargin,
 
     "pipeline_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

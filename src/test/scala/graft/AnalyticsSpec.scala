@@ -233,6 +233,40 @@ class AnalyticsSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the gram match:\n$p")
   }
 
+  test("bloom decontamination: superset of exact, no false keeps, in-scan corpus plan") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "completely unrelated content with no overlap whatsoever in any window"),
+      (3L, "short"),
+      (4L, "quick brown fox jumps over the")
+    ).toDF("doc_id", "text")
+    val flagged = graft.functions.Decontam
+      .contaminatedIdsBloom(corpus, bench, "doc_id", "text",
+        expectedGrams = 1024, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives ever; at this fpp and corpus size, no FPs either
+    assert(flagged == Set(1L, 4L), s"got $flagged")
+    val kept = graft.functions.Decontam
+      .dropContaminatedBloom(corpus, bench, "doc_id", "text",
+        expectedGrams = 1024, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // the 100 TB shape: the corpus side is scan + filter only — no
+    // explode, no join, no exchange anywhere in the flagging plan (a
+    // file-backed corpus, so ConvertToLocalRelation can't fold the
+    // filter away as it does for the in-memory frames above)
+    val fileCorpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = graft.functions.Decontam
+      .contaminatedIdsBloom(fileCorpus, bench, "doc_id", "text",
+        expectedGrams = 1024, fpp = 1e-6)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_any_contain"), s"expected the in-scan predicate:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Generate") && !p.contains("Join"),
+      s"corpus side must be a single shuffle-free scan:\n$p")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")

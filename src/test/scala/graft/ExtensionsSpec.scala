@@ -14,8 +14,14 @@ class ExtensionsSpec extends SparkSuite {
       .getMethod("registerFunctions",
         classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
       .invoke(ext, spark.sessionState.functionRegistry)
+    // a real serialized Bloom sketch as a SQL hex literal (the foldable
+    // operand contract of bloom_any_contain)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(4, 0.01)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val sketchHex = bos.toByteArray.map(b => f"${b & 0xff}%02X").mkString
     val r = spark.sql(
-      """SELECT
+      s"""SELECT
         | lang_id('the cat and the dog sat on the mat') AS lang,
         | round(cosine_sim(array(3.0D, 4.0D), array(4.0D, 3.0D)), 4) AS cos,
         | simhash64(array('a', 'b')) AS sh,
@@ -24,7 +30,12 @@ class ExtensionsSpec extends SparkSuite {
         | size(minhash_sig(array('x', 'y'), 8)) AS sig_n,
         | size(char_shingle_hashes('abcdef', 3)) AS grams,
         | size(cosine_lsh_buckets(array(CAST(1.0 AS FLOAT)), 4, 2, 7L)) AS tables,
-        | element_at(png_pixel_stats(png_gray_fixture(7L, 4, 2)), 4) AS px_sum
+        | element_at(png_pixel_stats(png_gray_fixture(7L, 4, 2)), 4) AS px_sum,
+        | element_at(png_pixel_stats(
+        |   png_resize(png_gray_fixture(7L, 4, 2), 2, 1, false)), 3) AS rs_n,
+        | size(png_frame_split(png_frames_fixture(2L, 4, 2))) AS nf,
+        | element_at(wav_frame_stats(wav_pcm_fixture(3L), 80), 1) AS af,
+        | bloom_any_contain(array(41L, 42L), X'$sketchHex') AS bloom_hit
         |""".stripMargin).head()
     assert(r.getString(0) == "en")
     assert(r.getDouble(1) == 0.96)
@@ -36,5 +47,9 @@ class ExtensionsSpec extends SparkSuite {
     // pixels (7*31 + i*7) % 256 for i in 0..7, summed after a REAL
     // encode→decode round trip through the injected SQL functions
     assert(r.getLong(8) == 1420L)
+    assert(r.getLong(9) == 2L)  // 4x2 resized to 2x1 → 2 samples
+    assert(r.getInt(10) == 6)   // 4 + 2%3 = 6 frames
+    assert(r.getLong(11) == 2L) // 208 samples / 80 → 2 full frames
+    assert(r.getBoolean(12))    // inserted hash must hit
   }
 }
