@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Similarity, TextFunctions => TF}
+import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Pq, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1024,6 +1024,42 @@ object PipelineQueries {
           (col("n_hit") * 100 >= col("n_bf") * 50).as("recall_ok"))
     }),
 
+    // Product-quantization ADC kNN: corpus vectors compress 32× into
+    // m=8 codes, queries precompute centroid-distance tables, candidates
+    // cost m lookups (Jégou et al. 2011). Made oracle-VISIBLE like
+    // sim_ivf: planted clones (identical vector ⇒ identical codes ⇒ ADC
+    // distance = the query's own quantization error, far below random
+    // neighbors on this corpus) must come back at rank 1; average
+    // reconstruction cosine must clear 0.5 (measured ~0.67); brute-force
+    // top-5 on the same augmented corpus anchors the row to
+    // DuckDB-recomputable values.
+    "sim_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val aug = emb
+        .union(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint(true) // read by train, encode, kNN and recon
+      val cb = Pq.train(aug, "embedding", m = 8, ksub = 16, seed = 42L)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pq = Pq.pqKnn(aug, "vec_id", "embedding", q, "qid", "qvec", k = 5, cb)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+        .localCheckpoint(true) // tiny top-k
+      val bf = Similarity.bruteForceKnn(aug, "vec_id", "embedding",
+          q, "qid", "qvec", 5)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+      val recon = aug.select(avg(GraftFunctions.cosineSim(col("embedding"),
+        Pq.decode(Pq.encode(col("embedding"), cb), cb))).as("avg_recon"))
+      bf.agg(count(lit(1L)).as("n_bf"), min(col("cos")).as("bf_min_cos"))
+        .crossJoin(q.agg(count(lit(1L)).as("n_queries")))
+        .crossJoin(pq.where(col("nid") === col("qid") + 1000000L && col("rank") === 1)
+          .agg(count(lit(1L)).as("n_clone_top")))
+        .crossJoin(recon)
+        .select(col("n_bf"), col("bf_min_cos"), col("n_queries"),
+          (col("n_clone_top") === col("n_queries")).as("clones_rank1_ok"),
+          (col("avg_recon") > 0.5).as("recon_ok"))
+    }),
+
     // LSH-bucketed approximate NN self-join (8 hyperplanes, 8 tables,
     // dense buckets capped). Made oracle-VISIBLE on the vec_id<500 audit
     // slice with planted clones (every vec_id%100<2 duplicated at
@@ -1852,6 +1888,25 @@ object PipelineQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_bf, min(cos) AS bf_min_cos,
         | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
         | true AS clones_found_ok, true AS recall_ok
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // brute-force anchors recomputed from raw vectors; the PQ verdicts
+    // (clone-at-rank-1, reconstruction quality) must hold in-row
+    "sim_pq" ->
+      """WITH aug AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        | WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM aug WHERE qid < 5),
+        |r AS (SELECT q.qid, aug.vec_id,
+        |  round(list_cosine_similarity(aug.v, q.qv), 4) AS cos,
+        |  row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(aug.v, q.qv), 4) DESC, aug.vec_id) AS rank
+        | FROM aug, q WHERE aug.vec_id != q.qid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bf, min(cos) AS bf_min_cos,
+        | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
+        | true AS clones_rank1_ok, true AS recon_ok
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "sim_ann" ->

@@ -267,6 +267,45 @@ class AnalyticsSpec extends SparkSuite {
       s"corpus side must be a single shuffle-free scan:\n$p")
   }
 
+  test("product quantization: round-trip shapes, determinism, ADC = decoded distance, clone retrieval") {
+    import graft.functions.{GraftFunctions, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cb = Pq.train(emb, "embedding", m = 8, ksub = 16, seed = 42L)
+    assert(cb.dsub == 8 && cb.flat.length == 8 * 16 * 8)
+    // encode: m codes in range, deterministic across evaluations
+    val codes = emb.select(col("vec_id"), Pq.encode(col("embedding"), cb).as("c"))
+    val c1 = codes.orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    val c2 = codes.orderBy("vec_id").collect().map(_.getSeq[Int](1))
+    assert(c1.toSeq == c2.toSeq)
+    assert(c1.forall(cs => cs.length == 8 && cs.forall(t => t >= 0 && t < 16)))
+    // ADC distance against a query's table == exact distance to the
+    // DECODED corpus vector (the defining identity of ADC)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val check = emb.crossJoin(q)
+      .select(
+        Pq.adcDist(Pq.encode(col("embedding"), cb), Pq.adcTable(col("qvec"), cb), cb.ksub).as("adc"),
+        aggregate(zip_with(
+          Pq.decode(Pq.encode(col("embedding"), cb), cb), col("qvec"),
+          (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+          lit(0.0), (acc, x) => acc + x).as("direct"))
+      .select(max(abs(col("adc") - col("direct"))).as("max_err")).head().getDouble(0)
+    assert(check < 1e-9, s"ADC distance must equal distance-to-decoded, max err $check")
+    // reconstruction keeps vectors on the right side of the sphere: the
+    // quality bound the sim_pq verdict pins (measured ~0.8 on this data)
+    val recon = emb.select(avg(GraftFunctions.cosineSim(col("embedding"),
+      Pq.decode(Pq.encode(col("embedding"), cb), cb))).as("r")).head().getDouble(0)
+    info(f"avg reconstruction cosine: $recon%.4f")
+    assert(recon > 0.5, f"reconstruction collapsed: $recon%.4f")
+    // planted clones: identical vector -> identical codes -> ADC finds it
+    val aug = emb.union(emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val knn = Pq.pqKnn(aug, "vec_id", "embedding", q, "qid", "qvec", k = 5, cb)
+    val top = knn.where(col("rank") === 1).select("vec_id").head().getLong(0)
+    assert(top == 1000000L, s"clone of query 0 must be rank 1, got $top")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
