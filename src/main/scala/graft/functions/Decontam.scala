@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
@@ -73,11 +73,15 @@ object Decontam {
   }
 
   /** In-scan predicate: does ANY of the document's gram hashes possibly
-    * appear in the sketch? */
+    * appear in the sketch? The sketch rides a Spark BROADCAST, not a
+    * plan literal — a default-sized filter is ~15 MB, and a literal
+    * that size would bloat every plan string, canonical form and UI
+    * render (the SQL-callable [[BloomAnyContain]] keeps the literal
+    * operand for hex-literal use at small sketch sizes). */
   def mightContainAny(hashes: org.apache.spark.sql.Column, sketch: Array[Byte]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumn
-    GraftColumn(BloomAnyContain(GraftColumn.expr(hashes),
-      org.apache.spark.sql.catalyst.expressions.Literal.create(sketch, BinaryType)))
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(sketch)
+    GraftColumn(BloomAnyContainBroadcast(GraftColumn.expr(hashes), bc))
   }
 
   /** Sketched contamination flagging: ids of corpus docs whose any gram
@@ -95,12 +99,17 @@ object Decontam {
   }
 
   /** The corpus minus possibly-contaminated docs — the inverted in-scan
-    * predicate, so the whole flag-and-drop is one shuffle-free pass. */
+    * predicate, so the whole flag-and-drop is one shuffle-free pass.
+    * A null text has no grams, so it is kept — the same contract as
+    * [[dropContaminated]] (without the coalesce, the NULL predicate
+    * would silently drop every null-text row). */
   def dropContaminatedBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
       expectedGrams: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
     val sketch = buildGramBloom(bench, textCol, n, expectedGrams, fpp)
-    corpus.where(!mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch))
+    corpus.where(coalesce(
+      !mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch),
+      lit(true)))
   }
 }
 
@@ -145,4 +154,39 @@ case class BloomAnyContain(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomAnyContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[BloomAnyContain]] with the sketch riding a Spark broadcast instead
+  * of a plan literal — the Scala-API route ([[Decontam.mightContainAny]]):
+  * plan strings and canonical forms stay small no matter the filter
+  * size; executors deserialize the broadcast bytes once per task. */
+case class BloomAnyContainBroadcast(child: Expression,
+    sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_any_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_any_contain requires array<bigint>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.value))
+
+  override def nullSafeEval(hashes: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && filter.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomAnyContainBroadcast =
+    copy(child = newChild)
 }

@@ -343,8 +343,13 @@ object JpegCodec {
           if (r.truncated) return None
           val run = rs >> 4; val size = rs & 0x0f
           if (size == 0) {
-            if (run == 15) k += 16 // ZRL: sixteen zeros
-            else done = true // EOB
+            if (run == 15) {
+              // ZRL: sixteen zeros — spec-legal only while a coefficient
+              // slot remains after the skip; past 63 the stream is
+              // corrupt, same contract as the (run,size) bound below
+              k += 16
+              if (k > 63) return None
+            } else done = true // EOB
           } else {
             k += run
             if (k > 63) return None

@@ -59,7 +59,8 @@ object Pq {
     val sampled =
       (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
        else corpus)
-        .select(col(vecCol)).limit(maxTrainRows).collect()
+        .select(col(vecCol)).where(col(vecCol).isNotNull)
+        .limit(maxTrainRows).collect()
         .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
     require(sampled.nonEmpty, "empty training sample")
     val dim = sampled(0).length

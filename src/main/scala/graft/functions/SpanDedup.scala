@@ -45,42 +45,17 @@ object SpanDedup {
     transform(sequence(lit(0), greatest(length(text) - L, lit(0))),
       i => xxhash64(text.substr(i + lit(1), lit(L))))
 
-  /** Winnowed anchor positions (0-based) over the hash array `h`: for
-    * every run of `stride` consecutive positions, the LEFTMOST-minimum
-    * hash position is selected (Schleimer et al., SIGMOD 2003). The
-    * selection depends only on the hash values — i.e. on CONTENT — so
-    * two occurrences of a repeated substring anchor the same relative
-    * positions even when their absolute offsets differ mod `stride`.
-    * (A fixed every-k-th-position stride would NOT have this property:
-    * occurrences misaligned mod k would anchor different windows and
-    * the repeat would be invisible to the equi-join.) Guarantee: any
-    * window of `stride` consecutive positions contains an anchor, so
-    * any repeat of length >= L + stride - 1 carries at least one
-    * common anchor in all its occurrences.
-    *
-    * Returns array<struct<pos, g>> — anchor position and its window
-    * hash. `h` MUST be a bound lambda variable (see the call site):
-    * passing the hash-array EXPRESSION here would inline it into every
-    * transform element, and interpreted higher-order functions get no
-    * common-subexpression elimination — the full O(n) array would be
-    * recomputed for each of the n window starts, turning the in-scan
-    * pass O(n²·hash). Measured: that mistake hung the sf0.1 bench. */
-  private[graft] def winnowedAnchorsColumn(h: Column, stride: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(h) - stride, lit(0))),
-      s => {
-        val win = slice(h, s + 1, lit(stride))
-        val p = s + array_position(win, array_min(win)).cast("int") - 1
-        struct(p.as("pos"), element_at(h, p + 1).as("g"))
-      }))
-
   /** The (doc, position, window-hash) rows entering the ownership pass —
     * exactly what the distinct+groupBy shuffles, exposed so the bench
     * can measure the stride volume cut directly. stride 1 anchors every
-    * position; stride > 1 selects winnowed anchors via the native
-    * one-pass deque expression ([[WinnowedAnchorsExpr]] — the Column
-    * formulation kept below is the executable spec, not the shipping
-    * path). */
+    * position; stride > 1 selects winnowed anchors (Schleimer et al.,
+    * SIGMOD 2003: the leftmost-minimum hash of every stride-window —
+    * selection depends only on CONTENT, so two occurrences of a repeat
+    * anchor the same relative positions even when their absolute
+    * offsets differ mod stride, which a fixed every-k-th-position
+    * stride provably cannot do) via the native one-pass deque
+    * expression [[WinnowedAnchorsExpr]]. PropertySpec pins the native
+    * selection to an inline per-window-argmin reference. */
   private[graft] def anchorGrams(docs: DataFrame, idCol: String, textCol: String,
       L: Int, stride: Int): DataFrame =
     if (stride == 1)
@@ -159,17 +134,17 @@ object SpanDedup {
 
 /** Native winnowed-anchor selection: hash array → array<struct<pos int,
   * g bigint>> of the leftmost-minimum position of every `stride`-length
-  * sliding window, deduplicated (Schleimer et al. 2003 — the same
-  * selection [[SpanDedup]] defines in Column algebra).
+  * sliding window, deduplicated (Schleimer et al. 2003).
   *
   * A native expression with a measured justification, per this repo's
-  * convention: the Column formulation is interpreted per window start
-  * (slice + array_min + array_position allocate and rescan per
-  * position — O(n·k) allocating lambda evals; 18.6s for the sf0.1
-  * corpus at stride 4 vs 6.7s for the stride-1 path it was meant to
-  * beat). This is the classic O(n) monotonic-deque sliding minimum:
-  * one pass, zero allocation per element. The Column version remains
-  * the executable spec; PropertySpec asserts they agree. */
+  * convention: an equivalent Column formulation is interpreted per
+  * window start (slice + array_min + array_position allocate and
+  * rescan per position — O(n·k) allocating lambda evals; 18.6s for the
+  * sf0.1 corpus at stride 4 vs 6.7s for the stride-1 path it was meant
+  * to beat, so it was removed rather than kept as dead code). This is
+  * the classic O(n) monotonic-deque sliding minimum: one pass, zero
+  * allocation per element. PropertySpec pins the selection to an
+  * inline per-window leftmost-argmin reference. */
 case class WinnowedAnchorsExpr(child: Expression, stride: Int)
     extends UnaryExpression with CodegenFallback {
 

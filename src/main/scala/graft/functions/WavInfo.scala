@@ -60,23 +60,27 @@ object WavInfo {
     * instead of reading another chunk's bytes as audio parameters. */
   def parse(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var o = 12
+    // Long cursor: a declared chunk size near Int.MaxValue would wrap an
+    // Int advance negative, slip past the loop guard and read a negative
+    // index — the walk must terminate on overrun, not throw
+    var o = 12L
     while (o + 8 <= b.length) {
-      val size = le32(b, o + 4)
+      val oi = o.toInt
+      val size = le32(b, oi + 4)
       if (size < 0 || size > Int.MaxValue) return None
-      if (tag(b, o, "fmt ")) {
+      if (tag(b, oi, "fmt ")) {
         // PCM fmt payload: format(2) channels(2) rate(4) byteRate(4)
         // blockAlign(2) bits(2) — 16 bytes minimum; a declared size too
         // small to contain them marks a corrupt header
-        if (size < 16 || o + 8 + 16 > b.length) return None
-        val channels = le16(b, o + 10)
-        val rate = le32(b, o + 12)
-        val bits = le16(b, o + 22)
+        if (size < 16 || oi + 8 + 16 > b.length) return None
+        val channels = le16(b, oi + 10)
+        val rate = le32(b, oi + 12)
+        val bits = le16(b, oi + 22)
         if (channels == 0 || rate <= 0 || rate > Int.MaxValue || bits == 0) return None
         return Some((rate.toInt, channels, bits))
       }
       // RIFF chunks are word-aligned: odd payloads carry one pad byte
-      o += 8 + size.toInt + (size.toInt & 1)
+      o += 8L + size + (size & 1L)
     }
     None
   }
@@ -92,26 +96,28 @@ object WavInfo {
     * refuse rather than decode another chunk's bytes as audio). */
   def parsePcm(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var o = 12
+    // Long cursor — same overflow-safe walk as [[parse]]
+    var o = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var pcmFmt = false
     var data: Option[(Int, Int)] = None // payload offset, byte length
     while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = le32(b, o + 4)
+      val oi = o.toInt
+      val size = le32(b, oi + 4)
       if (size < 0 || size > Int.MaxValue) return None
-      if (tag(b, o, "fmt ")) {
-        if (size < 16 || o + 8 + 16 > b.length) return None
-        pcmFmt = le16(b, o + 8) == 1 // integer PCM; anything else is coded audio
-        val channels = le16(b, o + 10)
-        val rate = le32(b, o + 12)
-        val bits = le16(b, o + 22)
+      if (tag(b, oi, "fmt ")) {
+        if (size < 16 || oi + 8 + 16 > b.length) return None
+        pcmFmt = le16(b, oi + 8) == 1 // integer PCM; anything else is coded audio
+        val channels = le16(b, oi + 10)
+        val rate = le32(b, oi + 12)
+        val bits = le16(b, oi + 22)
         if (channels == 0 || rate <= 0 || rate > Int.MaxValue || bits == 0) return None
         fmt = Some((rate.toInt, channels, bits))
-      } else if (tag(b, o, "data")) {
-        if (o.toLong + 8L + size > b.length) return None
-        data = Some((o + 8, size.toInt))
+      } else if (tag(b, oi, "data")) {
+        if (o + 8L + size > b.length) return None
+        data = Some((oi + 8, size.toInt))
       }
-      o += 8 + size.toInt + (size.toInt & 1)
+      o += 8L + size + (size & 1L)
     }
     (fmt, data) match {
       case (Some((rate, ch, bits)), Some((off, len))) if pcmFmt && bits == 16 =>

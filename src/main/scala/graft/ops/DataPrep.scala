@@ -217,8 +217,11 @@ object DataPrep {
     val ordered = ts.zip(names.init).foldRight(lit(names.last): Column) {
       case ((t, name), rest) => when(score < lit(t), name).otherwise(rest)
     }
-    // a null score must not silently land in the top bucket
-    df.withColumn(bucketCol, when(score.isNull, lit(null)).otherwise(ordered))
+    // neither a null nor a NaN score may silently land in the top
+    // bucket (Spark orders NaN above every double, so the when-chain
+    // would otherwise fall through to names.last for NaN)
+    df.withColumn(bucketCol,
+      when(score.isNull || score.cast("double").isNaN, lit(null)).otherwise(ordered))
   }
 
   /** Keep rows whose `score` is at or above (`keepUpper`, default) / at

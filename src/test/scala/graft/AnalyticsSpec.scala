@@ -253,6 +253,14 @@ class AnalyticsSpec extends SparkSuite {
         expectedGrams = 1024, fpp = 1e-6)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
+    // a null text has no grams: kept by the drop path (parity with the
+    // exact dropContaminated), never flagged by the id path
+    val withNull = corpus.union(Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val keptNull = graft.functions.Decontam
+      .dropContaminatedBloom(withNull, bench, "doc_id", "text",
+        expectedGrams = 1024, fpp = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(2L, 3L, 9L), s"null-text doc must survive the bloom drop: $keptNull")
     // the 100 TB shape: the corpus side is scan + filter only — no
     // explode, no join, no exchange anywhere in the flagging plan (a
     // file-backed corpus, so ConvertToLocalRelation can't fold the

@@ -441,6 +441,12 @@ class MultimodalSpec extends SparkSuite {
     val Some((r8, c8, b8, s8)) = WavInfo.parsePcm(mono8)
     assert((r8, c8, b8) == (8000, 1, 8) && s8.toSeq == Seq(0, -128, 127))
     assert(WavInfo.parsePcm("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks → no decode")
+    // a declared chunk size near Int.MaxValue must terminate the walk as
+    // corrupt, not wrap the cursor negative and read out of bounds
+    val bomb = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)
+    assert(WavInfo.parse(bomb).isEmpty, "overflowing chunk size accepted by parse")
+    assert(WavInfo.parsePcm(bomb).isEmpty, "overflowing chunk size accepted by parsePcm")
   }
 
   test("resize kernels: identity, exact 2x box mean, nearest duplication, channel independence") {

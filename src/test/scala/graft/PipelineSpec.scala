@@ -514,5 +514,15 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       graft.ops.DataPrep.bucketByQuantiles(df, col("v"), Seq(0.5), Seq("only"))
     }
+    // NaN orders above every double in Spark — it must land in the NULL
+    // bucket like null does, never inflate the top ("head") bucket
+    val withNaN = (vals.map(Option(_)) :+ Option(Double.NaN)).toDF("v")
+    val nanBuckets = graft.ops.DataPrep.bucketByQuantiles(
+        withNaN, col("v"), Seq(1.0 / 3.0, 2.0 / 3.0), Seq("tail", "middle", "head"),
+        exact = true)
+      .groupBy("bucket").count()
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(nanBuckets("NULL") == 1L && nanBuckets("head") == 30L,
+      s"NaN leaked into a named bucket: $nanBuckets")
   }
 }
