@@ -165,11 +165,28 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
     * tauPct/100 (integer threshold compare — no float boundary).
     *
-    * The (id, shingles, signature) DataFrame is persisted ONCE and shared
-    * by all four downstream uses (both sides of the band self-join, both
-    * sides of the verification join) — without the cache barrier, Spark
-    * would recompute shingling + signatures per join side. At corpus
-    * scale this is the standard shape: one featurization pass
+    * EXACT REPLICAS ARE COLLAPSED FIRST: web-scale corpora are dominated
+    * by byte-identical documents (the same page crawled repeatedly), and
+    * identical texts share every downstream feature — so the corpus is
+    * grouped by 64-bit content hash, the band → screen → verify cascade
+    * runs once per UNIQUE text, and pairs are expanded back to member
+    * ids afterward by output-sensitive equi-joins. The expansion is
+    * strictly cheaper than the naive path, which would band, screen and
+    * shuffle the full shingle arrays of every replica pair it is about
+    * to emit anyway. (A 64-bit content-hash collision between different
+    * texts would merge them — the same negligible-at-any-scale odds this
+    * operator already accepts for its hashed shingle sets.) Within-group
+    * pairs are qualified by evaluating the IDENTICAL screen + verify
+    * expressions on the representative paired with itself, so degenerate
+    * texts (null → null features, empty → 0/0 jaccard) keep byte-for-
+    * byte the semantics of the uncollapsed pipeline.
+    *
+    * The unique-text featurization (id, shingles, signature) is persisted
+    * ONCE and shared by all downstream uses (both sides of the band
+    * self-join, both sides of the verification join, the self-pair
+    * qualifier) — without the cache barrier, Spark would recompute
+    * shingling + signatures per join side. At corpus scale this is the
+    * standard shape: one exact-dedup shuffle, one featurization pass
     * materialized, then shuffles only on compact band keys and id pairs.
     * Cache lifecycle per [[materializeAndRelease]]. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -178,28 +195,41 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "a remainder would silently drop signature components from banding")
-    // featurize once with the fused kernel: sorted hashed shingle set
-    // (also the verification representation) + signature derived from it
-    val featurized = minhashFeaturize(docs, idCol, textCol, shingleK, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(featurized, idCol, "sig", bands, numHashes / bands)
-    // Screen candidates on the cheap signature estimate 2.5σ below tau
+    val tau = tauPct / 100.0
+    // Screen threshold: the cheap signature estimate 2.5σ below tau
     // (σ = sqrt(τ(1-τ)/n), computed from the ACTUAL signature width —
     // at n=64, τ=0.51 this is the 16-point margin): band collisions from
     // a template-heavy corpus produce masses of sub-threshold pairs, and
     // the estimate rejects them without touching the shingle sets. Only
     // survivors pay for the exact intersect.
-    val tau = tauPct / 100.0
     val marginPts = math.ceil(2.5 * math.sqrt(tau * (1 - tau) / numHashes) * 100).toInt
-    val sigs = featurized.select(col(idCol), col("sig"))
+    val minAgree = math.max(tauPct - marginPts, 0)
+    // replica collapse: one row per unique text (min id = representative;
+    // first(text) is value-deterministic — all texts in a group are equal)
+    val uniq = docs
+      .groupBy(xxhash64(col(textCol)).as("__ch"))
+      .agg(min(col(idCol)).as("__rid"), first(col(textCol)).as("__text"),
+        count(lit(1L)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // id → representative map, for the pair expansion
+    val memb = docs
+      .select(col(idCol).as("__mid"), xxhash64(col(textCol)).as("__ch"))
+      .join(uniq.select(col("__ch"), col("__rid")), "__ch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // featurize once per unique text with the fused kernel: sorted hashed
+    // shingle set (also the verification representation) + its signature
+    val featurized = minhashFeaturize(
+        uniq.select(col("__rid"), col("__text")), "__rid", "__text", shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(featurized, "__rid", "sig", bands, numHashes / bands)
+    val sigs = featurized.select(col("__rid"), col("sig"))
     val screened = cands
       .join(sigs.toDF("sid_a", "sig_a"), col("id_a") === col("sid_a"))
       .join(sigs.toDF("sid_b", "sig_b"), col("id_b") === col("sid_b"))
-      .where(sigAgreementPct(col("sig_a"), col("sig_b"), numHashes) >=
-        lit(math.max(tauPct - marginPts, 0)))
+      .where(sigAgreementPct(col("sig_a"), col("sig_b"), numHashes) >= lit(minAgree))
       .select(col("id_a"), col("id_b"))
-    val sh = featurized.select(col(idCol), col("sh"))
-    val result = screened
+    val sh = featurized.select(col("__rid"), col("sh"))
+    val repPairs = screened
       .join(sh.toDF("jid_a", "sh_a"), col("id_a") === col("jid_a"))
       .join(sh.toDF("jid_b", "sh_b"), col("id_b") === col("jid_b"))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
@@ -207,7 +237,42 @@ object Dedup {
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
-    materializeAndRelease(result, featurized, materialize)
+    // distinct-text pairs → member pairs (each rep pair expands exactly
+    // once per member combination; member ids of different groups may
+    // interleave, hence the least/greatest re-ordering)
+    val cross = repPairs
+      .join(memb.select(col("__rid").as("id_a"), col("__mid").as("__ma")), "id_a")
+      .join(memb.select(col("__rid").as("id_b"), col("__mid").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // within-group pairs: qualify the representative against ITSELF with
+    // the same screen + verify expressions (identical sorted sets → inter
+    // = |sh|, uni = |sh| → jaccard 1.0; null features screen out; empty
+    // sets pass 0 >= 0 with 0/0 → null jaccard — all exactly as the
+    // uncollapsed cascade behaves for a replica pair), then fan out to
+    // every member combination of the group
+    val selfQ = featurized
+      .join(uniq.where(col("__n") > 1).select(col("__rid")), "__rid")
+      .where(sigAgreementPct(col("sig"), col("sig"), numHashes) >= lit(minAgree))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh"), col("sh")))
+      .withColumn("uni", size(col("sh")) * 2 - col("inter"))
+      .where(col("inter") * 100 >= col("uni") * tauPct)
+      .select(col("__rid"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    val within = selfQ
+      .join(memb.select(col("__rid"), col("__mid").as("__ma")), "__rid")
+      .join(memb.select(col("__rid"), col("__mid").as("__mb")), "__rid")
+      .where(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"), col("jaccard"))
+    val result = cross.unionByName(within)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      featurized.unpersist(blocking = false)
+      memb.unpersist(blocking = false)
+      uniq.unpersist(blocking = false)
+      out
+    }
   }
 
   /** EXACT Jaccard near-dup self-join at tauPct/100 via AllPairs prefix
