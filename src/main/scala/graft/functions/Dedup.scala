@@ -136,30 +136,52 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val bf = minhashFeaturize(batch, idCol, textCol, shingleK, numHashes)
+    // Exact replicas in the arriving batch are collapsed before the
+    // cascade (same design as [[minhashNearDupPairs]]): identical texts
+    // share every feature, so band/screen/verify runs once per unique
+    // batch text and matches fan back out to member ids at the end.
+    // Batch-vs-index only — within-batch pairs are out of contract here.
+    val uniq = batch
+      .groupBy(xxhash64(col(textCol)).as("__ch"))
+      .agg(min(col(idCol)).as("__rid"), first(col(textCol)).as("__text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshBands(bf, idCol, "sig", bands, rowsPerBand)
-      .toDF(idCol, "band", "band_hash")
+    val memb = batch
+      .select(col(idCol).as("__mid"), xxhash64(col(textCol)).as("__ch"))
+      .join(uniq.select(col("__ch"), col("__rid")), "__ch")
+    val bf = minhashFeaturize(
+        uniq.select(col("__rid"), col("__text")), "__rid", "__text", shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshBands(bf, "__rid", "sig", bands, rowsPerBand)
+      .toDF("__rid", "band", "band_hash")
       .join(lshBands(index, idCol, "sig", bands, rowsPerBand)
         .toDF("corpus_id", "band", "band_hash"), Seq("band", "band_hash"))
-      .select(col(idCol), col("corpus_id")).distinct()
+      .select(col("__rid"), col("corpus_id")).distinct()
     val tau = tauPct / 100.0
     val marginPts = math.ceil(2.5 * math.sqrt(tau * (1 - tau) / numHashes) * 100).toInt
     val screened = cands
-      .join(bf.select(col(idCol), col("sig").as("sig_b")), idCol)
+      .join(bf.select(col("__rid"), col("sig").as("sig_b")), "__rid")
       .join(index.select(col(idCol).as("corpus_id"), col("sig").as("sig_i")), "corpus_id")
       .where(sigAgreementPct(col("sig_b"), col("sig_i"), numHashes) >=
         lit(math.max(tauPct - marginPts, 0)))
-      .select(col(idCol), col("corpus_id"))
-    val result = screened
-      .join(bf.select(col(idCol), col("sh").as("sh_b")), idCol)
+      .select(col("__rid"), col("corpus_id"))
+    val repMatches = screened
+      .join(bf.select(col("__rid"), col("sh").as("sh_b")), "__rid")
       .join(index.select(col(idCol).as("corpus_id"), col("sh").as("sh_i")), "corpus_id")
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_b"), col("sh_i")))
       .withColumn("uni", size(col("sh_b")) + size(col("sh_i")) - col("inter"))
       .where(col("inter") * 100 >= col("uni") * tauPct)
-      .select(col(idCol), col("corpus_id"),
+      .select(col("__rid"), col("corpus_id"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
-    materializeAndRelease(result, bf, materialize)
+    val result = repMatches
+      .join(memb.select(col("__rid"), col("__mid")), "__rid")
+      .select(col("__mid").as(idCol), col("corpus_id"), col("jaccard"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      bf.unpersist(blocking = false)
+      uniq.unpersist(blocking = false)
+      out
+    }
   }
 
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
