@@ -22,7 +22,7 @@ object Ivf {
 
   /** Squared L2 distance between two array columns (KMeans assigns by
     * euclidean distance, so probe ranking must match its metric). */
-  private def sqDist(a: Column, b: Column): Column =
+  private[functions] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)

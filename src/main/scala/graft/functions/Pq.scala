@@ -54,14 +54,28 @@ object Pq {
     * available centroids so encoding stays total. */
   def train(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L, trainFraction: Double = 1.0, maxIter: Int = 10,
-      maxTrainRows: Int = 1 << 16): Codebooks = {
+      maxTrainRows: Int = 1 << 16): Codebooks =
+    trainLocal(collectSample(corpus, vecCol, trainFraction, seed, maxTrainRows),
+      m, ksub, seed, maxIter)
+
+  /** The ONE distributed job of PQ training: a bounded sample of the
+    * vector column as driver-local arrays (see [[train]]'s scale
+    * contract). Exposed so compositions ([[IvfPq]]) can train several
+    * quantizers from a single sampling pass. */
+  private[functions] def collectSample(corpus: DataFrame, vecCol: String,
+      trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] =
+    (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
+     else corpus)
+      .select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+
+  /** Deterministic local codebook fit over an already-collected sample
+    * (k-means++ + Lloyd per subspace — the non-distributed half of
+    * [[train]]). */
+  private[functions] def trainLocal(sampled: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long, maxIter: Int): Codebooks = {
     require(m > 0 && ksub > 1, s"need m > 0 subspaces and ksub > 1 centroids, got $m/$ksub")
-    val sampled =
-      (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
-       else corpus)
-        .select(col(vecCol)).where(col(vecCol).isNotNull)
-        .limit(maxTrainRows).collect()
-        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
     require(sampled.nonEmpty, "empty training sample")
     val dim = sampled(0).length
     require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")

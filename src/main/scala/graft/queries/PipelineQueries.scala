@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, Multimodal => MM, Pq, Similarity, TextFunctions => TF}
+import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, IvfPq, Multimodal => MM, Pq, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1060,6 +1060,47 @@ object PipelineQueries {
           (col("avg_recon") > 0.5).as("recon_ok"))
     }),
 
+    // IVFADC (Jégou et al. 2011 §IV): coarse cells route queries, PQ
+    // codes of the CELL RESIDUAL answer them — the billion-vector
+    // composition where both the scanned fraction (nProbe/nLists) and
+    // the per-candidate cost (m lookups over 32×-compressed codes) are
+    // cut at once. Oracle-VISIBLE like sim_pq: planted clones must come
+    // back at rank 1 (identical vector → same cell, same codes → its
+    // ADC distance is the query's own residual quantization error); the
+    // probed cells must cover a strict minority of (query, cell) space
+    // (the pruning IVF exists for — deterministic under the fixed seed);
+    // brute-force top-5 anchors the row to DuckDB-recomputable values.
+    "sim_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val aug = emb
+        .union(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint(true) // read by train, encode and brute force
+      val ix = IvfPq.train(aug, "embedding", nLists = 16, m = 8, ksub = 16, seed = 42L)
+      val index = IvfPq.encodeIndex(aug, "vec_id", "embedding", ix)
+        .localCheckpoint(true) // read by the search and the cell sizes
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val knn = IvfPq.search(index, "vec_id", ix, q, "qid", "qvec", k = 5, nProbe = 4)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+        .localCheckpoint(true) // tiny top-k
+      val bf = Similarity.bruteForceKnn(aug, "vec_id", "embedding",
+          q, "qid", "qvec", 5)
+        .select(col("qid"), col("vec_id").as("nid"), col("cos"))
+      val scanned = IvfPq.probedLists(ix, q, "qid", "qvec", nProbe = 4)
+        .join(index.groupBy("list").agg(count(lit(1L)).as("n")), "list")
+        .agg(sum("n").as("n_scanned"))
+      bf.agg(count(lit(1L)).as("n_bf"), min(col("cos")).as("bf_min_cos"))
+        .crossJoin(q.agg(count(lit(1L)).as("n_queries")))
+        .crossJoin(aug.agg(count(lit(1L)).as("n_corpus")))
+        .crossJoin(knn.where(col("nid") === col("qid") + 1000000L && col("rank") === 1)
+          .agg(count(lit(1L)).as("n_clone_top")))
+        .crossJoin(scanned)
+        .select(col("n_bf"), col("bf_min_cos"), col("n_queries"), col("n_corpus"),
+          (col("n_clone_top") === col("n_queries")).as("clones_rank1_ok"),
+          (col("n_scanned") * 2 < col("n_queries") * col("n_corpus")).as("pruning_ok"))
+    }),
+
     // LSH-bucketed approximate NN self-join (8 hyperplanes, 8 tables,
     // dense buckets capped). Made oracle-VISIBLE on the vec_id<500 audit
     // slice with planted clones (every vec_id%100<2 duplicated at
@@ -1907,6 +1948,26 @@ object PipelineQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_bf, min(cos) AS bf_min_cos,
         | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
         | true AS clones_rank1_ok, true AS recon_ok
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // brute-force anchors recomputed from raw vectors; the IVFADC
+    // verdicts (clone-at-rank-1, probed-cell pruning) must hold in-row
+    "sim_ivfpq" ->
+      """WITH aug AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        | WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM aug WHERE qid < 5),
+        |r AS (SELECT q.qid, aug.vec_id,
+        |  round(list_cosine_similarity(aug.v, q.qv), 4) AS cos,
+        |  row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(aug.v, q.qv), 4) DESC, aug.vec_id) AS rank
+        | FROM aug, q WHERE aug.vec_id != q.qid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bf, min(cos) AS bf_min_cos,
+        | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
+        | (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n_corpus,
+        | true AS clones_rank1_ok, true AS pruning_ok
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "sim_ann" ->

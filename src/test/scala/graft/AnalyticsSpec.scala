@@ -314,6 +314,62 @@ class AnalyticsSpec extends SparkSuite {
     assert(top == 1000000L, s"clone of query 0 must be rank 1, got $top")
   }
 
+  test("IVFADC: index shapes, distance identity, cell pruning, clone retrieval") {
+    import graft.functions.{IvfPq, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ix = IvfPq.train(emb, "embedding", nLists = 8, m = 8, ksub = 16, seed = 42L)
+    assert(ix.nLists == 8 && ix.fine.m == 8 && ix.fine.ksub == 16)
+    val index = IvfPq.encodeIndex(emb, "vec_id", "embedding", ix)
+      .localCheckpoint(true)
+    val rows = index.collect()
+    assert(rows.forall { r =>
+      val l = r.getInt(1); val cs = r.getSeq[Int](2)
+      l >= 0 && l < 8 && cs.length == 8 && cs.forall(t => t >= 0 && t < 16)
+    })
+    assert(index.select("list").distinct().count() > 1,
+      "coarse quantizer collapsed to one cell")
+    // IVFADC distance identity: the reported dist of every candidate is
+    // exactly ||(q − cell centroid) − decode(codes)||² — the asymmetric
+    // distance the table lookups are defined to compute
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val knn = IvfPq.search(index, "vec_id", ix, q, "qid", "qvec", k = 5,
+      nProbe = 8, scoreDp = 9) // all cells probed: identity must hold corpus-wide
+    val dim = ix.coarse.dsub
+    val cent = (0 until 8).map(t =>
+      (t, (0 until dim).map(c => ix.coarse.flat(t * dim + c).toDouble).toArray))
+      .toDF("list", "cvec")
+    val direct = knn
+      .join(index.toDF("vec_id", "list", "codes"), "vec_id")
+      .join(q, "qid").join(cent, "list")
+      .select(col("dist"),
+        aggregate(zip_with(
+          zip_with(col("qvec"), col("cvec"), (x, c) => x.cast("double") - c),
+          Pq.decode(col("codes"), ix.fine),
+          (r, d) => { val e = r - d.cast("double"); e * e }),
+          lit(0.0), (acc, x) => acc + x).as("expect"))
+    val maxErr = direct.select(max(abs(col("dist") - col("expect")))).head().getDouble(0)
+    assert(maxErr < 1e-6, s"ADC-over-residual distance identity broken: $maxErr")
+    // pruning: with nProbe=2 of 8 cells, the probe set covers a strict
+    // minority of (query, cell) space
+    val probed = IvfPq.probedLists(ix, q, "qid", "qvec", nProbe = 2)
+    val sizes = index.groupBy("list").agg(count(lit(1L)).as("n"))
+    val scanned = probed.join(sizes, "list").agg(sum("n")).head().getLong(0)
+    val total = 3L * emb.count()
+    assert(scanned * 2 < total, s"probing 2/8 cells scanned $scanned of $total")
+    // planted clones: identical vector → same cell, same codes → its ADC
+    // distance is the query's own residual quantization error → rank 1
+    val aug = emb.union(emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val top = IvfPq.ivfPqKnn(aug, "vec_id", "embedding", q, "qid", "qvec",
+        k = 3, nLists = 8, nProbe = 2, seed = 42L)
+      .where(col("rank") === 1)
+      .select(col("qid"), col("vec_id")).collect()
+    assert(top.forall(r => r.getLong(1) == r.getLong(0) + 1000000L),
+      s"every query's clone must be rank 1: ${top.mkString(",")}")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
