@@ -370,6 +370,27 @@ class AnalyticsSpec extends SparkSuite {
       s"every query's clone must be rank 1: ${top.mkString(",")}")
   }
 
+  test("IVFADC index survives a list-partitioned parquet round trip") {
+    import graft.functions.IvfPq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ix = IvfPq.train(emb, "embedding", nLists = 8, m = 8, ksub = 16, seed = 42L)
+    // the persistable-index protocol: write the codes parquet partitioned
+    // by cell (so a probe only reads its cells' files), read it back, and
+    // search must return exactly what the in-session index returns
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_ix").toFile.getAbsolutePath
+    IvfPq.encodeIndex(emb, "vec_id", "embedding", ix)
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val direct = IvfPq.search(IvfPq.encodeIndex(emb, "vec_id", "embedding", ix),
+      "vec_id", ix, q, "qid", "qvec", k = 5, nProbe = 4)
+    val viaParquet = IvfPq.search(spark.read.parquet(dir),
+      "vec_id", ix, q, "qid", "qvec", k = 5, nProbe = 4)
+    assert(viaParquet.except(direct).isEmpty && direct.except(viaParquet).isEmpty,
+      "parquet round-tripped index changed the search result")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
