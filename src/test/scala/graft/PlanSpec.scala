@@ -104,6 +104,26 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("IVFADC search: broadcast hash join on list id — index codes never shuffle") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val ix = graft.functions.IvfPq.train(emb, "embedding", nLists = 8, seed = 42L)
+    val index = graft.functions.IvfPq.encodeIndex(emb, "vec_id", "embedding", ix)
+    val q0 = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = plan(graft.functions.IvfPq.search(index, "vec_id", ix,
+      q0, "qid", "qvec", k = 5, nProbe = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe tables must broadcast onto the index scan:\n$p")
+    // exactly TWO shuffle exchanges are allowed — the probe-rank window
+    // (tiny: queries × nLists rows) and the final top-k window (qid, id,
+    // dist triples). An index-side shuffle would add a third.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"expected probe-rank + top-k shuffles only, found $shuffles:\n$p")
+  }
+
   test("q_asof has no join operator — union + window, not a range-join explosion") {
     val p = plan(q("q_asof"))
     assert(!p.contains("Join"), s"as-of degraded to a join (range joins explode at scale):\n$p")
