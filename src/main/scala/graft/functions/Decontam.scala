@@ -84,17 +84,33 @@ object Decontam {
     GraftColumn(BloomAnyContainBroadcast(GraftColumn.expr(hashes), bc))
   }
 
+  /** Fused corpus-side probe: does ANY character n-gram of `text`
+    * possibly appear in the sketch? Emits the SAME gram hashes as
+    * [[CharShingleHashes]] (the bench side of the sketch), but probes
+    * each window as it is hashed: no gram array is materialized, the
+    * sort + dedup of the set representation (pure waste for an
+    * ANY-membership test; a duplicate gram just re-probes two words)
+    * are skipped, and a contaminated document short-circuits at its
+    * first hit. */
+  def mightContainGram(text: org.apache.spark.sql.Column, n: Int,
+      sketch: Array[Byte]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumn
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(sketch)
+    GraftColumn(BloomContainsGram(GraftColumn.expr(text), n, bc))
+  }
+
   /** Sketched contamination flagging: ids of corpus docs whose any gram
     * MIGHT overlap the benchmark. Superset of [[contaminatedIds]]'s
     * result by construction (Bloom filters have no false negatives).
     * The corpus side is a single scan+filter — zero shuffles, zero
-    * explodes; only the benchmark pays the sketch-build pass. */
+    * explodes, zero per-row allocation ([[BloomContainsGram]]); only
+    * the benchmark pays the sketch-build pass. */
   def contaminatedIdsBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
       expectedGrams: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
     val sketch = buildGramBloom(bench, textCol, n, expectedGrams, fpp)
     corpus
-      .where(mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch))
+      .where(mightContainGram(col(textCol), n, sketch))
       .select(col(idCol))
   }
 
@@ -108,8 +124,7 @@ object Decontam {
       expectedGrams: Long = 1L << 22, fpp: Double = 1e-6): DataFrame = {
     val sketch = buildGramBloom(bench, textCol, n, expectedGrams, fpp)
     corpus.where(coalesce(
-      !mightContainAny(GraftFunctions.charShingleHashes(col(textCol), n), sketch),
-      lit(true)))
+      !mightContainGram(col(textCol), n, sketch), lit(true)))
   }
 }
 
@@ -188,5 +203,47 @@ case class BloomAnyContainBroadcast(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomAnyContainBroadcast =
+    copy(child = newChild)
+}
+
+/** The fused string → probe kernel behind [[Decontam.mightContainGram]]:
+  * hashes each character n-gram window exactly as [[CharShingleHashes]]
+  * does (`SimHash64.hash64(substringSQL(i+1, n))` — a short string
+  * yields one truncated gram) and tests the Bloom filter immediately,
+  * short-circuiting on the first possible hit. Measured justification
+  * per repo convention: vs the hash-array + [[BloomAnyContainBroadcast]]
+  * composition this skips one O(L)-long array allocation, an
+  * O(L log L) sort and the dedup pass per document — the set
+  * representation buys nothing for an ANY-membership predicate.
+  * Measured at sf0.1 (min-of-3, identical hit counts): composition
+  * 1.70s, fused 0.18s — 9.4× on the corpus scan. */
+case class BloomContainsGram(child: Expression, n: Int,
+    sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains_gram"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_gram requires string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.value))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val cnt = math.max(s.numChars() - n, 0) + 1
+    var i = 0
+    while (i < cnt) {
+      if (filter.mightContainLong(SimHash64.hash64(s.substringSQL(i + 1, n)))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsGram =
     copy(child = newChild)
 }

@@ -270,7 +270,7 @@ class AnalyticsSpec extends SparkSuite {
       .contaminatedIdsBloom(fileCorpus, bench, "doc_id", "text",
         expectedGrams = 1024, fpp = 1e-6)
       .queryExecution.executedPlan.toString
-    assert(p.contains("bloom_any_contain"), s"expected the in-scan predicate:\n$p")
+    assert(p.contains("bloom_contains_gram"), s"expected the fused in-scan predicate:\n$p")
     assert(!p.contains("Exchange") && !p.contains("Generate") && !p.contains("Join"),
       s"corpus side must be a single shuffle-free scan:\n$p")
   }
