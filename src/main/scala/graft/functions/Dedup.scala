@@ -81,12 +81,12 @@ object Dedup {
     * featurization cache: result consumption keeps using the cache, and
     * the caller clears it (`spark.catalog.clearCache()` or unpersist via
     * the plan) when done. */
-  private def materializeAndRelease(result: DataFrame, featurized: DataFrame,
-      materialize: Boolean): DataFrame =
+  private[functions] def materializeAndRelease(result: DataFrame,
+      materialize: Boolean, caches: DataFrame*): DataFrame =
     if (!materialize) result
     else {
-      val out = result.localCheckpoint(true) // one job, featurization cached during it
-      featurized.unpersist(blocking = false)
+      val out = result.localCheckpoint(true) // one job, caches live during it
+      caches.foreach(_.unpersist(blocking = false))
       out
     }
 
@@ -137,19 +137,20 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
     // Exact replicas in the arriving batch are collapsed before the
-    // cascade (same design as [[minhashNearDupPairs]]): identical texts
-    // share every feature, so band/screen/verify runs once per unique
-    // batch text and matches fan back out to member ids at the end.
-    // Batch-vs-index only — within-batch pairs are out of contract here.
-    val uniq = batch
-      .groupBy(xxhash64(col(textCol)).as("__ch"))
-      .agg(min(col(idCol)).as("__rid"), first(col(textCol)).as("__text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val memb = batch
+    // cascade (same design as [[minhashNearDupPairs]], including the
+    // narrow-projection protocol — text is never grouped or cached):
+    // identical texts share every feature, so band/screen/verify runs
+    // once per unique batch text and matches fan back out to member ids
+    // at the end. Batch-vs-index only — within-batch pairs are out of
+    // contract here.
+    val hashed = batch
       .select(col(idCol).as("__mid"), xxhash64(col(textCol)).as("__ch"))
-      .join(uniq.select(col("__ch"), col("__rid")), "__ch")
-    val bf = minhashFeaturize(
-        uniq.select(col("__rid"), col("__text")), "__rid", "__text", shingleK, numHashes)
+    val slim = hashed.groupBy("__ch").agg(min(col("__mid")).as("__rid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = hashed.join(slim.select(col("__ch"), col("__rid")), "__ch")
+    val repDocs = batch.select(col(idCol).as("__rid"), col(textCol).as("__text"))
+      .join(slim.select(col("__rid")), Seq("__rid"), "left_semi")
+    val bf = minhashFeaturize(repDocs, "__rid", "__text", shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshBands(bf, "__rid", "sig", bands, rowsPerBand)
       .toDF("__rid", "band", "band_hash")
@@ -175,13 +176,7 @@ object Dedup {
     val result = repMatches
       .join(memb.select(col("__rid"), col("__mid")), "__rid")
       .select(col("__mid").as(idCol), col("corpus_id"), col("jaccard"))
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      bf.unpersist(blocking = false)
-      uniq.unpersist(blocking = false)
-      out
-    }
+    materializeAndRelease(result, materialize, bf, slim)
   }
 
   /** End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard at
@@ -207,10 +202,13 @@ object Dedup {
     * ONCE and shared by all downstream uses (both sides of the band
     * self-join, both sides of the verification join, the self-pair
     * qualifier) — without the cache barrier, Spark would recompute
-    * shingling + signatures per join side. At corpus scale this is the
-    * standard shape: one exact-dedup shuffle, one featurization pass
-    * materialized, then shuffles only on compact band keys and id pairs.
-    * Cache lifecycle per [[materializeAndRelease]]. */
+    * shingling + signatures per join side. The collapse itself rides the
+    * NARROW (id, content-hash) projection: grouping, counting and the
+    * member map shuffle 16-byte rows, text reaches only the one
+    * rep-recovery semi-join feeding the featurization scan, and nothing
+    * cached ever holds a text column. At corpus scale this is the
+    * standard shape: compact-key shuffles plus one materialized
+    * featurization pass. Cache lifecycle per [[materializeAndRelease]]. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
@@ -226,22 +224,23 @@ object Dedup {
     // survivors pay for the exact intersect.
     val marginPts = math.ceil(2.5 * math.sqrt(tau * (1 - tau) / numHashes) * 100).toInt
     val minAgree = math.max(tauPct - marginPts, 0)
-    // replica collapse: one row per unique text (min id = representative;
-    // first(text) is value-deterministic — all texts in a group are equal)
-    val uniq = docs
-      .groupBy(xxhash64(col(textCol)).as("__ch"))
-      .agg(min(col(idCol)).as("__rid"), first(col(textCol)).as("__text"),
-        count(lit(1L)).as("__n"))
+    // replica collapse over the narrow (id, content-hash) projection:
+    // one group row per unique text (min id = representative), member
+    // map by hash join, and the representatives' text recovered with a
+    // semi-join on the min id — text never enters a groupBy or a cache
+    val hashed = docs
+      .select(col(idCol).as("__mid"), xxhash64(col(textCol)).as("__ch"))
+    val slim = hashed.groupBy("__ch")
+      .agg(min(col("__mid")).as("__rid"), count(lit(1L)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // id → representative map, for the pair expansion
-    val memb = docs
-      .select(col(idCol).as("__mid"), xxhash64(col(textCol)).as("__ch"))
-      .join(uniq.select(col("__ch"), col("__rid")), "__ch")
+    val memb = hashed.join(slim.select(col("__ch"), col("__rid")), "__ch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDocs = docs.select(col(idCol).as("__rid"), col(textCol).as("__text"))
+      .join(slim.select(col("__rid")), Seq("__rid"), "left_semi")
     // featurize once per unique text with the fused kernel: sorted hashed
     // shingle set (also the verification representation) + its signature
-    val featurized = minhashFeaturize(
-        uniq.select(col("__rid"), col("__text")), "__rid", "__text", shingleK, numHashes)
+    val featurized = minhashFeaturize(repDocs, "__rid", "__text", shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(featurized, "__rid", "sig", bands, numHashes / bands)
     val sigs = featurized.select(col("__rid"), col("sig"))
@@ -268,13 +267,15 @@ object Dedup {
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
     // within-group pairs: qualify the representative against ITSELF with
-    // the same screen + verify expressions (identical sorted sets → inter
-    // = |sh|, uni = |sh| → jaccard 1.0; null features screen out; empty
-    // sets pass 0 >= 0 with 0/0 → null jaccard — all exactly as the
-    // uncollapsed cascade behaves for a replica pair), then fan out to
-    // every member combination of the group
+    // the same screen + verify expressions (identical sorted sets →
+    // inter = |sh|, uni = |sh| → jaccard 1.0; a null text nulls its
+    // features and screens out; an empty text still yields one truncated
+    // gram — CharShingleHashes emits max(len−k,0)+1 windows — so empty
+    // replicas verify as inter = uni = 1, jaccard 1.0 — all exactly as
+    // the uncollapsed cascade behaves for a replica pair), then fan out
+    // to every member combination of the group
     val selfQ = featurized
-      .join(uniq.where(col("__n") > 1).select(col("__rid")), "__rid")
+      .join(slim.where(col("__n") > 1).select(col("__rid")), "__rid")
       .where(sigAgreementPct(col("sig"), col("sig"), numHashes) >= lit(minAgree))
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh"), col("sh")))
       .withColumn("uni", size(col("sh")) * 2 - col("inter"))
@@ -287,14 +288,7 @@ object Dedup {
       .where(col("__ma") < col("__mb"))
       .select(col("__ma").as("id_a"), col("__mb").as("id_b"), col("jaccard"))
     val result = cross.unionByName(within)
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      featurized.unpersist(blocking = false)
-      memb.unpersist(blocking = false)
-      uniq.unpersist(blocking = false)
-      out
-    }
+    materializeAndRelease(result, materialize, featurized, memb, slim)
   }
 
   /** EXACT Jaccard near-dup self-join at tauPct/100 via AllPairs prefix
@@ -348,7 +342,7 @@ object Dedup {
       .where(col("inter") * 100 >= col("uni") * tauPct)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
-    materializeAndRelease(result, sh, materialize)
+    materializeAndRelease(result, materialize, sh)
   }
 
   /** Exact duplicate groups by full-content hash: (hash, n, canonical id =

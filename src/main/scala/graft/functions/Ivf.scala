@@ -54,10 +54,14 @@ object Ivf {
 
     val sampled = Pq.collectSample(corpus, vecCol, trainFraction, seed, maxTrainRows)
     // a 1-subspace PQ codebook IS a coarse quantizer: ksub centroids
-    // over the whole vector, in-scan argmin assignment
+    // over the whole vector, in-scan argmin assignment. Null / wrong-
+    // dimension vectors assign to a null cell and are excluded here
+    // (PqEncode's null contract — same as IvfPq.encodeIndex): an
+    // unsearchable vector must not ride along as a null-keyed group.
     val coarse = Pq.trainLocal(sampled, m = 1, ksub = nLists, seed = seed, maxIter = 5)
     val assigned = corpus.select(col(idCol), col(vecCol),
       element_at(Pq.encode(col(vecCol), coarse), 1).as("__list"))
+      .where(col("__list").isNotNull)
 
     // centroids as data (tiny: nLists rows), broadcast into the probe rank
     val dim = coarse.dsub

@@ -70,7 +70,13 @@ object IvfPq {
   }
 
   /** Encode the corpus as the persistable index: (`idCol`, `list` int,
-    * `codes` array<int> of the residual's PQ codes) — all in-scan. */
+    * `codes` array<int> of the residual's PQ codes) — all in-scan.
+    *
+    * Rows whose vector is null or has the wrong dimension are EXCLUDED
+    * (PqEncode's null contract): an unsearchable vector must not land in
+    * the index as a `list = null` partition that no probe can ever
+    * reach. Callers that must account for every input row compare
+    * `corpus.count()` with the index count. */
   def encodeIndex(corpus: DataFrame, idCol: String, vecCol: String,
       ix: Index): DataFrame = {
     val coarseCodes = Pq.encode(col(vecCol), ix.coarse)
@@ -80,6 +86,7 @@ object IvfPq {
     corpus.select(col(idCol),
       element_at(coarseCodes, 1).as("list"),
       Pq.encode(residual, ix.fine).as("codes"))
+      .where(col("list").isNotNull)
   }
 
   /** Per-query probe selection: (`qidCol`, `list`, `__centroid`) — the

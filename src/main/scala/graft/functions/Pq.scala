@@ -60,13 +60,22 @@ object Pq {
 
   /** The ONE distributed job of PQ training: a bounded sample of the
     * vector column as driver-local arrays (see [[train]]'s scale
-    * contract). Exposed so compositions ([[IvfPq]]) can train several
-    * quantizers from a single sampling pass. */
+    * contract). Exposed so compositions ([[IvfPq]], [[Ivf]]) can train
+    * several quantizers from a single sampling pass.
+    *
+    * The bound is enforced by a seeded `orderBy(rand).limit` — a
+    * TakeOrdered (per-partition top-n heaps merged at the driver, one
+    * pass, no full sort), NOT a bare `limit`: a bare limit takes the
+    * first partitions' rows, and on a corpus physically ordered by
+    * source/topic (the normal post-ingest layout) that prefix would
+    * train centroids on one region of the distribution — a silent
+    * recall collapse no small-SF test can catch. */
   private[functions] def collectSample(corpus: DataFrame, vecCol: String,
       trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] =
     (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
      else corpus)
       .select(col(vecCol)).where(col(vecCol).isNotNull)
+      .orderBy(rand(seed))
       .limit(maxTrainRows).collect()
       .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
 

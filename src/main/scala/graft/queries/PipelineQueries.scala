@@ -988,7 +988,8 @@ object PipelineQueries {
         .orderBy("qid", "rank")
     }),
 
-    // IVF kNN: KMeans-cell index, probe the 4 nearest of 16 cells per
+    // IVF kNN: Voronoi-cell index (bounded-sample local k-means++, the
+    // same one-sampling-job protocol as PQ), probe the 4 nearest of 16 cells per
     // query. Made oracle-VISIBLE: the corpus carries a planted clone of
     // every query vector (identical embedding ⇒ same cell ⇒ must be
     // retrieved at rank 1 — the retrieval regime the index exists for),
@@ -996,7 +997,7 @@ object PipelineQueries {
     // augmented corpus (DuckDB recomputes its count and min cosine). Two
     // verdicts: every planted clone found, and overall recall@5 at least
     // double the 25% random-probe baseline (nProbe/nLists = 4/16) —
-    // KMeans locality must actually buy something.
+    // the Voronoi-cell locality must actually buy something.
     "sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val aug = emb
