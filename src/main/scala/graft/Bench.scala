@@ -119,8 +119,11 @@ object Bench {
           val bigPairs = graft.functions.Dedup.minhashNearDupPairs(big, "doc_id", "text")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val tc0 = System.nanoTime()
+          // localEdgeLimit = 0: this block MEASURES the distributed
+          // doubling loop — the in-driver union-find gate would otherwise
+          // absorb these graphs and the timing would prove nothing
           val (cc10, b10) = graft.functions.Clusters
-            .connectedComponentsStats(bigPairs, "id_a", "id_b")
+            .connectedComponentsStats(bigPairs, "id_a", "id_b", localEdgeLimit = 0)
           val nNodes = cc10.count()
           val tcc = (System.nanoTime() - tc0) / 1e9
           // 100× pair-graph stress (~2.5M edges): replicate the
@@ -133,7 +136,7 @@ object Bench {
             (col("id_b") + lit(j * 1000000000L)).as("id_b"))).reduce(_ union _)
           val tcx0 = System.nanoTime()
           val (cc100, b100) = graft.functions.Clusters
-            .connectedComponentsStats(pairs100, "id_a", "id_b")
+            .connectedComponentsStats(pairs100, "id_a", "id_b", localEdgeLimit = 0)
           val nNodes100 = cc100.count()
           val tcc100 = (System.nanoTime() - tcx0) / 1e9
           bigPairs.unpersist(blocking = false)

@@ -36,24 +36,44 @@ object Clusters {
     * makes that a data-scale red flag, not a tuning knob: the default
     * 25 rounds cover components of diameter far beyond 2^20.
     *
-    * Round cost: one checkpointed job over the fused propagate+compress
-    * plan (the intra-round intermediate is persisted so its self-join
-    * computes it once) plus a trivial aggregate over the now-cached
-    * labels for the convergence check. The check exploits monotonicity
-    * instead of a join: labels only ever DECREASE, so any change
-    * strictly lowers sum(lbl) — equal decimal sums across rounds ⟺
-    * converged. The first propagate round is fused into initialization
-    * (lbl₀ = min(id, min neighbor)), saving a full round. */
+    * SIZE GATE: a pair graph at or below `localEdgeLimit` edges (default
+    * 2^20 — ~50 MB of driver heap, the same bounded-driver-artifact
+    * protocol as the PQ training sample) is resolved by an in-driver
+    * union-find after ONE count + ONE collect, instead of the 6+
+    * checkpointed join jobs the distributed loop costs at minimum. This
+    * is the common case by construction: dedup pair lists are
+    * output-sensitive and orders of magnitude smaller than the corpus,
+    * and the Dedup APIs hand them over already materialized, so the
+    * count is a cached scan. Above the limit — or with
+    * `localEdgeLimit = 0`, which the scale bench uses to keep its
+    * distributed-path measurement honest — the doubling loop runs
+    * unchanged. Both paths produce identical labels (min reachable id).
+    *
+    * Distributed round cost: one checkpointed job over the fused
+    * propagate+compress plan (the intra-round intermediate is persisted
+    * so its self-join computes it once) plus a trivial aggregate over
+    * the now-cached labels for the convergence check. The check exploits
+    * monotonicity instead of a join: labels only ever DECREASE, so any
+    * change strictly lowers sum(lbl) — equal decimal sums across rounds
+    * ⟺ converged. The first propagate round is fused into
+    * initialization (lbl₀ = min(id, min neighbor)), saving a full
+    * round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame =
-    connectedComponentsStats(pairs, aCol, bCol, maxIter)._1
+      maxIter: Int = 25, localEdgeLimit: Long = 1L << 20): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIter, localEdgeLimit)._1
 
   /** [[connectedComponents]] plus the number of materialized BATCHES the
-    * loop ran (two doubling rounds each) — the scale bench logs it to
-    * prove logarithmic-round convergence on stress graphs. */
+    * loop ran (two doubling rounds each; 0 = resolved by the in-driver
+    * union-find) — the scale bench logs it to prove logarithmic-round
+    * convergence on stress graphs. */
   def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25, localEdgeLimit: Long = 1L << 20): (DataFrame, Int) = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // the probe limit reads just past the threshold and stops — on a
+    // graph far above the limit this never scans the whole edge list
+    val probe = math.min(localEdgeLimit + 1, Int.MaxValue.toLong).toInt
+    if (localEdgeLimit > 0 && e0.limit(probe).count() <= localEdgeLimit)
+      return (localUnionFind(pairs.sparkSession, e0), 0)
     // no distinct(): every pair operator emits unique (a<b) pairs, and a
     // duplicate edge is harmless to min-propagation anyway — deduping
     // would cost a full shuffle of the edge list per call
@@ -114,6 +134,39 @@ object Clusters {
           "doubling this indicates a component of astronomically large " +
           "diameter or corrupt input")
     (labels.select(col("id"), col("lbl").as("component")), batches)
+  }
+
+  /** In-driver resolution of a bounded pair graph: union-find with path
+    * compression and union-by-min-root, so the final root of every node
+    * is the minimum id of its component — label-identical to the
+    * distributed doubling loop. Self-loop and null-endpoint rows are
+    * dropped exactly as the distributed edge builder drops them. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      e0: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = e0.where(col("src") =!= col("dst")) // also drops null endpoints
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val ids = new Array[Long](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(ids) // deterministic row order regardless of map iteration
+    ids.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /** One propagation round's plan, exposed for plan-shape assertions:
