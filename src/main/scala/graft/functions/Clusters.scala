@@ -37,17 +37,21 @@ object Clusters {
     * 25 rounds cover components of diameter far beyond 2^20.
     *
     * SIZE GATE: a pair graph at or below `localEdgeLimit` edges (default
-    * 2^20 — ~50 MB of driver heap, the same bounded-driver-artifact
-    * protocol as the PQ training sample) is resolved by an in-driver
-    * union-find after ONE count + ONE collect, instead of the 6+
-    * checkpointed join jobs the distributed loop costs at minimum. This
-    * is the common case by construction: dedup pair lists are
-    * output-sensitive and orders of magnitude smaller than the corpus,
-    * and the Dedup APIs hand them over already materialized, so the
-    * count is a cached scan. Above the limit — or with
-    * `localEdgeLimit = 0`, which the scale bench uses to keep its
-    * distributed-path measurement honest — the doubling loop runs
-    * unchanged. Both paths produce identical labels (min reachable id).
+    * 2^20) is resolved by an in-driver union-find over the rows of ONE
+    * incremental `take` — the same bounded-driver-artifact protocol as
+    * the PQ training sample — instead of the 6+ checkpointed join jobs
+    * the distributed loop costs at minimum. This is the common case by
+    * construction: dedup pair lists are output-sensitive and orders of
+    * magnitude smaller than the corpus. Driver footprint at the default
+    * limit: edge array + sorted node-id array + int parent array —
+    * ~60 MB transient, primitive arrays only. The probe `take` reads
+    * partitions incrementally and stops one row past the limit, so an
+    * over-limit graph costs one short job before the doubling loop runs
+    * unchanged (`localEdgeLimit = 0` — which the scale bench uses to
+    * keep its distributed-path measurement honest — skips the probe
+    * entirely; values ≥ Int.MaxValue are rejected, a collect that size
+    * could not succeed anyway). Both paths produce identical labels
+    * (min reachable id).
     *
     * Distributed round cost: one checkpointed job over the fused
     * propagate+compress plan (the intra-round intermediate is persisted
@@ -68,12 +72,20 @@ object Clusters {
     * convergence on stress graphs. */
   def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, localEdgeLimit: Long = 1L << 20): (DataFrame, Int) = {
+    require(localEdgeLimit < Int.MaxValue,
+      s"localEdgeLimit must be below Int.MaxValue (a driver collect that " +
+        s"size cannot succeed); got $localEdgeLimit — use 0 to disable the gate")
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    // the probe limit reads just past the threshold and stops — on a
-    // graph far above the limit this never scans the whole edge list
-    val probe = math.min(localEdgeLimit + 1, Int.MaxValue.toLong).toInt
-    if (localEdgeLimit > 0 && e0.limit(probe).count() <= localEdgeLimit)
-      return (localUnionFind(pairs.sparkSession, e0), 0)
+    if (localEdgeLimit > 0) {
+      // one incremental job decides the gate AND feeds the local path:
+      // take() collects partition batches until it has limit+1 rows (or
+      // the input ends), so an over-limit graph pays one short probe,
+      // and an in-limit graph is never scanned again. The self-loop /
+      // null-endpoint filter mirrors the distributed edge builder.
+      val rows = e0.where(col("src") =!= col("dst")).take(localEdgeLimit.toInt + 1)
+      if (rows.length <= localEdgeLimit)
+        return (localUnionFind(pairs.sparkSession, rows), 0)
+    }
     // no distinct(): every pair operator emits unique (a<b) pairs, and a
     // duplicate edge is harmless to min-propagation anyway — deduping
     // would cost a full shuffle of the edge list per call
@@ -136,37 +148,43 @@ object Clusters {
     (labels.select(col("id"), col("lbl").as("component")), batches)
   }
 
-  /** In-driver resolution of a bounded pair graph: union-find with path
-    * compression and union-by-min-root, so the final root of every node
-    * is the minimum id of its component — label-identical to the
-    * distributed doubling loop. Self-loop and null-endpoint rows are
-    * dropped exactly as the distributed edge builder drops them. */
+  /** In-driver resolution of a bounded pair graph (rows already filtered
+    * of self-loops and null endpoints by the gate): index-compressed
+    * union-find — node ids sorted into an array, parents as int indices,
+    * union by min root with path compression — so the final root of
+    * every node is the minimum id of its component, label-identical to
+    * the distributed doubling loop. Primitive arrays throughout: no
+    * boxing grows the driver footprint beyond the documented bound. */
   private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
-      e0: DataFrame): DataFrame = {
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val edges = e0.where(col("src") =!= col("dst")) // also drops null endpoints
-      .as[(Long, Long)].collect()
-    val parent = new java.util.HashMap[Long, java.lang.Long]()
-    def find(x: Long): Long = {
+    val m = rows.length
+    val endpoints = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      endpoints(2 * i) = rows(i).getLong(0)
+      endpoints(2 * i + 1) = rows(i).getLong(1)
+      i += 1
+    }
+    val ids = endpoints.distinct.sorted // ascending: smaller index ⟺ smaller id
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    edges.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-      }
+    i = 0
+    while (i < m) {
+      val a = find(java.util.Arrays.binarySearch(ids, endpoints(2 * i)))
+      val b = find(java.util.Arrays.binarySearch(ids, endpoints(2 * i + 1)))
+      // union by smaller INDEX = smaller id (ids is sorted), so every
+      // root is the minimum id seen so far in its set
+      if (a < b) parent(b) = a else if (b < a) parent(a) = b
+      i += 1
     }
-    val ids = new Array[Long](parent.size())
-    val it = parent.keySet().iterator()
-    var i = 0
-    while (it.hasNext) { ids(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(ids) // deterministic row order regardless of map iteration
-    ids.toSeq.map(id => (id, find(id))).toDF("id", "component")
+    ids.indices.map(j => (ids(j), ids(find(j)))).toDF("id", "component")
   }
 
   /** One propagation round's plan, exposed for plan-shape assertions:
@@ -201,8 +219,9 @@ object Clusters {
     * `docs`. Non-members (docs in no pair) always survive — the drop list
     * is proportional to the duplicate count, joined LEFT ANTI on the id. */
   def dropNearDupMembers(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b",
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, localEdgeLimit = localEdgeLimit)
     val drop = comps.where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
@@ -222,9 +241,10 @@ object Clusters {
     * member-id list. The corpus is never windowed wholesale. */
   def keepBestPerCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
       order: Seq[org.apache.spark.sql.Column],
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      aCol: String = "id_a", bCol: String = "id_b",
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comps = connectedComponents(pairs, aCol, bCol)
+    val comps = connectedComponents(pairs, aCol, bCol, localEdgeLimit = localEdgeLimit)
       .withColumnRenamed("id", idCol)
     val members = docs.join(comps, Seq(idCol))
       .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(

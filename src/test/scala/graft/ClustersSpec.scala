@@ -45,13 +45,35 @@ class ClustersSpec extends SparkSuite {
     }
   }
 
-  test("local and distributed resolution agree on a random graph") {
+  test("local and distributed resolution agree on a random graph with self-loops") {
     val rnd = new scala.util.Random(4242L)
-    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter { case (a, b) => a != b }
+    // self-loops stay IN: both paths must drop them identically — a node
+    // appearing only in a self-loop is absent from the result on either
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      Seq((500L, 500L))
     val local = components(pairs)
     val dist = components(pairs, localEdgeLimit = 0L)
     assert(local == dist, "size gate changed component labels")
+    assert(!local.contains(500L), "self-loop-only node must not appear")
+  }
+
+  test("null endpoints are dropped identically by both paths") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(7L)), (Some(8L), None))
+      .toDF("id_a", "id_b")
+    for ((path, limit) <- bothPaths) {
+      val got = Clusters.connectedComponents(pairs, "id_a", "id_b",
+          localEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L),
+        s"null-endpoint rows must vanish, nodes 7/8 with them ($path): $got")
+    }
+  }
+
+  test("localEdgeLimit at or above Int.MaxValue is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      components(Seq((1L, 2L)), localEdgeLimit = Int.MaxValue.toLong)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"))
   }
 
   test("adversarial chain converges in logarithmic rounds (pointer doubling)") {
