@@ -46,6 +46,27 @@ object PropertySpec extends Properties("graft") {
       Bound.parse(s) == Bound.Str(s)
     }
 
+  private val genBmpString: Gen[String] = Gen.oneOf(
+    Gen.alphaStr,
+    Gen.listOf(Gen.choose(32, 0x2fff).map(_.toChar)).map(_.mkString))
+
+  property("fused gram probe walks exactly the CharShingleHashes gram set") =
+    forAll(genBmpString, Gen.choose(1, 15)) { (s, n) =>
+      // BloomContainsGram's window walk (hash each substringSQL window)
+      // must cover precisely the distinct gram-hash set the composed
+      // path probes — any divergence silently changes decontamination
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val cnt = math.max(u.numChars - n, 0) + 1
+      val walked = (0 until cnt)
+        .map(i => graft.functions.SimHash64.hash64(u.substringSQL(i + 1, n))).toSet
+      val kernel = graft.functions.CharShingleHashes(
+          org.apache.spark.sql.catalyst.expressions.Literal(u,
+            org.apache.spark.sql.types.StringType), n)
+        .nullSafeEval(u).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+      walked == kernel
+    }
+
   property("mix64: collision-free over random long sets") =
     forAll(Gen.listOfN(200, Gen.long)) { xs =>
       val distinct = xs.distinct
