@@ -137,6 +137,9 @@ object IvfPq {
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol),
         round(Pq.adcDist(col("codes"), col("__tab"), ix.fine.ksub), scoreDp).as("dist"))
+      // a null ADC distance (malformed query vector → null table) must
+      // not rank first under ASC's NULLS FIRST — drop it
+      .where(col("dist").isNotNull)
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -71,13 +71,25 @@ object Pq {
     * train centroids on one region of the distribution — a silent
     * recall collapse no small-SF test can catch. */
   private[functions] def collectSample(corpus: DataFrame, vecCol: String,
-      trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] =
-    (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
-     else corpus)
-      .select(col(vecCol)).where(col(vecCol).isNotNull)
-      .orderBy(rand(seed))
-      .limit(maxTrainRows).collect()
-      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
+    val raw =
+      (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
+       else corpus)
+        .select(col(vecCol)).where(col(vecCol).isNotNull)
+        .orderBy(rand(seed))
+        .limit(maxTrainRows).collect()
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    if (raw.isEmpty) raw
+    else {
+      // wrong-dimension vectors cannot train: subspace slicing would
+      // zero-pad (copyOfRange) or crash on them, silently skewing the
+      // codebooks. Keep the MODAL dimension (ties broken toward the
+      // larger — deterministic); encode-time then nulls the stragglers
+      // out via PqEncode's length check.
+      val dim = raw.groupBy(_.length).maxBy { case (l, g) => (g.length, l) }._1
+      raw.filter(_.length == dim)
+    }
+  }
 
   /** Deterministic local codebook fit over an already-collected sample
     * (k-means++ + Lloyd per subspace — the non-distributed half of
@@ -216,6 +228,10 @@ object Pq {
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol),
         round(adcDist(col("__codes"), col("__tab"), cb.ksub), scoreDp).as("dist"))
+      // a malformed vector (null / wrong dim) nulls its codes and thus its
+      // distance — and ASC ranks NULLS FIRST, so without this filter every
+      // query would report the malformed row at rank 1
+      .where(col("dist").isNotNull)
     val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -370,6 +370,27 @@ class AnalyticsSpec extends SparkSuite {
       s"every query's clone must be rank 1: ${top.mkString(",")}")
   }
 
+  test("malformed vectors never reach ADC top-k (null dist would rank first under ASC)") {
+    import graft.functions.{IvfPq, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant a null-vector row and a wrong-dimension row in the corpus
+    val bad = Seq(
+      (7000001L, null.asInstanceOf[Array[Float]]),
+      (7000002L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val aug = emb.unionByName(bad)
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cb = Pq.train(emb, "embedding", m = 8, ksub = 16, seed = 42L)
+    val pq = Pq.pqKnn(aug, "vec_id", "embedding", q, "qid", "qvec", k = 5, cb)
+      .select("vec_id").as[Long].collect()
+    assert(!pq.exists(_ >= 7000000L), s"malformed rows surfaced in pqKnn top-k: ${pq.toSeq}")
+    val knn = IvfPq.ivfPqKnn(aug, "vec_id", "embedding", q, "qid", "qvec",
+        k = 5, nLists = 8, nProbe = 8, seed = 42L)
+      .select("vec_id").as[Long].collect()
+    assert(!knn.exists(_ >= 7000000L), s"malformed rows surfaced in IVFADC top-k: ${knn.toSeq}")
+  }
+
   test("IVFADC index survives a list-partitioned parquet round trip") {
     import graft.functions.IvfPq
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
