@@ -118,14 +118,26 @@ object Bench {
           // on a graph ~1000× the 1× pair count
           val bigPairs = graft.functions.Dedup.minhashNearDupPairs(big, "doc_id", "text")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val tc0 = System.nanoTime()
           // localEdgeLimit = 0: this block MEASURES the distributed
           // doubling loop — the in-driver union-find gate would otherwise
-          // absorb these graphs and the timing would prove nothing
-          val (cc10, b10) = graft.functions.Clusters
-            .connectedComponentsStats(bigPairs, "id_a", "id_b", localEdgeLimit = 0)
-          val nNodes = cc10.count()
-          val tcc = (System.nanoTime() - tc0) / 1e9
+          // absorb these graphs and the timing would prove nothing.
+          // min-of-2 like the minhash block: a single 45s distributed loop
+          // in a session that just ran 89 queries moves 5× between runs
+          // (SURVEY cited 8.4s where the shipped artifact measured 46.7s).
+          def ccRun(pairs: org.apache.spark.sql.DataFrame): (Double, Long, Int) = {
+            def once(): (Double, Long, Int) = {
+              System.gc()
+              val t0 = System.nanoTime()
+              val (cc, b) = graft.functions.Clusters
+                .connectedComponentsStats(pairs, "id_a", "id_b", localEdgeLimit = 0)
+              val n = cc.count()
+              ((System.nanoTime() - t0) / 1e9, n, 2 * b)
+            }
+            val (ta, na, ra) = once(); val (tb, nb, rb) = once()
+            require(na == nb && ra == rb, s"nondeterministic CC: ($na,$ra) vs ($nb,$rb)")
+            (math.min(ta, tb), na, ra)
+          }
+          val (tcc, nNodes, rounds10) = ccRun(bigPairs)
           // 100× pair-graph stress (~2.5M edges): replicate the
           // MATERIALIZED 10× pair list with disjoint id offsets — the
           // candidate-generation cost is already measured above; this
@@ -134,11 +146,10 @@ object Bench {
           val pairs100 = (0 until 10).map(j => bigPairs.select(
             (col("id_a") + lit(j * 1000000000L)).as("id_a"),
             (col("id_b") + lit(j * 1000000000L)).as("id_b"))).reduce(_ union _)
-          val tcx0 = System.nanoTime()
-          val (cc100, b100) = graft.functions.Clusters
-            .connectedComponentsStats(pairs100, "id_a", "id_b", localEdgeLimit = 0)
-          val nNodes100 = cc100.count()
-          val tcc100 = (System.nanoTime() - tcx0) / 1e9
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pairs100.count() // materialize once so both CC samples time CC, not the union scan
+          val (tcc100, nNodes100, rounds100) = ccRun(pairs100)
+          pairs100.unpersist(blocking = false)
           bigPairs.unpersist(blocking = false)
           // span-dedup anchor stride: same corpus, stride 1 (every
           // position shuffles an ownership pair) vs 4 (winnowed anchors,
@@ -163,13 +174,17 @@ object Bench {
             .anchorGrams(docs, "doc_id", "text", 30, 1).count()
           val rows4 = graft.functions.SpanDedup
             .anchorGrams(docs, "doc_id", "text", 30, 4).count()
-          f""","scale":{"dedup_minhash_sec":$t1%.3f,"dedup_minhash_10x_sec":$t10%.3f,""" +
-            f""""time_ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
-            f""""cluster_10x_sec":$tcc%.3f,"cluster_10x_nodes":$nNodes,"cluster_10x_rounds":${2 * b10},""" +
-            f""""cluster_100x_sec":$tcc100%.3f,"cluster_100x_nodes":$nNodes100,"cluster_100x_rounds":${2 * b100},""" +
-            f""""span_stride1_sec":$ts1%.3f,"span_stride4_sec":$ts4%.3f,""" +
-            f""""span_stride1_spans":$n1,"span_stride4_spans":$n4,""" +
-            f""""span_stride1_shuffle_rows":$rows1,"span_stride4_shuffle_rows":$rows4}"""
+          // Compact key names: this block rides the driver-facing summary
+          // line, which must stay under ~500 bytes total (BENCH_r05/r06
+          // were parsed:null because the 6 KB per-query line overflowed
+          // the driver's tail capture).
+          f""","scale":{"mh_1x_sec":$t1%.2f,"mh_10x_sec":$t10%.2f,""" +
+            f""""ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
+            f""""cc10_sec":$tcc%.2f,"cc10_nodes":$nNodes,"cc10_rounds":$rounds10,""" +
+            f""""cc100_sec":$tcc100%.2f,"cc100_nodes":$nNodes100,"cc100_rounds":$rounds100,""" +
+            f""""span1_sec":$ts1%.2f,"span4_sec":$ts4%.2f,""" +
+            f""""span1_spans":$n1,"span4_spans":$n4,""" +
+            f""""span1_rows":$rows1,"span4_rows":$rows4}"""
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead
@@ -182,19 +197,22 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line =
+    // Full record — every per-query timing and error — goes to the FILE.
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson,"sf":"$sfDir"}"""
-    // The file is the durable copy: the driver has lost the stdout line's
-    // tail to log interleaving before (BENCH_r04/r05 had parsed:null).
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    // The machine-readable line is the LAST thing on stdout: everything
-    // Spark/sbt logs goes to stderr, and printing after the file write +
-    // session teardown means no later output can truncate or interleave
-    // it in the driver's captured log.
-    System.out.println(line)
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // The driver-facing stdout line is a COMPACT summary (≤500 bytes):
+    // BENCH_r05 and r06 both came back parsed:null because the full line
+    // (~6 KB of per-query timings) overflowed the driver's tail capture
+    // even when printed last. Per-query detail lives in target/bench.json;
+    // the stdout line carries only what the round adjudication needs.
+    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+      s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
+      s"""$scaleJson,"sf":"$sfDir","detail":"target/bench.json"}"""
+    System.out.println(compact)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

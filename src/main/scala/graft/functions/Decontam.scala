@@ -72,16 +72,50 @@ object Decontam {
     bos.toByteArray
   }
 
+  /** One broadcast per (SparkContext, sketch content): repeated plan
+    * construction against the same sketch — the per-batch
+    * decontamination loop of a long-lived session — must not accumulate
+    * a fresh ~15 MB broadcast block on the driver and every executor
+    * each call. Keyed by content digest (hashing even a 15 MB sketch is
+    * sub-ms next to a broadcast), scoped per context via a WeakHashMap
+    * so a stopped session's entries are collectable and a new context
+    * never reuses a dead broadcast. Callers that manage broadcast
+    * lifecycle themselves use the `Broadcast` overloads below. */
+  private val sketchBroadcasts =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      scala.collection.mutable.Map[java.math.BigInteger,
+        org.apache.spark.broadcast.Broadcast[Array[Byte]]]]()
+
+  private def broadcastSketch(sketch: Array[Byte]): org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val digest = new java.math.BigInteger(1,
+      java.security.MessageDigest.getInstance("SHA-256").digest(sketch))
+    sketchBroadcasts.synchronized {
+      val perCtx = Option(sketchBroadcasts.get(sc)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[java.math.BigInteger,
+          org.apache.spark.broadcast.Broadcast[Array[Byte]]]
+        sketchBroadcasts.put(sc, m)
+        m
+      }
+      perCtx.getOrElseUpdate(digest, sc.broadcast(sketch))
+    }
+  }
+
   /** In-scan predicate: does ANY of the document's gram hashes possibly
     * appear in the sketch? The sketch rides a Spark BROADCAST, not a
     * plan literal — a default-sized filter is ~15 MB, and a literal
     * that size would bloat every plan string, canonical form and UI
     * render (the SQL-callable [[BloomAnyContain]] keeps the literal
     * operand for hex-literal use at small sketch sizes). */
-  def mightContainAny(hashes: org.apache.spark.sql.Column, sketch: Array[Byte]): org.apache.spark.sql.Column = {
+  def mightContainAny(hashes: org.apache.spark.sql.Column, sketch: Array[Byte]): org.apache.spark.sql.Column =
+    mightContainAny(hashes, broadcastSketch(sketch))
+
+  /** [[mightContainAny]] over a caller-managed broadcast (the caller
+    * owns `destroy()`). */
+  def mightContainAny(hashes: org.apache.spark.sql.Column,
+      sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumn
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(sketch)
-    GraftColumn(BloomAnyContainBroadcast(GraftColumn.expr(hashes), bc))
+    GraftColumn(BloomAnyContainBroadcast(GraftColumn.expr(hashes), sketch))
   }
 
   /** Fused corpus-side probe: does ANY character n-gram of `text`
@@ -93,10 +127,15 @@ object Decontam {
     * are skipped, and a contaminated document short-circuits at its
     * first hit. */
   def mightContainGram(text: org.apache.spark.sql.Column, n: Int,
-      sketch: Array[Byte]): org.apache.spark.sql.Column = {
+      sketch: Array[Byte]): org.apache.spark.sql.Column =
+    mightContainGram(text, n, broadcastSketch(sketch))
+
+  /** [[mightContainGram]] over a caller-managed broadcast (the caller
+    * owns `destroy()`). */
+  def mightContainGram(text: org.apache.spark.sql.Column, n: Int,
+      sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumn
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(sketch)
-    GraftColumn(BloomContainsGram(GraftColumn.expr(text), n, bc))
+    GraftColumn(BloomContainsGram(GraftColumn.expr(text), n, sketch))
   }
 
   /** Sketched contamination flagging: ids of corpus docs whose any gram

@@ -105,6 +105,11 @@ object IvfPq {
     queries.select(col(qidCol), col(qvecCol))
       .crossJoin(broadcast(centroids))
       .withColumn("__cdist", Ivf.sqDist(col(qvecCol), col("__centroid")))
+      // a malformed (null / wrong-dim) query vector yields null distance
+      // to EVERY cell; under ASC's NULLS FIRST it would still "select"
+      // nProbe arbitrary cells — phantom probes that pollute the
+      // probedLists pruning diagnostic. Such a query probes nothing.
+      .where(col("__cdist").isNotNull)
       .withColumn("__crank", row_number().over(probeW))
       .where(col("__crank") <= nProbe)
       .select(col(qidCol), col("list"), col("__centroid"), col(qvecCol))
@@ -125,16 +130,23 @@ object IvfPq {
     * against THAT cell's centroid, so code lookups measure
     * ||query − centroid − residual_quantized||², the IVFADC distance.
     * The index side is touched only by a broadcast hash join on the
-    * small-int list id. */
+    * small-int list id.
+    *
+    * Self-exclusion contract (`excludeSelfId`, default true, mirroring
+    * [[Pq.pqKnn]] and [[Similarity.bruteForceKnn]]): query and index ids
+    * are assumed to share one id space and an id-equal index row is
+    * dropped as "the query itself"; pass `excludeSelfId = false` when
+    * the two id spaces are unrelated, or a coincidental collision would
+    * silently hide a legitimate neighbor. */
   def search(index: DataFrame, idCol: String, ix: Index,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      nProbe: Int = 4, scoreDp: Int = 6): DataFrame = {
+      nProbe: Int = 4, scoreDp: Int = 6, excludeSelfId: Boolean = true): DataFrame = {
     val probes = probeSelection(ix, queries, qidCol, qvecCol, nProbe)
       .select(col(qidCol), col("list"),
         Pq.adcTable(zip_with(col(qvecCol), col("__centroid"),
           (x, c) => x.cast("double") - c), ix.fine).as("__tab"))
     val scored = index.join(broadcast(probes), "list")
-      .where(col(qidCol) =!= col(idCol))
+      .where(if (excludeSelfId) col(qidCol) =!= col(idCol) else lit(true))
       .select(col(qidCol), col(idCol),
         round(Pq.adcDist(col("codes"), col("__tab"), ix.fine.ksub), scoreDp).as("dist"))
       // a null ADC distance (malformed query vector → null table) must

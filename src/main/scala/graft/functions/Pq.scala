@@ -63,20 +63,28 @@ object Pq {
     * contract). Exposed so compositions ([[IvfPq]], [[Ivf]]) can train
     * several quantizers from a single sampling pass.
     *
-    * The bound is enforced by a seeded `orderBy(rand).limit` — a
+    * The bound is enforced by a seeded `orderBy(hash).limit` — a
     * TakeOrdered (per-partition top-n heaps merged at the driver, one
     * pass, no full sort), NOT a bare `limit`: a bare limit takes the
     * first partitions' rows, and on a corpus physically ordered by
     * source/topic (the normal post-ingest layout) that prefix would
     * train centroids on one region of the distribution — a silent
-    * recall collapse no small-SF test can catch. */
+    * recall collapse no small-SF test can catch.
+    *
+    * The ordering key is `xxhash64(vec, seed)` — CONTENT-derived, so the
+    * selected sample (and thus the codebooks and every downstream search
+    * result) is identical for any physical partitioning of the corpus.
+    * `rand(seed)` would not be: it reseeds per partition index, so a
+    * repartition silently retrains different codebooks under the same
+    * seed. Rows with identical vectors tie, but tied rows carry identical
+    * content, so the sample multiset is unaffected by which one wins. */
   private[functions] def collectSample(corpus: DataFrame, vecCol: String,
       trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
     val raw =
       (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
        else corpus)
         .select(col(vecCol)).where(col(vecCol).isNotNull)
-        .orderBy(rand(seed))
+        .orderBy(xxhash64(col(vecCol), lit(seed)))
         .limit(maxTrainRows).collect()
         .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
     if (raw.isEmpty) raw
@@ -218,14 +226,21 @@ object Pq {
     * ADC tables, rank by asymmetric distance (ties broken by id for
     * engine-deterministic output). The corpus never shuffles; the only
     * exchange is the WindowGroupLimit top-k, carrying (qid, id, dist)
-    * triples — no vectors, no codes. */
+    * triples — no vectors, no codes.
+    *
+    * Self-exclusion contract (`excludeSelfId`, default true, mirroring
+    * [[Similarity.bruteForceKnn]]): query and corpus ids are assumed to
+    * share ONE id space, and a corpus row whose id equals the query's is
+    * dropped as "the query itself". If the two id spaces are unrelated,
+    * a coincidental id collision would silently hide a legitimate
+    * neighbor — pass `excludeSelfId = false` for disjoint id spaces. */
   def pqKnn(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      cb: Codebooks, scoreDp: Int = 6): DataFrame = {
+      cb: Codebooks, scoreDp: Int = 6, excludeSelfId: Boolean = true): DataFrame = {
     val codes = corpus.select(col(idCol), encode(col(vecCol), cb).as("__codes"))
     val qt = queries.select(col(qidCol), adcTable(col(qvecCol), cb).as("__tab"))
     val scored = codes.crossJoin(broadcast(qt))
-      .where(col(qidCol) =!= col(idCol))
+      .where(if (excludeSelfId) col(qidCol) =!= col(idCol) else lit(true))
       .select(col(qidCol), col(idCol),
         round(adcDist(col("__codes"), col("__tab"), cb.ksub), scoreDp).as("dist"))
       // a malformed vector (null / wrong dim) nulls its codes and thus its
