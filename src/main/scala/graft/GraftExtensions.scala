@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => JpegColorFixture(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("jpeg_subsample_fixture", "jpeg_subsample_fixture(id, w_mcu, h_mcu, samp_h, samp_v) - deterministic chroma-subsampled (4:2:0/4:2:2) baseline JPEG fixture",
+      exprs => JpegSubsampleFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue(),
+        exprs(4).eval().asInstanceOf[Number].intValue()))
     inject("jpeg_rgb_stats", "jpeg_rgb_stats(blob) - array(w, h, n, r_sum, g_sum, b_sum) of decoded RGB samples",
       exprs => JpegRgbStats(exprs.head))
     inject("wav_pcm_fixture", "wav_pcm_fixture(id) - deterministic mono 16-bit PCM WAV fixture",

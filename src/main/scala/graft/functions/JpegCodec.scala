@@ -9,15 +9,19 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 /** Pure-JVM baseline JPEG codec — no ImageIO, no native libs.
   *
   * Decoder: baseline sequential DCT (SOF0), 8-bit precision, grayscale
-  * or 3-component 4:4:4 (all sampling factors 1×1). The full entropy
-  * path is real: marker walk (DQT/DHT/SOF0/DRI/SOS with multi-table
-  * segments), canonical Huffman decode built from the stream's own
-  * BITS/HUFFVAL, byte-stuffing (FF 00) and restart-marker handling,
-  * run-length AC decode (EOB/ZRL), dezigzag, dequantization, and a
-  * separable double-precision IDCT with level shift and clamping.
-  * 3-component scans convert JFIF YCbCr→RGB. Everything outside the
-  * profile (progressive SOF2, arithmetic coding, subsampling, 12-bit)
-  * returns None rather than garbage — same contract as [[PngCodec]].
+  * or 3-component color with sampling factors 1–2 per axis — covering
+  * 4:4:4, 4:2:2 (luma 2×1) and 4:2:0 (luma 2×2), the profiles real-world
+  * web JPEGs actually use. The full entropy path is real: marker walk
+  * (DQT/DHT/SOF0/DRI/SOS with multi-table segments), canonical Huffman
+  * decode built from the stream's own BITS/HUFFVAL, byte-stuffing
+  * (FF 00) and restart-marker handling, run-length AC decode (EOB/ZRL),
+  * dezigzag, dequantization, a separable double-precision IDCT with
+  * level shift and clamping, interleaved-MCU assembly (hᵢ×vᵢ blocks per
+  * component per MCU, spec A.2.3), and replication (box) chroma
+  * upsampling. 3-component scans convert JFIF YCbCr→RGB. Everything
+  * outside the profile (progressive SOF2, arithmetic coding, 3–4×
+  * sampling factors, 12-bit) returns None rather than garbage — same
+  * contract as [[PngCodec]].
   *
   * Encoder: fixture-grade grayscale baseline writer used by the
   * oracle protocol. It entropy-codes arbitrary QUANTIZED coefficient
@@ -172,9 +176,10 @@ object JpegCodec {
     val acTabs = new Array[Huff](4)
     var width = -1; var height = -1
     var nComp = 0
-    // per component: id, qtab idx, dc idx, ac idx
+    // per component: id, qtab idx, dc idx, ac idx, sampling factors
     val compId = new Array[Int](3); val compQ = new Array[Int](3)
     val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
     var restartInterval = 0
 
     while (o + 4 <= b.length) {
@@ -194,20 +199,37 @@ object JpegCodec {
           nComp = b(o + 7) & 0xff
           if (precision != 8 || width <= 0 || height <= 0) return None
           if (nComp != 1 && nComp != 3) return None
-          // bound the BLOCK-PADDED planes, not just w×h: a 1×(2^26)
-          // image pads to 8 columns — 8× the declared sample count
-          if (((width + 7L) / 8 * 8) * ((height + 7L) / 8 * 8) * nComp > maxSamples)
-            return None
           if (len < 8 + 3 * nComp) return None
           var c = 0
           while (c < nComp) {
             compId(c) = b(o + 8 + 3 * c) & 0xff
             val hv = b(o + 9 + 3 * c) & 0xff
-            if (hv != 0x11) return None // subsampling outside the profile
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            // sampling factors 1–2 cover the real-world profiles: 4:4:4
+            // (1×1 everywhere), 4:2:2 (luma 2×1) and 4:2:0 (luma 2×2);
+            // 3–4× factors stay out of profile
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2) return None
             compQ(c) = b(o + 10 + 3 * c) & 0xff
             if (compQ(c) > 3) return None
             c += 1
           }
+          // bound the MCU-PADDED planes, not just w×h: a 1×(2^26) image
+          // pads to one full MCU column — with 2×2 luma that is 16 rows
+          // per declared row. Single-component scans are non-interleaved
+          // (one block per MCU, spec A.2), so their padding is 8×8.
+          val mh = if (nComp == 1) 1 else math.max(compH(0), math.max(compH(1), compH(2)))
+          val mv = if (nComp == 1) 1 else math.max(compV(0), math.max(compV(1), compV(2)))
+          val mx = (width + 8L * mh - 1) / (8 * mh)
+          val my = (height + 8L * mv - 1) / (8 * mv)
+          var tot = 0L
+          c = 0
+          while (c < nComp) {
+            val hc = if (nComp == 1) 1 else compH(c)
+            val vc = if (nComp == 1) 1 else compV(c)
+            tot += (mx * hc * 8) * (my * vc * 8)
+            c += 1
+          }
+          if (tot > maxSamples) return None
           o += len
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return None // progressive / arithmetic / hierarchical: not baseline
@@ -281,7 +303,7 @@ object JpegCodec {
             c += 1
           }
           return decodeScan(b, o + len, width, height, nComp, compQ, compDc, compAc,
-            qtabs, dcTabs, acTabs, restartInterval)
+            compH, compV, qtabs, dcTabs, acTabs, restartInterval)
         case x if x >= 0xe0 && x <= 0xef => // APPn
           if (o + 2 > b.length) return None
           val len = u16(o)
@@ -300,6 +322,7 @@ object JpegCodec {
 
   private def decodeScan(b: Array[Byte], scanStart: Int, width: Int, height: Int,
       nComp: Int, compQ: Array[Int], compDc: Array[Int], compAc: Array[Int],
+      compH: Array[Int], compV: Array[Int],
       qtabs: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
       restartInterval: Int): Option[(Int, Int, Int, Array[Byte])] = {
     var c = 0
@@ -308,95 +331,123 @@ object JpegCodec {
         return None
       c += 1
     }
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Byte](bw * 8 * bh * 8))
+    // Interleaved-MCU geometry (spec A.2.3): an MCU is hᵢ×vᵢ blocks of
+    // each component i; the image is mcusX×mcusY MCUs, each plane padded
+    // to its own block multiple. A single-component scan is
+    // NON-interleaved (spec A.2.2): one block per MCU regardless of the
+    // declared factors, so hc/vc collapse to 1.
+    val hc = Array.tabulate(nComp)(i => if (nComp == 1) 1 else compH(i))
+    val vc = Array.tabulate(nComp)(i => if (nComp == 1) 1 else compV(i))
+    var maxH = 1; var maxV = 1
+    c = 0
+    while (c < nComp) {
+      if (hc(c) > maxH) maxH = hc(c)
+      if (vc(c) > maxV) maxV = vc(c)
+      c += 1
+    }
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val planeW = Array.tabulate(nComp)(i => mcusX * hc(i) * 8)
+    val planes = Array.tabulate(nComp)(i => new Array[Byte](planeW(i) * mcusY * vc(i) * 8))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val tmp = Array.ofDim[Double](8, 8)
     val r = new BitReader(b, scanStart)
     var mcu = 0
     var rstIdx = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         if (!r.syncRestart(rstIdx)) return None
         rstIdx = (rstIdx + 1) & 7
         java.util.Arrays.fill(pred, 0)
       }
-      val by = mcu / bw; val bx = mcu % bw
+      val mcuY = mcu / mcusX; val mcuX = mcu % mcusX
       c = 0
       while (c < nComp) {
         val q = qtabs(compQ(c))
-        java.util.Arrays.fill(coef, 0)
-        // DC: category + extend, difference-coded against the predictor
-        val s = r.decodeHuff(dcTabs(compDc(c)))
-        if (s > 11 || r.truncated) return None
-        val diff = extend(r.receive(s), s)
-        pred(c) += diff
-        coef(0) = pred(c) * q(0)
-        // AC run-length: (run, size) symbols with EOB and ZRL
-        var k = 1
-        var done = false
-        while (!done && k < 64) {
-          val rs = r.decodeHuff(acTabs(compAc(c)))
-          if (r.truncated) return None
-          val run = rs >> 4; val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) {
-              // ZRL: sixteen zeros — spec-legal only while a coefficient
-              // slot remains after the skip; past 63 the stream is
-              // corrupt, same contract as the (run,size) bound below
-              k += 16
-              if (k > 63) return None
-            } else done = true // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(r.receive(size), size) * q(k)
-            k += 1
+        var vb = 0
+        while (vb < vc(c)) {
+          var hb = 0
+          while (hb < hc(c)) {
+            val by = mcuY * vc(c) + vb
+            val bx = mcuX * hc(c) + hb
+            java.util.Arrays.fill(coef, 0)
+            // DC: category + extend, difference-coded against the predictor
+            val s = r.decodeHuff(dcTabs(compDc(c)))
+            if (s > 11 || r.truncated) return None
+            val diff = extend(r.receive(s), s)
+            pred(c) += diff
+            coef(0) = pred(c) * q(0)
+            // AC run-length: (run, size) symbols with EOB and ZRL
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = r.decodeHuff(acTabs(compAc(c)))
+              if (r.truncated) return None
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) {
+                  // ZRL: sixteen zeros — spec-legal only while a coefficient
+                  // slot remains after the skip; past 63 the stream is
+                  // corrupt, same contract as the (run,size) bound below
+                  k += 16
+                  if (k > 63) return None
+                } else done = true // EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(r.receive(size), size) * q(k)
+                k += 1
+              }
+            }
+            if (r.truncated) return None
+            // separable IDCT: t[u][y] = Σv c[v][y]·F[u][v], f = 1/4 Σu c[u][x]·t[u][y]
+            var u = 0
+            while (u < 8) {
+              var y = 0
+              while (y < 8) {
+                var acc = 0.0
+                var v = 0
+                while (v < 8) { acc += CosTab(v)(y) * coef(u * 8 + v); v += 1 }
+                tmp(u)(y) = acc
+                y += 1
+              }
+              u += 1
+            }
+            val plane = planes(c)
+            val pw = planeW(c)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var uu = 0
+                // natural order: coef(row*8+col); rows transform over x via u
+                while (uu < 8) { acc += CosTab(uu)(x) * tmp(uu)(y); uu += 1 }
+                val px = math.round(acc / 4.0 + 128.0)
+                val clamped = if (px < 0) 0 else if (px > 255) 255 else px.toInt
+                plane((by * 8 + x) * pw + bx * 8 + y) = clamped.toByte
+                x += 1
+              }
+              y += 1
+            }
+            hb += 1
           }
-        }
-        if (r.truncated) return None
-        // separable IDCT: t[u][y] = Σv c[v][y]·F[u][v], f = 1/4 Σu c[u][x]·t[u][y]
-        var u = 0
-        while (u < 8) {
-          var y = 0
-          while (y < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) { acc += CosTab(v)(y) * coef(u * 8 + v); v += 1 }
-            tmp(u)(y) = acc
-            y += 1
-          }
-          u += 1
-        }
-        val plane = planes(c)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var uu = 0
-            // natural order: coef(row*8+col); rows transform over x via u
-            while (uu < 8) { acc += CosTab(uu)(x) * tmp(uu)(y); uu += 1 }
-            val px = math.round(acc / 4.0 + 128.0)
-            val clamped = if (px < 0) 0 else if (px > 255) 255 else px.toInt
-            plane((by * 8 + x) * bw * 8 + bx * 8 + y) = clamped.toByte
-            x += 1
-          }
-          y += 1
+          vb += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // crop the block-padded planes to w×h and interleave
+    // crop the MCU-padded planes to w×h, upsample subsampled chroma by
+    // sample replication (the JFIF box filter — exact on the constant
+    // blocks the oracle fixtures plant), and interleave
     val out = new Array[Byte](width * height * nComp)
     if (nComp == 1) {
       var y = 0
       while (y < height) {
-        System.arraycopy(planes(0), y * bw * 8, out, y * width, width)
+        System.arraycopy(planes(0), y * planeW(0), out, y * width, width)
         y += 1
       }
     } else {
@@ -404,9 +455,9 @@ object JpegCodec {
       while (y < height) {
         var x = 0
         while (x < width) {
-          val yv = planes(0)(y * bw * 8 + x) & 0xff
-          val cb = (planes(1)(y * bw * 8 + x) & 0xff) - 128
-          val cr = (planes(2)(y * bw * 8 + x) & 0xff) - 128
+          val yv = planes(0)((y * vc(0) / maxV) * planeW(0) + x * hc(0) / maxH) & 0xff
+          val cb = (planes(1)((y * vc(1) / maxV) * planeW(1) + x * hc(1) / maxH) & 0xff) - 128
+          val cr = (planes(2)((y * vc(2) / maxV) * planeW(2) + x * hc(2) / maxH) & 0xff) - 128
           def cl(d: Double): Byte = {
             val v = math.round(d)
             (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
@@ -485,7 +536,7 @@ object JpegCodec {
   def encodeGrayCoefficients(wBlocks: Int, hBlocks: Int, qtab: Array[Int],
       blocks: Array[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
     require(blocks.length == wBlocks * hBlocks, "one coefficient block per grid cell")
-    encodeBaseline(wBlocks, hBlocks, Seq(qtab), Seq(blocks), restartInterval)
+    encodeBaseline(wBlocks, hBlocks, Seq(qtab), Seq((1, 1, blocks)), restartInterval)
   }
 
   /** Three-component 4:4:4 variant: Y uses quant/Huffman table 0,
@@ -498,15 +549,40 @@ object JpegCodec {
       restartInterval: Int = 0): Array[Byte] = {
     require(y.length == wBlocks * hBlocks && cb.length == y.length && cr.length == y.length,
       "one coefficient block per grid cell per component")
-    encodeBaseline(wBlocks, hBlocks, Seq(qtabLuma, qtabChroma), Seq(y, cb, cr),
-      restartInterval)
+    encodeBaseline(wBlocks, hBlocks, Seq(qtabLuma, qtabChroma),
+      Seq((1, 1, y), (1, 1, cb), (1, 1, cr)), restartInterval)
   }
 
-  private def encodeBaseline(wBlocks: Int, hBlocks: Int, qtabs: Seq[Array[Int]],
-      comps: Seq[Array[Array[Int]]], restartInterval: Int): Array[Byte] = {
+  /** Chroma-subsampled variant (`sampH`×`sampV` luma factors — (2,2) is
+    * 4:2:0, (2,1) is 4:2:2): the image is `wMcu`×`hMcu` MCUs, luma
+    * carries sampH·sampV blocks per MCU (plane-block-row-major over a
+    * (wMcu·sampH)×(hMcu·sampV) grid), chroma one block per MCU at
+    * wMcu×hMcu. Exercises the decoder's multi-block-per-MCU interleave
+    * and chroma upsampling. */
+  def encodeSubsampledCoefficients(wMcu: Int, hMcu: Int,
+      qtabLuma: Array[Int], qtabChroma: Array[Int], sampH: Int, sampV: Int,
+      y: Array[Array[Int]], cb: Array[Array[Int]], cr: Array[Array[Int]],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(sampH >= 1 && sampH <= 2 && sampV >= 1 && sampV <= 2 && sampH * sampV > 1,
+      "subsampled profiles have luma factors in 1..2 with at least one axis 2")
+    require(y.length == wMcu * sampH * hMcu * sampV, "luma blocks cover the sampled grid")
+    require(cb.length == wMcu * hMcu && cr.length == wMcu * hMcu,
+      "one chroma block per MCU")
+    encodeBaseline(wMcu, hMcu, Seq(qtabLuma, qtabChroma),
+      Seq((sampH, sampV, y), (1, 1, cb), (1, 1, cr)), restartInterval)
+  }
+
+  /** `comps`: per component (h, v, blocks) where blocks are quantized
+    * coefficient blocks in PLANE block-row-major order over a
+    * (mcusX·h)×(mcusY·v) grid; the MCU loop interleaves them in spec
+    * A.2.3 order (v rows × h cols per component per MCU). */
+  private def encodeBaseline(mcusX: Int, mcusY: Int, qtabs: Seq[Array[Int]],
+      comps: Seq[(Int, Int, Array[Array[Int]])], restartInterval: Int): Array[Byte] = {
     qtabs.foreach(q =>
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255), "8-bit quant table"))
     val nComp = comps.length
+    val maxH = comps.map(_._1).max
+    val maxV = comps.map(_._2).max
     // component c uses qtab/huff table 0 for luma, 1 for chroma
     def tabOf(c: Int): Int = if (c == 0) 0 else 1
     val out = new java.io.ByteArrayOutputStream()
@@ -525,10 +601,10 @@ object JpegCodec {
       StdAcBits.foreach(out.write); out.write(StdAcVals, 0, StdAcVals.length)
     }
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) } // DRI
-    marker(0xc0); u16(2 + 6 + 3 * nComp) // SOF0: 8-bit, 1×1 sampling
-    out.write(8); u16(hBlocks * 8); u16(wBlocks * 8); out.write(nComp)
+    marker(0xc0); u16(2 + 6 + 3 * nComp) // SOF0: 8-bit
+    out.write(8); u16(mcusY * 8 * maxV); u16(mcusX * 8 * maxH); out.write(nComp)
     (0 until nComp).foreach { c =>
-      out.write(c + 1); out.write(0x11); out.write(tabOf(c))
+      out.write(c + 1); out.write((comps(c)._1 << 4) | comps(c)._2); out.write(tabOf(c))
     }
     marker(0xda); u16(2 + 1 + 2 * nComp + 3) // SOS
     out.write(nComp)
@@ -545,8 +621,32 @@ object JpegCodec {
     }
     def emitValue(v: Int, s: Int): Unit =
       if (s > 0) w.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    def emitBlock(blk: Array[Int], c: Int, pred: Array[Int]): Unit = {
+      require(blk.length == 64, "64 coefficients per block")
+      val t = tabOf(c)
+      val diff = blk(0) - pred(c)
+      pred(c) = blk(0)
+      val s = category(diff)
+      require(s <= 11, s"DC difference $diff out of baseline range")
+      emit(s, dcH(t)); emitValue(diff, s)
+      var k = 1
+      var zeros = 0
+      while (k < 64) {
+        val v = blk(Zigzag(k))
+        if (v == 0) zeros += 1
+        else {
+          while (zeros > 15) { emit(0xf0, acH(t)); zeros -= 16 } // ZRL
+          val sz = category(v)
+          require(sz <= 10, s"AC coefficient $v out of baseline range")
+          emit((zeros << 4) | sz, acH(t)); emitValue(v, sz)
+          zeros = 0
+        }
+        k += 1
+      }
+      if (zeros > 0) emit(0x00, acH(t)) // EOB
+    }
     val pred = new Array[Int](nComp)
-    val nMcu = wBlocks * hBlocks
+    val nMcu = mcusX * mcusY
     var rstIdx = 0
     var mcu = 0
     while (mcu < nMcu) {
@@ -556,31 +656,19 @@ object JpegCodec {
         rstIdx = (rstIdx + 1) & 7
         java.util.Arrays.fill(pred, 0)
       }
+      val mcuY = mcu / mcusX; val mcuX = mcu % mcusX
       var c = 0
       while (c < nComp) {
-        val blk = comps(c)(mcu)
-        require(blk.length == 64, "64 coefficients per block")
-        val t = tabOf(c)
-        val diff = blk(0) - pred(c)
-        pred(c) = blk(0)
-        val s = category(diff)
-        require(s <= 11, s"DC difference $diff out of baseline range")
-        emit(s, dcH(t)); emitValue(diff, s)
-        var k = 1
-        var zeros = 0
-        while (k < 64) {
-          val v = blk(Zigzag(k))
-          if (v == 0) zeros += 1
-          else {
-            while (zeros > 15) { emit(0xf0, acH(t)); zeros -= 16 } // ZRL
-            val sz = category(v)
-            require(sz <= 10, s"AC coefficient $v out of baseline range")
-            emit((zeros << 4) | sz, acH(t)); emitValue(v, sz)
-            zeros = 0
+        val (h, v, blocks) = comps(c)
+        var vb = 0
+        while (vb < v) {
+          var hb = 0
+          while (hb < h) {
+            emitBlock(blocks((mcuY * v + vb) * (mcusX * h) + mcuX * h + hb), c, pred)
+            hb += 1
           }
-          k += 1
+          vb += 1
         }
-        if (zeros > 0) emit(0x00, acH(t)) // EOB
         c += 1
       }
       mcu += 1
@@ -675,6 +763,52 @@ case class JpegColorFixture(child: Expression, wBlocks: Int, hBlocks: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): JpegColorFixture =
+    copy(child = newChild)
+}
+
+/** id → real CHROMA-SUBSAMPLED baseline JPEG fixture (luma sampling
+  * `sampH`×`sampV`: (2,2) = 4:2:0, (2,1) = 4:2:2 — the profiles
+  * real-world web JPEGs overwhelmingly use). The image is wMcu×hMcu
+  * MCUs: luma block k of the (wMcu·sampH)×(hMcu·sampV) grid is the
+  * constant (id·31 + k·7) mod 256; chroma block j of the wMcu×hMcu grid
+  * is (id·17 + j·11) mod 256 for Cb and (id·23 + j·13) mod 256 for Cr.
+  * Constant blocks decode exactly, and replication upsampling keeps a
+  * constant chroma block constant over its sampH×sampV luma blocks, so
+  * an external oracle reproduces the full-resolution RGB arithmetically:
+  * pixel (x,y) has Y = rule(block (y/8, x/8)) and Cb/Cr = rule(block
+  * (y/(8·sampV), x/(8·sampH))), converted with FLOOR(v+0.5) clamped —
+  * exactly Java's Math.round. Exercises multi-block-per-MCU interleave,
+  * per-component predictors, and the upsampling path under the
+  * correctness gate. */
+case class JpegSubsampleFixture(child: Expression, wMcu: Int, hMcu: Int,
+    sampH: Int, sampV: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_subsample_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_subsample_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    def dc(rule: Int => Long, n: Int) = Array.tabulate(n) { k =>
+      val blk = new Array[Int](64)
+      blk(0) = ((rule(k) % 256 + 256) % 256).toInt - 128
+      blk
+    }
+    val qC = { val t = Array.fill(64)(24); t(0) = 8; t }
+    JpegCodec.encodeSubsampledCoefficients(wMcu, hMcu, JpegCodec.FixtureQtab, qC,
+      sampH, sampV,
+      dc(k => id * 31 + k.toLong * 7, wMcu * sampH * hMcu * sampV),
+      dc(k => id * 17 + k.toLong * 11, wMcu * hMcu),
+      dc(k => id * 23 + k.toLong * 13, wMcu * hMcu))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JpegSubsampleFixture =
     copy(child = newChild)
 }
 

@@ -199,6 +199,11 @@ object GraftFunctions {
   def jpegColorFixture(id: Column, wBlocks: Int, hBlocks: Int): Column =
     GraftColumn(JpegColorFixture(GraftColumn.expr(id), wBlocks, hBlocks))
 
+  /** id → real chroma-subsampled baseline JPEG (4:2:0 when sampH=sampV=2,
+    * 4:2:2 when sampH=2, sampV=1) with per-plane block rules (fixture). */
+  def jpegSubsampleFixture(id: Column, wMcu: Int, hMcu: Int, sampH: Int, sampV: Int): Column =
+    GraftColumn(JpegSubsampleFixture(GraftColumn.expr(id), wMcu, hMcu, sampH, sampV))
+
   /** color JPEG blob → array(w, h, n_samples, r_sum, g_sum, b_sum) of DECODED RGB. */
   def jpegRgbStats(c: Column): Column = GraftColumn(JpegRgbStats(GraftColumn.expr(c)))
 

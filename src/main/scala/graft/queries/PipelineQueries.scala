@@ -799,6 +799,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CHROMA-SUBSAMPLED decode under the correctness gate: real 4:2:0
+    // (luma 2×2) and 4:2:2 (luma 2×1) baseline JPEGs — the profiles
+    // real-world web JPEGs overwhelmingly use — with constant-block
+    // rules per plane. Multi-block-per-MCU interleave, per-component
+    // DC predictors and replication chroma upsampling must all be
+    // right for the decoded RGB sums to match the oracle's arithmetic:
+    // constant blocks decode exactly, replication keeps a chroma block
+    // constant across its luma blocks, and FLOOR(x+0.5) clamped is
+    // exactly Java's Math.round (the mm_color protocol).
+    "mm_subsample" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val s420 = GraftFunctions.jpegRgbStats(
+        GraftFunctions.jpegSubsampleFixture(col("doc_id"), 2, 2, 2, 2))
+      val s422 = GraftFunctions.jpegRgbStats(
+        GraftFunctions.jpegSubsampleFixture(col("doc_id"), 2, 2, 2, 1))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), s420.as("a"), s422.as("b"))
+        .select(col("doc_id"),
+          element_at(col("a"), 1).as("w420"), element_at(col("a"), 2).as("h420"),
+          element_at(col("a"), 3).as("n420"), element_at(col("a"), 4).as("r420"),
+          element_at(col("a"), 5).as("g420"), element_at(col("a"), 6).as("b420"),
+          element_at(col("b"), 1).as("w422"), element_at(col("b"), 2).as("h422"),
+          element_at(col("b"), 3).as("n422"), element_at(col("b"), 4).as("r422"),
+          element_at(col("b"), 5).as("g422"), element_at(col("b"), 6).as("b422"))
+        .orderBy("doc_id")
+    }),
+
     // Resize under the correctness gate: decode → kernel → RE-ENCODE as a
     // real PNG → decode again for stats, so a bug anywhere in the chain
     // corrupts the numbers. Two kernels, two geometries: bilinear 2×
@@ -2028,6 +2055,48 @@ object PipelineQueries {
         | CAST(64*list_sum(rv) AS BIGINT) AS r_sum,
         | CAST(64*list_sum(gv) AS BIGINT) AS g_sum,
         | CAST(64*list_sum(bv) AS BIGINT) AS b_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Subsampled variants of the mm_color protocol. 4:2:0: 32×32, luma
+    // blocks on a 4×4 grid, chroma block j = ((k//4)//2)*2 + (k%4)//2
+    // (each chroma block serves a 2×2 luma neighborhood via replication
+    // upsampling). 4:2:2: 32×16, luma 4×2, j = (k//4)*2 + (k%4)//2
+    // (horizontal-only subsampling). Constant blocks + replication keep
+    // every pixel of a luma block one exact (Y, Cb, Cr) triple.
+    "mm_subsample" ->
+      """WITH p AS (SELECT doc_id,
+        |  list_transform(range(0, 16), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      + 1.402*(((doc_id*23 + (((k//4)//2)*2 + (k%4)//2)*13) % 256) - 128) + 0.5)))) AS r0,
+        |  list_transform(range(0, 16), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      - 0.344136*(((doc_id*17 + (((k//4)//2)*2 + (k%4)//2)*11) % 256) - 128)
+        |      - 0.714136*(((doc_id*23 + (((k//4)//2)*2 + (k%4)//2)*13) % 256) - 128) + 0.5)))) AS g0,
+        |  list_transform(range(0, 16), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      + 1.772*(((doc_id*17 + (((k//4)//2)*2 + (k%4)//2)*11) % 256) - 128) + 0.5)))) AS b0,
+        |  list_transform(range(0, 8), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      + 1.402*(((doc_id*23 + ((k//4)*2 + (k%4)//2)*13) % 256) - 128) + 0.5)))) AS r2,
+        |  list_transform(range(0, 8), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      - 0.344136*(((doc_id*17 + ((k//4)*2 + (k%4)//2)*11) % 256) - 128)
+        |      - 0.714136*(((doc_id*23 + ((k//4)*2 + (k%4)//2)*13) % 256) - 128) + 0.5)))) AS g2,
+        |  list_transform(range(0, 8), k -> GREATEST(0, LEAST(255,
+        |    FLOOR(((doc_id*31 + k*7) % 256)
+        |      + 1.772*(((doc_id*17 + ((k//4)*2 + (k%4)//2)*11) % 256) - 128) + 0.5)))) AS b2
+        | FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        | CAST(32 AS BIGINT) AS w420, CAST(32 AS BIGINT) AS h420,
+        | CAST(3072 AS BIGINT) AS n420,
+        | CAST(64*list_sum(r0) AS BIGINT) AS r420,
+        | CAST(64*list_sum(g0) AS BIGINT) AS g420,
+        | CAST(64*list_sum(b0) AS BIGINT) AS b420,
+        | CAST(32 AS BIGINT) AS w422, CAST(16 AS BIGINT) AS h422,
+        | CAST(1536 AS BIGINT) AS n422,
+        | CAST(64*list_sum(r2) AS BIGINT) AS r422,
+        | CAST(64*list_sum(g2) AS BIGINT) AS g422,
+        | CAST(64*list_sum(b2) AS BIGINT) AS b422
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // bilinear 2x downscale of the 16x8 rule image: output (x,y) is the

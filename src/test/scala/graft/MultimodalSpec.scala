@@ -345,6 +345,94 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("JPEG 4:2:0 and 4:2:2 subsampling: multi-block MCUs, replication upsampling") {
+    import graft.functions.JpegCodec
+    val qL = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val qC = Array.tabulate(64)(i => if (i == 0) 8 else 24)
+    def dcBlocks(vals: Array[Int]) = vals.map { v =>
+      val b = new Array[Int](64); b(0) = v - 128; b
+    }
+    def cl(d: Double): Int = math.max(0, math.min(255, math.round(d))).toInt
+    // 4:2:0, one MCU: luma 2×2 blocks with distinct constants, one
+    // chroma block replicated over all four — every (luma block, chroma)
+    // pairing and the block→plane placement inside the MCU is visible
+    val yv = Array(200, 64, 30, 150)
+    val jpg = JpegCodec.encodeSubsampledCoefficients(1, 1, qL, qC, 2, 2,
+      dcBlocks(yv), dcBlocks(Array(90)), dcBlocks(Array(160)))
+    val Some((w, h, nc, px)) = JpegCodec.decode(jpg)
+    assert((w, h, nc) == (16, 16, 3))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val b = (y / 8) * 2 + (x / 8)
+      val (yy, cb, cr) = (yv(b).toDouble, 90 - 128.0, 160 - 128.0)
+      val expect = (cl(yy + 1.402 * cr), cl(yy - 0.344136 * cb - 0.714136 * cr),
+        cl(yy + 1.772 * cb))
+      val got = ((px((y * 16 + x) * 3) & 0xff), (px((y * 16 + x) * 3 + 1) & 0xff),
+        (px((y * 16 + x) * 3 + 2) & 0xff))
+      assert(got == expect, s"4:2:0 pixel ($x,$y): expected $expect got $got")
+    }
+    // 4:2:2, two MCUs wide: horizontal-only subsampling — luma block is
+    // x/8, chroma block x/16, no vertical replication
+    val yv2 = Array(10, 240, 77, 130)
+    val cbv2 = Array(70, 190); val crv2 = Array(140, 100)
+    val jpg2 = JpegCodec.encodeSubsampledCoefficients(2, 1, qL, qC, 2, 1,
+      dcBlocks(yv2), dcBlocks(cbv2), dcBlocks(crv2))
+    val Some((w2, h2, nc2, px2)) = JpegCodec.decode(jpg2)
+    assert((w2, h2, nc2) == (32, 8, 3))
+    for (y <- 0 until 8; x <- 0 until 32) {
+      val (yy, cb, cr) = (yv2(x / 8).toDouble, cbv2(x / 16) - 128.0, crv2(x / 16) - 128.0)
+      val expect = (cl(yy + 1.402 * cr), cl(yy - 0.344136 * cb - 0.714136 * cr),
+        cl(yy + 1.772 * cb))
+      val got = ((px2((y * 32 + x) * 3) & 0xff), (px2((y * 32 + x) * 3 + 1) & 0xff),
+        (px2((y * 32 + x) * 3 + 2) & 0xff))
+      assert(got == expect, s"4:2:2 pixel ($x,$y): expected $expect got $got")
+    }
+    // restart markers count interleaved MCUs (not blocks): restart every
+    // MCU with 2×2 luma means a reset after each SIX-block group
+    val jpgR = JpegCodec.encodeSubsampledCoefficients(2, 1, qL, qC, 2, 2,
+      dcBlocks(Array(10, 250, 13, 99, 180, 7, 33, 201)),
+      dcBlocks(Array(90, 90)), dcBlocks(Array(160, 160)), restartInterval = 1)
+    val Some((wr, hr, _, _)) = JpegCodec.decode(jpgR)
+    assert((wr, hr) == (32, 16))
+  }
+
+  test("JPEG 4:2:0 AC coefficients place blocks correctly inside the MCU") {
+    import graft.functions.JpegCodec
+    // neutral chroma (constant 128 ⇒ DC 0) makes the R channel equal the
+    // luma plane exactly (Y + 1.402·0), so a reference IDCT over the
+    // known coefficients pins the multi-block-per-MCU placement AND the
+    // entropy path under subsampling
+    val qL = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    val qC = Array.tabulate(64)(i => if (i == 0) 8 else 24)
+    val rnd = new scala.util.Random(13)
+    val blocks = Array.tabulate(4) { b =>
+      val blk = new Array[Int](64)
+      blk(0) = rnd.between(-100, 100)
+      if (b % 2 == 0) { blk(1) = 4; blk(8) = -6 }
+      else (1 until 64).foreach(i => blk(i) = rnd.between(-5, 6))
+      blk
+    }
+    val neutral = Array.fill(1)(new Array[Int](64))
+    val jpg = JpegCodec.encodeSubsampledCoefficients(1, 1, qL, qC, 2, 2,
+      blocks, neutral, neutral)
+    val Some((w, h, nc, px)) = JpegCodec.decode(jpg)
+    assert((w, h, nc) == (16, 16, 3))
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (b <- 0 until 4) {
+      val coef = Array.tabulate(64)(i => blocks(b)(i).toDouble * qL(i))
+      val bx = b % 2; val by = b / 2
+      for (r <- 0 until 8; cc <- 0 until 8) {
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          acc += c(u) * c(v) * coef(v * 8 + u) *
+            math.cos((2 * cc + 1) * u * math.Pi / 16) *
+            math.cos((2 * r + 1) * v * math.Pi / 16)
+        val expect = math.max(0, math.min(255, math.round(acc / 4.0 + 128.0))).toInt
+        val got = px(((by * 8 + r) * 16 + bx * 8 + cc) * 3) & 0xff
+        assert(got == expect, s"block $b pixel ($cc,$r): expected $expect got $got")
+      }
+    }
+  }
+
   test("JPEG restart markers: predictor resets and byte-aligned resync decode exactly") {
     import graft.functions.JpegCodec
     val q = Array.tabulate(64)(i => if (i == 0) 8 else 16)

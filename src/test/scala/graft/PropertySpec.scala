@@ -100,6 +100,18 @@ object PropertySpec extends Properties("graft") {
             Array.tabulate(6)(k => ((id * 31 + k * 7) % 256).toInt))
           flips.foreach { case (pos, v) => base(pos % base.length) = v }
           base
+        },
+      // a VALID 4:2:0 subsampled fixture with random byte flips: the
+      // multi-block-per-MCU interleave and upsampling geometry under
+      // corruption (sampling factors, MCU counts, plane indexing)
+      Gen.zip(Gen.choose(0L, 255L), Gen.listOf(
+          Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue))))
+        .map { case (id, flips) =>
+          val base = graft.functions.JpegSubsampleFixture(
+            org.apache.spark.sql.catalyst.expressions.Literal(id), 2, 2, 2, 2)
+            .nullSafeEval(id).asInstanceOf[Array[Byte]]
+          flips.foreach { case (pos, v) => base(pos % base.length) = v }
+          base
         })) { bytes =>
       // the scan contract for untrusted corpora: an executor must get
       // None for garbage, never an exception that kills the whole job
