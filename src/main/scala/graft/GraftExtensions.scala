@@ -94,5 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue()))
     inject("bloom_any_contain", "bloom_any_contain(hashes, sketch) - true when any hash might be in the Bloom sketch",
       exprs => BloomAnyContain(exprs.head, exprs(1)))
+    inject("image_phash", "image_phash(blob) - 64-bit perceptual hash of a PNG/JPEG image",
+      exprs => ImagePHash(exprs.head))
+    inject("png_noise_fixture", "png_noise_fixture(id, w, h) - deterministic noise grayscale PNG fixture",
+      exprs => PngNoiseFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("png_to_jpeg", "png_to_jpeg(blob, quant_step) - lossy grayscale baseline JPEG re-encode of a PNG",
+      exprs => PngToJpeg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

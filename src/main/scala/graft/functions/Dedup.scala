@@ -356,11 +356,43 @@ object Dedup {
     * four 16-bit chunks (pigeonhole: hamming<=3 ⇒ some chunk equal), join
     * per chunk, verify with bit_count(xor) <= maxHamming. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = array((0 until 4).map(i =>
-      shiftright(col(simhashCol), i * 16).bitwiseAND(lit(0xffffL))): _*)
-    val chunked = docs.select(col(idCol), col(simhashCol), posexplode(chunks))
-      .toDF(idCol, simhashCol, "chunk_idx", "chunk")
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(docs, idCol, simhashCol, maxHamming, nChunks = 4)
+
+  /** Generalized Hamming-banded near-dup pairs over ANY 64-bit
+    * fingerprint column (text SimHash, image pHash): band the hash into
+    * `nChunks` contiguous chunks, equi-join per (chunk index, chunk
+    * value), verify candidates with bit_count(xor) <= maxHamming.
+    *
+    * Recall contract (pigeonhole): a pair at hamming <= nChunks-1 MUST
+    * share an untouched chunk, so recall is exact up to that radius and
+    * probabilistic beyond it. nChunks defaults to maxHamming+1 (exact
+    * recall at the verify radius).
+    *
+    * Scale tradeoff: chunk width is 64/nChunks bits, and each (idx,
+    * value) bucket holds every fingerprint agreeing on that chunk — a
+    * corpus of N images spreads over ~2^(64/nChunks) buckets per band.
+    * 4×16 (the SimHash config) is the web-scale shape; nChunks beyond ~8
+    * narrows chunks enough that buckets grow toward N/2^8 and the
+    * candidate join goes quadratic — prefer raising nChunks only on
+    * bounded corpora, or cap dense buckets upstream like
+    * [[Similarity.annSelfJoin]]. */
+  def hammingNearDupPairs(docs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, nChunks: Int = 0): DataFrame = {
+    val n = if (nChunks > 0) nChunks else maxHamming + 1
+    require(n >= 1 && n <= 64, s"nChunks must be in [1, 64], got $n")
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    // chunk i covers [off, off+width): widths differ by at most one bit
+    // so the pigeonhole guarantee holds for any nChunks
+    val base = 64 / n; val rem = 64 % n
+    val chunks = array((0 until n).map { i =>
+      val off = i * base + math.min(i, rem)
+      val width = base + (if (i < rem) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(col(hashCol), off).bitwiseAND(lit(mask))
+    }: _*)
+    val chunked = docs.select(col(idCol), col(hashCol), posexplode(chunks))
+      .toDF(idCol, hashCol, "chunk_idx", "chunk")
     val a = chunked.toDF("id_a", "sim_a", "chunk_idx", "chunk")
     val b = chunked.toDF("id_b", "sim_b", "chunk_idx", "chunk")
     a.join(b, Seq("chunk_idx", "chunk"))

@@ -678,6 +678,57 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode 8-bit grayscale PIXELS as a real baseline JPEG: level shift,
+    * forward DCT per 8×8 block (edge-replicated padding), quantization
+    * against `qtab` (round half up), then the entropy encoder — the
+    * genuinely LOSSY round-trip a re-compressed web image goes through,
+    * used by [[PngToJpeg]] to plant realistic perceptual near-dups.
+    * Quant steps are clamped to ≥4 so every quantized coefficient stays
+    * inside baseline Huffman categories (|F| ≤ 2048 ⇒ |F|/4 ≤ 512 ⇒
+    * category ≤ 10). */
+  def encodeGrayPixels(w: Int, h: Int, px: Array[Byte], qtab: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "pixel buffer must match geometry")
+    val q = qtab.map(v => math.min(255, math.max(4, v)))
+    val wB = (w + 7) / 8; val hB = (h + 7) / 8
+    val f = Array.ofDim[Double](8, 8)
+    val blocks = Array.tabulate(wB * hB) { bi =>
+      val bx = bi % wB; val by = bi / wB
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(h - 1, by * 8 + y)
+        var x = 0
+        while (x < 8) {
+          f(y)(x) = (px(sy * w + math.min(w - 1, bx * 8 + x)) & 0xff) - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val blk = new Array[Int](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          // F(u,v) = 1/4 Σy Σx f(y,x)·c(u)cos((2y+1)uπ/16)·c(v)cos((2x+1)vπ/16)
+          // — the inverse of the decoder's IDCT (CosTab carries the c
+          // factors), so coefficient (u,v) means the same thing there
+          var acc = 0.0
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { acc += f(y)(x) * CosTab(u)(y) * CosTab(v)(x); x += 1 }
+            y += 1
+          }
+          blk(u * 8 + v) = math.round(acc / 4.0 / q(u * 8 + v)).toInt
+          v += 1
+        }
+        u += 1
+      }
+      blk
+    }
+    encodeGrayCoefficients(wB, hB, q, blocks, restartInterval)
+  }
+
   /** Fixture quant table: DC step 8 makes a constant block's lone DC
     * coefficient 8·(v−128)/8 = v−128 — integers round-trip exactly. */
   private[functions] val FixtureQtab: Array[Int] = {

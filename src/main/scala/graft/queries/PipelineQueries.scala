@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, IvfPq, Multimodal => MM, Pq, Similarity, TextFunctions => TF}
+import graft.functions.{Boilerplate, Clusters, Decontam, Dedup, GraftFunctions, Ivf, IvfPq, Multimodal => MM, PHash, Pq, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -824,6 +824,54 @@ object PipelineQueries {
           element_at(col("b"), 3).as("n422"), element_at(col("b"), 4).as("r422"),
           element_at(col("b"), 5).as("g422"), element_at(col("b"), 6).as("b422"))
         .orderBy("doc_id")
+    }),
+
+    // PERCEPTUAL image dedup end-to-end: 40 structurally-distinct
+    // band-limited images; every 4th id also appears as a genuinely
+    // LOSSY JPEG re-encode (decode → FDCT → quantize → entropy code) at
+    // id+1e6 and every 4th+1 as a 48×48 bilinear downscale at id+2e6 —
+    // the two transforms a re-posted web image actually undergoes.
+    // pHash (32×32 → DCT → 8×8 sign bits) must retrieve EVERY planted
+    // pair at hamming ≤ 3 through the same 4×16-bit banding SimHash
+    // uses (pigeonhole-exact at that radius), with zero false pairs
+    // among distinct images (measured margin: planted ≤ 1 bit apart,
+    // distinct ids ≥ 20). The verdict row is DuckDB-anchored on the
+    // planted counts.
+    "mm_phash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 40).select("doc_id")
+      def noise = PHash.pngNoiseFixture(col("doc_id"), 64, 64)
+      val base = docs.select(col("doc_id").as("img_id"), noise.as("img"))
+      val jdup = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("img_id"),
+          PHash.pngToJpeg(noise, 12).as("img"))
+      val rdup = docs.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000L).as("img_id"),
+          GraftFunctions.pngResize(noise, 48, 48, bilinear = true).as("img"))
+      val hashed = base.unionAll(jdup).unionAll(rdup)
+        .select(col("img_id"), PHash.imagePHash(col("img")).as("ph"))
+        .localCheckpoint(true) // hash once; read by pairs and 2 verdicts
+      val pairs = Dedup.hammingNearDupPairs(hashed, "img_id", "ph",
+          maxHamming = 3, nChunks = 4)
+        .localCheckpoint(true) // tiny pair list; read by 3 verdicts
+      hashed.agg(count(lit(1L)).as("n_images"))
+        .crossJoin(docs.where(col("doc_id") % 4 === 0)
+          .agg(count(lit(1L)).as("n_jpeg_planted")))
+        .crossJoin(docs.where(col("doc_id") % 4 === 1)
+          .agg(count(lit(1L)).as("n_resize_planted")))
+        .crossJoin(pairs.where(col("id_b") === col("id_a") + 1000000L)
+          .agg(count(lit(1L)).as("n_jpeg_found")))
+        .crossJoin(pairs.where(col("id_b") === col("id_a") + 2000000L)
+          .agg(count(lit(1L)).as("n_resize_found")))
+        .crossJoin(pairs.where(col("id_b") =!= col("id_a") + 1000000L &&
+            col("id_b") =!= col("id_a") + 2000000L)
+          .agg(count(lit(1L)).as("n_fp")))
+        .crossJoin(hashed.where(col("ph").isNull).agg(count(lit(1L)).as("n_null")))
+        .select(col("n_images"), col("n_jpeg_planted"), col("n_resize_planted"),
+          (col("n_jpeg_found") === col("n_jpeg_planted")).as("jpeg_recall_ok"),
+          (col("n_resize_found") === col("n_resize_planted")).as("resize_recall_ok"),
+          (col("n_fp") === lit(0L)).as("zero_fp_ok"),
+          (col("n_null") === lit(0L)).as("all_decoded_ok"))
     }),
 
     // Resize under the correctness gate: decode → kernel → RE-ENCODE as a
@@ -2098,6 +2146,18 @@ object PipelineQueries {
         | CAST(64*list_sum(g2) AS BIGINT) AS g422,
         | CAST(64*list_sum(b2) AS BIGINT) AS b422
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // planted counts are data-derived; the recall/FP verdicts are the
+    // engine's own booleans, which must all read true
+    "mm_phash" ->
+      """SELECT CAST(count(*)
+        |   + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+        | CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_jpeg_planted,
+        | CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resize_planted,
+        | true AS jpeg_recall_ok, true AS resize_recall_ok,
+        | true AS zero_fp_ok, true AS all_decoded_ok
+        |FROM documents WHERE doc_id < 40""".stripMargin,
 
     // bilinear 2x downscale of the 16x8 rule image: output (x,y) is the
     // round-half-up mean of the 2x2 source block (half-pixel centers make

@@ -333,6 +333,55 @@ class PipelineSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hammingNearDupPairs: uneven chunk widths keep the pigeonhole guarantee") {
+    GraftFunctions.register(spark)
+    // 5 chunks over 64 bits = widths 13,13,13,13,12 — a pair at hamming 4
+    // MUST be found (one flipped bit per chunk at most touches 4 of 5);
+    // construct the adversarial case: 4 flips spread across 4 chunks
+    val flipped = (1L << 0) | (1L << 13) | (1L << 26) | (1L << 39) // chunks 0-3
+    val docs = Seq(
+      (1L, 0L), (2L, flipped), // hamming 4, chunk 4 untouched
+      (3L, 0x0F0F0F0F0F0F0F0FL)).toDF("doc_id", "h")
+    val pairs = Dedup.hammingNearDupPairs(docs, "doc_id", "h", maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // and the SimHash special case is exactly the generalized op at 4 chunks
+    val viaGeneral = Dedup.hammingNearDupPairs(docs, "doc_id", "h", 3, nChunks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaSimhash = Dedup.simhashNearDupPairs(docs, "doc_id", "h", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaGeneral == viaSimhash)
+  }
+
+  test("image pHash: re-encode/resize invariant, structure sensitive, garbage null") {
+    import graft.functions.{JpegCodec, PHash, PngCodec, ImageOps}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def noise(id: Long) = graft.functions.PngNoiseFixture(Literal(id), 64, 64)
+      .nullSafeEval(id).asInstanceOf[Array[Byte]]
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (id <- 0L until 10L) {
+      val png = noise(id)
+      val h = PHash.ofBlob(png).get
+      // genuinely lossy JPEG round-trip: a few bits at most
+      val jpg = graft.functions.PngToJpeg(Literal(png), 12).nullSafeEval(png)
+        .asInstanceOf[Array[Byte]]
+      assert(ham(h, PHash.ofBlob(jpg).get) <= 3, s"id=$id jpeg re-encode moved pHash")
+      // bilinear downscale: scale-normalized away
+      val Some((w, hh, ch, px)) = PngCodec.decode8(png)
+      val rs = PngCodec.encode8(48, 48, 1, ImageOps.resizeBilinear(px, w, hh, ch, 48, 48))
+      assert(ham(h, PHash.ofBlob(rs).get) <= 3, s"id=$id resize moved pHash")
+      // global brightness shift touches only the (excluded) DC term:
+      // +8 on every pixel must not change a single bit
+      val bright = px.map(p => math.min(255, (p & 0xff) + 8).toByte)
+      assert(PHash.pHash64(bright, w, hh, 1) == h, s"id=$id brightness changed pHash")
+    }
+    // structurally different images are far apart
+    val hs = (0L until 10L).map(id => PHash.ofBlob(noise(id)).get)
+    for (i <- hs.indices; j <- i + 1 until hs.size)
+      assert(ham(hs(i), hs(j)) > 10, s"distinct images $i,$j too close")
+    assert(PHash.ofBlob("not an image".getBytes).isEmpty)
+  }
+
   test("cosine similarity exact values") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
                  (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
