@@ -89,6 +89,25 @@ object IvfPq {
       .where(col("list").isNotNull)
   }
 
+  /** Incremental index append — the arriving-batch protocol, mirroring
+    * [[Dedup.exactDedupAgainst]]'s shape for vectors: encode the batch
+    * with the SAME trained [[Index]] (no retraining — codebooks are a
+    * frozen artifact; retraining would silently re-map every existing
+    * code) and union it onto the standing index. [[search]] over the
+    * result spans old and new rows transparently, because the index
+    * representation is just (id, list, codes).
+    *
+    * Parquet protocol at scale: the standing index lives as parquet
+    * partitioned by `list`; appending a batch is
+    * `encodeIndex(batch).write.mode("append").partitionBy("list")` —
+    * only the arriving cells' partitions gain files, existing files are
+    * never touched, and probe-time list pruning keeps working through
+    * partition pruning on the read. This method is the in-memory
+    * equivalent for already-loaded indexes. */
+  def appendBatch(index: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, ix: Index): DataFrame =
+    index.unionByName(encodeIndex(batch, idCol, vecCol, ix))
+
   /** Per-query probe selection: (`qidCol`, `list`, `__centroid`) — the
     * `nProbe` cells nearest each query. */
   private def probeSelection(ix: Index, queries: DataFrame, qidCol: String,

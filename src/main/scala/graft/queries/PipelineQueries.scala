@@ -1177,6 +1177,57 @@ object PipelineQueries {
           (col("n_scanned") * 2 < col("n_queries") * col("n_corpus")).as("pruning_ok"))
     }),
 
+    // INCREMENTAL IVFADC: the arriving-batch protocol. The standing
+    // index is written as a parquet artifact partitioned by list; the
+    // batch (clones of the 5 probe vectors) is encoded with the SAME
+    // trained Index — no retraining — and appended by list partition
+    // (only arriving cells' partitions gain files). Search over the
+    // read-back index must find every planted clone at rank 1 (same
+    // cell, same codes ⇒ ADC distance is the query's own residual
+    // quantization error), the corpus rows must survive the round trip
+    // byte-identically, and each query's top-k must still span the OLD
+    // corpus — proving one search covers old + new without re-encoding
+    // anything.
+    "sim_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .localCheckpoint(true) // read by train, two encodes, and queries
+      val ix = IvfPq.train(emb, "embedding", nLists = 16, m = 8, ksub = 16, seed = 42L)
+      val index = IvfPq.encodeIndex(emb, "vec_id", "embedding", ix)
+        .localCheckpoint(true) // read by the write and the preserved join
+      val idxDir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+      index.write.mode("overwrite").partitionBy("list").parquet(idxDir)
+      val batch = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      IvfPq.encodeIndex(batch, "vec_id", "embedding", ix)
+        .write.mode("append").partitionBy("list").parquet(idxDir)
+      val full = s.read.parquet(idxDir)
+        .select(col("vec_id"), col("list").cast("int").as("list"), col("codes"))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val knn = IvfPq.search(full, "vec_id", ix, q, "qid", "qvec", k = 5, nProbe = 4)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+        .localCheckpoint(true) // tiny top-k; read by two verdicts
+      // round-trip fidelity: every original index row comes back from
+      // parquet with the same cell and codes, nothing lost or added
+      val mismatches = index.toDF("o_id", "o_list", "o_codes")
+        .join(full.where(col("vec_id") < 2000000L).toDF("r_id", "r_list", "r_codes"),
+          col("o_id") === col("r_id"), "full")
+        .where(col("o_id").isNull || col("r_id").isNull ||
+          col("o_list") =!= col("r_list") || not(col("o_codes") === col("r_codes")))
+      emb.agg(count(lit(1L)).as("n_corpus"))
+        .crossJoin(batch.agg(count(lit(1L)).as("n_batch")))
+        .crossJoin(q.agg(count(lit(1L)).as("n_queries")))
+        .crossJoin(knn.where(col("nid") === col("qid") + 2000000L && col("rank") === 1)
+          .agg(count(lit(1L)).as("n_clone_top")))
+        .crossJoin(knn.where(col("nid") < 2000000L)
+          .agg(countDistinct(col("qid")).as("n_span_corpus")))
+        .crossJoin(mismatches.agg(count(lit(1L)).as("n_mismatch")))
+        .select(col("n_corpus"), col("n_batch"), col("n_queries"),
+          (col("n_clone_top") === col("n_queries")).as("clones_rank1_ok"),
+          (col("n_span_corpus") === col("n_queries")).as("spans_corpus_ok"),
+          (col("n_mismatch") === lit(0L)).as("corpus_preserved_ok"))
+    }),
+
     // LSH-bucketed approximate NN self-join (8 hyperplanes, 8 tables,
     // dense buckets capped). Made oracle-VISIBLE on the vec_id<500 audit
     // slice with planted clones (every vec_id%100<2 duplicated at
@@ -2045,6 +2096,15 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n_corpus,
         | true AS clones_rank1_ok, true AS pruning_ok
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // counts are data-derived anchors; the clone/span/round-trip
+    // verdicts are the engine's own booleans, which must all read true
+    "sim_ivfpq_append" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_corpus,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_batch,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) AS BIGINT) AS n_queries,
+        | true AS clones_rank1_ok, true AS spans_corpus_ok,
+        | true AS corpus_preserved_ok""".stripMargin,
 
     "sim_ann" ->
       """WITH aug AS (

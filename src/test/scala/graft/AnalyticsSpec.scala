@@ -412,6 +412,28 @@ class AnalyticsSpec extends SparkSuite {
       "parquet round-tripped index changed the search result")
   }
 
+  test("IVFADC appendBatch: appended clones found without retraining, old rows untouched") {
+    import graft.functions.IvfPq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ix = IvfPq.train(emb, "embedding", nLists = 8, m = 8, ksub = 16, seed = 42L)
+    val index = IvfPq.encodeIndex(emb, "vec_id", "embedding", ix).localCheckpoint(true)
+    val batch = emb.where(col("vec_id") < 3)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val appended = IvfPq.appendBatch(index, batch, "vec_id", "embedding", ix)
+    // the original rows ride through unchanged — append is purely additive
+    assert(appended.where(col("vec_id") < 2000000L).except(index).isEmpty &&
+      index.except(appended.where(col("vec_id") < 2000000L)).isEmpty)
+    // one search spans old + new: each query finds its appended clone at
+    // rank 1 (identical vector ⇒ same cell, same codes)
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val knn = IvfPq.search(appended, "vec_id", ix, q, "qid", "qvec", k = 3, nProbe = 4)
+    val cloneTop = knn.where(col("vec_id") === col("qid") + 2000000L && col("rank") === 1)
+      .count()
+    assert(cloneTop == 3, s"expected 3 appended clones at rank 1, got $cloneTop")
+  }
+
   test("saltedJoin rejects join types that preserve the replicated side") {
     val a = Seq((1, "x")).toDF("k", "a")
     val b = Seq((1, "y")).toDF("k", "b")
