@@ -94,6 +94,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue()))
     inject("bloom_any_contain", "bloom_any_contain(hashes, sketch) - true when any hash might be in the Bloom sketch",
       exprs => BloomAnyContain(exprs.head, exprs(1)))
+    inject("wav_spectral_stats", "wav_spectral_stats(blob, frame_len, n_bands) - array(n_frames, parseval_total, peak_bin, peak_frac_pct, bands...) of FFT features over decoded PCM",
+      exprs => WavSpectralStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("wav_tone_fixture", "wav_tone_fixture(id) - pure-tone mono 16-bit PCM WAV fixture at bin 3 + id mod 8",
+      exprs => WavToneFixture(exprs.head))
     inject("image_phash", "image_phash(blob) - 64-bit perceptual hash of a PNG/JPEG image",
       exprs => ImagePHash(exprs.head))
     inject("png_noise_fixture", "png_noise_fixture(id, w, h) - deterministic noise grayscale PNG fixture",

@@ -231,4 +231,12 @@ object GraftFunctions {
     * of DECODED PCM windowed features. */
   def wavFrameStats(c: Column, frameLen: Int): Column =
     GraftColumn(WavFrameStats(GraftColumn.expr(c), frameLen))
+
+  /** WAV blob → array(n_frames, parseval_total, peak_bin, peak_frac_pct,
+    * band energies…) — FFT features over decoded PCM frames. */
+  def wavSpectralStats(c: Column, frameLen: Int, nBands: Int): Column =
+    GraftColumn(WavSpectralStats(GraftColumn.expr(c), frameLen, nBands))
+
+  /** id → pure-tone mono 16-bit PCM WAV at integer bin 3 + (id mod 8). */
+  def wavToneFixture(id: Column): Column = GraftColumn(WavToneFixture(GraftColumn.expr(id)))
 }

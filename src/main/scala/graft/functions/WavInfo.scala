@@ -136,6 +136,54 @@ object WavInfo {
   }
 }
 
+/** Iterative radix-2 Cooley–Tukey FFT, pure JVM — the spectral kernel
+  * behind [[WavSpectralStats]]. Twiddles come from per-index cos/sin
+  * (not the multiply-accumulated recurrence) so rounding stays at
+  * O(log n · ε) and the Parseval identity below holds to far better
+  * than half a ULP of the integer it is checked against. */
+object Fft {
+
+  /** In-place DFT of (re, im); length must be a power of two. */
+  def transform(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      s"FFT length must be a power of two, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      val ang = -2.0 * math.Pi / len
+      var blk = 0
+      while (blk < n) {
+        var k = 0
+        while (k < half) {
+          val cr = math.cos(ang * k); val ci = math.sin(ang * k)
+          val ar = re(blk + k); val ai = im(blk + k)
+          val xr = re(blk + k + half); val xi = im(blk + k + half)
+          val br = xr * cr - xi * ci
+          val bi = xr * ci + xi * cr
+          re(blk + k) = ar + br; im(blk + k) = ai + bi
+          re(blk + k + half) = ar - br; im(blk + k + half) = ai - bi
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+}
+
 /** id → real PCM WAV fixture: a genuine RIFF/WAVE byte stream (JUNK
   * chunk before `fmt ` so fixed-offset readers fail, mono 16-bit
   * 8000 Hz) whose sample i is ((id·31 + i·7) mod 4096) − 2048 over
@@ -217,6 +265,141 @@ case class WavPcmStats(child: Expression)
     }
 
   override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}
+
+/** id → pure-tone PCM WAV fixture: mono 16-bit 8000 Hz, 256 samples,
+  * sample i = round(1000·cos(2π·k·i/256)) at integer frequency bin
+  * k = 3 + (id mod 8). An integer-bin cosine concentrates ALL spectral
+  * energy in DFT bin k (amplitude rounding adds only a vanishing
+  * wideband floor), so [[WavSpectralStats]]'s measured peak bin must
+  * equal the rule's k — an oracle-exact planted-tone check. */
+case class WavToneFixture(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_tone_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_tone_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val k = 3 + (((id % 8) + 8) % 8).toInt
+    val n = 256
+    val dataLen = n * 2
+    val riffSize = 4 + 24 + 8 + dataLen // WAVE + fmt + data
+    val out = new Array[Byte](8 + riffSize)
+    def put(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s(i).toByte; i += 1 } }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    put(0, "RIFF"); le32(4, riffSize); put(8, "WAVE")
+    put(12, "fmt "); le32(16, 16)
+    le16(20, 1); le16(22, 1); le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+    put(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < n) {
+      val v = math.round(1000.0 * math.cos(2.0 * math.Pi * k * i / n)).toInt
+      le16(44 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavToneFixture =
+    copy(child = newChild)
+}
+
+/** WAV blob → spectral features over the DECODED PCM samples, framed
+  * into non-overlapping `frameLen`-sample windows (power of two;
+  * trailing partial frame ignored, same framing as [[WavFrameStats]]):
+  * array(n_frames, parseval_total, peak_bin, peak_frac_pct,
+  * band_0 … band_{nBands−1}), all longs.
+  *
+  *   - `parseval_total`: Σ over frames of round(Σ_k |X_k|²) — by the
+  *     Parseval identity for the unnormalized DFT this equals
+  *     frameLen · Σ x² over the framed samples EXACTLY (the FFT's
+  *     floating error is orders of magnitude below the 0.5 rounding
+  *     margin at 16-bit amplitudes), which an external oracle recomputes
+  *     from the integer sample rule without any FFT;
+  *   - `peak_bin`: argmax of one-sided non-DC energy |X_k|², k ∈
+  *     [1, frameLen/2], of the FIRST frame (lowest bin wins ties) — the
+  *     planted-tone check;
+  *   - `peak_frac_pct`: floor(100 · peak-bin energy / one-sided non-DC
+  *     energy) of the first frame — tone dominance;
+  *   - `band_j`: round(Σ frames Σ_{k ∈ band j} |X_k|²) over one-sided
+  *     non-DC bins split evenly into `nBands` bands — the band-energy
+  *     profile audio curation filters on (speech/music/noise balance).
+  *
+  * NULL for non-PCM / corrupt input or when no full frame exists. */
+case class WavSpectralStats(child: Expression, frameLen: Int, nBands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0,
+    s"frameLen must be a power of two, got $frameLen")
+  require(nBands > 0 && (frameLen / 2) % nBands == 0,
+    s"nBands must divide frameLen/2, got $nBands for frameLen $frameLen")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_spectral_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_spectral_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((_, _, _, s)) if s.length >= frameLen =>
+        val nf = s.length / frameLen
+        val half = frameLen / 2
+        val binsPerBand = half / nBands
+        val re = new Array[Double](frameLen)
+        val im = new Array[Double](frameLen)
+        val bandAcc = new Array[Double](nBands)
+        var total = 0L
+        var peakBin = 1
+        var peakFracPct = 0L
+        var f = 0
+        while (f < nf) {
+          var i = 0
+          while (i < frameLen) { re(i) = s(f * frameLen + i); im(i) = 0.0; i += 1 }
+          Fft.transform(re, im)
+          var frameTotal = 0.0
+          i = 0
+          while (i < frameLen) { frameTotal += re(i) * re(i) + im(i) * im(i); i += 1 }
+          total += math.round(frameTotal)
+          var oneSided = 0.0
+          var bestE = -1.0
+          var best = 1
+          var k = 1
+          while (k <= half) {
+            val e = re(k) * re(k) + im(k) * im(k)
+            oneSided += e
+            bandAcc((k - 1) / binsPerBand) += e
+            if (e > bestE) { bestE = e; best = k }
+            k += 1
+          }
+          if (f == 0) {
+            peakBin = best
+            peakFracPct = if (oneSided > 0.0) (100.0 * bestE / oneSided).toLong else 0L
+          }
+          f += 1
+        }
+        val out = new Array[Long](4 + nBands)
+        out(0) = nf.toLong; out(1) = total; out(2) = peakBin.toLong; out(3) = peakFracPct
+        var j = 0
+        while (j < nBands) { out(4 + j) = math.round(bandAcc(j)); j += 1 }
+        new GenericArrayData(out)
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavSpectralStats =
     copy(child = newChild)
 }
 

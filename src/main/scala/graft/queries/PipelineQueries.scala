@@ -928,17 +928,32 @@ object PipelineQueries {
     // energies (voice-activity primitive) and whole-signal zero-crossing
     // count (voicing primitive) — exact integer arithmetic end to end,
     // so the oracle evaluates the sample rule and matches bit-for-bit.
+    // Windowed time-domain features PLUS spectral features. The FFT path
+    // is oracle-EXACT through Parseval: Σ|X_k|² per unnormalized-DFT
+    // frame equals frameLen·Σx², so DuckDB recomputes the engine's
+    // spectral total from the integer sample rule with no FFT (the
+    // float error is orders of magnitude under the 0.5 rounding margin).
+    // The planted pure tone at integer bin 3+(doc_id%8) must come back
+    // as the measured argmax bin — DuckDB recomputes the expected bin
+    // arithmetically — and carry ≥90% of one-sided non-DC energy.
     "mm_audio" -> ((s, dir) => {
       GraftFunctions.register(s)
       val ast = GraftFunctions.wavFrameStats(
         GraftFunctions.wavPcmFixture(col("doc_id")), 64)
+      val sp = GraftFunctions.wavSpectralStats(
+        GraftFunctions.wavPcmFixture(col("doc_id")), 64, 8)
+      val tone = GraftFunctions.wavSpectralStats(
+        GraftFunctions.wavToneFixture(col("doc_id")), 256, 8)
       t(s, dir, "documents").where(col("doc_id") < 50)
-        .select(col("doc_id"), ast.as("a"))
+        .select(col("doc_id"), ast.as("a"), sp.as("sp"), tone.as("tn"))
         .select(col("doc_id"),
           element_at(col("a"), 1).as("n_frames"),
           element_at(col("a"), 2).as("zero_crossings"),
           element_at(col("a"), 3).as("energy_max"),
-          element_at(col("a"), 4).as("energy_min"))
+          element_at(col("a"), 4).as("energy_min"),
+          element_at(col("sp"), 2).as("spec_total"),
+          element_at(col("tn"), 3).as("tone_peak_bin"),
+          (element_at(col("tn"), 4) >= 90).as("tone_dominant_ok"))
         .orderBy("doc_id")
     }),
 
@@ -2266,6 +2281,8 @@ object PipelineQueries {
     // sample i = ((doc_id*31 + i*7) % 4096) - 2048 over n samples;
     // zero crossings pair adjacent samples, energies are per-64-sample
     // frame sums of squares (full frames only) — all integer math
+    // spec_total rides Parseval: frameLen · Σx² over the FULL frames —
+    // recomputed here from the sample rule with no FFT at all
     "mm_audio" ->
       """WITH w AS (SELECT doc_id, 160 + (doc_id % 8) * 16 AS n,
         |  list_transform(range(0, 160 + (doc_id % 8) * 16),
@@ -2280,7 +2297,10 @@ object PipelineQueries {
         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
         | CAST(list_sum(zc1) AS BIGINT) AS zero_crossings,
         | CAST(list_max(fe) AS BIGINT) AS energy_max,
-        | CAST(list_min(fe) AS BIGINT) AS energy_min
+        | CAST(list_min(fe) AS BIGINT) AS energy_min,
+        | CAST(64 * list_sum(fe) AS BIGINT) AS spec_total,
+        | CAST(3 + doc_id % 8 AS BIGINT) AS tone_peak_bin,
+        | true AS tone_dominant_ok
         |FROM e ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -488,6 +488,57 @@ class MultimodalSpec extends SparkSuite {
     assert(JpegCodec.decode(bomb).isEmpty, "decompression-bomb geometry accepted")
   }
 
+  test("FFT matches a direct DFT; spectral stats obey Parseval and find the planted tone") {
+    import graft.functions.{Fft, WavSpectralStats, WavToneFixture, WavPcmFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // FFT vs an O(n²) direct DFT on deterministic pseudo-random input
+    val rnd = new scala.util.Random(7)
+    val n = 64
+    val x = Array.fill(n)(rnd.between(-2048, 2048).toDouble)
+    val re = x.clone(); val im = new Array[Double](n)
+    Fft.transform(re, im)
+    for (k <- 0 until n) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        dr += x(t) * math.cos(a); di += x(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - dr) < 1e-6 && math.abs(im(k) - di) < 1e-6,
+        s"bin $k: fft (${re(k)},${im(k)}) vs dft ($dr,$di)")
+    }
+    // Parseval on the sawtooth fixture: parseval_total == frameLen·Σx²
+    // over full frames, computed integer-exactly from the rule
+    for (id <- 0L until 8L) {
+      val wav = WavPcmFixture(Literal(id)).nullSafeEval(id).asInstanceOf[Array[Byte]]
+      val st = WavSpectralStats(Literal(wav), 64, 8).nullSafeEval(wav)
+        .asInstanceOf[ArrayData].toLongArray()
+      val len = 160 + (id % 8).toInt * 16
+      val nf = len / 64
+      val sumsq = (0 until nf * 64).map { i =>
+        val v = (((id * 31 + i.toLong * 7) % 4096 + 4096) % 4096) - 2048
+        v * v
+      }.sum
+      assert(st(0) == nf, s"id=$id frames")
+      assert(st(1) == 64L * sumsq, s"id=$id parseval: ${st(1)} vs ${64L * sumsq}")
+      // the 8 band energies + DC + (mirrored) upper half partition the
+      // total: bands cover one-sided bins only, so 2·Σbands bounds it
+      assert(st.drop(4).sum <= st(1), "band energies exceed total")
+    }
+    // planted pure tone: measured argmax bin equals the rule's bin and
+    // carries ≥ 90% of one-sided energy
+    for (id <- 0L until 8L) {
+      val wav = WavToneFixture(Literal(id)).nullSafeEval(id).asInstanceOf[Array[Byte]]
+      val st = WavSpectralStats(Literal(wav), 256, 8).nullSafeEval(wav)
+        .asInstanceOf[ArrayData].toLongArray()
+      assert(st(2) == 3 + (id % 8), s"id=$id peak bin ${st(2)}")
+      assert(st(3) >= 90, s"id=$id tone not dominant: ${st(3)}%")
+    }
+    // degenerate input: shorter than one frame → NULL
+    val shortWav = WavPcmFixture(Literal(0L)).nullSafeEval(0L).asInstanceOf[Array[Byte]]
+    assert(WavSpectralStats(Literal(shortWav), 512, 8).nullSafeEval(shortWav) == null)
+  }
+
   test("WAV PCM fixture round-trips through parsePcm; stats match the sample rule") {
     import graft.functions.{WavInfo, WavPcmFixture, WavPcmStats}
     import org.apache.spark.sql.catalyst.expressions.Literal
