@@ -382,6 +382,39 @@ class PipelineSpec extends SparkSuite {
     assert(PHash.ofBlob("not an image".getBytes).isEmpty)
   }
 
+  test("BPE: hand-checked merges, greedy replay, round trip, monotone prefix") {
+    import graft.functions.Bpe
+    // "aaaa aaaa" ×1 + "aa": pair (a,a) counts 3+3+1=7 → merge 0 mints
+    // 256; then (256,256) appears twice → merge 1 mints 257; no pair
+    // repeats after that, so training stops early at 2 merges
+    val m = Bpe.trainLocal(Array("aaaa aaaa", "aa"), numMerges = 10)
+    assert(m.pairs == Vector((97, 97), (256, 256)), s"unexpected merges: ${m.pairs}")
+    def enc(w: String, mm: Bpe.Merges) =
+      Bpe.encodeWord(w.getBytes("UTF-8").map(b => (b & 0xff): Int), mm)
+    assert(enc("aaaa", m).toSeq == Seq(257))
+    // greedy lowest-rank-first: aaa → (aa)(a), not a(aa)
+    assert(enc("aaa", m).toSeq == Seq(256, 97))
+    assert(enc("ab", m).toSeq == Seq(97, 98))
+    // round trip through decodeToken restores the exact bytes
+    val word = "abracadabra"
+    val ids = enc(word, Bpe.trainLocal(Array("abra abra cadabra"), 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    ids.foreach(Bpe.decodeToken(_, Bpe.trainLocal(Array("abra abra cadabra"), 5), bos))
+    assert(new String(bos.toByteArray, "UTF-8") == word)
+    // determinism + prefix monotonicity on real corpus text
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").limit(200).collect().map(_.getString(0))
+    val full = Bpe.trainLocal(texts, 100)
+    assert(full.pairs == Bpe.trainLocal(texts, 100).pairs, "training not deterministic")
+    val half = full.take(30)
+    texts.take(50).foreach { t =>
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      val c100 = ws.foldLeft(0)((a, w) => a + enc(w, full).length)
+      val c30 = ws.foldLeft(0)((a, w) => a + enc(w, half).length)
+      assert(c100 <= c30, s"more merges inflated the count: $c100 > $c30")
+    }
+  }
+
   test("cosine similarity exact values") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
                  (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
