@@ -100,6 +100,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("wav_tone_fixture", "wav_tone_fixture(id) - pure-tone mono 16-bit PCM WAV fixture at bin 3 + id mod 8",
       exprs => WavToneFixture(exprs.head))
+    inject("wav_melody_fixture", "wav_melody_fixture(id) - 8-segment melody PCM WAV fixture for audio dedup",
+      exprs => WavMelodyFixture(exprs.head))
+    inject("wav_scale_amplitude", "wav_scale_amplitude(blob, num, den) - volume-scaled PCM re-emission",
+      exprs => WavScaleAmplitude(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("wav_requantize", "wav_requantize(blob, drop_bits) - bit-depth-reduced PCM re-emission",
+      exprs => WavRequantize(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("wav_audio_fingerprint", "wav_audio_fingerprint(blob, frame_len, n_bands) - 64-bit Haitsma-Kalker audio fingerprint",
+      exprs => WavAudioFingerprint(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
     inject("image_phash", "image_phash(blob) - 64-bit perceptual hash of a PNG/JPEG image",
       exprs => ImagePHash(exprs.head))
     inject("png_noise_fixture", "png_noise_fixture(id, w, h) - deterministic noise grayscale PNG fixture",

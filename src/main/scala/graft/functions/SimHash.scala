@@ -239,4 +239,20 @@ object GraftFunctions {
 
   /** id → pure-tone mono 16-bit PCM WAV at integer bin 3 + (id mod 8). */
   def wavToneFixture(id: Column): Column = GraftColumn(WavToneFixture(GraftColumn.expr(id)))
+
+  /** id → 2048-sample 8-segment melody PCM WAV (audio-dedup fixture). */
+  def wavMelodyFixture(id: Column): Column =
+    GraftColumn(WavMelodyFixture(GraftColumn.expr(id)))
+
+  /** WAV blob → volume-scaled (num/den) re-emission. */
+  def wavScaleAmplitude(c: Column, num: Int, den: Int): Column =
+    GraftColumn(WavScaleAmplitude(GraftColumn.expr(c), num, den))
+
+  /** WAV blob → bit-depth-reduced re-emission (low dropBits zeroed). */
+  def wavRequantize(c: Column, dropBits: Int): Column =
+    GraftColumn(WavRequantize(GraftColumn.expr(c), dropBits))
+
+  /** WAV blob → 64-bit Haitsma–Kalker perceptual audio fingerprint. */
+  def wavAudioFingerprint(c: Column, frameLen: Int = 128, nBands: Int = 9): Column =
+    GraftColumn(WavAudioFingerprint(GraftColumn.expr(c), frameLen, nBands))
 }

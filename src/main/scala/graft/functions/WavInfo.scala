@@ -134,6 +134,28 @@ object WavInfo {
       case _ => None
     }
   }
+
+  /** Minimal mono 16-bit PCM RIFF/WAVE writer — the shared fixture /
+    * transform emitter (samples clamp to the 16-bit range). */
+  private[functions] def writePcm16(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val riffSize = 4 + 24 + 8 + dataLen
+    val out = new Array[Byte](8 + riffSize)
+    def put(o: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(o + i) = s(i).toByte; i += 1 } }
+    def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+    put(0, "RIFF"); le32(4, riffSize); put(8, "WAVE")
+    put(12, "fmt "); le32(16, 16)
+    le16(20, 1); le16(22, 1); le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    put(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-32768, math.min(32767, samples(i)))
+      le16(44 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
 }
 
 /** Iterative radix-2 Cooley–Tukey FFT, pure JVM — the spectral kernel
@@ -310,6 +332,205 @@ case class WavToneFixture(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WavToneFixture =
+    copy(child = newChild)
+}
+
+/** id → "melody" PCM WAV fixture for audio dedup: 2048 samples at
+  * 8000 Hz as eight 256-sample segments, each the SUM of nine cosines —
+  * one centered in each [[WavAudioFingerprint]] band (bin 4+7j of a
+  * 128-sample frame) with per-(id, segment, band) amplitude
+  * 100 + (splitmix64(id·512 + s·64 + j) mod 8)·400 (a linear-in-id
+  * rule mod 8 is periodic — ids 8 apart collided to IDENTICAL
+  * fingerprints). Every band carries real
+  * energy in every frame (a single pure tone would leave most band
+  * energies ≈ 0, making the fingerprint's difference signs numerical
+  * noise — measured: cross-id minimum collapsed to 5 bits on a sparse
+  * fixture), the band-energy trajectory is structurally distinct per
+  * id, and the waveform is band-limited so volume scaling and
+  * requantization perturb the fingerprint by only a few bits — the
+  * audio analogue of [[PngNoiseFixture]]'s smooth-noise lesson. */
+case class WavMelodyFixture(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_melody_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_melody_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val samples = new Array[Int](2048)
+    var s = 0
+    while (s < 8) {
+      var i = 0
+      while (i < 256) {
+        var acc = 0.0
+        var j = 0
+        while (j < 9) {
+          val amp = 100 + (((splitmix64(id * 512 + s * 64 + j) % 8) + 8) % 8).toInt * 400
+          // band j of a 128-sample frame spans bins [1+7j, 7+7j]; its
+          // center bin 4+7j is 2·(4+7j) cycles per 256-sample segment
+          acc += amp * math.cos(2.0 * math.Pi * (2 * (4 + 7 * j)) * i / 256.0)
+          j += 1
+        }
+        samples(s * 256 + i) = math.round(acc).toInt
+        i += 1
+      }
+      s += 1
+    }
+    WavInfo.writePcm16(8000, samples)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavMelodyFixture =
+    copy(child = newChild)
+}
+
+/** WAV blob → same audio re-emitted with every sample scaled by
+  * num/den (round-half-up toward +∞ per Math.round, clamped) — the
+  * volume-change transform a re-encoded copy undergoes; the planted-
+  * duplicate generator for audio dedup. NULL for non-PCM input. */
+case class WavScaleAmplitude(child: Expression, num: Int, den: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(den != 0, "denominator must be non-zero")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_scale_amplitude"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_scale_amplitude requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((rate, _, _, s)) =>
+        WavInfo.writePcm16(rate,
+          s.map(v => math.round(v.toDouble * num / den).toInt))
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavScaleAmplitude =
+    copy(child = newChild)
+}
+
+/** WAV blob → same audio with the low `dropBits` of every sample
+  * zeroed — bit-depth reduction (e.g. dropBits = 8 is an 8-bit
+  * re-quantization), the other common lossy audio transform. NULL for
+  * non-PCM input. */
+case class WavRequantize(child: Expression, dropBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dropBits >= 1 && dropBits <= 14, s"dropBits must be in [1, 14], got $dropBits")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_requantize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_requantize requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((rate, _, _, s)) =>
+        WavInfo.writePcm16(rate, s.map(v => (v >> dropBits) << dropBits))
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavRequantize =
+    copy(child = newChild)
+}
+
+/** WAV blob → 64-bit perceptual AUDIO fingerprint (Haitsma & Kalker,
+  * "A Highly Robust Audio Fingerprinting System", ISMIR 2002): frame
+  * the decoded PCM into `frameLen`-sample windows, compute `nBands`
+  * band energies per frame over the one-sided non-DC spectrum, and
+  * emit one bit per (frame m ≥ 1, band n) for the sign of the
+  * time-AND-frequency energy difference
+  * (E(m,n) − E(m,n+1)) − (E(m−1,n) − E(m−1,n+1)) — the published
+  * construction. The double difference cancels both overall loudness
+  * (volume scaling multiplies every energy by one constant) and
+  * per-frame spectral tilt, which is exactly why re-encoded copies
+  * land a few Hamming bits away. Bits fill from the earliest frames;
+  * 64/(nBands−1) difference frames are required (NULL on shorter
+  * clips — a fingerprint of mostly-zero padding would collide
+  * everything). Pairs via [[Dedup.hammingNearDupPairs]], same as text
+  * SimHash and image pHash. */
+case class WavAudioFingerprint(child: Expression, frameLen: Int = 128, nBands: Int = 9)
+    extends UnaryExpression with CodegenFallback {
+  require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0,
+    s"frameLen must be a power of two, got $frameLen")
+  require(nBands >= 2 && (frameLen / 2 - 1) % nBands == 0,
+    s"nBands must divide frameLen/2 - 1, got $nBands for frameLen $frameLen")
+  require(64 % (nBands - 1) == 0,
+    s"nBands - 1 must divide 64 bits, got ${nBands - 1}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_audio_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_audio_fingerprint requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((_, _, _, s)) =>
+        val needFrames = 1 + 64 / (nBands - 1)
+        val nf = s.length / frameLen
+        if (nf < needFrames) return null
+        val half = frameLen / 2
+        val binsPerBand = (half - 1) / nBands
+        val re = new Array[Double](frameLen)
+        val im = new Array[Double](frameLen)
+        val energies = Array.ofDim[Double](needFrames, nBands)
+        var f = 0
+        while (f < needFrames) {
+          var i = 0
+          while (i < frameLen) { re(i) = s(f * frameLen + i); im(i) = 0.0; i += 1 }
+          Fft.transform(re, im)
+          var k = 1
+          while (k < 1 + nBands * binsPerBand) {
+            energies(f)((k - 1) / binsPerBand) += re(k) * re(k) + im(k) * im(k)
+            k += 1
+          }
+          f += 1
+        }
+        var hash = 0L
+        var bit = 0
+        var m = 1
+        while (m < needFrames) {
+          var n = 0
+          while (n < nBands - 1) {
+            val d = (energies(m)(n) - energies(m)(n + 1)) -
+              (energies(m - 1)(n) - energies(m - 1)(n + 1))
+            if (d > 0) hash |= 1L << bit
+            bit += 1
+            n += 1
+          }
+          m += 1
+        }
+        hash
+      case None => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavAudioFingerprint =
     copy(child = newChild)
 }
 

@@ -910,6 +910,53 @@ object PipelineQueries {
           (col("n_null") === lit(0L)).as("all_decoded_ok"))
     }),
 
+    // PERCEPTUAL audio dedup end-to-end (Haitsma–Kalker 2002): 40
+    // structurally-distinct melody clips; every 4th id also appears
+    // volume-halved at id+1e6 and every 4th+1 requantized to 8-bit
+    // depth at id+2e6 — the two transforms a re-encoded audio copy
+    // actually undergoes, applied by REAL decode→transform→re-emit
+    // expressions. The double-difference fingerprint cancels loudness
+    // by construction, so planted pairs sit ≤3 Hamming bits apart
+    // (measured; distinct ids ≥5) and the banded verify at radius 4
+    // (5 chunks — pigeonhole-exact) must retrieve every planted pair
+    // with zero false pairs.
+    "dedup_audio" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 40).select("doc_id")
+      def melody = GraftFunctions.wavMelodyFixture(col("doc_id"))
+      val base = docs.select(col("doc_id").as("clip_id"), melody.as("wav"))
+      val vdup = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("clip_id"),
+          GraftFunctions.wavScaleAmplitude(melody, 1, 2).as("wav"))
+      val qdup = docs.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000L).as("clip_id"),
+          GraftFunctions.wavRequantize(melody, 8).as("wav"))
+      val hashed = base.unionAll(vdup).unionAll(qdup)
+        .select(col("clip_id"), GraftFunctions.wavAudioFingerprint(col("wav")).as("fp"))
+        .localCheckpoint(true) // fingerprint once; read by pairs + verdicts
+      val pairs = Dedup.hammingNearDupPairs(hashed, "clip_id", "fp",
+          maxHamming = 4, nChunks = 5)
+        .localCheckpoint(true) // tiny pair list; read by 3 verdicts
+      hashed.agg(count(lit(1L)).as("n_clips"))
+        .crossJoin(docs.where(col("doc_id") % 4 === 0)
+          .agg(count(lit(1L)).as("n_vol_planted")))
+        .crossJoin(docs.where(col("doc_id") % 4 === 1)
+          .agg(count(lit(1L)).as("n_rq_planted")))
+        .crossJoin(pairs.where(col("id_b") === col("id_a") + 1000000L)
+          .agg(count(lit(1L)).as("n_vol_found")))
+        .crossJoin(pairs.where(col("id_b") === col("id_a") + 2000000L)
+          .agg(count(lit(1L)).as("n_rq_found")))
+        .crossJoin(pairs.where(col("id_b") =!= col("id_a") + 1000000L &&
+            col("id_b") =!= col("id_a") + 2000000L)
+          .agg(count(lit(1L)).as("n_fp")))
+        .crossJoin(hashed.where(col("fp").isNull).agg(count(lit(1L)).as("n_null")))
+        .select(col("n_clips"), col("n_vol_planted"), col("n_rq_planted"),
+          (col("n_vol_found") === col("n_vol_planted")).as("vol_recall_ok"),
+          (col("n_rq_found") === col("n_rq_planted")).as("rq_recall_ok"),
+          (col("n_fp") === lit(0L)).as("zero_fp_ok"),
+          (col("n_null") === lit(0L)).as("all_fingerprinted_ok"))
+    }),
+
     // Resize under the correctness gate: decode → kernel → RE-ENCODE as a
     // real PNG → decode again for stats, so a bug anywhere in the chain
     // corrupts the numbers. Two kernels, two geometries: bilinear 2×
@@ -2278,6 +2325,18 @@ object PipelineQueries {
         | CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resize_planted,
         | true AS jpeg_recall_ok, true AS resize_recall_ok,
         | true AS zero_fp_ok, true AS all_decoded_ok
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    // planted counts are data-derived; the recall/FP verdicts are the
+    // engine's own booleans, which must all read true
+    "dedup_audio" ->
+      """SELECT CAST(count(*)
+        |   + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clips,
+        | CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vol_planted,
+        | CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rq_planted,
+        | true AS vol_recall_ok, true AS rq_recall_ok,
+        | true AS zero_fp_ok, true AS all_fingerprinted_ok
         |FROM documents WHERE doc_id < 40""".stripMargin,
 
     // bilinear 2x downscale of the 16x8 rule image: output (x,y) is the

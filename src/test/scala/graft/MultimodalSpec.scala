@@ -539,6 +539,38 @@ class MultimodalSpec extends SparkSuite {
     assert(WavSpectralStats(Literal(shortWav), 512, 8).nullSafeEval(shortWav) == null)
   }
 
+  test("audio fingerprint: volume/requantize invariant, structure sensitive, short clip null") {
+    import graft.functions.{WavAudioFingerprint, WavMelodyFixture, WavScaleAmplitude,
+      WavRequantize, WavPcmFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def melody(id: Long) = WavMelodyFixture(Literal(id)).nullSafeEval(id)
+      .asInstanceOf[Array[Byte]]
+    def fp(b: Array[Byte]) = WavAudioFingerprint(Literal(b)).nullSafeEval(b)
+      .asInstanceOf[Long]
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (id <- 0L until 12L) {
+      val w = melody(id)
+      val h = fp(w)
+      // halving the volume scales every band energy by one constant —
+      // the double difference cancels it (≤ rounding noise)
+      val scaled = WavScaleAmplitude(Literal(w), 1, 2).nullSafeEval(w)
+        .asInstanceOf[Array[Byte]]
+      assert(ham(h, fp(scaled)) <= 4, s"id=$id volume change moved the fingerprint")
+      // 8-bit requantization: wideband noise far below the band signal
+      val rq = WavRequantize(Literal(w), 8).nullSafeEval(w).asInstanceOf[Array[Byte]]
+      assert(ham(h, fp(rq)) <= 4, s"id=$id requantization moved the fingerprint")
+    }
+    // structurally different clips are far apart
+    val hs = (0L until 12L).map(id => fp(melody(id)))
+    for (i <- hs.indices; j <- i + 1 until hs.size)
+      assert(ham(hs(i), hs(j)) >= 5, s"distinct clips $i,$j too close: ${ham(hs(i), hs(j))}")
+    // a clip shorter than the 9 frames the 64 bits need → NULL, not a
+    // mostly-padding fingerprint that collides everything
+    val short0 = WavPcmFixture(Literal(0L)).nullSafeEval(0L).asInstanceOf[Array[Byte]]
+    assert(WavAudioFingerprint(Literal(short0)).nullSafeEval(short0) == null)
+    assert(WavAudioFingerprint(Literal("junk".getBytes)).nullSafeEval("junk".getBytes) == null)
+  }
+
   test("WAV PCM fixture round-trips through parsePcm; stats match the sample rule") {
     import graft.functions.{WavInfo, WavPcmFixture, WavPcmStats}
     import org.apache.spark.sql.catalyst.expressions.Literal

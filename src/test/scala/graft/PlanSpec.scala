@@ -104,6 +104,17 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("hammingNearDupPairs candidates come from (chunk_idx, chunk) equi-joins — never all-pairs") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val p = plan(graft.functions.Dedup.hammingNearDupPairs(docs, "doc_id", "h", 3, 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Hamming banding degraded to all-pairs:\n$p")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a chunk equi-join in the plan:\n$p")
+  }
+
   test("IVFADC search: broadcast hash join on list id — index codes never shuffle") {
     import org.apache.spark.sql.functions.col
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
