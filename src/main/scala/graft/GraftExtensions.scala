@@ -122,5 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("png_to_jpeg", "png_to_jpeg(blob, quant_step) - lossy grayscale baseline JPEG re-encode of a PNG",
       exprs => PngToJpeg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("png_noise_frames_fixture", "png_noise_frames_fixture(id, w, h, skip) - multi-frame smooth-noise video fixture, head-trimmed by skip",
+      exprs => PngNoiseFramesFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()))
   }
 }

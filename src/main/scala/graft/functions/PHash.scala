@@ -121,6 +121,12 @@ object PHash {
     import org.apache.spark.sql.GraftColumn
     GraftColumn(PngToJpeg(GraftColumn.expr(c), quantStep))
   }
+
+  /** id → multi-frame smooth-noise video fixture; skip > 0 trims the head. */
+  def pngNoiseFramesFixture(id: Column, width: Int, height: Int, skip: Int = 0): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn(PngNoiseFramesFixture(GraftColumn.expr(id), width, height, skip))
+  }
 }
 
 /** Image blob (PNG or baseline JPEG) → 64-bit perceptual hash; NULL for
@@ -192,6 +198,58 @@ case class PngNoiseFixture(child: Expression, imgW: Int, imgH: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PngNoiseFixture =
+    copy(child = newChild)
+}
+
+/** id → multi-frame video fixture for near-dup detection: 5 + (id mod 3)
+  * smooth-noise PNG frames back-to-back ([[ImageOps.splitFrames]]
+  * container shape), frame f seeded by splitmix64(id·1000003 + f·4099 + …)
+  * — every frame structurally distinct from every other frame of every
+  * video. `skip` drops the first frames: `skip = 1` is the classic
+  * TRIMMED COPY (same content minus the head), the planted duplicate for
+  * frame-level video dedup — its frames hash IDENTICALLY to the
+  * original's frames 1…n, just at shifted positions. */
+case class PngNoiseFramesFixture(child: Expression, imgW: Int, imgH: Int, skip: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(imgW > 0 && imgH > 0, "fixture geometry must be positive")
+  require(skip >= 0 && skip <= 4, s"skip must be in [0, 4], got $skip")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_noise_frames_fixture"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_noise_frames_fixture requires bigint id, got ${other.simpleString}")
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val id = input.asInstanceOf[Long]
+    val nf = 5 + (((id % 3) + 3) % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var f = skip
+    while (f < nf) {
+      val grid = new Array[Byte](64)
+      var i = 0
+      while (i < 64) {
+        grid(i) = (splitmix64(id * 1000003L + f * 4099L + i) & 0xff).toByte
+        i += 1
+      }
+      out.write(PngCodec.encode8(imgW, imgH, 1,
+        ImageOps.resizeBilinear(grid, 8, 8, 1, imgW, imgH)))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PngNoiseFramesFixture =
     copy(child = newChild)
 }
 

@@ -910,6 +910,56 @@ object PipelineQueries {
           (col("n_null") === lit(0L)).as("all_decoded_ok"))
     }),
 
+    // VIDEO near-dup via frame-level perceptual hashing — the
+    // shared-frame-evidence composition real pipelines use for trimmed
+    // / re-posted clips: split each multi-frame container into frames
+    // (chunk-walk framing), pHash every frame in-scan, find frame-level
+    // near-dup pairs through the SAME banded Hamming join as image
+    // dedup, then aggregate cross-video pair evidence — two videos are
+    // near-dups when ≥3 of their frames match. Planted duplicates are
+    // HEAD-TRIMMED copies (skip=1: the classic re-post transform) whose
+    // surviving frames hash identically at shifted positions — position
+    // plays no role in the match, only content does. Frame ids pack as
+    // vid·64 + pos so one banding join serves all videos.
+    "mm_video_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 30).select("doc_id")
+      val base = docs.select(col("doc_id").as("vid_id"),
+        PHash.pngNoiseFramesFixture(col("doc_id"), 32, 32).as("video"))
+      val tdup = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("vid_id"),
+          PHash.pngNoiseFramesFixture(col("doc_id"), 32, 32, skip = 1).as("video"))
+      val frames = base.unionAll(tdup)
+        .select(col("vid_id"),
+          posexplode(GraftFunctions.pngFrameSplit(col("video"))).as(Seq("pos", "frame")))
+        .select((col("vid_id") * 64 + col("pos")).as("fid"),
+          PHash.imagePHash(col("frame")).as("ph"))
+        .localCheckpoint(true) // hash every frame once
+      val framePairs = Dedup.hammingNearDupPairs(frames, "fid", "ph",
+        maxHamming = 3, nChunks = 4)
+      // trimmed-copy ids offset by 1e6 ⇒ packed fids by 64e6: integer
+      // division recovers the video id on each side
+      val vpairs = framePairs
+        .select(floor(col("id_a") / 64).as("vid_a"), floor(col("id_b") / 64).as("vid_b"))
+        .where(col("vid_a") =!= col("vid_b"))
+        .groupBy("vid_a", "vid_b").agg(count(lit(1L)).as("shared_frames"))
+        .where(col("shared_frames") >= 3)
+        .localCheckpoint(true) // tiny; read by two verdicts
+      docs.agg(count(lit(1L)).as("n_videos"))
+        .crossJoin(frames.agg(count(lit(1L)).as("n_frames")))
+        .crossJoin(docs.where(col("doc_id") % 3 === 0)
+          .agg(count(lit(1L)).as("n_planted")))
+        .crossJoin(vpairs.where(col("vid_b") === col("vid_a") + 1000000L)
+          .agg(count(lit(1L)).as("n_found")))
+        .crossJoin(vpairs.where(col("vid_b") =!= col("vid_a") + 1000000L)
+          .agg(count(lit(1L)).as("n_fp")))
+        .crossJoin(frames.where(col("ph").isNull).agg(count(lit(1L)).as("n_null")))
+        .select(col("n_videos"), col("n_frames"), col("n_planted"),
+          (col("n_found") === col("n_planted")).as("trimmed_recall_ok"),
+          (col("n_fp") === lit(0L)).as("zero_fp_ok"),
+          (col("n_null") === lit(0L)).as("all_decoded_ok"))
+    }),
+
     // PERCEPTUAL audio dedup end-to-end (Haitsma–Kalker 2002): 40
     // structurally-distinct melody clips; every 4th id also appears
     // volume-halved at id+1e6 and every 4th+1 requantized to 8-bit
@@ -2326,6 +2376,17 @@ object PipelineQueries {
         | true AS jpeg_recall_ok, true AS resize_recall_ok,
         | true AS zero_fp_ok, true AS all_decoded_ok
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    // frame counts derive from the fixture arity rule (5 + id mod 3
+    // frames, trimmed copies drop one); recall/FP verdicts are the
+    // engine's own booleans, which must all read true
+    "mm_video_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_videos,
+        | CAST(sum(5 + doc_id % 3)
+        |   + sum(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END) AS BIGINT) AS n_frames,
+        | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        | true AS trimmed_recall_ok, true AS zero_fp_ok, true AS all_decoded_ok
+        |FROM documents WHERE doc_id < 30""".stripMargin,
 
     // planted counts are data-derived; the recall/FP verdicts are the
     // engine's own booleans, which must all read true

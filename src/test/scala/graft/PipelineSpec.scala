@@ -415,6 +415,29 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("video frames: trimmed copy's frames hash identically at shifted positions") {
+    import graft.functions.{ImageOps, PHash, PngNoiseFramesFixture}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for (id <- 0L until 6L) {
+      val full = PngNoiseFramesFixture(Literal(id), 32, 32, 0).nullSafeEval(id)
+        .asInstanceOf[Array[Byte]]
+      val trimmed = PngNoiseFramesFixture(Literal(id), 32, 32, 1).nullSafeEval(id)
+        .asInstanceOf[Array[Byte]]
+      val Some(ff) = ImageOps.splitFrames(full)
+      val Some(tf) = ImageOps.splitFrames(trimmed)
+      assert(ff.length == 5 + (id % 3) && tf.length == ff.length - 1)
+      // trimmed frame k IS the original frame k+1: pHash exactly equal
+      for (k <- tf.indices)
+        assert(PHash.ofBlob(tf(k)) == PHash.ofBlob(ff(k + 1)),
+          s"id=$id frame $k hash changed under trimming")
+      // frames within one video are structurally distinct
+      val hs = ff.map(f => PHash.ofBlob(f).get)
+      for (i <- hs.indices; j <- i + 1 until hs.length)
+        assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 10,
+          s"id=$id frames $i,$j too close")
+    }
+  }
+
   test("cosine similarity exact values") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
                  (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
