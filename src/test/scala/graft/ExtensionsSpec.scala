@@ -35,7 +35,17 @@ class ExtensionsSpec extends SparkSuite {
         |   png_resize(png_gray_fixture(7L, 4, 2), 2, 1, false)), 3) AS rs_n,
         | size(png_frame_split(png_frames_fixture(2L, 4, 2))) AS nf,
         | element_at(wav_frame_stats(wav_pcm_fixture(3L), 80), 1) AS af,
-        | bloom_any_contain(array(41L, 42L), X'$sketchHex') AS bloom_hit
+        | bloom_any_contain(array(41L, 42L), X'$sketchHex') AS bloom_hit,
+        | element_at(jpeg_rgb_stats(jpeg_subsample_fixture(5L, 1, 1, 2, 2)), 1) AS sub_w,
+        | image_phash(png_noise_fixture(9L, 16, 16)) AS ph,
+        | image_phash(png_to_jpeg(png_noise_fixture(9L, 16, 16), 12)) AS phj,
+        | element_at(wav_spectral_stats(wav_tone_fixture(2L), 256, 8), 3) AS tone_bin,
+        | wav_audio_fingerprint(wav_melody_fixture(4L), 128, 9) AS afp,
+        | wav_audio_fingerprint(
+        |   wav_scale_amplitude(wav_melody_fixture(4L), 1, 2), 128, 9) AS afp_scaled,
+        | wav_audio_fingerprint(
+        |   wav_requantize(wav_melody_fixture(4L), 8), 128, 9) AS afp_rq,
+        | size(png_frame_split(png_noise_frames_fixture(3L, 8, 8, 1))) AS vid_nf
         |""".stripMargin).head()
     assert(r.getString(0) == "en")
     assert(r.getDouble(1) == 0.96)
@@ -51,5 +61,13 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getInt(10) == 6)   // 4 + 2%3 = 6 frames
     assert(r.getLong(11) == 2L) // 208 samples / 80 → 2 full frames
     assert(r.getBoolean(12))    // inserted hash must hit
+    assert(r.getLong(13) == 16L) // one 4:2:0 MCU = 16×16 px
+    // pHash survives the SQL-injected lossy JPEG round trip
+    assert(java.lang.Long.bitCount(r.getLong(14) ^ r.getLong(15)) <= 3)
+    assert(r.getLong(16) == 3 + 2 % 8) // planted tone bin
+    // audio fingerprint invariant under SQL-injected volume/requantize
+    assert(java.lang.Long.bitCount(r.getLong(17) ^ r.getLong(18)) <= 4)
+    assert(java.lang.Long.bitCount(r.getLong(17) ^ r.getLong(19)) <= 4)
+    assert(r.getInt(20) == 4) // 5 + 3%3 = 5 frames, head-trimmed to 4
   }
 }
