@@ -66,6 +66,37 @@ object PipelineQueries {
         lit(merges.pairs.nonEmpty && merges.pairs.length <= 200).as("learned_ok"))
     }),
 
+    // Model-based quality filtering (fastText-style hashed-ngram logistic
+    // model — the DCLM/FineWeb-Edu curation step). Planted two-class
+    // setup: real documents (label 1) vs their character-reversed texts
+    // (label 0, deterministic gibberish with an almost-disjoint token
+    // set); split train/test by the SAME md5 bucket rule as
+    // pipeline_split keyed on the ORIGINAL doc_id, so both versions of a
+    // document land on the same side (no leakage). Training is bounded
+    // (labeled set only); scoring is one in-scan projection. The oracle
+    // recomputes the split sizes from the md5 rule; the accuracy and
+    // separation verdicts are the engine's booleans, which must be true.
+    "pipeline_quality_clf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val labeled = docs.select(col("doc_id"), col("text"), lit(1.0).as("label"))
+        .union(docs.select(col("doc_id") + 1000000L,
+          reverse(col("text")), lit(0.0)))
+      val isTrain =
+        graft.ops.DataPrep.hashBucket(col("doc_id") % 1000000L, 1000) < 800
+      val model = graft.functions.QualityClassifier.train(
+        labeled.where(isTrain), "text", "label",
+        numFeatures = 1 << 16, maxIter = 50)
+      val held = model.score(labeled.where(!isTrain), "text")
+      held.agg(
+        count(lit(1L)).as("n_test"),
+        (avg(when((col("quality_score") >= 0.5) === (col("label") === 1.0), 1.0)
+          .otherwise(0.0)) >= 0.95).as("acc_ok"),
+        (avg(when(col("label") === 1.0, col("quality_score"))) -
+          avg(when(col("label") === 0.0, col("quality_score"))) >= 0.8)
+          .as("sep_ok"))
+        .crossJoin(labeled.where(isTrain).agg(count(lit(1L)).as("n_train")))
+    }),
+
     // Per-source quality scoring (composite heuristic + components).
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1460,6 +1491,18 @@ object PipelineQueries {
         | true AS bounds_ok, true AS roundtrip_ok, true AS monotone_ok,
         | true AS learned_ok
         |FROM documents WHERE text IS NOT NULL AND trim(text) != ''""".stripMargin,
+
+    // Split sizes recomputed from the same md5-bucket rule as
+    // pipeline_split (both the real and the reversed copy of a document
+    // key on the original doc_id → factor 2); the accuracy/separation
+    // verdicts are the engine's own booleans.
+    "pipeline_quality_clf" ->
+      """WITH b AS (SELECT
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000 AS bkt
+        | FROM documents)
+        |SELECT CAST(2 * (SELECT count(*) FROM b WHERE bkt >= 800) AS BIGINT) AS n_test,
+        | true AS acc_ok, true AS sep_ok,
+        | CAST(2 * (SELECT count(*) FROM b WHERE bkt < 800) AS BIGINT) AS n_train""".stripMargin,
 
     "text_quality" ->
       """WITH m AS (SELECT source,
