@@ -447,6 +447,88 @@ object PipelineQueries {
           (col("n_hit") * 100 >= col("n_exact") * 90).as("recall_ok"))
     }),
 
+    // STREAMING near-dup corpus ingest end to end: three staged parquet
+    // files arrive as three micro-batches (file source,
+    // maxFilesPerTrigger=1, AvailableNow) through Streams.nearDupIngest —
+    // within-batch collapse, filtering against the persistent signature
+    // index, survivor signatures appended batch-by-batch. Batch 1 carries
+    // planted EXACT copies of batch-0 docs (must be caught by the index),
+    // batch 2 carries planted within-batch copies (must be caught by the
+    // batch-local collapse; their +3000000 ids are never the keep-min).
+    // Both verdicts hold at jaccard exactly 1 regardless of natural
+    // near-dups in the slice, and a sequential batch fold through the
+    // same per-batch body must produce the identical survivor set
+    // (stream/batch parity). The oracle recomputes the input construction
+    // counts; the verdicts are the engine's booleans.
+    "dedup_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 900 && col("text").isNotNull &&
+          trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val b0 = docs.where(col("doc_id") % 3 === 0)
+      val b1 = docs.where(col("doc_id") % 3 === 1)
+        .union(b0.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val b2n = docs.where(col("doc_id") % 3 === 2)
+      val b2 = b2n.union(b2n.where(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/nd_ingest")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val now = System.currentTimeMillis()
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        // the file source orders arrivals by modification time
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val streamIds = scala.collection.mutable.Set.empty[Long]
+      var nBatches = 0
+      val q = graft.streaming.Streams.nearDupIngest(stream, "doc_id", "text",
+          s"$root/idx_stream") { (survivors, _) =>
+          streamIds.synchronized {
+            streamIds ++= survivors.select("doc_id").as[Long].collect()
+            nBatches += 1
+          }
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // sequential batch fold through the SAME per-batch body
+      val foldIds = Seq(b0, b1, b2).zipWithIndex.flatMap { case (b, i) =>
+        graft.streaming.Streams
+          .nearDupIngestBatch(b, i.toLong, "doc_id", "text", s"$root/idx_fold")
+          .select("doc_id").as[Long].collect()
+      }.toSet
+      val crossOk = !streamIds.exists(id => id >= 2000000L && id < 3000000L)
+      val withinOk = !streamIds.exists(_ >= 3000000L)
+      b0.union(b1).union(b2).agg(
+        count(lit(1L)).as("n_input"),
+        sum(when(col("doc_id") >= 2000000L && col("doc_id") < 3000000L, 1L)
+          .otherwise(0L)).as("n_cross_planted"),
+        sum(when(col("doc_id") >= 3000000L, 1L).otherwise(0L))
+          .as("n_within_planted"))
+        .select(col("n_input"), col("n_cross_planted"), col("n_within_planted"),
+          lit(crossOk).as("cross_dropped_ok"),
+          lit(withinOk).as("within_dropped_ok"),
+          lit(streamIds.toSet == foldIds).as("parity_ok"),
+          lit(nBatches.toLong).as("n_stream_batches"))
+    }),
+
     // SimHash (custom Catalyst expression) near-dup pairs via 16-bit
     // chunk banding, made oracle-VISIBLE: the banding's pigeonhole
     // completeness (hamming <= 3 ⇒ some chunk equal, so the banded pair
@@ -2197,6 +2279,22 @@ object PipelineQueries {
         |   51 * (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))))
         |SELECT CAST(n AS BIGINT) AS n_exact, CAST(0 AS BIGINT) AS n_false,
         | true AS recall_ok FROM p""".stripMargin,
+
+    // Input-construction counts recomputed from the same slice/mod rules;
+    // the drop/parity verdicts are the engine's booleans.
+    "dedup_stream_ingest" ->
+      """WITH d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id < 900 AND text IS NOT NULL AND trim(text) != '')
+        |SELECT CAST((SELECT count(*) FROM d)
+        |   + (SELECT count(*) FROM d WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+        |   + (SELECT count(*) FROM d WHERE doc_id % 3 = 2 AND doc_id % 5 = 2)
+        |   AS BIGINT) AS n_input,
+        | CAST((SELECT count(*) FROM d WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+        |   AS BIGINT) AS n_cross_planted,
+        | CAST((SELECT count(*) FROM d WHERE doc_id % 3 = 2 AND doc_id % 5 = 2)
+        |   AS BIGINT) AS n_within_planted,
+        | true AS cross_dropped_ok, true AS within_dropped_ok, true AS parity_ok,
+        | CAST(3 AS BIGINT) AS n_stream_batches""".stripMargin,
 
     "dedup_simhash" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents

@@ -71,6 +71,78 @@ object Streams {
       }
   }
 
+  /** One micro-batch of streaming near-dup corpus ingest (the body of
+    * [[nearDupIngest]], public so restart idempotence is testable and so
+    * batch backfills can reuse the exact streaming semantics):
+    *
+    *  1. WITHIN-batch near-dups collapse to their keep-min member
+    *     ([[graft.functions.Dedup.minhashNearDupPairs]] →
+    *     [[graft.functions.Clusters.dropNearDupMembers]]);
+    *  2. survivors are matched AGAINST the standing signature index
+    *     ([[graft.functions.Dedup.minhashNearDupAgainst]] — per-batch
+    *     cost scales with the batch, not the corpus) and matches drop;
+    *  3. the remaining docs' signatures append to the index as parquet
+    *     under `batch=<batchId>` — overwrite per batch id, so a replayed
+    *     micro-batch (foreachBatch is at-least-once after failure)
+    *     rewrites its own partition instead of double-inserting: the
+    *     index stays exactly-once without a log.
+    *
+    * Returns the surviving rows of `batch`, materialized (the caller's
+    * sink and the index append must not observe different survivor sets
+    * under speculative re-execution). */
+  def nearDupIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, shingleK: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, tauPct: Int = 51): DataFrame = {
+    import graft.functions.{Clusters, Dedup}
+    val spark = batch.sparkSession
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val withinPairs = Dedup.minhashNearDupPairs(cached, idCol, textCol,
+        shingleK, numHashes, bands, tauPct)
+      val withinKept = Clusters.dropNearDupMembers(cached, idCol, withinPairs)
+      // prior batches' partitions only; a same-id replay must not see its
+      // own half-written partition as "the corpus"
+      val prior = indexPartitions(indexDir, batchId)
+      val survivors = (if (prior.isEmpty) withinKept else {
+        val index = spark.read.parquet(prior: _*)
+        val hits = Dedup.minhashNearDupAgainst(withinKept, index, idCol,
+          textCol, shingleK, numHashes, bands, tauPct)
+        withinKept.join(hits.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      }).localCheckpoint(true)
+      Dedup.minhashFeaturize(survivors, idCol, textCol, shingleK, numHashes)
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      survivors
+    } finally cached.unpersist()
+  }
+
+  private def indexPartitions(indexDir: String, beforeBatch: Long): Seq[String] = {
+    val root = new java.io.File(indexDir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("batch=\\d+"))
+      .filter(_.getName.stripPrefix("batch=").toLong < beforeBatch)
+    parts.map(_.getPath).toSeq
+  }
+
+  /** Streaming near-dup corpus ingest: every micro-batch is near-dup
+    * filtered (within itself, then against everything previously
+    * admitted) and only novel documents reach `sink` — the arriving-crawl
+    * pipeline as one declaration. The signature index lives as parquet at
+    * `indexDir`, so the stream restarts from its checkpoint with the
+    * corpus memory intact, and the SAME operator cascade serves batch
+    * and stream ([[nearDupIngestBatch]]). State is in the index files,
+    * not the state store: at 100 TB the index is a partitioned table,
+    * not executor memory. */
+  def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, shingleK: Int = 5, numHashes: Int = 64,
+      bands: Int = 16, tauPct: Int = 51)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(nearDupIngestBatch(batch, batchId, idCol, textCol, indexDir,
+          shingleK, numHashes, bands, tauPct), batchId)
+      }
+
   /** Continuous data-quality monitoring: the fused quick-check pass runs
     * per micro-batch (foreachBatch → Runner.verdictDF — one aggregate
     * scan of the batch, one verdict row out). `onBatch` receives

@@ -173,6 +173,57 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 110)
   }
 
+  private def randText(seed: Int): String =
+    new scala.util.Random(seed).alphanumeric.take(200).mkString
+
+  test("nearDupIngestBatch: within-batch collapse, index filtering, idempotent replay") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // batch 0: four novel docs + one exact within-batch copy of doc 1
+    val b0 = Seq(1L -> randText(1), 2L -> randText(2), 3L -> randText(3),
+      4L -> randText(4), 5L -> randText(1)).toDF("doc_id", "text")
+    val s0 = Streams.nearDupIngestBatch(b0, 0L, "doc_id", "text", indexDir)
+    assert(ids(s0) == Set(1L, 2L, 3L, 4L))
+    // batch 1: one novel doc, one near-copy of an INDEXED doc (cross-batch),
+    // one exact within-batch copy of the novel doc
+    val b1 = Seq(6L -> randText(6), 7L -> (randText(2) + "xyz"),
+      8L -> randText(6)).toDF("doc_id", "text")
+    val s1 = Streams.nearDupIngestBatch(b1, 1L, "doc_id", "text", indexDir)
+    assert(ids(s1) == Set(6L))
+    // replay of batch 1 (foreachBatch is at-least-once): same survivors,
+    // index partition OVERWRITTEN, not double-appended
+    val s1r = Streams.nearDupIngestBatch(b1, 1L, "doc_id", "text", indexDir)
+    assert(ids(s1r) == Set(6L))
+    val index = spark.read.parquet(s"$indexDir/batch=0", s"$indexDir/batch=1")
+    assert(index.count() == 5L, "replay must not grow the index")
+    // batch 2: a copy of the batch-1 survivor must now be caught by the index
+    val b2 = Seq(9L -> randText(6)).toDF("doc_id", "text")
+    val s2 = Streams.nearDupIngestBatch(b2, 2L, "doc_id", "text", indexDir)
+    assert(ids(s2).isEmpty)
+  }
+
+  test("nearDupIngest: the streaming form admits only novel docs across micro-batches") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ndidx_s").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val survived = scala.collection.mutable.Set.empty[Long]
+    val q = Streams.nearDupIngest(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", indexDir) {
+        (survivors, _) =>
+          survived.synchronized {
+            survived ++= survivors.select("doc_id").as[Long].collect()
+          }
+      }.start()
+    try {
+      input.addData(1L -> randText(11), 2L -> randText(12), 3L -> randText(11))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(1L, 2L))
+      input.addData(4L -> randText(12), 5L -> randText(15))
+      q.processAllAvailable()
+      assert(survived.toSet == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("checkMonitor validates every micro-batch with the fused pass") {
     val input = MemoryStream[(Long, Double)](spark)
     val verdicts = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long)]()
