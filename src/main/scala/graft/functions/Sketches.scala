@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Frequency sketching: heavy hitters over arbitrarily-skewed key
+  * columns WITHOUT a key-space shuffle.
+  *
+  * The naive `groupBy(key).count.orderBy` shuffles every distinct key —
+  * at 100 TB a vocabulary-sized exchange dominated by the very skew the
+  * query is trying to find. This protocol never shuffles raw keys:
+  *
+  *  1. ONE scan builds a count-min sketch (Cormode & Muthukrishnan,
+  *     J. Algorithms 2005) via Spark's `count_min_sketch` aggregate —
+  *     partial sketches merge associatively, so the exchange carries
+  *     KB-sized blobs, one per partition.
+  *  2. ONE scan runs per-partition Misra–Gries (Misra & Gries, Sci.
+  *     Comput. Program. 1982) with `mgCapacity` counters: any key with
+  *     global count > n/mgCapacity exceeds that rate in at least one
+  *     partition (pigeonhole), so the bounded candidate union — at most
+  *     partitions·mgCapacity strings to the driver — provably contains
+  *     every such key under ANY row layout.
+  *  3. Candidates probe the driver-side sketch (bounded loop); top-k by
+  *     estimate.
+  *
+  * Estimates are one-sided: est ∈ [count, count + ε·n] with probability
+  * ≥ confidence per key. The returned ranking is exact whenever the
+  * k-th key's true count clears the (k+1)-th by more than ε·n — the
+  * regime heavy-hitter queries live in by definition.
+  */
+object Sketches {
+
+  /** One-pass mergeable sketch of `key` (cast to string; nulls are
+    * skipped by the aggregate). The blob returns to the driver once —
+    * width·depth counters, independent of corpus size. */
+  def countMinSketchOf(df: DataFrame, key: Column, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42): CountMinSketch = {
+    val bytes = df
+      .select(count_min_sketch(key.cast("string"), lit(eps), lit(confidence),
+        lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Per-partition Misra–Gries candidate union: ≤ mgCapacity survivors
+    * per partition, each guaranteed to include every key whose count in
+    * that partition exceeds rows/mgCapacity. Bounded imperative state
+    * (one hashmap per partition) — the justified mapPartitions case. */
+  private[graft] def mgCandidates(df: DataFrame, key: Column,
+      mgCapacity: Int): Array[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string")).where(key.isNotNull).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { k =>
+          if (counters.contains(k) || counters.size < mgCapacity)
+            counters.update(k, counters.getOrElse(k, 0L) + 1L)
+          else {
+            // decrement-all step, dropping zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.foreach { case (k2, v) => if (v <= 0L) dead += k2 }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .collect().distinct
+  }
+
+  /** Top-k keys by estimated count, as a DataFrame (`key` string,
+    * `est` long) ordered (est DESC, key). Exactly two scans of `df`,
+    * no raw-key shuffle, driver state bounded by
+    * partitions·mgCapacity + the sketch. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42,
+      mgCapacity: Int = 1024): DataFrame = {
+    require(k > 0 && mgCapacity >= k,
+      s"need mgCapacity >= k > 0, got k=$k capacity=$mgCapacity")
+    val sketch = countMinSketchOf(df, key, eps, confidence, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = mgCandidates(df, key, mgCapacity)
+      .map(c => (c, sketch.estimateCount(c)))
+      .sortBy { case (c, est) => (-est, c) }
+      .take(k)
+    spark.createDataset(top.toSeq).toDF("key", "est")
+  }
+}

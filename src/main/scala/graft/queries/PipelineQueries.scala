@@ -30,6 +30,22 @@ object PipelineQueries {
              round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy("lang")),
 
+    // Heavy-hitter vocabulary WITHOUT a key shuffle: count-min sketch
+    // (one mergeable-blob pass) + per-partition Misra-Gries candidates
+    // (bounded driver union) + driver probe — the skew-proof protocol
+    // for 100 TB frequency questions. At this sketch width (eps 1e-4)
+    // the token stream cannot collide, so estimates equal exact counts
+    // and DuckDB's exact GROUP BY pins the whole path, ranking included
+    // (SketchesSpec covers the estimate-error and layout-independence
+    // guarantees on adversarially skewed data).
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      graft.functions.Sketches.heavyHitters(toks, col("w"), k = 8)
+        .select(col("key").as("token"), col("est").as("cnt"))
+    }),
+
     // BPE token counting (Sennrich et al. 2016): merges trained on the
     // corpus itself (one bounded sampling job, deterministic local
     // loop), counting in-scan with the table in the closure. The oracle
@@ -709,6 +725,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("chunk_id"), col("chunk"),
                 TF.tokenCountWs(col("chunk")).cast("long").as("n_toks"))
         .orderBy("doc_id", "chunk_id")),
+
+    // Z-order (Morton) clustering key for multi-dimensional data
+    // skipping: 8-bit equi-width buckets of (l_partkey, l_suppkey)
+    // interleaved into one long — the key Layout.zorderWrite range-
+    // clusters files on, keeping parquet min/max stats tight on BOTH
+    // columns (LayoutSpec measures the file-pruning payoff; the oracle
+    // pins the key arithmetic bit-for-bit against DuckDB's own
+    // shift/and algebra). In-scan Column math over one broadcast
+    // min/max row — no shuffle beyond the final 1-row aggregate.
+    "pipeline_zorder" -> ((s, dir) => {
+      import graft.ops.Layout
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val rng = li.agg(
+        min("l_partkey").as("p_lo"), max("l_partkey").as("p_hi"),
+        min("l_suppkey").as("s_lo"), max("l_suppkey").as("s_hi"))
+      li.crossJoin(broadcast(rng))
+        .select(Layout.zvalue(Seq(
+            (col("l_partkey"), col("p_lo"), col("p_hi")),
+            (col("l_suppkey"), col("s_lo"), col("s_hi"))), bits = 8).as("z"))
+        .agg(count(lit(1L)).as("n"), min("z").as("z_min"), max("z").as("z_max"),
+             sum("z").as("z_sum"), countDistinct(col("z")).as("z_cells"))
+    }),
 
     // CCNet-style cross-corpus LINE dedup: an 8-token banner line planted
     // on every 5th doc (plus any naturally recurring template lines) must
@@ -1564,6 +1602,16 @@ object PipelineQueries {
         | round(avg(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // exact GROUP BY truth: collision-free at this sketch width, the
+    // CMS estimates must equal these counts, ranking and all
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks WHERE w != ''
+        |GROUP BY w ORDER BY cnt DESC, token LIMIT 8""".stripMargin,
+
     // corpus anchors are data-derived; the bound/round-trip/monotonicity
     // verdicts are the engine's own booleans, which must all read true
     "text_bpe" ->
@@ -2028,6 +2076,25 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk,
         | CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_toks
         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Identical double-exact bucket formula and the textbook Morton
+    // interleave as explicit shift/and terms — bit-for-bit agreement
+    // pins the whole key arithmetic.
+    "pipeline_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((bp >> $i) & 1) << ${2 * i + 1})",
+        s"(((bs >> $i) & 1) << ${2 * i})")).mkString(" + ")
+      s"""WITH r AS (SELECT min(l_partkey) p_lo, max(l_partkey) p_hi,
+        |  min(l_suppkey) s_lo, max(l_suppkey) s_hi FROM lineitem),
+        |b AS (SELECT
+        |  CAST(floor((coalesce(l_partkey, p_lo) - p_lo) * 256.0 / (p_hi - p_lo + 1.0)) AS BIGINT) bp,
+        |  CAST(floor((coalesce(l_suppkey, s_lo) - s_lo) * 256.0 / (s_hi - s_lo + 1.0)) AS BIGINT) bs
+        | FROM lineitem, r),
+        |z AS (SELECT $terms AS z FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n, min(z) AS z_min, max(z) AS z_max,
+        | CAST(sum(z) AS BIGINT) AS z_sum, CAST(count(DISTINCT z) AS BIGINT) AS z_cells
+        |FROM z""".stripMargin
+    },
 
     // Same plant, same 30-char window marking (keep = min doc id per
     // window, df over distinct docs), same cumulative-max span merge,
