@@ -127,5 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue()))
+    inject("gif_gray_fixture", "gif_gray_fixture(id, w, h) - animated grayscale GIF fixture (real LZW, interlaced odd frames)",
+      exprs => GifGrayFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    inject("gif_frame_stats", "gif_frame_stats(blob) - array(n_frames, w, h, n_samples, sum, min, max) of decoded GIF RGB samples",
+      exprs => GifFrameStats(exprs.head))
+    inject("gif_frame_split", "gif_frame_split(blob) - array of per-frame RGB PNG blobs from an animated GIF",
+      exprs => GifFrameSplit(exprs.head))
   }
 }

@@ -141,6 +141,14 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_any_contain", exprs => BloomAnyContain(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gif_gray_fixture", exprs => GifGrayFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gif_frame_stats", exprs => GifFrameStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gif_frame_split", exprs => GifFrameSplit(exprs.head), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -255,4 +263,17 @@ object GraftFunctions {
   /** WAV blob → 64-bit Haitsma–Kalker perceptual audio fingerprint. */
   def wavAudioFingerprint(c: Column, frameLen: Int = 128, nBands: Int = 9): Column =
     GraftColumn(WavAudioFingerprint(GraftColumn.expr(c), frameLen, nBands))
+
+  /** id → real animated grayscale GIF (LZW, interlaced odd frames) with
+    * the arithmetic per-frame pixel rule (fixture). */
+  def gifGrayFixture(id: Column, width: Int, height: Int): Column =
+    GraftColumn(GifGrayFixture(GraftColumn.expr(id), width, height))
+
+  /** GIF blob → array(n_frames, w, h, n_samples, sum, min, max) of
+    * DECODED palette-mapped RGB samples across all frames. */
+  def gifFrameStats(c: Column): Column = GraftColumn(GifFrameStats(GraftColumn.expr(c)))
+
+  /** GIF blob → array of per-frame RGB PNG blobs (animation → frame
+    * pipeline bridge). */
+  def gifFrameSplit(c: Column): Column = GraftColumn(GifFrameSplit(GraftColumn.expr(c)))
 }

@@ -1072,6 +1072,29 @@ object PipelineQueries {
     // surviving frames hash identically at shifted positions — position
     // plays no role in the match, only content does. Frame ids pack as
     // vid·64 + pos so one banding join serves all videos.
+    // Animated GIF decode end-to-end: real LZW streams (genuinely
+    // compressed, interlaced odd frames) decoded through the full
+    // palette pipeline; the oracle recomputes every frame's pixel sum
+    // from the arithmetic fixture rule with no codec. GifSpec pins the
+    // LZW bit conventions against a hand-assembled stream and fuzzes
+    // never-throw; gif_frame_split bridges animations into the same
+    // per-frame pHash pipeline mm_video_dedup exercises.
+    "mm_gif" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 60).select("doc_id")
+      docs.select(col("doc_id"),
+          GraftFunctions.gifFrameStats(
+            GraftFunctions.gifGrayFixture(col("doc_id"), 16, 8)).as("st"))
+        .agg(
+          count(lit(1L)).as("n_gifs"),
+          sum(element_at(col("st"), 1)).as("frames_total"),
+          sum(element_at(col("st"), 4)).as("samples_total"),
+          sum(element_at(col("st"), 5)).as("rgb_sum"),
+          min(element_at(col("st"), 6)).as("sample_min"),
+          max(element_at(col("st"), 7)).as("sample_max"),
+          (count(when(col("st").isNull, 1)) === 0).as("all_decoded_ok"))
+    }),
+
     "mm_video_dedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents").where(col("doc_id") < 30).select("doc_id")
@@ -2588,6 +2611,21 @@ object PipelineQueries {
     // frame counts derive from the fixture arity rule (5 + id mod 3
     // frames, trimmed copies drop one); recall/FP verdicts are the
     // engine's own booleans, which must all read true
+    // every decoded pixel recomputed arithmetically: frame f of id has
+    // pixel i = (id*31 + f*97 + i*7) mod 256, three RGB samples each
+    "mm_gif" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+        |fr AS (SELECT id, unnest(range(0, 2 + CAST(id % 3 AS INT))) AS f FROM ids),
+        |px AS (SELECT id, f, unnest(range(0, 128)) AS i FROM fr),
+        |v AS (SELECT ((id*31 + f*97 + i*7) % 256 + 256) % 256 AS v FROM px)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_gifs,
+        | (SELECT CAST(count(*) AS BIGINT) FROM fr) AS frames_total,
+        | CAST(3 * count(*) AS BIGINT) AS samples_total,
+        | CAST(3 * sum(v) AS BIGINT) AS rgb_sum,
+        | CAST(min(v) AS BIGINT) AS sample_min, CAST(max(v) AS BIGINT) AS sample_max,
+        | true AS all_decoded_ok
+        |FROM v""".stripMargin,
+
     "mm_video_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_videos,
         | CAST(sum(5 + doc_id % 3)
