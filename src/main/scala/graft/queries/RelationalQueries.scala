@@ -199,6 +199,47 @@ object RelationalQueries {
       s.table(sink).orderBy("w_start", "event_type")
     }),
 
+    // Stream-stream watermarked interval join (attribution): purchases
+    // landing within 30 minutes of a same-user view, as TWO file
+    // streams inner-joined with the time-range predicate that lets
+    // Spark evict join state behind the watermark. AvailableNow drains
+    // the backlog in one pass; the appended pairs aggregate in batch to
+    // per-user attribution counts the DuckDB inequality join recomputes
+    // exactly (StreamingSpec proves the cross-micro-batch buffering and
+    // late-arrival drop semantics the one-shot drain can't show).
+    "q_stream_join" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_stream_j")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        new java.io.File(stage, "events.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(raw).parquet(stage.getPath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("ts", "user_id", "event_type")
+      val views = src.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val buys = src.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_ts"))
+      val pairs = graft.streaming.Streams.intervalJoin(
+          views, buys, "user_id", "v_ts", "b_ts", "10 minutes", "30 minutes")
+        .select(col("l.user_id").as("user_id"), col("v_ts"), col("b_ts"))
+      val sink = s"q_stream_join_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).groupBy("user_id")
+        .agg(count(lit(1L)).as("n_attributed"))
+        .orderBy("user_id")
+    }),
+
     // Session windows (30 min gap) → sessions/events per user.
     "q_session" -> ((s, dir) =>
       Analytics.sessionAgg(t(s, dir, "events"), col("ts"), "30 minutes",
@@ -347,6 +388,16 @@ object RelationalQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same inequality join, batch-exact: DuckDB's timestamps are
+    // microseconds, matching the engine's ns div 1000 truncation
+    "q_stream_join" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_attributed
+        |FROM v JOIN b ON v.user_id = b.user_id
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
     "q_session" ->
       """WITH s AS (

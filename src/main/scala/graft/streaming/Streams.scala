@@ -143,6 +143,26 @@ object Streams {
           shingleK, numHashes, bands, tauPct), batchId)
       }
 
+  /** Watermarked stream-stream INTERVAL join — the attribution shape:
+    * a right-side row matches a left-side row with the same `key` when
+    * its timestamp lands in [l_ts, l_ts + within]. Both sides carry
+    * watermarks, and the time-range predicate lets Spark bound the join
+    * buffer: a buffered left row is evicted once the right watermark
+    * passes l_ts + within (and symmetrically), so state is
+    * O(arrival-rate · (watermark + within)) per side, NOT O(stream
+    * history). Inner matches emit as soon as both rows have arrived —
+    * no window-close wait. The left/right aliases survive into the
+    * result: select `l.*` / `r.*` columns downstream. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lTs: String, rTs: String, watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(lTs, watermark).alias("l")
+    val r = right.withWatermark(rTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rTs") >= col(s"l.$lTs") &&
+        col(s"r.$rTs") <= col(s"l.$lTs") + expr(s"INTERVAL $within"))
+  }
+
   /** Continuous data-quality monitoring: the fused quick-check pass runs
     * per micro-batch (foreachBatch → Runner.verdictDF — one aggregate
     * scan of the batch, one verdict row out). `onBatch` receives

@@ -246,4 +246,38 @@ class StreamingSpec extends SparkSuite {
       assert(byBatch(1) == ((1L, true, 3L))) // the -1.0 trips negativeCheck
     } finally q.stop()
   }
+
+  test("intervalJoin: cross-batch buffering matches; arrivals behind the watermark drop") {
+    val lIn = MemoryStream[(Timestamp, String)](spark)
+    val rIn = MemoryStream[(Timestamp, String)](spark)
+    val joined = Streams.intervalJoin(
+        lIn.toDF().toDF("v_ts", "user"), rIn.toDF().toDF("b_ts", "user"),
+        "user", "v_ts", "b_ts", watermark = "10 minutes", within = "30 minutes")
+      .select(col("l.user").as("user"), col("v_ts"), col("b_ts"))
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: left arrives alone — buffered, nothing emitted yet
+      lIn.addData((ts(0), "a"), (ts(0), "c"))
+      q.processAllAvailable()
+      assert(spark.table("ivj").count() == 0)
+      // batch 2: right arrives later for the same key → the buffered
+      // left matches across micro-batches; wrong key ("x") does not
+      rIn.addData((ts(5), "a"), (ts(5), "x"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ivj").select("user").as[String].collect().toSeq
+      assert(afterB2 == Seq("a"), s"got $afterB2")
+      // batch 3: push BOTH watermarks far ahead (each side's watermark
+      // is min over inputs, so both must advance)...
+      lIn.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "zz"))
+      rIn.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "zz2"))
+      q.processAllAvailable()
+      // ...then a right row at 10:20 — inside c's 30-minute window but
+      // far behind the 13:50 watermark: dropped, no match emitted
+      rIn.addData((ts(20), "c"))
+      q.processAllAvailable()
+      val users = spark.table("ivj").select("user").as[String].collect().toSeq
+      assert(users == Seq("a"), s"late arrival must not match, got $users")
+    } finally q.stop()
+  }
 }
