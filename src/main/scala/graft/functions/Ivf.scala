@@ -30,6 +30,23 @@ object Ivf {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)
 
+  /** Semantic cluster assignment — the IVF coarse quantizer as a public
+    * operator (k-means topic cells for embedding-aware curation:
+    * cluster-balanced sampling, per-topic stats, SemDeDup-style
+    * grouping). ONE bounded seeded sampling job trains the centroids
+    * (content-hash-ordered — deterministic under any partitioning);
+    * assignment is the in-scan [[PqEncode]] argmin, zero shuffles.
+    * Rows with null / wrong-dimension vectors are dropped (they are
+    * un-clusterable; mirrors ivfKnn's null-cell contract). */
+  def clusterAssign(df: DataFrame, vecCol: String, nClusters: Int,
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      maxTrainRows: Int = 1 << 16, clusterCol: String = "cluster"): DataFrame = {
+    val sampled = Pq.collectSample(df, vecCol, trainFraction, seed, maxTrainRows)
+    val coarse = Pq.trainLocal(sampled, m = 1, ksub = nClusters, seed = seed, maxIter = 5)
+    df.withColumn(clusterCol, element_at(Pq.encode(col(vecCol), coarse), 1))
+      .where(col(clusterCol).isNotNull)
+  }
+
   /** Exact k-NN of each query against only the probed cells.
     *
     * `trainFraction`/`maxTrainRows` bound what the one sampling job

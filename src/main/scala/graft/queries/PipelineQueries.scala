@@ -748,6 +748,41 @@ object PipelineQueries {
              sum("z").as("z_sum"), countDistinct(col("z")).as("z_cells"))
     }),
 
+    // SEMANTIC cluster-balanced sampling (the diversity-flattening step
+    // of embedding-aware corpus curation, e.g. the cluster-resample
+    // stage in DeepMind's semantic-dedup line of work): k-means cells
+    // from ONE bounded seeded sampling job (Pq.trainLocal, m=1 — the
+    // IVF coarse quantizer reused as a topic model), in-scan argmin
+    // assignment, then mixToTarget flattens the cluster histogram with
+    // deterministic md5 per-stratum rates — the binding (smallest)
+    // cluster is kept whole, larger ones downsample toward it. Cluster
+    // geometry is not SQL-expressible; the oracle anchors the corpus
+    // count and pins the engine's structural verdicts (coverage, never
+    // widening the spread, binding-cluster wholeness, bounded
+    // imbalance), all deterministic under the fixed seed.
+    "pipeline_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val assigned = Ivf.clusterAssign(emb, "embedding", nClusters = 8, seed = 42L)
+        .select(col("vec_id"), col("cluster").cast("string").as("cluster"))
+        .localCheckpoint(true) // tiny (id, cluster) pairs; read 3×
+      def histo(df: DataFrame): Map[String, Long] = df.groupBy("cluster")
+        .agg(count(lit(1L)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inC = histo(assigned)
+      val balanced = graft.ops.DataPrep.mixToTarget(assigned, col("vec_id"),
+        col("cluster"), inC.keys.map(_ -> 1.0).toMap)
+      val outC = histo(balanced)
+      val binding = inC.minBy { case (c, n) => (n, c) }
+      emb.agg(count(lit(1L)).as("n_in")).select(col("n_in"),
+        lit(inC.size >= 2 && inC.size <= 8).as("n_clusters_ok"),
+        lit(outC.keySet == inC.keySet).as("coverage_ok"),
+        lit(outC.values.max - outC.values.min <= inC.values.max - inC.values.min)
+          .as("spread_ok"),
+        lit(outC(binding._1) == binding._2).as("binding_whole_ok"),
+        lit(outC.values.max <= math.ceil(1.5 * outC.values.min).toLong)
+          .as("balance_ok"))
+    }),
+
     // CCNet-style cross-corpus LINE dedup: an 8-token banner line planted
     // on every 5th doc (plus any naturally recurring template lines) must
     // be deleted from every document and the survivors reassembled in
@@ -2118,6 +2153,15 @@ object PipelineQueries {
         | CAST(sum(z) AS BIGINT) AS z_sum, CAST(count(DISTINCT z) AS BIGINT) AS z_cells
         |FROM z""".stripMargin
     },
+
+    // corpus anchor + the engine's structural verdicts (cluster
+    // geometry itself is engine-side; all booleans deterministic under
+    // the fixed seed)
+    "pipeline_cluster_balance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_in,
+        | true AS n_clusters_ok, true AS coverage_ok, true AS spread_ok,
+        | true AS binding_whole_ok, true AS balance_ok
+        |FROM embeddings""".stripMargin,
 
     // Same plant, same 30-char window marking (keep = min doc id per
     // window, df over distinct docs), same cumulative-max span merge,

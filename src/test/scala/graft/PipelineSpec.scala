@@ -630,4 +630,26 @@ class PipelineSpec extends SparkSuite {
     assert(nanBuckets("NULL") == 1L && nanBuckets("head") == 30L,
       s"NaN leaked into a named bucket: $nanBuckets")
   }
+
+  test("clusterAssign: separated blobs land in distinct cells, deterministically; malformed vectors drop") {
+    import graft.functions.Ivf
+    // two well-separated 4-d blobs + a null and a wrong-dimension vector
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 100.0f
+      (i.toLong, Some(Array(base + i % 3, base, base, base)))
+    } :+ (100L, None) :+ (101L, Some(Array(1.0f)))
+    val df = rows.toDF("id", "embedding")
+    val a = Ivf.clusterAssign(df, "embedding", nClusters = 2, seed = 7L)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(!a.contains(100L) && !a.contains(101L), "malformed vectors must drop")
+    assert(a.size == 40)
+    // blob purity: each parity class maps to exactly one cell, cells differ
+    val even = (0 until 40 by 2).map(i => a(i.toLong)).toSet
+    val odd = (1 until 40 by 2).map(i => a(i.toLong)).toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd, s"cells: even=$even odd=$odd")
+    // determinism under a different physical layout
+    val b = Ivf.clusterAssign(df.repartition(7), "embedding", nClusters = 2, seed = 7L)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
 }
