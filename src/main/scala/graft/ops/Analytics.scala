@@ -11,6 +11,53 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Funnel analysis: how many users complete `steps` IN ORDER, each
+    * event strictly later than the previous step's, all within `within`
+    * of the user's FIRST first-step event (the anchor — the common
+    * product-analytics convention, and the one an inequality-join SQL
+    * oracle can restate exactly).
+    *
+    * Shape: ONE shuffle (groupBy user over only the step-relevant
+    * events), then a sorted in-scan array fold advances a (step,
+    * anchor, last) state machine per user — no self-joins, no k-way
+    * shuffle cascade, which is what the naive per-step join plan costs.
+    * Per-user state is that user's step-typed events; at 100 TB cap a
+    * runaway key first (capPerGroup) — the fold itself is linear.
+    *
+    * Returns one row per step: (step, step_name, n_users reaching it). */
+  def funnel(df: DataFrame, user: Column, ts: Column, event: Column,
+      steps: Seq[String], within: String): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val stepsArr = array(steps.map(lit): _*)
+    val init = struct(lit(0).as("step"),
+      lit(null).cast("timestamp").as("anchor"),
+      lit(null).cast("timestamp").as("last"))
+    val folded = df.where(event.isin(steps: _*))
+      .groupBy(user.as("__u"))
+      .agg(sort_array(collect_list(struct(ts.as("t"), event.as("e")))).as("__evs"))
+      .select(aggregate(col("__evs"), init, (st, ev) => {
+        val idx = st.getField("step")
+        val advance = idx < steps.size &&
+          ev.getField("e") === element_at(stepsArr, idx + 1) &&
+          (st.getField("last").isNull || ev.getField("t") > st.getField("last")) &&
+          (st.getField("anchor").isNull ||
+            ev.getField("t") <= st.getField("anchor") + expr(s"INTERVAL $within"))
+        struct(
+          when(advance, idx + 1).otherwise(idx).as("step"),
+          when(advance && idx === 0, ev.getField("t"))
+            .otherwise(st.getField("anchor")).as("anchor"),
+          when(advance, ev.getField("t")).otherwise(st.getField("last")).as("last"))
+      }).getField("step").as("__s"))
+    folded
+      .select(explode(sequence(lit(1), lit(steps.size))).as("step"), col("__s"))
+      .groupBy("step")
+      .agg(sum(when(col("__s") >= col("step"), 1L).otherwise(0L)).as("n_users"))
+      .withColumn("step_name", element_at(stepsArr, col("step")))
+      .select("step", "step_name", "n_users")
+      .orderBy("step")
+  }
+
   /** Star-schema dimension join: fact ⋈ small dims. Dims are explicitly
     * broadcast — at 100 TB the fact side never shuffles for these joins. */
   def dimJoin(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =

@@ -199,6 +199,15 @@ object RelationalQueries {
       s.table(sink).orderBy("w_start", "event_type")
     }),
 
+    // Funnel analysis: view → click → purchase completion within 2 hours
+    // of each user's FIRST view, strict step succession. One shuffle on
+    // user + an in-scan sorted array fold (state machine) — no per-step
+    // self-join cascade; the DuckDB oracle restates the same semantics
+    // as stepwise min() inequality joins.
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"), "2 hours")),
+
     // Stream-stream watermarked interval join (attribution): purchases
     // landing within 30 minutes of a same-user view, as TWO file
     // streams inner-joined with the time-range predicate that lets
@@ -388,6 +397,24 @@ object RelationalQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stepwise earliest-match restatement of the anchored-window state
+    // machine: t1 = first view; t2 = first click strictly after t1
+    // within t1+2h; t3 = first purchase strictly after t2 within t1+2h
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t
+        |    AND e.ts <= t1.t + INTERVAL 2 HOUR GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN t2 USING (user_id) JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |    AND e.ts <= t1.t + INTERVAL 2 HOUR GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM t1
+        |UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2
+        |UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
+        |ORDER BY step""".stripMargin,
 
     // the same inequality join, batch-exact: DuckDB's timestamps are
     // microseconds, matching the engine's ns div 1000 truncation

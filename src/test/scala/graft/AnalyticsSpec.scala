@@ -30,6 +30,24 @@ class AnalyticsSpec extends SparkSuite {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("funnel: ordered steps, strict succession, window anchored at the FIRST step-1 event") {
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val events = Seq(
+      ("u1", t(0), "view"), ("u1", t(10), "click"), ("u1", t(20), "buy"),   // completes
+      ("u2", t(0), "click"), ("u2", t(5), "view"), ("u2", t(10), "buy"),    // click precedes view: step 1 only
+      ("u3", t(0), "view"), ("u3", t(130), "click"),                        // click past the 2h window: step 1
+      ("u4", t(0), "view"), ("u4", t(5), "view"), ("u4", t(7), "click"),
+      ("u4", t(7), "buy"),                                                  // buy not strictly later: step 2
+      ("u5", t(0), "buy"),                                                  // never starts
+      ("u6", t(0), "view"), ("u6", t(60), "view"), ("u6", t(125), "click")  // anchor stays at FIRST view: expired
+    ).toDF("user", "ts", "etype")
+    val got = graft.ops.Analytics.funnel(events, col("user"), col("ts"),
+        col("etype"), Seq("view", "click", "buy"), "2 hours")
+      .select("step", "step_name", "n_users")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "view", 5L), (2, "click", 2L), (3, "buy", 1L)), s"got $got")
+  }
+
   test("asofJoin: a right row's legitimate NULL is delivered, not back-filled") {
     // right row at ts=30 has v2 = NULL; a per-column carry would
     // back-fill v2 from the OLDER row at ts=20, mixing two right rows
