@@ -103,14 +103,22 @@ object QualityClassifier {
       lowercase: Boolean = true, regParam: Double = 1e-6,
       maxIter: Int = 100): Model = {
     val feat = featurizer(numFeatures)
+    // persist the featurized labeled set: every L-BFGS iteration runs a
+    // treeAggregate over it, and without the cache each iteration would
+    // re-tokenize and re-hash the text from source — the labeled set is
+    // bounded by construction, so materializing it is the cheap side
     val prepared = feat.transform(
       labeled
         .withColumn(TokCol, featureTokens(col(textCol), lowercase, bigrams))
         .withColumn("__clf_label", col(labelCol).cast("double")))
-    val lr = new LogisticRegression()
-      .setFeaturesCol(FeatCol).setLabelCol("__clf_label")
-      .setRegParam(regParam).setElasticNetParam(0.0)
-      .setStandardization(false).setMaxIter(maxIter)
-    Model(lr.fit(prepared), numFeatures, bigrams, lowercase)
+      .select(FeatCol, "__clf_label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lr = new LogisticRegression()
+        .setFeaturesCol(FeatCol).setLabelCol("__clf_label")
+        .setRegParam(regParam).setElasticNetParam(0.0)
+        .setStandardization(false).setMaxIter(maxIter)
+      Model(lr.fit(prepared), numFeatures, bigrams, lowercase)
+    } finally { prepared.unpersist(); () }
   }
 }

@@ -45,7 +45,9 @@ class ExtensionsSpec extends SparkSuite {
         |   wav_scale_amplitude(wav_melody_fixture(4L), 1, 2), 128, 9) AS afp_scaled,
         | wav_audio_fingerprint(
         |   wav_requantize(wav_melody_fixture(4L), 8), 128, 9) AS afp_rq,
-        | size(png_frame_split(png_noise_frames_fixture(3L, 8, 8, 1))) AS vid_nf
+        | size(png_frame_split(png_noise_frames_fixture(3L, 8, 8, 1))) AS vid_nf,
+        | element_at(gif_frame_stats(gif_gray_fixture(4L, 8, 4)), 1) AS gif_nf,
+        | image_phash(element_at(gif_frame_split(gif_gray_fixture(4L, 8, 4)), 1)) AS gif_ph
         |""".stripMargin).head()
     assert(r.getString(0) == "en")
     assert(r.getDouble(1) == 0.96)
@@ -69,5 +71,7 @@ class ExtensionsSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(r.getLong(17) ^ r.getLong(18)) <= 4)
     assert(java.lang.Long.bitCount(r.getLong(17) ^ r.getLong(19)) <= 4)
     assert(r.getInt(20) == 4) // 5 + 3%3 = 5 frames, head-trimmed to 4
+    assert(r.getLong(21) == 2 + 4 % 3) // animated GIF frame count via SQL
+    assert(!r.isNullAt(22)) // GIF frame → PNG → pHash through SQL alone
   }
 }
