@@ -70,6 +70,43 @@ object Sketches {
       .collect().distinct
   }
 
+  /** Bottom-k distinct 64-bit key hashes — a KMV (k-minimum-values)
+    * distinct sketch (Bar-Yossef et al., RANDOM 2002). ONE TakeOrdered
+    * job: each partition ships at most k hashes toward the driver merge,
+    * independent of corpus size. Deterministic — the hash is seeded
+    * content math, no sampling. */
+  private[graft] def kmvSketch(df: DataFrame, key: Column, k: Int): Array[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(key.isNotNull)
+      .select(xxhash64(key.cast("string")).as("h")).distinct()
+      .orderBy("h").limit(k).as[Long].collect()
+  }
+
+  /** Corpus-overlap estimation: Jaccard similarity of two corpora's
+    * DISTINCT key sets from their KMV sketches — the "how much does
+    * snapshot N overlap snapshot N−1" question answered with two
+    * bounded jobs instead of a cross-corpus join. Standard KMV
+    * estimator: merge both sketches, keep the k smallest hashes of the
+    * union, count how many appear in both; J ≈ |both| / k. Relative
+    * error ~1/√k; the estimate is DETERMINISTIC (content hashes, no
+    * randomness), so the same corpora always report the same overlap.
+    * Returns (estimate, kUsed) — kUsed < k when the union itself has
+    * fewer than k distinct keys (then the estimate is exact). */
+  def corpusJaccard(a: DataFrame, b: DataFrame, keyA: Column, keyB: Column,
+      k: Int = 4096): (Double, Int) = {
+    require(k > 0, s"k must be positive, got $k")
+    val sa = kmvSketch(a, keyA, k)
+    val sb = kmvSketch(b, keyB, k)
+    val union = (sa ++ sb).distinct.sorted.take(k)
+    if (union.isEmpty) (0.0, 0)
+    else {
+      val inA = sa.toSet; val inB = sb.toSet
+      val both = union.count(h => inA(h) && inB(h))
+      (both.toDouble / union.length, union.length)
+    }
+  }
+
   /** Top-k keys by estimated count, as a DataFrame (`key` string,
     * `est` long) ordered (est DESC, key). Exactly two scans of `df`,
     * no raw-key shuffle, driver state bounded by

@@ -30,6 +30,25 @@ object PipelineQueries {
              round(avg(col("n_chars")), 6).as("avg_chars"))
         .orderBy("lang")),
 
+    // Corpus-overlap estimation via KMV distinct sketches: the
+    // snapshot-N-vs-N−1 question as TWO bounded TakeOrdered jobs (each
+    // partition ships ≤ k hashes), never a cross-corpus join. At the
+    // oracle SF the union is under k, so the sketches are complete and
+    // the estimate is EXACT — DuckDB recomputes the same Jaccard from
+    // distinct texts; SketchesSpec covers the saturated ~1/√k regime
+    // and layout-independent determinism.
+    "pipeline_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val a = docs.where(col("doc_id") < 400)
+      val b = docs.where(col("doc_id") >= 200 && col("doc_id") < 500)
+      val (est, kUsed) = graft.functions.Sketches.corpusJaccard(
+        a, b, col("text"), col("text"), k = 4096)
+      a.agg(countDistinct(col("text")).as("n_a"))
+        .crossJoin(b.agg(countDistinct(col("text")).as("n_b")))
+        .select(col("n_a"), col("n_b"),
+          round(lit(est), 6).as("jaccard"), lit(kUsed.toLong).as("k_used"))
+    }),
+
     // Heavy-hitter vocabulary WITHOUT a key shuffle: count-min sketch
     // (one mergeable-blob pass) + per-partition Misra-Gries candidates
     // (bounded driver union) + driver probe — the skew-proof protocol
@@ -1666,6 +1685,20 @@ object PipelineQueries {
         | round(avg(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)), 6) AS avg_alpha,
         | round(avg(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // unsaturated sketches are complete: the KMV estimate must equal
+    // the exact distinct-text Jaccard, and k_used is the union size
+    "pipeline_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 400),
+        |b AS (SELECT DISTINCT text FROM documents
+        |  WHERE text IS NOT NULL AND doc_id >= 200 AND doc_id < 500),
+        |u AS (SELECT text FROM a UNION SELECT text FROM b),
+        |i AS (SELECT text FROM a INTERSECT SELECT text FROM b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        | (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        | round((SELECT count(*) FROM i) * 1.0 / (SELECT count(*) FROM u), 6) AS jaccard,
+        | (SELECT CAST(count(*) AS BIGINT) FROM u) AS k_used""".stripMargin,
 
     // exact GROUP BY truth: collision-free at this sketch width, the
     // CMS estimates must equal these counts, ranking and all

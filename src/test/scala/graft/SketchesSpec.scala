@@ -49,6 +49,28 @@ class SketchesSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("corpusJaccard: exact when unsaturated, ~1/sqrt(k) accurate when saturated") {
+    val a = (0 until 10000).map(i => s"doc$i").toDF("k")
+    val b = (5000 until 15000).map(i => s"doc$i").toDF("k")
+    // saturated: 15000 distinct >> k=512; true J = 5000/15000
+    val (est, used) = Sketches.corpusJaccard(a, b, col("k"), col("k"), k = 512)
+    assert(used == 512)
+    assert(math.abs(est - 1.0 / 3.0) < 0.1, s"est $est too far from 1/3")
+    // unsaturated: sketches are complete, estimate is exact
+    val a2 = (0 until 100).map(i => s"x$i").toDF("k")
+    val b2 = (50 until 150).map(i => s"x$i").toDF("k")
+    val (est2, used2) = Sketches.corpusJaccard(a2, b2, col("k"), col("k"), k = 4096)
+    assert(used2 == 150 && est2 == 50.0 / 150.0, s"unsaturated must be exact: $est2")
+    // determinism under different layouts
+    val (est3, _) = Sketches.corpusJaccard(a.repartition(13), b.repartition(3),
+      col("k"), col("k"), k = 512)
+    assert(est3 == est)
+    // disjoint and empty edges
+    assert(Sketches.corpusJaccard(a2, (200 until 300).map(i => s"x$i").toDF("k"),
+      col("k"), col("k"))._1 == 0.0)
+    assert(Sketches.corpusJaccard(a2.where(lit(false)), b2, col("k"), col("k"))._1 == 0.0)
+  }
+
   test("fixed seed makes the whole protocol deterministic") {
     val a = Sketches.heavyHitters(skewed, col("w"), k = 5, seed = 7)
       .as[(String, Long)].collect().toSeq
