@@ -173,12 +173,12 @@ object RelationalQueries {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // same raw-nanos schema + ns→µs conversion as the batch loader
-      // (Sources.table): the parquet ts column is INT64 nanoseconds
+      // same raw schema + ts normalization as the batch loader
+      // (Sources.table): nanos-as-long and µs-NTZ encodings both map to
+      // the session-timezone TimestampType the window/watermark ops need
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(raw)
-        .parquet(stage.getPath)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
         .select("ts", "event_type", "value")
       val counted = stream
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -226,8 +226,8 @@ object RelationalQueries {
         new java.io.File(stage, "events.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val raw = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(raw).parquet(stage.getPath)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
         .select("ts", "user_id", "event_type")
       val views = src.where(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("v_ts"))

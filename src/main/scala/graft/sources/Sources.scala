@@ -36,21 +36,34 @@ object Sources {
     where(if (paths.isEmpty) r.load() else r.load(paths: _*), condition)
   }
 
-  /** Testdata table loader. Handles TIMESTAMP(NANOS) parquet (which Spark 4
-    * rejects by default): reads nanos as long and converts to a
-    * microsecond TimestampType column in place. The testdata generator
-    * emits whole-microsecond values, so the ns→µs conversion is lossless
-    * here.
-    *
-    * PURE: requires `spark.sql.legacy.parquet.nanosAsLong=true` on the
-    * session (set at build time by Main/Bench/Verify/SharedSpark) — a
-    * loader mutating shared session conf would be racy under concurrent
-    * use of one session. */
+  /** Testdata table loader. The events `ts` column has shipped in two
+    * physical encodings across testdata generations; [[normalizeEventTs]]
+    * maps both to the same session-timezone TimestampType so every
+    * downstream operator (windows, intervals, watermarks) sees one type. */
   def table(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
     else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize the events `ts` column to TimestampType (µs instants),
+    * whatever the parquet file encoded:
+    *   - INT64 TIMESTAMP(NANOS): Spark 4 rejects it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as a
+    *     LongType of epoch nanos (set at build time by
+    *     Main/Bench/Verify/SharedSpark — a loader mutating shared session
+    *     conf would be racy under concurrent use of one session); the
+    *     generator emits whole-microsecond values, so ns→µs is lossless.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     TimestampNTZType; cast to TimestampType under the pinned UTC
+    *     session timezone — the same epoch-µs instants as the nanos path.
+    *   - Already TimestampType: pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Write a catalog table bucketed (and sorted) by join keys: two
     * tables bucketed the same way join WITHOUT an exchange — the scan
