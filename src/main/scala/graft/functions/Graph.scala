@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph scoring for corpus curation: PageRank (Page et al. 1999,
+  * "The PageRank Citation Ranking") over an arbitrary edge list. Web-scale
+  * pipelines rank domains/hosts by centrality over the crawl's link graph
+  * and use the score as a quality prior (the CommonCrawl host-ranking
+  * recipe); the same operator ranks any graph an upstream operator emits —
+  * near-dup clusters, citation edges, or the word co-occurrence graph the
+  * oracle query derives.
+  *
+  * Scale shape (mirrors [[Clusters]]' per-round discipline): each
+  * iteration is two hash-partitioned equi-joins keyed on the node id plus
+  * one partial-aggregated sum keyed on dst — no driver-side state except
+  * the 1-row dangling-mass aggregate (a bounded artifact, like the CC
+  * convergence sum). Edges and out-degrees are persisted once and reused
+  * every round; each round's ranks are `localCheckpoint`ed so lineage (and
+  * analysis cost) stays constant per iteration. State is O(|nodes|), one
+  * double per node.
+  */
+object Graph {
+
+  /** Directed word co-occurrence edges: one (src, dst) row per DISTINCT
+    * adjacent token pair in the corpus, self-pairs dropped. In-scan pair
+    * generation (zip_with over two slices — no per-position explode
+    * before the distinct), one shuffle for the global dedup. */
+  def wordCooccurrenceEdges(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(split(col(textCol), " ").as("__w"))
+      .select(explode(zip_with(
+        expr("slice(__w, 1, size(__w)-1)"),
+        expr("slice(__w, 2, size(__w)-1)"),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  /** Fixed-iteration PageRank with uniform teleport and dangling-mass
+    * redistribution:
+    *
+    *   r₀(v)    = 1/n
+    *   rₜ₊₁(v) = (1−d)/n + d·( Σ_{(u,v)∈E} rₜ(u)/outdeg(u) + Sₜ/n )
+    *
+    * where Sₜ is the total rank mass on dangling nodes (no out-edges) —
+    * without the Sₜ/n term, mass leaks every round and ranks are not a
+    * distribution. Fixed iterations (not convergence-tested) keep the
+    * result exactly restatable by an unrolled SQL oracle; production runs
+    * at 100 TB pick `iterations` ~10–20, each costing the same two-join
+    * round regardless of graph size.
+    *
+    * Returns (id, r) — r sums to 1 over the node set (up to float
+    * association). Node ids are taken as strings (domain/host/word keys);
+    * numeric graphs cast transparently. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble // also materializes the persisted node set
+    val deg = e.groupBy("src").agg(count(lit(1L)).cast("double").as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      // dangling mass: 1-row aggregate over nodes with no out-edges
+      // (anti join on the persisted degree table) — the only driver
+      // scalar per round
+      val s = ranks.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).head.getDouble(0)
+      // contribution pass: rank/outdeg shipped along edges, partial-
+      // aggregated min-side before the dst shuffle
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("outdeg")).as("c"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(s / n))).as("r"))
+        .localCheckpoint(true)
+      ranks = next
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    ranks
+  }
+}

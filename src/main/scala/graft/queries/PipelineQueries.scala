@@ -1647,6 +1647,20 @@ object PipelineQueries {
         .select(col("n_bf"), col("bf_min_cos"), col("n_planted"),
           (col("n_partner_hit") === col("n_planted") * 2).as("partner_recall_ok"))
     }),
+
+    // Link-graph centrality as a curation prior: PageRank (3 iterations,
+    // d=0.85, dangling-mass redistribution) over the corpus's distinct
+    // word co-occurrence graph. Each iteration is two node-keyed
+    // equi-joins + one partial-aggregated sum — the CC-loop shuffle
+    // discipline applied to an iterative numeric operator; the DuckDB
+    // oracle unrolls the identical three rounds.
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("id").as("word"), round(col("r"), 6).as("pr"))
+        .orderBy("word")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2804,5 +2818,34 @@ object PipelineQueries {
         | CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         | true AS content_fp_injective_ok,
         | true AS mingram_consistent_ok FROM documents""".stripMargin,
+
+    // Three unrolled PageRank iterations (r0 = 1/n; each round adds the
+    // teleport term, edge contributions r/outdeg, and the dangling mass
+    // spread uniformly) over the same distinct adjacent-word edge set.
+    "graph_pagerank" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1.0/nn.n AS r FROM nodes, nn),
+        |s1 AS (SELECT coalesce(sum(r),0.0) AS s FROM r0 WHERE id NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r/deg.outdeg) AS c
+        |       FROM e JOIN r0 ON e.src=r0.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c1.c,0.0)+s1.s/nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN s1 LEFT JOIN c1 ON nodes.id=c1.id),
+        |s2 AS (SELECT coalesce(sum(r),0.0) AS s FROM r1 WHERE id NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r/deg.outdeg) AS c
+        |       FROM e JOIN r1 ON e.src=r1.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c2.c,0.0)+s2.s/nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN s2 LEFT JOIN c2 ON nodes.id=c2.id),
+        |s3 AS (SELECT coalesce(sum(r),0.0) AS s FROM r2 WHERE id NOT IN (SELECT src FROM deg)),
+        |c3 AS (SELECT e.dst AS id, sum(r2.r/deg.outdeg) AS c
+        |       FROM e JOIN r2 ON e.src=r2.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c3.c,0.0)+s3.s/nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN s3 LEFT JOIN c3 ON nodes.id=c3.id)
+        |SELECT id AS word, round(r, 6) AS pr FROM r3 ORDER BY word""".stripMargin,
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pageRank matches the hand-computed first iteration on a 3-node graph") {
+    // A→B, A→C, B→A; C dangling. n=3, r0=1/3 each, S=r(C)=1/3.
+    // r1(A) = .05 + .85*(r(B)/1 + S/3) = .05 + .85*(1/3 + 1/9)
+    // r1(B) = r1(C) = .05 + .85*(r(A)/2 + S/3) = .05 + .85*(1/6 + 1/9)
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "A")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("A") - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r("B") - (0.05 + 0.85 * (1.0 / 6 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r("C") - r("B")) < 1e-12)
+  }
+
+  test("pageRank conserves mass across iterations (dangling redistribution)") {
+    // Without the dangling term, C's mass would leak each round.
+    val edges = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val total = Graph.pageRank(edges, "src", "dst", iterations = iters)
+        .agg(sum("r")).head.getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"mass after $iters iters: $total")
+    }
+  }
+
+  test("pageRank favors the node every other node points to") {
+    val edges = Seq(("A", "Z"), ("B", "Z"), ("C", "Z"), ("Z", "A")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("Z") > r("A") && r("A") > r("B"))
+    assert(math.abs(r("B") - r("C")) < 1e-12)
+  }
+
+  test("wordCooccurrenceEdges: dedup, self-pair drop, short-doc edge cases") {
+    val docs = Seq(
+      "a b a b",   // duplicate (a,b)/(b,a) pairs collapse to two edges
+      "c c",       // self-pair dropped
+      "d",         // single word: no edges
+      ""           // empty text: no edges
+    ).toDF("text")
+    val e = Graph.wordCooccurrenceEdges(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e === Set(("a", "b"), ("b", "a")))
+  }
+
+  test("pageRank validates its parameters") {
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", damping = 1.0))
+  }
+}
