@@ -81,6 +81,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives that actually move a contrastive loss (easy negatives are
+    * already far). Same scale shape as [[bruteForceKnn]]: anchors
+    * broadcast, corpus scanned once with zero shuffles, per-anchor top-k
+    * via WindowGroupLimit heaps; scores rounded to `scoreDp` BEFORE
+    * ranking (with an id tie-break) so the ranking is deterministic
+    * across engines. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, aidCol: String, avecCol: String,
+      alabelCol: String, k: Int, scoreDp: Int = 4): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .where(col(alabelCol) =!= col(labelCol))
+      .select(col(aidCol), col(idCol),
+        round(GraftFunctions.cosineSim(col(vecCol), col(avecCol)), scoreDp).as("cos"))
+    val w = Window.partitionBy(col(aidCol))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   // Bucket ids come from the native CosineLshBuckets expression
   // (GraftFunctions.cosineLshBuckets): seeded Rademacher sign matrix
   // derived on executors, all tables in one pass, plan size independent

@@ -1648,6 +1648,21 @@ object PipelineQueries {
           (col("n_partner_hit") === col("n_planted") * 2).as("partner_recall_ok"))
     }),
 
+    // Hard-negative mining (contrastive-training data prep): per anchor,
+    // the top-5 most-cosine-similar vectors with a DIFFERENT label.
+    // Broadcast anchors, one corpus scan, WindowGroupLimit top-k — the
+    // bruteForceKnn shape with a label-inequality candidate filter.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          anchors, "qid", "qvec", "qlabel", 5)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Link-graph centrality as a curation prior: PageRank (3 iterations,
     // d=0.85, dangling-mass redistribution) over the corpus's distinct
     // word co-occurrence graph. Each iteration is two node-keyed
@@ -2818,6 +2833,20 @@ object PipelineQueries {
         | CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         | true AS content_fp_injective_ok,
         | true AS mingram_consistent_ok FROM documents""".stripMargin,
+
+    // sim_knn's oracle shape with the self-exclusion replaced by the
+    // label-inequality filter.
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+        | SELECT q.qid, c.vec_id,
+        |  round(list_cosine_similarity(c.v, q.qv), 4) AS cos,
+        |  row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC, c.vec_id) AS rank
+        | FROM c, q WHERE c.label != q.ql)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // Three unrolled PageRank iterations (r0 = 1/n; each round adds the
     // teleport term, edge contributions r/outdeg, and the dangling mass

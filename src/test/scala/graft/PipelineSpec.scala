@@ -460,6 +460,27 @@ class PipelineSpec extends SparkSuite {
     assert(res.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("hard negatives exclude same-label vectors and rank by cosine") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val res = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      anchors, "qid", "qvec", "qlabel", 4).collect()
+    assert(res.length == 3 * 4)
+    res.foreach { r =>
+      val (qid, nid) = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      assert(labels(nid) != labels(qid), s"same-label negative $nid for anchor $qid")
+    }
+    // per-anchor scores are non-increasing in rank order
+    res.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("IVF kNN recall vs brute force on sf0.001") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
