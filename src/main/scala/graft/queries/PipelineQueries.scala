@@ -1648,6 +1648,28 @@ object PipelineQueries {
           (col("n_partner_hit") === col("n_planted") * 2).as("partner_recall_ok"))
     }),
 
+    // DSIR importance resampling: rank the non-English corpus by
+    // target-likeness under hashed-unigram multinomials of the English
+    // (target) vs rest (raw) corpora, keep the top quarter, report the
+    // selection per source. Weight table broadcast; raw corpus scored in
+    // one scan. The DuckDB oracle recomputes word-level weights — equal
+    // to the hashed path because 2^22 buckets are collision-free on this
+    // vocabulary (the hash bounds memory, not semantics).
+    "pipeline_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      val raw = docs.where(col("lang") =!= "en")
+      val w = graft.functions.Dsir.importanceWeights(target, raw, "text")
+      val scored = graft.functions.Dsir.scoreDocs(raw, "doc_id", "text", w)
+        .join(raw.select("doc_id", "source"), "doc_id")
+      val k = (raw.count() / 4).toInt
+      graft.functions.Dsir.resampleTop(scored, "doc_id", "dsir_score", k)
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_selected"),
+          round(sum("dsir_score"), 4).as("sum_score"))
+        .orderBy("source")
+    }),
+
     // Hard-negative mining (contrastive-training data prep): per anchor,
     // the top-5 most-cosine-similar vectors with a DIFFERENT label.
     // Broadcast anchors, one corpus scan, WindowGroupLimit top-k — the
@@ -2833,6 +2855,35 @@ object PipelineQueries {
         | CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         | true AS content_fp_injective_ok,
         | true AS mingram_consistent_ok FROM documents""".stripMargin,
+
+    // Word-level restatement of the hashed-bucket DSIR model: add-one
+    // smoothing over the observed joint vocabulary, per-doc summed
+    // log-ratio, exact top-quarter cut on (rounded score desc, doc_id).
+    "pipeline_dsir" ->
+      """WITH tt AS (SELECT unnest(string_split(text,' ')) AS w
+        |           FROM documents WHERE lang = 'en'),
+        |rt AS (SELECT unnest(string_split(text,' ')) AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |ct AS (SELECT w, count(*) AS c FROM tt WHERE w <> '' GROUP BY w),
+        |cr AS (SELECT w, count(*) AS c FROM rt WHERE w <> '' GROUP BY w),
+        |j AS (SELECT coalesce(ct.w, cr.w) AS w, coalesce(ct.c,0) AS ct,
+        |             coalesce(cr.c,0) AS cr
+        |      FROM ct FULL JOIN cr ON ct.w = cr.w),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM j),
+        |wt AS (SELECT w, ln((ct+1.0)/(tot.nt+tot.v)) - ln((cr+1.0)/(tot.nr+tot.v)) AS wgt
+        |       FROM j, tot),
+        |dt AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |sc AS (SELECT doc_id, any_value(source) AS source,
+        |        round(sum(wt.wgt), 6) AS dsir_score
+        |       FROM dt JOIN wt ON dt.w = wt.w WHERE dt.w <> '' GROUP BY doc_id),
+        |k AS (SELECT count(*) // 4 AS k FROM documents WHERE lang <> 'en'),
+        |sel AS (SELECT * FROM (SELECT sc.*, row_number()
+        |          OVER (ORDER BY dsir_score DESC, doc_id) AS rk FROM sc)
+        |        WHERE rk <= (SELECT k FROM k))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+        | round(sum(dsir_score), 4) AS sum_score
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
     // sim_knn's oracle shape with the self-exclusion replaced by the
     // label-inequality filter.

@@ -460,6 +460,34 @@ class PipelineSpec extends SparkSuite {
     assert(res.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("DSIR weights: hand-computed log-ratios on a minimal corpus pair") {
+    // target "a a b", raw "c c b": V=3, Nt=Nr=3
+    // w(a)=ln(3/6)-ln(1/6)=ln3; w(b)=0; w(c)=-ln3
+    val target = Seq("a a b").toDF("text")
+    val raw = Seq("c c b").toDF("text")
+    val w = graft.functions.Dsir.importanceWeights(target, raw, "text")
+    val toks = Seq("a", "b", "c").toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit((1L << 22))).as("b"), col("tok"))
+    val got = w.join(toks, "b").select("tok", "w")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - math.log(3.0)) < 1e-12)
+    assert(math.abs(got("b")) < 1e-12)
+    assert(math.abs(got("c") + math.log(3.0)) < 1e-12)
+  }
+
+  test("DSIR scoring selects the target-like document") {
+    val target = Seq("x x y", "x y").toDF("text")
+    val raw = Seq((1L, "x x x y"), (2L, "z z z z"), (3L, "z z x")).toDF("doc_id", "text")
+    val w = graft.functions.Dsir.importanceWeights(target, raw, "text")
+    val scored = graft.functions.Dsir.scoreDocs(raw, "doc_id", "text", w)
+    val sel = graft.functions.Dsir.resampleTop(scored, "doc_id", "dsir_score", 1)
+      .as[(Long, Double)].collect()
+    assert(sel.length == 1 && sel.head._1 == 1L,
+      s"expected the all-target-token doc selected, got ${sel.toSeq}")
+    val byId = scored.as[(Long, Double)].collect().toMap
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L))
+  }
+
   test("hard negatives exclude same-label vectors and rank by cosine") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val anchors = emb.where(col("vec_id") < 3)
