@@ -218,6 +218,56 @@ object TextFunctions {
         col("n_oov"), col("n_toks"))
   }
 
+  /** Interpolated bigram LM scores (Jelinek–Mercer smoothing):
+    *
+    *   P(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁,wᵢ)/c(wᵢ₋₁) + (1−λ)·c(wᵢ)/N
+    *
+    * trained on the scored corpus itself, with both count tables cut to
+    * their `topV` most frequent entries (deterministic count-then-key
+    * tie-break) — the bounded-vocabulary discipline of
+    * [[unigramLmScores]] extended to the conditional term. Out-of-table
+    * bigrams fall back to the unigram term (the point of interpolation);
+    * out-of-table unigrams take the same floor-count 1 as the unigram
+    * scorer. Returns per-doc (idCol, lm2_logprob = `scoreDp`-rounded
+    * mean ln P over bigram positions, n_bigrams, n_unseen_bigrams);
+    * documents with fewer than two tokens have no bigram positions and
+    * produce no row.
+    *
+    * Scale shape: counts are partial-aggregated groupBys; both tables
+    * broadcast (topV-bounded); scoring is one scan of the corpus with a
+    * single (id)-keyed aggregation shuffle. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75, topV: Int = 65536, scoreDp: Int = 6): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val w = docs.select(col(idCol), tokensWs(lower(col(textCol))).as("w"))
+    val toks = w.select(col(idCol), explode(col("w")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1L)).as("cu"))
+    val vocab = uni.orderBy(col("cu").desc, col("tok")).limit(topV)
+    val total = uni.agg(sum("cu").cast("double").as("n_total"))
+    val pos = w.select(col(idCol), explode(zip_with(
+        expr("slice(w, 1, size(w)-1)"), expr("slice(w, 2, size(w)-1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biTop = pos.groupBy("w1", "w2").agg(count(lit(1L)).as("cb"))
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(topV)
+    pos
+      .join(broadcast(biTop), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab.select(col("tok").as("w1"), col("cu").as("cprev"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("tok").as("w2"), col("cu").as("cw"))),
+        Seq("w2"), "left")
+      .crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(
+          lit(lambda) * coalesce(col("cb"), lit(0L)).cast("double") /
+            coalesce(col("cprev"), lit(1L)).cast("double") +
+          lit(1 - lambda) * coalesce(col("cw"), lit(1L)).cast("double") /
+            col("n_total"))), scoreDp).as("lm2_logprob"),
+        count(lit(1L)).as("n_bigrams"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen_bigrams"))
+  }
+
   // ---- Context-budget truncation ----
 
   /** Document cut to its first `maxTokens` whitespace tokens (joined by

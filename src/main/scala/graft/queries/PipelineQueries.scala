@@ -233,6 +233,22 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Interpolated bigram LM (Jelinek–Mercer): per-source mean of
+    // per-doc mean ln P over bigram positions, plus unseen-bigram
+    // accounting. Count tables broadcast; one corpus scan + one id-keyed
+    // shuffle.
+    "text_lm_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scores = TF.bigramLmScores(docs, "doc_id", "text",
+        lambda = 0.75, topV = 2000)
+      docs.select(col("doc_id"), col("source")).join(scores, "doc_id")
+        .groupBy("source")
+        .agg(round(avg(col("lm2_logprob")), 6).as("avg_lm2"),
+          sum(col("n_unseen_bigrams")).cast("long").as("n_unseen"),
+          sum(col("n_bigrams")).cast("long").as("n_bigrams"))
+        .orderBy("source")
+    }),
+
     // Token-budget truncation: cut each document to its first 64
     // whitespace tokens; per-source token/char totals before and after.
     // Pure in-scan Column algebra (the engine re-tokenizes its own
@@ -2855,6 +2871,38 @@ object PipelineQueries {
         | CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
         | true AS content_fp_injective_ok,
         | true AS mingram_consistent_ok FROM documents""".stripMargin,
+
+    // The same interpolation restated: λ·cb/c(prev) + (1−λ)·c(w)/N with
+    // floor-count 1 for out-of-table unigrams, per-doc round before the
+    // per-source mean (mirroring the engine's scoreDp).
+    "text_lm_bigram" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
+        |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, cu FROM uni ORDER BY cu DESC, tok LIMIT 2000),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_total FROM uni),
+        |pos AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |        FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w)-1)) AS i FROM w)),
+        |bitop AS (SELECT w1, w2, count(*) AS cb FROM pos GROUP BY w1, w2
+        |          ORDER BY count(*) DESC, w1, w2 LIMIT 2000),
+        |sc AS (SELECT pos.doc_id,
+        |        round(avg(ln(0.75 * coalesce(bitop.cb, 0) / coalesce(v1.cu, 1)
+        |          + 0.25 * coalesce(v2.cu, 1) / (SELECT n_total FROM tot))), 6)
+        |          AS lm2_logprob,
+        |        count(*) AS n_bigrams,
+        |        sum(CASE WHEN bitop.cb IS NULL THEN 1 ELSE 0 END) AS n_unseen
+        |       FROM pos
+        |       LEFT JOIN bitop ON pos.w1 = bitop.w1 AND pos.w2 = bitop.w2
+        |       LEFT JOIN vocab v1 ON pos.w1 = v1.tok
+        |       LEFT JOIN vocab v2 ON pos.w2 = v2.tok
+        |       GROUP BY pos.doc_id)
+        |SELECT d.source, round(avg(sc.lm2_logprob), 6) AS avg_lm2,
+        | CAST(sum(sc.n_unseen) AS BIGINT) AS n_unseen,
+        | CAST(sum(sc.n_bigrams) AS BIGINT) AS n_bigrams
+        |FROM sc JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // Word-level restatement of the hashed-bucket DSIR model: add-one
     // smoothing over the observed joint vocabulary, per-doc summed

@@ -460,6 +460,33 @@ class PipelineSpec extends SparkSuite {
     assert(res.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("bigram LM: hand-computed interpolated probabilities") {
+    // corpus: "a b a b", "a b b" -> cu(a)=3, cu(b)=4, N=7
+    // cb(a,b)=3, cb(b,a)=1, cb(b,b)=1; lambda=0.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val pAB = 0.5 * 3.0 / 3.0 + 0.5 * 4.0 / 7.0
+    val pBA = 0.5 * 1.0 / 4.0 + 0.5 * 3.0 / 7.0
+    val pBB = 0.5 * 1.0 / 4.0 + 0.5 * 4.0 / 7.0
+    val collected = graft.functions.TextFunctions
+      .bigramLmScores(docs, "doc_id", "text", lambda = 0.5, scoreDp = 9)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getLong(2), x.getLong(3))).toMap
+    val (s1, n1, u1) = collected(1L)
+    val (s2, n2, u2) = collected(2L)
+    assert(n1 == 3 && u1 == 0 && n2 == 2 && u2 == 0)
+    assert(math.abs(s1 - (2 * math.log(pAB) + math.log(pBA)) / 3) < 1e-8)
+    assert(math.abs(s2 - (math.log(pAB) + math.log(pBB)) / 2) < 1e-8)
+  }
+
+  test("bigram LM: topV cutoff falls back to the unigram floor, short docs drop") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b b"), (3L, "solo")).toDF("doc_id", "text")
+    val r = graft.functions.TextFunctions
+      .bigramLmScores(docs, "doc_id", "text", lambda = 0.5, topV = 1, scoreDp = 9)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(!r.contains(3L), "single-token doc must produce no bigram row")
+    assert(r(1L) == 1, s"doc1 has one out-of-table bigram (b,a): $r")
+  }
+
   test("DSIR weights: hand-computed log-ratios on a minimal corpus pair") {
     // target "a a b", raw "c c b": V=3, Nt=Nr=3
     // w(a)=ln(3/6)-ln(1/6)=ln3; w(b)=0; w(c)=-ln3
