@@ -1664,6 +1664,27 @@ object PipelineQueries {
           (col("n_partner_hit") === col("n_planted") * 2).as("partner_recall_ok"))
     }),
 
+    // Snapshot diff: corpus version A (documents) vs a derived version B
+    // (every 13th doc removed, every 7th survivor's text changed, every
+    // 11th doc re-added under a shifted id), classified per id as
+    // added/removed/changed/unchanged. Each side is projected to a
+    // 32-byte digest in the scan before the full-outer join — document
+    // bodies never shuffle.
+    "pipeline_snapshot_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select("doc_id", "text")
+      val b = a.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.DataPrep.snapshotDiff(a, b, "doc_id", Seq("text"))
+        .groupBy("status")
+        .agg(count(lit(1L)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
+    }),
+
     // DSIR importance resampling: rank the non-English corpus by
     // target-likeness under hashed-unigram multinomials of the English
     // (target) vs rest (raw) corpora, keep the top quarter, report the
@@ -2903,6 +2924,25 @@ object PipelineQueries {
         | CAST(sum(sc.n_bigrams) AS BIGINT) AS n_bigrams
         |FROM sc JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Digest-level restatement of the same derived snapshot B.
+    "pipeline_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b0 AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 13 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id, md5(text) AS h FROM b0),
+        |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.h IS NULL THEN 'added'
+        |            WHEN b.h IS NULL THEN 'removed'
+        |            WHEN a.h = b.h THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     // Word-level restatement of the hashed-bucket DSIR model: add-one
     // smoothing over the observed joint vocabulary, per-doc summed

@@ -460,6 +460,20 @@ class PipelineSpec extends SparkSuite {
     assert(res.forall(_.getAs[Long]("vec_id") != 0L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, multi-column") {
+    val a = Seq((1L, "x", "p"), (2L, "y", "q"), (3L, "z", "r")).toDF("id", "t1", "t2")
+    val b = Seq((2L, "y", "q"), (3L, "z", "R"), (4L, "w", "s")).toDF("id", "t1", "t2")
+    val d = graft.ops.DataPrep.snapshotDiff(a, b, "id", Seq("t1", "t2"))
+      .as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // separator prevents column-boundary aliasing: ("ab","c") vs ("a","bc")
+    val x = Seq((1L, "ab", "c")).toDF("id", "t1", "t2")
+    val y = Seq((1L, "a", "bc")).toDF("id", "t1", "t2")
+    val s = graft.ops.DataPrep.snapshotDiff(x, y, "id", Seq("t1", "t2"))
+      .as[(Long, String)].collect().toMap
+    assert(s(1L) == "changed")
+  }
+
   test("bigram LM: hand-computed interpolated probabilities") {
     // corpus: "a b a b", "a b b" -> cu(a)=3, cu(b)=4, N=7
     // cb(a,b)=3, cb(b,a)=1, cb(b,b)=1; lambda=0.5
