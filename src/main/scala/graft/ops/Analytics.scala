@@ -87,6 +87,21 @@ object Analytics {
     df.withColumn(name, agg.over(w))
   }
 
+  /** Rolling event-time window aggregation: per row, each `aggs` entry
+    * evaluated over the partition's rows with timestamps in
+    * [t − windowSeconds, t] (inclusive, second granularity — the order
+    * key is epoch seconds, so sub-second peers share a frame). The
+    * trailing-window twin of [[runningAgg]]: RANGE frame over event time
+    * instead of a row prefix. One shuffle on the partition keys; the
+    * frame is evaluated in a single sorted pass per partition. */
+  def rollingTimeAgg(df: DataFrame, partition: Seq[Column], ts: Column,
+      windowSeconds: Long, aggs: Seq[(Column, String)]): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val w = Window.partitionBy(partition: _*).orderBy(unix_timestamp(ts))
+      .rangeBetween(-windowSeconds, 0)
+    aggs.foldLeft(df) { case (d, (a, n)) => d.withColumn(n, a.over(w)) }
+  }
+
   /** Tumbling event-time window aggregation (batch twin of the streaming
     * path in graft.streaming). Emits the window start as epoch seconds so
     * results are engine-portable. */

@@ -106,6 +106,17 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), round(col("running"), 4).as("running"))
         .orderBy("event_id")),
 
+    // Rolling 1-hour trailing window per user (count + sum): RANGE frame
+    // over epoch seconds, one shuffle on user_id, single sorted pass.
+    "q_rolling" -> ((s, dir) => {
+      val r = Analytics.rollingTimeAgg(t(s, dir, "events"),
+        Seq(col("user_id")), col("ts"), 3600,
+        Seq(count(lit(1L)) -> "n_1h", sum(col("value")) -> "sum_1h"))
+      r.select(col("event_id"), col("user_id"), col("n_1h"),
+          round(col("sum_1h"), 4).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // Global top-k: TakeOrderedAndProject (k rows cross the network).
     "q_topk" -> ((s, dir) =>
       Analytics.topK(t(s, dir, "orders"),
@@ -360,6 +371,15 @@ object RelationalQueries {
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("rollingTimeAgg: trailing 1h window, inclusive boundary, per-user isolation") {
+    val ev = Seq(
+      (1L, "a", 0L, 1.0),     // alone in its window
+      (2L, "a", 1800L, 2.0),  // sees row 1
+      (3L, "a", 3600L, 4.0),  // sees rows 1 (exactly 3600s back, inclusive) and 2
+      (4L, "a", 3661L, 8.0),  // itself + rows 2,3; row 1 aged out
+      (5L, "b", 1800L, 16.0)  // other user: isolated
+    ).toDF("event_id", "user", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Analytics.rollingTimeAgg(ev, Seq(col("user")), col("ts"), 3600,
+        Seq(count(lit(1L)) -> "n", sum(col("v")) -> "s"))
+      .select(col("event_id"), col("n"), col("s"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((1L, 1.0)))
+    assert(r(2L) == ((2L, 3.0)))
+    assert(r(3L) == ((3L, 7.0)))
+    assert(r(4L) == ((3L, 14.0)))
+    assert(r(5L) == ((1L, 16.0)))
+  }
+
   test("asofJoin: latest-at-or-before per key, inclusive ties, NULL before first right row") {
     val left = Seq(
       (1L, "u1", 10L), // before any right row -> NULL
