@@ -101,6 +101,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * CCMatrix/LASER recipe): score cross-lingual candidate pairs by
+    * ratio margin
+    *
+    *   margin(x,y) = cos(x,y) / ((avgᵏ(x→Y) + avgᵏ(y→X)) / 2)
+    *
+    * where avgᵏ is the mean cosine of the k nearest neighbors in the
+    * OTHER corpus — normalizing by neighborhood density kills the
+    * hubness failure of raw-cosine mining. Keeps each x's best-margin y
+    * with rounded-margin > `minMargin` (rounded comparisons + id
+    * tie-breaks keep selection deterministic across engines).
+    *
+    * This is the EXACT variant: one broadcast cross-score of the two
+    * corpora (materialized once, reused for both direction averages and
+    * the margin join). At billion-vector scale, swap the cross-score for
+    * ANN candidates (annSelfJoin / IvfPq.search over the union) — the
+    * margin algebra downstream is unchanged. */
+  def marginBitextPairs(xs: DataFrame, xidCol: String, xvecCol: String,
+      ys: DataFrame, yidCol: String, yvecCol: String,
+      k: Int, minMargin: Double, scoreDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = xs.crossJoin(broadcast(ys))
+      .select(col(xidCol).as("xid"), col(yidCol).as("yid"),
+        GraftFunctions.cosineSim(col(xvecCol), col(yvecCol)).as("cos"))
+      .localCheckpoint(true) // read 3×: both direction averages + margin join
+    def nnAvg(idCol: String, otherCol: String, out: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(round(col("cos"), scoreDp).desc, col(otherCol))
+      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+        .groupBy(idCol).agg(avg("cos").as(out))
+    }
+    val m = scored
+      .join(nnAvg("xid", "yid", "ax"), "xid")
+      .join(nnAvg("yid", "xid", "ay"), "yid")
+      .withColumn("margin", col("cos") / ((col("ax") + col("ay")) / 2))
+    val best = Window.partitionBy(col("xid"))
+      .orderBy(round(col("margin"), scoreDp).desc, col("yid"))
+    m.withColumn("__rk", row_number().over(best))
+      .where(col("__rk") === 1 && round(col("margin"), scoreDp) > minMargin)
+      .select(col("xid"), col("yid"), col("margin"))
+  }
+
   // Bucket ids come from the native CosineLshBuckets expression
   // (GraftFunctions.cosineLshBuckets): seeded Rademacher sign matrix
   // derived on executors, all tables in one pass, plan size independent

@@ -1707,6 +1707,22 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Margin-based bitext mining: even-label vectors as the "source
+    // language" corpus, odd-label as the "target"; ratio margin over
+    // 4-NN neighborhood averages, best-margin partner per source with
+    // margin > 1 (better than its neighborhood average).
+    "sim_bitext" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val xs = emb.where(col("label") % 2 === 0)
+        .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+      val ys = emb.where(col("label") % 2 === 1)
+        .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      Similarity.marginBitextPairs(xs, "xid", "xv", ys, "yid", "yv",
+          k = 4, minMargin = 1.0)
+        .select(col("xid"), col("yid"), round(col("margin"), 4).as("margin"))
+        .orderBy("xid")
+    }),
+
     // Hard-negative mining (contrastive-training data prep): per anchor,
     // the top-5 most-cosine-similar vectors with a DIFFERENT label.
     // Broadcast anchors, one corpus scan, WindowGroupLimit top-k — the
@@ -2972,6 +2988,32 @@ object PipelineQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
         | round(sum(dsir_score), 4) AS sum_score
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full margin restatement: cross cosine table, per-side top-4
+    // neighborhood averages, ratio margin, best partner per source.
+    "sim_bitext" ->
+      """WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE label % 2 = 0),
+        |y AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE label % 2 = 1),
+        |c AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+        |       list_cosine_similarity(x.v, y.v) AS cos FROM x, y),
+        |fx AS (SELECT xid, avg(cos) AS ax FROM (
+        |        SELECT c.*, row_number() OVER (PARTITION BY xid
+        |          ORDER BY round(cos, 6) DESC, yid) AS rk FROM c)
+        |       WHERE rk <= 4 GROUP BY xid),
+        |fy AS (SELECT yid, avg(cos) AS ay FROM (
+        |        SELECT c.*, row_number() OVER (PARTITION BY yid
+        |          ORDER BY round(cos, 6) DESC, xid) AS rk FROM c)
+        |       WHERE rk <= 4 GROUP BY yid),
+        |m AS (SELECT c.xid, c.yid, c.cos / ((fx.ax + fy.ay) / 2) AS margin
+        |      FROM c JOIN fx USING (xid) JOIN fy USING (yid)),
+        |best AS (SELECT * FROM (
+        |          SELECT m.*, row_number() OVER (PARTITION BY xid
+        |            ORDER BY round(margin, 6) DESC, yid) AS rk FROM m)
+        |         WHERE rk = 1 AND round(margin, 6) > 1.0)
+        |SELECT xid, yid, round(margin, 4) AS margin
+        |FROM best ORDER BY xid""".stripMargin,
 
     // sim_knn's oracle shape with the self-exclusion replaced by the
     // label-inequality filter.

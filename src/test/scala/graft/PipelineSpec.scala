@@ -529,6 +529,24 @@ class PipelineSpec extends SparkSuite {
     assert(byId(1L) > byId(3L) && byId(3L) > byId(2L))
   }
 
+  test("margin bitext mining pairs a planted clone with margin > 1") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    // ys: different vectors, plus an exact clone of x=3 under id 9003
+    val ys = emb.where(col("vec_id") >= 20 && col("vec_id") < 60)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      .unionByName(emb.where(col("vec_id") === 3)
+        .select((col("vec_id") + 9000L).as("yid"), col("embedding").as("yv")))
+    val mined = Similarity.marginBitextPairs(xs, "xid", "xv", ys, "yid", "yv",
+        k = 4, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mined.contains(3L), "clone's source must be mined")
+    val (partner, margin) = mined(3L)
+    assert(partner == 9003L, s"x=3 must pair with its clone, got $partner")
+    assert(margin > 1.0)
+  }
+
   test("hard negatives exclude same-label vectors and rank by cosine") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val anchors = emb.where(col("vec_id") < 3)
