@@ -31,6 +31,24 @@ import org.apache.spark.util.sketch.CountMinSketch
   */
 object Sketches {
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's native hll_sketch_agg): one (keys, sketch-blob) row per
+    * group. The blobs are the incremental-analytics primitive: persist
+    * per-day/per-source sketches once, then answer ANY later
+    * distinct-count question — per group, rolled up, or across arbitrary
+    * group unions — by merging blobs, never rescanning history. At
+    * 100 TB that turns a full-corpus distinct scan into a read of
+    * #groups × ~2^lgK bytes. */
+  def distinctSketches(df: DataFrame, keys: Seq[Column], value: Column,
+      lgK: Int = 12, sketchCol: String = "sketch"): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(value, lit(lgK)).as(sketchCol))
+
+  /** Aggregate Column: merged distinct estimate over a sketch column
+    * (register-wise max union, then the HLL estimator) — the read side
+    * of [[distinctSketches]]. */
+  def mergedDistinctEstimate(sketch: Column): Column =
+    hll_sketch_estimate(hll_union_agg(sketch, lit(false)))
+
   /** One-pass mergeable sketch of `key` (cast to string; nulls are
     * skipped by the aggregate). The blob returns to the driver once —
     * width·depth counters, independent of corpus size. */

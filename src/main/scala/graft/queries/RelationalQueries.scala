@@ -291,6 +291,31 @@ object RelationalQueries {
         (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) * 100
           <= countDistinct(col("l_orderkey")) * 15).as("orders_err_ok"))),
 
+    // Incremental distinct via mergeable HLL sketches: per-half sketches
+    // of the user population, merged WITHOUT rescanning — the
+    // sketch-union estimate must (a) sit within the error bound, and
+    // (b) equal the single-pass whole-corpus sketch estimate exactly
+    // (register-wise max union is partitioning-invariant).
+    "q_hll_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val halves = ev.withColumn("half",
+        when(col("event_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+      val sk = graft.functions.Sketches.distinctSketches(
+        halves, Seq(col("half")), col("user_id"))
+      val unionEst = sk.agg(graft.functions.Sketches
+        .mergedDistinctEstimate(col("sketch")).as("est_u"))
+      val fullEst = ev.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est_f"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(unionEst).crossJoin(fullEst)
+        .select(col("n_users"),
+          (abs(col("est_u") - col("n_users")) * 100 <= col("n_users") * 5)
+            .as("union_err_ok"),
+          (abs(col("est_f") - col("n_users")) * 100 <= col("n_users") * 5)
+            .as("full_err_ok"),
+          (col("est_u") === col("est_f")).as("union_matches_full"))
+    }),
+
     // Exact percentiles (interpolated, R-7 — same method as DuckDB's
     // quantile_cont).
     "q_percentile" -> ((s, dir) =>
@@ -479,5 +504,11 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_hll_incremental" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | true AS union_err_ok, true AS full_err_ok,
+        | true AS union_matches_full
+        |FROM events""".stripMargin,
   )
 }

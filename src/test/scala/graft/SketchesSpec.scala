@@ -17,6 +17,23 @@ class SketchesSpec extends SparkSuite {
     rows.toDF("w").repartition(7)
   }
 
+  test("HLL sketches: partition-invariant union, accurate rollup, per-group reads") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", i % 997)).toDF("g", "v")
+    val sk = Sketches.distinctSketches(df, Seq(col("g")), col("v"))
+    assert(sk.count() == 3)
+    // merged estimate over per-group sketches == single whole-set sketch
+    val merged = sk.agg(Sketches.mergedDistinctEstimate(col("sketch"))).head.getLong(0)
+    val direct = df.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("v"), lit(12)))).head.getLong(0)
+    assert(merged == direct, s"union-of-parts $merged != whole-set $direct")
+    // at this cardinality (997) the estimate is within 5% of exact
+    assert(math.abs(merged - 997) <= 997 * 5 / 100)
+    // physical layout must not change the sketch union
+    val sk2 = Sketches.distinctSketches(df.repartition(13), Seq(col("g")), col("v"))
+    val merged2 = sk2.agg(Sketches.mergedDistinctEstimate(col("sketch"))).head.getLong(0)
+    assert(merged2 == merged)
+  }
+
   test("estimates are one-sided and within eps*n of exact counts") {
     val n = skewed.count()
     val sketch = Sketches.countMinSketchOf(skewed, col("w"), eps = 0.001)
