@@ -42,4 +42,31 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Key-skew diagnostics BEFORE committing to a join/agg strategy on
+    * `key`: the `topK` hottest keys with absolute count, corpus share,
+    * ratio to the mean key load, and the salt factor that would bound
+    * each reducer's share of that key to `targetRowsPerTask` rows
+    * (ceil(n / target) — feed it to [[saltedJoin]]). One
+    * partial-aggregated groupBy on the key plus a 1-row totals
+    * broadcast; the top-k is a TakeOrdered, so the diagnostic costs one
+    * scan at any corpus size — cheap enough to run as a pre-flight step
+    * of a 100 TB pipeline rather than discovering the hot key from a
+    * straggling reducer three hours in. */
+  def diagnoseKeys(df: DataFrame, key: org.apache.spark.sql.Column,
+      topK: Int = 10, targetRowsPerTask: Long = 10000000L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(targetRowsPerTask > 0, s"targetRowsPerTask must be positive")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1L)).as("n"))
+    val totals = counts.agg(sum("n").cast("double").as("__total"),
+      count(lit(1L)).cast("double").as("__nkeys"))
+    counts.crossJoin(totals)
+      .select(col("key"), col("n"),
+        round(col("n") * 100 / col("__total"), 4).as("share_pct"),
+        round(col("n") / (col("__total") / col("__nkeys")), 4).as("vs_mean"),
+        ceil(col("n").cast("double") / lit(targetRowsPerTask.toDouble))
+          .cast("int").as("salt_reco"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
 }

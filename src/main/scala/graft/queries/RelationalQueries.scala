@@ -291,6 +291,13 @@ object RelationalQueries {
         (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) * 100
           <= countDistinct(col("l_orderkey")) * 15).as("orders_err_ok"))),
 
+    // Pre-flight key-skew diagnostic: hottest event types with share,
+    // ratio-to-mean-key-load, and the salt factor bounding a reducer at
+    // 1000 rows — one scan + TakeOrdered at any corpus size.
+    "q_skew_diag" -> ((s, dir) =>
+      graft.ops.Skew.diagnoseKeys(t(s, dir, "events"), col("event_type"),
+        topK = 10, targetRowsPerTask = 1000L)),
+
     // Incremental distinct via mergeable HLL sketches: per-half sketches
     // of the user population, merged WITHOUT rescanning — the
     // sketch-union estimate must (a) sit within the error bound, and
@@ -510,5 +517,15 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_skew_diag" ->
+      """WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |       CAST(count(*) AS DOUBLE) AS nk FROM c)
+        |SELECT key, n, round(100*n/t.total, 4) AS share_pct,
+        | round(n/(t.total/t.nk), 4) AS vs_mean,
+        | CAST(ceil(n/1000.0) AS INT) AS salt_reco
+        |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
   )
 }

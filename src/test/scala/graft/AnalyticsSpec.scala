@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("diagnoseKeys ranks hot keys with exact share and salt recommendation") {
+    // key "hot": 60 rows, "warm": 30, "cold": 10 -> total 100, mean 100/3
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .toDF("k")
+    val r = Skew.diagnoseKeys(df, col("k"), topK = 2, targetRowsPerTask = 25L)
+      .collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("hot", "warm"))
+    val hot = r(0)
+    assert(hot.getLong(1) == 60L)
+    assert(hot.getDouble(2) == 60.0)                       // share_pct
+    assert(math.abs(hot.getDouble(3) - 1.8) < 1e-9)        // 60 / (100/3)
+    assert(hot.getInt(4) == 3)                             // ceil(60/25)
+  }
+
   test("rollingTimeAgg: trailing 1h window, inclusive boundary, per-user isolation") {
     val ev = Seq(
       (1L, "a", 0L, 1.0),     // alone in its window
