@@ -224,6 +224,49 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"corpus shuffled before the join:\n$streamedSide")
   }
 
+  test("sim_hard_negatives broadcasts the anchors, never shuffles the corpus") {
+    val p = plan(q("sim_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of the anchor set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in hard-negative mining:\n$p")
+  }
+
+  test("text_lm_bigram joins both count tables by BROADCAST with TakeOrdered cuts") {
+    val p = plan(q("text_lm_bigram"))
+    assert(p.contains("BroadcastHashJoin"), s"count-table joins not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"topV cut not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bigram LM:\n$p")
+  }
+
+  test("snapshotDiff shuffles digests, never document bodies") {
+    val a = docs.select("doc_id", "text")
+    val b = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit("x")).as("text"))
+    val d = graft.ops.DataPrep.snapshotDiff(a, b, "doc_id", Seq("text"))
+    val exchanges = d.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected a shuffle for the full-outer join")
+    exchanges.foreach { e =>
+      assert(e.output.length <= 2,
+        s"diff shuffle must carry (id, digest) only, got ${e.output.map(_.name)}")
+      assert(!e.output.exists(_.name == "text"),
+        s"document bodies crossed the shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("DSIR scoring probes the weight table by BROADCAST") {
+    val target = docs.where(org.apache.spark.sql.functions.col("lang") === "en")
+    val raw = docs.where(org.apache.spark.sql.functions.col("lang") =!= "en")
+    val w = graft.functions.Dsir.importanceWeights(target, raw, "text")
+    val p = plan(graft.functions.Dsir.scoreDocs(raw, "doc_id", "text", w))
+    assert(p.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"exploded corpus shuffled for the weight probe:\n$p")
+  }
+
   test("text_boilerplate joins the survivor gram set by BROADCAST, never cartesian") {
     val p = plan(q("text_boilerplate"))
     // the per-position membership probe must broadcast the df-filtered
