@@ -112,6 +112,18 @@ object Analytics {
       .withColumn("w_start", unix_timestamp(col("window.start")))
       .drop("window")
 
+  /** Sliding event-time window aggregation: windows of `width` starting
+    * every `slide` (width = k·slide ⇒ each event lands in k windows —
+    * Spark's Expand, k output rows per input row before the partial
+    * aggregate). Same epoch-aligned window convention and portable
+    * epoch-seconds output as [[tumblingAgg]]. */
+  def slidingAgg(df: DataFrame, ts: Column, width: String, slide: String,
+      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, width, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("w_start", unix_timestamp(col("window.start")))
+      .drop("window")
+
   /** Sessionization: groups a user's events into sessions separated by
     * gaps > `gap`. Uses session_window (state-store-compatible with the
     * streaming path); one shuffle on the keys. */

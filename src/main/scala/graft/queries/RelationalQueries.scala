@@ -291,6 +291,15 @@ object RelationalQueries {
         (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey"))) * 100
           <= countDistinct(col("l_orderkey")) * 15).as("orders_err_ok"))),
 
+    // Sliding event-time windows (1 h wide, 30 min slide): each event
+    // lands in two windows via Expand before the partial aggregate.
+    "q_slidewindow" -> ((s, dir) =>
+      Analytics.slidingAgg(t(s, dir, "events"), col("ts"),
+          "1 hour", "30 minutes", Seq(col("event_type")),
+          Seq(count(lit(1L)).as("n"), round(sum("value"), 4).as("sum_value")))
+        .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     // Pre-flight key-skew diagnostic: hottest event types with share,
     // ratio-to-mean-key-load, and the salt factor bounding a reducer at
     // 1000 rows — one scan + TakeOrdered at any corpus size.
@@ -517,6 +526,15 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_slidewindow" ->
+      """SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM (SELECT event_type, value,
+        |       CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
+        |         - 1800*k AS w_start
+        |      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) t)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_skew_diag" ->
       """WITH c AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("slidingAgg: width 2x slide puts each event in exactly two epoch-aligned windows") {
+    val ev = Seq((0L, 1.0), (1800L, 2.0), (5400L, 4.0)).toDF("sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Analytics.slidingAgg(ev, col("ts"), "1 hour", "30 minutes",
+        Seq.empty, Seq(count(lit(1L)).as("n"), sum(col("v")).as("s")))
+      .collect().map(x => x.getAs[Long]("w_start") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("s"))).toMap
+    // t=0 -> windows [-1800, 0]; t=1800 -> [0, 1800]; t=5400 -> [3600, 5400]
+    assert(r === Map(
+      -1800L -> (1L, 1.0), 0L -> (2L, 3.0), 1800L -> (1L, 2.0),
+      3600L -> (1L, 4.0), 5400L -> (1L, 4.0)))
+  }
+
   test("diagnoseKeys ranks hot keys with exact share and salt recommendation") {
     // key "hot": 60 rows, "warm": 30, "cold": 10 -> total 100, mean 100/3
     val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
