@@ -74,4 +74,31 @@ object Dsir {
   def resampleTop(scored: DataFrame, idCol: String, scoreCol: String,
       k: Int): DataFrame =
     scored.orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+
+  /** Gumbel-top-k importance RESAMPLING: k rows drawn without
+    * replacement with probability proportional to
+    * softmax(score / temperature) — the DSIR paper's actual resampling
+    * semantics ([[resampleTop]] is its temperature→0 limit), via the
+    * Gumbel-max trick: rank by score/T + Gumbel noise and keep the
+    * top k. The noise is DERANDOMIZED — a pure function of (seed, id)
+    * through the same engine-portable md5 uniform as
+    * DataPrep.hashBucket — so the "sample" is reproducible across
+    * engines, runs, and cluster layouts, and re-drawable with a new
+    * seed. Keys are rounded with an id tie-break before ranking
+    * (cross-engine determinism); selection is a sort + limit like
+    * [[resampleTop]]. */
+  def resampleGumbelTopK(scored: DataFrame, idCol: String, scoreCol: String,
+      k: Int, temperature: Double = 1.0, seed: Long = 0L,
+      keyDp: Int = 6): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    // u ∈ (0,1): 32 bits of md5(seed_id), offset by 0.5 ulp so the
+    // double log never sees 0 or 1
+    val u = (conv(substring(md5(concat(lit(s"${seed}_"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val key = col(scoreCol) / lit(temperature) - log(-log(u))
+    scored.withColumn("gumbel_key", round(key, keyDp))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

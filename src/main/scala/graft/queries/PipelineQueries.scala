@@ -1723,6 +1723,25 @@ object PipelineQueries {
         .orderBy("xid")
     }),
 
+    // DSIR with the paper's RESAMPLING semantics: Gumbel-top-k over
+    // score/T — a derandomized softmax-proportional draw (md5-uniform
+    // noise keyed on (seed, id)); same weight model as pipeline_dsir.
+    "pipeline_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en")
+      val raw = docs.where(col("lang") =!= "en")
+      val w = graft.functions.Dsir.importanceWeights(target, raw, "text")
+      val scored = graft.functions.Dsir.scoreDocs(raw, "doc_id", "text", w)
+        .join(raw.select("doc_id", "source"), "doc_id")
+      val k = (raw.count() / 4).toInt
+      graft.functions.Dsir.resampleGumbelTopK(scored, "doc_id", "dsir_score",
+          k, temperature = 1.0, seed = 0L)
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_selected"),
+          round(sum("dsir_score"), 4).as("sum_score"))
+        .orderBy("source")
+    }),
+
     // Hard-negative mining (contrastive-training data prep): per anchor,
     // the top-5 most-cosine-similar vectors with a DIFFERENT label.
     // Broadcast anchors, one corpus scan, WindowGroupLimit top-k — the
@@ -3014,6 +3033,38 @@ object PipelineQueries {
         |         WHERE rk = 1 AND round(margin, 6) > 1.0)
         |SELECT xid, yid, round(margin, 4) AS margin
         |FROM best ORDER BY xid""".stripMargin,
+
+    // pipeline_dsir's weight model with the Gumbel-perturbed ranking:
+    // key = score − ln(−ln(u)), u from the same md5-hex uniform.
+    "pipeline_dsir_sample" ->
+      """WITH tt AS (SELECT unnest(string_split(text,' ')) AS w
+        |           FROM documents WHERE lang = 'en'),
+        |rt AS (SELECT unnest(string_split(text,' ')) AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |ct AS (SELECT w, count(*) AS c FROM tt WHERE w <> '' GROUP BY w),
+        |cr AS (SELECT w, count(*) AS c FROM rt WHERE w <> '' GROUP BY w),
+        |j AS (SELECT coalesce(ct.w, cr.w) AS w, coalesce(ct.c,0) AS ct,
+        |             coalesce(cr.c,0) AS cr
+        |      FROM ct FULL JOIN cr ON ct.w = cr.w),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM j),
+        |wt AS (SELECT w, ln((ct+1.0)/(tot.nt+tot.v)) - ln((cr+1.0)/(tot.nr+tot.v)) AS wgt
+        |       FROM j, tot),
+        |dt AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS w
+        |       FROM documents WHERE lang <> 'en'),
+        |sc AS (SELECT doc_id, any_value(source) AS source,
+        |        round(sum(wt.wgt), 6) AS dsir_score
+        |       FROM dt JOIN wt ON dt.w = wt.w WHERE dt.w <> '' GROUP BY doc_id),
+        |k AS (SELECT count(*) // 4 AS k FROM documents WHERE lang <> 'en'),
+        |g AS (SELECT sc.*, round(dsir_score - ln(-ln(
+        |        (CAST(concat('0x', substr(md5(concat('0_',
+        |           CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+        |        / 4294967296.0)), 6) AS gumbel_key FROM sc),
+        |sel AS (SELECT * FROM (SELECT g.*, row_number()
+        |          OVER (ORDER BY gumbel_key DESC, doc_id) AS rk FROM g)
+        |        WHERE rk <= (SELECT k FROM k))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+        | round(sum(dsir_score), 4) AS sum_score
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
 
     // sim_knn's oracle shape with the self-exclusion replaced by the
     // label-inequality filter.

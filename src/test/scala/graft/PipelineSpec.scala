@@ -547,6 +547,20 @@ class PipelineSpec extends SparkSuite {
     assert(margin > 1.0)
   }
 
+  test("Gumbel-top-k resampling: seed-deterministic, low temperature = top-k") {
+    val scored = (1L to 100L).map(i => (i, i.toDouble / 10)).toDF("id", "s")
+    def sel(t: Double, seed: Long) = graft.functions.Dsir
+      .resampleGumbelTopK(scored, "id", "s", k = 10, temperature = t, seed = seed)
+      .select("id").as[Long].collect().toSet
+    assert(sel(1.0, 0L) == sel(1.0, 0L), "same seed must reproduce the draw")
+    assert(sel(1.0, 0L) != sel(1.0, 7L), "a different seed must redraw")
+    // temperature -> 0: score dominates the bounded noise; the draw
+    // degenerates to exact top-k (ids 91..100)
+    assert(sel(1e-4, 0L) == (91L to 100L).toSet)
+    // high temperature: noise dominates; the draw is no longer the top-k
+    assert(sel(100.0, 0L) != (91L to 100L).toSet)
+  }
+
   test("hard negatives exclude same-label vectors and rank by cosine") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val anchors = emb.where(col("vec_id") < 3)
