@@ -155,9 +155,17 @@ object Analytics {
     * forward by a single last(ignoreNulls=true) — so a right row holding
     * a legitimate NULL in one value column delivers that NULL as-is. (A
     * per-column carry would back-fill the NULL from an OLDER right row,
-    * mixing columns of different right rows in one output row.) */
+    * mixing columns of different right rows in one output row.)
+    *
+    * `direction`: "backward" (default — latest right AT OR BEFORE the
+    * left timestamp) or "forward" (earliest right AT OR AFTER it — the
+    * "next reading" lookup). Forward mirrors the same union + window
+    * plan with the frame and tie order reversed; both are inclusive at
+    * equal timestamps. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String, direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val rVals = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     val lCols = left.columns.toSeq.filterNot(keys.contains)
     val collisions = rVals.intersect(lCols)
@@ -167,19 +175,29 @@ object Analytics {
     val rStruct = org.apache.spark.sql.types.StructType(
       rVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lTypes = lCols.map(c => c -> left.schema(c).dataType).toMap
+    // tie order: the right row at an equal timestamp must fall INSIDE the
+    // left row's frame — before it for the trailing backward frame, after
+    // it for the leading forward frame
+    val (leftTag, rightTag) = if (direction == "backward") (1, 0) else (0, 1)
     val l = left.select(keys.map(col) ++
-      Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      Seq(col(leftTs).as("__ts"), lit(leftTag).as("__side")) ++
       lCols.map(col) :+ lit(null).cast(rStruct).as("__rv"): _*)
     val r = right.select(keys.map(col) ++
-      Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      Seq(col(rightTs).as("__ts"), lit(rightTag).as("__side")) ++
       lCols.map(c => lit(null).cast(lTypes(c)).as(c)) :+
       struct(rVals.map(col): _*).as("__rv"): _*)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__side"))
+    val carried =
+      if (direction == "backward")
+        last(col("__rv"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__rv"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     l.unionByName(r)
       .select((keys.map(col) ++ lCols.map(col) :+ col("__side")) :+
-        last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
-      .where(col("__side") === 1)
+        carried.as("__rv"): _*)
+      .where(col("__side") === leftTag)
       .select((keys.map(col) ++ lCols.map(col)) ++
         rVals.map(c => col("__rv").getField(c).as(c)): _*)
   }

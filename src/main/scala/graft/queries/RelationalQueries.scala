@@ -78,6 +78,23 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click's NEXT purchase at-or-after its
+    // timestamp — the same union + window plan with the frame reversed.
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("next_value"))
+      Analytics.asofJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("next_value").isNotNull.as("has_match"),
+          coalesce(col("next_value"), lit(-1.0)).as("next_value"))
+        .orderBy("event_id")
+    }),
+
     // Interval (point-in-range) join via fixed-width bin equi-join — no
     // range-join pair explosion: per-event-type "first 30 minutes"
     // windows, counting ALL events landing inside each window. The
@@ -405,6 +422,23 @@ object RelationalQueries {
         | r.asof_value IS NOT NULL AS has_match,
         | coalesce(r.asof_value, -1.0) AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // stepwise restatement (min-ts inequality join + equi join back to
+    // the value) — DuckDB ASOF is only guaranteed for the backward form
+    "q_asof_fwd" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS v FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |nxt AS (SELECT l.event_id, min(r.ts) AS rts
+        |        FROM l JOIN r USING (user_id)
+        |        WHERE r.ts >= l.ts GROUP BY l.event_id)
+        |SELECT l.event_id, l.user_id,
+        | nxt.rts IS NOT NULL AS has_match,
+        | coalesce(r2.v, -1.0) AS next_value
+        |FROM l LEFT JOIN nxt USING (event_id)
+        |LEFT JOIN r r2 ON r2.user_id = l.user_id AND r2.ts = nxt.rts
         |ORDER BY l.event_id""".stripMargin,
 
     "q_window_running" ->

@@ -77,6 +77,32 @@ class AnalyticsSpec extends SparkSuite {
       1L -> None, 2L -> Some(2.0), 3L -> Some(3.0), 4L -> Some(45.0), 5L -> None))
   }
 
+  test("asofJoin forward: earliest-at-or-after per key, inclusive ties, NULL after last right row") {
+    val left = Seq(
+      (1L, "u1", 10L), // before all right rows -> earliest (20)
+      (2L, "u1", 20L), // tie with right ts=20 -> inclusive match
+      (3L, "u1", 35L), // between 30 and 40 -> value at 40
+      (4L, "u1", 45L), // after the last right row -> NULL
+      (5L, "u2", 40L), // other key, before its only right row
+      (6L, "u3", 50L)  // key with no right rows at all -> NULL
+    ).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("u1", 20L, 2.0),
+      ("u1", 30L, 3.0),
+      ("u1", 40L, 4.0),
+      ("u2", 45L, 45.0)
+    ).toDF("key", "r_ts", "v")
+    val got = Analytics.asofJoin(left, right, Seq("key"), "ts", "r_ts",
+        direction = "forward")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(4.0),
+      4L -> None, 5L -> Some(45.0), 6L -> None))
+    intercept[IllegalArgumentException](
+      Analytics.asofJoin(left, right, Seq("key"), "ts", "r_ts", direction = "nearest"))
+  }
+
   test("funnel: ordered steps, strict succession, window anchored at the FIRST step-1 event") {
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
     val events = Seq(
