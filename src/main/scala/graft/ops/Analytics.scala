@@ -202,6 +202,37 @@ object Analytics {
         rVals.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
+  /** Robust column statistics — the outlier-resistant complement of the
+    * check engine's mean/stddev colstats: `trim`-quantile thresholds,
+    * trimmed mean (values outside [p_lo, p_hi] dropped), winsorized
+    * sample stddev (values clamped to the thresholds), and trim
+    * accounting. Two jobs: one threshold aggregate, then one scan with
+    * the 1-row threshold table cross-joined in (broadcast). `exact`
+    * chooses the percentile estimator — the default approx sketch is
+    * mergeable (the 100 TB path, same tradeoff as
+    * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    val v = c.cast("double")
+    val thr =
+      if (exact)
+        df.agg(percentile(v, lit(trim)).as("__lo"),
+          percentile(v, lit(1 - trim)).as("__hi"))
+      else
+        df.agg(approx_percentile(v, lit(trim), lit(accuracy)).as("__lo"),
+          approx_percentile(v, lit(1 - trim), lit(accuracy)).as("__hi"))
+    df.crossJoin(thr)
+      .groupBy(col("__lo"), col("__hi"))
+      .agg(
+        avg(when(v.between(col("__lo"), col("__hi")), v)).as("trimmed_mean"),
+        stddev_samp(least(greatest(v, col("__lo")), col("__hi"))).as("winsor_std"),
+        count(lit(1L)).as("n"),
+        sum(when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L)).as("n_trimmed"))
+      .select(col("__lo").as("p_lo"), col("__hi").as("p_hi"),
+        col("trimmed_mean"), col("winsor_std"), col("n"), col("n_trimmed"))
+  }
+
   /** Interval (point-in-range) join at scale: match point rows
     * (timestamp `ptsTs`) to interval rows ([`startCol`, `endCol`],
     * inclusive both ends) WITHOUT a range-join pair explosion. Intervals

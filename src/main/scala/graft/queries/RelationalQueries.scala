@@ -357,6 +357,17 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Robust stats (oracle-audit exact-percentile mode; the operator's
+    // default is the mergeable approx sketch): 5%-trimmed mean +
+    // winsorized stddev of the price column.
+    "q_robust_stats" -> ((s, dir) =>
+      Analytics.robustStats(t(s, dir, "lineitem"), col("l_extendedprice"),
+          trim = 0.05, exact = true)
+        .select(round(col("p_lo"), 6).as("p_lo"), round(col("p_hi"), 6).as("p_hi"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("winsor_std"), 6).as("winsor_std"),
+          col("n"), col("n_trimmed"))),
+
     // Approximate percentiles (GK sketch). Made oracle-VISIBLE: the exact
     // interpolated percentiles anchor the row (DuckDB quantile_cont
     // recomputes them) and the sketch estimates are verified in-engine
@@ -554,6 +565,20 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_robust_stats" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |            quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+        |SELECT round(q.lo, 6) AS p_lo, round(q.hi, 6) AS p_hi,
+        | round(avg(CASE WHEN l_extendedprice BETWEEN q.lo AND q.hi
+        |           THEN l_extendedprice END), 6) AS trimmed_mean,
+        | round(stddev_samp(CASE WHEN l_extendedprice < q.lo THEN q.lo
+        |                        WHEN l_extendedprice > q.hi THEN q.hi
+        |                        ELSE l_extendedprice END), 6) AS winsor_std,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE l_extendedprice < q.lo
+        |                          OR l_extendedprice > q.hi) AS BIGINT) AS n_trimmed
+        |FROM lineitem, q GROUP BY q.lo, q.hi""".stripMargin,
 
     "q_hll_incremental" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

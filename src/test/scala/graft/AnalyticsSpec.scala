@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("robustStats: hand-computed trim/winsor on data with a gross outlier") {
+    val df = ((1 to 10).map(_.toDouble) :+ 1000.0).toDF("v")
+    val r = Analytics.robustStats(df, col("v"), trim = 0.1, exact = true).head
+    // sorted 1..10,1000; interpolated p10 = 2, p90 = 10
+    assert(r.getAs[Double]("p_lo") == 2.0 && r.getAs[Double]("p_hi") == 10.0)
+    assert(r.getAs[Double]("trimmed_mean") == 6.0) // mean of 2..10 — outlier gone
+    // winsorized: (2,2,3..10,10) -> var 9.2
+    assert(math.abs(r.getAs[Double]("winsor_std") - math.sqrt(9.2)) < 1e-12)
+    assert(r.getAs[Long]("n") == 11 && r.getAs[Long]("n_trimmed") == 2)
+    // approx default: same shape, thresholds inside the data range
+    val a = Analytics.robustStats(df, col("v"), trim = 0.1).head
+    assert(a.getAs[Double]("p_lo") >= 1.0 && a.getAs[Double]("p_hi") <= 1000.0)
+  }
+
   test("slidingAgg: width 2x slide puts each event in exactly two epoch-aligned windows") {
     val ev = Seq((0L, 1.0), (1800L, 2.0), (5400L, 4.0)).toDF("sec", "v")
       .withColumn("ts", timestamp_seconds(col("sec")))
