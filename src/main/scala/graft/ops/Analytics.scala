@@ -233,6 +233,38 @@ object Analytics {
         col("trimmed_mean"), col("winsor_std"), col("n"), col("n_trimmed"))
   }
 
+  /** Column-pair association in one result row: Pearson correlation,
+    * sample covariance, and Spearman rank correlation. Pearson/covar are
+    * single partial-aggregated co-moment passes. Spearman needs ranks:
+    * computed as fractional (average) ranks via the VALUE-HISTOGRAM CDF
+    * — a groupBy to per-value counts, a cumulative sum over the
+    * (distinct-value-sized) histogram, and an equi-join back — instead
+    * of a per-row global sort window, so the single-partition stage
+    * touches only distinct values. For continuous columns with ~n
+    * distinct values, bucket first (e.g. round) or accept the
+    * histogram-sized sort; rows with a NULL in either column are
+    * excluded (pairwise deletion, matching corr/covar_samp). */
+  def correlationStats(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // read three times: two rank joins + the agg
+    def ranks(cn: String, out: String) = {
+      val counts = base.groupBy(col(cn)).agg(count(lit(1L)).as("__c"))
+      val w = Window.orderBy(col(cn))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // average of the tie run's positions: cum − (c−1)/2
+      counts.withColumn("__cum", sum("__c").over(w))
+        .select(col(cn), (col("__cum") - (col("__c") - 1) / 2.0).as(out))
+    }
+    base
+      .join(ranks("__x", "__rx"), "__x")
+      .join(ranks("__y", "__ry"), "__y")
+      .agg(
+        corr(col("__x"), col("__y")).as("pearson"),
+        covar_samp(col("__x"), col("__y")).as("covar"),
+        corr(col("__rx"), col("__ry")).as("spearman"))
+  }
+
   /** Interval (point-in-range) join at scale: match point rows
     * (timestamp `ptsTs`) to interval rows ([`startCol`, `endCol`],
     * inclusive both ends) WITHOUT a range-join pair explosion. Intervals

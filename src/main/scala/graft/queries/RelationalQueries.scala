@@ -357,6 +357,15 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Pearson + covariance + Spearman (fractional ranks via the
+    // value-histogram CDF, not a per-row global sort window).
+    "q_corr" -> ((s, dir) =>
+      Analytics.correlationStats(t(s, dir, "lineitem"),
+          col("l_quantity"), col("l_extendedprice"))
+        .select(round(col("pearson"), 6).as("pearson"),
+          round(col("covar"), 2).as("covar"),
+          round(col("spearman"), 6).as("spearman"))),
+
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
@@ -565,6 +574,17 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_corr" ->
+      """WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y,
+        |  rank() OVER (ORDER BY l_quantity)
+        |    + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 AS rx,
+        |  rank() OVER (ORDER BY l_extendedprice)
+        |    + (count(*) OVER (PARTITION BY l_extendedprice) - 1)/2.0 AS ry
+        | FROM lineitem)
+        |SELECT round(corr(x, y), 6) AS pearson,
+        | round(covar_samp(x, y), 2) AS covar,
+        | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
 
     "q_robust_stats" ->
       """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

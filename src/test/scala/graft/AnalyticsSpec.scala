@@ -9,6 +9,21 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("correlationStats: hand-computed Pearson/Spearman, tie-averaged ranks") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)).toDF("x", "y")
+    val r = Analytics.correlationStats(df, col("x"), col("y")).head
+    assert(math.abs(r.getAs[Double]("pearson") - 10.0 / math.sqrt(1000.0 / 9)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("covar") - 10.0) < 1e-12)
+    // ranks rx = (1, 2.5, 2.5, 4) vs ry = (1,2,3,4) -> 1.5/sqrt(2.5)
+    assert(math.abs(r.getAs[Double]("spearman") - 1.5 / math.sqrt(2.5)) < 1e-12)
+    // monotone nonlinear: Spearman 1, Pearson below 1
+    val m = Analytics.correlationStats(
+      Seq((1.0, 1.0), (2.0, 10.0), (3.0, 100.0)).toDF("x", "y"),
+      col("x"), col("y")).head
+    assert(math.abs(m.getAs[Double]("spearman") - 1.0) < 1e-12)
+    assert(m.getAs[Double]("pearson") < 1.0 - 1e-6)
+  }
+
   test("robustStats: hand-computed trim/winsor on data with a gross outlier") {
     val df = ((1 to 10).map(_.toDouble) :+ 1000.0).toDF("v")
     val r = Analytics.robustStats(df, col("v"), trim = 0.1, exact = true).head
