@@ -233,6 +233,53 @@ object Analytics {
         col("trimmed_mean"), col("winsor_std"), col("n"), col("n_trimmed"))
   }
 
+  /** Distribution drift between two dataset versions on one numeric
+    * column: Population Stability Index over `bins` equi-width buckets
+    * spanning the COMBINED min/max —
+    *
+    *   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with Laplace smoothing (c + 0.5)/(n + 0.5·bins) so empty buckets
+    * stay finite and the number is deterministic. The standard
+    * monitoring gate between corpus snapshots / train-serve windows
+    * (rule of thumb: < 0.1 stable, > 0.25 drifted).
+    *
+    * Scale shape: one 2-row min/max aggregate over the union, then one
+    * partial-aggregated bin-id groupBy per side (bin count rows each)
+    * and a bins-sized merge — two scans total, shuffles carry only
+    * (bin, count). Returns one row: (psi, n_a, n_b, n_bins). */
+  def driftPsi(a: DataFrame, b: DataFrame, c: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val va = a.select(c.cast("double").as("__v")).where(col("__v").isNotNull)
+    val vb = b.select(c.cast("double").as("__v")).where(col("__v").isNotNull)
+    val bounds = va.unionAll(vb).agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    def hist(df: DataFrame, cnt: String) =
+      df.crossJoin(bounds)
+        .select(when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(bins - 1), floor(
+            (col("__v") - col("__lo")) / ((col("__hi") - col("__lo")) / bins))
+            .cast("int"))).as("__bin"))
+        .groupBy("__bin").agg(count(lit(1L)).as(cnt))
+    val binIds = a.sparkSession.range(0, bins).select(col("id").cast("int").as("__bin"))
+    val merged = binIds
+      .join(hist(va, "__ca"), Seq("__bin"), "left")
+      .join(hist(vb, "__cb"), Seq("__bin"), "left")
+      .select(col("__bin"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    merged
+      .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+        collect_list(struct(col("__bin"), col("__ca"), col("__cb"))).as("__h"))
+      .select(col("n_a"), col("n_b"),
+        aggregate(transform(col("__h"), s => {
+          val p = (s.getField("__ca").cast("double") + 0.5) /
+            (col("n_a").cast("double") + lit(0.5 * bins))
+          val q = (s.getField("__cb").cast("double") + 0.5) /
+            (col("n_b").cast("double") + lit(0.5 * bins))
+          (p - q) * log(p / q)
+        }), lit(0.0), (acc, x) => acc + x).as("psi"),
+        lit(bins).as("n_bins"))
+  }
+
   /** Column-pair association in one result row: Pearson correlation,
     * sample covariance, and Spearman rank correlation. Pearson/covar are
     * single partial-aggregated co-moment passes. Spearman needs ranks:

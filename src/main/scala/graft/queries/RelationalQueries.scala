@@ -357,6 +357,19 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Distribution drift (PSI, 10 equi-width bins over the combined
+    // range, Laplace-smoothed): view-event values vs purchase-event
+    // values — the snapshot/train-serve monitoring gate.
+    "q_drift_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Analytics.driftPsi(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"),
+          col("value"), bins = 10)
+        .select(round(col("psi"), 6).as("psi"),
+          col("n_a"), col("n_b"), col("n_bins"))
+    }),
+
     // Pearson + covariance + Spearman (fractional ranks via the
     // value-histogram CDF, not a per-row global sort window).
     "q_corr" -> ((s, dir) =>
@@ -574,6 +587,27 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH va AS (SELECT value AS v FROM events
+        |            WHERE event_type = 'view' AND value IS NOT NULL),
+        |vb AS (SELECT value AS v FROM events
+        |       WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |bd AS (SELECT min(v) AS lo, max(v) AS hi
+        |       FROM (SELECT v FROM va UNION ALL SELECT v FROM vb)),
+        |ha AS (SELECT least(9, CAST(floor((v - bd.lo) / ((bd.hi - bd.lo) / 10))
+        |         AS INT)) AS bin, count(*) AS c FROM va, bd GROUP BY 1),
+        |hb AS (SELECT least(9, CAST(floor((v - bd.lo) / ((bd.hi - bd.lo) / 10))
+        |         AS INT)) AS bin, count(*) AS c FROM vb, bd GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |m AS (SELECT bins.bin, coalesce(ha.c, 0) AS ca, coalesce(hb.c, 0) AS cb
+        |      FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m)
+        |SELECT round(sum(((ca+0.5)/(t.na+5.0) - (cb+0.5)/(t.nb+5.0))
+        |         * ln(((ca+0.5)/(t.na+5.0))/((cb+0.5)/(t.nb+5.0)))), 6) AS psi,
+        | CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        | 10 AS n_bins
+        |FROM m, t GROUP BY t.na, t.nb""".stripMargin,
 
     "q_corr" ->
       """WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y,

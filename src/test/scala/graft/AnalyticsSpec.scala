@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("driftPsi: zero on identical data, large on a shift, finite on constant columns") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Analytics.driftPsi(a, a, col("v")).head
+    assert(same.getAs[Double]("psi") == 0.0, "identical distributions must give PSI 0")
+    assert(same.getAs[Long]("n_a") == 100 && same.getAs[Int]("n_bins") == 10)
+    val shifted = (101 to 200).map(_.toDouble).toDF("v")
+    val drift = Analytics.driftPsi(a, shifted, col("v")).head.getAs[Double]("psi")
+    assert(drift > 0.25, s"disjoint ranges must read as drifted, got $drift")
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Analytics.driftPsi(const, const, col("v")).head.getAs[Double]("psi")
+    assert(!c.isNaN && !c.isInfinite && c == 0.0)
+  }
+
   test("correlationStats: hand-computed Pearson/Spearman, tie-averaged ranks") {
     val df = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)).toDF("x", "y")
     val r = Analytics.correlationStats(df, col("x"), col("y")).head
