@@ -102,6 +102,32 @@ object Analytics {
     aggs.foldLeft(df) { case (d, (a, n)) => d.withColumn(n, a.over(w)) }
   }
 
+  /** Rolling z-score anomaly flags: each row compared against its
+    * partition's trailing `windowSeconds` HISTORY — the frame EXCLUDES
+    * the current row (and same-second peers), because an inclusive
+    * window lets a spike inflate its own baseline: with n points the
+    * inclusive z-score is bounded by (n−1)/√n, so a lone spike in a
+    * small window can never trip k=3. is_anomaly ⟺ |v − mean| >
+    * k·stddev, computed from `scoreDp`-ROUNDED window statistics so the
+    * boundary decision is engine-deterministic; rows with fewer than
+    * two history points (stddev null) are never flagged. Same cost as
+    * any rolling aggregate: one shuffle on the partition keys, one
+    * sorted pass. The event-stream monitoring primitive (billing
+    * spikes, sensor glitches) over plain batch tables. */
+  def rollingAnomalies(df: DataFrame, partition: Seq[Column], ts: Column,
+      windowSeconds: Long, value: Column, k: Double = 3.0,
+      scoreDp: Int = 6): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(partition: _*).orderBy(unix_timestamp(ts))
+      .rangeBetween(-windowSeconds, -1)
+    df.withColumn("roll_mean", round(avg(value).over(w), scoreDp))
+      .withColumn("roll_std", round(stddev_samp(value).over(w), scoreDp))
+      .withColumn("is_anomaly",
+        col("roll_std").isNotNull &&
+          abs(value - col("roll_mean")) > lit(k) * col("roll_std"))
+  }
+
   /** Tumbling event-time window aggregation (batch twin of the streaming
     * path in graft.streaming). Emits the window start as epoch seconds so
     * results are engine-portable. */

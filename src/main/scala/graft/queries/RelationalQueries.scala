@@ -357,6 +357,18 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Rolling z-score anomalies: events more than 3 rolling stddevs
+    // from their user's trailing-hour HISTORY (current row excluded —
+    // see rollingAnomalies). Flag from rounded stats —
+    // engine-deterministic boundary.
+    "q_anomaly" -> ((s, dir) =>
+      Analytics.rollingAnomalies(t(s, dir, "events"), Seq(col("user_id")),
+          col("ts"), 3600, col("value"), k = 3.0)
+        .where(col("is_anomaly"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"), col("roll_mean"), col("roll_std"))
+        .orderBy("event_id")),
+
     // Distribution drift (PSI, 10 equi-width bins over the combined
     // range, Laplace-smoothed): view-event values vs purchase-event
     // values — the snapshot/train-serve monitoring gate.
@@ -587,6 +599,19 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_anomaly" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |  round(avg(value) OVER w, 6) AS roll_mean,
+        |  round(stddev_samp(value) OVER w, 6) AS roll_std
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |              RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, round(value, 4) AS value,
+        | roll_mean, roll_std
+        |FROM r
+        |WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 3 * roll_std
+        |ORDER BY event_id""".stripMargin,
 
     "q_drift_psi" ->
       """WITH va AS (SELECT value AS v FROM events

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("rollingAnomalies: spike flagged against trailing HISTORY, thin history never flags") {
+    val ev = Seq(
+      (1L, 0L, 10.0),    // no history -> unflagged
+      (2L, 60L, 10.4),   // one history point -> stddev null -> unflagged
+      (3L, 120L, 10.2), (4L, 180L, 9.8),
+      (5L, 240L, 100.0), // spike vs the history {10, 10.4, 10.2, 9.8}
+      (6L, 7200L, 55.5)  // history aged out -> unflagged
+    ).toDF("event_id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("u", lit("a"))
+    val r = Analytics.rollingAnomalies(ev, Seq(col("u")), col("ts"), 3600,
+        col("v"), k = 3.0)
+      .select("event_id", "is_anomaly")
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r(5L), "the spike must be flagged against its history")
+    assert(!r(1L) && !r(2L), "fewer than two history points must not flag")
+    assert(!r(3L) && !r(4L), "steady readings must pass")
+    assert(!r(6L), "aged-out history must not flag")
+  }
+
   test("driftPsi: zero on identical data, large on a shift, finite on constant columns") {
     val a = (1 to 100).map(_.toDouble).toDF("v")
     val same = Analytics.driftPsi(a, a, col("v")).head
