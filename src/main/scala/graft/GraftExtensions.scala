@@ -135,5 +135,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => GifFrameStats(exprs.head))
     inject("gif_frame_split", "gif_frame_split(blob) - array of per-frame RGB PNG blobs from an animated GIF",
       exprs => GifFrameSplit(exprs.head))
+    inject("kll_sketch_agg", "kll_sketch_agg(value, k) - mergeable KLL quantile sketch blob",
+      exprs => KllSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("kll_merge_agg", "kll_merge_agg(sketch, k) - union of KLL sketch blobs",
+      exprs => KllMergeAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("kll_quantiles", "kll_quantiles(sketch, array(q...)) - quantile estimates from a KLL blob",
+      exprs => KllQuantiles(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq))
   }
 }

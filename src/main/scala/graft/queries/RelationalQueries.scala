@@ -349,6 +349,39 @@ object RelationalQueries {
           (col("est_u") === col("est_f")).as("union_matches_full"))
     }),
 
+    // Mergeable KLL quantile sketches — the rank counterpart of
+    // q_hll_incremental: persist per-group blobs once, answer any later
+    // percentile question (per group or rolled up) by merging KB blobs.
+    // Verdicts bound each estimate's TRUE rank: est p-q must land between
+    // the exact (q−ε) and (q+ε) quantiles (ε=0.05 ≫ KLL k=200's ~1.65%
+    // rank error, so the verdict is stable under sketch randomization).
+    "q_quantile_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy("event_type")
+        .agg(graft.functions.Kll.sketchAgg(col("value")).as("qs"),
+          count(lit(1L)).as("n"),
+          expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))").as("ex"))
+      val perGroup = sk.select(col("event_type"), col("n"),
+        graft.functions.Kll.quantiles(col("qs"), Seq(0.5, 0.9)).as("est"),
+        col("ex"))
+      val groups = perGroup.select(col("event_type"), col("n"),
+        round(col("ex").getItem(1), 4).as("p50_exact"),
+        round(col("ex").getItem(4), 4).as("p90_exact"),
+        (col("est").getItem(0) >= col("ex").getItem(0) &&
+          col("est").getItem(0) <= col("ex").getItem(2)).as("p50_ok"),
+        (col("est").getItem(1) >= col("ex").getItem(3) &&
+          col("est").getItem(1) <= col("ex").getItem(5)).as("p90_ok"))
+      // rollup: merged per-group blobs vs the whole corpus's exact p50
+      val merged = sk.agg(graft.functions.Kll.mergeAgg(col("qs")).as("m"))
+        .select(graft.functions.Kll.quantiles(col("m"), Seq(0.5)).getItem(0).as("mp50"))
+      val wholeEx = ev.agg(
+        expr("percentile(value, array(0.45, 0.55))").as("wex"))
+      val rollup = merged.crossJoin(wholeEx).select(
+        (col("mp50") >= col("wex").getItem(0) &&
+          col("mp50") <= col("wex").getItem(1)).as("rollup_ok"))
+      groups.crossJoin(rollup).orderBy("event_type")
+    }),
+
     // Exact percentiles (interpolated, R-7 — same method as DuckDB's
     // quantile_cont).
     "q_percentile" -> ((s, dir) =>
@@ -664,6 +697,13 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(value, 0.9), 4) AS p90_exact,
+        | true AS p50_ok, true AS p90_ok, true AS rollup_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_slidewindow" ->
       """SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,

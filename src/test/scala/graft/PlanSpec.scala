@@ -308,6 +308,19 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"only the summary agg may shuffle:\n$p")
   }
 
+  test("KLL sketch aggregation partial-aggregates map-side (blob exchange, not row exchange)") {
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val p = plan(ev.groupBy("event_type")
+      .agg(graft.functions.Kll.sketchAgg(col("value")).as("qs")))
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // stage before the exchange: the shuffle carries one compact sketch
+    // blob per partition per group, never raw rows
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$p")
+    assert(p.contains("partial_kll_sketch_agg"),
+      s"KLL must partial-aggregate map-side:\n$p")
+  }
+
   test("bucketByQuantiles threshold job ships approx_percentile by DEFAULT (exact is audit-only)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

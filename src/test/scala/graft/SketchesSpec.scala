@@ -34,6 +34,48 @@ class SketchesSpec extends SparkSuite {
     assert(merged2 == merged)
   }
 
+  test("KLL sketches: per-group reads, rollup across groups, rank-error bound") {
+    // three groups with known distributions: uniform 1..1000 per group
+    val df = (1 to 9000).map(i => (s"g${i % 3}", (i / 3 % 1000) + 1.0)).toDF("g", "v")
+    val sk = df.groupBy("g").agg(graft.functions.Kll.sketchAgg(col("v"), k = 200).as("qs"))
+    assert(sk.count() == 3)
+    // per-group p50 within 5% rank error of the uniform median
+    val reads = sk.select(col("g"),
+      graft.functions.Kll.quantiles(col("qs"), Seq(0.5, 0.9)).as("q")).collect()
+    reads.foreach { r =>
+      val Seq(p50, p90) = r.getSeq[Double](1).toSeq
+      assert(math.abs(p50 - 500.0) <= 50, s"p50 $p50 off for ${r.getString(0)}")
+      assert(math.abs(p90 - 900.0) <= 50, s"p90 $p90 off for ${r.getString(0)}")
+    }
+    // rollup: merging the three group blobs estimates the union's quantiles
+    val merged = sk.agg(graft.functions.Kll.mergeAgg(col("qs")).as("m"))
+      .select(graft.functions.Kll.quantiles(col("m"), Seq(0.5)).as("q"))
+      .head.getSeq[Double](0)
+    assert(math.abs(merged.head - 500.0) <= 50, s"merged p50 ${merged.head}")
+    // a sketch over a SHIFTED group dominates the merge's upper tail
+    val shifted = (1 to 3000).map(i => ("hi", (i % 1000) + 10000.0)).toDF("g", "v")
+    val both = df.union(shifted)
+      .groupBy("g").agg(graft.functions.Kll.sketchAgg(col("v")).as("qs"))
+      .agg(graft.functions.Kll.mergeAgg(col("qs")).as("m"))
+      .select(graft.functions.Kll.quantiles(col("m"), Seq(0.99)).as("q"))
+      .head.getSeq[Double](0)
+    assert(both.head > 9000, s"p99 ${both.head} should sit in the shifted mass")
+  }
+
+  test("KLL: nulls and NaNs are skipped; empty sketch reads NULL") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0))
+      .toDF("v")
+    val q = df.agg(graft.functions.Kll.sketchAgg(col("v")).as("qs"))
+      .select(graft.functions.Kll.quantiles(col("qs"), Seq(0.0, 1.0)).as("q"))
+      .head.getSeq[Double](0)
+    assert(q == Seq(1.0, 3.0), s"min/max should be 1,3 got $q")
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(graft.functions.Kll.sketchAgg(col("v")).as("qs"))
+      .select(graft.functions.Kll.quantiles(col("qs"), Seq(0.5)).as("q"))
+      .head
+    assert(empty.isNullAt(0), "empty sketch must read NULL, not throw")
+  }
+
   test("estimates are one-sided and within eps*n of exact counts") {
     val n = skewed.count()
     val sketch = Sketches.countMinSketchOf(skewed, col("w"), eps = 0.001)
