@@ -299,4 +299,54 @@ object DataPrep {
           .when(col("__ha") === col("__hb"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** SCD-2 history construction (Kimball & Ross, The Data Warehouse
+    * Toolkit, 3rd ed. ch. 5): collapse versioned snapshot rows of each
+    * entity into validity intervals — one row per contiguous run of
+    * identical content, `[valid_from, valid_to)` keyed by the version
+    * column, `valid_to` NULL for the open (current) run. The
+    * slowly-changing-dimension builder every incremental pipeline needs
+    * once it keeps more than one snapshot: metadata history, crawl
+    * recrawls, label revisions.
+    *
+    * Input: one row per (id, version) *observation*; versions need not
+    * be dense. A run ends at the next OBSERVED version whose content
+    * digest differs; ids never observed again stay current (row-level
+    * data cannot distinguish deletion from non-observation — pair with
+    * [[snapshotDiff]] when the roster matters).
+    *
+    * Output: id, valid_from, valid_to, n_versions (observations in the
+    * run), is_current, and the content columns at the run's start.
+    *
+    * Scale shape: ONE exchange on id (the window + the run groupBy both
+    * ride it; the digest is computed in-scan). Content comparison is on
+    * a 32-byte md5 of the -joined columns — same aliasing caveat
+    * as [[snapshotDiff]] (NULL and empty string digest alike). Content
+    * columns must be min-orderable (the run-start value is recovered as
+    * min over the constant-content run, never a nondeterministic
+    * first()). */
+  def scd2History(snapshots: DataFrame, idCol: String, versionCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(versionCol))
+    val dg = md5(concat_ws("\u0001", contentCols.map(col): _*).cast("binary"))
+    val aggs = Seq(min(col(versionCol)).as("valid_from"),
+      count(lit(1L)).as("n_versions")) ++
+      contentCols.map(c => min(col(c)).as(c))
+    val runs = snapshots
+      .withColumn("__dg", dg)
+      .withColumn("__chg",
+        when(lag(col("__dg"), 1).over(w).isNull ||
+          lag(col("__dg"), 1).over(w) =!= col("__dg"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .groupBy(col(idCol), col("__run"))
+      .agg(aggs.head, aggs.tail: _*)
+    val wr = Window.partitionBy(col(idCol)).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(Seq(col(idCol), col("valid_from"), col("valid_to"),
+        col("n_versions"), col("valid_to").isNull.as("is_current")) ++
+        contentCols.map(col): _*)
+  }
 }

@@ -1685,6 +1685,24 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // SCD-2 history: collapse versioned observations of each entity into
+    // validity intervals — one row per contiguous run of identical
+    // content, valid_to = next run's start, NULL while current. Entities
+    // are synthesized deterministically from orders (o_orderkey % 500),
+    // so runs form wherever consecutive orders of an entity repeat
+    // (status, priority).
+    "pipeline_scd2" -> ((s, dir) => {
+      val snaps = t(s, dir, "orders").select(
+        (col("o_orderkey") % 500).as("ent_id"),
+        col("o_orderkey").as("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+        .where(col("ent_id") < 20)
+      graft.ops.DataPrep.scd2History(snaps, "ent_id", "version",
+          Seq("status", "priority"))
+        .orderBy("ent_id", "valid_from")
+    }),
+
     // DSIR importance resampling: rank the non-English corpus by
     // target-likeness under hashed-unigram multinomials of the English
     // (target) vs rest (raw) corpora, keep the top quarter, report the
@@ -2978,6 +2996,27 @@ object PipelineQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    "pipeline_scd2" ->
+      """WITH s AS (SELECT o_orderkey % 500 AS ent_id, o_orderkey AS version,
+        |        o_orderstatus AS status, o_orderpriority AS priority
+        |       FROM orders WHERE o_orderkey % 500 < 20),
+        |d AS (SELECT *, status || chr(1) || priority AS dg FROM s),
+        |c AS (SELECT *, CASE WHEN lag(dg) OVER
+        |        (PARTITION BY ent_id ORDER BY version) IS DISTINCT FROM dg
+        |       THEN 1 ELSE 0 END AS chg FROM d),
+        |r AS (SELECT *, sum(chg) OVER
+        |       (PARTITION BY ent_id ORDER BY version) AS run FROM c),
+        |g AS (SELECT ent_id, run, min(version) AS valid_from,
+        |       CAST(count(*) AS BIGINT) AS n_versions,
+        |       min(status) AS status, min(priority) AS priority
+        |      FROM r GROUP BY 1, 2),
+        |h AS (SELECT ent_id, valid_from, lead(valid_from) OVER
+        |        (PARTITION BY ent_id ORDER BY valid_from) AS valid_to,
+        |       n_versions, status, priority FROM g)
+        |SELECT ent_id, valid_from, valid_to, n_versions,
+        | valid_to IS NULL AS is_current, status, priority
+        |FROM h ORDER BY ent_id, valid_from""".stripMargin,
 
     // Word-level restatement of the hashed-bucket DSIR model: add-one
     // smoothing over the observed joint vocabulary, per-doc summed

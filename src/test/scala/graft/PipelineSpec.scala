@@ -474,6 +474,29 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("scd2History: runs collapse, intervals chain, last run open") {
+    // entity 1: x@v1, x@v3 (run), y@v5, x@v9 (flip back = NEW run)
+    // entity 2: single observation
+    val snaps = Seq(
+      (1L, 1L, "x"), (1L, 3L, "x"), (1L, 5L, "y"), (1L, 9L, "x"),
+      (2L, 4L, "z")).toDF("id", "v", "c")
+    val h = graft.ops.DataPrep.scd2History(snaps, "id", "v", Seq("c"))
+      .orderBy("id", "valid_from")
+      .as[(Long, Long, Option[Long], Long, Boolean, String)].collect()
+    assert(h === Array(
+      (1L, 1L, Some(5L), 2L, false, "x"),
+      (1L, 5L, Some(9L), 1L, false, "y"),
+      (1L, 9L, None, 1L, true, "x"),
+      (2L, 4L, None, 1L, true, "z")))
+    // intervals tile: each valid_to equals the next valid_from per id
+    h.groupBy(_._1).values.foreach { runs =>
+      runs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"gap between $a and $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("bigram LM: hand-computed interpolated probabilities") {
     // corpus: "a b a b", "a b b" -> cu(a)=3, cu(b)=4, N=7
     // cb(a,b)=3, cb(b,a)=1, cb(b,b)=1; lambda=0.5
