@@ -135,6 +135,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => GifFrameStats(exprs.head))
     inject("gif_frame_split", "gif_frame_split(blob) - array of per-frame RGB PNG blobs from an animated GIF",
       exprs => GifFrameSplit(exprs.head))
+    inject("avi_mjpeg_fixture", "avi_mjpeg_fixture(id, w_blocks, h_blocks, n_frames) - deterministic MJPEG AVI fixture",
+      exprs => AviMjpegFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()))
+    inject("avi_info", "avi_info(blob) - array(w, h, n_frames, usec_per_frame, n_streams) from an AVI main header",
+      exprs => AviInfo(exprs.head))
+    inject("avi_frame_split", "avi_frame_split(blob) - array of per-frame video payload blobs from an AVI movi list",
+      exprs => AviFrameSplit(exprs.head))
     inject("kll_sketch_agg", "kll_sketch_agg(value, k) - mergeable KLL quantile sketch blob",
       exprs => KllSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))

@@ -149,6 +149,17 @@ object GraftFunctions {
       "gif_frame_stats", exprs => GifFrameStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gif_frame_split", exprs => GifFrameSplit(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avi_mjpeg_fixture", exprs => AviMjpegFixture(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avi_info", exprs => AviInfo(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "avi_frame_split", exprs => AviFrameSplit(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jpeg_pixel_stats", exprs => JpegPixelStats(exprs.head), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -276,4 +287,17 @@ object GraftFunctions {
   /** GIF blob → array of per-frame RGB PNG blobs (animation → frame
     * pipeline bridge). */
   def gifFrameSplit(c: Column): Column = GraftColumn(GifFrameSplit(GraftColumn.expr(c)))
+
+  /** id → real MJPEG AVI container with the arithmetic per-frame
+    * constant-block rule (fixture). */
+  def aviMjpegFixture(id: Column, wBlocks: Int, hBlocks: Int, nFrames: Int): Column =
+    GraftColumn(AviMjpegFixture(GraftColumn.expr(id), wBlocks, hBlocks, nFrames))
+
+  /** AVI blob → array(width, height, n_frames, usec_per_frame,
+    * n_streams) from the main header, NULL when malformed. */
+  def aviInfo(c: Column): Column = GraftColumn(AviInfo(GraftColumn.expr(c)))
+
+  /** AVI blob → array of per-frame video payloads (MJPEG: real JPEGs),
+    * NULL when malformed — the real-container video → frame bridge. */
+  def aviFrameSplit(c: Column): Column = GraftColumn(AviFrameSplit(GraftColumn.expr(c)))
 }

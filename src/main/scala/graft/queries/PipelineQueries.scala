@@ -1172,6 +1172,37 @@ object PipelineQueries {
           (count(when(col("st").isNull, 1)) === 0).as("all_decoded_ok"))
     }),
 
+    // REAL video container end-to-end: MJPEG AVI fixtures (genuine RIFF
+    // hdrl/strl/movi structure wrapping genuine Huffman-coded baseline
+    // JPEG frames) → header parse → frame split → full JPEG decode per
+    // frame. The oracle recomputes every decoded pixel from the
+    // arithmetic constant-block rule (frame f, block k of doc id ⇒
+    // ((id·1000+f)·31 + k·7) mod 256) with no codec; geometry/fps
+    // verdicts pin the avih header fields.
+    "mm_avi" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 40).select("doc_id")
+      val avis = docs.select(col("doc_id"),
+        GraftFunctions.aviMjpegFixture(col("doc_id"), 4, 2, 6).as("avi"))
+      val frames = avis.select(col("doc_id"),
+          GraftFunctions.aviInfo(col("avi")).as("info"),
+          posexplode(GraftFunctions.aviFrameSplit(col("avi"))).as(Seq("pos", "frame")))
+        .select(col("doc_id"), col("info"), col("pos"),
+          GraftFunctions.jpegPixelStats(col("frame")).as("st"))
+      frames.agg(
+        countDistinct(col("doc_id")).as("n_avis"),
+        count(lit(1L)).as("frames_total"),
+        sum(element_at(col("st"), 3)).as("samples_total"),
+        sum(element_at(col("st"), 4)).as("px_sum"),
+        (count(when(col("info").isNull ||
+          element_at(col("info"), 1) =!= 32 ||
+          element_at(col("info"), 2) =!= 16 ||
+          element_at(col("info"), 3) =!= 6 ||
+          element_at(col("info"), 5) =!= 1, 1)) === 0).as("geometry_ok"),
+        (count(when(element_at(col("info"), 4) =!= 40000, 1)) === 0).as("fps_ok"),
+        (count(when(col("st").isNull, 1)) === 0).as("all_decoded_ok"))
+    }),
+
     "mm_video_dedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents").where(col("doc_id") < 30).select("doc_id")
@@ -2849,6 +2880,18 @@ object PipelineQueries {
         | CAST(3 * sum(v) AS BIGINT) AS rgb_sum,
         | CAST(min(v) AS BIGINT) AS sample_min, CAST(max(v) AS BIGINT) AS sample_max,
         | true AS all_decoded_ok
+        |FROM v""".stripMargin,
+
+    "mm_avi" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40),
+        |fr AS (SELECT id, unnest(range(0, 6)) AS f FROM ids),
+        |bl AS (SELECT id, f, unnest(range(0, 8)) AS k FROM fr),
+        |v AS (SELECT (((id*1000 + f)*31 + k*7) % 256 + 256) % 256 AS v FROM bl)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_avis,
+        | (SELECT CAST(count(*) AS BIGINT) FROM fr) AS frames_total,
+        | CAST(64 * count(*) AS BIGINT) AS samples_total,
+        | CAST(64 * sum(v) AS BIGINT) AS px_sum,
+        | true AS geometry_ok, true AS fps_ok, true AS all_decoded_ok
         |FROM v""".stripMargin,
 
     "mm_video_dedup" ->
