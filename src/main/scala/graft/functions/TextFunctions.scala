@@ -397,4 +397,66 @@ object TextFunctions {
             when(col("__dup").isNull, struct(col("__pos"), col("__line"))))),
           s => s.getField("__line"))).as("clean"))
   }
+
+  /** Multi-label public suffixes for [[registrableDomain]]'s simplified
+    * eTLD+1 rule — the common two-label suffixes of the public suffix
+    * list (publicsuffix.org); the full list is a swap-in for callers
+    * that need exhaustive coverage. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "co.in", "net.in", "org.in", "gen.in",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.tr", "com.ar", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.nz", "org.nz")
+
+  /** URL canonicalization — the normalize-before-dedup step of web
+    * curation (the same URL arrives as http/HTTPS, with/without www,
+    * with tracking params, fragments, default ports, trailing slashes;
+    * un-normalized, every variant defeats exact URL dedup).
+    *
+    * Rules: scheme and authority lowercased; a leading `www.` dropped;
+    * the scheme's default port (`:80` http, `:443` https) dropped;
+    * trailing path slashes trimmed (empty path → `/`); query params
+    * matching `dropPattern` (tracking: utm_*, fbclid, gclid, ref)
+    * removed and the survivors SORTED (param order never
+    * distinguishes resources); the fragment dropped.
+    *
+    * Pure in-scan Column algebra — regexp extracts plus array
+    * filter/sort — zero shuffles, codegen-friendly, runs at scan
+    * throughput on any corpus size. */
+  def canonicalizeUrl(url: Column,
+      dropPattern: String = "^(utm_[^=]*|fbclid|gclid|ref)="): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val host0 = regexp_replace(auth, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_replace(
+      regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike(dropPattern))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Simplified registrable domain (eTLD+1) of a host: the last two
+    * labels, or three when the last two are a known multi-label public
+    * suffix ([[MultiPartSuffixes]]) — the key web curation aggregates
+    * by (domain caps, per-site quality priors, link-graph rollups).
+    * Ports are stripped; in-scan Column math. */
+  def registrableDomain(host: Column): Column = {
+    val h = regexp_replace(lower(host), ":\\d+$", "")
+    val parts = split(h, "\\.")
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    when(size(parts) <= 2, h)
+      .when(last2.isin(MultiPartSuffixes: _*), last3)
+      .otherwise(last2)
+  }
 }

@@ -1716,6 +1716,36 @@ object PipelineQueries {
         .orderBy("status")
     }),
 
+    // URL canonicalization + registrable domain — normalize-before-dedup
+    // for web corpora. Raw URLs are planted deterministically from
+    // doc_id with every normalization hazard at once (scheme/host case,
+    // www, default + explicit ports, trailing slashes, tracking params,
+    // unsorted params, fragments); the oracle restates the
+    // canonicalization rules in DuckDB regex/list algebra.
+    "pipeline_url" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").where(col("doc_id") < 40).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.News.Example.COM"))
+            .when(col("doc_id") % 3 === 1, lit("Shop.Example.CO.UK"))
+            .otherwise(lit("cdn.example.org")),
+          when(col("doc_id") % 4 === 0, lit(":80"))
+            .when(col("doc_id") % 4 === 1, lit(":443"))
+            .when(col("doc_id") % 4 === 2, lit(":8080")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("/a/B/"))
+            .when(col("doc_id") % 3 === 1, lit("/idx")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?z=2&utm_source=x&a=1"))
+            .otherwise(lit("?utm_campaign=c&b=3&fbclid=f")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+      raw.select(col("doc_id"),
+          TF.canonicalizeUrl(col("url")).as("url_canon"))
+        .withColumn("domain", TF.registrableDomain(
+          regexp_extract(col("url_canon"), "^[^:/?#]+://([^/?#]*)", 1)))
+        .orderBy("doc_id")
+    }),
+
     // SCD-2 history: collapse versioned observations of each entity into
     // validity intervals — one row per contiguous run of identical
     // content, valid_to = next run's start, NULL while current. Entities
@@ -3039,6 +3069,58 @@ object PipelineQueries {
         |SELECT status, CAST(count(*) AS BIGINT) AS n,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    "pipeline_url" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.News.Example.COM'
+        |        WHEN doc_id % 3 = 1 THEN 'Shop.Example.CO.UK'
+        |        ELSE 'cdn.example.org' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+        |        WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '/a/B/'
+        |        WHEN doc_id % 3 = 1 THEN '/idx' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '?z=2&utm_source=x&a=1'
+        |        ELSE '?utm_campaign=c&b=3&fbclid=f' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+        | FROM documents WHERE doc_id < 40),
+        |p AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+        |x AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)),
+        |                 '^www\.', '') AS host0,
+        |  regexp_replace(regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |                 '/+$', '') AS path0,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+        |    q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        |  )), '&') AS q
+        | FROM p),
+        |c AS (SELECT doc_id, scheme || '://' ||
+        |  (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |        ELSE host0 END) ||
+        |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+        | FROM x),
+        |d AS (SELECT doc_id, url_canon,
+        |  string_split(regexp_replace(
+        |    regexp_extract(url_canon, '^[^:/?#]+://([^/?#]*)', 1),
+        |    ':[0-9]+$', ''), '.') AS hp
+        | FROM c)
+        |SELECT doc_id, url_canon,
+        | CASE WHEN len(hp) <= 2 THEN array_to_string(hp, '.')
+        |      WHEN array_to_string(hp[-2:], '.') IN
+        |        ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+        |         'com.au','net.au','org.au','edu.au','gov.au',
+        |         'co.jp','or.jp','ne.jp','ac.jp','go.jp',
+        |         'co.kr','or.kr','co.in','net.in','org.in','gen.in',
+        |         'com.br','net.br','org.br','com.cn','net.cn','org.cn',
+        |         'com.mx','com.tr','com.ar','com.sg','com.hk','com.tw',
+        |         'co.za','co.nz','org.nz')
+        |      THEN array_to_string(hp[-3:], '.')
+        |      ELSE array_to_string(hp[-2:], '.') END AS domain
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "pipeline_scd2" ->
       """WITH s AS (SELECT o_orderkey % 500 AS ent_id, o_orderkey AS version,

@@ -474,6 +474,41 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("canonicalizeUrl: case, www, default ports, slashes, tracking params, fragments") {
+    val cases = Seq(
+      // every hazard at once
+      ("HTTP://WWW.Example.COM:80/a/B/?z=2&utm_source=x&a=1#frag",
+        "http://example.com/a/B?a=1&z=2"),
+      // https default port; empty path becomes /; all params tracking
+      ("https://Shop.Example.CO.UK:443?utm_campaign=c&fbclid=f",
+        "https://shop.example.co.uk/"),
+      // non-default port survives; param order normalized; ref dropped
+      ("http://cdn.example.org:8080/x?b=2&ref=nav&a=1",
+        "http://cdn.example.org:8080/x?a=1&b=2"),
+      // root slash is kept, not doubled; www-less host unchanged
+      ("https://example.org/", "https://example.org/"),
+      // utm_ prefix family (any suffix) dropped
+      ("http://a.io/p?utm_medium=m&utm_x=y&k=v", "http://a.io/p?k=v"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("u")))
+      .as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("registrableDomain: eTLD+1 with multi-label suffixes, ports stripped") {
+    val cases = Seq(
+      ("news.example.com", "example.com"),
+      ("a.b.shop.example.co.uk", "example.co.uk"),
+      ("example.org", "example.org"),
+      ("EXAMPLE.ORG:8080", "example.org"),
+      ("localhost", "localhost"),
+      ("deep.sub.co.nz", "sub.co.nz"))
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.functions.TextFunctions.registrableDomain(col("h")))
+      .as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
   test("scd2History: runs collapse, intervals chain, last run open") {
     // entity 1: x@v1, x@v3 (run), y@v5, x@v9 (flip back = NEW run)
     // entity 2: single observation
