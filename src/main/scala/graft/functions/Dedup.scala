@@ -345,6 +345,59 @@ object Dedup {
     materializeAndRelease(result, materialize, sh)
   }
 
+  /** ASYMMETRIC containment pairs: (inner_id, outer_id, containment)
+    * where |grams(inner) ∩ grams(outer)| ≥ τ·|grams(inner)| — the
+    * doc-in-doc relation Jaccard cannot see (a tweet quoted inside an
+    * article has Jaccard ≈ |tweet|/|article| ≈ 0 but containment 1.0).
+    * This is the quote-inclusion / subset-dedup primitive of web
+    * curation: drop or down-weight documents whose content is already
+    * carried inside larger kept documents.
+    *
+    * Candidate generation is the AllPairs prefix filter restated for
+    * containment (Chaudhuri, Ganti & Kaushik, ICDE 2006 SSJoin): the
+    * inner doc must share ≥ ⌈τ·sz⌉ grams, so any qualifying outer
+    * shares at least one of the inner's (sz − ⌈τ·sz⌉ + 1) RAREST grams
+    * — only that prefix is indexed on the inner side. The outer side
+    * indexes all grams (containment bounds nothing on the outer's own
+    * size), so candidate volume is Σ_g prefix(g)·df(g): still an
+    * equi-join driven by shared-rare-gram structure, never a cartesian.
+    * Verification is one linear merge over sorted hashed gram sets.
+    * Docs with zero grams (shorter than the shingle) pair with nothing:
+    * a 0-gram inner would vacuously "be contained" everywhere. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, tauPct: Int = 90, materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol).as("id"),
+        GraftFunctions.charShingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sh.select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    val dfreq = tokens.groupBy("g").agg(count(lit(1L)).as("df"))
+    val minOverlap = floor((col("sz") * tauPct + lit(99)) / 100)
+    val prefix = tokens.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .where(col("rk") <= col("sz") - minOverlap + 1)
+      .select(col("g"), col("id"), col("sz"))
+    val cands = prefix.toDF("g", "inner_id", "sz_i")
+      .join(tokens.select(col("g"), col("id").as("outer_id"), col("sz").as("sz_o")), Seq("g"))
+      // the outer must hold at least the inner's required overlap
+      .where(col("inner_id") =!= col("outer_id") &&
+        col("sz_o") * 100 >= col("sz_i") * tauPct)
+      .select("inner_id", "outer_id").distinct()
+    val result = cands
+      .join(sh.toDF("jid_i", "sh_i", "sz_i"), col("inner_id") === col("jid_i"))
+      .join(sh.toDF("jid_o", "sh_o", "sz_o"), col("outer_id") === col("jid_o"))
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_i"), col("sh_o")))
+      .where(col("inter") * 100 >= col("sz_i") * tauPct)
+      .select(col("inner_id"), col("outer_id"),
+        round(col("inter").cast("double") / col("sz_i").cast("double"), 6)
+          .as("containment"))
+    materializeAndRelease(result, materialize, sh)
+  }
+
   /** Exact duplicate groups by full-content hash: (hash, n, canonical id =
     * min id). One shuffle on the 64-bit hash. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

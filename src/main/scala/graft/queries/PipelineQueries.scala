@@ -359,6 +359,26 @@ object PipelineQueries {
           "doc_id", "text", shingleK = 5, tauPct = 51)
         .orderBy("id_a", "id_b")),
 
+    // ASYMMETRIC containment pairs — the doc-in-doc relation Jaccard
+    // cannot see: planted "outer" docs are concatenations of two base
+    // docs, so each part is fully contained (containment 1.0) while its
+    // Jaccard vs the outer is ≈ 1/2. AllPairs prefix filtering restated
+    // for containment (inner-side rarest-gram prefix ⋈ outer-side full
+    // index), exact-intersect verify; the oracle recomputes char-8-gram
+    // containment with DuckDB list algebra.
+    "dedup_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select("doc_id", "text")
+      val outers = base.as("a")
+        .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .where(col("a.doc_id") % 2 === 0)
+        .select((col("a.doc_id") + 2000000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      Dedup.containmentPairs(base.unionByName(outers), "doc_id", "text",
+          shingleK = 8, tauPct = 90)
+        .orderBy("inner_id", "outer_id")
+    }),
+
     // Near-dup pair → CLUSTER resolution: connected components over the
     // deterministic exact-Jaccard pair graph (min-label propagation with
     // pointer doubling, O(log n) rounds — Clusters.connectedComponents).
@@ -2153,6 +2173,25 @@ object PipelineQueries {
         | AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |outr AS (SELECT a.doc_id + 2000000 AS doc_id,
+        |          a.text || ' ' || b.text AS text
+        |         FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |         WHERE a.doc_id % 2 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM outr),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 8, 0) + 1),
+        |    i -> substr(text, CAST(i + 1 AS INT), 8))) AS s
+        | FROM corpus)
+        |SELECT i.doc_id AS inner_id, o.doc_id AS outer_id,
+        | round(len(list_intersect(i.s, o.s)) * 1.0 / len(i.s), 6) AS containment
+        |FROM sh i JOIN sh o ON i.doc_id <> o.doc_id
+        | AND 100 * len(o.s) >= 90 * len(i.s)
+        |WHERE len(i.s) > 0
+        | AND 100 * len(list_intersect(i.s, o.s)) >= 90 * len(i.s)
         |ORDER BY 1, 2""".stripMargin,
 
     "dedup_cluster" ->

@@ -474,6 +474,28 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("containmentPairs: quote inclusion found asymmetrically; Jaccard would miss it") {
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val article = ("many words of unrelated framing prose come first here " * 4) +
+      quote + (" and then a long unrelated tail of commentary follows on " * 4)
+    val other = "completely different content with no overlap whatsoever present"
+    val docs = Seq((1L, quote), (2L, article), (3L, other), (4L, "tiny"))
+      .toDF("id", "text")
+    val pairs = graft.functions.Dedup
+      .containmentPairs(docs, "id", "text", shingleK = 8, tauPct = 90)
+      .as[(Long, Long, Double)].collect().toSet
+    // quote ⊂ article, containment 1.0; NOT the reverse; no other pairs;
+    // the sub-shingle doc (4) pairs with nothing
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $pairs")
+    assert(pairs.head._3 == 1.0)
+    // the same pair is invisible to symmetric Jaccard at any usable tau:
+    // |quote|-gram share of the article's grams is far below 51%
+    val jac = graft.functions.Dedup
+      .jaccardNearDupPairs(docs, "id", "text", shingleK = 8, tauPct = 51)
+      .count()
+    assert(jac == 0L, "Jaccard at tau=0.51 must NOT see the quote inclusion")
+  }
+
   test("canonicalizeUrl: case, www, default ports, slashes, tracking params, fragments") {
     val cases = Seq(
       // every hazard at once
