@@ -398,6 +398,52 @@ object TextFunctions {
           s => s.getField("__line"))).as("clean"))
   }
 
+  /** BM25 keyword relevance (Robertson & Zaragoza, FnTIR 2009; the
+    * Lucene idf form ln(1 + (N − df + ½)/(df + ½))) of each document
+    * against a fixed bag of query terms — the lexical ranking half of
+    * retrieval-based curation (keyword corpus slicing, seed-document
+    * expansion, BM25⊕cosine hybrid search).
+    *
+    * Execution shape: ONE bounded stats job at call time computes N,
+    * avgdl and the |terms| document frequencies (the df aggregation is
+    * restricted to the query terms before the shuffle, so the exchange
+    * carries ≤ |terms| rows); the returned frame then scores every
+    * document IN the scan — per-term tf via array filters on the token
+    * split, idf folded in as literals. No joins, no UDFs, zero
+    * corpus-keyed shuffles at any size.
+    *
+    * Tokenization is lowercased whitespace splitting (the corpus
+    * contract of the other text operators); swap the tokenizer at the
+    * call site if needed. Returns (id, dl, bm25 rounded to `dp`). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      dp: Int = 6): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      s"query terms must be distinct after lowercasing: $terms")
+    val qt = terms.map(_.toLowerCase)
+    val toks = split(lower(col(textCol)), " ")
+    // one bounded job: N, avgdl, and per-term document frequencies
+    val stats = docs.agg(
+      count(lit(1L)).as("n"), avg(size(toks)).as("avgdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val dfRow = docs.select(
+      qt.map(t => sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(t)): _*)
+      .head()
+    val idf = qt.zipWithIndex.map { case (t, i) =>
+      val df = dfRow.getLong(i).toDouble
+      t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }.toMap
+    val dl = size(toks).cast("double")
+    val score = qt.map { t =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      lit(idf(t)) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    docs.select(col(idCol), dl.cast("long").as("dl"), round(score, dp).as("bm25"))
+  }
+
   /** Multi-label public suffixes for [[registrableDomain]]'s simplified
     * eTLD+1 rule — the common two-label suffixes of the public suffix
     * list (publicsuffix.org); the full list is a swap-in for callers

@@ -359,6 +359,15 @@ object PipelineQueries {
           "doc_id", "text", shingleK = 5, tauPct = 51)
         .orderBy("id_a", "id_b")),
 
+    // BM25 keyword relevance (Lucene idf form) against a fixed query
+    // bag — the lexical half of retrieval-based curation. One bounded
+    // stats job (N, avgdl, per-term df, exchange ≤ |terms| rows), then
+    // every document scores in the scan with idf folded as literals.
+    "text_bm25" -> ((s, dir) =>
+      TF.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "query"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
+
     // ASYMMETRIC containment pairs — the doc-in-doc relation Jaccard
     // cannot see: planted "outer" docs are concatenations of two base
     // docs, so each part is fully contained (containment 1.0) while its
@@ -2174,6 +2183,33 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfa,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfb,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfc
+        |      FROM d),
+        |tf AS (SELECT doc_id, toks,
+        |        CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS ta,
+        |        CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tb,
+        |        CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tc
+        |       FROM d),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |        ln(1 + (n - dfa + 0.5)/(dfa + 0.5)) * ta * 2.2
+        |          / (ta + 1.2*(0.25 + 0.75*len(toks)/avgdl))
+        |      + ln(1 + (n - dfb + 0.5)/(dfb + 0.5)) * tb * 2.2
+        |          / (tb + 1.2*(0.25 + 0.75*len(toks)/avgdl))
+        |      + ln(1 + (n - dfc + 0.5)/(dfc + 0.5)) * tc * 2.2
+        |          / (tc + 1.2*(0.25 + 0.75*len(toks)/avgdl)) AS score
+        |       FROM tf, c)
+        |SELECT doc_id, dl, round(score, 6) AS bm25
+        |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),

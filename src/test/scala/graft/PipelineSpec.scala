@@ -474,6 +474,30 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("bm25Scores: hand-computed score, rare term outranks common, length norm") {
+    // corpus: 4 docs; 'rare' in one doc, 'common' in all
+    val docs = Seq(
+      (1L, "rare common alpha beta"),
+      (2L, "common gamma delta epsilon"),
+      (3L, "common common zeta eta theta iota"),
+      (4L, "common kappa")).toDF("id", "text")
+    val out = graft.functions.TextFunctions
+      .bm25Scores(docs, "id", "text", Seq("rare", "common"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val n = 4.0; val avgdl = (4 + 4 + 6 + 2) / 4.0
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp1 = BigDecimal(term(1, 4, 1) + term(1, 4, 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - exp1) < 1e-9, s"got ${out(1L)._2}, want $exp1")
+    // doc 1 (has the rare term) outranks every rare-less doc
+    assert(out(1L)._2 > out(2L)._2 && out(1L)._2 > out(3L)._2 && out(1L)._2 > out(4L)._2)
+    // length normalization: same tf of 'common' (1), shorter doc scores higher
+    assert(out(4L)._2 > out(2L)._2)
+  }
+
   test("containmentPairs: quote inclusion found asymmetrically; Jaccard would miss it") {
     val quote = "the quick brown fox jumps over the lazy dog again and again"
     val article = ("many words of unrelated framing prose come first here " * 4) +
