@@ -237,6 +237,26 @@ object Analytics {
     * chooses the percentile estimator — the default approx sketch is
     * mergeable (the 100 TB path, same tradeoff as
     * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * merge several top-k rankings of the same id space into one list by
+    * score(id) = Σ_lists 1/(k + rank). The standard hybrid-retrieval
+    * combiner (BM25 ⊕ embedding-cosine) — rank-based, so incomparable
+    * score scales never need calibration; `k` (=60 in the paper) damps
+    * the head. Inputs are (id, 1-based rank) frames — BOUNDED top-k
+    * lists by contract (rank assignment is the caller's ordering), so
+    * the fusion aggregates #lists·topK rows regardless of corpus size.
+    * Returns (id, rrf, n_lists), rrf rounded to `dp`. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String, k: Int = 60, dp: Int = 8): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 0, s"k must be non-negative, got $k")
+    rankings.map(df => df.select(col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(round(sum(lit(1.0) / (lit(k) + col(rankCol))), dp).as("rrf"),
+        count(lit(1L)).as("n_lists"))
+  }
+
   def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")

@@ -359,6 +359,27 @@ object PipelineQueries {
           "doc_id", "text", shingleK = 5, tauPct = 51)
         .orderBy("id_a", "id_b")),
 
+    // Reciprocal-rank fusion of two bounded top-50 rankings (BM25
+    // lexical ⊕ a length prior standing in for any second scorer):
+    // rank-based combination, no score calibration. Both rankings are
+    // TakeOrdered top-k lists BEFORE rank assignment, so the global
+    // row_number windows only ever see 50 rows.
+    "text_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val top1 = TF.bm25Scores(docs, "doc_id", "text",
+          Seq("spark", "join", "query"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val top2 = docs.select("doc_id", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      graft.ops.Analytics.reciprocalRankFusion(Seq(top1, top2), "doc_id", "rank")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+    }),
+
     // BM25 keyword relevance (Lucene idf form) against a fixed query
     // bag — the lexical half of retrieval-based curation. One bounded
     // stats job (N, avgdl, per-term df, exchange ≤ |terms| rows), then
@@ -2183,6 +2204,43 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "text_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfa,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfb,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfc
+        |      FROM d),
+        |tf AS (SELECT doc_id, toks,
+        |        CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS ta,
+        |        CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tb,
+        |        CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tc
+        |       FROM d),
+        |sc AS (SELECT doc_id, round(
+        |        ln(1 + (n - dfa + 0.5)/(dfa + 0.5)) * ta * 2.2
+        |          / (ta + 1.2*(0.25 + 0.75*len(toks)/avgdl))
+        |      + ln(1 + (n - dfb + 0.5)/(dfb + 0.5)) * tb * 2.2
+        |          / (tb + 1.2*(0.25 + 0.75*len(toks)/avgdl))
+        |      + ln(1 + (n - dfc + 0.5)/(dfc + 0.5)) * tc * 2.2
+        |          / (tc + 1.2*(0.25 + 0.75*len(toks)/avgdl)), 6) AS bm25
+        |       FROM tf, c),
+        |r1 AS (SELECT doc_id, rn AS rank FROM
+        |        (SELECT doc_id, row_number() OVER
+        |          (ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+        |       WHERE rn <= 50),
+        |r2 AS (SELECT doc_id, rn AS rank FROM
+        |        (SELECT doc_id, row_number() OVER
+        |          (ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+        |       WHERE rn <= 50),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT doc_id, round(sum(1.0/(60 + rank)), 8) AS rrf,
+        | CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     "text_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks

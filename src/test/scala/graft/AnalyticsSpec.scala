@@ -7,6 +7,24 @@ import org.apache.spark.sql.functions._
   * by their DuckDB oracles: as-of join edges (ties, no-match, collisions)
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
+
+  test("reciprocalRankFusion: consensus beats a single first place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // list A: x first, y second; list B: y first, z second; y's consensus
+    // (2nd+1st) must outrank x's lone 1st at k=60
+    val a = Seq(("x", 1), ("y", 2)).toDF("id", "rank")
+    val b = Seq(("y", 1), ("z", 2)).toDF("id", "rank")
+    val fused = graft.ops.Analytics
+      .reciprocalRankFusion(Seq(a, b), "id", "rank")
+      .orderBy(col("rrf").desc, col("id"))
+      .as[(String, Double, Long)].collect()
+    assert(fused.map(_._1).toSeq == Seq("y", "x", "z"))
+    assert(fused.head._3 == 2L && fused(1)._3 == 1L)
+    val exp = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(fused.head._2 - exp) < 1e-12)
+  }
   import spark.implicits._
 
   test("rollingAnomalies: spike flagged against trailing HISTORY, thin history never flags") {
