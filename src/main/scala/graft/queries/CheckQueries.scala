@@ -136,6 +136,33 @@ object CheckQueries {
           Some(Bound.Str("2024-01-20 00:00:00")),
           inclusive = false, Some("50%"), "tsrange")))),
 
+    // One-scan whole-table profile — the colstats pass generalized to
+    // every column at once (nulls, HLL distinct, numeric min/max,
+    // string lengths; one fused scan + a 1-row exchange at any width).
+    // Exact distincts ride the oracle query only, to bound the HLL
+    // estimate within 5%.
+    "chk_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      val prof = graft.ops.Profiler.profileTable(ev, cols)
+      val exact = ev.agg(
+        countDistinct(col(cols.head)).as("__e0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          countDistinct(col(c)).as(s"__e${i + 1}") }: _*)
+      val exactRows = exact.select(inline(array(cols.zipWithIndex.map {
+        case (c, i) => struct(lit(c).as("column"), col(s"__e$i").as("n_distinct_exact"))
+      }: _*)))
+      prof.join(exactRows, "column")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct_exact"),
+          (abs(col("n_distinct_est") - col("n_distinct_exact")) * 100 <=
+            col("n_distinct_exact") * 5).as("distinct_ok"),
+          round(col("min_num"), 4).as("min_num"),
+          round(col("max_num"), 4).as("max_num"),
+          col("min_len"), col("max_len"))
+        .orderBy("column")
+    }),
+
     // ---- source loaders beyond parquet, proven against the same rows ----
     "chk_orc" -> ((s, dir) =>
       Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
@@ -297,6 +324,49 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_profile" ->
+      """SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_exact,
+        | true AS distinct_ok,
+        | round(CAST(min(event_id) AS DOUBLE), 4) AS min_num,
+        | round(CAST(max(event_id) AS DOUBLE), 4) AS max_num,
+        | CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(user_id) AS BIGINT),
+        | CAST(count(DISTINCT user_id) AS BIGINT), true,
+        | round(CAST(min(user_id) AS DOUBLE), 4),
+        | round(CAST(max(user_id) AS DOUBLE), 4),
+        | CAST(NULL AS INT), CAST(NULL AS INT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(event_type) AS BIGINT),
+        | CAST(count(DISTINCT event_type) AS BIGINT), true,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        | CAST(min(length(event_type)) AS INT),
+        | CAST(max(length(event_type)) AS INT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(value) AS BIGINT),
+        | CAST(count(DISTINCT value) AS BIGINT), true,
+        | round(CAST(min(value) AS DOUBLE), 4),
+        | round(CAST(max(value) AS DOUBLE), 4),
+        | CAST(NULL AS INT), CAST(NULL AS INT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', CAST(count(*) AS BIGINT),
+        | CAST(count(*) - count(props) AS BIGINT),
+        | CAST(count(DISTINCT props) AS BIGINT), true,
+        | CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        | CAST(min(length(props)) AS INT),
+        | CAST(max(length(props)) AS INT)
+        |FROM events
+        |ORDER BY "column"""".stripMargin,
 
     // CASE guard on mx = mn mirrors Runner.secondPassCols (binSize == 0 →
     // everything in bin 0) — without it a constant column would divide by

@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("profileTable: per-column stats in one scan, type-aware nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(2.5), Some("aa")),
+      (2L, None, Some("bbbb")),
+      (3L, Some(7.5), None),
+      (3L, Some(2.5), Some("c"))).toDF("id", "v", "s")
+    val p = graft.ops.Profiler.profileTable(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0)
+    assert(p("v").getLong(2) == 1 && p("s").getLong(2) == 1)
+    // HLL at rsd=0.02 is exact at these cardinalities
+    assert(p("id").getLong(3) == 3 && p("v").getLong(3) == 2)
+    assert(p("id").getDouble(4) == 1.0 && p("id").getDouble(5) == 3.0)
+    assert(p("v").getDouble(4) == 2.5 && p("v").getDouble(5) == 7.5)
+    // strings: no numeric min/max, length bounds instead
+    assert(p("s").isNullAt(4) && p("s").isNullAt(5))
+    assert(p("s").getInt(6) == 1 && p("s").getInt(7) == 4)
+    assert(p("id").isNullAt(6) && p("id").isNullAt(7))
+    // ONE scan + a single 1-row exchange regardless of width
+    val plan = graft.ops.Profiler.profileTable(df)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"one exchange expected:\n$plan")
+  }
+
   test("reciprocalRankFusion: consensus beats a single first place") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
