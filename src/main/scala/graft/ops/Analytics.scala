@@ -237,6 +237,39 @@ object Analytics {
     * chooses the percentile estimator — the default approx sketch is
     * mergeable (the 100 TB path, same tradeoff as
     * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  /** Exponentially-weighted moving average over the trailing `window`
+    * observations of each partition: ewma_t = Σᵢ(1−α)ⁱ·x_{t−i} /
+    * Σᵢ(1−α)ⁱ (i = 0..w−1, current row heaviest) — trend smoothing for
+    * metric streams, the complement of [[rollingAnomalies]]'s
+    * spike detection. The window is FINITE by design: the infinite
+    * recurrence is not expressible as a frame aggregate (and the
+    * truncated tail's weight decays geometrically), while the finite
+    * form is one window collect + an in-scan fold — a single partition
+    * exchange, no self-joins, no recursion, and an external engine can
+    * restate it exactly.
+    *
+    * Output adds `out` (rounded to `dp`) next to the input columns. */
+  def ewma(df: DataFrame, partition: Seq[Column], order: Seq[Column],
+      value: Column, alpha: Double, window: Int,
+      out: String = "ewma", dp: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(window > 0, s"window must be positive, got $window")
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(-(window - 1), 0)
+    // frame order = order spec, so reverse() puts the CURRENT row first
+    val rev = reverse(collect_list(value).over(w))
+    val decay = lit(1.0 - alpha)
+    val num = aggregate(
+      zip_with(rev, sequence(lit(0), size(rev) - 1),
+        (x, i) => x * pow(decay, i.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val den = aggregate(
+      transform(sequence(lit(0), size(rev) - 1),
+        i => pow(decay, i.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    df.withColumn(out, round(num / den, dp))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge several top-k rankings of the same id space into one list by
     * score(id) = Σ_lists 1/(k + rank). The standard hybrid-retrieval

@@ -390,6 +390,18 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Finite-window EWMA trend smoothing per user (window 5, α=0.5):
+    // one window collect + an in-scan weighted fold — single exchange,
+    // no self-join. The oracle restates the same weights via a bounded
+    // row_number inequality join.
+    "q_ewma" -> ((s, dir) =>
+      Analytics.ewma(
+          t(s, dir, "events").where(col("user_id") < 10)
+            .select("event_id", "user_id", "ts", "value"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+          col("value"), alpha = 0.5, window = 5)
+        .select("event_id", "ewma").orderBy("event_id")),
+
     // Rolling z-score anomalies: events more than 3 rolling stddevs
     // from their user's trailing-hour HISTORY (current row excluded —
     // see rollingAnomalies). Flag from rounded stats —
@@ -697,6 +709,19 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, value, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |       FROM events WHERE user_id < 10),
+        |j AS (SELECT a.event_id,
+        |       sum(b.value * pow(0.5, a.rn - b.rn)) AS num,
+        |       sum(pow(0.5, a.rn - b.rn)) AS den
+        |      FROM e a JOIN e b ON a.user_id = b.user_id
+        |       AND b.rn BETWEEN a.rn - 4 AND a.rn
+        |      GROUP BY 1)
+        |SELECT event_id, round(num / den, 6) AS ewma
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

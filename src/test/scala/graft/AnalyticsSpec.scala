@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("ewma: hand-computed weights, warm-up rows, window aging") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one series: 10, 20, 40; alpha=0.5 -> weights 1, 1/2, 1/4 (current first)
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0),
+      (2L, 1L, 7.0)).toDF("k", "t", "v")
+    val got = graft.ops.Analytics.ewma(df, Seq(col("k")), Seq(col("t")),
+        col("v"), alpha = 0.5, window = 2)
+      .orderBy("k", "t").select("ewma").as[Double].collect()
+    // k=1: t1: 10; t2: (20 + 10*0.5)/1.5; t3: (40 + 20*0.5)/1.5 (10 aged out)
+    assert(got(0) == 10.0)
+    assert(got(1) == BigDecimal(25.0 / 1.5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2) == BigDecimal(50.0 / 1.5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // singleton partition: ewma = value
+    assert(got(3) == 7.0)
+  }
+
   test("profileTable: per-column stats in one scan, type-aware nulls") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
