@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination: flag (or drop) training documents that
@@ -214,6 +214,43 @@ case class BloomAnyContain(left: Expression, right: Expression)
   * of a plan literal — the Scala-API route ([[Decontam.mightContainAny]]):
   * plan strings and canonical forms stay small no matter the filter
   * size; executors deserialize the broadcast bytes once per task. */
+/** Per-hash membership COUNT against the broadcast Bloom sketch — the
+  * counting sibling of [[BloomAnyContainBroadcast]] for fraction-valued
+  * overlap ([[Decontam.gramOverlapFractionBloom]]): every element is
+  * probed (no short-circuit — the count is the answer), nulls skipped.
+  * One-sided like the filter itself: the count can only overcount. */
+case class BloomCountHashes(child: Expression,
+    sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bloom_count_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_count_hashes requires array<bigint>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.value))
+
+  override def nullSafeEval(hashes: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    var hits = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && filter.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomCountHashes =
+    copy(child = newChild)
+}
+
 case class BloomAnyContainBroadcast(child: Expression,
     sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
     extends UnaryExpression with CodegenFallback {

@@ -406,13 +406,18 @@ object RelationalQueries {
     // from their user's trailing-hour HISTORY (current row excluded —
     // see rollingAnomalies). Flag from rounded stats —
     // engine-deterministic boundary.
+    // Per-type rollup (counts thin histories separately) so the result
+    // has rows at EVERY scale factor — an anomaly-free window is data,
+    // not an empty result; flagged-event detail stays on the API.
     "q_anomaly" -> ((s, dir) =>
       Analytics.rollingAnomalies(t(s, dir, "events"), Seq(col("user_id")),
           col("ts"), 3600, col("value"), k = 3.0)
-        .where(col("is_anomaly"))
-        .select(col("event_id"), col("user_id"),
-          round(col("value"), 4).as("value"), col("roll_mean"), col("roll_std"))
-        .orderBy("event_id")),
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_events"),
+          sum(when(col("roll_std").isNull, 1L).otherwise(0L)).as("n_thin"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(when(col("is_anomaly"), col("value"))), 4).as("max_anomaly_value"))
+        .orderBy("event_type")),
 
     // Distribution drift (PSI, 10 equi-width bins over the combined
     // range, Laplace-smoothed): view-event values vs purchase-event
@@ -646,17 +651,22 @@ object RelationalQueries {
         |FROM lineitem""".stripMargin,
 
     "q_anomaly" ->
-      """WITH r AS (SELECT event_id, user_id, value,
+      """WITH r AS (SELECT event_type, value,
         |  round(avg(value) OVER w, 6) AS roll_mean,
         |  round(stddev_samp(value) OVER w, 6) AS roll_std
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |              RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING))
-        |SELECT event_id, user_id, round(value, 4) AS value,
-        | roll_mean, roll_std
-        |FROM r
-        |WHERE roll_std IS NOT NULL AND abs(value - roll_mean) > 3 * roll_std
-        |ORDER BY event_id""".stripMargin,
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN roll_std IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_thin,
+        | CAST(sum(CASE WHEN roll_std IS NOT NULL
+        |   AND abs(value - roll_mean) > 3 * roll_std THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_anomalies,
+        | round(max(CASE WHEN roll_std IS NOT NULL
+        |   AND abs(value - roll_mean) > 3 * roll_std THEN value END), 4)
+        |   AS max_anomaly_value
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_drift_psi" ->
       """WITH va AS (SELECT value AS v FROM events
