@@ -138,6 +138,57 @@ object Decontam {
     GraftColumn(BloomContainsGram(GraftColumn.expr(text), n, sketch))
   }
 
+  /** Per-document OVERLAP FRACTION against a reference corpus's
+    * distinct character n-grams — fraction-valued novelty/memorization
+    * scoring, the generalization of the boolean decontamination gate:
+    * score how much of each document the reference has already "seen"
+    * (dedup-resistant paraphrase detection, memorization auditing,
+    * novelty-weighted sampling).
+    *
+    * Exact path: reference grams deduplicate once and BROADCAST; the
+    * corpus side explodes its distinct gram hashes and aggregates back
+    * to one row per document — one id-keyed shuffle of (id, 8-byte
+    * hash) pairs, document bodies never leave the scan. Output:
+    * (id, n_grams, n_seen, overlap_frac). Documents with no grams
+    * (empty text) have no rows. */
+  def gramOverlapFraction(corpus: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, dp: Int = 6): DataFrame = {
+    require(n > 0, "n-gram length must be positive")
+    val refGrams = ref
+      .select(explode(GraftFunctions.charShingleHashes(col(textCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol),
+        explode(GraftFunctions.charShingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(refGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1L)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_seen"))
+      .withColumn("overlap_frac",
+        round(col("n_seen").cast("double") / col("n_grams"), dp))
+  }
+
+  /** Sketch path of [[gramOverlapFraction]]: the reference is a Bloom
+    * sketch ([[buildGramBloom]]) probed per distinct gram hash IN the
+    * scan ([[BloomCountHashes]]) — zero shuffles, zero explodes, and
+    * the reference never re-reads. One-sided: n_seen can only
+    * overcount (by ≈ fpp·n_grams), so the fraction upper-bounds the
+    * exact one — the safe direction for contamination-style gates. */
+  def gramOverlapFractionBloom(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, sketch: Array[Byte], dp: Int = 6): DataFrame = {
+    require(n > 0, "n-gram length must be positive")
+    import org.apache.spark.sql.GraftColumn
+    val hashes = GraftFunctions.charShingleHashes(col(textCol), n)
+    corpus
+      .select(col(idCol), size(hashes).as("n_grams"),
+        GraftColumn(BloomCountHashes(GraftColumn.expr(hashes),
+          broadcastSketch(sketch))).cast("long").as("n_seen"))
+      .where(col("n_grams") > 0)
+      .withColumn("overlap_frac",
+        round(col("n_seen").cast("double") / col("n_grams"), dp))
+  }
+
   /** Sketched contamination flagging: ids of corpus docs whose any gram
     * MIGHT overlap the benchmark. Superset of [[contaminatedIds]]'s
     * result by construction (Bloom filters have no false negatives).

@@ -380,6 +380,38 @@ object PipelineQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }),
 
+    // Fraction-valued novelty/memorization scoring: per-doc overlap of
+    // distinct char-13-grams against the English reference corpus,
+    // rolled up per source. The Bloom-sketch path rides as verdicts:
+    // one-sided (sketch n_seen ≥ exact n_seen, never under) and
+    // bounded by n_grams — the 100 TB shape where the reference never
+    // re-reads and the corpus never shuffles.
+    "pipeline_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("lang") === "en")
+      val rest = docs.where(col("lang") =!= "en")
+      val exact = graft.functions.Decontam
+        .gramOverlapFraction(rest, ref, "doc_id", "text", n = 13)
+      val sketch = graft.functions.Decontam
+        .buildGramBloom(ref, "text", 13, expectedGrams = 200000, fpp = 0.01)
+      val blm = graft.functions.Decontam
+        .gramOverlapFractionBloom(rest, "doc_id", "text", 13, sketch)
+        .select(col("doc_id"), col("n_seen").as("bloom_seen"))
+      val joined = exact.join(blm, "doc_id")
+        .join(rest.select("doc_id", "source"), "doc_id")
+      joined.groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+          round(avg(col("n_seen").cast("double") / col("n_grams")), 6)
+            .as("avg_overlap"),
+          round(min(col("overlap_frac")), 6).as("min_overlap"),
+          round(max(col("overlap_frac")), 6).as("max_overlap"),
+          (sum(when(col("bloom_seen") < col("n_seen"), 1L).otherwise(0L)) === 0)
+            .as("bloom_one_sided_ok"),
+          (sum(when(col("bloom_seen") > col("n_grams"), 1L).otherwise(0L)) === 0)
+            .as("bloom_bounded_ok"))
+        .orderBy("source")
+    }),
+
     // BM25 keyword relevance (Lucene idf form) against a fixed query
     // bag — the lexical half of retrieval-based curation. One bounded
     // stats job (N, avgdl, per-term df, exchange ≤ |terms| rows), then
@@ -2204,6 +2236,27 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_novelty" ->
+      """WITH refg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 13, 0) + 1),
+        |    i -> substr(text, CAST(i + 1 AS INT), 13)))) AS g
+        |  FROM documents WHERE lang = 'en'),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 13, 0) + 1),
+        |    i -> substr(text, CAST(i + 1 AS INT), 13)))) AS g
+        |  FROM documents WHERE lang <> 'en'),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_seen
+        |      FROM cg LEFT JOIN refg r USING (g) GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(h.n_seen * 1.0 / h.n_grams), 6) AS avg_overlap,
+        | round(min(round(h.n_seen * 1.0 / h.n_grams, 6)), 6) AS min_overlap,
+        | round(max(round(h.n_seen * 1.0 / h.n_grams, 6)), 6) AS max_overlap,
+        | true AS bloom_one_sided_ok, true AS bloom_bounded_ok
+        |FROM h JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "text_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks

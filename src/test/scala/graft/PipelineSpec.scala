@@ -474,6 +474,30 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("gramOverlapFraction: exact fractions; bloom path one-sided and bounded") {
+    val ref = Seq((100L, "abcdefghij")).toDF("id", "t") // grams: abcde..fghij (k=5)
+    val corpus = Seq(
+      (1L, "abcdefghij"), // identical -> 1.0
+      (2L, "abcdeZZZZZ"), // shares exactly gram 'abcde'
+      (3L, "QQQQQWWWWW")) // disjoint -> 0.0
+      .toDF("id", "t")
+    val ex = graft.functions.Decontam
+      .gramOverlapFraction(corpus, ref, "id", "t", n = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ex(1L)._4 == 1.0)
+    assert(ex(3L)._4 == 0.0)
+    // doc 2: 6 distinct 5-grams, exactly one ('abcde') seen
+    assert(ex(2L)._2 == 6L && ex(2L)._3 == 1L)
+    val sk = graft.functions.Decontam.buildGramBloom(ref, "t", 5, 1000L, 0.001)
+    val bl = graft.functions.Decontam
+      .gramOverlapFractionBloom(corpus, "id", "t", 5, sk)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    ex.foreach { case (id, e) =>
+      assert(bl(id)._3 >= e._3, s"bloom under-counted doc $id")
+      assert(bl(id)._3 <= e._2, s"bloom exceeded gram count for doc $id")
+    }
+  }
+
   test("bm25Scores: hand-computed score, rare term outranks common, length norm") {
     // corpus: 4 docs; 'rare' in one doc, 'common' in all
     val docs = Seq(
