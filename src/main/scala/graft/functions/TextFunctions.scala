@@ -398,6 +398,24 @@ object TextFunctions {
           s => s.getField("__line"))).as("clean"))
   }
 
+  /** Shannon entropy (bits/char) of the text's character distribution —
+    * the compressibility quality signal: near-0 for degenerate repeats
+    * (aaaa…), ~log₂(alphabet) for encoded/random payloads (base64
+    * blobs, minified noise), mid-range for natural language. The
+    * standard cheap gibberish gate next to [[qualityScore]].
+    *
+    * Pure in-scan HOF algebra: char split → per-distinct-char counts →
+    * −Σ p·log₂p fold. O(distinct·length) per row — bounded by the
+    * alphabet, no shuffle, no UDF. Empty text scores 0. */
+  def charEntropy(c: Column, dp: Int = 6): Column = {
+    val chars = filter(split(c, ""), x => x =!= "")
+    val n = size(chars).cast("double")
+    val counts = transform(array_distinct(chars),
+      ch => size(filter(chars, x => x === ch)).cast("double"))
+    round(aggregate(counts, lit(0.0),
+      (acc, cnt) => acc - (cnt / n) * log(2.0, cnt / n)), dp)
+  }
+
   /** BM25 keyword relevance (Robertson & Zaragoza, FnTIR 2009; the
     * Lucene idf form ln(1 + (N − df + ½)/(df + ½))) of each document
     * against a fixed bag of query terms — the lexical ranking half of

@@ -380,6 +380,19 @@ object PipelineQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }),
 
+    // Character-entropy quality signal per source — the
+    // compressibility gibberish gate (near-0 degenerate repeats,
+    // ~log2(alphabet) encoded noise, mid-range natural language).
+    "text_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), TF.charEntropy(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+          round(avg(col("h")), 6).as("avg_entropy"),
+          round(min(col("h")), 6).as("min_entropy"),
+          round(max(col("h")), 6).as("max_entropy"))
+        .orderBy("source")),
+
     // Fraction-valued novelty/memorization scoring: per-doc overlap of
     // distinct char-13-grams against the English reference corpus,
     // rolled up per source. The Bloom-sketch path rides as verdicts:
@@ -2236,6 +2249,21 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "text_entropy" ->
+      """WITH d AS (SELECT source, string_split(text, '') AS cs
+        |           FROM documents),
+        |e AS (SELECT source, round(coalesce(list_sum(list_transform(
+        |        list_distinct(cs), c ->
+        |          -(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+        |          * log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+        |      )), 0), 6) AS h
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(h), 6) AS avg_entropy,
+        | round(min(h), 6) AS min_entropy,
+        | round(max(h), 6) AS max_entropy
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_novelty" ->
       """WITH refg AS (SELECT DISTINCT unnest(list_distinct(list_transform(

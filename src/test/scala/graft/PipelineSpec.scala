@@ -474,6 +474,21 @@ class PipelineSpec extends SparkSuite {
     assert(s(1L) == "changed")
   }
 
+  test("charEntropy: hand-computed values, degenerate and uniform extremes") {
+    val got = Seq("aaaa", "abab", "abcd", "", "aab")
+      .toDF("t")
+      .select(graft.functions.TextFunctions.charEntropy(col("t")))
+      .as[Double].collect()
+    assert(got(0) == 0.0) // degenerate repeat
+    assert(got(1) == 1.0) // two equiprobable symbols
+    assert(got(2) == 2.0) // four equiprobable symbols
+    assert(got(3) == 0.0) // empty text
+    val h = -(2.0 / 3) * math.log(2.0 / 3) / math.log(2) -
+      (1.0 / 3) * math.log(1.0 / 3) / math.log(2)
+    assert(math.abs(got(4) - BigDecimal(h).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("gramOverlapFraction: exact fractions; bloom path one-sided and bounded") {
     val ref = Seq((100L, "abcdefghij")).toDF("id", "t") // grams: abcde..fghij (k=5)
     val corpus = Seq(
