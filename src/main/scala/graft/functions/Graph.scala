@@ -94,4 +94,58 @@ object Graph {
     deg.unpersist(blocking = false)
     ranks
   }
+
+  /** Fixed-iteration HITS (Kleinberg, JACM 1999): mutually-recursive hub
+    * and authority scores over a directed edge list —
+    *
+    *   a(v) ∝ Σ_{(u,v)∈E} h(u)      h(u) ∝ Σ_{(u,v)∈E} a(v)
+    *
+    * each L2-normalized per half-step (the power iteration on AᵀA/AAᵀ).
+    * PageRank's complement for curation: PageRank finds endorsed pages,
+    * HITS separates DIRECTORIES (hubs — link to many good pages) from
+    * SOURCES (authorities — linked by many good hubs), the split that
+    * matters when picking seed lists vs content pages.
+    *
+    * Same per-round discipline as [[pageRank]]: each half-step is one
+    * node-keyed equi-join + one partial-aggregated sum; the only driver
+    * scalar is the 1-row L2 norm; scores are localCheckpoint'ed so
+    * lineage stays constant. Fixed iterations keep the result exactly
+    * restatable by an unrolled SQL oracle. Returns (id, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize the persisted node set
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      // 1-row L2 norm: the only driver scalar per half-step; an edgeless
+      // graph cannot reach here (nodes come from edges)
+      val norm = math.sqrt(raw.agg(
+        coalesce(sum(col(scoreCol) * col(scoreCol)), lit(0.0))).head.getDouble(0))
+      require(norm > 0, "HITS norm collapsed to 0 — empty edge set?")
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), (coalesce(col(scoreCol), lit(0.0)) / norm).as(scoreCol))
+        .localCheckpoint(true)
+    }
+    var hubs = nodes.select(col("id"), lit(1.0).as("h")).localCheckpoint(true)
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      auths = normalized(
+        e.join(hubs.select(col("id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("a")), "a")
+      hubs = normalized(
+        e.join(auths.select(col("id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("h")), "h")
+      it += 1
+    }
+    val out = hubs.join(auths, "id").select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
 }

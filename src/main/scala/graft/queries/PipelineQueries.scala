@@ -1944,6 +1944,19 @@ object PipelineQueries {
         .select(col("id").as("word"), round(col("r"), 6).as("pr"))
         .orderBy("word")
     }),
+
+    // HITS hubs/authorities over the same word co-occurrence graph —
+    // PageRank's complement: directories (hubs) vs sources
+    // (authorities), L2-normalized per half-step, 2 unrolled
+    // iterations for the exact SQL restatement.
+    "graph_hits" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.hits(edges, "src", "dst", iterations = 2)
+        .select(col("id").as("word"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("word")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3486,5 +3499,33 @@ object PipelineQueries {
         |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c3.c,0.0)+s3.s/nn.n) AS r
         |       FROM nodes CROSS JOIN nn CROSS JOIN s3 LEFT JOIN c3 ON nodes.id=c3.id)
         |SELECT id AS word, round(r, 6) AS pr FROM r3 ORDER BY word""".stripMargin,
+
+    "graph_hits" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS a FROM e GROUP BY dst),
+        |n1 AS (SELECT sqrt(sum(a*a)) AS z FROM a1r),
+        |a1 AS (SELECT nodes.id, coalesce(a1r.a, 0.0)/n1.z AS a
+        |       FROM nodes CROSS JOIN n1 LEFT JOIN a1r ON nodes.id = a1r.id),
+        |h1r AS (SELECT e.src AS id, sum(a1.a) AS h
+        |        FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+        |m1 AS (SELECT sqrt(sum(h*h)) AS z FROM h1r),
+        |h1 AS (SELECT nodes.id, coalesce(h1r.h, 0.0)/m1.z AS h
+        |       FROM nodes CROSS JOIN m1 LEFT JOIN h1r ON nodes.id = h1r.id),
+        |a2r AS (SELECT e.dst AS id, sum(h1.h) AS a
+        |        FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+        |n2 AS (SELECT sqrt(sum(a*a)) AS z FROM a2r),
+        |a2 AS (SELECT nodes.id, coalesce(a2r.a, 0.0)/n2.z AS a
+        |       FROM nodes CROSS JOIN n2 LEFT JOIN a2r ON nodes.id = a2r.id),
+        |h2r AS (SELECT e.src AS id, sum(a2.a) AS h
+        |        FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+        |m2 AS (SELECT sqrt(sum(h*h)) AS z FROM h2r),
+        |h2 AS (SELECT nodes.id, coalesce(h2r.h, 0.0)/m2.z AS h
+        |       FROM nodes CROSS JOIN m2 LEFT JOIN h2r ON nodes.id = h2r.id)
+        |SELECT h2.id AS word, round(h2.h, 6) AS hub, round(a2.a, 6) AS auth
+        |FROM h2 JOIN a2 ON h2.id = a2.id ORDER BY word""".stripMargin,
   )
 }

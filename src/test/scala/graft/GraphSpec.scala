@@ -4,6 +4,27 @@ import graft.functions.Graph
 import org.apache.spark.sql.functions._
 
 class GraphSpec extends SparkSuite {
+
+  test("HITS: hand-computed two-iteration hub/authority scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // h links both authorities, x links one; a1 is the stronger authority
+    val edges = Seq(("h", "a1"), ("h", "a2"), ("x", "a1")).toDF("s", "d")
+    val out = graft.functions.Graph.hits(edges, "s", "d", iterations = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // iter2 closed form: auth = (5, 3)/sqrt(34) on (a1, a2); hub = (8, 5)/sqrt(89)
+    assert(math.abs(out("a1")._2 - 5 / math.sqrt(34)) < 1e-12)
+    assert(math.abs(out("a2")._2 - 3 / math.sqrt(34)) < 1e-12)
+    assert(math.abs(out("h")._1 - 8 / math.sqrt(89)) < 1e-12)
+    assert(math.abs(out("x")._1 - 5 / math.sqrt(89)) < 1e-12)
+    // pure hubs have zero authority and vice versa
+    assert(out("h")._2 == 0.0 && out("x")._2 == 0.0)
+    assert(out("a1")._1 == 0.0 && out("a2")._1 == 0.0)
+    // L2 norms are 1 per score vector
+    val sq = out.values.toSeq
+    assert(math.abs(sq.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
+    assert(math.abs(sq.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
+  }
   import spark.implicits._
 
   test("pageRank matches the hand-computed first iteration on a 3-node graph") {
