@@ -308,6 +308,34 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"only the summary agg may shuffle:\n$p")
   }
 
+  test("round-8 operators: scan-shaped plans (no joins/exchanges where none belong)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // BM25 scoring is a pure scan projection: the df/stats jobs run at
+    // call time; the RETURNED plan must have no join and no exchange
+    val bm = plan(graft.functions.TextFunctions.bm25Scores(
+      docs, "doc_id", "text", Seq("key", "value")))
+    assert(!bm.contains("Join"), s"bm25 scoring must not join:\n$bm")
+    assert(!bm.contains("Exchange"), s"bm25 scoring must not shuffle:\n$bm")
+    // Bloom overlap fraction: in-scan probe, zero shuffles
+    val sk = graft.functions.Decontam.buildGramBloom(docs, "text", 13, 1000L, 0.01)
+    val ov = plan(graft.functions.Decontam.gramOverlapFractionBloom(
+      docs, "doc_id", "text", 13, sk))
+    assert(!ov.contains("Exchange") && !ov.contains("Join"),
+      s"bloom overlap must stay in the scan:\n$ov")
+    // containment candidates ride equi-joins only — never a cartesian
+    val cp = plan(graft.functions.Dedup.containmentPairs(
+      docs.limit(50), "doc_id", "text", materialize = false))
+    assert(!cp.contains("Cartesian") && !cp.contains("BroadcastNestedLoop"),
+      s"containment must not go quadratic:\n$cp")
+    // canonicalizeUrl / registrableDomain / charEntropy: scan-only
+    val cu = plan(docs.select(
+      graft.functions.TextFunctions.canonicalizeUrl(col("text")),
+      graft.functions.TextFunctions.registrableDomain(col("source")),
+      graft.functions.TextFunctions.charEntropy(col("text"))))
+    assert(!cu.contains("Exchange"), s"URL/entropy ops must stay in the scan:\n$cu")
+  }
+
   test("KLL sketch aggregation partial-aggregates map-side (blob exchange, not row exchange)") {
     import org.apache.spark.sql.functions.col
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
