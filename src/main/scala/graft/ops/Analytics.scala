@@ -237,6 +237,52 @@ object Analytics {
     * chooses the percentile estimator — the default approx sketch is
     * mergeable (the 100 TB path, same tradeoff as
     * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the statistical sibling of [[driftPsi]] for CATEGORICAL
+    * drift and leakage checks (is `label` independent of `source`? did
+    * the class mix shift between shards?). Returns one row:
+    * (chi2, dof, n, cramers_v) — Cramér's V = √(χ²/(n·(min(r,c)−1)))
+    * normalizes the statistic to [0,1] for thresholding without a CDF.
+    *
+    * Scale shape: one groupBy over the (a,b) pair (cells ≤ |A|·|B| —
+    * categorical by assumption), marginals derived from the SAME cell
+    * counts (window sums over the cell table, not a second scan);
+    * everything after the cell aggregation is cell-cardinality work.
+    * Null categories are excluded (no category, no cell). */
+  def chiSquare(df: DataFrame, a: Column, b: Column, dp: Int = 6): DataFrame = {
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .agg(count(lit(1L)).as("__o"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val wAll = Window.partitionBy()
+    val scored = cells
+      .withColumn("__ra", sum(col("__o")).over(wa))
+      .withColumn("__cb", sum(col("__o")).over(wb))
+      .withColumn("__n", sum(col("__o")).over(wAll))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__cb") / col("__n"))
+      .withColumn("__t",
+        (col("__o") - col("__e")) * (col("__o") - col("__e")) / col("__e"))
+    // observed-zero cells contribute E (= (O-E)²/E at O=0) — they are
+    // absent from the cell table, so add Σ_present (E - term-at-zero)
+    // correction implicitly: χ² over ALL cells = Σ_all (O-E)²/E
+    //   = Σ_present (O-E)²/E + Σ_absent E
+    //   = Σ_present ((O-E)²/E - E) + Σ_all E, and Σ_all E = n
+    scored.agg(
+      round(sum(col("__t") - col("__e")) +
+        max(col("__n")).cast("double"), dp).as("chi2"),
+      ((countDistinct(col("__a")) - 1) *
+        (countDistinct(col("__b")) - 1)).as("dof"),
+      max(col("__n")).as("n"),
+      round(when(least(countDistinct(col("__a")), countDistinct(col("__b"))) > 1,
+        sqrt((sum(col("__t") - col("__e")) + max(col("__n"))) /
+          (max(col("__n")) *
+            (least(countDistinct(col("__a")), countDistinct(col("__b"))) - 1)))), dp)
+        .as("cramers_v")) // V undefined (NULL) for a single-category side
+  }
+
   /** Exponentially-weighted moving average over the trailing `window`
     * observations of each partition: ewma_t = Σᵢ(1−α)ⁱ·x_{t−i} /
     * Σᵢ(1−α)ⁱ (i = 0..w−1, current row heaviest) — trend smoothing for

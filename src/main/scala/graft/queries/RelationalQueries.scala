@@ -390,6 +390,14 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Chi-square independence between event type and a user bucket —
+    // categorical drift/leakage testing with Cramér's V effect size.
+    // One (a,b) cell aggregation; marginals derived from the same cell
+    // table; absent cells folded in via the Σ_all E = n identity.
+    "q_chi2" -> ((s, dir) =>
+      Analytics.chiSquare(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 5)),
+
     // Finite-window EWMA trend smoothing per user (window 5, α=0.5):
     // one window collect + an in-scan weighted fold — single exchange,
     // no self-join. The oracle restates the same weights via a bounded
@@ -719,6 +727,25 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_chi2" ->
+      """WITH c AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b,
+        |        CAST(count(*) AS BIGINT) AS o
+        |       FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |       GROUP BY 1, 2),
+        |m AS (SELECT a, sum(o) AS ra FROM c GROUP BY a),
+        |k AS (SELECT b, sum(o) AS cb FROM c GROUP BY b),
+        |t AS (SELECT c.o, m.ra * 1.0 * k.cb / (SELECT sum(o) FROM c) AS e
+        |      FROM c JOIN m USING (a) JOIN k USING (b)),
+        |s AS (SELECT sum((o - e)*(o - e)/e - e) AS p,
+        |       (SELECT CAST(sum(o) AS DOUBLE) FROM c) AS n FROM t)
+        |SELECT round(p + n, 6) AS chi2,
+        | CAST(((SELECT count(*) FROM m) - 1) *
+        |      ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof,
+        | CAST(n AS BIGINT) AS n,
+        | round(sqrt((p + n) / (n * (least((SELECT count(*) FROM m),
+        |   (SELECT count(*) FROM k)) - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin,
 
     "q_ewma" ->
       """WITH e AS (SELECT event_id, user_id, value, row_number() OVER

@@ -8,6 +8,27 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("chiSquare: independence gives 0; perfect association gives V=1; zero cells fold in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfectly independent 2x2: equal counts everywhere
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .flatMap(Seq.fill(5)(_)).toDF("a", "b")
+    val r1 = graft.ops.Analytics.chiSquare(ind, col("a"), col("b")).head()
+    assert(r1.getDouble(0) == 0.0 && r1.getLong(1) == 1 && r1.getLong(2) == 20)
+    assert(r1.getDouble(3) == 0.0)
+    // perfect association with ABSENT off-diagonal cells: x->p, y->q only
+    // chi2 = n for a 2x2 diagonal table; V = 1
+    val dep = Seq(("x", "p"), ("y", "q")).flatMap(Seq.fill(6)(_)).toDF("a", "b")
+    val r2 = graft.ops.Analytics.chiSquare(dep, col("a"), col("b")).head()
+    assert(r2.getDouble(0) == 12.0, s"chi2 ${r2.getDouble(0)}")
+    assert(r2.getDouble(3) == 1.0, s"V ${r2.getDouble(3)}")
+    // single-category side: V is NULL, dof 0
+    val one = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r3 = graft.ops.Analytics.chiSquare(one, col("a"), col("b")).head()
+    assert(r3.getLong(1) == 0 && r3.isNullAt(3))
+  }
+
   test("ewma: hand-computed weights, warm-up rows, window aging") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
