@@ -237,6 +237,34 @@ object Analytics {
     * chooses the percentile estimator — the default approx sketch is
     * mergeable (the 100 TB path, same tradeoff as
     * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  /** Regularize a bucketed time series onto a dense grid with forward
+    * fill — the gap-filling step between event data and anything that
+    * assumes regular sampling (trend models, drift monitors, joins on
+    * time buckets). Input is one row per (keys, bucket) — produce it
+    * with [[tumblingAgg]] or a groupBy on a floored epoch; this
+    * operator adds the MISSING buckets of each key's [min, max] span
+    * and forward-fills `valueCol` (an observed NULL counts as a gap).
+    * Adds `is_observed` marking original rows.
+    *
+    * Scale shape: the grid generates IN the scan from each key's 1-row
+    * span (sequence + explode — output-sensitive, no cross join
+    * against a calendar table), and the fill is one keys-partitioned
+    * window — a single exchange end to end. */
+  def regularizeSeries(obs: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val keys = keyCols.map(col)
+    val span = obs.groupBy(keys: _*)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val grid = span.select(keys :+
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as(bucketCol): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keyCols :+ bucketCol, "left")
+      .withColumn("is_observed", col(valueCol).isNotNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the statistical sibling of [[driftPsi]] for CATEGORICAL
     * drift and leakage checks (is `label` independent of `source`? did

@@ -390,6 +390,19 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Dense-grid regularization + forward fill of a bucketed series:
+    // missing 30-min buckets of each user's span are generated in-scan
+    // (sequence+explode from the 1-row span) and forward-filled — the
+    // gap-filling step before anything that assumes regular sampling.
+    "q_resample" -> ((s, dir) => {
+      val obs = t(s, dir, "events").where(col("user_id") < 6)
+        .groupBy(col("user_id"),
+          (floor(unix_timestamp(col("ts")) / 1800) * 1800).cast("long").as("bucket"))
+        .agg(round(max(col("value")), 4).as("v"))
+      Analytics.regularizeSeries(obs, Seq("user_id"), "bucket", "v", 1800)
+        .orderBy("user_id", "bucket")
+    }),
+
     // Chi-square independence between event type and a user bucket —
     // categorical drift/leakage testing with Cramér's V effect size.
     // One (a,b) cell aggregation; marginals derived from the same cell
@@ -727,6 +740,23 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_resample" ->
+      """WITH obs AS (SELECT user_id,
+        |        (epoch_us(ts) // 1000000 // 1800) * 1800 AS bucket,
+        |        round(max(value), 4) AS v
+        |       FROM events WHERE user_id < 6 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |         FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 1800)) AS bucket
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.bucket, o.v, o.v IS NOT NULL AS is_observed
+        |      FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+        |SELECT user_id, bucket,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        | is_observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "q_chi2" ->
       """WITH c AS (SELECT event_type AS a, CAST(user_id % 5 AS VARCHAR) AS b,

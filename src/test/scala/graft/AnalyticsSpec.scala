@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("regularizeSeries: gaps generated, forward-filled, flagged; spans independent per key") {
+    import spark.implicits._
+    // key 1: buckets 0, 30, 90 (gap at 60); key 2: single bucket
+    val obs = Seq((1L, 0L, 10.0), (1L, 30L, 20.0), (1L, 90L, 40.0),
+      (2L, 60L, 7.0)).toDF("k", "bucket", "v")
+    val got = graft.ops.Analytics.regularizeSeries(obs, Seq("k"), "bucket", "v", 30L)
+      .orderBy("k", "bucket")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 10.0, true), (1L, 30L, 20.0, true),
+      (1L, 60L, 20.0, false), // generated + forward-filled
+      (1L, 90L, 40.0, true),
+      (2L, 60L, 7.0, true))) // span never leaks across keys
+  }
+
   test("chiSquare: independence gives 0; perfect association gives V=1; zero cells fold in") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
