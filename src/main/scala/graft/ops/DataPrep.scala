@@ -300,6 +300,35 @@ object DataPrep {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Apply a CDC change batch to a snapshot — the upsert/delete merge
+    * every incremental pipeline runs between [[snapshotDiff]] (what
+    * changed) and [[scd2History]] (what the history looks like):
+    * given `current` (one row per id) and `changes` (op ∈ I/U/D rows
+    * with a version), produce the next snapshot. The LATEST change per
+    * id wins (max version, op as deterministic tie-break); a winning
+    * D drops the id, a winning I/U replaces (or inserts) the row.
+    *
+    * Scale shape: the winner resolution is one window over the CHANGE
+    * BATCH (batch-sized, not snapshot-sized); the snapshot itself
+    * pays one anti-join on id against the (small) changed-id set —
+    * broadcastable whenever the batch is, so the standing corpus
+    * never shuffles. Content columns must match between the two
+    * frames. */
+  def applyChanges(current: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = latest.where(col(opCol) =!= "D")
+      .drop(opCol, versionCol)
+    current
+      .join(broadcast(latest.select(col(idCol))), Seq(idCol), "left_anti")
+      .unionByName(survivors)
+  }
+
   /** SCD-2 history construction (Kimball & Ross, The Data Warehouse
     * Toolkit, 3rd ed. ch. 5): collapse versioned snapshot rows of each
     * entity into validity intervals — one row per contiguous run of

@@ -1841,6 +1841,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC merge: apply an I/U/D change batch to a snapshot — latest
+    // change per id wins (version, then op tiebreak), conflicting
+    // update+delete resolves to the delete, double updates to the
+    // newer. Deterministic change batch derived from orders; verdict
+    // aggregates prove replacement, insertion, and deletion.
+    "pipeline_cdc" -> ((s, dir) => {
+      val cur = t(s, dir, "orders").where(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val upd1 = cur.where(col("id") % 7 === 0)
+        .select(col("id"), lit("U").as("op"), lit(1L).as("version"),
+          lit("U1").as("status"), (col("price") + 1000).as("price"))
+      val upd2 = cur.where(col("id") % 7 === 0 && col("id") % 5 === 0)
+        .select(col("id"), lit("U").as("op"), lit(3L).as("version"),
+          lit("U2").as("status"), (col("price") + 2000).as("price"))
+      val del = cur.where(col("id") % 11 === 0)
+        .select(col("id"), lit("D").as("op"), lit(2L).as("version"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"))
+      val ins = cur.where(col("id") % 13 === 0)
+        .select((col("id") + 100000L).as("id"), lit("I").as("op"),
+          lit(1L).as("version"), lit("NEW").as("status"), col("price"))
+      val changes = upd1.unionByName(upd2).unionByName(del).unionByName(ins)
+      graft.ops.DataPrep.applyChanges(cur, changes, "id", "op", "version")
+        .agg(count(lit(1L)).as("n_rows"),
+          round(sum("price"), 2).as("sum_price"),
+          sum(when(col("status") === "U1", 1L).otherwise(0L)).as("n_u1"),
+          sum(when(col("status") === "U2", 1L).otherwise(0L)).as("n_u2"),
+          sum(when(col("id") >= 100000L, 1L).otherwise(0L)).as("n_inserted"),
+          sum(when(col("id") % 11 === 0 && col("id") < 100000L, 1L).otherwise(0L))
+            .as("n_deleted_left"))
+    }),
+
     // SCD-2 history: collapse versioned observations of each entity into
     // validity intervals — one row per contiguous run of identical
     // content, valid_to = next run's start, NULL while current. Entities
@@ -3348,6 +3381,34 @@ object PipelineQueries {
         |      THEN array_to_string(hp[-3:], '.')
         |      ELSE array_to_string(hp[-2:], '.') END AS domain
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "pipeline_cdc" ->
+      """WITH cur AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+        |        o_totalprice AS price
+        |       FROM orders WHERE o_orderkey < 3000),
+        |ch AS (
+        | SELECT id, 'U' AS op, 1 AS version, 'U1' AS status,
+        |        price + 1000 AS price FROM cur WHERE id % 7 = 0
+        | UNION ALL SELECT id, 'U', 3, 'U2', price + 2000
+        |  FROM cur WHERE id % 7 = 0 AND id % 5 = 0
+        | UNION ALL SELECT id, 'D', 2, NULL, NULL FROM cur WHERE id % 11 = 0
+        | UNION ALL SELECT id + 100000, 'I', 1, 'NEW', price
+        |  FROM cur WHERE id % 13 = 0),
+        |w AS (SELECT *, row_number() OVER
+        |       (PARTITION BY id ORDER BY version DESC, op DESC) AS rn FROM ch),
+        |latest AS (SELECT * FROM w WHERE rn = 1),
+        |nxt AS (SELECT c.* FROM cur c
+        |         WHERE c.id NOT IN (SELECT id FROM latest)
+        |        UNION ALL SELECT id, status, price FROM latest WHERE op <> 'D')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(price), 2) AS sum_price,
+        | CAST(sum(CASE WHEN status = 'U1' THEN 1 ELSE 0 END) AS BIGINT) AS n_u1,
+        | CAST(sum(CASE WHEN status = 'U2' THEN 1 ELSE 0 END) AS BIGINT) AS n_u2,
+        | CAST(sum(CASE WHEN id >= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_inserted,
+        | CAST(sum(CASE WHEN id % 11 = 0 AND id < 100000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_deleted_left
+        |FROM nxt""".stripMargin,
 
     "pipeline_scd2" ->
       """WITH s AS (SELECT o_orderkey % 500 AS ent_id, o_orderkey AS version,

@@ -594,6 +594,18 @@ class PipelineSpec extends SparkSuite {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("applyChanges: latest wins, delete beats stale update, insert lands") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val ch = Seq(
+      (1L, "U", 1L, "a2"), (1L, "U", 3L, "a3"), // double update: v3 wins
+      (2L, "U", 1L, "bX"), (2L, "D", 2L, null), // delete beats stale update
+      (4L, "I", 1L, "d")) // insert
+      .toDF("id", "op", "version", "v")
+    val next = graft.ops.DataPrep.applyChanges(cur, ch, "id", "op", "version")
+      .as[(Long, String)].collect().toMap
+    assert(next == Map(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
   test("scd2History: runs collapse, intervals chain, last run open") {
     // entity 1: x@v1, x@v3 (run), y@v5, x@v9 (flip back = NEW run)
     // entity 2: single observation
