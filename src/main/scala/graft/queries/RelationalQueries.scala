@@ -390,6 +390,43 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Streaming expanding-history z-score anomalies (Welford state in
+    // flatMapGroupsWithState), drained via AvailableNow and rolled up
+    // per user — the oracle restates the whole stream as an expanding
+    // window (rows unbounded preceding .. 1 preceding).
+    "q_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_stream")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        new java.io.File(stage, "events.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
+        .where(col("user_id") < 8 && col("value").isNotNull)
+        .select(col("user_id").cast("string"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+      val scored = graft.streaming.Streams.anomalyMonitor(stream, k = 3.0)
+      val sink = s"q_stream_anomaly_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink)
+        .groupBy(col("key").cast("long").as("user_id"))
+        .agg(count(lit(1L)).as("n_events"),
+          count(col("z")).as("n_scored"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+          round(sum(abs(col("z"))), 4).as("sum_abs_z"))
+        .orderBy("user_id")
+    }),
+
     // Dense-grid regularization + forward fill of a bucketed series:
     // missing 30-min buckets of each user's span are generated in-scan
     // (sequence+explode from the 1-row span) and forward-filled — the
@@ -740,6 +777,23 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_stream_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, value FROM events
+        |           WHERE user_id < 8 AND value IS NOT NULL),
+        |r AS (SELECT user_id, value,
+        |       count(*) OVER w AS cnt, avg(value) OVER w AS m,
+        |       stddev_samp(value) OVER w AS sd
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, CASE WHEN cnt >= 2 AND sd > 0
+        |       THEN round((value - m) / sd, 6) END AS z FROM r)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(z) AS BIGINT) AS n_scored,
+        | CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_anomalies,
+        | round(sum(abs(z)), 4) AS sum_abs_z
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_resample" ->
       """WITH obs AS (SELECT user_id,

@@ -71,6 +71,55 @@ object Streams {
       }
   }
 
+  /** Streaming per-event z-score anomaly detection against each key's
+    * EXPANDING history — the streaming twin of
+    * [[graft.ops.Analytics.rollingAnomalies]]: each event scores
+    * against the statistics of everything BEFORE it (the current event
+    * never inflates its own baseline), then folds into the state.
+    *
+    * State per key is the Welford triple (n, mean, M2) — O(1) per key
+    * regardless of stream length, numerically stable (Welford 1962),
+    * and exactly mergeable across micro-batches because events within
+    * a batch are processed in ascending `id` order and the state
+    * carries the full prefix. z is emitted (rounded to `dp`) once the
+    * history has ≥ 2 samples and positive variance; the flag fires on
+    * |z| > k over the ROUNDED score for engine-deterministic
+    * boundaries. An external engine restates the whole stream as an
+    * expanding window (rows unbounded preceding .. 1 preceding). */
+  final case class AnomalyState(n: Long, mean: Double, m2: Double)
+  final case class AnomalyEvent(key: String, id: Long, value: Double,
+      z: Option[Double], is_anomaly: Boolean)
+
+  def anomalyMonitor(ds: Dataset[(String, Long, Double)], k: Double = 3.0,
+      dp: Int = 6): Dataset[AnomalyEvent] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+            state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, v) =>
+            val zOpt =
+              if (st.n >= 2) {
+                val std = math.sqrt(st.m2 / (st.n - 1))
+                if (std > 0)
+                  Some(BigDecimal((v - st.mean) / std)
+                    .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              } else None
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = AnomalyState(n1, mean1, st.m2 + d * (v - mean1))
+            AnomalyEvent(key, id, v, zOpt, zOpt.exists(z => math.abs(z) > k))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One micro-batch of streaming near-dup corpus ingest (the body of
     * [[nearDupIngest]], public so restart idempotence is testable and so
     * batch backfills can reuse the exact streaming semantics):

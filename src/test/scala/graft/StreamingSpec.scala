@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("anomalyMonitor: expanding history, current row excluded, state spans batches") {
+    val input = MemoryStream[(String, Long, Double)](spark)
+    val out = Streams.anomalyMonitor(input.toDS(), k = 3.0)
+    val q = out.writeStream.format("memory").queryName("anomaly_mon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: stable history for key a (out of id order — the monitor sorts)
+      input.addData(("a", 2L, 10.1), ("a", 1L, 10.0), ("a", 3L, 9.9), ("a", 4L, 10.0))
+      q.processAllAvailable()
+      // batch 2: a spike — scored against batch-1 history carried in state
+      input.addData(("a", 5L, 50.0), ("a", 6L, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_mon").collect()
+        .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))).toMap
+      // first two events have <2 history samples: unscored, never flagged
+      assert(rows(1L) == ((None, false)) && rows(2L) == ((None, false)))
+      // the spike is a clear anomaly vs the pre-spike history
+      assert(rows(5L)._2, s"spike must flag: ${rows(5L)}")
+      assert(rows(5L)._1.get > 3.0)
+      // event AFTER the spike scores against history that now includes it
+      // (expanding, not trailing): no longer anomalous
+      assert(!rows(6L)._2)
+      // hand-check z of event 3: history (10.0, 10.1) -> mean 10.05,
+      // sd of 2 samples ~ 0.0707; z = (9.9-10.05)/0.0707 ~ -2.12
+      assert(math.abs(rows(3L)._1.get - -2.121320) < 1e-5, s"z3 ${rows(3L)._1}")
+    } finally q.stop()
+  }
+
   test("runningKeyStats keeps per-key state across micro-batches") {
     val input = MemoryStream[(String, Double)](spark)
     val out = Streams.runningKeyStats(input.toDS())
