@@ -455,4 +455,39 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Incremental Hamming matching: batch fingerprints vs a standing
+    * INDEX of fingerprints (pHash images, Haitsma–Kalker audio) — the
+    * perceptual-hash sibling of [[minhashNearDupAgainst]]: per-batch
+    * cost scales with the batch; the index is a persistable (id, hash)
+    * parquet artifact that never recomputes. Same generalized chunk
+    * banding as [[hammingNearDupPairs]] (pigeonhole-exact recall to
+    * radius nChunks−1): candidates come from a chunk equi-join between
+    * the batch's chunk table and the index's, then one XOR popcount
+    * verify. Returns (batch idCol, `index_id`, `hamming`). */
+  def hammingNearDupAgainst(batch: DataFrame, index: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int,
+      nChunks: Int = 0): DataFrame = {
+    val n = if (nChunks > 0) nChunks else maxHamming + 1
+    require(n >= 1 && n <= 64, s"nChunks must be in [1, 64], got $n")
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    val base = 64 / n; val rem = 64 % n
+    def chunked(df: DataFrame): DataFrame = {
+      val chunks = array((0 until n).map { i =>
+        val off = i * base + math.min(i, rem)
+        val width = base + (if (i < rem) 1 else 0)
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        shiftright(col(hashCol), off).bitwiseAND(lit(mask))
+      }: _*)
+      df.select(col(idCol), col(hashCol), posexplode(chunks))
+        .toDF(idCol, hashCol, "chunk_idx", "chunk")
+    }
+    chunked(batch).toDF("__bid", "__bh", "chunk_idx", "chunk")
+      .join(chunked(index).toDF("index_id", "__ih", "chunk_idx", "chunk"),
+        Seq("chunk_idx", "chunk"))
+      .select(col("__bid").as(idCol), col("index_id"),
+        bit_count(col("__bh").bitwiseXOR(col("__ih"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

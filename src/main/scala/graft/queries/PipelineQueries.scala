@@ -1233,6 +1233,46 @@ object PipelineQueries {
           (col("n_null") === lit(0L)).as("all_decoded_ok"))
     }),
 
+    // INCREMENTAL perceptual-hash matching — batch vs standing index,
+    // the image/audio sibling of dedup_incr_near: an arriving batch of
+    // re-encoded (lossy JPEG) copies and FRESH images probes the
+    // persisted (id, pHash) index; per-batch cost scales with the
+    // batch, the index never recomputes. Planted re-encodes must match
+    // their source at radius 3, fresh images must not match anything.
+    "mm_phash_incr" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 30).select("doc_id")
+      def noise = PHash.pngNoiseFixture(col("doc_id"), 64, 64)
+      val index = docs
+        .select(col("doc_id").as("img_id"), PHash.imagePHash(noise).as("ph"))
+        .localCheckpoint(true) // the standing index artifact
+      val copies = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("img_id"),
+          PHash.imagePHash(PHash.pngToJpeg(noise, 12)).as("ph"))
+      val fresh = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("img_id"),
+          PHash.imagePHash(
+            PHash.pngNoiseFixture(col("doc_id") + 7000L, 64, 64)).as("ph"))
+      val batch = copies.unionAll(fresh).localCheckpoint(true)
+      val matches = graft.functions.Dedup.hammingNearDupAgainst(
+          batch, index, "img_id", "ph", maxHamming = 3, nChunks = 4)
+        .localCheckpoint(true)
+      docs.agg(count(lit(1L)).as("n_index"))
+        .crossJoin(batch.agg(count(lit(1L)).as("n_batch")))
+        .crossJoin(docs.where(col("doc_id") % 3 === 0)
+          .agg(count(lit(1L)).as("n_planted")))
+        .crossJoin(matches.where(col("img_id") === col("index_id") + 1000000L)
+          .agg(count(lit(1L)).as("n_found")))
+        .crossJoin(matches.where(col("img_id") =!= col("index_id") + 1000000L)
+          .agg(count(lit(1L)).as("n_fp")))
+        .crossJoin(matches.where(col("img_id") >= 3000000L)
+          .agg(count(lit(1L)).as("n_fresh_matched")))
+        .select(col("n_index"), col("n_batch"), col("n_planted"),
+          (col("n_found") === col("n_planted")).as("recall_ok"),
+          (col("n_fp") === lit(0L)).as("zero_fp_ok"),
+          (col("n_fresh_matched") === lit(0L)).as("fresh_clean_ok"))
+    }),
+
     // VIDEO near-dup via frame-level perceptual hashing — the
     // shared-frame-evidence composition real pipelines use for trimmed
     // / re-posted clips: split each multi-frame container into frames
@@ -3153,6 +3193,15 @@ object PipelineQueries {
         | true AS jpeg_recall_ok, true AS resize_recall_ok,
         | true AS zero_fp_ok, true AS all_decoded_ok
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "mm_phash_incr" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_index,
+        | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+        | CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_planted,
+        | true AS recall_ok, true AS zero_fp_ok, true AS fresh_clean_ok
+        |FROM documents WHERE doc_id < 30""".stripMargin,
 
     // frame counts derive from the fixture arity rule (5 + id mod 3
     // frames, trimmed copies drop one); recall/FP verdicts are the

@@ -594,6 +594,28 @@ class PipelineSpec extends SparkSuite {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("hammingNearDupAgainst: batch matches index within radius, pigeonhole recall") {
+    // index hash 0; batch: 2 bits flipped (match at r=3), 10 bits (no match),
+    // and a far hash whose chunks all differ (no candidate at all)
+    val index = Seq((100L, 0L), (101L, -1L)).toDF("id", "ph")
+    val batch = Seq(
+      (1L, 3L), // hamming 2 vs index 100
+      (2L, 0x3FFL), // hamming 10 vs index 100 — candidate (shared high chunks) but over radius
+      (3L, 0x0F0F0F0F0F0F0F0FL)) // hamming 32 vs both
+      .toDF("id", "ph")
+    val m = graft.functions.Dedup
+      .hammingNearDupAgainst(batch, index, "id", "ph", maxHamming = 3, nChunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(m == Set((1L, 100L, 2)), s"got $m")
+    // radius == nChunks-1 keeps the pigeonhole guarantee: flipping 3 bits
+    // inside ONE 16-bit chunk still shares 3 chunks with the index
+    val b2 = Seq((9L, 7L)).toDF("id", "ph")
+    val m2 = graft.functions.Dedup
+      .hammingNearDupAgainst(b2, index, "id", "ph", maxHamming = 3, nChunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(m2 == Set((9L, 100L, 3)))
+  }
+
   test("applyChanges: latest wins, delete beats stale update, insert lands") {
     val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val ch = Seq(
