@@ -495,4 +495,37 @@ object Analytics {
       .where(col(ptsTs) >= col(startCol) && col(ptsTs) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join, binned: pairs of intervals with
+    * `[aStart, aEnd] ∩ [bStart, bEnd] ≠ ∅` (inclusive bounds) — session
+    * overlap, ad attribution windows, downtime correlation. The
+    * generalization of [[binnedIntervalJoin]] from points to intervals:
+    * each side explodes to the epoch-second bins it spans, candidates
+    * come from the bin EQUI-join, a distinct pass collapses multi-bin
+    * matches, and the exact inclusive-overlap predicate filters — no
+    * nested-loop range join at any size. An interval contributes
+    * (length/bin + 1) rows: size `binSeconds` near the typical interval
+    * length; extremely long intervals fan out proportionally (the same
+    * long-ranges caveat the point variant documents).
+    *
+    * Bounds are NUMERIC epoch seconds (callers with timestamps convert
+    * via unix_timestamp first — keeps the operator unit-agnostic).
+    * Column-name collisions between the two frames must be renamed
+    * first (same contract as [[binnedIntervalJoin]]). */
+  def binnedOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val collisions = a.columns.toSeq.intersect(b.columns.toSeq)
+    require(collisions.isEmpty,
+      s"binnedOverlapJoin: rename colliding columns: ${collisions.mkString(", ")}")
+    val w = lit(binSize)
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(floor(col(s) / w).cast("long"),
+          floor(col(e) / w).cast("long"))))
+    binned(a, aStart, aEnd).join(binned(b, bStart, bEnd), "__bin")
+      .drop("__bin").distinct()
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+  }
 }

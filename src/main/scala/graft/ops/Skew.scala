@@ -69,4 +69,24 @@ object Skew {
       .orderBy(col("n").desc, col("key"))
       .limit(topK)
   }
+
+  /** EXACT equi-join cardinality pre-flight, without running the join:
+    * |A ⋈ₖ B| = Σₖ n_A(k)·n_B(k), computed from the two per-key count
+    * tables — the shuffles carry (key, count), never payload rows, so
+    * the answer costs two narrow scans at any size. `max_key_pairs` is
+    * the single hottest key's output contribution — the "will this
+    * join explode" number to check against executor memory before a
+    * three-hour straggler discovers it for you (pair with
+    * [[diagnoseKeys]] / [[saltedJoin]] when it is large). Returns one
+    * row: (join_rows, n_keys_both, max_key_pairs). */
+  def joinSizeEstimate(a: DataFrame, aKey: org.apache.spark.sql.Column,
+      b: DataFrame, bKey: org.apache.spark.sql.Column): DataFrame = {
+    val ca = a.groupBy(aKey.cast("string").as("__k")).agg(count(lit(1L)).as("__na"))
+    val cb = b.groupBy(bKey.cast("string").as("__k")).agg(count(lit(1L)).as("__nb"))
+    ca.join(cb, "__k")
+      .select((col("__na") * col("__nb")).as("__pairs"))
+      .agg(coalesce(sum("__pairs"), lit(0L)).as("join_rows"),
+        count(lit(1L)).as("n_keys_both"),
+        coalesce(max("__pairs"), lit(0L)).as("max_key_pairs"))
+  }
 }

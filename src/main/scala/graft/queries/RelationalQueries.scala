@@ -390,6 +390,45 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // Exact join-size pre-flight from per-key counts — predicts
+    // |lineitem ⋈ orders| without running the join; the verdict proves
+    // the prediction equals the actual join's row count.
+    "q_join_size" -> ((s, dir) => {
+      val est = graft.ops.Skew.joinSizeEstimate(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders"), col("o_orderkey"))
+      val actual = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1L)).as("actual_rows"))
+      est.crossJoin(actual)
+        .select(col("join_rows"), col("n_keys_both"), col("max_key_pairs"),
+          (col("join_rows") === col("actual_rows")).as("matches_actual"))
+    }),
+
+    // Interval × interval overlap join, binned: user-1 half-hour windows
+    // against user-2 one-hour windows — bin equi-join candidates,
+    // distinct, exact inclusive-overlap filter; no nested-loop range
+    // join. Verdict aggregates pin pair count and overlap mass.
+    "q_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("user_id") === 1)
+        .select(col("event_id").as("a_id"),
+          unix_timestamp(col("ts")).as("a_start"),
+          (unix_timestamp(col("ts")) + 1800).as("a_end"))
+      val b = ev.where(col("user_id") === 2)
+        .select(col("event_id").as("b_id"),
+          unix_timestamp(col("ts")).as("b_start"),
+          (unix_timestamp(col("ts")) + 3600).as("b_end"))
+      Analytics.binnedOverlapJoin(a, "a_start", "a_end", b, "b_start", "b_end",
+          binSize = 3600)
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("ov"))
+        .agg(count(lit(1L)).as("n_pairs"),
+          sum(col("ov")).as("sum_overlap_sec"),
+          max(col("ov")).as("max_overlap_sec"))
+    }),
+
     // Streaming expanding-history z-score anomalies (Welford state in
     // flatMapGroupsWithState), drained via AvailableNow and rolled up
     // per user — the oracle restates the whole stream as an expanding
@@ -777,6 +816,31 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_join_size" ->
+      """WITH ca AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+        |            FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+        |       FROM orders GROUP BY 1)
+        |SELECT CAST(sum(na * nb) AS BIGINT) AS join_rows,
+        | CAST(count(*) AS BIGINT) AS n_keys_both,
+        | CAST(max(na * nb) AS BIGINT) AS max_key_pairs,
+        | true AS matches_actual
+        |FROM ca JOIN cb USING (k)""".stripMargin,
+
+    "q_overlap" ->
+      """WITH a AS (SELECT epoch_us(ts)//1000000 AS a_start,
+        |        epoch_us(ts)//1000000 + 1800 AS a_end
+        |       FROM events WHERE user_id = 1),
+        |b AS (SELECT epoch_us(ts)//1000000 AS b_start,
+        |       epoch_us(ts)//1000000 + 3600 AS b_end
+        |      FROM events WHERE user_id = 2),
+        |p AS (SELECT least(a_end, b_end) - greatest(a_start, b_start) AS ov
+        |      FROM a JOIN b ON a_start <= b_end AND b_start <= a_end)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(ov) AS BIGINT) AS sum_overlap_sec,
+        | CAST(max(ov) AS BIGINT) AS max_overlap_sec
+        |FROM p""".stripMargin,
 
     "q_stream_anomaly" ->
       """WITH e AS (SELECT user_id, event_id, value FROM events

@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("binnedOverlapJoin: inclusive overlap, bin-spanning dedup, non-overlap excluded") {
+    import spark.implicits._
+    val a = Seq((1L, 100L, 200L), (2L, 500L, 600L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, 150L, 450L), // overlaps interval 1 across multiple 100s bins
+      (11L, 200L, 210L), // touches interval 1 exactly at the endpoint
+      (12L, 601L, 700L)) // starts just after interval 2 ends
+      .toDF("b_id", "b_s", "b_e")
+    val got = graft.ops.Analytics
+      .binnedOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e", binSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
+  }
+
+  test("joinSizeEstimate: exact product-of-counts, hottest key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")
+    val b = Seq(1, 1, 2, 4).toDF("k2")
+    val r = graft.ops.Skew.joinSizeEstimate(a, col("k"), b, col("k2")).head()
+    // key 1: 3*2=6, key 2: 1*1=1; keys 3,4 don't meet
+    assert(r.getLong(0) == 7 && r.getLong(1) == 2 && r.getLong(2) == 6)
+    // prediction equals the actual join size
+    assert(a.join(b, col("k") === col("k2")).count() == 7)
+  }
+
   test("regularizeSeries: gaps generated, forward-filled, flagged; spans independent per key") {
     import spark.implicits._
     // key 1: buckets 0, 30, 90 (gap at 60); key 2: single bucket
