@@ -237,6 +237,49 @@ object Analytics {
     * chooses the percentile estimator — the default approx sketch is
     * mergeable (the 100 TB path, same tradeoff as
     * DataPrep.bucketByQuantiles); exact is the oracle-audit opt-in. */
+  /** Binary-classifier evaluation in one pass: ROC-AUC via the
+    * Mann-Whitney rank identity —
+    *
+    *   AUC = (Σ_{positives} rank(score) − n₊(n₊+1)/2) / (n₊·n₋)
+    *
+    * with TIE-AVERAGED ranks (exactly the probability a random positive
+    * outranks a random negative, ties counting ½ — the trapezoidal ROC
+    * area), plus the Brier score avg((p−y)²). The in-engine quality
+    * gate for model-based curation scorers (quality classifiers,
+    * LM-perplexity filters) against any labeled slice.
+    *
+    * Tie-averaged ranks come from the distinct-SCORE histogram CDF
+    * (same trick as [[correlationStats]]' Spearman): the single-
+    * partition stage touches only distinct score values, never sorts
+    * the corpus through one reducer. Returns one row:
+    * (auc, brier, n_pos, n_neg). Scores must be non-null; labels 0/1. */
+  def aucBrier(df: DataFrame, score: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val s = score.cast("double")
+    val y = label.cast("double")
+    val hist = df.groupBy(s.as("__s"))
+      .agg(count(lit(1L)).as("__c"), sum(y).as("__pos"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tie-averaged rank of every row with score v:
+    //   cdf(v) − (c(v)+1)/2 + 1  where cdf is the inclusive running count
+    val ranked = hist
+      .withColumn("__cdf", sum(col("__c")).over(w))
+      .select(col("__pos"),
+        (col("__cdf") - (col("__c") + 1) / lit(2.0) + 1).as("__r"))
+    val sums = ranked.agg(
+      sum(col("__pos") * col("__r")).as("__rpos"),
+      sum(col("__pos")).as("__np"))
+    val totals = df.agg(count(lit(1L)).as("__n"),
+      round(avg((s - y) * (s - y)), dp).as("brier"))
+    sums.crossJoin(totals).select(
+      round((col("__rpos") - col("__np") * (col("__np") + 1) / 2) /
+        (col("__np") * (col("__n") - col("__np"))), dp).as("auc"),
+      col("brier"),
+      col("__np").cast("long").as("n_pos"),
+      (col("__n") - col("__np")).cast("long").as("n_neg"))
+  }
+
   /** Regularize a bucketed time series onto a dense grid with forward
     * fill — the gap-filling step between event data and anything that
     * assumes regular sampling (trend models, drift monitors, joins on

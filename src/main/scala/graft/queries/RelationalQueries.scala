@@ -390,6 +390,13 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"))),
 
+    // In-engine binary-classifier evaluation: tie-aware ROC-AUC (Mann-
+    // Whitney over the distinct-score histogram CDF — never a corpus
+    // sort through one reducer) + quadratic (Brier-style) error.
+    "q_auc" -> ((s, dir) =>
+      Analytics.aucBrier(t(s, dir, "lineitem"),
+        col("l_discount"), (col("l_quantity") > 25).cast("int"))),
+
     // Exact join-size pre-flight from per-key counts — predicts
     // |lineitem ⋈ orders| without running the join; the verdict proves
     // the prediction equals the actual join's row count.
@@ -816,6 +823,22 @@ object RelationalQueries {
         | true AS union_err_ok, true AS full_err_ok,
         | true AS union_matches_full
         |FROM events""".stripMargin,
+
+    "q_auc" ->
+      """WITH d AS (SELECT l_discount AS s,
+        |        CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
+        |       FROM lineitem),
+        |h AS (SELECT s, CAST(count(*) AS DOUBLE) AS c, sum(y) AS pos
+        |      FROM d GROUP BY s),
+        |r AS (SELECT pos, sum(c) OVER (ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - (c + 1)/2.0 + 1 AS rk FROM h),
+        |t AS (SELECT sum(pos * rk) AS rpos, sum(pos) AS np FROM r),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |       round(avg((s - y)*(s - y)), 6) AS brier FROM d)
+        |SELECT round((rpos - np*(np + 1)/2) / (np*(n - np)), 6) AS auc,
+        | brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
+        |FROM t, g""".stripMargin,
 
     "q_join_size" ->
       """WITH ca AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS na

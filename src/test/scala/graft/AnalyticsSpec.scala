@@ -8,6 +8,30 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("aucBrier: perfect separation 1.0, reversed 0.0, ties average to 0.5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def auc(rows: Seq[(Double, Int)]): (Double, Double) = {
+      val r = graft.ops.Analytics
+        .aucBrier(rows.toDF("s", "y"), col("s"), col("y")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // perfect ranking: all positives above all negatives
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)))._1 == 1.0)
+    // perfectly wrong
+    assert(auc(Seq((0.1, 1), (0.2, 0)))._1 == 0.0)
+    // constant score: every pair is a tie -> 0.5
+    assert(auc(Seq((0.5, 1), (0.5, 1), (0.5, 0)))._1 == 0.5)
+    // hand case with a tie straddling the classes:
+    // scores 0.3(+), 0.3(-), 0.7(+): pairs (0.7 vs 0.3-)=1, (0.3+ vs 0.3-)=0.5
+    // AUC = 1.5/2
+    val (a, b) = auc(Seq((0.3, 1), (0.3, 0), (0.7, 1)))
+    assert(a == 0.75, s"auc $a")
+    // Brier: ((0.3-1)^2 + (0.3-0)^2 + (0.7-1)^2)/3, rounded to 6dp
+    assert(b == BigDecimal((0.49 + 0.09 + 0.09) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"brier $b")
+  }
+
   test("binnedOverlapJoin: inclusive overlap, bin-spanning dedup, non-overlap excluded") {
     import spark.implicits._
     val a = Seq((1L, 100L, 200L), (2L, 500L, 600L)).toDF("a_id", "a_s", "a_e")
