@@ -30,6 +30,44 @@ object Similarity {
     when(n === 0.0, a).otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Seeded Rademacher random projection to `outDim` dimensions
+    * (Johnson & Lindenstrauss 1984; Achlioptas, JCSS 2003 — ±1 entries
+    * give the same distance-preservation guarantee as Gaussian ones):
+    * out[j] = Σᵢ s(i,j)·v[i] / √outDim, with s(i,j) ∈ {±1} derived from
+    * deterministic integer hash mixing of (i, j, seed) — the projection
+    * is a pure function of the seed, identical on every engine, row
+    * order, and cluster size, and an external engine can restate it
+    * arithmetically (no stored matrix, no RNG state).
+    *
+    * The cheap 4× storage/shuffle cut for embedding pipelines whose
+    * next stage is distance-based (ANN candidate generation, dedup
+    * banding): distances distort by at most ε ≈ √(8·ln n / outDim)
+    * w.h.p. Pure in-scan HOF algebra (nested transform/aggregate),
+    * O(d·outDim) per row. */
+  def randomProject(vec: Column, outDim: Int, seed: Long = 42L): Column = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => {
+          // xorshift-multiply sign mix: a plain mid-bit of i·odd + j·odd
+          // is quasi-periodic (rows become shifted copies — correlated
+          // projections, inflated variance); two xor-fold + multiply
+          // rounds decorrelate rows, with every intermediate masked to
+          // 32 bits so a restating engine with ERRORING (non-wrapping)
+          // 64-bit multiplication stays in range
+          val m = lit(4294967295L)
+          val h1 = i.cast("long") * lit(2654435761L) + j.cast("long") * lit(97L) +
+            lit(seed)
+          val h2 = shiftright(h1, 13).bitwiseXOR(h1).bitwiseAND(m) * lit(40503L)
+          val h3 = shiftright(h2, 11).bitwiseXOR(h2).bitwiseAND(m) * lit(69069L)
+          val h4 = shiftright(h3, 9).bitwiseXOR(h3)
+          val sign = lit(1L) - lit(2L) * shiftright(h4, 3).bitwiseAND(lit(1L))
+          v.cast("double") * sign.cast("double")
+        }),
+        lit(0.0), (acc, x) => acc + x) / lit(scale))
+  }
+
   /** Mean-pooled centroid vector per group (per-source / per-cluster
     * embedding aggregation): posexplode to (group, position, value),
     * average per position, reassemble ordered by position. Shuffles

@@ -1233,6 +1233,23 @@ object PipelineQueries {
           (col("n_null") === lit(0L)).as("all_decoded_ok"))
     }),
 
+    // Seeded Rademacher random projection (JL): 64 → 16 dims as pure
+    // deterministic hash arithmetic — no stored matrix, no RNG state;
+    // the oracle recomputes every projected coordinate and the norm
+    // ratio exactly against the sign matrix expanded as a literal
+    // (itself a pure function of the seed).
+    "sim_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 50)
+      val proj = Similarity.randomProject(col("embedding"), outDim = 16)
+      e.select(col("vec_id"), proj.as("p"),
+          Similarity.l2Norm(col("embedding")).as("n0"))
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 4).as("p0"),
+          round(element_at(col("p"), 9), 4).as("p8"),
+          round(Similarity.l2Norm(col("p")) / col("n0"), 4).as("norm_ratio"))
+        .orderBy("vec_id")
+    }),
+
     // INCREMENTAL perceptual-hash matching — batch vs standing index,
     // the image/audio sibling of dedup_incr_near: an arriving batch of
     // re-encoded (lossy JPEG) copies and FRESH images probes the
@@ -3193,6 +3210,21 @@ object PipelineQueries {
         | true AS jpeg_recall_ok, true AS resize_recall_ok,
         | true AS zero_fp_ok, true AS all_decoded_ok
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "sim_project" ->
+      """WITH sg AS (SELECT [[-1,1,-1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,1,1,-1,1,-1,-1,1,-1,1,1,-1,-1,1,-1,-1,-1,1,-1,1,1,-1,1,-1,1,1,-1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,1,1,1,-1,-1,1,1,-1], [-1,1,1,-1,-1,-1,1,-1,-1,1,1,1,1,1,-1,-1,1,-1,-1,1,1,1,-1,1,-1,-1,1,-1,1,-1,1,-1,1,1,1,1,1,-1,1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,1,-1,1,-1], [-1,-1,1,1,1,1,-1,1,1,-1,1,-1,1,1,1,-1,-1,-1,-1,-1,1,1,1,-1,1,-1,-1,1,-1,1,1,1,1,1,-1,1,1,1,1,-1,1,1,1,1,-1,1,1,1,-1,1,-1,1,1,1,1,-1,1,1,1,-1,1,1,1,-1], [1,-1,1,-1,1,1,1,-1,1,-1,1,-1,-1,-1,-1,1,1,1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,1,-1,1,1,1,1,-1,1,-1,-1,-1,1,1,1,-1,1,1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1,1], [1,-1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,-1,1,-1,-1,-1,1,1,1,-1,1,-1,1,-1,1,-1,-1,-1,1,-1,-1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,1,1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,1], [-1,-1,-1,-1,1,-1,1,-1,-1,1,1,1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,1,1,-1,1,1,-1,1,-1,-1,1,-1,-1,1,-1,1,-1,1,1,-1,1,1,1,1,1,1,1,1,-1,1,-1,-1,1,1,-1,-1,1,-1,1,-1,1,-1], [1,1,-1,1,-1,-1,-1,-1,1,1,-1,-1,1,1,1,-1,1,-1,1,-1,1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,-1,-1,1,1,-1,1,-1,-1,1,-1,1,-1,1,-1,-1,-1,-1,1,-1,1,1,-1], [1,1,1,-1,-1,-1,-1,1,1,1,1,1,1,1,1,-1,-1,1,1,1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,-1,1,-1,-1,-1,1,1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,1,1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,1], [-1,-1,-1,1,1,1,1,-1,1,-1,-1,1,-1,1,-1,1,1,1,1,1,1,-1,-1,1,-1,-1,1,1,-1,-1,-1,-1,1,1,-1,1,1,-1,1,-1,-1,1,1,-1,-1,1,-1,-1,1,1,1,-1,1,1,-1,-1,-1,1,-1,-1,-1,-1,-1,1], [-1,1,-1,-1,1,-1,-1,1,1,-1,-1,1,1,-1,1,1,1,1,1,1,1,1,-1,1,-1,1,1,-1,1,-1,1,1,-1,1,1,1,1,1,-1,1,-1,1,-1,-1,-1,-1,1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1], [-1,-1,-1,1,1,-1,-1,1,-1,1,1,1,-1,1,-1,-1,1,1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,1,-1,-1,1,1,-1,1,-1,1,-1,-1,-1,1,1,1,-1,-1,1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,1,1,1,1,-1], [-1,1,1,-1,-1,1,-1,-1,-1,1,1,-1,-1,1,1,-1,1,1,-1,1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,-1,-1,1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,1,1,1,1,1,1,1,-1,1,1,1,-1,-1,-1,1,-1,1,1,1,1,1], [-1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,1,1,1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,1,1,1,-1,1,1,-1,1,1,1,-1,1,1,-1,-1,1,1,-1,1,-1,-1,-1,-1,-1,1,-1,1,1,1,1,-1,1], [-1,1,-1,1,1,1,1,1,-1,1,-1,-1,1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,1,1,1,1,1,-1,1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,1,1,-1,-1,1,1,-1,1,1,1,1,-1,1,1,-1,-1,-1,1,-1,1,-1,-1,1], [-1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,-1,1,1,1,-1,-1,-1,1,1,1,-1,1,1,1,1,-1,-1,1,-1,-1,-1,1,1,-1,-1,1,1,-1,-1,1,1,-1,1,1,1,1,-1,-1,-1,1,1,-1,-1,1,1,1,1,-1,-1,-1,1,1,1], [1,1,1,-1,1,-1,1,1,1,-1,1,1,-1,-1,-1,-1,-1,-1,-1,1,1,-1,-1,-1,1,1,-1,1,1,1,1,-1,1,-1,-1,1,-1,1,1,1,-1,1,1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,-1,-1,1,1,1,-1]] AS m),
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT vec_id, embedding,
+        |  list_transform(range(1, 17), j ->
+        |    list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |      CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      * m[CAST(j AS INT)][CAST(i AS INT)])) / sqrt(16.0)) AS proj
+        | FROM e, sg)
+        |SELECT vec_id, round(proj[1], 4) AS p0, round(proj[9], 4) AS p8,
+        | round(sqrt(list_sum(list_transform(proj, x -> x*x))) /
+        |   sqrt(list_sum(list_transform(embedding,
+        |     x -> CAST(x AS DOUBLE) * x))), 4) AS norm_ratio
+        |FROM p ORDER BY vec_id""".stripMargin,
 
     "mm_phash_incr" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index,

@@ -594,6 +594,37 @@ class PipelineSpec extends SparkSuite {
     got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("randomProject: deterministic, distance-preserving in aggregate, signs mixed") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)).toDF("id", "v")
+    val proj = vecs.select(col("id"),
+      graft.functions.Similarity.randomProject(col("v"), outDim = 32).as("p"),
+      graft.functions.Similarity.l2Norm(col("v")).as("n0"))
+      .select(col("id"),
+        (graft.functions.Similarity.l2Norm(col("p")) / col("n0")).as("ratio"),
+        col("p"))
+    val rows = proj.collect()
+    // norms preserved in aggregate: ratio² ~ χ²_k/k at k=32 has σ≈0.25,
+    // so individual ratios get a ±3σ band and the MEAN must sit near 1
+    rows.foreach { r =>
+      val ratio = r.getDouble(1)
+      assert(ratio > 0.25 && ratio < 1.75, s"norm ratio $ratio out of band")
+    }
+    val meanSq = rows.map(r => math.pow(r.getDouble(1), 2)).sum / rows.length
+    assert(meanSq > 0.75 && meanSq < 1.25, s"mean ratio^2 $meanSq far from 1")
+    // deterministic: same seed, same result
+    val again = vecs.select(graft.functions.Similarity
+      .randomProject(col("v"), outDim = 32).as("p")).collect()
+    assert(rows.map(_.getSeq[Double](2)).toSeq == again.map(_.getSeq[Double](0)).toSeq)
+    // signs are mixed, not a checkerboard: output coordinates of a
+    // CONSTANT input vector must differ from each other
+    val const = Seq((1L, Seq.fill(64)(1.0f))).toDF("id", "v")
+      .select(graft.functions.Similarity.randomProject(col("v"), 16).as("p"))
+      .head.getSeq[Double](0)
+    assert(const.distinct.size > 4, s"degenerate sign pattern: $const")
+  }
+
   test("hammingNearDupAgainst: batch matches index within radius, pigeonhole recall") {
     // index hash 0; batch: 2 bits flipped (match at r=3), 10 bits (no match),
     // and a far hash whose chunks all differ (no candidate at all)
