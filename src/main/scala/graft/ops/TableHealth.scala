@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-table and temporal table-health checks — the three intake
+  * questions the single-table check engine (model/Checks.scala) cannot
+  * ask because they span tables or the time axis:
+  *
+  *   - referential integrity: child keys with no parent (orphans);
+  *   - freshness: how stale is the newest event vs an as-of point;
+  *   - ingestion gaps: empty time buckets inside the observed span.
+  *
+  * Each returns a small verdict frame (1 row, or one per gap window)
+  * and costs narrow scans: keys-only anti-join, a 1-row max aggregate,
+  * and a bucket groupBy whose exchange carries (bucket, count). */
+object TableHealth {
+
+  /** Orphan audit: child rows whose `childKey` has no match among the
+    * parent's `parentKey` values. The join ships DISTINCT keys only
+    * (both sides project to one column before the anti-join — the
+    * orphan-count-per-key rejoin is against the distinct-key result),
+    * so the cost is key-cardinality, not table size. Returns one row:
+    * (n_child, n_orphan_rows, n_orphan_keys, ref_ok). */
+  def refIntegrity(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame = {
+    val ck = child.select(childKey.as("__k"))
+    val orphanKeys = ck.distinct()
+      .join(parent.select(parentKey.as("__k")).distinct(), Seq("__k"), "left_anti")
+    val orphanRows = ck.join(orphanKeys, Seq("__k"), "left_semi")
+    child.agg(count(lit(1L)).as("n_child"))
+      .crossJoin(orphanRows.agg(count(lit(1L)).as("n_orphan_rows")))
+      .crossJoin(orphanKeys.agg(count(lit(1L)).as("n_orphan_keys")))
+      .withColumn("ref_ok", col("n_orphan_rows") === 0L)
+  }
+
+  /** Freshness vs an explicit `asOf` epoch second (explicit, never
+    * wall-clock — a health check must be replayable): lag of the
+    * newest `ts`, rows in the trailing `recentSeconds` window, and the
+    * verdict lag ≤ `maxLagSeconds`. One partially-aggregated scan. */
+  def freshness(df: DataFrame, ts: Column, asOfEpoch: Long,
+      maxLagSeconds: Long, recentSeconds: Long = 3600L): DataFrame = {
+    require(maxLagSeconds >= 0 && recentSeconds > 0, "bad thresholds")
+    val e = unix_timestamp(ts)
+    df.agg(
+      max(e).as("newest_epoch"),
+      sum(when(e > asOfEpoch - recentSeconds, 1L).otherwise(0L)).as("n_recent"))
+      .select(col("newest_epoch"),
+        (lit(asOfEpoch) - col("newest_epoch")).as("lag_sec"),
+        col("n_recent"),
+        (col("newest_epoch").isNotNull &&
+          lit(asOfEpoch) - col("newest_epoch") <= maxLagSeconds).as("fresh_ok"))
+  }
+
+  /** Ingestion-gap audit: maximal runs of EMPTY `bucketSeconds` buckets
+    * strictly inside the observed [min, max] span — the "did the feed
+    * stop for two hours on Tuesday" question. One bucket groupBy
+    * ((bucket, count) exchange), then gap detection over the bucket
+    * table via lag — bucket-cardinality work, no dense grid
+    * materialized. Returns one row per gap: (gap_start_epoch,
+    * gap_end_epoch, n_missing), ordered. */
+  def bucketGaps(df: DataFrame, ts: Column, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val b = (floor(unix_timestamp(ts) / bucketSeconds) * bucketSeconds).cast("long")
+    val buckets = df.select(b.as("__b")).groupBy("__b").agg(count(lit(1L)).as("__n"))
+    val w = Window.orderBy(col("__b"))
+    buckets
+      .withColumn("__prev", lag(col("__b"), 1).over(w))
+      .where(col("__prev").isNotNull &&
+        col("__b") - col("__prev") > bucketSeconds)
+      .select((col("__prev") + bucketSeconds).as("gap_start_epoch"),
+        (col("__b") - bucketSeconds).as("gap_end_epoch"),
+        ((col("__b") - col("__prev")) / bucketSeconds - 1).cast("long")
+          .as("n_missing"))
+      .orderBy("gap_start_epoch")
+  }
+}

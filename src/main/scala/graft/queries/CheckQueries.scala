@@ -163,6 +163,34 @@ object CheckQueries {
         .orderBy("column")
     }),
 
+    // Cross-table referential integrity: orphan child keys planted by
+    // filtering the parent (orders % 13 removed) — keys-only anti-join,
+    // cost is key cardinality, not table size.
+    "chk_refint" -> ((s, dir) =>
+      graft.ops.TableHealth.refIntegrity(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders").where(col("o_orderkey") % 13 =!= 0),
+        col("o_orderkey"))),
+
+    // Freshness vs an EXPLICIT as-of epoch (replayable, never
+    // wall-clock): newest event lag + trailing-hour volume.
+    "chk_freshness" -> ((s, dir) =>
+      graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
+        asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
+
+    // Ingestion-gap audit over hourly purchase buckets, rolled up to a
+    // single row (gap detail stays on the API) so the result has rows
+    // at every scale factor.
+    "chk_gaps" -> ((s, dir) => {
+      val gaps = graft.ops.TableHealth.bucketGaps(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        col("ts"), 3600L)
+      gaps.agg(count(lit(1L)).as("n_gaps"),
+        coalesce(sum("n_missing"), lit(0L)).as("total_missing"),
+        coalesce(max("n_missing"), lit(0L)).as("longest_gap"),
+        coalesce(min("gap_start_epoch"), lit(0L)).as("first_gap_epoch"))
+    }),
+
     // ---- source loaders beyond parquet, proven against the same rows ----
     "chk_orc" -> ((s, dir) =>
       Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
@@ -324,6 +352,41 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_refint" ->
+      """WITH par AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |             WHERE o_orderkey % 13 <> 0),
+        |ck AS (SELECT l_orderkey AS k FROM lineitem),
+        |ok AS (SELECT DISTINCT k FROM ck
+        |       WHERE k NOT IN (SELECT k FROM par))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ck) AS n_child,
+        | (SELECT CAST(count(*) AS BIGINT) FROM ck
+        |  WHERE k IN (SELECT k FROM ok)) AS n_orphan_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM ok) AS n_orphan_keys,
+        | (SELECT count(*) FROM ck WHERE k IN (SELECT k FROM ok)) = 0
+        |   AS ref_ok""".stripMargin,
+
+    "chk_freshness" ->
+      """SELECT CAST(max(epoch_us(ts)//1000000) AS BIGINT) AS newest_epoch,
+        | CAST(1706745600 - max(epoch_us(ts)//1000000) AS BIGINT) AS lag_sec,
+        | CAST(sum(CASE WHEN epoch_us(ts)//1000000 > 1706745600 - 3600
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+        | max(epoch_us(ts)//1000000) IS NOT NULL AND
+        |   1706745600 - max(epoch_us(ts)//1000000) <= 604800 AS fresh_ok
+        |FROM events""".stripMargin,
+
+    "chk_gaps" ->
+      """WITH bk AS (SELECT (epoch_us(ts)//1000000 // 3600) * 3600 AS b
+        |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT b, lag(b) OVER (ORDER BY b) AS prev FROM bk),
+        |gaps AS (SELECT CAST((b - prev)/3600 - 1 AS BIGINT) AS n_missing,
+        |          CAST(prev + 3600 AS BIGINT) AS gap_start
+        |         FROM g WHERE prev IS NOT NULL AND b - prev > 3600)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        | coalesce(CAST(sum(n_missing) AS BIGINT), 0) AS total_missing,
+        | coalesce(CAST(max(n_missing) AS BIGINT), 0) AS longest_gap,
+        | coalesce(CAST(min(gap_start) AS BIGINT), 0) AS first_gap_epoch
+        |FROM gaps""".stripMargin,
 
     "chk_profile" ->
       """SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

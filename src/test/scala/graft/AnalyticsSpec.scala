@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
   * and salted-join input validation. */
 class AnalyticsSpec extends SparkSuite {
 
+  test("TableHealth: orphans counted by rows and keys; freshness; gap runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val parent = Seq(1L, 3L).toDF("pk")
+    val ri = graft.ops.TableHealth
+      .refIntegrity(child, col("k"), parent, col("pk")).head()
+    assert(ri.getLong(0) == 4 && ri.getLong(1) == 1 && ri.getLong(2) == 1)
+    assert(!ri.getBoolean(3))
+    // freshness: newest at epoch 1000, asOf 1500, max lag 400 -> stale
+    val ev = Seq(100L, 900L, 1000L).map(e =>
+      new java.sql.Timestamp(e * 1000L)).toDF("ts")
+    val fr = graft.ops.TableHealth
+      .freshness(ev, col("ts"), asOfEpoch = 1500L, maxLagSeconds = 400L,
+        recentSeconds = 700L).head()
+    assert(fr.getLong(0) == 1000L && fr.getLong(1) == 500L)
+    assert(fr.getLong(2) == 2 && !fr.getBoolean(3))
+    // gaps: buckets 0, 100, 400 at width 100 -> one gap of 2 buckets
+    val ts = Seq(0L, 150L, 420L).map(e =>
+      new java.sql.Timestamp(e * 1000L)).toDF("ts")
+    val gaps = graft.ops.TableHealth.bucketGaps(ts, col("ts"), 100L)
+      .as[(Long, Long, Long)].collect()
+    assert(gaps.toSeq == Seq((200L, 300L, 2L)), s"got ${gaps.toSeq}")
+  }
+
   test("aucBrier: perfect separation 1.0, reversed 0.0, ties average to 0.5") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
