@@ -50,6 +50,30 @@ object Bpe {
     trainLocal(texts, numMerges)
   }
 
+  /** Persist a merge table as parquet (`rank`, `left`, `right`) — the
+    * tokenizer artifact: train once on the reference corpus, then
+    * count/pack/truncate EVERY later batch with the identical
+    * vocabulary (token budgets that drift between runs are not
+    * budgets). The table is numMerges rows — kilobytes. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, merges: Merges,
+      path: String): Unit = {
+    import spark.implicits._
+    merges.pairs.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact; rank order restores application
+    * priority exactly, so the loaded tokenizer is byte-identical to
+    * the trained one. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Merges =
+    Merges(spark.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+      .toVector)
+
   /** The local, deterministic merge loop over an already-collected
     * sample: count whitespace-word frequencies once, then repeatedly
     * merge the most frequent adjacent id pair (ties toward the smallest

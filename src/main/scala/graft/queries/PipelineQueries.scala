@@ -101,6 +101,36 @@ object PipelineQueries {
         lit(merges.pairs.nonEmpty && merges.pairs.length <= 200).as("learned_ok"))
     }),
 
+    // Persistable tokenizer artifact: train BPE on the English corpus,
+    // save the merge table to parquet, load it back, and tokenize the
+    // NON-English batch with the loaded artifact — budgets must be
+    // byte-identical between the trained and round-tripped tokenizer
+    // (a token budget that drifts between runs is not a budget).
+    "text_bpe_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("lang") === "en" && col("text").isNotNull)
+      val batch = docs.where(col("lang") =!= "en" && col("text").isNotNull &&
+        trim(col("text")) =!= "")
+      val trained = Bpe.train(ref, "text", numMerges = 150)
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/root/repo/target/fixtures/$dirKey/bpe_merges"
+      Bpe.saveMerges(s, trained, path)
+      val loaded = Bpe.loadMerges(s, path)
+      val per = batch.select(
+        Bpe.tokenCount(col("text"), trained).as("bpe_t"),
+        Bpe.tokenCount(col("text"), loaded).as("bpe_l"),
+        TF.tokenCountWs(col("text")).cast("long").as("ws"),
+        expr("octet_length(regexp_replace(text, '\\\\s', ''))").cast("long").as("nsb"))
+      per.agg(
+        count(lit(1L)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("nsb")).as("nonspace_bytes"),
+        (count(when(col("bpe_t") =!= col("bpe_l"), 1)) === 0).as("roundtrip_identical"),
+        (count(when(col("bpe_l") < col("ws") || col("bpe_l") > col("nsb"), 1)) === 0)
+          .as("bounds_ok"),
+        lit(trained.pairs.nonEmpty).as("learned_ok"))
+    }),
+
     // Model-based quality filtering (fastText-style hashed-ngram logistic
     // model — the DCLM/FineWeb-Edu curation step). Planted two-class
     // setup: real documents (label 1) vs their character-reversed texts
@@ -2119,6 +2149,16 @@ object PipelineQueries {
         | true AS bounds_ok, true AS roundtrip_ok, true AS monotone_ok,
         | true AS learned_ok
         |FROM documents WHERE text IS NOT NULL AND trim(text) != ''""".stripMargin,
+
+    "text_bpe_incr" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |   AS ws_tokens,
+        | CAST(sum(strlen(regexp_replace(text, '\s', '', 'g'))) AS BIGINT)
+        |   AS nonspace_bytes,
+        | true AS roundtrip_identical, true AS bounds_ok, true AS learned_ok
+        |FROM documents
+        |WHERE lang <> 'en' AND text IS NOT NULL AND trim(text) != ''""".stripMargin,
 
     // Split sizes recomputed from the same md5-bucket rule as
     // pipeline_split (both the real and the reversed copy of a document
