@@ -125,6 +125,65 @@ object Sketches {
     }
   }
 
+  /** PER-GROUP top-k heavy hitters with EXACT counts — "top terms per
+    * language" / "hot urls per host" without shuffling the full
+    * (group, key) space:
+    *
+    *  1. per-partition Misra–Gries PER GROUP (one bounded counter map
+    *     per (partition, group) — the same pigeonhole guarantee as
+    *     [[mgCandidates]], now per group: any key with in-group count
+    *     > n_g/mgCapacity survives in some partition);
+    *  2. the bounded candidate set (≤ partitions·groups·mgCapacity)
+    *     BROADCASTS back as a semi-join filter, and ONE aggregation
+    *     counts exactly — but only candidate rows enter the exchange;
+    *  3. WindowGroupLimit takes top-k per group (count DESC, key).
+    *
+    * Counts for returned keys are EXACT (stage 2 is a real count, not
+    * a sketch estimate); recall is guaranteed for keys above the
+    * n_g/mgCapacity rate and best-effort below — the heavy-hitter
+    * regime by definition. */
+  def heavyHittersPerGroup(df: DataFrame, group: Column, key: Column,
+      k: Int, mgCapacity: Int = 1024): DataFrame = {
+    require(k > 0 && mgCapacity >= k,
+      s"need mgCapacity >= k > 0, got k=$k capacity=$mgCapacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gk = df.select(group.cast("string").as("g"), key.cast("string").as("w"))
+      .where(col("g").isNotNull && col("w").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = gk.as[(String, String)]
+      .mapPartitions { it =>
+        val perGroup = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, w) =>
+          val counters = perGroup.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap.empty[String, Long])
+          if (counters.contains(w) || counters.size < mgCapacity)
+            counters.update(w, counters.getOrElse(w, 0L) + 1L)
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.foreach { case (w2, v) => if (v <= 0L) dead += w2 }
+            dead.foreach(counters.remove)
+          }
+        }
+        perGroup.iterator.flatMap { case (g, cs) => cs.keysIterator.map(g -> _) }
+      }
+      .toDF("g", "w").distinct()
+    val exact = gk.join(broadcast(cands), Seq("g", "w"), "left_semi")
+      .groupBy("g", "w").agg(count(lit(1L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("n").desc, col("w"))
+    val out = exact
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("g").as("group"), col("w").as("key"), col("n"))
+      .orderBy("group", "key")
+    val materialized = out.localCheckpoint(true)
+    gk.unpersist(blocking = false)
+    materialized
+  }
+
   /** Top-k keys by estimated count, as a DataFrame (`key` string,
     * `est` long) ordered (est DESC, key). Exactly two scans of `df`,
     * no raw-key shuffle, driver state bounded by

@@ -410,6 +410,19 @@ object PipelineQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }),
 
+    // Per-group heavy hitters: top-5 words per language with EXACT
+    // counts — per-partition per-group Misra–Gries candidates,
+    // broadcast semi-join, one candidate-only count, WindowGroupLimit.
+    // At the oracle's vocabulary size the capacity captures every
+    // term, so the result must EQUAL the exact per-group top-5.
+    "text_heavy_per_lang" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+      graft.functions.Sketches.heavyHittersPerGroup(
+        words, col("lang"), col("w"), k = 5, mgCapacity = 1024)
+    }),
+
     // Character-entropy quality signal per source — the
     // compressibility gibberish gate (near-0 degenerate repeats,
     // ~log2(alphabet) encoded noise, mid-range natural language).
@@ -2392,6 +2405,16 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "text_heavy_per_lang" ->
+      """WITH w AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS n
+        |      FROM w WHERE w <> '' GROUP BY 1, 2),
+        |r AS (SELECT g, w, n, row_number() OVER
+        |       (PARTITION BY g ORDER BY n DESC, w) AS rk FROM c)
+        |SELECT g AS "group", w AS key, n
+        |FROM r WHERE rk <= 5 ORDER BY "group", key""".stripMargin,
 
     "text_entropy" ->
       """WITH d AS (SELECT source, string_split(text, '') AS cs

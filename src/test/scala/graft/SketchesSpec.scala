@@ -62,6 +62,32 @@ class SketchesSpec extends SparkSuite {
     assert(both.head > 9000, s"p99 ${both.head} should sit in the shifted mass")
   }
 
+  test("heavyHittersPerGroup: exact per-group top-k, heavy keys never lost, layout-proof") {
+    // group a: x 40, y 30, z 5; group b: p 20, q 10 + singleton tail
+    val rows = Seq.fill(40)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(5)(("a", "z")) ++ Seq.fill(20)(("b", "p")) ++
+      Seq.fill(10)(("b", "q")) ++ (1 to 30).map(i => ("b", s"t$i"))
+    val df = rows.toDF("g", "w").repartition(7)
+    val top = graft.functions.Sketches
+      .heavyHittersPerGroup(df, col("g"), col("w"), k = 2, mgCapacity = 8)
+      .as[(String, String, Long)].collect().toSet
+    assert(top == Set(("a", "x", 40L), ("a", "y", 30L),
+      ("b", "p", 20L), ("b", "q", 10L)), s"got $top")
+    // a different physical layout returns the same heavy keys
+    val top2 = graft.functions.Sketches
+      .heavyHittersPerGroup(df.repartition(3), col("g"), col("w"),
+        k = 2, mgCapacity = 8)
+      .as[(String, String, Long)].collect().toSet
+    assert(top2 == top)
+  }
+
+  test("KLL: corrupt blob reads NULL, never throws") {
+    val out = Seq(Array[Byte](1, 2, 3), null).toDF("b")
+      .select(graft.functions.Kll.quantiles(col("b"), Seq(0.5)).as("q"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("KLL: nulls and NaNs are skipped; empty sketch reads NULL") {
     val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0))
       .toDF("v")
