@@ -398,6 +398,26 @@ object Dedup {
     materializeAndRelease(result, materialize, sh)
   }
 
+  /** Aggressive content normalization for NEAR-exact dedup (the CCNet /
+    * RefinedWeb fold): lowercase, strip every non-alphanumeric rune to
+    * a space, collapse whitespace runs, trim. Two documents that differ
+    * only in case, punctuation, or spacing fold to the same string —
+    * the cheap tier between byte-exact hashing and MinHash, catching
+    * the most common re-post edits at zero candidate-generation cost.
+    * Pure in-scan Column algebra. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), " +", " "))
+
+  /** [[exactDupGroups]] over the NORMALIZED fold: duplicate groups of
+    * case/punctuation/whitespace variants. Same one-shuffle shape —
+    * the normalization rides the scan. */
+  def normalizedDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), xxhash64(normalizeForDedup(col(textCol))).as("hash"))
+      .groupBy("hash")
+      .agg(count(lit(1L)).as("n"), min(col(idCol)).as("keep_id"))
+      .where(col("n") > 1)
+
   /** Exact duplicate groups by full-content hash: (hash, n, canonical id =
     * min id). One shuffle on the 64-bit hash. */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -410,6 +410,23 @@ object PipelineQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(15)
     }),
 
+    // Normalization-fold dedup: case/punctuation/whitespace variants
+    // fold to one group — the cheap tier between byte-exact hashing
+    // and MinHash. Planted variants are uppercased with punctuation
+    // noise; the oracle restates the fold on the normalized STRING
+    // (the engine groups by its 64-bit hash — collision-free here).
+    "dedup_normalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!! ")).as("text"))
+      Dedup.normalizedDupGroups(docs.unionByName(variants), "doc_id", "text")
+        .agg(count(lit(1L)).as("n_groups"),
+          sum("n").as("n_members"),
+          sum("keep_id").as("sum_keep_id"),
+          (count(when(col("n") < 2, 1)) === 0).as("all_multi"))
+    }),
+
     // Per-group heavy hitters: top-5 words per language with EXACT
     // counts — per-partition per-group Misra–Gries candidates,
     // broadcast semi-join, one candidate-only count, WindowGroupLimit.
@@ -2405,6 +2422,21 @@ object PipelineQueries {
         |WHERE 100 * len(list_intersect(a.s, b.s)) >=
         |  51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 5000000, upper(text) || '  !!! '
+        |   FROM documents WHERE doc_id % 9 = 0),
+        |nz AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |       FROM corpus),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
+        |      FROM nz GROUP BY t HAVING count(*) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(n) AS BIGINT) AS n_members,
+        | CAST(sum(keep_id) AS BIGINT) AS sum_keep_id,
+        | true AS all_multi
+        |FROM g""".stripMargin,
 
     "text_heavy_per_lang" ->
       """WITH w AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS w
