@@ -571,4 +571,116 @@ object Analytics {
       .drop("__bin").distinct()
       .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
   }
+
+  /** Cohort retention: group users by the period of their FIRST event
+    * (the cohort), then count how many of each cohort are active 0, 1,
+    * 2, … periods later — the product-analytics retention matrix.
+    * Periods are tumbling windows of `periodSeconds` over `ts`.
+    *
+    * Shape: one user-keyed aggregate finds each user's cohort period
+    * AND the distinct set of periods they were active in (collected in
+    * the same pass — the user's periods, bounded by the observation
+    * span, not their event count), then the explode + (cohort, offset)
+    * aggregate shuffles only (user, period) pairs. The raw event table
+    * is scanned ONCE and never shuffled at event granularity.
+    *
+    * Returns (cohort_period, period_offset, n_active, cohort_size,
+    * retention_pct), cohort_period as epoch seconds of the period
+    * start. */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column,
+      periodSeconds: Long, dp: Int = 2): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive, got $periodSeconds")
+    val p = (unix_timestamp(ts) / periodSeconds).cast("long") * periodSeconds
+    val perUser = df
+      .select(user.as("__u"), p.as("__p"))
+      .groupBy(col("__u"))
+      .agg(min(col("__p")).as("__cohort"),
+           collect_set(col("__p")).as("__periods"))
+    val active = perUser
+      .select(col("__u"), col("__cohort"),
+        explode(col("__periods")).as("__p"))
+      .groupBy(col("__cohort").as("cohort_period"),
+        (((col("__p") - col("__cohort")) / periodSeconds).cast("long"))
+          .as("period_offset"))
+      .agg(count(lit(1L)).as("n_active"))
+    // offset 0 contains every cohort member by construction (the first
+    // event is in the cohort period) — reuse it as the denominator via
+    // a narrow (cohort → size) broadcastable self-join
+    val sizes = active.where(col("period_offset") === 0)
+      .select(col("cohort_period"), col("n_active").as("cohort_size"))
+    active.join(sizes, "cohort_period")
+      .select(col("cohort_period"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") * lit(100.0) / col("cohort_size"), dp)
+          .as("retention_pct"))
+  }
+
+  /** Welch's two-sample t-test (unequal variances): is the mean of
+    * `value` different between the two groups `inA` = true/false? The
+    * experiment-analysis companion to [[chiSquare]] for numeric
+    * outcomes. Returns one row: group sizes/means, the t statistic,
+    * and the Welch–Satterthwaite degrees of freedom — thresholdable
+    * without a CDF (|t| > ~2 ≈ p < 0.05 for df ≳ 30).
+    *
+    * Shape: ONE full scan with conditional aggregates (partial-agg
+    * friendly sums, no pivot, no per-group sub-frames), one 1-row
+    * result. Variances come from the Σx/Σx² identity computed in the
+    * same pass. */
+  def welchTTest(df: DataFrame, inA: Column, value: Column,
+      dp: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    def side(pred: Column, tag: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(pred, v).otherwise(0.0)).as(s"__s$tag"),
+      sum(when(pred, v * v).otherwise(0.0)).as(s"__q$tag"))
+    val aggs = side(inA, "a") ++ side(!inA, "b")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("*"),
+        (col("__sa") / col("__na")).as("__ma"),
+        (col("__sb") / col("__nb")).as("__mb"),
+        // sample variance: (Σx² − n·mean²) / (n−1)
+        ((col("__qa") - col("__sa") * col("__sa") / col("__na")) /
+          (col("__na") - 1)).as("__va"),
+        ((col("__qb") - col("__sb") * col("__sb") / col("__nb")) /
+          (col("__nb") - 1)).as("__vb"))
+      .select(col("*"),
+        (col("__va") / col("__na")).as("__ea"),
+        (col("__vb") / col("__nb")).as("__eb"))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__ma"), dp).as("mean_a"),
+        round(col("__mb"), dp).as("mean_b"),
+        round((col("__ma") - col("__mb")) /
+          sqrt(col("__ea") + col("__eb")), dp).as("t_stat"),
+        round(pow(col("__ea") + col("__eb"), 2) /
+          (pow(col("__ea"), 2) / (col("__na") - 1) +
+           pow(col("__eb"), 2) / (col("__nb") - 1)), dp).as("welch_df"))
+  }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * sequences: for every observed (from_state, to_state) pair, the
+    * transition count and the row-normalized probability — user-journey
+    * analysis, next-event prediction baselines, session-flow QA.
+    * `order` must make the per-key sequence deterministic (include a
+    * tie-break after the timestamp).
+    *
+    * Shape: one key-partitioned window (lead) — the only event-
+    * granularity exchange — then a (from, to) aggregate over state
+    * pairs (partial-agg friendly; cardinality ≤ |states|²). The
+    * probability denominator rides a window over the AGGREGATED pair
+    * table, not the events. */
+  def transitionMatrix(df: DataFrame, key: Column, event: Column,
+      order: Seq[Column], dp: Int = 6): DataFrame = {
+    require(order.nonEmpty, "transitionMatrix needs ordering columns")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val pairs = df
+      .select(event.as("from_state"),
+        lead(event, 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1L)).as("n"))
+    val totals = Window.partitionBy(col("from_state"))
+    pairs.select(col("from_state"), col("to_state"), col("n"),
+      round(col("n") / sum(col("n")).over(totals), dp).as("prob"))
+  }
 }

@@ -571,6 +571,32 @@ object RelationalQueries {
         (abs(percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
           - expr("percentile(l_extendedprice, 0.99)"))
           <= expr("percentile(l_extendedprice, 0.99)") * 0.02).as("ap99_ok"))),
+
+    // Cohort retention matrix: users bucketed by the day of their first
+    // event, counted active N days later. One user-keyed aggregate
+    // (cohort + distinct active periods in the SAME pass), then a
+    // (cohort, offset) rollup — events never shuffle at event grain.
+    "q_cohort" -> ((s, dir) =>
+      Analytics.cohortRetention(t(s, dir, "events"),
+          col("user_id"), col("ts"), periodSeconds = 86400L)
+        .orderBy("cohort_period", "period_offset")),
+
+    // Welch's two-sample t-test: purchase values, users split A/B by id
+    // parity — the numeric-outcome experiment gate (chi2's sibling).
+    // ONE scan, conditional sums, 1-row result.
+    "q_ttest" -> ((s, dir) =>
+      Analytics.welchTTest(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        col("user_id") % 2 === 0, col("value"), dp = 4)),
+
+    // First-order Markov transitions between event types per user:
+    // one lead() window on user (the only event-grain exchange), then a
+    // |states|²-bounded pair aggregate with row-normalized probability.
+    "q_markov" -> ((s, dir) =>
+      Analytics.transitionMatrix(t(s, dir, "events"),
+          col("user_id"), col("event_type"),
+          Seq(col("ts"), col("event_id")))
+        .orderBy("from_state", "to_state")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -956,5 +982,47 @@ object RelationalQueries {
         | round(n/(t.total/t.nk), 4) AS vs_mean,
         | CAST(ceil(n/1000.0) AS INT) AS salt_reco
         |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    "q_cohort" ->
+      """WITH pu AS (SELECT user_id,
+        |   (epoch_us(ts)//1000000 // 86400) * 86400 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort FROM pu GROUP BY 1),
+        |a AS (SELECT DISTINCT pu.user_id, c.cohort, pu.p
+        |      FROM pu JOIN c USING (user_id)),
+        |act AS (SELECT cohort AS cohort_period,
+        |   CAST((p - cohort)//86400 AS BIGINT) AS period_offset,
+        |   CAST(count(*) AS BIGINT) AS n_active FROM a GROUP BY 1, 2),
+        |sz AS (SELECT cohort_period, n_active AS cohort_size
+        |       FROM act WHERE period_offset = 0)
+        |SELECT act.cohort_period, act.period_offset, act.n_active,
+        | sz.cohort_size,
+        | round(act.n_active * 100.0 / sz.cohort_size, 2) AS retention_pct
+        |FROM act JOIN sz USING (cohort_period)
+        |ORDER BY cohort_period, period_offset""".stripMargin,
+
+    "q_ttest" ->
+      """WITH s AS (SELECT (user_id % 2 = 0) AS ina, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |a AS (SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        |      FROM s WHERE ina),
+        |b AS (SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        |      FROM s WHERE NOT ina)
+        |SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        | round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+        | round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat,
+        | round(pow(a.v/a.n + b.v/b.n, 2) /
+        |   (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 4)
+        |   AS welch_df
+        |FROM a, b""".stripMargin,
+
+    "q_markov" ->
+      """WITH seq AS (SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_state FROM events),
+        |p AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        | round(n * 1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS prob
+        |FROM p ORDER BY from_state, to_state""".stripMargin,
   )
 }

@@ -887,4 +887,51 @@ class AnalyticsSpec extends SparkSuite {
       DataPrep.mixToTarget(df, col("id"), col("g"), Map("zz" -> 1.0))
     }
   }
+
+  test("cohortRetention: hand-computed matrix, offset-0 denominator") {
+    import spark.implicits._
+    // 10-second periods. u1 cohort p0 active {0,10,20}; u2 cohort p0
+    // active {0,20}; u3 cohort p10 active {10}.
+    val ev = Seq((1L, 0L), (1L, 5L), (1L, 12L), (1L, 25L),
+                 (2L, 3L), (2L, 21L), (3L, 14L))
+      .toDF("u", "sec").select(col("u"), timestamp_seconds(col("sec")).as("ts"))
+    val m = Analytics.cohortRetention(ev, col("u"), col("ts"), 10L)
+      .orderBy("cohort_period", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(m((0L, 0L)) == ((2L, 2L, 100.0)))
+    assert(m((0L, 1L)) == ((1L, 2L, 50.0)))
+    assert(m((0L, 2L)) == ((2L, 2L, 100.0)))
+    assert(m((10L, 0L)) == ((1L, 1L, 100.0)))
+    assert(m.size == 4, "a period with no active cohort member emits no row")
+  }
+
+  test("welchTTest: hand-computed t statistic and Welch-Satterthwaite df") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+              Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "v")
+    val r = Analytics.welchTTest(df, col("g") === "a", col("v"), dp = 4).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    // t = (2-5)/sqrt(1/3 + (20/3)/4) = -3/sqrt(2); df = 4/0.9814815
+    assert(r.getDouble(4) == -2.1213, s"t_stat ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
+  }
+
+  test("transitionMatrix: per-key ordered pairs, row-normalized, no cross-key leak") {
+    import spark.implicits._
+    // u1: A,B,A,B  u2: A,A,C — u1's last B must NOT chain into u2's first A
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+                 (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "C"))
+      .toDF("u", "t", "e")
+    val m = Analytics.transitionMatrix(ev, col("u"), col("e"),
+        Seq(col("t")), dp = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(("A", "B")) == ((2L, 0.5)))
+    assert(m(("A", "A")) == ((1L, 0.25)))
+    assert(m(("A", "C")) == ((1L, 0.25)))
+    assert(m(("B", "A")) == ((1L, 1.0)))
+    assert(m.size == 4)
+  }
 }
