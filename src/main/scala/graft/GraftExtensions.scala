@@ -154,5 +154,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => KllQuantiles(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray().toSeq))
+    inject("deflate_ratio", "deflate_ratio(text, level) - raw-DEFLATE compressed/raw byte ratio of the UTF-8 text",
+      exprs => DeflateRatio(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -160,6 +160,9 @@ object GraftFunctions {
       "avi_frame_split", exprs => AviFrameSplit(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jpeg_pixel_stats", exprs => JpegPixelStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio", exprs => DeflateRatio(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -300,4 +303,9 @@ object GraftFunctions {
   /** AVI blob → array of per-frame video payloads (MJPEG: real JPEGs),
     * NULL when malformed — the real-container video → frame bridge. */
   def aviFrameSplit(c: Column): Column = GraftColumn(AviFrameSplit(GraftColumn.expr(c)))
+
+  /** text → raw-DEFLATE compressed/raw byte ratio (compressibility
+    * quality gate; sees repeated structure char entropy cannot). */
+  def deflateRatio(c: Column, level: Int = 6): Column =
+    GraftColumn(DeflateRatio(GraftColumn.expr(c), level))
 }

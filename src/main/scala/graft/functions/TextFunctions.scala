@@ -523,4 +523,75 @@ object TextFunctions {
       .when(last2.isin(MultiPartSuffixes: _*), last3)
       .otherwise(last2)
   }
+
+  /** PMI collocations (Church & Hanks 1990): adjacent token pairs
+    * scored by pointwise mutual information
+    * `ln( P(a,b) / (P(a)·P(b)) )` with P(a,b) over the bigram total
+    * and P(w) over the unigram total — the standard collocation /
+    * multi-word-expression extractor. `minCount` suppresses the
+    * classic low-frequency PMI blow-up; top-`k` by rounded PMI with
+    * (a, b) tie-breaks.
+    *
+    * Scale shape: bigrams generate IN the scan (zip_with over two
+    * slices, no positional self-join); both count tables are
+    * partial-aggregated term-keyed rollups bounded by vocabulary, the
+    * scoring joins run on those aggregates (never on token
+    * occurrences), and the final top-k is a TakeOrdered. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int, dp: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(tokensWs(lower(col(textCol))).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("__w"))
+      .groupBy("__w").agg(count(lit(1L)).as("__cw"))
+    val nUni = uni.agg(sum(col("__cw")).cast("double").as("__nu"))
+    val bic = toks.select(explode(zip_with(
+        expr("slice(__t, 1, size(__t)-1)"),
+        expr("slice(__t, 2, size(__t)-1)"),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1L)).as("n_pair"))
+    val nBi = bic.agg(sum(col("n_pair")).cast("double").as("__nb"))
+    bic.where(col("n_pair") >= minCount)
+      .join(uni.select(col("__w").as("a"), col("__cw").as("__ca")), "a")
+      .join(uni.select(col("__w").as("b"), col("__cw").as("__cb")), "b")
+      .crossJoin(nUni).crossJoin(nBi)
+      .select(col("a"), col("b"), col("n_pair"),
+        round(log((col("n_pair") / col("__nb")) /
+          ((col("__ca") / col("__nu")) * (col("__cb") / col("__nu")))), dp)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** Trending terms: smoothed log-ratio of a term's rate in the
+    * `cur` corpus slice vs the `ref` slice —
+    * `ln( ((c_cur+1)/(N_cur+V)) / ((c_ref+1)/(N_ref+V)) )` (add-one
+    * over the joint vocabulary V) — topic-drift monitoring between
+    * crawls, time windows, or corpus versions. Terms below `minCount`
+    * occurrences in `cur` are dropped; top-`k` by rounded score.
+    *
+    * Scale shape: two term-keyed count rollups (partial-aggregated),
+    * one full-outer join on the vocabulary-bounded aggregates, scalar
+    * totals as a 1-row cross join, TakeOrdered top-k. Token
+    * occurrences never join or shuffle beyond their count rollup. */
+  def trendingTerms(cur: DataFrame, ref: DataFrame, textCol: String,
+      minCount: Long, k: Int, dp: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def counts(df: DataFrame, cn: String) =
+      df.select(explode(tokensWs(lower(col(textCol)))).as("term"))
+        .groupBy("term").agg(count(lit(1L)).as(cn))
+    val j = counts(cur, "__cc").join(counts(ref, "__cr"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("__cc"), lit(0L)).as("n_cur"),
+        coalesce(col("__cr"), lit(0L)).as("n_ref"))
+    val totals = j.agg(sum(col("n_cur")).cast("double").as("__tc"),
+      sum(col("n_ref")).cast("double").as("__tr"),
+      count(lit(1L)).cast("double").as("__v"))
+    j.crossJoin(totals)
+      .where(col("n_cur") >= minCount)
+      .select(col("term"), col("n_cur"), col("n_ref"),
+        round(log(((col("n_cur") + 1) / (col("__tc") + col("__v"))) /
+          ((col("n_ref") + 1) / (col("__tr") + col("__v")))), dp)
+          .as("trend"))
+      .orderBy(col("trend").desc, col("term")).limit(k)
+  }
 }

@@ -453,6 +453,46 @@ object PipelineQueries {
           round(max(col("h")), 6).as("max_entropy"))
         .orderBy("source")),
 
+    // PMI collocations: adjacent-pair pointwise mutual information over
+    // vocabulary-bounded count rollups — bigrams generate in-scan
+    // (zip_with over slices), scoring joins touch only aggregates.
+    "text_pmi" -> ((s, dir) =>
+      TF.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 20)),
+
+    // Trending terms: smoothed log-ratio of term rates between the two
+    // doc_id-parity corpus slices — two count rollups, one
+    // vocabulary-keyed full-outer join, TakeOrdered top-k.
+    "text_trending" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TF.trendingTerms(d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), "text", minCount = 5L, k = 15)
+    }),
+
+    // DEFLATE compressibility gate (native expression, in-scan): no SQL
+    // restatement of DEFLATE exists, so the oracle-checked surface is
+    // the DuckDB-computable anchor (n_docs) + in-engine verdicts: every
+    // ratio lands in (0, 1.5]; LZ77 sees the planted repeated-phrase
+    // doc as MORE compressible than every real doc; and a repeated
+    // 16-char alphabet pattern — near-maximal char entropy — still
+    // deflates below 0.1 (structure char entropy cannot see).
+    "text_compress" -> ((s, dir) => {
+      val ratios = t(s, dir, "documents")
+        .select(GraftFunctions.deflateRatio(col("text")).as("r"))
+        .agg(count(lit(1L)).as("n_docs"),
+          sum(when(col("r") <= 0.0 || col("r") > 1.5, 1L).otherwise(0L))
+            .as("n_out_of_range"),
+          min(col("r")).as("__min_doc"))
+      val planted = s.range(1).select(
+        GraftFunctions.deflateRatio(lit("the cat sat " * 200)).as("__rep"),
+        GraftFunctions.deflateRatio(lit("abcdefghijklmnop" * 64)).as("__pat"),
+        TF.charEntropy(lit("abcdefghijklmnop" * 64)).as("__pat_h"))
+      ratios.crossJoin(planted).select(
+        col("n_docs"), col("n_out_of_range"),
+        (col("__rep") < col("__min_doc")).as("repeat_most_compressible"),
+        (col("__pat_h") > 3.9 && col("__pat") < 0.1).as("structure_beyond_entropy"))
+    }),
+
     // Fraction-valued novelty/memorization scoring: per-doc overlap of
     // distinct char-13-grams against the English reference corpus,
     // rolled up per source. The Bloom-sketch path rides as verdicts:
@@ -2447,6 +2487,55 @@ object PipelineQueries {
         |       (PARTITION BY g ORDER BY n DESC, w) AS rk FROM c)
         |SELECT g AS "group", w AS key, n
         |FROM r WHERE rk <= 5 ORDER BY "group", key""".stripMargin,
+
+    "text_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+        |pos AS (SELECT doc_id, unnest(ts) AS w,
+        |        generate_subscripts(ts, 1) AS i FROM toks),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM pos GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+        |bi AS (SELECT p1.w AS a, p2.w AS b, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pos p1 JOIN pos p2
+        |         ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        |       GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM bi)
+        |SELECT bi.a, bi.b, bi.n_pair,
+        | round(ln((bi.n_pair / nb.n) /
+        |   ((ua.cw / nu.n) * (ub.cw / nu.n))), 6) AS pmi
+        |FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE bi.n_pair >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+
+    "text_trending" ->
+      """WITH cur AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents WHERE doc_id % 2 = 0),
+        |ref AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents WHERE doc_id % 2 = 1),
+        |cc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_cur FROM cur GROUP BY 1),
+        |cr AS (SELECT term, CAST(count(*) AS BIGINT) AS n_ref FROM ref GROUP BY 1),
+        |j AS (SELECT coalesce(cc.term, cr.term) AS term,
+        |       coalesce(n_cur, 0) AS n_cur, coalesce(n_ref, 0) AS n_ref
+        |      FROM cc FULL OUTER JOIN cr ON cc.term = cr.term),
+        |tt AS (SELECT CAST(sum(n_cur) AS DOUBLE) AS tc,
+        |       CAST(sum(n_ref) AS DOUBLE) AS tr,
+        |       CAST(count(*) AS DOUBLE) AS v FROM j)
+        |SELECT term, n_cur, n_ref,
+        | round(ln(((n_cur + 1) / (tt.tc + tt.v)) /
+        |   ((n_ref + 1) / (tt.tr + tt.v))), 6) AS trend
+        |FROM j CROSS JOIN tt WHERE n_cur >= 5
+        |ORDER BY trend DESC, term LIMIT 15""".stripMargin,
+
+    // DEFLATE has no SQL restatement — anchor + in-engine verdicts
+    // (ratio range, planted repeated-phrase most compressible, high-
+    // entropy repeated pattern still compresses), spec-pinned further.
+    "text_compress" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(0 AS BIGINT) AS n_out_of_range,
+        | true AS repeat_most_compressible,
+        | true AS structure_beyond_entropy
+        |FROM documents""".stripMargin,
 
     "text_entropy" ->
       """WITH d AS (SELECT source, string_split(text, '') AS cs

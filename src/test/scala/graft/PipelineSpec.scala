@@ -982,4 +982,74 @@ class PipelineSpec extends SparkSuite {
       .select("id", "cluster").as[(Long, Int)].collect().toMap
     assert(a == b)
   }
+
+  test("pmiCollocations: hand-computed PMI, minCount gate, tie-break order") {
+    import spark.implicits._
+    // corpus: "a b" ×3, "a c" ×1 → unigrams a:4 b:3 c:1 (N=8),
+    // bigrams (a,b):3 (a,c):1 (N=4)
+    val docs = (Seq.fill(3)("a b") :+ "a c").toDF("text")
+    val all = TF.pmiCollocations(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // pmi(a,b) = ln((3/4)/((4/8)(3/8))) = ln(4) ; pmi(a,c) = ln((1/4)/((4/8)(1/8))) = ln(4)
+    assert(all(("a", "b"))._1 == 3L && all(("a", "c"))._1 == 1L)
+    assert(all(("a", "b"))._2 == math.BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(all(("a", "b"))._2 == all(("a", "c"))._2)
+    // minCount drops the rare pair
+    val gated = TF.pmiCollocations(docs, "text", minCount = 2L, k = 10).collect()
+    assert(gated.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+  }
+
+  test("trendingTerms: hand-computed smoothed log-ratio, minCount gate") {
+    import spark.implicits._
+    val cur = Seq("x x x x x y").toDF("text") // x:5 y:1, Tc=6
+    val ref = Seq("x y y y").toDF("text")     // x:1 y:3, Tr=4, V=2
+    val m = TF.trendingTerms(cur, ref, "text", minCount = 1L, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def sc(c: Long, r: Long) = math.BigDecimal(
+        math.log(((c + 1.0) / 8.0) / ((r + 1.0) / 6.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("x") == ((5L, 1L, sc(5, 1))))
+    assert(m("y") == ((1L, 3L, sc(1, 3))))
+    assert(m("x")._3 > 0 && m("y")._3 < 0, "x trends up, y trends down")
+    val gated = TF.trendingTerms(cur, ref, "text", minCount = 5L, k = 10).collect()
+    assert(gated.map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("deflateRatio: compressibility ordering, inflate round-trip, edge cases") {
+    import spark.implicits._
+    import java.util.zip.Inflater
+    val texts = Seq(
+      ("rep", "the cat sat " * 200),          // massive LZ77 matches
+      ("pat", "abcdefghijklmnop" * 64),       // high char entropy, pure structure
+      ("mix", (1 to 200).map(i => (i * 2654435761L).toHexString).mkString(" ")),
+      ("empty", ""))
+    val r = texts.toDF("k", "t")
+      .select(col("k"), GraftFunctions.deflateRatio(col("t")).as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("empty") == 1.0)
+    assert(r("rep") < 0.05, s"repeated phrase must crush: ${r("rep")}")
+    assert(r("pat") < 0.1, s"structure invisible to entropy must crush: ${r("pat")}")
+    assert(r("rep") < r("pat") && r("pat") < r("mix"),
+      s"ordering rep<pat<mix violated: $r")
+    // the entropy gate CANNOT see pat's structure: h(pat) = 4 bits exactly
+    val h = texts.toDF("k", "t").where(col("k") === "pat")
+      .select(TF.charEntropy(col("t"))).head().getDouble(0)
+    assert(h == 4.0, s"16 equiprobable chars = 4 bits, got $h")
+    // the ratio is a REAL deflate stream: inflate returns the input
+    val raw = "the cat sat " * 200
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(raw.getBytes("UTF-8")); d.finish()
+    val out = new Array[Byte](1 << 16)
+    val n = d.deflate(out)
+    val inf = new Inflater(true)
+    inf.setInput(out, 0, n)
+    val back = new Array[Byte](raw.getBytes("UTF-8").length)
+    assert(inf.inflate(back) == back.length && new String(back, "UTF-8") == raw)
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = Seq(raw).toDF("t").createOrReplaceTempView("dr_t")
+    val sq = spark.sql("SELECT deflate_ratio(t, 6) FROM dr_t").head().getDouble(0)
+    assert(sq == r("rep"), "SQL name must agree with the Column builder")
+  }
 }
