@@ -510,4 +510,50 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** All pairs within Levenshtein edit distance `maxDist` — fuzzy
+    * entity matching over names/titles/identifiers (typo dedup, record
+    * linkage), the character-level relation token-set Jaccard cannot
+    * see. Candidate generation is the deletion-neighborhood scheme
+    * (SymSpell, Garbe 2012): every string emits the strings obtainable
+    * by deleting up to `maxDist` characters; `dist(a,b) ≤ d` implies
+    * the two neighborhoods intersect (delete the edited positions from
+    * each side), so an EQUI-join on variant keys yields a complete
+    * candidate set — no cartesian, no length-band theta join — and the
+    * built-in codegen'd `levenshtein` verifies exactly.
+    *
+    * Scale notes: a string of length L emits O(L^d) variants — the
+    * scheme is for SHORT strings (names, titles, codes; `maxDist` ≤ 2
+    * enforced) where the blow-up is tens of keys. Exact-duplicate
+    * groups all collide on every shared key: collapse to distinct
+    * strings first (exactDedup) when the corpus is replica-heavy —
+    * the same discipline as the MinHash cascade. Each candidate pair
+    * is produced by ≤ |variants| keys and deduplicated on ids before
+    * verification.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist (0 =
+    * identical strings). */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion neighborhoods are for short-string fuzzy matching; maxDist must be 1 or 2, got $maxDist")
+    // every string obtainable by deleting exactly one char from any
+    // element of arr (distinct)
+    def del1(arr: Column): Column = array_distinct(flatten(transform(arr, s =>
+      transform(sequence(lit(1), length(s)),
+        i => concat(substr(s, lit(1), i - 1), substr(s, i + 1, length(s)))))))
+    val base = docs.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull && length(col("__s")) > 0)
+    val v1 = array(col("__s"))
+    val keys = if (maxDist == 1) array_union(v1, del1(v1))
+               else array_union(v1, array_union(del1(v1), del1(del1(v1))))
+    val keyed = base.select(col("__id"), col("__s"), explode(keys).as("__k"))
+    keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
+      .join(keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb")), "__k")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "__sa", "id_b", "__sb").distinct()
+      .where(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+  }
 }

@@ -148,4 +148,56 @@ object Graph {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Triangle count + global clustering coefficient of the UNDIRECTED
+    * simple graph underlying `edges` (direction, duplicates and self
+    * loops are normalized away) — the local-density complement of the
+    * centrality scores: spam farms and boilerplate link blocks show up
+    * as abnormal clustering, and `3·T / wedges` is the standard
+    * graph-health summary.
+    *
+    * Scale shape (Suri & Vassilvitskii, WWW 2011 — the MapReduce
+    * triangle recipe): every edge is ORIENTED from its lower-(degree,
+    * id) endpoint to the higher one, so each wedge is generated at
+    * exactly one pivot and a pivot's out-degree is O(√m) on any graph —
+    * the hub that would explode a naive neighbor self-join never
+    * pivots. Wedges close against the canonical edge set by equi-join
+    * on the (least, greatest) pair key. Everything is joins +
+    * partial-aggregated counts; the single-row output is the only
+    * collapse. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      dp: Int = 6): DataFrame = {
+    val c = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      // eager localCheckpoint: the canonical set is scanned three times
+      // (degrees, wedge closure, |E|); blocks release when unreferenced
+      .localCheckpoint(true)
+    val deg = c.select(col("a").as("id")).union(c.select(col("b")))
+      .groupBy("id").agg(count(lit(1L)).as("deg"))
+    val da = deg.select(col("id").as("a"), col("deg").as("__da"))
+    val db = deg.select(col("id").as("b"), col("deg").as("__db"))
+    val oriented = c.join(da, "a").join(db, "b")
+      .select(
+        when(col("__da") < col("__db") ||
+             (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.join(oriented.select(col("u"), col("v").as("w")), "u")
+      .where(col("v") < col("w"))
+    val tri = wedges.join(c.select(col("a").as("x"), col("b").as("y")),
+        least(col("v"), col("w")) === col("x") &&
+        greatest(col("v"), col("w")) === col("y"))
+      .agg(count(lit(1L)).as("n_triangles"))
+    val degAgg = deg.agg(count(lit(1L)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val out = tri.crossJoin(degAgg).crossJoin(c.agg(count(lit(1L)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") > 0,
+            col("n_triangles") * lit(3.0) / col("n_wedges"))
+          .otherwise(lit(0.0)), dp).as("global_clustering"))
+    out
+  }
 }

@@ -378,4 +378,26 @@ object DataPrep {
         col("n_versions"), col("valid_to").isNull.as("is_current")) ++
         contentCols.map(col): _*)
   }
+
+  /** Deterministic uniform k-per-group sample: exactly min(k, |group|)
+    * rows per group, chosen by ranking on the seeded content hash
+    * [[shuffleKey]] — the bounded "show me a few examples per source /
+    * cluster / language" primitive. Unlike `sample()` the selection is
+    * a pure function of (key, seed): stable across runs, partitionings
+    * and engine versions, so downstream eyeball sets and golden tests
+    * don't churn. A different seed draws an independent sample.
+    *
+    * Scale shape: ONE group-keyed exchange; the rank-≤-k predicate on
+    * row_number is pushed below the shuffle as a per-partition group
+    * limit (WindowGroupLimit), so each map task ships at most k rows
+    * per group it holds. Adds `sample_rank` (1..k, the stable draw
+    * order). */
+  def groupSample(df: DataFrame, group: Seq[Column], key: Column, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(group.nonEmpty, "need at least one group column")
+    val w = Window.partitionBy(group: _*).orderBy(shuffleKey(key, seed), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
 }

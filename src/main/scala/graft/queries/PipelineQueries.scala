@@ -2147,6 +2147,38 @@ object PipelineQueries {
           round(col("auth"), 6).as("auth"))
         .orderBy("word")
     }),
+
+    // Triangle count + global clustering over the same co-occurrence
+    // graph: degree-oriented wedge generation (each wedge at exactly
+    // one pivot, out-degree O(√m)) closed by a (least, greatest)
+    // equi-join — no neighbor-list self-join blow-up; the oracle is an
+    // a<b<c three-way join.
+    "graph_triangles" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.triangleStats(edges, "src", "dst")
+    }),
+
+    // Deterministic k-per-group sample: 3 docs per source ranked by the
+    // seeded md5 shuffle key — WindowGroupLimit pushes the rank cut
+    // below the one group-keyed exchange.
+    "pipeline_reservoir" -> ((s, dir) =>
+      graft.ops.DataPrep.groupSample(t(s, dir, "documents"),
+          Seq(col("source")), col("doc_id"), k = 3, seed = 7L)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "sample_rank")),
+
+    // Fuzzy (edit-distance ≤ 1) pair mining over customer names via
+    // SymSpell deletion-neighborhood equi-join + exact levenshtein
+    // verify; the oracle recomputes every pair with DuckDB's native
+    // levenshtein over the length-banded cross join.
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name",
+          maxDist = 1)
+        .groupBy("dist")
+        .agg(count(lit(1L)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_checksum"))
+        .orderBy("dist")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3853,5 +3885,45 @@ object PipelineQueries {
         |       FROM nodes CROSS JOIN m2 LEFT JOIN h2r ON nodes.id = h2r.id)
         |SELECT h2.id AS word, round(h2.h, 6) AS hub, round(a2.a, 6) AS auth
         |FROM h2 JOIN a2 ON h2.id = a2.id ORDER BY word""".stripMargin,
+
+    // Triangles counted once each via the a<b<c three-way join over the
+    // canonical (least, greatest) undirected edge set; wedges from the
+    // degree table.
+    "graph_triangles" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e0 AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT a AS id FROM c UNION ALL SELECT b FROM c) GROUP BY 1),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM c e1 JOIN c e2 ON e1.b = e2.a
+        |        JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |wd AS (SELECT CAST(sum(d*(d-1)//2) AS BIGINT) AS nw FROM deg)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        | CAST((SELECT count(*) FROM c) AS BIGINT) AS n_edges,
+        | tri.t AS n_triangles, wd.nw AS n_wedges,
+        | round(CASE WHEN wd.nw > 0 THEN 3.0 * tri.t / wd.nw ELSE 0.0 END, 6)
+        |   AS global_clustering
+        |FROM tri CROSS JOIN wd""".stripMargin,
+
+    "pipeline_reservoir" ->
+      """SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+        | SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |   ORDER BY md5('7' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 3 ORDER BY source, sample_rank""".stripMargin,
+
+    "dedup_fuzzy" ->
+      """WITH p AS (SELECT a.c_custkey AS ia, b.c_custkey AS ib,
+        |    levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |    AND levenshtein(a.c_name, b.c_name) <= 1)
+        |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(ia + ib) AS BIGINT) AS id_checksum
+        |FROM p GROUP BY 1 ORDER BY dist""".stripMargin,
   )
 }

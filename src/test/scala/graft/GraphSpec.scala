@@ -74,4 +74,27 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", damping = 1.0))
   }
+
+  test("triangleStats: hand-computed counts; direction/dup/self-loop normalization") {
+    import spark.implicits._
+    // K3 on {a,b,c} + pendant d + isolated-by-self-loop e; duplicate and
+    // reversed edges collapse. Triangles: 1. Degrees a:3 b:2 c:2 d:1 →
+    // wedges = 3+1+1+0 = 5. Clustering = 3·1/5.
+    val edges = Seq(("a","b"), ("b","a"), ("b","c"), ("a","c"), ("a","c"),
+                    ("a","d"), ("e","e")).toDF("src", "dst")
+    val r = Graph.triangleStats(edges, "src", "dst").head()
+    assert(r.getLong(0) == 4, s"n_nodes ${r.getLong(0)}")       // a b c d
+    assert(r.getLong(1) == 4, s"n_edges ${r.getLong(1)}")       // ab bc ac ad
+    assert(r.getLong(2) == 1, s"n_triangles ${r.getLong(2)}")
+    assert(r.getLong(3) == 5, s"n_wedges ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.6)
+    // triangle-free graph: star K1,3 has wedges but zero triangles
+    val star = Seq(("h","x"), ("h","y"), ("h","z")).toDF("src", "dst")
+    val s2 = Graph.triangleStats(star, "src", "dst").head()
+    assert(s2.getLong(2) == 0 && s2.getLong(3) == 3 && s2.getDouble(4) == 0.0)
+    // two disjoint triangles count independently
+    val two = Seq(("a","b"), ("b","c"), ("c","a"),
+                  ("x","y"), ("y","z"), ("z","x")).toDF("src", "dst")
+    assert(Graph.triangleStats(two, "src", "dst").head().getLong(2) == 2)
+  }
 }

@@ -1016,6 +1016,59 @@ class PipelineSpec extends SparkSuite {
     assert(gated.map(_.getString(0)).toSeq == Seq("x"))
   }
 
+  test("groupSample: exact k per group, deterministic, layout-invariant, seed-sensitive") {
+    import graft.ops.DataPrep
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    def draw(seed: Long, d: org.apache.spark.sql.DataFrame = df) =
+      DataPrep.groupSample(d, Seq(col("g")), col("id"), k = 5, seed = seed)
+        .select("g", "id", "sample_rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val a = draw(1L)
+    assert(a.size == 15 && a.groupBy(_._1).forall(_._2.size == 5))
+    assert(a.forall(x => x._3 >= 1 && x._3 <= 5))
+    assert(a == draw(1L, df.repartition(13)), "selection must not depend on layout")
+    assert(a != draw(2L), "a different seed draws a different sample")
+    // k larger than the group keeps everything
+    val small = Seq((1L, "g"), (2L, "g")).toDF("id", "g")
+    assert(DataPrep.groupSample(small, Seq(col("g")), col("id"), 5).count() == 2)
+    intercept[IllegalArgumentException](
+      DataPrep.groupSample(df, Seq(col("g")), col("id"), 0))
+  }
+
+  test("editDistancePairs: complete vs brute force; planted typos; d=2") {
+    import spark.implicits._
+    // deterministic short strings over a 3-letter alphabet — dense enough
+    // that many pairs land within distance 1
+    val strs = (0 until 60).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, (0 until (3 + i % 4)).map(_ => ('a' + r.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = levenshteinRef(sa, sb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // planted: transposition is distance 2 — found at d=2, not d=1
+    val planted = Seq((1L, "spark engine"), (2L, "sprak engine"), (3L, "flink")).toDF("id", "s")
+    assert(Dedup.editDistancePairs(planted, "id", "s", 1).count() == 0)
+    val p2 = Dedup.editDistancePairs(planted, "id", "s", 2).collect()
+    assert(p2.length == 1 && p2.head.getLong(0) == 1L && p2.head.getInt(2) == 2)
+    intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
+  }
+
+  /** textbook DP reference, independent of both engines */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("deflateRatio: compressibility ordering, inflate round-trip, edge cases") {
     import spark.implicits._
     import java.util.zip.Inflater

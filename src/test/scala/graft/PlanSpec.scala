@@ -387,4 +387,38 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"mix pass should only shuffle for the summary agg:\n$p")
   }
+
+  test("graph_triangles: wedge closure is hash-keyed, never a cartesian") {
+    val p = plan(q("graph_triangles"))
+    // the only nested-loop joins are the 1-row summary cross joins; the
+    // wedge→edge closure must be an equi-join on the (least, greatest) key
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangle counting:\n$p")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[least".r
+      .findFirstIn(p).isDefined,
+      s"wedge closure must hash-join on the canonical pair key:\n$p")
+  }
+
+  test("pipeline_reservoir: rank cut pushes below the shuffle (WindowGroupLimit)") {
+    val p = plan(q("pipeline_reservoir"))
+    assert(p.contains("WindowGroupLimit"),
+      s"k-per-group sample must ride WindowGroupLimit:\n$p")
+  }
+
+  test("dedup_fuzzy: deletion-key candidates are an equi-join, never a cartesian") {
+    val p = plan(q("dedup_fuzzy"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy candidates must equi-join on deletion keys:\n$p")
+  }
+
+  test("q_markov / q_cohort: event-grain work is bounded to one exchange family") {
+    // transitionMatrix: exactly one event-grain exchange (the lead
+    // window on user); the pair aggregate and probability window run on
+    // |states|²-bounded data
+    val pm = plan(q("q_markov"))
+    assert(!pm.contains("Join"), s"markov needs no join at all:\n$pm")
+    // cohortRetention: the only join is the narrow cohort-size self-join
+    val pc = plan(q("q_cohort"))
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"cohort size join must be hash-keyed:\n$pc")
+  }
 }
