@@ -63,30 +63,46 @@ object Pq {
     * contract). Exposed so compositions ([[IvfPq]], [[Ivf]]) can train
     * several quantizers from a single sampling pass.
     *
-    * The bound is enforced by a seeded `orderBy(hash).limit` — a
-    * TakeOrdered (per-partition top-n heaps merged at the driver, one
-    * pass, no full sort), NOT a bare `limit`: a bare limit takes the
-    * first partitions' rows, and on a corpus physically ordered by
+    * The bound is the n smallest rows by a seeded content hash,
+    * computed by a depth-2 `treeAggregate` of per-partition bounded
+    * heaps: every tree stage (and the driver) receives at most n rows,
+    * where the earlier TakeOrdered formulation merged P·n rows AT THE
+    * DRIVER — real network volume at extreme partition counts (the
+    * round-6 review's finding). NOT a bare `limit`: a bare limit takes
+    * the first partitions' rows, and on a corpus physically ordered by
     * source/topic (the normal post-ingest layout) that prefix would
     * train centroids on one region of the distribution — a silent
     * recall collapse no small-SF test can catch.
     *
     * The ordering key is `xxhash64(vec, seed)` — CONTENT-derived, so the
     * selected sample (and thus the codebooks and every downstream search
-    * result) is identical for any physical partitioning of the corpus.
-    * `rand(seed)` would not be: it reseeds per partition index, so a
-    * repartition silently retrains different codebooks under the same
-    * seed. Rows with identical vectors tie, but tied rows carry identical
-    * content, so the sample multiset is unaffected by which one wins. */
-  private[functions] def collectSample(corpus: DataFrame, vecCol: String,
+    * result) is identical for any physical partitioning of the corpus
+    * (heap merges commute under distinct keys). `rand(seed)` would not
+    * be: it reseeds per partition index, so a repartition silently
+    * retrains different codebooks under the same seed. Rows with
+    * identical vectors tie, but tied rows carry identical content, so
+    * the sample multiset is unaffected by which one wins. */
+  private[graft] def collectSample(corpus: DataFrame, vecCol: String,
       trainFraction: Double, seed: Long, maxTrainRows: Int): Array[Array[Double]] = {
+    // max-heap on the hash: holds the n SMALLEST hashes seen
+    type Heap = scala.collection.mutable.PriorityQueue[(Long, Array[Double])]
+    def newHeap(): Heap = new Heap()(Ordering.by(_._1))
+    def push(h: Heap, e: (Long, Array[Double])): Heap = {
+      if (h.size < maxTrainRows) h.enqueue(e)
+      else if (e._1 < h.head._1) { h.dequeue(); h.enqueue(e) }
+      h
+    }
     val raw =
       (if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
        else corpus)
         .select(col(vecCol)).where(col(vecCol).isNotNull)
-        .orderBy(xxhash64(col(vecCol), lit(seed)))
-        .limit(maxTrainRows).collect()
-        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+        .select(xxhash64(col(vecCol), lit(seed)).as("__h"), col(vecCol).as("__v"))
+        .rdd.map(r => (r.getLong(0),
+          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray))
+        .treeAggregate(newHeap())(push, (a, b) => { b.foreach(push(a, _)); a },
+          depth = 2)
+        .toArray.sortBy(_._1) // ascending hash order, as orderBy produced
+        .map(_._2)
     if (raw.isEmpty) raw
     else {
       // wrong-dimension vectors cannot train: subspace slicing would

@@ -657,6 +657,73 @@ object Analytics {
            pow(col("__eb"), 2) / (col("__nb") - 1)), dp).as("welch_df"))
   }
 
+  /** Per-group ordinary least squares y ~ x: slope, intercept and r²
+    * for every group in ONE aggregation pass — the "fit a line per
+    * segment/source/day" primitive (trend slopes per cohort, price
+    * elasticity per category, drift rate per feed).
+    *
+    * Built from Spark's numerically-stable streaming moment aggregates
+    * (covar_pop / var_pop / corr are Welford-style partial-merge
+    * aggregates, exactly what DuckDB's regr_* family computes): map-side
+    * partials, no raw Σx² cancellation, no second pass. Degenerate
+    * groups (constant x — zero variance) return NULL slope/intercept/r²
+    * rather than ±Inf. */
+  def regressionByKey(df: DataFrame, key: Column, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val agg = df.groupBy(key.as("key"))
+      .agg(count(lit(1L)).as("n"),
+        covar_pop(yd, xd).as("__cov"), var_pop(xd).as("__vx"),
+        var_pop(yd).as("__vy"), avg(xd).as("__mx"), avg(yd).as("__my"))
+    // NULL divisors (nullif idiom), not when-guards or `corr`: Spark's
+    // ANSI mode makes both corr() and a hoisted guarded division THROW
+    // on zero-variance groups; dividing by a NULL-when-zero divisor
+    // yields NULL in any mode. r² = cov²/(vx·vy) from the same moments.
+    val slope = col("__cov") / when(col("__vx") > 0, col("__vx"))
+    agg.select(col("key"), col("n"),
+      round(slope, dp).as("slope"),
+      round(col("__my") - slope * col("__mx"), dp).as("intercept"),
+      round(col("__cov") * col("__cov") /
+        when(col("__vx") > 0 && col("__vy") > 0,
+          col("__vx") * col("__vy")), dp).as("r2"))
+  }
+
+  /** Market-basket association pairs: for every unordered item pair
+    * occurring in ≥ `minPairCount` baskets, the support, confidence and
+    * lift — the classic affinity/co-purchase/co-occurrence mining
+    * surface (Agrawal & Srikant 1994's A-priori first step, which at
+    * pair depth is exact without candidate pruning).
+    *
+    * Scale shape: baskets dedup to distinct (basket, item) rows first;
+    * pair generation is a basket-keyed EQUI self-join (fanout bounded
+    * by basket size, never corpus size — cap pathological baskets
+    * upstream with [[graft.ops.DataPrep.capPerGroup]]); supports come
+    * from partial-aggregated counts; the final cut is a TakeOrdered by
+    * lift. Confidence is directional — reported for a→b with (a, b) in
+    * item order; lift is symmetric. */
+  def associationPairs(df: DataFrame, basket: Column, item: Column,
+      minPairCount: Long, k: Int, dp: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val items = df.select(basket.as("__b"), item.cast("string").as("__i")).distinct()
+    val nb = items.agg(countDistinct(col("__b")).cast("double").as("__nb"))
+    val counts = items.groupBy(col("__i")).agg(count(lit(1L)).as("__c"))
+    val pairs = items.select(col("__b"), col("__i").as("item_a"))
+      .join(items.select(col("__b"), col("__i").as("item_b")), "__b")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1L)).as("n_baskets"))
+      .where(col("n_baskets") >= minPairCount)
+    pairs
+      .join(counts.select(col("__i").as("item_a"), col("__c").as("__ca")), "item_a")
+      .join(counts.select(col("__i").as("item_b"), col("__c").as("__cb")), "item_b")
+      .crossJoin(nb)
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        round(col("n_baskets") / col("__nb"), dp).as("support"),
+        round(col("n_baskets") / col("__ca"), dp).as("confidence"),
+        round(col("n_baskets") * col("__nb") / (col("__ca") * col("__cb")), dp)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(k)
+  }
+
   /** First-order Markov transition matrix over per-key ordered event
     * sequences: for every observed (from_state, to_state) pair, the
     * transition count and the row-normalized probability — user-journey

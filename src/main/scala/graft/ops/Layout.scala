@@ -102,4 +102,59 @@ object Layout {
       .head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** Globally-sorted export audit: range-partition `df` on a numeric
+    * key into ≤ `numShards` shards, sort within each, and return ONE
+    * manifest row per shard — (shard, n_rows, min_key, max_key,
+    * inversions) — where `inversions` counts PHYSICAL out-of-order
+    * adjacent row pairs, streamed per partition (not a window, which
+    * would impose its own sort and audit nothing). A zero-inversion
+    * manifest whose shard [min, max] ranges do not overlap proves the
+    * export is globally ordered — the manifest a sharded training-data
+    * or index export ships alongside its files.
+    *
+    * Scale shape: `repartitionByRange` is one sampling pass + ONE
+    * shuffle (the cost floor of any global sort); the audit itself is
+    * a single streaming pass per shard emitting one row — no second
+    * exchange, no driver-side data beyond the |shards|-row manifest.
+    * Shard ids are range-rank-ordered: shard i holds keys ≤ shard
+    * i+1's (equal keys never split across shards). */
+  def rangeSortedAudit(df: DataFrame, keyCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    shardAudit(df.select(col(keyCol).cast("double").as("__k"))
+      .where(col("__k").isNotNull)
+      .repartitionByRange(numShards, col("__k"))
+      .sortWithinPartitions("__k"), "__k")
+  }
+
+  /** The audit half of [[rangeSortedAudit]] over the frame's CURRENT
+    * physical layout (no repartition, no sort) — point it at a
+    * read-back export to re-verify ordering without paying a shuffle.
+    * The inversion counter observes real row order, so it detects a
+    * layout that LOST its sort (which a window-based check, imposing
+    * its own sort, never could). */
+  def shardAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df
+      .select(col(keyCol).cast("double").as("__k"))
+      .where(col("__k").isNotNull)
+    parted.as[Double].mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var n = 1L; var inv = 0L
+        var first = it.next(); var mn = first; var mx = first; var prev = first
+        while (it.hasNext) {
+          val v = it.next()
+          if (v < prev) inv += 1
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          prev = v; n += 1
+        }
+        Iterator((pid, n, mn, mx, inv))
+      }
+    }.toDF("shard", "n_rows", "min_key", "max_key", "inversions")
+  }
 }

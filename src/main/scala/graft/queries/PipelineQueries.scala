@@ -2168,6 +2168,49 @@ object PipelineQueries {
         .select(col("source"), col("doc_id"), col("sample_rank"))
         .orderBy("source", "sample_rank")),
 
+    // Globally-sorted sharded export: range partition + in-shard sort,
+    // audited by a PHYSICAL streaming pass (adjacent-pair inversions per
+    // shard) + cross-shard range-overlap check over the ≤8-row manifest.
+    // Shard boundaries come from range sampling (run-dependent), so the
+    // oracle-stable surface is the rolled-up verdict: every row
+    // accounted, zero inversions, zero overlapping shard ranges, exact
+    // global key span.
+    "pipeline_sorted_export" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = graft.ops.Layout.rangeSortedAudit(
+        t(s, dir, "orders"), "o_totalprice", numShards = 8)
+      // the manifest is ≤ numShards rows — the unpartitioned window is a
+      // driver-scale sort, not a data-scale one
+      val w = Window.orderBy(col("min_key"), col("shard"))
+      m.withColumn("__prev_max", lag(col("max_key"), 1).over(w))
+        .agg(sum(col("n_rows")).as("total_rows"),
+          sum(col("inversions")).as("n_inversions"),
+          sum(when(col("__prev_max") > col("min_key"), 1L).otherwise(0L))
+            .as("n_overlaps"),
+          round(min(col("min_key")), 2).as("min_key"),
+          round(max(col("max_key")), 2).as("max_key"))
+    }),
+
+    // Per-source score normalization (z / min-max / percentile rank) of
+    // the length signal — the calibration step before mixing quality
+    // scores ACROSS sources, whose raw scales never agree. One
+    // source-keyed exchange carries all three windows.
+    "pipeline_score_norm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+      val wo = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          round((col("n_chars") - avg(col("n_chars")).over(w)) /
+            stddev_samp(col("n_chars")).over(w), 6).as("z"),
+          round((col("n_chars") - min(col("n_chars")).over(w)) /
+            (max(col("n_chars")).over(w) - min(col("n_chars")).over(w)), 6)
+            .as("minmax"),
+          round(percent_rank().over(wo), 6).as("pct_rank"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy (edit-distance ≤ 1) pair mining over customer names via
     // SymSpell deletion-neighborhood equi-join + exact levenshtein
     // verify; the oracle recomputes every pair with DuckDB's native
@@ -3915,6 +3958,27 @@ object PipelineQueries {
         |   ORDER BY md5('7' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 3 ORDER BY source, sample_rank""".stripMargin,
+
+    "pipeline_score_norm" ->
+      """SELECT source, doc_id, n_chars,
+        | round((n_chars - avg(n_chars) OVER w) /
+        |   stddev_samp(n_chars) OVER w, 6) AS z,
+        | round((n_chars - min(n_chars) OVER w) * 1.0 /
+        |   (max(n_chars) OVER w - min(n_chars) OVER w), 6) AS minmax,
+        | round(percent_rank() OVER wo, 6) AS pct_rank
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source),
+        | wo AS (PARTITION BY source ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Shard boundaries are engine-internal; the invariants are not:
+    // zero inversions / overlaps, full accounting, exact key span.
+    "pipeline_sorted_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        | CAST(0 AS BIGINT) AS n_inversions, CAST(0 AS BIGINT) AS n_overlaps,
+        | round(min(o_totalprice), 2) AS min_key,
+        | round(max(o_totalprice), 2) AS max_key
+        |FROM orders""".stripMargin,
 
     "dedup_fuzzy" ->
       """WITH p AS (SELECT a.c_custkey AS ia, b.c_custkey AS ib,

@@ -597,6 +597,49 @@ object RelationalQueries {
           col("user_id"), col("event_type"),
           Seq(col("ts"), col("event_id")))
         .orderBy("from_state", "to_state")),
+
+    // Per-group OLS (price ~ quantity per return flag): slope /
+    // intercept / r² from Spark's Welford-style moment aggregates in
+    // ONE pass — the same stable formulation DuckDB's regr_* family
+    // restates.
+    "q_regression" -> ((s, dir) =>
+      Analytics.regressionByKey(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy("l_returnflag")),
+
+    // Market-basket association pairs over order line items: support /
+    // confidence / lift from a basket-keyed equi self-join (fanout
+    // bounded by basket size) + TakeOrdered by lift.
+    "q_basket" -> ((s, dir) =>
+      Analytics.associationPairs(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minPairCount = 3L, k = 20)),
+
+    // Pivot to a wide per-bucket × event-type revenue matrix with an
+    // EXPLICIT value list (no distinct-discovery pre-job — the
+    // deterministic, 100 TB-safe form of pivot).
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+        .orderBy("bucket")),
+
+    // Semi-structured extraction: typed JSON-path pull from the props
+    // column IN the scan (from_json with an EXPLICIT schema —
+    // schema-on-read without an inference pass), nulls counting
+    // malformed/missing keys; aggregated per event type.
+    "q_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1024,5 +1067,47 @@ object RelationalQueries {
         |SELECT from_state, to_state, n,
         | round(n * 1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS prob
         |FROM p ORDER BY from_state, to_state""".stripMargin,
+
+    "q_regression" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b,
+        |    CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM items),
+        |c AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b,
+        |       CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.n_baskets,
+        | round(p.n_baskets / nb.n, 6) AS support,
+        | round(p.n_baskets * 1.0 / ca.c, 6) AS confidence,
+        | round(p.n_baskets * nb.n / (ca.c * cb.c), 6) AS lift
+        |FROM p JOIN c ca ON p.item_a = ca.i JOIN c cb ON p.item_b = cb.i
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        | round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+        | round(sum(value) FILTER (event_type = 'error'), 4) AS error,
+        | round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+        | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+        | round(sum(value) FILTER (event_type = 'view'), 4) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_json" ->
+      """WITH x AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) - count(k) AS BIGINT) AS n_bad,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -602,6 +602,26 @@ class AnalyticsSpec extends SparkSuite {
       s"corpus side must be a single shuffle-free scan:\n$p")
   }
 
+  test("collectSample: tree-aggregated heap = global n-smallest-by-hash, layout-invariant") {
+    import graft.functions.Pq
+    import spark.implicits._
+    val df = (0 until 500).map(i => Tuple1(Array.fill(4)(i.toFloat))).toDF("v")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Pq.collectSample(d, "v", trainFraction = 1.0, seed = 11L, maxTrainRows = 64)
+        .map(_.toSeq).toSeq
+    val got = sample(df)
+    assert(got.size == 64)
+    // reference: the DataFrame orderBy+limit formulation it replaced
+    val ref = df.orderBy(xxhash64(col("v"), lit(11L))).limit(64).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    assert(got == ref, "tree aggregation must select exactly the n smallest hashes, ascending")
+    assert(got == sample(df.repartition(11)), "sample must not depend on physical layout")
+    assert(got == sample(df.orderBy(col("v"))), "deterministic under re-sort too")
+    // fewer rows than the bound: keep all; empty: empty
+    assert(sample(df.limit(10)).size == 10)
+    assert(sample(df.where(lit(false))).isEmpty)
+  }
+
   test("product quantization: round-trip shapes, determinism, ADC = decoded distance, clone retrieval") {
     import graft.functions.{GraftFunctions, Pq}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -916,6 +936,46 @@ class AnalyticsSpec extends SparkSuite {
     // t = (2-5)/sqrt(1/3 + (20/3)/4) = -3/sqrt(2); df = 4/0.9814815
     assert(r.getDouble(4) == -2.1213, s"t_stat ${r.getDouble(4)}")
     assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
+  }
+
+  test("regressionByKey: exact line recovered; constant-x group degrades to NULL") {
+    import spark.implicits._
+    // group "p": y = 3x + 2 exactly → slope 3, intercept 2, r² = 1
+    // group "c": constant x → zero variance → NULL fit, never ±Inf
+    val df = (Seq((1.0, 5.0), (2.0, 8.0), (3.0, 11.0), (4.0, 14.0)).map(t => ("p", t._1, t._2)) ++
+              Seq((7.0, 1.0), (7.0, 2.0), (7.0, 9.0)).map(t => ("c", t._1, t._2)))
+      .toDF("g", "x", "y")
+    val m = Analytics.regressionByKey(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = m("p")
+    assert(p.getLong(1) == 4 && p.getDouble(2) == 3.0 && p.getDouble(3) == 2.0
+      && p.getDouble(4) == 1.0, s"perfect line must fit exactly: $p")
+    val c = m("c")
+    assert(c.getLong(1) == 3 && c.isNullAt(2) && c.isNullAt(3),
+      s"zero x-variance must yield NULL, not ±Inf: $c")
+  }
+
+  test("associationPairs: hand-computed support/confidence/lift; dedup; gate") {
+    import spark.implicits._
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b} — with a duplicate (1,a)
+    // row that must NOT double-count. nb=4, c(a)=3 c(b)=3 c(c)=2,
+    // pairs: ab:2 ac:2 bc:1
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+                 (3, "a"), (3, "c"), (4, "b")).toDF("b", "i")
+    val m = Analytics.associationPairs(df, col("b"), col("i"),
+        minPairCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def r6(x: Double) =
+      math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("a", "b")) == ((2L, 0.5, r6(2.0 / 3), r6(8.0 / 9))),
+      s"ab: support 2/4, confidence 2/3, lift 2·4/(3·3): ${m(("a", "b"))}")
+    assert(m(("a", "c"))._1 == 2L && m(("a", "c"))._4 == r6(8.0 / 6))
+    assert(m(("b", "c"))._1 == 1L)
+    // the gate drops the singleton pair
+    val gated = Analytics.associationPairs(df, col("b"), col("i"), 2L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gated == Set(("a", "b"), ("a", "c")))
   }
 
   test("transitionMatrix: per-key ordered pairs, row-normalized, no cross-key leak") {

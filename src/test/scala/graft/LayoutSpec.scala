@@ -95,4 +95,40 @@ class LayoutSpec extends SparkSuite {
     assert(zPrun >= 3, s"z layout should skip >=3/8 files, skipped $zPrun")
     assert(fPrun == 0, s"suppkey-blind sort can skip nothing, skipped $fPrun")
   }
+
+  test("rangeSortedAudit: full accounting, zero inversions, disjoint monotone shard ranges") {
+    val df = (1 to 10000).map(i => ((i * 2654435761L) % 100000).toDouble)
+      .toDF("k").repartition(7) // scrambled input layout
+    val m = Layout.rangeSortedAudit(df, "k", numShards = 8)
+      .orderBy("min_key").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(m.map(_._1).sum == 10000, "every row accounted for")
+    assert(m.forall(_._4 == 0L), s"in-shard inversions: ${m.toSeq}")
+    // shard ranges are disjoint and monotone
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping shard ranges: $a then $b")
+    case _ => () }
+    assert(m.length <= 8 && m.length >= 2)
+    // nulls are excluded from the audit, not silently counted
+    val withNulls = (Seq[Option[Double]](None, None) ++ (1 to 50).map(i => Some(i.toDouble)))
+      .toDF("k")
+    assert(Layout.rangeSortedAudit(withNulls, "k", 2)
+      .agg(sum("n_rows")).head().getLong(0) == 50)
+  }
+
+  test("shardAudit: detects disorder in an existing layout; read-back export re-verifies") {
+    // deliberately unsorted single partition: the counter must SEE it
+    val messy = Seq(5.0, 1.0, 4.0, 2.0, 3.0).toDF("k").coalesce(1)
+    val bad = Layout.shardAudit(messy, "k").head()
+    assert(bad.getLong(4) > 0, s"physical disorder must surface: $bad")
+    // a written sorted export read back audits clean
+    val dir = Files.createTempDirectory("audit").toString
+    (1 to 2000).map(i => ((i * 48271) % 7919).toDouble).toDF("k")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(s"$dir/x")
+    val back = Layout.shardAudit(spark.read.parquet(s"$dir/x"), "k")
+    assert(back.agg(sum("inversions")).head().getLong(0) == 0,
+      "a sorted export must read back in order (parquet preserves row order per file)")
+    assert(back.agg(sum("n_rows")).head().getLong(0) == 2000)
+  }
 }
