@@ -400,4 +400,31 @@ object DataPrep {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }
+
+  /** Deterministic weighted sample WITHOUT replacement: k rows drawn
+    * with probability proportional to `weight` — quality-weighted
+    * corpus subsetting ("keep 1M docs, prefer high scores") without the
+    * all-or-nothing of a threshold cut. Efraimidis–Spirakis A-ES
+    * (IPL 2006): each row's draw key is −ln(u)/w with u uniform on
+    * (0, 1]; the k SMALLEST keys are exactly a weighted sample without
+    * replacement. u derives from the seeded md5 of `key` (the same
+    * engine-portable uniform as [[hashBucket]]/[[shuffleKey]]), so the
+    * draw is a pure function of (key, weight, seed) — stable across
+    * runs, layouts and engines. Rows with weight ≤ 0 or NULL are
+    * excluded (zero mass). Adds `aes_key` (the draw key).
+    *
+    * Scale shape: the key is in-scan hash arithmetic; selection is
+    * `orderBy(key).limit(k)` — a TakeOrdered (per-partition top-k
+    * heaps), no global sort, no per-group state. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // first 8 md5 hex chars → integer in [0, 2^32), +1 → u ∈ (0, 1]
+    val u = (conv(substring(md5(concat(lit(seed.toString), key.cast("string"))),
+        1, 8), 16, 10).cast("long") + 1).cast("double") / 4294967297.0
+    df.where(weight.cast("double") > 0)
+      .withColumn("aes_key", -log(u) / weight.cast("double"))
+      .orderBy(col("aes_key"), key)
+      .limit(k)
+  }
 }

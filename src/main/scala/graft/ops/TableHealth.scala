@@ -75,4 +75,39 @@ object TableHealth {
           .as("n_missing"))
       .orderBy("gap_start_epoch")
   }
+
+  /** Schema-drift check: the table's ACTUAL schema against the
+    * `expected` (name → catalog type) contract — one row per column in
+    * either side with status `ok` / `type_mismatch` / `missing` /
+    * `unexpected`. The gate a pipeline runs BEFORE reading data: a
+    * producer that renamed a column or widened a type fails here, at
+    * metadata cost, not three jobs later in a cast error — and
+    * `unexpected` surfaces silently-added columns a strict reader
+    * would drop. METADATA-ONLY: touches `df.schema` (parquet footers /
+    * catalog), scans zero rows at any table size.
+    *
+    * Type names are Spark catalog strings (`bigint`, `double`,
+    * `string`, `timestamp_ntz`, …), lowercased. */
+  def schemaCheck(df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
+    require(expected.nonEmpty, "expected schema must not be empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val actual = df.schema.fields
+      .map(f => f.name -> f.dataType.catalogString.toLowerCase).toMap
+    val exp = expected.map { case (n, t) => (n, t.toLowerCase) }
+    val expNames = exp.map(_._1).toSet
+    val rows =
+      exp.map { case (name, et) =>
+        actual.get(name) match {
+          case Some(at) if at == et => (name, et, at, "ok")
+          case Some(at)             => (name, et, at, "type_mismatch")
+          case None                 => (name, et, null.asInstanceOf[String], "missing")
+        }
+      } ++
+      actual.toSeq.collect { case (name, at) if !expNames.contains(name) =>
+        (name, null.asInstanceOf[String], at, "unexpected")
+      }
+    rows.toDF("column_name", "expected_type", "actual_type", "status")
+      .orderBy("column_name")
+  }
 }

@@ -178,6 +178,17 @@ object CheckQueries {
       graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
         asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
 
+    // Schema-drift check (metadata-only, zero rows scanned): the events
+    // schema against a contract with a planted narrower type
+    // (user_id int vs actual bigint), a planted absent column, and
+    // props deliberately left out of the contract (→ unexpected). The
+    // oracle recomputes from DuckDB's own catalog introspection.
+    "chk_schema" -> ((s, dir) =>
+      graft.ops.TableHealth.schemaCheck(t(s, dir, "events"), Seq(
+        "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "int",
+        "event_type" -> "string", "value" -> "double",
+        "extra_col" -> "int"))),
+
     // Ingestion-gap audit over hourly purchase buckets, rolled up to a
     // single row (gap detail stays on the API) so the result has rows
     // at every scale factor.
@@ -352,6 +363,23 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_schema" ->
+      """WITH actual AS (SELECT column_name AS name,
+        |   CASE lower(column_type) WHEN 'varchar' THEN 'string'
+        |        ELSE lower(column_type) END AS at
+        |  FROM (DESCRIBE events)),
+        |exp(name, et) AS (VALUES ('event_id', 'bigint'), ('ts', 'timestamp'),
+        |  ('user_id', 'int'), ('event_type', 'string'), ('value', 'double'),
+        |  ('extra_col', 'int'))
+        |SELECT coalesce(e.name, a.name) AS column_name,
+        | e.et AS expected_type, a.at AS actual_type,
+        | CASE WHEN e.name IS NULL THEN 'unexpected'
+        |      WHEN a.name IS NULL THEN 'missing'
+        |      WHEN e.et = a.at THEN 'ok'
+        |      ELSE 'type_mismatch' END AS status
+        |FROM exp e FULL OUTER JOIN actual a ON e.name = a.name
+        |ORDER BY column_name""".stripMargin,
 
     "chk_refint" ->
       """WITH par AS (SELECT DISTINCT o_orderkey AS k FROM orders

@@ -2191,6 +2191,16 @@ object PipelineQueries {
           round(max(col("max_key")), 2).as("max_key"))
     }),
 
+    // Weighted sample without replacement (A-ES, −ln(u)/w draw keys
+    // from the seeded md5 uniform): 25 docs drawn proportional to
+    // length — in-scan key arithmetic + TakeOrdered, engine-portable
+    // and restated key-for-key by the oracle.
+    "pipeline_weighted_sample" -> ((s, dir) =>
+      graft.ops.DataPrep.weightedSample(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 25, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("aes_key"), 6).as("aes_key"))),
+
     // Per-source score normalization (z / min-max / percentile rank) of
     // the length signal — the calibration step before mixing quality
     // scores ACROSS sources, whose raw scales never agree. One
@@ -3958,6 +3968,14 @@ object PipelineQueries {
         |   ORDER BY md5('7' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 3 ORDER BY source, sample_rank""".stripMargin,
+
+    "pipeline_weighted_sample" ->
+      """WITH x AS (SELECT doc_id, source, n_chars,
+        |  -ln((CAST('0x' || substr(md5('7' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS BIGINT) + 1) / 4294967297.0) / n_chars AS k
+        | FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, n_chars, round(k, 6) AS aes_key
+        |FROM x ORDER BY k, doc_id LIMIT 25""".stripMargin,
 
     "pipeline_score_norm" ->
       """SELECT source, doc_id, n_chars,

@@ -625,6 +625,55 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Unpivot (melt): the wide bucket × event-type revenue matrix back
+    // to long form — the inverse surface of q_pivot, a pure per-row
+    // Expand (no shuffle beyond the wide frame's own aggregate).
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+      wide.unpivot(Array(col("bucket")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")), "event_type", "revenue")
+        .orderBy("bucket", "event_type")
+    }),
+
+    // Stream-static enrichment: the event stream joins a BROADCAST
+    // customer dimension per micro-batch (stateless, no watermark),
+    // drained with AvailableNow and rolled up per market segment; the
+    // oracle is the identical batch left join.
+    "q_stream_enrich" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_stream_e")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        new java.io.File(stage, "events.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val src = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
+        .select(col("event_id"), col("user_id"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = graft.streaming.Streams.enrich(src, dim, Seq("user_id"))
+      val sink = s"q_stream_enrich_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table(sink)
+        .groupBy(coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+        .agg(count(lit(1L)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("segment")
+    }),
+
     // Semi-structured extraction: typed JSON-path pull from the props
     // column IN the scan (from_json with an EXPLICIT schema —
     // schema-on-read without an inference pass), nulls counting
@@ -1100,6 +1149,18 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type,
+        | round(sum(value), 4) AS revenue
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q_stream_enrich" ->
+      """SELECT coalesce(c_mktsegment, 'none') AS segment,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "q_json" ->
       """WITH x AS (SELECT event_type,

@@ -212,6 +212,23 @@ object Streams {
         col(s"r.$rTs") <= col(s"l.$lTs") + expr(s"INTERVAL $within"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a STATIC
+    * dimension frame (user → account tier, item → category, host →
+    * quality prior) — the lookup-table half of every streaming
+    * pipeline. The dim side is hinted broadcast: micro-batches join
+    * without shuffling the stream, stateless (nothing buffers across
+    * batches, no watermark needed), and any stream output mode stays
+    * legal. Spark re-plans the static side per micro-batch, so a dim
+    * backed by a table/path picks up file-level updates between
+    * batches; snapshot-pin a dim by `.cache()`-ing it first. Default
+    * LEFT join: a stream row never drops because the dim is missing a
+    * key — filter `dimCol.isNull` downstream to quarantine instead. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "left"): DataFrame = {
+    require(keys.nonEmpty, "enrich needs at least one join key")
+    stream.join(broadcast(dim), keys, joinType)
+  }
+
   /** Continuous data-quality monitoring: the fused quick-check pass runs
     * per micro-batch (foreachBatch → Runner.verdictDF — one aggregate
     * scan of the batch, one verdict row out). `onBatch` receives

@@ -938,6 +938,46 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
   }
 
+  test("schemaCheck: ok/type_mismatch/missing/unexpected, metadata-only") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val m = graft.ops.TableHealth.schemaCheck(df, Seq(
+        "id" -> "BIGINT", "name" -> "string", "score" -> "int", "gone" -> "date"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), r.getString(3))).toMap
+    assert(m("id") == ((Some("bigint"), Some("bigint"), "ok")), "case-insensitive type match")
+    assert(m("name") == ((Some("string"), Some("string"), "ok")))
+    assert(m("score") == ((Some("int"), Some("double"), "type_mismatch")))
+    assert(m("gone") == ((Some("date"), None, "missing")))
+    assert(m.size == 4, "no unexpected rows when the contract covers everything")
+    val extra = graft.ops.TableHealth.schemaCheck(df, Seq("id" -> "bigint"))
+      .where(col("status") === "unexpected").collect().map(_.getString(0)).toSet
+    assert(extra == Set("name", "score"))
+    intercept[IllegalArgumentException](
+      graft.ops.TableHealth.schemaCheck(df, Seq.empty))
+  }
+
+  test("weightedSample: deterministic, weight-proportional, zero-weight excluded") {
+    import graft.ops.DataPrep
+    import spark.implicits._
+    // one heavy key (weight 50) among 200 light keys (weight 1)
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) :+ (999L, 50.0)).toDF("id", "w")
+    def ids(seed: Long) = DataPrep.weightedSample(df, col("id"), col("w"), 20, seed)
+      .select("id").as[Long].collect().toSeq
+    assert(ids(3L) == ids(3L) && ids(3L).size == 20)
+    assert(ids(3L) != ids(4L), "different seed, different draw")
+    // P(heavy in top-20) ≈ 1 − Π(unweighted miss) — with w=50 among 250
+    // total mass the heavy key appears in the vast majority of draws
+    val hits = (1L to 20L).count(s => ids(s).contains(999L))
+    assert(hits >= 16, s"heavy key drawn only $hits/20 seeds")
+    // a light key must not dominate: no single light key in > half the draws...
+    // (weight-1 keys have ~20/250 mass per draw)
+    val zero = (Seq((1L, 0.0), (2L, -3.0), (3L, 1.0))).toDF("id", "w")
+    assert(DataPrep.weightedSample(zero, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSeq == Seq(3L),
+      "non-positive weights carry zero mass")
+  }
+
   test("regressionByKey: exact line recovered; constant-x group degrades to NULL") {
     import spark.implicits._
     // group "p": y = 3x + 2 exactly → slope 3, intercept 2, r² = 1

@@ -309,4 +309,24 @@ class StreamingSpec extends SparkSuite {
       assert(users == Seq("a"), s"late arrival must not match, got $users")
     } finally q.stop()
   }
+
+  test("enrich: stream-static broadcast join, left semantics, stateless across batches") {
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("user", "tier")
+    val input = MemoryStream[(String, Double)](spark)
+    val out = Streams.enrich(input.toDF().toDF("user", "v"), dim, Seq("user"))
+    val q = out.writeStream.format("memory").queryName("enrich_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("u1", 1.0), ("u9", 2.0))
+      q.processAllAvailable()
+      input.addData(("u2", 3.0), ("u1", 4.0)) // second batch joins identically
+      q.processAllAvailable()
+      val rows = spark.table("enrich_t")
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          Option(r.getString(2)).getOrElse("?"))).toSet
+      assert(rows == Set(("u1", 1.0, "gold"), ("u9", 2.0, "?"),
+        ("u2", 3.0, "basic"), ("u1", 4.0, "gold")),
+        s"left enrichment must keep unmatched rows with NULL tier: $rows")
+    } finally q.stop()
+  }
 }
