@@ -535,6 +535,51 @@ object Dedup {
     * identical strings). */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1): DataFrame = {
+    // thresholded levenshtein (banded DP, O(len·d) and early-exit; −1
+    // when the distance exceeds the bound) — the unbounded O(len²) DP
+    // was the dominant cost of the whole operator on the candidate set
+    val lv = levenshtein(col("__sa"), col("__sb"), maxDist)
+    deletionKeyed(docs, idCol, strCol, maxDist)
+      .select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
+      .join(deletionKeyed(docs, idCol, strCol, maxDist)
+        .select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb")), "__k")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "__sa", "id_b", "__sb").distinct()
+      .where(lv >= 0)
+      .select(col("id_a"), col("id_b"), lv.as("dist"))
+  }
+
+  /** Cross-table fuzzy record linkage: rows of `a` matched to rows of
+    * `b` whose string is within Levenshtein `maxDist` — entity
+    * resolution between a master table and an incoming feed (typo'd
+    * names, OCR'd titles). Same deletion-neighborhood candidate
+    * equi-join + exact verify as [[editDistancePairs]], across two
+    * frames; every caveat there (short strings, replica collapse)
+    * applies per side. Returns (id_a, id_b, dist) — one row per
+    * matching CROSS pair including exact hits (dist 0). */
+  def linkPairs(a: DataFrame, idA: String, strA: String,
+      b: DataFrame, idB: String, strB: String,
+      maxDist: Int = 1): DataFrame = {
+    val lv = levenshtein(col("__sa"), col("__sb"), maxDist)
+    deletionKeyed(a, idA, strA, maxDist)
+      .select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
+      .join(deletionKeyed(b, idB, strB, maxDist)
+        .select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb")), "__k")
+      .select("id_a", "__sa", "id_b", "__sb").distinct()
+      .where(lv >= 0)
+      .select(col("id_a"), col("id_b"), lv.as("dist"))
+  }
+
+  /** One row per (id, string, deletion-neighborhood key): the string
+    * itself plus every string obtainable by deleting ≤ `maxDist`
+    * characters — the SymSpell candidate key set. Keys ship as 64-bit
+    * xxhash64 of the variant, not the variant string: the candidate
+    * join shuffles an 8-byte key instead of a near-full-length string
+    * per variant row, and a hash collision can only ADD a candidate
+    * pair, which the exact levenshtein verify then rejects — the same
+    * one-sided-error discipline as the banding operators. */
+  private def deletionKeyed(docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"deletion neighborhoods are for short-string fuzzy matching; maxDist must be 1 or 2, got $maxDist")
     // every string obtainable by deleting exactly one char from any
@@ -547,13 +592,7 @@ object Dedup {
     val v1 = array(col("__s"))
     val keys = if (maxDist == 1) array_union(v1, del1(v1))
                else array_union(v1, array_union(del1(v1), del1(del1(v1))))
-    val keyed = base.select(col("__id"), col("__s"), explode(keys).as("__k"))
-    keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
-      .join(keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb")), "__k")
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "__sa", "id_b", "__sb").distinct()
-      .where(levenshtein(col("__sa"), col("__sb")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
+    base.select(col("__id"), col("__s"),
+      explode(transform(keys, k => xxhash64(k))).as("__k"))
   }
 }

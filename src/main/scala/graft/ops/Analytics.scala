@@ -657,6 +657,77 @@ object Analytics {
            pow(col("__eb"), 2) / (col("__nb") - 1)), dp).as("welch_df"))
   }
 
+  /** One-sided upper CUSUM change-point scores per key (Page 1954):
+    * s_i = max(0, s_{i−1} + (x_i − target − slack)) — the standard
+    * sequential drift detector (data-quality regression onset, rate
+    * shifts) that reacts to SUSTAINED small shifts a per-point z-score
+    * never sees. `target` defaults to the key's own mean (self-
+    * calibrating); an alarm fires where s crosses `h`.
+    *
+    * The recursion is NOT a window function, but it has a closed
+    * prefix form: with t_i = Σ_{j≤i}(x_j − target − slack),
+    * s_i = t_i − min(0, min_{j≤i} t_j) — two stacked running windows
+    * over ONE key-partitioned exchange, no per-key fold, no UDAF.
+    * Returns per-key (n, max_cusum, n_alarms, first_alarm_idx) where
+    * n_alarms counts upward h-crossings (no post-alarm reset — each
+    * sustained excursion counts once) and first_alarm_idx is the
+    * 1-based position of the first crossing (NULL when in control). */
+  def cusum(df: DataFrame, key: Column, order: Seq[Column], x: Column,
+      slack: Double, h: Double, dp: Int = 6): DataFrame = {
+    require(order.nonEmpty, "cusum needs ordering columns (plain named columns)")
+    require(h > 0, s"alarm threshold must be positive, got $h")
+    val base = df.select((Seq(key.as("__k"), x.cast("double").as("__x")) ++ order): _*)
+    val wKey = Window.partitionBy(col("__k"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(order: _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = base
+      .withColumn("__dev",
+        col("__x") - avg(col("__x")).over(wKey) - lit(slack))
+      .withColumn("__t", sum(col("__dev")).over(wRun))
+      .withColumn("__s",
+        col("__t") - least(lit(0.0), min(col("__t")).over(wRun)))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__alarm",
+        col("__s") > h &&
+          coalesce(lag(col("__s"), 1).over(wOrd) <= h, lit(true)))
+    scored.groupBy(col("__k").as("key"))
+      .agg(count(lit(1L)).as("n"),
+        round(max(col("__s")), dp).as("max_cusum"),
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
+  }
+
+  /** p-chart (attribute control chart, Shewhart): per-bucket defect
+    * rate against 3σ binomial control limits around the pooled rate —
+    * the operations-monitoring classic for error/defect/violation
+    * rates per hour/batch/shard. A bucket outside
+    * p̄ ± σ·√(p̄(1−p̄)/n) is out of control; the limits are per-bucket
+    * (wider for small buckets), which a naive fixed-threshold alert
+    * gets wrong in both directions.
+    *
+    * One (bucket) aggregate + a 1-row pooled-rate cross join — two
+    * tiny exchanges. The flag is computed on UNROUNDED doubles
+    * (integer inputs + IEEE sqrt — engine-deterministic). */
+  def pChart(df: DataFrame, bucket: Column, defect: Column,
+      sigma: Double = 3.0, dp: Int = 6): DataFrame = {
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    val per = df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1L)).as("n"),
+        sum(when(defect, 1L).otherwise(0L)).as("defects"))
+    val pooled = per.agg(
+      (sum(col("defects")) / sum(col("n"))).as("__pbar"))
+    val margin = lit(sigma) * sqrt(col("__pbar") * (lit(1.0) - col("__pbar")) / col("n"))
+    val p = col("defects") / col("n")
+    per.crossJoin(pooled).select(
+      col("bucket"), col("n"), col("defects"),
+      round(p, dp).as("rate"),
+      round(col("__pbar"), dp).as("pooled_rate"),
+      round(greatest(lit(0.0), col("__pbar") - margin), dp).as("lcl"),
+      round(col("__pbar") + margin, dp).as("ucl"),
+      (p > col("__pbar") + margin ||
+        p < greatest(lit(0.0), col("__pbar") - margin)).as("out_of_control"))
+  }
+
   /** Per-group ordinary least squares y ~ x: slope, intercept and r²
     * for every group in ONE aggregation pass — the "fit a line per
     * segment/source/day" primitive (trend slopes per cohort, price
@@ -700,11 +771,13 @@ object Analytics {
     * upstream with [[graft.ops.DataPrep.capPerGroup]]); supports come
     * from partial-aggregated counts; the final cut is a TakeOrdered by
     * lift. Confidence is directional — reported for a→b with (a, b) in
-    * item order; lift is symmetric. */
+    * item order (the item column's NATIVE ordering — numeric ids pair
+    * as numbers and shuffle as 8 bytes, not strings); lift is
+    * symmetric. */
   def associationPairs(df: DataFrame, basket: Column, item: Column,
       minPairCount: Long, k: Int, dp: Int = 6): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val items = df.select(basket.as("__b"), item.cast("string").as("__i")).distinct()
+    val items = df.select(basket.as("__b"), item.as("__i")).distinct()
     val nb = items.agg(countDistinct(col("__b")).cast("double").as("__nb"))
     val counts = items.groupBy(col("__i")).agg(count(lit(1L)).as("__c"))
     val pairs = items.select(col("__b"), col("__i").as("item_a"))

@@ -2191,6 +2191,25 @@ object PipelineQueries {
           round(max(col("max_key")), 2).as("max_key"))
     }),
 
+    // Cross-table fuzzy record linkage: customer master vs a feed with
+    // every name's first char corrupted — the deletion-neighborhood
+    // equi-join links each feed row back to EXACTLY its master (any
+    // other master is ≥ 2 edits away); matching id checksums prove the
+    // 1:1 alignment, and the oracle recomputes every link with
+    // DuckDB's levenshtein over the length-banded cross join.
+    "dedup_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val master = cust.select(col("c_custkey").as("mid"), col("c_name").as("mname"))
+      val feed = cust.select((col("c_custkey") + 1000000L).as("fid"),
+        concat(lit("X"), expr("substr(c_name, 2)")).as("fname"))
+      Dedup.linkPairs(master, "mid", "mname", feed, "fid", "fname", maxDist = 1)
+        .groupBy("dist")
+        .agg(count(lit(1L)).as("n_links"),
+          sum(col("id_a")).as("checksum_master"),
+          sum(col("id_b") - 1000000L).as("checksum_feed"))
+        .orderBy("dist")
+    }),
+
     // Weighted sample without replacement (A-ES, −ln(u)/w draw keys
     // from the seeded md5 uniform): 25 docs drawn proportional to
     // length — in-scan key arithmetic + TakeOrdered, engine-portable
@@ -3968,6 +3987,18 @@ object PipelineQueries {
         |   ORDER BY md5('7' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 3 ORDER BY source, sample_rank""".stripMargin,
+
+    "dedup_linkage" ->
+      """WITH m AS (SELECT c_custkey AS mid, c_name AS mname FROM customer),
+        |f AS (SELECT c_custkey + 1000000 AS fid,
+        |       'X' || substr(c_name, 2) AS fname FROM customer),
+        |p AS (SELECT mid, fid, levenshtein(mname, fname) AS dist
+        |      FROM m JOIN f ON abs(length(mname) - length(fname)) <= 1
+        |      WHERE levenshtein(mname, fname) <= 1)
+        |SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_links,
+        | CAST(sum(mid) AS BIGINT) AS checksum_master,
+        | CAST(sum(fid - 1000000) AS BIGINT) AS checksum_feed
+        |FROM p GROUP BY 1 ORDER BY dist""".stripMargin,
 
     "pipeline_weighted_sample" ->
       """WITH x AS (SELECT doc_id, source, n_chars,

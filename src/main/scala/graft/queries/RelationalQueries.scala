@@ -625,6 +625,25 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // CUSUM change-point scores per user (self-calibrated target,
+    // slack 0.5, alarm at h=10): the sequential small-shift detector,
+    // computed via the prefix-min closed form — two stacked running
+    // windows on ONE user-keyed exchange, no per-key fold.
+    "q_cusum" -> ((s, dir) =>
+      Analytics.cusum(t(s, dir, "events").where(col("user_id") < 25),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+          slack = 0.5, h = 10.0, dp = 4)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")),
+
+    // p-chart: error rate per user-bucket against 3σ binomial control
+    // limits around the pooled rate — per-bucket limits widen for
+    // small buckets, which fixed thresholds get wrong.
+    "q_pchart" -> ((s, dir) =>
+      Analytics.pChart(t(s, dir, "events"),
+          col("user_id") % 20, col("event_type") === "error")
+        .orderBy("bucket")),
+
     // Unpivot (melt): the wide bucket × event-type revenue matrix back
     // to long form — the inverse surface of q_pivot, a pure per-row
     // Expand (no shuffle beyond the wide frame's own aggregate).
@@ -1126,7 +1145,7 @@ object RelationalQueries {
 
     "q_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS b,
-        |    CAST(l_partkey AS VARCHAR) AS i FROM lineitem),
+        |    l_partkey AS i FROM lineitem),
         |nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM items),
         |c AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
         |p AS (SELECT a.i AS item_a, b.i AS item_b,
@@ -1149,6 +1168,46 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_cusum" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |   value - avg(value) OVER (PARTITION BY user_id) - 0.5 AS dev
+        |  FROM events WHERE user_id < 25),
+        |t AS (SELECT user_id, ts, event_id,
+        |   sum(dev) OVER w AS t,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT user_id, i,
+        |   t - least(0, min(t) OVER w) AS s
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |al AS (SELECT user_id, i, s,
+        |   s > 10 AND coalesce(lag(s) OVER (PARTITION BY user_id ORDER BY i) <= 10,
+        |     true) AS alarm
+        |  FROM sc)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        | round(max(s), 4) AS max_cusum,
+        | CAST(count(*) FILTER (alarm) AS BIGINT) AS n_alarms,
+        | CAST(min(i) FILTER (alarm) AS INT) AS first_alarm_idx
+        |FROM al GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_pchart" ->
+      """WITH per AS (SELECT user_id % 20 AS bucket,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS defects
+        |  FROM events GROUP BY 1),
+        |pool AS (SELECT sum(defects) * 1.0 / sum(n) AS pbar FROM per)
+        |SELECT bucket, n, defects,
+        | round(defects * 1.0 / n, 6) AS rate,
+        | round(pool.pbar, 6) AS pooled_rate,
+        | round(greatest(0, pool.pbar - 3 * sqrt(pool.pbar * (1 - pool.pbar) / n)), 6) AS lcl,
+        | round(pool.pbar + 3 * sqrt(pool.pbar * (1 - pool.pbar) / n), 6) AS ucl,
+        | (defects * 1.0 / n > pool.pbar + 3 * sqrt(pool.pbar * (1 - pool.pbar) / n)
+        |  OR defects * 1.0 / n <
+        |   greatest(0, pool.pbar - 3 * sqrt(pool.pbar * (1 - pool.pbar) / n)))
+        |   AS out_of_control
+        |FROM per CROSS JOIN pool ORDER BY bucket""".stripMargin,
 
     "q_unpivot" ->
       """SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type,

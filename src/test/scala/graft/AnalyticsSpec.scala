@@ -938,6 +938,43 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
   }
 
+  test("cusum: hand-computed prefix-min form, alarm crossing semantics") {
+    import spark.implicits._
+    // x = [1,1,5,5], mean 3, slack 0.5 → dev [-2.5,-2.5,1.5,1.5],
+    // t = [-2.5,-5,-3.5,-2], s = t − min(0, run-min t) = [0,0,1.5,3]
+    val df = Seq(("k", 1, 1.0), ("k", 2, 1.0), ("k", 3, 5.0), ("k", 4, 5.0))
+      .toDF("g", "i", "x")
+    val r = Analytics.cusum(df, col("g"), Seq(col("i")), col("x"),
+      slack = 0.5, h = 2.0).head()
+    assert(r.getLong(1) == 4 && r.getDouble(2) == 3.0, s"max_cusum: $r")
+    assert(r.getLong(3) == 1 && r.getInt(4) == 4,
+      s"one upward crossing of h=2 at position 4: $r")
+    // an in-control key: constant x → s ≡ −slack-accumulated ≤ 0, no alarm
+    val flat = Seq(("k", 1, 3.0), ("k", 2, 3.0), ("k", 3, 3.0)).toDF("g", "i", "x")
+    val f = Analytics.cusum(flat, col("g"), Seq(col("i")), col("x"), 0.5, 2.0).head()
+    assert(f.getDouble(2) == 0.0 && f.getLong(3) == 0 && f.isNullAt(4),
+      s"in-control key must not alarm: $f")
+  }
+
+  test("pChart: hand-computed binomial limits flag both directions") {
+    import spark.implicits._
+    // A: 50/100 defects, B: 2/100 → pooled 0.26, margin 3√(.26·.74/100)
+    val df = ((1 to 100).map(i => ("A", i <= 50)) ++
+              (1 to 100).map(i => ("B", i <= 2))).toDF("b", "d")
+    val m = Analytics.pChart(df, col("b"), col("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6), r.getBoolean(7))).toMap
+    val margin = 3 * math.sqrt(0.26 * 0.74 / 100)
+    def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("A") == ((100L, 50L, 0.5, r6(0.26 + margin), true)), s"A high: ${m("A")}")
+    assert(m("B")._5, s"B below LCL must flag: ${m("B")}")
+    // balanced buckets: nothing flags
+    val ok = ((1 to 100).map(i => ("A", i <= 25)) ++ (1 to 100).map(i => ("B", i <= 27)))
+      .toDF("b", "d")
+    assert(Analytics.pChart(ok, col("b"), col("d"))
+      .where(col("out_of_control")).count() == 0)
+  }
+
   test("schemaCheck: ok/type_mismatch/missing/unexpected, metadata-only") {
     import spark.implicits._
     val df = Seq((1L, "x", 0.5)).toDF("id", "name", "score")

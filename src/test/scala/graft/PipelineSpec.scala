@@ -1060,6 +1060,16 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
   }
 
+  test("linkPairs: cross-table linkage finds typo'd and exact matches, nothing else") {
+    import spark.implicits._
+    val master = Seq((1L, "anna"), (2L, "bob"), (3L, "carolyn")).toDF("id", "s")
+    val feed = Seq((10L, "anva"), (20L, "bob"), (30L, "zzzz")).toDF("id", "s")
+    val links = Dedup.linkPairs(master, "id", "s", feed, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(links == Set((1L, 10L, 1), (2L, 20L, 0)),
+      s"anna↔anva at 1, bob↔bob at 0, nothing links zzzz/carolyn: $links")
+  }
+
   /** textbook DP reference, independent of both engines */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
