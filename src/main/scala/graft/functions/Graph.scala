@@ -165,6 +165,51 @@ object Graph {
     * on the (least, greatest) pair key. Everything is joins +
     * partial-aggregated counts; the single-row output is the only
     * collapse. */
+  /** k-core subgraph: iteratively peel nodes of degree < k from the
+    * undirected simple graph until a fixpoint — the standard dense-
+    * region extractor (spam-cluster mining, community seeds, the
+    * "remove the long tail" step before expensive per-node scoring).
+    * Returns the surviving nodes with their in-core degree (≥ k by the
+    * fixpoint).
+    *
+    * Scale shape ([[Clusters]]' loop discipline): each round is one
+    * degree aggregate + two node-keyed LEFT SEMI joins, with the
+    * surviving edge set `localCheckpoint`ed so lineage stays constant;
+    * the only driver scalar per round is the surviving-edge count (the
+    * convergence test). Rounds are data-dependent but bounded by the
+    * peeling depth — `maxRounds` guards pathological chains (a path
+    * graph peels one layer per round), matching the CC resolver's
+    * round-cap contract. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var c = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var n = c.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"k-core peeling did not converge in $maxRounds rounds")
+      val deg = c.select(col("a").as("id")).union(c.select(col("b")))
+        .groupBy("id").agg(count(lit(1L)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id")
+      val pruned = c
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val m = pruned.count()
+      converged = m == n
+      c = pruned; n = m
+      rounds += 1
+    }
+    c.select(col("a").as("id")).union(c.select(col("b")))
+      .groupBy("id").agg(count(lit(1L)).as("core_degree"))
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
       dp: Int = 6): DataFrame = {
     val c = edges.select(

@@ -697,6 +697,36 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Mutual information between two categorical columns (nats), with
+    * the marginal and joint entropies — [[chiSquare]]'s information-
+    * theoretic sibling: how much knowing A tells you about B
+    * (feature-leakage detection, redundant-dimension pruning,
+    * split-key audits; MI = 0 ⟺ independent).
+    *
+    * One (a, b) cell aggregation; marginals ride window sums over the
+    * |A|·|B|-bounded cell table (the chiSquare discipline), and every
+    * entropy folds from the same cells: H(A) = −Σ_cells (c/n)·ln(ca/n)
+    * since a's cells sum to ca. Absent cells contribute nothing (0·ln0
+    * = 0 by convention and by construction here). */
+  def mutualInformation(df: DataFrame, a: Column, b: Column,
+      dp: Int = 6): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b")).agg(count(lit(1L)).as("__c"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val withMarg = cells
+      .withColumn("__ca", sum(col("__c")).over(wa))
+      .withColumn("__cb", sum(col("__c")).over(wb))
+      .crossJoin(cells.agg(sum(col("__c")).cast("double").as("__n")))
+    val p = col("__c") / col("__n")
+    withMarg.agg(
+      sum(col("__c")).cast("long").as("n"),
+      round(-sum(p * log(col("__ca") / col("__n"))), dp).as("h_a"),
+      round(-sum(p * log(col("__cb") / col("__n"))), dp).as("h_b"),
+      round(-sum(p * log(p)), dp).as("h_ab"),
+      round(sum(p * log(col("__c") * col("__n") / (col("__ca") * col("__cb")))),
+        dp).as("mi"))
+  }
+
   /** p-chart (attribute control chart, Shewhart): per-bucket defect
     * rate against 3σ binomial control limits around the pooled rate —
     * the operations-monitoring classic for error/defect/violation

@@ -2148,6 +2148,43 @@ object PipelineQueries {
         .orderBy("word")
     }),
 
+    // k-core extraction over a PLANTED graph with a closed-form core:
+    // K8 clique + a 50-node chain hung off node 7. Peeling at k=3
+    // strips the chain layer by layer and must return exactly the
+    // clique, every node at in-core degree 7 — the oracle states the
+    // mathematically-known answer the iterative loop must reach.
+    "graph_kcore" -> ((s, dir) => {
+      val clique = s.range(8).toDF("x").crossJoin(s.range(8).toDF("y"))
+        .where(col("x") < col("y"))
+        .select(col("x").as("src"), col("y").as("dst"))
+      val chain = s.range(7, 57)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      graft.functions.Graph.kCore(clique.union(chain), "src", "dst", k = 3)
+        .orderBy("id")
+    }),
+
+    // Source-vocabulary similarity matrix: pairwise Jaccard between
+    // per-source distinct term sets — term-keyed equi self-join over
+    // the vocabulary-bounded (source, term) table; the corpus-mixing /
+    // cross-source-dedup diagnostic.
+    "pipeline_source_sim" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokensWs(lower(col("text")))).as("term"))
+        .distinct()
+      val sizes = terms.groupBy("source").agg(count(lit(1L)).as("sz"))
+      val inter = terms.toDF("src_a", "term")
+        .join(terms.toDF("src_b", "term2"), col("term") === col("term2"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1L)).as("n_common"))
+      inter.join(sizes.toDF("src_a", "sz_a"), "src_a")
+        .join(sizes.toDF("src_b", "sz_b"), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("sz_a"), col("sz_b"),
+          round(col("n_common") /
+            (col("sz_a") + col("sz_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Triangle count + global clustering over the same co-occurrence
     // graph: degree-oriented wedge generation (each wedge at exactly
     // one pivot, out-degree O(√m)) closed by a (least, greatest)
@@ -3957,6 +3994,28 @@ object PipelineQueries {
         |       FROM nodes CROSS JOIN m2 LEFT JOIN h2r ON nodes.id = h2r.id)
         |SELECT h2.id AS word, round(h2.h, 6) AS hub, round(a2.a, 6) AS auth
         |FROM h2 JOIN a2 ON h2.id = a2.id ORDER BY word""".stripMargin,
+
+    // the closed-form answer: peeling K8+chain at k=3 leaves exactly
+    // the clique at degree 7 (chain nodes have degree ≤ 2 and peel;
+    // node 7 then drops its chain edge but keeps 7 in-clique)
+    "graph_kcore" ->
+      """SELECT CAST(r AS VARCHAR) AS id, CAST(7 AS BIGINT) AS core_degree
+        |FROM range(8) t(r) ORDER BY id""".stripMargin,
+
+    "pipeline_source_sim" ->
+      """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |tv AS (SELECT DISTINCT source, term FROM t0),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM tv GROUP BY 1),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |       FROM tv a JOIN tv b ON a.term = b.term AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+        | round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        |FROM iv JOIN sz sa ON iv.src_a = sa.source
+        |JOIN sz sb ON iv.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // Triangles counted once each via the a<b<c three-way join over the
     // canonical (least, greatest) undirected edge set; wedges from the

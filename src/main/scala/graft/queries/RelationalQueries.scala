@@ -625,6 +625,13 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Mutual information between event type and a user bucket (nats),
+    // with marginal/joint entropies — chi2's information-theoretic
+    // sibling; all entropies fold from ONE |A|·|B|-bounded cell table.
+    "q_mi" -> ((s, dir) =>
+      Analytics.mutualInformation(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 5)),
+
     // CUSUM change-point scores per user (self-calibrated target,
     // slack 0.5, alarm at h=10): the sequential small-shift detector,
     // computed via the prefix-min closed form — two stacked running
@@ -1168,6 +1175,21 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_mi" ->
+      """WITH cells AS (SELECT event_type AS a, user_id % 5 AS b,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT c,
+        |   sum(c) OVER (PARTITION BY a) AS ca,
+        |   sum(c) OVER (PARTITION BY b) AS cb,
+        |   (SELECT CAST(sum(c) AS DOUBLE) FROM cells) AS n
+        |  FROM cells)
+        |SELECT CAST(sum(c) AS BIGINT) AS n,
+        | round(-sum((c/n) * ln(ca/n)), 6) AS h_a,
+        | round(-sum((c/n) * ln(cb/n)), 6) AS h_b,
+        | round(-sum((c/n) * ln(c/n)), 6) AS h_ab,
+        | round(sum((c/n) * ln(c*n/(ca*cb))), 6) AS mi
+        |FROM m""".stripMargin,
 
     "q_cusum" ->
       """WITH b AS (SELECT user_id, ts, event_id,

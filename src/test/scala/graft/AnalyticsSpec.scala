@@ -938,6 +938,23 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
   }
 
+  test("mutualInformation: MI = H(A) when B determines A; 0 when independent") {
+    import spark.implicits._
+    def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // perfectly dependent: b = a, uniform over {x, y} → MI = H = ln 2
+    val dep = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y")).toDF("a", "b")
+    val d = Analytics.mutualInformation(dep, col("a"), col("b")).head()
+    assert(d.getLong(0) == 4)
+    assert(d.getDouble(1) == r6(math.log(2)) && d.getDouble(4) == r6(math.log(2)),
+      s"dependent uniform pair: H(A) = MI = ln 2: $d")
+    assert(d.getDouble(3) == r6(math.log(2)), "H(A,B) = H(A) under determinism")
+    // independent uniform 2×2: joint = product → MI = 0, H(A,B) = 2·ln 2
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Analytics.mutualInformation(ind, col("a"), col("b")).head()
+    assert(i.getDouble(4) == 0.0, s"independence must give MI 0: $i")
+    assert(i.getDouble(3) == r6(2 * math.log(2)))
+  }
+
   test("cusum: hand-computed prefix-min form, alarm crossing semantics") {
     import spark.implicits._
     // x = [1,1,5,5], mean 3, slack 0.5 → dev [-2.5,-2.5,1.5,1.5],

@@ -75,6 +75,25 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", damping = 1.0))
   }
 
+  test("kCore: layer-by-layer peeling, fixpoint, round cap, edge cases") {
+    import spark.implicits._
+    // triangle {a,b,c} + pendant chain c-d-e: 2-core = the triangle
+    val g = Seq(("a","b"), ("b","c"), ("c","a"), ("c","d"), ("d","e")).toDF("src", "dst")
+    val core2 = Graph.kCore(g, "src", "dst", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L),
+      s"2-core must peel the chain layer by layer: $core2")
+    // k=1 keeps every non-isolated node; k above max degree empties
+    assert(Graph.kCore(g, "src", "dst", 1).count() == 5)
+    assert(Graph.kCore(g, "src", "dst", 3).count() == 0)
+    // a path peels one layer per round: cap must trip on a tight budget
+    val path = (0 until 30).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      Graph.kCore(path, "src", "dst", k = 2, maxRounds = 3))
+    // ...and the same graph converges within a generous budget (empty 2-core)
+    assert(Graph.kCore(path, "src", "dst", k = 2, maxRounds = 40).count() == 0)
+  }
+
   test("triangleStats: hand-computed counts; direction/dup/self-loop normalization") {
     import spark.implicits._
     // K3 on {a,b,c} + pendant d + isolated-by-self-loop e; duplicate and
