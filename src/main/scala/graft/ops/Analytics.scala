@@ -697,6 +697,93 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Debounce: collapse per-key event BURSTS (runs of events less than
+    * `gapSeconds` apart) to one row each — duplicate-click suppression,
+    * retry-storm collapsing, sensor chatter. A new burst starts where
+    * the gap from the previous event is > `gapSeconds` (sessionization
+    * at event grain, but returning burst SUMMARIES: first/last
+    * timestamps, event count, span). One key-partitioned window
+    * exchange carries the lag, the burst-id running sum, and the
+    * (key, burst) rollup.
+    *
+    * Returns (keys…, burst_idx (1-based per key), burst_start epoch,
+    * burst_end epoch, n_events, span_sec). */
+  def debounce(df: DataFrame, keys: Seq[Column], ts: Column,
+      tieBreak: Seq[Column], gapSeconds: Long): DataFrame = {
+    require(keys.nonEmpty, "debounce needs at least one key column")
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val e = unix_timestamp(ts)
+    val w = Window.partitionBy(keys: _*).orderBy(e +: tieBreak: _*)
+    val marked = df
+      .withColumn("__e", e)
+      .withColumn("__new",
+        when(col("__e") - lag(col("__e"), 1).over(w) > gapSeconds ||
+          lag(col("__e"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("__burst", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(keys :+ col("__burst").as("burst_idx"): _*)
+      .agg(min(col("__e")).as("burst_start"),
+        max(col("__e")).as("burst_end"),
+        count(lit(1L)).as("n_events"),
+        (max(col("__e")) - min(col("__e"))).as("span_sec"))
+  }
+
+  /** 2-D skyline (Pareto frontier, both dimensions MAXIMIZED): rows no
+    * other row dominates, where a dominator is ≥ in both dimensions
+    * and > in at least one (identical points do not dominate each
+    * other — duplicates both survive, the standard skyline
+    * convention). "Best tradeoffs" queries: newest-and-largest,
+    * cheapest-and-fastest (negate a column to minimize it).
+    *
+    * Scale shape — the naive formulations are a nested-loop NOT
+    * EXISTS (O(n²), the oracle's restatement) or a single global sort
+    * + one-partition running max (the WindowExec bottleneck). Here
+    * domination splits by an x-range bucket grid: a row is dominated
+    * iff (a) some strictly-later BUCKET holds y' ≥ y — a suffix max
+    * over the ≤`buckets`-row bucket table (the only unpartitioned
+    * window, bounded rows by construction); (b) a strictly greater x
+    * WITHIN its bucket holds y' ≥ y — a bucket-PARTITIONED window
+    * over distinct x groups; or (c) an equal x holds y' > y — the
+    * per-(bucket, x) max. One scan + bounded aggregates + equi-joins;
+    * no global row sort, no O(n²). */
+  def skyline2D(df: DataFrame, xCol: Column, yCol: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val prepared = df
+      .withColumn("__x", xCol.cast("double"))
+      .withColumn("__y", yCol.cast("double"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val span = prepared.agg(min(col("__x")), max(col("__x"))).head()
+    if (span.isNullAt(0)) return prepared.drop("__x", "__y").limit(0)
+    val (lo, hi) = (span.getDouble(0), span.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / buckets else 1.0
+    val bucketOf = least(floor((col("__x") - lit(lo)) / lit(width)),
+      lit(buckets - 1L)).cast("long")
+    val rows = prepared.withColumn("__b", bucketOf)
+    // (c): per-(bucket, x) max, and (b): strictly-greater-x max within
+    // the bucket via a 1-row-exclusive running window over DISTINCT x
+    val perX = rows.groupBy(col("__b"), col("__x").as("__gx"))
+      .agg(max(col("__y")).as("__gmax"))
+      .withColumn("__inmax", max(col("__gmax")).over(
+        Window.partitionBy(col("__b")).orderBy(col("__gx").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    // (a): strictly-later-bucket suffix max over the ≤`buckets`-row table
+    val bucketMax = rows.groupBy(col("__b")).agg(max(col("__y")).as("__bmax"))
+      .withColumn("__sufmax", max(col("__bmax")).over(
+        Window.orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__sufmax"))
+    val flagged = rows
+      .join(perX.withColumnRenamed("__b", "__pb"),
+        col("__b") === col("__pb") && col("__x") === col("__gx"))
+      .drop("__pb")
+      .join(broadcast(bucketMax), "__b")
+      .where(!(coalesce(col("__sufmax") >= col("__y"), lit(false)) ||
+               coalesce(col("__inmax") >= col("__y"), lit(false)) ||
+               col("__gmax") > col("__y")))
+    flagged.drop("__b", "__x", "__y", "__gx", "__gmax", "__inmax", "__sufmax")
+  }
+
   /** Mutual information between two categorical columns (nats), with
     * the marginal and joint entropies — [[chiSquare]]'s information-
     * theoretic sibling: how much knowing A tells you about B

@@ -76,6 +76,34 @@ object TableHealth {
       .orderBy("gap_start_epoch")
   }
 
+  /** Order-independent content fingerprint of a table: row count plus
+    * the SUM of a 60-bit md5-derived row hash over `cols` — the
+    * cross-engine "did the migration/copy/rewrite preserve the data"
+    * gate. Two tables agree on (n_rows, fingerprint) iff they hold the
+    * same row MULTISET (up to astronomically-unlikely hash collisions);
+    * any engine with md5 can recompute it — no row ordering, no
+    * engine-specific hash, no sort. SUM (not XOR) so duplicate-row
+    * pairs cannot cancel out; the accumulator is DECIMAL(38,0), which
+    * cannot overflow below ~10²⁰ rows.
+    *
+    * Scale shape: one scan, partial-aggregated sum — the cheapest
+    * possible whole-table assertion. Fields join under a 0x1f unit
+    * separator with NULL marked 0x00, so neither ("ab","c")/("a","bc")
+    * nor ("a",NULL) can alias. Cross-ENGINE use is exact for
+    * integer/string/boolean columns; floating-point and temporal
+    * columns cast to text under engine-specific formats (Spark prints
+    * 1e7 as "1.0E7") — canonicalize those yourself first, or
+    * fingerprint the stable columns. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(count(lit(1L)).as("n_rows"),
+      coalesce(sum(h), lit(0).cast("decimal(38,0)")).as("fingerprint"))
+  }
+
   /** Schema-drift check: the table's ACTUAL schema against the
     * `expected` (name → catalog type) contract — one row per column in
     * either side with status `ok` / `type_mismatch` / `missing` /

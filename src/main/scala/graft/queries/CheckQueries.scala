@@ -178,6 +178,15 @@ object CheckQueries {
       graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
         asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
 
+    // Cross-engine table fingerprint: order-independent md5-row-hash
+    // SUM over lineitem's integer/string columns — DuckDB recomputes
+    // the identical fingerprint from the same parquet, proving the
+    // multiset-equality gate works ACROSS engines.
+    "chk_fingerprint" -> ((s, dir) =>
+      graft.ops.TableHealth.tableFingerprint(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
     // Schema-drift check (metadata-only, zero rows scanned): the events
     // schema against a contract with a planted narrower type
     // (user_id int vs actual bigint), a planted absent column, and
@@ -363,6 +372,18 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST('0x' || substr(md5(concat_ws(chr(31),
+        |   coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+        |   coalesce(CAST(l_partkey AS VARCHAR), chr(0)),
+        |   coalesce(CAST(l_suppkey AS VARCHAR), chr(0)),
+        |   coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+        |   coalesce(CAST(l_returnflag AS VARCHAR), chr(0)),
+        |   coalesce(CAST(l_linestatus AS VARCHAR), chr(0)))), 1, 15)
+        |  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
+        |FROM lineitem""".stripMargin,
 
     "chk_schema" ->
       """WITH actual AS (SELECT column_name AS name,

@@ -625,6 +625,27 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // 2-D skyline (Pareto frontier maximizing recency AND value): the
+    // bucket-grid decomposition — suffix max over a bounded bucket
+    // table + bucket-partitioned windows — against DuckDB's literal
+    // NOT EXISTS restatement of the dominance definition.
+    "q_skyline" -> ((s, dir) =>
+      Analytics.skyline2D(
+          t(s, dir, "events").select(col("event_id"), col("ts"), col("value")),
+          unix_timestamp(col("ts")), col("value"))
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")),
+
+    // Debounce: collapse per-(user, type) bursts with gaps ≤ 10 min
+    // into burst summaries — one key-partitioned window exchange.
+    "q_debounce" -> ((s, dir) =>
+      Analytics.debounce(t(s, dir, "events"),
+          Seq(col("user_id"), col("event_type")), col("ts"),
+          Seq(col("event_id")), gapSeconds = 600L)
+        .orderBy("user_id", "event_type", "burst_idx")),
+
     // Mutual information between event type and a user bucket (nats),
     // with marginal/joint entropies — chi2's information-theoretic
     // sibling; all entropies fold from ONE |A|·|B|-bounded cell table.
@@ -1175,6 +1196,34 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_skyline" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts)//1000000 AS x, value AS y
+        |           FROM events)
+        |SELECT p.event_id, p.x AS ts_epoch, round(p.y, 4) AS value
+        |FROM p WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+        |ORDER BY event_id""".stripMargin,
+
+    "q_debounce" ->
+      """WITH m AS (SELECT user_id, event_type, event_id,
+        |   epoch_us(ts)//1000000 AS e,
+        |   CASE WHEN epoch_us(ts)//1000000
+        |         - lag(epoch_us(ts)//1000000) OVER w > 600
+        |     OR lag(epoch_us(ts)//1000000) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS nb
+        |  FROM events WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts)//1000000, event_id)),
+        |b AS (SELECT user_id, event_type, e,
+        |   sum(nb) OVER (PARTITION BY user_id, event_type
+        |     ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS burst
+        |  FROM m)
+        |SELECT user_id, event_type, CAST(burst AS BIGINT) AS burst_idx,
+        | min(e) AS burst_start, max(e) AS burst_end,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | max(e) - min(e) AS span_sec
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, burst_idx""".stripMargin,
 
     "q_mi" ->
       """WITH cells AS (SELECT event_type AS a, user_id % 5 AS b,

@@ -938,6 +938,69 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(5) == 4.0755, s"welch_df ${r.getDouble(5)}")
   }
 
+  test("skyline2D: matches brute-force dominance on a dense set; duplicates survive") {
+    import spark.implicits._
+    val pts = (0 until 200).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, r.nextInt(40).toDouble, r.nextInt(40).toDouble)
+    }
+    val df = pts.toDF("id", "x", "y").repartition(7)
+    def brute(ps: Seq[(Long, Double, Double)]) = ps.filter { case (_, x, y) =>
+      !ps.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map(_._1).toSet
+    val got = Analytics.skyline2D(df, col("x"), col("y"))
+      .select("id").as[Long].collect().toSet
+    assert(got == brute(pts), s"missing=${brute(pts) -- got} extra=${got -- brute(pts)}")
+    // identical maximal points do not dominate each other — both stay
+    val dup = Seq((1L, 5.0, 5.0), (2L, 5.0, 5.0), (3L, 1.0, 1.0)).toDF("id", "x", "y")
+    assert(Analytics.skyline2D(dup, col("x"), col("y"))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // degenerate bucket counts still exact
+    assert(Analytics.skyline2D(df, col("x"), col("y"), buckets = 1)
+      .select("id").as[Long].collect().toSet == brute(pts))
+    assert(Analytics.skyline2D(df.where(lit(false)), col("x"), col("y")).count() == 0)
+  }
+
+  test("debounce: hand-computed bursts, per-key isolation, gap boundary") {
+    import spark.implicits._
+    // key a: events at 0, 100, 700, 750, 2000 with gap 600 → the
+    // 100→700 gap is EXACTLY 600 and continues the burst, so bursts
+    // are {0,100,700,750} and {2000}
+    val ev = Seq(("a", 0L), ("a", 100L), ("a", 700L), ("a", 750L), ("a", 2000L),
+                 ("b", 0L))
+      .zipWithIndex.map { case ((k, sec), i) => (k, i.toLong, sec) }
+      .toDF("k", "id", "sec")
+      .select(col("k"), col("id"), timestamp_seconds(col("sec")).as("ts"))
+    val m = Analytics.debounce(ev, Seq(col("k")), col("ts"), Seq(col("id")), 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(m(("a", 1L)) == ((0L, 750L, 4L, 750L)),
+      s"gap of exactly 600 (100→700) must NOT break the burst: ${m(("a", 1L))}")
+    assert(m(("a", 2L)) == ((2000L, 2000L, 1L, 0L)))
+    assert(m(("b", 1L)) == ((0L, 0L, 1L, 0L)), "keys must not chain into each other")
+    assert(m.size == 3)
+  }
+
+  test("tableFingerprint: multiset-exact, layout-invariant, multiplicity-sensitive") {
+    import graft.ops.TableHealth
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c")).toDF("id", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      TableHealth.tableFingerprint(d, Seq("id", "v")).head()
+    val base = fp(df)
+    assert(base.getLong(0) == 3)
+    assert(fp(df.repartition(5)).getDecimal(1) == base.getDecimal(1) &&
+      fp(df.orderBy(col("v").desc)).getDecimal(1) == base.getDecimal(1),
+      "fingerprint must not depend on order or layout")
+    assert(fp(df.where(col("id") =!= 2)).getDecimal(1) != base.getDecimal(1))
+    // a duplicated row changes the fingerprint (SUM, not XOR)
+    assert(fp(df.union(df.limit(1))).getDecimal(1) != base.getDecimal(1))
+    // null marking: ("2", NULL) must differ from ("2", "")
+    val empt = Seq((1L, "a"), (2L, ""), (3L, "c")).toDF("id", "v")
+    assert(fp(empt).getDecimal(1) != base.getDecimal(1))
+  }
+
   test("mutualInformation: MI = H(A) when B determines A; 0 when independent") {
     import spark.implicits._
     def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
