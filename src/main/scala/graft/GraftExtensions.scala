@@ -157,5 +157,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("deflate_ratio", "deflate_ratio(text, level) - raw-DEFLATE compressed/raw byte ratio of the UTF-8 text",
       exprs => DeflateRatio(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("normalize_text", "normalize_text(text, form, strip_accents, case_fold) - Unicode-normalized text",
+      exprs => NormalizeText(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        exprs(2).eval().asInstanceOf[Boolean],
+        exprs(3).eval().asInstanceOf[Boolean]))
   }
 }

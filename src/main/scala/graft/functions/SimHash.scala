@@ -163,6 +163,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_ratio", exprs => DeflateRatio(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeText(exprs.head,
+        exprs(1).eval().asInstanceOf[UTF8String].toString,
+        exprs(2).eval().asInstanceOf[Boolean],
+        exprs(3).eval().asInstanceOf[Boolean]), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -308,4 +313,10 @@ object GraftFunctions {
     * quality gate; sees repeated structure char entropy cannot). */
   def deflateRatio(c: Column, level: Int = 6): Column =
     GraftColumn(DeflateRatio(GraftColumn.expr(c), level))
+
+  /** text → Unicode-normalized text (NFC/NFD/NFKC/NFKD), optionally
+    * accent-stripped and case-folded — canonicalize BEFORE dedup. */
+  def normalizeText(c: Column, form: String = "NFC",
+      stripAccents: Boolean = false, caseFold: Boolean = false): Column =
+    GraftColumn(NormalizeText(GraftColumn.expr(c), form, stripAccents, caseFold))
 }

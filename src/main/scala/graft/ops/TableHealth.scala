@@ -104,6 +104,28 @@ object TableHealth {
       coalesce(sum(h), lit(0).cast("decimal(38,0)")).as("fingerprint"))
   }
 
+  /** k-anonymity audit: how many rows sit in a quasi-identifier
+    * combination shared by FEWER than `k` rows — the standard
+    * re-identification risk gate before releasing or sharing a
+    * dataset (Sweeney 2002). A row whose (zip, age-band, …) combo is
+    * rare is linkable to an individual even with names removed.
+    *
+    * One quasi-keyed aggregate ((quasi, count) exchange — cardinality
+    * of the combo space, not the table), one 1-row rollup. Returns
+    * (n_rows, n_groups, n_risky_groups, n_risky_rows, k_anonymous).
+    * NULL quasi values group together (a NULL combo is itself a
+    * linkable signature). */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi: _*).agg(count(lit(1L)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1L)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_risky_rows"))
+      .withColumn("k_anonymous", col("n_risky_rows") === 0L)
+  }
+
   /** Schema-drift check: the table's ACTUAL schema against the
     * `expected` (name → catalog type) contract — one row per column in
     * either side with status `ok` / `type_mismatch` / `missing` /

@@ -178,6 +178,12 @@ object CheckQueries {
       graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
         asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
 
+    // k-anonymity audit: rows in quasi-identifier combos shared by
+    // fewer than k=5 customers — the re-identification risk gate.
+    "chk_kanon" -> ((s, dir) =>
+      graft.ops.TableHealth.kAnonymity(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
+
     // Cross-engine table fingerprint: order-independent md5-row-hash
     // SUM over lineitem's integer/string columns — DuckDB recomputes
     // the identical fingerprint from the same parquet, proving the
@@ -372,6 +378,16 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_risky_groups,
+        | CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
+        | coalesce(sum(n) FILTER (n < 5), 0) = 0 AS k_anonymous
+        |FROM g""".stripMargin,
 
     "chk_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

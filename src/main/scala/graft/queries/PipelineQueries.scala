@@ -453,6 +453,24 @@ object PipelineQueries {
           round(max(col("h")), 6).as("max_entropy"))
         .orderBy("source")),
 
+    // Unicode normalization (native expression): combining-mark vs
+    // precomposed spellings converge under NFC, and the accent-strip +
+    // casefold canonical form — verified against DuckDB's own
+    // nfc_normalize/strip_accents over identical chr()-built strings.
+    "text_normalize" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (1L, "Café"), (2L, "Café"),
+        (3L, "Ångström"), (4L, "MIXED Case")))
+        .toDF("id", "s")
+      planted.select(col("id"),
+        length(col("s")).as("raw_len"),
+        GraftFunctions.normalizeText(col("s")).as("nfc"),
+        length(GraftFunctions.normalizeText(col("s"))).as("nfc_len"),
+        GraftFunctions.normalizeText(col("s"), "NFC",
+          stripAccents = true, caseFold = true).as("folded"))
+        .orderBy("id")
+    }),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -2628,6 +2646,20 @@ object PipelineQueries {
         |       (PARTITION BY g ORDER BY n DESC, w) AS rk FROM c)
         |SELECT g AS "group", w AS key, n
         |FROM r WHERE rk <= 5 ORDER BY "group", key""".stripMargin,
+
+    // identical strings rebuilt from codepoints; DuckDB's own
+    // nfc_normalize / strip_accents are the independent implementation
+    "text_normalize" ->
+      """WITH p(id, s) AS (VALUES
+        |  (1, 'Cafe' || chr(769)), (2, 'Caf' || chr(233)),
+        |  (3, 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+        |  (4, 'MIXED Case'))
+        |SELECT CAST(id AS BIGINT) AS id,
+        | CAST(length(s) AS INT) AS raw_len,
+        | nfc_normalize(s) AS nfc,
+        | CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
+        | lower(strip_accents(nfc_normalize(s))) AS folded
+        |FROM p ORDER BY id""".stripMargin,
 
     "text_pmi" ->
       """WITH toks AS (SELECT doc_id,

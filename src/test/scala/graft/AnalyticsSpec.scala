@@ -982,6 +982,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.size == 3)
   }
 
+  test("kAnonymity: hand-computed risk counts; NULL combos group") {
+    import graft.ops.TableHealth
+    import spark.implicits._
+    // combos: (10,a)×3, (10,b)×1, (20,a)×2, (NULL,a)×2 → with k=2 the
+    // singleton (10,b) is the only risky group
+    val df = Seq((Some(10), "a"), (Some(10), "a"), (Some(10), "a"), (Some(10), "b"),
+                 (Some(20), "a"), (Some(20), "a"), (None, "a"), (None, "a"))
+      .toDF("zip", "seg")
+    val r = TableHealth.kAnonymity(df, Seq(col("zip"), col("seg")), 2L).head()
+    assert(r.getLong(0) == 8 && r.getLong(1) == 4)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1 && !r.getBoolean(4))
+    // k=3: risky groups = (10,b):1, (20,a):2, (null,a):2 → 5 risky rows
+    val r3 = TableHealth.kAnonymity(df, Seq(col("zip"), col("seg")), 3L).head()
+    assert(r3.getLong(2) == 3 && r3.getLong(3) == 5)
+    intercept[IllegalArgumentException](
+      TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
+  }
+
   test("tableFingerprint: multiset-exact, layout-invariant, multiplicity-sensitive") {
     import graft.ops.TableHealth
     import spark.implicits._

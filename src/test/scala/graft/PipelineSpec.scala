@@ -1060,6 +1060,32 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
   }
 
+  test("normalizeText: NFC convergence, NFKC compatibility, accent fold, edge cases") {
+    import spark.implicits._
+    def norm(s: String, form: String = "NFC", strip: Boolean = false,
+        fold: Boolean = false) =
+      Seq(s).toDF("t")
+        .select(GraftFunctions.normalizeText(col("t"), form, strip, fold))
+        .head().getString(0)
+    // decomposed and precomposed spellings converge under NFC
+    assert(norm("Café") == norm("Café"))
+    assert(norm("Café").length == 4)
+    // NFKC folds compatibility forms NFC must preserve: the fi ligature
+    assert(norm("ﬁn", "NFKC") == "fin")
+    assert(norm("ﬁn", "NFC") == "ﬁn")
+    // accent strip + casefold is the dedup canonical form
+    assert(norm("Ångström", strip = true, fold = true) == "angstrom")
+    // idempotent; ASCII untouched; empty survives
+    assert(norm(norm("Café")) == norm("Café"))
+    assert(norm("plain ASCII!", strip = true, fold = true) == "plain ascii!")
+    assert(norm("") == "")
+    intercept[IllegalArgumentException](norm("x", form = "NFX"))
+    // SQL surface
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT normalize_text('Café', 'NFC', false, false)")
+      .head().getString(0) == norm("Café"))
+  }
+
   test("linkPairs: cross-table linkage finds typo'd and exact matches, nothing else") {
     import spark.implicits._
     val master = Seq((1L, "anna"), (2L, "bob"), (3L, "carolyn")).toDF("id", "s")
