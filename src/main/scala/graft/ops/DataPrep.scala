@@ -401,6 +401,81 @@ object DataPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** Winsorize a numeric column: clip values below the `lo` quantile /
+    * above the `hi` quantile to those thresholds — the TRANSFORM
+    * companion of [[graft.ops.Analytics.robustStats]] (which reports);
+    * tames heavy-tailed quality scores before averaging/mixing without
+    * dropping rows. Adds `<col>_w` (clipped) and `was_clipped`.
+    *
+    * One tiny quantile job (approx sketch by default — the 100 TB
+    * route; `exact` for oracle audits) folds both thresholds into the
+    * scan as literals: no join, no second shuffle. */
+  def winsorize(df: DataFrame, c: String, lo: Double = 0.05,
+      hi: Double = 0.95, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val thr = quantileThresholdsDF(df, col(c), Seq(lo, hi), exact, accuracy)
+      .head().getSeq[Double](0)
+    val (tLo, tHi) = (thr(0), thr(1))
+    df.withColumn(s"${c}_w",
+        least(greatest(col(c).cast("double"), lit(tLo)), lit(tHi)))
+      .withColumn("was_clipped",
+        col(c).isNotNull && (col(c) < tLo || col(c) > tHi))
+  }
+
+  /** Impute NULLs in a numeric column with a per-group statistic —
+    * `median` (approx by default, exact opt-in) or `mean` — falling
+    * back to the GLOBAL statistic for groups with no observed values.
+    * Adds `<col>_f` (filled) and `was_imputed`. The repair step between
+    * ingest and anything that treats NULL as zero.
+    *
+    * One (group, stat) aggregate broadcast back over the scan + a
+    * 1-row global fallback — the fill itself never shuffles data
+    * rows. */
+  def imputeByGroup(df: DataFrame, c: String, group: Seq[String],
+      stat: String = "median", exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(Seq("median", "mean").contains(stat), s"stat must be median or mean, got $stat")
+    require(group.nonEmpty, "need at least one group column")
+    val v = col(c).cast("double")
+    def statAgg: Column = stat match {
+      case "mean" => avg(v)
+      case _ if exact => percentile(v, lit(0.5)).cast("double")
+      case _ => percentile_approx(v, lit(0.5), lit(accuracy)).cast("double")
+    }
+    val perGroup = df.groupBy(group.map(col): _*).agg(statAgg.as("__fill"))
+    val globalFill = df.agg(statAgg.cast("double")).head() match {
+      case r if r.isNullAt(0) => null
+      case r => java.lang.Double.valueOf(r.getDouble(0))
+    }
+    df.join(broadcast(perGroup), group)
+      .withColumn(s"${c}_f",
+        coalesce(v, col("__fill"), lit(globalFill)))
+      .withColumn("was_imputed", v.isNull)
+      .drop("__fill")
+  }
+
+  /** Survivorship: collapse each duplicate CLUSTER (the output of
+    * [[graft.functions.Clusters]] over any pair operator) into one
+    * golden record — per field, the value of the LATEST row (by
+    * `versionCol`) whose field is NON-NULL, the standard MDM merge
+    * rule ("newest non-null wins"); a stale row's filled field beats a
+    * fresh row's NULL. Ties on version break toward the larger value
+    * (deterministic on any engine). Adds `n_members`.
+    *
+    * ONE cluster-keyed aggregate: each field rides a
+    * max(struct(version, value)) over its non-null rows — partial-agg
+    * friendly, no per-field joins, no window. */
+  def goldenRecords(df: DataFrame, clusterCol: String, versionCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to merge")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull, struct(col(versionCol).as("v"), col(f).as("x"))))
+        .getField("x").as(f)
+    } :+ count(lit(1L)).as("n_members")
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic weighted sample WITHOUT replacement: k rows drawn
     * with probability proportional to `weight` — quality-weighted
     * corpus subsetting ("keep 1M docs, prefer high scores") without the

@@ -2265,6 +2265,52 @@ object PipelineQueries {
         .orderBy("dist")
     }),
 
+    // Winsorization (transform companion of robustStats): clip at the
+    // exact 5%/95% percentiles (oracle-audit mode; approx sketch is
+    // the API default) — thresholds fold into the scan as literals.
+    "pipeline_winsorize" -> ((s, dir) =>
+      graft.ops.DataPrep.winsorize(
+          t(s, dir, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", lo = 0.05, hi = 0.95, exact = true)
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("was_clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          round(avg(col("l_extendedprice_w")), 4).as("avg_w"),
+          round(min(col("l_extendedprice_w")), 4).as("min_w"),
+          round(max(col("l_extendedprice_w")), 4).as("max_w"))),
+
+    // Median imputation per event type over planted NULLs (every 7th
+    // event): per-group exact medians broadcast into the scan; the
+    // fill value surfaces as min-over-imputed (all imputed rows in a
+    // group share the group median).
+    "pipeline_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      graft.ops.DataPrep.imputeByGroup(ev, "v", Seq("event_type"),
+          stat = "median", exact = true)
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("was_imputed"), 1L).otherwise(0L)).as("n_imputed"),
+          round(avg(col("v_f")), 4).as("avg_filled"),
+          round(min(when(col("was_imputed"), col("v_f"))), 4).as("fill_value"))
+        .orderBy("event_type")
+    }),
+
+    // Survivorship golden records: per duplicate cluster, each field
+    // takes the newest NON-NULL value (stale-but-filled beats
+    // fresh-but-NULL) in ONE cluster-keyed aggregate of
+    // max(struct(version, value)) — no per-field joins or windows.
+    "pipeline_golden" -> ((s, dir) => {
+      val src = t(s, dir, "events").select(
+        (col("user_id") % 50).as("cluster"), col("event_id").as("version"),
+        when(col("event_id") % 3 === 0, col("value")).as("f_val"),
+        col("event_type").as("f_type"))
+      graft.ops.DataPrep.goldenRecords(src, "cluster", "version",
+          Seq("f_val", "f_type"))
+        .select(col("cluster"), round(col("f_val"), 4).as("f_val"),
+          col("f_type"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
     // Weighted sample without replacement (A-ES, −ln(u)/w draw keys
     // from the seeded md5 uniform): 25 docs drawn proportional to
     // length — in-scan key arithmetic + TakeOrdered, engine-portable
@@ -4090,6 +4136,51 @@ object PipelineQueries {
         | CAST(sum(mid) AS BIGINT) AS checksum_master,
         | CAST(sum(fid - 1000000) AS BIGINT) AS checksum_feed
         |FROM p GROUP BY 1 ORDER BY dist""".stripMargin,
+
+    "pipeline_winsorize" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |       quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem),
+        |w AS (SELECT least(greatest(l_extendedprice, q.lo), q.hi) AS v,
+        |       (l_extendedprice < q.lo OR l_extendedprice > q.hi) AS clipped
+        |      FROM lineitem CROSS JOIN q)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (clipped) AS BIGINT) AS n_clipped,
+        | round(avg(v), 4) AS avg_w, round(min(v), 4) AS min_w,
+        | round(max(v), 4) AS max_w
+        |FROM w""".stripMargin,
+
+    "pipeline_impute" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |      FROM ev GROUP BY 1),
+        |f AS (SELECT ev.event_type, coalesce(v, m.med) AS vf,
+        |       v IS NULL AS imp
+        |      FROM ev JOIN m USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (imp) AS BIGINT) AS n_imputed,
+        | round(avg(vf), 4) AS avg_filled,
+        | round(min(CASE WHEN imp THEN vf END), 4) AS fill_value
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "pipeline_golden" ->
+      """WITH src AS (SELECT user_id % 50 AS cluster, event_id AS version,
+        |   CASE WHEN event_id % 3 = 0 THEN value END AS f_val,
+        |   event_type AS f_type FROM events),
+        |v1 AS (SELECT cluster, f_val, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY version DESC, f_val DESC) AS rn
+        |  FROM src WHERE f_val IS NOT NULL),
+        |v2 AS (SELECT cluster, f_type, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY version DESC, f_type DESC) AS rn
+        |  FROM src WHERE f_type IS NOT NULL),
+        |n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM src GROUP BY 1)
+        |SELECT n.cluster, round(v1.f_val, 4) AS f_val, v2.f_type,
+        | n.n_members
+        |FROM n LEFT JOIN v1 ON n.cluster = v1.cluster AND v1.rn = 1
+        |LEFT JOIN v2 ON n.cluster = v2.cluster AND v2.rn = 1
+        |ORDER BY n.cluster""".stripMargin,
 
     "pipeline_weighted_sample" ->
       """WITH x AS (SELECT doc_id, source, n_chars,

@@ -1060,6 +1060,59 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
   }
 
+  test("winsorize: hand-computed clipping; flags only true outliers") {
+    import graft.ops.DataPrep
+    import spark.implicits._
+    // 1..20: exact p05 = 1.95, p95 = 19.05 (interpolated) — 1 and 20 clip
+    val df = (1 to 20).map(_.toDouble).toDF("x")
+    val w = DataPrep.winsorize(df, "x", 0.05, 0.95, exact = true)
+      .collect().map(r => r.getDouble(0) ->
+        (math.BigDecimal(r.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+         r.getBoolean(2))).toMap
+    assert(w(1.0) == ((1.95, true)) && w(20.0) == ((19.05, true)))
+    assert(w(2.0) == ((2.0, false)) && w(10.0) == ((10.0, false)))
+    assert(w.count(_._2._2) == 2, "exactly the two extremes clip")
+    intercept[IllegalArgumentException](DataPrep.winsorize(df, "x", 0.9, 0.1))
+  }
+
+  test("imputeByGroup: group median fill, global fallback, mean mode") {
+    import graft.ops.DataPrep
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+                 ("b", Some(10.0)), ("b", None),
+                 ("c", None)) // group with NO observed values
+      .toDF("g", "v")
+    val m = DataPrep.imputeByGroup(df, "v", Seq("g"), "median", exact = true)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(m(("a", None)) == ((2.0, true)), "a's median 2.0 fills a's NULL")
+    assert(m(("b", None)) == ((10.0, true)))
+    // global exact median of {1,3,10} = 3.0 backfills the empty group
+    assert(m(("c", None)) == ((3.0, true)))
+    assert(m(("a", Some(1.0))) == ((1.0, false)), "observed values untouched")
+    val mean = DataPrep.imputeByGroup(df, "v", Seq("g"), "mean")
+      .where(col("g") === "a" && col("was_imputed"))
+      .head().getDouble(2)
+    assert(mean == 2.0, "mean mode: (1+3)/2")
+  }
+
+  test("goldenRecords: newest non-null wins; stale-filled beats fresh-NULL") {
+    import graft.ops.DataPrep
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, Some("old@x"), Some("111")),
+      (1L, 2L, Some("new@x"), None),        // fresh row, NULL phone
+      (1L, 3L, None, None),                 // freshest row, all NULL
+      (2L, 1L, None, None))                 // cluster with nothing filled
+      .toDF("cluster", "version", "email", "phone")
+    val g = DataPrep.goldenRecords(df, "cluster", "version", Seq("email", "phone"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))).toMap
+    assert(g(1L) == ((Some("new@x"), Some("111"), 3L)),
+      s"newest non-null per field: ${g(1L)}")
+    assert(g(2L) == ((None, None, 1L)), "an all-NULL field stays NULL")
+  }
+
   test("normalizeText: NFC convergence, NFKC compatibility, accent fold, edge cases") {
     import spark.implicits._
     def norm(s: String, form: String = "NFC", strip: Boolean = false,
