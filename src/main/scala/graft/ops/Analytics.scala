@@ -697,6 +697,47 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Kaplan–Meier survival curve (product-limit estimator, JASA 1958)
+    * over right-censored durations: one row per (subject, duration,
+    * event?) in, the step function S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) out —
+    * time-to-conversion, churn, time-to-failure with subjects still
+    * alive at observation end correctly CENSORED rather than dropped
+    * (dropping them biases every naive average).
+    *
+    * Scale shape: subjects collapse to a (duration → n_subjects,
+    * n_events) histogram first (partial-aggregated); at-risk counts
+    * are a SUFFIX sum and the product a cumulative exp∘Σln, both over
+    * the distinct-duration table — its cardinality is bounded by time
+    * resolution, not subject count, which is what makes the global
+    * window acceptable (bucket durations upstream if truly
+    * continuous). Censored-only times contribute factor 1 and are
+    * folded implicitly; output rows are event times only. */
+  def kaplanMeier(durations: DataFrame, duration: Column, isEvent: Column,
+      dp: Int = 6): DataFrame = {
+    val hist = durations
+      .select(duration.cast("double").as("t"), isEvent.cast("boolean").as("e"))
+      .where(col("t").isNotNull)
+      .groupBy("t")
+      .agg(count(lit(1L)).as("__n"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factor = lit(1.0) - col("n_events") / col("n_risk")
+    hist
+      .withColumn("n_risk", sum(col("__n")).over(wSuffix))
+      // ln of the positive factors only; any zero factor forces S to 0
+      // from that time on via the min guard (sum-over-nulls never
+      // reaches those rows' ELSE branch)
+      .withColumn("__lnf", log(when(factor > 0, factor)))
+      .withColumn("survival",
+        when(min(factor).over(wCum) <= 0, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wCum)), dp)))
+      .where(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
+  }
+
   /** Debounce: collapse per-key event BURSTS (runs of events less than
     * `gapSeconds` apart) to one row each — duplicate-click suppression,
     * retry-storm collapsing, sensor chatter. A new burst starts where

@@ -625,6 +625,29 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Kaplan–Meier time-to-conversion: signup → first later purchase,
+    // users with no conversion CENSORED at the corpus horizon; at-risk
+    // via suffix sum and the product limit via exp∘Σln over the
+    // bounded distinct-duration table.
+    "q_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_timestamp(col("ts"))).as("s_ts"))
+      val purchase = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), unix_timestamp(col("ts")).as("p_ts"))
+      val conv = signup
+        .join(purchase, col("p_uid") === col("user_id") &&
+          col("p_ts") >= col("s_ts"), "left")
+        .groupBy(col("user_id"), col("s_ts")).agg(min(col("p_ts")).as("c_ts"))
+      val durations = conv
+        .crossJoin(ev.agg(max(unix_timestamp(col("ts"))).as("__h")))
+        .select((coalesce(col("c_ts"), col("__h")) - col("s_ts"))
+            .cast("double").as("duration"),
+          col("c_ts").isNotNull.as("is_event"))
+      Analytics.kaplanMeier(durations, col("duration"), col("is_event"))
+        .orderBy("t")
+    }),
+
     // 2-D skyline (Pareto frontier maximizing recency AND value): the
     // bucket-grid decomposition — suffix max over a bounded bucket
     // table + bucket-partitioned windows — against DuckDB's literal
@@ -1196,6 +1219,35 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_survival" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)//1000000) AS s_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts)//1000000 AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts)//1000000) AS h FROM events),
+        |c AS (SELECT s.user_id, s.s_ts, min(p.p_ts) AS c_ts
+        |      FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |        AND p.p_ts >= s.s_ts
+        |      GROUP BY 1, 2),
+        |d AS (SELECT CAST(coalesce(c_ts, h.h) - s_ts AS DOUBLE) AS t,
+        |       c_ts IS NOT NULL AS e FROM c CROSS JOIN h),
+        |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (e) AS BIGINT) AS n_events
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT t, n_events, CAST(sum(n) OVER (ORDER BY t
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |       AS BIGINT) AS n_risk FROM hist),
+        |f AS (SELECT t, n_events, n_risk,
+        |       1.0 - n_events * 1.0 / n_risk AS fac FROM r)
+        |SELECT t, n_risk, n_events,
+        | CASE WHEN min(fac) OVER wc <= 0 THEN 0.0
+        |      ELSE round(exp(sum(ln(CASE WHEN fac > 0 THEN fac END))
+        |        OVER wc), 6) END AS survival
+        |FROM f WHERE n_events > 0
+        |WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
 
     "q_skyline" ->
       """WITH p AS (SELECT event_id, epoch_us(ts)//1000000 AS x, value AS y

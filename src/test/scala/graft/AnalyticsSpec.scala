@@ -982,6 +982,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.size == 3)
   }
 
+  test("kaplanMeier: textbook product-limit values, censoring, all-fail collapse") {
+    import spark.implicits._
+    // durations 1e, 2e, 3c, 4e, 5c → S = 0.8, 0.6, 0.3 at t = 1, 2, 4;
+    // censored times 3 and 5 emit no row but stay in the risk sets
+    val d = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true), (5.0, false))
+      .toDF("t", "e")
+    val km = Analytics.kaplanMeier(d, col("t"), col("e"))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(km == Map(1.0 -> ((5L, 1L, 0.8)), 2.0 -> ((4L, 1L, 0.6)),
+      4.0 -> ((2L, 1L, 0.3))), s"textbook KM: $km")
+    // everyone fails at the last event time → S hits exactly 0
+    val af = Seq((1.0, true), (2.0, true), (2.0, true)).toDF("t", "e")
+    val k2 = Analytics.kaplanMeier(af, col("t"), col("e"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(k2(2.0) == 0.0, s"all-fail must collapse to 0, got $k2")
+  }
+
   test("kAnonymity: hand-computed risk counts; NULL combos group") {
     import graft.ops.TableHealth
     import spark.implicits._
