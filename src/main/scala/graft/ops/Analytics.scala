@@ -697,6 +697,39 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Gini coefficient of a non-negative quantity across units (0 =
+    * perfectly even, → 1 = one unit holds everything) + the top-share
+    * concentration points — "how concentrated is revenue/traffic/token
+    * volume across users/domains/sources", the economics complement of
+    * [[graft.ops.Skew.diagnoseKeys]]'s per-key view.
+    *
+    * Computed from the identity over values sorted ascending:
+    * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n. Units first collapse to one
+    * row each (partial-aggregated); the rank window then runs over
+    * UNIT rows, not raw events. The units table is assumed far smaller
+    * than the event table (the usual case); for extreme unit counts
+    * pre-bucket upstream. */
+  def gini(df: DataFrame, unit: Column, quantity: Column,
+      dp: Int = 6): DataFrame = {
+    val units = df.groupBy(unit.as("__u"))
+      .agg(sum(quantity.cast("double")).as("__x"))
+      .where(col("__x") >= 0)
+    val ranked = units
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__x"), col("__u"))))
+      .withColumn("__rd", row_number().over(
+        Window.orderBy(col("__x").desc, col("__u").desc)))
+    ranked.agg(count(lit(1L)).as("n_units"),
+        sum(col("__x")).as("__tot"),
+        sum(col("__i") * col("__x")).as("__iw"),
+        sum(when(col("__rd") <= 10, col("__x")).otherwise(0.0)).as("__top10"))
+      .select(col("n_units"),
+        round(col("__tot"), 4).as("total"),
+        round(lit(2.0) * col("__iw") / (col("n_units") * col("__tot"))
+          - (col("n_units") + 1) / col("n_units").cast("double"), dp).as("gini"),
+        round(col("__top10") / col("__tot"), dp).as("top10_share"))
+  }
+
   /** Kaplan–Meier survival curve (product-limit estimator, JASA 1958)
     * over right-censored durations: one row per (subject, duration,
     * event?) in, the step function S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) out —

@@ -625,6 +625,12 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Gini concentration of purchase revenue across users + top-10
+    // share — units collapse first, rank windows run over unit rows.
+    "q_gini" -> ((s, dir) =>
+      Analytics.gini(t(s, dir, "events").where(col("event_type") === "purchase"),
+        col("user_id"), col("value"))),
+
     // Kaplan–Meier time-to-conversion: signup → first later purchase,
     // users with no conversion CENSORED at the corpus horizon; at-risk
     // via suffix sum and the product limit via exp∘Σln over the
@@ -1219,6 +1225,21 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_gini" ->
+      """WITH u AS (SELECT user_id AS k, sum(value) AS x FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT x,
+        |   row_number() OVER (ORDER BY x, k) AS i,
+        |   row_number() OVER (ORDER BY x DESC, k DESC) AS rd
+        |  FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_units,
+        | round(sum(x), 4) AS total,
+        | round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |   - (count(*) + 1.0) / count(*), 6) AS gini,
+        | round(sum(CASE WHEN rd <= 10 THEN x ELSE 0 END) / sum(x), 6)
+        |   AS top10_share
+        |FROM r""".stripMargin,
 
     "q_survival" ->
       """WITH s AS (SELECT user_id, min(epoch_us(ts)//1000000) AS s_ts

@@ -982,6 +982,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.size == 3)
   }
 
+  test("gini: closed-form extremes and hand-computed middle") {
+    import spark.implicits._
+    def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // perfectly even: G = 0; one-holder: G = (n-1)/n
+    val even = (1 to 10).map(i => (i.toLong, 1L, 5.0)).toDF("u", "e", "v")
+    assert(Analytics.gini(even, col("u"), col("v")).head().getDouble(2) == 0.0)
+    val one = ((1 to 9).map(i => (i.toLong, 0.0)) :+ (10L, 100.0)).toDF("u", "v")
+    assert(Analytics.gini(one, col("u"), col("v")).head().getDouble(2) == r6(0.9))
+    // hand case: x = (1,2,3,4) → G = 2·(1+4+9+16)/(4·10) − 5/4 = 0.25
+    val mid = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("u", "v")
+    val g = Analytics.gini(mid, col("u"), col("v")).head()
+    assert(g.getLong(0) == 4 && g.getDouble(2) == 0.25, s"$g")
+    assert(g.getDouble(3) == 1.0, "4 units: top-10 share is everything")
+    // events collapse per unit before ranking
+    val ev = Seq((1L, 1.0), (1L, 1.0), (2L, 2.0)).toDF("u", "v") // units hold 2, 2
+    assert(Analytics.gini(ev, col("u"), col("v")).head().getDouble(2) == 0.0)
+  }
+
   test("kaplanMeier: textbook product-limit values, censoring, all-fail collapse") {
     import spark.implicits._
     // durations 1e, 2e, 3c, 4e, 5c → S = 0.8, 0.6, 0.3 at t = 1, 2, 4;
