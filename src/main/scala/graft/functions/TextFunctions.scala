@@ -524,6 +524,31 @@ object TextFunctions {
       .otherwise(last2)
   }
 
+  /** Sentence segmentation (regex, RE2-compatible — no lookbehind, so
+    * the same pattern runs in SQL oracles): split on terminal
+    * punctuation runs followed by whitespace; trailing punctuation of
+    * the LAST sentence survives, interior terminators are consumed.
+    * Empty fragments (leading/duplicate delimiters) drop. */
+  def sentenceSplit(c: Column): Column =
+    filter(transform(split(c, "[.!?]+\\s+"), s => trim(s)),
+      s => length(s) > 0)
+
+  /** Per-document sentence statistics as a struct: (n_sentences,
+    * avg_sentence_tokens, max_sentence_tokens) — the sentence-length
+    * half of readability scoring (long average sentences are the
+    * Flesch/ARI complexity signal; a 400-token "sentence" is usually
+    * markup soup). In-scan HOF algebra, no shuffle. */
+  def sentenceStats(c: Column, dp: Int = 6): Column = {
+    val sents = sentenceSplit(c)
+    val toks = transform(sents, s => size(tokensWs(s)))
+    struct(
+      size(sents).as("n_sentences"),
+      round(aggregate(toks, lit(0L), (acc, n) => acc + n).cast("double") /
+        greatest(size(sents), lit(1)).cast("double"), dp)
+        .as("avg_sentence_tokens"),
+      coalesce(array_max(toks), lit(0)).as("max_sentence_tokens"))
+  }
+
   /** PMI collocations (Church & Hanks 1990): adjacent token pairs
     * scored by pointwise mutual information
     * `ln( P(a,b) / (P(a)·P(b)) )` with P(a,b) over the bigram total

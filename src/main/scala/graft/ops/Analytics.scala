@@ -697,6 +697,29 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Sample-ratio mismatch (SRM) check: are experiment assignment
+    * counts consistent with the intended split? The first gate of any
+    * A/B readout — a biased assignment (bot filtering, logging loss,
+    * redirect asymmetry) invalidates every downstream metric, and the
+    * imbalance is usually too small to eyeball. One-degree-of-freedom
+    * chi-square goodness of fit against `expectedA`; χ² > 3.84 ≈
+    * p < 0.05. ONE conditional-sum scan, 1-row result. */
+  def sampleRatioMismatch(df: DataFrame, inA: Column,
+      expectedA: Double = 0.5, dp: Int = 6): DataFrame = {
+    require(expectedA > 0 && expectedA < 1,
+      s"expectedA must be in (0,1), got $expectedA")
+    df.agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        lit(expectedA).as("expected_a_frac"),
+        round(
+          pow(col("n_a") - (col("n_a") + col("n_b")) * expectedA, 2) /
+            ((col("n_a") + col("n_b")) * expectedA) +
+          pow(col("n_b") - (col("n_a") + col("n_b")) * (1 - expectedA), 2) /
+            ((col("n_a") + col("n_b")) * (1 - expectedA)), dp).as("chi2"))
+      .withColumn("srm_suspect", col("chi2") > 3.841)
+  }
+
   /** Gini coefficient of a non-negative quantity across units (0 =
     * perfectly even, → 1 = one unit holds everything) + the top-share
     * concentration points — "how concentrated is revenue/traffic/token

@@ -471,6 +471,25 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Sentence segmentation stats (RE2-safe split, no lookbehind):
+    // planted multi-sentence docs with known shapes + a real-corpus
+    // slice; the readability-signal half (avg/max sentence length).
+    "text_sentences" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "One two. Three four five! Six?"),
+        (9000002L, "No terminal punctuation here"),
+        (9000003L, "Trailing spaces after stop.   Next one."),
+        (9000004L, "Multi!!! Bang?? Ok."))).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 30).union(planted)
+        .select(col("doc_id"), TF.sentenceStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_sentences").as("n_sentences"),
+          col("st.avg_sentence_tokens").as("avg_sentence_tokens"),
+          col("st.max_sentence_tokens").as("max_sentence_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -2706,6 +2725,26 @@ object PipelineQueries {
         | CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
         | lower(strip_accents(nfc_normalize(s))) AS folded
         |FROM p ORDER BY id""".stripMargin,
+
+    "text_sentences" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9000001, 'One two. Three four five! Six?'),
+        |    (9000002, 'No terminal punctuation here'),
+        |    (9000003, 'Trailing spaces after stop.   Next one.'),
+        |    (9000004, 'Multi!!! Bang?? Ok.')) v(doc_id, text)),
+        |s AS (SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(text, '[.!?]+\s+'), x -> trim(x)),
+        |    x -> length(x) > 0) AS sents FROM base),
+        |t AS (SELECT doc_id, sents, list_transform(sents,
+        |    x -> len(string_split_regex(trim(x), '\s+'))) AS toks FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(len(sents) AS INT) AS n_sentences,
+        | round(list_sum(toks) * 1.0 / greatest(len(sents), 1), 6)
+        |   AS avg_sentence_tokens,
+        | CAST(coalesce(list_max(toks), 0) AS INT) AS max_sentence_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_pmi" ->
       """WITH toks AS (SELECT doc_id,

@@ -625,6 +625,13 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Sample-ratio mismatch: are signup assignments consistent with a
+    // 50/50 split by user parity? 1-df chi-square GOF, one scan.
+    "q_srm" -> ((s, dir) =>
+      Analytics.sampleRatioMismatch(
+        t(s, dir, "events").where(col("event_type") === "signup"),
+        col("user_id") % 2 === 0)),
+
     // Gini concentration of purchase revenue across users + top-10
     // share — units collapse first, rank windows run over unit rows.
     "q_gini" -> ((s, dir) =>
@@ -1225,6 +1232,18 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_srm" ->
+      """WITH c AS (SELECT
+        |   CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |   CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
+        |  FROM events WHERE event_type = 'signup'),
+        |x AS (SELECT n_a, n_b, 0.5 AS expected_a_frac,
+        |   round(pow(n_a - (n_a + n_b) * 0.5, 2) / ((n_a + n_b) * 0.5)
+        |     + pow(n_b - (n_a + n_b) * 0.5, 2) / ((n_a + n_b) * 0.5), 6)
+        |     AS chi2 FROM c)
+        |SELECT n_a, n_b, expected_a_frac, chi2,
+        | chi2 > 3.841 AS srm_suspect FROM x""".stripMargin,
 
     "q_gini" ->
       """WITH u AS (SELECT user_id AS k, sum(value) AS x FROM events

@@ -982,6 +982,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.size == 3)
   }
 
+  test("sampleRatioMismatch: hand-computed chi2; non-even expected split") {
+    import spark.implicits._
+    // 60/40 against expected 50/50: chi2 = (60-50)²/50 + (40-50)²/50 = 4
+    val df = ((1 to 60).map(_ => true) ++ (1 to 40).map(_ => false)).toDF("a")
+    val r = Analytics.sampleRatioMismatch(df, col("a")).head()
+    assert(r.getLong(0) == 60 && r.getLong(1) == 40)
+    assert(r.getDouble(3) == 4.0 && r.getBoolean(4), s"chi2 4 > 3.841 flags: $r")
+    // the same counts against an INTENDED 60/40 split are clean
+    val ok = Analytics.sampleRatioMismatch(df, col("a"), expectedA = 0.6).head()
+    assert(ok.getDouble(3) == 0.0 && !ok.getBoolean(4))
+    intercept[IllegalArgumentException](
+      Analytics.sampleRatioMismatch(df, col("a"), expectedA = 1.0))
+  }
+
   test("gini: closed-form extremes and hand-computed middle") {
     import spark.implicits._
     def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -1060,6 +1060,22 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
   }
 
+  test("sentenceStats: segmentation shapes, punctuation runs, empty text") {
+    import spark.implicits._
+    def st(s: String) = Seq(s).toDF("t")
+      .select(TF.sentenceStats(col("t")).as("st"))
+      .select("st.n_sentences", "st.avg_sentence_tokens", "st.max_sentence_tokens")
+      .head()
+    val a = st("One two. Three four five! Six?")
+    assert(a.getInt(0) == 3 && a.getDouble(1) == 2.0 && a.getInt(2) == 3)
+    val b = st("No terminal punctuation here")
+    assert(b.getInt(0) == 1 && b.getDouble(1) == 4.0)
+    val c = st("Multi!!! Bang?? Ok.")
+    assert(c.getInt(0) == 3 && c.getInt(2) == 1, "punctuation runs collapse")
+    val e = st("")
+    assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0 && e.getInt(2) == 0)
+  }
+
   test("winsorize: hand-computed clipping; flags only true outliers") {
     import graft.ops.DataPrep
     import spark.implicits._
