@@ -410,6 +410,32 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"fuzzy candidates must equi-join on deletion keys:\n$p")
   }
 
+  test("repair/stats wave: scan-shaped plans (joins/windows only where they belong)") {
+    // winsorize: thresholds are folded literals — no join anywhere
+    val pw = plan(q("pipeline_winsorize"))
+    assert(!pw.contains("Join"), s"winsorize must not join a thresholds side:\n$pw")
+    // impute: the per-group fill table joins by BROADCAST
+    val pi = plan(q("pipeline_impute"))
+    assert(pi.contains("BroadcastHashJoin"),
+      s"imputation fill table must broadcast:\n$pi")
+    // golden records: ONE aggregate, no joins, no windows
+    val pg = plan(q("pipeline_golden"))
+    assert(!pg.contains("Join") && !pg.contains("Window"),
+      s"survivorship is a single aggregate:\n$pg")
+    // SRM + t-test: single-scan conditional aggregates
+    val ps = plan(q("q_srm"))
+    assert(!ps.contains("Join") && !ps.contains("Window"),
+      s"SRM is one conditional-sum scan:\n$ps")
+    val pt = plan(q("q_ttest"))
+    assert(!pt.contains("Join") && !pt.contains("Window"),
+      s"Welch t-test is one conditional-sum scan:\n$pt")
+    // survival/gini/skyline: equi-joins only, never a cartesian
+    Seq("q_survival", "q_gini", "q_skyline").foreach { n =>
+      val p = plan(q(n))
+      assert(!p.contains("CartesianProduct"), s"cartesian in $n:\n$p")
+    }
+  }
+
   test("q_markov / q_cohort: event-grain work is bounded to one exchange family") {
     // transitionMatrix: exactly one event-grain exchange (the lead
     // window on user); the pair aggregate and probability window run on
