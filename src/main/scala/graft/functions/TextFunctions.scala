@@ -549,6 +549,31 @@ object TextFunctions {
       coalesce(array_max(toks), lit(0)).as("max_sentence_tokens"))
   }
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975):
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`, with
+    * syllables approximated as vowel-group runs (`[aeiouy]+` per
+    * lowercased word, min 1) — the standard automatable proxy; the
+    * same regex runs in SQL oracles. Returns a struct
+    * (n_sentences, n_words, n_syllables, fk_grade). Degenerate inputs
+    * (no words) yield NULL grade rather than a division blow-up.
+    * In-scan HOF + regex algebra, no shuffle, no UDF. */
+  def readabilityStats(c: Column, dp: Int = 4): Column = {
+    val sents = sentenceSplit(c)
+    val words = filter(tokensWs(lower(c)), w => length(w) > 0)
+    val syl = transform(words,
+      w => greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1)))
+    val nS = greatest(size(sents), lit(1)).cast("double")
+    val nW = size(words).cast("double")
+    val nSyl = aggregate(syl, lit(0), (acc, x) => acc + x).cast("double")
+    struct(
+      size(sents).as("n_sentences"),
+      size(words).as("n_words"),
+      nSyl.cast("int").as("n_syllables"),
+      when(size(words) > 0,
+        round(lit(0.39) * nW / nS + lit(11.8) * nSyl / nW - lit(15.59), dp))
+        .as("fk_grade"))
+  }
+
   /** PMI collocations (Church & Hanks 1990): adjacent token pairs
     * scored by pointwise mutual information
     * `ln( P(a,b) / (P(a)·P(b)) )` with P(a,b) over the bigram total

@@ -471,6 +471,25 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Flesch–Kincaid readability (vowel-group syllable proxy — the
+    // same RE2 regex runs on both engines): planted graded sentences +
+    // a real-corpus slice, per-doc grades.
+    "text_readability" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "The cat sat on the mat."),
+        (9000002L, "Considerable organizational complexity accompanies sophisticated internationalization infrastructure."),
+        (9000003L, "Short. Sharp. Clear."))).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 20).union(planted)
+        .select(col("doc_id"), TF.readabilityStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_words").as("n_words"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.fk_grade").as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
     // Sentence segmentation stats (RE2-safe split, no lookbehind):
     // planted multi-sentence docs with known shapes + a real-corpus
     // slice; the readability-signal half (avg/max sentence length).
@@ -2725,6 +2744,30 @@ object PipelineQueries {
         | CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
         | lower(strip_accents(nfc_normalize(s))) AS folded
         |FROM p ORDER BY id""".stripMargin,
+
+    "text_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9000001, 'The cat sat on the mat.'),
+        |    (9000002, 'Considerable organizational complexity accompanies sophisticated internationalization infrastructure.'),
+        |    (9000003, 'Short. Sharp. Clear.')) v(doc_id, text)),
+        |x AS (SELECT doc_id,
+        |   len(list_filter(list_transform(
+        |     string_split_regex(text, '[.!?]+\s+'), s -> trim(s)),
+        |     s -> length(s) > 0)) AS ns,
+        |   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |     w -> length(w) > 0) AS ws FROM base),
+        |y AS (SELECT doc_id, ns, len(ws) AS nw,
+        |   coalesce(list_sum(list_transform(ws,
+        |     w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+        |     AS nsyl FROM x)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(ns AS INT) AS n_sentences, CAST(nw AS INT) AS n_words,
+        | CAST(nsyl AS INT) AS n_syllables,
+        | CASE WHEN nw > 0 THEN round(0.39 * nw / greatest(ns, 1)
+        |   + 11.8 * nsyl / nw - 15.59, 4) END AS fk_grade
+        |FROM y ORDER BY doc_id""".stripMargin,
 
     "text_sentences" ->
       """WITH base AS (

@@ -625,6 +625,16 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Calendar rollup: month × ISO-Monday-week revenue buckets —
+    // date_trunc semantics must agree ACROSS engines (the classic
+    // week-start pitfall), proven by the cross-engine compare.
+    "q_date_rollup" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(
+          date_trunc("month", col("ts")).cast("date").as("month"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1L)).as("n"), round(sum("value"), 4).as("revenue"))
+        .orderBy("month", "week")),
+
     // Sample-ratio mismatch: are signup assignments consistent with a
     // 50/50 split by user parity? 1-df chi-square GOF, one scan.
     "q_srm" -> ((s, dir) =>
@@ -1232,6 +1242,12 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_date_rollup" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        | CAST(date_trunc('week', ts) AS DATE) AS week,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS revenue
+        |FROM events GROUP BY 1, 2 ORDER BY month, week""".stripMargin,
 
     "q_srm" ->
       """WITH c AS (SELECT

@@ -1060,6 +1060,25 @@ class PipelineSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.editDistancePairs(planted, "id", "s", 3))
   }
 
+  test("readabilityStats: hand-computed FK grade, monotone in complexity, degenerate NULL") {
+    import spark.implicits._
+    def fk(s: String) = Seq(s).toDF("t")
+      .select(TF.readabilityStats(col("t")).as("r"))
+      .select("r.n_sentences", "r.n_words", "r.n_syllables", "r.fk_grade").head()
+    // 1 sentence, 6 one-syllable words → 0.39·6 + 11.8·1 − 15.59 = −1.45
+    val a = fk("The cat sat on the mat.")
+    assert(a.getInt(0) == 1 && a.getInt(1) == 6 && a.getInt(2) == 6)
+    assert(a.getDouble(3) == -1.45, s"$a")
+    // polysyllabic prose must grade far higher than the cat
+    val b = fk("Considerable organizational complexity accompanies sophisticated infrastructure.")
+    assert(b.getDouble(3) > 10.0, s"complex prose grade: $b")
+    // "sat" = 1 vowel group; "aeiou" = 1 group; "rhythm" has no aeiouy?
+    // 'y' counts: rhythm → 1 group (the y) — min-1 floor never fires here
+    assert(fk("rhythm").getInt(2) == 1)
+    val e = fk("   ")
+    assert(e.getInt(1) == 0 && e.isNullAt(3), "no words → NULL grade, not ±Inf")
+  }
+
   test("sentenceStats: segmentation shapes, punctuation runs, empty text") {
     import spark.implicits._
     def st(s: String) = Seq(s).toDF("t")
