@@ -697,6 +697,39 @@ object Analytics {
         min(when(col("__alarm"), col("__i"))).cast("int").as("first_alarm_idx"))
   }
 
+  /** Engagement stickiness: per day, the distinct active users that
+    * day (DAU) and over the trailing `windowDays` (WAU/MAU), plus the
+    * DAU/WAU ratio — the standard product-engagement summary. Exact
+    * rolling DISTINCT does not decompose into a running window, so the
+    * (user, day) table joins a trailing day range instead:
+    *
+    * Scale shape: events collapse to DISTINCT (user, day) first (one
+    * partial-aggregated dedup — the only event-grain work); each
+    * (user, day) row then EXPLODES to the `windowDays` anchor days it
+    * serves and re-aggregates — no theta join, no per-day rescans,
+    * |users·days|·window rows total. For extreme user counts swap the
+    * exact distinct for [[graft.functions.Sketches.distinctSketches]]
+    * merges. */
+  def stickiness(df: DataFrame, user: Column, ts: Column,
+      windowDays: Int = 7, dp: Int = 4): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = df.select(user.as("__u"),
+        to_date(ts).as("__d")).distinct()
+      .localCheckpoint(true) // scanned twice (DAU + window expansion)
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(count(lit(1L)).as("dau"))
+    val win = ud
+      .select(col("__u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"), col("__d"))
+      .select(col("__u"), expr("date_add(__d, __off)").as("day"))
+      .groupBy("day").agg(countDistinct(col("__u")).as("wau"))
+    // inner join trims anchor days past the observed span
+    dau.join(win, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), dp).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Sample-ratio mismatch (SRM) check: are experiment assignment
     * counts consistent with the intended split? The first gate of any
     * A/B readout — a biased assignment (bot filtering, logging loss,

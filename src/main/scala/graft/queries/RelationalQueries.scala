@@ -625,6 +625,13 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // DAU / trailing-7-day WAU stickiness: events dedup to (user, day)
+    // once, each row explodes to the anchor days it serves — exact
+    // rolling distinct without a theta join or per-day rescans.
+    "q_stickiness" -> ((s, dir) =>
+      Analytics.stickiness(t(s, dir, "events"),
+        col("user_id"), col("ts"), windowDays = 7)),
+
     // Calendar rollup: month × ISO-Monday-week revenue buckets —
     // date_trunc semantics must agree ACROSS engines (the classic
     // week-start pitfall), proven by the cross-engine compare.
@@ -1242,6 +1249,19 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |            FROM events),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT a.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+        |        FROM dau a JOIN ud ON ud.d BETWEEN a.day - 6 AND a.day
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        | round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "q_date_rollup" ->
       """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,

@@ -982,6 +982,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(m.size == 3)
   }
 
+  test("stickiness: hand-computed DAU/WAU, trailing window, multi-event days dedup") {
+    import spark.implicits._
+    // d1:{u1,u2} d2:{u1} d3:{u3}; u1 twice on d1 must count once
+    val ev = Seq(("u1", "2026-01-01 01:00:00"), ("u1", "2026-01-01 09:00:00"),
+                 ("u2", "2026-01-01 02:00:00"), ("u1", "2026-01-02 03:00:00"),
+                 ("u3", "2026-01-03 04:00:00"))
+      .toDF("u", "s").select(col("u"), col("s").cast("timestamp").as("ts"))
+    val m = Analytics.stickiness(ev, col("u"), col("ts"), windowDays = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("2026-01-01") == ((2L, 2L, 1.0)), s"${m("2026-01-01")}")
+    assert(m("2026-01-02") == ((1L, 2L, 0.5)), "window reaches back to d1")
+    assert(m("2026-01-03") == ((1L, 2L, 0.5)), "u1 from d2 still in d3's window")
+    assert(m.size == 3, "no phantom anchor days past the span")
+  }
+
   test("sampleRatioMismatch: hand-computed chi2; non-even expected split") {
     import spark.implicits._
     // 60/40 against expected 50/50: chi2 = (60-50)²/50 + (40-50)²/50 = 4
