@@ -625,6 +625,61 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Streaming debounce via session windows, batch-parity-checked:
+    // session_window(gap 601s) over second-truncated event time must
+    // produce EXACTLY the burst structure of the batch debounce
+    // (gap > 600 breaks — the [start, last+gap) end-exclusive session
+    // matches the strict-inequality batch rule at 1s resolution). The
+    // oracle is the batch windows rolled up per key.
+    "q_stream_debounce" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_stream_d")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        new java.io.File(stage, "events.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      // append-mode sessions only emit once the watermark passes their
+      // end — the globally-latest session never would. A sentinel
+      // "flush" row 2h past the corpus horizon (user −1, dropped after
+      // the drain) advances the watermark beyond every real session.
+      val flushDir = new java.io.File(stage.getParentFile, "events_stream_d_flush")
+      graft.sources.Sources.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+        .agg(max(col("ts")).as("ts"))
+        .select(lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(flushDir.getPath)
+      val main = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val flush = s.readStream
+        .schema(s.read.parquet(flushDir.getPath).schema)
+        .parquet(flushDir.getPath)
+      val src = main.unionByName(flush)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+        .withWatermark("ts", "10 seconds")
+      val sessions = src
+        .groupBy(col("user_id"), col("event_type"),
+          session_window(col("ts"), "601 seconds"))
+        .agg(count(lit(1L)).as("n_events"))
+      val sink = s"q_stream_debounce_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      s.table(sink)
+        .where(col("user_id") >= 0) // drop the watermark-flush sentinel
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1L)).as("n_bursts"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // DAU / trailing-7-day WAU stickiness: events dedup to (user, day)
     // once, each row explodes to the anchor days it serves — exact
     // rolling distinct without a theta join or per-day rescans.
@@ -1249,6 +1304,27 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // batch debounce rolled up per key — streaming sessions must agree
+    "q_stream_debounce" ->
+      """WITH m AS (SELECT user_id, event_type, event_id,
+        |   epoch_us(ts)//1000000 AS e,
+        |   CASE WHEN epoch_us(ts)//1000000
+        |         - lag(epoch_us(ts)//1000000) OVER w > 600
+        |     OR lag(epoch_us(ts)//1000000) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS nb
+        |  FROM events WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts)//1000000, event_id)),
+        |b AS (SELECT user_id, event_type,
+        |   sum(nb) OVER (PARTITION BY user_id, event_type
+        |     ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS burst
+        |  FROM m),
+        |g AS (SELECT user_id, event_type, burst, count(*) AS n
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type,
+        | CAST(count(*) AS BIGINT) AS n_bursts,
+        | CAST(sum(n) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     "q_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
