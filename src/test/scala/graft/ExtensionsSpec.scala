@@ -73,5 +73,11 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getInt(20) == 4) // 5 + 3%3 = 5 frames, head-trimmed to 4
     assert(r.getLong(21) == 2 + 4 % 3) // animated GIF frame count via SQL
     assert(!r.isNullAt(22)) // GIF frame → PNG → pHash through SQL alone
+    // round-8 string expressions ride the same injection route
+    val r2 = spark.sql(
+      """SELECT deflate_ratio(repeat('the cat sat ', 200), 6) AS dr,
+        | normalize_text('Café', 'NFC', true, true) AS nt""".stripMargin).head()
+    assert(r2.getDouble(0) < 0.05, s"injected deflate_ratio: ${r2.getDouble(0)}")
+    assert(r2.getString(1) == "cafe", s"injected normalize_text: ${r2.getString(1)}")
   }
 }

@@ -67,6 +67,37 @@ object PropertySpec extends Properties("graft") {
       walked == kernel
     }
 
+  property("deflate_ratio: total on arbitrary strings, bounded by block overhead, deterministic") =
+    forAll(genBmpString) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(s)
+      val e = graft.functions.DeflateRatio(Literal(u, StringType), 6)
+      val r = e.nullSafeEval(u).asInstanceOf[Double]
+      // empty → exactly 1.0; otherwise positive and bounded by raw
+      // DEFLATE's worst case: a constant block overhead (~12 bytes)
+      // that dominates only for tiny inputs
+      val rawLen = u.getBytes.length.toDouble
+      val ok = if (s.isEmpty) r == 1.0
+               else r > 0 && r <= (rawLen + 12) / rawLen
+      ok && e.nullSafeEval(u).asInstanceOf[Double] == r
+    }
+
+  property("normalize_text: total, idempotent, and NFC-convergent on arbitrary strings") =
+    forAll(genBmpString,
+        Gen.oneOf("NFC", "NFD", "NFKC", "NFKD"),
+        Gen.oneOf(true, false), Gen.oneOf(true, false)) { (s, form, strip, fold) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      def run(x: String) = graft.functions.NormalizeText(
+          Literal(UTF8String.fromString(x), StringType), form, strip, fold)
+        .nullSafeEval(UTF8String.fromString(x)).asInstanceOf[UTF8String].toString
+      val once = run(s)
+      once == run(once) // idempotence is the canonicalization contract
+    }
+
   property("mix64: collision-free over random long sets") =
     forAll(Gen.listOfN(200, Gen.long)) { xs =>
       val distinct = xs.distinct
