@@ -126,6 +126,44 @@ object TableHealth {
       .withColumn("k_anonymous", col("n_risky_rows") === 0L)
   }
 
+  /** Column-redundancy audit: which columns are CONSTANT (at most one
+    * distinct non-null value — dead weight in every scan) and which
+    * are exact DUPLICATES of another column (denormalization residue,
+    * double-joined attributes) — per column, a row-keyed multiset
+    * digest (sum of md5(key ‖ value), the [[tableFingerprint]]
+    * discipline applied column-wise) plus min/max; equal digests ⟺
+    * equal column content under the key pairing.
+    *
+    * ONE scan computes every column's aggregates; the digest
+    * comparison is driver-side over |cols| scalars. Returns one row
+    * per column: (column_name, is_constant, duplicate_of) with
+    * duplicate_of the lexicographically-first column holding identical
+    * content (NULL for originals/uniques). */
+  def columnRedundancy(df: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to audit")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def digest(c: String) =
+      sum(conv(substring(md5(concat_ws("\u001f",
+          col(keyCol).cast("string"),
+          coalesce(col(c).cast("string"), lit("\u0000")))), 1, 15), 16, 10)
+        .cast("decimal(38,0)")).as(s"__dig_$c")
+    def constant(c: String) =
+      (min(col(c).cast("string")) <=> max(col(c).cast("string"))).as(s"__c_$c")
+    val aggs = cols.flatMap(c => Seq(digest(c), constant(c)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val digs = cols.map(c => c -> row.getAs[java.math.BigDecimal](s"__dig_$c")).toMap
+    val firstByDig = digs.groupBy(_._2).map { case (d, xs) => d -> xs.keys.min }
+    val out = cols.map { c =>
+      val first = firstByDig(digs(c))
+      (c, row.getAs[Boolean](s"__c_$c"),
+        if (first == c) null.asInstanceOf[String] else first)
+    }
+    out.toDF("column_name", "is_constant", "duplicate_of")
+      .orderBy("column_name")
+  }
+
   /** Schema-drift check: the table's ACTUAL schema against the
     * `expected` (name → catalog type) contract — one row per column in
     * either side with status `ok` / `type_mismatch` / `missing` /

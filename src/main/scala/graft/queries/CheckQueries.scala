@@ -178,6 +178,19 @@ object CheckQueries {
       graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
         asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
 
+    // Column-redundancy audit over a derived view with a planted exact
+    // duplicate and a planted constant: one scan of per-column
+    // digests; DuckDB recomputes the identical digests.
+    "chk_redundancy" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_name").as("name_copy"),
+        lit("x").as("const_col"),
+        col("c_mktsegment"))
+      graft.ops.TableHealth.columnRedundancy(base, "c_custkey",
+        Seq("c_name", "name_copy", "const_col", "c_mktsegment"))
+    }),
+
     // k-anonymity audit: rows in quasi-identifier combos shared by
     // fewer than k=5 customers — the re-identification risk gate.
     "chk_kanon" -> ((s, dir) =>
@@ -378,6 +391,42 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_redundancy" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name,
+        |   c_name AS name_copy, 'x' AS const_col, c_mktsegment
+        |  FROM customer),
+        |cols AS (
+        | SELECT 'c_name' AS column_name,
+        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
+        |     || coalesce(CAST(c_name AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
+        |   AS DECIMAL(38,0)) FROM base) AS dig,
+        |  (SELECT min(CAST(c_name AS VARCHAR)) IS NOT DISTINCT FROM
+        |     max(CAST(c_name AS VARCHAR)) FROM base) AS is_constant
+        | UNION ALL SELECT 'name_copy',
+        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
+        |     || coalesce(CAST(name_copy AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
+        |   AS DECIMAL(38,0)) FROM base),
+        |  (SELECT min(CAST(name_copy AS VARCHAR)) IS NOT DISTINCT FROM
+        |     max(CAST(name_copy AS VARCHAR)) FROM base)
+        | UNION ALL SELECT 'const_col',
+        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
+        |     || coalesce(CAST(const_col AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
+        |   AS DECIMAL(38,0)) FROM base),
+        |  (SELECT min(CAST(const_col AS VARCHAR)) IS NOT DISTINCT FROM
+        |     max(CAST(const_col AS VARCHAR)) FROM base)
+        | UNION ALL SELECT 'c_mktsegment',
+        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
+        |     || coalesce(CAST(c_mktsegment AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
+        |   AS DECIMAL(38,0)) FROM base),
+        |  (SELECT min(CAST(c_mktsegment AS VARCHAR)) IS NOT DISTINCT FROM
+        |     max(CAST(c_mktsegment AS VARCHAR)) FROM base)),
+        |m AS (SELECT dig, min(column_name) AS first FROM cols GROUP BY 1)
+        |SELECT c.column_name, c.is_constant,
+        | CASE WHEN m.first = c.column_name THEN NULL ELSE m.first END
+        |   AS duplicate_of
+        |FROM cols c JOIN m ON c.dig = m.dig
+        |ORDER BY column_name""".stripMargin,
 
     "chk_kanon" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,

@@ -1066,6 +1066,24 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
   }
 
+  test("columnRedundancy: duplicates by content, constants, per-key pairing") {
+    import graft.ops.TableHealth
+    import spark.implicits._
+    val df = Seq((1L, "a", "a", "x", "p"), (2L, "b", "b", "x", "q"),
+                 (3L, "c", "c", "x", "a")) // col e reuses 'a' at a DIFFERENT key
+      .toDF("k", "c1", "c2", "c4", "e")
+    val m = TableHealth.columnRedundancy(df, "k", Seq("c1", "c2", "c4", "e"))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(m("c1") == ((false, None)), "first of the pair is the original")
+    assert(m("c2") == ((false, Some("c1"))), "exact duplicate points at c1")
+    assert(m("c4") == ((true, None)), "constant flagged, not a duplicate")
+    assert(m("e") == ((false, None)),
+      "same VALUE SET at different keys is NOT a duplicate column")
+    intercept[IllegalArgumentException](
+      TableHealth.columnRedundancy(df, "k", Seq.empty))
+  }
+
   test("tableFingerprint: multiset-exact, layout-invariant, multiplicity-sensitive") {
     import graft.ops.TableHealth
     import spark.implicits._
