@@ -471,6 +471,25 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Vocabulary richness per source: type-token ratio + hapax share
+    // (the lexical-diversity corpus signal; template/boilerplate
+    // sources show low TTR and low hapax) — one (source, term) count
+    // rollup, everything else folds from it.
+    "text_vocab_richness" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.tokensWs(lower(col("text")))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1L)).as("n"))
+      tc.groupBy("source")
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1L)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax") / col("n_types"), 6).as("hapax_ratio"))
+        .orderBy("source")
+    }),
+
     // Flesch–Kincaid readability (vowel-group syllable proxy — the
     // same RE2 regex runs on both engines): planted graded sentences +
     // a real-corpus slice, per-doc grades.
@@ -2744,6 +2763,18 @@ object PipelineQueries {
         | CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
         | lower(strip_accents(nfc_normalize(s))) AS folded
         |FROM p ORDER BY id""".stripMargin,
+
+    "text_vocab_richness" ->
+      """WITH toks AS (SELECT source, unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS term FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |       FROM toks GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+        | round(count(*) * 1.0 / sum(n), 6) AS ttr,
+        | round(count(*) FILTER (n = 1) * 1.0 / count(*), 6) AS hapax_ratio
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_readability" ->
       """WITH base AS (

@@ -625,6 +625,37 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Revenue attribution, first-touch vs last-touch side by side: each
+    // purchase credits (a) the user's most recent prior non-purchase
+    // event and (b) their first-ever prior one — two ignore-nulls
+    // window reads on ONE user-keyed exchange, then channel rollups.
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val p = t(s, dir, "events")
+        .withColumn("last_touch",
+          coalesce(last(touch, ignoreNulls = true).over(w), lit("none")))
+        .withColumn("first_touch",
+          coalesce(first(touch, ignoreNulls = true).over(w), lit("none")))
+        .where(col("event_type") === "purchase")
+      val lastAgg = p.groupBy(col("last_touch").as("channel"))
+        .agg(count(lit(1L)).as("n_last"),
+          round(sum("value"), 4).as("rev_last"))
+      val firstAgg = p.groupBy(col("first_touch").as("channel"))
+        .agg(count(lit(1L)).as("n_first"),
+          round(sum("value"), 4).as("rev_first"))
+      lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("rev_first"), lit(0.0)).as("rev_first"))
+        .orderBy("channel")
+    }),
+
     // Streaming debounce via session windows, batch-parity-checked:
     // session_window(gap 601s) over second-truncated event time must
     // produce EXACTLY the burst structure of the batch debounce
@@ -1304,6 +1335,26 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+        |   coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |       THEN event_type END IGNORE NULLS) OVER w, 'none') AS lt,
+        |   coalesce(first_value(CASE WHEN event_type <> 'purchase'
+        |       THEN event_type END IGNORE NULLS) OVER w, 'none') AS ft
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |la AS (SELECT lt AS channel, CAST(count(*) AS BIGINT) AS n_last,
+        |       round(sum(value), 4) AS rev_last FROM p GROUP BY 1),
+        |fa AS (SELECT ft AS channel, CAST(count(*) AS BIGINT) AS n_first,
+        |       round(sum(value), 4) AS rev_first FROM p GROUP BY 1)
+        |SELECT coalesce(la.channel, fa.channel) AS channel,
+        | coalesce(n_last, 0) AS n_last, coalesce(rev_last, 0.0) AS rev_last,
+        | coalesce(n_first, 0) AS n_first, coalesce(rev_first, 0.0) AS rev_first
+        |FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
+        |ORDER BY channel""".stripMargin,
 
     // batch debounce rolled up per key — streaming sessions must agree
     "q_stream_debounce" ->
