@@ -524,6 +524,32 @@ object TextFunctions {
       .otherwise(last2)
   }
 
+  /** Code-vs-prose signals: statement-terminator and brace densities,
+    * the fraction of indented lines, and programming-keyword hits —
+    * the corpus-routing gate that sends code to a code tokenizer/mix
+    * and keeps it out of prose quality stats (where it scores as
+    * "bad prose" instead of good code). `is_code` fires on EITHER
+    * punctuation density (C-family) or indentation + keywords
+    * (Python-family). All RE2-safe regex/HOF algebra, in-scan. */
+  def codeSignals(c: Column, dp: Int = 6): Column = {
+    val n = greatest(length(c), lit(1)).cast("double")
+    val semi = (length(c) - length(regexp_replace(c, ";", ""))).cast("double") / n
+    val brace = (length(c) - length(regexp_replace(c, "[{}]", ""))).cast("double") / n
+    val lines = filter(split(c, "\n"), l => length(l) > 0)
+    val indented = filter(lines, l => l.rlike("^(  |\\t)"))
+    val indentFrac = when(size(lines) > 0,
+      size(indented).cast("double") / size(lines).cast("double")).otherwise(0.0)
+    val kw = size(regexp_extract_all(c,
+      lit("\\b(def|class|void|return|import|function|val|var|public|static)\\b"),
+      lit(0)))
+    struct(
+      round(semi, dp).as("semi_density"),
+      round(brace, dp).as("brace_density"),
+      round(indentFrac, dp).as("indent_fraction"),
+      kw.as("kw_count"),
+      (semi + brace > 0.02 || (indentFrac > 0.3 && kw > 0)).as("is_code"))
+  }
+
   /** Sentence segmentation (regex, RE2-compatible — no lookbehind, so
     * the same pattern runs in SQL oracles): split on terminal
     * punctuation runs followed by whitespace; trailing punctuation of

@@ -471,6 +471,25 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Code-vs-prose routing signals over planted code (Python-style
+    // indentation, C-style punctuation) and prose — densities,
+    // indentation fraction, keyword hits, and the routing verdict.
+    "text_code_detect" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "def main(args):\n  x = compute(args)\n  return x\n"),
+        (9000002L, "public static void main(String[] args) { int x = 1; x += 2; System.out.println(x); }"),
+        (9000003L, "The quiet afternoon passed without incident, and nobody returned before dusk.")))
+        .toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 15).union(planted)
+        .select(col("doc_id"), TF.codeSignals(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.semi_density").as("semi_density"),
+          col("cs.brace_density").as("brace_density"),
+          col("cs.indent_fraction").as("indent_fraction"),
+          col("cs.kw_count").as("kw_count"), col("cs.is_code").as("is_code"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary richness per source: type-token ratio + hapax share
     // (the lexical-diversity corpus signal; template/boilerplate
     // sources show low TTR and low hapax) — one (source, term) count
@@ -2763,6 +2782,32 @@ object PipelineQueries {
         | CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
         | lower(strip_accents(nfc_normalize(s))) AS folded
         |FROM p ORDER BY id""".stripMargin,
+
+    "text_code_detect" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 15
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9000001, 'def main(args):' || chr(10) || '  x = compute(args)'
+        |    || chr(10) || '  return x' || chr(10)),
+        |  (9000002, 'public static void main(String[] args) { int x = 1; x += 2; System.out.println(x); }'),
+        |  (9000003, 'The quiet afternoon passed without incident, and nobody returned before dusk.')
+        | ) v(doc_id, text)),
+        |x AS (SELECT doc_id, greatest(length(text), 1) * 1.0 AS n,
+        |   length(text) - length(replace(text, ';', '')) AS nsemi,
+        |   length(text) - length(regexp_replace(text, '[{}]', '', 'g')) AS nbrace,
+        |   list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS lines,
+        |   len(regexp_extract_all(text,
+        |     '\b(def|class|void|return|import|function|val|var|public|static)\b'))
+        |     AS kw FROM base),
+        |y AS (SELECT doc_id, nsemi / n AS sd, nbrace / n AS bd,
+        |   CASE WHEN len(lines) > 0 THEN
+        |     len(list_filter(lines, l -> regexp_matches(l,
+        |       '^(  |' || chr(9) || ')'))) * 1.0 / len(lines)
+        |   ELSE 0.0 END AS ifrac, kw FROM x)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | round(sd, 6) AS semi_density, round(bd, 6) AS brace_density,
+        | round(ifrac, 6) AS indent_fraction, CAST(kw AS INT) AS kw_count,
+        | (sd + bd > 0.02 OR (ifrac > 0.3 AND kw > 0)) AS is_code
+        |FROM y ORDER BY doc_id""".stripMargin,
 
     "text_vocab_richness" ->
       """WITH toks AS (SELECT source, unnest(string_split_regex(

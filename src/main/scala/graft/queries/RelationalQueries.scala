@@ -625,6 +625,43 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("bucket")),
 
+    // Period-over-period reporting: weekly revenue with previous-week
+    // delta — the lag window runs over the WEEK table (calendar-
+    // bounded), not events.
+    "q_pop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = t(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(round(sum("value"), 4).as("revenue"))
+      weekly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(
+          Window.orderBy(col("week"))))
+        .select(col("week"), col("revenue"),
+          coalesce(col("prev_revenue"), lit(0.0)).as("prev_revenue"),
+          // NULL divisor (ANSI-safe): first week and zero-revenue weeks
+          // report NULL change rather than an error or ±Inf
+          round((col("revenue") - col("prev_revenue")) /
+            when(col("prev_revenue") =!= 0.0, col("prev_revenue")) * 100, 4)
+            .as("pct_change"))
+        .orderBy("week")
+    }),
+
+    // Out-of-order ingestion check: per user, rows whose event time
+    // runs BACKWARD against the append order (event_id) — late/skewed
+    // feed detection before any event-time logic trusts the data.
+    "chk_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .select(col("user_id"),
+          (col("ts") < col("__prev")).as("__viol"))
+        .agg(count(lit(1L)).as("n_rows"),
+          sum(when(col("__viol"), 1L).otherwise(0L)).as("n_violations"),
+          countDistinct(when(col("__viol"), col("user_id"))).as("n_users_affected"))
+        .withColumn("order_ok", col("n_violations") === 0L)
+    }),
+
     // Revenue attribution, first-touch vs last-touch side by side: each
     // purchase credits (a) the user's most recent prior non-purchase
     // event and (b) their first-ever prior one — two ignore-nulls
@@ -1335,6 +1372,26 @@ object RelationalQueries {
         | round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
         | round(sum(value) FILTER (event_type = 'view'), 4) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_pop" ->
+      """WITH w AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    round(sum(value), 4) AS revenue FROM events GROUP BY 1),
+        |l AS (SELECT week, revenue,
+        |    lag(revenue) OVER (ORDER BY week) AS prev FROM w)
+        |SELECT week, revenue, coalesce(prev, 0.0) AS prev_revenue,
+        | round((revenue - prev) / nullif(prev, 0.0) * 100, 4) AS pct_change
+        |FROM l ORDER BY week""".stripMargin,
+
+    "chk_order" ->
+      """WITH x AS (SELECT user_id,
+        |   ts < lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |     AS viol FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) FILTER (viol) AS BIGINT) AS n_violations,
+        | CAST(count(DISTINCT CASE WHEN viol THEN user_id END) AS BIGINT)
+        |   AS n_users_affected,
+        | count(*) FILTER (viol) = 0 AS order_ok
+        |FROM x""".stripMargin,
 
     "q_attribution" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type, value,
