@@ -126,6 +126,33 @@ object TableHealth {
       .withColumn("k_anonymous", col("n_risky_rows") === 0L)
   }
 
+  /** Benford's-law first-digit audit (Benford 1938; the classic
+    * fabricated-data / corrupted-feed screen for naturally-occurring
+    * amounts): observed first-significant-digit frequencies vs
+    * log₁₀(1 + 1/d), with the per-digit χ² contribution. Values are
+    * floored to integers FIRST and the digit taken from the decimal
+    * string — pure integer/string arithmetic, so both engines agree
+    * exactly (a log₁₀/floor formulation puts boundary values like
+    * 1000 on a float knife-edge). Zero/NULL values are excluded
+    * (they have no significant digit). One digit-keyed aggregate +
+    * a 1-row total. */
+  def benford(df: DataFrame, c: Column, dp: Int = 6): DataFrame = {
+    val v = floor(abs(c)).cast("long")
+    val digit = substring(v.cast("string"), 1, 1).cast("int")
+    val per = df.where(v >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1L)).as("n"))
+    val total = per.agg(sum(col("n")).cast("double").as("__t"))
+    per.crossJoin(total)
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__t"), dp).as("obs_frac"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), dp)
+          .as("exp_frac"),
+        round(pow(col("n") - col("__t") * log(10.0, lit(1.0) + lit(1.0) / col("digit")), 2) /
+          (col("__t") * log(10.0, lit(1.0) + lit(1.0) / col("digit"))), 4)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
   /** Column-redundancy audit: which columns are CONSTANT (at most one
     * distinct non-null value — dead weight in every scan) and which
     * are exact DUPLICATES of another column (denormalization residue,

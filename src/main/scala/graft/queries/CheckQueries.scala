@@ -178,6 +178,12 @@ object CheckQueries {
       graft.ops.TableHealth.freshness(t(s, dir, "events"), col("ts"),
         asOfEpoch = 1706745600L, maxLagSeconds = 604800L)),
 
+    // Benford first-digit audit over order totals — the fabricated-
+    // data screen; integer/string digit extraction keeps both engines
+    // bit-identical (no float log/floor knife edges).
+    "chk_benford" -> ((s, dir) =>
+      graft.ops.TableHealth.benford(t(s, dir, "orders"), col("o_totalprice"))),
+
     // Column-redundancy audit over a derived view with a planted exact
     // duplicate and a planted constant: one scan of per-column
     // digests; DuckDB recomputes the identical digests.
@@ -391,6 +397,19 @@ object CheckQueries {
       """SELECT CAST(count(*) AS BIGINT) AS unique_dup_keys,
         | count(*) > 0 AS unique_failed
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)""".stripMargin,
+
+    "chk_benford" ->
+      """WITH v AS (SELECT CAST(floor(abs(o_totalprice)) AS BIGINT) AS x
+        |           FROM orders WHERE floor(abs(o_totalprice)) >= 1),
+        |per AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit,
+        |        CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM per)
+        |SELECT digit, n,
+        | round(n / t.t, 6) AS obs_frac,
+        | round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
+        | round(pow(n - t.t * log10(1.0 + 1.0 / digit), 2) /
+        |   (t.t * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+        |FROM per CROSS JOIN t ORDER BY digit""".stripMargin,
 
     "chk_redundancy" ->
       """WITH base AS (SELECT c_custkey AS k, c_name,

@@ -1066,6 +1066,23 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
   }
 
+  test("benford: first-digit extraction, exclusions, expected fractions") {
+    import graft.ops.TableHealth
+    import spark.implicits._
+    def r6(x: Double) = math.BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // values 10..19 (digit 1, ×10), 25 & 299 (digit 2, ×2), plus
+    // excluded rows: 0, 0.7 (floors to 0), null, and -345 (digit 3 by abs)
+    val vals = ((10 to 19).map(_.toDouble) ++ Seq(25.0, 299.0, 0.0, 0.7, -345.0))
+      .map(Option(_)) :+ Option.empty[Double]
+    val df = vals.toDF("v")
+    val m = TableHealth.benford(df, col("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1) == ((10L, r6(10.0 / 13), r6(math.log10(2.0)))))
+    assert(m(2)._1 == 2L && m(3)._1 == 1L, "abs() feeds the digit; sub-1 and null drop")
+    assert(m.size == 3)
+    assert(m.values.map(_._1).sum == 13, "0, 0.7 and NULL are excluded")
+  }
+
   test("columnRedundancy: duplicates by content, constants, per-key pairing") {
     import graft.ops.TableHealth
     import spark.implicits._
