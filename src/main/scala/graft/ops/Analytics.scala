@@ -1070,4 +1070,69 @@ object Analytics {
     pairs.select(col("from_state"), col("to_state"), col("n"),
       round(col("n") / sum(col("n")).over(totals), dp).as("prob"))
   }
+
+  /** Classifier calibration (reliability diagram) + cumulative gains in
+    * one pass: scores in [0,1] land in `bins` equal-width buckets; each
+    * bucket reports its population, mean predicted score, observed
+    * positive rate (the calibration pair), and — reading buckets from
+    * the HIGHEST scores down — the cumulative share of population and
+    * of positives captured so far (the gains/lift curve: how many
+    * positives the top-x% of scores would harvest). Complements
+    * [[aucBrier]]: AUC ranks, calibration says whether 0.8 MEANS 80%.
+    *
+    * Shape: one aggregation keyed by bucket (cardinality ≤ `bins`,
+    * partial-agg friendly — the only corpus-width exchange); the
+    * cumulative window and grand totals ride the ≤`bins`-row table. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val b = least(floor(score * bins), lit(bins - 1)).cast("int")
+    val agg = df.select(b.as("bin"), score.as("__s"),
+        label.cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1L)).as("n"), avg(col("__s")).as("__avg_s"),
+        sum(col("__y")).as("__pos"))
+    val desc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg.select(col("bin"), col("n"),
+        round(col("__avg_s"), dp).as("avg_score"),
+        round(col("__pos") / col("n"), dp).as("obs_rate"),
+        round(sum(col("n")).over(desc) / sum(col("n")).over(tot), dp)
+          .as("cum_pop_share"),
+        round(sum(col("__pos")).over(desc) / sum(col("__pos")).over(tot), dp)
+          .as("cum_pos_share"))
+      .orderBy(col("bin"))
+  }
+
+  /** Theil–Sen robust trend estimator per key: the slope is the MEDIAN
+    * of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ<xⱼ — up to ~29%
+    * contamination leaves it standing where OLS ([[regressionByKey]])
+    * follows a single corrupted point; the intercept is median(y − m·x).
+    *
+    * Shape: the pair set is built by a per-key equi-self-join — O(nₖ²)
+    * rows per key BY DEFINITION of the estimator, so the contract is
+    * bounded per-key series (pre-aggregate to daily/bucket grain first,
+    * as the oracle query does: 30 daily points → 435 pairs). The join is
+    * keyed (no cartesian): keys shuffle once, pairs never leave their
+    * key's partition, and the medians are exact per-key percentiles over
+    * the pair table. */
+  def theilSenByKey(df: DataFrame, key: Column, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val pts = df.select(key.as("k"), x.cast("double").as("__x"),
+      y.cast("double").as("__y"))
+    val a = pts.select(col("k"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val bb = pts.select(col("k"), col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(bb, "k").where(col("__xa") < col("__xb"))
+      .select(col("k"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__m"))
+    val m = slopes.groupBy("k")
+      .agg(expr("percentile(__m, 0.5)").as("__slope"),
+        count(lit(1L)).as("n_pairs"))
+    pts.join(m, "k")
+      .groupBy(col("k").as("key"))
+      .agg(round(first(col("__slope")), dp).as("slope"),
+        round(expr("percentile(__y - __slope * __x, 0.5)"), dp).as("intercept"),
+        first(col("n_pairs")).as("n_pairs"))
+  }
 }

@@ -89,4 +89,51 @@ object Skew {
         count(lit(1L)).as("n_keys_both"),
         coalesce(max("__pairs"), lit(0L)).as("max_key_pairs"))
   }
+
+  /** Bloom-pruned join: when the small side is too large to broadcast
+    * as a HASHED relation but its KEY SET fits a Bloom sketch (~1.2 MB
+    * per million keys at 1% fpp), probe the sketch IN the big side's
+    * scan and shuffle only probable matches. At 100 TB this is the
+    * difference between shuffling the full fact table and shuffling
+    * `|match| · (1+fpp)` rows — the runtime-filter optimization made
+    * explicit and deterministic (Spark's own InjectRuntimeFilter needs
+    * a shuffle-join plan shape and its own size heuristics to fire;
+    * this applies it by declaration).
+    *
+    * EXACT results: Bloom filters have no false negatives, so no true
+    * match is dropped; false positives (rate `fpp`) survive the scan
+    * filter but are eliminated by the join itself. The sketch is built
+    * by one treeAggregate over the small side's DISTINCT key hashes
+    * (mergeable partials — no key-space shuffle) and rides a broadcast
+    * into the probe expression ([[graft.functions.BloomAnyContainBroadcast]]),
+    * deserialized once per task.
+    *
+    * `expectedKeys` sizes the sketch; overshooting costs bytes,
+    * undershooting costs fpp (both safe). Composite keys hash as one
+    * xxhash64 over the key columns on BOTH sides. */
+  def bloomPrunedJoin(big: DataFrame, bigKeys: Seq[String],
+      small: DataFrame, smallKeys: Seq[String],
+      expectedKeys: Long, fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(bigKeys.nonEmpty && bigKeys.length == smallKeys.length,
+      "bloomPrunedJoin needs matching non-empty key lists")
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1, "bad sketch sizing")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "leftsemi", "rightouter").contains(jt),
+      s"bloomPrunedJoin drops non-matching BIG-side rows pre-join; joinType " +
+        s"'$joinType' would need those rows (use inner / left_semi / right_outer)")
+    val sketch = {
+      val bos = new java.io.ByteArrayOutputStream()
+      small.select(xxhash64(smallKeys.map(col): _*).as("__h"))
+        .stat.bloomFilter("__h", expectedKeys, fpp)
+        .writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = big.where(graft.functions.Decontam.mightContainAny(
+      array(xxhash64(bigKeys.map(col): _*)), sketch))
+    pruned.join(small,
+      bigKeys.zip(smallKeys).map { case (a, b) => big(a) === small(b) }
+        .reduce(_ && _),
+      joinType)
+  }
 }

@@ -225,4 +225,39 @@ object TableHealth {
     rows.toDF("column_name", "expected_type", "actual_type", "status")
       .orderBy("column_name")
   }
+
+  /** Functional-dependency audit: does `determinant → dependent` hold —
+    * i.e. is the dependent value constant within every determinant
+    * group? Returns one row per candidate FD: total determinant keys,
+    * how many keys map to ≥2 distinct dependent values, the worst key's
+    * distinct count, and the violation rate. The discovery primitive
+    * behind normalization checks ("is zip → city clean?"), merge-key
+    * validation, and silent-denormalization drift alarms.
+    *
+    * Shape: ONE determinant-keyed aggregation per FD (partial-agg
+    * friendly — `count(distinct)` within a key never sees the corpus),
+    * then a ≤|keys|-row rollup to a single verdict row. Multiple FDs
+    * over the same table run as separate aggregations but each stays a
+    * single scan + one narrow (key, n_distinct) exchange. NULL
+    * dependents count as a distinct value (a NULL among non-NULLs IS a
+    * violation of determinism). */
+  def functionalDependency(df: DataFrame, fdName: String,
+      determinant: Seq[Column], dependent: Column, dp: Int = 6): DataFrame = {
+    require(determinant.nonEmpty, "determinant must name at least one column")
+    val keyCols = determinant.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val perKey = df
+      .select(keyCols :+
+        coalesce(dependent.cast("string"), lit("__fd_null__")).as("__d"): _*)
+      .groupBy(determinant.indices.map(i => col(s"__k$i")): _*)
+      .agg(countDistinct(col("__d")).as("__nd"))
+    perKey.agg(
+        count(lit(1L)).as("n_keys"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        max(col("__nd")).as("max_distinct_dependent"))
+      .select(lit(fdName).as("fd"), col("n_keys"), col("n_violating_keys"),
+        col("max_distinct_dependent"),
+        round(col("n_violating_keys") / col("n_keys").cast("double"), dp)
+          .as("violation_rate"),
+        (col("n_violating_keys") === 0L).as("holds"))
+  }
 }

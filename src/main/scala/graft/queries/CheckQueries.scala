@@ -236,6 +236,18 @@ object CheckQueries {
         coalesce(min("gap_start_epoch"), lit(0L)).as("first_gap_epoch"))
     }),
 
+    // Functional-dependency audit: a key FD that HOLDS (orderkey →
+    // priority rides the orders PK) beside one that is VIOLATED
+    // (an order's lineitems carry differing return flags) — one
+    // determinant-keyed aggregation each.
+    "chk_fd" -> ((s, dir) =>
+      graft.ops.TableHealth.functionalDependency(t(s, dir, "orders"),
+          "orderkey_to_priority", Seq(col("o_orderkey")), col("o_orderpriority"))
+        .unionByName(graft.ops.TableHealth.functionalDependency(
+          t(s, dir, "lineitem"),
+          "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
+        .orderBy("fd")),
+
     // ---- source loaders beyond parquet, proven against the same rows ----
     "chk_orc" -> ((s, dir) =>
       Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
@@ -659,5 +671,28 @@ object CheckQueries {
         |   WHERE doc_id < 200 AND doc_id % 10 = 0) AS n_corrupt,
         | (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents
         |   WHERE doc_id < 200 AND doc_id % 10 != 0) AS good_chars""".stripMargin,
+
+    "chk_fd" ->
+      """WITH f1 AS (SELECT count(DISTINCT coalesce(CAST(o_orderpriority AS VARCHAR),
+        |         '__fd_null__')) AS nd
+        |       FROM orders GROUP BY o_orderkey),
+        |f2 AS (SELECT count(DISTINCT coalesce(CAST(l_returnflag AS VARCHAR),
+        |        '__fd_null__')) AS nd
+        |       FROM lineitem GROUP BY l_orderkey),
+        |v1 AS (SELECT 'orderkey_to_priority' AS fd,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating_keys,
+        |        CAST(max(nd) AS BIGINT) AS max_distinct_dependent,
+        |        round(count(*) FILTER (WHERE nd > 1) / CAST(count(*) AS DOUBLE), 6)
+        |          AS violation_rate,
+        |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f1),
+        |v2 AS (SELECT 'orderkey_to_returnflag' AS fd,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating_keys,
+        |        CAST(max(nd) AS BIGINT) AS max_distinct_dependent,
+        |        round(count(*) FILTER (WHERE nd > 1) / CAST(count(*) AS DOUBLE), 6)
+        |          AS violation_rate,
+        |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
   )
 }

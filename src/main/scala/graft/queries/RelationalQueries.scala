@@ -912,6 +912,45 @@ object RelationalQueries {
           sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
+
+    // Classifier calibration + cumulative gains: ten score buckets with
+    // observed positive rate and the top-down capture curve — one
+    // bucket-keyed aggregation, windows over the ≤10-row bin table.
+    "q_calibration" -> ((s, dir) =>
+      Analytics.calibrationBins(t(s, dir, "lineitem"),
+        col("l_quantity") / 50.0, (col("l_discount") >= 0.05).cast("int"),
+        bins = 10)),
+
+    // Theil–Sen robust trend per priority class over MONTHLY order
+    // counts (80 points/key → ~3.2k pairs/key; the estimator's O(n²)
+    // pair set is bounded by the pre-aggregation grain, which is the
+    // documented contract).
+    "q_theil_sen" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .agg(count(lit(1L)).as("cnt"))
+      Analytics.theilSenByKey(monthly, col("prio"), col("m"), col("cnt"))
+        .orderBy("key")
+    }),
+
+    // Bloom-pruned fact⋈dim-subset join: the urgent-orders key set
+    // rides a Bloom sketch probed IN the lineitem scan, so only
+    // probable matches (≈1/5 of the fact table + fpp) reach the join
+    // shuffle; results are EXACT (no false negatives; false positives
+    // die in the join). Oracle is the plain join.
+    "q_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      graft.ops.Skew.bloomPrunedJoin(
+          t(s, dir, "lineitem"), Seq("l_orderkey"),
+          urgent, Seq("o_orderkey"), expectedKeys = 300000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1L)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1612,5 +1651,41 @@ object RelationalQueries {
         | CAST(sum(k) AS BIGINT) AS sum_k,
         | CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_calibration" ->
+      """WITH d AS (SELECT l_quantity/50.0 AS s,
+        |        CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END AS y
+        |       FROM lineitem),
+        |b AS (SELECT least(CAST(floor(s*10) AS INT), 9) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n, avg(s) AS avg_s, sum(y) AS pos
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, sum(pos) AS tp FROM b)
+        |SELECT bin, n, round(avg_s, 6) AS avg_score,
+        | round(pos/n, 6) AS obs_rate,
+        | round(sum(n) OVER (ORDER BY bin DESC)/tn, 6) AS cum_pop_share,
+        | round(sum(pos) OVER (ORDER BY bin DESC)/tp, 6) AS cum_pos_share
+        |FROM b, t ORDER BY bin""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH pts AS (SELECT o_orderpriority AS k,
+        |        CAST(year(o_orderdate)*12 + month(o_orderdate) AS DOUBLE) AS x,
+        |        CAST(count(*) AS DOUBLE) AS y
+        |       FROM orders GROUP BY 1, year(o_orderdate)*12 + month(o_orderdate)),
+        |pr AS (SELECT a.k, (b.y - a.y)/(b.x - a.x) AS m
+        |       FROM pts a JOIN pts b ON a.k = b.k AND a.x < b.x),
+        |sl AS (SELECT k, quantile_cont(m, 0.5) AS slope,
+        |        CAST(count(*) AS BIGINT) AS n_pairs FROM pr GROUP BY k)
+        |SELECT p.k AS key, round(any_value(sl.slope), 6) AS slope,
+        | round(quantile_cont(p.y - sl.slope*p.x, 0.5), 6) AS intercept,
+        | any_value(sl.n_pairs) AS n_pairs
+        |FROM pts p JOIN sl ON p.k = sl.k
+        |GROUP BY p.k ORDER BY key""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

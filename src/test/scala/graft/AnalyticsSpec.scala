@@ -1270,4 +1270,76 @@ class AnalyticsSpec extends SparkSuite {
     assert(m(("B", "A")) == ((1L, 1.0)))
     assert(m.size == 4)
   }
+
+  test("calibrationBins: hand-computed bins, gains ordering, clamp at 1.0") {
+    import spark.implicits._
+    // binary-exact scores (no rounding knife-edges): bin0 {1/16 y=0,
+    // 1/32 y=1}, bin9 {31/32 y=1, 1.0 y=1} — score exactly 1.0 must
+    // clamp into the last bin, not bin 10
+    val df = Seq((0.0625, 0), (0.03125, 1), (0.96875, 1), (1.0, 1)).toDF("s", "y")
+    val rows = Analytics.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set(0, 9))
+    assert(rows(0) == ((2L, 0.046875, 0.5, 1.0, 1.0)),
+      s"bin0: n=2 avg=3/64 rate=.5 cum shares end at 1: ${rows(0)}")
+    assert(rows(9) == ((2L, 0.984375, 1.0, 0.5, 0.666667)),
+      s"bin9 (top-down first): half the population, 2/3 of positives: ${rows(9)}")
+  }
+
+  test("theilSenByKey: outlier-robust slope where OLS is dragged") {
+    import spark.implicits._
+    // y = 2x except one wild outlier at x=5 (y=100). Median pairwise
+    // slope stays 2; OLS over the same points would be far above 2.
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0), (5.0, 100.0))
+      .map { case (x, y) => ("k", x, y) }.toDF("g", "x", "y")
+    val r = Analytics.theilSenByKey(df, col("g"), col("x"), col("y")).collect()
+    assert(r.length == 1)
+    val (slope, intercept, nPairs) =
+      (r(0).getDouble(1), r(0).getDouble(2), r(0).getLong(3))
+    assert(nPairs == 10L)
+    assert(slope == 2.0, s"median pairwise slope must ignore the outlier: $slope")
+    assert(intercept == 0.0, s"median(y - 2x) = 0: $intercept")
+  }
+
+  test("functionalDependency: holds vs violated, NULL counts as distinct") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, null))
+      .toDF("k", "v")
+    val ok = graft.ops.TableHealth.functionalDependency(
+      df.where(col("k") =!= 2), "fd_ok", Seq(col("k")), col("v")).collect()(0)
+    assert(ok.getAs[Boolean]("holds") && ok.getAs[Long]("n_violating_keys") == 0L)
+    val bad = graft.ops.TableHealth.functionalDependency(
+      df, "fd_bad", Seq(col("k")), col("v")).collect()(0)
+    assert(!bad.getAs[Boolean]("holds"))
+    assert(bad.getAs[Long]("n_violating_keys") == 1L)
+    assert(bad.getAs[Long]("max_distinct_dependent") == 2L)
+    // NULL among non-NULLs is a violation of determinism
+    val withNull = df.union(Seq((3, "z")).toDF("k", "v"))
+    val nv = graft.ops.TableHealth.functionalDependency(
+      withNull, "fd_null", Seq(col("k")), col("v")).collect()(0)
+    assert(nv.getAs[Long]("n_violating_keys") == 2L,
+      "key 3 maps to {NULL, z} — two distinct dependent values")
+  }
+
+  test("bloomPrunedJoin: exact vs plain join, rejects right-preserving types") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    val small = Seq((10L, "x"), (500L, "y"), (999L, "z"), (1500L, "w"))
+      .toDF("sk", "tag")
+    val pruned = graft.ops.Skew.bloomPrunedJoin(big, Seq("k"), small, Seq("sk"),
+        expectedKeys = 10L)
+      .select("k", "payload", "tag").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "tag").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(pruned == plain && plain.size == 3,
+      "no false negatives; false positives die in the join")
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.bloomPrunedJoin(big, Seq("k"), small, Seq("sk"), 10L,
+        joinType = "left_outer")
+    }
+  }
 }
