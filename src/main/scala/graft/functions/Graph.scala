@@ -245,4 +245,54 @@ object Graph {
           .otherwise(lit(0.0)), dp).as("global_clustering"))
     out
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the undirected simple graph, made DETERMINISTIC: every
+    * node starts as its own label, and each round adopts the label
+    * carried by the most neighbors, ties broken by MINIMUM label (the
+    * classic "random order, random tie" formulation is useless for
+    * reproducible pipelines and impossible to oracle). Fixed
+    * `iterations` rather than convergence detection — synchronous LPA
+    * can 2-cycle on bipartite structures, and a fixed horizon is both
+    * the standard remedy and what lets an external engine restate the
+    * rounds exactly. Complements [[graft.functions.Clusters]]:
+    * connected components answer "what is linked at all" (any bridge
+    * merges two blobs); LPA's density-weighted vote splits a component
+    * along its sparse cuts.
+    *
+    * Scale shape ([[pageRank]]'s per-round discipline): each round is
+    * ONE node-keyed equi-join (neighbor label lookup), one
+    * (node, label)-keyed partial-aggregated count, and one per-node
+    * window top-1 (WindowGroupLimit prunes before the final sort);
+    * labels are `localCheckpoint`ed per round so lineage stays
+    * constant. State is one label per node. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val c = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    // both directions once; reused every round
+    val und = c.select(col("a").as("id"), col("b").as("nbr"))
+      .union(c.select(col("b").as("id"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = und.select(col("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    val top = Window.partitionBy(col("id"))
+      .orderBy(col("__c").desc, col("lbl").asc)
+    for (_ <- 1 to iterations) {
+      labels = und
+        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy(col("id"), col("lbl")).agg(count(lit(1L)).as("__c"))
+        .withColumn("__rn", row_number().over(top))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.withColumnRenamed("lbl", "community")
+  }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistable inverted text index + conjunctive keyword search — the
+  * retrieval primitive under corpus inspection tooling ("show me every
+  * document containing all of these terms") and under the BM25 scorer's
+  * candidate generation at scale: scoring every document per query is a
+  * corpus scan; intersecting posting lists touches only the queried
+  * terms' documents.
+  *
+  * Tokenization matches the rest of the text surface (lowercased
+  * whitespace split — [[TextFunctions.tokensWs]]), so the index agrees
+  * with tf-idf/BM25 term statistics.
+  *
+  * Scale shape:
+  *   - [[build]] is one in-scan per-doc distinct (array_distinct inside
+  *     the row — a doc's repeated terms never reach the shuffle) and ONE
+  *     term-keyed exchange; postings arrive sorted per term. The index
+  *     is a plain DataFrame — write it as parquet partitioned/bucketed
+  *     by term and searches become pruned point lookups.
+  *   - `maxDfFraction` drops terms present in more than that fraction
+  *     of documents (df rides the same aggregate — no second pass).
+  *     Stop-term postings are the classic reducer hot spot ("the" owns
+  *     half the corpus) and are useless for selection; production
+  *     indexes cap them, so the drop rule is explicit API, not a
+  *     silent heuristic.
+  *   - [[searchAll]] touches ONLY the queried terms' rows (an `isin`
+  *     filter a term-partitioned index prunes to file level), explodes
+  *     their postings — work proportional to Σ df(queried terms), never
+  *     corpus size — and keeps docs matched by ALL terms via a
+  *     count-equality aggregate.
+  */
+object InvertedIndex {
+
+  /** term → (df, sorted posting array). One term-keyed exchange. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val full = docs.select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(
+          TextFunctions.tokensWs(lower(col(textCol))))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1L)).as("df"),
+        sort_array(collect_list(col("__id"))).as("postings"))
+    if (maxDfFraction >= 1.0) full
+    else {
+      // the doc count is a cheap count-star job, paid only when a cap
+      // is actually requested
+      val nDocs = docs.count().toDouble
+      full.where(col("df") <= lit(math.max(1.0, maxDfFraction * nDocs)))
+    }
+  }
+
+  /** Documents containing ALL of `terms`: explode the queried terms'
+    * postings, keep ids seen `terms.size` times. Distinct terms only —
+    * a duplicated query term would double-count its postings. */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val q = terms.distinct
+    require(q.nonEmpty, "searchAll needs at least one term")
+    index.where(col("term").isin(q: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1L)).as("n_terms_matched"))
+      .where(col("n_terms_matched") === q.size)
+  }
+}

@@ -2257,6 +2257,35 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Label-propagation communities over a PLANTED two-clique graph
+    // joined by one bridge edge: connected components would merge the
+    // blobs into one (the bridge links them); LPA's density-weighted
+    // vote must split them at the sparse cut — each clique settles on
+    // its minimum label. 2 synchronous min-tie-break rounds, restated
+    // exactly (unrolled) by the oracle.
+    "graph_lpa" -> ((s, dir) => {
+      import s.implicits._
+      def clique(offset: Long) = s.range(8).toDF("x")
+        .crossJoin(s.range(8).toDF("y")).where(col("x") < col("y"))
+        .select((col("x") + offset).as("src"), (col("y") + offset).as("dst"))
+      val edges = clique(0).union(clique(10))
+        .union(Seq((7L, 10L)).toDF("src", "dst"))
+      graft.functions.Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+        .orderBy("id")
+    }),
+
+    // Inverted-index retrieval: build the term → sorted-postings index
+    // (one term-keyed exchange), then conjunctive search touching ONLY
+    // the queried terms' postings — work ∝ Σ df(query), never corpus
+    // size. Oracle restates tokenization + the ALL-terms intersection.
+    "text_search" -> ((s, dir) => {
+      val idx = graft.functions.InvertedIndex
+        .build(t(s, dir, "documents"), "doc_id", "text")
+      graft.functions.InvertedIndex
+        .searchAll(idx, Seq("vector", "stream", "window", "query"))
+        .orderBy("doc_id")
+    }),
+
     // Source-vocabulary similarity matrix: pairwise Jaccard between
     // per-source distinct term sets — term-keyed equi self-join over
     // the vocabulary-bounded (source, term) table; the corpus-mixing /
@@ -4237,6 +4266,41 @@ object PipelineQueries {
     "graph_kcore" ->
       """SELECT CAST(r AS VARCHAR) AS id, CAST(7 AS BIGINT) AS core_degree
         |FROM range(8) t(r) ORDER BY id""".stripMargin,
+
+    // Two unrolled synchronous LPA rounds (most-frequent neighbor
+    // label, ties to the MINIMUM label — VARCHAR comparisons on both
+    // engines) over the two-clique + bridge graph.
+    "graph_lpa" ->
+      """WITH e0 AS (
+        |  SELECT a.r AS s, b.r AS d FROM range(8) a(r), range(8) b(r) WHERE a.r < b.r
+        |  UNION ALL
+        |  SELECT a.r + 10, b.r + 10 FROM range(8) a(r), range(8) b(r) WHERE a.r < b.r
+        |  UNION ALL SELECT 7, 10),
+        |e AS (SELECT DISTINCT least(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS a,
+        |       greatest(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS b
+        |      FROM e0 WHERE CAST(s AS VARCHAR) != CAST(d AS VARCHAR)),
+        |u AS (SELECT a AS id, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT id, id AS lbl FROM u),
+        |r1 AS (SELECT u.id, l.lbl, count(*) AS c
+        |       FROM u JOIN l0 l ON u.nbr = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT u.id, l.lbl, count(*) AS c
+        |       FROM u JOIN l1 l ON u.nbr = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM r2) WHERE rn = 1)
+        |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
+
+    "text_search" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, term FROM t0 WHERE term != '')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM toks WHERE term IN ('vector', 'stream', 'window', 'query')
+        |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

@@ -116,4 +116,27 @@ class GraphSpec extends SparkSuite {
                   ("x","y"), ("y","z"), ("z","x")).toDF("src", "dst")
     assert(Graph.triangleStats(two, "src", "dst").head().getLong(2) == 2)
   }
+
+  test("labelPropagation: splits two bridged cliques where CC would merge them") {
+    import spark.implicits._
+    // cliques {a0..a3} and {b0..b3} joined by one bridge a3–b0: after 2
+    // rounds each clique must settle on its own min label — the sparse
+    // cut survives, unlike connected components (one component here).
+    def clique(p: String) = for {
+      i <- 0 to 3; j <- 0 to 3 if i < j
+    } yield (s"$p$i", s"$p$j")
+    val edges = (clique("a") ++ clique("b") :+ (("a3", "b0")))
+      .toDF("src", "dst")
+    val m = Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.size == 8)
+    (0 to 3).foreach { i =>
+      assert(m(s"a$i") == "a0", s"a$i → ${m(s"a$i")}")
+      assert(m(s"b$i") == "b0", s"b$i → ${m(s"b$i")}")
+    }
+    // determinism: same input, same labels on a re-run
+    val m2 = Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2 == m)
+  }
 }

@@ -1229,4 +1229,29 @@ class PipelineSpec extends SparkSuite {
     val sq = spark.sql("SELECT deflate_ratio(t, 6) FROM dr_t").head().getDouble(0)
     assert(sq == r("rep"), "SQL name must agree with the Column builder")
   }
+
+  test("InvertedIndex: sorted postings, per-doc dedup, df cap, AND search") {
+    import graft.functions.InvertedIndex
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "spark spark table"),     // repeated term must index once
+      (1L, "spark join"),
+      (2L, "table join plan")).toDF("id", "txt")
+    val idx = InvertedIndex.build(docs, "id", "txt")
+    val m = idx.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(m("spark") == ((2L, Seq(1L, 3L))), "postings sorted; doc 3 once")
+    assert(m("join") == ((2L, Seq(1L, 2L))))
+    assert(m("table") == ((2L, Seq(2L, 3L))))
+    assert(m("plan") == ((1L, Seq(2L))))
+    // df cap drops terms above the fraction (2/3 of docs here)
+    val capped = InvertedIndex.build(docs, "id", "txt", maxDfFraction = 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("plan"), s"df-2 terms exceed 0.5·3: $capped")
+    // conjunctive search: ALL terms, duplicate query terms collapse
+    val hits = InvertedIndex.searchAll(idx, Seq("spark", "join", "spark"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 2L)), s"only doc 1 holds both: $hits")
+    assert(InvertedIndex.searchAll(idx, Seq("spark", "plan")).count() == 0)
+  }
 }
