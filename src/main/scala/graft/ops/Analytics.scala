@@ -1135,4 +1135,77 @@ object Analytics {
         round(expr("percentile(__y - __slope * __x, 0.5)"), dp).as("intercept"),
         first(col("n_pairs")).as("n_pairs"))
   }
+
+  /** RFM segmentation (Hughes 1994 — the classic customer-value grid):
+    * per entity, Recency (newest event vs `asOfEpoch`), Frequency
+    * (event count) and Monetary (amount sum) each land in `tiles`
+    * equal-population tiers; returns the populated (r, f, m) cells with
+    * their populations — the marketing/churn/LTV triage table.
+    *
+    * Tier assignment is ntile over (metric, entity-id) — the id
+    * tie-break makes equal-population cuts DETERMINISTIC (any engine
+    * reproduces them exactly). Recency tier 1 = most recent (smallest
+    * lag), f/m tier `tiles` = highest.
+    *
+    * Shape: one entity-keyed aggregation (the only corpus-width
+    * exchange), then three global ntile windows over the ENTITY table —
+    * a single-reducer sort by contract, so the input is dimension-table
+    * scale (entities, not events). At fact-table entity cardinality cut
+    * tiers with approx_percentile boundaries instead (the
+    * [[graft.ops.DataPrep]] quantile-bucketing path) — exact
+    * equal-population ranking is inherently a global sort. */
+  def rfmSegments(df: DataFrame, entity: Column, ts: Column, amount: Column,
+      asOfEpoch: Long, tiles: Int = 4, amountDp: Int = 2): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    // the monetary SUM is ranked at `amountDp` decimals: floating
+    // accumulation order must not let two mathematically-equal totals
+    // compare differently (the id tie-break then owns true ties)
+    val per = df.groupBy(entity.as("__e"))
+      .agg((lit(asOfEpoch) - max(unix_timestamp(ts))).as("__lag"),
+        count(lit(1L)).as("__f"), round(sum(amount), amountDp).as("__m"))
+    val r = ntile(tiles).over(Window.orderBy(col("__lag"), col("__e")))
+    val f = ntile(tiles).over(Window.orderBy(col("__f").desc, col("__e")))
+    val m = ntile(tiles).over(Window.orderBy(col("__m").desc, col("__e")))
+    per.select(r.as("r_tier"), f.as("f_tier"), m.as("m_tier"))
+      .groupBy("r_tier", "f_tier", "m_tier")
+      .agg(count(lit(1L)).as("n_entities"))
+  }
+
+  /** Per-key event-timing burstiness signals — the behavioral bot/spam
+    * screen run before human-activity data enters a training corpus:
+    * machine traffic shows up as near-zero gap variance (metronome
+    * retries), single-burst concentration (one minute owns the
+    * session), or abnormal volume. Emits per key: event count, span,
+    * mean/stddev/CV of inter-event gaps, and the busiest minute's share
+    * of all events. Thresholds are the caller's policy; this computes
+    * the evidence.
+    *
+    * Shape: ONE key-partitioned window pass (lag) fused with the
+    * per-key aggregate, plus a (key, minute) sub-aggregate for the
+    * burst share — both exchanges are key-/minute-bounded. Gap stats
+    * need ≥2 events; keys below that emit NULL gap columns (volume
+    * columns still real). */
+  def burstiness(df: DataFrame, key: Column, ts: Column,
+      dp: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val gaps = df.select(key.as("__k"), unix_timestamp(ts).as("__t"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+    val perKey = gaps.groupBy(col("__k"))
+      .agg(count(lit(1L)).as("n_events"),
+        (max(col("__t")) - min(col("__t"))).as("span_sec"),
+        round(avg(col("__gap")), dp).as("mean_gap_sec"),
+        round(stddev_samp(col("__gap")), dp).as("sd_gap_sec"),
+        // cv from the UNROUNDED moments (rounding first would compound)
+        round(stddev_samp(col("__gap")) / avg(col("__gap")), dp).as("gap_cv"))
+    val burst = gaps
+      .groupBy(col("__k"), (floor(col("__t") / 60) * 60).as("__min"))
+      .agg(count(lit(1L)).as("__c"))
+      .groupBy(col("__k"))
+      .agg(max(col("__c")).as("__peak"))
+    perKey.join(burst, "__k")
+      .select(col("__k").as("key"), col("n_events"), col("span_sec"),
+        col("mean_gap_sec"), col("sd_gap_sec"), col("gap_cv"),
+        round(col("__peak") / col("n_events").cast("double"), dp)
+          .as("peak_minute_share"))
+  }
 }

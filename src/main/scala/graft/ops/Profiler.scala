@@ -68,4 +68,52 @@ object Profiler {
     }
     wide.select(inline(array(rows: _*)))
   }
+
+  /** Dataset-card manifest: the per-source composition summary every
+    * released training corpus ships (datasheet/data-statement
+    * practice): rows, corpus share, whitespace-token and char volume,
+    * the source's dominant language with its share, and the
+    * exact-duplicate rate within the source — the at-a-glance answers
+    * to "what is in this mix and how clean is it".
+    *
+    * Shape: one (source, lang)-keyed aggregation carries counts/tokens/
+    * chars (everything per-source then re-aggregates from the tiny cell
+    * table), plus one separate source-keyed DISTINCT for the dup rate —
+    * distinct texts cannot be summed across language cells (the same
+    * text under two langs would double-count). Both exchanges ship
+    * digests/counts, never text. */
+  def datasetCard(docs: DataFrame, sourceCol: String, langCol: String,
+      textCol: String, dp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs
+      .groupBy(col(sourceCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1L)).as("__n"),
+        sum(size(graft.functions.TextFunctions.tokensWs(col(textCol)))
+          .cast("long")).as("__toks"),
+        sum(length(col(textCol)).cast("long")).as("__chars"))
+    val uniq = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(countDistinct(md5(col(textCol))).as("__uniq"))
+    val perSrc = Window.partitionBy(col("source"))
+    val all = Window.partitionBy()
+    val top = Window.partitionBy(col("source"))
+      .orderBy(col("__n").desc, col("lang").asc)
+    cells
+      .withColumn("__rn", row_number().over(top))
+      .withColumn("n_docs", sum(col("__n")).over(perSrc))
+      .withColumn("__src_toks", sum(col("__toks")).over(perSrc))
+      .withColumn("__src_chars", sum(col("__chars")).over(perSrc))
+      .withColumn("__total", sum(col("__n")).over(all))
+      .where(col("__rn") === 1)
+      .join(uniq, "source")
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("__total").cast("double"), dp)
+          .as("corpus_share"),
+        col("__src_toks").as("ws_tokens"), col("__src_chars").as("n_chars"),
+        col("lang").as("top_lang"),
+        round(col("__n") / col("n_docs").cast("double"), dp)
+          .as("top_lang_share"),
+        round(lit(1.0) - col("__uniq") / col("n_docs").cast("double"), dp)
+          .as("exact_dup_rate"))
+  }
 }

@@ -260,4 +260,33 @@ object TableHealth {
           .as("violation_rate"),
         (col("n_violating_keys") === 0L).as("holds"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — [[kAnonymity]]'s
+    * necessary complement: a group can hold ≥k rows yet expose its
+    * members anyway when they all share ONE sensitive value (the
+    * homogeneity attack k-anonymity cannot see). Counts, per
+    * quasi-identifier group, the DISTINCT sensitive values, and reports
+    * how many groups (and rows) fall below `l`. NULL sensitive values
+    * count as one distinct value; NULL quasi combos group together —
+    * same conventions as [[kAnonymity]].
+    *
+    * One quasi-keyed aggregate (count-distinct within the group — the
+    * exchange carries the combo space, not the table), one 1-row
+    * rollup: (n_rows, n_groups, min_diversity, n_weak_groups,
+    * n_weak_rows, l_diverse). */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1L)).as("__n"),
+        countDistinct(coalesce(sensitive.cast("string"), lit("__ld_null__")))
+          .as("__d"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1L)).as("n_groups"),
+        min(col("__d")).as("min_diversity"),
+        sum(when(col("__d") < l, 1L).otherwise(0L)).as("n_weak_groups"),
+        sum(when(col("__d") < l, col("__n")).otherwise(0L)).as("n_weak_rows"))
+      .withColumn("l_diverse", col("n_weak_rows") === 0L)
+  }
 }

@@ -248,6 +248,14 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // l-diversity over (nation, segment) quasi-groups with the account
+    // balance banded to thousands as the sensitive attribute — the
+    // homogeneity-attack audit k-anonymity cannot see.
+    "chk_ldiv" -> ((s, dir) =>
+      graft.ops.TableHealth.lDiversity(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000), l = 3)),
+
     // ---- source loaders beyond parquet, proven against the same rows ----
     "chk_orc" -> ((s, dir) =>
       Runner.verdictDF(graft.sources.Sources.orc(s, fixture(s, dir, "nation", "orc")), Seq(
@@ -694,5 +702,18 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_ldiv" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT floor(c_acctbal/1000)) AS BIGINT) AS d
+        |       FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | min(d) AS min_diversity,
+        | CAST(count(*) FILTER (WHERE d < 3) AS BIGINT) AS n_weak_groups,
+        | CAST(coalesce(sum(n) FILTER (WHERE d < 3), 0) AS BIGINT) AS n_weak_rows,
+        | coalesce(sum(n) FILTER (WHERE d < 3), 0) = 0 AS l_diverse
+        |FROM g""".stripMargin,
   )
 }

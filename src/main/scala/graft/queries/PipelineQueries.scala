@@ -2286,6 +2286,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Dataset-card manifest: per-source rows/share/tokens/chars,
+    // dominant language with share, exact-duplicate rate — the
+    // datasheet row every released corpus mix ships.
+    "pipeline_card" -> ((s, dir) =>
+      graft.ops.Profiler.datasetCard(t(s, dir, "documents"),
+        "source", "lang", "text").orderBy("source")),
+
     // Source-vocabulary similarity matrix: pairwise Jaccard between
     // per-source distinct term sets — term-keyed equi self-join over
     // the vocabulary-bounded (source, term) table; the corpus-mixing /
@@ -4301,6 +4308,30 @@ object PipelineQueries {
         | CAST(count(*) AS BIGINT) AS n_terms_matched
         |FROM toks WHERE term IN ('vector', 'stream', 'window', 'query')
         |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_card" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |          AS toks,
+        |        CAST(sum(length(text)) AS BIGINT) AS chars
+        |       FROM documents GROUP BY 1, 2),
+        |uniq AS (SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS u
+        |         FROM documents GROUP BY 1),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS ws_tokens,
+        |        CAST(sum(chars) AS BIGINT) AS n_chars
+        |       FROM cells GROUP BY 1),
+        |top AS (SELECT source, lang AS top_lang, n AS top_n FROM (
+        |        SELECT source, lang, n, row_number() OVER (PARTITION BY source
+        |          ORDER BY n DESC, lang) AS rn FROM cells) WHERE rn = 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM src)
+        |SELECT src.source, n_docs,
+        | round(n_docs/total, 6) AS corpus_share, ws_tokens, n_chars,
+        | top_lang, round(top_n * 1.0/n_docs, 6) AS top_lang_share,
+        | round(1.0 - u * 1.0/n_docs, 6) AS exact_dup_rate
+        |FROM src JOIN top ON src.source = top.source
+        |JOIN uniq ON src.source = uniq.source, tot
+        |ORDER BY src.source""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

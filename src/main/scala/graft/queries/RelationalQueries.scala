@@ -951,6 +951,22 @@ object RelationalQueries {
             .as("revenue"))
         .orderBy("l_returnflag")
     }),
+
+    // RFM grid: customers tiered by recency/frequency/monetary quartiles
+    // (deterministic ntile — id tie-break), populated cells with counts.
+    // As-of is fixed (1999-01-01 UTC), never wall-clock.
+    "q_rfm" -> ((s, dir) =>
+      Analytics.rfmSegments(t(s, dir, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          asOfEpoch = 915148800L, tiles = 4)
+        .orderBy("r_tier", "f_tier", "m_tier")),
+
+    // Per-user event-timing burstiness (bot/spam evidence): the 15 most
+    // burst-concentrated users by busiest-minute share.
+    "q_botscore" -> ((s, dir) =>
+      Analytics.burstiness(t(s, dir, "events"), col("user_id"), col("ts"))
+        .orderBy(col("peak_minute_share").desc, col("key"))
+        .limit(15)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1687,5 +1703,36 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS e,
+        |        915148800 - max(epoch_us(o_orderdate)//1000000) AS lag,
+        |        CAST(count(*) AS BIGINT) AS f,
+        |        round(sum(o_totalprice), 2) AS m
+        |       FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(ntile(4) OVER (ORDER BY lag, e) AS INT) AS r_tier,
+        |       CAST(ntile(4) OVER (ORDER BY f DESC, e) AS INT) AS f_tier,
+        |       CAST(ntile(4) OVER (ORDER BY m DESC, e) AS INT) AS m_tier
+        |      FROM per)
+        |SELECT r_tier, f_tier, m_tier, CAST(count(*) AS BIGINT) AS n_entities
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_botscore" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts)//1000000 AS t FROM events),
+        |g AS (SELECT k, t, t - lag(t) OVER (PARTITION BY k ORDER BY t) AS gap
+        |      FROM e),
+        |per AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+        |        max(t) - min(t) AS span_sec,
+        |        round(avg(gap), 6) AS mean_gap_sec,
+        |        round(stddev_samp(gap), 6) AS sd_gap_sec,
+        |        round(stddev_samp(gap)/avg(gap), 6) AS gap_cv
+        |       FROM g GROUP BY k),
+        |mins AS (SELECT k, t//60*60 AS m, CAST(count(*) AS BIGINT) AS c
+        |         FROM e GROUP BY 1, 2),
+        |pk AS (SELECT k, max(c) AS peak FROM mins GROUP BY k)
+        |SELECT per.k AS key, n_events, span_sec, mean_gap_sec, sd_gap_sec,
+        | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
+        |FROM per JOIN pk ON per.k = pk.k
+        |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
   )
 }

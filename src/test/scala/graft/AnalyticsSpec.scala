@@ -1323,6 +1323,63 @@ class AnalyticsSpec extends SparkSuite {
       "key 3 maps to {NULL, z} — two distinct dependent values")
   }
 
+  test("rfmSegments: deterministic quartiles, recency tier 1 = most recent") {
+    import spark.implicits._
+    // 4 entities, 1 event each at distinct times/amounts → every tier
+    // is a singleton and fully determined by the sort
+    val ts = (1 to 4).map(i => (i.toLong, s"2024-01-0$i 00:00:00", i * 10.0))
+    val df = ts.toDF("e", "tss", "amt")
+      .select(col("e"), to_timestamp(col("tss")).as("ts"), col("amt"))
+    val cells = Analytics.rfmSegments(df, col("e"), col("ts"), col("amt"),
+        asOfEpoch = 1706745600L, tiles = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // entity 4: most recent (r=1), all freq equal (tie → id: e1 f=1…e4 f=4),
+    // highest amount (m=1)
+    assert(cells.values.sum == 4 && cells.values.forall(_ == 1L))
+    assert(cells.contains((1, 4, 1)), s"entity 4 = newest, last f-tie slot, richest: $cells")
+    assert(cells.contains((4, 1, 4)), s"entity 1 = oldest, first f-tie slot, poorest: $cells")
+  }
+
+  test("burstiness: hand-computed gap stats and burst share") {
+    import spark.implicits._
+    // key a: events at t = 0, 10, 20 s (regular, same minute) → gaps
+    // {10,10}: mean 10, sd 0, cv 0; all 3 events in one minute → share 1.
+    // key b: t = 0, 60, 180 → gaps {60,120}: mean 90, sd ~42.43; minutes
+    // 0/60/180 → peak 1/3.
+    val df = Seq(("a", 0L), ("a", 10L), ("a", 20L),
+                 ("b", 0L), ("b", 60L), ("b", 180L))
+      .toDF("k", "sec").select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val m = Analytics.burstiness(df, col("k"), col("ts")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("n_events") == 3 && a.getAs[Long]("span_sec") == 20)
+    assert(a.getAs[Double]("mean_gap_sec") == 10.0 &&
+      a.getAs[Double]("sd_gap_sec") == 0.0 && a.getAs[Double]("gap_cv") == 0.0)
+    assert(a.getAs[Double]("peak_minute_share") == 1.0)
+    val b = m("b")
+    assert(b.getAs[Double]("mean_gap_sec") == 90.0)
+    assert(b.getAs[Double]("sd_gap_sec") == 42.426407, s"sd: $b")
+    assert(b.getAs[Double]("peak_minute_share") == 0.333333)
+  }
+
+  test("lDiversity: homogeneity attack visible where k-anonymity is blind") {
+    import spark.implicits._
+    // group (z1): 3 rows, all sensitive 'flu' → k-anonymous at k=3 but
+    // 1-diverse; group (z2): 3 rows, 3 distinct conditions.
+    val df = Seq(("z1", "flu"), ("z1", "flu"), ("z1", "flu"),
+                 ("z2", "flu"), ("z2", "cold"), ("z2", "cough"))
+      .toDF("zip", "cond")
+    val k = graft.ops.TableHealth.kAnonymity(df, Seq(col("zip")), 3).collect()(0)
+    assert(k.getAs[Boolean]("k_anonymous"), "k=3 passes")
+    val l = graft.ops.TableHealth.lDiversity(df, Seq(col("zip")), col("cond"), 2)
+      .collect()(0)
+    assert(!l.getAs[Boolean]("l_diverse"), "z1 is homogeneous")
+    assert(l.getAs[Long]("min_diversity") == 1L)
+    assert(l.getAs[Long]("n_weak_groups") == 1L)
+    assert(l.getAs[Long]("n_weak_rows") == 3L)
+  }
+
   test("bloomPrunedJoin: exact vs plain join, rejects right-preserving types") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")

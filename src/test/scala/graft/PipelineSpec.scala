@@ -1230,6 +1230,28 @@ class PipelineSpec extends SparkSuite {
     assert(sq == r("rep"), "SQL name must agree with the Column builder")
   }
 
+  test("datasetCard: shares, dominant lang, cross-lang dup not double-counted") {
+    import spark.implicits._
+    // srcA: 3 docs, 2 langs (en dominates), one exact dup ACROSS langs —
+    // the per-source distinct must see it (2 unique / 3 docs).
+    // srcB: 1 doc.
+    val docs = Seq(
+      ("A", "en", "same text"), ("A", "en", "other"), ("A", "fr", "same text"),
+      ("B", "zh", "one two three")).toDF("source", "lang", "text")
+    val m = graft.ops.Profiler.datasetCard(docs, "source", "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = m("A")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Double]("corpus_share") == 0.75)
+    assert(a.getAs[String]("top_lang") == "en" &&
+      a.getAs[Double]("top_lang_share") == 0.666667)
+    assert(a.getAs[Long]("ws_tokens") == 5, "2+1+2 whitespace tokens")
+    assert(a.getAs[Double]("exact_dup_rate") == 0.333333,
+      s"2 unique texts of 3 docs — the fr copy of the en text IS a dup: ${a}")
+    val b = m("B")
+    assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Double]("exact_dup_rate") == 0.0)
+    assert(b.getAs[Long]("ws_tokens") == 3)
+  }
+
   test("InvertedIndex: sorted postings, per-doc dedup, df cap, AND search") {
     import graft.functions.InvertedIndex
     import spark.implicits._
