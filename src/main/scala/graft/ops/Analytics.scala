@@ -1208,4 +1208,37 @@ object Analytics {
         round(col("__peak") / col("n_events").cast("double"), dp)
           .as("peak_minute_share"))
   }
+
+  /** Day-of-week seasonal baseline + deseasonalization audit: daily
+    * totals of `value`, a per-weekday median/mean profile (the robust
+    * seasonal component), and ONE verdict scalar — the residual
+    * variance ratio var(daily − weekday median) / var(daily). A ratio
+    * well under 1 says the weekday profile explains real structure;
+    * subtract it before feeding CUSUM/z-score monitors ([[cusum]],
+    * [[rollingAnomalies]]) or weekly seasonality re-fires them every
+    * Monday. Dow follows Spark's `dayofweek` (1 = Sunday).
+    *
+    * Shape: one date-keyed aggregation is the only corpus-width
+    * exchange; the profile, residual join (7-row broadcast) and
+    * variance rollup all ride the |days|-bounded daily table. Daily
+    * sums round at `sumDp` BEFORE the profile so floating accumulation
+    * order cannot move a median. */
+  def seasonalBaseline(df: DataFrame, ts: Column, value: Column,
+      sumDp: Int = 4, dp: Int = 6): DataFrame = {
+    val daily = df.groupBy(to_date(ts).as("__d"))
+      .agg(round(sum(value), sumDp).as("__v"))
+      .withColumn("__dow", dayofweek(col("__d")))
+    val prof = daily.groupBy(col("__dow"))
+      .agg(count(lit(1L)).as("n_days"),
+        round(expr("percentile(__v, 0.5)"), dp).as("med_value"),
+        round(avg(col("__v")), dp).as("mean_value"))
+    val ratio = daily
+      .join(broadcast(prof.select(col("__dow"), col("med_value"))), "__dow")
+      .agg(round(
+        var_samp(col("__v") - col("med_value")) / var_samp(col("__v")), dp)
+        .as("resid_var_ratio"))
+    prof.crossJoin(ratio)
+      .select(col("__dow").as("dow"), col("n_days"), col("med_value"),
+        col("mean_value"), col("resid_var_ratio"))
+  }
 }

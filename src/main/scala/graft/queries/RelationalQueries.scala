@@ -967,6 +967,52 @@ object RelationalQueries {
       Analytics.burstiness(t(s, dir, "events"), col("user_id"), col("ts"))
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
+
+    // Day-of-week seasonal profile of daily purchase value + the
+    // residual-variance verdict: does the weekday baseline explain
+    // structure a flat monitor would re-alarm on weekly?
+    "q_seasonal" -> ((s, dir) =>
+      Analytics.seasonalBaseline(
+          t(s, dir, "events").where(col("event_type") === "purchase"),
+          col("ts"), col("value"))
+        .orderBy("dow")),
+
+    // Streaming latest-state materialization (the CDC upsert view):
+    // max_by keyed state through Structured Streaming's complete-mode
+    // aggregation, drained with AvailableNow — final per-user state
+    // must hash-match the batch latest-per-key oracle exactly.
+    "q_stream_upsert" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_upsert")
+      val staged = new java.io.File(stage, "events.parquet")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      val latest = stream.groupBy(col("user_id"))
+        .agg(max_by(
+            struct(col("event_type"), round(col("value"), 4).as("value")),
+            struct(col("ts"), col("event_id"))).as("__last"),
+          count(lit(1L)).as("n_events"),
+          max(unix_timestamp(col("ts"))).as("last_epoch"))
+        .select(col("user_id"), col("__last.event_type").as("last_type"),
+          col("__last.value").as("last_value"), col("n_events"),
+          col("last_epoch"))
+      val sink = s"q_stream_upsert_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = latest.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).orderBy("user_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1734,5 +1780,33 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    // DuckDB dayofweek is 0 = Sunday; Spark's is 1 = Sunday → +1.
+    "q_seasonal" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (SELECT dayofweek(d) + 1 AS dow, v FROM daily),
+        |prof AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |        round(quantile_cont(v, 0.5), 6) AS med_value,
+        |        round(avg(v), 6) AS mean_value
+        |       FROM dd GROUP BY dow),
+        |ratio AS (SELECT round(var_samp(dd.v - prof.med_value)
+        |          / var_samp(dd.v), 6) AS resid_var_ratio
+        |         FROM dd JOIN prof USING (dow))
+        |SELECT dow, n_days, med_value, mean_value, resid_var_ratio
+        |FROM prof, ratio ORDER BY dow""".stripMargin,
+
+    "q_stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_type, round(value, 4) AS v,
+        |        epoch_us(ts)//1000000 AS e,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       max(e) AS last_epoch FROM r GROUP BY 1)
+        |SELECT a.user_id, r.event_type AS last_type, r.v AS last_value,
+        | n_events, last_epoch
+        |FROM a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
   )
 }

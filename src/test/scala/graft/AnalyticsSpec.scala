@@ -1363,6 +1363,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(b.getAs[Double]("peak_minute_share") == 0.333333)
   }
 
+  test("seasonalBaseline: weekday medians explain planted weekly structure") {
+    import spark.implicits._
+    // 4 weeks: Mondays always 100, Tuesdays always 10 (perfect weekly
+    // pattern) → per-dow residuals are all 0 → ratio 0. 2024-01-01 is a
+    // Monday (Spark dow 2).
+    val rows = (0 until 4).flatMap { w =>
+      Seq((s"2024-01-${"%02d".format(1 + 7 * w)} 12:00:00", 100.0),
+          (s"2024-01-${"%02d".format(2 + 7 * w)} 12:00:00", 10.0))
+    }
+    val df = rows.toDF("tss", "v")
+      .select(to_timestamp(col("tss")).as("ts"), col("v"))
+    val out = Analytics.seasonalBaseline(df, col("ts"), col("v")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(2, 3), "Mondays and Tuesdays only")
+    assert(out(2).getAs[Long]("n_days") == 4 &&
+      out(2).getAs[Double]("med_value") == 100.0)
+    assert(out(3).getAs[Double]("med_value") == 10.0)
+    assert(out(2).getAs[Double]("resid_var_ratio") == 0.0,
+      "a perfect weekly pattern deseasonalizes to zero residual variance")
+  }
+
   test("lDiversity: homogeneity attack visible where k-anonymity is blind") {
     import spark.implicits._
     // group (z1): 3 rows, all sensitive 'flu' → k-anonymous at k=3 but

@@ -447,4 +447,44 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
       s"cohort size join must be hash-keyed:\n$pc")
   }
+
+  test("q_bloom_join: the Bloom probe filters the fact scan BEFORE the join") {
+    val p = plan(q("q_bloom_join"))
+    // the probe expression must sit in a Filter on the lineitem side,
+    // upstream of the join — that is the entire point of the operator
+    assert(p.contains("bloom_any_contain"),
+      s"expected the Bloom probe in the plan:\n$p")
+    val probeAt = p.indexOf("bloom_any_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "probe must be DOWNSTREAM of the join operator in the plan tree " +
+        s"(printed below it = executed before it):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pruned join must stay hash-keyed:\n$p")
+  }
+
+  test("round-9 operators: scan-shaped plans, windows only on tile tables") {
+    // calibration: ONE corpus aggregate; windows ride the ≤bins table
+    val pc = plan(q("q_calibration"))
+    assert(!pc.contains("Join"), s"calibration needs no join:\n$pc")
+    // FD audit: conditional aggregates only — no join, no window
+    val pf = plan(q("chk_fd"))
+    assert(!pf.contains("Join") && !pf.contains("Window"),
+      s"FD audit is aggregation only:\n$pf")
+    // l-diversity: same shape
+    val pl = plan(q("chk_ldiv"))
+    assert(!pl.contains("Join") && !pl.contains("Window"),
+      s"l-diversity is aggregation only:\n$pl")
+    // Theil-Sen: the pair builder is a keyed equi-join, never cartesian
+    val pt = plan(q("q_theil_sen"))
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"),
+      s"pair self-join must be hash-keyed:\n$pt")
+    // burstiness: no cartesian; the (key,minute) burst table joins keyed
+    val pb = plan(q("q_botscore"))
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"burstiness joins must be hash-keyed:\n$pb")
+    // inverted-index search: postings explode + count, no join at all
+    val ps = plan(q("text_search"))
+    assert(!ps.contains("Join"), s"conjunctive search needs no join:\n$ps")
+  }
 }
