@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Persistable inverted text index + conjunctive keyword search — the
@@ -66,4 +66,61 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1L)).as("n_terms_matched"))
       .where(col("n_terms_matched") === q.size)
   }
+
+  /** Deterministic term → partition bucket for the parquet artifact. */
+  def bucketOf(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** Persist the index partitioned by term-hash bucket: a search then
+    * reads only its terms' directories (partition pruning at file-listing
+    * time — the plan's PartitionFilters), not the whole artifact. Bucket
+    * count trades directory fan-out against pruning selectivity; a few
+    * hundred is right for a billion-term index. */
+  def write(index: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    index.withColumn("bucket", bucketOf(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[searchAll]] against a bucket-partitioned index (written by
+    * [[write]]): the bucket equi-filter is derived from the query terms
+    * themselves, so the scan prunes to ≤|terms| partition directories
+    * BEFORE any row is read. `buckets` must match the written layout. */
+  def searchAllPruned(index: DataFrame, terms: Seq[String],
+      buckets: Int): DataFrame =
+    searchAll(pruneToTerms(index, terms, buckets), terms.distinct)
+
+  /** Restrict a bucket-partitioned index to the partitions that can
+    * hold `terms` — the bucket values are computed driver-side with the
+    * SAME hash the write path used (SQL xxhash64, seed 42), so the
+    * equi-filter becomes a PartitionFilter and only ≤|terms|
+    * directories are listed/read. `buckets` must match the written
+    * layout or pruning would silently drop true matches. */
+  def pruneToTerms(index: DataFrame, terms: Seq[String],
+      buckets: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val wanted = terms.distinct.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))), 42L)
+        .eval(null).asInstanceOf[Long]
+      math.floorMod(h, buckets.toLong).toInt
+    }
+    index.where(col("bucket").isin(wanted.distinct: _*))
+  }
+
+  /** Search across a written index PLUS an arriving batch without
+    * rebuilding: index the batch alone ([[build]] over the delta — cost
+    * ∝ batch), align columns, and search the union. Per-term postings
+    * may appear in both sides, but a document lives in exactly ONE
+    * side, so the count-equality of [[searchAll]] is unaffected. */
+  def searchAllWithDelta(index: DataFrame, delta: DataFrame,
+      terms: Seq[String]): DataFrame =
+    searchAll(index.select("term", "df", "postings")
+      .unionByName(delta.select("term", "df", "postings")), terms)
 }

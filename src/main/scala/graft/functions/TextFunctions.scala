@@ -670,4 +670,26 @@ object TextFunctions {
           .as("trend"))
       .orderBy(col("trend").desc, col("term")).limit(k)
   }
+
+  /** Keyword-in-context (KWIC): for every document containing `term`
+    * (case-insensitive), the 1-based position of its FIRST occurrence
+    * and a snippet of ±`width` characters around it — the concordance
+    * view behind corpus inspection UIs and retrieval spot checks
+    * (pair with [[InvertedIndex.searchAll]] for candidate docs). Pure
+    * in-scan string algebra: locate + substring, no explode, no
+    * shuffle, integer-exact across engines. */
+  def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
+      term: String, width: Int): DataFrame = {
+    require(term.nonEmpty && width >= 0, "need a term and width >= 0")
+    val pos = locate(term.toLowerCase, lower(col(textCol)))
+    val start = greatest(col("pos") - width, lit(1))
+    docs.select(col(idCol), pos.as("pos"), col(textCol).as("__t"))
+      .where(col("pos") > 0)
+      // snippet spans [max(pos-width,1), pos+termLen+width-1]; the end
+      // clamps through substring's own out-of-range behavior (identical
+      // to DuckDB's substr for in-bounds starts)
+      .select(col(idCol), col("pos"),
+        col("__t").substr(start,
+          col("pos") + lit(term.length + width) - start).as("snippet"))
+  }
 }

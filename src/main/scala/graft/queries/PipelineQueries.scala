@@ -2293,6 +2293,38 @@ object PipelineQueries {
       graft.ops.Profiler.datasetCard(t(s, dir, "documents"),
         "source", "lang", "text").orderBy("source")),
 
+    // Inverted-index ARTIFACT protocol: build over the standing corpus,
+    // write bucket-partitioned parquet, read back, prune to the query
+    // terms' partitions, and search TOGETHER with an arriving batch
+    // indexed on the fly — the result must equal a whole-corpus
+    // conjunctive search (round-trip + pruning lose nothing, the delta
+    // needs no rebuild).
+    "text_search_index" -> ((s, dir) => {
+      import graft.functions.InvertedIndex
+      val docs = t(s, dir, "documents")
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/root/repo/target/fixtures/$dirKey/inv_index"
+      val terms = Seq("merge", "filter", "group")
+      InvertedIndex.write(
+        InvertedIndex.build(docs.where(col("doc_id") < 400), "doc_id", "text"),
+        path, buckets = 16)
+      val main = InvertedIndex.pruneToTerms(
+        InvertedIndex.read(s, path), terms, buckets = 16)
+      val delta = InvertedIndex.build(
+        docs.where(col("doc_id") >= 400), "doc_id", "text")
+      InvertedIndex.searchAllWithDelta(main, delta, terms)
+        .orderBy("doc_id")
+    }),
+
+    // Keyword-in-context concordance: first occurrence position +
+    // ±20-char snippet, pure in-scan string algebra (integer-exact
+    // across engines).
+    "text_kwic" -> ((s, dir) =>
+      TF.keywordInContext(
+          t(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text", "vector", width = 20)
+        .orderBy("doc_id")),
+
     // Source-vocabulary similarity matrix: pairwise Jaccard between
     // per-source distinct term sets — term-keyed equi self-join over
     // the vocabulary-bounded (source, term) table; the corpus-mixing /
@@ -4332,6 +4364,26 @@ object PipelineQueries {
         |FROM src JOIN top ON src.source = top.source
         |JOIN uniq ON src.source = uniq.source, tot
         |ORDER BY src.source""".stripMargin,
+
+    // artifact round-trip + pruning + delta must EQUAL the whole-corpus
+    // conjunctive search
+    "text_search_index" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, term FROM t0 WHERE term != '')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM toks WHERE term IN ('merge', 'filter', 'group')
+        |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin,
+
+    "text_kwic" ->
+      """WITH p AS (SELECT doc_id, CAST(position('vector' IN lower(text)) AS INT)
+        |        AS pos, text
+        |       FROM documents WHERE doc_id < 100)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, pos,
+        | substr(text, greatest(pos - 20, 1),
+        |   pos + 26 - greatest(pos - 20, 1)) AS snippet
+        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

@@ -1252,6 +1252,57 @@ class PipelineSpec extends SparkSuite {
     assert(b.getAs[Long]("ws_tokens") == 3)
   }
 
+  test("InvertedIndex artifact: round-trip, pruned search == unpruned, delta append") {
+    import graft.functions.InvertedIndex
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} common")).toDF("id", "txt")
+    val idx = InvertedIndex.build(docs, "id", "txt")
+    val path = java.nio.file.Files.createTempDirectory("invidx").toString + "/ix"
+    InvertedIndex.write(idx, path, buckets = 8)
+    val back = InvertedIndex.read(spark, path)
+    // round-trip preserves the index content
+    assert(back.select("term", "df", "postings").collect().toSet ==
+      idx.collect().toSet)
+    // pruning never drops a true match, across every term combination
+    val allTerms = Seq("w0", "w1", "w2", "w3", "w4", "w5", "w6", "common")
+    for (t1 <- allTerms; t2 <- allTerms if t1 < t2) {
+      val full = InvertedIndex.searchAll(idx, Seq(t1, t2))
+        .collect().map(_.getLong(0)).toSet
+      val pruned = InvertedIndex.searchAllPruned(back, Seq(t1, t2), buckets = 8)
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned == full, s"pruned search lost matches for ($t1,$t2)")
+    }
+    // the bucket filter reaches the scan as a PartitionFilter
+    val plan = InvertedIndex.pruneToTerms(back, Seq("w0", "w1"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+    // delta append: new docs found without rebuilding the main index
+    val delta = InvertedIndex.build(
+      Seq((100L, "w0 w1 fresh")).toDF("id", "txt"), "id", "txt")
+    val hits = InvertedIndex.searchAllWithDelta(back, delta, Seq("w0", "w1"))
+      .collect().map(_.getLong(0)).toSet
+    val direct = InvertedIndex.searchAll(idx, Seq("w0", "w1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == direct + 100L, s"delta doc must join the result: $hits")
+  }
+
+  test("keywordInContext: position and snippet window arithmetic") {
+    import spark.implicits._
+    //         1234567890123...
+    val docs = Seq((1L, "abcdefgHITtail end"), (2L, "no match here"),
+                   (3L, "HIT at start")).toDF("id", "txt")
+    val m = graft.functions.TextFunctions
+      .keywordInContext(docs, "id", "txt", "hit", width = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(!m.contains(2L))
+    // doc 1: pos 8, snippet spans [5, 8+3+3-1=13] = "efgHITtai"
+    assert(m(1L) == ((8, "efgHITtai")), s"doc1: ${m(1L)}")
+    // doc 3: pos 1, left edge clamps to 1 → [1, 6] = "HIT at"
+    assert(m(3L) == ((1, "HIT at")), s"doc3: ${m(3L)}")
+  }
+
   test("InvertedIndex: sorted postings, per-doc dedup, df cap, AND search") {
     import graft.functions.InvertedIndex
     import spark.implicits._
