@@ -289,4 +289,34 @@ object TableHealth {
         sum(when(col("__d") < l, col("__n")).otherwise(0L)).as("n_weak_rows"))
       .withColumn("l_diverse", col("n_weak_rows") === 0L)
   }
+
+  /** Validity-interval integrity audit for SCD-2 / bitemporal tables:
+    * per id (ordered by start), counts of OVERLAPS (next interval
+    * starts before this one ends — two versions claim the same
+    * instant), GAPS (next starts after this ends — an instant with no
+    * version), and DEGENERATE intervals (end ≤ start). A clean history
+    * tiles: every audit count zero. NULL end = open interval (+∞), so
+    * an open interval with any successor is an overlap.
+    *
+    * One id-keyed window pass (lead) fused into a 1-row rollup —
+    * interval-cardinality work, half-open [from, to) semantics. */
+  def intervalAudit(df: DataFrame, id: Column, from: Column,
+      to: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__t"))
+    val inf = lit(Long.MaxValue)
+    df.select(id.as("__id"), from.cast("long").as("__f"),
+        to.cast("long").as("__t"))
+      .withColumn("__nf", lead(col("__f"), 1).over(w))
+      .agg(count(lit(1L)).as("n_intervals"),
+        countDistinct(col("__id")).as("n_ids"),
+        sum(when(coalesce(col("__t"), inf) <= col("__f"), 1L).otherwise(0L))
+          .as("n_degenerate"),
+        sum(when(col("__nf") < coalesce(col("__t"), inf), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col("__nf") > coalesce(col("__t"), inf), 1L).otherwise(0L))
+          .as("n_gaps"))
+      .withColumn("tiles_cleanly",
+        col("n_degenerate") + col("n_overlaps") + col("n_gaps") === 0L)
+  }
 }

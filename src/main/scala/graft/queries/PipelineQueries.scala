@@ -2325,6 +2325,61 @@ object PipelineQueries {
           "doc_id", "text", "vector", width = 20)
         .orderBy("doc_id")),
 
+    // Point-in-time enrichment: facts (shifted so some versions fall
+    // between snapshots and some precede history entirely) joined to
+    // the SCD-2 validity intervals THROUGH the no-join as-of machinery —
+    // the feature-store correctness primitive: each fact sees exactly
+    // the version current at its own timestamp, never a later one.
+    "pipeline_pit" -> ((s, dir) => {
+      val snaps = t(s, dir, "orders").select(
+        (col("o_orderkey") % 500).as("ent_id"),
+        col("o_orderkey").as("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+        .where(col("ent_id") < 20)
+      val hist = graft.ops.DataPrep.scd2History(snaps, "ent_id", "version",
+          Seq("status", "priority"))
+        .select(col("ent_id"), col("valid_from"), col("status"), col("priority"))
+      val facts = t(s, dir, "lineitem").select(
+          (col("l_orderkey") % 500).as("ent_id"),
+          (col("l_orderkey") - 3).as("v"))
+        .where(col("ent_id") < 20)
+      graft.ops.Analytics.asofJoin(facts, hist, Seq("ent_id"), "v", "valid_from")
+        .groupBy(coalesce(col("status"), lit("none")).as("status"),
+          coalesce(col("priority"), lit("none")).as("priority"))
+        .agg(count(lit(1L)).as("n_facts"),
+          countDistinct(col("ent_id")).as("n_ents"))
+        .orderBy("status", "priority")
+    }),
+
+    // Interval-integrity audit over a PLANTED messy interval table
+    // (ends derived from an unrelated column → real overlaps and gaps):
+    // the pre-flight before trusting any SCD-2/bitemporal join.
+    "pipeline_scd2_audit" -> ((s, dir) =>
+      graft.ops.TableHealth.intervalAudit(
+        t(s, dir, "orders").where(col("o_orderkey") % 50 < 10)
+          .select((col("o_orderkey") % 50).as("id"),
+            col("o_orderkey").as("f"),
+            (col("o_orderkey") + 1 + pmod(col("o_custkey"), lit(100)))
+              .as("tt")),
+        col("id"), col("f"), col("tt"))),
+
+    // kNN-distance outliers: the classic density-based anomaly score
+    // for embedding spaces — distance to the 5th nearest neighbor, ten
+    // most isolated vectors. Exact over a bounded subset (broadcast
+    // queries); the scale path swaps in the IVF/PQ index for candidate
+    // generation.
+    "sim_outlier" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings")
+        .where(col("vec_id") < 200 && size(col("embedding")) === 64)
+      val q = sub.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceKnn(sub, "vec_id", "embedding", q, "qid", "qvec", 5)
+        .where(col("rank") === 5)
+        .select(col("qid").as("vec_id"), col("cos").as("knn5_cos"),
+          round(lit(1.0) - col("cos"), 4).as("outlier_score"))
+        .orderBy(col("knn5_cos").asc, col("vec_id")).limit(10)
+    }),
+
     // Source-vocabulary similarity matrix: pairwise Jaccard between
     // per-source distinct term sets — term-keyed equi self-join over
     // the vocabulary-bounded (source, term) table; the corpus-mixing /
@@ -4384,6 +4439,63 @@ object PipelineQueries {
         | substr(text, greatest(pos - 20, 1),
         |   pos + 26 - greatest(pos - 20, 1)) AS snippet
         |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
+
+    // SCD-2 runs restated (same CTE chain as pipeline_scd2), then each
+    // fact picks the max valid_from <= its version — the PIT contract.
+    "pipeline_pit" ->
+      """WITH s AS (SELECT o_orderkey % 500 AS ent_id, o_orderkey AS version,
+        |        o_orderstatus AS status, o_orderpriority AS priority
+        |       FROM orders WHERE o_orderkey % 500 < 20),
+        |d AS (SELECT *, status || chr(1) || priority AS dg FROM s),
+        |c AS (SELECT *, CASE WHEN lag(dg) OVER
+        |        (PARTITION BY ent_id ORDER BY version) IS DISTINCT FROM dg
+        |       THEN 1 ELSE 0 END AS chg FROM d),
+        |r AS (SELECT *, sum(chg) OVER
+        |       (PARTITION BY ent_id ORDER BY version) AS run FROM c),
+        |h AS (SELECT ent_id, min(version) AS valid_from,
+        |       min(status) AS status, min(priority) AS priority
+        |      FROM r GROUP BY ent_id, run),
+        |f AS (SELECT l_orderkey % 500 AS ent_id, l_orderkey - 3 AS v
+        |      FROM lineitem WHERE l_orderkey % 500 < 20),
+        |m AS (SELECT f.ent_id, f.v,
+        |       (SELECT max(valid_from) FROM h
+        |        WHERE h.ent_id = f.ent_id AND h.valid_from <= f.v) AS vf
+        |      FROM f),
+        |j AS (SELECT m.ent_id, h.status, h.priority FROM m
+        |      LEFT JOIN h ON h.ent_id = m.ent_id AND h.valid_from = m.vf)
+        |SELECT coalesce(status, 'none') AS status,
+        | coalesce(priority, 'none') AS priority,
+        | CAST(count(*) AS BIGINT) AS n_facts,
+        | CAST(count(DISTINCT ent_id) AS BIGINT) AS n_ents
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_scd2_audit" ->
+      """WITH iv AS (SELECT o_orderkey % 50 AS id, o_orderkey AS f,
+        |        o_orderkey + 1 + o_custkey % 100 AS t
+        |       FROM orders WHERE o_orderkey % 50 < 10),
+        |x AS (SELECT id, f, t, lead(f) OVER
+        |       (PARTITION BY id ORDER BY f, t) AS nf FROM iv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+        | CAST(count(*) FILTER (WHERE t <= f) AS BIGINT) AS n_degenerate,
+        | CAST(count(*) FILTER (WHERE nf < t) AS BIGINT) AS n_overlaps,
+        | CAST(count(*) FILTER (WHERE nf > t) AS BIGINT) AS n_gaps,
+        | count(*) FILTER (WHERE t <= f) + count(*) FILTER (WHERE nf < t)
+        |   + count(*) FILTER (WHERE nf > t) = 0 AS tiles_cleanly
+        |FROM x""".stripMargin,
+
+    "sim_outlier" ->
+      """WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |             WHERE vec_id < 200 AND len(embedding) = 64),
+        |knn AS (SELECT a.vec_id, round(list_cosine_similarity(b.v, a.v), 4)
+        |          AS cos,
+        |        row_number() OVER (PARTITION BY a.vec_id
+        |          ORDER BY round(list_cosine_similarity(b.v, a.v), 4) DESC,
+        |            b.vec_id) AS rank
+        |       FROM sub a JOIN sub b ON a.vec_id != b.vec_id)
+        |SELECT vec_id, cos AS knn5_cos, round(1.0 - cos, 4) AS outlier_score
+        |FROM knn WHERE rank = 5
+        |ORDER BY knn5_cos ASC, vec_id LIMIT 10""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

@@ -1401,6 +1401,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(l.getAs[Long]("n_weak_rows") == 3L)
   }
 
+  test("intervalAudit: overlaps, gaps, degenerate, open intervals") {
+    import spark.implicits._
+    // id a: [0,10) [10,20) [20,null) — tiles except the OPEN interval
+    // has no successor → clean. id b: [0,10) [5,8) (overlap, and 5<8 ok)
+    // then [15,15) (degenerate, gap before it).
+    val iv = Seq(("a", 0L, Some(10L)), ("a", 10L, Some(20L)), ("a", 20L, None),
+                 ("b", 0L, Some(10L)), ("b", 5L, Some(8L)), ("b", 15L, Some(15L)))
+      .toDF("id", "f", "t")
+    val r = graft.ops.TableHealth.intervalAudit(iv, col("id"), col("f"), col("t"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_intervals") == 6 && r.getAs[Long]("n_ids") == 2)
+    assert(r.getAs[Long]("n_degenerate") == 1, "the [15,15) interval")
+    assert(r.getAs[Long]("n_overlaps") == 1, "[0,10) then next starts at 5")
+    assert(r.getAs[Long]("n_gaps") == 1, "[5,8) then next starts at 15")
+    assert(!r.getAs[Boolean]("tiles_cleanly"))
+    // an open interval WITH a successor is an overlap
+    val open = Seq(("x", 0L, None: Option[Long]), ("x", 5L, Some(9L)))
+      .toDF("id", "f", "t")
+    val ro = graft.ops.TableHealth.intervalAudit(open, col("id"), col("f"), col("t"))
+      .collect()(0)
+    assert(ro.getAs[Long]("n_overlaps") == 1)
+    // a cleanly tiling history passes
+    val clean = Seq(("c", 0L, Some(5L)), ("c", 5L, None: Option[Long]))
+      .toDF("id", "f", "t")
+    assert(graft.ops.TableHealth.intervalAudit(clean, col("id"), col("f"), col("t"))
+      .collect()(0).getAs[Boolean]("tiles_cleanly"))
+  }
+
   test("bloomPrunedJoin: exact vs plain join, rejects right-preserving types") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
