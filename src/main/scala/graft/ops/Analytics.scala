@@ -1241,4 +1241,68 @@ object Analytics {
       .select(col("__dow").as("dow"), col("n_days"), col("med_value"),
         col("mean_value"), col("resid_var_ratio"))
   }
+
+  /** Exact weighted quantiles per key: the smallest value whose
+    * cumulative weight reaches q·(total weight) — duration-weighted
+    * latency percentiles, token-weighted doc-length medians,
+    * importance-weighted score cuts; plain quantiles silently answer a
+    * different question when rows carry unequal mass.
+    *
+    * Shape: ONE key-partitioned window pass (cumulative weight ordered
+    * by value — ties share a value, so tie order cannot change the
+    * answer) fused into a per-key conditional-min aggregate; no
+    * self-joins, no per-q passes. Exact by construction — for sketched
+    * weighted quantiles at unbounded key cardinality, feed weights into
+    * the KLL path instead. */
+  def weightedQuantiles(df: DataFrame, key: Column, value: Column,
+      weight: Column, qs: Seq[Double], dp: Int = 6): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("__k"))
+    val cum = df.select(key.as("__k"), value.cast("double").as("__v"),
+        weight.cast("double").as("__w"))
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(tot))
+    val aggs = qs.map(q =>
+      round(min(when(col("__cw") >= col("__tw") * q, col("__v"))), dp)
+        .as(s"wq_${(q * 100).round}")) :+
+      round(sum(col("__w")), dp).as("total_weight")
+    cum.groupBy(col("__k").as("key")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sessionization with BOTH an idle-gap break and a max-duration cap:
+    * a session ends after `gapSec` of silence OR at `capSec` from its
+    * start (long-running machine sessions — exactly the traffic the
+    * burstiness screen flags — otherwise produce unbounded sessions
+    * that poison engagement metrics). The cap splits a gap-session at
+    * fixed `capSec` offsets from its start. Returns per-key session
+    * summaries.
+    *
+    * Shape: two window passes over the SAME key partitioning (gap
+    * detection, then offset-within-session) — one exchange — and a
+    * (key, session) aggregate. */
+  def cappedSessionStats(df: DataFrame, key: Column, ts: Column,
+      gapSec: Long, capSec: Long): DataFrame = {
+    require(gapSec > 0 && capSec > 0, "gapSec and capSec must be positive")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val ws = Window.partitionBy(col("__k"), col("__gs"))
+    val marked = df.select(key.as("__k"), unix_timestamp(ts).as("__t"))
+      .withColumn("__brk",
+        when(col("__t") - lag(col("__t"), 1).over(w) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("__gs", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__sub",
+        floor((col("__t") - min(col("__t")).over(ws)) / capSec))
+    marked.groupBy(col("__k"), col("__gs"), col("__sub"))
+      .agg(count(lit(1L)).as("__n"),
+        (max(col("__t")) - min(col("__t"))).as("__len"))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1L)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        max(col("__n")).as("max_session_events"),
+        max(col("__len")).as("max_session_sec"))
+  }
 }

@@ -116,4 +116,23 @@ object Profiler {
         round(lit(1.0) - col("__uniq") / col("n_docs").cast("double"), dp)
           .as("exact_dup_rate"))
   }
+
+  /** Null-pattern mining: rows grouped by their null SIGNATURE across
+    * `cols` (a 0/1 string, column order as given) — which columns go
+    * missing TOGETHER. Per-column null counts (what [[profileTable]]
+    * reports) hide structure: "phone and email are null jointly in 30%
+    * of rows" is an ingestion-path bug signature, not two independent
+    * gaps. One signature-keyed aggregate (≤2^|cols| cells). */
+  def nullPatterns(df: DataFrame, cols: Seq[String], dp: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val sig = concat(cols.map(c =>
+      when(col(c).isNull, lit("1")).otherwise(lit("0"))): _*)
+    val per = df.select(sig.as("null_pattern"))
+      .groupBy("null_pattern").agg(count(lit(1L)).as("n_rows"))
+    val tot = Window.partitionBy()
+    per.select(col("null_pattern"), col("n_rows"),
+      round(col("n_rows") / sum(col("n_rows")).over(tot).cast("double"), dp)
+        .as("share"))
+  }
 }

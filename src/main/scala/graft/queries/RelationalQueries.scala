@@ -968,6 +968,34 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Weighted quantiles: token/quantity-weighted percentiles — the
+    // smallest value whose cumulative WEIGHT reaches q·total; one
+    // window pass + conditional mins, exact.
+    "q_wquantile" -> ((s, dir) =>
+      Analytics.weightedQuantiles(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+          qs = Seq(0.5, 0.9))
+        .orderBy("key")),
+
+    // Sessionization with an idle-gap break AND a 2-hour duration cap —
+    // machine traffic otherwise yields unbounded sessions.
+    "q_sessions_capped" -> ((s, dir) =>
+      Analytics.cappedSessionStats(t(s, dir, "events"), col("user_id"),
+          col("ts"), gapSec = 1800L, capSec = 7200L)
+        .orderBy("key")),
+
+    // Null-pattern mining over PLANTED correlated nulls: which columns
+    // go missing together (ingestion-path signatures, not per-column
+    // tallies).
+    "chk_null_patterns" -> ((s, dir) =>
+      graft.ops.Profiler.nullPatterns(
+        t(s, dir, "lineitem").select(
+          when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag")).as("a"),
+          when(col("l_discount") < 0.02, lit(null)).otherwise(col("l_discount")).as("b"),
+          when(col("l_returnflag") === "N" && col("l_discount") < 0.02,
+            lit(null)).otherwise(col("l_tax")).as("c")),
+        Seq("a", "b", "c")).orderBy("null_pattern")),
+
     // Day-of-week seasonal profile of daily purchase value + the
     // residual-variance verdict: does the weekday baseline explain
     // structure a flat monitor would re-alarm on weekly?
@@ -1780,6 +1808,51 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_wquantile" ->
+      """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+        |        CAST(l_quantity AS DOUBLE) AS w,
+        |        sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |        sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        |       FROM lineitem)
+        |SELECT k AS key,
+        | round(min(v) FILTER (WHERE cw >= 0.5*tw), 6) AS wq_50,
+        | round(min(v) FILTER (WHERE cw >= 0.9*tw), 6) AS wq_90,
+        | round(sum(w), 6) AS total_weight
+        |FROM c GROUP BY k ORDER BY key""".stripMargin,
+
+    "q_sessions_capped" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts)//1000000 AS t FROM events),
+        |b AS (SELECT k, t, CASE WHEN t - lag(t) OVER
+        |        (PARTITION BY k ORDER BY t) > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT k, t, sum(brk) OVER (PARTITION BY k ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gs
+        |      FROM b),
+        |o AS (SELECT k, t, gs,
+        |       (t - min(t) OVER (PARTITION BY k, gs)) // 7200 AS sub FROM g),
+        |sess AS (SELECT k, gs, sub, CAST(count(*) AS BIGINT) AS n,
+        |        max(t) - min(t) AS len FROM o GROUP BY 1, 2, 3)
+        |SELECT k AS key, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST(max(n) AS BIGINT) AS max_session_events,
+        | max(len) AS max_session_sec
+        |FROM sess GROUP BY k ORDER BY key""".stripMargin,
+
+    "chk_null_patterns" ->
+      """WITH p AS (SELECT
+        |  CASE WHEN l_returnflag = 'N' THEN '1' ELSE '0' END ||
+        |  CASE WHEN l_discount < 0.02 THEN '1' ELSE '0' END ||
+        |  CASE WHEN l_returnflag = 'N' AND l_discount < 0.02
+        |    THEN '1' ELSE '0' END AS null_pattern
+        | FROM lineitem),
+        |g AS (SELECT null_pattern, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot FROM g)
+        |SELECT null_pattern, n_rows, round(n_rows/tot, 6) AS share
+        |FROM g, t ORDER BY null_pattern""".stripMargin,
 
     // DuckDB dayofweek is 0 = Sunday; Spark's is 1 = Sunday → +1.
     "q_seasonal" ->

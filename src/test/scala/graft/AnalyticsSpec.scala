@@ -1401,6 +1401,53 @@ class AnalyticsSpec extends SparkSuite {
     assert(l.getAs[Long]("n_weak_rows") == 3L)
   }
 
+  test("weightedQuantiles: mass moves the cut where plain quantiles would not") {
+    import spark.implicits._
+    // values 1..4; weight 97 on value 4 → weighted median = 4 while the
+    // unweighted median of the same values is 2.5
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 97.0))
+      .map { case (v, w) => ("k", v, w) }.toDF("g", "v", "w")
+    val r = Analytics.weightedQuantiles(df, col("g"), col("v"), col("w"),
+      qs = Seq(0.5, 0.9)).collect()(0)
+    assert(r.getAs[Double]("wq_50") == 4.0 && r.getAs[Double]("wq_90") == 4.0)
+    assert(r.getAs[Double]("total_weight") == 100.0)
+    // uniform weights reduce to the "first row at/after the rank" rule
+    val u = Seq(1.0, 2.0, 3.0, 4.0).map(v => ("k", v, 1.0)).toDF("g", "v", "w")
+    val ru = Analytics.weightedQuantiles(u, col("g"), col("v"), col("w"),
+      qs = Seq(0.5)).collect()(0)
+    assert(ru.getAs[Double]("wq_50") == 2.0, "cw 2 >= 0.5·4 at value 2")
+  }
+
+  test("cappedSessionStats: gap break plus duration-cap split") {
+    import spark.implicits._
+    // key u: events at 0..5h hourly with gap 90m never exceeded BUT cap
+    // 2h splits the single gap-session into 3 (offsets 0-1h, 2-3h, 4-5h);
+    // then a 4h silence starts session 4 at t=9h.
+    val secs = Seq(0L, 3600L, 7200L, 10800L, 14400L, 18000L, 32400L)
+    val df = secs.map(t => ("u", t)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val r = Analytics.cappedSessionStats(df, col("k"), col("ts"),
+      gapSec = 5400L, capSec = 7200L).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 4, s"3 cap splits + 1 gap: $r")
+    assert(r.getAs[Long]("n_events") == 7)
+    assert(r.getAs[Long]("max_session_events") == 2)
+    assert(r.getAs[Long]("max_session_sec") == 3600L)
+    // without the cap the same data is 2 sessions
+    val rNoCap = Analytics.cappedSessionStats(df, col("k"), col("ts"),
+      gapSec = 5400L, capSec = 1000000L).collect()(0)
+    assert(rNoCap.getAs[Long]("n_sessions") == 2)
+  }
+
+  test("nullPatterns: joint-null signatures with shares") {
+    import spark.implicits._
+    val df = Seq((Some(1), Some(1)), (None, None), (None, None), (Some(1), None))
+      .toDF("a", "b")
+    val m = graft.ops.Profiler.nullPatterns(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("00") == ((1L, 0.25)) && m("11") == ((2L, 0.5)) &&
+      m("01") == ((1L, 0.25)) && m.size == 3)
+  }
+
   test("intervalAudit: overlaps, gaps, degenerate, open intervals") {
     import spark.implicits._
     // id a: [0,10) [10,20) [20,null) — tiles except the OPEN interval
