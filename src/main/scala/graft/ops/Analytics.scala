@@ -1305,4 +1305,89 @@ object Analytics {
         max(col("__n")).as("max_session_events"),
         max(col("__len")).as("max_session_sec"))
   }
+
+  /** Optimal binary split of a numeric feature against a binary label
+    * by information gain — the decision-stump / supervised-binning
+    * primitive (feature triage before model training, monotone-binning
+    * seeds, leakage sniffing: a near-perfect split of the label by one
+    * feature is usually a leak). Candidate thresholds are the feature's
+    * DISTINCT values ("x ≤ v" splits); returns the best row:
+    * (threshold, gain, n_left, n_right) with ties to the smallest
+    * threshold.
+    *
+    * Shape: one (value)-keyed aggregation (the only corpus exchange —
+    * cardinality = |distinct feature values|), cumulative windows over
+    * that value table, entropy algebra in-scan, one TakeOrdered(1). */
+  def bestSplit(df: DataFrame, feature: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val cells = df.select(feature.cast("double").as("__v"),
+        label.cast("double").as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1L)).cast("double").as("__n"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def ent(p: Column): Column =
+      when(p <= 0 || p >= 1, lit(0.0))
+        .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+    val cum = cells
+      .withColumn("__nl", sum(col("__n")).over(w))
+      .withColumn("__pl", sum(col("__p")).over(w))
+      .withColumn("__nt", sum(col("__n")).over(tot))
+      .withColumn("__pt", sum(col("__p")).over(tot))
+      .where(col("__nl") < col("__nt")) // the top value is not a split
+    cum.select(col("__v").as("threshold"),
+        round(ent(col("__pt") / col("__nt")) -
+          (col("__nl") / col("__nt")) * ent(col("__pl") / col("__nl")) -
+          ((col("__nt") - col("__nl")) / col("__nt")) *
+            ent((col("__pt") - col("__pl")) / (col("__nt") - col("__nl"))), dp)
+          .as("gain"),
+        col("__nl").cast("long").as("n_left"),
+        (col("__nt") - col("__nl")).cast("long").as("n_right"),
+        round(col("__pl") / col("__nl"), dp).as("pos_rate_left"),
+        round((col("__pt") - col("__pl")) / (col("__nt") - col("__nl")), dp)
+          .as("pos_rate_right"))
+      .orderBy(col("gain").desc, col("threshold"))
+      .limit(1)
+  }
+
+  /** Linear interpolation of missing buckets inside each key's observed
+    * span — [[regularizeSeries]]' forward-fill sibling for magnitudes
+    * (fill a gauge between readings; ffill is right for states, linear
+    * for levels). Dense grid generated IN the scan from each key's
+    * 1-row span (no calendar cross join); each missing bucket takes
+    * prev + (next − prev)·(distance/gap width). Returns (key, bucket,
+    * value, is_observed).
+    *
+    * Shape: one key-keyed exchange carries the span aggregate, the
+    * grid explode and the two fill windows (last-non-null backward,
+    * first-non-null forward over the same partitioning). */
+  def interpolateSeries(obs: DataFrame, key: Column, bucketCol: Column,
+      value: Column, step: Long, dp: Int = 6): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val o = obs.select(key.as("__k"), bucketCol.cast("long").as("__b"),
+      value.cast("double").as("__x"))
+    val grid = o.groupBy(col("__k"))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col("__k"),
+        explode(sequence(col("__lo"), col("__hi"), lit(step))).as("__b"))
+    val joined = grid.join(o, Seq("__k", "__b"), "left")
+    val back = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = joined
+      .withColumn("__pv", last(col("__x"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(when(col("__x").isNotNull, col("__b")),
+        ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__x"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(when(col("__x").isNotNull, col("__b")),
+        ignoreNulls = true).over(fwd))
+    filled.select(col("__k").as("key"), col("__b").as("bucket"),
+      round(when(col("__x").isNotNull, col("__x"))
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+          (col("__b") - col("__pb")) / (col("__nb") - col("__pb"))), dp)
+        .as("value"),
+      col("__x").isNotNull.as("is_observed"))
+  }
 }

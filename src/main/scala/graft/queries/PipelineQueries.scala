@@ -2274,6 +2274,16 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Adamic–Adar link prediction over the word co-occurrence graph:
+    // top unlinked pairs by Σ 1/ln(deg) over common neighbors — rare
+    // shared neighbors outvote hubs; hub pivots are excluded from
+    // wedge generation (their O(deg²) wedges carry the least signal).
+    "graph_linkpred" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.adamicAdar(edges, "src", "dst", k = 20)
+    }),
+
     // Inverted-index retrieval: build the term → sorted-postings index
     // (one term-keyed exchange), then conjunctive search touching ONLY
     // the queried terms' postings — work ∝ Σ df(query), never corpus
@@ -4386,6 +4396,29 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
         |       FROM r2) WHERE rn = 1)
         |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
+
+    // same edge construction as graph_pagerank's oracle, canonicalized
+    // undirected; wedges at pivots with 2 <= deg <= 1000; existing
+    // pairs anti-joined away.
+    "graph_linkpred" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e0 AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0),
+        |un AS (SELECT a AS z, b AS n FROM c UNION ALL SELECT b, a FROM c),
+        |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM un GROUP BY z),
+        |p AS (SELECT un.z, deg.deg, un.n FROM un JOIN deg USING (z)
+        |      WHERE deg BETWEEN 2 AND 1000),
+        |w2 AS (SELECT p1.n AS pu, p2.n AS pv, p1.deg
+        |       FROM p p1 JOIN p p2 ON p1.z = p2.z AND p1.n < p2.n),
+        |sc AS (SELECT pu, pv, round(sum(1.0/ln(deg)), 6) AS aa_score,
+        |        CAST(count(*) AS BIGINT) AS n_common FROM w2 GROUP BY 1, 2),
+        |nt AS (SELECT sc.* FROM sc LEFT JOIN c
+        |        ON sc.pu = c.a AND sc.pv = c.b WHERE c.a IS NULL)
+        |SELECT pu AS u, pv AS v, aa_score, n_common FROM nt
+        |ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin,
 
     "text_search" ->
       """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),

@@ -968,6 +968,25 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Decision-stump split: the l_discount threshold best separating
+    // high-quantity lineitems by information gain — supervised binning
+    // / leakage triage in one value-keyed pass.
+    "q_best_split" -> ((s, dir) =>
+      Analytics.bestSplit(t(s, dir, "lineitem"),
+        col("l_discount"), (col("l_quantity") > 25).cast("int"))),
+
+    // Linear interpolation of missing hourly buckets per user (levels,
+    // not states — regularizeSeries' ffill sibling).
+    "q_interpolate" -> ((s, dir) => {
+      val hourly = t(s, dir, "events").where(col("user_id") < 10)
+        .groupBy(col("user_id").as("k"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("b"))
+        .agg(round(sum(col("value")), 4).as("x"))
+      Analytics.interpolateSeries(hourly, col("k"), col("b"), col("x"),
+          step = 3600L)
+        .orderBy("key", "bucket")
+    }),
+
     // Weighted quantiles: token/quantity-weighted percentiles — the
     // smallest value whose cumulative WEIGHT reaches q·total; one
     // window pass + conditional mins, exact.
@@ -1808,6 +1827,60 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_best_split" ->
+      """WITH cells AS (SELECT l_discount AS v, CAST(count(*) AS DOUBLE) AS n,
+        |        sum(CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END) AS p
+        |       FROM lineitem GROUP BY 1),
+        |cum AS (SELECT v,
+        |        sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS nl,
+        |        sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS pl,
+        |        sum(n) OVER () AS nt, sum(p) OVER () AS pt FROM cells),
+        |g AS (SELECT v AS threshold,
+        |       round(
+        |        (CASE WHEN pt/nt <= 0 OR pt/nt >= 1 THEN 0
+        |         ELSE -((pt/nt)*ln(pt/nt) + (1-pt/nt)*ln(1-pt/nt)) END)
+        |        - (nl/nt) * (CASE WHEN pl/nl <= 0 OR pl/nl >= 1 THEN 0
+        |           ELSE -((pl/nl)*ln(pl/nl) + (1-pl/nl)*ln(1-pl/nl)) END)
+        |        - ((nt-nl)/nt) * (CASE WHEN (pt-pl)/(nt-nl) <= 0
+        |            OR (pt-pl)/(nt-nl) >= 1 THEN 0
+        |           ELSE -(((pt-pl)/(nt-nl))*ln((pt-pl)/(nt-nl))
+        |             + (1-(pt-pl)/(nt-nl))*ln(1-(pt-pl)/(nt-nl))) END), 6)
+        |         AS gain,
+        |       CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+        |       round(pl/nl, 6) AS pos_rate_left,
+        |       round((pt-pl)/(nt-nl), 6) AS pos_rate_right
+        |      FROM cum WHERE nl < nt)
+        |SELECT * FROM g ORDER BY gain DESC, threshold LIMIT 1""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH o AS (SELECT user_id AS k,
+        |        (epoch_us(ts)//1000000)//3600*3600 AS b,
+        |        round(sum(value), 4) AS x
+        |       FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |span AS (SELECT k, min(b) AS lo, max(b) AS hi FROM o GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(lo, hi, 3600)) AS b FROM span),
+        |j AS (SELECT grid.k, grid.b, o.x FROM grid
+        |      LEFT JOIN o ON grid.k = o.k AND grid.b = o.b),
+        |f AS (SELECT k, b, x,
+        |       last_value(x IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |       last_value(CASE WHEN x IS NOT NULL THEN b END IGNORE NULLS)
+        |         OVER (PARTITION BY k ORDER BY b ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS pb,
+        |       first_value(x IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |       first_value(CASE WHEN x IS NOT NULL THEN b END IGNORE NULLS)
+        |         OVER (PARTITION BY k ORDER BY b ROWS BETWEEN CURRENT ROW
+        |           AND UNBOUNDED FOLLOWING) AS nb
+        |      FROM j)
+        |SELECT k AS key, b AS bucket,
+        | round(CASE WHEN x IS NOT NULL THEN x
+        |        ELSE pv + (nv - pv) * (b - pb) / (nb - pb) END, 6) AS value,
+        | x IS NOT NULL AS is_observed
+        |FROM f ORDER BY key, bucket""".stripMargin,
 
     "q_wquantile" ->
       """WITH c AS (SELECT l_returnflag AS k, l_extendedprice AS v,

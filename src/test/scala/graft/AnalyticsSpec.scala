@@ -1401,6 +1401,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(l.getAs[Long]("n_weak_rows") == 3L)
   }
 
+  test("bestSplit: finds the planted perfect threshold; tie goes to smallest") {
+    import spark.implicits._
+    // label = (x > 2): splitting at x <= 2 separates perfectly → gain =
+    // H(2/4) = ln 2; every other threshold is impure
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)).toDF("x", "y")
+    val r = Analytics.bestSplit(df, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Double]("threshold") == 2.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("gain") == ln2, s"perfect split gain = H(1/2): $r")
+    assert(r.getAs[Long]("n_left") == 2 && r.getAs[Long]("n_right") == 2)
+    assert(r.getAs[Double]("pos_rate_left") == 0.0 &&
+      r.getAs[Double]("pos_rate_right") == 1.0)
+    // uninformative label → all gains 0, tie broken by smallest threshold
+    val flat = Seq((1.0, 1), (2.0, 1), (3.0, 1)).toDF("x", "y")
+    val rf = Analytics.bestSplit(flat, col("x"), col("y")).collect()(0)
+    assert(rf.getAs[Double]("gain") == 0.0 &&
+      rf.getAs[Double]("threshold") == 1.0)
+  }
+
+  test("interpolateSeries: linear fill between observations, edges observed") {
+    import spark.implicits._
+    // key k: buckets 0→10.0, 30→40.0 with step 10 → bucket 10 = 20.0,
+    // bucket 20 = 30.0 (linear), endpoints pass through unchanged
+    val obs = Seq(("k", 0L, 10.0), ("k", 30L, 40.0)).toDF("g", "b", "x")
+    val out = Analytics.interpolateSeries(obs, col("g"), col("b"), col("x"),
+        step = 10L)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out == Map(0L -> ((10.0, true)), 10L -> ((20.0, false)),
+      20L -> ((30.0, false)), 30L -> ((40.0, true))))
+  }
+
   test("weightedQuantiles: mass moves the cut where plain quantiles would not") {
     import spark.implicits._
     // values 1..4; weight 97 on value 4 → weighted median = 4 while the

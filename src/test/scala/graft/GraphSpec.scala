@@ -139,4 +139,23 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m2 == m)
   }
+
+  test("adamicAdar: hand-computed scores, existing edges excluded, hub cap") {
+    import spark.implicits._
+    // square a-b-c-d-a plus diagonal a-c: predicted pair is (b,d) with
+    // common neighbors a and c, both degree 3 → score 2/ln(3). Pair
+    // (a,c) is an EXISTING edge and must not appear.
+    val edges = Seq(("a","b"), ("b","c"), ("c","d"), ("d","a"), ("a","c"))
+      .toDF("src", "dst")
+    val r = Graph.adamicAdar(edges, "src", "dst", k = 10).collect()
+    assert(r.length == 1, s"only (b,d) is predictable: ${r.mkString(";")}")
+    assert(r(0).getString(0) == "b" && r(0).getString(1) == "d")
+    val expect = BigDecimal(2.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getDouble(2) == expect && r(0).getLong(3) == 2L)
+    // pivot cap: with maxPivotDegree = 2 both degree-3 pivots are
+    // excluded and nothing is predicted
+    assert(Graph.adamicAdar(edges, "src", "dst", 10, maxPivotDegree = 2)
+      .count() == 0)
+  }
 }
