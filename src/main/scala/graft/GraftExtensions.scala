@@ -157,6 +157,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("deflate_ratio", "deflate_ratio(text, level) - raw-DEFLATE compressed/raw byte ratio of the UTF-8 text",
       exprs => DeflateRatio(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings",
+      exprs => JaroWinkler(exprs.head, exprs(1)))
     inject("normalize_text", "normalize_text(text, form, strip_accents, case_fold) - Unicode-normalized text",
       exprs => NormalizeText(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,

@@ -168,6 +168,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[UTF8String].toString,
         exprs(2).eval().asInstanceOf[Boolean],
         exprs(3).eval().asInstanceOf[Boolean]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -188,6 +190,11 @@ object GraftFunctions {
   /** text → sorted distinct 64-bit hashes of its char k-grams. */
   def charShingleHashes(c: Column, k: Int): Column =
     GraftColumn(CharShingleHashes(GraftColumn.expr(c), k))
+
+  /** Jaro-Winkler similarity of two strings (standard semantics,
+    * DuckDB-compatible). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumn(JaroWinkler(GraftColumn.expr(a), GraftColumn.expr(b)))
 
   /** Fused-loop cosine similarity of two vectors. */
   def cosineSim(a: Column, b: Column): Column =

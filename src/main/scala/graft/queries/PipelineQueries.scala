@@ -2296,6 +2296,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Jaro-Winkler similarity over the corpus VOCABULARY (all pairs of
+    // the bounded distinct-term table): the record-linkage scorer,
+    // value-for-value against DuckDB's jaro_winkler_similarity — a
+    // cross-ENGINE check of the native expression's exact semantics
+    // (window, transpositions, 0.7 boost threshold, prefix cap 4).
+    "text_jw" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TF.tokensWs(lower(col("text")))).as("w"))
+        .where(col("w") =!= "").distinct()
+      vocab.toDF("wa").join(vocab.toDF("wb"), col("wa") < col("wb"))
+        .select(col("wa"), col("wb"),
+          round(GraftFunctions.jaroWinkler(col("wa"), col("wb")), 6).as("jw"))
+        .where(col("jw") >= 0.5)
+        .orderBy("wa", "wb")
+    }),
+
     // Dataset-card manifest: per-source rows/share/tokens/chars,
     // dominant language with share, exact-duplicate rate — the
     // datasheet row every released corpus mix ships.
@@ -4428,6 +4444,15 @@ object PipelineQueries {
         | CAST(count(*) AS BIGINT) AS n_terms_matched
         |FROM toks WHERE term IN ('vector', 'stream', 'window', 'query')
         |GROUP BY doc_id HAVING count(*) = 4 ORDER BY doc_id""".stripMargin,
+
+    "text_jw" ->
+      """WITH t0 AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS w FROM documents),
+        |v AS (SELECT DISTINCT w FROM t0 WHERE w != ''),
+        |p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON a.w < b.w)
+        |SELECT wa, wb, round(jaro_winkler_similarity(wa, wb), 6) AS jw
+        |FROM p WHERE round(jaro_winkler_similarity(wa, wb), 6) >= 0.5
+        |ORDER BY wa, wb""".stripMargin,
 
     "pipeline_card" ->
       """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,

@@ -1230,6 +1230,29 @@ class PipelineSpec extends SparkSuite {
     assert(sq == r("rep"), "SQL name must agree with the Column builder")
   }
 
+  test("JaroWinkler: DuckDB-pinned values, boost threshold, edge cases") {
+    import graft.functions.JaroWinkler.score
+    // values pinned from DuckDB's jaro_winkler_similarity (rapidfuzz
+    // semantics: boost only when jaro > 0.7, prefix cap 4)
+    assert(score("martha", "marhta") == 0.9611111111111111)
+    assert(score("dixon", "dicksonx") == 0.8133333333333332)
+    assert(score("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(score("crate", "trace") == 0.7333333333333334, "no prefix, no boost")
+    assert(score("dwayne", "duane") == 0.8400000000000001)
+    assert(score("aaaaaaaaaa", "aaaaaaaaab") == 0.96, "prefix capped at 4")
+    // boost threshold: common prefix but jaro <= 0.7 → NO boost
+    assert(score("abZZZZZZZZ", "abYYYYYYYY") == 0.4666666666666666)
+    assert(score("abcdXXXX", "abcdYYYY") == 0.6666666666666666)
+    assert(score("abc", "abc") == 1.0 && score("", "") == 1.0)
+    assert(score("", "abc") == 0.0 && score("a", "b") == 0.0)
+    // SQL surface
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("martha", "marhta")).toDF("a", "b").createOrReplaceTempView("jw_t")
+    assert(spark.sql("SELECT jaro_winkler(a, b) FROM jw_t")
+      .head().getDouble(0) == 0.9611111111111111)
+  }
+
   test("datasetCard: shares, dominant lang, cross-lang dup not double-counted") {
     import spark.implicits._
     // srcA: 3 docs, 2 langs (en dominates), one exact dup ACROSS langs —
