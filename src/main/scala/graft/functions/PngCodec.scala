@@ -261,3 +261,51 @@ case class PngPixelStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
     copy(child = newChild)
 }
+
+/** Laplacian sharpness moments of a decoded PNG (Pech-Pacheco et al.
+  * 2000 — "variance of Laplacian", the standard no-reference blur/
+  * focus screen for image curation: screenshots of text score high,
+  * out-of-focus or upscaled photos score near zero). For every
+  * INTERIOR pixel of channel 0: v = 4·p − left − right − up − down;
+  * returns [n_interior, Σv, Σv²] as exact longs — variance is the
+  * caller's one division, so the oracle compares integers, not
+  * accumulated floats. NULL for undecodable bytes or images with no
+  * interior (w or h < 3). In-scan per-row kernel. */
+case class PngSharpness(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_sharpness"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"png_sharpness requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngCodec.decode8(input.asInstanceOf[Array[Byte]]) match {
+      case Some((w, h, c, px)) if w >= 3 && h >= 3 =>
+        val stride = w * c
+        var n = 0L; var sum = 0L; var sumsq = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val i = y * stride + x * c
+            val v = 4L * (px(i) & 0xff) - (px(i - c) & 0xff) -
+              (px(i + c) & 0xff) - (px(i - stride) & 0xff) -
+              (px(i + stride) & 0xff)
+            n += 1; sum += v; sumsq += v * v
+            x += 1
+          }
+          y += 1
+        }
+        new GenericArrayData(Array(n, sum, sumsq))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): PngSharpness =
+    copy(child = newChild)
+}

@@ -121,6 +121,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_pixel_stats", exprs => PngPixelStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "png_sharpness", exprs => PngSharpness(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_lsh_buckets", exprs => CosineLshBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -221,6 +223,9 @@ object GraftFunctions {
 
   /** PNG blob → array(w, h, n_samples, sum, min, max) of DECODED samples. */
   def pngPixelStats(c: Column): Column = GraftColumn(PngPixelStats(GraftColumn.expr(c)))
+
+  /** PNG bytes → [n_interior, lap_sum, lap_sumsq] Laplacian sharpness moments. */
+  def pngSharpness(c: Column): Column = GraftColumn(PngSharpness(GraftColumn.expr(c)))
 
   /** id → real baseline JPEG with the arithmetic constant-block rule (fixture). */
   def jpegGrayFixture(id: Column, wBlocks: Int, hBlocks: Int): Column =

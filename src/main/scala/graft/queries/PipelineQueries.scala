@@ -1289,6 +1289,29 @@ object PipelineQueries {
     // inflate + per-filter reversal — PngCodec), and the oracle evaluates
     // the same rule arithmetically, no codec needed. A decoder bug in any
     // filter type corrupts px_sum and fails the hash match.
+    // Laplacian variance-of-sharpness blur screen over the SAME
+    // arithmetic PNG fixtures mm_decode proves: interior 4-neighbor
+    // Laplacian moments come back as exact longs from the decoded
+    // pixels; the oracle recomputes every Laplacian value from the
+    // synthesis rule — a wrong filter reversal or stride anywhere in
+    // the decode path shifts the integer sums.
+    "mm_sharpness" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val st = GraftFunctions.pngSharpness(
+        GraftFunctions.pngGrayFixture(col("doc_id"), 16, 8))
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("n_interior"),
+          element_at(col("st"), 2).as("lap_sum"),
+          element_at(col("st"), 3).as("lap_sumsq"))
+        .withColumn("lap_var",
+          round(col("lap_sumsq") / col("n_interior") -
+            (col("lap_sum") / col("n_interior")) *
+            (col("lap_sum") / col("n_interior")), 6))
+        .orderBy("doc_id")
+    }),
+
     "mm_decode" -> ((s, dir) => {
       GraftFunctions.register(s)
       val st = GraftFunctions.pngPixelStats(
@@ -3828,6 +3851,24 @@ object PipelineQueries {
     // Same pixel rule the fixture encodes: pixel i = (doc_id*31+i*7)%256
     // over a 16x8 grayscale image — the oracle never touches PNG bytes;
     // the engine must reproduce these numbers from a real decode.
+    "mm_sharpness" ->
+      """WITH l AS (SELECT doc_id, flatten(list_transform(range(1, 7), y ->
+        |    list_transform(range(1, 15), x ->
+        |      4*((doc_id*31 + (y*16+x)*7) % 256)
+        |      - ((doc_id*31 + (y*16+x-1)*7) % 256)
+        |      - ((doc_id*31 + (y*16+x+1)*7) % 256)
+        |      - ((doc_id*31 + ((y-1)*16+x)*7) % 256)
+        |      - ((doc_id*31 + ((y+1)*16+x)*7) % 256)))) AS vs
+        | FROM documents WHERE doc_id < 50),
+        |m AS (SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_interior,
+        |       CAST(list_sum(vs) AS BIGINT) AS lap_sum,
+        |       CAST(list_sum(list_transform(vs, v -> v*v)) AS BIGINT)
+        |         AS lap_sumsq FROM l)
+        |SELECT doc_id, n_interior, lap_sum, lap_sumsq,
+        | round(lap_sumsq*1.0/n_interior
+        |   - (lap_sum*1.0/n_interior)*(lap_sum*1.0/n_interior), 6) AS lap_var
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "mm_decode" ->
       """WITH px AS (SELECT doc_id,
         |  list_transform(range(0, 128), i -> (doc_id*31 + i*7) % 256) AS p,

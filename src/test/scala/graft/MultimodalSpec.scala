@@ -710,4 +710,38 @@ class MultimodalSpec extends SparkSuite {
     assert(WavFrameStats(Literal(wav), 100000).nullSafeEval(wav) == null)
     assert(WavFrameStats(Literal("junk".getBytes), 64).nullSafeEval("junk".getBytes) == null)
   }
+
+  test("PngSharpness: blur ranks below texture; constant = 0; edge cases") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def moments(png: Array[Byte]): Option[(Long, Long, Long)] =
+      Option(graft.functions.PngSharpness(Literal(png)).nullSafeEval(png)).map { r =>
+        val a = r.asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .toLongArray()
+        (a(0), a(1), a(2))
+      }
+    def lapVar(png: Array[Byte]): Double = {
+      val (n, s, ss) = moments(png).get
+      ss.toDouble / n - (s.toDouble / n) * (s.toDouble / n)
+    }
+    // constant image: every Laplacian is 0
+    val flat = graft.functions.PngCodec.encode8(8, 8, 1, Array.fill[Byte](64)(100.toByte))
+    assert(moments(flat).get == ((36L, 0L, 0L)))
+    // checkerboard (sharpest possible texture) scores high; its 2×2
+    // block-upscaled version (a "blurrier" rendition of the same
+    // pattern) scores LOWER — the discrimination the screen exists for
+    val checker = graft.functions.PngCodec.encode8(8, 8, 1,
+      Array.tabulate[Byte](64)(i => if ((i / 8 + i % 8) % 2 == 0) 0 else 255.toByte))
+    val blocky = graft.functions.PngCodec.encode8(8, 8, 1,
+      Array.tabulate[Byte](64)(i => if ((i / 16 + (i % 8) / 2) % 2 == 0) 0 else 255.toByte))
+    assert(lapVar(checker) > lapVar(blocky) && lapVar(blocky) > 0.0,
+      s"checker ${lapVar(checker)} vs blocky ${lapVar(blocky)}")
+    // linear ramp: interior Laplacians are exactly 0 (second derivative)
+    val ramp = graft.functions.PngCodec.encode8(8, 8, 1, Array.tabulate[Byte](64)(i => (i % 8 * 10).toByte))
+    assert(moments(ramp).get == ((36L, 0L, 0L)))
+    // no interior → NULL; junk bytes → NULL
+    val tiny = graft.functions.PngCodec.encode8(2, 2, 1, Array.fill[Byte](4)(7))
+    assert(moments(tiny).isEmpty)
+    assert(graft.functions.PngSharpness(Literal("junk".getBytes))
+      .nullSafeEval("junk".getBytes) == null)
+  }
 }
