@@ -136,4 +136,48 @@ object Skew {
         .reduce(_ && _),
       joinType)
   }
+
+  /** Shuffle-partition pre-flight: estimate the table's in-flight byte
+    * volume from a DETERMINISTIC per-row width rule (strings at their
+    * UTF-8 length, fixed-width types at their slot size) and recommend
+    * a partition count for `targetPartitionBytes` — the number that
+    * decides whether a 100 TB shuffle spills (too few partitions) or
+    * drowns in task overhead (too many). The recommendation never drops
+    * below `minPartitions` (keep every core busy). One
+    * partially-aggregated scan, 1-row output:
+    * (n_rows, est_bytes, avg_row_bytes, recommended_partitions,
+    * rows_per_partition).
+    *
+    * The width rule is an ESTIMATE of serialized size, not an exact
+    * shuffle-byte prediction (compression, encoding and overhead vary);
+    * its value is being cheap, deterministic, and proportional. */
+  def partitionAdvisor(df: DataFrame, columns: Seq[String],
+      targetPartitionBytes: Long, minPartitions: Int): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    require(targetPartitionBytes > 0 && minPartitions > 0, "bad sizing")
+    import org.apache.spark.sql.types._
+    val widths: Seq[org.apache.spark.sql.Column] = columns.map { c =>
+      df.schema(c).dataType match {
+        case StringType => coalesce(octet_length(col(c)).cast("long"), lit(0L))
+        case BinaryType => coalesce(length(col(c)).cast("long"), lit(0L))
+        case LongType | DoubleType | TimestampType | TimestampNTZType => lit(8L)
+        case IntegerType | FloatType | DateType => lit(4L)
+        case ShortType => lit(2L)
+        case BooleanType | ByteType => lit(1L)
+        case other => throw new IllegalArgumentException(
+          s"partitionAdvisor has no width rule for $c: ${other.simpleString}")
+      }
+    }
+    df.agg(count(lit(1L)).as("n_rows"),
+        coalesce(sum(widths.reduce(_ + _)), lit(0L)).as("est_bytes"))
+      .select(col("n_rows"), col("est_bytes"),
+        round(col("est_bytes") / col("n_rows").cast("double"), 2)
+          .as("avg_row_bytes"),
+        greatest(lit(minPartitions.toLong),
+          ceil(col("est_bytes") / targetPartitionBytes.toDouble))
+          .as("recommended_partitions"))
+      .withColumn("rows_per_partition",
+        ceil(col("n_rows") / col("recommended_partitions").cast("double"))
+          .cast("long"))
+  }
 }

@@ -248,6 +248,14 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Shuffle-partition pre-flight over lineitem at a 16 MiB target:
+    // deterministic width rule (strings at UTF-8 length, fixed slots),
+    // one partially-aggregated scan.
+    "chk_partition_plan" -> ((s, dir) =>
+      graft.ops.Skew.partitionAdvisor(t(s, dir, "lineitem"),
+        t(s, dir, "lineitem").columns.toSeq,
+        targetPartitionBytes = 16L * 1024 * 1024, minPartitions = 32)),
+
     // l-diversity over (nation, segment) quasi-groups with the account
     // balance banded to thousands as the sensitive attribute — the
     // homogeneity-attack audit k-anonymity cannot see.
@@ -702,6 +710,20 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_partition_plan" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(68 + coalesce(strlen(l_returnflag), 0)
+        |    + coalesce(strlen(l_linestatus), 0)) AS BIGINT) AS est_bytes
+        | FROM lineitem)
+        |SELECT n_rows, est_bytes,
+        | round(est_bytes*1.0/n_rows, 2) AS avg_row_bytes,
+        | greatest(32, CAST(ceil(est_bytes/16777216.0) AS BIGINT))
+        |   AS recommended_partitions,
+        | CAST(ceil(n_rows*1.0/greatest(32,
+        |   CAST(ceil(est_bytes/16777216.0) AS BIGINT))) AS BIGINT)
+        |   AS rows_per_partition
+        |FROM a""".stripMargin,
 
     "chk_ldiv" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,

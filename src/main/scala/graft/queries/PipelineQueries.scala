@@ -2413,6 +2413,24 @@ object PipelineQueries {
               .as("tt")),
         col("id"), col("f"), col("tt"))),
 
+    // Per-dimension embedding health: mean/variance/zero-fraction of
+    // every coordinate — dead dimensions (variance ≈ 0) waste index
+    // space and saturated ones dominate distances; the standard QA
+    // before building any ANN index. One posexplode + dim-keyed agg
+    // (64 groups).
+    "sim_dim_health" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .where(size(col("embedding")) === 64)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), col("v").cast("double").as("v"))
+        .groupBy("dim")
+        .agg(count(lit(1L)).as("n"),
+          round(avg(col("v")), 6).as("mean_v"),
+          round(var_samp(col("v")), 6).as("var_v"),
+          sum(when(abs(col("v")) < 1e-6, 1L).otherwise(0L)).as("n_zero"))
+        .withColumn("dead", col("var_v") < 1e-6)
+        .orderBy("dim")),
+
     // kNN-distance outliers: the classic density-based anomaly score
     // for embedding spaces — distance to the 5th nearest neighbor, ten
     // most isolated vectors. Exact over a bounded subset (broadcast
@@ -4582,6 +4600,17 @@ object PipelineQueries {
         | count(*) FILTER (WHERE t <= f) + count(*) FILTER (WHERE nf < t)
         |   + count(*) FILTER (WHERE nf > t) = 0 AS tiles_cleanly
         |FROM x""".stripMargin,
+
+    "sim_dim_health" ->
+      """WITH x AS (SELECT CAST(i AS INT) AS dim,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(v), 6) AS mean_v, round(var_samp(v), 6) AS var_v,
+        | CAST(count(*) FILTER (WHERE abs(v) < 1e-6) AS BIGINT) AS n_zero,
+        | round(var_samp(v), 6) < 1e-6 AS dead
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "sim_outlier" ->
       """WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

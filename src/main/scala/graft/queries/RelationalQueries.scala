@@ -968,6 +968,29 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Wilson 95% score interval per segment: the CI that stays honest
+    // at small n and extreme rates (the normal approximation does not)
+    // — metric engineering's default error bar. One conditional-sum
+    // scan, pure arithmetic.
+    "q_wilson" -> ((s, dir) => {
+      val z = 1.959964
+      val z2 = z * z
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n"),
+          avg(when(col("value") > 50, 1.0).otherwise(0.0)).as("__p"))
+        .select(col("event_type"), col("n"), round(col("__p"), 6).as("rate"),
+          round((col("__p") + lit(z2) / (col("n") * 2) -
+            lit(z) * sqrt(col("__p") * (lit(1.0) - col("__p")) / col("n") +
+              lit(z2) / (col("n") * col("n") * 4))) / (lit(1.0) + lit(z2) / col("n")), 6)
+            .as("wilson_low"),
+          round((col("__p") + lit(z2) / (col("n") * 2) +
+            lit(z) * sqrt(col("__p") * (lit(1.0) - col("__p")) / col("n") +
+              lit(z2) / (col("n") * col("n") * 4))) / (lit(1.0) + lit(z2) / col("n")), 6)
+            .as("wilson_high"))
+        .orderBy("event_type")
+    }),
+
     // Decision-stump split: the l_discount threshold best separating
     // high-quantity lineitems by information gain — supervised binning
     // / leakage triage in one value-keyed pass.
@@ -1827,6 +1850,19 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_wilson" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        avg(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) AS p
+        |       FROM events GROUP BY 1)
+        |SELECT event_type, n, round(p, 6) AS rate,
+        | round((p + 3.841458881296/(n*2)
+        |   - 1.959964*sqrt(p*(1.0-p)/n + 3.841458881296/(n*n*4)))
+        |   / (1.0 + 3.841458881296/n), 6) AS wilson_low,
+        | round((p + 3.841458881296/(n*2)
+        |   + 1.959964*sqrt(p*(1.0-p)/n + 3.841458881296/(n*n*4)))
+        |   / (1.0 + 3.841458881296/n), 6) AS wilson_high
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q_best_split" ->
       """WITH cells AS (SELECT l_discount AS v, CAST(count(*) AS DOUBLE) AS n,

@@ -1401,6 +1401,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(l.getAs[Long]("n_weak_rows") == 3L)
   }
 
+  test("partitionAdvisor: width rule, floor at minPartitions, ceil division") {
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "cdef"), (3L, null: String)).toDF("k", "s")
+    val r = graft.ops.Skew.partitionAdvisor(df, Seq("k", "s"),
+      targetPartitionBytes = 10L, minPartitions = 2).collect()(0)
+    // bytes: 3 longs (24) + "ab"(2) + "cdef"(4) + null(0) = 30
+    assert(r.getAs[Long]("n_rows") == 3 && r.getAs[Long]("est_bytes") == 30)
+    assert(r.getAs[Double]("avg_row_bytes") == 10.0)
+    assert(r.getAs[Long]("recommended_partitions") == 3, "ceil(30/10)")
+    assert(r.getAs[Long]("rows_per_partition") == 1)
+    // tiny table: the core floor wins
+    val rMin = graft.ops.Skew.partitionAdvisor(df, Seq("k"), 1000000L, 8)
+      .collect()(0)
+    assert(rMin.getAs[Long]("recommended_partitions") == 8)
+    // unknown type → explicit error, not a silent wrong estimate
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.partitionAdvisor(
+        Seq((Seq(1), 2)).toDF("arr", "x"), Seq("arr"), 10L, 2)
+    }
+  }
+
   test("bestSplit: finds the planted perfect threshold; tie goes to smallest") {
     import spark.implicits._
     // label = (x > 2): splitting at x <= 2 separates perfectly → gain =
