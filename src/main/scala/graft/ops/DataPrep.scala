@@ -502,4 +502,44 @@ object DataPrep {
       .orderBy(col("aes_key"), key)
       .limit(k)
   }
+
+  /** Quantile normalization of `target` onto `ref`'s distribution: each
+    * target value maps to the reference value at ITS OWN percentile —
+    * the distribution-alignment step when scores from different
+    * classifiers/sources must be comparable before a global threshold
+    * (quality filters trained per-source, perplexity from different
+    * LMs). Exact linear interpolation of the reference order
+    * statistics; ranks tie-break on `targetId` so the map is
+    * deterministic.
+    *
+    * Shape: one global sort per side (rank assignment — exact
+    * quantile mapping is inherently order-statistics work, so inputs
+    * are bounded-corpus scale; at unbounded scale substitute KLL
+    * quantiles for the reference side) and ONE equi-join on the
+    * floor-rank key. Returns (id, value, percentile, mapped). */
+  def quantileMap(ref: DataFrame, refVal: org.apache.spark.sql.Column,
+      target: DataFrame, targetId: org.apache.spark.sql.Column,
+      targetVal: org.apache.spark.sql.Column, dp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ref.select(refVal.cast("double").as("__v"))
+      .withColumn("__i", row_number().over(Window.orderBy(col("__v"))) - 1)
+    val na = a.count()
+    require(na >= 2, s"reference needs >= 2 rows, got $na")
+    val aw = a.withColumn("__vn", lead(col("__v"), 1).over(
+      Window.orderBy(col("__i"))))
+    val b = target.select(targetId.as("__id"), targetVal.cast("double").as("__t"))
+      .withColumn("__p",
+        (row_number().over(Window.orderBy(col("__t"), col("__id"))) - 1)
+          .cast("double") / (count(lit(1L)).over(Window.partitionBy()) - 1))
+    val pos = col("__p") * (na - 1)
+    b.withColumn("__lo", floor(pos).cast("long"))
+      .withColumn("__frac", pos - floor(pos))
+      .join(aw.select(col("__i").as("__lo"), col("__v").as("__vlo"),
+        col("__vn").as("__vhi")), "__lo")
+      .select(col("__id").as("id"), col("__t").as("value"),
+        round(col("__p"), dp).as("percentile"),
+        round(col("__vlo") + col("__frac") *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo")), dp)
+          .as("mapped"))
+  }
 }

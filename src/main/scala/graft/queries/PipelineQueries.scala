@@ -2413,6 +2413,17 @@ object PipelineQueries {
               .as("tt")),
         col("id"), col("f"), col("tt"))),
 
+    // Quantile normalization: src1 doc lengths mapped onto src0's
+    // length distribution — the cross-source score-alignment step
+    // before any global threshold; exact interpolated order statistics.
+    "pipeline_quantile_map" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.DataPrep.quantileMap(
+          docs.where(col("source") === "src0"), col("n_chars"),
+          docs.where(col("source") === "src1"), col("doc_id"), col("n_chars"))
+        .orderBy("id")
+    }),
+
     // Per-dimension embedding health: mean/variance/zero-fraction of
     // every coordinate — dead dimensions (variance ≈ 0) waste index
     // space and saturated ones dominate distances; the standard QA
@@ -4600,6 +4611,23 @@ object PipelineQueries {
         | count(*) FILTER (WHERE t <= f) + count(*) FILTER (WHERE nf < t)
         |   + count(*) FILTER (WHERE nf > t) = 0 AS tiles_cleanly
         |FROM x""".stripMargin,
+
+    "pipeline_quantile_map" ->
+      """WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |        row_number() OVER (ORDER BY n_chars) - 1 AS i
+        |       FROM documents WHERE source = 'src0'),
+        |an AS (SELECT i, v, lead(v) OVER (ORDER BY i) AS vn FROM a),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+        |b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS t,
+        |       (row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 1.0
+        |         / (count(*) OVER () - 1) AS p
+        |      FROM documents WHERE source = 'src1'),
+        |m AS (SELECT b.*, CAST(floor(p * (na.n - 1)) AS BIGINT) AS lo,
+        |       p * (na.n - 1) - floor(p * (na.n - 1)) AS frac FROM b, na)
+        |SELECT CAST(m.doc_id AS BIGINT) AS id, m.t AS value,
+        | round(m.p, 6) AS percentile,
+        | round(an.v + m.frac * (coalesce(an.vn, an.v) - an.v), 6) AS mapped
+        |FROM m JOIN an ON an.i = m.lo ORDER BY id""".stripMargin,
 
     "sim_dim_health" ->
       """WITH x AS (SELECT CAST(i AS INT) AS dim,

@@ -968,6 +968,26 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Funnel step latency: first view → earliest subsequent purchase
+    // per user, summarized as exact percentiles — "how long does
+    // conversion take", the time axis q_funnel's counts do not carry.
+    "q_funnel_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val deltas = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("t"))).over(w))
+        .where(col("event_type") === "purchase" &&
+          col("fv").isNotNull && col("t") >= col("fv"))
+        .groupBy("user_id").agg(min(col("t") - col("fv")).as("delta"))
+      deltas.agg(count(lit(1L)).as("n_converted"),
+        round(expr("percentile(delta, 0.5)"), 6).as("p50_sec"),
+        round(expr("percentile(delta, 0.9)"), 6).as("p90_sec"),
+        round(avg(col("delta")), 6).as("mean_sec"))
+    }),
+
     // Wilson 95% score interval per segment: the CI that stays honest
     // at small n and extreme rates (the normal approximation does not)
     // — metric engineering's default error bar. One conditional-sum
@@ -1850,6 +1870,22 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(ts)//1000000 AS t FROM events),
+        |f AS (SELECT user_id, min(t) FILTER (WHERE event_type = 'view') AS fv
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.user_id, min(e.t - f.fv) AS delta
+        |      FROM e JOIN f ON e.user_id = f.user_id
+        |      WHERE e.event_type = 'purchase' AND f.fv IS NOT NULL
+        |        AND e.t >= f.fv
+        |      GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        | round(quantile_cont(delta, 0.5), 6) AS p50_sec,
+        | round(quantile_cont(delta, 0.9), 6) AS p90_sec,
+        | round(avg(delta), 6) AS mean_sec
+        |FROM d""".stripMargin,
 
     "q_wilson" ->
       """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1230,6 +1230,23 @@ class PipelineSpec extends SparkSuite {
     assert(sq == r("rep"), "SQL name must agree with the Column builder")
   }
 
+  test("quantileMap: endpoints and midpoint interpolate exactly") {
+    import spark.implicits._
+    // ref distribution {0, 100}: target ranks 0, .5, 1 map to 0, 50, 100
+    val ref = Seq(0.0, 100.0).toDF("v")
+    val tgt = Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)).toDF("id", "x")
+    val m = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"), col("x"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((0.0, 0.0)))
+    assert(m(2L) == ((0.5, 50.0)))
+    assert(m(3L) == ((1.0, 100.0)), "top rank hits the last ref value")
+    // tie-break on id keeps equal target values deterministic
+    val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 9.0)).toDF("id", "x")
+    val mt = graft.ops.DataPrep.quantileMap(ref, col("v"), tied, col("id"), col("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(mt == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+  }
+
   test("JaroWinkler: DuckDB-pinned values, boost threshold, edge cases") {
     import graft.functions.JaroWinkler.score
     // values pinned from DuckDB's jaro_winkler_similarity (rapidfuzz
