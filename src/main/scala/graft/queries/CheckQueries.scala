@@ -248,6 +248,21 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Sequence-integrity audit: is the surrogate key dense? Missing ids
+    // (span minus distinct) mean silently dropped records; duplicates
+    // mean double ingestion. One partially-aggregated scan.
+    "chk_sequence" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1L)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_distinct"),
+        min(col("o_orderkey")).as("min_id"),
+        max(col("o_orderkey")).as("max_id"))
+        .select(col("n_rows"), col("n_distinct"), col("min_id"), col("max_id"),
+          (col("max_id") - col("min_id") + 1 - col("n_distinct")).as("n_missing"),
+          (col("n_rows") - col("n_distinct")).as("n_duplicated"),
+          (col("max_id") - col("min_id") + 1 === col("n_distinct") &&
+            col("n_rows") === col("n_distinct")).as("dense"))),
+
     // Shuffle-partition pre-flight over lineitem at a 16 MiB target:
     // deterministic width rule (strings at UTF-8 length, fixed slots),
     // one partially-aggregated scan.
@@ -710,6 +725,17 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_sequence" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |        min(o_orderkey) AS min_id, max(o_orderkey) AS max_id
+        |       FROM orders)
+        |SELECT n_rows, n_distinct, min_id, max_id,
+        | max_id - min_id + 1 - n_distinct AS n_missing,
+        | n_rows - n_distinct AS n_duplicated,
+        | max_id - min_id + 1 = n_distinct AND n_rows = n_distinct AS dense
+        |FROM a""".stripMargin,
 
     "chk_partition_plan" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,

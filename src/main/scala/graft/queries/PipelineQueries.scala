@@ -2424,6 +2424,27 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Embedding drift between label groups: pairwise cosine of group
+    // CENTROIDS — "are these sources/collections embedding into the
+    // same region". Dim-keyed mean aggregate (|groups|·64 cells) then a
+    // dim-equality self-join; no vector ever collects to the driver.
+    "sim_label_drift" -> ((s, dir) => {
+      val cells = t(s, dir, "embeddings")
+        .where(size(col("embedding")) === 64)
+        .select(pmod(col("label"), lit(5)).as("g"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("g", "dim").agg(avg(col("v").cast("double")).as("m"))
+      val a = cells.select(col("g").as("ga"), col("dim"), col("m").as("ma"))
+      val b = cells.select(col("g").as("gb"), col("dim"), col("m").as("mb"))
+      a.join(b, "dim").where(col("ga") < col("gb"))
+        .groupBy("ga", "gb")
+        .agg(round(
+          sum(col("ma") * col("mb")) /
+            (sqrt(sum(col("ma") * col("ma"))) * sqrt(sum(col("mb") * col("mb")))),
+          6).as("centroid_cos"))
+        .orderBy("ga", "gb")
+    }),
+
     // Per-dimension embedding health: mean/variance/zero-fraction of
     // every coordinate — dead dimensions (variance ≈ 0) waste index
     // space and saturated ones dominate distances; the standard QA
@@ -4628,6 +4649,17 @@ object PipelineQueries {
         | round(m.p, 6) AS percentile,
         | round(an.v + m.frac * (coalesce(an.vn, an.v) - an.v), 6) AS mapped
         |FROM m JOIN an ON an.i = m.lo ORDER BY id""".stripMargin,
+
+    "sim_label_drift" ->
+      """WITH cells AS (SELECT label % 5 AS g, CAST(i AS INT) AS dim,
+        |        avg(CAST(embedding[i+1] AS DOUBLE)) AS m
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64 GROUP BY 1, 2)
+        |SELECT a.g AS ga, b.g AS gb,
+        | round(sum(a.m*b.m)
+        |   / (sqrt(sum(a.m*a.m)) * sqrt(sum(b.m*b.m))), 6) AS centroid_cos
+        |FROM cells a JOIN cells b ON a.dim = b.dim AND a.g < b.g
+        |GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin,
 
     "sim_dim_health" ->
       """WITH x AS (SELECT CAST(i AS INT) AS dim,

@@ -968,6 +968,28 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Peak concurrency via the sweep line: each purchase opens a
+    // 30-minute session; +1/-1 deltas ordered by (time, delta) with
+    // ends before starts (half-open intervals), running sum, max. The
+    // sweep is inherently time-sequential — at 100 TB shard it by
+    // coarse time bucket and stitch boundary offsets; here the bounded
+    // purchase stream rides one ordered window.
+    "q_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t0 = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(unix_timestamp(col("ts")).as("t"))
+      val sweep = t0.select(col("t"), lit(1).as("d"))
+        .unionAll(t0.select((col("t") + 1800).as("t"), lit(-1).as("d")))
+        .withColumn("run", sum(col("d")).over(Window.orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peak = sweep.agg(max(col("run")).as("peak"))
+      sweep.crossJoin(peak).where(col("run") === col("peak"))
+        .agg(first(col("peak")).as("peak_concurrency"),
+          min(col("t")).as("first_peak_epoch"))
+        .crossJoin(t0.agg(count(lit(1L)).as("n_intervals")))
+    }),
+
     // Funnel step latency: first view → earliest subsequent purchase
     // per user, summarized as exact percentiles — "how long does
     // conversion take", the time axis q_funnel's counts do not carry.
@@ -1870,6 +1892,20 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH t0 AS (SELECT epoch_us(ts)//1000000 AS t FROM events
+        |            WHERE event_type = 'purchase'),
+        |sweep AS (SELECT t, 1 AS d FROM t0
+        |          UNION ALL SELECT t + 1800, -1 FROM t0),
+        |r AS (SELECT t, d, sum(d) OVER (ORDER BY t, d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM sweep),
+        |p AS (SELECT max(run) AS peak FROM r)
+        |SELECT CAST(p.peak AS BIGINT) AS peak_concurrency,
+        | min(r.t) AS first_peak_epoch,
+        | (SELECT CAST(count(*) AS BIGINT) FROM t0) AS n_intervals
+        |FROM r, p WHERE r.run = p.peak GROUP BY p.peak""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type,
