@@ -570,6 +570,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lv.as("dist"))
   }
 
+  /** The CANDIDATE pair set of the deletion-neighborhood blocking,
+    * BEFORE distance verification — exposed so blocking quality can be
+    * evaluated (pair completeness vs exact ground truth, reduction
+    * ratio vs all-pairs). For maxDist ≤ 2 the SymSpell neighborhood is
+    * complete by construction: every true within-distance pair shares a
+    * key, so measured completeness below 1.0 indicates a bug, not a
+    * tuning problem. Hash collisions can only ADD candidates
+    * (one-sided). */
+  def blockingCandidates(docs: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame =
+    deletionKeyed(docs, idCol, strCol, maxDist)
+      .select(col("__k"), col("__id").as("id_a"))
+      .join(deletionKeyed(docs, idCol, strCol, maxDist)
+        .select(col("__k"), col("__id").as("id_b")), "__k")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
   /** One row per (id, string, deletion-neighborhood key): the string
     * itself plus every string obtainable by deleting ≤ `maxDist`
     * characters — the SymSpell candidate key set. Keys ship as 64-bit

@@ -2650,6 +2650,31 @@ object PipelineQueries {
         .agg(count(lit(1L)).as("n_pairs"),
           sum(col("id_a") + col("id_b")).as("id_checksum"))
         .orderBy("dist")),
+
+    // Blocking-quality evaluation: the deletion-key candidate set vs
+    // the exact edit-distance-1 ground truth on a bounded subset —
+    // pair completeness (MUST be 1.0: the SymSpell neighborhood is
+    // complete by construction) and reduction ratio (how much of the
+    // all-pairs quadratic the blocking avoided).
+    "dedup_blocking_eval" -> ((s, dir) => {
+      val sub = t(s, dir, "customer").where(col("c_custkey") < 1000)
+        .select(col("c_custkey"), col("c_name"))
+      val cand = Dedup.blockingCandidates(sub, "c_custkey", "c_name", 1)
+      val a = sub.select(col("c_custkey").as("ia"), col("c_name").as("sa"))
+      val b = sub.select(col("c_custkey").as("ib"), col("c_name").as("sb"))
+      val truth = a.crossJoin(b).where(col("ia") < col("ib"))
+        .where(levenshtein(col("sa"), col("sb"), 1) >= 0)
+        .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      truth.agg(count(lit(1L)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1L)).as("n_candidates")))
+        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1L)).as("n_caught")))
+        .crossJoin(sub.agg(count(lit(1L)).as("__n")))
+        .select(col("n_truth"), col("n_candidates"), col("n_caught"),
+          (col("n_caught") === col("n_truth")).as("complete"),
+          round(lit(1.0) - col("n_candidates") /
+            (col("__n") * (col("__n") - 1) / 2.0), 6).as("reduction_ratio"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4815,6 +4840,28 @@ object PipelineQueries {
         | round(min(o_totalprice), 2) AS min_key,
         | round(max(o_totalprice), 2) AS max_key
         |FROM orders""".stripMargin,
+
+    "dedup_blocking_eval" ->
+      """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |           WHERE c_custkey < 1000),
+        |tr AS (SELECT a.id AS ia, b.id AS ib FROM s a JOIN s b
+        |       ON a.id < b.id WHERE levenshtein(a.nm, b.nm) <= 1),
+        |keys AS (SELECT id, unnest(list_distinct(list_append(
+        |        list_transform(range(1, length(nm) + 1),
+        |          i -> substr(nm, 1, i - 1) || substr(nm, i + 1, length(nm))),
+        |        nm))) AS k FROM s),
+        |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+        |         FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+        |cg AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+        |       FROM tr WHERE EXISTS (SELECT 1 FROM cand
+        |         WHERE cand.ia = tr.ia AND cand.ib = tr.ib)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM s)
+        |SELECT n_truth, n_candidates, n_caught,
+        | n_caught = n_truth AS complete,
+        | round(1.0 - n_candidates/(nn*(nn-1)/2.0), 6) AS reduction_ratio
+        |FROM ct, cc, cg, n""".stripMargin,
 
     "dedup_fuzzy" ->
       """WITH p AS (SELECT a.c_custkey AS ia, b.c_custkey AS ib,

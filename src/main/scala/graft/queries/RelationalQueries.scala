@@ -968,6 +968,31 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Session path mining: the most common full event-type journeys —
+    // sessionize on a 30-minute gap, concatenate each session's ordered
+    // types, count paths. One user-keyed window family + a path-keyed
+    // count; paths stay strings, never nested structures, so the
+    // exchange is narrow.
+    "q_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("brk",
+          when(col("t") - lag(col("t"), 1).over(w) > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val paths = sess
+        .groupBy(col("user_id"), col("sid"))
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("t"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      paths.groupBy("path").agg(count(lit(1L)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(15)
+    }),
+
     // Peak concurrency via the sweep line: each purchase opens a
     // 30-minute session; +1/-1 deltas ordered by (time, delta) with
     // ends before starts (half-open intervals), running sum, max. The
@@ -1892,6 +1917,23 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        epoch_us(ts)//1000000 AS t FROM events),
+        |b AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |        (PARTITION BY user_id ORDER BY t, event_id) > 1800
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM b),
+        |p AS (SELECT user_id, sid,
+        |       string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |      FROM g GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin,
 
     "q_concurrency" ->
       """WITH t0 AS (SELECT epoch_us(ts)//1000000 AS t FROM events
