@@ -968,6 +968,41 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // 2-D density grid (hour-of-day × value decile): the heatmap
+    // behind "when do large events happen" — one two-key aggregation,
+    // cardinality ≤ 24·10.
+    "q_histogram2d" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour_of_day"),
+          least(floor(col("value") / 10), lit(9L)).cast("int").as("value_decile"))
+        .agg(count(lit(1L)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("hour_of_day", "value_decile")),
+
+    // Rank movers: brands whose revenue RANK shifted most between the
+    // early and late shipping periods — both periods ride ONE
+    // conditional aggregation (no period self-join); ranks window over
+    // the bounded brand table.
+    "q_movers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), year(col("l_shipdate")).as("y"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .groupBy("p_brand")
+        .agg(round(sum(when(col("y") < 1995, col("rev")).otherwise(0.0)), 2)
+            .as("rev_early"),
+          round(sum(when(col("y") >= 1995, col("rev")).otherwise(0.0)), 2)
+            .as("rev_late"))
+      per.select(col("p_brand"), col("rev_early"), col("rev_late"),
+          row_number().over(Window.orderBy(col("rev_early").desc,
+            col("p_brand"))).as("rank_early"),
+          row_number().over(Window.orderBy(col("rev_late").desc,
+            col("p_brand"))).as("rank_late"))
+        .withColumn("rank_delta", col("rank_early") - col("rank_late"))
+        .orderBy(abs(col("rank_delta")).desc, col("p_brand")).limit(10)
+    }),
+
     // Session path mining: the most common full event-type journeys —
     // sessionize on a 30-minute gap, concatenate each session's ordered
     // types, count paths. One user-keyed window family + a path-keyed
@@ -1917,6 +1952,31 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_histogram2d" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+        | CAST(least(floor(value/10), 9) AS INT) AS value_decile,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour_of_day, value_decile""".stripMargin,
+
+    "q_movers" ->
+      """WITH per AS (SELECT p_brand,
+        |        round(sum(CASE WHEN year(l_shipdate) < 1995
+        |          THEN l_extendedprice*(1.0 - l_discount) ELSE 0 END), 2)
+        |          AS rev_early,
+        |        round(sum(CASE WHEN year(l_shipdate) >= 1995
+        |          THEN l_extendedprice*(1.0 - l_discount) ELSE 0 END), 2)
+        |          AS rev_late
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       GROUP BY 1),
+        |r AS (SELECT p_brand, rev_early, rev_late,
+        |       CAST(row_number() OVER (ORDER BY rev_early DESC, p_brand)
+        |         AS INT) AS rank_early,
+        |       CAST(row_number() OVER (ORDER BY rev_late DESC, p_brand)
+        |         AS INT) AS rank_late FROM per)
+        |SELECT *, rank_early - rank_late AS rank_delta FROM r
+        |ORDER BY abs(rank_early - rank_late) DESC, p_brand LIMIT 10""".stripMargin,
 
     "q_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
