@@ -2651,6 +2651,50 @@ object PipelineQueries {
           sum(col("id_a") + col("id_b")).as("id_checksum"))
         .orderBy("dist")),
 
+    // Streaming inverted-index ingest: three arrival files stream
+    // through foreachBatch, each batch indexed alone and appended as
+    // its own batch=N partition family; conjunctive search over the
+    // accumulated artifact (bucket-pruned) must equal the whole-corpus
+    // search — retrieval's version of the near-dup ingest protocol.
+    "text_stream_index" -> ((s, dir) => {
+      import graft.functions.InvertedIndex
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/idx_ingest")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        docs.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val indexDir = new java.io.File(root, "index").getPath
+      val q = graft.streaming.Streams.indexIngest(
+          s.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+            .parquet(stage.getPath),
+          "doc_id", "text", indexDir, buckets = 16)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", new java.io.File(root, "ckpt").getPath)
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val terms = Seq("merge", "filter", "group")
+      InvertedIndex.searchAll(
+          InvertedIndex.pruneToTerms(s.read.parquet(indexDir), terms, 16), terms)
+        .orderBy("doc_id")
+    }),
+
     // Blocking-quality evaluation: the deletion-key candidate set vs
     // the exact edit-distance-1 ground truth on a bounded subset —
     // pair completeness (MUST be 1.0: the SymSpell neighborhood is
@@ -4840,6 +4884,17 @@ object PipelineQueries {
         | round(min(o_totalprice), 2) AS min_key,
         | round(max(o_totalprice), 2) AS max_key
         |FROM orders""".stripMargin,
+
+    // identical semantics to text_search_index: the streaming-ingested
+    // artifact must answer exactly the whole-corpus conjunctive search
+    "text_stream_index" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, term FROM t0 WHERE term != '')
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM toks WHERE term IN ('merge', 'filter', 'group')
+        |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin,
 
     "dedup_blocking_eval" ->
       """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer

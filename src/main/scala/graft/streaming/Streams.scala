@@ -192,6 +192,34 @@ object Streams {
           shingleK, numHashes, bands, tauPct), batchId)
       }
 
+  /** Streaming inverted-index ingest: every micro-batch is indexed
+    * ALONE (one term-keyed exchange over the batch — cost ∝ batch,
+    * never corpus) and appended as its own `batch=N` partition family
+    * under `indexDir`, bucket-partitioned like
+    * [[graft.functions.InvertedIndex.write]]. A document lives in
+    * exactly one batch, so conjunctive search over the whole artifact
+    * (partition discovery reads every batch; the bucket filter still
+    * prunes directories) needs no merge or rebuild — the same
+    * no-rebuild property as the near-dup signature index, with the
+    * state in files, not the state store. */
+  def indexIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, buckets: Int = 16): Unit = {
+    import graft.functions.InvertedIndex
+    InvertedIndex.build(batch, idCol, textCol)
+      .withColumn("bucket", InvertedIndex.bucketOf(col("term"), buckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/batch=$batchId")
+  }
+
+  def indexIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, buckets: Int = 16): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexIngestBatch(batch, batchId, idCol, textCol, indexDir, buckets)
+      }
+
   /** Watermarked stream-stream INTERVAL join — the attribution shape:
     * a right-side row matches a left-side row with the same `key` when
     * its timestamp lands in [l_ts, l_ts + within]. Both sides carry
