@@ -968,6 +968,26 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // The classic star join (TPC-H Q5 shape): local-supplier revenue
+    // per nation within one region-year. Every dimension broadcasts;
+    // the only shuffle-joined pair is lineitem ⋈ orders — the plan
+    // shape that decides whether a 100 TB star query reads hours or
+    // minutes (PlanSpec-asserted).
+    "q_star_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1995)
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1L)).as("n_items"))
+        .orderBy("n_name")),
+
     // 2-D density grid (hour-of-day × value decile): the heatmap
     // behind "when do large events happen" — one two-key aggregation,
     // cardinality ≤ 24·10.
@@ -1952,6 +1972,19 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_histogram2d" ->
       """SELECT CAST(hour(ts) AS INT) AS hour_of_day,

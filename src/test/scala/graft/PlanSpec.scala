@@ -448,6 +448,15 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"cohort size join must be hash-keyed:\n$pc")
   }
 
+  test("q_star_join: every dimension broadcasts; only the fact pair shuffle-joins") {
+    val p = plan(q("q_star_join"))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4,
+      s"customer/supplier/nation/region must broadcast ($nBroadcast):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"star join must stay hash-keyed:\n$p")
+  }
+
   test("q_bloom_join: the Bloom probe filters the fact scan BEFORE the join") {
     val p = plan(q("q_bloom_join"))
     // the probe expression must sit in a Filter on the lineitem side,
