@@ -968,6 +968,36 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Growth accounting: per day, users split into new (first-ever
+    // active), retained (also active the previous day), resurrected
+    // (active before but not yesterday), churned (yesterday's actives
+    // who went silent). One (user, day)-distinct pass, a user-keyed
+    // lag window over the ACTIVITY table (not events), day-keyed
+    // counts. The standard DAU decomposition.
+    "q_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = t(s, dir, "events")
+        .select(col("user_id").as("u"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("u")).orderBy(col("d"))
+      val flagged = act
+        .withColumn("prev", lag(col("d"), 1).over(w))
+        .withColumn("status",
+          when(col("prev").isNull, "new")
+            .when(col("d") - col("prev") === 86400L, "retained")
+            .otherwise("resurrected"))
+      val active = flagged.groupBy(col("d"), col("status"))
+        .agg(count(lit(1L)).as("n"))
+      // churned on day X = users active on X-86400 with no activity on X
+      val churned = flagged.select(col("u"), (col("d") + 86400L).as("d"))
+        .join(act.select(col("u"), col("d")), Seq("u", "d"), "left_anti")
+        .groupBy(col("d")).agg(count(lit(1L)).as("n"))
+        .withColumn("status", lit("churned"))
+      active.unionByName(churned.select("d", "status", "n"))
+        .orderBy("d", "status")
+    }),
+
     // The classic star join (TPC-H Q5 shape): local-supplier revenue
     // per nation within one region-year. Every dimension broadcasts;
     // the only shuffle-joined pair is lineitem ⋈ orders — the plan
@@ -1972,6 +2002,25 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_growth" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |        (epoch_us(ts)//1000000)//86400*86400 AS d FROM events),
+        |f AS (SELECT u, d, lag(d) OVER (PARTITION BY u ORDER BY d) AS prev
+        |      FROM act),
+        |st AS (SELECT d, CASE WHEN prev IS NULL THEN 'new'
+        |        WHEN d - prev = 86400 THEN 'retained'
+        |        ELSE 'resurrected' END AS status FROM f),
+        |a AS (SELECT d, status, CAST(count(*) AS BIGINT) AS n
+        |      FROM st GROUP BY 1, 2),
+        |ch AS (SELECT f.d + 86400 AS d, 'churned' AS status,
+        |        CAST(count(*) AS BIGINT) AS n
+        |       FROM f WHERE NOT EXISTS (SELECT 1 FROM act
+        |         WHERE act.u = f.u AND act.d = f.d + 86400)
+        |       GROUP BY 1)
+        |SELECT d, status, n FROM a
+        |UNION ALL SELECT d, status, n FROM ch
+        |ORDER BY d, status""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,
