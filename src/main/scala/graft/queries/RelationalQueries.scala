@@ -968,6 +968,34 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Autocorrelation of daily purchase totals at lags 1 and 7 — the
+    // "is there weekly structure" companion to q_seasonal: ACF(7) ≫
+    // ACF(1) says weekday profile, not momentum. Day-keyed aggregate,
+    // lags over the |days|-bounded table, Pearson r from raw sums.
+    "q_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy((floor(unix_timestamp(col("ts")) / 86400) * 86400)
+          .cast("long").as("d"))
+        .agg(round(sum(col("value")), 4).as("v"))
+      val w = Window.orderBy(col("d"))
+      val lagged = daily.select(col("v"),
+        lag(col("v"), 1).over(w).as("l1"), lag(col("v"), 7).over(w).as("l7"))
+      val pairs = lagged.select(lit(1).as("lag"), col("v").as("x"), col("l1").as("y"))
+        .unionAll(lagged.select(lit(7).as("lag"), col("v").as("x"), col("l7").as("y")))
+        .where(col("y").isNotNull)
+      pairs.groupBy("lag")
+        .agg(count(lit(1L)).as("n_pairs"),
+          round((count(lit(1L)) * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))) /
+            (sqrt(count(lit(1L)) * sum(col("x") * col("x")) -
+              sum(col("x")) * sum(col("x"))) *
+             sqrt(count(lit(1L)) * sum(col("y") * col("y")) -
+              sum(col("y")) * sum(col("y")))), 6).as("acf"))
+        .orderBy("lag")
+    }),
+
     // Growth accounting: per day, users split into new (first-ever
     // active), retained (also active the previous day), resurrected
     // (active before but not yesterday), churned (yesterday's actives
@@ -2002,6 +2030,22 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (SELECT (epoch_us(ts)//1000000)//86400*86400 AS d,
+        |        round(sum(value), 4) AS v
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lagged AS (SELECT v,
+        |        lag(v, 1) OVER (ORDER BY d) AS l1,
+        |        lag(v, 7) OVER (ORDER BY d) AS l7 FROM daily),
+        |p AS (SELECT 1 AS lag, v AS x, l1 AS y FROM lagged
+        |      UNION ALL SELECT 7, v, l7 FROM lagged),
+        |f AS (SELECT lag, x, y FROM p WHERE y IS NOT NULL)
+        |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round((count(*)*sum(x*y) - sum(x)*sum(y))
+        |   / (sqrt(count(*)*sum(x*x) - sum(x)*sum(x))
+        |      * sqrt(count(*)*sum(y*y) - sum(y)*sum(y))), 6) AS acf
+        |FROM f GROUP BY lag ORDER BY lag""".stripMargin,
 
     "q_growth" ->
       """WITH act AS (SELECT DISTINCT user_id AS u,
