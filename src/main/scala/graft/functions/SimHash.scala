@@ -142,6 +142,11 @@ object GraftFunctions {
       "wav_frame_stats", exprs => WavFrameStats(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_quality_stats", exprs => WavQualityStats(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_any_contain", exprs => BloomAnyContain(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gif_gray_fixture", exprs => GifGrayFixture(exprs.head,
@@ -226,6 +231,11 @@ object GraftFunctions {
 
   /** PNG bytes → [n_interior, lap_sum, lap_sumsq] Laplacian sharpness moments. */
   def pngSharpness(c: Column): Column = GraftColumn(PngSharpness(GraftColumn.expr(c)))
+
+  /** WAV bytes → [n_samples, n_clipped, n_frames, n_silent] quality counts. */
+  def wavQualityStats(c: Column, clipLevel: Int, silenceEnergy: Long,
+      frameLen: Int): Column =
+    GraftColumn(WavQualityStats(GraftColumn.expr(c), clipLevel, silenceEnergy, frameLen))
 
   /** id → real baseline JPEG with the arithmetic constant-block rule (fixture). */
   def jpegGrayFixture(id: Column, wBlocks: Int, hBlocks: Int): Column =

@@ -682,3 +682,57 @@ case class WavFrameStats(child: Expression, frameLen: Int)
   override protected def withNewChildInternal(newChild: Expression): WavFrameStats =
     copy(child = newChild)
 }
+
+/** Audio-quality screen over decoded PCM: clipping and silence — the
+  * two standard reject signals of audio curation (a clipped recording
+  * distorted at capture; a silent one carries no signal). Counts
+  * samples at |s| ≥ `clipLevel` and `frameLen`-sample frames whose
+  * energy Σs² falls below `silenceEnergy`; returns
+  * [n_samples, n_clipped, n_frames, n_silent_frames] as exact longs
+  * (threshold verdicts are the caller's policy). NULL for non-PCM or
+  * shorter-than-one-frame audio. */
+case class WavQualityStats(child: Expression, clipLevel: Int,
+    silenceEnergy: Long, frameLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(clipLevel > 0 && silenceEnergy >= 0 && frameLen > 0,
+    s"bad thresholds: clip=$clipLevel silence=$silenceEnergy frame=$frameLen")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_quality_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wav_quality_stats requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavInfo.parsePcm(input.asInstanceOf[Array[Byte]]) match {
+      case Some((_, _, _, s)) if s.length >= frameLen =>
+        var clipped = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          if (v >= clipLevel || v <= -clipLevel) clipped += 1
+          i += 1
+        }
+        val nf = s.length / frameLen
+        var silent = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var j = f * frameLen
+          val end = j + frameLen
+          while (j < end) { val v = s(j).toLong; e += v * v; j += 1 }
+          if (e < silenceEnergy) silent += 1
+          f += 1
+        }
+        new GenericArrayData(Array(s.length.toLong, clipped, nf.toLong, silent))
+      case _ => null
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): WavQualityStats =
+    copy(child = newChild)
+}

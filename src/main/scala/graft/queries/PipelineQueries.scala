@@ -1289,6 +1289,27 @@ object PipelineQueries {
     // inflate + per-filter reversal — PngCodec), and the oracle evaluates
     // the same rule arithmetically, no codec needed. A decoder bug in any
     // filter type corrupts px_sum and fails the hash match.
+    // Audio-quality screen over REAL decoded PCM: clipping (|s| ≥ 2000)
+    // and near-silent frames (Σs² < 8e7 per 64-sample frame) counted as
+    // exact longs; the oracle recomputes every count from the fixture
+    // sample rule — the standard reject signals of audio curation.
+    "mm_audio_quality" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val st = GraftFunctions.wavQualityStats(
+        GraftFunctions.wavPcmFixture(col("doc_id")),
+        clipLevel = 2000, silenceEnergy = 80000000L, frameLen = 64)
+      t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("n_samples"),
+          element_at(col("st"), 2).as("n_clipped"),
+          element_at(col("st"), 3).as("n_frames"),
+          element_at(col("st"), 4).as("n_silent"))
+        .withColumn("clip_share",
+          round(col("n_clipped") / col("n_samples").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Laplacian variance-of-sharpness blur screen over the SAME
     // arithmetic PNG fixtures mm_decode proves: interior 4-neighbor
     // Laplacian moments come back as exact longs from the decoded
@@ -3970,6 +3991,23 @@ object PipelineQueries {
     // Same pixel rule the fixture encodes: pixel i = (doc_id*31+i*7)%256
     // over a 16x8 grayscale image — the oracle never touches PNG bytes;
     // the engine must reproduce these numbers from a real decode.
+    "mm_audio_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_transform(range(0, 160 + (doc_id % 8) * 16),
+        |      i -> ((doc_id*31 + i*7) % 4096) - 2048) AS s
+        |   FROM documents WHERE doc_id < 50),
+        |q AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_samples,
+        |    CAST(len(list_filter(s, v -> v >= 2000 OR v <= -2000)) AS BIGINT)
+        |      AS n_clipped,
+        |    CAST(len(s)//64 AS BIGINT) AS n_frames,
+        |    CAST(len(list_filter(range(0, len(s)//64), f ->
+        |      list_sum(list_transform(range(f*64, f*64 + 64),
+        |        i -> s[i+1]*s[i+1])) < 80000000)) AS BIGINT) AS n_silent
+        |   FROM w)
+        |SELECT doc_id, n_samples, n_clipped, n_frames, n_silent,
+        | round(n_clipped*1.0/n_samples, 6) AS clip_share
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     "mm_sharpness" ->
       """WITH l AS (SELECT doc_id, flatten(list_transform(range(1, 7), y ->
         |    list_transform(range(1, 15), x ->

@@ -711,6 +711,39 @@ class MultimodalSpec extends SparkSuite {
     assert(WavFrameStats(Literal("junk".getBytes), 64).nullSafeEval("junk".getBytes) == null)
   }
 
+  test("WavQualityStats: silence and clipping counted exactly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // minimal mono 16-bit PCM writer (mirrors the fixture layout)
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def put(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+      def le16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+      def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff) }
+      put(0, "RIFF"); le32(4, 36 + dataLen); put(8, "WAVE")
+      put(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+      put(36, "data"); le32(40, dataLen)
+      samples.zipWithIndex.foreach { case (v, i) => le16(44 + 2 * i, v & 0xffff) }
+      out
+    }
+    def q(b: Array[Byte]): Array[Long] =
+      graft.functions.WavQualityStats(Literal(b), 1000, 100L, 4)
+        .nullSafeEval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray()
+    // 8 zero samples: 2 frames, both silent, none clipped
+    assert(q(wav(Array.fill(8)(0))).toSeq == Seq(8L, 0L, 2L, 2L))
+    // loud clipped signal: |1200| >= 1000 everywhere; energy >> 100
+    assert(q(wav(Array.fill(8)(1200))).toSeq == Seq(8L, 8L, 2L, 0L))
+    // negative clipping counts too; mixed frames: first frame quiet
+    // (energy 4·25=100? no: 5²·4=100 — NOT < 100), second loud
+    assert(q(wav(Array(4, 4, 4, 4, -1200, 1200, -1200, 1200))).toSeq ==
+      Seq(8L, 4L, 2L, 1L), "frame of 4s has energy 64 < 100 -> silent")
+    // shorter than one frame -> NULL
+    assert(graft.functions.WavQualityStats(Literal(wav(Array(1))), 1000, 100L, 4)
+      .nullSafeEval(wav(Array(1))) == null)
+  }
+
   test("PngSharpness: blur ranks below texture; constant = 0; edge cases") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     def moments(png: Array[Byte]): Option[(Long, Long, Long)] =
