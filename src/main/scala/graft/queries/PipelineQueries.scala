@@ -2716,6 +2716,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // LSH banding S-curve audit: P(candidate | jaccard s) =
+    // 1 − (1 − s^r)^b for the engine's default MinHash config
+    // (b=16, r=4) over a similarity grid — the closed-form "explain
+    // your banding" table (collision probability at the τ=0.51
+    // verify threshold, the false-candidate mass below it, the miss
+    // mass above it). Pure arithmetic, zero data read.
+    "dedup_lsh_curve" -> ((s, dir) =>
+      s.range(21).toDF("i")
+        .select((col("i") / 20.0).as("s"))
+        .select(col("s"),
+          round(lit(1.0) - pow(lit(1.0) - pow(col("s"), 4), 16), 6)
+            .as("p_candidate"),
+          lit(16).as("bands"), lit(4).as("rows_per_band"))
+        .orderBy("s")),
+
+    // Zipf-fit corpus sanity: OLS slope of ln(freq) on ln(rank) over
+    // the top-50 vocabulary — natural corpora run near −1; a slope far
+    // off flags templated or degenerate text. Vocabulary-bounded
+    // count rollup + a 50-row fit.
+    "text_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .select(explode(TF.tokensWs(lower(col("text")))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1L)).as("n"))
+      val ranked = counts
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("term"))))
+        .where(col("rank") <= 50)
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      ranked.agg(count(lit(1L)).as("n_terms"),
+        round((count(lit(1L)) * sum(col("x") * col("y")) -
+          sum(col("x")) * sum(col("y"))) /
+          (count(lit(1L)) * sum(col("x") * col("x")) -
+            sum(col("x")) * sum(col("x"))), 6).as("zipf_slope"))
+    }),
+
     // Blocking-quality evaluation: the deletion-key candidate set vs
     // the exact edit-distance-1 ground truth on a bounded subset —
     // pair completeness (MUST be 1.0: the SymSpell neighborhood is
@@ -4933,6 +4971,26 @@ object PipelineQueries {
         | CAST(count(*) AS BIGINT) AS n_terms_matched
         |FROM toks WHERE term IN ('merge', 'filter', 'group')
         |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_curve" ->
+      """SELECT i/20.0 AS s,
+        | round(1.0 - power(1.0 - power(i/20.0, 4), 16), 6) AS p_candidate,
+        | CAST(16 AS INT) AS bands, CAST(4 AS INT) AS rows_per_band
+        |FROM range(21) t(i) ORDER BY s""".stripMargin,
+
+    "text_zipf" ->
+      """WITH t0 AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t0
+        |      WHERE term != '' GROUP BY 1),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+        |        AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y,
+        |       row_number() OVER (ORDER BY n DESC, term) AS rk FROM c),
+        |f AS (SELECT x, y FROM r WHERE rk <= 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        | round((count(*)*sum(x*y) - sum(x)*sum(y))
+        |   / (count(*)*sum(x*x) - sum(x)*sum(x)), 6) AS zipf_slope
+        |FROM f""".stripMargin,
 
     "dedup_blocking_eval" ->
       """WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer
