@@ -248,6 +248,40 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Referential-integrity SWEEP: every FK edge of the star schema in
+    // one result — the schema-wide orphan report (keys-only anti-joins,
+    // cost = key cardinality per edge, never table size).
+    "chk_refint_sweep" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        graft.ops.TableHealth.refIntegrity(child, col(ck), parent, col(pk))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphan_rows"),
+            col("n_orphan_keys"), col("ref_ok"))
+      edge("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(edge("lineitem_part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(edge("lineitem_supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(edge("orders_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .unionByName(edge("customer_nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"))
+        .unionByName(edge("nation_region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"))
+        .orderBy("fk")
+    }),
+
+    // Join-fanout profile: how many orders have k lineitems — the
+    // count-of-counts histogram that predicts join blowup and reducer
+    // skew before any join runs.
+    "chk_fanout" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1L)).as("__k"))
+        .groupBy(col("__k").as("lines_per_order"))
+        .agg(count(lit(1L)).as("n_orders"))
+        .orderBy("lines_per_order")),
+
     // Sequence-integrity audit: is the surrogate key dense? Missing ids
     // (span minus distinct) mean silently dropped records; duplicates
     // mean double ingestion. One partially-aggregated scan.
@@ -725,6 +759,50 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_refint_sweep" ->
+      """WITH e(fk, n_child, n_orphan_rows, n_orphan_keys) AS (
+        | SELECT 'lineitem_orders', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)),
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey
+        |    NOT IN (SELECT o_orderkey FROM orders))
+        | UNION ALL SELECT 'lineitem_part', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |    (SELECT p_partkey FROM part)),
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem WHERE l_partkey
+        |    NOT IN (SELECT p_partkey FROM part))
+        | UNION ALL SELECT 'lineitem_supplier', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier)),
+        |  (SELECT count(DISTINCT l_suppkey) FROM lineitem WHERE l_suppkey
+        |    NOT IN (SELECT s_suppkey FROM supplier))
+        | UNION ALL SELECT 'orders_customer', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey
+        |    NOT IN (SELECT c_custkey FROM customer))
+        | UNION ALL SELECT 'customer_nation', (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation)),
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer WHERE c_nationkey
+        |    NOT IN (SELECT n_nationkey FROM nation))
+        | UNION ALL SELECT 'nation_region', (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+        |    (SELECT r_regionkey FROM region)),
+        |  (SELECT count(DISTINCT n_regionkey) FROM nation WHERE n_regionkey
+        |    NOT IN (SELECT r_regionkey FROM region)))
+        |SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+        | CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+        | CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+        | n_orphan_rows = 0 AS ref_ok
+        |FROM e ORDER BY fk""".stripMargin,
+
+    "chk_fanout" ->
+      """WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY 1)
+        |SELECT c AS lines_per_order, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM k GROUP BY 1 ORDER BY lines_per_order""".stripMargin,
 
     "chk_sequence" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
