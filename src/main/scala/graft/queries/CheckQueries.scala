@@ -248,6 +248,38 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Enum-domain conformance: the observed value inventory of a
+    // categorical column against its allowed set — the check that
+    // catches a new upstream enum value ('error' here) before it
+    // poisons group-bys downstream. One value-keyed aggregate.
+    "chk_domain" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("value"))
+        .agg(count(lit(1L)).as("n"))
+        .withColumn("allowed",
+          col("value").isin("view", "click", "purchase", "signup"))
+        .orderBy("value")),
+
+    // Casing profile per field: ALLCAPS / TitleCase / lowercase token
+    // shares — schema-drift and normalization evidence (a lowercase
+    // column suddenly sprouting ALLCAPS rows is an upstream change).
+    "chk_casing" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val toks = Seq("p_name", "p_type", "p_brand").map { f =>
+        part.select(lit(f).as("field"),
+          explode(graft.functions.TextFunctions.tokensWs(col(f))).as("tok"))
+      }.reduce(_ unionByName _).where(col("tok") =!= "")
+      toks.groupBy("field")
+        .agg(count(lit(1L)).as("n_tokens"),
+          round(avg(when(col("tok").rlike("^[^a-z]*$") &&
+            col("tok").rlike("[A-Z]"), 1.0).otherwise(0.0)), 6).as("upper_share"),
+          round(avg(when(col("tok").rlike("^[A-Z][a-z]"), 1.0)
+            .otherwise(0.0)), 6).as("title_share"),
+          round(avg(when(col("tok").rlike("^[^A-Z]*$") &&
+            col("tok").rlike("[a-z]"), 1.0).otherwise(0.0)), 6).as("lower_share"))
+        .orderBy("field")
+    }),
+
     // Referential-integrity SWEEP: every FK edge of the star schema in
     // one result — the schema-wide orphan report (keys-only anti-joins,
     // cost = key cardinality per edge, never table size).
@@ -759,6 +791,31 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_domain" ->
+      """SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n,
+        | event_type IN ('view', 'click', 'purchase', 'signup') AS allowed
+        |FROM events GROUP BY 1 ORDER BY value""".stripMargin,
+
+    "chk_casing" ->
+      """WITH toks AS (
+        | SELECT 'p_name' AS field,
+        |  unnest(string_split_regex(trim(p_name), '\s+')) AS tok FROM part
+        | UNION ALL SELECT 'p_type',
+        |  unnest(string_split_regex(trim(p_type), '\s+')) FROM part
+        | UNION ALL SELECT 'p_brand',
+        |  unnest(string_split_regex(trim(p_brand), '\s+')) FROM part),
+        |f AS (SELECT field, tok FROM toks WHERE tok != '')
+        |SELECT field, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(avg(CASE WHEN regexp_matches(tok, '^[^a-z]*$')
+        |   AND regexp_matches(tok, '[A-Z]') THEN 1.0 ELSE 0.0 END), 6)
+        |   AS upper_share,
+        | round(avg(CASE WHEN regexp_matches(tok, '^[A-Z][a-z]')
+        |   THEN 1.0 ELSE 0.0 END), 6) AS title_share,
+        | round(avg(CASE WHEN regexp_matches(tok, '^[^A-Z]*$')
+        |   AND regexp_matches(tok, '[a-z]') THEN 1.0 ELSE 0.0 END), 6)
+        |   AS lower_share
+        |FROM f GROUP BY field ORDER BY field""".stripMargin,
 
     "chk_refint_sweep" ->
       """WITH e(fk, n_child, n_orphan_rows, n_orphan_keys) AS (
