@@ -248,6 +248,25 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Whitespace hygiene: values needing trim or space-collapse per
+    // field — the silent killers of equality joins and group-bys
+    // ("EU" vs "EU ") caught before normalization decisions.
+    "chk_whitespace" -> ((s, dir) => {
+      def audit(df: DataFrame, field: String, c: String) =
+        df.select(col(c).as("v")).where(col("v").isNotNull)
+          .agg(count(lit(1L)).as("n_values"),
+            sum(when(col("v").rlike("^\\s"), 1L).otherwise(0L)).as("n_leading"),
+            sum(when(col("v").rlike("\\s$"), 1L).otherwise(0L)).as("n_trailing"),
+            sum(when(col("v").contains("  "), 1L).otherwise(0L)).as("n_double_space"),
+            sum(when(col("v").rlike("[\\t\\n]"), 1L).otherwise(0L)).as("n_tab_newline"))
+          .select(lit(field).as("field"), col("n_values"), col("n_leading"),
+            col("n_trailing"), col("n_double_space"), col("n_tab_newline"))
+      audit(t(s, dir, "documents"), "documents.text", "text")
+        .unionByName(audit(t(s, dir, "customer"), "customer.c_name", "c_name"))
+        .unionByName(audit(t(s, dir, "part"), "part.p_name", "p_name"))
+        .orderBy("field")
+    }),
+
     // Enum-domain conformance: the observed value inventory of a
     // categorical column against its allowed set — the check that
     // catches a new upstream enum value ('error' here) before it
@@ -791,6 +810,25 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_whitespace" ->
+      """WITH a AS (
+        | SELECT 'documents.text' AS field, text AS v FROM documents
+        |  WHERE text IS NOT NULL
+        | UNION ALL SELECT 'customer.c_name', c_name FROM customer
+        |  WHERE c_name IS NOT NULL
+        | UNION ALL SELECT 'part.p_name', p_name FROM part
+        |  WHERE p_name IS NOT NULL)
+        |SELECT field, CAST(count(*) AS BIGINT) AS n_values,
+        | CAST(count(*) FILTER (WHERE regexp_matches(v, '^\s')) AS BIGINT)
+        |   AS n_leading,
+        | CAST(count(*) FILTER (WHERE regexp_matches(v, '\s$')) AS BIGINT)
+        |   AS n_trailing,
+        | CAST(count(*) FILTER (WHERE contains(v, '  ')) AS BIGINT)
+        |   AS n_double_space,
+        | CAST(count(*) FILTER (WHERE regexp_matches(v, '[\t\n]')) AS BIGINT)
+        |   AS n_tab_newline
+        |FROM a GROUP BY field ORDER BY field""".stripMargin,
 
     "chk_domain" ->
       """SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n,

@@ -968,6 +968,27 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Inter-arrival gap percentiles per event type — the ops-latency
+    // view of the stream (exact p50/p95/max of seconds between
+    // consecutive same-type events). One type-keyed window + percentile
+    // aggregate.
+    "q_gap_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1L)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_sec"),
+          round(expr("percentile(gap, 0.95)"), 6).as("p95_sec"),
+          max(col("gap")).as("max_sec"))
+        .orderBy("event_type")
+    }),
+
     // Autocorrelation of daily purchase totals at lags 1 and 7 — the
     // "is there weekly structure" companion to q_seasonal: ACF(7) ≫
     // ACF(1) says weekday profile, not momentum. Day-keyed aggregate,
@@ -2030,6 +2051,19 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_gap_percentiles" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |        epoch_us(ts)//1000000 AS t FROM events),
+        |g AS (SELECT event_type, t - lag(t) OVER
+        |        (PARTITION BY event_type ORDER BY t, event_id) AS gap
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        | round(quantile_cont(gap, 0.5), 6) AS p50_sec,
+        | round(quantile_cont(gap, 0.95), 6) AS p95_sec,
+        | max(gap) AS max_sec
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_autocorr" ->
       """WITH daily AS (SELECT (epoch_us(ts)//1000000)//86400*86400 AS d,
