@@ -248,6 +248,38 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Column-wise mean-shift sweep between two cohorts (key-parity
+    // split stands in for "last week vs this week"): Welch z per
+    // numeric column, ALL columns in ONE conditional-sum scan — the
+    // cheap whole-table drift triage before per-column PSI deep dives.
+    "chk_mean_shift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val inA = pmod(col("l_orderkey"), lit(2)) === 0
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(inA, 1L).otherwise(0L)).as(s"__na_$c"),
+        sum(when(inA, col(c))).as(s"__sa_$c"),
+        sum(when(inA, col(c) * col(c))).as(s"__qa_$c"),
+        sum(when(!inA, 1L).otherwise(0L)).as(s"__nb_$c"),
+        sum(when(!inA, col(c))).as(s"__sb_$c"),
+        sum(when(!inA, col(c) * col(c))).as(s"__qb_$c"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        val na = col(s"__na_$c").cast("double"); val sa = col(s"__sa_$c")
+        val qa = col(s"__qa_$c")
+        val nb = col(s"__nb_$c").cast("double"); val sb = col(s"__sb_$c")
+        val qb = col(s"__qb_$c")
+        val ma = sa / na; val mb = sb / nb
+        val va = (qa - sa * sa / na) / (na - 1)
+        val vb = (qb - sb * sb / nb) / (nb - 1)
+        struct(lit(c).as("column"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((ma - mb) / sqrt(va / na + vb / nb), 6).as("welch_z"))
+      }
+      wide.select(inline(array(rows: _*))).orderBy("column")
+    }),
+
     // Whitespace hygiene: values needing trim or space-collapse per
     // field — the silent killers of equality joins and group-bys
     // ("EU" vs "EU ") caught before normalization decisions.
@@ -810,6 +842,35 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_mean_shift" ->
+      """WITH s AS (SELECT l_orderkey % 2 = 0 AS a, l_quantity, l_extendedprice,
+        |        l_discount, l_tax FROM lineitem),
+        |m AS (
+        | SELECT 'l_quantity' AS col_name, avg(l_quantity) FILTER (WHERE a) AS ma,
+        |  avg(l_quantity) FILTER (WHERE NOT a) AS mb,
+        |  var_samp(l_quantity) FILTER (WHERE a) AS va,
+        |  var_samp(l_quantity) FILTER (WHERE NOT a) AS vb,
+        |  count(*) FILTER (WHERE a) AS na, count(*) FILTER (WHERE NOT a) AS nb
+        | FROM s
+        | UNION ALL SELECT 'l_extendedprice', avg(l_extendedprice) FILTER (WHERE a),
+        |  avg(l_extendedprice) FILTER (WHERE NOT a),
+        |  var_samp(l_extendedprice) FILTER (WHERE a),
+        |  var_samp(l_extendedprice) FILTER (WHERE NOT a),
+        |  count(*) FILTER (WHERE a), count(*) FILTER (WHERE NOT a) FROM s
+        | UNION ALL SELECT 'l_discount', avg(l_discount) FILTER (WHERE a),
+        |  avg(l_discount) FILTER (WHERE NOT a),
+        |  var_samp(l_discount) FILTER (WHERE a),
+        |  var_samp(l_discount) FILTER (WHERE NOT a),
+        |  count(*) FILTER (WHERE a), count(*) FILTER (WHERE NOT a) FROM s
+        | UNION ALL SELECT 'l_tax', avg(l_tax) FILTER (WHERE a),
+        |  avg(l_tax) FILTER (WHERE NOT a),
+        |  var_samp(l_tax) FILTER (WHERE a),
+        |  var_samp(l_tax) FILTER (WHERE NOT a),
+        |  count(*) FILTER (WHERE a), count(*) FILTER (WHERE NOT a) FROM s)
+        |SELECT col_name AS column, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        | round((ma - mb) / sqrt(va/na + vb/nb), 6) AS welch_z
+        |FROM m ORDER BY col_name""".stripMargin,
 
     "chk_whitespace" ->
       """WITH a AS (
