@@ -968,6 +968,56 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Log-log price elasticity per brand: OLS of ln(quantity) on
+    // ln(unit price) — the slope IS the elasticity; rides the per-key
+    // moment regression (one keyed conditional-sum scan).
+    "q_elasticity" -> ((s, dir) =>
+      Analytics.regressionByKey(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+            .where(col("l_quantity") > 0 && col("l_extendedprice") > 0),
+          col("p_brand"),
+          log(col("l_extendedprice") / col("l_quantity")),
+          log(col("l_quantity")))
+        .withColumnRenamed("key", "p_brand")
+        .withColumnRenamed("slope", "elasticity")
+        .orderBy("p_brand")),
+
+    // Wald–Wolfowitz runs test on daily purchase totals vs their
+    // median: too few sign runs = trending/regime-switching series,
+    // too many = oscillation — the randomness sanity check behind
+    // residual diagnostics. Exact integer runs count + the closed-form
+    // z under the null.
+    "q_runs_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy((floor(unix_timestamp(col("ts")) / 86400) * 86400)
+          .cast("long").as("d"))
+        .agg(round(sum(col("value")), 4).as("v"))
+      val med = daily.agg(expr("percentile(v, 0.5)").as("m"))
+      val signed = daily.crossJoin(med)
+        .where(col("v") =!= col("m")) // ties to the median drop (standard)
+        .select(col("d"), (col("v") > col("m")).cast("int").as("s"))
+      val w = Window.orderBy(col("d"))
+      val runs = signed
+        .withColumn("chg",
+          when(lag(col("s"), 1).over(w).isNull ||
+            lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+        .agg(sum(col("chg")).as("n_runs"),
+          sum(col("s")).cast("double").as("n_pos"),
+          sum(lit(1L) - col("s")).cast("double").as("n_neg"))
+      runs.select(col("n_runs"), col("n_pos").cast("long").as("n_above"),
+        col("n_neg").cast("long").as("n_below"),
+        round((col("n_runs") -
+          (lit(2.0) * col("n_pos") * col("n_neg") /
+            (col("n_pos") + col("n_neg")) + 1)) /
+          sqrt(lit(2.0) * col("n_pos") * col("n_neg") *
+            (lit(2.0) * col("n_pos") * col("n_neg") - col("n_pos") - col("n_neg")) /
+            ((col("n_pos") + col("n_neg")) * (col("n_pos") + col("n_neg")) *
+              (col("n_pos") + col("n_neg") - 1))), 6).as("runs_z"))
+    }),
+
     // Inter-arrival gap percentiles per event type — the ops-latency
     // view of the stream (exact p50/p95/max of seconds between
     // consecutive same-type events). One type-keyed window + percentile
@@ -2051,6 +2101,37 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_elasticity" ->
+      """WITH j AS (SELECT p_brand, ln(l_extendedprice/l_quantity) AS x,
+        |        ln(l_quantity) AS y
+        |       FROM lineitem JOIN part ON l_partkey = p_partkey
+        |       WHERE l_quantity > 0 AND l_extendedprice > 0)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        | round(regr_slope(y, x), 6) AS elasticity,
+        | round(regr_intercept(y, x), 6) AS intercept,
+        | round(regr_r2(y, x), 6) AS r2
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH daily AS (SELECT (epoch_us(ts)//1000000)//86400*86400 AS d,
+        |        round(sum(value), 4) AS v
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |med AS (SELECT quantile_cont(v, 0.5) AS m FROM daily),
+        |sg AS (SELECT d, CAST(v > m AS INT) AS s FROM daily, med
+        |       WHERE v != m),
+        |r AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+        |        OR lag(s) OVER (ORDER BY d) != s THEN 1 ELSE 0 END AS chg
+        |      FROM sg),
+        |t AS (SELECT CAST(sum(chg) AS BIGINT) AS n_runs,
+        |       CAST(sum(s) AS DOUBLE) AS np,
+        |       CAST(sum(1 - s) AS DOUBLE) AS nn FROM r)
+        |SELECT n_runs, CAST(np AS BIGINT) AS n_above,
+        | CAST(nn AS BIGINT) AS n_below,
+        | round((n_runs - (2.0*np*nn/(np + nn) + 1))
+        |   / sqrt(2.0*np*nn*(2.0*np*nn - np - nn)
+        |     / ((np + nn)*(np + nn)*(np + nn - 1))), 6) AS runs_z
+        |FROM t""".stripMargin,
 
     "q_gap_percentiles" ->
       """WITH e AS (SELECT event_type, event_id,
