@@ -662,6 +662,22 @@ object PipelineQueries {
         "id_a", "id_b")
         .orderBy("id")),
 
+    // Duplicate-FAMILY size distribution: how many components of each
+    // size the near-dup graph resolves to — the "are my duplicates
+    // pairs or swarms" report that sizes the cluster-drop step's
+    // savings. Component sizes aggregate the CC result twice (both
+    // exchanges component-keyed and bounded).
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Clusters.connectedComponents(
+        Dedup.jaccardNearDupPairs(
+          t(s, dir, "documents").where(col("doc_id") < 1000),
+          "doc_id", "text", shingleK = 5, tauPct = 51),
+        "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1L)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1L)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     // Near-dup-AWARE curation: quality filter → exact dedup → near-dup
     // CLUSTER drop (keep the min doc_id of every connected component of
     // the exact-Jaccard pair graph) → summary. The full "found pairs →
@@ -3402,6 +3418,30 @@ object PipelineQueries {
         | UNION
         | SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
         |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM documents WHERE doc_id < 1000),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  AND 100 * least(len(a.s), len(b.s)) >= 51 * greatest(len(a.s), len(b.s))
+        | WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |   51 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+        |       FROM cc GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     "pipeline_curate_near" ->
       """WITH RECURSIVE scored AS (SELECT doc_id, text,
