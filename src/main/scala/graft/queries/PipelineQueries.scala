@@ -2372,6 +2372,27 @@ object PipelineQueries {
         .orderBy("wa", "wb")
     }),
 
+    // Language-balance entropy per source: Shannon entropy of the lang
+    // shares normalized by ln(k) — 1.0 = perfectly mixed, → 0 =
+    // monolingual; the mix-health scalar per corpus slice. Cell-keyed
+    // aggregate + per-source rollup, all bounded.
+    "pipeline_lang_balance" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1L)).as("n"))
+      val tot = cells.groupBy("source")
+        .agg(sum(col("n")).cast("double").as("nt"),
+          count(lit(1L)).as("n_langs"))
+      cells.join(tot, "source")
+        .groupBy(col("source"))
+        .agg(first(col("n_langs")).as("n_langs"),
+          first(col("nt")).cast("long").as("n_docs"),
+          round(sum(-(col("n") / col("nt")) * log(col("n") / col("nt"))) /
+            log(first(col("n_langs")).cast("double")), 6)
+            .as("balance_entropy"))
+        .where(col("n_langs") > 1)
+        .orderBy("source")
+    }),
+
     // Dataset-card manifest: per-source rows/share/tokens/chars,
     // dominant language with share, exact-duplicate rate — the
     // datasheet row every released corpus mix ships.
@@ -4729,6 +4750,19 @@ object PipelineQueries {
         |SELECT wa, wb, round(jaro_winkler_similarity(wa, wb), 6) AS jw
         |FROM p WHERE round(jaro_winkler_similarity(wa, wb), 6) >= 0.5
         |ORDER BY wa, wb""".stripMargin,
+
+    "pipeline_lang_balance" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS nt,
+        |        CAST(count(*) AS BIGINT) AS n_langs FROM cells GROUP BY 1)
+        |SELECT cells.source, any_value(n_langs) AS n_langs,
+        | CAST(any_value(nt) AS BIGINT) AS n_docs,
+        | round(sum(-(n/nt) * ln(n/nt)) / ln(any_value(n_langs)), 6)
+        |   AS balance_entropy
+        |FROM cells JOIN tot ON cells.source = tot.source
+        |GROUP BY cells.source HAVING any_value(n_langs) > 1
+        |ORDER BY cells.source""".stripMargin,
 
     "pipeline_card" ->
       """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n,

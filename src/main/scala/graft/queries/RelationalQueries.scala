@@ -968,6 +968,23 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Order cycle time: order date → LAST line shipment, exact
+    // percentiles per priority — the fulfillment-latency metric; one
+    // order-keyed max + a priority-keyed percentile rollup.
+    "q_cycle_time" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(((max(unix_timestamp(col("l_shipdate"))) -
+          first(unix_timestamp(col("o_orderdate")))) / 86400.0).as("days"))
+      per.groupBy("o_orderpriority")
+        .agg(count(lit(1L)).as("n_orders"),
+          round(expr("percentile(days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(days, 0.95)"), 6).as("p95_days"),
+          round(max(col("days")), 6).as("max_days"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Log-log price elasticity per brand: OLS of ln(quantity) on
     // ln(unit price) — the slope IS the elasticity; rides the per-key
     // moment regression (one keyed conditional-sum scan).
@@ -2101,6 +2118,18 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_cycle_time" ->
+      """WITH per AS (SELECT o_orderkey, o_orderpriority,
+        |        (max(epoch_us(l_shipdate)//1000000)
+        |          - min(epoch_us(o_orderdate)//1000000))/86400.0 AS days
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       GROUP BY 1, 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(quantile_cont(days, 0.5), 6) AS p50_days,
+        | round(quantile_cont(days, 0.95), 6) AS p95_days,
+        | round(max(days), 6) AS max_days
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_elasticity" ->
       """WITH j AS (SELECT p_brand, ln(l_extendedprice/l_quantity) AS x,
