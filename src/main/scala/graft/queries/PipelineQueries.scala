@@ -2372,6 +2372,22 @@ object PipelineQueries {
         .orderBy("wa", "wb")
     }),
 
+    // Church–Gale term burstiness: cf/df — mean occurrences per
+    // CONTAINING document. Function words sit near cf/df ≈ uniform;
+    // bursty content terms clump (high ratio) — the signal separating
+    // topical vocabulary from glue, and a spam-keyword tell. One
+    // term-keyed aggregate carrying both counts.
+    "text_burstiness" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TF.tokensWs(lower(col("text")))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term")
+        .agg(count(lit(1L)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .select(col("term"), col("cf"), col("df"),
+          round(col("cf") / col("df").cast("double"), 6).as("burstiness"))
+        .orderBy(col("cf").desc, col("term")).limit(20)),
+
     // Language-balance entropy per source: Shannon entropy of the lang
     // shares normalized by ln(k) — 1.0 = perfectly mixed, → 0 =
     // monolingual; the mix-health scalar per corpus slice. Cell-keyed
@@ -4750,6 +4766,15 @@ object PipelineQueries {
         |SELECT wa, wb, round(jaro_winkler_similarity(wa, wb), 6) AS jw
         |FROM p WHERE round(jaro_winkler_similarity(wa, wb), 6) >= 0.5
         |ORDER BY wa, wb""".stripMargin,
+
+    "text_burstiness" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |      FROM t0 WHERE term != '' GROUP BY 1)
+        |SELECT term, cf, df, round(cf*1.0/df, 6) AS burstiness
+        |FROM c ORDER BY cf DESC, term LIMIT 20""".stripMargin,
 
     "pipeline_lang_balance" ->
       """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n

@@ -968,6 +968,46 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Monetary-precision audit: values that are not exact 2-decimal
+    // amounts, negatives, and zeros per money column — the "is this
+    // column actually currency" intake check, one conditional scan.
+    "chk_precision" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def audit(c: String) =
+        li.agg(count(lit(1L)).as("n"),
+          sum(when(round(col(c), 2) =!= col(c), 1L).otherwise(0L))
+            .as("n_not_2dp"),
+          sum(when(col(c) < 0, 1L).otherwise(0L)).as("n_negative"),
+          sum(when(col(c) === 0, 1L).otherwise(0L)).as("n_zero"))
+          .select(lit(c).as("column_name"), col("n"), col("n_not_2dp"),
+            col("n_negative"), col("n_zero"))
+      audit("l_extendedprice").unionByName(audit("l_discount"))
+        .unionByName(audit("l_tax"))
+        .orderBy("column_name")
+    }),
+
+    // Audience overlap: pairwise Jaccard of the USER sets behind each
+    // event type — "do clickers also purchase" as set algebra; distinct
+    // (type, user) pairs feed a type-keyed self-join bounded by
+    // |types|² cells.
+    "q_audience_overlap" -> ((s, dir) => {
+      val sets = t(s, dir, "events")
+        .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+      val sizes = sets.groupBy("t").agg(count(lit(1L)).as("sz"))
+      val inter = sets.toDF("ta", "u")
+        .join(sets.toDF("tb", "u2"), col("u") === col("u2"))
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1L)).as("n_common"))
+      inter
+        .join(sizes.select(col("t").as("ta"), col("sz").as("sza")), "ta")
+        .join(sizes.select(col("t").as("tb"), col("sz").as("szb")), "tb")
+        .select(col("ta"), col("tb"), col("n_common"), col("sza"), col("szb"),
+          round(col("n_common") /
+            (col("sza") + col("szb") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("ta", "tb")
+    }),
+
     // Order cycle time: order date → LAST line shipment, exact
     // percentiles per priority — the fulfillment-latency metric; one
     // order-keyed max + a priority-keyed percentile rollup.
@@ -2118,6 +2158,32 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "chk_precision" ->
+      """WITH a AS (
+        | SELECT 'l_extendedprice' AS column_name, l_extendedprice AS v
+        | FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT column_name, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE round(v, 2) != v) AS BIGINT)
+        |   AS n_not_2dp,
+        | CAST(count(*) FILTER (WHERE v < 0) AS BIGINT) AS n_negative,
+        | CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero
+        |FROM a GROUP BY 1 ORDER BY column_name""".stripMargin,
+
+    "q_audience_overlap" ->
+      """WITH sets AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |              FROM events),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS sz FROM sets GROUP BY 1),
+        |iv AS (SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT)
+        |        AS n_common
+        |       FROM sets a JOIN sets b ON a.u = b.u AND a.t < b.t
+        |       GROUP BY 1, 2)
+        |SELECT ta, tb, n_common, sa.sz AS sza, sb.sz AS szb,
+        | round(n_common*1.0/(sa.sz + sb.sz - n_common), 6) AS jaccard
+        |FROM iv JOIN sz sa ON iv.ta = sa.t JOIN sz sb ON iv.tb = sb.t
+        |ORDER BY ta, tb""".stripMargin,
 
     "q_cycle_time" ->
       """WITH per AS (SELECT o_orderkey, o_orderpriority,
