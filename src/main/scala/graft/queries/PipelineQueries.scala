@@ -2519,6 +2519,37 @@ object PipelineQueries {
         .orderBy("ga", "gb")
     }),
 
+    // Leave-one-out kNN label validation: does the embedding space
+    // actually encode the labels? Each bounded-subset vector is
+    // classified by majority vote of its 5 nearest neighbors' labels
+    // (ties → smallest label) and scored against its true label — the
+    // standard representation-quality probe before trusting any
+    // similarity-based curation.
+    "sim_knn_accuracy" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings")
+        .where(col("vec_id") < 200 && size(col("embedding")) === 64)
+      val q = sub.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val nn = Similarity.bruteForceKnn(sub, "vec_id", "embedding",
+          q, "qid", "qvec", 5)
+        .join(sub.select(col("vec_id"), col("label").as("nn_label")), "vec_id")
+      val votes = nn.groupBy(col("qid"), col("nn_label"))
+        .agg(count(lit(1L)).as("v"))
+      val winner = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("v").desc, col("nn_label").asc)))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("nn_label").as("pred"))
+      winner.join(sub.select(col("vec_id").as("qid"),
+          col("label").as("truth")), "qid")
+        .agg(count(lit(1L)).as("n_evaluated"),
+          sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("n_evaluated"), col("n_correct"),
+          round(col("n_correct") / col("n_evaluated").cast("double"), 6)
+            .as("accuracy"))
+    }),
+
     // Per-dimension embedding health: mean/variance/zero-fraction of
     // every coordinate — dead dimensions (variance ≈ 0) waste index
     // space and saturated ones dominate distances; the standard QA
@@ -4904,6 +4935,26 @@ object PipelineQueries {
         |   / (sqrt(sum(a.m*a.m)) * sqrt(sum(b.m*b.m))), 6) AS centroid_cos
         |FROM cells a JOIN cells b ON a.dim = b.dim AND a.g < b.g
         |GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin,
+
+    "sim_knn_accuracy" ->
+      """WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 200 AND len(embedding) = 64),
+        |knn AS (SELECT a.vec_id AS qid, b.label AS nn_label,
+        |        row_number() OVER (PARTITION BY a.vec_id
+        |          ORDER BY round(list_cosine_similarity(b.v, a.v), 4) DESC,
+        |            b.vec_id) AS rank
+        |       FROM sub a JOIN sub b ON a.vec_id != b.vec_id),
+        |votes AS (SELECT qid, nn_label, CAST(count(*) AS BIGINT) AS c
+        |          FROM knn WHERE rank <= 5 GROUP BY 1, 2),
+        |w AS (SELECT qid, nn_label AS pred FROM (SELECT qid, nn_label,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY c DESC, nn_label) AS rn FROM votes) WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_evaluated,
+        | CAST(count(*) FILTER (WHERE w.pred = sub.label) AS BIGINT)
+        |   AS n_correct,
+        | round(count(*) FILTER (WHERE w.pred = sub.label)
+        |   / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        |FROM w JOIN sub ON w.qid = sub.vec_id""".stripMargin,
 
     "sim_dim_health" ->
       """WITH x AS (SELECT CAST(i AS INT) AS dim,

@@ -968,6 +968,27 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // New-vs-repeat revenue split per month: each order classified by
+    // whether it is its customer's FIRST (one customer-keyed window),
+    // then a month-keyed rollup — the acquisition-vs-retention revenue
+    // lens.
+    "q_new_repeat" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+          col("o_orderkey"))
+        .withColumn("first_key",
+          min(struct(col("ym"), col("o_orderkey"))).over(w).getField("o_orderkey"))
+        .withColumn("kind",
+          when(col("o_orderkey") === col("first_key"), "new").otherwise("repeat"))
+      orders.groupBy("ym", "kind")
+        .agg(count(lit(1L)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("ym", "kind")
+    }),
+
     // Monetary-precision audit: values that are not exact 2-decimal
     // amounts, negatives, and zeros per money column — the "is this
     // column actually currency" intake check, one conditional scan.
@@ -2158,6 +2179,17 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_new_repeat" ->
+      """WITH o AS (SELECT o_custkey, o_totalprice, o_orderkey,
+        |        year(o_orderdate)*100 + month(o_orderdate) AS ym
+        |       FROM orders),
+        |f AS (SELECT *, CASE WHEN row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY ym, o_orderkey) = 1 THEN 'new' ELSE 'repeat' END
+        |        AS kind FROM o)
+        |SELECT ym, kind, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM f GROUP BY 1, 2 ORDER BY ym, kind""".stripMargin,
 
     "chk_precision" ->
       """WITH a AS (
