@@ -968,6 +968,33 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // ABC inventory-style classification: customers ranked by revenue,
+    // A = the head covering 80% of cumulative revenue, B = next 15%,
+    // C = the tail — per-class counts and revenue shares. One
+    // customer-keyed aggregate + cumulative windows over the bounded
+    // customer table (2dp-ranked like RFM so equal totals cannot
+    // diverge across engines).
+    "q_abc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val classed = per
+        .withColumn("cum", sum(col("rev")).over(w))
+        .withColumn("tot", sum(col("rev")).over(tot))
+        .withColumn("cls",
+          when(col("cum") <= col("tot") * 0.80, "A")
+            .when(col("cum") <= col("tot") * 0.95, "B")
+            .otherwise("C"))
+      classed.groupBy(col("cls"))
+        .agg(count(lit(1L)).as("n_customers"),
+          round(sum(col("rev")), 2).as("revenue"))
+        .orderBy("cls")
+    }),
+
     // New-vs-repeat revenue split per month: each order classified by
     // whether it is its customer's FIRST (one customer-keyed window),
     // then a month-keyed rollup — the acquisition-vs-retention revenue
@@ -2179,6 +2206,19 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_abc" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |             FROM orders GROUP BY 1),
+        |c AS (SELECT rev,
+        |       sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |       sum(rev) OVER () AS tot FROM per),
+        |k AS (SELECT rev, CASE WHEN cum <= tot*0.80 THEN 'A'
+        |       WHEN cum <= tot*0.95 THEN 'B' ELSE 'C' END AS cls FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_customers,
+        | round(sum(rev), 2) AS revenue
+        |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
 
     "q_new_repeat" ->
       """WITH o AS (SELECT o_custkey, o_totalprice, o_orderkey,
