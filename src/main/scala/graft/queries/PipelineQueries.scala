@@ -2519,6 +2519,32 @@ object PipelineQueries {
         .orderBy("ga", "gb")
     }),
 
+    // Triplet-margin diagnostic: for each anchor, is the nearest
+    // SAME-label vector closer than the nearest DIFFERENT-label one?
+    // The share of violated anchors is the label-margin health of the
+    // space — high violation predicts that any label-aware curation
+    // (hard negatives, cluster balancing) will fight the geometry.
+    "sim_triplet_margin" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings")
+        .where(col("vec_id") < 200 && size(col("embedding")) === 64)
+      val q = sub.select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+      val nn = Similarity.bruteForceKnn(sub, "vec_id", "embedding",
+          q.select(col("qid"), col("qvec")), "qid", "qvec", 199)
+        .join(sub.select(col("vec_id"), col("label").as("nl")), "vec_id")
+        .join(q.select(col("qid"), col("qlabel")), "qid")
+      val best = nn.groupBy(col("qid"))
+        .agg(max(when(col("nl") === col("qlabel"), col("cos"))).as("best_same"),
+          max(when(col("nl") =!= col("qlabel"), col("cos"))).as("best_diff"))
+        .where(col("best_same").isNotNull && col("best_diff").isNotNull)
+      best.agg(count(lit(1L)).as("n_anchors"),
+          sum(when(col("best_diff") >= col("best_same"), 1L).otherwise(0L))
+            .as("n_violated"))
+        .select(col("n_anchors"), col("n_violated"),
+          round(col("n_violated") / col("n_anchors").cast("double"), 6)
+            .as("violation_rate"))
+    }),
+
     // Leave-one-out kNN label validation: does the embedding space
     // actually encode the labels? Each bounded-subset vector is
     // classified by majority vote of its 5 nearest neighbors' labels
@@ -4935,6 +4961,25 @@ object PipelineQueries {
         |   / (sqrt(sum(a.m*a.m)) * sqrt(sum(b.m*b.m))), 6) AS centroid_cos
         |FROM cells a JOIN cells b ON a.dim = b.dim AND a.g < b.g
         |GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin,
+
+    "sim_triplet_margin" ->
+      """WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 200 AND len(embedding) = 64),
+        |c AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nl,
+        |       round(list_cosine_similarity(b.v, a.v), 4) AS cos
+        |      FROM sub a JOIN sub b ON a.vec_id != b.vec_id),
+        |best AS (SELECT qid,
+        |        max(cos) FILTER (WHERE nl = qlabel) AS best_same,
+        |        max(cos) FILTER (WHERE nl != qlabel) AS best_diff
+        |       FROM c GROUP BY 1
+        |       HAVING max(cos) FILTER (WHERE nl = qlabel) IS NOT NULL
+        |         AND max(cos) FILTER (WHERE nl != qlabel) IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+        | CAST(count(*) FILTER (WHERE best_diff >= best_same) AS BIGINT)
+        |   AS n_violated,
+        | round(count(*) FILTER (WHERE best_diff >= best_same)
+        |   / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+        |FROM best""".stripMargin,
 
     "sim_knn_accuracy" ->
       """WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

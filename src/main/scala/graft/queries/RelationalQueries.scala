@@ -968,6 +968,32 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Open-order backlog curve: orders opened minus orders fully
+    // shipped per month, with the running backlog — the WIP trajectory
+    // from two month-keyed aggregates and a window over the bounded
+    // month table.
+    "q_backlog" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val opened = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+        .agg(count(lit(1L)).as("n_opened"))
+      val closed = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+        .groupBy((year(col("last_ship")) * 100 + month(col("last_ship")))
+          .as("ym"))
+        .agg(count(lit(1L)).as("n_closed"))
+      val w = Window.orderBy(col("ym"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.join(closed, Seq("ym"), "full_outer")
+        .select(col("ym"), coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("backlog",
+          sum(col("n_opened") - col("n_closed")).over(w))
+        .orderBy("ym")
+    }),
+
     // ABC inventory-style classification: customers ranked by revenue,
     // A = the head covering 80% of cumulative revenue, B = next 15%,
     // C = the tail — per-class counts and revenue shares. One
@@ -2206,6 +2232,23 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_backlog" ->
+      """WITH op AS (SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
+        |        CAST(count(*) AS BIGINT) AS n_opened FROM orders GROUP BY 1),
+        |ls AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |       FROM lineitem GROUP BY 1),
+        |cl AS (SELECT year(last_ship)*100 + month(last_ship) AS ym,
+        |        CAST(count(*) AS BIGINT) AS n_closed FROM ls GROUP BY 1),
+        |j AS (SELECT coalesce(op.ym, cl.ym) AS ym,
+        |       coalesce(n_opened, 0) AS n_opened,
+        |       coalesce(n_closed, 0) AS n_closed
+        |      FROM op FULL OUTER JOIN cl ON op.ym = cl.ym)
+        |SELECT ym, n_opened, n_closed,
+        | CAST(sum(n_opened - n_closed) OVER (ORDER BY ym
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS backlog
+        |FROM j ORDER BY ym""".stripMargin,
 
     "q_abc" ->
       """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
