@@ -2519,6 +2519,28 @@ object PipelineQueries {
         .orderBy("ga", "gb")
     }),
 
+    // Packing efficiency: the utilization report for the token-budget
+    // packer — overall fill rate and the share of packs ≥ 90% full;
+    // the number that says whether the budget wastes accelerator
+    // memory. Rides the same pack assignment, one extra bounded rollup.
+    "pipeline_pack_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TF.tokenCountWs(col("text")).cast("long").as("toks"))
+      graft.ops.DataPrep.packByBudget(d, Seq(col("source")), Seq(col("doc_id")),
+          col("toks"), budget = 2048L)
+        .groupBy("source", "pack_id")
+        .agg(sum(col("toks")).as("pack_toks"))
+        .agg(count(lit(1L)).as("n_packs"),
+          sum(col("pack_toks")).as("total_toks"),
+          sum(when(col("pack_toks") >= 2048L * 9 / 10, 1L).otherwise(0L))
+            .as("n_full90"))
+        .select(col("n_packs"), col("total_toks"),
+          round(col("total_toks") / (col("n_packs") * 2048.0), 6)
+            .as("utilization"),
+          round(col("n_full90") / col("n_packs").cast("double"), 6)
+            .as("share_full90"))
+    }),
+
     // Triplet-margin diagnostic: for each anchor, is the nearest
     // SAME-label vector closer than the nearest DIFFERENT-label one?
     // The share of violated anchors is the label-margin health of the
@@ -4961,6 +4983,23 @@ object PipelineQueries {
         |   / (sqrt(sum(a.m*a.m)) * sqrt(sum(b.m*b.m))), 6) AS centroid_cos
         |FROM cells a JOIN cells b ON a.dim = b.dim AND a.g < b.g
         |GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin,
+
+    "pipeline_pack_stats" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        | FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |p AS (SELECT *, CAST(floor((cum - toks) / 2048.0) AS BIGINT)
+        |  AS pack_id FROM c),
+        |g AS (SELECT source, pack_id, CAST(sum(toks) AS BIGINT) AS pack_toks
+        |      FROM p GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_packs,
+        | CAST(sum(pack_toks) AS BIGINT) AS total_toks,
+        | round(sum(pack_toks) / (count(*) * 2048.0), 6) AS utilization,
+        | round(count(*) FILTER (WHERE pack_toks >= 1843)
+        |   / CAST(count(*) AS DOUBLE), 6) AS share_full90
+        |FROM g""".stripMargin,
 
     "sim_triplet_margin" ->
       """WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
