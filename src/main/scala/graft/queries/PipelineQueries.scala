@@ -2372,6 +2372,21 @@ object PipelineQueries {
         .orderBy("wa", "wb")
     }),
 
+    // Charset coverage per language: ASCII share of characters and the
+    // count of docs containing any non-ASCII — the encoding-QA view
+    // that separates genuinely non-Latin corpora from mojibake leaks
+    // into supposedly-ASCII ones. Pure in-scan regex counts.
+    "text_ascii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1L)).as("n_docs"),
+          round(sum(length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+              .cast("double")) / sum(length(col("text")).cast("double")), 6)
+            .as("ascii_share"),
+          sum(when(col("text").rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L))
+            .as("n_docs_nonascii"))
+        .orderBy("lang")),
+
     // Church–Gale term burstiness: cf/df — mean occurrences per
     // CONTAINING document. Function words sit near cf/df ≈ uniform;
     // bursty content terms clump (high ratio) — the signal separating
@@ -4845,6 +4860,14 @@ object PipelineQueries {
         |SELECT wa, wb, round(jaro_winkler_similarity(wa, wb), 6) AS jw
         |FROM p WHERE round(jaro_winkler_similarity(wa, wb), 6) >= 0.5
         |ORDER BY wa, wb""".stripMargin,
+
+    "text_ascii" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(sum(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))*1.0)
+        |   / sum(length(text)*1.0), 6) AS ascii_share,
+        | CAST(count(*) FILTER (WHERE regexp_matches(text, '[^\x00-\x7F]'))
+        |   AS BIGINT) AS n_docs_nonascii
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "text_burstiness" ->
       """WITH t0 AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),

@@ -968,6 +968,26 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Repeat-purchase cadence: days between a customer's consecutive
+    // orders, summarized exactly — the reorder-cycle number behind
+    // replenishment and churn-risk models. One customer-keyed lag
+    // window, ties broken by order key.
+    "q_cadence" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("t"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("t"))
+        .withColumn("gap_days",
+          (col("t") - lag(col("t"), 1).over(w)) / 86400.0)
+        .where(col("gap_days").isNotNull)
+        .agg(count(lit(1L)).as("n_intervals"),
+          round(expr("percentile(gap_days, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(gap_days, 0.9)"), 6).as("p90_days"),
+          round(avg(col("gap_days")), 6).as("mean_days"))
+    }),
+
     // Open-order backlog curve: orders opened minus orders fully
     // shipped per month, with the running backlog — the WIP trajectory
     // from two month-keyed aggregates and a window over the bounded
@@ -2232,6 +2252,17 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_cadence" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |        epoch_us(o_orderdate)//1000000 AS t FROM orders),
+        |g AS (SELECT (t - lag(t) OVER (PARTITION BY o_custkey
+        |        ORDER BY t, o_orderkey))/86400.0 AS gap_days FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n_intervals,
+        | round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+        | round(quantile_cont(gap_days, 0.9), 6) AS p90_days,
+        | round(avg(gap_days), 6) AS mean_days
+        |FROM g WHERE gap_days IS NOT NULL""".stripMargin,
 
     "q_backlog" ->
       """WITH op AS (SELECT year(o_orderdate)*100 + month(o_orderdate) AS ym,
