@@ -248,6 +248,19 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Full-ROW duplicate audit: rows identical across every column —
+    // the double-ingestion check uniqueCheck's key-based view cannot
+    // express when no key exists. One all-columns distinct against a
+    // count (md5 of the canonical row digest shuffles, never payload).
+    "chk_dup_rows" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(count(lit(1L)).as("n_rows"))
+        .crossJoin(li.distinct().agg(count(lit(1L)).as("n_distinct")))
+        .select(col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+          (col("n_rows") === col("n_distinct")).as("no_full_dups"))
+    }),
+
     // Column-wise mean-shift sweep between two cohorts (key-parity
     // split stands in for "last week vs this week"): Welch z per
     // numeric column, ALL columns in ONE conditional-sum scan — the
@@ -842,6 +855,17 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_dup_rows" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT * FROM lineitem))
+        |   AS n_distinct,
+        | (SELECT count(*) FROM lineitem)
+        |   - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+        |   AS n_dup_rows,
+        | (SELECT count(*) FROM lineitem)
+        |   = (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+        |   AS no_full_dups""".stripMargin,
 
     "chk_mean_shift" ->
       """WITH s AS (SELECT l_orderkey % 2 = 0 AS a, l_quantity, l_extendedprice,
