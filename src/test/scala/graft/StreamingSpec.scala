@@ -329,4 +329,51 @@ class StreamingSpec extends SparkSuite {
         s"left enrichment must keep unmatched rows with NULL tier: $rows")
     } finally q.stop()
   }
+
+  test("indexIngest: checkpoint restart resumes the artifact, search spans all batches") {
+    import graft.functions.InvertedIndex
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_restart").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val chk = new java.io.File(root, "chk").getPath
+    val idx = new java.io.File(root, "idx").getPath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+    def startQuery() = Streams.indexIngest(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in.getPath),
+        "doc_id", "text", idx, buckets = 8)
+      .option("checkpointLocation", chk).start()
+
+    // run 1: two arrival files
+    Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in.getPath)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+
+    // run 2: one more file AFTER the restart — the resumed query must
+    // append a NEW batch partition, never rewrite run-1's
+    val before = spark.read.parquet(idx).count()
+    Seq((3L, "alpha gamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in.getPath)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val full = spark.read.parquet(idx)
+    assert(full.count() > before, "restart must append, not stall")
+    // conjunctive search over the accumulated artifact sees every batch
+    def hits(ts: Seq[String]): Set[Long] =
+      InvertedIndex.searchAll(InvertedIndex.pruneToTerms(full, ts, 8), ts)
+        .collect().map(_.getLong(0)).toSet
+    assert(hits(Seq("alpha")) == Set(1L, 3L))
+    assert(hits(Seq("beta", "gamma")) == Set(2L))
+    assert(hits(Seq("alpha", "gamma")) == Set(3L), "post-restart doc searchable")
+    // a resume with no new input must not duplicate index content
+    val n2 = full.count()
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(idx).count() == n2, "idle resume rewrote the index")
+  }
 }
