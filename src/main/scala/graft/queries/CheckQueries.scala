@@ -248,6 +248,26 @@ object CheckQueries {
           "orderkey_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")))
         .orderBy("fd")),
 
+    // Format-boundary round trip: the part table written to CSV, read
+    // back, and fingerprinted against the parquet original on its
+    // stable columns — the "did the export corrupt anything" gate that
+    // pairs the source loaders with the order-independent fingerprint.
+    "chk_roundtrip" -> ((s, dir) => {
+      val cols = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      val orig = graft.ops.TableHealth.tableFingerprint(
+        t(s, dir, "part"), cols)
+      val back = graft.ops.TableHealth.tableFingerprint(
+        graft.sources.Sources.csv(s, fixture(s, dir, "part", "csv"),
+            Map("header" -> "true"))
+          .select(cols.map(col): _*), cols)
+      orig.select(col("n_rows"), col("fingerprint"))
+        .crossJoin(back.select(col("n_rows").as("__n2"),
+          col("fingerprint").as("__f2")))
+        .select(col("n_rows"), col("fingerprint"),
+          (col("n_rows") === col("__n2") &&
+            col("fingerprint") === col("__f2")).as("roundtrip_ok"))
+    }),
+
     // Full-ROW duplicate audit: rows identical across every column —
     // the double-ingestion check uniqueCheck's key-based view cannot
     // express when no key exists. One all-columns distinct against a
@@ -855,6 +875,18 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST('0x' || substr(md5(concat_ws(chr(31),
+        |   coalesce(CAST(p_partkey AS VARCHAR), chr(0)),
+        |   coalesce(CAST(p_name AS VARCHAR), chr(0)),
+        |   coalesce(CAST(p_brand AS VARCHAR), chr(0)),
+        |   coalesce(CAST(p_type AS VARCHAR), chr(0)),
+        |   coalesce(CAST(p_size AS VARCHAR), chr(0)))), 1, 15)
+        |  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint,
+        | true AS roundtrip_ok
+        |FROM part""".stripMargin,
 
     "chk_dup_rows" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
