@@ -2372,6 +2372,18 @@ object PipelineQueries {
         .orderBy("wa", "wb")
     }),
 
+    // Log2-bucketed document length histogram: the first plot of any
+    // corpus intake (truncation cliffs and fragment floods show up as
+    // spikes); bucket = floor(log2 chars), one bounded aggregate.
+    "text_len_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("n_chars") > 0)
+        .groupBy((length(bin(col("n_chars"))) - 1).as("log2_bucket"))
+        .agg(count(lit(1L)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("log2_bucket")),
+
     // Charset coverage per language: ASCII share of characters and the
     // count of docs containing any non-ASCII — the encoding-QA view
     // that separates genuinely non-Latin corpora from mojibake leaks
@@ -2861,6 +2873,20 @@ object PipelineQueries {
       InvertedIndex.searchAll(
           InvertedIndex.pruneToTerms(s.read.parquet(indexDir), terms, 16), terms)
         .orderBy("doc_id")
+    }),
+
+    // Dedup-threshold sweep: exact Jaccard pair counts at τ = 51/66/80
+    // on the audit slice — the aggressiveness curve that says what a
+    // threshold choice actually costs in collapsed pairs before
+    // committing the full corpus to one.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val slice = t(s, dir, "documents").where(col("doc_id") < 1000)
+      Seq(51, 66, 80).map { tau =>
+        Dedup.jaccardNearDupPairs(slice, "doc_id", "text",
+            shingleK = 5, tauPct = tau)
+          .agg(count(lit(1L)).as("n_pairs"))
+          .select(lit(tau).as("tau_pct"), col("n_pairs"))
+      }.reduce(_ unionByName _).orderBy("tau_pct")
     }),
 
     // LSH banding S-curve audit: P(candidate | jaccard s) =
@@ -4860,6 +4886,28 @@ object PipelineQueries {
         |SELECT wa, wb, round(jaro_winkler_similarity(wa, wb), 6) AS jw
         |FROM p WHERE round(jaro_winkler_similarity(wa, wb), 6) >= 0.5
         |ORDER BY wa, wb""".stripMargin,
+
+    "text_len_hist" ->
+      """SELECT CAST(length(bin(n_chars)) - 1 AS INT) AS log2_bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(range(0, greatest(length(text) - 5, 0) + 1),
+        |    i -> substr(text, i + 1, 5))) AS s
+        | FROM documents WHERE doc_id < 1000),
+        |pc AS (SELECT tau, (
+        |  SELECT count(*) FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |   AND 100 * least(len(a.s), len(b.s)) >= tau * greatest(len(a.s), len(b.s))
+        |  WHERE 100 * len(list_intersect(a.s, b.s)) >=
+        |    tau * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+        |  AS n FROM (VALUES (51), (66), (80)) t(tau))
+        |SELECT CAST(tau AS INT) AS tau_pct, CAST(n AS BIGINT) AS n_pairs
+        |FROM pc ORDER BY tau_pct""".stripMargin,
 
     "text_ascii" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
