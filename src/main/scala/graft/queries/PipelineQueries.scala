@@ -2568,6 +2568,24 @@ object PipelineQueries {
             .as("share_full90"))
     }),
 
+    // Embedding L2-norm distribution per label group: norm collapse
+    // (all norms ≈ equal) or runaway outlier norms both distort cosine
+    // vs dot-product behavior — the quick geometry check before any
+    // similarity work. In-scan HOF norm, bounded per-group percentile
+    // rollup.
+    "sim_norm_dist" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .where(size(col("embedding")) === 64)
+        .select(pmod(col("label"), lit(5)).as("g"),
+          sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"))
+        .groupBy("g")
+        .agg(count(lit(1L)).as("n"),
+          round(expr("percentile(nrm, 0.5)"), 6).as("p50_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("g")),
+
     // Triplet-margin diagnostic: for each anchor, is the nearest
     // SAME-label vector closer than the nearest DIFFERENT-label one?
     // The share of violated anchors is the label-margin health of the
@@ -5071,6 +5089,16 @@ object PipelineQueries {
         | round(count(*) FILTER (WHERE pack_toks >= 1843)
         |   / CAST(count(*) AS DOUBLE), 6) AS share_full90
         |FROM g""".stripMargin,
+
+    "sim_norm_dist" ->
+      """WITH x AS (SELECT label % 5 AS g,
+        |        sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |          v -> v*v))) AS nrm
+        |       FROM embeddings WHERE len(embedding) = 64)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n,
+        | round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+        | round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |FROM x GROUP BY g ORDER BY g""".stripMargin,
 
     "sim_triplet_margin" ->
       """WITH sub AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

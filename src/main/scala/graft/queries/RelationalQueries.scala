@@ -968,6 +968,26 @@ object RelationalQueries {
         .orderBy(col("peak_minute_share").desc, col("key"))
         .limit(15)),
 
+    // Customer-concentration risk per nation: the single largest
+    // customer's revenue share — the account-concentration number
+    // behind "what if our biggest customer leaves". Customer-keyed
+    // aggregate, nation rollup via max/sum, dims broadcast.
+    "q_concentration" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .groupBy("n_name")
+        .agg(count(lit(1L)).as("n_customers"),
+          round(sum(col("rev")), 2).as("revenue"),
+          round(max(col("rev")), 2).as("top_customer_rev"))
+        .withColumn("top_share",
+          round(col("top_customer_rev") / col("revenue"), 6))
+        .orderBy("n_name")),
+
     // Repeat-purchase cadence: days between a customer's consecutive
     // orders, summarized exactly — the reorder-cycle number behind
     // replenishment and churn-risk models. One customer-keyed lag
@@ -2252,6 +2272,18 @@ object RelationalQueries {
         | gap_cv, round(peak * 1.0 / n_events, 6) AS peak_minute_share
         |FROM per JOIN pk ON per.k = pk.k
         |ORDER BY peak_minute_share DESC, key LIMIT 15""".stripMargin,
+
+    "q_concentration" ->
+      """WITH per AS (SELECT n_name, o_custkey,
+        |        round(sum(o_totalprice), 2) AS rev
+        |       FROM orders JOIN customer ON o_custkey = c_custkey
+        |       JOIN nation ON c_nationkey = n_nationkey
+        |       GROUP BY 1, 2)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        | round(sum(rev), 2) AS revenue,
+        | round(max(rev), 2) AS top_customer_rev,
+        | round(round(max(rev), 2) / round(sum(rev), 2), 6) AS top_share
+        |FROM per GROUP BY 1 ORDER BY n_name""".stripMargin,
 
     "q_cadence" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
