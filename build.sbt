@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " prefix): the
+// driver tail-parses the one-line JSON that graft.Bench prints, and
+// sbt's logger decoration defeated that parse in rounds 1-9
+// (BENCH_r0x "parsed": null). Suppressing [success] keeps the JSON
+// the genuinely-last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

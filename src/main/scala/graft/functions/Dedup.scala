@@ -308,7 +308,8 @@ object Dedup {
     * shuffle; candidate volume scales with real similarity, not n².
     * Cache lifecycle per [[materializeAndRelease]]. */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, tauPct: Int = 51, materialize: Boolean = true): DataFrame = {
+      shingleK: Int = 5, tauPct: Int = 51, materialize: Boolean = true,
+      keepCounts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Work on SORTED HASHED shingles throughout (one fused kernel):
     // 8-byte longs instead of UTF8Strings shrink every shuffle and let
@@ -340,8 +341,12 @@ object Dedup {
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .where(col("inter") * 100 >= col("uni") * tauPct)
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+      .select(Seq(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard")) ++
+        // keepCounts exposes the exact integer (inter, uni) so callers
+        // sweeping SEVERAL thresholds can re-test `inter*100 >= uni*τ`
+        // verbatim on this pair table instead of re-featurizing per τ
+        (if (keepCounts) Seq(col("inter"), col("uni")) else Seq.empty): _*)
     materializeAndRelease(result, materialize, sh)
   }
 

@@ -84,7 +84,12 @@ object TableHealth {
     * any engine with md5 can recompute it — no row ordering, no
     * engine-specific hash, no sort. SUM (not XOR) so duplicate-row
     * pairs cannot cancel out; the accumulator is DECIMAL(38,0), which
-    * cannot overflow below ~10²⁰ rows.
+    * cannot overflow below ~10²⁰ rows. The fingerprint is EMITTED as a
+    * zero-padded 39-digit decimal STRING: a string compares bit-exact
+    * through any downstream serialization (parquet, JSON, CSV, another
+    * engine's DECIMAL/HUGEINT/BigInteger canonicalization), where a
+    * 38-digit decimal's wire representation is engine-version
+    * territory. Padding keeps lexicographic order = numeric order.
     *
     * Scale shape: one scan, partial-aggregated sum — the cheapest
     * possible whole-table assertion. Fields join under a 0x1f unit
@@ -101,7 +106,8 @@ object TableHealth {
     val h = conv(substring(md5(canon), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     df.agg(count(lit(1L)).as("n_rows"),
-      coalesce(sum(h), lit(0).cast("decimal(38,0)")).as("fingerprint"))
+      lpad(coalesce(sum(h), lit(0).cast("decimal(38,0)")).cast("string"),
+        39, "0").as("fingerprint"))
   }
 
   /** k-anonymity audit: how many rows sit in a quasi-identifier

@@ -270,12 +270,19 @@ object CheckQueries {
 
     // Full-ROW duplicate audit: rows identical across every column —
     // the double-ingestion check uniqueCheck's key-based view cannot
-    // express when no key exists. One all-columns distinct against a
-    // count (md5 of the canonical row digest shuffles, never payload).
+    // express when no key exists. The distinct runs over the md5 of
+    // the canonical row digest (0x1f-joined, NULL-marked — the
+    // tableFingerprint canonicalization), so the exchange carries one
+    // 32-char column, never the payload: at 100 TB on a documents
+    // table a full-width distinct would ship every byte of text.
+    // count + count_distinct fuse into ONE aggregate over one scan.
     "chk_dup_rows" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.agg(count(lit(1L)).as("n_rows"))
-        .crossJoin(li.distinct().agg(count(lit(1L)).as("n_distinct")))
+      val digest = md5(concat_ws("\u001f", li.columns.toSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+      li.select(digest.as("__digest"))
+        .agg(count(lit(1L)).as("n_rows"),
+          countDistinct(col("__digest")).as("n_distinct"))
         .select(col("n_rows"), col("n_distinct"),
           (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
           (col("n_rows") === col("n_distinct")).as("no_full_dups"))
@@ -512,6 +519,31 @@ object CheckQueries {
     }),
   )
 
+  /** DuckDB restatement of the engine's 60-bit row hash — the first 15
+    * hex nibbles of md5(`expr`) as a BIGINT — WITHOUT the
+    * `CAST('0x…' AS BIGINT)` hex trick, whose semantics proved
+    * DuckDB-version-sensitive (the r09 red rows). Each nibble's value
+    * comes from strpos over a constant alphabet and the place values
+    * are spelled as exact BIGINT literals (16^14 … 16^0), so the
+    * expression means the same thing in any SQL engine with md5. */
+  private def duckRowHash(expr: String): String =
+    (0 until 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) " +
+        s"AS BIGINT) - 1) * $w"
+    }.mkString("(", "\n   + ", ")")
+
+  /** The oracle half of [[graft.ops.TableHealth.tableFingerprint]]:
+    * sum of 60-bit row hashes over NULL-marked unit-separated columns,
+    * emitted as the same zero-padded 39-digit decimal string the
+    * engine emits — representation-proof through the driver's hasher. */
+  private def duckFingerprint(cols: Seq[String]): String = {
+    val canon = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
+      .mkString("concat_ws(chr(31), ", ", ", ")")
+    s"lpad(CAST(CAST(sum(${duckRowHash(canon)}) AS DECIMAL(38,0)) " +
+      "AS VARCHAR), 39, '0')"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "chk_fused" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
@@ -604,41 +636,35 @@ object CheckQueries {
         |   (t.t * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
         |FROM per CROSS JOIN t ORDER BY digit""".stripMargin,
 
-    "chk_redundancy" ->
-      """WITH base AS (SELECT c_custkey AS k, c_name,
-        |   c_name AS name_copy, 'x' AS const_col, c_mktsegment
-        |  FROM customer),
-        |cols AS (
-        | SELECT 'c_name' AS column_name,
-        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
-        |     || coalesce(CAST(c_name AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
-        |   AS DECIMAL(38,0)) FROM base) AS dig,
-        |  (SELECT min(CAST(c_name AS VARCHAR)) IS NOT DISTINCT FROM
-        |     max(CAST(c_name AS VARCHAR)) FROM base) AS is_constant
-        | UNION ALL SELECT 'name_copy',
-        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
-        |     || coalesce(CAST(name_copy AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
-        |   AS DECIMAL(38,0)) FROM base),
-        |  (SELECT min(CAST(name_copy AS VARCHAR)) IS NOT DISTINCT FROM
-        |     max(CAST(name_copy AS VARCHAR)) FROM base)
-        | UNION ALL SELECT 'const_col',
-        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
-        |     || coalesce(CAST(const_col AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
-        |   AS DECIMAL(38,0)) FROM base),
-        |  (SELECT min(CAST(const_col AS VARCHAR)) IS NOT DISTINCT FROM
-        |     max(CAST(const_col AS VARCHAR)) FROM base)
-        | UNION ALL SELECT 'c_mktsegment',
-        |  (SELECT CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || chr(31)
-        |     || coalesce(CAST(c_mktsegment AS VARCHAR), chr(0))), 1, 15) AS BIGINT))
-        |   AS DECIMAL(38,0)) FROM base),
-        |  (SELECT min(CAST(c_mktsegment AS VARCHAR)) IS NOT DISTINCT FROM
-        |     max(CAST(c_mktsegment AS VARCHAR)) FROM base)),
-        |m AS (SELECT dig, min(column_name) AS first FROM cols GROUP BY 1)
-        |SELECT c.column_name, c.is_constant,
-        | CASE WHEN m.first = c.column_name THEN NULL ELSE m.first END
-        |   AS duplicate_of
-        |FROM cols c JOIN m ON c.dig = m.dig
-        |ORDER BY column_name""".stripMargin,
+    "chk_redundancy" -> {
+      // same '0x'-free row hash as the fingerprint oracles; the digest
+      // only needs within-engine equality here, but version-proof > not
+      def branch(c: String) = {
+        val dig = duckRowHash("CAST(k AS VARCHAR) || chr(31) || " +
+          s"coalesce(CAST($c AS VARCHAR), chr(0))")
+        s"""|  (SELECT CAST(sum($dig) AS DECIMAL(38,0)) FROM base),
+            |  (SELECT min(CAST($c AS VARCHAR)) IS NOT DISTINCT FROM
+            |     max(CAST($c AS VARCHAR)) FROM base)""".stripMargin
+      }
+      s"""WITH base AS (SELECT c_custkey AS k, c_name,
+         |   c_name AS name_copy, 'x' AS const_col, c_mktsegment
+         |  FROM customer),
+         |cols(column_name, dig, is_constant) AS (
+         | SELECT 'c_name',
+         |${branch("c_name")}
+         | UNION ALL SELECT 'name_copy',
+         |${branch("name_copy")}
+         | UNION ALL SELECT 'const_col',
+         |${branch("const_col")}
+         | UNION ALL SELECT 'c_mktsegment',
+         |${branch("c_mktsegment")}),
+         |m AS (SELECT dig, min(column_name) AS first FROM cols GROUP BY 1)
+         |SELECT c.column_name, c.is_constant,
+         | CASE WHEN m.first = c.column_name THEN NULL ELSE m.first END
+         |   AS duplicate_of
+         |FROM cols c JOIN m ON c.dig = m.dig
+         |ORDER BY column_name""".stripMargin
+    },
 
     "chk_kanon" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
@@ -651,16 +677,11 @@ object CheckQueries {
         |FROM g""".stripMargin,
 
     "chk_fingerprint" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(CAST('0x' || substr(md5(concat_ws(chr(31),
-        |   coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
-        |   coalesce(CAST(l_partkey AS VARCHAR), chr(0)),
-        |   coalesce(CAST(l_suppkey AS VARCHAR), chr(0)),
-        |   coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
-        |   coalesce(CAST(l_returnflag AS VARCHAR), chr(0)),
-        |   coalesce(CAST(l_linestatus AS VARCHAR), chr(0)))), 1, 15)
-        |  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint
-        |FROM lineitem""".stripMargin,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         | ${duckFingerprint(Seq("l_orderkey", "l_partkey", "l_suppkey",
+                "l_linenumber", "l_returnflag", "l_linestatus"))}
+         |  AS fingerprint
+         |FROM lineitem""".stripMargin,
 
     "chk_schema" ->
       """WITH actual AS (SELECT column_name AS name,
@@ -877,16 +898,12 @@ object CheckQueries {
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
 
     "chk_roundtrip" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(CAST('0x' || substr(md5(concat_ws(chr(31),
-        |   coalesce(CAST(p_partkey AS VARCHAR), chr(0)),
-        |   coalesce(CAST(p_name AS VARCHAR), chr(0)),
-        |   coalesce(CAST(p_brand AS VARCHAR), chr(0)),
-        |   coalesce(CAST(p_type AS VARCHAR), chr(0)),
-        |   coalesce(CAST(p_size AS VARCHAR), chr(0)))), 1, 15)
-        |  AS BIGINT)) AS DECIMAL(38,0)) AS fingerprint,
-        | true AS roundtrip_ok
-        |FROM part""".stripMargin,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         | ${duckFingerprint(Seq("p_partkey", "p_name", "p_brand",
+                "p_type", "p_size"))}
+         |  AS fingerprint,
+         | true AS roundtrip_ok
+         |FROM part""".stripMargin,
 
     "chk_dup_rows" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,

@@ -2897,14 +2897,25 @@ object PipelineQueries {
     // on the audit slice — the aggressiveness curve that says what a
     // threshold choice actually costs in collapsed pairs before
     // committing the full corpus to one.
+    // ONE featurize+verify pass at the LOWEST τ: its exact-Jaccard pair
+    // table (id_a, id_b, jaccard) is a superset of every higher
+    // threshold's, so the 66/80 counts are conditional sums over the
+    // τ=51 pairs — not three full corpus re-featurizations (the r9
+    // bench's 3rd-most-expensive query was exactly that, at 3× cost).
     "dedup_threshold_sweep" -> ((s, dir) => {
       val slice = t(s, dir, "documents").where(col("doc_id") < 1000)
-      Seq(51, 66, 80).map { tau =>
-        Dedup.jaccardNearDupPairs(slice, "doc_id", "text",
-            shingleK = 5, tauPct = tau)
-          .agg(count(lit(1L)).as("n_pairs"))
-          .select(lit(tau).as("tau_pct"), col("n_pairs"))
-      }.reduce(_ unionByName _).orderBy("tau_pct")
+      val pairs = Dedup.jaccardNearDupPairs(slice, "doc_id", "text",
+        shingleK = 5, tauPct = 51, keepCounts = true)
+      val taus = Seq(51, 66, 80)
+      val counts = pairs.agg(
+        sum(when(col("inter") * 100 >= col("uni") * taus.head, 1L)
+          .otherwise(0L)).as(s"__n${taus.head}"),
+        taus.tail.map(tau =>
+          sum(when(col("inter") * 100 >= col("uni") * tau, 1L)
+            .otherwise(0L)).as(s"__n$tau")): _*)
+      taus.map(tau => counts.select(lit(tau).as("tau_pct"),
+          coalesce(col(s"__n$tau"), lit(0L)).as("n_pairs")))
+        .reduce(_ unionByName _).orderBy("tau_pct")
     }),
 
     // LSH banding S-curve audit: P(candidate | jaccard s) =
@@ -2932,10 +2943,13 @@ object PipelineQueries {
         .select(explode(TF.tokensWs(lower(col("text")))).as("term"))
         .where(col("term") =!= "")
         .groupBy("term").agg(count(lit(1L)).as("n"))
+      // limit-then-rank: TakeOrdered cuts the vocabulary to 50 rows
+      // (per-partition heaps, no global sort), and only THEN does the
+      // single-partition ranking window run — over 50 rows, not |vocab|
       val ranked = counts
+        .orderBy(col("n").desc, col("term")).limit(50)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("n").desc, col("term"))))
-        .where(col("rank") <= 50)
         .select(log(col("rank").cast("double")).as("x"),
           log(col("n").cast("double")).as("y"))
       ranked.agg(count(lit(1L)).as("n_terms"),

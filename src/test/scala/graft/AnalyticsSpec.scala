@@ -1109,15 +1109,19 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.tableFingerprint(d, Seq("id", "v")).head()
     val base = fp(df)
     assert(base.getLong(0) == 3)
-    assert(fp(df.repartition(5)).getDecimal(1) == base.getDecimal(1) &&
-      fp(df.orderBy(col("v").desc)).getDecimal(1) == base.getDecimal(1),
+    // gate-robust representation: 39-char zero-padded decimal string
+    assert(base.getString(1).length == 39 &&
+      base.getString(1).forall(_.isDigit),
+      s"fingerprint must be a 39-digit zero-padded string: ${base.getString(1)}")
+    assert(fp(df.repartition(5)).getString(1) == base.getString(1) &&
+      fp(df.orderBy(col("v").desc)).getString(1) == base.getString(1),
       "fingerprint must not depend on order or layout")
-    assert(fp(df.where(col("id") =!= 2)).getDecimal(1) != base.getDecimal(1))
+    assert(fp(df.where(col("id") =!= 2)).getString(1) != base.getString(1))
     // a duplicated row changes the fingerprint (SUM, not XOR)
-    assert(fp(df.union(df.limit(1))).getDecimal(1) != base.getDecimal(1))
+    assert(fp(df.union(df.limit(1))).getString(1) != base.getString(1))
     // null marking: ("2", NULL) must differ from ("2", "")
     val empt = Seq((1L, "a"), (2L, ""), (3L, "c")).toDF("id", "v")
-    assert(fp(empt).getDecimal(1) != base.getDecimal(1))
+    assert(fp(empt).getString(1) != base.getString(1))
   }
 
   test("mutualInformation: MI = H(A) when B determines A; 0 when independent") {

@@ -163,6 +163,29 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("text_zipf cuts the vocabulary by TakeOrdered BEFORE the ranking window") {
+    val p = plan(q("text_zipf"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrdered vocabulary cut:\n$p")
+    // the single-partition window may only run ABOVE the TakeOrdered
+    // (over its 50-row output): in the bottom-up plan string the
+    // Window operator must print before (above) the TakeOrdered line
+    val iw = p.indexOf("Window")
+    val it = p.indexOf("TakeOrderedAndProject")
+    assert(iw >= 0 && iw < it,
+      s"ranking window must consume the TakeOrdered output, not |vocab| rows:\n$p")
+  }
+
+  test("text_rrf rank windows ride 50-row TakeOrdered cuts, not corpus sorts") {
+    val p = plan(q("text_rrf"))
+    // each branch: rank Window above its 50-row TakeOrdered cut — so the
+    // DEEPEST window still prints before (above) the deepest TakeOrdered
+    val it = p.lastIndexOf("TakeOrderedAndProject")
+    assert(it >= 0, s"expected TakeOrdered list cuts:\n$p")
+    assert(p.lastIndexOf("Window") < it,
+      s"rank windows must sit above the TakeOrdered cuts:\n$p")
+  }
+
   test("chk_detail early-terminates via a limit, not a full materialization") {
     val p = plan(q("chk_detail"))
     assert(p.contains("TakeOrderedAndProject") || p.contains("CollectLimit"),
@@ -254,6 +277,25 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
         s"diff shuffle must carry (id, digest) only, got ${e.output.map(_.name)}")
       assert(!e.output.exists(_.name == "text"),
         s"document bodies crossed the shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("chk_dup_rows shuffles the row digest only, never the payload") {
+    val d = q("chk_dup_rows")
+    val exchanges = d.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the distinct-digest aggregate shuffle")
+    exchanges.foreach { e =>
+      assert(e.output.forall(a =>
+        a.name.contains("__digest") || a.name.startsWith("n_") ||
+          a.name.startsWith("count")),
+        s"dup-rows shuffle must carry the digest/counts only, got " +
+          e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(","))
+      assert(!e.output.exists(a =>
+        graft.sources.Sources.table(spark, sf0001, "lineitem")
+          .columns.contains(a.name)),
+        s"payload columns crossed the shuffle: ${e.output.map(_.name)}")
     }
   }
 
