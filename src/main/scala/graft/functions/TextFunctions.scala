@@ -677,11 +677,19 @@ object TextFunctions {
     * view behind corpus inspection UIs and retrieval spot checks
     * (pair with [[InvertedIndex.searchAll]] for candidate docs). Pure
     * in-scan string algebra: locate + substring, no explode, no
-    * shuffle, integer-exact across engines. */
+    * shuffle, integer-exact across engines.
+    *
+    * Case folding: the term lowercases under Locale.ROOT (a JVM whose
+    * default locale is Turkish must not fold 'I' to 'ı'), and the
+    * match position is found on lower(text) while the snippet slices
+    * the ORIGINAL text — correct as long as lowercasing preserves
+    * string length, which holds for the ASCII/Latin-1 corpora this
+    * serves (the documented exception: characters like 'İ' whose
+    * lowercase form adds a combining mark would shift positions). */
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")
-    val pos = locate(term.toLowerCase, lower(col(textCol)))
+    val pos = locate(term.toLowerCase(java.util.Locale.ROOT), lower(col(textCol)))
     val start = greatest(col("pos") - width, lit(1))
     docs.select(col(idCol), pos.as("pos"), col(textCol).as("__t"))
       .where(col("pos") > 0)

@@ -1086,7 +1086,11 @@ object Analytics {
   def calibrationBins(df: DataFrame, score: Column, label: Column,
       bins: Int = 10, dp: Int = 6): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val b = least(floor(score * bins), lit(bins - 1)).cast("int")
+    // clamp BOTH ends: the contract is scores in [0,1], but a stray
+    // negative must not mint a phantom negative bin id (it lands in bin
+    // 0, exactly as a stray >1 lands in bins-1)
+    val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
+      .cast("int")
     val agg = df.select(b.as("bin"), score.as("__s"),
         label.cast("double").as("__y"))
       .groupBy(col("bin"))
@@ -1148,14 +1152,20 @@ object Analytics {
     * lag), f/m tier `tiles` = highest.
     *
     * Shape: one entity-keyed aggregation (the only corpus-width
-    * exchange), then three global ntile windows over the ENTITY table —
-    * a single-reducer sort by contract, so the input is dimension-table
-    * scale (entities, not events). At fact-table entity cardinality cut
-    * tiers with approx_percentile boundaries instead (the
-    * [[graft.ops.DataPrep]] quantile-bucketing path) — exact
-    * equal-population ranking is inherently a global sort. */
+    * exchange), then tier assignment. The DEFAULT (`exactTiles =
+    * false`) path is the scale-safe one: tier boundaries come from one
+    * mergeable approx_percentile pass over the entity table and each
+    * entity lands in its tier by comparing against the (tiles-1)
+    * broadcast cut values — no global sort at any cardinality; entities
+    * sharing a boundary value share a tier (value-based, so true ties
+    * cannot straddle a cut). `exactTiles = true` is the audit opt-in:
+    * exact equal-population ntile over three global windows — a
+    * single-reducer sort, so dimension-table-scale inputs only (it is
+    * what the DuckDB oracle restates). Both paths agree whenever the
+    * metric values are tie-free and the population divides evenly. */
   def rfmSegments(df: DataFrame, entity: Column, ts: Column, amount: Column,
-      asOfEpoch: Long, tiles: Int = 4, amountDp: Int = 2): DataFrame = {
+      asOfEpoch: Long, tiles: Int = 4, amountDp: Int = 2,
+      exactTiles: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(tiles >= 2, s"tiles must be >= 2, got $tiles")
     // the monetary SUM is ranked at `amountDp` decimals: floating
     // accumulation order must not let two mathematically-equal totals
@@ -1163,11 +1173,33 @@ object Analytics {
     val per = df.groupBy(entity.as("__e"))
       .agg((lit(asOfEpoch) - max(unix_timestamp(ts))).as("__lag"),
         count(lit(1L)).as("__f"), round(sum(amount), amountDp).as("__m"))
-    val r = ntile(tiles).over(Window.orderBy(col("__lag"), col("__e")))
-    val f = ntile(tiles).over(Window.orderBy(col("__f").desc, col("__e")))
-    val m = ntile(tiles).over(Window.orderBy(col("__m").desc, col("__e")))
-    per.select(r.as("r_tier"), f.as("f_tier"), m.as("m_tier"))
-      .groupBy("r_tier", "f_tier", "m_tier")
+    val tiered =
+      if (exactTiles) {
+        val r = ntile(tiles).over(Window.orderBy(col("__lag"), col("__e")))
+        val f = ntile(tiles).over(Window.orderBy(col("__f").desc, col("__e")))
+        val m = ntile(tiles).over(Window.orderBy(col("__m").desc, col("__e")))
+        per.select(r.as("r_tier"), f.as("f_tier"), m.as("m_tier"))
+      } else {
+        // desc-ordered tiers (f/m: tier 1 = highest) ride the SAME
+        // ascending-boundary helper by negating the metric
+        val probes = lit((1 until tiles).map(_.toDouble / tiles).toArray)
+        val cuts = per.agg(
+          approx_percentile(col("__lag").cast("double"), probes,
+            lit(accuracy)).as("__rb"),
+          approx_percentile(-col("__f").cast("double"), probes,
+            lit(accuracy)).as("__fb"),
+          approx_percentile(-col("__m").cast("double"), probes,
+            lit(accuracy)).as("__mb")).head()
+        def tierOf(v: Column, bs: Seq[Double]): Column =
+          bs.map(b => when(v > lit(b), 1).otherwise(0))
+            .reduce(_ + _) + lit(1)
+        def bs(i: Int): Seq[Double] = cuts.getSeq[Double](i)
+        per.select(
+          tierOf(col("__lag").cast("double"), bs(0)).as("r_tier"),
+          tierOf(-col("__f").cast("double"), bs(1)).as("f_tier"),
+          tierOf(-col("__m").cast("double"), bs(2)).as("m_tier"))
+      }
+    tiered.groupBy("r_tier", "f_tier", "m_tier")
       .agg(count(lit(1L)).as("n_entities"))
   }
 

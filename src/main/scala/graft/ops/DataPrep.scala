@@ -512,15 +512,74 @@ object DataPrep {
     * statistics; ranks tie-break on `targetId` so the map is
     * deterministic.
     *
-    * Shape: one global sort per side (rank assignment — exact
-    * quantile mapping is inherently order-statistics work, so inputs
-    * are bounded-corpus scale; at unbounded scale substitute KLL
-    * quantiles for the reference side) and ONE equi-join on the
-    * floor-rank key. Returns (id, value, percentile, mapped). */
+    * Shape — two paths, chosen by `exact`:
+    *
+    *   - DEFAULT (`exact = false`, the scale path): each side is
+    *     summarized by ONE mergeable approx_percentile pass into a
+    *     `gridSize`+1-point quantile grid that rides into the scan as a
+    *     literal array; each target row's percentile (its position in
+    *     the TARGET grid) and mapped value (interpolated REF grid at
+    *     that percentile) are pure in-scan array arithmetic. No global
+    *     sort, no join, any cardinality. Equal target values share a
+    *     percentile (value-based, no id tie-break).
+    *   - `exact = true` (the audit opt-in the oracle restates): exact
+    *     rank assignment via one global sort per side and ONE equi-join
+    *     on the floor-rank key; ranks tie-break on `targetId`, so the
+    *     map is deterministic. Bounded-corpus inputs by contract.
+    *
+    * A single-row target maps to percentile 0.5 (its own median) on
+    * both paths rather than 0/0 silently dropping the row. Returns
+    * (id, value, percentile, mapped). */
   def quantileMap(ref: DataFrame, refVal: org.apache.spark.sql.Column,
       target: DataFrame, targetId: org.apache.spark.sql.Column,
-      targetVal: org.apache.spark.sql.Column, dp: Int = 6): DataFrame = {
+      targetVal: org.apache.spark.sql.Column, dp: Int = 6,
+      exact: Boolean = false, gridSize: Int = 1000,
+      accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (!exact) {
+      require(gridSize >= 1, s"gridSize must be >= 1, got $gridSize")
+      // grid j ↦ quantile j/gridSize — exact when the side's distinct
+      // count fits the summary's accuracy, approximate past it
+      def grid(df: DataFrame, v: org.apache.spark.sql.Column): Seq[Double] = {
+        val probes = lit((0 to gridSize).map(_.toDouble / gridSize).toArray)
+        val g = df.agg(approx_percentile(v.cast("double"), probes,
+          lit(accuracy)).as("__g")).head().getSeq[Double](0)
+        require(g.nonEmpty, "quantileMap side is empty")
+        g
+      }
+      val rg = grid(ref, refVal)
+      val tg = grid(target, targetVal)
+      require(rg.length == gridSize + 1 && tg.length == gridSize + 1,
+        "quantile grid came back short — empty input side?")
+      // Both lookups are O(1)-size ARRAY expressions over the literal
+      // grids (size/filter/element_at), not per-cell expression trees —
+      // a 1000-cell grid must not become a 1000-branch codegen method.
+      val tga = typedlit(tg)
+      val rga = typedlit(rg)
+      val v = targetVal.cast("double")
+      // percentile of v in the target grid: count of grid points <= v,
+      // linear inside the straddling cell. cnt's lo is the LAST point
+      // <= v and hi the first point > v, so hi > lo by construction —
+      // flat runs of duplicated grid values cannot divide by zero
+      // (equal values snap to the top edge of their run and so share a
+      // percentile, matching the documented value-based semantics).
+      val cnt = size(filter(tga, x => x <= v))
+      val pLo = element_at(tga, cnt)
+      val pHi = element_at(tga, cnt + 1)
+      val p = when(cnt === 0, lit(0.0))
+        .when(cnt === gridSize + 1, lit(1.0))
+        .otherwise((cnt - 1 + (v - pLo) / (pHi - pLo)) / gridSize)
+      // inverse: ref grid value at percentile p, linear between cells
+      val pos = p * gridSize
+      val j = least(greatest(floor(pos), lit(0.0)), lit((gridSize - 1).toDouble))
+        .cast("int")
+      val mLo = element_at(rga, j + 1)
+      val mHi = element_at(rga, j + 2)
+      val mapped = mLo + (pos - j.cast("double")) * (mHi - mLo)
+      return target.select(targetId.as("id"), v.as("value"),
+          round(p, dp).as("percentile"),
+          round(mapped, dp).as("mapped"))
+    }
     val a = ref.select(refVal.cast("double").as("__v"))
       .withColumn("__i", row_number().over(Window.orderBy(col("__v"))) - 1)
     val na = a.count()
@@ -529,8 +588,13 @@ object DataPrep {
       Window.orderBy(col("__i"))))
     val b = target.select(targetId.as("__id"), targetVal.cast("double").as("__t"))
       .withColumn("__p",
-        (row_number().over(Window.orderBy(col("__t"), col("__id"))) - 1)
-          .cast("double") / (count(lit(1L)).over(Window.partitionBy()) - 1))
+        // n=1 has no rank spread: (rn-1)/(n-1) is 0/0 — map the lone
+        // row to its own median instead of NULLing it out of the join
+        when(count(lit(1L)).over(Window.partitionBy()) === 1, lit(0.5))
+          .otherwise(
+            (row_number().over(Window.orderBy(col("__t"), col("__id"))) - 1)
+              .cast("double") /
+              (count(lit(1L)).over(Window.partitionBy()) - 1)))
     val pos = col("__p") * (na - 1)
     b.withColumn("__lo", floor(pos).cast("long"))
       .withColumn("__frac", pos - floor(pos))

@@ -103,10 +103,13 @@ object Skew {
     * EXACT results: Bloom filters have no false negatives, so no true
     * match is dropped; false positives (rate `fpp`) survive the scan
     * filter but are eliminated by the join itself. The sketch is built
-    * by one treeAggregate over the small side's DISTINCT key hashes
-    * (mergeable partials — no key-space shuffle) and rides a broadcast
-    * into the probe expression ([[graft.functions.BloomAnyContainBroadcast]]),
-    * deserialized once per task.
+    * EAGERLY at call time (a Spark job runs before the lazy DataFrame
+    * is returned) over the small side's DISTINCT key hashes — one
+    * small-side-only distinct exchange, so `expectedKeys` (sized for
+    * distinct keys) matches what actually enters the filter — and
+    * rides a broadcast into the probe expression
+    * ([[graft.functions.BloomAnyContainBroadcast]]), deserialized once
+    * per task.
     *
     * `expectedKeys` sizes the sketch; overshooting costs bytes,
     * undershooting costs fpp (both safe). Composite keys hash as one
@@ -122,9 +125,15 @@ object Skew {
     require(Set("inner", "leftsemi", "rightouter").contains(jt),
       s"bloomPrunedJoin drops non-matching BIG-side rows pre-join; joinType " +
         s"'$joinType' would need those rows (use inner / left_semi / right_outer)")
+    // NOTE: building the sketch runs a Spark job EAGERLY, at call time
+    // — callers get a lazy DataFrame back, but the small side has
+    // already been scanned once by the time this returns. The distinct
+    // keeps the sketch's fill factor honest: `expectedKeys` sizes for
+    // distinct keys, so feeding duplicate rows would overfill fpp math
+    // (never correctness — Bloom inserts are idempotent).
     val sketch = {
       val bos = new java.io.ByteArrayOutputStream()
-      small.select(xxhash64(smallKeys.map(col): _*).as("__h"))
+      small.select(xxhash64(smallKeys.map(col): _*).as("__h")).distinct()
         .stat.bloomFilter("__h", expectedKeys, fpp)
         .writeTo(bos)
       bos.toByteArray

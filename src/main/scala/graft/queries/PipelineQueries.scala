@@ -2517,11 +2517,15 @@ object PipelineQueries {
     // Quantile normalization: src1 doc lengths mapped onto src0's
     // length distribution — the cross-source score-alignment step
     // before any global threshold; exact interpolated order statistics.
+    // exact = true: the oracle restates exact interpolated order
+    // statistics; the engine DEFAULT is the approx-grid path that
+    // never sorts globally.
     "pipeline_quantile_map" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ops.DataPrep.quantileMap(
           docs.where(col("source") === "src0"), col("n_chars"),
-          docs.where(col("source") === "src1"), col("doc_id"), col("n_chars"))
+          docs.where(col("source") === "src1"), col("doc_id"), col("n_chars"),
+          exact = true)
         .orderBy("id")
     }),
 

@@ -955,10 +955,13 @@ object RelationalQueries {
     // RFM grid: customers tiered by recency/frequency/monetary quartiles
     // (deterministic ntile — id tie-break), populated cells with counts.
     // As-of is fixed (1999-01-01 UTC), never wall-clock.
+    // exactTiles: the oracle restates equal-population ntile, so the
+    // query opts into the audit path; the engine DEFAULT is the
+    // approx-boundary assignment that never sorts globally.
     "q_rfm" -> ((s, dir) =>
       Analytics.rfmSegments(t(s, dir, "orders"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice"),
-          asOfEpoch = 915148800L, tiles = 4)
+          asOfEpoch = 915148800L, tiles = 4, exactTiles = true)
         .orderBy("r_tier", "f_tier", "m_tier")),
 
     // Per-user event-timing burstiness (bot/spam evidence): the 15 most

@@ -1290,6 +1290,12 @@ class AnalyticsSpec extends SparkSuite {
       s"bin0: n=2 avg=3/64 rate=.5 cum shares end at 1: ${rows(0)}")
     assert(rows(9) == ((2L, 0.984375, 1.0, 0.5, 0.666667)),
       s"bin9 (top-down first): half the population, 2/3 of positives: ${rows(9)}")
+    // a stray negative score clamps into bin 0, never a phantom
+    // negative bin id distorting the cumulative shares
+    val neg = Seq((-0.25, 0), (0.5, 1)).toDF("s", "y")
+    val nb = Analytics.calibrationBins(neg, col("s"), col("y"), bins = 10)
+      .collect().map(_.getInt(0)).toSet
+    assert(nb == Set(0, 5), s"negative score must land in bin 0: $nb")
   }
 
   test("theilSenByKey: outlier-robust slope where OLS is dragged") {
@@ -1335,7 +1341,7 @@ class AnalyticsSpec extends SparkSuite {
     val df = ts.toDF("e", "tss", "amt")
       .select(col("e"), to_timestamp(col("tss")).as("ts"), col("amt"))
     val cells = Analytics.rfmSegments(df, col("e"), col("ts"), col("amt"),
-        asOfEpoch = 1706745600L, tiles = 4)
+        asOfEpoch = 1706745600L, tiles = 4, exactTiles = true)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
       .toMap
     // entity 4: most recent (r=1), all freq equal (tie → id: e1 f=1…e4 f=4),
@@ -1343,6 +1349,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(cells.values.sum == 4 && cells.values.forall(_ == 1L))
     assert(cells.contains((1, 4, 1)), s"entity 4 = newest, last f-tie slot, richest: $cells")
     assert(cells.contains((4, 1, 4)), s"entity 1 = oldest, first f-tie slot, poorest: $cells")
+  }
+
+  test("rfmSegments: DEFAULT approx-boundary path agrees with exact ntile on tie-free data") {
+    import spark.implicits._
+    // 8 entities, 2 events each (f tie-free via event counts 1..8? no —
+    // keep f constant-per-entity impossible tie-free with counts, so
+    // give entity i exactly i events): recency/monetary also tie-free
+    val rows = (1 to 8).flatMap { i =>
+      (1 to i).map(j => (i.toLong, f"2024-01-$i%02d 00:00:00", i * 10.0 + j))
+    }
+    val df = rows.toDF("e", "tss", "amt")
+      .select(col("e"), to_timestamp(col("tss")).as("ts"), col("amt"))
+    def cells(exact: Boolean) =
+      Analytics.rfmSegments(df, col("e"), col("ts"), col("amt"),
+          asOfEpoch = 1706745600L, tiles = 4, exactTiles = exact)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(cells(false) == cells(true),
+      s"approx boundaries must reproduce ntile tiers on tie-free, " +
+        s"evenly-divisible data:\n${cells(false)}\n${cells(true)}")
+    // plan shape: the default path must not contain a Window (ntile)
+    val plan = Analytics.rfmSegments(df, col("e"), col("ts"), col("amt"),
+      asOfEpoch = 1706745600L, tiles = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"default rfmSegments must not globally sort via ntile windows:\n$plan")
   }
 
   test("burstiness: hand-computed gap stats and burst share") {

@@ -1230,21 +1230,52 @@ class PipelineSpec extends SparkSuite {
     assert(sq == r("rep"), "SQL name must agree with the Column builder")
   }
 
-  test("quantileMap: endpoints and midpoint interpolate exactly") {
+  test("quantileMap (exact audit path): endpoints and midpoint interpolate exactly") {
     import spark.implicits._
     // ref distribution {0, 100}: target ranks 0, .5, 1 map to 0, 50, 100
     val ref = Seq(0.0, 100.0).toDF("v")
     val tgt = Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)).toDF("id", "x")
-    val m = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"), col("x"))
+    val m = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"), col("x"),
+        exact = true)
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     assert(m(1L) == ((0.0, 0.0)))
     assert(m(2L) == ((0.5, 50.0)))
     assert(m(3L) == ((1.0, 100.0)), "top rank hits the last ref value")
     // tie-break on id keeps equal target values deterministic
     val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 9.0)).toDF("id", "x")
-    val mt = graft.ops.DataPrep.quantileMap(ref, col("v"), tied, col("id"), col("x"))
+    val mt = graft.ops.DataPrep.quantileMap(ref, col("v"), tied, col("id"), col("x"),
+        exact = true)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(mt == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+  }
+
+  test("quantileMap: DEFAULT approx-grid path agrees with the exact path; n=1 target maps to 0.5") {
+    import spark.implicits._
+    // tie-free target, grid exactly dense enough (gridSize = n-1) that
+    // the grid points ARE the sorted values → approx == exact
+    val ref = (0 to 10).map(i => i * 10.0).toDF("v")
+    val tgt = Seq(3.0, 17.0, 42.0, 58.0, 71.0, 96.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val ex = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"),
+        col("x"), exact = true)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ap = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"),
+        col("x"), gridSize = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(ap == ex, s"approx-grid path must agree on tie-free data:\n$ap\n$ex")
+    // plan shape: the default path must be join-free and window-free —
+    // the grids ride into the scan as literals
+    val plan = graft.ops.DataPrep.quantileMap(ref, col("v"), tgt, col("id"),
+      col("x")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"default quantileMap must stay in-scan:\n$plan")
+    // a single-row target maps to its own median, not a silent drop
+    val one = Seq((9L, 50.0)).toDF("id", "x")
+    val r1 = graft.ops.DataPrep.quantileMap(ref, col("v"), one, col("id"),
+        col("x"), exact = true).collect()
+    assert(r1.length == 1 && r1.head.getDouble(2) == 0.5 &&
+      r1.head.getDouble(3) == 50.0,
+      s"n=1 target: percentile 0.5 at the ref median: ${r1.toSeq}")
   }
 
   test("JaroWinkler: DuckDB-pinned values, boost threshold, edge cases") {
@@ -1290,6 +1321,22 @@ class PipelineSpec extends SparkSuite {
     val b = m("B")
     assert(b.getAs[Long]("n_docs") == 1 && b.getAs[Double]("exact_dup_rate") == 0.0)
     assert(b.getAs[Long]("ws_tokens") == 3)
+  }
+
+  test("InvertedIndex.build fails loudly on an id that cannot cast to long") {
+    import graft.functions.InvertedIndex
+    import spark.implicits._
+    val bad = Seq(("doc-1", "hello world")).toDF("id", "txt")
+    val e = intercept[Exception] {
+      InvertedIndex.build(bad, "id", "txt").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not castable to long")),
+      s"expected the loud id-cast error, got: $e")
+    // numeric-string ids still pass
+    val ok = Seq(("7", "hello world")).toDF("id", "txt")
+    assert(InvertedIndex.build(ok, "id", "txt").collect().nonEmpty)
   }
 
   test("InvertedIndex artifact: round-trip, pruned search == unpruned, delta append") {
