@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for UNPARTITIONED ranking/cumulative
+  * windows — `row_number().over(Window.orderBy(…))` and running sums
+  * over a whole table funnel every row through ONE reducer, which is
+  * exactly the shape that dies first at 100 TB.
+  *
+  * Both helpers use the classic two-phase decomposition instead:
+  *
+  *   1. range-repartition on the order key (a parallel exchange whose
+  *      partition boundaries come from Spark's range sampler), then
+  *      rank/scan LOCALLY inside each range partition;
+  *   2. lift local results to global ones by adding a per-partition
+  *      offset (counts for row numbers, prefix totals for sums) —
+  *      computed from the ≤`numPartitions`-row partition summary, which
+  *      is the ONLY thing that ever passes through a single reducer.
+  *
+  * The global result is identical to the single-reducer window as long
+  * as `order` is a TOTAL order (include a tie-breaker column): ranks
+  * are then unique regardless of where the sampler happens to cut.
+  * Cost: two parallel full-data exchanges (the range partition and the
+  * local window's hash exchange on the partition id) instead of one
+  * single-reducer exchange — at scale that trade is the whole point.
+  *
+  * Reference scope note: the reference engine has no ranking surface at
+  * all (its verdicts are single-row aggregates); this exists for the
+  * analytics queries layered on top (ABC/Pareto, rank-delta movers). */
+object Windows {
+
+  private def ranged(df: DataFrame, order: Seq[Column], partitions: Int) = {
+    val n =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(n, order: _*)
+      // pinned here (non-deterministic expr — Catalyst may not move it
+      // across the exchange): the id of the RANGE partition each row
+      // landed in, the grouping key for the local phase
+      .withColumn("__wpid", spark_partition_id())
+  }
+
+  /** Global `row_number()` under `order` (must be a total order),
+    * without a single-partition window over the data. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      out: String = "rn", partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs at least one order column")
+    val local = ranged(df, order, partitions)
+      .withColumn("__wlrn", row_number().over(
+        Window.partitionBy(col("__wpid")).orderBy(order: _*)))
+    val offsets = local.groupBy("__wpid")
+      .agg(count(lit(1L)).as("__wcnt"))
+      .withColumn("__woff", coalesce(sum(col("__wcnt")).over(
+          Window.orderBy(col("__wpid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__wpid"), col("__woff"))
+    local.join(broadcast(offsets), Seq("__wpid"))
+      .withColumn(out, col("__woff") + col("__wlrn"))
+      .drop("__wpid", "__wlrn", "__woff")
+  }
+
+  /** Global running sum of `value` under `order` (rows-between
+    * unbounded-preceding..current under a total order), without a
+    * single-partition window.
+    *
+    * Floating-point note: the two-phase sum groups additions
+    * differently from a sequential scan, so double results can differ
+    * in the last ulp from a single-reducer window; feed exact types
+    * (longs, decimals, integer cents) when downstream compares sit on
+    * knife edges. */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String = "cum", partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalCumSum needs at least one order column")
+    val local = ranged(df, order, partitions)
+      .withColumn("__wlcs", sum(value).over(
+        Window.partitionBy(col("__wpid")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy("__wpid")
+      .agg(sum(value).as("__wtot"))
+      .withColumn("__woff", sum(col("__wtot")).over(
+        Window.orderBy(col("__wpid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__wpid"), col("__woff"))
+    local.join(broadcast(offsets), Seq("__wpid"))
+      // first range partition has no predecessor → offset 0 (coalesce
+      // coerces the literal to the sum's own result type)
+      .withColumn(out, col("__wlcs") + coalesce(col("__woff"), lit(0)))
+      .drop("__wpid", "__wlcs", "__woff")
+  }
+}

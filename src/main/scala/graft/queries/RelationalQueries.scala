@@ -1044,16 +1044,18 @@ object RelationalQueries {
     // customer table (2dp-ranked like RFM so equal totals cannot
     // diverge across engines).
     "q_abc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val per = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(round(sum(col("o_totalprice")), 2).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      val classed = per
-        .withColumn("cum", sum(col("rev")).over(w))
-        .withColumn("tot", sum(col("rev")).over(tot))
+      // the running revenue share comes from the two-phase distributed
+      // cumulative sum (ops.Windows), not a single-reducer window: ABC
+      // needs every entity ranked, so at fact-entity cardinality the
+      // unpartitioned-window form is the scale killer. The grand total
+      // rides the 1-row scalar-broadcast house pattern.
+      val cum = graft.ops.Windows.globalCumSum(per,
+        Seq(col("rev").desc, col("o_custkey")), col("rev"), out = "cum")
+      val classed = cum
+        .crossJoin(per.agg(sum(col("rev")).as("tot")))
         .withColumn("cls",
           when(col("cum") <= col("tot") * 0.80, "A")
             .when(col("cum") <= col("tot") * 0.95, "B")
@@ -1307,7 +1309,6 @@ object RelationalQueries {
     // conditional aggregation (no period self-join); ranks window over
     // the bounded brand table.
     "q_movers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val per = t(s, dir, "lineitem")
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), year(col("l_shipdate")).as("y"),
@@ -1317,11 +1318,16 @@ object RelationalQueries {
             .as("rev_early"),
           round(sum(when(col("y") >= 1995, col("rev")).otherwise(0.0)), 2)
             .as("rev_late"))
-      per.select(col("p_brand"), col("rev_early"), col("rev_late"),
-          row_number().over(Window.orderBy(col("rev_early").desc,
-            col("p_brand"))).as("rank_early"),
-          row_number().over(Window.orderBy(col("rev_late").desc,
-            col("p_brand"))).as("rank_late"))
+      // both COMPLETE rankings (rank_delta needs every brand ranked
+      // twice) come from the two-phase distributed row_number
+      // (ops.Windows) — no single-reducer window even if the ranked
+      // dimension ever grows past dimension-table scale
+      val ranked = graft.ops.Windows.globalRowNumber(
+        graft.ops.Windows.globalRowNumber(per,
+          Seq(col("rev_early").desc, col("p_brand")), out = "rank_early"),
+        Seq(col("rev_late").desc, col("p_brand")), out = "rank_late")
+      ranked.select(col("p_brand"), col("rev_early"), col("rev_late"),
+          col("rank_early").cast("int"), col("rank_late").cast("int"))
         .withColumn("rank_delta", col("rank_early") - col("rank_late"))
         .orderBy(abs(col("rank_delta")).desc, col("p_brand")).limit(10)
     }),

@@ -280,6 +280,26 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q_abc / q_movers: full-width rows never enter a single-partition exchange") {
+    for (name <- Seq("q_abc", "q_movers")) {
+      val plan = q(name).queryExecution.executedPlan
+      val single = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      // allowed single-partition traffic: the ops.Windows partition
+      // summary (__w*) and 1-row scalar aggregates — never the entity
+      // or brand data rows themselves
+      single.foreach { e =>
+        assert(!e.output.exists(a =>
+          Set("o_custkey", "p_brand", "rev", "rev_early", "rev_late")
+            .contains(a.name)),
+          s"$name: data rows crossed a single-partition exchange: " +
+            e.output.map(_.name).mkString(","))
+      }
+    }
+  }
+
   test("chk_dup_rows shuffles the row digest only, never the payload") {
     val d = q("chk_dup_rows")
     val exchanges = d.queryExecution.executedPlan.collect {

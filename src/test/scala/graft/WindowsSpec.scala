@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ops.Windows: the two-phase distributed rank/cumsum must be
+  * value-identical to the single-reducer window forms (given a total
+  * order) while keeping full-width rows out of any single partition. */
+class WindowsSpec extends SparkSuite {
+
+  test("globalRowNumber == row_number over a total order, any partition count") {
+    import spark.implicits._
+    val df = Seq(50, 10, 40, 10, 30, 20, 60, 10).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val expected = df.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = graft.ops.Windows.globalRowNumber(df,
+          Seq(col("v"), col("id")), out = "rn", partitions = parts)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+      assert(got == expected.map { case (k, v) => k -> v.toLong },
+        s"parts=$parts: $got vs $expected")
+    }
+  }
+
+  test("globalCumSum == running window sum on exact types, any partition count") {
+    import spark.implicits._
+    val df = Seq(5L, 1L, 4L, 1L, 3L, 2L, 6L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val expected = df.select(col("id"),
+        sum(col("v")).over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 4, 16)) {
+      val got = graft.ops.Windows.globalCumSum(df,
+          Seq(col("v"), col("id")), col("v"), out = "cum", partitions = parts)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+  }
+
+  test("no SinglePartition exchange ever carries the data rows") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, (i * 7919) % 101)).toDF("id", "v")
+    val plan = graft.ops.Windows.globalRowNumber(df,
+      Seq(col("v"), col("id")), out = "rn").queryExecution.executedPlan
+    val single = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    // the only single-partition traffic allowed is the ≤numPartitions-row
+    // partition summary (__wpid/__wcnt) — never id/v data rows
+    single.foreach { e =>
+      assert(e.output.forall(a => a.name.startsWith("__w")),
+        s"data rows crossed a single-partition exchange: ${e.output.map(_.name)}")
+    }
+  }
+}
