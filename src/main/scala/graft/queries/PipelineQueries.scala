@@ -2529,6 +2529,22 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // The DEFAULT (scale) quantile-normalization path under its own
+    // oracle: both sides summarized to a 17-point quantile grid (one
+    // mergeable approx_percentile pass each — exact at this n since
+    // Spark's exact-regime pick is the rank-ceil(p·n) element, i.e.
+    // DuckDB's quantile_disc), percentile and mapped value by in-scan
+    // grid arithmetic the oracle restates term for term. Proves the
+    // sort-free path, not just the rank-join audit path.
+    "pipeline_quantile_map_scale" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.DataPrep.quantileMap(
+          docs.where(col("source") === "src0"), col("n_chars"),
+          docs.where(col("source") === "src1"), col("doc_id"), col("n_chars"),
+          gridSize = 16)
+        .orderBy("id")
+    }),
+
     // Embedding drift between label groups: pairwise cosine of group
     // CENTROIDS — "are these sources/collections embedding into the
     // same region". Dim-keyed mean aggregate (|groups|·64 cells) then a
@@ -5079,6 +5095,35 @@ object PipelineQueries {
         | round(m.p, 6) AS percentile,
         | round(an.v + m.frac * (coalesce(an.vn, an.v) - an.v), 6) AS mapped
         |FROM m JOIN an ON an.i = m.lo ORDER BY id""".stripMargin,
+
+    "pipeline_quantile_map_scale" -> {
+      // the 17 probe literals must be the same doubles Spark uses
+      // ((0..16)/16 — exact binary fractions, so the decimal strings
+      // round-trip bit-exact through both parsers)
+      val probes = (0 to 16).map(j => (j.toDouble / 16).toString)
+        .mkString("[", ", ", "]")
+      s"""WITH rg AS (SELECT quantile_disc(CAST(n_chars AS DOUBLE), $probes) AS g
+         |       FROM documents WHERE source = 'src0'),
+         |tg AS (SELECT quantile_disc(CAST(n_chars AS DOUBLE), $probes) AS g
+         |       FROM documents WHERE source = 'src1'),
+         |rows_ AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+         |       FROM documents WHERE source = 'src1'),
+         |c AS (SELECT doc_id, v,
+         |       len(list_filter(tg.g, z -> z <= v)) AS cnt FROM rows_, tg),
+         |p AS (SELECT doc_id, v,
+         |       CASE WHEN cnt = 0 THEN 0.0 WHEN cnt = 17 THEN 1.0
+         |            ELSE (cnt - 1 + (v - tg.g[cnt]) / (tg.g[cnt + 1] - tg.g[cnt])) / 16
+         |       END AS p
+         |      FROM c, tg),
+         |m AS (SELECT doc_id, v, p,
+         |       CAST(least(greatest(floor(p * 16), 0), 15) AS INT) AS j
+         |      FROM p)
+         |SELECT CAST(m.doc_id AS BIGINT) AS id, m.v AS value,
+         | round(m.p, 6) AS percentile,
+         | round(rg.g[m.j + 1] + (m.p * 16 - m.j) * (rg.g[m.j + 2] - rg.g[m.j + 1]), 6)
+         |   AS mapped
+         |FROM m, rg ORDER BY id""".stripMargin
+    },
 
     "sim_label_drift" ->
       """WITH cells AS (SELECT label % 5 AS g, CAST(i AS INT) AS dim,

@@ -964,6 +964,19 @@ object RelationalQueries {
           asOfEpoch = 915148800L, tiles = 4, exactTiles = true)
         .orderBy("r_tier", "f_tier", "m_tier")),
 
+    // The DEFAULT (scale) rfm path under its own oracle: tier cuts
+    // from one approx_percentile pass, assignment by boundary
+    // comparison. Spark's exact-regime quantile pick is the element at
+    // rank ceil(p·n) — precisely DuckDB's quantile_disc — so the
+    // oracle restates the boundaries verbatim (probe-verified on
+    // n = 8/9/15/100). Proves the no-global-sort path, not just the
+    // ntile audit path, is correctness-gated.
+    "q_rfm_scale" -> ((s, dir) =>
+      Analytics.rfmSegments(t(s, dir, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          asOfEpoch = 915148800L, tiles = 4)
+        .orderBy("r_tier", "f_tier", "m_tier")),
+
     // Per-user event-timing burstiness (bot/spam evidence): the 15 most
     // burst-concentrated users by busiest-minute share.
     "q_botscore" -> ((s, dir) =>
@@ -2261,6 +2274,25 @@ object RelationalQueries {
         |       CAST(ntile(4) OVER (ORDER BY f DESC, e) AS INT) AS f_tier,
         |       CAST(ntile(4) OVER (ORDER BY m DESC, e) AS INT) AS m_tier
         |      FROM per)
+        |SELECT r_tier, f_tier, m_tier, CAST(count(*) AS BIGINT) AS n_entities
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_rfm_scale" ->
+      """WITH per AS (SELECT o_custkey AS e,
+        |        915148800 - max(epoch_us(o_orderdate)//1000000) AS lag,
+        |        CAST(count(*) AS BIGINT) AS f,
+        |        round(sum(o_totalprice), 2) AS m
+        |       FROM orders GROUP BY 1),
+        |b AS (SELECT
+        |   quantile_disc(CAST(lag AS DOUBLE), [0.25, 0.5, 0.75]) AS rb,
+        |   quantile_disc(CAST(-f AS DOUBLE), [0.25, 0.5, 0.75]) AS fb,
+        |   quantile_disc(CAST(-m AS DOUBLE), [0.25, 0.5, 0.75]) AS mb
+        |  FROM per),
+        |t AS (SELECT
+        |   CAST(1 + len(list_filter(b.rb, z -> CAST(per.lag AS DOUBLE) > z)) AS INT) AS r_tier,
+        |   CAST(1 + len(list_filter(b.fb, z -> CAST(-per.f AS DOUBLE) > z)) AS INT) AS f_tier,
+        |   CAST(1 + len(list_filter(b.mb, z -> CAST(-per.m AS DOUBLE) > z)) AS INT) AS m_tier
+        |  FROM per, b)
         |SELECT r_tier, f_tier, m_tier, CAST(count(*) AS BIGINT) AS n_entities
         |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
