@@ -407,6 +407,65 @@ object Analytics {
         count(lit(1L)).as("n_lists"))
   }
 
+  /** GLOBAL (keyless) importance-weighted quantiles: for each probe p,
+    * the smallest value whose cumulative weight reaches p·(total
+    * weight). The whole-corpus companion of the per-key
+    * [[weightedQuantiles]]: that one rides a key-partitioned window
+    * (parallel by key), while a keyless cumulative weight has no
+    * partition key to hide behind — so this builds the CDF with the
+    * two-phase distributed cumsum instead of one reducer.
+    *
+    * Shape: the weighted CDF comes from [[Windows.globalCumSum]] (two
+    * parallel exchanges, no single-reducer sort), the total is a 1-row
+    * scalar broadcast, and ALL probes resolve in ONE conditional-min
+    * aggregate over the cumulative table — one structural pass however
+    * many probes. Determinism: rows tie-break (value, weight); equal
+    * values share a quantile answer by construction, and INTEGER-VALUED
+    * weights make the CDF comparisons exact (double weight sums group
+    * differently under the two-phase cumsum — feed exact-typed weights
+    * when p·W knife edges matter). Zero/negative weights are dropped
+    * (a zero-weight row cannot own a quantile). */
+  def globalWeightedQuantiles(df: DataFrame, value: Column, weight: Column,
+      probes: Seq[Double], dp: Int = 6): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p > 0 && p <= 1),
+      s"probes must be in (0, 1], got $probes")
+    val base = df.select(value.cast("double").as("__v"),
+        weight.cast("double").as("__w"))
+      .where(col("__w") > 0)
+    val cum = Windows.globalCumSum(base,
+      Seq(col("__v"), col("__w")), col("__w"), out = "__cw")
+    val aggs = probes.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cw") >= lit(p) * col("__wtotal"), col("__v")))
+        .as(s"__q$i") // index-named: a probe like 0.2 would put a dot in the name
+    }
+    val wide = cum.crossJoin(base.agg(sum(col("__w")).as("__wtotal")))
+      .agg(aggs.head, aggs.tail: _*)
+    probes.zipWithIndex.map { case (p, i) =>
+      wide.select(lit(p).as("p"), round(col(s"__q$i"), dp).as("value"))
+    }.reduce(_ unionByName _).orderBy("p")
+  }
+
+  /** Gini coefficient of concentration over `value` (non-negative):
+    * G = (2·Σᵢ i·vᵢ) / (n·Σv) − (n+1)/n with v ascending, i the
+    * 1-based rank — the inequality/market-concentration verdict that
+    * complements the ABC classification (q_abc) with one number.
+    * Returns (n, total, gini). 0 = perfectly even, →1 = one row owns
+    * everything.
+    *
+    * Shape: the global rank comes from [[Windows.globalRowNumber]]
+    * (no single-reducer sort), then one aggregate. */
+  def giniCoefficient(df: DataFrame, value: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(value.cast("double").as("__v"))
+    val ranked = Windows.globalRowNumber(base,
+      Seq(col("__v")), out = "__i")
+    ranked.agg(count(lit(1L)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__i") * col("__v")).as("__is"))
+      .select(col("n"), round(col("__s"), dp).as("total"),
+        round(lit(2.0) * col("__is") / (col("n") * col("__s")) -
+          (col("n") + 1).cast("double") / col("n"), dp).as("gini"))
+  }
+
   def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
@@ -1190,6 +1249,8 @@ object Analytics {
             lit(accuracy)).as("__fb"),
           approx_percentile(-col("__m").cast("double"), probes,
             lit(accuracy)).as("__mb")).head()
+        require(!cuts.isNullAt(0),
+          "rfmSegments: no entities after aggregation — empty input")
         def tierOf(v: Column, bs: Seq[Double]): Column =
           bs.map(b => when(v > lit(b), 1).otherwise(0))
             .reduce(_ + _) + lit(1)

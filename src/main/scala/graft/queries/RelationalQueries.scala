@@ -964,6 +964,27 @@ object RelationalQueries {
           asOfEpoch = 915148800L, tiles = 4, exactTiles = true)
         .orderBy("r_tier", "f_tier", "m_tier")),
 
+    // Quantity-weighted price percentiles: the threshold question for
+    // weighted populations (what price covers 90% of shipped UNITS,
+    // not 90% of line items). Weighted CDF via the two-phase
+    // distributed cumsum; integer-valued weights keep every cumulative
+    // comparison exact across engines. All probes in one conditional
+    // aggregate.
+    "q_weighted_quantiles" -> ((s, dir) =>
+      Analytics.globalWeightedQuantiles(t(s, dir, "lineitem"),
+        col("l_extendedprice"), col("l_quantity"),
+        probes = Seq(0.25, 0.5, 0.75, 0.9))),
+
+    // Revenue-concentration Gini over per-customer revenue — the
+    // one-number inequality verdict beside q_abc's class table; global
+    // rank via the two-phase distributed row_number.
+    "q_gini" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      Analytics.giniCoefficient(per, col("rev"))
+    }),
+
     // The DEFAULT (scale) rfm path under its own oracle: tier cuts
     // from one approx_percentile pass, assignment by boundary
     // comparison. Spark's exact-regime quantile pick is the element at
@@ -2276,6 +2297,27 @@ object RelationalQueries {
         |      FROM per)
         |SELECT r_tier, f_tier, m_tier, CAST(count(*) AS BIGINT) AS n_entities
         |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_weighted_quantiles" ->
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |        CAST(l_quantity AS DOUBLE) AS w
+        |       FROM lineitem WHERE l_quantity > 0),
+        |c AS (SELECT v, sum(w) OVER (ORDER BY v, w
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |       sum(w) OVER () AS tw FROM b)
+        |SELECT CAST(pr.p AS DOUBLE) AS p,
+        | round(min(v) FILTER (cw >= pr.p * tw), 6) AS value
+        |FROM c, (VALUES (0.25), (0.5), (0.75), (0.9)) pr(p)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gini" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT rev, row_number() OVER (ORDER BY rev) AS i FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(rev), 6) AS total,
+        | round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+        |   - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
 
     "q_rfm_scale" ->
       """WITH per AS (SELECT o_custkey AS e,

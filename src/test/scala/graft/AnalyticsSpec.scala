@@ -1351,6 +1351,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(cells.contains((4, 1, 4)), s"entity 1 = oldest, first f-tie slot, poorest: $cells")
   }
 
+  test("weightedQuantiles: hand-computed weighted CDF cut points") {
+    import spark.implicits._
+    // values (10,w1) (20,w3) (30,w1): W=5, cum = 10→1, 20→4, 30→5
+    val df = Seq((10.0, 1.0), (20.0, 3.0), (30.0, 1.0), (99.0, 0.0))
+      .toDF("v", "w") // zero-weight row must be ignored
+    val got = Analytics.globalWeightedQuantiles(df, col("v"), col("w"),
+        probes = Seq(0.2, 0.5, 0.8, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0.2 -> 10.0, 0.5 -> 20.0, 0.8 -> 20.0, 1.0 -> 30.0),
+      s"weighted CDF cuts: $got")
+    intercept[IllegalArgumentException](
+      Analytics.globalWeightedQuantiles(df, col("v"), col("w"), probes = Seq(0.0)))
+  }
+
+  test("giniCoefficient: 0 for equal values, (n-1)/n for total concentration") {
+    import spark.implicits._
+    val even = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    val e = Analytics.giniCoefficient(even, col("v")).head()
+    assert(e.getLong(0) == 4 && e.getDouble(1) == 20.0 && e.getDouble(2) == 0.0,
+      s"equal values → gini 0: $e")
+    val conc = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    val c = Analytics.giniCoefficient(conc, col("v")).head()
+    assert(c.getDouble(2) == 0.75, s"one owner of everything → (n-1)/n: $c")
+  }
+
   test("rfmSegments: DEFAULT approx-boundary path agrees with exact ntile on tie-free data") {
     import spark.implicits._
     // 8 entities, 2 events each (f tie-free via event counts 1..8? no —

@@ -40,6 +40,35 @@ class WindowsSpec extends SparkSuite {
     }
   }
 
+  test("edge cases: empty input, null order keys, constant order values") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[(Long, Long)].toDF("id", "v")
+    assert(graft.ops.Windows.globalRowNumber(empty,
+      Seq(col("v"), col("id")), out = "rn").count() == 0)
+    assert(graft.ops.Windows.globalCumSum(empty,
+      Seq(col("v"), col("id")), col("v"), out = "cum").count() == 0)
+    // null order keys: must match the single-reducer window's
+    // nulls-first placement, not drop or misplace rows
+    val withNulls = Seq((1L, java.lang.Long.valueOf(5L)),
+        (2L, null.asInstanceOf[java.lang.Long]),
+        (3L, java.lang.Long.valueOf(1L)),
+        (4L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    val expected = withNulls.select(col("id"),
+        row_number().over(Window.orderBy(col("v"), col("id"))).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = graft.ops.Windows.globalRowNumber(withNulls,
+        Seq(col("v"), col("id")), out = "rn", partitions = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    assert(got == expected, s"null keys: $got vs $expected")
+    // constant order value (worst case for a range partitioner: one
+    // boundary bucket) still ranks correctly via the id tie-breaker
+    val const = (1L to 20L).map(i => (i, 7L)).toDF("id", "v")
+    val crn = graft.ops.Windows.globalRowNumber(const,
+        Seq(col("v"), col("id")), out = "rn", partitions = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    assert(crn == (1L to 20L).map(i => i -> i).toMap)
+  }
+
   test("no SinglePartition exchange ever carries the data rows") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, (i * 7919) % 101)).toDF("id", "v")
