@@ -39,16 +39,17 @@ object InvertedIndex {
       maxDfFraction: Double = 1.0): DataFrame = {
     require(maxDfFraction > 0 && maxDfFraction <= 1.0,
       s"maxDfFraction must be in (0,1], got $maxDfFraction")
-    // a non-numeric id would cast to NULL and become an invisible
-    // posting (searches silently miss the doc) — fail the job loudly
-    // instead, in-scan, with the offending value in the message.
-    // try_cast (not cast) so the SAME guard owns the failure under
-    // both ANSI (default, would throw mid-cast) and legacy (silent
-    // NULL) cast semantics.
+    // a non-numeric OR NULL id would otherwise become an invisible
+    // posting (collect_list drops NULLs, so searches silently miss the
+    // doc) — fail the job loudly instead, in-scan, with the offending
+    // value in the message. try_cast (not cast) so the SAME guard owns
+    // the failure under both ANSI (default, would throw mid-cast) and
+    // legacy (silent NULL) cast semantics.
     val tried = expr(s"try_cast(`$idCol` AS long)")
-    val idOk = when(col(idCol).isNotNull && tried.isNull,
+    val idOk = when(tried.isNull,
         raise_error(concat(lit(s"InvertedIndex.build: id column '$idCol' " +
-          "value is not castable to long: "), col(idCol).cast("string"))))
+          "value is not castable to long: "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(tried)
     val full = docs.select(idOk.as("__id"),
         explode(array_distinct(

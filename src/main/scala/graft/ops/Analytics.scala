@@ -1147,10 +1147,14 @@ object Analytics {
     require(bins > 0, s"bins must be positive, got $bins")
     // clamp BOTH ends: the contract is scores in [0,1], but a stray
     // negative must not mint a phantom negative bin id (it lands in bin
-    // 0, exactly as a stray >1 lands in bins-1)
+    // 0, exactly as a stray >1 lands in bins-1). NULL scores are
+    // EXCLUDED up front — Spark's least/greatest skip NULL arguments,
+    // so an unfiltered NULL would silently clamp into the TOP bin and
+    // corrupt the curve.
     val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
       .cast("int")
-    val agg = df.select(b.as("bin"), score.as("__s"),
+    val agg = df.where(score.isNotNull)
+      .select(b.as("bin"), score.as("__s"),
         label.cast("double").as("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1L)).as("n"), avg(col("__s")).as("__avg_s"),
@@ -1221,7 +1225,11 @@ object Analytics {
     * exact equal-population ntile over three global windows — a
     * single-reducer sort, so dimension-table-scale inputs only (it is
     * what the DuckDB oracle restates). Both paths agree whenever the
-    * metric values are tie-free and the population divides evenly. */
+    * metric values are tie-free and the population divides evenly.
+    * NULL metrics: pre-filter them — an entity with a NULL metric
+    * tiers as 1 on the boundary path (NULL comparisons fall to the
+    * otherwise-0 branch) but last under ntile's NULLS LAST; the
+    * all-NULL case fails loudly at the boundary job. */
   def rfmSegments(df: DataFrame, entity: Column, ts: Column, amount: Column,
       asOfEpoch: Long, tiles: Int = 4, amountDp: Int = 2,
       exactTiles: Boolean = false, accuracy: Int = 10000): DataFrame = {
@@ -1249,8 +1257,9 @@ object Analytics {
             lit(accuracy)).as("__fb"),
           approx_percentile(-col("__m").cast("double"), probes,
             lit(accuracy)).as("__mb")).head()
-        require(!cuts.isNullAt(0),
-          "rfmSegments: no entities after aggregation — empty input")
+        require((0 to 2).forall(i => !cuts.isNullAt(i)),
+          "rfmSegments: a tier metric aggregated to NULL — empty input " +
+            "or an all-NULL ts/amount column")
         def tierOf(v: Column, bs: Seq[Double]): Column =
           bs.map(b => when(v > lit(b), 1).otherwise(0))
             .reduce(_ + _) + lit(1)

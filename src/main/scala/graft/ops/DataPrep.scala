@@ -542,10 +542,12 @@ object DataPrep {
       // count fits the summary's accuracy, approximate past it
       def grid(df: DataFrame, v: org.apache.spark.sql.Column): Seq[Double] = {
         val probes = lit((0 to gridSize).map(_.toDouble / gridSize).toArray)
-        val g = df.agg(approx_percentile(v.cast("double"), probes,
-          lit(accuracy)).as("__g")).head().getSeq[Double](0)
-        require(g.nonEmpty, "quantileMap side is empty")
-        g
+        val row = df.agg(approx_percentile(v.cast("double"), probes,
+          lit(accuracy)).as("__g")).head()
+        // approx_percentile over zero rows returns NULL (not an empty
+        // array) — check the cell, or getSeq(null).nonEmpty NPEs
+        require(!row.isNullAt(0), "quantileMap side is empty")
+        row.getSeq[Double](0)
       }
       val rg = grid(ref, refVal)
       val tg = grid(target, targetVal)
@@ -566,9 +568,15 @@ object DataPrep {
       val cnt = size(filter(tga, x => x <= v))
       val pLo = element_at(tga, cnt)
       val pHi = element_at(tga, cnt + 1)
-      val p = when(cnt === 0, lit(0.0))
-        .when(cnt === gridSize + 1, lit(1.0))
-        .otherwise((cnt - 1 + (v - pLo) / (pHi - pLo)) / gridSize)
+      // a degenerate grid (min == max: single-row or all-equal target)
+      // has no spread to interpolate — every row sits at its own
+      // median, matching the exact path's n=1 rule. Decided at plan
+      // time: the grids are driver-side values.
+      val p =
+        if (tg.head == tg.last) lit(0.5)
+        else when(cnt === 0, lit(0.0))
+          .when(cnt === gridSize + 1, lit(1.0))
+          .otherwise((cnt - 1 + (v - pLo) / (pHi - pLo)) / gridSize)
       // inverse: ref grid value at percentile p, linear between cells
       val pos = p * gridSize
       val j = least(greatest(floor(pos), lit(0.0)), lit((gridSize - 1).toDouble))

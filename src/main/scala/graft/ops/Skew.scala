@@ -104,10 +104,11 @@ object Skew {
     * match is dropped; false positives (rate `fpp`) survive the scan
     * filter but are eliminated by the join itself. The sketch is built
     * EAGERLY at call time (a Spark job runs before the lazy DataFrame
-    * is returned) over the small side's DISTINCT key hashes — one
-    * small-side-only distinct exchange, so `expectedKeys` (sized for
-    * distinct keys) matches what actually enters the filter — and
-    * rides a broadcast into the probe expression
+    * is returned) by one treeAggregate over the small side's key
+    * hashes — mergeable partials, no key-space shuffle; duplicate rows
+    * are harmless because Bloom insertion is idempotent, so the
+    * realized fpp tracks DISTINCT keys, which is what `expectedKeys`
+    * sizes. The filter rides a broadcast into the probe expression
     * ([[graft.functions.BloomAnyContainBroadcast]]), deserialized once
     * per task.
     *
@@ -127,13 +128,14 @@ object Skew {
         s"'$joinType' would need those rows (use inner / left_semi / right_outer)")
     // NOTE: building the sketch runs a Spark job EAGERLY, at call time
     // — callers get a lazy DataFrame back, but the small side has
-    // already been scanned once by the time this returns. The distinct
-    // keeps the sketch's fill factor honest: `expectedKeys` sizes for
-    // distinct keys, so feeding duplicate rows would overfill fpp math
-    // (never correctness — Bloom inserts are idempotent).
+    // already been scanned once by the time this returns. Duplicate
+    // key rows feed the filter as-is: Bloom insertion is idempotent
+    // (re-inserting a hash sets the same bits), so the realized fpp
+    // depends only on DISTINCT keys — which is what `expectedKeys`
+    // sizes — and a pre-distinct would add a shuffle for nothing.
     val sketch = {
       val bos = new java.io.ByteArrayOutputStream()
-      small.select(xxhash64(smallKeys.map(col): _*).as("__h")).distinct()
+      small.select(xxhash64(smallKeys.map(col): _*).as("__h"))
         .stat.bloomFilter("__h", expectedKeys, fpp)
         .writeTo(bos)
       bos.toByteArray

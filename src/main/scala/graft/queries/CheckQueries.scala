@@ -540,8 +540,10 @@ object CheckQueries {
   private def duckFingerprint(cols: Seq[String]): String = {
     val canon = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
       .mkString("concat_ws(chr(31), ", ", ", ")")
-    s"lpad(CAST(CAST(sum(${duckRowHash(canon)}) AS DECIMAL(38,0)) " +
-      "AS VARCHAR), 39, '0')"
+    // coalesce mirrors the engine: an empty table fingerprints as the
+    // 39-zero string, not NULL (sum over zero rows is NULL in SQL)
+    s"lpad(CAST(CAST(coalesce(sum(${duckRowHash(canon)}), 0) " +
+      "AS DECIMAL(38,0)) AS VARCHAR), 39, '0')"
   }
 
   def oracleSql: Map[String, String] = Map(

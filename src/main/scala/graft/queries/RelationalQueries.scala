@@ -1085,14 +1085,20 @@ object RelationalQueries {
       // cumulative sum (ops.Windows), not a single-reducer window: ABC
       // needs every entity ranked, so at fact-entity cardinality the
       // unpartitioned-window form is the scale killer. The grand total
-      // rides the 1-row scalar-broadcast house pattern.
-      val cum = graft.ops.Windows.globalCumSum(per,
-        Seq(col("rev").desc, col("o_custkey")), col("rev"), out = "cum")
+      // rides the 1-row scalar-broadcast house pattern. The cumsum runs
+      // in exact integer CENTS (rev is 2dp by construction): the
+      // two-phase sum groups double additions differently from a
+      // sequential window, and the A/B/C cut sits on a cum<=tot*0.8
+      // knife edge — integer accumulation makes the classification
+      // independent of partition boundaries and run-to-run stable.
+      val perC = per.withColumn("__cents", round(col("rev") * 100).cast("long"))
+      val cum = graft.ops.Windows.globalCumSum(perC,
+        Seq(col("rev").desc, col("o_custkey")), col("__cents"), out = "__cumc")
       val classed = cum
-        .crossJoin(per.agg(sum(col("rev")).as("tot")))
+        .crossJoin(perC.agg(sum(col("__cents")).as("__totc")))
         .withColumn("cls",
-          when(col("cum") <= col("tot") * 0.80, "A")
-            .when(col("cum") <= col("tot") * 0.95, "B")
+          when(col("__cumc") <= col("__totc") * 0.80, "A")
+            .when(col("__cumc") <= col("__totc") * 0.95, "B")
             .otherwise("C"))
       classed.groupBy(col("cls"))
         .agg(count(lit(1L)).as("n_customers"),

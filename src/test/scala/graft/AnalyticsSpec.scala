@@ -1296,6 +1296,12 @@ class AnalyticsSpec extends SparkSuite {
     val nb = Analytics.calibrationBins(neg, col("s"), col("y"), bins = 10)
       .collect().map(_.getInt(0)).toSet
     assert(nb == Set(0, 5), s"negative score must land in bin 0: $nb")
+    // NULL scores are excluded, not silently clamped into the top bin
+    // (Spark's least/greatest skip NULL arguments)
+    val withNull = Seq((Some(0.5), 1), (None, 1)).toDF("s", "y")
+    val rowsN = Analytics.calibrationBins(withNull, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rowsN == Map(5 -> 1L), s"NULL score must be excluded: $rowsN")
   }
 
   test("theilSenByKey: outlier-robust slope where OLS is dragged") {

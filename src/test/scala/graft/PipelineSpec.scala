@@ -1269,13 +1269,21 @@ class PipelineSpec extends SparkSuite {
       col("x")).queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window"),
       s"default quantileMap must stay in-scan:\n$plan")
-    // a single-row target maps to its own median, not a silent drop
+    // a single-row target maps to its own median, not a silent drop —
+    // on BOTH paths (the approx grid degenerates to one value)
     val one = Seq((9L, 50.0)).toDF("id", "x")
-    val r1 = graft.ops.DataPrep.quantileMap(ref, col("v"), one, col("id"),
-        col("x"), exact = true).collect()
-    assert(r1.length == 1 && r1.head.getDouble(2) == 0.5 &&
-      r1.head.getDouble(3) == 50.0,
-      s"n=1 target: percentile 0.5 at the ref median: ${r1.toSeq}")
+    for (exactPath <- Seq(true, false)) {
+      val r1 = graft.ops.DataPrep.quantileMap(ref, col("v"), one, col("id"),
+          col("x"), exact = exactPath).collect()
+      assert(r1.length == 1 && r1.head.getDouble(2) == 0.5 &&
+        r1.head.getDouble(3) == 50.0,
+        s"n=1 target (exact=$exactPath): percentile 0.5 at the ref median: ${r1.toSeq}")
+    }
+    // an empty side fails loudly, not with an NPE from a NULL grid
+    val none = Seq.empty[(Long, Double)].toDF("id", "x")
+    val err = intercept[IllegalArgumentException](
+      graft.ops.DataPrep.quantileMap(ref, col("v"), none, col("id"), col("x")))
+    assert(err.getMessage.contains("empty"))
   }
 
   test("JaroWinkler: DuckDB-pinned values, boost threshold, edge cases") {
@@ -1334,6 +1342,15 @@ class PipelineSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("not castable to long")),
       s"expected the loud id-cast error, got: $e")
+    // a NULL id raises too — collect_list would otherwise drop it and
+    // the document would silently vanish from every posting list
+    val withNull = Seq((java.lang.Long.valueOf(1L), "hello"),
+      (null.asInstanceOf[java.lang.Long], "world")).toDF("id", "txt")
+    val e2 = intercept[Exception] {
+      InvertedIndex.build(withNull, "id", "txt").collect()
+    }
+    assert(msgs(e2).exists(_.contains("not castable to long")),
+      s"expected the loud NULL-id error, got: $e2")
     // numeric-string ids still pass
     val ok = Seq(("7", "hello world")).toDF("id", "txt")
     assert(InvertedIndex.build(ok, "id", "txt").collect().nonEmpty)
