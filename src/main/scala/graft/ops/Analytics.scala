@@ -407,6 +407,50 @@ object Analytics {
         count(lit(1L)).as("n_lists"))
   }
 
+  /** CUSUM changepoint localization per key (Page 1954): over each
+    * key's series ordered by `order`, the cumulative sum of deviations
+    * from the key's mean S_i = Σ_{j≤i}(x_j − x̄) peaks in magnitude at
+    * the most likely single shift point. PSI / mean-shift drift checks
+    * say WHETHER a distribution moved; this says WHEN — the triage
+    * step before splitting a corpus snapshot at the break.
+    *
+    * Emits per key: n_points, mean, sd, max_abs_cusum, changepoint_at
+    * (the `order` value at the peak; ties → earliest), and score =
+    * max|S| / (sd·√n) — the scale-free statistic (≳ 1.3 ≈ 95%
+    * significance under the standardized Brownian-bridge null). A
+    * constant series (sd = 0) scores 0.
+    *
+    * Shape: ONE key-partitioned exchange carries the per-key stats
+    * window, the running sum, and the argmax aggregate (a struct-min:
+    * (−|S|, order) picks the largest magnitude, earliest on ties).
+    * Series length per key is the caller's grain (pre-aggregate to
+    * day/hour buckets first, as the oracle query does). */
+  def cusumChangepoint(df: DataFrame, key: Column, order: Column,
+      x: Column, dp: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+    val wo = w.orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = df.select(key.as("__k"), order.as("__o"),
+        x.cast("double").as("__x"))
+      .withColumn("__mean", avg(col("__x")).over(w))
+      .withColumn("__sd", stddev_samp(col("__x")).over(w))
+      .withColumn("__n", count(lit(1L)).over(w))
+      .withColumn("__s", sum(col("__x") - col("__mean")).over(wo))
+    st.groupBy(col("__k").as("key"))
+      .agg(max(col("__n")).as("n_points"),
+        round(max(col("__mean")), dp).as("mean"),
+        round(max(col("__sd")), dp).as("sd"),
+        min(struct((-abs(col("__s"))).as("na"), col("__o").as("o")))
+          .as("__pk"))
+      .select(col("key"), col("n_points"), col("mean"), col("sd"),
+        round(-col("__pk.na"), dp).as("max_abs_cusum"),
+        col("__pk.o").as("changepoint_at"),
+        when(col("sd") > 0,
+            round(-col("__pk.na") /
+              (col("sd") * sqrt(col("n_points").cast("double"))), dp))
+          .otherwise(lit(0.0)).as("score"))
+  }
+
   /** GLOBAL (keyless) importance-weighted quantiles: for each probe p,
     * the smallest value whose cumulative weight reaches p·(total
     * weight). The whole-corpus companion of the per-key

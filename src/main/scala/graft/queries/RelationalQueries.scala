@@ -513,6 +513,18 @@ object RelationalQueries {
     // Per-type rollup (counts thin histories separately) so the result
     // has rows at EVERY scale factor — an anomaly-free window is data,
     // not an empty result; flagged-event detail stays on the API.
+    // CUSUM changepoint per event type over daily volumes: WHERE the
+    // series most likely shifted (PSI/mean-shift say whether, this
+    // says when) — one key-partitioned exchange end to end.
+    "q_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1L)).cast("double").as("x"))
+      Analytics.cusumChangepoint(daily, col("event_type"), col("day"),
+          col("x"))
+        .orderBy("key")
+    }),
+
     "q_anomaly" -> ((s, dir) =>
       Analytics.rollingAnomalies(t(s, dir, "events"), Seq(col("user_id")),
           col("ts"), 3600, col("value"), k = 3.0)
@@ -1736,6 +1748,26 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_cusum" ->
+      """WITH series AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |        CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT k, avg(x) AS mean, stddev_samp(x) AS sd,
+        |        CAST(count(*) AS BIGINT) AS n FROM series GROUP BY k),
+        |st AS (SELECT s.k, s.d,
+        |        sum(s.x - m.mean) OVER (PARTITION BY s.k ORDER BY s.d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |       FROM series s JOIN m USING (k)),
+        |pick AS (SELECT k, d, abs(cs) AS a,
+        |        row_number() OVER (PARTITION BY k
+        |          ORDER BY abs(cs) DESC, d) AS rn FROM st)
+        |SELECT m.k AS key, m.n AS n_points, round(m.mean, 6) AS mean,
+        | round(m.sd, 6) AS sd, round(p.a, 6) AS max_abs_cusum,
+        | p.d AS changepoint_at,
+        | CASE WHEN round(m.sd, 6) > 0
+        |      THEN round(p.a / (round(m.sd, 6) * sqrt(m.n)), 6)
+        |      ELSE 0.0 END AS score
+        |FROM pick p JOIN m USING (k) WHERE p.rn = 1 ORDER BY key""".stripMargin,
 
     "q_anomaly" ->
       """WITH r AS (SELECT event_type, value,

@@ -1371,6 +1371,28 @@ class AnalyticsSpec extends SparkSuite {
       Analytics.globalWeightedQuantiles(df, col("v"), col("w"), probes = Seq(0.0)))
   }
 
+  test("cusumChangepoint: planted level shift located at the regime break") {
+    import spark.implicits._
+    // 10 points at 1.0 then 10 at 5.0: mean 3, S descends by 2 each
+    // step to -20 at t=10, then climbs back — unique peak at the break
+    val pts = ((1 to 10).map(i => ("a", i, 1.0)) ++
+      (11 to 20).map(i => ("a", i, 5.0))).toDF("k", "t", "x")
+    val r = Analytics.cusumChangepoint(pts, col("k"), col("t"), col("x")).head()
+    assert(r.getAs[Long]("n_points") == 20 && r.getAs[Double]("mean") == 3.0)
+    assert(r.getAs[Double]("max_abs_cusum") == 20.0 &&
+      r.getAs[Int]("changepoint_at") == 10, s"peak at the break: $r")
+    val sd6 = BigDecimal(math.sqrt(80.0 / 19))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = BigDecimal(20.0 / (sd6 * math.sqrt(20.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("score") == want, s"normalized score: $r vs $want")
+    // constant series: no spread, no changepoint signal
+    val flat = (1 to 5).map(i => ("b", i, 2.0)).toDF("k", "t", "x")
+    val f = Analytics.cusumChangepoint(flat, col("k"), col("t"), col("x")).head()
+    assert(f.getAs[Double]("score") == 0.0 &&
+      f.getAs[Double]("max_abs_cusum") == 0.0, s"flat series: $f")
+  }
+
   test("giniCoefficient: 0 for equal values, (n-1)/n for total concentration") {
     import spark.implicits._
     val even = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
