@@ -211,6 +211,48 @@ object Similarity {
     *     semantic must use this: a vector with more than k near-identical
     *     neighbours would silently lose pairs beyond rank k under the
     *     rank cap. */
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into k-means cells, then
+    * screen cosine similarity only WITHIN each cell. Returns the ids to
+    * DROP — a row is dropped iff some SMALLER id in the same cell has
+    * `round(cos, scoreDp) >= minCos` (keep-min-id, deterministic, and
+    * every drop is certified by a real high-similarity neighbour, so
+    * there are no false drops by construction; recall is what the cell
+    * partitioning trades away, as in the paper).
+    *
+    * Scale shape: centroid training is ONE bounded sampling job
+    * ([[Ivf.clusterAssign]] — cost independent of corpus size);
+    * assignment is in-scan; the only shuffle is the cell-id EQUI-join,
+    * whose work is Σ|cell|² ≈ n²/k — choose `nClusters` ∝ corpus size
+    * (the paper uses n/10⁴) to hold E|cell| constant, and AQE's
+    * skew-join split handles an oversized cell. Nothing is all-pairs. */
+  def semDedupDropIds(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, minCos: Double, seed: Long = 42L,
+      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4): DataFrame = {
+    val assigned = Ivf.clusterAssign(corpus.select(col(idCol), col(vecCol)),
+      vecCol, nClusters, seed = seed, maxTrainRows = maxTrainRows)
+    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__vec_a"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vec_b"))
+    a.join(b, "cluster")
+      .where(col("__id_a") < col("__id_b"))
+      .where(round(GraftFunctions.cosineSim(col("__vec_a"), col("__vec_b")),
+        scoreDp) >= minCos)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+  }
+
+  /** The SemDedup survivors: `corpus` minus [[semDedupDropIds]], via a
+    * single anti-join on the id. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, minCos: Double, seed: Long = 42L,
+      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4): DataFrame =
+    corpus.join(
+      semDedupDropIds(corpus, idCol, vecCol, nClusters, minCos, seed,
+        maxTrainRows, scoreDp),
+      Seq(idCol), "left_anti")
+
   def annSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, k: Int, numTables: Int = 8,
       seed: Long = 42L, maxBucket: Int = 256,

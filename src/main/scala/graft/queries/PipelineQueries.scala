@@ -1936,6 +1936,47 @@ object PipelineQueries {
           (col("n_hit") * 100 >= col("n_bf") * 50).as("recall_ok"))
     }),
 
+    // SemDedup (Abbas et al. 2023): k-means cells bound the cosine
+    // screen to within-cell pairs — Σ|cell|² work instead of n², the
+    // embedding-space analogue of MinHash banding. Oracle-VISIBLE the
+    // same way as sim_ivf: 10 planted exact clones (identical vector ⇒
+    // identical cell under the deterministic argmin ⇒ cos 1.0 with a
+    // smaller id) must ALL be dropped; no dropped id may lack a real
+    // smaller-id neighbour at the threshold anywhere in the corpus
+    // (subset-of-global-truth is structural — certified here); ≥90% of
+    // the global keep-min-id duplicate set must be caught (what cell
+    // partitioning trades away). The global truth is recomputed
+    // brute-force on BOTH sides — bounded oracle-audit machinery, like
+    // dedup_minhash's AllPairs truth, never the engine path.
+    "sim_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val aug = emb
+        .union(emb.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint(true) // read by train/assign + the truth pass
+      val dropped = Similarity.semDedupDropIds(aug, "vec_id", "embedding",
+          nClusters = 8, minCos = 0.995, seed = 42L)
+        .localCheckpoint(true) // tiny id list; read by 3 verdicts
+      val gdup = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(broadcast(aug.select(col("vec_id").as("id_b"), col("embedding").as("vb"))),
+          col("id_a") < col("id_b"))
+        .where(round(GraftFunctions.cosineSim(col("va"), col("vb")), 4) >= 0.995)
+        .select(col("id_b").as("vec_id")).distinct()
+        .localCheckpoint(true) // tiny id list; read by 3 verdicts
+      aug.agg(count(lit(1L)).as("n_in"))
+        .crossJoin(gdup.agg(count(lit(1L)).as("n_gdup")))
+        .crossJoin(dropped.where(col("vec_id") >= 1000000L)
+          .agg(count(lit(1L)).as("n_clone_drop")))
+        .crossJoin(dropped.join(gdup, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1L)).as("n_false")))
+        .crossJoin(dropped.join(gdup, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1L)).as("n_caught")))
+        .select(col("n_in"), col("n_gdup"),
+          (col("n_clone_drop") === 10L).as("clones_dropped_ok"),
+          (col("n_false") === 0L).as("no_false_drop_ok"),
+          (col("n_caught") * 100 >= col("n_gdup") * 90).as("recall_ok"))
+    }),
+
     // Product-quantization ADC kNN: corpus vectors compress 32× into
     // m=8 codes, queries precompute centroid-distance tables, candidates
     // cost m lookups (Jégou et al. 2011). Made oracle-VISIBLE like
@@ -4209,6 +4250,24 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
         | true AS clones_found_ok, true AS recall_ok
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the global keep-min-id duplicate set is brute-force-recomputed in
+    // SQL; the cell-screen verdicts (clones dropped, zero false drops,
+    // >=90% recall) must hold in-row
+    "sim_semdedup" ->
+      """WITH aug AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        | WHERE vec_id < 10),
+        |g AS (SELECT DISTINCT b.vec_id
+        | FROM aug a, aug b WHERE a.vec_id < b.vec_id
+        |   AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.995)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n_in,
+        | CAST(count(*) AS BIGINT) AS n_gdup,
+        | true AS clones_dropped_ok, true AS no_false_drop_ok,
+        | true AS recall_ok
+        |FROM g""".stripMargin,
 
     // brute-force anchors recomputed from raw vectors; the PQ verdicts
     // (clone-at-rank-1, reconstruction quality) must hold in-row

@@ -837,6 +837,29 @@ class PipelineSpec extends SparkSuite {
     assert(clonePairs.size == 66, s"expected all 66 clone pairs, got ${clonePairs.size}")
   }
 
+  test("semDedup drops exactly the higher-id members of each clone group") {
+    // two clone groups (identical vectors => cos 1.0, same k-means cell
+    // under the deterministic argmin) + random fillers nowhere near the
+    // 0.999 threshold: keep-min-id must drop {1,2} and {11} only
+    val g1 = Seq.fill(3)(Array.fill(16)(0.5f))          // ids 0,1,2
+    val g2 = Seq.fill(2)(Array.tabulate(16)(i => if (i < 8) 1.0f else -1.0f)) // ids 10,11
+    val rnd = new scala.util.Random(13)
+    val fill = Seq.fill(40)(Array.fill(16)(rnd.nextFloat() - 0.5f)) // ids 100+
+    val df = (g1.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      g2.zipWithIndex.map { case (v, i) => (10L + i, v.toSeq) } ++
+      fill.zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) })
+      .toDF("vec_id", "embedding")
+    val dropped = Similarity.semDedupDropIds(df, "vec_id", "embedding",
+      nClusters = 4, minCos = 0.999, seed = 42L)
+      .as[Long].collect().toSet
+    assert(dropped == Set(1L, 2L, 11L), s"unexpected drop set: $dropped")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding",
+      nClusters = 4, minCos = 0.999, seed = 42L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.size == 45 - 3 && !kept.contains(1L) && kept.contains(0L) &&
+      kept.contains(10L) && !kept.contains(11L))
+  }
+
   test("exactDedupAgainst drops batch rows already in the corpus, keeps the rest") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
     val batch = Seq(
