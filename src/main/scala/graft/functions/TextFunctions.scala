@@ -686,6 +686,49 @@ object TextFunctions {
     * string length, which holds for the ASCII/Latin-1 corpora this
     * serves (the documented exception: characters like 'İ' whose
     * lowercase form adds a combining mark would shift positions). */
+  /** Pairwise distributional divergence between corpus slices: for each
+    * unordered group pair, smoothed KL (both directions, natural log)
+    * and Jensen–Shannon divergence of the whitespace-token unigram
+    * distributions — the standard corpus-comparison diagnostic for
+    * mixture design (is src A redundant with B? did this crawl drift?).
+    *
+    * Distributions use add-λ smoothing over the UNION vocabulary
+    * (`p_g(t) = (n_gt + λ) / (N_g + λ|V|)`), so every token has
+    * positive mass in every group and both KLs are finite; JS is
+    * computed from the same smoothed distributions.
+    *
+    * Scale shape: one token-count rollup (map-side partial) to
+    * (group, token) rows; the complete group×vocab grid comes from a
+    * BROADCAST cross of the (tiny) group list with the distinct-token
+    * table; pair scoring is a token-keyed EQUI self-join of the grid —
+    * work is |V|·|G|², never corpus-sized. Totals ride a 1-row cross. */
+  def tokenDivergence(docs: DataFrame, groupCol: String, textCol: String,
+      smoothing: Double = 0.5, dp: Int = 6): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(tokensWs(lower(col(textCol)))).as("t"))
+      .groupBy("g", "t").agg(count(lit(1L)).as("n"))
+    val vocab = counts.select("t").distinct()
+    val vSize = vocab.agg(count(lit(1L)).cast("double").as("__v"))
+    val totals = counts.groupBy("g").agg(sum(col("n")).cast("double").as("__ng"))
+    val grid = vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("g", "t"), "left")
+      .crossJoin(vSize)
+      .select(col("g"), col("t"),
+        ((coalesce(col("n"), lit(0L)) + smoothing) /
+          (col("__ng") + lit(smoothing) * col("__v"))).as("p"))
+    val a = grid.select(col("g").as("src_a"), col("t"), col("p").as("pa"))
+    val b = grid.select(col("g").as("src_b"), col("t"), col("p").as("pb"))
+    a.join(b, "t").where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        round(sum(col("pa") * log(col("pa") / col("pb"))), dp).as("kl_ab"),
+        round(sum(col("pb") * log(col("pb") / col("pa"))), dp).as("kl_ba"),
+        round(sum(col("pa") * log(col("pa") * 2.0 / (col("pa") + col("pb")))) * 0.5 +
+          sum(col("pb") * log(col("pb") * 2.0 / (col("pa") + col("pb")))) * 0.5, dp)
+          .as("js"))
+  }
+
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")

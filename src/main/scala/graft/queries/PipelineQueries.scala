@@ -563,6 +563,13 @@ object PipelineQueries {
         d.where(col("doc_id") % 2 === 1), "text", minCount = 5L, k = 15)
     }),
 
+    // Corpus-slice divergence: smoothed KL both ways + Jensen–Shannon
+    // between per-language unigram distributions — one token rollup,
+    // broadcast group×vocab grid, token-keyed pair join; |V|·|G|² work.
+    "text_divergence" -> ((s, dir) =>
+      TF.tokenDivergence(t(s, dir, "documents"), "lang", "text")
+        .orderBy("src_a", "src_b")),
+
     // DEFLATE compressibility gate (native expression, in-scan): no SQL
     // restatement of DEFLATE exists, so the oracle-checked surface is
     // the DuckDB-computable anchor (n_docs) + in-engine verdicts: every
@@ -3519,6 +3526,29 @@ object PipelineQueries {
         |   ((n_ref + 1) / (tt.tr + tt.v))), 6) AS trend
         |FROM j CROSS JOIN tt WHERE n_cur >= 5
         |ORDER BY trend DESC, term LIMIT 15""".stripMargin,
+
+    // mirrors TextFunctions.tokenDivergence term for term: add-0.5
+    // smoothing over the union vocabulary, natural-log KL/JS
+    "text_divergence" ->
+      """WITH toks AS (SELECT lang AS g,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vs FROM c),
+        |tot AS (SELECT g, CAST(sum(n) AS DOUBLE) AS ng FROM c GROUP BY 1),
+        |grid AS (SELECT tot.g, vt.t,
+        |  (coalesce(c.n, 0) + 0.5) / (tot.ng + 0.5 * (SELECT vs FROM v)) AS p
+        | FROM (SELECT DISTINCT t FROM c) vt
+        | CROSS JOIN tot
+        | LEFT JOIN c ON c.g = tot.g AND c.t = vt.t),
+        |pairs AS (SELECT a.g AS src_a, b.g AS src_b, a.p AS pa, b.p AS pb
+        | FROM grid a JOIN grid b ON a.t = b.t AND a.g < b.g)
+        |SELECT src_a, src_b,
+        | round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+        | round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+        | round(0.5 * sum(pa * ln(pa * 2 / (pa + pb))) +
+        |       0.5 * sum(pb * ln(pb * 2 / (pa + pb))), 6) AS js
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // DEFLATE has no SQL restatement — anchor + in-engine verdicts
     // (ratio range, planted repeated-phrase most compressible, high-

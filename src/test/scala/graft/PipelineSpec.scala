@@ -837,6 +837,20 @@ class PipelineSpec extends SparkSuite {
     assert(clonePairs.size == 66, s"expected all 66 clone pairs, got ${clonePairs.size}")
   }
 
+  test("tokenDivergence: zero for identical slices, symmetric positive for disjoint") {
+    val df = Seq(("a", "x y z"), ("b", "x y z"), ("c", "p q r"))
+      .toDF("g", "text")
+    val out = TF.tokenDivergence(df, "g", "text")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toList
+    val ab = out.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab._3 == 0.0 && ab._4 == 0.0 && ab._5 == 0.0)
+    val ac = out.find(r => r._1 == "a" && r._2 == "c").get
+    // same-shape disjoint uniform slices: KL symmetric, JS in (0, ln 2]
+    assert(ac._3 == ac._4 && ac._3 > 0.0)
+    assert(ac._5 > 0.0 && ac._5 <= math.log(2.0) + 1e-9)
+  }
+
   test("semDedup drops exactly the higher-id members of each clone group") {
     // two clone groups (identical vectors => cos 1.0, same k-means cell
     // under the deterministic argmin) + random fillers nowhere near the
