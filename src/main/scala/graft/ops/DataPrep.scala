@@ -139,6 +139,65 @@ object DataPrep {
     stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
   }
 
+  /** Raking (iterative proportional fitting, Deming–Stephan 1940): fit
+    * per-cell sampling weights so the WEIGHTED marginals over two
+    * categorical columns match target proportions — the survey-statistics
+    * workhorse, used in corpus design to hit a (language × source)
+    * mixture without throwing rows away. Returns the contingency-cell
+    * table `(c1, c2, n, weight)`: alternately scale each margin to its
+    * target for `iters` rounds (each round: margin-1 factors, then
+    * margin-2 factors on the updated weights).
+    *
+    * Scale shape: ONE aggregation job builds the contingency table
+    * (map-side partial count; |c1|·|c2| cells, category-bounded — never
+    * corpus-sized); IPF then iterates locally over the tiny cell table.
+    * Apply to rows with [[rakeApply]] (a broadcast join on the cell key).
+    * Targets are proportions over the OBSERVED categories; every
+    * observed category must have a target (fails loudly otherwise —
+    * a silent zero would delete the stratum). */
+  def rakeWeights(df: DataFrame, col1: String, col2: String,
+      target1: Map[String, Double], target2: Map[String, Double],
+      iters: Int = 10, dp: Int = 6): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(target1.values.forall(_ > 0) && target2.values.forall(_ > 0),
+      "target proportions must be positive")
+    val spark = df.sparkSession
+    val cells: Array[(String, String, Long)] = df
+      .groupBy(col(col1).cast("string").as("__a"), col(col2).cast("string").as("__b"))
+      .agg(count(lit(1L)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val missing1 = cells.map(_._1).distinct.filterNot(target1.contains)
+    val missing2 = cells.map(_._2).distinct.filterNot(target2.contains)
+    require(missing1.isEmpty && missing2.isEmpty,
+      s"observed categories without a target: ${(missing1 ++ missing2).mkString(", ")}")
+    val total = cells.map(_._3).sum.toDouble
+    val t1 = target1.map { case (k, v) => k -> v * total }
+    val t2 = target2.map { case (k, v) => k -> v * total }
+    var w: Map[(String, String), Double] =
+      cells.map { case (a, b, n) => (a, b) -> n.toDouble }.toMap
+    for (_ <- 1 to iters) {
+      val m1 = w.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+      w = w.map { case ((a, b), v) => (a, b) -> v * t1(a) / m1(a) }
+      val m2 = w.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+      w = w.map { case ((a, b), v) => (a, b) -> v * t2(b) / m2(b) }
+    }
+    import spark.implicits._
+    cells.toSeq.map { case (a, b, n) =>
+      (a, b, n, BigDecimal(w((a, b)) / n.toDouble)
+        .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF(col1, col2, "n", "weight")
+  }
+
+  /** Attach the raked per-cell weight to every row — a BROADCAST join on
+    * the (category-bounded) cell table from [[rakeWeights]]. */
+  def rakeApply(df: DataFrame, col1: String, col2: String,
+      cellWeights: DataFrame): DataFrame =
+    df.withColumn("__a", col(col1).cast("string"))
+      .withColumn("__b", col(col2).cast("string"))
+      .join(broadcast(cellWeights.select(col(col1).as("__a"), col(col2).as("__b"),
+        col("weight"))), Seq("__a", "__b"), "left")
+      .drop("__a", "__b")
+
   /** Per-group cap: keep at most `k` rows per `group`, ranked by `order`
     * (the web-curation "domain cap" — bound any one domain's share of the
     * corpus by keeping its top-k docs by quality). `order` must be a

@@ -1114,6 +1114,19 @@ object PipelineQueries {
     // count and pins the engine's structural verdicts (coverage, never
     // widening the spread, binding-cluster wholeness, bounded
     // imbalance), all deterministic under the fixed seed.
+    // Raking (IPF): fit per-row weights so the weighted (lang × source)
+    // marginals hit uniform targets — one contingency-table aggregation
+    // job, IPF over the tiny cell table, weights emitted per cell. Two
+    // iterations here so the oracle can unroll the recurrence exactly
+    // as windowed margin scalings.
+    "pipeline_rake" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val t1 = Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2).toMap
+      val t2 = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+      graft.ops.DataPrep.rakeWeights(d, "lang", "source", t1, t2, iters = 2)
+        .orderBy("lang", "source")
+    }),
+
     "pipeline_cluster_balance" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val assigned = Ivf.clusterAssign(emb, "embedding", nClusters = 8, seed = 42L)
@@ -3947,6 +3960,24 @@ object PipelineQueries {
     // corpus anchor + the engine's structural verdicts (cluster
     // geometry itself is engine-side; all booleans deterministic under
     // the fixed seed)
+    // unrolls DataPrep.rakeWeights' two IPF iterations exactly: each
+    // half-step scales cell masses so one margin hits its uniform
+    // target, as windowed partition sums
+    "pipeline_rake" ->
+      """WITH n AS (SELECT lang AS a, source AS b,
+        |  CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM n),
+        |w1 AS (SELECT a, b, n, n * (0.2 * (SELECT t FROM tot)) /
+        |  (sum(n) OVER (PARTITION BY a)) AS w FROM n),
+        |w2 AS (SELECT a, b, n, w * (0.05 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY b)) AS w FROM w1),
+        |w3 AS (SELECT a, b, n, w * (0.2 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY a)) AS w FROM w2),
+        |w4 AS (SELECT a, b, n, w * (0.05 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY b)) AS w FROM w3)
+        |SELECT a AS lang, b AS source, n, round(w / n, 6) AS weight
+        |FROM w4 ORDER BY 1, 2""".stripMargin,
+
     "pipeline_cluster_balance" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_in,
         | true AS n_clusters_ok, true AS coverage_ok, true AS spread_ok,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Analytics, Skew}
+import graft.ops.{Analytics, DataPrep, Skew}
 import org.apache.spark.sql.functions._
 
 /** Unit semantics for the relational operators that are not fully pinned
@@ -878,6 +878,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(o1.toSet == (1L to 500L).toSet, "a permutation keeps every row exactly once")
     assert(o1 != order(8L), "a different seed must give a different permutation")
     assert(o1 != (1L to 500L).toSeq, "the shuffled order must not be the identity")
+  }
+
+  test("rakeWeights converges weighted margins to the targets; rakeApply attaches per row") {
+    // skewed 2x2 corpus; targets uniform on both margins
+    val rows = Seq.fill(60)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val df = rows.zipWithIndex.map { case ((g, h), i) => (i.toLong, g, h) }
+      .toDF("id", "g", "h")
+    val cells = DataPrep.rakeWeights(df, "g", "h",
+      Map("a" -> 0.5, "b" -> 0.5), Map("x" -> 0.5, "y" -> 0.5), iters = 25)
+    val applied = DataPrep.rakeApply(df, "g", "h", cells)
+    val m1 = applied.groupBy("g").agg(sum(col("weight")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m2 = applied.groupBy("h").agg(sum(col("weight")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq(m1("a"), m1("b"), m2("x"), m2("y")).foreach { w =>
+      assert(math.abs(w - 50.0) < 0.01, s"margin off target: $w") }
+    // weights exist on every row and are positive
+    assert(applied.where(col("weight").isNull || col("weight") <= 0).count() == 0)
+    intercept[IllegalArgumentException] {
+      DataPrep.rakeWeights(df, "g", "h", Map("a" -> 0.5), Map("x" -> 0.5, "y" -> 0.5))
+    }
   }
 
   test("mixToTarget: binding stratum whole, others downsampled, unlisted dropped") {
