@@ -600,6 +600,61 @@ object Dedup {
     * per variant row, and a hash collision can only ADD a candidate
     * pair, which the exact levenshtein verify then rejects — the same
     * one-sided-error discipline as the banding operators. */
+  /** Dataset-level overlap: EXACT pairwise Jaccard between the distinct
+    * doc-content-digest sets of each corpus slice (which sources carry
+    * the same documents? how redundant is a new crawl against the
+    * holdings?). One distinct rollup to (group, digest), then a
+    * DIGEST-keyed equi self-join — intersection work is
+    * output-sensitive (only digests shared by ≥2 groups pair up),
+    * never |G|²·docs. */
+  def sourceOverlapExact(df: DataFrame, groupCol: String, textCol: String,
+      dp: Int = 6): DataFrame = {
+    val gd = df.select(col(groupCol).cast("string").as("g"),
+      md5(col(textCol)).as("d")).distinct()
+    val sizes = gd.groupBy("g").agg(count(lit(1L)).as("n"))
+    val common = gd.toDF("src_a", "d")
+      .join(gd.toDF("src_b", "d"), "d")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1L)).as("n_common"))
+    sizes.toDF("src_a", "n_a")
+      .join(broadcast(sizes.toDF("src_b", "n_b")), col("src_a") < col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L)))
+            .cast("double"), dp).as("jaccard"))
+  }
+
+  /** Dataset-level overlap, sketched: the bottom-1 MinHash estimate of
+    * the same pairwise Jaccard from `numHashes` independent min-digests
+    * per slice. `sig_i(G) = min over G's docs of md5(md5(text):i)` —
+    * the lexicographic min over an (approximately) random permutation
+    * of the digest universe, so `P[sig_i(A) = sig_i(B)] = J(A, B)` and
+    * the match fraction is an unbiased estimator with σ ≈ 1/√k.
+    *
+    * Scale shape: the per-slice signature is ONE map-side-partial `min`
+    * rollup to |G|·k rows (the k-way replication happens in-scan);
+    * pair scoring joins signatures on the hash INDEX — |G|²·k tiny
+    * rows, corpus never pairs. Signatures are mergeable (min of mins),
+    * so shards/increments combine without recomputation. */
+  def sourceOverlapMinhash(df: DataFrame, groupCol: String, textCol: String,
+      numHashes: Int = 64): DataFrame = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    val sig = df
+      .select(col(groupCol).cast("string").as("g"), md5(col(textCol)).as("__d"))
+      .select(col("g"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"),
+        col("__d"))
+      .groupBy("g", "i")
+      .agg(min(md5(concat_ws(":", col("__d"), col("i")))).as("m"))
+    sig.toDF("src_a", "i", "m_a")
+      .join(sig.toDF("src_b", "i", "m_b"), "i")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg((sum(when(col("m_a") === col("m_b"), 1L).otherwise(0L)) /
+        lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   private def deletionKeyed(docs: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,

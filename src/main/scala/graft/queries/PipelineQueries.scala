@@ -1114,6 +1114,27 @@ object PipelineQueries {
     // count and pins the engine's structural verdicts (coverage, never
     // widening the spread, binding-cluster wholeness, bounded
     // imbalance), all deterministic under the fixed seed.
+    // Dataset-level overlap: exact pairwise Jaccard between slice
+    // digest sets (digest-keyed equi-join, output-sensitive) next to
+    // the mergeable bottom-1 MinHash estimate — the signature min runs
+    // over the LEXICOGRAPHIC order of md5 strings, a total order both
+    // engines share, so the estimate itself is recomputed exactly in
+    // SQL (no tolerance band). Slices are doc_id ranges planted to
+    // overlap (the corpus's natural sources share zero texts).
+    "dedup_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val slices = d.where(col("doc_id") < 300)
+          .select(lit("a").as("src"), col("text"))
+        .union(d.where(col("doc_id") >= 200 && col("doc_id") < 500)
+          .select(lit("b").as("src"), col("text")))
+        .union(d.where(col("doc_id") % 2 === 0)
+          .select(lit("c").as("src"), col("text")))
+      Dedup.sourceOverlapExact(slices, "src", "text")
+        .join(Dedup.sourceOverlapMinhash(slices, "src", "text", numHashes = 64),
+          Seq("src_a", "src_b"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Raking (IPF): fit per-row weights so the weighted (lang × source)
     // marginals hit uniform targets — one contingency-table aggregation
     // job, IPF over the tiny cell table, weights emitted per cell. Two
@@ -3960,6 +3981,35 @@ object PipelineQueries {
     // corpus anchor + the engine's structural verdicts (cluster
     // geometry itself is engine-side; all booleans deterministic under
     // the fixed seed)
+    // both the exact digest-set Jaccard AND the MinHash estimate are
+    // recomputed in SQL — min over the lexicographic md5 order is the
+    // same permutation in both engines, so est_jaccard matches exactly
+    "dedup_source_overlap" ->
+      """WITH d AS (
+        | SELECT 'a' AS g, md5(text) AS dg FROM documents WHERE doc_id < 300
+        | UNION ALL SELECT 'b', md5(text) FROM documents
+        |  WHERE doc_id >= 200 AND doc_id < 500
+        | UNION ALL SELECT 'c', md5(text) FROM documents WHERE doc_id % 2 = 0),
+        |gd AS (SELECT DISTINCT g, dg FROM d),
+        |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gd GROUP BY 1),
+        |common AS (SELECT a.g AS src_a, b.g AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM gd a JOIN gd b ON a.dg = b.dg AND a.g < b.g GROUP BY 1, 2),
+        |sig AS (SELECT g, i, min(md5(dg || ':' || i)) AS m
+        | FROM gd CROSS JOIN (SELECT unnest(range(64)) AS i) ii GROUP BY 1, 2),
+        |est AS (SELECT a.g AS src_a, b.g AS src_b,
+        |  sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        | FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g GROUP BY 1, 2)
+        |SELECT s1.g AS src_a, s2.g AS src_b, s1.n AS n_a, s2.n AS n_b,
+        | coalesce(c.n_common, 0) AS n_common,
+        | round(coalesce(c.n_common, 0) /
+        |   CAST(s1.n + s2.n - coalesce(c.n_common, 0) AS DOUBLE), 6) AS jaccard,
+        | est.est_jaccard
+        |FROM sizes s1 JOIN sizes s2 ON s1.g < s2.g
+        |LEFT JOIN common c ON c.src_a = s1.g AND c.src_b = s2.g
+        |JOIN est ON est.src_a = s1.g AND est.src_b = s2.g
+        |ORDER BY 1, 2""".stripMargin,
+
     // unrolls DataPrep.rakeWeights' two IPF iterations exactly: each
     // half-step scales cell masses so one margin hits its uniform
     // target, as windowed partition sums

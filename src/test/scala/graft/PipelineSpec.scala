@@ -851,6 +851,25 @@ class PipelineSpec extends SparkSuite {
     assert(ac._5 > 0.0 && ac._5 <= math.log(2.0) + 1e-9)
   }
 
+  test("sourceOverlap: exact Jaccard hand-checked; MinHash exact at the extremes") {
+    // A = {t0..t3}, B = {t2..t5} -> |A|=4 |B|=4 common=2 J=2/6; C == A
+    val docs = ((0 to 3).map(i => ("A", s"t$i")) ++
+      (2 to 5).map(i => ("B", s"t$i")) ++
+      (0 to 3).map(i => ("C", s"t$i"))).toDF("src", "text")
+    val ex = Dedup.sourceOverlapExact(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(ex.find(p => p._1 == "A" && p._2 == "B").get == ("A", "B", 2L,
+      math.rint(2.0 / 6.0 * 1e6) / 1e6))
+    assert(ex.find(p => p._1 == "A" && p._2 == "C").get._4 == 1.0)
+    val est = Dedup.sourceOverlapMinhash(docs, "src", "text", numHashes = 128)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toList
+    // identical sets agree on every min; the A/B estimate concentrates
+    assert(est.find(p => p._1 == "A" && p._2 == "C").get._3 == 1.0)
+    val ab = est.find(p => p._1 == "A" && p._2 == "B").get._3
+    assert(math.abs(ab - 2.0 / 6.0) < 0.25, s"estimate off: $ab")
+  }
+
   test("semDedup drops exactly the higher-id members of each clone group") {
     // two clone groups (identical vectors => cos 1.0, same k-means cell
     // under the deterministic argmin) + random fillers nowhere near the
