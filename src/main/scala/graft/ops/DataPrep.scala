@@ -139,6 +139,30 @@ object DataPrep {
     stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
   }
 
+  /** Cross-split leakage audit: given a split assignment and a near-dup
+    * PAIR table (from any dedup path — exact, MinHash, SemDedup), count
+    * duplicate pairs per unordered split pair. A row with
+    * `leaking = true` (the two sides land in different splits) is eval
+    * contamination — the thing [[hashSplit]]'s group-key discipline
+    * exists to prevent, now measurable after the fact.
+    *
+    * Scale shape: two id-keyed equi joins of the (already
+    * output-sensitive) pair table against the tiny (id, split)
+    * projection, then a category-bounded rollup. Nothing corpus-sized
+    * shuffles. */
+  def splitLeakageAudit(assign: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val a = assign.select(col(idCol).as(idACol), col(splitCol).as("__sa"))
+    val b = assign.select(col(idCol).as(idBCol), col(splitCol).as("__sb"))
+    pairs.select(idACol, idBCol).join(a, idACol).join(b, idBCol)
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1L)).as("n_pairs"))
+      .withColumn("leaking", col("split_a") =!= col("split_b"))
+  }
+
   /** Raking (iterative proportional fitting, Deming–Stephan 1940): fit
     * per-cell sampling weights so the WEIGHTED marginals over two
     * categorical columns match target proportions — the survey-statistics

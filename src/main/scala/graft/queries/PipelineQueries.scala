@@ -1114,6 +1114,25 @@ object PipelineQueries {
     // count and pins the engine's structural verdicts (coverage, never
     // widening the spread, binding-cluster wholeness, bounded
     // imbalance), all deterministic under the fixed seed.
+    // Cross-split leakage audit: clone every doc under a new id, split
+    // ROW-keyed (deliberately leaky — the discipline hashSplit's group
+    // key exists to enforce), and count dup pairs straddling splits.
+    // Two id-keyed joins + a category-bounded rollup; pairs here are
+    // the 500 planted clone pairs (corpus texts are unique).
+    "pipeline_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.union(
+        d.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val assign = graft.ops.DataPrep.hashSplit(corpus, col("doc_id"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      val keyed = corpus.select(col("doc_id"), md5(col("text")).as("d"))
+      val pairs = keyed.toDF("id_a", "d")
+        .join(keyed.toDF("id_b", "d"), "d")
+        .where(col("id_a") < col("id_b")).select("id_a", "id_b")
+      graft.ops.DataPrep.splitLeakageAudit(assign, "doc_id", "split", pairs)
+        .orderBy("split_a", "split_b")
+    }),
+
     // Dataset-level overlap: exact pairwise Jaccard between slice
     // digest sets (digest-keyed equi-join, output-sensitive) next to
     // the mergeable bottom-1 MinHash estimate — the signature min runs
@@ -3981,6 +4000,26 @@ object PipelineQueries {
     // corpus anchor + the engine's structural verdicts (cluster
     // geometry itself is engine-side; all booleans deterministic under
     // the fixed seed)
+    // same md5-bucket split rule as pipeline_split; dup pairs from text
+    // equality; straddle counts per unordered split pair
+    "pipeline_split_leakage" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |s AS (SELECT doc_id, CASE
+        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INT) % 1000 < 800 THEN 'train'
+        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INT) % 1000 < 900 THEN 'valid'
+        |  ELSE 'test' END AS split, md5(text) AS dg
+        | FROM corpus),
+        |p AS (SELECT a.split AS sa, b.split AS sb FROM s a JOIN s b
+        |  ON a.dg = b.dg AND a.doc_id < b.doc_id)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | least(sa, sb) != greatest(sa, sb) AS leaking
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // both the exact digest-set Jaccard AND the MinHash estimate are
     // recomputed in SQL — min over the lexicographic md5 order is the
     // same permutation in both engines, so est_jaccard matches exactly

@@ -902,6 +902,18 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("splitLeakageAudit counts straddling pairs per unordered split pair") {
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
+      .toDF("id", "split")
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val out = DataPrep.splitLeakageAudit(assign, "id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // (1,2) and (2,1) both land in the unordered (test, train) cell
+    assert(out == Set(("test", "train", 2L, true), ("train", "train", 1L, false),
+      ("test", "valid", 1L, true)))
+  }
+
   test("mixToTarget: binding stratum whole, others downsampled, unlisted dropped") {
     import graft.ops.DataPrep
     // a:1200 b:600 c:200 x:100; targets .5/.3/.2 -> budget = min(2400,
