@@ -11,6 +11,57 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Poisson-bootstrap confidence interval for a weighted mean — the
+    * bootstrap that actually distributes: instead of resampling n rows
+    * with replacement (which needs global coordination), each row
+    * contributes to replicate `r` with a DETERMINISTIC Poisson(1)
+    * pseudo-count derived from `md5(key:r)` (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams"). Replicate
+    * means then bound the percentile interval.
+    *
+    * Determinism: the pseudo-count is a pure function of (key, r) — the
+    * same CI reproduces across runs, engines and cluster sizes, and the
+    * construction is restatable in SQL (the oracle recomputes it
+    * exactly). The Poisson CDF is folded in as fixed literals, capped
+    * at 7 (P[X>7] < 1e-8).
+    *
+    * Scale shape: the `b`-way replication happens IN-SCAN (explode of a
+    * literal range, map-side partial agg) — the shuffle carries only
+    * `b` groups; the percentile step sorts `b` rows (bounded by the
+    * replicate count, not the data). CPU is b× the scan, the price of
+    * any bootstrap — keep `b` in the hundreds. */
+  def poissonBootstrapMeanCI(df: DataFrame, key: Column, value: Column,
+      b: Int = 200, alpha: Double = 0.05, dp: Int = 6): DataFrame = {
+    require(b >= 20, s"need at least 20 replicates, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    // inverse-CDF lookup of Poisson(1) on a 24-bit uniform from md5(key:r)
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698603, 0.981011843,
+      0.996340153, 0.999405815, 0.999916758, 0.999989750)
+    val u = conv(substring(md5(concat_ws(":", col("__k"), col("__r"))),
+      1, 6), 16, 10).cast("double") / lit((1 << 24).toDouble)
+    val w = cdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((p, k), rest) => when(u < p, k).otherwise(rest)
+    }
+    val reps = df
+      .select(key.cast("string").as("__k"), value.cast("double").as("__v"))
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .select(col("__r"), col("__v"), w.as("__w"))
+      .groupBy("__r")
+      .agg((sum(col("__w") * col("__v")) / sum(col("__w"))).as("__m"))
+    val loRank = math.floor(alpha / 2 * b).toInt + 1
+    val hiRank = b - math.floor(alpha / 2 * b).toInt
+    val ranked = reps
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__m"), col("__r"))))
+    df.agg(round(avg(value.cast("double")), dp).as("mean"))
+      .crossJoin(ranked.where(col("__rk") === loRank)
+        .select(round(col("__m"), dp).as("ci_lo")))
+      .crossJoin(ranked.where(col("__rk") === hiRank)
+        .select(round(col("__m"), dp).as("ci_hi")))
+      .select(col("mean"), col("ci_lo"), col("ci_hi"),
+        lit(b).cast("long").as("n_replicates"))
+  }
+
   /** Funnel analysis: how many users complete `steps` IN ORDER, each
     * event strictly later than the previous step's, all within `within`
     * of the user's FIRST first-step event (the anchor — the common

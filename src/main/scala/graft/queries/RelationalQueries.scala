@@ -560,6 +560,15 @@ object RelationalQueries {
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
+    // Poisson-bootstrap CI for the mean doc length: deterministic
+    // md5-derived Poisson(1) pseudo-counts per (doc, replicate), so the
+    // whole resampling plan — 200 replicate means and the percentile
+    // bounds — is a pure function of the data and recomputed exactly by
+    // the oracle. In-scan replication, b-group shuffle, b-row sort.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Analytics.poissonBootstrapMeanCI(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), b = 200, alpha = 0.05)),
+
     "q_robust_stats" -> ((s, dir) =>
       Analytics.robustStats(t(s, dir, "lineitem"), col("l_extendedprice"),
           trim = 0.05, exact = true)
@@ -1818,6 +1827,27 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    // mirrors Analytics.poissonBootstrapMeanCI literal for literal:
+    // 24-bit md5 uniform, Poisson(1) CDF ladder, rank-6/rank-195 bounds
+    "q_bootstrap_ci" ->
+      """WITH reps AS (SELECT r.i AS r, d.n_chars,
+        |  CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || r.i),
+        |    1, 6)) AS INT) / 16777216.0 AS u
+        | FROM documents d CROSS JOIN (SELECT unnest(range(200)) AS i) r),
+        |w AS (SELECT r, n_chars, CASE
+        |  WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+        |  WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+        |  WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+        |  WHEN u < 0.999916758 THEN 6 WHEN u < 0.999989750 THEN 7
+        |  ELSE 8 END AS w FROM reps),
+        |m AS (SELECT r, sum(w * n_chars) / CAST(sum(w) AS DOUBLE) AS m
+        | FROM w GROUP BY r),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM m)
+        |SELECT (SELECT round(avg(n_chars), 6) FROM documents) AS mean,
+        | (SELECT round(m, 6) FROM rk WHERE rk = 6) AS ci_lo,
+        | (SELECT round(m, 6) FROM rk WHERE rk = 195) AS ci_hi,
+        | CAST(200 AS BIGINT) AS n_replicates""".stripMargin,
 
     "q_robust_stats" ->
       """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -902,6 +902,20 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("poissonBootstrapMeanCI brackets the mean, reproduces exactly") {
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    def run() = Analytics.poissonBootstrapMeanCI(df, col("id"), col("v"),
+      b = 100).collect()(0)
+    val r = run()
+    val (mean, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(mean == 500.5)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    // sd of the mean of 1..1000 is ~9.1; percentile bounds stay near ±2sd
+    assert(hi - lo > 10 && hi - lo < 80, s"implausible CI width ${hi - lo}")
+    assert(run() == r, "hash-driven bootstrap must be bit-reproducible")
+  }
+
   test("splitLeakageAudit counts straddling pairs per unordered split pair") {
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
       .toDF("id", "split")
