@@ -62,6 +62,44 @@ object Analytics {
         lit(b).cast("long").as("n_replicates"))
   }
 
+  /** Randomization test for a difference in means between two slices:
+    * is mean(value | inA) − mean(value | ¬inA) explainable by chance?
+    * Each replicate reassigns every row to a pseudo-group by an
+    * md5(key:r) coin (the Bernoulli(½) unconditional randomization
+    * test — valid under the exchangeability null, and the assignment
+    * that distributes: no global permutation state). The p-value is
+    * `(1 + #{r : |d_r| ≥ |d_obs|}) / (b + 1)` with both sides rounded
+    * to `dp` first, so the comparison — and therefore the p-value — is
+    * a pure function of the data, reproducible across engines.
+    *
+    * Scale shape: in-scan b-way replication with map-side partial aggs
+    * (shuffle carries b groups), the observed diff rides a 1-row
+    * broadcast. CPU is b× the scan — the price of any resampling test. */
+  def randomizationTestMeanDiff(df: DataFrame, key: Column, inA: Column,
+      value: Column, b: Int = 199, dp: Int = 6): DataFrame = {
+    require(b >= 19, s"need at least 19 replicates, got $b")
+    val base = df.select(key.cast("string").as("__k"),
+      inA.cast("boolean").as("__a"), value.cast("double").as("__v"))
+    val obs = base.agg((avg(when(col("__a"), col("__v"))) -
+      avg(when(!col("__a"), col("__v")))).as("__d0"))
+    val u = conv(substring(md5(concat_ws(":", col("__k"), col("__r"))),
+      1, 6), 16, 10).cast("double") / lit((1 << 24).toDouble)
+    val reps = base
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .select(col("__r"), col("__v"), (u < 0.5).as("__fa"))
+      .groupBy("__r")
+      .agg((avg(when(col("__fa"), col("__v"))) -
+        avg(when(!col("__fa"), col("__v")))).as("__d"))
+    reps.crossJoin(obs)
+      .agg(sum(when(round(abs(col("__d")), dp) >= round(abs(col("__d0")), dp),
+        1L).otherwise(0L)).as("__ge"))
+      .crossJoin(obs)
+      .select(round(col("__d0"), dp).as("diff_obs"),
+        round((col("__ge") + 1L) / lit((b + 1).toDouble), dp).as("p_value"),
+        lit(b).cast("long").as("n_replicates"))
+  }
+
   /** Funnel analysis: how many users complete `steps` IN ORDER, each
     * event strictly later than the previous step's, all within `within`
     * of the user's FIRST first-step event (the anchor — the common

@@ -560,6 +560,14 @@ object RelationalQueries {
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
+    // Randomization test: is the en-vs-rest mean doc length difference
+    // chance? md5-coin pseudo-assignments per (doc, replicate) make the
+    // null distribution — and the p-value — a pure function of the
+    // data, recomputed exactly by the oracle.
+    "q_permutation_test" -> ((s, dir) =>
+      Analytics.randomizationTestMeanDiff(t(s, dir, "documents"),
+        col("doc_id"), col("lang") === "en", col("n_chars"), b = 199)),
+
     // Poisson-bootstrap CI for the mean doc length: deterministic
     // md5-derived Poisson(1) pseudo-counts per (doc, replicate), so the
     // whole resampling plan — 200 replicate means and the percentile
@@ -1827,6 +1835,24 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    // mirrors Analytics.randomizationTestMeanDiff: same md5 coin, same
+    // rounded-before-compare tail count, (1+ge)/(b+1) p-value
+    "q_permutation_test" ->
+      """WITH d0 AS (SELECT avg(CASE WHEN lang = 'en' THEN n_chars END) -
+        |  avg(CASE WHEN lang != 'en' THEN n_chars END) AS d0 FROM documents),
+        |reps AS (SELECT r.i AS r, d.n_chars,
+        |  CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || r.i),
+        |    1, 6)) AS INT) / 16777216.0 < 0.5 AS fa
+        | FROM documents d CROSS JOIN (SELECT unnest(range(199)) AS i) r),
+        |m AS (SELECT r, avg(CASE WHEN fa THEN n_chars END) -
+        |  avg(CASE WHEN NOT fa THEN n_chars END) AS d FROM reps GROUP BY r),
+        |ge AS (SELECT CAST(sum(CASE WHEN round(abs(m.d), 6) >=
+        |   round(abs((SELECT d0 FROM d0)), 6) THEN 1 ELSE 0 END) AS BIGINT) AS ge
+        | FROM m)
+        |SELECT round((SELECT d0 FROM d0), 6) AS diff_obs,
+        | round((ge + 1) / 200.0, 6) AS p_value,
+        | CAST(199 AS BIGINT) AS n_replicates FROM ge""".stripMargin,
 
     // mirrors Analytics.poissonBootstrapMeanCI literal for literal:
     // 24-bit md5 uniform, Poisson(1) CDF ladder, rank-6/rank-195 bounds

@@ -916,6 +916,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(run() == r, "hash-driven bootstrap must be bit-reproducible")
   }
 
+  test("randomizationTestMeanDiff: tiny p for a planted effect, large p for noise") {
+    // group A shifted +100 vs B: no random reassignment can match it
+    val effect = (1 to 200).map(i => (i.toLong, i <= 100, if (i <= 100) 100.0 + i % 7 else i % 7.0))
+      .toDF("id", "a", "v")
+    val r1 = Analytics.randomizationTestMeanDiff(effect, col("id"), col("a"),
+      col("v"), b = 199).collect()(0)
+    assert(math.abs(r1.getDouble(0) - 100.0) < 0.5 && r1.getDouble(1) == 0.005,
+      s"planted effect must hit the minimum attainable p: $r1")
+    // identical distributions: p must not be small
+    val noise = (1 to 200).map(i => (i.toLong, i % 2 == 0, (i % 13).toDouble))
+      .toDF("id", "a", "v")
+    val p = Analytics.randomizationTestMeanDiff(noise, col("id"), col("a"),
+      col("v"), b = 199).collect()(0).getDouble(1)
+    assert(p > 0.05, s"null-true p-value implausibly small: $p")
+  }
+
   test("splitLeakageAudit counts straddling pairs per unordered split pair") {
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
       .toDF("id", "split")
