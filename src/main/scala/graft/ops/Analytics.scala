@@ -100,6 +100,60 @@ object Analytics {
         lit(b).cast("long").as("n_replicates"))
   }
 
+  /** Standard normal CDF as pure Column algebra — Abramowitz–Stegun
+    * 26.2.17 (max abs error 7.5e-8), so significance math stays inside
+    * whole-stage codegen and restates literal-for-literal in SQL. */
+  def normalCdf(x: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(x))
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val phi = exp(lit(-0.5) * x * x) / lit(2.5066282746310002)
+    val upper = lit(1.0) - phi * poly
+    when(x >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
+  /** Per-group screening z-test: each group's mean against the global
+    * mean, `z = (mean_g − mean_all) / (sd_all / √n_g)` with the
+    * population sd, two-sided p via [[normalCdf]]. A SCREEN for "which
+    * slices look off" feeding [[bhAdjust]] — not a replacement for a
+    * two-sample test on the flagged slices ([[randomizationTestMeanDiff]]
+    * is the confirmatory path). One map-side-partial rollup per group +
+    * a 1-row global broadcast. */
+  def zScreenPerGroup(df: DataFrame, group: Column, value: Column,
+      dp: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val g = df.groupBy(group.as("grp"))
+      .agg(count(lit(1L)).as("n"), avg(v).as("__m"))
+    val all = df.agg(avg(v).as("__ma"), stddev_pop(v).as("__sd"))
+    // p is computed from the ROUNDED z: the score is the published
+    // statistic, and deriving p from it keeps the pair consistent and
+    // engine-order-independent
+    val z = round((col("__m") - col("__ma")) / (col("__sd") / sqrt(col("n"))), dp)
+    g.crossJoin(all)
+      .select(col("grp"), col("n"), z.as("z"),
+        round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a table of test p-values:
+    * `p_adj(k) = min over j ≥ k of (K·p_(j) / j)`, clamped to 1 — the
+    * step-up control that keeps multi-metric drift dashboards honest.
+    * `tie` must break p-value ties deterministically (the test id).
+    *
+    * The running-min window is ordered over the TEST table — one row
+    * per hypothesis (metrics × slices), bounded by the dashboard size,
+    * never by the data the p-values were computed from. */
+  def bhAdjust(df: DataFrame, pCol: String, tie: Column,
+      dp: Int = 6): DataFrame = {
+    val wRank = Window.orderBy(col(pCol).asc, tie.asc)
+    val wSuffix = Window.orderBy(col(pCol).desc, tie.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.crossJoin(df.agg(count(lit(1L)).cast("double").as("__K")))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("p_adj", round(least(lit(1.0),
+        min(col(pCol) * col("__K") / col("__rk")).over(wSuffix)), dp))
+      .drop("__rk", "__K")
+  }
+
   /** Funnel analysis: how many users complete `steps` IN ORDER, each
     * event strictly later than the previous step's, all within `within`
     * of the user's FIRST first-step event (the anchor — the common

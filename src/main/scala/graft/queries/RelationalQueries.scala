@@ -560,6 +560,19 @@ object RelationalQueries {
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
+    // Multi-slice drift dashboard with FDR control: per-source z-screen
+    // of mean doc length (normal CDF as in-scan Column algebra), then
+    // Benjamini–Hochberg step-up over the 20-row test table. Windows
+    // ride the hypothesis table, never the corpus.
+    "q_fdr_screen" -> ((s, dir) => {
+      val z = Analytics.zScreenPerGroup(t(s, dir, "documents"),
+        col("source"), col("n_chars"))
+      Analytics.bhAdjust(z, "p", col("grp"))
+        .select(col("grp").as("source"), col("n"), col("z"), col("p"),
+          col("p_adj"), (col("p_adj") <= 0.10).as("significant"))
+        .orderBy("source")
+    }),
+
     // Randomization test: is the en-vs-rest mean doc length difference
     // chance? md5-coin pseudo-assignments per (doc, replicate) make the
     // null distribution — and the p-value — a pure function of the
@@ -1835,6 +1848,35 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    // mirrors zScreenPerGroup + bhAdjust literal for literal: A-S
+    // 26.2.17 polynomial, rounded p, step-up running min over the
+    // 20-row test table
+    "q_fdr_screen" ->
+      """WITH g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  avg(n_chars) AS m FROM documents GROUP BY 1),
+        |a AS (SELECT avg(n_chars) AS ma, stddev_pop(n_chars) AS sd
+        | FROM documents),
+        |z AS (SELECT grp, n, round((m - a.ma) / (a.sd / sqrt(n)), 6) AS z
+        | FROM g, a),
+        |p AS (SELECT grp, n, z, round(2 * (1 - (1 -
+        |   (exp(-0.5 * z * z) / 2.5066282746310002) *
+        |   ((1 / (1 + 0.2316419 * abs(z))) * (0.319381530 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (-0.356563782 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (1.781477937 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (-1.821255978 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * 1.330274429))))))), 6) AS p
+        | FROM z),
+        |r1 AS (SELECT grp, n, z, p,
+        |  row_number() OVER (ORDER BY p, grp) AS rk FROM p),
+        |adj AS (SELECT grp, n, z, p,
+        |  round(least(1.0, min(p * (SELECT CAST(count(*) AS DOUBLE) FROM g) /
+        |    rk) OVER (ORDER BY p DESC, grp DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_adj
+        | FROM r1)
+        |SELECT grp AS source, n, z, p, p_adj,
+        | p_adj <= 0.10 AS significant
+        |FROM adj ORDER BY source""".stripMargin,
 
     // mirrors Analytics.randomizationTestMeanDiff: same md5 coin, same
     // rounded-before-compare tail count, (1+ge)/(b+1) p-value

@@ -932,6 +932,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(p > 0.05, s"null-true p-value implausibly small: $p")
   }
 
+  test("normalCdf matches the normal table; bhAdjust reproduces the step-up by hand") {
+    val probe = Seq(0.0, 1.959964, -1.959964, 3.0).toDF("x")
+      .select(Analytics.normalCdf(col("x")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(probe(0) - 0.5) < 1e-7)
+    assert(math.abs(probe(1) - 0.975) < 1e-4)
+    assert(math.abs(probe(1) - (1.0 - probe(2))) < 1e-9, "symmetry")
+    assert(probe(3) > 0.9986)
+    val tests = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.05))
+      .toDF("id", "p")
+    val adj = Analytics.bhAdjust(tests, "p", col("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // matches R p.adjust(c(.01,.04,.03,.05), "BH") = .04 .05 .05 .05
+    assert(adj == Map("a" -> 0.04, "b" -> 0.05, "c" -> 0.05, "d" -> 0.05),
+      s"hand-computed BH mismatch: $adj")
+  }
+
   test("splitLeakageAudit counts straddling pairs per unordered split pair") {
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
       .toDF("id", "split")
