@@ -686,6 +686,51 @@ object TextFunctions {
     * string length, which holds for the ASCII/Latin-1 corpora this
     * serves (the documented exception: characters like 'İ' whose
     * lowercase form adds a combining mark would shift positions). */
+  /** Vocabulary-coverage estimates from the token frequency spectrum:
+    * Good–Turing missing mass `n₁/N` (the probability the NEXT token is
+    * an unseen type — how much vocabulary the crawl hasn't reached) and
+    * the Chao1 richness floor `V + n₁²/(2n₂)`. One token rollup, one
+    * spectrum agg — both map-side-partial. */
+  def vocabCoverage(docs: DataFrame, textCol: String, dp: Int = 6): DataFrame = {
+    val counts = docs
+      .select(explode(tokensWs(lower(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1L)).as("n"))
+    counts.agg(count(lit(1L)).as("v"), sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("v"), col("n_tokens"), col("n1"), col("n2"),
+        round(col("n1") / col("n_tokens").cast("double"), dp)
+          .as("missing_mass"),
+        round(when(col("n2") > 0L,
+          col("v") + col("n1") * col("n1") / (lit(2.0) * col("n2")))
+          .otherwise(col("v").cast("double")), dp).as("chao1"))
+  }
+
+  /** Zipf-law fit of the frequency spectrum: least-squares slope of
+    * `ln(freq)` on `ln(rank)` (≈ −α; healthy natural-language corpora
+    * sit near −1, templated or synthetic ones drift off). Ranking uses
+    * the two-phase [[graft.ops.Windows.globalRowNumber]] — no
+    * single-partition sort of the vocabulary. */
+  def zipfFit(docs: DataFrame, textCol: String, minCount: Long = 2L,
+      dp: Int = 6): DataFrame = {
+    val counts = docs
+      .select(explode(tokensWs(lower(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1L)).as("n"))
+      .where(col("n") >= minCount)
+    val ranked = graft.ops.Windows.globalRowNumber(counts,
+      Seq(col("n").desc, col("t").asc), "rank")
+    val x = log(col("rank").cast("double"))
+    val y = log(col("n").cast("double"))
+    ranked.agg(count(lit(1L)).as("n_terms"),
+        covar_pop(x, y).as("__cxy"), var_pop(x).as("__vx"),
+        avg(x).as("__mx"), avg(y).as("__my"), corr(x, y).as("__r"))
+      .select(col("n_terms"),
+        round(col("__cxy") / col("__vx"), dp).as("slope"),
+        round(col("__my") - col("__cxy") / col("__vx") * col("__mx"), dp)
+          .as("intercept"),
+        round(col("__r") * col("__r"), dp).as("r2"))
+  }
+
   /** Pairwise distributional divergence between corpus slices: for each
     * unordered group pair, smoothed KL (both directions, natural log)
     * and Jensen–Shannon divergence of the whitespace-token unigram

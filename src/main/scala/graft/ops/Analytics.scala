@@ -100,6 +100,20 @@ object Analytics {
         lit(b).cast("long").as("n_replicates"))
   }
 
+  /** Effective sample size and Kish design effect of a weighted corpus:
+    * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
+    * (raking, importance sampling, DSIR) actually cost in statistical
+    * power. ONE aggregation job, map-side partial. */
+  def effectiveSampleSize(df: DataFrame, weight: Column,
+      dp: Int = 6): DataFrame = {
+    val w = weight.cast("double")
+    df.agg(count(lit(1L)).as("n"), sum(w).as("__sw"), sum(w * w).as("__sw2"))
+      .select(col("n"), round(col("__sw"), dp).as("sum_w"),
+        round(col("__sw") * col("__sw") / col("__sw2"), dp).as("ess"),
+        round(col("n") * col("__sw2") / (col("__sw") * col("__sw")), dp)
+          .as("deff"))
+  }
+
   /** Standard normal CDF as pure Column algebra — Abramowitz–Stegun
     * 26.2.17 (max abs error 7.5e-8), so significance math stays inside
     * whole-stage codegen and restates literal-for-literal in SQL. */

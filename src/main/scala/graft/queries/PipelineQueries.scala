@@ -563,6 +563,30 @@ object PipelineQueries {
         d.where(col("doc_id") % 2 === 1), "text", minCount = 5L, k = 15)
     }),
 
+    // Vocabulary coverage: Good–Turing missing mass + Chao1 richness
+    // floor from the frequency spectrum — one rollup, one agg.
+    "text_coverage" -> ((s, dir) =>
+      TF.vocabCoverage(t(s, dir, "documents"), "text")),
+
+    // Zipf-law fit: ln-freq on ln-rank least squares over the ≥2-count
+    // vocabulary, ranked by the two-phase global row_number (no
+    // single-partition vocabulary sort).
+    "text_zipf_fit" -> ((s, dir) =>
+      TF.zipfFit(t(s, dir, "documents"), "text", minCount = 2L)),
+
+    // What the rake COST: effective sample size / Kish design effect of
+    // the two-iteration raked weights applied per row.
+    "pipeline_rake_ess" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val t1 = Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2).toMap
+      val t2 = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+      val cells = graft.ops.DataPrep.rakeWeights(d, "lang", "source", t1, t2,
+        iters = 2)
+      graft.ops.Analytics.effectiveSampleSize(
+        graft.ops.DataPrep.rakeApply(d, "lang", "source", cells),
+        col("weight"))
+    }),
+
     // Corpus-slice divergence: smoothed KL both ways + Jensen–Shannon
     // between per-language unigram distributions — one token rollup,
     // broadcast group×vocab grid, token-keyed pair join; |V|·|G|² work.
@@ -3579,6 +3603,60 @@ object PipelineQueries {
         |   ((n_ref + 1) / (tt.tr + tt.v))), 6) AS trend
         |FROM j CROSS JOIN tt WHERE n_cur >= 5
         |ORDER BY trend DESC, term LIMIT 15""".stripMargin,
+
+    // frequency-spectrum aggregates restated exactly
+    "text_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |   '\s+')) AS t FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        | CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        | round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) /
+        |   CAST(sum(n) AS DOUBLE), 6) AS missing_mass,
+        | round(CASE WHEN sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) > 0
+        |  THEN count(*) + sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) *
+        |   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) /
+        |   (2.0 * sum(CASE WHEN n = 2 THEN 1 ELSE 0 END))
+        |  ELSE CAST(count(*) AS DOUBLE) END, 6) AS chao1
+        |FROM c""".stripMargin,
+
+    // same counts, same total-order rank, regr_slope == cov/var
+    "text_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |   '\s+')) AS t FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM toks
+        | GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rank FROM c),
+        |l AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |  ln(CAST(n AS DOUBLE)) AS y FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        | round(regr_slope(y, x), 6) AS slope,
+        | round(regr_intercept(y, x), 6) AS intercept,
+        | round(corr(y, x) * corr(y, x), 6) AS r2
+        |FROM l""".stripMargin,
+
+    // the rake CTEs again, then ESS/deff over the applied (rounded)
+    // per-row weights: row sums restated as n-weighted cell sums
+    "pipeline_rake_ess" ->
+      """WITH n AS (SELECT lang AS a, source AS b,
+        |  CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM n),
+        |w1 AS (SELECT a, b, n, n * (0.2 * (SELECT t FROM tot)) /
+        |  (sum(n) OVER (PARTITION BY a)) AS w FROM n),
+        |w2 AS (SELECT a, b, n, w * (0.05 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY b)) AS w FROM w1),
+        |w3 AS (SELECT a, b, n, w * (0.2 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY a)) AS w FROM w2),
+        |w4 AS (SELECT a, b, n, w * (0.05 * (SELECT t FROM tot)) /
+        |  (sum(w) OVER (PARTITION BY b)) AS w FROM w3),
+        |cell AS (SELECT n, round(w / n, 6) AS wr FROM w4)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        | round(sum(n * wr), 6) AS sum_w,
+        | round(sum(n * wr) * sum(n * wr) / sum(n * wr * wr), 6) AS ess,
+        | round(sum(n) * sum(n * wr * wr) /
+        |   (sum(n * wr) * sum(n * wr)), 6) AS deff
+        |FROM cell""".stripMargin,
 
     // mirrors TextFunctions.tokenDivergence term for term: add-0.5
     // smoothing over the union vocabulary, natural-log KL/JS

@@ -948,6 +948,16 @@ class AnalyticsSpec extends SparkSuite {
       s"hand-computed BH mismatch: $adj")
   }
 
+  test("effectiveSampleSize: uniform weights keep full power, skew halves it") {
+    val uni = Seq.fill(100)(1.0).toDF("w")
+    val r = Analytics.effectiveSampleSize(uni, col("w")).collect()(0)
+    assert(r.getLong(0) == 100L && r.getDouble(2) == 100.0 && r.getDouble(3) == 1.0)
+    // one row carrying half the total mass: ESS collapses well below n
+    val skew = (Seq.fill(99)(1.0) :+ 99.0).toDF("w")
+    val s = Analytics.effectiveSampleSize(skew, col("w")).collect()(0)
+    assert(s.getDouble(2) < 5.0 && s.getDouble(3) > 20.0, s"$s")
+  }
+
   test("splitLeakageAudit counts straddling pairs per unordered split pair") {
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
       .toDF("id", "split")

@@ -851,6 +851,25 @@ class PipelineSpec extends SparkSuite {
     assert(ac._5 > 0.0 && ac._5 <= math.log(2.0) + 1e-9)
   }
 
+  test("vocabCoverage hand case; zipfFit recovers a planted power law") {
+    // tokens: a a a b b c  -> V=3, N=6, n1=1 (c), n2=1 (b)
+    val d = Seq("a a a b b", "c").toDF("text")
+    val cov = TF.vocabCoverage(d, "text").collect()(0)
+    assert((cov.getLong(0), cov.getLong(1), cov.getLong(2), cov.getLong(3)) ==
+      ((3L, 6L, 1L, 1L)))
+    assert(cov.getDouble(4) == math.rint(1.0 / 6.0 * 1e6) / 1e6)
+    assert(cov.getDouble(5) == 3.5) // 3 + 1/(2*1)
+    // exact Zipf: freq(rank r) = round(1000/r) for 30 terms -> slope ~ -1
+    val zipfText = (1 to 30).map { r =>
+      val w = s"w$r"; Seq.fill(math.max(1000 / r, 2))(w).mkString(" ")
+    }.mkString(" ")
+    val fit = TF.zipfFit(Seq(zipfText).toDF("text"), "text", minCount = 2L)
+      .collect()(0)
+    assert(fit.getLong(0) == 30L)
+    assert(math.abs(fit.getDouble(1) + 1.0) < 0.05, s"slope ${fit.getDouble(1)}")
+    assert(fit.getDouble(3) > 0.999, s"r2 ${fit.getDouble(3)}")
+  }
+
   test("sourceOverlap: exact Jaccard hand-checked; MinHash exact at the extremes") {
     // A = {t0..t3}, B = {t2..t5} -> |A|=4 |B|=4 common=2 J=2/6; C == A
     val docs = ((0 to 3).map(i => ("A", s"t$i")) ++
