@@ -139,6 +139,32 @@ object DataPrep {
     stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
   }
 
+  /** Novelty curve over ordered shards (crawls, dumps, days): for each
+    * shard, how many of its docs are NEW — content whose digest first
+    * appears there — and the running distinct total. The marginal-value
+    * diagnostic for "is the next crawl still worth ingesting?".
+    *
+    * Scale shape: one digest-keyed `min(shard)` rollup (map-side
+    * partial) decides first appearance; everything after rides
+    * shard-count-bounded aggregates (the running sum windows over the
+    * SHARD table, not the corpus). */
+  def noveltyCurve(df: DataFrame, shard: Column, textCol: String,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(shard.cast("long").as("shard"),
+      md5(col(textCol)).as("__d"))
+    val perShard = base.groupBy("shard").agg(count(lit(1L)).as("n_docs"))
+    val firsts = base.groupBy("__d").agg(min(col("shard")).as("shard"))
+      .groupBy("shard").agg(count(lit(1L)).as("n_new"))
+    val w = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perShard.join(firsts, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty_rate",
+        round(col("n_new") / col("n_docs").cast("double"), dp))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+  }
+
   /** Cross-split leakage audit: given a split assignment and a near-dup
     * PAIR table (from any dedup path — exact, MinHash, SemDedup), count
     * duplicate pairs per unordered split pair. A row with

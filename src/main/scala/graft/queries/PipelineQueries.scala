@@ -563,6 +563,18 @@ object PipelineQueries {
         d.where(col("doc_id") % 2 === 1), "text", minCount = 5L, k = 15)
     }),
 
+    // Novelty curve over 5 pseudo-crawls (doc_id mod 5), with every 3rd
+    // doc re-ingested two shards later: first-appearance is one
+    // digest-keyed min rollup; windows ride the 5-row shard table.
+    "pipeline_novelty_curve" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = d.select((col("doc_id") % 5).as("shard"), col("text"))
+        .union(d.where(col("doc_id") % 3 === 0)
+          .select(((col("doc_id") % 5 + 2) % 5).as("shard"), col("text")))
+      graft.ops.DataPrep.noveltyCurve(aug, col("shard"), "text")
+        .orderBy("shard")
+    }),
+
     // Vocabulary coverage: Good–Turing missing mass + Chao1 richness
     // floor from the frequency spectrum — one rollup, one agg.
     "text_coverage" -> ((s, dir) =>
@@ -3603,6 +3615,25 @@ object PipelineQueries {
         |   ((n_ref + 1) / (tt.tr + tt.v))), 6) AS trend
         |FROM j CROSS JOIN tt WHERE n_cur >= 5
         |ORDER BY trend DESC, term LIMIT 15""".stripMargin,
+
+    // same plant, same digest-min first-appearance, same shard windows
+    "pipeline_novelty_curve" ->
+      """WITH aug AS (
+        | SELECT doc_id % 5 AS shard, text FROM documents
+        | UNION ALL SELECT (doc_id % 5 + 2) % 5, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM aug GROUP BY 1),
+        |f AS (SELECT min(shard) AS shard FROM aug GROUP BY md5(text)),
+        |fn AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_new
+        | FROM f GROUP BY 1)
+        |SELECT p.shard, p.n_docs, coalesce(fn.n_new, 0) AS n_new,
+        | round(coalesce(fn.n_new, 0) / CAST(p.n_docs AS DOUBLE), 6)
+        |   AS novelty_rate,
+        | CAST(sum(coalesce(fn.n_new, 0)) OVER (ORDER BY p.shard
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_new
+        |FROM p LEFT JOIN fn ON p.shard = fn.shard ORDER BY p.shard""".stripMargin,
 
     // frequency-spectrum aggregates restated exactly
     "text_coverage" ->

@@ -958,6 +958,18 @@ class AnalyticsSpec extends SparkSuite {
     assert(s.getDouble(2) < 5.0 && s.getDouble(3) > 20.0, s"$s")
   }
 
+  test("noveltyCurve: re-ingested content stops counting as new") {
+    // shard 0: docs A,B; shard 1: B again + new C; shard 2: all repeats
+    val df = Seq((0L, "A"), (0L, "B"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "C")).toDF("shard", "text")
+    val out = DataPrep.noveltyCurve(df, col("shard"), "text")
+      .orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toList
+    assert(out == List((0L, 2L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 2L, 0L, 3L)),
+      s"unexpected curve: $out")
+  }
+
   test("splitLeakageAudit counts straddling pairs per unordered split pair") {
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "valid"))
       .toDF("id", "split")
