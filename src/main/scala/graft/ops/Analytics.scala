@@ -100,6 +100,41 @@ object Analytics {
         lit(b).cast("long").as("n_replicates"))
   }
 
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * per-query rankings — the top-weighted similarity of two retrieval
+    * systems (did the ANN index change what BM25 would have returned?
+    * did a rerank actually move the top?). `RBO@k = Σ_{d≤k} (1−p)
+    * p^{d−1} |A_d ∩ B_d| / d`, re-expressed per overlapping doc as a
+    * suffix weight on `max(rank_a, rank_b)` so the whole metric is one
+    * equi-join + one broadcast lookup — no per-depth pass.
+    *
+    * Weights are rounded to 12 decimals before use, making the metric
+    * a pure function of the rank pairs (restatable in SQL, stable
+    * across libm pow implementations). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, qidCol: String,
+      docCol: String, rankCol: String, p: Double = 0.9, k: Int = 10,
+      dp: Int = 6): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(k > 0 && k <= 1000, s"k must be in (0,1000], got $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val weights = (1 to k).map { m =>
+      val w = (1 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum
+      (m, BigDecimal(w).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("__m", "__w")
+    val ja = a.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).as("__ra")).where(col("__ra") <= k)
+    val jb = b.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).as("__rb")).where(col("__rb") <= k)
+    val contrib = ja.join(jb, Seq("qid", "__doc"))
+      .select(col("qid"), greatest(col("__ra"), col("__rb")).as("__m"))
+      .join(broadcast(weights), "__m")
+      .groupBy("qid").agg(sum(col("__w")).as("__rbo"))
+    a.select(col(qidCol).as("qid")).distinct()
+      .join(contrib, Seq("qid"), "left")
+      .select(col("qid"), round(coalesce(col("__rbo"), lit(0.0)), dp).as("rbo"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

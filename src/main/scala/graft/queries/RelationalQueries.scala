@@ -560,6 +560,22 @@ object RelationalQueries {
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
+    // Rank-biased overlap between two per-lang top-10 rankings (by
+    // length vs by a pseudo-random key): one equi-join + a broadcast
+    // suffix-weight lookup; windows ride bounded per-lang groups.
+    "q_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val a = d.select(col("lang"), col("doc_id"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+      val b = d.select(col("lang"), col("doc_id"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy((col("doc_id") % 97).asc, col("doc_id"))).as("rank"))
+      Analytics.rankBiasedOverlap(a, b, "lang", "doc_id", "rank",
+        p = 0.9, k = 10).orderBy("qid")
+    }),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -1848,6 +1864,29 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    // same rankings, same max-rank suffix weights (the 12-decimal
+    // literals the engine rounds to)
+    "q_rbo" ->
+      """WITH a AS (SELECT lang, doc_id, row_number() OVER
+        |  (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS ra
+        | FROM documents),
+        |b AS (SELECT lang, doc_id, row_number() OVER
+        |  (PARTITION BY lang ORDER BY doc_id % 97, doc_id) AS rb
+        | FROM documents),
+        |j AS (SELECT a.lang, greatest(a.ra, b.rb) AS m
+        | FROM a JOIN b USING (lang, doc_id)
+        | WHERE a.ra <= 10 AND b.rb <= 10),
+        |q AS (SELECT DISTINCT lang FROM documents)
+        |SELECT q.lang AS qid, round(coalesce(sum(CAST(CASE m
+        |  WHEN 1 THEN 0.235416399426 WHEN 2 THEN 0.135416399426
+        |  WHEN 3 THEN 0.090416399426 WHEN 4 THEN 0.063416399426
+        |  WHEN 5 THEN 0.045191399426 WHEN 6 THEN 0.032069399426
+        |  WHEN 7 THEN 0.022227899426 WHEN 8 THEN 0.014635885140
+        |  WHEN 9 THEN 0.008657173890 WHEN 10 THEN 0.003874204890
+        |  END AS DOUBLE)), 0), 6) AS rbo
+        |FROM q LEFT JOIN j ON j.lang = q.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors zScreenPerGroup + bhAdjust literal for literal: A-S
     // 26.2.17 polynomial, rounded p, step-up running min over the

@@ -948,6 +948,28 @@ class AnalyticsSpec extends SparkSuite {
       s"hand-computed BH mismatch: $adj")
   }
 
+  test("rankBiasedOverlap: 1 for identical rankings, 0 for disjoint, ordered in between") {
+    def ranking(docs: Seq[Long]) =
+      docs.zipWithIndex.map { case (d, i) => ("q", d, i + 1) }
+        .toDF("qid", "doc", "rank")
+    val x = ranking(1L to 10L)
+    val same = Analytics.rankBiasedOverlap(x, ranking(1L to 10L),
+      "qid", "doc", "rank").collect()(0).getDouble(1)
+    // identical top-10: RBO@10 = sum of all suffix weights = 0.651322
+    assert(math.abs(same - 0.651322) < 1e-6, s"$same")
+    val disjoint = Analytics.rankBiasedOverlap(x, ranking(11L to 20L),
+      "qid", "doc", "rank").collect()(0).getDouble(1)
+    assert(disjoint == 0.0)
+    // agreeing only at rank 1 beats agreeing only at rank 10
+    val topHit = Analytics.rankBiasedOverlap(x,
+      ranking(1L +: (21L to 29L)), "qid", "doc", "rank")
+      .collect()(0).getDouble(1)
+    val tailHit = Analytics.rankBiasedOverlap(x,
+      ranking((31L to 39L) :+ 10L), "qid", "doc", "rank")
+      .collect()(0).getDouble(1)
+    assert(topHit > tailHit && tailHit > 0.0, s"$topHit vs $tailHit")
+  }
+
   test("effectiveSampleSize: uniform weights keep full power, skew halves it") {
     val uni = Seq.fill(100)(1.0).toDF("w")
     val r = Analytics.effectiveSampleSize(uni, col("w")).collect()(0)
