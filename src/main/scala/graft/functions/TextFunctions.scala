@@ -686,6 +686,33 @@ object TextFunctions {
     * string length, which holds for the ASCII/Latin-1 corpora this
     * serves (the documented exception: characters like 'İ' whose
     * lowercase form adds a combining mark would shift positions). */
+  /** Term burstiness: variance-to-mean ratio of a term's per-document
+    * occurrence count, zeros included (VMR 1 ≈ Poisson background; ≫1 =
+    * the term clumps in few docs — boilerplate, templates, topical
+    * spikes). Computed from the (doc, term) count table plus the corpus
+    * doc count alone — `E[x²] = Σc²/D`, no doc×vocab grid. Top-`k` by
+    * VMR among terms with at least `minCount` total occurrences, cut
+    * with TakeOrdered (orderBy + limit), never a global window. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int, dp: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(tokensWs(lower(col(textCol)))).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1L)).as("__c"))
+    val d = docs.agg(count(lit(1L)).cast("double").as("__d"))
+    perDoc.groupBy("t")
+      .agg(sum(col("__c")).as("tf"), sum(col("__c") * col("__c")).as("__ssq"),
+        count(lit(1L)).as("df"))
+      .where(col("tf") >= minCount)
+      .crossJoin(d)
+      .select(col("t"), col("tf"), col("df"),
+        round((col("__ssq") / col("__d") -
+          (col("tf") / col("__d")) * (col("tf") / col("__d"))) /
+          (col("tf") / col("__d")), dp).as("vmr"))
+      .orderBy(col("vmr").desc, col("t")).limit(k)
+  }
+
   /** Vocabulary-coverage estimates from the token frequency spectrum:
     * Good–Turing missing mass `n₁/N` (the probability the NEXT token is
     * an unseen type — how much vocabulary the crawl hasn't reached) and

@@ -575,6 +575,12 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Term burstiness: VMR of per-doc counts with zeros folded in
+    // algebraically (E[x^2] = ssq/D) — boilerplate/template detector.
+    "text_burstiness" -> ((s, dir) =>
+      TF.termBurstiness(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 30L, k = 20)),
+
     // Vocabulary coverage: Good–Turing missing mass + Chao1 richness
     // floor from the frequency spectrum — one rollup, one agg.
     "text_coverage" -> ((s, dir) =>
@@ -3634,6 +3640,22 @@ object PipelineQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS cum_new
         |FROM p LEFT JOIN fn ON p.shard = fn.shard ORDER BY p.shard""".stripMargin,
+
+    // same per-doc counts, same zero-folded VMR algebra
+    "text_burstiness" ->
+      """WITH pd AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        | FROM pd GROUP BY 1, 2),
+        |d AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM documents),
+        |s AS (SELECT t, CAST(sum(c) AS BIGINT) AS tf,
+        |  CAST(sum(c * c) AS BIGINT) AS ssq,
+        |  CAST(count(*) AS BIGINT) AS df
+        | FROM c GROUP BY 1 HAVING sum(c) >= 30)
+        |SELECT t, tf, df,
+        | round((ssq / d.d - (tf / d.d) * (tf / d.d)) / (tf / d.d), 6) AS vmr
+        |FROM s, d ORDER BY vmr DESC, t LIMIT 20""".stripMargin,
 
     // frequency-spectrum aggregates restated exactly
     "text_coverage" ->

@@ -851,6 +851,19 @@ class PipelineSpec extends SparkSuite {
     assert(ac._5 > 0.0 && ac._5 <= math.log(2.0) + 1e-9)
   }
 
+  test("termBurstiness: a clumped term outranks an evenly spread one") {
+    // 'spread' once per doc (VMR ~ 1-mean); 'burst' 8x in one doc
+    val docs = (1 to 8).map { i =>
+      (i.toLong, if (i == 1) "spread " + Seq.fill(8)("burst").mkString(" ")
+      else "spread filler")
+    }.toDF("doc_id", "text")
+    val out = TF.termBurstiness(docs, "doc_id", "text", minCount = 2L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("burst") > out("spread"), s"$out")
+    // spread appears exactly once in every doc: zero variance -> VMR 0
+    assert(out("spread") == 0.0, s"$out")
+  }
+
   test("vocabCoverage hand case; zipfFit recovers a planted power law") {
     // tokens: a a a b b c  -> V=3, N=6, n1=1 (c), n2=1 (b)
     val d = Seq("a a a b b", "c").toDF("text")
