@@ -139,6 +139,62 @@ object DataPrep {
     stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
   }
 
+  /** Token-budget mixture allocation with repetition caps — the
+    * "design the training mix" solver: split a `budget` of tokens
+    * across sources in proportion to target `weights`, but never take
+    * more than `maxEpochs` passes over any source. Exact waterfilling:
+    * with sources sorted by cap/weight, the unique scale λ solving
+    * `Σ min(λ·w_s, cap_s) = budget` falls in one inter-ratio segment,
+    * found with prefix/suffix window sums over the SOURCE table (tiny —
+    * every window here is source-count-bounded). If the budget exceeds
+    * total capacity, every source caps and the shortfall shows as
+    * `epochs = maxEpochs` everywhere.
+    *
+    * A source without a weight fails loudly at run time (a silent drop
+    * would starve it from the mix). */
+  def mixtureBudget(avail: DataFrame, srcCol: String, tokensCol: String,
+      weights: Map[String, Double], budget: Double, maxEpochs: Double,
+      dp: Int = 6): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val spark = avail.sparkSession
+    import spark.implicits._
+    // weights are RELATIVE (λ absorbs any scale), used exactly as
+    // given — normalizing here would perturb them by a float division
+    val wDf = weights.toSeq.toDF("src", "__wraw")
+    val base = avail.select(col(srcCol).cast("string").as("src"),
+        col(tokensCol).cast("double").as("avail_tokens"))
+      .join(broadcast(wDf), Seq("src"), "left")
+      .withColumn("__w", when(col("__wraw").isNull, raise_error(concat(
+          lit("mixtureBudget: no weight for source "), col("src"))))
+        .otherwise(col("__wraw")))
+      .withColumn("cap", col("avail_tokens") * maxEpochs)
+      .withColumn("__ratio", col("cap") / col("__w"))
+    val wAsc = Window.orderBy(col("__ratio"), col("src"))
+    val ann = base
+      .withColumn("__cumCapPrev", coalesce(sum(col("cap")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("__sufW", sum(col("__w")).over(
+        wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__prevRatio", coalesce(lag(col("__ratio"), 1).over(wAsc),
+        lit(Double.NegativeInfinity)))
+      .withColumn("__lam",
+        (lit(budget) - col("__cumCapPrev")) / col("__sufW"))
+    val lam = ann
+      .where(col("__lam") < col("__ratio") && col("__lam") >= col("__prevRatio"))
+      .agg(min(col("__lam")).as("__lambda"))
+    ann.crossJoin(lam)
+      .withColumn("alloc", round(when(col("__lambda").isNull, col("cap"))
+        .otherwise(least(col("__lambda") * col("__w"), col("cap"))), dp))
+      .select(col("src"), col("avail_tokens"),
+        round(col("__w"), dp).as("weight"), round(col("cap"), dp).as("cap"),
+        col("alloc"),
+        round(col("alloc") / col("avail_tokens"), dp).as("epochs"),
+        (col("alloc") === round(col("cap"), dp)).as("capped"))
+  }
+
   /** Novelty curve over ordered shards (crawls, dumps, days): for each
     * shard, how many of its docs are NEW — content whose digest first
     * appears there — and the running distinct total. The marginal-value

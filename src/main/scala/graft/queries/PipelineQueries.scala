@@ -575,6 +575,19 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Training-mix waterfilling: 180k-token budget over 20 sources at
+    // uniform target weights, 1.2-epoch repetition cap — small sources
+    // cap, the freed budget flows to the rest at one exact λ. Every
+    // window rides the 20-row source table.
+    "pipeline_mixture_budget" -> ((s, dir) => {
+      val avail = t(s, dir, "documents").groupBy("source")
+        .agg(sum(col("n_chars")).as("tokens"))
+      graft.ops.DataPrep.mixtureBudget(avail, "source", "tokens",
+        (0 until 20).map(i => s"src$i" -> 0.05).toMap,
+        budget = 180000.0, maxEpochs = 1.2)
+        .orderBy("src")
+    }),
+
     // Term burstiness: VMR of per-doc counts with zeros folded in
     // algebraically (E[x^2] = ssq/D) — boilerplate/template detector.
     "text_burstiness" -> ((s, dir) =>
@@ -3640,6 +3653,34 @@ object PipelineQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   AS cum_new
         |FROM p LEFT JOIN fn ON p.shard = fn.shard ORDER BY p.shard""".stripMargin,
+
+    // same sorted-ratio segments, same prefix/suffix window sums, same
+    // unique-λ selection
+    "pipeline_mixture_budget" ->
+      """WITH a AS (SELECT source AS src, CAST(sum(n_chars) AS DOUBLE) AS avail
+        | FROM documents GROUP BY 1),
+        |b AS (SELECT src, avail, 0.05 AS w, avail * 1.2 AS cap,
+        |  (avail * 1.2) / 0.05 AS ratio FROM a),
+        |ann AS (SELECT src, avail, w, cap, ratio,
+        |  coalesce(sum(cap) OVER (ORDER BY ratio, src
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ccp,
+        |  sum(w) OVER (ORDER BY ratio, src
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sfw,
+        |  coalesce(lag(ratio) OVER (ORDER BY ratio, src),
+        |    CAST('-infinity' AS DOUBLE)) AS pr
+        | FROM b),
+        |l AS (SELECT min((180000.0 - ccp) / sfw) AS lam FROM ann
+        | WHERE (180000.0 - ccp) / sfw < ratio
+        |   AND (180000.0 - ccp) / sfw >= pr),
+        |f AS (SELECT src, avail, w, cap,
+        |  round(CASE WHEN l.lam IS NULL THEN cap
+        |    ELSE least(l.lam * w, cap) END, 6) AS alloc
+        | FROM ann, l)
+        |SELECT src, avail AS avail_tokens, round(w, 6) AS weight,
+        | round(cap, 6) AS cap, alloc,
+        | round(alloc / avail, 6) AS epochs,
+        | alloc = round(cap, 6) AS capped
+        |FROM f ORDER BY src""".stripMargin,
 
     // same per-doc counts, same zero-folded VMR algebra
     "text_burstiness" ->

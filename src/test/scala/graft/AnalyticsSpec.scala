@@ -980,6 +980,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(s.getDouble(2) < 5.0 && s.getDouble(3) > 20.0, s"$s")
   }
 
+  test("mixtureBudget: exact waterfill, full-cap overflow, loud missing weight") {
+    val avail = Seq(("A", 100L), ("B", 1000L)).toDF("src", "tokens")
+    val w = Map("A" -> 1.0, "B" -> 1.0)
+    val out = DataPrep.mixtureBudget(avail, "src", "tokens", w,
+        budget = 600.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    // A caps at 200 (2 epochs); the freed budget flows to B at lambda=400
+    assert(out("A") == ((200.0, 2.0, true)) && out("B") == ((400.0, 0.4, false)),
+      s"$out")
+    val over = DataPrep.mixtureBudget(avail, "src", "tokens", w,
+        budget = 5000.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getBoolean(6))).toMap
+    assert(over == Map("A" -> ((200.0, true)), "B" -> ((2000.0, true))), s"$over")
+    intercept[Exception] {
+      DataPrep.mixtureBudget(avail, "src", "tokens", Map("A" -> 1.0),
+        budget = 100.0, maxEpochs = 1.0).collect()
+    }
+  }
+
   test("noveltyCurve: re-ingested content stops counting as new") {
     // shard 0: docs A,B; shard 1: B again + new C; shard 2: all repeats
     val df = Seq((0L, "A"), (0L, "B"), (1L, "B"), (1L, "C"),
