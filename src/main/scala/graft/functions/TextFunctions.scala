@@ -801,6 +801,57 @@ object TextFunctions {
           .as("js"))
   }
 
+  /** C4-style line-and-document cleaning (Raffel et al. 2020 §2.2 —
+    * the public C4 heuristics), one in-scan Column program: a LINE
+    * survives iff, after trimming, it ends in terminal punctuation
+    * (`.!?"'`), carries at least `minLineWords` whitespace words, and
+    * mentions none of the `bannedLineTerms` (case-insensitive
+    * substring); the DOCUMENT drops wholesale when "lorem ipsum"
+    * appears, when a curly brace betrays code markup, or when fewer
+    * than `minKeptLines` lines survive. Drop reasons are prioritized
+    * lorem_ipsum > curly_brace > too_few_lines; kept docs re-join
+    * their surviving lines as `clean_text` (NULL when dropped).
+    *
+    * Pure higher-order array algebra over the newline split — per-row
+    * work ∝ document length, zero shuffles, composes into any
+    * downstream scan without a pass of its own. At 100 TB this is a
+    * map-only stage; the whole filter rides whatever scan follows. */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      bannedLineTerms: Seq[String] =
+        Seq("javascript", "cookie policy", "privacy policy",
+          "terms of use", "all rights reserved")): DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      "minLineWords and minKeptLines must be >= 1")
+    require(bannedLineTerms.forall(b =>
+        b.nonEmpty && b == b.toLowerCase(java.util.Locale.ROOT)),
+      "banned terms must be non-empty lowercase literals")
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t0 = trim(l)
+      val banned = bannedLineTerms.map(b => lower(t0).contains(b))
+        .reduce(_ || _)
+      length(t0) > 0 && t0.rlike("[.!?\"']$") &&
+        size(split(t0, "\\s+")) >= minLineWords && !banned
+    })
+    docs.select(col(idCol),
+        lines.as("__lines"), kept.as("__kept"),
+        lower(col(textCol)).contains("lorem ipsum").as("__lorem"),
+        col(textCol).contains("{").as("__brace"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        when(col("__lorem"), "lorem_ipsum")
+          .when(col("__brace"), "curly_brace")
+          .when(size(col("__kept")) < minKeptLines, "too_few_lines")
+          .as("drop_reason"),
+        col("__kept"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        col("drop_reason").isNull.as("keep"), col("drop_reason"),
+        when(col("drop_reason").isNull,
+          array_join(col("__kept"), "\n")).as("clean_text"))
+  }
+
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")

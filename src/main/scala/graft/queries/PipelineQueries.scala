@@ -547,6 +547,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // C4-style line filtering over synthesized multi-line docs: each
+    // corpus doc (id < 40) becomes seven lines — keepable sentences, a
+    // banned-term line, a too-short line, an unterminated tail — with
+    // lorem-ipsum / curly-brace doc-level drops planted on the mod-7 /
+    // mod-11 residues (doc 0 exercises the priority order). Map-only
+    // line algebra; the oracle restates the construction and every
+    // rule in DuckDB lambda algebra.
+    "text_c4_filter" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(substring(col("text"), 1, 80), lit(".")),
+          lit("Enable JavaScript to view this site."),
+          lit("Short line."),
+          concat(substring(col("text"), 81, 80), lit("!")),
+          substring(col("text"), 161, 40),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("A perfectly ordinary closing sentence here.")),
+          when(col("doc_id") % 11 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit("Nothing to see in this line honestly."))
+        ).as("text"))
+      TF.c4LineFilter(aug, "doc_id", "text",
+          minLineWords = 5, minKeptLines = 3)
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -3595,6 +3620,43 @@ object PipelineQueries {
         |   AS avg_sentence_tokens,
         | CAST(coalesce(list_max(toks), 0) AS INT) AS max_sentence_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same seven-line construction, same line and doc rules
+    "text_c4_filter" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |   substr(text, 1, 80) || '.',
+        |   'Enable JavaScript to view this site.',
+        |   'Short line.',
+        |   substr(text, 81, 80) || '!',
+        |   substr(text, 161, 40),
+        |   CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |        ELSE 'A perfectly ordinary closing sentence here.' END,
+        |   CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }'
+        |        ELSE 'Nothing to see in this line honestly.' END) AS text
+        |  FROM documents WHERE doc_id < 40),
+        |f AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS ls,
+        |  list_filter(string_split(text, chr(10)), x ->
+        |    length(trim(x)) > 0
+        |    AND regexp_matches(trim(x), '[.!?"'']$')
+        |    AND len(string_split_regex(trim(x), '\s+')) >= 5
+        |    AND NOT contains(lower(trim(x)), 'javascript')
+        |    AND NOT contains(lower(trim(x)), 'cookie policy')
+        |    AND NOT contains(lower(trim(x)), 'privacy policy')
+        |    AND NOT contains(lower(trim(x)), 'terms of use')
+        |    AND NOT contains(lower(trim(x)), 'all rights reserved')) AS ks,
+        |  contains(lower(text), 'lorem ipsum') AS lor,
+        |  contains(text, '{') AS brace FROM d),
+        |g AS (SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+        |  CAST(len(ks) AS INT) AS n_kept,
+        |  CASE WHEN lor THEN 'lorem_ipsum' WHEN brace THEN 'curly_brace'
+        |       WHEN len(ks) < 3 THEN 'too_few_lines' END AS drop_reason,
+        |  ks FROM f)
+        |SELECT doc_id, n_lines, n_kept, drop_reason IS NULL AS keep,
+        | drop_reason,
+        | CASE WHEN drop_reason IS NULL
+        |      THEN array_to_string(ks, chr(10)) END AS clean_text
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "text_pmi" ->
       """WITH toks AS (SELECT doc_id,

@@ -1519,4 +1519,35 @@ class PipelineSpec extends SparkSuite {
     assert(hits == Set((1L, 2L)), s"only doc 1 holds both: $hits")
     assert(InvertedIndex.searchAll(idx, Seq("spark", "plan")).count() == 0)
   }
+
+  test("c4LineFilter: line rules, doc-level drops, and reason priority") {
+    val docs = Seq(
+      // three good lines survive alongside a short line and a banned one
+      (1L, "This first line ends with a period.\nEnable JavaScript now " +
+        "to continue reading.\nToo short.\nAnother fine sentence lives " +
+        "right here!\nA third survivor rounds out the document."),
+      // only two keepable lines -> too_few_lines
+      (2L, "Only one decent sentence sits here.\nAnd a second decent " +
+        "sentence follows it.\nno terminal punctuation on this tail"),
+      // lorem ipsum beats the curly brace in the reason ordering
+      (3L, "Some Lorem Ipsum boilerplate got pasted wholesale.\nfunction " +
+        "f() { return 1; }\nA real sentence hides in the noise too.\nMore " +
+        "filler text keeps the line count up.\nStill more filler text here."),
+      // curly brace alone
+      (4L, "A sentence long enough to pass the filter.\nvar x = { a: 1 " +
+        "};\nAnother sentence long enough to pass too.\nAnd one more " +
+        "right at the end of it.")).toDF("doc_id", "text")
+    val r = TF.c4LineFilter(docs, "doc_id", "text",
+        minLineWords = 5, minKeptLines = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getBoolean(3),
+          Option(x.getString(4)), Option(x.getString(5)))).toMap
+    assert(r(1L)._1 == 5 && r(1L)._2 == 3 && r(1L)._3, s"${r(1L)}")
+    assert(r(1L)._5.get == "This first line ends with a period.\nAnother " +
+      "fine sentence lives right here!\nA third survivor rounds out the " +
+      "document.")
+    assert(r(2L) == ((3, 2, false, Some("too_few_lines"), None)), s"${r(2L)}")
+    assert(r(3L)._4 == Some("lorem_ipsum") && !r(3L)._3, s"${r(3L)}")
+    assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
+  }
 }
