@@ -852,6 +852,86 @@ object TextFunctions {
           array_join(col("__kept"), "\n")).as("clean_text"))
   }
 
+  /** Luhn checksum validity (ISO/IEC 7812) of a digit-string Column.
+    * Doubles every second digit from the right (subtracting 9 on
+    * overflow) and checks the sum mod 10 — spelled as transform over
+    * sequence(1, n) rather than positional indexing so the identical
+    * arithmetic restates in any engine with list lambdas. Non-card
+    * lengths (outside 13–19) are false outright, which also guards
+    * sequence() against a descending 1..0 range on empty input. */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val rev = reverse(digits)
+    val terms = transform(sequence(lit(1), n), i => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        .otherwise(d)
+    })
+    (n >= 13 && n <= 19) &&
+      aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Payment-card PII screen: candidate extraction (contiguous 13–19
+    * digit runs, plus 4×4 groups split by spaces or dashes — both
+    * word-bounded, no lookarounds so the regex means the same under
+    * Java and RE2) with Luhn validation cutting the order-of-magnitude
+    * false-positive rate a digits-only regex carries. One struct per
+    * document: candidate count, Luhn-valid count, and the verdict. */
+  def creditCardStats(c: Column): Column = {
+    val cands = concat(
+      regexp_extract_all(c, lit("\\b\\d{13,19}\\b"), lit(0)),
+      transform(regexp_extract_all(c,
+          lit("\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b"), lit(0)),
+        s => regexp_replace(s, "[- ]", "")))
+    val valid = filter(cands, luhnValid(_))
+    struct(size(cands).as("n_candidates"),
+      size(valid).as("n_luhn_valid"),
+      (size(valid) > 0).as("has_valid_cc"))
+  }
+
+  /** Encoding-damage screen: counts of the classic UTF-8-decoded-as-
+    * Latin-1 artifact prefixes ("Ã" for damaged 2-byte sequences,
+    * "â€" for damaged punctuation, stray "Â"), the
+    * Unicode replacement character, and C0 control characters
+    * (tab/newline/CR excluded) — the "this shard was double-decoded
+    * or binary-polluted" tripwire run before any text filter. */
+  def mojibakeStats(c: Column): Column = {
+    def occ(pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0)))
+    val arte = occ("Ã") + occ("â€") + occ("Â")
+    val repl = occ("�")
+    val ctrl = occ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    struct(arte.as("n_artifacts"), repl.as("n_replacement"),
+      ctrl.as("n_control"),
+      (arte > 0 || repl > 0 || ctrl > 0).as("suspect"))
+  }
+
+  /** Unicode script composition: per-script character counts over
+    * explicit code-point ranges (engine-agnostic — no script-name
+    * classes, whose coverage varies by regex engine): basic Latin
+    * letters, Cyrillic, Arabic, CJK ideographs, kana, and Hangul,
+    * plus a dominant-script verdict (first-listed wins ties; "none"
+    * when no script char appears). The language-ID companion for
+    * routing mixed crawls to per-script pipelines. */
+  def scriptMix(c: Column): Column = {
+    def cnt(range: String) =
+      size(regexp_extract_all(c, lit(s"[$range]"), lit(0)))
+    val latin = cnt("A-Za-z")
+    val cyr = cnt("\\x{0400}-\\x{04FF}")
+    val arab = cnt("\\x{0600}-\\x{06FF}")
+    val cjk = cnt("\\x{4E00}-\\x{9FFF}")
+    val kana = cnt("\\x{3040}-\\x{30FF}")
+    val hang = cnt("\\x{AC00}-\\x{D7A3}")
+    val top = greatest(latin, cyr, arab, cjk, kana, hang)
+    struct(latin.as("n_latin"), cyr.as("n_cyrillic"), arab.as("n_arabic"),
+      cjk.as("n_cjk"), kana.as("n_kana"), hang.as("n_hangul"),
+      when(top === 0, "none")
+        .when(latin === top, "latin").when(cyr === top, "cyrillic")
+        .when(arab === top, "arabic").when(cjk === top, "cjk")
+        .when(kana === top, "kana").otherwise("hangul")
+        .as("dominant_script"))
+  }
+
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")

@@ -572,6 +572,64 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Payment-card PII with the Luhn checksum: planted valid / invalid
+    // / spaced / dashed candidates beside a digit-free corpus slice.
+    // Candidate regexes avoid lookarounds (same meaning under Java and
+    // RE2); the checksum restates digit-for-digit in DuckDB lambdas.
+    "text_cc_luhn" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "Pay with 4111111111111111 today"),
+        (9000002L, "Spaced 4111 1111 1111 1111 and dashed 5500-0000-0000-0004"),
+        (9000003L, "Not a card: 1234567890123456 nor 12345"),
+        (9000004L, "Amex 378282246310005 inline"))).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 30).union(planted)
+        .select(col("doc_id"), TF.creditCardStats(col("text")).as("cc"))
+        .select(col("doc_id"), col("cc.n_candidates").as("n_candidates"),
+          col("cc.n_luhn_valid").as("n_luhn_valid"),
+          col("cc.has_valid_cc").as("has_valid_cc"))
+        .orderBy("doc_id")
+    }),
+
+    // Encoding-damage tripwire: planted double-decoded artifacts,
+    // replacement chars, and a control char beside clean corpus docs.
+    // Pure occurrence counting — identical regexes both engines.
+    "text_mojibake" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "cafÃ© arrives twice: cafÃ©"),
+        (9000002L, "itâ€™s a smart quote plus stray Â sign"),
+        (9000003L, "hard loss: \uFFFD\uFFFD and a bell \u0007 char"),
+        (9000004L, "perfectly clean ascii text"))).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 30).union(planted)
+        .select(col("doc_id"), TF.mojibakeStats(col("text")).as("m"))
+        .select(col("doc_id"), col("m.n_artifacts").as("n_artifacts"),
+          col("m.n_replacement").as("n_replacement"),
+          col("m.n_control").as("n_control"),
+          col("m.suspect").as("suspect"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode script routing: planted Cyrillic / CJK+kana / Hangul /
+    // Arabic docs beside the all-Latin corpus slice; counts ride
+    // explicit code-point ranges so both engines mean the same class.
+    "text_scripts" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (9000001L, "Привет мир от Spark"),
+        (9000002L, "機械学習モデルのデータ"),
+        (9000003L, "안녕하세요 세계 hello"),
+        (9000004L, "مرحبا بالعالم"))).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .where(col("doc_id") < 30).union(planted)
+        .select(col("doc_id"), TF.scriptMix(col("text")).as("sc"))
+        .select(col("doc_id"), col("sc.n_latin").as("n_latin"),
+          col("sc.n_cyrillic").as("n_cyrillic"),
+          col("sc.n_arabic").as("n_arabic"), col("sc.n_cjk").as("n_cjk"),
+          col("sc.n_kana").as("n_kana"), col("sc.n_hangul").as("n_hangul"),
+          col("sc.dominant_script").as("dominant_script"))
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -3656,6 +3714,91 @@ object PipelineQueries {
         | drop_reason,
         | CASE WHEN drop_reason IS NULL
         |      THEN array_to_string(ks, chr(10)) END AS clean_text
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // same candidate regexes, same digit-for-digit Luhn arithmetic
+    "text_cc_luhn" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT * FROM (VALUES
+        |   (9000001, 'Pay with 4111111111111111 today'),
+        |   (9000002, 'Spaced 4111 1111 1111 1111 and dashed 5500-0000-0000-0004'),
+        |   (9000003, 'Not a card: 1234567890123456 nor 12345'),
+        |   (9000004, 'Amex 378282246310005 inline')) v(doc_id, text)),
+        |c AS (SELECT doc_id, list_concat(
+        |   regexp_extract_all(text, '\b\d{13,19}\b'),
+        |   list_transform(
+        |     regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'),
+        |     s -> regexp_replace(s, '[- ]', '', 'g'))) AS cands FROM base),
+        |v AS (SELECT doc_id, cands, list_filter(cands, d ->
+        |   length(d) BETWEEN 13 AND 19 AND
+        |   list_sum(list_transform(range(1, length(d) + 1), i ->
+        |     CASE WHEN i % 2 = 0 THEN
+        |       CASE WHEN CAST(substr(reverse(d), CAST(i AS INT), 1) AS INT) * 2 > 9
+        |            THEN CAST(substr(reverse(d), CAST(i AS INT), 1) AS INT) * 2 - 9
+        |            ELSE CAST(substr(reverse(d), CAST(i AS INT), 1) AS INT) * 2 END
+        |     ELSE CAST(substr(reverse(d), CAST(i AS INT), 1) AS INT) END)) % 10 = 0)
+        |   AS ok FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(len(cands) AS INT) AS n_candidates,
+        | CAST(len(ok) AS INT) AS n_luhn_valid,
+        | len(ok) > 0 AS has_valid_cc
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // same artifact patterns, same occurrence counting
+    "text_mojibake" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT * FROM (VALUES
+        |   (9000001, 'cafÃ© arrives twice: cafÃ©'),
+        |   (9000002, 'itâ€™s a smart quote plus stray Â sign'),
+        |   (9000003, 'hard loss: ' || chr(65533) || chr(65533) ||
+        |     ' and a bell ' || chr(7) || ' char'),
+        |   (9000004, 'perfectly clean ascii text')) v(doc_id, text)),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'Ã')) +
+        |       len(regexp_extract_all(text, 'â€')) +
+        |       len(regexp_extract_all(text, 'Â')) AS INT) AS n_artifacts,
+        |  CAST(len(regexp_extract_all(text, chr(65533))) AS INT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INT) AS n_control
+        | FROM base)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_artifacts,
+        | n_replacement, n_control,
+        | n_artifacts > 0 OR n_replacement > 0 OR n_control > 0 AS suspect
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same code-point ranges, same first-listed tie-break
+    "text_scripts" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL SELECT * FROM (VALUES
+        |   (9000001, 'Привет мир от Spark'),
+        |   (9000002, '機械学習モデルのデータ'),
+        |   (9000003, '안녕하세요 세계 hello'),
+        |   (9000004, 'مرحبا بالعالم')) v(doc_id, text)),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_latin,
+        |  CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS INT)
+        |    AS n_cyrillic,
+        |  CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS INT)
+        |    AS n_arabic,
+        |  CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS INT)
+        |    AS n_cjk,
+        |  CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS INT)
+        |    AS n_kana,
+        |  CAST(len(regexp_extract_all(text, '[\x{AC00}-\x{D7A3}]')) AS INT)
+        |    AS n_hangul
+        | FROM base),
+        |g AS (SELECT *, greatest(n_latin, n_cyrillic, n_arabic, n_cjk,
+        |  n_kana, n_hangul) AS top FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_latin, n_cyrillic,
+        | n_arabic, n_cjk, n_kana, n_hangul,
+        | CASE WHEN top = 0 THEN 'none'
+        |      WHEN n_latin = top THEN 'latin'
+        |      WHEN n_cyrillic = top THEN 'cyrillic'
+        |      WHEN n_arabic = top THEN 'arabic'
+        |      WHEN n_cjk = top THEN 'cjk'
+        |      WHEN n_kana = top THEN 'kana'
+        |      ELSE 'hangul' END AS dominant_script
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "text_pmi" ->

@@ -1520,6 +1520,45 @@ class PipelineSpec extends SparkSuite {
     assert(InvertedIndex.searchAll(idx, Seq("spark", "plan")).count() == 0)
   }
 
+  test("luhnValid + creditCardStats: checksum math, separators, length guard") {
+    val df = Seq("4111111111111111", "4111111111111112", "378282246310005",
+      "12345", "").toDF("d")
+    val ok = df.select(col("d"), TF.luhnValid(col("d")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ok("4111111111111111") && ok("378282246310005"))
+    assert(!ok("4111111111111112") && !ok("12345") && !ok(""))
+    val stats = Seq(
+      "cards 4111 1111 1111 1111 and 5500-0000-0000-0004 and junk 1234567890123456")
+      .toDF("text")
+      .select(TF.creditCardStats(col("text")).as("cc")).select("cc.*")
+      .collect().head
+    assert(stats.getInt(0) == 3 && stats.getInt(1) == 2 && stats.getBoolean(2),
+      s"$stats")
+  }
+
+  test("mojibakeStats: artifact, replacement, and control counting") {
+    val r = Seq("cafÃ© itâ€™s Â ok", "clean", "bad \uFFFD and \u0001 ctrl")
+      .toDF("text")
+      .select(TF.mojibakeStats(col("text")).as("m")).select("m.*")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getBoolean(3)))
+    assert(r(0) == ((3, 0, 0, true)), s"${r(0)}")
+    assert(r(1) == ((0, 0, 0, false)), s"${r(1)}")
+    assert(r(2) == ((0, 1, 1, true)), s"${r(2)}")
+  }
+
+  test("scriptMix: per-script counts, dominance, first-listed tie-break") {
+    val r = Seq("Привет Spark", "深層学習", "안녕", "12345 !!!", "абв abc")
+      .toDF("text")
+      .select(TF.scriptMix(col("text")).as("s")).select("s.*")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(3),
+        x.getInt(4), x.getInt(5), x.getString(6)))
+    assert(r(0) == ((5, 6, 0, 0, 0, "cyrillic")), s"${r(0)}")
+    assert(r(1) == ((0, 0, 4, 0, 0, "cjk")), s"${r(1)}")
+    assert(r(2)._6 == "hangul" && r(3)._6 == "none", s"${r(2)} ${r(3)}")
+    // 3-3 tie between latin and cyrillic -> latin (first listed)
+    assert(r(4) == ((3, 3, 0, 0, 0, "latin")), s"${r(4)}")
+  }
+
   test("c4LineFilter: line rules, doc-level drops, and reason priority") {
     val docs = Seq(
       // three good lines survive alongside a short line and a banned one
