@@ -135,6 +135,56 @@ object Analytics {
       .select(col("qid"), round(coalesce(col("__rbo"), lit(0.0)), dp).as("rbo"))
   }
 
+  /** Standard retrieval-evaluation metrics (TREC conventions) for a
+    * ranked run against graded relevance judgments, one row per judged
+    * query: reciprocal rank of the first relevant hit, nDCG@k with the
+    * 2^rel−1 gain and log₂(rank+1) discount (Järvelin & Kekäläinen
+    * 2002), precision@k, recall@k, and the judged-relevant count.
+    * Queries with judgments but nothing relevant retrieved score 0 —
+    * they are denominator rows a macro average must include. Judgments
+    * with rel ≤ 0 are treated as not-relevant and dropped.
+    *
+    * Shuffle shape: one (query, doc) equi-join run⋈qrels, per-query
+    * aggregates, and the ideal-DCG window — partitioned BY QUERY and
+    * bounded by judgments per query, never corpus size. The float
+    * discount is spelled `gain / (ln(rank+1) / ln 2)` term-for-term so
+    * any engine reproduces the identical doubles. */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame, qidCol: String,
+      docCol: String, rankCol: String, relCol: String, k: Int,
+      dp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = run.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+      col(rankCol).cast("long").as("__rank"))
+    val q = qrels.select(col(qidCol).as("qid"), col(docCol).as("__doc"),
+        col(relCol).cast("double").as("__rel"))
+      .where(col("__rel") > 0)
+    def gain(c: Column) = pow(lit(2.0), c) - lit(1.0)
+    def discount(pos: Column) = log(pos + lit(1)) / log(lit(2.0))
+    val hits = r.join(q, Seq("qid", "__doc"))
+      .groupBy("qid").agg(
+        min(col("__rank")).as("__first"),
+        sum(when(col("__rank") <= k, 1L).otherwise(0L)).as("__hits"),
+        sum(when(col("__rank") <= k,
+          gain(col("__rel")) / discount(col("__rank"))).otherwise(0.0))
+          .as("__dcg"))
+    val w = Window.partitionBy("qid").orderBy(col("__rel").desc, col("__doc"))
+    val ideal = q.withColumn("__i", row_number().over(w))
+      .where(col("__i") <= k)
+      .groupBy("qid")
+      .agg(sum(gain(col("__rel")) / discount(col("__i"))).as("__idcg"))
+    val nrel = q.groupBy("qid").agg(count(lit(1L)).as("n_rel"))
+    nrel.join(ideal, "qid").join(hits, Seq("qid"), "left")
+      .select(col("qid").as(qidCol), col("n_rel"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), dp)
+          .as("reciprocal_rank"),
+        round(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), dp)
+          .as(s"ndcg_at_$k"),
+        round(coalesce(col("__hits"), lit(0L)) / lit(k.toDouble), dp)
+          .as(s"precision_at_$k"),
+        round(coalesce(col("__hits"), lit(0L)) / col("n_rel"), dp)
+          .as(s"recall_at_$k"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

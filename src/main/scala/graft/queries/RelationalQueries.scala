@@ -576,6 +576,31 @@ object RelationalQueries {
         p = 0.9, k = 10).orderBy("qid")
     }),
 
+    // Retrieval evaluation: a deterministic term-frequency run (top-10
+    // docs per query term, exact token counts — no floats in the
+    // ranking) scored against graded judgments derived from the same
+    // counts. MRR / nDCG@10 / precision / recall per query; windows
+    // ride per-query groups.
+    "q_retrieval_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      def cnt(term: String) =
+        size(filter(split(col("text"), " "), w => w === term))
+      val scored = Seq(1L -> "spark", 2L -> "join", 3L -> "window").map {
+        case (qid, term) => d.select(lit(qid).as("query_id"),
+          col("doc_id"), cnt(term).cast("long").as("cnt"))
+          .where(col("cnt") >= 1L)
+      }.reduce(_ unionByName _)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cnt").desc, col("doc_id"))
+      val run = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10).select("query_id", "doc_id", "rank")
+      val qrels = scored.select(col("query_id"), col("doc_id"),
+        when(col("cnt") >= 3L, 2.0).otherwise(1.0).as("rel"))
+      Analytics.retrievalMetrics(run, qrels, "query_id", "doc_id",
+        "rank", "rel", k = 10).orderBy("query_id")
+    }),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -1887,6 +1912,47 @@ object RelationalQueries {
         |  END AS DOUBLE)), 0), 6) AS rbo
         |FROM q LEFT JOIN j ON j.lang = q.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same run/qrels construction, same gain/discount arithmetic
+    "q_retrieval_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (
+        | SELECT 1 AS query_id, doc_id,
+        |   len(list_filter(ws, w -> w = 'spark')) AS cnt FROM d
+        | UNION ALL SELECT 2, doc_id,
+        |   len(list_filter(ws, w -> w = 'join')) FROM d
+        | UNION ALL SELECT 3, doc_id,
+        |   len(list_filter(ws, w -> w = 'window')) FROM d),
+        |sc AS (SELECT * FROM s WHERE cnt >= 1),
+        |run AS (SELECT query_id, doc_id, row_number() OVER
+        |   (PARTITION BY query_id ORDER BY cnt DESC, doc_id) AS rank
+        |  FROM sc QUALIFY rank <= 10),
+        |qr AS (SELECT query_id, doc_id,
+        |  CAST(CASE WHEN cnt >= 3 THEN 2.0 ELSE 1.0 END AS DOUBLE) AS rel
+        | FROM sc),
+        |hits AS (SELECT r.query_id, min(r.rank) AS first,
+        |  CAST(count(*) AS BIGINT) AS h,
+        |  sum((power(2, q.rel) - 1) / (ln(r.rank + 1) / ln(2))) AS dcg
+        | FROM run r JOIN qr q
+        |   ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+        | GROUP BY 1),
+        |ideal AS (SELECT query_id,
+        |  sum((power(2, rel) - 1) / (ln(i + 1) / ln(2))) AS idcg
+        | FROM (SELECT query_id, rel, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS i
+        |   FROM qr) WHERE i <= 10 GROUP BY 1),
+        |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        | FROM qr GROUP BY 1)
+        |SELECT n.query_id, n.n_rel,
+        | round(coalesce(CAST(1 AS DOUBLE) / h.first, 0), 6)
+        |   AS reciprocal_rank,
+        | round(coalesce(h.dcg / i.idcg, 0), 6) AS ndcg_at_10,
+        | round(coalesce(h.h, 0) / CAST(10 AS DOUBLE), 6) AS precision_at_10,
+        | round(coalesce(h.h, 0) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_10
+        |FROM nrel n JOIN ideal i ON n.query_id = i.query_id
+        |LEFT JOIN hits h ON n.query_id = h.query_id
+        |ORDER BY n.query_id""".stripMargin,
 
     // mirrors zScreenPerGroup + bhAdjust literal for literal: A-S
     // 26.2.17 polynomial, rounded p, step-up running min over the

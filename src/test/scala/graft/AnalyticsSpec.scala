@@ -1000,6 +1000,26 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("retrievalMetrics: hand-computed nDCG/MRR, zero rows, rel<=0 dropped") {
+    val run = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 20L, 1.0), (1L, 30L, 2.0), (1L, 99L, 1.0),
+      (2L, 50L, 1.0), (2L, 10L, 0.0)).toDF("query_id", "doc_id", "rel")
+    val r = Analytics.retrievalMetrics(run, qrels, "query_id", "doc_id",
+        "rank", "rel", k = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    // q1: first relevant at rank 2; only d20 (rel 1) inside k=2
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val ndcg1 = (1.0 / log2(3)) / (3.0 / log2(2) + 1.0 / log2(3))
+    assert(r(1L)._1 == 3L && r(1L)._2 == 0.5, s"${r(1L)}")
+    assert(math.abs(r(1L)._3 - ndcg1) < 1e-6, s"${r(1L)._3} vs $ndcg1")
+    assert(r(1L)._4 == 0.5 && math.abs(r(1L)._5 - 1.0 / 3) < 1e-6)
+    // q2: judged but nothing relevant retrieved (the rel=0 judgment on
+    // the retrieved doc must NOT count) -> all-zero metrics row
+    assert(r(2L) == ((1L, 0.0, 0.0, 0.0, 0.0)), s"${r(2L)}")
+  }
+
   test("noveltyCurve: re-ingested content stops counting as new") {
     // shard 0: docs A,B; shard 1: B again + new C; shard 2: all repeats
     val df = Seq((0L, "A"), (0L, "B"), (1L, "B"), (1L, "C"),
