@@ -185,6 +185,44 @@ object Analytics {
           .as(s"recall_at_$k"))
   }
 
+  /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
+    * labelings of the same items: observed agreement p₀ against the
+    * chance agreement pₑ implied by each rater's label marginals,
+    * κ = (p₀−pₑ)/(1−pₑ) — the label-quality gate before trusting
+    * human (or LLM-judge) annotations enough to train on them.
+    *
+    * One item-keyed equi-join, then everything rides the
+    * |labels|²-bounded confusion rollup — marginals, totals, and the
+    * final scalar never touch item cardinality again. Items labeled by
+    * only one rater are excluded (inner join). κ is NULL when pₑ = 1
+    * (both raters constant and identical: agreement is undefined
+    * there, not perfect). */
+  def cohenKappa(a: DataFrame, b: DataFrame, idCol: String,
+      labelCol: String, dp: Int = 6): DataFrame = {
+    val ja = a.select(col(idCol).as("__id"),
+      col(labelCol).cast("string").as("__la"))
+    val jb = b.select(col(idCol).as("__id"),
+      col(labelCol).cast("string").as("__lb"))
+    val cm = ja.join(jb, "__id")
+      .groupBy("__la", "__lb").agg(count(lit(1L)).as("__n"))
+    val tot = cm.agg(sum(col("__n")).as("__tot"),
+      sum(when(col("__la") === col("__lb"), col("__n")).otherwise(0L))
+        .as("__agree"))
+    val ma = cm.groupBy(col("__la").as("__l")).agg(sum("__n").as("__na"))
+    val mb = cm.groupBy(col("__lb").as("__l")).agg(sum("__n").as("__nb"))
+    // marginal products in doubles: n² overflows a long at ~3e9 items
+    val pes = ma.join(mb, Seq("__l"), "full_outer")
+      .agg(sum(coalesce(col("__na"), lit(0L)).cast("double") *
+        coalesce(col("__nb"), lit(0L))).as("__pes"))
+    val po = col("__agree").cast("double") / col("__tot")
+    val pe = col("__pes") / (col("__tot").cast("double") * col("__tot"))
+    tot.crossJoin(pes).select(
+      col("__tot").as("n_items"),
+      round(po, dp).as("po"), round(pe, dp).as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1) - pe), dp)).as("kappa"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

@@ -601,6 +601,21 @@ object RelationalQueries {
         "rank", "rel", k = 10).orderBy("query_id")
     }),
 
+    // Inter-annotator agreement: two deterministic "raters" label docs
+    // long/short — one by the raw length threshold, one through a
+    // doc_id-derived perturbation — and Cohen's kappa corrects their
+    // raw agreement for chance. Everything after the item join rides
+    // the 2x2 confusion rollup.
+    "q_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"),
+        when(col("n_chars") >= 300, "long").otherwise("short").as("label"))
+      val b = d.select(col("doc_id"),
+        when(col("n_chars") + col("doc_id") % 50 >= 300, "long")
+          .otherwise("short").as("label"))
+      Analytics.cohenKappa(a, b, "doc_id", "label")
+    }),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -1912,6 +1927,33 @@ object RelationalQueries {
         |  END AS DOUBLE)), 0), 6) AS rbo
         |FROM q LEFT JOIN j ON j.lang = q.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same raters, same confusion-rollup marginal algebra
+    "q_kappa" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS la
+        | FROM documents),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN n_chars + doc_id % 50 >= 300 THEN 'long'
+        |       ELSE 'short' END AS lb FROM documents),
+        |j AS (SELECT la, lb FROM a JOIN b USING (doc_id)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE la = lb) AS BIGINT) AS agree FROM j),
+        |ma AS (SELECT la AS l, CAST(count(*) AS BIGINT) AS na
+        | FROM j GROUP BY 1),
+        |mb AS (SELECT lb AS l, CAST(count(*) AS BIGINT) AS nb
+        | FROM j GROUP BY 1),
+        |pes AS (SELECT sum(CAST(coalesce(na, 0) AS DOUBLE) *
+        |   coalesce(nb, 0)) AS s
+        | FROM ma FULL OUTER JOIN mb USING (l))
+        |SELECT t.n AS n_items,
+        | round(CAST(t.agree AS DOUBLE) / t.n, 6) AS po,
+        | round(p.s / (CAST(t.n AS DOUBLE) * t.n), 6) AS pe,
+        | CASE WHEN p.s / (CAST(t.n AS DOUBLE) * t.n) = 1 THEN NULL
+        |  ELSE round((CAST(t.agree AS DOUBLE) / t.n -
+        |    p.s / (CAST(t.n AS DOUBLE) * t.n)) /
+        |    (1 - p.s / (CAST(t.n AS DOUBLE) * t.n)), 6) END AS kappa
+        |FROM tot t, pes p""".stripMargin,
 
     // same run/qrels construction, same gain/discount arithmetic
     "q_retrieval_eval" ->

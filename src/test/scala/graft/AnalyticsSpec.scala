@@ -1212,6 +1212,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(k2(2.0) == 0.0, s"all-fail must collapse to 0, got $k2")
   }
 
+  test("cohenKappa: hand-computed 2x2 kappa; degenerate pe=1 is NULL") {
+    // 10 items: agree on 6 (4 long, 2 short), disagree on 4
+    // marginals: rater A long 6 short 4; rater B long 6 short 4
+    // po = 0.6; pe = (6*6 + 4*4)/100 = 0.52; kappa = 0.08/0.48
+    val a = (1 to 6).map(i => (i.toLong, "long")) ++
+      (7 to 10).map(i => (i.toLong, "short"))
+    val b = (1 to 4).map(i => (i.toLong, "long")) ++
+      (5 to 6).map(i => (i.toLong, "short")) ++
+      (7 to 8).map(i => (i.toLong, "long")) ++
+      (9 to 10).map(i => (i.toLong, "short"))
+    val r = Analytics.cohenKappa(a.toDF("id", "label"), b.toDF("id", "label"),
+      "id", "label").head()
+    assert(r.getLong(0) == 10 && r.getDouble(1) == 0.6 &&
+      r.getDouble(2) == 0.52, s"$r")
+    assert(math.abs(r.getDouble(3) - 0.08 / 0.48) < 1e-6, s"$r")
+    // both raters constant and identical -> pe = 1 -> NULL, not 1.0
+    val c = Seq((1L, "x"), (2L, "x")).toDF("id", "label")
+    assert(Analytics.cohenKappa(c, c, "id", "label").head().isNullAt(3))
+  }
+
   test("kAnonymity: hand-computed risk counts; NULL combos group") {
     import graft.ops.TableHealth
     import spark.implicits._
