@@ -223,6 +223,86 @@ object Analytics {
         .otherwise(round((po - pe) / (lit(1) - pe), dp)).as("kappa"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test: the max vertical gap
+    * between the empirical CDFs of cohort A (`inA`) and the rest —
+    * the distribution-shape companion to the binned-PSI screen (PSI
+    * needs a bin choice; KS does not). Reports D, the α=0.05 critical
+    * value `1.358·√((n_a+n_b)/(n_a·n_b))` (Smirnov's asymptotic), and
+    * the reject verdict.
+    *
+    * Scale shape: the samples collapse to a per-distinct-value
+    * (count_a, count_b) histogram first; CDFs are two-phase
+    * [[Windows.globalCumSum]] scans over that histogram (distinct
+    * cardinality, never row count, and no single-reducer window);
+    * the 1-row totals broadcast. Rows with NULL value drop; a NULL
+    * `inA` counts as cohort B. Output is NaN when either cohort is
+    * empty. */
+  def ksTest(df: DataFrame, value: Column, inA: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select(value.cast("double").as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inA, 0L).otherwise(1L).as("__b"))
+      .where(col("__v").isNotNull)
+    val h = s.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      sum(col("__b")).as("__cb"))
+    val c = Windows.globalCumSum(
+      Windows.globalCumSum(h, Seq(col("__v")), col("__ca"), "__cuma"),
+      Seq(col("__v")), col("__cb"), "__cumb")
+    val tot = h.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val crit = lit(1.358) *
+      sqrt((col("__na") + col("__nb")) /
+        (col("__na").cast("double") * col("__nb")))
+    c.crossJoin(broadcast(tot))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(abs(col("__cuma").cast("double") / col("__na") -
+        col("__cumb").cast("double") / col("__nb"))).as("__d"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__d"), dp).as("ks_d"),
+        round(crit, dp).as("crit_05"),
+        (col("__d") > crit).as("reject_05"))
+  }
+
+  /** Mann–Whitney U rank test (Wilcoxon rank-sum) for "does cohort A
+    * stochastically dominate the rest": U from tie-averaged ranks,
+    * the tie-corrected normal z, and the rank-biserial effect size
+    * `1 − 2U_a/(n_a·n_b)` — the median-shift companion to [[ksTest]]
+    * (KS sees any shape change; MWU targets location).
+    *
+    * Same scale shape as [[ksTest]]: per-distinct-value histogram,
+    * one two-phase cumulative count for the tie-averaged ranks, 1-row
+    * rollup. Tie-block rank sums are exact in doubles up to ~2⁵²
+    * (ranks are integers-and-halves); z is NULL when the variance is
+    * 0 (all values identical). */
+  def mannWhitneyU(df: DataFrame, value: Column, inA: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select(value.cast("double").as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inA, 0L).otherwise(1L).as("__b"))
+      .where(col("__v").isNotNull)
+    val h = s.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+        sum(col("__b")).as("__cb"))
+      .withColumn("__ct", col("__ca") + col("__cb"))
+    val r = Windows.globalCumSum(h, Seq(col("__v")), col("__ct"), "__cumt")
+      .withColumn("__avgr",
+        (col("__cumt") - col("__ct")).cast("double") + (col("__ct") + 1) / lit(2.0))
+    val a = r.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      sum(col("__ca") * col("__avgr")).as("__ra"),
+      sum(col("__ct").cast("double") * col("__ct") * col("__ct") - col("__ct"))
+        .as("__ties"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb")
+    val n = col("__na") + col("__nb")
+    val ua = col("__ra") - na * (col("__na") + 1) / lit(2)
+    val sigma2 = (na * nb / lit(12)) *
+      ((n + 1) - col("__ties") / (n.cast("double") * (n - 1)))
+    a.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ua, dp).as("u_a"),
+      round(na * nb - ua, dp).as("u_b"),
+      when(sqrt(sigma2) === 0.0, lit(null).cast("double"))
+        .otherwise(round((ua - na * nb / lit(2)) / sqrt(sigma2), dp)).as("z"),
+      round(lit(1) - lit(2) * ua / (na * nb), dp).as("rank_biserial"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

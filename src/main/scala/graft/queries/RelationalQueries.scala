@@ -616,6 +616,20 @@ object RelationalQueries {
       Analytics.cohenKappa(a, b, "doc_id", "label")
     }),
 
+    // Two-sample KS drift test, en vs rest on doc length: CDFs ride
+    // the distinct-value histogram through two-phase cumulative sums
+    // (no single-reducer window over data rows).
+    "q_ks_test" -> ((s, dir) =>
+      Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
+        col("lang") === "en")),
+
+    // Mann-Whitney U on the same cohorts: tie-averaged ranks from one
+    // two-phase cumulative count, tie-corrected z, rank-biserial
+    // effect size.
+    "q_mann_whitney" -> ((s, dir) =>
+      Analytics.mannWhitneyU(t(s, dir, "documents"), col("n_chars"),
+        col("lang") === "en")),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -1927,6 +1941,57 @@ object RelationalQueries {
         |  END AS DOUBLE)), 0), 6) AS rbo
         |FROM q LEFT JOIN j ON j.lang = q.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same histogram, same CDF-gap and critical-value arithmetic
+    "q_ks_test" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(sum(b) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM h),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |d AS (SELECT t.na, t.nb,
+        |  max(abs(CAST(c.cuma AS DOUBLE) / t.na -
+        |          CAST(c.cumb AS DOUBLE) / t.nb)) AS ksd
+        | FROM c, t GROUP BY 1, 2)
+        |SELECT na AS n_a, nb AS n_b, round(ksd, 6) AS ks_d,
+        | round(1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)), 6)
+        |   AS crit_05,
+        | ksd > 1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb))
+        |   AS reject_05
+        |FROM d""".stripMargin,
+
+    // same tie-averaged rank algebra, same tie-corrected variance
+    "q_mann_whitney" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(sum(b) AS BIGINT) AS cb,
+        |  CAST(sum(a) + sum(b) AS BIGINT) AS ct FROM s GROUP BY 1),
+        |r AS (SELECT *, (sum(ct) OVER (ORDER BY v) - ct) +
+        |   (ct + 1) / 2.0 AS avgr FROM h),
+        |g AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb,
+        |  sum(ca * avgr) AS ra,
+        |  sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS ties FROM r),
+        |f AS (SELECT na, nb, ra, ties,
+        |  ra - CAST(na AS DOUBLE) * (na + 1) / 2 AS ua,
+        |  (CAST(na AS DOUBLE) * nb / 12) * ((na + nb + 1) -
+        |    ties / (CAST(na + nb AS DOUBLE) * (na + nb - 1))) AS s2
+        | FROM g)
+        |SELECT na AS n_a, nb AS n_b, round(ua, 6) AS u_a,
+        | round(CAST(na AS DOUBLE) * nb - ua, 6) AS u_b,
+        | CASE WHEN sqrt(s2) = 0 THEN NULL
+        |  ELSE round((ua - CAST(na AS DOUBLE) * nb / 2) / sqrt(s2), 6) END
+        |   AS z,
+        | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
+        |FROM f""".stripMargin,
 
     // same raters, same confusion-rollup marginal algebra
     "q_kappa" ->

@@ -1212,6 +1212,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(k2(2.0) == 0.0, s"all-fail must collapse to 0, got $k2")
   }
 
+  test("ksTest: hand-computed D on a planted shift; identical cohorts D=0") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: CDF gap peaks at v=2 (2/4 - 0/4)
+    val df = (Seq(1, 2, 3, 4).map(v => (v, true)) ++
+      Seq(3, 4, 5, 6).map(v => (v, false))).toDF("v", "ina")
+    val r = Analytics.ksTest(df, col("v"), col("ina")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4, s"$r")
+    assert(r.getDouble(2) == 0.5, s"$r")
+    // crit = 1.358 * sqrt(8/16) ≈ 0.96, so no rejection at n=4
+    assert(math.abs(r.getDouble(3) - 1.358 * math.sqrt(0.5)) < 1e-6)
+    assert(!r.getBoolean(4))
+    val same = (Seq(1, 2, 3).map(v => (v, true)) ++
+      Seq(1, 2, 3).map(v => (v, false))).toDF("v", "ina")
+    assert(Analytics.ksTest(same, col("v"), col("ina")).head().getDouble(2) == 0.0)
+  }
+
+  test("mannWhitneyU: hand-computed U with ties; z NULL when all tied") {
+    // A = {1,2,2}, B = {2,3}: ranks 1, avg(2,3,4)=3 for the three 2s, 5
+    // R_a = 1 + 3 + 3 = 7; U_a = 7 - 3*4/2 = 1; U_b = 6 - 1 = 5
+    val df = (Seq(1, 2, 2).map(v => (v, true)) ++
+      Seq(2, 3).map(v => (v, false))).toDF("v", "ina")
+    val r = Analytics.mannWhitneyU(df, col("v"), col("ina")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0, s"$r")
+    // tie correction: ties = sum(t^3 - t) = 3^3-3 = 24 over n=5
+    val s2 = (3.0 * 2 / 12) * ((5 + 1) - 24.0 / (5.0 * 4))
+    assert(math.abs(r.getDouble(4) - (1.0 - 3.0) / math.sqrt(s2)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - (1 - 2 * 1.0 / 6)) < 1e-6, s"$r")
+    val tied = Seq((7, true), (7, false), (7, true)).toDF("v", "ina")
+    assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
+  }
+
   test("cohenKappa: hand-computed 2x2 kappa; degenerate pe=1 is NULL") {
     // 10 items: agree on 6 (4 long, 2 short), disagree on 4
     // marginals: rater A long 6 short 4; rater B long 6 short 4
