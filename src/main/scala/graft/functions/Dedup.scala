@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LSH banding design curve: for a MinHash signature split into
+    * `bands` bands of `rows` rows each, a pair with Jaccard similarity
+    * s becomes a candidate with probability `1 − (1 − s^rows)^bands`;
+    * the S-curve's inflection threshold is `(1/bands)^(1/rows)`
+    * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4).
+    * The tuning table to consult BEFORE a 100 TB
+    * [[minhashNearDupPairs]] run: pick (rows, bands) so the threshold
+    * sits at the dedup target and the low-similarity tail stays near
+    * zero — candidate volume IS the cost, and a mis-set curve either
+    * floods the verify join or misses true pairs. Emits a
+    * `step`-percent similarity grid with the candidate probability and
+    * the constant threshold column. */
+  def lshTuningCurve(spark: org.apache.spark.sql.SparkSession, rows: Int,
+      bands: Int, step: Int = 5, dp: Int = 6): DataFrame = {
+    require(rows >= 1 && bands >= 1, "rows and bands must be >= 1")
+    require(step >= 1 && step <= 50, s"step must be in [1,50], got $step")
+    import spark.implicits._
+    val grid = (step to 100 by step).map(_.toLong).toDF("pct")
+    val s = col("pct") / lit(100)
+    grid.select(col("pct"), round(s, 2).as("sim"),
+      round(lit(1.0) - pow(lit(1.0) - pow(s, rows), bands), dp)
+        .as("p_candidate"),
+      round(pow(lit(1.0) / bands, lit(1.0) / rows), dp).as("threshold"))
+  }
+
   /** Distinct char k-grams of a string column (the Jaccard feature set). */
   def shingles(c: Column, k: Int): Column =
     array_distinct(transform(

@@ -303,6 +303,42 @@ object Analytics {
       round(lit(1) - lit(2) * ua / (na * nb), dp).as("rank_biserial"))
   }
 
+  /** Fleiss' κ multi-rater agreement (Fleiss 1971) over a long table
+    * of (item, label) ratings — [[cohenKappa]]'s N-rater sibling for
+    * redundantly-annotated data: per-item pairwise agreement
+    * `P_i = Σ_j n_ij(n_ij−1) / (n_i(n_i−1))` averaged across items,
+    * against the chance agreement of the pooled label marginals.
+    * Rating counts may vary per item (the P_i form generalizes);
+    * items with fewer than 2 ratings carry no pairs and are excluded
+    * everywhere (including the marginals). κ is NULL when pₑ = 1.
+    *
+    * Scale shape: one (item, label) rollup, one item rollup, and
+    * label-cardinality marginals — the exchanges carry the rated-item
+    * space, never the corpus. */
+  def fleissKappa(ratings: DataFrame, itemCol: String, labelCol: String,
+      dp: Int = 6): DataFrame = {
+    val cell = ratings.groupBy(col(itemCol).as("__i"),
+        col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1L)).as("__nij"))
+    val perItem = cell.groupBy("__i").agg(
+        sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * (col("__nij") - 1)).as("__pairs"))
+      .where(col("__ni") >= 2)
+    val kept = cell.join(perItem.select("__i"), "__i")
+    val pb = perItem.agg(count(lit(1L)).as("n_items"),
+      avg(col("__pairs").cast("double") /
+        (col("__ni").cast("double") * (col("__ni") - 1))).as("__pbar"))
+    val mg = kept.groupBy("__l").agg(sum(col("__nij")).as("__cj"))
+      .agg(sum(col("__cj").cast("double") * col("__cj")).as("__sq"),
+        sum(col("__cj")).as("__tot"))
+    val pe = col("__sq") / (col("__tot").cast("double") * col("__tot"))
+    pb.crossJoin(mg).select(col("n_items"), col("__tot").as("n_ratings"),
+      round(col("__pbar"), dp).as("p_bar"), round(pe, dp).as("p_e"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((col("__pbar") - pe) / (lit(1) - pe), dp))
+        .as("kappa"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

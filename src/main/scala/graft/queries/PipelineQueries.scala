@@ -671,9 +671,10 @@ object PipelineQueries {
         .orderBy("src")
     }),
 
-    // Term burstiness: VMR of per-doc counts with zeros folded in
-    // algebraically (E[x^2] = ssq/D) — boilerplate/template detector.
-    "text_burstiness" -> ((s, dir) =>
+    // Term burstiness as zero-folded VMR of per-doc counts
+    // (E[x^2] = ssq/D) — the dispersion view; text_burstiness keeps
+    // the Church-Gale cf/df view. Boilerplate/template detector.
+    "text_term_vmr" -> ((s, dir) =>
       TF.termBurstiness(t(s, dir, "documents"), "doc_id", "text",
         minCount = 30L, k = 20)),
 
@@ -3888,7 +3889,7 @@ object PipelineQueries {
         |FROM f ORDER BY src""".stripMargin,
 
     // same per-doc counts, same zero-folded VMR algebra
-    "text_burstiness" ->
+    "text_term_vmr" ->
       """WITH pd AS (SELECT doc_id,
         |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
         | FROM documents),

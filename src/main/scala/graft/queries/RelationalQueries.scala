@@ -516,7 +516,7 @@ object RelationalQueries {
     // CUSUM changepoint per event type over daily volumes: WHERE the
     // series most likely shifted (PSI/mean-shift say whether, this
     // says when) — one key-partitioned exchange end to end.
-    "q_cusum" -> ((s, dir) => {
+    "q_cusum_changepoint" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(count(lit(1L)).cast("double").as("x"))
@@ -629,6 +629,20 @@ object RelationalQueries {
     "q_mann_whitney" -> ((s, dir) =>
       Analytics.mannWhitneyU(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
+
+    // Fleiss' kappa over three deterministic raters (distinct
+    // doc_id-keyed perturbations of the length threshold): per-item
+    // pairwise agreement vs pooled-marginal chance; exchanges carry
+    // the rated-item space.
+    "q_fleiss" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def rater(k: Int) = d.select(col("doc_id").as("item"),
+        when(col("n_chars") + (col("doc_id") * k) % 41 >= 300, "long")
+          .otherwise("short").as("label"))
+      Analytics.fleissKappa(
+        rater(11).unionByName(rater(23)).unionByName(rater(37)),
+        "item", "label")
+    }),
 
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
@@ -886,7 +900,7 @@ object RelationalQueries {
 
     // Gini concentration of purchase revenue across users + top-10
     // share — units collapse first, rank windows run over unit rows.
-    "q_gini" -> ((s, dir) =>
+    "q_gini_purchases" -> ((s, dir) =>
       Analytics.gini(t(s, dir, "events").where(col("event_type") === "purchase"),
         col("user_id"), col("value"))),
 
@@ -1849,7 +1863,7 @@ object RelationalQueries {
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
 
-    "q_cusum" ->
+    "q_cusum_changepoint" ->
       """WITH series AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
         |        CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
         |m AS (SELECT k, avg(x) AS mean, stddev_samp(x) AS sd,
@@ -1992,6 +2006,36 @@ object RelationalQueries {
         |   AS z,
         | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
         |FROM f""".stripMargin,
+
+    // same three raters, same pairwise-agreement and marginal algebra
+    "q_fleiss" ->
+      """WITH r AS (
+        | SELECT doc_id AS item, CASE WHEN n_chars + (doc_id * 11) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END AS label FROM documents
+        | UNION ALL SELECT doc_id, CASE WHEN n_chars + (doc_id * 23) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END FROM documents
+        | UNION ALL SELECT doc_id, CASE WHEN n_chars + (doc_id * 37) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END FROM documents),
+        |cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nij
+        | FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS ni,
+        |  CAST(sum(nij * (nij - 1)) AS BIGINT) AS pairs
+        | FROM cell GROUP BY 1 HAVING sum(nij) >= 2),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  avg(CAST(pairs AS DOUBLE) / (CAST(ni AS DOUBLE) * (ni - 1)))
+        |    AS pbar FROM pi),
+        |mg AS (SELECT sum(CAST(cj AS DOUBLE) * cj) AS sq,
+        |  CAST(sum(cj) AS BIGINT) AS tot FROM (
+        |   SELECT c.label, CAST(sum(c.nij) AS BIGINT) AS cj
+        |   FROM cell c JOIN pi ON c.item = pi.item GROUP BY 1))
+        |SELECT pb.n_items, mg.tot AS n_ratings,
+        | round(pb.pbar, 6) AS p_bar,
+        | round(mg.sq / (CAST(mg.tot AS DOUBLE) * mg.tot), 6) AS p_e,
+        | CASE WHEN mg.sq / (CAST(mg.tot AS DOUBLE) * mg.tot) = 1 THEN NULL
+        |  ELSE round((pb.pbar - mg.sq / (CAST(mg.tot AS DOUBLE) * mg.tot))
+        |    / (1 - mg.sq / (CAST(mg.tot AS DOUBLE) * mg.tot)), 6) END
+        |   AS kappa
+        |FROM pb, mg""".stripMargin,
 
     // same raters, same confusion-rollup marginal algebra
     "q_kappa" ->
@@ -2449,7 +2493,7 @@ object RelationalQueries {
         |SELECT n_a, n_b, expected_a_frac, chi2,
         | chi2 > 3.841 AS srm_suspect FROM x""".stripMargin,
 
-    "q_gini" ->
+    "q_gini_purchases" ->
       """WITH u AS (SELECT user_id AS k, sum(value) AS x FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1),
         |r AS (SELECT x,

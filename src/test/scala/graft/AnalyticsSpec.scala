@@ -1243,6 +1243,23 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("fleissKappa: hand-computed case; <2-rating items excluded") {
+    // i1 [a,a,b]: P=1/3; i2 [a,a,a]: P=1 -> Pbar=2/3
+    // marginals a=5/6, b=1/6 -> pe=26/36 -> kappa = exactly -0.2
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"),
+      (3L, "b")).toDF("item", "label") // i3 has 1 rating: dropped
+    val r = Analytics.fleissKappa(df, "item", "label").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6, s"$r")
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(3) - 26.0 / 36) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - -0.2) < 1e-6, s"$r")
+    // unanimous single-label ratings: pe = 1 -> NULL
+    val u = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    assert(Analytics.fleissKappa(u, "item", "label").head().isNullAt(4))
+  }
+
   test("cohenKappa: hand-computed 2x2 kappa; degenerate pe=1 is NULL") {
     // 10 items: agree on 6 (4 long, 2 short), disagree on 4
     // marginals: rater A long 6 short 4; rater B long 6 short 4

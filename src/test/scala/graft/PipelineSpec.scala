@@ -1520,6 +1520,19 @@ class PipelineSpec extends SparkSuite {
     assert(InvertedIndex.searchAll(idx, Seq("spark", "plan")).count() == 0)
   }
 
+  test("lshTuningCurve: monotone S-curve, known threshold, endpoints") {
+    val rows = Dedup.lshTuningCurve(spark, rows = 4, bands = 16, step = 10)
+      .orderBy("pct").collect()
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(ps.last == 1.0 && ps.head < 0.002, s"${ps.head} ${ps.last}")
+    // threshold (1/16)^(1/4) = 0.5
+    assert(rows.forall(_.getDouble(3) == 0.5))
+    // p at the threshold sits mid-curve: 1-(1-0.5^4)^16 ≈ 0.644
+    val p50 = rows.find(_.getLong(0) == 50L).get.getDouble(2)
+    assert(math.abs(p50 - (1 - math.pow(1 - math.pow(0.5, 4), 16))) < 1e-6)
+  }
+
   test("luhnValid + creditCardStats: checksum math, separators, length guard") {
     val df = Seq("4111111111111111", "4111111111111112", "378282246310005",
       "12345", "").toDF("d")
