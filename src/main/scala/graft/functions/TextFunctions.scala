@@ -932,6 +932,75 @@ object TextFunctions {
         .as("dominant_script"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(N) ≈ K·N^β over
+    * cumulative (tokens seen, distinct terms seen) measured at ordered
+    * shard boundaries — [[zipfFit]]'s growth-side companion and the
+    * scaling answer to "how much NEW vocabulary does the next crawl
+    * buy" (natural corpora run β ≈ 0.4–0.6; β near 0 means saturation,
+    * near 1 means noise/IDs flooding the vocabulary).
+    *
+    * Scale shape: one term-keyed min-shard rollup (vocabulary-bounded
+    * exchange — first appearances, the [[graft.ops.DataPrep.noveltyCurve]]
+    * discipline applied to terms) plus per-shard token counts; the
+    * cumulative windows and the OLS ride the shard-count-bounded
+    * table. */
+  def heapsFit(docs: DataFrame, shard: Column, textCol: String,
+      gramN: Int = 1, dp: Int = 6): DataFrame = {
+    require(gramN >= 1, s"gramN must be >= 1, got $gramN")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(shard.cast("long").as("s"),
+      explode(Boilerplate.gramHashes(lower(col(textCol)), gramN)).as("t"))
+    val perShard = toks.groupBy("s").agg(count(lit(1L)).as("__nt"))
+    val firsts = toks.groupBy("t").agg(min(col("s")).as("s"))
+      .groupBy("s").agg(count(lit(1L)).as("__nv"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perShard.join(firsts, Seq("s"), "left")
+      .select(col("s"), sum(col("__nt")).over(w).as("__N"),
+        sum(coalesce(col("__nv"), lit(0L))).over(w).as("__V"))
+    val x = log(col("__N").cast("double"))
+    val y = log(col("__V").cast("double"))
+    // explicit zero-variance guards instead of corr(): a saturated
+    // vocabulary (V constant — e.g. a tiny closed vocab at gramN=1)
+    // must yield NULL fit columns, not an ANSI divide-by-zero
+    val a = cum.agg(count(lit(1L)).as("n_shards"),
+      covar_pop(x, y).as("__cxy"), var_pop(x).as("__vx"),
+      var_pop(y).as("__vy"), avg(x).as("__mx"), avg(y).as("__my"))
+    val degenerate = col("__vx") * col("__vy") === 0.0
+    a.select(col("n_shards"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(col("__cxy") / col("__vx"), dp)).as("beta"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(exp(col("__my") -
+          col("__cxy") / col("__vx") * col("__mx")), dp)).as("k"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(col("__cxy") * col("__cxy") /
+          (col("__vx") * col("__vy")), dp)).as("r2"))
+  }
+
+  /** Distinct-n generation-diversity metrics (Li et al. 2016) per
+    * corpus slice: for each n, total word-n-gram positions, distinct
+    * n-grams, and their ratio — the repetitiveness fingerprint that
+    * separates templated or model-generated slices from organic text
+    * (distinct-1 is the type-token ratio). Grams shuffle as xxhash64
+    * keys ([[Boilerplate.gramHashes]]), never gram text — one compact
+    * gram-keyed exchange per n, |groups|·|ns| rows out. */
+  def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3), dp: Int = 6): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    ns.map { n =>
+      docs.select(col(groupCol).as("grp"),
+          explode(Boilerplate.gramHashes(col(textCol), n)).as("__g"))
+        .groupBy("grp")
+        .agg(count(lit(1L)).as("n_grams"),
+          countDistinct(col("__g")).as("n_distinct"))
+        .select(col("grp"), lit(n).as("n"), col("n_grams"),
+          col("n_distinct"),
+          round(col("n_distinct") / col("n_grams").cast("double"), dp)
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")

@@ -630,6 +630,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Heaps'-law vocabulary growth across 8 pseudo-crawl shards, over
+    // word TRIGRAMS (the synthetic corpus has a closed ~31-word
+    // unigram vocabulary — saturated on shard one; the trigram space
+    // actually grows): first-appearance rollup (gram-space-bounded),
+    // cumulative windows and the log-log OLS on the 8-row shard table.
+    "text_heaps" -> ((s, dir) =>
+      TF.heapsFit(t(s, dir, "documents"), col("doc_id") % 8, "text",
+        gramN = 3)),
+
+    // Distinct-n diversity per source for n = 1..3: gram-hash-keyed
+    // exchanges only; the oracle counts distinct gram STRINGS (hash
+    // collisions at this cardinality: none).
+    "text_distinct_n" -> ((s, dir) =>
+      TF.ngramDiversity(t(s, dir, "documents"), "source", "text")
+        .select(col("grp").as("source"), col("n"), col("n_grams"),
+          col("n_distinct"), col("distinct_ratio"))
+        .orderBy("source", "n")),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -3801,6 +3819,59 @@ object PipelineQueries {
         |      WHEN n_kana = top THEN 'kana'
         |      ELSE 'hangul' END AS dominant_script
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // same first-appearance cumulative construction, same OLS algebra
+    // (string trigrams stand in for the engine's xxhash64 gram keys)
+    "text_heaps" ->
+      """WITH ws AS (SELECT doc_id % 8 AS s,
+        |  string_split_regex(trim(lower(text)), '\s+') AS w
+        | FROM documents),
+        |toks AS (SELECT s, unnest(CASE WHEN len(w) >= 3 THEN
+        |   list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+        |   ELSE [] END) AS t FROM ws),
+        |ps AS (SELECT s, CAST(count(*) AS BIGINT) AS nt
+        | FROM toks GROUP BY 1),
+        |fs AS (SELECT s, CAST(count(*) AS BIGINT) AS nv FROM (
+        |  SELECT t, min(s) AS s FROM toks GROUP BY 1) GROUP BY 1),
+        |cum AS (SELECT ps.s, sum(nt) OVER (ORDER BY ps.s) AS n,
+        |  sum(coalesce(nv, 0)) OVER (ORDER BY ps.s) AS v
+        | FROM ps LEFT JOIN fs ON ps.s = fs.s),
+        |l AS (SELECT ln(CAST(n AS DOUBLE)) AS x,
+        |  ln(CAST(v AS DOUBLE)) AS y FROM cum),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+        |  covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
+        |  avg(x) AS mx, avg(y) AS my FROM l)
+        |SELECT n_shards,
+        | CASE WHEN vx * vy = 0 THEN NULL
+        |      ELSE round(cxy / vx, 6) END AS beta,
+        | CASE WHEN vx * vy = 0 THEN NULL
+        |      ELSE round(exp(my - cxy / vx * mx), 6) END AS k,
+        | CASE WHEN vx * vy = 0 THEN NULL
+        |      ELSE round(cxy * cxy / (vx * vy), 6) END AS r2
+        |FROM g""".stripMargin,
+
+    // same grams as STRINGS (engine shuffles xxhash64 keys; distinct
+    // counts agree absent collisions)
+    "text_distinct_n" ->
+      """WITH ws AS (SELECT source, string_split_regex(trim(text), '\s+')
+        |   AS w FROM documents),
+        |g AS (
+        | SELECT source, 1 AS n, unnest(w) AS gt FROM ws
+        | UNION ALL
+        | SELECT source, 2, unnest(CASE WHEN len(w) >= 2 THEN
+        |   list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+        |   ELSE [] END) FROM ws
+        | UNION ALL
+        | SELECT source, 3, unnest(CASE WHEN len(w) >= 3 THEN
+        |   list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+        |   ELSE [] END) FROM ws)
+        |SELECT source, n, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(count(DISTINCT gt) AS BIGINT) AS n_distinct,
+        | round(count(DISTINCT gt) / CAST(count(*) AS DOUBLE), 6)
+        |   AS distinct_ratio
+        |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
     "text_pmi" ->
       """WITH toks AS (SELECT doc_id,

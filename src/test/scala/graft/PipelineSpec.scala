@@ -1520,6 +1520,32 @@ class PipelineSpec extends SparkSuite {
     assert(InvertedIndex.searchAll(idx, Seq("spark", "plan")).count() == 0)
   }
 
+  test("heapsFit: exact two-point fit; saturated vocabulary yields NULLs") {
+    val df = Seq((0L, "a b"), (1L, "a c d")).toDF("sh", "text")
+    val r = TF.heapsFit(df, col("sh"), "text").head()
+    // cum points: (N=2,V=2), (N=5,V=4) -> beta = ln2/ln2.5, exact fit
+    val beta = math.log(2.0) / math.log(2.5)
+    assert(r.getLong(0) == 2, s"$r")
+    assert(math.abs(r.getDouble(1) - beta) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(2) - 2.0 / math.pow(2.0, beta)) < 1e-6, s"$r")
+    assert(r.getDouble(3) == 1.0, s"$r")
+    // closed vocabulary: V constant -> var(y)=0 -> NULL fit, no
+    // ANSI divide-by-zero from a corr()
+    val sat = Seq((0L, "a a"), (1L, "a a a")).toDF("sh", "text")
+    val rs = TF.heapsFit(sat, col("sh"), "text").head()
+    assert(rs.getLong(0) == 2 && rs.isNullAt(1) && rs.isNullAt(3), s"$rs")
+  }
+
+  test("ngramDiversity: hand-counted distinct-n across two docs") {
+    val df = Seq(("s", "a a b"), ("s", "a a")).toDF("src", "text")
+    val r = TF.ngramDiversity(df, "src", "text")
+      .collect().map(x => x.getInt(1) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1) == ((5L, 2L, 0.4)), s"${r(1)}")          // a,a,b,a,a
+    assert(r(2) == ((3L, 2L, 0.666667)), s"${r(2)}")     // "a a"x2,"a b"
+    assert(r(3) == ((1L, 1L, 1.0)), s"${r(3)}")          // "a a b"
+  }
+
   test("lshTuningCurve: monotone S-curve, known threshold, endpoints") {
     val rows = Dedup.lshTuningCurve(spark, rows = 4, bands = 16, step = 10)
       .orderBy("pct").collect()
