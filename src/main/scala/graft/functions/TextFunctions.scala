@@ -889,6 +889,38 @@ object TextFunctions {
       (size(valid) > 0).as("has_valid_cc"))
   }
 
+  /** ISO 7064 mod-97 validity of an IBAN string (ISO 13616): move the
+    * first four chars to the back, map letters to 10–35, and check the
+    * big number ≡ 1 (mod 97). The fold keeps the accumulator < 97·100
+    * the whole way — `(acc·10^w + v) mod 97` per char — so the
+    * arithmetic is plain longs, spelled as an aggregate over the char
+    * codes (restatable in any engine with list lambdas). Any non-
+    * alphanumeric char poisons the fold to −1 → invalid. */
+  def ibanValid(iban: Column): Column = {
+    val re = concat(iban.substr(lit(5), length(iban)), iban.substr(1, 4))
+    val codes = transform(sequence(lit(1), length(re)),
+      i => ascii(re.substr(i, lit(1))))
+    val folded = aggregate(codes, lit(0), (acc, c) =>
+      when(acc < 0, acc)
+        .when(c.between(48, 57), (acc * 10 + (c - 48)) % 97)
+        .when(c.between(65, 90), (acc * 100 + (c - 55)) % 97)
+        .otherwise(lit(-1)))
+    length(iban).between(15, 34) && folded === 1
+  }
+
+  /** IBAN PII screen, the [[creditCardStats]] sibling: word-bounded
+    * country-code-shaped candidates (2 letters, 2 check digits, 11–30
+    * alphanumerics — no lookarounds, same meaning under Java and RE2)
+    * validated by [[ibanValid]]'s checksum. */
+  def ibanStats(c: Column): Column = {
+    val cands = regexp_extract_all(c,
+      lit("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"), lit(0))
+    val valid = filter(cands, ibanValid(_))
+    struct(size(cands).as("n_candidates"),
+      size(valid).as("n_valid"),
+      (size(valid) > 0).as("has_valid_iban"))
+  }
+
   /** Encoding-damage screen: counts of the classic UTF-8-decoded-as-
     * Latin-1 artifact prefixes ("Ã" for damaged 2-byte sequences,
     * "â€" for damaged punctuation, stray "Â"), the
@@ -976,6 +1008,40 @@ object TextFunctions {
       when(degenerate, lit(null).cast("double"))
         .otherwise(round(col("__cxy") * col("__cxy") /
           (col("__vx") * col("__vy")), dp)).as("r2"))
+  }
+
+  /** Top-k vocabulary coverage curve — the tokenizer-design table:
+    * for each candidate vocabulary size k, the share of all token
+    * positions covered by the k most frequent terms (ties broken by
+    * term). Read it as "what |V| buys 99% coverage"; the long tail it
+    * exposes is exactly what byte-fallback/BPE has to absorb.
+    *
+    * Scale shape: one vocabulary-bounded count rollup; rank and
+    * cumulative mass via the two-phase global windows (no
+    * single-reducer sort); the k-grid probes join on rank equality
+    * with k clamped to |V|. */
+  def vocabCoverageCurve(docs: DataFrame, textCol: String, ks: Seq[Int],
+      dp: Int = 6): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokensWs(lower(col(textCol)))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1L)).as("n"))
+    val ranked = graft.ops.Windows.globalRowNumber(counts,
+      Seq(col("n").desc, col("t").asc), "rank")
+    val cum = graft.ops.Windows.globalCumSum(ranked,
+      Seq(col("rank")), col("n"), "cum")
+    val tot = counts.agg(sum(col("n")).as("__tot"),
+      count(lit(1L)).as("n_vocab"))
+    ks.distinct.sorted.map(_.toLong).toDF("k")
+      .crossJoin(broadcast(tot))
+      .withColumn("__r", least(col("k"), col("n_vocab")))
+      .join(cum.select(col("rank"), col("cum")), col("__r") === col("rank"))
+      .select(col("k"), col("n_vocab"), col("cum").as("covered_tokens"),
+        col("__tot").as("total_tokens"),
+        round(col("cum") / col("__tot").cast("double"), dp).as("coverage"))
   }
 
   /** Distinct-n generation-diversity metrics (Li et al. 2016) per
