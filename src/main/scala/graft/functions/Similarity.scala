@@ -220,37 +220,106 @@ object Similarity {
     * there are no false drops by construction; recall is what the cell
     * partitioning trades away, as in the paper).
     *
-    * Scale shape: centroid training is ONE bounded sampling job
-    * ([[Ivf.clusterAssign]] — cost independent of corpus size);
-    * assignment is in-scan; the only shuffle is the cell-id EQUI-join,
-    * whose work is Σ|cell|² ≈ n²/k — choose `nClusters` ∝ corpus size
-    * (the paper uses n/10⁴) to hold E|cell| constant, and AQE's
-    * skew-join split handles an oversized cell. Nothing is all-pairs. */
+    * Scale shape — the pair arithmetic is BOUNDED, not just equi-joined:
+    *
+    *   1. Exact replicas collapse FIRST (group by the vector itself —
+    *      exact, no digest collisions): the non-minimal ids of each
+    *      identical-vector group are dropped outright (their cos is the
+    *      self-similarity, computed ONCE per distinct vector, never per
+    *      pair), and only the one representative enters the cell join.
+    *      A degenerate corpus mass of identical embeddings therefore
+    *      costs O(n), not O(n²) — the same replica-collapse discipline
+    *      as `minhashNearDupPairs`.
+    *   2. Centroid training is ONE bounded sampling job
+    *      ([[Ivf.clusterAssign]] — cost independent of corpus size);
+    *      assignment is in-scan; choose `nClusters` ∝ corpus size (the
+    *      paper uses n/10⁴) to hold E|cell| constant.
+    *   3. Cells larger than `maxCell` are SUB-SPLIT by a secondary
+    *      vector hash into ⌈|cell|/maxCell⌉ sub-cells (the `annSelfJoin
+    *      maxBucket` precedent, but splitting instead of dropping), so
+    *      per-group pair work stays O(maxCell²) and TOTAL work
+    *      O(maxCell·n) even when k-means degenerates into one cell.
+    *      What the split trades is recall between DISTINCT near-dup
+    *      vectors that land in different sub-cells — the same recall
+    *      currency the cell partitioning itself already spends; exact
+    *      replicas are immune (caught by step 1). The candidate join is
+    *      an EQUI-join on (cell, sub-cell). Nothing is all-pairs. */
   def semDedupDropIds(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, minCos: Double, seed: Long = 42L,
-      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4): DataFrame = {
-    val assigned = Ivf.clusterAssign(corpus.select(col(idCol), col(vecCol)),
-      vecCol, nClusters, seed = seed, maxTrainRows = maxTrainRows)
-    val a = assigned.select(col("cluster"), col(idCol).as("__id_a"),
-      col(vecCol).as("__vec_a"))
-    val b = assigned.select(col("cluster"), col(idCol).as("__id_b"),
-      col(vecCol).as("__vec_b"))
-    a.join(b, "cluster")
+      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4,
+      maxCell: Int = 4096): DataFrame = {
+    val marked = replicaMarked(corpus, idCol, vecCol, minCos, scoreDp)
+    val replicaDrops = marked
+      .where(col("__selfdup") && col("__id") =!= col("__rep"))
+      .select(col("__id"))
+    val cells = cellsOfMarked(marked, vecCol, nClusters, seed, maxTrainRows,
+      maxCell)
+    val a = cells.select(col("cluster"), col("__sub"),
+      col("__id").as("__id_a"), col("__vec").as("__vec_a"))
+    val b = cells.select(col("cluster"), col("__sub"),
+      col("__id").as("__id_b"), col("__vec").as("__vec_b"))
+    val pairDrops = a.join(b, Seq("cluster", "__sub"))
       .where(col("__id_a") < col("__id_b"))
       .where(round(GraftFunctions.cosineSim(col("__vec_a"), col("__vec_b")),
         scoreDp) >= minCos)
-      .select(col("__id_b").as(idCol))
-      .distinct()
+      .select(col("__id_b"))
+    replicaDrops.union(pairDrops).distinct().select(col("__id").as(idCol))
+  }
+
+  /** Replica-collapse phase of [[semDedupDropIds]]: tags every row with
+    * the minimal id sharing its EXACT vector (`__rep`, via a window
+    * partitioned by the vector value — exact equality, no digest) and
+    * whether self-similarity clears the threshold (`__selfdup`, one
+    * cosine per distinct vector). */
+  private def replicaMarked(corpus: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, scoreDp: Int): DataFrame =
+    corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__rep", min(col("__id")).over(
+        Window.partitionBy(col("__vec"))))
+      .withColumn("__selfdup",
+        round(GraftFunctions.cosineSim(col("__vec"), col("__vec")),
+          scoreDp) >= minCos)
+
+  /** Cell (and dense-cell SUB-cell) assignment of the replica
+    * representatives — the audit surface for the O(maxCell·n) pair
+    * bound: candidate pairs are generated only within (cluster, __sub)
+    * groups, so Σ n·(n−1)/2 over this frame's group sizes IS the pair
+    * count the join arithmetic pays. Exposed for specs/audits. */
+  def semDedupCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, minCos: Double, seed: Long = 42L,
+      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4,
+      maxCell: Int = 4096): DataFrame =
+    cellsOfMarked(replicaMarked(corpus, idCol, vecCol, minCos, scoreDp),
+      vecCol, nClusters, seed, maxTrainRows, maxCell)
+
+  private def cellsOfMarked(marked: DataFrame, vecCol: String,
+      nClusters: Int, seed: Long, maxTrainRows: Int,
+      maxCell: Int): DataFrame = {
+    require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
+    val reps = marked
+      .where(!col("__selfdup") || col("__id") === col("__rep"))
+      .select(col("__id"), col("__vec").as(vecCol))
+    Ivf.clusterAssign(reps, vecCol, nClusters, seed = seed,
+        maxTrainRows = maxTrainRows)
+      .withColumn("__cn", count(lit(1L)).over(
+        Window.partitionBy(col("cluster"))))
+      .withColumn("__sub",
+        when(col("__cn") <= maxCell, lit(0L))
+          .otherwise(pmod(xxhash64(col(vecCol)),
+            ceil(col("__cn").cast("double") / maxCell).cast("long"))))
+      .select(col("cluster"), col("__sub"), col("__id"),
+        col(vecCol).as("__vec"))
   }
 
   /** The SemDedup survivors: `corpus` minus [[semDedupDropIds]], via a
     * single anti-join on the id. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, minCos: Double, seed: Long = 42L,
-      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4): DataFrame =
+      maxTrainRows: Int = 1 << 16, scoreDp: Int = 4,
+      maxCell: Int = 4096): DataFrame =
     corpus.join(
       semDedupDropIds(corpus, idCol, vecCol, nClusters, minCos, seed,
-        maxTrainRows, scoreDp),
+        maxTrainRows, scoreDp, maxCell),
       Seq(idCol), "left_anti")
 
   def annSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,

@@ -856,19 +856,26 @@ object TextFunctions {
     * Doubles every second digit from the right (subtracting 9 on
     * overflow) and checks the sum mod 10 — spelled as transform over
     * sequence(1, n) rather than positional indexing so the identical
-    * arithmetic restates in any engine with list lambdas. Non-card
-    * lengths (outside 13–19) are false outright, which also guards
-    * sequence() against a descending 1..0 range on empty input. */
+    * arithmetic restates in any engine with list lambdas.
+    *
+    * The input is screened by a `when(rlike ^\d{13,19}$)` FIRST —
+    * CaseWhen evaluates its branch value only for matching rows
+    * (Column `&&` would NOT short-circuit: both sides are always
+    * evaluated), so the per-digit `cast("int")` can never see a
+    * non-digit under the repo's ANSI-on default, the checksum never
+    * runs on non-card lengths, and sequence() never sees a descending
+    * 1..0 range on empty input. Non-card shapes (wrong length, any
+    * non-digit, NULL) are `false` outright. */
   def luhnValid(digits: Column): Column = {
-    val n = length(digits)
     val rev = reverse(digits)
-    val terms = transform(sequence(lit(1), n), i => {
+    val terms = transform(sequence(lit(1), length(digits)), i => {
       val d = rev.substr(i, lit(1)).cast("int")
       when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
         .otherwise(d)
     })
-    (n >= 13 && n <= 19) &&
-      aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+    when(digits.rlike("^[0-9]{13,19}$"),
+        aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0)
+      .otherwise(lit(false))
   }
 
   /** Payment-card PII screen: candidate extraction (contiguous 13–19

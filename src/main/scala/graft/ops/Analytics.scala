@@ -249,13 +249,18 @@ object Analytics {
       Windows.globalCumSum(h, Seq(col("__v")), col("__ca"), "__cuma"),
       Seq(col("__v")), col("__cb"), "__cumb")
     val tot = h.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    val crit = lit(1.358) *
+    // the documented NaN-on-empty-cohort contract, made explicit: an
+    // empty cohort must not reach the divisions at all (robust under
+    // the repo's ANSI-on default regardless of operand coercions)
+    val degenerate = col("__na") === 0L || col("__nb") === 0L
+    val crit = when(degenerate, lit(Double.NaN)).otherwise(lit(1.358) *
       sqrt((col("__na") + col("__nb")) /
-        (col("__na").cast("double") * col("__nb")))
+        (col("__na").cast("double") * col("__nb"))))
     c.crossJoin(broadcast(tot))
       .groupBy(col("__na"), col("__nb"))
-      .agg(max(abs(col("__cuma").cast("double") / col("__na") -
-        col("__cumb").cast("double") / col("__nb"))).as("__d"))
+      .agg(max(when(degenerate, lit(Double.NaN))
+        .otherwise(abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb")))).as("__d"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         round(col("__d"), dp).as("ks_d"),
         round(crit, dp).as("crit_05"),
@@ -293,14 +298,21 @@ object Analytics {
     val nb = col("__nb")
     val n = col("__na") + col("__nb")
     val ua = col("__ra") - na * (col("__na") + 1) / lit(2)
-    val sigma2 = (na * nb / lit(12)) *
-      ((n + 1) - col("__ties") / (n.cast("double") * (n - 1)))
+    // n ≤ 1 would divide the tie correction by 0; an empty cohort makes
+    // na·nb = 0 — both degenerate cases surface as NULL statistics, not
+    // divisions (explicit under the repo's ANSI-on default)
+    val sigma2 = when(n <= 1, lit(null).cast("double"))
+      .otherwise((na * nb / lit(12)) *
+        ((n + 1) - col("__ties") / (n.cast("double") * (n - 1))))
     a.select(col("__na").as("n_a"), col("__nb").as("n_b"),
       round(ua, dp).as("u_a"),
       round(na * nb - ua, dp).as("u_b"),
-      when(sqrt(sigma2) === 0.0, lit(null).cast("double"))
+      when(sigma2.isNull || isnan(sigma2) || sqrt(sigma2) === 0.0,
+          lit(null).cast("double"))
         .otherwise(round((ua - na * nb / lit(2)) / sqrt(sigma2), dp)).as("z"),
-      round(lit(1) - lit(2) * ua / (na * nb), dp).as("rank_biserial"))
+      when(na * nb === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(1) - lit(2) * ua / (na * nb), dp))
+        .as("rank_biserial"))
   }
 
   /** Fleiss' κ multi-rater agreement (Fleiss 1971) over a long table
@@ -380,8 +392,13 @@ object Analytics {
     val all = df.agg(avg(v).as("__ma"), stddev_pop(v).as("__sd"))
     // p is computed from the ROUNDED z: the score is the published
     // statistic, and deriving p from it keeps the pair consistent and
-    // engine-order-independent
-    val z = round((col("__m") - col("__ma")) / (col("__sd") / sqrt(col("n"))), dp)
+    // engine-order-independent. A constant column (sd_all = 0) admits
+    // no z at all — NULL, not a division artifact (explicit under the
+    // repo's ANSI-on default).
+    val z = when(col("__sd").isNull || col("__sd") === 0.0,
+        lit(null).cast("double"))
+      .otherwise(
+        round((col("__m") - col("__ma")) / (col("__sd") / sqrt(col("n"))), dp))
     g.crossJoin(all)
       .select(col("grp"), col("n"), z.as("z"),
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
@@ -901,9 +918,12 @@ object Analytics {
     ranked.agg(count(lit(1L)).as("n"),
         sum(col("__v")).as("__s"),
         sum(col("__i") * col("__v")).as("__is"))
+      // n = 0 or Σv = 0 admits no coefficient — NULL, not a 0/0
+      // artifact (explicit under the repo's ANSI-on default)
       .select(col("n"), round(col("__s"), dp).as("total"),
-        round(lit(2.0) * col("__is") / (col("n") * col("__s")) -
-          (col("n") + 1).cast("double") / col("n"), dp).as("gini"))
+        when(col("n") === 0 || col("__s") === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("__is") / (col("n") * col("__s")) -
+            (col("n") + 1).cast("double") / col("n"), dp)).as("gini"))
   }
 
   def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
@@ -1260,29 +1280,38 @@ object Analytics {
     *
     * Computed from the identity over values sorted ascending:
     * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n. Units first collapse to one
-    * row each (partial-aggregated); the rank window then runs over
-    * UNIT rows, not raw events. The units table is assumed far smaller
-    * than the event table (the usual case); for extreme unit counts
-    * pre-bucket upstream. */
+    * row each (partial-aggregated); the ascending rank then comes from
+    * [[Windows.globalRowNumber]] — the two-phase range-partitioned
+    * rank, never a single-reducer window over the unit table (units =
+    * users/domains can be 10⁹ at 100 TB). The top-10 share needs no
+    * second (descending) rank at all: `orderBy(desc).limit(10)` is a
+    * TakeOrderedAndProject — per-partition top-10, merged at the
+    * driver. `gini`/`top10_share` are NULL when total = 0 (all-zero
+    * quantities) rather than a 0/0 artifact. */
   def gini(df: DataFrame, unit: Column, quantity: Column,
       dp: Int = 6): DataFrame = {
     val units = df.groupBy(unit.as("__u"))
       .agg(sum(quantity.cast("double")).as("__x"))
       .where(col("__x") >= 0)
-    val ranked = units
-      .withColumn("__i", row_number().over(
-        Window.orderBy(col("__x"), col("__u"))))
-      .withColumn("__rd", row_number().over(
-        Window.orderBy(col("__x").desc, col("__u").desc)))
+    val ranked = Windows.globalRowNumber(units,
+      Seq(col("__x"), col("__u")), out = "__i")
+    val top10 = units.orderBy(col("__x").desc, col("__u").desc).limit(10)
+      .agg(coalesce(sum(col("__x")), lit(0.0)).as("__top10"))
     ranked.agg(count(lit(1L)).as("n_units"),
         sum(col("__x")).as("__tot"),
-        sum(col("__i") * col("__x")).as("__iw"),
-        sum(when(col("__rd") <= 10, col("__x")).otherwise(0.0)).as("__top10"))
+        sum(col("__i") * col("__x")).as("__iw"))
+      .crossJoin(top10)
       .select(col("n_units"),
         round(col("__tot"), 4).as("total"),
-        round(lit(2.0) * col("__iw") / (col("n_units") * col("__tot"))
-          - (col("n_units") + 1) / col("n_units").cast("double"), dp).as("gini"),
-        round(col("__top10") / col("__tot"), dp).as("top10_share"))
+        when(col("n_units") === 0 || col("__tot") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("__iw") /
+              (col("n_units") * col("__tot"))
+            - (col("n_units") + 1) / col("n_units").cast("double"), dp))
+          .as("gini"),
+        when(col("__tot") === 0.0, lit(null).cast("double"))
+          .otherwise(round(col("__top10") / col("__tot"), dp))
+          .as("top10_share"))
   }
 
   /** Kaplan–Meier survival curve (product-limit estimator, JASA 1958)

@@ -1682,6 +1682,17 @@ object RelationalQueries {
     }),
   )
 
+  /** First 24 md5 bits of `expr` as a BIGINT in [0, 2²⁴), spelled with
+    * per-nibble strpos arithmetic — the same version-proof form as
+    * CheckQueries.duckRowHash. The `concat('0x',…) CAST` idiom this
+    * replaces proved DuckDB-version-sensitive (the r09 red rows). */
+  private def duckHex24(expr: String): String =
+    (0 until 6).map { i =>
+      val w = 1L << (4 * (5 - i))
+      s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) " +
+        s"AS BIGINT) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "q_join_bcast" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
@@ -2137,11 +2148,11 @@ object RelationalQueries {
     // mirrors Analytics.randomizationTestMeanDiff: same md5 coin, same
     // rounded-before-compare tail count, (1+ge)/(b+1) p-value
     "q_permutation_test" ->
-      """WITH d0 AS (SELECT avg(CASE WHEN lang = 'en' THEN n_chars END) -
+      s"""WITH d0 AS (SELECT avg(CASE WHEN lang = 'en' THEN n_chars END) -
         |  avg(CASE WHEN lang != 'en' THEN n_chars END) AS d0 FROM documents),
         |reps AS (SELECT r.i AS r, d.n_chars,
-        |  CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || r.i),
-        |    1, 6)) AS INT) / 16777216.0 < 0.5 AS fa
+        |  ${duckHex24("CAST(d.doc_id AS VARCHAR) || ':' || r.i")}
+        |    / 16777216.0 < 0.5 AS fa
         | FROM documents d CROSS JOIN (SELECT unnest(range(199)) AS i) r),
         |m AS (SELECT r, avg(CASE WHEN fa THEN n_chars END) -
         |  avg(CASE WHEN NOT fa THEN n_chars END) AS d FROM reps GROUP BY r),
@@ -2155,9 +2166,9 @@ object RelationalQueries {
     // mirrors Analytics.poissonBootstrapMeanCI literal for literal:
     // 24-bit md5 uniform, Poisson(1) CDF ladder, rank-6/rank-195 bounds
     "q_bootstrap_ci" ->
-      """WITH reps AS (SELECT r.i AS r, d.n_chars,
-        |  CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || r.i),
-        |    1, 6)) AS INT) / 16777216.0 AS u
+      s"""WITH reps AS (SELECT r.i AS r, d.n_chars,
+        |  ${duckHex24("CAST(d.doc_id AS VARCHAR) || ':' || r.i")}
+        |    / 16777216.0 AS u
         | FROM documents d CROSS JOIN (SELECT unnest(range(200)) AS i) r),
         |w AS (SELECT r, n_chars, CASE
         |  WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1

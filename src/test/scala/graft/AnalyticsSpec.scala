@@ -1243,6 +1243,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("degenerate inputs: empty cohorts / constant columns give NaN or NULL, never errors") {
+    import spark.implicits._
+    // ksTest: one empty cohort → the documented NaN, not a division
+    // artifact (and no DIVIDE_BY_ZERO under the ANSI-on default)
+    val oneSided = Seq(1, 2, 3).map(v => (v, true)).toDF("v", "ina")
+    val ks = Analytics.ksTest(oneSided, col("v"), col("ina")).head()
+    assert(ks.getLong(0) == 3 && ks.getLong(1) == 0, s"$ks")
+    assert(ks.getDouble(2).isNaN && ks.getDouble(3).isNaN && !ks.getBoolean(4),
+      s"$ks")
+    // mannWhitneyU: empty cohort → NULL z and rank_biserial
+    val mw = Analytics.mannWhitneyU(oneSided, col("v"), col("ina")).head()
+    assert(mw.isNullAt(4) && mw.isNullAt(5), s"$mw")
+    // mannWhitneyU: a single row (the tie correction divides by n−1)
+    val mw1 = Analytics.mannWhitneyU(Seq((5, true)).toDF("v", "ina"),
+      col("v"), col("ina")).head()
+    assert(mw1.isNullAt(4) && mw1.isNullAt(5), s"$mw1")
+    // zScreenPerGroup: constant column (sd_all = 0) → NULL z and p
+    val const = Seq(("g1", 5.0), ("g2", 5.0)).toDF("g", "v")
+    val zs = Analytics.zScreenPerGroup(const, col("g"), col("v")).collect()
+    assert(zs.forall(r => r.isNullAt(2) && r.isNullAt(3)), zs.mkString(","))
+    // giniCoefficient / gini: all-zero mass → NULL coefficient/shares
+    val zeros = Seq((1L, 0.0), (2L, 0.0)).toDF("u", "v")
+    assert(Analytics.giniCoefficient(zeros, col("v")).head().isNullAt(2))
+    val gz = Analytics.gini(zeros, col("u"), col("v")).head()
+    assert(gz.isNullAt(2) && gz.isNullAt(3), s"$gz")
+  }
+
   test("fleissKappa: hand-computed case; <2-rating items excluded") {
     // i1 [a,a,b]: P=1/3; i2 [a,a,a]: P=1 -> Pbar=2/3
     // marginals a=5/6, b=1/6 -> pe=26/36 -> kappa = exactly -0.2

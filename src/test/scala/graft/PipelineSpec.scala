@@ -925,6 +925,42 @@ class PipelineSpec extends SparkSuite {
       kept.contains(10L) && !kept.contains(11L))
   }
 
+  test("semDedup megacell: replica collapse + sub-split keep pair arithmetic O(maxCell·n)") {
+    // (a) a degenerate mass of EXACT replicas (one embedding repeated
+    // 800×, all in one k-means cell by construction) collapses to ONE
+    // representative BEFORE any pairing: zero candidate-pair
+    // arithmetic, and every non-minimal id is still dropped
+    val clones = (0L until 800L).map(i => (i, Seq.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val ccells = Similarity.semDedupCells(clones, "vec_id", "embedding",
+      nClusters = 4, minCos = 0.99, maxCell = 16)
+    assert(ccells.count() == 1L,
+      "exact replicas must collapse to one representative")
+    val dropped = Similarity.semDedupDropIds(clones, "vec_id", "embedding",
+        nClusters = 4, minCos = 0.99, maxCell = 16)
+      .as[Long].collect().toSet
+    assert(dropped == (1L until 800L).toSet, s"drop set wrong: ${dropped.size}")
+    // (b) 2000 DISTINCT near-identical vectors that all land in one
+    // cell: the secondary-hash sub-split bounds per-group size, so
+    // Σ n(n−1)/2 over (cluster, __sub) groups — exactly the pair count
+    // the equi-join arithmetic pays — stays O(maxCell·n), not n²/2
+    val near = (0 until 2000).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == 7) 0.5f + i * 1e-6f else 0.5f))
+    }.toDF("vec_id", "embedding")
+    val maxCell = 64
+    val g = Similarity.semDedupCells(near, "vec_id", "embedding",
+        nClusters = 4, minCos = 0.999, maxCell = maxCell)
+      .groupBy("cluster", "__sub").agg(count(lit(1L)).as("n"))
+      .select("n").as[Long].collect()
+    assert(g.sum == 2000L, "every representative must keep a (cell, sub-cell)")
+    val pairs = g.map(n => n * (n - 1) / 2).sum
+    assert(pairs <= 2L * maxCell * 2000L,
+      s"pair arithmetic not bounded: $pairs pairs, top groups " +
+        g.sorted.reverse.take(5).mkString(","))
+    assert(pairs < 2000L * 1999L / 4,
+      s"sub-split did not cut the quadratic: $pairs")
+  }
+
   test("exactDedupAgainst drops batch rows already in the corpus, keeps the rest") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
     val batch = Seq(
@@ -1561,11 +1597,14 @@ class PipelineSpec extends SparkSuite {
 
   test("luhnValid + creditCardStats: checksum math, separators, length guard") {
     val df = Seq("4111111111111111", "4111111111111112", "378282246310005",
-      "12345", "").toDF("d")
+      "12345", "", "4111x11111111111").toDF("d")
     val ok = df.select(col("d"), TF.luhnValid(col("d")).as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(ok("4111111111111111") && ok("378282246310005"))
-    assert(!ok("4111111111111112") && !ok("12345") && !ok(""))
+    // the non-digit 16-char shape must be screened BEFORE the per-digit
+    // int cast (it used to reach the cast, which throws under ANSI)
+    assert(!ok("4111111111111112") && !ok("12345") && !ok("") &&
+      !ok("4111x11111111111"))
     val stats = Seq(
       "cards 4111 1111 1111 1111 and 5500-0000-0000-0004 and junk 1234567890123456")
       .toDF("text")

@@ -104,6 +104,15 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("semDedup candidates come from (cluster, sub-cell) equi-joins — never all-pairs") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val p = plan(graft.functions.Similarity.semDedupDropIds(
+      emb, "vec_id", "embedding", nClusters = 4, minCos = 0.99))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SemDedup candidate generation degraded to all-pairs:\n$p")
+  }
+
   test("hammingNearDupPairs candidates come from (chunk_idx, chunk) equi-joins — never all-pairs") {
     import org.apache.spark.sql.functions.{col, xxhash64}
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
