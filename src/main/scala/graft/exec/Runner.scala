@@ -180,14 +180,22 @@ object Runner {
 
   /** ColStats pass-2 aggregate columns riding the fused pass: sum of squared
     * deviations + 10 equi-width bin counts, bin = min(9, floor((x-min)/binSize))
-    * (SecondPassStatsAggregator.scala:62-69). Pure built-ins → codegen'd. */
+    * (SecondPassStatsAggregator.scala:62-69). Pure built-ins → codegen'd.
+    *
+    * The bin expression must stay NULL for NULL inputs: Spark's `least`
+    * SKIPS nulls (least(9, NULL) = 9), so without the isNotNull guard
+    * every NULL row lands in the top bin — and the binSize=0 literal arm
+    * would count NULL rows into bin 0. Caught by CheckFuzzSpec's
+    * differential recomputation (seed 0) on a nullable column; the
+    * chk_colstats oracle column happens to be null-free. */
   def secondPassCols(cs: ColStats, fp: (Long, Double, Double, Double)): Seq[Column] = {
     val (_, mean, mn, mx) = fp
     val c = col(cs.column).cast(DoubleType)
     val binSize = (mx - mn) / NumBins
     val bin: Column =
-      if (binSize == 0.0) lit(0L)
-      else least(lit(NumBins - 1L), floor((c - lit(mn)) / lit(binSize)))
+      if (binSize == 0.0) when(c.isNotNull, lit(0L))
+      else when(c.isNotNull,
+        least(lit(NumBins - 1L), floor((c - lit(mn)) / lit(binSize))))
     sum(pow(c - lit(mean), 2.0)).as(s"${cs.label}_ssq") +:
       (0 until NumBins).map(i =>
         sum(when(bin === lit(i.toLong), 1L).otherwise(0L)).as(s"${cs.label}_b$i"))
