@@ -680,6 +680,54 @@ object Dedup {
         lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** TF-IDF cosine similarity pairs — the SPARSE-vector similarity join
+    * (word-weighted), complementing the dense-embedding cosine paths
+    * ([[Similarity.annSelfJoin]]/semDedup) and the set-overlap paths
+    * (Jaccard/MinHash): near-topical duplicates that share vocabulary
+    * with different word ORDER and different lengths score high here
+    * while shingle Jaccard misses them.
+    *
+    * Semantics (deterministic, restatable in any SQL engine):
+    * whitespace word tokens of lower(trim(text)); tf = in-doc term
+    * count; smooth idf = ln((N+1)/(df+1)) + 1 (the standard smoothed
+    * form); terms with df > `maxDf` are REMOVED FROM THE VECTORS (not
+    * just the join) before L2 normalization, so the cutoff is part of
+    * the metric, not an approximation of it; cosine = Σ ŵ_a·ŵ_b over
+    * shared terms, thresholded on round(cos, dp) >= minCos.
+    *
+    * Scale shape: tf/df/norms are word-keyed partial-aggregated
+    * rollups; candidate pairs come from the TERM-keyed equi-join of
+    * normalized postings, so pair work is Σ_term df² ≤ maxDf · Σ df —
+    * `maxDf` is the quadratic cap (the stop-term postings that would
+    * dominate Σ df² carry near-zero idf weight anyway, which is what
+    * makes the cap a metric choice and not just a cost hack). Nothing
+    * is all-pairs. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      minCos: Double, maxDf: Long = 1000L, dp: Int = 4): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .where(length(col("__t")) > 0)
+    val tf = toks.groupBy("__id", "__t").agg(count(lit(1L)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1L)).as("__df"))
+      .where(col("__df") <= maxDf)
+    val n = docs.agg(count(lit(1L)).as("__n"))
+    val w = tf.join(dfreq, "__t").crossJoin(broadcast(n))
+      .select(col("__id"), col("__t"),
+        (col("__tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0))
+          .as("__w"))
+    val norm = w.groupBy("__id").agg(sqrt(sum(col("__w") * col("__w"))).as("__nm"))
+    val wn = w.join(norm, "__id")
+      .select(col("__id"), col("__t"), (col("__w") / col("__nm")).as("__wn"))
+    wn.toDF("id_a", "__t", "wn_a")
+      .join(wn.toDF("id_b", "__t", "wn_b"), "__t")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(round(sum(col("wn_a") * col("wn_b")), dp).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   private def deletionKeyed(docs: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,

@@ -1961,4 +1961,57 @@ object Analytics {
         .as("value"),
       col("__x").isNotNull.as("is_observed"))
   }
+
+  /** OHLC candlestick bars per (group, time bucket): open/high/low/close
+    * + count/total/mean — the standard event-series summarization for
+    * metering, pricing, and telemetry roll-ups. Open/close are
+    * deterministic under timestamp ties via a (ts, tie) composite order
+    * (min_by/max_by over a struct).
+    *
+    * Scale shape: ONE groupBy over (group, bucket) — all seven outputs
+    * are map-side-partial built-in aggregates; no windows, no
+    * self-joins. */
+  def ohlcBars(df: DataFrame, group: Column, ts: Column, tie: Column,
+      value: Column, bucket: String = "day", dp: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val ord = struct(ts, tie)
+    df.groupBy(date_trunc(bucket, ts).as("bucket"), group.as("grp"))
+      .agg(count(lit(1L)).as("n"),
+        round(min_by(v, ord), dp).as("open"),
+        round(max(v), dp).as("high"),
+        round(min(v), dp).as("low"),
+        round(max_by(v, ord), dp).as("close"),
+        round(sum(v), dp).as("total"),
+        round(avg(v), dp).as("mean"))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols` in ONE scan: a
+    * single aggregate computes every var_pop/covar_pop (k + k(k−1)/2
+    * codegen'd columns, map-side partial), then the bounded k×k result
+    * assembles driver-side from the 1-row frame — the data is never
+    * re-scanned per pair, which is what a corr()-per-pair loop would
+    * cost. Constant columns yield NULL correlations (no 0/0), the
+    * same guard discipline as [[heapsFit]]. Output: one row per
+    * unordered pair (col_a < col_b by position), ordered. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], dp: Int = 6): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "corrMatrix columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => var_pop(col(c).cast("double")).as(s"__v_$c")) ++
+      pairs.map { case (a, b) =>
+        covar_pop(col(a).cast("double"), col(b).cast("double")).as(s"__c_${a}_$b")
+      } :+ count(lit(1L)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, b) =>
+      val deg = col(s"__v_$a").isNull || col(s"__v_$b").isNull ||
+        col(s"__v_$a") * col(s"__v_$b") === 0.0
+      one.select(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(deg, lit(null).cast("double"))
+          .otherwise(round(col(s"__c_${a}_$b") /
+            sqrt(col(s"__v_$a") * col(s"__v_$b")), dp)).as("corr"))
+    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
 }

@@ -812,6 +812,31 @@ object PipelineQueries {
         .orderBy("inner_id", "outer_id")
     }),
 
+    // TF-IDF cosine similarity pairs — the SPARSE-vector similarity join
+    // over word unigrams (smooth idf, per-doc L2 normalization, maxDf
+    // vector cutoff as part of the metric). Candidates come from the
+    // TERM-keyed equi-join of normalized postings (Σ df² work, maxDf the
+    // quadratic cap). Anchors: the 5 planted exact clones must pair at
+    // rounded cos 1.0; pair count and max cos vs the full DuckDB
+    // restatement of the identical tf/idf/normalize/threshold algebra.
+    "dedup_tfidf_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 120)
+        .select("doc_id", "text")
+      val aug = docs.union(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.tfidfCosinePairs(aug, "doc_id", "text",
+          minCos = 0.95)
+        .localCheckpoint(true) // small pair list; read by 2 verdicts
+      pairs.agg(count(lit(1L)).as("n_pairs"),
+          round(max(col("cos")), 4).as("max_cos"))
+        .crossJoin(pairs
+          .where(col("id_b") === col("id_a") + 1000000L &&
+            col("cos") >= 0.9999)
+          .agg(count(lit(1L)).as("n_clone_pairs")))
+        .select(col("n_pairs"), col("max_cos"), col("n_clone_pairs"),
+          (col("n_clone_pairs") === 5L).as("clones_ok"))
+    }),
+
     // Near-dup pair → CLUSTER resolution: connected components over the
     // deterministic exact-Jaccard pair graph (min-label propagation with
     // pointer doubling, O(log n) rounds — Clusters.connectedComponents).
@@ -4161,6 +4186,36 @@ object PipelineQueries {
         |       FROM tf, c)
         |SELECT doc_id, dl, round(score, 6) AS bm25
         |FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "dedup_tfidf_pairs" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+        |toks AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM aug),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        | FROM toks WHERE t != '' GROUP BY doc_id, t),
+        |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t
+        |        HAVING count(*) <= 1000),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM aug),
+        |w AS (SELECT doc_id, tf.t AS t, tf * (ln((n + 1) / (df + 1)) + 1) AS w
+        |      FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id),
+        |wn AS (SELECT w.doc_id AS doc_id, t, w / nm AS wn
+        |       FROM w JOIN nrm USING (doc_id)),
+        |pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    round(sum(a.wn * b.wn), 4) AS cos
+        |  FROM wn a JOIN wn b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY ia, ib),
+        |kept AS (SELECT * FROM pairs WHERE cos >= 0.95),
+        |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_clone_pairs FROM kept
+        |       WHERE ib = ia + 1000000 AND cos >= 0.9999)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(max(cos), 4) AS max_cos,
+        | (SELECT n_clone_pairs FROM cl) AS n_clone_pairs,
+        | (SELECT n_clone_pairs FROM cl) = 5 AS clones_ok
+        |FROM kept""".stripMargin,
 
     "dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),

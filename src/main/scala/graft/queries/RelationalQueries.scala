@@ -557,6 +557,21 @@ object RelationalQueries {
           round(col("covar"), 2).as("covar"),
           round(col("spearman"), 6).as("spearman"))),
 
+    // Full pairwise correlation matrix in ONE scan (k + k(k-1)/2
+    // var/covar aggregates fused into a single map-side-partial job,
+    // never a corr() re-scan per pair).
+    "q_corr_matrix" -> ((s, dir) =>
+      Analytics.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // OHLC bars per (event_type, day): open/close deterministic under
+    // ties via the (ts, event_id) composite order; one groupBy, all
+    // seven outputs map-side-partial built-ins.
+    "q_ohlc" -> ((s, dir) =>
+      Analytics.ohlcBars(t(s, dir, "events"), col("event_type"),
+          col("ts"), col("event_id"), col("value"))
+        .orderBy("bucket", "grp")),
+
     // Robust stats (oracle-audit exact-percentile mode; the operator's
     // default is the mergeable approx sketch): 5%-trimmed mean +
     // winsorized stddev of the price column.
@@ -1943,6 +1958,37 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    // corr() per pair on the oracle side is fine — DuckDB's sample corr
+    // equals the engine's covar_pop/sqrt(var_pop*var_pop) ratio exactly
+    // (the n-1 factors cancel); 6dp rounding per the q_corr precedent
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           | CAST(count(*) AS BIGINT) AS n,
+           | round(corr($a, $b), 6) AS corr FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
+
+    "q_ohlc" ->
+      """WITH r AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |  event_type AS grp, value,
+        |  row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        |    ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT bucket, grp, CAST(count(*) AS BIGINT) AS n,
+        | round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        | round(max(value), 6) AS high,
+        | round(min(value), 6) AS low,
+        | round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+        | round(sum(value), 6) AS total,
+        | round(avg(value), 6) AS mean
+        |FROM r GROUP BY bucket, grp ORDER BY bucket, grp""".stripMargin,
 
     // same rankings, same max-rank suffix weights (the 12-decimal
     // literals the engine rounds to)

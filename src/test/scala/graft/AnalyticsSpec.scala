@@ -1243,6 +1243,44 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("ohlcBars: hand-computed bars; timestamp ties broken by the tie column") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "2024-01-01 00:00:00", 1L, 10.0),
+      ("A", "2024-01-01 05:00:00", 2L, 30.0),
+      ("A", "2024-01-01 23:00:00", 3L, 20.0),
+      ("A", "2024-01-02 01:00:00", 4L, 5.0),
+      ("B", "2024-01-01 12:00:00", 6L, 9.0), // same ts: event id 5 opens,
+      ("B", "2024-01-01 12:00:00", 5L, 7.0)) //           event id 6 closes
+      .toDF("g", "ts", "eid", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Analytics.ohlcBars(df, col("g"), col("ts"), col("eid"), col("v"))
+      .select(col("grp"), dayofmonth(col("bucket")).as("d"), col("n"),
+        col("open"), col("high"), col("low"), col("close"), col("total"))
+      .collect()
+      .map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5),
+          x.getDouble(6), x.getDouble(7)))).toMap
+    assert(r(("A", 1)) == ((3L, 10.0, 30.0, 10.0, 20.0, 60.0)), s"$r")
+    assert(r(("A", 2)) == ((1L, 5.0, 5.0, 5.0, 5.0, 5.0)), s"$r")
+    assert(r(("B", 1)) == ((2L, 7.0, 9.0, 7.0, 9.0, 16.0)), s"$r")
+  }
+
+  test("corrMatrix: ±1 on linear columns, NULL on constants, one row per pair") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0)).toDF("a", "b", "c", "k")
+    val m = Analytics.corrMatrix(df, Seq("a", "b", "c", "k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m.size == 6, s"$m")
+    assert(m(("a", "b")).contains(1.0) && m(("a", "c")).contains(-1.0) &&
+      m(("b", "c")).contains(-1.0), s"$m")
+    assert(m(("a", "k")).isEmpty && m(("b", "k")).isEmpty &&
+      m(("c", "k")).isEmpty, s"constant column must yield NULL: $m")
+    intercept[IllegalArgumentException](Analytics.corrMatrix(df, Seq("a")))
+  }
+
   test("degenerate inputs: empty cohorts / constant columns give NaN or NULL, never errors") {
     import spark.implicits._
     // ksTest: one empty cohort → the documented NaN, not a division

@@ -961,6 +961,27 @@ class PipelineSpec extends SparkSuite {
       s"sub-split did not cut the quadratic: $pairs")
   }
 
+  test("tfidfCosinePairs: hand-computed cosine; maxDf cuts stop terms from the vectors") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    val full = Dedup.tfidfCosinePairs(docs, "doc_id", "text", minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full((1L, 2L)) == 1.0, s"$full")
+    // idf(apple, df=3) = ln(4/4)+1 = 1; idf(banana, df=2) = ln(4/3)+1;
+    // idf(cherry, df=1) = ln(2)+1; cos(1,3) = 1/(|d1|·|d3|)
+    val ib = math.log(4.0 / 3) + 1
+    val ic = math.log(2.0) + 1
+    val exp13 = 1.0 / (math.sqrt(1 + ib * ib) * math.sqrt(1 + ic * ic))
+    assert(math.abs(full((1L, 3L)) - exp13) < 1e-4, s"$full vs $exp13")
+    assert(full((2L, 3L)) == full((1L, 3L)))
+    // maxDf = 2: 'apple' (df 3) leaves the VECTORS entirely, so d3
+    // shares nothing with d1/d2 and only the clone pair survives
+    val capped = Dedup.tfidfCosinePairs(docs, "doc_id", "text",
+        minCos = 0.0, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
+  }
+
   test("exactDedupAgainst drops batch rows already in the corpus, keeps the rest") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
     val batch = Seq(

@@ -104,6 +104,16 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("tfidfCosinePairs candidates come from term equi-joins — never a cartesian") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val p = plan(graft.functions.Dedup.tfidfCosinePairs(docs, "doc_id", "text", 0.9))
+    // (the 1-row corpus-count broadcast is a legitimate nested loop —
+    // only a true CartesianProduct would be a regression)
+    assert(!p.contains("CartesianProduct"),
+      s"TF-IDF pair generation degraded to all-pairs:\n$p")
+  }
+
   test("semDedup candidates come from (cluster, sub-cell) equi-joins — never all-pairs") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
       .select("vec_id", "embedding")
