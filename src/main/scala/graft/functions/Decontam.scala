@@ -56,6 +56,33 @@ object Decontam {
       idCol: String, textCol: String, n: Int = 13): DataFrame =
     corpus.join(contaminatedIds(corpus, bench, idCol, textCol, n), Seq(idCol), "left_anti")
 
+  /** Per-BENCHMARK contamination attribution: one row per
+    * (corpus doc, benchmark name) sharing >= 1 character n-gram —
+    * [[contaminatedIds]] generalized from "is this doc contaminated?"
+    * to "WHICH eval suite leaked into it?", the question a release
+    * report actually has to answer (a doc can hit several suites; each
+    * attribution row is independent evidence).
+    *
+    * Scale shape identical to the exact path: per-benchmark distinct
+    * gram hashes broadcast (Σ bench sizes stays eval-suite-bounded),
+    * corpus side ONE scan + explode, the doc×suite flag set distinct —
+    * output is |flagged docs| × |suites| at worst, never corpus ×
+    * grams. */
+  def contaminationMatrix(corpus: DataFrame, bench: DataFrame,
+      idCol: String, benchCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    require(n > 0, "n-gram length must be positive")
+    GraftFunctions.register(corpus.sparkSession)
+    val benchGrams = bench
+      .select(col(benchCol).as("benchmark"),
+        explode(GraftFunctions.charShingleHashes(col(textCol), n)).as("__g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(GraftFunctions.charShingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .select(col(idCol), col("benchmark")).distinct()
+  }
+
   /** Serialized Bloom filter over the benchmark's gram hashes — built
     * distributedly (`DataFrameStatFunctions.bloomFilter` runs a
     * treeAggregate of mergeable partial sketches), sized by

@@ -296,6 +296,51 @@ object TableHealth {
       .withColumn("l_diverse", col("n_weak_rows") === 0L)
   }
 
+  /** t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — the
+    * distributional complement of [[kAnonymity]]/[[lDiversity]]: even a
+    * diverse equivalence class leaks when its SENSITIVE-value
+    * distribution diverges from the table's (e.g. a class that is 90%
+    * one diagnosis against a 10% base rate). Per quasi-identifier
+    * class, the total-variation distance between the class's
+    * categorical sensitive distribution and the global one:
+    * `TVD = ½·(Σ_present |p_cs − p_s| + 1 − Σ_present p_s)` — the
+    * absent-category mass folds in through the Σ-of-probabilities
+    * identity, so no outer join against the category universe is
+    * needed. NULL sensitive values are a category of their own (same
+    * convention as lDiversity).
+    *
+    * Scale shape: one (class, value) rollup, one value rollup (the
+    * category-cardinality-bounded broadcast side), one class rollup —
+    * exchanges carry the class × category space, never the row count. */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      t: Double, dp: Int = 6): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val qNames = quasi.indices.map(i => s"__q$i")
+    val base = df.select(quasi.zip(qNames).map { case (c, n) => c.as(n) } :+
+      coalesce(sensitive.cast("string"), lit("__tc_null__")).as("__s"): _*)
+    val cell = base.groupBy(qNames.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1L)).as("__ncs"))
+    val cls = cell.groupBy(qNames.map(col): _*).agg(sum(col("__ncs")).as("__nc"))
+    val glob = cell.groupBy("__s").agg(sum(col("__ncs")).as("__ns"))
+    val tot = cell.agg(sum(col("__ncs")).cast("double").as("__n"))
+    val perClass = cell.join(cls, qNames)
+      .join(broadcast(glob), Seq("__s"))
+      .crossJoin(broadcast(tot))
+      .groupBy(qNames.map(col): _*)
+      .agg(max(col("__nc")).as("__size"),
+        sum(abs(col("__ncs").cast("double") / col("__nc") -
+          col("__ns").cast("double") / col("__n"))).as("__present"),
+        sum(col("__ns").cast("double") / col("__n")).as("__covered"))
+      .select(col("__size"),
+        round((col("__present") + 1.0 - col("__covered")) / 2.0, dp).as("tvd"))
+    perClass.agg(count(lit(1L)).as("n_classes"),
+        round(max(col("tvd")), dp).as("max_tvd"),
+        sum(when(col("tvd") > t, 1L).otherwise(0L)).as("n_violations"),
+        sum(when(col("tvd") > t, col("__size")).otherwise(0L)).as("n_exposed_rows"))
+      .withColumn("t_close", col("n_violations") === 0L)
+  }
+
   /** Validity-interval integrity audit for SCD-2 / bitemporal tables:
     * per id (ordered by start), counts of OVERLAPS (next interval
     * starts before this one ends — two versions claim the same

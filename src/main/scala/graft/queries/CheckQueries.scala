@@ -203,6 +203,14 @@ object CheckQueries {
       graft.ops.TableHealth.kAnonymity(t(s, dir, "customer"),
         Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
 
+    // t-closeness: per-nation total-variation distance of the market-
+    // segment distribution vs the global one — the distributional
+    // privacy audit k-anonymity/l-diversity cannot see. Category-
+    // bounded exchanges only.
+    "chk_tcloseness" -> ((s, dir) =>
+      graft.ops.TableHealth.tCloseness(t(s, dir, "customer"),
+        Seq(col("c_nationkey")), col("c_mktsegment"), t = 0.2)),
+
     // Cross-engine table fingerprint: order-independent md5-row-hash
     // SUM over lineitem's integer/string columns — DuckDB recomputes
     // the identical fingerprint from the same parquet, proving the
@@ -677,6 +685,30 @@ object CheckQueries {
         | CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
         | coalesce(sum(n) FILTER (n < 5), 0) = 0 AS k_anonymous
         |FROM g""".stripMargin,
+
+    "chk_tcloseness" ->
+      """WITH cell AS (SELECT c_nationkey AS q,
+        |    coalesce(CAST(c_mktsegment AS VARCHAR), '__tc_null__') AS s,
+        |    count(*) AS ncs FROM customer GROUP BY q, s),
+        |cls AS (SELECT q, sum(ncs) AS nc FROM cell GROUP BY q),
+        |gm AS (SELECT s, sum(ncs) AS ns FROM cell GROUP BY s),
+        |tot AS (SELECT CAST(sum(ncs) AS DOUBLE) AS n FROM cell),
+        |pc AS (SELECT q, max(nc) AS sz,
+        |    sum(abs(CAST(ncs AS DOUBLE) / nc - CAST(ns AS DOUBLE) / n))
+        |      AS pres,
+        |    sum(CAST(ns AS DOUBLE) / n) AS cov
+        |  FROM cell JOIN cls USING (q) JOIN gm USING (s) CROSS JOIN tot
+        |  GROUP BY q),
+        |tv AS (SELECT sz,
+        |    round((pres + CAST(1 AS DOUBLE) - cov) / CAST(2 AS DOUBLE), 6)
+        |      AS tvd FROM pc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        | round(max(tvd), 6) AS max_tvd,
+        | CAST(count(*) FILTER (tvd > 0.2) AS BIGINT) AS n_violations,
+        | CAST(coalesce(sum(sz) FILTER (tvd > 0.2), 0) AS BIGINT)
+        |   AS n_exposed_rows,
+        | count(*) FILTER (tvd > 0.2) = 0 AS t_close
+        |FROM tv""".stripMargin,
 
     "chk_fingerprint" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,

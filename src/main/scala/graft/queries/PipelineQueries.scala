@@ -1156,6 +1156,23 @@ object PipelineQueries {
         .crossJoin(bad.agg(count(lit(1L)).as("n_contaminated")))
     }),
 
+    // Per-BENCHMARK contamination attribution: the decontam gram join
+    // generalized to (doc, eval-suite) pairs — which suite leaked into
+    // the corpus, not just whether one did. Suites are a deterministic
+    // 3-way tag over the benchmark slice; exchanges stay suite-bounded.
+    "pipeline_decontam_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 31 === 0)
+        .select(concat(lit("suite_"), (col("doc_id") % 3).cast("string"))
+          .as("bench"), col("text"))
+      val corpus = docs.where(col("doc_id") % 31 =!= 0)
+      Decontam.contaminationMatrix(corpus, bench, "doc_id", "bench",
+          "text", n = 30)
+        .groupBy("benchmark")
+        .agg(count(lit(1L)).as("n_docs"))
+        .orderBy("benchmark")
+    }),
+
     // Sketched decontamination under the gate: the Bloom path (corpus
     // side = ONE shuffle-free scan with an in-scan might-contain
     // predicate — the 100 TB shape when the benchmark gram set outgrows
@@ -4388,6 +4405,22 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 != 0) AS n_corpus,
         | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 31 = 0) AS n_bench,
         | (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_contaminated""".stripMargin,
+
+    "pipeline_decontam_matrix" ->
+      """WITH bg AS (SELECT DISTINCT benchmark, g FROM (
+        |  SELECT 'suite_' || CAST(doc_id % 3 AS VARCHAR) AS benchmark,
+        |    unnest(list_distinct(list_transform(
+        |      range(0, greatest(length(text) - 30, 0) + 1),
+        |      i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 = 0)),
+        |c AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(length(text) - 30, 0) + 1),
+        |    i -> substr(text, i + 1, 30)))) AS g
+        |  FROM documents WHERE doc_id % 31 != 0),
+        |m AS (SELECT DISTINCT c.doc_id, bg.benchmark
+        |      FROM c JOIN bg USING (g))
+        |SELECT benchmark, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM m GROUP BY benchmark ORDER BY benchmark""".stripMargin,
 
     // the exact contaminated count is recomputed from raw grams; the
     // sketch-path booleans (superset, bounded FP overhead) must hold

@@ -1363,6 +1363,30 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
   }
 
+  test("tCloseness: hand-computed TVD incl. absent categories and NULL sensitive") {
+    import graft.ops.TableHealth
+    import spark.implicits._
+    // classes A (x,x,x,y) and B (x,y,y,z); global p = x .5, y .375, z .125
+    // TVD(A) = ½(|.75−.5|+|.25−.375|+|0−.125|) = .25 ; TVD(B) = .25
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "z")).toDF("q", "s")
+    val r = TableHealth.tCloseness(df, Seq(col("q")), col("s"), t = 0.2).head()
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 0.25, s"$r")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 8 && !r.getBoolean(4), s"$r")
+    val ok = TableHealth.tCloseness(df, Seq(col("q")), col("s"), t = 0.3).head()
+    assert(ok.getLong(2) == 0 && ok.getBoolean(4), s"$ok")
+    // NULL sensitive is its own category: A (x,x,x,y) + C (null,null)
+    // global p = x .5, y 1/6, null 1/3; TVD(A) = ½(.25 + 1/12 + 1/3)
+    // = .333333 ; TVD(C) = ½(2/3 + .5 + 1/6) = .666667
+    val dfn = Seq(("A", Some("x")), ("A", Some("x")), ("A", Some("x")),
+      ("A", Some("y")), ("C", None), ("C", None)).toDF("q", "s")
+    val rn = TableHealth.tCloseness(dfn, Seq(col("q")), col("s"), t = 0.5).head()
+    assert(rn.getLong(0) == 2 && rn.getDouble(1) == 0.666667, s"$rn")
+    assert(rn.getLong(2) == 1 && rn.getLong(3) == 2, s"$rn")
+    intercept[IllegalArgumentException](
+      TableHealth.tCloseness(df, Seq.empty, col("s"), t = 0.2))
+  }
+
   test("benford: first-digit extraction, exclusions, expected fractions") {
     import graft.ops.TableHealth
     import spark.implicits._

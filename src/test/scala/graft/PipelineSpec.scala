@@ -982,6 +982,23 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("contaminationMatrix attributes each doc to every leaking suite") {
+    val g1 = "A" * 24 // any 13-char window of g1 matches only g1
+    val g2 = "B" * 24
+    val corpus = Seq(
+      (1L, s"xx $g1 xx"),            // leaks into mmlu AND gsm8k
+      (2L, s"yy $g2 yy"),            // leaks into gsm8k only
+      (3L, "totally clean doc text")).toDF("doc_id", "text")
+    val bench = Seq(
+      ("mmlu", s"qq $g1 qq"),
+      ("gsm8k", s"rr $g2 rr"),
+      ("gsm8k", s"ss $g1 ss")).toDF("bench", "text")
+    val m = graft.functions.Decontam
+      .contaminationMatrix(corpus, bench, "doc_id", "bench", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(m == Set((1L, "mmlu"), (1L, "gsm8k"), (2L, "gsm8k")), s"$m")
+  }
+
   test("exactDedupAgainst drops batch rows already in the corpus, keeps the rest") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
     val batch = Seq(
