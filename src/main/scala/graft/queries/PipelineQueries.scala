@@ -2195,6 +2195,43 @@ object PipelineQueries {
           (col("n_hit") * 100 >= col("n_bf") * 50).as("recall_ok"))
     }),
 
+    // IVF nProbe recall sweep — the tuning table an ANN deployment
+    // reads before picking its recall/cost point. Probe prefixes are
+    // NESTED (same centroid ranking, top-p cut), so with the shared
+    // deterministic (rounded cos, id) total order recall is PROVABLY
+    // monotone in nProbe, and probing all nLists cells must reproduce
+    // the brute-force top-k exactly — both verdicts in-row per sweep
+    // point; n_queries/n_bf anchor to the DuckDB brute-force.
+    "sim_ivf_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val aug = emb
+        .union(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .localCheckpoint(true)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint(true)
+      val bf = Similarity.bruteForceKnn(aug, "vec_id", "embedding",
+          q, "qid", "qvec", 5)
+        .select(col("qid"), col("vec_id").as("nid"))
+        .localCheckpoint(true) // tiny top-k; probed once per sweep point
+      val nBf = bf.count()
+      val nQ = q.count()
+      val hits = Seq(1, 4, 16).map { p =>
+        p -> Ivf.ivfKnn(aug, "vec_id", "embedding", q, "qid", "qvec",
+            k = 5, nLists = 16, nProbe = p)
+          .select(col("qid"), col("vec_id").as("nid"))
+          .join(bf, Seq("qid", "nid"), "left_semi").count()
+      }
+      val rows = hits.zip(Long.MinValue +: hits.map(_._2)).map {
+        case ((p, h), prev) => (p, nQ, nBf, h >= prev, p != 16 || h == nBf)
+      }
+      rows.toDF("nprobe", "n_queries", "n_bf", "monotone_ok",
+          "full_recall_ok")
+        .orderBy("nprobe")
+    }),
+
     // SemDedup (Abbas et al. 2023): k-means cells bound the cosine
     // screen to within-cell pairs — Σ|cell|² work instead of n², the
     // embedding-space analogue of MinHash banding. Oracle-VISIBLE the
@@ -4937,6 +4974,29 @@ object PipelineQueries {
         | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5) AS n_queries,
         | true AS clones_found_ok, true AS recall_ok
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // brute-force anchors recomputed from raw vectors; the nested-probe
+    // monotonicity and all-cells-equals-brute-force verdicts must hold
+    // in-row at every sweep point
+    "sim_ivf_sweep" ->
+      """WITH aug AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+        | WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM aug WHERE qid < 5),
+        |r AS (SELECT q.qid, aug.vec_id,
+        |  row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(aug.v, q.qv), 4) DESC,
+        |      aug.vec_id) AS rank
+        | FROM aug, q WHERE aug.vec_id != q.qid)
+        |SELECT p.nprobe,
+        | (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 5)
+        |   AS n_queries,
+        | (SELECT CAST(count(*) AS BIGINT) FROM r WHERE rank <= 5) AS n_bf,
+        | true AS monotone_ok, true AS full_recall_ok
+        |FROM (SELECT unnest([1, 4, 16]) AS nprobe) p
+        |ORDER BY nprobe""".stripMargin,
 
     // the global keep-min-id duplicate set is brute-force-recomputed in
     // SQL; the cell-screen verdicts (clones dropped, zero false drops,
