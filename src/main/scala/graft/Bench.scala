@@ -8,6 +8,31 @@ import org.apache.spark.sql.SparkSession
   * must never masquerade as a fast timing.
   */
 object Bench {
+  /** Frozen v0 per-query seconds (BASELINE.md's BENCH_r01 table,
+    * sf0.1, local[32]) — embedded verbatim so the 2× per-query gate is
+    * self-adjudicating from the bench artifact: `gate` in the output
+    * counts frozen queries whose CURRENT time exceeds 2× their v0
+    * time. BASELINE.md remains the authority; this copy is of the
+    * frozen (immutable) table, updated never. Gate only evaluated on
+    * full runs at sf 0.1 (the baseline's scale). */
+  private val frozenV0: Map[String, Double] = Map(
+    "dedup_minhash" -> 255.19, "chk_fused" -> 0.34,
+    "dedup_jaccard" -> 34.89, "q_count_distinct" -> 0.31,
+    "q_session" -> 7.10, "chk_detail" -> 0.29, "sim_ann" -> 6.05,
+    "q_approx_distinct" -> 0.28, "text_langid" -> 3.21,
+    "chk_negative" -> 0.27, "chk_unique_ok" -> 1.37,
+    "text_fingerprint" -> 0.22, "q_window_topk" -> 1.30,
+    "chk_regex" -> 0.21, "sim_knn" -> 1.28, "chk_nullcheck" -> 0.21,
+    "dedup_simhash" -> 1.22, "q_topk" -> 0.20, "dedup_exact" -> 1.16,
+    "q_approx_percentile" -> 0.19, "q_rollup" -> 1.10,
+    "q_percentile" -> 0.18, "q_join_revenue" -> 1.03,
+    "chk_range" -> 0.18, "q_timewindow" -> 0.96, "chk_strlen" -> 0.17,
+    "q_join_bcast" -> 0.89, "chk_colmax" -> 0.16, "q_setops" -> 0.86,
+    "chk_rowcount" -> 0.15, "chk_unique_dup" -> 0.71,
+    "chk_colsum" -> 0.15, "text_quality" -> 0.58, "q_semi_anti" -> 0.57,
+    "q_cube" -> 0.47, "chk_colstats" -> 0.45,
+    "q_window_running" -> 0.43, "text_stats" -> 0.41)
+
   /** 1-minute system load average (−1 where unsupported) — emitted at
     * start and end so box-noise drift is attributable from the bench
     * artifact alone, without a judge rerun (the r10 cc100 number read
@@ -280,9 +305,25 @@ object Bench {
     // timing drift without anyone having to rerun on an idle box.
     val loadJson = f""","load":{"start":$loadStart%.2f,"end":${loadAvg}%.2f,""" +
       s""""box_cpus":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus}"""
+    // BASELINE.md's mechanical 2× per-query gate, evaluated in-artifact
+    // (full runs at the baseline's sf only): worst ratio + violation
+    // count against the frozen v0 table.
+    val gateJson =
+      if (args.nonEmpty || !sfDir.endsWith("sf0.1")) ""
+      else {
+        val ratios = frozenV0.flatMap { case (k, v0) =>
+          timings.get(k).map(t => k -> t / v0) }
+        if (ratios.isEmpty) ""
+        else {
+          val worst = ratios.maxBy(_._2)
+          val viol = ratios.count(_._2 > 2.0)
+          f""","gate":{"frozen_n":${ratios.size},"violations":$viol,""" +
+            f""""worst":"${worst._1}","worst_ratio":${worst._2}%.2f}"""
+        }
+      }
     // Full record — every per-query timing and error — goes to the FILE.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -294,7 +335,7 @@ object Bench {
     // the stdout line carries only what the round adjudication needs.
     val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
-      s"""$scaleJson$loadJson,"sf":"$sfDir","detail":"target/bench.json"}"""
+      s"""$scaleJson$loadJson$gateJson,"sf":"$sfDir","detail":"target/bench.json"}"""
     // The compact line must be the LAST bytes of output: rounds 1-9 all
     // shipped parsed:null because >2 KB of post-println shutdown WARNs
     // (BlockManager/DAGScheduler teardown on stderr) pushed the JSON out
