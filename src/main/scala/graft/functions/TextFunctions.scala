@@ -1080,6 +1080,44 @@ object TextFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** Rule-based topic tagging over seeded keyword taxonomies — the
+    * domain-labeling step a mixture builder needs BEFORE it can rake or
+    * budget by domain when no classifier exists yet: per document, each
+    * topic scores `matching token positions / total tokens`, the
+    * highest score wins with FIRST-LISTED tie-break (the scriptMix
+    * convention), and a document whose best score does not EXCEED
+    * `minScore` tags as "none".
+    *
+    * Pure in-scan higher-order algebra (split → per-topic
+    * filter-count → array_max over (score, −index) structs): zero
+    * shuffles, zero UDFs — at 100 TB this rides whatever scan follows,
+    * and the keyword lists live in the plan as literals. */
+  def topicTag(docs: DataFrame, idCol: String, textCol: String,
+      topics: Seq[(String, Seq[String])], minScore: Double = 0.0,
+      dp: Int = 6): DataFrame = {
+    require(topics.nonEmpty && topics.forall(_._2.nonEmpty),
+      "need >= 1 topic, each with >= 1 keyword")
+    require(topics.map(_._1).distinct.size == topics.size,
+      "topic names must be distinct")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val n = size(toks)
+    val scoredArr = array(topics.zipWithIndex.map { case ((_, kws), i) =>
+      val hits = size(filter(toks, t => t.isin(kws: _*)))
+      struct(
+        when(n === 0, lit(0.0)).otherwise(hits.cast("double") / n).as("score"),
+        lit(-i).as("negidx"))
+    }: _*)
+    val names = array(topics.map(t => lit(t._1)): _*)
+    docs.select(col(idCol), n.as("n_tokens"),
+        array_max(scoredArr).as("__best"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("__best.score") > minScore,
+          element_at(names, -col("__best.negidx") + 1))
+          .otherwise(lit("none")).as("topic"),
+        round(col("__best.score"), dp).as("score"))
+  }
+
   def keywordInContext(docs: DataFrame, idCol: String, textCol: String,
       term: String, width: Int): DataFrame = {
     require(term.nonEmpty && width >= 0, "need a term and width >= 0")

@@ -648,6 +648,19 @@ object PipelineQueries {
           col("n_distinct"), col("distinct_ratio"))
         .orderBy("source", "n")),
 
+    // Rule-based topic tagging (seeded keyword taxonomies): per-doc
+    // best-scoring topic with first-listed tie-break, "none" below the
+    // threshold — in-scan, zero shuffles until the summary rollup.
+    "text_topics" -> ((s, dir) =>
+      TF.topicTag(t(s, dir, "documents"), "doc_id", "text", Seq(
+          "joins" -> Seq("join", "hash", "merge", "key"),
+          "streaming" -> Seq("stream", "window", "batch"),
+          "storage" -> Seq("table", "column", "row", "scan")))
+        .groupBy("topic")
+        .agg(count(lit(1L)).as("n_docs"),
+          round(avg(col("score")), 6).as("avg_score"))
+        .orderBy("topic")),
+
     // PMI collocations: adjacent-pair pointwise mutual information over
     // vocabulary-bounded count rollups — bigrams generate in-scan
     // (zip_with over slices), scoring joins touch only aggregates.
@@ -3951,6 +3964,36 @@ object PipelineQueries {
         | round(count(DISTINCT gt) / CAST(count(*) AS DOUBLE), 6)
         |   AS distinct_ratio
         |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    "text_topics" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> t != '') AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id, len(toks) AS n,
+        |  CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+        |   ELSE CAST(len(list_filter(toks, t ->
+        |     list_contains(['join','hash','merge','key'], t))) AS DOUBLE)
+        |     / len(toks) END AS s1,
+        |  CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+        |   ELSE CAST(len(list_filter(toks, t ->
+        |     list_contains(['stream','window','batch'], t))) AS DOUBLE)
+        |     / len(toks) END AS s2,
+        |  CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+        |   ELSE CAST(len(list_filter(toks, t ->
+        |     list_contains(['table','column','row','scan'], t))) AS DOUBLE)
+        |     / len(toks) END AS s3
+        | FROM tk),
+        |lab AS (SELECT doc_id,
+        |  CASE WHEN greatest(s1, s2, s3) <= CAST(0 AS DOUBLE) THEN 'none'
+        |       WHEN s1 >= s2 AND s1 >= s3 THEN 'joins'
+        |       WHEN s2 >= s3 THEN 'streaming'
+        |       ELSE 'storage' END AS topic,
+        |  round(greatest(s1, s2, s3), 6) AS score
+        | FROM sc)
+        |SELECT topic, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(score), 6) AS avg_score
+        |FROM lab GROUP BY topic ORDER BY topic""".stripMargin,
 
     "text_pmi" ->
       """WITH toks AS (SELECT doc_id,

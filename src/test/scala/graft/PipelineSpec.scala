@@ -982,6 +982,27 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("topicTag: score arithmetic, first-listed tie-break, none-threshold, empty text") {
+    val docs = Seq(
+      (1L, "join hash filter stream"),  // joins 2/4, streaming 1/4 → joins 0.5
+      (2L, "stream stream join hash"),  // tie 0.5 vs 0.5 → first-listed: joins
+      (3L, "nothing here matches at"),  // all 0 → none
+      (4L, "")).toDF("doc_id", "text")  // empty → 0 tokens, none
+    val r = TF.topicTag(docs, "doc_id", "text", Seq(
+        "joins" -> Seq("join", "hash"), "streaming" -> Seq("stream")))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getString(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4, "joins", 0.5)), s"$r")
+    assert(r(2L) == ((4, "joins", 0.5)), s"tie must go to the first-listed topic: $r")
+    assert(r(3L) == ((4, "none", 0.0)), s"$r")
+    assert(r(4L) == ((0, "none", 0.0)), s"$r")
+    // threshold is exclusive: a best score of exactly minScore tags none
+    val thr = TF.topicTag(docs, "doc_id", "text",
+        Seq("joins" -> Seq("join", "hash")), minScore = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(thr(1L) == "none" && thr(2L) == "none", s"$thr")
+  }
+
   test("contaminationMatrix attributes each doc to every leaking suite") {
     val g1 = "A" * 24 // any 13-char window of g1 matches only g1
     val g2 = "B" * 24
