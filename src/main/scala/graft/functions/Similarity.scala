@@ -322,6 +322,33 @@ object Similarity {
         maxTrainRows, scoreDp, maxCell),
       Seq(idCol), "left_anti")
 
+  /** Dimension-prefix ENERGY curve: for each prefix length d′, the
+    * corpus-average share of a vector's squared norm carried by its
+    * first d′ coordinates — the table to read before truncating
+    * embeddings (Matryoshka-style) for a cheaper index: a prefix that
+    * holds 95%+ energy preserves cosine geometry to first order.
+    * Zero-norm/NULL vectors are excluded (no energy to attribute).
+    *
+    * ONE scan: every prefix is a fused map-side-partial aggregate
+    * column; the bounded per-prefix rows assemble from the 1-row
+    * result. */
+  def energyCurve(corpus: DataFrame, vecCol: String, prefixes: Seq[Int],
+      dp: Int = 6): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1),
+      "prefixes must be >= 1")
+    val full = dot(col(vecCol), col(vecCol))
+    val aggs = prefixes.map { d =>
+      avg(when(full > 0.0,
+        dot(slice(col(vecCol), 1, d), slice(col(vecCol), 1, d)) / full))
+        .as(s"__e$d")
+    } :+ sum(when(full > 0.0, 1L).otherwise(0L)).as("__n")
+    val one = corpus.agg(aggs.head, aggs.tail: _*)
+    prefixes.map(d =>
+      one.select(lit(d).as("prefix"), col("__n").as("n_vectors"),
+        round(col(s"__e$d"), dp).as("avg_energy")))
+      .reduce(_ unionByName _).orderBy("prefix")
+  }
+
   def annSelfJoin(corpus: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, k: Int, numTables: Int = 8,
       seed: Long = 42L, maxBucket: Int = 256,

@@ -1080,6 +1080,40 @@ object TextFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** Vocabulary drift between two corpus slices — the release-over-
+    * release report for "which terms surged or collapsed": add-one-
+    * smoothed log rate ratio `ln((c_b+1)/(tot_b+1)) −
+    * ln((c_a+1)/(tot_a+1))` per term, terms below `minCount` total
+    * occurrences dropped (rare-term noise), top-`k` by |drift| with a
+    * term tie-break. Catches ingestion regressions (a crawler losing a
+    * domain), template floods, and language shift before any model
+    * sees the data.
+    *
+    * Scale shape: two vocabulary-bounded count rollups, one term-keyed
+    * join of those rollups (never the corpora), and a TakeOrdered
+    * top-k — no single-reducer window. */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 20, dp: Int = 6): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    def counts(df: DataFrame, cnt: String) = df
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1L)).as(cnt))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val ta = ca.agg(sum(col("c_a")).as("__ta"))
+    val tb = cb.agg(sum(col("c_b")).as("__tb"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+      .where(col("c_a") + col("c_b") >= minCount)
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("term"), col("c_a"), col("c_b"),
+        round(log((col("c_b") + 1.0) / (col("__tb") + 1.0)) -
+          log((col("c_a") + 1.0) / (col("__ta") + 1.0)), dp).as("log_ratio"))
+      .orderBy(abs(col("log_ratio")).desc, col("term"))
+      .limit(k)
+  }
+
   /** Rule-based topic tagging over seeded keyword taxonomies — the
     * domain-labeling step a mixture builder needs BEFORE it can rake or
     * budget by domain when no classifier exists yet: per document, each

@@ -648,6 +648,20 @@ object PipelineQueries {
           col("n_distinct"), col("distinct_ratio"))
         .orderBy("source", "n")),
 
+    // Vocabulary drift between two corpus slices: add-one-smoothed log
+    // rate ratios over vocabulary-bounded rollups, TakeOrdered top-k.
+    "text_vocab_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TF.vocabDrift(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 =!= 0), "text", minCount = 5L, k = 15)
+    }),
+
+    // Embedding dimension-prefix energy curve: the truncation-fidelity
+    // table (Matryoshka-style) — one fused scan, all prefixes.
+    "sim_energy" -> ((s, dir) =>
+      Similarity.energyCurve(t(s, dir, "embeddings"), "embedding",
+        Seq(8, 16, 32, 64))),
+
     // Rule-based topic tagging (seeded keyword taxonomies): per-doc
     // best-scoring topic with first-listed tie-break, "none" below the
     // threshold — in-scan, zero shuffles until the summary rollup.
@@ -3964,6 +3978,46 @@ object PipelineQueries {
         | round(count(DISTINCT gt) / CAST(count(*) AS DOUBLE), 6)
         |   AS distinct_ratio
         |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    "text_vocab_drift" ->
+      """WITH ta AS (SELECT t, count(*) AS c_a FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x != '')) AS t
+        |  FROM documents WHERE doc_id % 2 = 0) GROUP BY t),
+        |tb AS (SELECT t, count(*) AS c_b FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x != '')) AS t
+        |  FROM documents WHERE doc_id % 2 != 0) GROUP BY t),
+        |tots AS (SELECT (SELECT CAST(sum(c_a) AS DOUBLE) FROM ta) AS na,
+        |         (SELECT CAST(sum(c_b) AS DOUBLE) FROM tb) AS nb),
+        |j AS (SELECT coalesce(ta.t, tb.t) AS term,
+        |   CAST(coalesce(c_a, 0) AS BIGINT) AS c_a,
+        |   CAST(coalesce(c_b, 0) AS BIGINT) AS c_b
+        | FROM ta FULL JOIN tb ON ta.t = tb.t)
+        |SELECT term, c_a, c_b,
+        | round(ln((CAST(c_b AS DOUBLE) + 1) / (nb + 1)) -
+        |       ln((CAST(c_a AS DOUBLE) + 1) / (na + 1)), 6) AS log_ratio
+        |FROM j CROSS JOIN tots
+        |WHERE c_a + c_b >= 5
+        |ORDER BY abs(round(ln((CAST(c_b AS DOUBLE) + 1) / (nb + 1)) -
+        |       ln((CAST(c_a AS DOUBLE) + 1) / (na + 1)), 6)) DESC, term
+        |LIMIT 15""".stripMargin,
+
+    "sim_energy" ->
+      """WITH e AS (SELECT
+        |  list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) AS f,
+        |  list_sum(list_transform((embedding::DOUBLE[])[1:8], x -> x*x)) AS e8,
+        |  list_sum(list_transform((embedding::DOUBLE[])[1:16], x -> x*x)) AS e16,
+        |  list_sum(list_transform((embedding::DOUBLE[])[1:32], x -> x*x)) AS e32,
+        |  list_sum(list_transform((embedding::DOUBLE[])[1:64], x -> x*x)) AS e64
+        | FROM embeddings),
+        |g AS (SELECT * FROM e WHERE f > 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM g)
+        |SELECT 8 AS prefix, nv AS n_vectors, round(avg(e8/f), 6) AS avg_energy FROM g, n GROUP BY nv
+        |UNION ALL SELECT 16, nv, round(avg(e16/f), 6) FROM g, n GROUP BY nv
+        |UNION ALL SELECT 32, nv, round(avg(e32/f), 6) FROM g, n GROUP BY nv
+        |UNION ALL SELECT 64, nv, round(avg(e64/f), 6) FROM g, n GROUP BY nv
+        |ORDER BY prefix""".stripMargin,
 
     "text_topics" ->
       """WITH tk AS (SELECT doc_id,

@@ -982,6 +982,36 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("vocabDrift: smoothed log ratios, minCount floor, absent-side zero") {
+    val a = Seq((1L, "alpha alpha beta gamma"), (2L, "alpha beta beta gamma"))
+      .toDF("id", "text") // alpha 3, beta 3, gamma 2; tot 8
+    val b = Seq((1L, "alpha delta delta delta"), (2L, "delta delta gamma gamma"))
+      .toDF("id", "text") // alpha 1, delta 5, gamma 2; tot 8
+    val r = TF.vocabDrift(a, b, "text", minCount = 2L, k = 10)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    def lr(cb: Long, ca: Long) =
+      math.rint((math.log((cb + 1.0) / 9.0) - math.log((ca + 1.0) / 9.0)) * 1e6) / 1e6
+    // delta appears only in b (c_a = 0 via the full-outer fill)
+    assert(r("delta") == ((0L, 5L, lr(5, 0))), s"$r")
+    assert(r("alpha") == ((3L, 1L, lr(1, 3))), s"$r")
+    assert(r("gamma") == ((2L, 2L, 0.0)), s"$r")
+    // beta (3+0 >= 2) present; nothing below the floor exists here
+    assert(r.keySet == Set("alpha", "beta", "gamma", "delta"), s"$r")
+  }
+
+  test("energyCurve: prefix energy shares; zero vectors excluded; full prefix = 1") {
+    val vs = Seq(
+      (1L, Seq(3.0f, 0.0f, 4.0f, 0.0f)),  // prefix2 share 9/25
+      (2L, Seq(0.0f, 2.0f, 0.0f, 2.0f)),  // prefix2 share 4/8
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))). // zero vector: excluded
+      toDF("vec_id", "embedding")
+    val r = Similarity.energyCurve(vs, "embedding", Seq(2, 4))
+      .collect().map(x => x.getInt(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(2) == ((2L, math.rint((9.0 / 25 + 0.5) / 2 * 1e6) / 1e6)), s"$r")
+    assert(r(4) == ((2L, 1.0)), s"$r")
+  }
+
   test("topicTag: score arithmetic, first-listed tie-break, none-threshold, empty text") {
     val docs = Seq(
       (1L, "join hash filter stream"),  // joins 2/4, streaming 1/4 → joins 0.5
