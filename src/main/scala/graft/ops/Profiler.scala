@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -134,5 +134,51 @@ object Profiler {
     per.select(col("null_pattern"), col("n_rows"),
       round(col("n_rows") / sum(col("n_rows")).over(tot).cast("double"), dp)
         .as("share"))
+  }
+
+  /** Schema inference for a semi-structured JSON string column: per
+    * top-level key, presence coverage, distinct-value count, and the
+    * observed TYPE mix (int/float/bool/null/nested/string, classified
+    * from the parsed scalar text) — what you read before promoting an
+    * event-properties blob into typed columns. Unparseable rows are
+    * counted separately (`from_json` → NULL map), never silently
+    * dropped into the key stats.
+    *
+    * Scale shape: one scan parses + explodes the map (no per-key
+    * re-extraction jobs); the single rollup is keyed by the key space,
+    * not the row count. */
+  def jsonKeyProfile(df: DataFrame, c: Column, dp: Int = 6): DataFrame = {
+    val parsed = df.select(c.as("__raw"),
+      from_json(c, MapType(StringType, StringType)).as("__m"))
+    val totals = parsed.agg(
+      count(lit(1L)).as("__n"),
+      sum(when(col("__raw").isNotNull && col("__m").isNull, 1L)
+        .otherwise(0L)).as("__bad"))
+    val kv = parsed.where(col("__m").isNotNull)
+      .select(explode(col("__m")).as(Seq("key", "__v")))
+    val cls = when(col("__v").isNull, "null")
+      .when(col("__v").rlike("^-?[0-9]+$"), "int")
+      .when(col("__v").rlike("^-?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?$"), "float")
+      .when(col("__v").isin("true", "false"), "bool")
+      .when(col("__v").rlike("^[\\[{]"), "nested")
+      .otherwise("string")
+    kv.withColumn("__c", cls)
+      .groupBy("key")
+      .agg(count(lit(1L)).as("n_present"),
+        countDistinct(col("__v")).as("n_distinct"),
+        sum(when(col("__c") === "int", 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("__c") === "float", 1L).otherwise(0L)).as("n_float"),
+        sum(when(col("__c") === "bool", 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("__c") === "null", 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("__c") === "nested", 1L).otherwise(0L)).as("n_nested"),
+        sum(when(col("__c") === "string", 1L).otherwise(0L)).as("n_string"))
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("n_present"),
+        round(col("n_present") / col("__n").cast("double"), dp)
+          .as("coverage"),
+        col("n_distinct"), col("n_int"), col("n_float"), col("n_bool"),
+        col("n_null"), col("n_nested"), col("n_string"),
+        col("__bad").as("n_unparseable"))
+      .orderBy("key")
   }
 }

@@ -203,6 +203,12 @@ object CheckQueries {
       graft.ops.TableHealth.kAnonymity(t(s, dir, "customer"),
         Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
 
+    // JSON key profile: per-key presence/type-mix schema inference over
+    // the events property blob — one parse+explode scan, key-space
+    // rollup.
+    "chk_json_profile" -> ((s, dir) =>
+      graft.ops.Profiler.jsonKeyProfile(t(s, dir, "events"), col("props"))),
+
     // t-closeness: per-nation total-variation distance of the market-
     // segment distribution vs the global one — the distributional
     // privacy audit k-anonymity/l-diversity cannot see. Category-
@@ -685,6 +691,33 @@ object CheckQueries {
         | CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
         | coalesce(sum(n) FILTER (n < 5), 0) = 0 AS k_anonymous
         |FROM g""".stripMargin,
+
+    // the events props blob is '{"k": <int>}' by generation; the oracle
+    // extracts the scalar with a regex and applies the same type
+    // classifiers — value-equal to the engine's parse+explode path
+    "chk_json_profile" ->
+      """WITH e AS (SELECT props,
+        |  regexp_extract(props, '"k":\s*(.+)}', 1) AS v
+        | FROM events WHERE props IS NOT NULL)
+        |SELECT 'k' AS key, CAST(count(*) AS BIGINT) AS n_present,
+        | round(CAST(count(*) AS DOUBLE) /
+        |   (SELECT count(*) FROM events), 6) AS coverage,
+        | CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        | CAST(count(*) FILTER (regexp_matches(v, '^-?[0-9]+$')) AS BIGINT)
+        |   AS n_int,
+        | CAST(count(*) FILTER (regexp_matches(v,
+        |   '^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$')) AS BIGINT) AS n_float,
+        | CAST(count(*) FILTER (v IN ('true','false')) AS BIGINT) AS n_bool,
+        | CAST(0 AS BIGINT) AS n_null,
+        | CAST(count(*) FILTER (regexp_matches(v, '^[\[{]')) AS BIGINT)
+        |   AS n_nested,
+        | CAST(count(*) FILTER (NOT regexp_matches(v, '^-?[0-9]+$')
+        |   AND NOT regexp_matches(v, '^-?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$')
+        |   AND v NOT IN ('true','false')
+        |   AND NOT regexp_matches(v, '^[\[{]')) AS BIGINT) AS n_string,
+        | CAST(count(*) FILTER (NOT regexp_matches(props,
+        |   '^\{"k": -?[0-9]+\}$')) AS BIGINT) AS n_unparseable
+        |FROM e""".stripMargin,
 
     "chk_tcloseness" ->
       """WITH cell AS (SELECT c_nationkey AS q,

@@ -1363,6 +1363,30 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
   }
 
+  test("jsonKeyProfile: type classification, coverage, unparseable accounting") {
+    import graft.ops.Profiler
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 69, "s": "hi", "f": 1.5, "b": true, "n": null, "o": {"x":1}}""",
+      """{"k": -3, "s": "yo"}""",
+      "not json",
+      null.asInstanceOf[String]).toDF("j")
+    val r = Profiler.jsonKeyProfile(df, col("j"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val k = r("k")
+    // n_present, coverage (2 of 4 rows), distinct, ints
+    assert(k.getLong(1) == 2 && k.getDouble(2) == 0.5 &&
+      k.getLong(3) == 2 && k.getLong(4) == 2, s"$k")
+    assert(r("f").getLong(5) == 1, s"float: ${r("f")}")
+    assert(r("b").getLong(6) == 1, s"bool: ${r("b")}")
+    assert(r("n").getLong(7) == 1, s"null: ${r("n")}")
+    assert(r("o").getLong(8) == 1, s"nested: ${r("o")}")
+    assert(r("s").getLong(9) == 2, s"string: ${r("s")}")
+    // exactly one unparseable row ("not json"); the NULL row is neither
+    // present nor unparseable
+    assert(k.getLong(10) == 1, s"$k")
+  }
+
   test("tCloseness: hand-computed TVD incl. absent categories and NULL sensitive") {
     import graft.ops.TableHealth
     import spark.implicits._
