@@ -982,6 +982,17 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("tfidfCosinePairs: maxDf caps the quadratic — a corpus-wide stop term pairs nothing") {
+    // 500 docs sharing ONE stop term plus a unique term each: without
+    // the cap the term join would pay 500²/2 pairs; with maxDf=100 the
+    // stop term leaves the vectors and the candidate join is EMPTY
+    val docs = (0 until 500).map(i => (i.toLong, s"the term$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(docs, "doc_id", "text",
+      minCos = 0.0, maxDf = 100)
+    assert(pairs.count() == 0, "stop-term postings must not reach the pair join")
+  }
+
   test("vocabDrift: smoothed log ratios, minCount floor, absent-side zero") {
     val a = Seq((1L, "alpha alpha beta gamma"), (2L, "alpha beta beta gamma"))
       .toDF("id", "text") // alpha 3, beta 3, gamma 2; tot 8

@@ -104,6 +104,23 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("contaminationMatrix broadcasts the suite grams; tCloseness broadcasts the category table") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+    val bench = docs.where(col("doc_id") % 31 === 0)
+      .select(concat(lit("s"), (col("doc_id") % 3).cast("string")).as("b"),
+        col("text"))
+    val pm = plan(graft.functions.Decontam.contaminationMatrix(
+      docs.where(col("doc_id") % 31 =!= 0), bench, "doc_id", "b", "text", 30))
+    assert(pm.contains("BroadcastHashJoin") && !pm.contains("CartesianProduct"),
+      s"suite gram set must broadcast into the corpus scan:\n$pm")
+    val cust = graft.sources.Sources.table(spark, sf0001, "customer")
+    val pt = plan(graft.ops.TableHealth.tCloseness(cust,
+      Seq(col("c_nationkey")), col("c_mktsegment"), t = 0.2))
+    assert(pt.contains("BroadcastHashJoin") && !pt.contains("CartesianProduct"),
+      s"category marginals must broadcast:\n$pt")
+  }
+
   test("tfidfCosinePairs candidates come from term equi-joins — never a cartesian") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
       .select("doc_id", "text")
