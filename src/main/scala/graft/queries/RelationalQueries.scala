@@ -227,6 +227,42 @@ object RelationalQueries {
       s.table(sink).orderBy("w_start", "event_type")
     }),
 
+    // Streaming top-k: the stream maintains (event_type, user) counts as
+    // complete-mode state (ranking is not a streaming-supported op — and
+    // should not be: the top-k of an evolving aggregate is a READ-time
+    // question); the rank-≤3 cut runs over the materialized state table,
+    // partitioned by event_type (bounded groups). Hash-matched against
+    // the batch oracle.
+    "q_stream_topk" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val stage = new java.io.File(
+        s"/root/repo/target/fixtures/$dirKey/events_stream")
+      val staged = new java.io.File(stage, "events.parquet")
+      stage.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val raw = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = graft.sources.Sources.normalizeEventTs(
+          s.readStream.schema(raw).parquet(stage.getPath))
+        .select("event_type", "user_id")
+      val counted = stream.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1L)).as("n"))
+      val sink = s"q_stream_topk_mem_${dirKey.replace('.', '_')}"
+      s.catalog.dropTempView(sink)
+      val q = counted.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
+      s.table(sink)
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .orderBy("event_type", "rk")
+    }),
+
     // Funnel analysis: view → click → purchase completion within 2 hours
     // of each user's FIRST view, strict step succession. One shuffle on
     // user + an in-scan sorted array fold (state machine) — no per-step
@@ -1822,6 +1858,14 @@ object RelationalQueries {
 
     // Identical to q_timewindow's batch oracle — the engine side arrives
     // at it through the streaming runtime instead.
+    "q_stream_topk" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type, user_id, n, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
     "q_stream_parity" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
