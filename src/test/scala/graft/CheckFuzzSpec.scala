@@ -230,4 +230,86 @@ class CheckFuzzSpec extends SparkSuite {
     }
     assert(emptySeen > 0, "the empty-slice condition never drew — widen the pool")
   }
+
+  // ---- the FULL front door: render each random config as YAML, parse it
+  // through ConfigParser (the reference's entry format), run the decoded
+  // TableSpec, and hold every verdict to the same straight-line
+  // recomputation — covering serialize → decode → compile → execute.
+
+  private def yamlCheck(chk: CheckSpec): String = {
+    def thrY(t: Option[String]) =
+      t.map(v => s""", threshold: "$v"""").getOrElse("")
+    def b(x: Bound) = x match {
+      case Bound.Num(v) => v.toString
+      case Bound.Str(s) => "\"" + s + "\""
+      case Bound.Ref(c) => "\"`" + c + "\""
+    }
+    chk match {
+      case NullCheck(c, thr, _) =>
+        s"      - { type: nullCheck, column: $c${thrY(thr)} }"
+      case NegativeCheck(c, thr, _) =>
+        s"      - { type: negativeCheck, column: $c${thrY(thr)} }"
+      case RangeCheck(c, mn, mx, inc, thr, _) =>
+        val bs = mn.map(m => s", minValue: ${b(m)}").getOrElse("") +
+          mx.map(m => s", maxValue: ${b(m)}").getOrElse("")
+        s"      - { type: rangeCheck, column: $c$bs, inclusive: $inc${thrY(thr)} }"
+      case StringLengthCheck(c, mn, mx, thr, _) =>
+        val bs = mn.map(m => s", minLength: $m").getOrElse("") +
+          mx.map(m => s", maxLength: $m").getOrElse("")
+        s"      - { type: stringLengthCheck, column: $c$bs${thrY(thr)} }"
+      case StringRegexCheck(c, re, thr, _) =>
+        s"""      - { type: stringRegexCheck, column: $c, regex: "$re"${thrY(thr)} }"""
+      case MinNumRows(n, _) =>
+        s"      - { type: rowCount, minNumRows: $n }"
+      case ColumnMaxCheck(c, e, _) =>
+        s"      - { type: columnMaxCheck, column: $c, value: ${b(e)} }"
+      case ColumnSumCheck(c, mn, mx, inc, _) =>
+        val bs = mn.map(m => s", minValue: $m").getOrElse("") +
+          mx.map(m => s", maxValue: $m").getOrElse("")
+        s"      - { type: columnSumCheck, column: $c$bs, inclusive: $inc }"
+      case UniqueCheck(cols0, _) =>
+        s"      - { type: uniqueCheck, columns: [${cols0.mkString(", ")}] }"
+      case ColStats(c, _) =>
+        s"      - { type: colstats, column: $c }"
+    }
+  }
+
+  test("30 random configs through YAML -> ConfigParser -> Runner match the recomputation") {
+    val path = "target/fixtures/fuzz/fx.parquet"
+    fixture.write.mode("overwrite").parquet(path)
+    val conditions = Seq(None, Some("id % 3 != 0"), Some("k < 20"), Some("id < 0"))
+    (100 until 130).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val cond =
+        if (seed % 10 == 9) conditions.last
+        else conditions(rng.nextInt(conditions.size))
+      val checks = mkChecks(rng, fixture)
+      val yaml =
+        s"""numKeyCols: 1
+           |numErrorsToReport: 10
+           |tables:
+           |  - parquetFile: $path
+           |    keyColumns: [id]
+           |${cond.map(c => s"    condition: \"$c\"\n").getOrElse("")}    checks:
+           |${checks.map(yamlCheck).mkString("\n")}
+           |""".stripMargin
+      val cfg = graft.config.ConfigParser.parse(yaml, Map.empty, Some(spark))
+        .fold(errs => fail(s"seed=$seed: config did not parse: $errs\n$yaml"),
+          identity)
+      val table = cfg.tables.head.toTableSpec
+      assert(table.checks.size == checks.size,
+        s"seed=$seed: ${table.checks.size} checks decoded of ${checks.size}")
+      val res = Runner.run(spark, table, detailedErrors = true,
+        numErrorsToReport = 10)
+      val sliced = cond.fold(fixture)(fixture.where)
+      val n = sliced.count()
+      table.checks.foreach { chk =>
+        val expected = refVerdict(sliced, n, chk)
+        val got = res.results.find(_.label == chk.label).get
+        assert(got.failed == expected,
+          s"seed=$seed check=$chk: engine=${got.failed} reference=$expected " +
+            s"(metrics=${got.metrics}, cond=$cond, n=$n)\n$yaml")
+      }
+    }
+  }
 }
