@@ -995,6 +995,54 @@ object Analytics {
         lit(bins).as("n_bins"))
   }
 
+  /** [[driftPsi]] unrolled over TIME: PSI of every `bucket` period's
+    * value distribution against the FIRST period (the monitoring time
+    * series a drift dashboard plots, not a single A/B number). Same
+    * conventions as driftPsi — equi-width bins over the global min/max,
+    * Laplace (c+0.5)/(n+0.5·bins) smoothing so empty bins stay finite
+    * and deterministic; the baseline period's own row reads exactly 0.
+    *
+    * Scale shape: one global bounds row (broadcast), one
+    * (period, bin)-keyed rollup of the scan, the dense period×bins grid
+    * generated in-scan from the period summary (periods are
+    * time-bounded, bins literal), and the baseline's `bins` rows
+    * broadcast into the final period rollup. No window over data rows,
+    * nothing all-pairs. */
+  def psiOverTime(df: DataFrame, ts: Column, value: Column,
+      bucket: String = "day", bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = df.select(date_trunc(bucket, ts).as("__p"),
+        value.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__p").isNotNull)
+    val bounds = v.agg(min("__v").as("__lo"), max("__v").as("__hi"),
+      min("__p").as("__base"))
+    val binned = v.crossJoin(broadcast(bounds))
+      .select(col("__p"), col("__base"),
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(bins - 1), floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / bins)).cast("int"))).as("__bin"))
+    val cells = binned.groupBy("__p", "__bin").agg(count(lit(1L)).as("__c"))
+    val grid = cells.groupBy("__p").agg(sum(col("__c")).as("__n"))
+      .select(col("__p"), col("__n"),
+        explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
+      .join(cells, Seq("__p", "__bin"), "left")
+      .na.fill(0L, Seq("__c"))
+    val baseCells = grid.crossJoin(broadcast(bounds.select(col("__base"))))
+      .where(col("__p") === col("__base"))
+      .select(col("__bin"), col("__c").as("__cb"), col("__n").as("__nb"))
+    val p = (col("__c").cast("double") + 0.5) /
+      (col("__n").cast("double") + lit(0.5 * bins))
+    val q = (col("__cb").cast("double") + 0.5) /
+      (col("__nb").cast("double") + lit(0.5 * bins))
+    grid.join(broadcast(baseCells), "__bin")
+      .groupBy(col("__p"))
+      .agg(max(col("__n")).as("n"),
+        round(sum((p - q) * log(p / q)), dp).as("psi"))
+      .select(col("__p").as("period"), col("n"), col("psi"),
+        (col("psi") > 0.25).as("drifted"))
+      .orderBy("period")
+  }
+
   /** Column-pair association in one result row: Pearson correlation,
     * sample covariance, and Spearman rank correlation. Pearson/covar are
     * single partial-aggregated co-moment passes. Spearman needs ranks:

@@ -593,6 +593,12 @@ object RelationalQueries {
           round(col("covar"), 2).as("covar"),
           round(col("spearman"), 6).as("spearman"))),
 
+    // PSI drift time series: every day's value distribution vs the
+    // first day (driftPsi's conventions unrolled over periods); the
+    // baseline day must read exactly 0.
+    "q_psi_over_time" -> ((s, dir) =>
+      Analytics.psiOverTime(t(s, dir, "events"), col("ts"), col("value"))),
+
     // Full pairwise correlation matrix in ONE scan (k + k(k-1)/2
     // var/covar aggregates fused into a single map-side-partial job,
     // never a corr() re-scan per pair).
@@ -2002,6 +2008,31 @@ object RelationalQueries {
         |SELECT round(corr(x, y), 6) AS pearson,
         | round(covar_samp(x, y), 2) AS covar,
         | round(corr(rx, ry), 6) AS spearman FROM r""".stripMargin,
+
+    "q_psi_over_time" ->
+      """WITH v AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+        |  CAST(value AS DOUBLE) AS v
+        | FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi, min(p) AS base FROM v),
+        |bn AS (SELECT p, CASE WHEN hi = lo THEN 0
+        |  ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))
+        |  END AS bin FROM v, b),
+        |cells AS (SELECT p, bin, count(*) AS c FROM bn GROUP BY p, bin),
+        |per AS (SELECT p, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY p),
+        |grid AS (SELECT per.p, per.n, g.bin,
+        |   CAST(coalesce(cells.c, 0) AS BIGINT) AS c
+        |  FROM per CROSS JOIN (SELECT unnest(range(10)) AS bin) g
+        |  LEFT JOIN cells ON cells.p = per.p AND cells.bin = g.bin),
+        |bc AS (SELECT bin, c AS cb, n AS nb FROM grid, b WHERE p = base),
+        |raw AS (SELECT g.p, g.n, round(sum(
+        |   ((CAST(g.c AS DOUBLE) + 0.5) / (CAST(g.n AS DOUBLE) + 5)
+        |    - (CAST(bc.cb AS DOUBLE) + 0.5) / (CAST(bc.nb AS DOUBLE) + 5))
+        |   * ln(((CAST(g.c AS DOUBLE) + 0.5) / (CAST(g.n AS DOUBLE) + 5))
+        |      / ((CAST(bc.cb AS DOUBLE) + 0.5) / (CAST(bc.nb AS DOUBLE) + 5)))
+        |  ), 6) AS psi
+        | FROM grid g JOIN bc USING (bin) GROUP BY g.p, g.n)
+        |SELECT p AS period, n, psi, psi > 0.25 AS drifted
+        |FROM raw ORDER BY period""".stripMargin,
 
     // corr() per pair on the oracle side is fine — DuckDB's sample corr
     // equals the engine's covar_pop/sqrt(var_pop*var_pop) ratio exactly

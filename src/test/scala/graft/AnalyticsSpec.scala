@@ -1363,6 +1363,25 @@ class AnalyticsSpec extends SparkSuite {
       TableHealth.kAnonymity(df, Seq(col("zip")), 1L))
   }
 
+  test("psiOverTime: baseline period reads exactly 0; a shifted period drifts") {
+    import spark.implicits._
+    // day 1: values clustered low; day 2: identical distribution (psi 0
+    // vs baseline); day 3: shifted high (psi large)
+    val rows =
+      (1 to 50).map(i => ("2024-01-01 10:00:00", (i % 10).toDouble)) ++
+      (1 to 50).map(i => ("2024-01-02 10:00:00", (i % 10).toDouble)) ++
+      (1 to 50).map(i => ("2024-01-03 10:00:00", 90.0 + (i % 10)))
+    val df = rows.toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val r = Analytics.psiOverTime(df, col("ts"), col("v"))
+      .collect().map(x => x.getTimestamp(0).toString.take(10) ->
+        ((x.getLong(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r("2024-01-01") == ((50L, 0.0, false)), s"$r")
+    assert(r("2024-01-02") == ((50L, 0.0, false)),
+      s"identical distribution must read 0: $r")
+    assert(r("2024-01-03")._2 > 1.0 && r("2024-01-03")._3,
+      s"shifted period must drift: $r")
+  }
+
   test("jsonKeyProfile: type classification, coverage, unparseable accounting") {
     import graft.ops.Profiler
     import spark.implicits._
