@@ -48,6 +48,23 @@ object DataPrep {
     df.withColumn(splitCol, label)
   }
 
+  /** Time-ordered train/test split with an EMBARGO gap — the
+    * leakage-safe discipline for temporal data that [[hashSplit]]'s
+    * key hashing cannot give: train is strictly before `cutoff`, test
+    * strictly after `cutoff + embargo`, and the embargo band between
+    * them is EXCLUDED so serial correlation (sessions, rolling
+    * features, near-duplicate reposts) cannot bleed across the
+    * boundary. Rows with NULL timestamps land in the embargo band
+    * (never silently in train). Pure per-row Column math, zero
+    * shuffles. */
+  def timeSplit(df: DataFrame, ts: Column, cutoff: String,
+      embargo: String, splitCol: String = "split"): DataFrame = {
+    val c = lit(cutoff).cast("timestamp")
+    val e = c + expr(s"INTERVAL $embargo")
+    df.withColumn(splitCol,
+      when(ts < c, "train").when(ts >= e, "test").otherwise("embargo"))
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose [[hashBucket]] of
     * `key` (10000 buckets) falls below `rate`·10000. Unlike `sample()`,
     * membership is a pure function of the key — the same subset

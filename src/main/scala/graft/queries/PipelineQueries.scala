@@ -648,6 +648,29 @@ object PipelineQueries {
           col("n_distinct"), col("distinct_ratio"))
         .orderBy("source", "n")),
 
+    // Temporal split with embargo: train strictly before the cutoff,
+    // test strictly after cutoff+embargo, the band between excluded —
+    // per-split counts/extents with in-row boundary verdicts.
+    "pipeline_time_split" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val emb = cut + expr("INTERVAL 2 DAYS")
+      graft.ops.DataPrep.timeSplit(t(s, dir, "events"), col("ts"),
+          "2024-01-15 00:00:00", "2 DAYS")
+        .groupBy("split")
+        .agg(count(lit(1L)).as("n"),
+          unix_timestamp(min(col("ts"))).as("min_ts"),
+          unix_timestamp(max(col("ts"))).as("max_ts"))
+        .select(col("split"), col("n"), col("min_ts"), col("max_ts"),
+          when(col("split") === "train",
+              col("max_ts") < unix_timestamp(cut))
+            .when(col("split") === "test",
+              col("min_ts") >= unix_timestamp(emb))
+            .otherwise(col("min_ts") >= unix_timestamp(cut) &&
+              col("max_ts") < unix_timestamp(emb))
+            .as("boundary_ok"))
+        .orderBy("split")
+    }),
+
     // Vocabulary drift between two corpus slices: add-one-smoothed log
     // rate ratios over vocabulary-bounded rollups, TakeOrdered top-k.
     "text_vocab_drift" -> ((s, dir) => {
@@ -3978,6 +4001,25 @@ object PipelineQueries {
         | round(count(DISTINCT gt) / CAST(count(*) AS DOUBLE), 6)
         |   AS distinct_ratio
         |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    "pipeline_time_split" ->
+      """WITH s AS (SELECT CASE
+        |    WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+        |    WHEN ts >= TIMESTAMP '2024-01-17 00:00:00' THEN 'test'
+        |    ELSE 'embargo' END AS split, ts FROM events),
+        |g AS (SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
+        |   CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
+        |  FROM s GROUP BY split)
+        |SELECT split, n, min_ts, max_ts,
+        | CASE WHEN split = 'train'
+        |   THEN max_ts < epoch(TIMESTAMP '2024-01-15 00:00:00')
+        |  WHEN split = 'test'
+        |   THEN min_ts >= epoch(TIMESTAMP '2024-01-17 00:00:00')
+        |  ELSE min_ts >= epoch(TIMESTAMP '2024-01-15 00:00:00')
+        |   AND max_ts < epoch(TIMESTAMP '2024-01-17 00:00:00')
+        | END AS boundary_ok
+        |FROM g ORDER BY split""".stripMargin,
 
     "text_vocab_drift" ->
       """WITH ta AS (SELECT t, count(*) AS c_a FROM (
