@@ -1080,6 +1080,34 @@ object TextFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** SFT/chat conversation audit over an `array<struct<role, content>>`
+    * turns column — the structural validation instruction-tuning data
+    * needs before packing: per conversation, turn count, does it open
+    * with `firstRole`, does the role strictly ALTERNATE (no two
+    * consecutive turns by the same speaker — the classic concatenation
+    * bug), how many turns are blank, and does it exceed the turn
+    * budget. Pure in-scan higher-order algebra (zip_with of the array
+    * against its own tail for the alternation test) — zero shuffles,
+    * composes into any scan. */
+  def sftAudit(convs: DataFrame, idCol: String, turnsCol: String,
+      maxTurns: Int, firstRole: String = "user"): DataFrame = {
+    require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
+    val t0 = col(turnsCol)
+    val n = size(t0)
+    val head = slice(t0, lit(1), greatest(n - 1, lit(0)))
+    val tail = slice(t0, lit(2), greatest(n - 1, lit(0)))
+    val alternates = forall(
+      zip_with(head, tail, (a, b) => a.getField("role") =!= b.getField("role")),
+      x => x)
+    convs.select(col(idCol), n.as("n_turns"),
+      (n > 0 && element_at(t0, 1).getField("role") === firstRole)
+        .as("starts_ok"),
+      coalesce(alternates, lit(true)).as("alternates_ok"),
+      size(filter(t0, t =>
+        length(trim(t.getField("content"))) === 0)).as("n_blank_turns"),
+      (n > maxTurns).as("over_budget"))
+  }
+
   /** Vocabulary drift between two corpus slices — the release-over-
     * release report for "which terms surged or collapsed": add-one-
     * smoothed log rate ratio `ln((c_b+1)/(tot_b+1)) −

@@ -648,6 +648,31 @@ object PipelineQueries {
           col("n_distinct"), col("distinct_ratio"))
         .orderBy("source", "n")),
 
+    // SFT conversation audit: documents synthesize into alternating
+    // user/assistant turn arrays (one word per turn) with a planted
+    // same-role violation in every 13th conversation; the audit's
+    // verdict counts must match the planting rule arithmetic.
+    "pipeline_sft_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val turns = transform(words, (w, i) => struct(
+        when(col("doc_id") % 13 === 0 && i === 1, lit("user"))
+          .otherwise(when(i % 2 === 0, lit("user")).otherwise(lit("assistant")))
+          .as("role"),
+        w.as("content")))
+      TF.sftAudit(docs.select(col("doc_id"), turns.as("turns")),
+          "doc_id", "turns", maxTurns = 40)
+        .agg(count(lit(1L)).as("n_convs"),
+          sum(when(col("n_turns") === 0, 1L).otherwise(0L)).as("n_empty"),
+          sum(when(!col("starts_ok") && col("n_turns") > 0, 1L)
+            .otherwise(0L)).as("n_not_user_start"),
+          sum(when(!col("alternates_ok"), 1L).otherwise(0L))
+            .as("n_bad_alternation"),
+          sum(col("n_blank_turns")).cast("long").as("n_blank"),
+          sum(when(col("over_budget"), 1L).otherwise(0L)).as("n_over_budget"),
+          sum(col("n_turns")).cast("long").as("total_turns"))
+    }),
+
     // Temporal split with embargo: train strictly before the cutoff,
     // test strictly after cutoff+embargo, the band between excluded —
     // per-split counts/extents with in-row boundary verdicts.
@@ -4001,6 +4026,23 @@ object PipelineQueries {
         | round(count(DISTINCT gt) / CAST(count(*) AS DOUBLE), 6)
         |   AS distinct_ratio
         |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    // verdict counts predicted from the planting rule (the mm_* style
+    // arithmetic-recompute oracle): the forced second-turn 'user' makes
+    // exactly the %13 conversations with >= 2 turns non-alternating
+    "pipeline_sft_audit" ->
+      """WITH w AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+        | FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_convs,
+        | CAST(count(*) FILTER (n = 0) AS BIGINT) AS n_empty,
+        | CAST(0 AS BIGINT) AS n_not_user_start,
+        | CAST(count(*) FILTER (doc_id % 13 = 0 AND n >= 2) AS BIGINT)
+        |   AS n_bad_alternation,
+        | CAST(0 AS BIGINT) AS n_blank,
+        | CAST(count(*) FILTER (n > 40) AS BIGINT) AS n_over_budget,
+        | CAST(sum(n) AS BIGINT) AS total_turns
+        |FROM w""".stripMargin,
 
     "pipeline_time_split" ->
       """WITH s AS (SELECT CASE

@@ -982,6 +982,29 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("sftAudit: alternation, first-role, blank turns, budget, empty conversations") {
+    val convs = Seq(
+      (1L, Seq(PipelineSpec.Turn("user", "hi"), PipelineSpec.Turn("assistant", "yo"),
+        PipelineSpec.Turn("user", "ok"))),
+      (2L, Seq(PipelineSpec.Turn("user", "hi"), PipelineSpec.Turn("user", "dup"))),
+      (3L, Seq(PipelineSpec.Turn("assistant", "hello"))),
+      (4L, Seq(PipelineSpec.Turn("user", "  "), PipelineSpec.Turn("assistant", "x"))),
+      (5L, Seq.empty[PipelineSpec.Turn]),
+      (6L, (1 to 5).map(i => PipelineSpec.Turn(
+        if (i % 2 == 1) "user" else "assistant", s"t$i"))))
+      .toDF("id", "turns")
+    val r = TF.sftAudit(convs, "id", "turns", maxTurns = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getBoolean(2), x.getBoolean(3), x.getInt(4),
+          x.getBoolean(5)))).toMap
+    assert(r(1L) == ((3, true, true, 0, false)), s"$r")
+    assert(r(2L) == ((2, true, false, 0, false)), "same-role pair must fail alternation")
+    assert(r(3L) == ((1, false, true, 0, false)), "assistant-first must fail starts_ok")
+    assert(r(4L) == ((2, true, true, 1, false)), "whitespace content is a blank turn")
+    assert(r(5L) == ((0, false, true, 0, false)), "empty conv: no start, vacuous alternation")
+    assert(r(6L) == ((5, true, true, 0, true)), "5 turns > budget 4")
+  }
+
   test("tfidfCosinePairs: maxDf caps the quadratic — a corpus-wide stop term pairs nothing") {
     // 500 docs sharing ONE stop term plus a unique term each: without
     // the cap the term join would pay 500²/2 pairs; with maxDf=100 the
@@ -1767,4 +1790,10 @@ class PipelineSpec extends SparkSuite {
     assert(r(3L)._4 == Some("lorem_ipsum") && !r(3L)._3, s"${r(3L)}")
     assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
   }
+}
+
+object PipelineSpec {
+  /** Named-field turn record for sftAudit fixtures (tuples would encode
+    * as _1/_2, not role/content). */
+  case class Turn(role: String, content: String)
 }
