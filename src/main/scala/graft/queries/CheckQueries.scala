@@ -203,6 +203,31 @@ object CheckQueries {
       graft.ops.TableHealth.kAnonymity(t(s, dir, "customer"),
         Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
 
+    // Schema-evolution union: two customer snapshots with different
+    // column sets (acctbal dropped, mktsegment added) union by NAME
+    // with null padding + batch provenance; per-batch null attribution
+    // must match the snapshot definitions exactly.
+    "chk_schema_evolution" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"/root/repo/target/fixtures/$dirKey/evolution"
+      val cust = t(s, dir, "customer")
+      cust.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      cust.where(col("c_custkey") % 2 =!= 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$base/v2")
+      graft.sources.Sources
+        .unionWithEvolution(s, Seq(s"$base/v1", s"$base/v2"))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L))
+            .as("n_null_acctbal"),
+          sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L))
+            .as("n_null_mktseg"))
+        .orderBy("__batch")
+    }),
+
     // JSON key profile: per-key presence/type-mix schema inference over
     // the events property blob — one parse+explode scan, key-space
     // rollup.
@@ -691,6 +716,17 @@ object CheckQueries {
         | CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_risky_rows,
         | coalesce(sum(n) FILTER (n < 5), 0) = 0 AS k_anonymous
         |FROM g""".stripMargin,
+
+    "chk_schema_evolution" ->
+      """SELECT 'v1' AS __batch, CAST(count(*) AS BIGINT) AS n,
+        | CAST(0 AS BIGINT) AS n_null_acctbal,
+        | CAST(count(*) AS BIGINT) AS n_null_mktseg
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v2', CAST(count(*) AS BIGINT),
+        | CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM customer WHERE c_custkey % 2 != 0
+        |ORDER BY __batch""".stripMargin,
 
     // the events props blob is '{"k": <int>}' by generation; the oracle
     // extracts the scalar with a regex and applies the same type

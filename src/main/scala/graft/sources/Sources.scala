@@ -115,4 +115,20 @@ object Sources {
 
   private def where(df: DataFrame, condition: Option[String]): DataFrame =
     condition.fold(df)(df.where)
+
+  /** Union ingestion batches whose schemas have EVOLVED (columns added
+    * or dropped between snapshots): `unionByName` with missing-column
+    * null padding, plus a `__batch` provenance column (the path's base
+    * name) so downstream audits can attribute nulls to the batch that
+    * lacked the column — silent positional union is exactly how an
+    * added column ends up misaligned at ingestion. Reading N batches
+    * stays N parallel scans; no shuffle is introduced. */
+  def unionWithEvolution(spark: SparkSession, paths: Seq[String],
+      batchCol: String = "__batch"): DataFrame = {
+    require(paths.nonEmpty, "need at least one batch path")
+    paths.map { p =>
+      spark.read.parquet(p)
+        .withColumn(batchCol, lit(new java.io.File(p).getName))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }
