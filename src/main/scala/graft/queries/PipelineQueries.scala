@@ -696,6 +696,29 @@ object PipelineQueries {
         .orderBy("split")
     }),
 
+    // Hybrid retrieval end-to-end: BM25 lexical top-20 (limit-then-rank
+    // idiom) fused with embedding cosine top-20 (vec 0 as the query)
+    // via reciprocal-rank fusion — the RAG retrieval stack composed
+    // from three existing operators, each leg restated in the oracle.
+    "text_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val lexTop = TF.bm25Scores(docs, "doc_id", "text", Seq("join", "hash"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("b"))
+        .orderBy(col("b").desc, col("doc_id")).limit(20)
+      val lex = lexTop.withColumn("rank", row_number().over(
+          Window.orderBy(col("b").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+          q, "qid", "qvec", 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      graft.ops.Analytics.reciprocalRankFusion(Seq(lex, sem), "doc_id", "rank")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
     // Vocabulary drift between two corpus slices: add-one-smoothed log
     // rate ratios over vocabulary-bounded rollups, TakeOrdered top-k.
     "text_vocab_drift" -> ((s, dir) => {
@@ -4062,6 +4085,40 @@ object PipelineQueries {
         |   AND max_ts < epoch(TIMESTAMP '2024-01-17 00:00:00')
         | END AS boundary_ok
         |FROM g ORDER BY split""".stripMargin,
+
+    "text_hybrid_search" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfa,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END)
+        |         AS DOUBLE) AS dfb
+        |      FROM d),
+        |tf AS (SELECT doc_id, toks,
+        |        CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS ta,
+        |        CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tb
+        |       FROM d),
+        |sc AS (SELECT doc_id,
+        |        round(ln(1 + (n - dfa + 0.5)/(dfa + 0.5)) * ta * 2.2
+        |          / (ta + 1.2*(0.25 + 0.75*len(toks)/avgdl))
+        |      + ln(1 + (n - dfb + 0.5)/(dfb + 0.5)) * tb * 2.2
+        |          / (tb + 1.2*(0.25 + 0.75*len(toks)/avgdl)), 6) AS b
+        |       FROM tf, c),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY b DESC, doc_id)
+        |          AS rank
+        |        FROM (SELECT * FROM sc ORDER BY b DESC, doc_id LIMIT 20)),
+        |qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        |sem AS (SELECT vec_id AS doc_id,
+        |  row_number() OVER (ORDER BY
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], qv.v), 4) DESC,
+        |    vec_id) AS rank
+        | FROM embeddings e, qv WHERE e.vec_id != 0
+        | ORDER BY rank LIMIT 20),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+        |SELECT doc_id, round(sum(CAST(1 AS DOUBLE) / (60 + rank)), 8) AS rrf,
+        | CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "text_vocab_drift" ->
       """WITH ta AS (SELECT t, count(*) AS c_a FROM (
