@@ -335,4 +335,51 @@ object Graph {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(k)
   }
+
+  /** Newman modularity of a community assignment (Newman & Girvan 2004):
+    * per community c, `Q_c = e_c/m − (d_c/2m)²` (intra-edge share minus
+    * the share expected under the degree-preserving null), `Q = Σ Q_c`
+    * — the standard "are these communities real" score for
+    * [[labelPropagation]]'s output. Same undirected canonicalization
+    * (string least/greatest, self-loops dropped) as LPA, so the two
+    * compose without re-keying.
+    *
+    * Scale shape: one canonical edge distinct, two label equi-joins
+    * (labels broadcast when small), a degree rollup, and
+    * community-keyed aggregates — exchanges carry edges and the
+    * community space, nothing quadratic. Returns one row per community
+    * (intra edges, degree mass, Q_c) ORDER BY community; Σ q_c over the
+    * frame is Q. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, communityCol: String,
+      dp: Int = 6): DataFrame = {
+    val c = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // read by m, the tag join, and degrees
+    val m = c.agg(count(lit(1L)).cast("double").as("__m"))
+    val lab = labels.select(col(idCol).cast("string").as("__id"),
+      col(communityCol).cast("string").as("__cm"))
+    val intra = c
+      .join(lab.toDF("a", "__ca"), "a")
+      .join(lab.toDF("b", "__cb"), "b")
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1L)).as("intra_edges"))
+    val degMass = c.select(col("a").as("__id"))
+      .union(c.select(col("b").as("__id")))
+      .groupBy("__id").agg(count(lit(1L)).as("__d"))
+      .join(lab, "__id")
+      .groupBy(col("__cm").as("community"))
+      .agg(sum(col("__d")).as("degree_mass"))
+    degMass.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("intra_edges"), col("degree_mass"),
+        round(col("intra_edges") / col("__m") -
+          pow(col("degree_mass") / (lit(2.0) * col("__m")), 2.0), dp)
+          .as("q_c"))
+      .orderBy("community")
+  }
 }

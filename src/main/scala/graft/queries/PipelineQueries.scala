@@ -2769,6 +2769,23 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Newman modularity of the LPA communities on the planted
+    // two-clique-plus-bridge graph: per-community intra-edge share vs
+    // the degree-preserving null — the "are these communities real"
+    // verdict composed directly on labelPropagation's output.
+    "graph_modularity" -> ((s, dir) => {
+      import s.implicits._
+      def clique(offset: Long) = s.range(8).toDF("x")
+        .crossJoin(s.range(8).toDF("y")).where(col("x") < col("y"))
+        .select((col("x") + offset).as("src"), (col("y") + offset).as("dst"))
+      val edges = clique(0).union(clique(10))
+        .union(Seq((7L, 10L)).toDF("src", "dst"))
+      val labels = graft.functions.Graph
+        .labelPropagation(edges, "src", "dst", iterations = 2)
+      graft.functions.Graph.modularity(edges, "src", "dst",
+        labels, "id", "community")
+    }),
+
     // Adamic–Adar link prediction over the word co-occurrence graph:
     // top unlinked pairs by Σ 1/ln(deg) over common neighbors — rare
     // shared neighbors outvote hubs; hub pivots are excluded from
@@ -5941,6 +5958,46 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
         |       FROM r2) WHERE rn = 1)
         |SELECT id, lbl AS community FROM l2 ORDER BY id""".stripMargin,
+
+    // the LPA oracle's unrolled labels extended with the modularity
+    // rollup (intra edges + degree mass per community vs the null)
+    "graph_modularity" ->
+      """WITH e0 AS (
+        |  SELECT a.r AS s, b.r AS d FROM range(8) a(r), range(8) b(r) WHERE a.r < b.r
+        |  UNION ALL
+        |  SELECT a.r + 10, b.r + 10 FROM range(8) a(r), range(8) b(r) WHERE a.r < b.r
+        |  UNION ALL SELECT 7, 10),
+        |e AS (SELECT DISTINCT least(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS a,
+        |       greatest(CAST(s AS VARCHAR), CAST(d AS VARCHAR)) AS b
+        |      FROM e0 WHERE CAST(s AS VARCHAR) != CAST(d AS VARCHAR)),
+        |u AS (SELECT a AS id, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT id, id AS lbl FROM u),
+        |r1 AS (SELECT u.id, l.lbl, count(*) AS c
+        |       FROM u JOIN l0 l ON u.nbr = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM r1) WHERE rn = 1),
+        |r2 AS (SELECT u.id, l.lbl, count(*) AS c
+        |       FROM u JOIN l1 l ON u.nbr = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        |        row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        |       FROM r2) WHERE rn = 1),
+        |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+        |intra AS (SELECT la.lbl AS community,
+        |   CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM e JOIN l2 la ON e.a = la.id JOIN l2 lb ON e.b = lb.id
+        |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        |deg AS (SELECT id, count(*) AS d FROM u GROUP BY id),
+        |dm AS (SELECT l2.lbl AS community,
+        |   CAST(sum(d) AS BIGINT) AS degree_mass
+        |  FROM deg JOIN l2 ON deg.id = l2.id GROUP BY l2.lbl)
+        |SELECT dm.community,
+        | CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+        | degree_mass,
+        | round(CAST(coalesce(intra_edges, 0) AS DOUBLE) / m
+        |  - pow(CAST(degree_mass AS DOUBLE) / (2 * m), 2), 6) AS q_c
+        |FROM dm LEFT JOIN intra USING (community) CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
 
     // same edge construction as graph_pagerank's oracle, canonicalized
     // undirected; wedges at pivots with 2 <= deg <= 1000; existing

@@ -158,4 +158,26 @@ class GraphSpec extends SparkSuite {
     assert(Graph.adamicAdar(edges, "src", "dst", 10, maxPivotDegree = 2)
       .count() == 0)
   }
+
+  test("modularity: hand-computed two-triangle bridge; perfect split beats merged") {
+    import spark.implicits._
+    // triangles {a,b,c} and {d,e,f} + bridge c–d: m = 7; each community
+    // has 3 intra edges and degree mass 7 → Q_c = 3/7 − (7/14)² = 5/28
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val split = Seq(("a", "x"), ("b", "x"), ("c", "x"),
+      ("d", "y"), ("e", "y"), ("f", "y")).toDF("id", "community")
+    val r = Graph.modularity(edges, "src", "dst", split, "id", "community")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val qc = math.BigDecimal(3.0 / 7 - math.pow(7.0 / 14, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("x") == ((3L, 7L, qc)) && r("y") == ((3L, 7L, qc)), s"$r")
+    // one merged community: Q = m/m − (2m/2m)² = 0 — worse than the split
+    val merged = split.select(col("id"), lit("z").as("community"))
+    val rm = Graph.modularity(edges, "src", "dst", merged, "id", "community")
+      .collect()
+    assert(rm.length == 1 && rm(0).getDouble(3) == 0.0, rm.mkString(","))
+    assert(2 * qc > 0.0, "the true split must score above the merged baseline")
+  }
 }
