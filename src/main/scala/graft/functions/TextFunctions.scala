@@ -1080,6 +1080,26 @@ object TextFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic token-dropout augmentation: drop each token position
+    * with probability `dropPct`% decided by an md5 coin over
+    * (doc id, position, seed) — augmentation that REPRODUCES across
+    * engines, re-runs and cluster sizes (the property random()-based
+    * augmentation loses), so an augmented corpus can be regenerated
+    * instead of stored. Pure in-scan HOF algebra (indexed filter +
+    * rejoin), zero shuffles. */
+  def augmentDropout(docs: DataFrame, idCol: String, textCol: String,
+      dropPct: Int, seed: Long = 42L): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100,
+      s"dropPct must be in [0, 100), got $dropPct")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val kept = filter(toks, (_, i) =>
+      conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+        i.cast("string"), lit(seed.toString))), 1, 4), 16, 10)
+        .cast("int") % 100 >= dropPct)
+    docs.select(col(idCol), size(toks).as("n_tokens"),
+      size(kept).as("n_kept"), array_join(kept, " ").as("augmented"))
+  }
+
   /** SFT/chat conversation audit over an `array<struct<role, content>>`
     * turns column — the structural validation instruction-tuning data
     * needs before packing: per conversation, turn count, does it open

@@ -169,6 +169,33 @@ object DataPrep {
     *
     * A source without a weight fails loudly at run time (a silent drop
     * would starve it from the mix). */
+  /** Temperature-scaled source sampling rates (the multilingual-mix
+    * convention, e.g. mBERT/XLM-R exponent smoothing): from per-source
+    * mass `n_s`, the sampling probability `p_s = n_s^α / Σ n^α` —
+    * α = 1 reproduces natural proportions, α → 0 flattens toward
+    * uniform, so low-resource sources are up-sampled without a
+    * hand-tuned weight table. Emits natural share, smoothed share, and
+    * the up/down-sampling factor per source.
+    *
+    * One source-keyed rollup + a 1-row total broadcast — the exchanges
+    * carry the source space only. */
+  def temperatureMix(df: DataFrame, srcCol: String, alpha: Double,
+      dp: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val per = df.groupBy(col(srcCol).cast("string").as("source"))
+      .agg(count(lit(1L)).as("n"))
+      .withColumn("__pa", pow(col("n").cast("double"), alpha))
+    val tot = per.agg(sum(col("n")).cast("double").as("__tn"),
+      sum(col("__pa")).as("__ta"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        round(col("n") / col("__tn"), dp).as("natural_share"),
+        round(col("__pa") / col("__ta"), dp).as("smoothed_share"),
+        round((col("__pa") / col("__ta")) / (col("n") / col("__tn")), dp)
+          .as("boost"))
+      .orderBy("source")
+  }
+
   def mixtureBudget(avail: DataFrame, srcCol: String, tokensCol: String,
       weights: Map[String, Double], budget: Double, maxEpochs: Double,
       dp: Int = 6): DataFrame = {

@@ -696,6 +696,21 @@ object PipelineQueries {
         .orderBy("split")
     }),
 
+    // Deterministic token-dropout augmentation: the md5 position coin
+    // makes the augmented TEXT itself reproducible — the oracle
+    // regenerates every kept token and the exact rejoined strings.
+    "text_augment" -> ((s, dir) =>
+      TF.augmentDropout(t(s, dir, "documents").where(col("doc_id") < 5),
+          "doc_id", "text", dropPct = 15)
+        .orderBy("doc_id")),
+
+    // Temperature-scaled language sampling (α = 0.5): natural vs
+    // smoothed shares + per-source boost — low-resource langs
+    // up-sample without a weight table.
+    "pipeline_temperature_mix" -> ((s, dir) =>
+      graft.ops.DataPrep.temperatureMix(t(s, dir, "documents"), "lang",
+        alpha = 0.5)),
+
     // Hybrid retrieval end-to-end: BM25 lexical top-20 (limit-then-rank
     // idiom) fused with embedding cosine top-20 (vec 0 as the query)
     // via reciprocal-rank fusion — the RAG retrieval stack composed
@@ -3457,6 +3472,16 @@ object PipelineQueries {
     }),
   )
 
+  /** First 16 md5 bits of `expr` as a BIGINT — the version-proof
+    * per-nibble strpos form (see CheckQueries.duckRowHash; the '0x'
+    * cast idiom proved DuckDB-version-sensitive). */
+  private def duckHex16(expr: String): String =
+    (0 until 4).map { i =>
+      val w = 1L << (4 * (3 - i))
+      s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) " +
+        s"AS BIGINT) - 1) * $w"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     // Mirrors TextFunctions.langId exactly: whitespace-token stopword hits
     // per space-delimited language, character hits for zh, greatest-wins
@@ -4102,6 +4127,36 @@ object PipelineQueries {
         |   AND max_ts < epoch(TIMESTAMP '2024-01-17 00:00:00')
         | END AS boundary_ok
         |FROM g ORDER BY split""".stripMargin,
+
+    "text_augment" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+        | FROM documents WHERE doc_id < 5),
+        |pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS i FROM d),
+        |keep AS (SELECT doc_id, i, tok FROM pos
+        |  WHERE ${duckHex16("CAST(doc_id AS VARCHAR) || ':' || " +
+            "CAST(i - 1 AS VARCHAR) || ':42'")} % 100 >= 15),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |   string_agg(tok, ' ' ORDER BY i) AS augmented
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        | coalesce(n_kept, 0) AS n_kept,
+        | coalesce(augmented, '') AS augmented
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "pipeline_temperature_mix" ->
+      """WITH per AS (SELECT lang AS source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+        |  sum(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))) AS ta FROM per)
+        |SELECT source, n,
+        | round(CAST(n AS DOUBLE) / tn, 6) AS natural_share,
+        | round(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) / ta, 6)
+        |   AS smoothed_share,
+        | round((pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) / ta)
+        |   / (CAST(n AS DOUBLE) / tn), 6) AS boost
+        |FROM per, t ORDER BY source""".stripMargin,
 
     "text_hybrid_search" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks

@@ -982,6 +982,31 @@ class PipelineSpec extends SparkSuite {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0, s"$capped")
   }
 
+  test("augmentDropout: deterministic coin, realized rate near target, order preserved") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val a = TF.augmentDropout(docs, "doc_id", "text", dropPct = 15)
+    val r = a.agg(sum(col("n_tokens")).as("t"), sum(col("n_kept")).as("k"))
+      .head()
+    val rate = 1.0 - r.getLong(1).toDouble / r.getLong(0)
+    assert(rate > 0.10 && rate < 0.20, s"realized drop rate $rate not near 15%")
+    // deterministic: a second invocation yields byte-identical text
+    val s1 = a.orderBy("doc_id").select("augmented").collect().map(_.getString(0))
+    val s2 = TF.augmentDropout(docs, "doc_id", "text", dropPct = 15)
+      .orderBy("doc_id").select("augmented").collect().map(_.getString(0))
+    assert(s1.sameElements(s2))
+    // kept tokens preserve original order (subsequence property)
+    val one = docs.where(col("doc_id") === 1).select("text").head().getString(0)
+      .split("\\s+").filter(_.nonEmpty)
+    val aug1 = s1(1).split(" ").filter(_.nonEmpty)
+    var j = 0
+    aug1.foreach { t => while (j < one.length && one(j) != t) j += 1
+      assert(j < one.length, s"token $t out of order"); j += 1 }
+    // dropPct 0 is the identity
+    assert(TF.augmentDropout(docs, "doc_id", "text", dropPct = 0)
+      .where(col("n_kept") =!= col("n_tokens")).count() == 0)
+  }
+
   test("sftAudit: alternation, first-role, blank turns, budget, empty conversations") {
     val convs = Seq(
       (1L, Seq(PipelineSpec.Turn("user", "hi"), PipelineSpec.Turn("assistant", "yo"),
