@@ -203,6 +203,44 @@ object CheckQueries {
       graft.ops.TableHealth.kAnonymity(t(s, dir, "customer"),
         Seq(col("c_nationkey"), col("c_mktsegment")), k = 5L)),
 
+    // CSV corrupt-record accounting (chk_badrecords' CSV sibling): a
+    // staged CSV with a non-numeric value in a LONG column every 7th
+    // row; PERMISSIVE + columnNameOfCorruptRecord must count exactly
+    // the planted corruptions and keep the good rows' arithmetic.
+    "chk_badrecords_csv" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val stage = s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/badrecords_csv"
+      t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(concat_ws(",", col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("xx"))
+            .otherwise(col("n_chars").cast("string")),
+          col("lang")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(stage)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType), StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(stage)
+        .agg(count(lit(1L)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("n_chars")))
+            .cast("long").as("good_chars"))
+    }),
+
+    // Release freeze manifest: one fingerprint row per frozen table —
+    // the multiset-equality receipts a dataset release ships.
+    "chk_freeze_manifest" -> ((s, dir) =>
+      Seq("nation" -> Seq("n_nationkey", "n_name"),
+          "region" -> Seq("r_regionkey", "r_name"),
+          "customer" -> Seq("c_custkey", "c_name"))
+        .map { case (tn, cols) =>
+          graft.ops.TableHealth.tableFingerprint(t(s, dir, tn), cols)
+            .select(lit(tn).as("table_name"), col("n_rows"), col("fingerprint"))
+        }.reduce(_ unionByName _).orderBy("table_name")),
+
     // Schema-evolution union: two customer snapshots with different
     // column sets (acctbal dropped, mktsegment added) union by NAME
     // with null padding + batch provenance; per-batch null attribution
@@ -999,6 +1037,30 @@ object CheckQueries {
         |          AS violation_rate,
         |        count(*) FILTER (WHERE nd > 1) = 0 AS holds FROM f2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY fd""".stripMargin,
+
+    "chk_badrecords_csv" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 200)
+        |   AS n_rows,
+        | (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id < 200 AND doc_id % 7 = 0) AS n_corrupt,
+        | (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |   WHERE doc_id < 200 AND doc_id % 7 != 0) AS good_chars""".stripMargin,
+
+    "chk_freeze_manifest" ->
+      s"""SELECT 'customer' AS table_name,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | ${duckFingerprint(Seq("c_custkey", "c_name"))} AS fingerprint
+         |FROM customer
+         |UNION ALL
+         |SELECT 'nation', CAST(count(*) AS BIGINT),
+         | ${duckFingerprint(Seq("n_nationkey", "n_name"))}
+         |FROM nation
+         |UNION ALL
+         |SELECT 'region', CAST(count(*) AS BIGINT),
+         | ${duckFingerprint(Seq("r_regionkey", "r_name"))}
+         |FROM region
+         |ORDER BY table_name""".stripMargin,
 
     "chk_roundtrip" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
