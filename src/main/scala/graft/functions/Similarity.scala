@@ -379,4 +379,42 @@ object Similarity {
         scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     }
   }
+
+  /** Davies–Bouldin cluster-quality table (Davies & Bouldin, IEEE TPAMI
+    * 1979) over an EXISTING assignment column (k-means cells, SemDedup
+    * cells, topic tags — any partition whose tightness/separation needs
+    * auditing). Per cluster i: member count, scatter sᵢ (mean Euclidean
+    * member→centroid distance) and the DB ratio max_{j≠i} (sᵢ+sⱼ)/dᵢⱼ
+    * over centroid distances dᵢⱼ; the index itself is the average of
+    * `worst_ratio` (lower = tighter/better-separated).
+    *
+    * Scale shape: centroids are ONE scan with k·d exchange
+    * ([[groupCentroids]]); scatter is one more scan against the
+    * BROADCAST k-row centroid table; the (i, j) ratio frame is the k²
+    * centroid pairing — bounded by cluster count, never by corpus.
+    * Coincident centroids (dᵢⱼ = 0) are excluded from the max (the
+    * ratio is undefined; a NULL `worst_ratio` means every other
+    * centroid coincides). Callers filter null / wrong-dimension
+    * vectors first — a ragged vector would null the distance algebra. */
+  def daviesBouldin(df: DataFrame, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val cent = groupCentroids(df, clusterCol, vecCol, "__c")
+    val scat = df.join(broadcast(cent), clusterCol)
+      .select(col(clusterCol), sqrt(Ivf.sqDist(col(vecCol), col("__c"))).as("__d"))
+      .groupBy(clusterCol)
+      .agg(count(lit(1L)).as("n"), avg(col("__d")).as("scatter"))
+    val pairs = cent.select(col(clusterCol).as("__ca"), col("__c").as("__va"))
+      .join(cent.select(col(clusterCol).as("__cb"), col("__c").as("__vb")),
+        col("__ca") =!= col("__cb"))
+      .select(col("__ca"), col("__cb"),
+        sqrt(Ivf.sqDist(col("__va"), col("__vb"))).as("__cd"))
+    val worst = pairs
+      .join(scat.select(col(clusterCol).as("__ca"), col("scatter").as("__sa")), "__ca")
+      .join(scat.select(col(clusterCol).as("__cb"), col("scatter").as("__sb")), "__cb")
+      .select(col("__ca"),
+        when(col("__cd") > 0.0, (col("__sa") + col("__sb")) / col("__cd")).as("__r"))
+      .groupBy(col("__ca")).agg(max(col("__r")).as("worst_ratio"))
+    scat.join(worst, col(clusterCol) === col("__ca"), "left")
+      .select(col(clusterCol), col("n"), col("scatter"), col("worst_ratio"))
+  }
 }

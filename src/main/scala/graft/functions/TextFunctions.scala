@@ -1080,6 +1080,74 @@ object TextFunctions {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-order modified n-gram precision table for corpus-level BLEU
+    * (Papineni et al., ACL 2002): candidate n-gram counts are CLIPPED by
+    * the same row's reference counts, summed over the corpus, divided by
+    * total candidate n-grams. Returns one row per order n ∈ [1, maxN]:
+    * (n, clipped, total, precision).
+    *
+    * Shape: per order, two gram-count rollups keyed by (id, gram) and
+    * one equi-join on that same key — co-partitioned, output-sensitive,
+    * map-side partial aggregation; nothing is all-pairs and only
+    * gram-count rows cross an exchange. Scans are deliberately one per
+    * order (the fused tagged-gram projection measured SLOWER — see
+    * [[ngramDiversity]]). */
+  def bleuPrecisions(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    def grams(side: Column, n: Int): Column = {
+      val t0 = tokensWs(side)
+      when(size(t0) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t0) - n),
+          i => concat_ws(" ", slice(t0, i + 1, lit(n)))))
+    }
+    def counts(side: Column, n: Int, out: String) =
+      df.select(col(idCol).as("__id"), explode(grams(side, n)).as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
+    (1 to maxN).map { n =>
+      val clipped = counts(col(candCol), n, "__cc")
+        .join(counts(col(refCol), n, "__cr"), Seq("__id", "__g"))
+        .agg(coalesce(sum(least(col("__cc"), col("__cr"))), lit(0L))
+          .as("clipped"))
+      val total = df.agg(coalesce(sum(greatest(
+          size(tokensWs(col(candCol))) - n + 1, lit(0)).cast("long")),
+        lit(0L)).as("total"))
+      clipped.crossJoin(total) // 1-row × 1-row verdict assembly
+        .select(lit(n).as("n"), col("clipped"), col("total"),
+          when(col("total") > 0,
+            col("clipped").cast("double") / col("total")).as("precision"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
+
+  /** Corpus-level BLEU from [[bleuPrecisions]] plus the brevity penalty
+    * BP = exp(min(0, 1 − refLen/candLen)) over corpus token totals. One
+    * row: (bleu, bp, cand_tokens, ref_tokens). BLEU is 0 when any
+    * order's clipped count is 0 (standard unsmoothed corpus BLEU) or
+    * the candidate side is empty. */
+  def corpusBleu(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    val prec = bleuPrecisions(df, idCol, candCol, refCol, maxN)
+      .agg(min(col("clipped")).as("__minc"),
+        sum(log(when(col("precision") > 0, col("precision"))))
+          .as("__logsum"))
+    val lens = df.agg(
+      coalesce(sum(size(tokensWs(col(candCol))).cast("long")), lit(0L))
+        .as("cand_tokens"),
+      coalesce(sum(size(tokensWs(col(refCol))).cast("long")), lit(0L))
+        .as("ref_tokens"))
+    prec.crossJoin(lens) // 1-row × 1-row verdict assembly
+      .select(
+        when(col("cand_tokens") > 0 && col("__minc") > 0,
+          exp(least(lit(0.0), lit(1.0) -
+            col("ref_tokens").cast("double") / col("cand_tokens"))) *
+            exp(col("__logsum") / maxN)).otherwise(lit(0.0)).as("bleu"),
+        when(col("cand_tokens") > 0,
+          exp(least(lit(0.0), lit(1.0) -
+            col("ref_tokens").cast("double") / col("cand_tokens"))))
+          .otherwise(lit(0.0)).as("bp"),
+        col("cand_tokens"), col("ref_tokens"))
+  }
+
   /** Deterministic token-dropout augmentation: drop each token position
     * with probability `dropPct`% decided by an md5 coin over
     * (doc id, position, seed) — augmentation that REPRODUCES across

@@ -1689,6 +1689,58 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** Isotonic (PAV) probability calibration over the same equal-width
+    * score bins as [[calibrationBins]]: per bin, the observed positive
+    * rate is replaced by the pool-adjacent-violators fit — the unique
+    * monotone non-decreasing step function minimizing weighted squared
+    * error (Barlow et al., Statistical Inference under Order
+    * Restrictions, 1972). Returns (bin, n, avg_score, raw_rate,
+    * pav_rate) for the bins that are populated.
+    *
+    * Shape: ONE corpus aggregation keyed by bin (≤ `bins` rows, partial
+    * aggregated map-side); PAV itself runs on the DRIVER over the
+    * collected ≤`bins`-row table — the IPF bounded-driver-step
+    * discipline. The fit is differentially checkable in SQL via the
+    * minimax characterization pav(i) = max_{h≤i} min_{k≥i} avg(h..k),
+    * which the oracle restates over the same bin table. NULL scores are
+    * excluded up front (least/greatest would clamp them into a bin). */
+  def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
+      .cast("int")
+    val agg = df.where(score.isNotNull)
+      .select(b.as("bin"), score.as("__s"), label.cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1L)).as("n"), avg(col("__s")).as("__avg_s"),
+        sum(col("__y")).as("__pos"))
+      .orderBy(col("bin"))
+    val rows = agg.collect().map(r => (r.getAs[Int]("bin"),
+      r.getAs[Long]("n"), r.getAs[Double]("__avg_s"),
+      r.getAs[Double]("__pos")))
+    // PAV over the ordered bins: merge any block whose rate falls below
+    // its predecessor's, pooling weights and positives
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, List[Int])] // (weight, sumY, member bins)
+    rows.foreach { case (bin, n, _, pos) =>
+      var cur = (n.toDouble, pos, List(bin))
+      while (blocks.nonEmpty &&
+          blocks.last._2 / blocks.last._1 > cur._2 / cur._1) {
+        val p = blocks.remove(blocks.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 ++ cur._3)
+      }
+      blocks += cur
+    }
+    val pav = blocks.flatMap { case (w, sy, members) =>
+      members.map(_ -> sy / w)
+    }.toMap
+    val out = rows.map { case (bin, n, avgS, pos) =>
+      (bin, n, avgS, pos / n, pav(bin))
+    }.toSeq
+    df.sparkSession.createDataFrame(out)
+      .toDF("bin", "n", "avg_score", "raw_rate", "pav_rate")
+  }
+
   /** Theil–Sen robust trend estimator per key: the slope is the MEDIAN
     * of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ<xⱼ — up to ~29%
     * contamination leaves it standing where OLS ([[regressionByKey]])

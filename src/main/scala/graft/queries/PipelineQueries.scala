@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Boilerplate, Bpe, Clusters, Decontam, Dedup, GraftFunctions, Ivf, IvfPq, Multimodal => MM, PHash, Pq, Similarity, TextFunctions => TF}
+import graft.functions.{Boilerplate, Bpe, Clusters, Decontam, Dedup, GraftFunctions, Ivf, IvfPq, Multimodal => MM, PHash, Pca, Pq, Similarity, TextFunctions => TF}
 import graft.queries.CheckQueries.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3162,6 +3162,102 @@ object PipelineQueries {
         .select(col("qid").as("vec_id"), col("cos").as("knn5_cos"),
           round(lit(1.0) - col("cos"), 4).as("outlier_score"))
         .orderBy(col("knn5_cos").asc, col("vec_id")).limit(10)
+    }),
+
+    // One-scan d×d sample covariance of the embedding column — the
+    // auditable face of the PCA pipeline (the eigen step is driver-side
+    // over this bounded matrix): each row expands to its upper-triangle
+    // products IN-SCAN (no self-join) and map-side combine caps the
+    // exchange at d(d+1)/2 rows per partition regardless of corpus size.
+    "sim_pca_cov" -> ((s, dir) =>
+      Pca.covarianceUpper(t(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"), col("n"),
+          round(col("cov"), 6).as("cov"))
+        .orderBy("i", "j")),
+
+    // PCA explained-variance curve: the covariance scan feeds a bounded
+    // driver Jacobi eigendecomposition (d², the IPF bounded-driver-step
+    // discipline); k rows out. Eigenvalues are not ANSI-SQL-expressible
+    // → rows-only check here; PcaSpec pins the eigen step (hand-computed
+    // 2×2, A·v=λ·v residuals, orthonormality) and proves projected
+    // variance equals the eigenvalue on this same table.
+    "sim_pca_var" -> ((s, dir) => {
+      val model = Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 8)
+      s.createDataFrame(model.explained())
+        .toDF("component", "eigenvalue", "ratio", "cum_ratio")
+        .orderBy("component")
+    }),
+
+    // Diagonal-Mahalanobis embedding outliers: the O(n·d) one-scan
+    // complement of the O(n²) kNN-distance score above — per-dim stats
+    // are one bounded aggregation, scoring is map-only with the stats
+    // shipped as literals; the corpus never shuffles at 100 TB.
+    "sim_outlier_maha" -> ((s, dir) =>
+      Pca.diagMahalanobis(
+          t(s, dir, "embeddings").where(size(col("embedding")) === 64),
+          "embedding", 64)
+        .select(col("vec_id"), round(col("maha2"), 4).as("maha2"))
+        .orderBy(col("maha2").desc, col("vec_id")).limit(10)),
+
+    // Davies–Bouldin cluster-quality audit over a deterministic
+    // assignment (id mod 5 — SQL-restatable so the oracle pins the
+    // whole scatter/separation algebra): centroids one scan, scatter
+    // one broadcast-join scan, ratios a k²-bounded centroid pairing.
+    "sim_db_index" -> ((s, dir) =>
+      Similarity.daviesBouldin(
+          t(s, dir, "embeddings")
+            .where(size(col("embedding")) === 64)
+            .withColumn("cluster", pmod(col("vec_id"), lit(5L))),
+          "embedding", "cluster")
+        .select(col("cluster"), col("n"),
+          round(col("scatter"), 6).as("scatter"),
+          round(col("worst_ratio"), 6).as("worst_ratio"))
+        .orderBy("cluster")),
+
+    // Isotonic (PAV) calibration over deterministic pseudo-scores: one
+    // bin-keyed aggregation + the bounded driver PAV; the oracle
+    // restates the fit via the minimax identity pav(i) = max_{h<=i}
+    // min_{k>=i} avg(h..k) — a true differential check of the pooling.
+    "eval_isotonic" -> ((s, dir) =>
+      graft.ops.Analytics.isotonicCalibrate(
+          t(s, dir, "documents"),
+          (col("n_chars") % 97) / lit(96.0),
+          when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+            .otherwise(0),
+          bins = 10)
+        .select(col("bin"), col("n"),
+          round(col("avg_score"), 6).as("avg_score"),
+          round(col("raw_rate"), 6).as("raw_rate"),
+          round(col("pav_rate"), 6).as("pav_rate"))
+        .orderBy("bin")),
+
+    // Corpus BLEU self-eval: candidate = word-reversed 80% truncation
+    // of the reference (deterministic, SQL-restatable) — reversal makes
+    // the n>1 precisions non-trivial, truncation exercises the brevity
+    // penalty. Per-order clipped-precision table...
+    "eval_bleu_prec" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", reverse(slice(toks, lit(1),
+          ceil(size(toks) * lit(0.8)).cast("int")))).as("cand"),
+        col("text").as("ref"))
+      TF.bleuPrecisions(pairs, "doc_id", "cand", "ref", 4)
+        .select(col("n"), col("clipped"), col("total"),
+          round(col("precision"), 6).as("p_n"))
+        .orderBy("n")
+    }),
+
+    // ...and the corpus-level scalar (geometric mean × brevity penalty).
+    "eval_bleu" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", reverse(slice(toks, lit(1),
+          ceil(size(toks) * lit(0.8)).cast("int")))).as("cand"),
+        col("text").as("ref"))
+      TF.corpusBleu(pairs, "doc_id", "cand", "ref", 4)
+        .select(round(col("bleu"), 6).as("bleu"),
+          round(col("bp"), 6).as("bp"),
+          col("cand_tokens"), col("ref_tokens"))
     }),
 
     // Source-vocabulary similarity matrix: pairwise Jaccard between
@@ -6381,6 +6477,145 @@ object PipelineQueries {
         |SELECT vec_id, cos AS knn5_cos, round(1.0 - cos, 4) AS outlier_score
         |FROM knn WHERE rank = 5
         |ORDER BY knn5_cos ASC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_pca_cov" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64)
+        |SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        | round((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*))
+        |   / (count(*) - 1), 6) + 0 AS cov
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sim_outlier_maha" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |s AS (SELECT i, avg(v) AS m, var_samp(v) AS s2 FROM x GROUP BY 1),
+        |sc AS (SELECT x.vec_id,
+        |        sum(CASE WHEN s.s2 > 0 THEN (x.v - s.m) * (x.v - s.m) / s.s2
+        |                 ELSE 0 END) AS score
+        |       FROM x JOIN s ON x.i = s.i GROUP BY 1)
+        |SELECT vec_id, round(score, 4) AS maha2
+        |FROM sc ORDER BY round(score, 4) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_db_index" ->
+      """WITH x AS (SELECT vec_id, vec_id % 5 AS cluster, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |c AS (SELECT cluster, i, avg(v) AS cv FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.cluster,
+        |        sqrt(sum((x.v - c.cv) * (x.v - c.cv))) AS dist
+        |       FROM x JOIN c ON x.cluster = c.cluster AND x.i = c.i
+        |       GROUP BY 1, 2),
+        |s AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |        avg(dist) AS scatter FROM d GROUP BY 1),
+        |cd AS (SELECT a.cluster AS ca, b.cluster AS cb,
+        |        sqrt(sum((a.cv - b.cv) * (a.cv - b.cv))) AS cdist
+        |       FROM c a JOIN c b ON a.i = b.i AND a.cluster != b.cluster
+        |       GROUP BY 1, 2),
+        |r AS (SELECT cd.ca AS cluster,
+        |        max((sa.scatter + sb.scatter) / cd.cdist) AS worst
+        |       FROM cd JOIN s sa ON cd.ca = sa.cluster
+        |       JOIN s sb ON cd.cb = sb.cluster
+        |       WHERE cd.cdist > 0 GROUP BY 1)
+        |SELECT s.cluster, s.n, round(s.scatter, 6) AS scatter,
+        | round(r.worst, 6) AS worst_ratio
+        |FROM s JOIN r ON s.cluster = r.cluster ORDER BY s.cluster""".stripMargin,
+
+    "eval_isotonic" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1 ELSE 0 END AS y
+        |       FROM documents),
+        |b AS (SELECT greatest(0, least(CAST(floor(s * 10) AS INT), 9)) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n, avg(s) AS avg_s,
+        |        CAST(sum(y) AS BIGINT) AS pos
+        |       FROM d GROUP BY 1),
+        |iv AS (SELECT h.bin AS h, k.bin AS k,
+        |        sum(m.pos) / CAST(sum(m.n) AS DOUBLE) AS a
+        |       FROM b h JOIN b k ON k.bin >= h.bin
+        |       JOIN b m ON m.bin BETWEEN h.bin AND k.bin
+        |       GROUP BY 1, 2),
+        |mn AS (SELECT iv.h, i.bin AS i, min(iv.a) AS v
+        |       FROM iv JOIN b i ON iv.h <= i.bin AND iv.k >= i.bin
+        |       GROUP BY 1, 2),
+        |f AS (SELECT i AS bin, max(v) AS pav FROM mn GROUP BY 1)
+        |SELECT b.bin, b.n, round(b.avg_s, 6) AS avg_score,
+        | round(b.pos / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+        | round(f.pav, 6) AS pav_rate
+        |FROM b JOIN f ON b.bin = f.bin ORDER BY b.bin""".stripMargin,
+
+    "eval_bleu_prec" ->
+      """WITH base AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS rt FROM documents),
+        |p AS (SELECT doc_id, rt, list_reverse(list_slice(rt, 1,
+        |        CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE)) AS INT))) AS ct
+        |      FROM base),
+        |cg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(ct) - nn.n + 1),
+        |          i -> array_to_string(list_slice(ct, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 5) nn(n)),
+        |rg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(rt) - nn.n + 1),
+        |          i -> array_to_string(list_slice(rt, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 5) nn(n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT cc.n, sum(least(cc.c, rc.c)) AS clipped
+        |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+        |         AND cc.g = rc.g GROUP BY 1),
+        |tt AS (SELECT CAST(nn.n AS INT) AS n,
+        |        sum(greatest(len(ct) - nn.n + 1, 0)) AS total
+        |       FROM p, range(1, 5) nn(n) GROUP BY 1)
+        |SELECT tt.n, CAST(coalesce(cl.clipped, 0) AS BIGINT) AS clipped,
+        | CAST(tt.total AS BIGINT) AS total,
+        | round(coalesce(cl.clipped, 0) / CAST(tt.total AS DOUBLE), 6) AS p_n
+        |FROM tt LEFT JOIN cl ON tt.n = cl.n ORDER BY tt.n""".stripMargin,
+
+    "eval_bleu" ->
+      """WITH base AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS rt FROM documents),
+        |p AS (SELECT doc_id, rt, list_reverse(list_slice(rt, 1,
+        |        CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE)) AS INT))) AS ct
+        |      FROM base),
+        |cg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(ct) - nn.n + 1),
+        |          i -> array_to_string(list_slice(ct, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 5) nn(n)),
+        |rg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(rt) - nn.n + 1),
+        |          i -> array_to_string(list_slice(rt, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 5) nn(n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT cc.n, sum(least(cc.c, rc.c)) AS clipped
+        |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+        |         AND cc.g = rc.g GROUP BY 1),
+        |tt AS (SELECT CAST(nn.n AS INT) AS n,
+        |        sum(greatest(len(ct) - nn.n + 1, 0)) AS total
+        |       FROM p, range(1, 5) nn(n) GROUP BY 1),
+        |pr AS (SELECT tt.n, coalesce(cl.clipped, 0) AS clipped,
+        |        coalesce(cl.clipped, 0) / CAST(tt.total AS DOUBLE) AS pn
+        |       FROM tt LEFT JOIN cl ON tt.n = cl.n),
+        |ag AS (SELECT min(clipped) AS minc,
+        |        sum(ln(pn)) FILTER (WHERE pn > 0) AS logsum FROM pr),
+        |lens AS (SELECT CAST(sum(len(ct)) AS BIGINT) AS cand_tokens,
+        |          CAST(sum(len(rt)) AS BIGINT) AS ref_tokens FROM p)
+        |SELECT CASE WHEN lens.cand_tokens > 0 AND ag.minc > 0 THEN
+        |   round(exp(least(CAST(0 AS DOUBLE),
+        |     1 - lens.ref_tokens / CAST(lens.cand_tokens AS DOUBLE))) *
+        |     exp(ag.logsum / 4), 6) ELSE CAST(0 AS DOUBLE) END AS bleu,
+        | CASE WHEN lens.cand_tokens > 0 THEN
+        |   round(exp(least(CAST(0 AS DOUBLE),
+        |     1 - lens.ref_tokens / CAST(lens.cand_tokens AS DOUBLE))), 6)
+        |   ELSE CAST(0 AS DOUBLE) END AS bp,
+        | lens.cand_tokens, lens.ref_tokens
+        |FROM ag, lens""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

@@ -2001,4 +2001,44 @@ class AnalyticsSpec extends SparkSuite {
         joinType = "left_outer")
     }
   }
+
+  test("isotonicCalibrate: PAV pools planted violators, preserves mass, excludes null scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bins 0..3 of 10 rows each with rates [0.1, 0.5, 0.3, 0.7]:
+    // PAV pools bins 1,2 -> (5+3)/20 = 0.4; expected [0.1, 0.4, 0.4, 0.7]
+    def mk(bin: Int, pos: Int, n: Int) = (0 until n).map(i =>
+      (bin / 10.0 + 0.05, if (i < pos) 1 else 0))
+    val df = (mk(0, 1, 10) ++ mk(1, 5, 10) ++ mk(2, 3, 10) ++ mk(3, 7, 10))
+      .toDF("s", "y")
+    val r = graft.ops.Analytics
+      .isotonicCalibrate(df, col("s"), col("y"), bins = 10)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(0) == ((10L, 0.1, 0.1)), s"${r(0)}")
+    assert(r(1)._3 == 0.4 && r(2)._3 == 0.4, s"$r")
+    assert(r(3) == ((10L, 0.7, 0.7)), s"${r(3)}")
+    // weighted pooling: rates [0.8 (w5), 0.2 (w15)] -> both (4+3)/20 = 0.35
+    val w = (mk(0, 4, 5) ++ mk(1, 3, 15)).toDF("s", "y")
+    val rw = graft.ops.Analytics
+      .isotonicCalibrate(w, col("s"), col("y"), bins = 10)
+      .collect().map(x => x.getInt(0) -> x.getDouble(4)).toMap
+    assert(rw(0) == 0.35 && rw(1) == 0.35, s"$rw")
+    // invariants on a noisier fixture: monotone + weighted mass preserved
+    val noisy = (0 until 200).map(i =>
+      ((i % 40) / 40.0, if ((i * 7 + i % 13) % 3 == 0) 1 else 0)).toDF("s", "y")
+    val rows = graft.ops.Analytics
+      .isotonicCalibrate(noisy, col("s"), col("y"), bins = 8)
+      .orderBy("bin").collect()
+    val pavs = rows.map(_.getDouble(4))
+    assert(pavs.zip(pavs.tail).forall { case (a, b) => a <= b + 1e-12 })
+    val mass = rows.map(x => x.getLong(1) * x.getDouble(4)).sum
+    val pos = rows.map(x => x.getLong(1) * x.getDouble(3)).sum
+    assert(math.abs(mass - pos) < 1e-9)
+    // null scores are excluded, not clamped into a bin
+    val withNull = df.union(Seq((Option.empty[Double], 1)).toDF("s", "y"))
+    assert(graft.ops.Analytics
+      .isotonicCalibrate(withNull, col("s"), col("y"), bins = 10)
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0) == 40L)
+  }
 }

@@ -1815,6 +1815,61 @@ class PipelineSpec extends SparkSuite {
     assert(r(3L)._4 == Some("lorem_ipsum") && !r(3L)._3, s"${r(3L)}")
     assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
   }
+
+  test("daviesBouldin: hand-computed 2-cluster fixture; coincident centroids give NULL ratio") {
+    import spark.implicits._
+    // cluster 0: (0,0),(2,0) -> centroid (1,0), scatter 1
+    // cluster 1: (10,0),(12,0) -> centroid (11,0), scatter 1
+    // d01 = 10 -> both worst ratios (1+1)/10 = 0.2
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (0L, Seq(2.0f, 0.0f)),
+      (1L, Seq(10.0f, 0.0f)), (1L, Seq(12.0f, 0.0f))).toDF("cluster", "v")
+    val r = graft.functions.Similarity.daviesBouldin(df, "v", "cluster")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L)._1 == 2 && math.abs(r(0L)._2 - 1.0) < 1e-9, s"${r(0L)}")
+    assert(math.abs(r(0L)._3 - 0.2) < 1e-9 && math.abs(r(1L)._3 - 0.2) < 1e-9)
+    // three clusters: worst ratio picks the NEAREST-ish competitor max
+    // cluster 2 at (3,0) centroid, scatter 0 -> r02 = (1+0)/2 = 0.5
+    val df3 = df.union(Seq((2L, Seq(3.0f, 0.0f))).toDF("cluster", "v"))
+    val r3 = graft.functions.Similarity.daviesBouldin(df3, "v", "cluster")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(math.abs(r3(0L) - 0.5) < 1e-9, s"$r3")
+    assert(math.abs(r3(2L) - 0.5) < 1e-9, s"$r3")
+    // coincident centroids: ratio undefined -> NULL, not a divide error
+    val dup = Seq((0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)))
+      .toDF("cluster", "v")
+    assert(graft.functions.Similarity.daviesBouldin(dup, "v", "cluster")
+      .collect().forall(_.isNullAt(3)))
+  }
+
+  test("corpusBleu: hand-computed precisions, clipping, brevity penalty, zero-overlap floor") {
+    def bleu(pairs: Seq[(Long, String, String)]): (Double, Double, Long, Long) = {
+      val df = pairs.toDF("id", "cand", "ref")
+      val r = TF.corpusBleu(df, "id", "cand", "ref", maxN = 2).head()
+      (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    }
+    // reorder: p1 = 4/4, p2 = 1/3 ("c d" survives) -> sqrt(1/3), bp = 1
+    val (b1, bp1, c1, r1) = bleu(Seq((1L, "b a c d", "a b c d")))
+    assert(math.abs(b1 - math.sqrt(1.0 / 3.0)) < 1e-12 && bp1 == 1.0)
+    assert(c1 == 4 && r1 == 4)
+    // truncation: perfect prefix, bp = exp(1 - 5/3)
+    val (b2, bp2, _, _) = bleu(Seq((1L, "a b c", "a b c d e")))
+    assert(math.abs(bp2 - math.exp(1.0 - 5.0 / 3.0)) < 1e-12)
+    assert(math.abs(b2 - bp2) < 1e-12, "perfect precisions -> bleu = bp")
+    // clipping: cand "a a a" vs ref "a b" -> p1 = 1/3 not 3/3
+    val prec = TF.bleuPrecisions(
+      Seq((1L, "a a a", "a b")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 1).head()
+    assert(prec.getLong(1) == 1 && prec.getLong(2) == 3)
+    // zero n-gram overlap -> bleu 0 (unsmoothed), not an error
+    assert(bleu(Seq((1L, "x y", "a b")))._1 == 0.0)
+    // corpus-level pooling: doc 1 is perfect, doc 2 matches nothing ->
+    // p1 = 2/4, p2 = 1/2, bleu = exp((ln .5 + ln .5)/2) = 0.5
+    val (b3, _, c3, _) = bleu(Seq(
+      (1L, "a b", "a b"), (2L, "x y", "p q")))
+    assert(c3 == 4 && math.abs(b3 - 0.5) < 1e-12, s"got $b3")
+  }
 }
 
 object PipelineSpec {
