@@ -268,6 +268,56 @@ object TextFunctions {
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen_bigrams"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity per group (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman, TR-10-98 §2.7 with a fixed discount):
+    *
+    *   P(w|v)  = max(c(v,w)−d, 0)/c(v·) + d·N₁₊(v·)/c(v·) · P_cont(w)
+    *   P_cont(w) = N₁₊(·w) / N₁₊(··)
+    *
+    * trained on the scored corpus itself (every scored bigram therefore
+    * has c ≥ 1, but the continuation term still redistributes mass the
+    * KN way: frequent-but-context-narrow tokens score below their raw
+    * counts). The sharper LM-quality signal than [[bigramLmScores]]'
+    * Jelinek–Mercer mix; per group (language, source, shard) it is the
+    * standard corpus-drift / filtering readout. Returns one row per
+    * group: (grp, n_bigrams, avg_logp, ppl = exp(−avg_logp)).
+    *
+    * Scale shape: every model table is a (token/bigram)-keyed rollup —
+    * vocabulary-bounded, partial-aggregated; scoring joins the
+    * GRAM-BOUNDED (group, v, w, count) table, never the occurrence
+    * stream, so post-rollup exchanges are bounded by |groups| ×
+    * |distinct bigrams| regardless of corpus size. */
+  def kneserNeyBigramScores(docs: DataFrame, groupCol: String,
+      textCol: String, discount: Double = 0.75, dp: Int = 6): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val w = docs.select(col(groupCol).as("grp"),
+      tokensWs(lower(col(textCol))).as("w"))
+    val pos = w.select(col("grp"), explode(zip_with(
+        expr("slice(w, 1, size(w)-1)"), expr("slice(w, 2, size(w)-1)"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("grp"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val occ = pos.groupBy("grp", "w1", "w2").agg(count(lit(1L)).as("cg"))
+    val bi = pos.groupBy("w1", "w2").agg(count(lit(1L)).as("cb"))
+    val cv = bi.groupBy("w1")
+      .agg(sum(col("cb")).as("cv"), count(lit(1L)).as("n1fwd"))
+    val cw = bi.groupBy("w2").agg(count(lit(1L)).as("n1back"))
+    val nb = bi.agg(count(lit(1L)).as("n1all"))
+    val p = bi.join(cv, "w1").join(cw, "w2")
+      .crossJoin(nb) // 1-row model constant
+      .select(col("w1"), col("w2"),
+        (greatest(col("cb") - lit(discount), lit(0.0)) / col("cv") +
+          lit(discount) * col("n1fwd") / col("cv") *
+            (col("n1back") / col("n1all"))).as("p"))
+    occ.join(p, Seq("w1", "w2"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cg")).as("n_bigrams"),
+        (sum(col("cg") * log(col("p"))) / sum(col("cg"))).as("__avg"))
+      .select(col("grp"), col("n_bigrams"),
+        round(col("__avg"), dp).as("avg_logp"),
+        round(exp(-col("__avg")), dp).as("ppl"))
+  }
+
   // ---- Context-budget truncation ----
 
   /** Document cut to its first `maxTokens` whitespace tokens (joined by

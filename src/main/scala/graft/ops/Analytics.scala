@@ -693,6 +693,72 @@ object Analytics {
       (col("__n") - col("__np")).cast("long").as("n_neg"))
   }
 
+  /** Per-slice [[aucBrier]]: the same tie-averaged rank-sum AUC + Brier
+    * computed independently for every `group` value — the fairness /
+    * per-source audit of a curation scorer (a classifier can hold 0.9
+    * AUC overall while ranking one source's documents at chance). Same
+    * distinct-score histogram trick, but the rank window is PARTITIONED
+    * by group, so nothing funnels through one reducer at any group
+    * cardinality. Groups that lack both classes report NULL auc (the
+    * rank-sum is undefined — the heapsFit guard discipline, not an ANSI
+    * divide error). Returns (grp, auc, brier, n_pos, n_neg). */
+  def aucBrierByGroup(df: DataFrame, group: Column, score: Column,
+      label: Column, dp: Int = 6): DataFrame = {
+    val s = score.cast("double")
+    val y = label.cast("double")
+    val hist = df.groupBy(group.as("__g"), s.as("__s"))
+      .agg(count(lit(1L)).as("__c"), sum(y).as("__pos"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("__cdf", sum(col("__c")).over(w))
+      .select(col("__g"), col("__pos"),
+        (col("__cdf") - (col("__c") + 1) / lit(2.0) + 1).as("__r"))
+    val sums = ranked.groupBy(col("__g"))
+      .agg(sum(col("__pos") * col("__r")).as("__rpos"),
+        sum(col("__pos")).as("__np"))
+    val totals = df.groupBy(group.as("__g"))
+      .agg(count(lit(1L)).as("__n"),
+        round(avg((s - y) * (s - y)), dp).as("brier"))
+    sums.join(totals, "__g").select(col("__g").as("grp"),
+      when(col("__np") > 0 && col("__n") > col("__np"),
+        round((col("__rpos") - col("__np") * (col("__np") + 1) / 2) /
+          (col("__np") * (col("__n") - col("__np"))), dp)).as("auc"),
+      col("brier"),
+      col("__np").cast("long").as("n_pos"),
+      (col("__n") - col("__np")).cast("long").as("n_neg"))
+  }
+
+  /** Split-conformal calibration thresholds (Vovk et al.; Angelopoulos &
+    * Bates, arXiv:2107.07511 §2): for each miscoverage level α, the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score — filtering new data
+    * at that threshold then guarantees ≥ 1−α coverage under
+    * exchangeability. The calibrated way to turn any curation scorer
+    * into a keep/drop rule with a stated error budget.
+    *
+    * Shape: ONE count job + one two-phase global rank
+    * ([[graft.ops.Windows.globalRowNumber]] — range repartition, local
+    * row_number, broadcast offsets; no single-reducer sort) + a rank ∈
+    * {k_α} filter. α whose k exceeds n (tiny n) reports a NULL
+    * threshold (the guarantee needs n ≥ (1−α)(n+1) samples). */
+  def conformalThresholds(df: DataFrame, score: Column,
+      alphas: Seq[Double]): DataFrame = {
+    require(alphas.nonEmpty && alphas.forall(a => a > 0 && a < 1),
+      s"alphas must be in (0,1), got $alphas")
+    val scored = df.select(score.cast("double").as("__s"))
+      .where(col("__s").isNotNull)
+    val n = scored.count()
+    val ks = alphas.map(a => a -> math.ceil((n + 1) * (1 - a)).toLong)
+    val ranked = Windows.globalRowNumber(scored, Seq(col("__s")), "__rn")
+      .where(col("__rn").isin(ks.map(_._2).filter(_ <= n): _*))
+    val spec = ks.map { case (a, k) => (a, k, n) }
+    df.sparkSession.createDataFrame(spec)
+      .toDF("alpha", "k", "n")
+      .join(ranked.select(col("__rn").as("k"), col("__s").as("threshold")),
+        Seq("k"), "left")
+      .select(col("alpha"), col("k"), col("n"), col("threshold"))
+  }
+
   /** Regularize a bucketed time series onto a dense grid with forward
     * fill — the gap-filling step between event data and anything that
     * assumes regular sampling (trend models, drift monitors, joins on

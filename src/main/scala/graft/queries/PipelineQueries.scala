@@ -3260,6 +3260,37 @@ object PipelineQueries {
           col("cand_tokens"), col("ref_tokens"))
     }),
 
+    // Per-slice AUC/Brier of a deterministic pseudo-scorer: the
+    // fairness audit (a scorer can rank one source at chance while the
+    // pooled AUC looks fine). Rank window PARTITIONED by slice — no
+    // single-reducer stage at any slice cardinality.
+    "eval_auc_by_source" -> ((s, dir) =>
+      graft.ops.Analytics.aucBrierByGroup(
+          t(s, dir, "documents"), col("source"),
+          (col("n_chars") % 97) / lit(96.0),
+          when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+            .otherwise(0))
+        .orderBy("grp")),
+
+    // Split-conformal keep/drop thresholds over a nonconformity score:
+    // the ceil((n+1)(1-alpha))-th order statistic per alpha, extracted
+    // by the two-phase global rank (never a single-reducer sort).
+    "eval_conformal" -> ((s, dir) =>
+      graft.ops.Analytics.conformalThresholds(
+          t(s, dir, "documents"), col("n_chars"),
+          Seq(0.01, 0.05, 0.1, 0.25))
+        .orderBy("alpha")),
+
+    // Kneser-Ney bigram perplexity per language: the corpus-drift /
+    // filtering readout with continuation-count smoothing; all model
+    // tables vocabulary-bounded rollups, scoring joins the gram-bounded
+    // per-language count table.
+    "text_kn_ppl" -> ((s, dir) =>
+      TF.kneserNeyBigramScores(t(s, dir, "documents"), "lang", "text")
+        .select(col("grp").as("lang"), col("n_bigrams"),
+          col("avg_logp"), col("ppl"))
+        .orderBy("lang")),
+
     // Source-vocabulary similarity matrix: pairwise Jaccard between
     // per-source distinct term sets — term-keyed equi self-join over
     // the vocabulary-bounded (source, term) table; the corpus-mixing /
@@ -6616,6 +6647,64 @@ object PipelineQueries {
         |   ELSE CAST(0 AS DOUBLE) END AS bp,
         | lens.cand_tokens, lens.ref_tokens
         |FROM ag, lens""".stripMargin,
+
+    "eval_auc_by_source" ->
+      """WITH d AS (SELECT source AS g, CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1 ELSE 0 END AS y
+        |       FROM documents),
+        |h AS (SELECT g, s, count(*) AS c, sum(y) AS pos FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, pos,
+        |        sum(c) OVER (PARTITION BY g ORDER BY s)
+        |          - (c + 1) / CAST(2 AS DOUBLE) + 1 AS r
+        |       FROM h),
+        |a AS (SELECT g, sum(pos * r) AS rpos, sum(pos) AS np FROM rk GROUP BY 1),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        round(avg((s - y) * (s - y)), 6) AS brier
+        |       FROM d GROUP BY 1)
+        |SELECT a.g AS grp,
+        | CASE WHEN np > 0 AND n > np THEN
+        |   round((rpos - np * (np + 1) / 2) / (np * (n - np)), 6) END AS auc,
+        | t.brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
+        |FROM a JOIN t ON a.g = t.g ORDER BY grp""".stripMargin,
+
+    "eval_conformal" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM d),
+        |a AS (SELECT CAST(v.alpha AS DOUBLE) AS alpha,
+        |        CAST(ceil((n.n + 1) * (1 - CAST(v.alpha AS DOUBLE)))
+        |          AS BIGINT) AS k,
+        |        CAST(n.n AS BIGINT) AS n
+        |       FROM (VALUES (0.01), (0.05), (0.1), (0.25)) v(alpha), n),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM d)
+        |SELECT a.alpha, a.k, a.n, r.s AS threshold
+        |FROM a LEFT JOIN r ON r.rn = a.k ORDER BY alpha""".stripMargin,
+
+    "text_kn_ppl" ->
+      """WITH t0 AS (SELECT lang AS grp,
+        |        string_split_regex(trim(lower(text)), '\s+') AS w
+        |       FROM documents),
+        |pos AS (SELECT grp,
+        |        unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+        |        unnest(list_slice(w, 2, len(w))) AS w2
+        |       FROM t0 WHERE len(w) >= 2),
+        |occ AS (SELECT grp, w1, w2, count(*) AS cg FROM pos GROUP BY 1, 2, 3),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM pos GROUP BY 1, 2),
+        |cv AS (SELECT w1, sum(cb) AS cv, count(*) AS n1fwd FROM bi GROUP BY 1),
+        |cw AS (SELECT w2, count(*) AS n1back FROM bi GROUP BY 1),
+        |nb AS (SELECT count(*) AS n1all FROM bi),
+        |p AS (SELECT bi.w1, bi.w2,
+        |        greatest(bi.cb - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / cv.cv
+        |          + CAST(0.75 AS DOUBLE) * cv.n1fwd / cv.cv
+        |            * (cw.n1back / CAST(nb.n1all AS DOUBLE)) AS p
+        |       FROM bi JOIN cv ON bi.w1 = cv.w1
+        |       JOIN cw ON bi.w2 = cw.w2, nb)
+        |SELECT occ.grp AS lang, CAST(sum(occ.cg) AS BIGINT) AS n_bigrams,
+        | round(sum(occ.cg * ln(p.p)) / sum(occ.cg), 6) AS avg_logp,
+        | round(exp(-(sum(occ.cg * ln(p.p)) / sum(occ.cg))), 6) AS ppl
+        |FROM occ JOIN p ON occ.w1 = p.w1 AND occ.w2 = p.w2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pipeline_source_sim" ->
       """WITH t0 AS (SELECT source, unnest(string_split_regex(trim(lower(text)),

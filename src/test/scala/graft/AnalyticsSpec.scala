@@ -2041,4 +2041,53 @@ class AnalyticsSpec extends SparkSuite {
       .isotonicCalibrate(withNull, col("s"), col("y"), bins = 10)
       .agg(org.apache.spark.sql.functions.sum(col("n"))).head().getLong(0) == 40L)
   }
+
+  test("aucBrierByGroup: per-slice ranks match global aucBrier; one-class slice gives NULL auc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // slice a: perfect separation -> 1.0; slice b: reversed -> 0.0;
+    // slice c: all positive -> NULL auc (rank-sum undefined)
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.2, 0), ("a", 0.1, 0),
+      ("b", 0.9, 0), ("b", 0.1, 1),
+      ("c", 0.5, 1), ("c", 0.7, 1)).toDF("g", "s", "y")
+    val r = graft.ops.Analytics
+      .aucBrierByGroup(df, col("g"), col("s"), col("y"))
+      .collect().map(x => x.getString(0) ->
+        (Option(x.get(1)).map(_.asInstanceOf[Double]),
+          x.getLong(3), x.getLong(4))).toMap
+    assert(r("a") == ((Some(1.0), 2L, 2L)), s"${r("a")}")
+    assert(r("b") == ((Some(0.0), 1L, 1L)), s"${r("b")}")
+    assert(r("c") == ((None, 2L, 0L)), s"${r("c")}")
+    // tie-averaging: ties across classes count half, matching aucBrier
+    val ties = Seq(("t", 0.5, 1), ("t", 0.5, 0), ("t", 0.9, 1), ("t", 0.1, 0))
+      .toDF("g", "s", "y")
+    val grouped = graft.ops.Analytics
+      .aucBrierByGroup(ties, col("g"), col("s"), col("y")).head()
+    val global = graft.ops.Analytics
+      .aucBrier(ties, col("s"), col("y")).head()
+    assert(grouped.getDouble(1) == global.getDouble(0) &&
+      grouped.getDouble(1) == 0.875, s"$grouped vs $global")
+  }
+
+  test("conformalThresholds: order statistics, over-n alphas NULL, ties by value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 10).map(_.toDouble).toDF("s")
+    val r = graft.ops.Analytics
+      .conformalThresholds(df, col("s"), Seq(0.3, 0.5, 0.05))
+      .collect().map(x => x.getDouble(0) ->
+        (x.getLong(1), Option(x.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // k = ceil(11 * 0.7) = 8 -> 8.0; k = ceil(11 * 0.5) = 6 -> 6.0
+    assert(r(0.3) == ((8L, Some(8.0))), s"${r(0.3)}")
+    assert(r(0.5) == ((6L, Some(6.0))), s"${r(0.5)}")
+    // ceil(11 * 0.95) = 11 > n = 10 -> threshold NULL
+    assert(r(0.05) == ((11L, None)), s"${r(0.05)}")
+    // duplicated values: the k-th order statistic is by VALUE
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("s")
+    val r2 = graft.ops.Analytics
+      .conformalThresholds(dup, col("s"), Seq(0.4))
+      .head() // k = ceil(6 * 0.6) = 4 -> sorted(1,2,2,2,9)(4) = 2
+    assert(r2.getLong(1) == 4L && r2.getDouble(3) == 2.0, s"$r2")
+  }
 }

@@ -1870,6 +1870,30 @@ class PipelineSpec extends SparkSuite {
       (1L, "a b", "a b"), (2L, "x y", "p q")))
     assert(c3 == 4 && math.abs(b3 - 0.5) < 1e-12, s"got $b3")
   }
+
+  test("kneserNeyBigramScores: hand-computed probabilities on a tiny corpus") {
+    // corpus "a b a c" + "b a": bi counts (a,b)=1 (b,a)=2 (a,c)=1
+    // c(a.)=2 N1+(a.)=2; c(b.)=2 N1+(b.)=1; N1+(.a)=N1+(.b)=N1+(.c)=1; N1+(..)=3
+    // p(b|a) = .25/2 + .75*2/2*(1/3) = 0.375
+    // p(a|b) = 1.25/2 + .75*1/2*(1/3) = 0.75
+    // p(c|a) = 0.375
+    val docs = Seq(("g", "a b a c"), ("g", "b a")).toDF("lang", "text")
+    val r = TF.kneserNeyBigramScores(docs, "lang", "text").head()
+    assert(r.getString(0) == "g" && r.getLong(1) == 4L, s"$r")
+    val expAvg = (math.log(0.375) * 2 + math.log(0.75) * 2) / 4
+    assert(math.abs(r.getDouble(2) - BigDecimal(expAvg).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$r vs $expAvg")
+    // per-group scoring against a GLOBAL model: a second group over the
+    // same vocabulary scores with the pooled counts
+    val two = Seq(("g1", "a b a c"), ("g2", "b a")).toDF("lang", "text")
+    val m = TF.kneserNeyBigramScores(two, "lang", "text")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m == Map("g1" -> 3L, "g2" -> 1L), s"$m")
+    // docs with < 2 tokens contribute no bigrams, groups of only such
+    // docs produce no row
+    val short = Seq(("s", "solo")).toDF("lang", "text")
+    assert(TF.kneserNeyBigramScores(short, "lang", "text").count() == 0L)
+  }
 }
 
 object PipelineSpec {
