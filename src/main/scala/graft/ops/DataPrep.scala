@@ -610,6 +610,53 @@ object DataPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934;
+    * Cochran, Sampling Techniques §5.5): to sample `sampleN` rows total
+    * across strata minimizing the variance of the estimated mean,
+    * allocate n_h ∝ N_h·S_h (stratum size × within-stratum stddev) —
+    * big AND noisy strata get the samples; a big uniform stratum needs
+    * few. The principled sizing step in front of stratified corpus
+    * subsampling (per-source eval sets, quality-audit draws).
+    *
+    * Integerization is by largest remainder (floor everything, then +1
+    * to the largest fractional parts, ties by stratum key) so
+    * allocations sum EXACTLY to `sampleN`. Degenerate strata
+    * (single-row → stddev NULL, or constant → 0) get weight 0; if ALL
+    * weights are 0 the allocation is NULL (no variance signal — the
+    * caller wants proportional allocation instead, documented, not a
+    * silent fallback).
+    *
+    * Shape: ONE corpus aggregation keyed by stratum; everything after
+    * rides the |strata|-bounded table (the unpartitioned windows are
+    * bounded-table by construction). Returns
+    * (stratum, n_rows, sd, weight, alloc). */
+  def neymanAllocation(df: DataFrame, strata: Column, value: Column,
+      sampleN: Long, dp: Int = 6): DataFrame = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    val s = df.groupBy(strata.as("stratum"))
+      .agg(count(lit(1L)).as("n_rows"),
+        coalesce(stddev_samp(value.cast("double")), lit(0.0)).as("__sd"))
+      .withColumn("__nhsh", col("n_rows") * col("__sd"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val raw = s.withColumn("__tot", sum(col("__nhsh")).over(tot))
+      .withColumn("__wt",
+        when(col("__tot") > 0.0, col("__nhsh") / col("__tot")))
+      .withColumn("__raw", lit(sampleN) * col("__wt"))
+      .withColumn("__fl", floor(col("__raw")))
+      .withColumn("__frac", col("__raw") - floor(col("__raw")))
+    val rk = Window.orderBy(col("__frac").desc, col("stratum"))
+    raw
+      .withColumn("__deficit", lit(sampleN) - sum(col("__fl")).over(tot))
+      .withColumn("__rnk", row_number().over(rk))
+      .select(col("stratum"), col("n_rows"),
+        round(col("__sd"), dp).as("sd"),
+        round(col("__wt"), dp).as("weight"),
+        when(col("__wt").isNotNull,
+          col("__fl") + when(col("__rnk") <= col("__deficit"), 1L)
+            .otherwise(0L)).cast("long").as("alloc"))
+  }
+
   /** Winsorize a numeric column: clip values below the `lo` quantile /
     * above the `hi` quantile to those thresholds — the TRANSFORM
     * companion of [[graft.ops.Analytics.robustStats]] (which reports);

@@ -3281,6 +3281,30 @@ object PipelineQueries {
           Seq(0.01, 0.05, 0.1, 0.25))
         .orderBy("alpha")),
 
+    // chrF over the same reversed-truncation candidate as eval_bleu:
+    // char-n-gram F_2 with whitespace stripped — the eval that credits
+    // partial word overlap BLEU misses. Same (id, gram)-keyed equi-join
+    // shape per order.
+    "eval_chrf" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", reverse(slice(toks, lit(1),
+          ceil(size(toks) * lit(0.8)).cast("int")))).as("cand"),
+        col("text").as("ref"))
+      TF.chrF(pairs, "doc_id", "cand", "ref", maxN = 6, beta = 2.0)
+        .select(round(col("chrf"), 6).as("chrf"),
+          round(col("chrp"), 6).as("chrp"),
+          round(col("chrr"), 6).as("chrr"), col("n_orders"))
+    }),
+
+    // Neyman-optimal stratified allocation of a 1000-row sample across
+    // sources by size x stddev, integerized by largest remainder: one
+    // stratum-keyed aggregation, then |strata|-bounded arithmetic.
+    "pipeline_neyman" -> ((s, dir) =>
+      graft.ops.DataPrep.neymanAllocation(
+          t(s, dir, "documents"), col("source"), col("n_chars"), 1000L)
+        .orderBy("stratum")),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -6680,6 +6704,67 @@ object PipelineQueries {
         |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM d)
         |SELECT a.alpha, a.k, a.n, r.s AS threshold
         |FROM a LEFT JOIN r ON r.rn = a.k ORDER BY alpha""".stripMargin,
+
+    "eval_chrf" ->
+      """WITH base AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS rt, text FROM documents),
+        |p AS (SELECT doc_id,
+        |        regexp_replace(array_to_string(list_reverse(list_slice(rt, 1,
+        |          CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE)) AS INT))), ' '),
+        |          '\s+', '', 'g') AS cs,
+        |        regexp_replace(text, '\s+', '', 'g') AS rs
+        |      FROM base),
+        |cg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, length(cs) - nn.n + 1),
+        |          i -> substr(cs, CAST(i AS INT), CAST(nn.n AS INT)))) AS g
+        |       FROM p, range(1, 7) nn(n)),
+        |rg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, length(rs) - nn.n + 1),
+        |          i -> substr(rs, CAST(i AS INT), CAST(nn.n AS INT)))) AS g
+        |       FROM p, range(1, 7) nn(n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT cc.n, sum(least(cc.c, rc.c)) AS clipped
+        |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+        |         AND cc.g = rc.g GROUP BY 1),
+        |tt AS (SELECT CAST(nn.n AS INT) AS n,
+        |        sum(greatest(length(cs) - nn.n + 1, 0)) AS total_cand,
+        |        sum(greatest(length(rs) - nn.n + 1, 0)) AS total_ref
+        |       FROM p, range(1, 7) nn(n) GROUP BY 1),
+        |pr AS (SELECT tt.n, coalesce(cl.clipped, 0) AS clipped,
+        |        tt.total_cand, tt.total_ref
+        |       FROM tt LEFT JOIN cl ON tt.n = cl.n
+        |       WHERE tt.total_cand > 0 AND tt.total_ref > 0),
+        |ag AS (SELECT avg(clipped / CAST(total_cand AS DOUBLE)) AS chrp,
+        |        avg(clipped / CAST(total_ref AS DOUBLE)) AS chrr,
+        |        CAST(count(*) AS BIGINT) AS n_orders FROM pr)
+        |SELECT CASE WHEN chrp + chrr > 0 THEN
+        |   round(5 * chrp * chrr / (4 * chrp + chrr), 6)
+        |   ELSE CAST(0 AS DOUBLE) END AS chrf,
+        | round(coalesce(chrp, 0), 6) AS chrp,
+        | round(coalesce(chrr, 0), 6) AS chrr, n_orders
+        |FROM ag""".stripMargin,
+
+    "pipeline_neyman" ->
+      """WITH s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |        coalesce(stddev_samp(CAST(n_chars AS DOUBLE)), 0) AS sd
+        |       FROM documents GROUP BY 1),
+        |w AS (SELECT *, n_rows * sd AS nhsh FROM s),
+        |t AS (SELECT sum(nhsh) AS tot FROM w),
+        |r AS (SELECT stratum, n_rows, sd,
+        |        CASE WHEN t.tot > 0 THEN nhsh / t.tot END AS wt,
+        |        CASE WHEN t.tot > 0 THEN 1000 * (nhsh / t.tot) END AS raw
+        |       FROM w, t),
+        |f AS (SELECT *, floor(raw) AS fl, raw - floor(raw) AS frac FROM r),
+        |d AS (SELECT sum(fl) AS flsum FROM f),
+        |rk AS (SELECT stratum,
+        |        row_number() OVER (ORDER BY frac DESC, stratum) AS rnk FROM f)
+        |SELECT f.stratum, f.n_rows, round(f.sd, 6) AS sd,
+        | round(f.wt, 6) AS weight,
+        | CASE WHEN f.wt IS NOT NULL THEN CAST(f.fl +
+        |   CASE WHEN rk.rnk <= 1000 - d.flsum THEN 1 ELSE 0 END AS BIGINT)
+        | END AS alloc
+        |FROM f JOIN rk ON f.stratum = rk.stratum, d ORDER BY f.stratum""".stripMargin,
 
     "text_kn_ppl" ->
       """WITH t0 AS (SELECT lang AS grp,

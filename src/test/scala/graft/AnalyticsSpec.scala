@@ -2070,6 +2070,34 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
+  test("neymanAllocation: size-x-stddev weights, largest-remainder integerization, degenerate strata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A spread (sd ~7.07, n 2), B constant (sd 0), C singleton (sd NULL -> 0):
+    // all weight lands on A
+    val df = Seq(("A", 0.0), ("A", 10.0), ("B", 5.0), ("B", 5.0), ("C", 3.0))
+      .toDF("g", "v")
+    val r = graft.ops.DataPrep
+      .neymanAllocation(df, col("g"), col("v"), 10L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getLong(4))).toMap
+    assert(r("A") == ((2L, 1.0, 10L)) && r("B") == ((2L, 0.0, 0L)), s"$r")
+    assert(r("C") == ((1L, 0.0, 0L)), s"$r")
+    // largest remainder: raw A = 5.833, B = 1.167 at n = 7 -> 6 + 1 = 7
+    val mixed = Seq(("A", 0.0), ("A", 10.0), ("B", 0.0), ("B", 2.0))
+      .toDF("g", "v")
+    val m = graft.ops.DataPrep
+      .neymanAllocation(mixed, col("g"), col("v"), 7L)
+      .collect().map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(m == Map("A" -> 6L, "B" -> 1L), s"$m")
+    // every stratum constant -> no variance signal -> NULL allocs
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    assert(graft.ops.DataPrep
+      .neymanAllocation(flat, col("g"), col("v"), 5L)
+      .collect().forall(_.isNullAt(4)))
+  }
+
   test("conformalThresholds: order statistics, over-n alphas NULL, ties by value") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

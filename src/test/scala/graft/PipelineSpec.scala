@@ -1871,6 +1871,27 @@ class PipelineSpec extends SparkSuite {
     assert(c3 == 4 && math.abs(b3 - 0.5) < 1e-12, s"got $b3")
   }
 
+  test("chrF: hand-computed orders, whitespace stripping, short-string order skipping") {
+    def chrf(cand: String, ref: String, maxN: Int = 2): (Double, Double, Double, Long) = {
+      val r = TF.chrF(Seq((1L, cand, ref)).toDF("id", "cand", "ref"),
+        "id", "cand", "ref", maxN = maxN, beta = 2.0).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+    }
+    // identical strings: perfect score at every order
+    assert(chrf("ab", "ab") == ((1.0, 1.0, 1.0, 2L)))
+    // "abc" vs "abd": n=1 clipped 2/3, n=2 clipped 1/2 ->
+    // chrp = chrr = (2/3 + 1/2)/2 = 7/12; F_2 with p = r collapses to p
+    val (f, p, r, no) = chrf("abc", "abd")
+    assert(math.abs(p - 7.0 / 12) < 1e-12 && math.abs(r - 7.0 / 12) < 1e-12)
+    assert(math.abs(f - 7.0 / 12) < 1e-12 && no == 2L)
+    // whitespace is stripped before gram extraction
+    assert(chrf("a b", "ab")._1 == 1.0)
+    // orders longer than both strings are SKIPPED, not zero-filled
+    assert(chrf("a", "a", maxN = 3) == ((1.0, 1.0, 1.0, 1L)))
+    // zero overlap: F floor at 0, not a divide error
+    assert(chrf("xx", "yy")._1 == 0.0)
+  }
+
   test("kneserNeyBigramScores: hand-computed probabilities on a tiny corpus") {
     // corpus "a b a c" + "b a": bi counts (a,b)=1 (b,a)=2 (a,c)=1
     // c(a.)=2 N1+(a.)=2; c(b.)=2 N1+(b.)=1; N1+(.a)=N1+(.b)=N1+(.c)=1; N1+(..)=3
