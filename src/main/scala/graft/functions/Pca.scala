@@ -223,4 +223,23 @@ object Pca {
     df.withColumn(out,
       when(v.isNotNull && size(v) === model.dim, proj))
   }
+
+  /** PCA-whitened projection: [[project]] with each component scaled by
+    * 1/√λ, so the output coordinates have unit variance and zero
+    * cross-covariance — the standard conditioning step before
+    * cosine/Euclidean retrieval on anisotropic embeddings (dominant
+    * directions stop swamping the metric). Components whose eigenvalue
+    * is ≤ `eps` are DROPPED (scaling a zero-variance direction by 1/√λ
+    * amplifies numeric noise unboundedly); same map-only, zero-shuffle
+    * shape as [[project]]. */
+  def whiten(df: DataFrame, vecCol: String, model: PcaModel,
+      out: String = "white", eps: Double = 1e-12): DataFrame = {
+    val kept = (0 until model.k).filter(c => model.eigenvalues(c) > eps)
+    require(kept.nonEmpty, "no component has variance above eps")
+    val scaled = model.copy(
+      eigenvalues = kept.map(model.eigenvalues).toArray,
+      components = kept.map(c => model.components(c).map(
+        _ / math.sqrt(model.eigenvalues(c)))).toArray)
+    project(df, vecCol, scaled, out)
+  }
 }

@@ -103,4 +103,21 @@ class PcaSpec extends SparkSuite {
     val bad = Seq(Seq(1.0f)).toDF("embedding")
     assert(Pca.project(bad, "embedding", model, "pca").head().isNullAt(1))
   }
+
+  test("whiten: unit variance and zero cross-covariance in the whitened space; dead components dropped") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = Pca.fit(emb, "embedding", dim = 64, k = 3)
+    val w = Pca.whiten(emb, "embedding", model, "w")
+    val stats = w.select(
+      (0 until 3).map(c => var_samp(element_at(col("w"), c + 1)).as(s"v$c")) ++
+        Seq(covar_samp(element_at(col("w"), 1), element_at(col("w"), 2)).as("c01")): _*)
+      .head()
+    for (c <- 0 until 3)
+      assert(math.abs(stats.getDouble(c) - 1.0) < 1e-6, s"var($c)=${stats.getDouble(c)}")
+    assert(math.abs(stats.getDouble(3)) < 1e-6)
+    // a zero-variance component is dropped, not 1/sqrt(0)-amplified
+    val degenerate = model.copy(eigenvalues = Array(model.eigenvalues(0), 0.0, 0.0))
+    val w2 = Pca.whiten(emb, "embedding", degenerate, "w")
+    assert(w2.select(org.apache.spark.sql.functions.size(col("w"))).head().getInt(0) == 1)
+  }
 }

@@ -594,4 +594,44 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     val ps = plan(q("text_search"))
     assert(!ps.contains("Join"), s"conjunctive search needs no join:\n$ps")
   }
+
+  test("round-11 operators: scan-shaped PCA, broadcast DB-index, keyed gram joins, partitioned rank windows") {
+    // covariance: pure in-scan expansion + one aggregate — no join, no window
+    val pc = plan(q("sim_pca_cov"))
+    assert(!pc.contains("Join") && !pc.contains("Window"),
+      s"covariance is explode+aggregate only:\n$pc")
+    // Mahalanobis scoring: stats ship as literals — no join; top-10 via
+    // TakeOrdered, never a global sort
+    val pm = plan(q("sim_outlier_maha"))
+    assert(!pm.contains("Join"), s"maha scoring needs no join:\n$pm")
+    assert(pm.contains("TakeOrderedAndProject"), s"top-k must TakeOrdered:\n$pm")
+    // PCA projection: model as literals — map-only, zero exchanges
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val model = graft.functions.Pca.fit(emb, "embedding", 64, 2)
+    val pp = plan(graft.functions.Pca.project(emb, "embedding", model, "p"))
+    assert(!pp.contains("Exchange"), s"projection must not shuffle:\n$pp")
+    // DB-index: member->centroid scatter join is broadcast (k rows)
+    val pd = plan(q("sim_db_index"))
+    assert(pd.contains("BroadcastHashJoin"),
+      s"scatter join must broadcast the centroid table:\n$pd")
+    assert(!pd.contains("CartesianProduct"),
+      s"no cartesian anywhere (k-row centroid pairing broadcasts):\n$pd")
+    // BLEU/chrF/KN: gram joins stay hash-keyed (1-row verdict crossJoins
+    // compile to broadcast loops, never CartesianProduct)
+    for (name <- Seq("eval_bleu", "eval_chrf", "text_kn_ppl")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"),
+        s"$name gram joins must stay keyed:\n$p")
+    }
+    // per-slice AUC: every rank window is PARTITIONED by the slice key
+    val pa = plan(q("eval_auc_by_source"))
+    assert("Window \\[[^\\]]*\\], \\[__g".r.findFirstIn(pa).isDefined,
+      s"rank window must partition by slice:\n$pa")
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(pa).isEmpty,
+      s"no unpartitioned window over the corpus:\n$pa")
+    // conformal: the global rank is the two-phase range-repartition form
+    val pq = plan(q("eval_conformal"))
+    assert(pq.contains("rangepartitioning"),
+      s"order statistic must ride the two-phase global rank:\n$pq")
+  }
 }
