@@ -759,6 +759,63 @@ object Analytics {
       .select(col("alpha"), col("k"), col("n"), col("threshold"))
   }
 
+  /** Logistic regression by full-batch gradient descent — the in-engine
+    * trainer for quality-classifier-style curation scorers (binary
+    * label, few dense features). Mean-gradient updates
+    *
+    *   w ← w − lr · avg((σ(w·x) − y) · x)
+    *
+    * from zero weights, `iters` iterations. Returns ONE row:
+    * (w_b, w_1..w_d, loss = mean log-loss, accuracy, n).
+    *
+    * Shape: the classic bounded-driver-state iteration (the IPF / PCA
+    * discipline): per iteration ONE corpus aggregation computes the
+    * d+1 gradient sums with the current weights shipped as literals —
+    * no per-row state, no shuffle beyond the aggregate, driver holds
+    * d+1 doubles. The input projection is localCheckpoint-ed once so
+    * `iters` scans re-read columnar memory, not parquet. Rows with a
+    * NULL label or feature are dropped up front (they would null the
+    * whole gradient). Deterministic: full-batch (no sampling, no
+    * random init). */
+  def logisticRegressionGD(df: DataFrame, features: Seq[Column],
+      label: Column, iters: Int = 8, lr: Double = 1.0,
+      dp: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val d = features.size
+    val cols = label.cast("double").as("__y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__y").isNotNull +: (0 until d)
+        .map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+      .localCheckpoint(true) // scanned iters+1 times
+    def zOf(w: Array[Double]): Column =
+      (0 until d).foldLeft(lit(w(0)): Column) { case (acc, i) =>
+        acc + lit(w(i + 1)) * col(s"__x$i")
+      }
+    def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    var w = Array.fill(d + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val p = sigmoid(zOf(w))
+      val aggs = avg(p - col("__y")).as("g0") +: (0 until d).map(i =>
+        avg((p - col("__y")) * col(s"__x$i")).as(s"g${i + 1}"))
+      val g = base.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wv, j) => wv - lr * g.getDouble(j) }
+    }
+    val p = sigmoid(zOf(w))
+    base.agg(
+        avg(-(col("__y") * log(p) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - p))).as("__loss"),
+        avg(when((p > 0.5).cast("double") === col("__y"), 1.0)
+          .otherwise(0.0)).as("__acc"),
+        count(lit(1L)).as("n"))
+      .select((0 to d).map(j =>
+          round(lit(w(j)), dp).as(if (j == 0) "w_b" else s"w_$j")) ++
+        Seq(round(col("__loss"), dp).as("loss"),
+          round(col("__acc"), dp).as("accuracy"), col("n")): _*)
+  }
+
   /** Regularize a bucketed time series onto a dense grid with forward
     * fill — the gap-filling step between event data and anything that
     * assumes regular sampling (trend models, drift monitors, joins on

@@ -610,6 +610,52 @@ object DataPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** Out-of-fold smoothed target encoding (Micci-Barreca, SIGKDD
+    * Explorations 2001 + the standard K-fold leakage guard): replace a
+    * high-cardinality category with the target mean of OTHER folds'
+    * rows in that category, shrunk toward the global prior:
+    *
+    *   te(cat, fold) = (Σtarget(cat) − Σtarget(cat, fold) + m·prior)
+    *                 / (n(cat) − n(cat, fold) + m)
+    *
+    * A row never sees its own fold's labels — in-fold encoding leaks
+    * the answer into the feature and inflates every downstream
+    * validation score. Folds come from [[hashBucket]] over `key`
+    * (deterministic, engine-portable md5). Unseen combinations (a
+    * category entirely inside one fold) and NULL categories land on
+    * the prior (the smoothing limit). Adds `fold` and `out` columns.
+    *
+    * Shape: one (category, fold) rollup — cardinality |cats|×folds,
+    * partial-aggregated — a category-keyed second rollup, one keyed
+    * equi-join back to the rows; the global prior is a 1-row
+    * crossJoin. Nothing broadcasts by requirement (the encode table
+    * can be as big as the category space) and nothing is all-pairs. */
+  def targetEncode(df: DataFrame, key: Column, category: Column,
+      target: Column, folds: Int = 5, smoothing: Double = 20.0,
+      out: String = "te"): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val withFold = df
+      .withColumn("fold", hashBucket(key, folds))
+      .withColumn("__t", target.cast("double"))
+    val cf = withFold.groupBy(category.as("__cat"), col("fold"))
+      .agg(sum(col("__t")).as("__sf"), count(lit(1L)).as("__nf"))
+    val ct = cf.groupBy(col("__cat"))
+      .agg(sum(col("__sf")).as("__sc"), sum(col("__nf")).as("__nc"))
+    val prior = withFold.agg(avg(col("__t")).as("__prior"))
+    val enc = cf.join(ct, "__cat")
+      .crossJoin(prior) // 1-row prior
+      .select(col("__cat"), col("fold"),
+        ((col("__sc") - col("__sf")) + lit(smoothing) * col("__prior"))
+          ./((col("__nc") - col("__nf")) + lit(smoothing)).as("__te"))
+    withFold
+      .withColumn("__cat", category)
+      .join(enc, Seq("__cat", "fold"), "left")
+      .crossJoin(prior)
+      .withColumn(out, coalesce(col("__te"), col("__prior")))
+      .drop("__cat", "__t", "__te", "__prior")
+  }
+
   /** Neyman-optimal stratified sample allocation (Neyman, JRSS 1934;
     * Cochran, Sampling Techniques §5.5): to sample `sampleN` rows total
     * across strata minimizing the variance of the estimated mean,

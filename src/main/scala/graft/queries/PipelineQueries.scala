@@ -3305,6 +3305,34 @@ object PipelineQueries {
           t(s, dir, "documents"), col("source"), col("n_chars"), 1000L)
         .orderBy("stratum")),
 
+    // Out-of-fold target encoding of source against the deterministic
+    // label: the leakage-guarded categorical feature. Encode table is
+    // |cats|x|folds|-bounded; the row join is keyed, never broadcast-
+    // required.
+    "pipeline_target_encode" -> ((s, dir) =>
+      graft.ops.DataPrep.targetEncode(
+          t(s, dir, "documents"), col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+            .otherwise(0),
+          folds = 5, smoothing = 20.0)
+        .groupBy(col("source"), col("fold"))
+        .agg(count(lit(1L)).as("n"), round(max(col("te")), 6).as("te"))
+        .orderBy("source", "fold")),
+
+    // In-engine quality-classifier training: full-batch logistic GD
+    // with bounded driver state (d+1 doubles), one aggregation per
+    // iteration, weights shipped as literals. The oracle UNROLLS the
+    // same 8 iterations as a SQL CTE chain — a true differential check
+    // of the whole optimization, not just the final scoring pass.
+    "eval_logreg" -> ((s, dir) =>
+      graft.ops.Analytics.logisticRegressionGD(
+        t(s, dir, "documents"),
+        Seq((col("n_chars") % 97) / lit(96.0),
+          (col("doc_id") % 31) / lit(30.0)),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0),
+        iters = 8, lr = 1.0)),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -3633,7 +3661,64 @@ object PipelineQueries {
         s"AS BIGINT) - 1) * $w"
     }.mkString("(", " + ", ")")
 
+  /** The eval_logreg oracle: the SAME full-batch logistic GD unrolled
+    * as a SQL CTE chain — w0 is zeros, each iteration computes the mean
+    * gradients from the previous weight row and derives the next (lr=1,
+    * so wᵏ = wᵏ⁻¹ − g exactly mirrors the engine's w − lr·g). Generated
+    * mechanically so the iteration count stays in lockstep with the
+    * query. */
+  private def logregOracle(iters: Int): String = {
+    val sig = "1/(1+exp(-(w.b + w.w1*d.x1 + w.w2*d.x2)))"
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CAST(doc_id % 31 AS DOUBLE)/30 AS x2,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        |       FROM documents),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
+        |        CAST(0 AS DOUBLE) AS w2)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |g$k AS (SELECT avg($sig - d.y) AS gb,
+        |        avg(($sig - d.y) * d.x1) AS g1,
+        |        avg(($sig - d.y) * d.x2) AS g2
+        |       FROM d, w${k - 1} w),
+        |w$k AS (SELECT w.b - gb AS b, w.w1 - g1 AS w1, w.w2 - g2 AS w2
+        |       FROM w${k - 1} w, g$k)""".stripMargin)
+    }
+    sb.append(s""",
+        |f AS (SELECT d.y, $sig AS p, w.b, w.w1, w.w2 FROM d, w$iters w)
+        |SELECT round(max(b), 6) AS w_b, round(max(w1), 6) AS w_1,
+        | round(max(w2), 6) AS w_2,
+        | round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS loss,
+        | round(avg(CASE WHEN (CASE WHEN p > 0.5 THEN CAST(1 AS DOUBLE)
+        |     ELSE CAST(0 AS DOUBLE) END) = y
+        |   THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS accuracy,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM f""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "eval_logreg" -> logregOracle(8),
+
+    "pipeline_target_encode" ->
+      s"""WITH d AS (SELECT source,
+        |        ${duckHex16("CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        |       FROM documents),
+        |p AS (SELECT avg(y) AS prior FROM d),
+        |cf AS (SELECT source, fold, sum(y) AS sf, count(*) AS nf
+        |       FROM d GROUP BY 1, 2),
+        |ct AS (SELECT source, sum(sf) AS sc, sum(nf) AS nc
+        |       FROM cf GROUP BY 1)
+        |SELECT cf.source, CAST(cf.fold AS INT) AS fold,
+        | CAST(cf.nf AS BIGINT) AS n,
+        | round(((ct.sc - cf.sf) + CAST(20.0 AS DOUBLE) * p.prior)
+        |   / ((ct.nc - cf.nf) + CAST(20.0 AS DOUBLE)), 6) AS te
+        |FROM cf JOIN ct ON cf.source = ct.source, p
+        |ORDER BY cf.source, fold""".stripMargin,
     // Mirrors TextFunctions.langId exactly: whitespace-token stopword hits
     // per space-delimited language, character hits for zh, greatest-wins
     // with alphabetical-first tie-break and "und" when all scores are 0.

@@ -2070,6 +2070,66 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
+  test("targetEncode: out-of-fold means verified row by row; prior fallbacks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "a", 1), (2L, "a", 0), (3L, "a", 1), (4L, "a", 1),
+      (5L, "b", 0), (6L, "b", 0), (7L, "b", 1), (8L, "c", 1))
+    val df = rows.toDF("k", "c", "y")
+    val m = 2.0
+    val got = graft.ops.DataPrep
+      .targetEncode(df, col("k"), col("c"), col("y"), folds = 2, smoothing = m)
+      .select(col("k"), col("c"), col("fold"), col("te"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getDouble(3))).toMap
+    // straight-line recomputation from the folds the engine assigned
+    val prior = rows.map(_._3).sum.toDouble / rows.size
+    got.foreach { case (k, (c, fold, te)) =>
+      val cat = rows.filter(_._2 == c)
+      val oof = cat.filter(r => got(r._1)._2 != fold)
+      val expected = (oof.map(_._3).sum + m * prior) / (oof.size + m)
+      assert(math.abs(te - expected) < 1e-12,
+        s"k=$k cat=$c fold=$fold: $te vs $expected")
+    }
+    // single-row category entirely inside one fold: own fold sees prior
+    val c8 = got(8L)
+    assert(math.abs(c8._3 - prior) < 1e-12, s"lone category -> prior: $c8")
+    // NULL category rows fall back to the prior, not a dropped join
+    val withNull = df.union(Seq((9L, Option.empty[String], 1)).toDF("k", "c", "y"))
+    val nulls = graft.ops.DataPrep
+      .targetEncode(withNull, col("k"), col("c"), col("y"), folds = 2,
+        smoothing = m)
+      .where(col("c").isNull).select(col("te")).collect()
+    val prior2 = (rows.map(_._3).sum + 1).toDouble / (rows.size + 1)
+    assert(nulls.length == 1 && math.abs(nulls(0).getDouble(0) - prior2) < 1e-12)
+  }
+
+  test("logisticRegressionGD: hand-computed first step, separable convergence, null-row drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one step from w = 0: sigma(0) = 0.5 -> g_b = avg(0.5 - y) = 0,
+    // g_1 = avg((0.5 - y) x) = -0.5 -> w = (0, 0.5)
+    val sep = Seq((1.0, 1), (-1.0, 0)).toDF("x", "y")
+    val one = graft.ops.Analytics
+      .logisticRegressionGD(sep, Seq(col("x")), col("y"), iters = 1).head()
+    assert(one.getDouble(0) == 0.0 && one.getDouble(1) == 0.5, s"$one")
+    // separable data: more iterations drive loss down, accuracy to 1
+    val r8 = graft.ops.Analytics
+      .logisticRegressionGD(sep, Seq(col("x")), col("y"), iters = 8).head()
+    val r40 = graft.ops.Analytics
+      .logisticRegressionGD(sep, Seq(col("x")), col("y"), iters = 40).head()
+    assert(r8.getDouble(3) == 1.0 && r40.getDouble(3) == 1.0,
+      s"separable -> perfect accuracy: $r8 / $r40")
+    assert(r40.getDouble(2) < r8.getDouble(2),
+      s"loss must keep falling: ${r8.getDouble(2)} -> ${r40.getDouble(2)}")
+    // rows with NULL label/feature are dropped, not gradient-poisoning
+    val withNull = Seq((Option(1.0), Option(1)), (Option(-1.0), Option(0)),
+      (None, Option(1)), (Option(2.0), None)).toDF("x", "y")
+    val rn = graft.ops.Analytics
+      .logisticRegressionGD(withNull, Seq(col("x")), col("y"), iters = 1).head()
+    assert(rn.getLong(4) == 2L && rn.getDouble(1) == 0.5, s"$rn")
+  }
+
   test("neymanAllocation: size-x-stddev weights, largest-remainder integerization, degenerate strata") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
