@@ -816,6 +816,75 @@ object Analytics {
           round(col("__acc"), dp).as("accuracy"), col("n")): _*)
   }
 
+  /** Ridge (L2) linear regression in ONE scan: the normal-equation
+    * moments XᵀX, Xᵀy, yᵀy are a single aggregation (with an intercept
+    * column folded in; (d+1)(d+2)/2 + d+2 sum expressions, partial-
+    * aggregated — no explode, no shuffle beyond the final agg), then
+    * the driver solves (XᵀX + λ·diag(0,1,…,1))w = Xᵀy by Cholesky over
+    * the (d+1)×(d+1) matrix — bounded driver state, the IPF/PCA
+    * discipline. λ does not penalize the intercept (standard). R² comes
+    * from the same moments (SSE = wᵀXᵀXw − 2wᵀXᵀy + yᵀy), so the whole
+    * fit is exactly one job. Returns one row:
+    * (w_b, w_1..w_d, r2, n). NULL rows are dropped up front; R² is
+    * NULL when the target is constant (SST = 0 — the heapsFit guard
+    * discipline). */
+  def ridgeRegression(df: DataFrame, features: Seq[Column], target: Column,
+      lambda: Double = 0.0, dp: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val d = features.size
+    val cols = target.cast("double").as("__y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__y").isNotNull +: (0 until d)
+        .map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+    // x0 = 1 (intercept); moment names: m_i_j (i <= j), v_i = sum(xi*y)
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(s"__x${i - 1}")
+    val moments =
+      (for (i <- 0 to d; j <- i to d)
+        yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
+      (0 to d).map(i => sum(x(i) * col("__y")).as(s"v_$i")) ++
+      Seq(sum(col("__y") * col("__y")).as("yy"), count(lit(1L)).as("n"))
+    val r = base.agg(moments.head, moments.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    require(n > 0, "ridgeRegression needs at least one non-null row")
+    val a = Array.tabulate(d + 1, d + 1) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      r.getAs[Double](s"m_${lo}_$hi") +
+        (if (i == j && i > 0) lambda else 0.0)
+    }
+    val b = Array.tabulate(d + 1)(i => r.getAs[Double](s"v_$i"))
+    // Cholesky a = L·Lᵀ, then forward/back substitution
+    val m = d + 1
+    val l = Array.fill(m, m)(0.0)
+    for (i <- 0 until m; j <- 0 to i) {
+      val s0 = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
+      if (i == j) l(i)(j) = math.sqrt(a(i)(i) - s0)
+      else l(i)(j) = (a(i)(j) - s0) / l(j)(j)
+    }
+    val z = Array.fill(m)(0.0)
+    for (i <- 0 until m)
+      z(i) = (b(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
+    val w = Array.fill(m)(0.0)
+    for (i <- m - 1 to 0 by -1)
+      w(i) = (z(i) - (i + 1 until m).map(k => l(k)(i) * w(k)).sum) / l(i)(i)
+    // SSE / SST from the same moments
+    val xtxw = (0 until m).map(i => (0 until m).map(j => a(i)(j) * w(j)).sum
+      - (if (i > 0) lambda * w(i) else 0.0)) // un-ridged XᵀX·w for SSE
+    val sse = (0 until m).map(i => w(i) * xtxw(i)).sum -
+      2.0 * (0 until m).map(i => w(i) * b(i)).sum + r.getAs[Double]("yy")
+    val sst = r.getAs[Double]("yy") - b(0) * b(0) / n
+    val r2 = if (sst > 0) Some(1.0 - sse / sst) else None
+    def rd(x0: Double) = BigDecimal(x0).setScale(dp,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.sparkSession.createDataFrame(
+        Seq((w.map(rd).toSeq, r2.map(rd), n)))
+      .toDF("__w", "r2", "n")
+      .select((0 until m).map(i => element_at(col("__w"), i + 1)
+          .as(if (i == 0) "w_b" else s"w_$i")) ++
+        Seq(col("r2"), col("n")): _*)
+  }
+
   /** Regularize a bucketed time series onto a dense grid with forward
     * fill — the gap-filling step between event data and anything that
     * assumes regular sampling (trend models, drift monitors, joins on

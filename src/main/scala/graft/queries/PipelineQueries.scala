@@ -3319,6 +3319,17 @@ object PipelineQueries {
         .agg(count(lit(1L)).as("n"), round(max(col("te")), 6).as("te"))
         .orderBy("source", "fold")),
 
+    // One-scan ridge regression: normal-equation moments in a single
+    // aggregation (no explode, no shuffle beyond the final agg), driver
+    // Cholesky over the 3x3 system. The oracle solves the SAME system
+    // by Cramer's rule from the same moments.
+    "eval_ridge" -> ((s, dir) =>
+      graft.ops.Analytics.ridgeRegression(
+        t(s, dir, "documents"),
+        Seq((col("n_chars") % 97) / lit(96.0),
+          (col("doc_id") % 31) / lit(30.0)),
+        (col("n_chars") % 89) / lit(88.0), lambda = 1.0)),
+
     // In-engine quality-classifier training: full-batch logistic GD
     // with bounded driver state (d+1 doubles), one aggregation per
     // iteration, weights shipped as literals. The oracle UNROLLS the
@@ -3701,6 +3712,38 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
+
+    "eval_ridge" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CAST(doc_id % 31 AS DOUBLE)/30 AS x2,
+        |        CAST(n_chars % 89 AS DOUBLE)/88 AS y FROM documents),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m00, sum(x1) AS m01,
+        |       sum(x2) AS m02, sum(x1*x1) AS m11, sum(x1*x2) AS m12,
+        |       sum(x2*x2) AS m22, sum(y) AS v0, sum(x1*y) AS v1,
+        |       sum(x2*y) AS v2, sum(y*y) AS yy,
+        |       CAST(count(*) AS BIGINT) AS n FROM d),
+        |a AS (SELECT m00 AS a11, m01 AS a12, m02 AS a13,
+        |       m01 AS a21, m11 + CAST(1 AS DOUBLE) AS a22, m12 AS a23,
+        |       m02 AS a31, m12 AS a32, m22 + CAST(1 AS DOUBLE) AS a33,
+        |       * FROM m),
+        |dt AS (SELECT a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+        |        + a13*(a21*a32 - a22*a31) AS det, * FROM a),
+        |w AS (SELECT
+        |  (v0*(a22*a33 - a23*a32) - a12*(v1*a33 - a23*v2)
+        |    + a13*(v1*a32 - a22*v2)) / det AS w0,
+        |  (a11*(v1*a33 - a23*v2) - v0*(a21*a33 - a23*a31)
+        |    + a13*(a21*v2 - v1*a31)) / det AS w1,
+        |  (a11*(a22*v2 - v1*a32) - a12*(a21*v2 - v1*a31)
+        |    + v0*(a21*a32 - a22*a31)) / det AS w2,
+        |  * FROM dt),
+        |f AS (SELECT yy - 2*(w0*v0 + w1*v1 + w2*v2)
+        |        + (w0*w0*m00 + w1*w1*m11 + w2*w2*m22 + 2*w0*w1*m01
+        |          + 2*w0*w2*m02 + 2*w1*w2*m12) AS sse,
+        |       yy - v0*v0 / m00 AS sst, * FROM w)
+        |SELECT round(w0, 6) AS w_b, round(w1, 6) AS w_1,
+        | round(w2, 6) AS w_2,
+        | CASE WHEN sst > 0 THEN round(1 - sse/sst, 6) END AS r2, n
+        |FROM f""".stripMargin,
 
     "pipeline_target_encode" ->
       s"""WITH d AS (SELECT source,

@@ -2070,6 +2070,39 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
+  test("ridgeRegression: exact fit at lambda 0, shrinkage vs straight-line solve, constant-target NULL R2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfect line y = 1 + 2x: OLS recovers it exactly, R2 = 1
+    val line = Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0)).toDF("x", "y")
+    val ols = graft.ops.Analytics
+      .ridgeRegression(line, Seq(col("x")), col("y"), lambda = 0.0).head()
+    assert(math.abs(ols.getDouble(0) - 1.0) < 1e-9 &&
+      math.abs(ols.getDouble(1) - 2.0) < 1e-9, s"$ols")
+    assert(ols.getDouble(2) == 1.0 && ols.getLong(3) == 3L, s"$ols")
+    // ridge shrinkage against a straight-line 2x2 normal-equation solve:
+    // A = [[n, Sx], [Sx, Sxx + l]], b = [Sy, Sxy]
+    val pts = Seq((0.0, 1.2), (1.0, 2.9), (2.0, 5.3), (3.0, 6.8))
+    val l = 2.0
+    val (n0, sx, sxx, sy, sxy) = (pts.size.toDouble, pts.map(_._1).sum,
+      pts.map(p => p._1 * p._1).sum, pts.map(_._2).sum,
+      pts.map(p => p._1 * p._2).sum)
+    val det = n0 * (sxx + l) - sx * sx
+    val (eb, ew) = ((sy * (sxx + l) - sx * sxy) / det,
+      (n0 * sxy - sx * sy) / det)
+    val ridge = graft.ops.Analytics
+      .ridgeRegression(pts.toDF("x", "y"), Seq(col("x")), col("y"),
+        lambda = l).head()
+    assert(math.abs(ridge.getDouble(0) - eb) < 1e-6 &&
+      math.abs(ridge.getDouble(1) - ew) < 1e-6, s"$ridge vs ($eb, $ew)")
+    assert(math.abs(ridge.getDouble(1)) < 2.0, "ridge shrinks the slope")
+    // constant target: SST = 0 -> R2 NULL, not a divide error
+    val flat = Seq((0.0, 4.0), (1.0, 4.0)).toDF("x", "y")
+    assert(graft.ops.Analytics
+      .ridgeRegression(flat, Seq(col("x")), col("y"), lambda = 1.0)
+      .head().isNullAt(2))
+  }
+
   test("targetEncode: out-of-fold means verified row by row; prior fallbacks") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
