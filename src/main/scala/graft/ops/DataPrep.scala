@@ -610,6 +610,32 @@ object DataPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** Greedy token-budget selection: rank rows by `score` descending
+    * (ties by `key`) and keep the longest prefix whose cumulative
+    * `tokens` stays within `budget` — the "fill a training budget with
+    * the best documents" primitive. Greedy-by-score is the exact
+    * optimum of the fractional knapsack and the standard practical
+    * policy for the 0/1 case at corpus scale.
+    *
+    * Shape: ONE two-phase global cumulative sum over (score desc, key)
+    * ([[graft.ops.Windows.globalCumSum]] — range repartition + local
+    * window + broadcast offsets; no single-reducer sort) and a filter.
+    * Feed integer token counts: the cumsum is then exact and the
+    * budget cut deterministic (double token weights group differently
+    * across partitionings — the globalCumSum contract). Returns the
+    * selected rows with their running total in `cumCol`. */
+  def budgetSelect(df: DataFrame, key: Column, score: Column,
+      tokens: Column, budget: Long, cumCol: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.withColumn("__score", score)
+      .withColumn("__tok", tokens.cast("long"))
+      .where(col("__score").isNotNull && col("__tok").isNotNull)
+    Windows.globalCumSum(base, Seq(col("__score").desc, key),
+        col("__tok"), out = cumCol)
+      .where(col(cumCol) <= budget)
+      .drop("__score", "__tok")
+  }
+
   /** Out-of-fold smoothed target encoding (Micci-Barreca, SIGKDD
     * Explorations 2001 + the standard K-fold leakage guard): replace a
     * high-cardinality category with the target mean of OTHER folds'

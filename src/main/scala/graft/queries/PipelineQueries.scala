@@ -3319,6 +3319,26 @@ object PipelineQueries {
         .agg(count(lit(1L)).as("n"), round(max(col("te")), 6).as("te"))
         .orderBy("source", "fold")),
 
+    // Chi-square independence of lang x source (is metadata balanced?):
+    // one (a,b) rollup; the expected grid and verdict ride the bounded
+    // contingency table, zero-observed cells included.
+    "q_chi2_indep" -> ((s, dir) =>
+      graft.ops.Analytics.chiSquareIndependence(
+        t(s, dir, "documents"), col("lang"), col("source"))),
+
+    // Token-budget selection: best documents by the deterministic
+    // quality proxy until 3000 ws-tokens are spent — one two-phase
+    // global cumsum (exact integer token counts), then a filter.
+    "pipeline_budget_select" -> ((s, dir) =>
+      graft.ops.DataPrep.budgetSelect(
+          t(s, dir, "documents"), col("doc_id"),
+          (col("n_chars") % 97) / lit(96.0),
+          TF.tokenCountWs(col("text")), budget = 3000L)
+        .agg(count(lit(1L)).as("n_selected"),
+          max(col("cum_tokens")).as("tokens_used"),
+          round(min((col("n_chars") % 97) / lit(96.0)), 6)
+            .as("cutoff_score"))),
+
     // One-scan ridge regression: normal-equation moments in a single
     // aggregation (no explode, no shuffle beyond the final agg), driver
     // Cholesky over the 3x3 system. The oracle solves the SAME system
@@ -3712,6 +3732,38 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
+
+    "q_chi2_indep" ->
+      """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS o
+        |       FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM obs),
+        |g AS (SELECT ra.a, cb.b, coalesce(obs.o, 0) AS oc,
+        |        ra.ra * cb.cb / n.n AS e, n.n
+        |       FROM ra CROSS JOIN cb CROSS JOIN n
+        |       LEFT JOIN obs ON ra.a = obs.a AND cb.b = obs.b),
+        |f AS (SELECT sum((oc - e) * (oc - e) / e) AS chi2,
+        |        CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        |        CAST(count(DISTINCT b) AS BIGINT) AS kb,
+        |        max(n) AS n FROM g)
+        |SELECT round(chi2, 6) AS chi2, (ka - 1) * (kb - 1) AS dof,
+        | CASE WHEN least(ka, kb) > 1 THEN
+        |   round(sqrt(chi2 / (n * (least(ka, kb) - 1))), 6) END AS cramers_v,
+        | CAST(n AS BIGINT) AS n FROM f""".stripMargin,
+
+    "pipeline_budget_select" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,
+        |        len(string_split_regex(trim(text), '\s+')) AS tok
+        |       FROM documents),
+        |c AS (SELECT doc_id, s, tok, sum(tok) OVER (ORDER BY s DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM d),
+        |sel AS (SELECT * FROM c WHERE cum <= 3000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_selected,
+        | CAST(max(cum) AS BIGINT) AS tokens_used,
+        | round(min(s), 6) AS cutoff_score
+        |FROM sel""".stripMargin,
 
     "eval_ridge" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,

@@ -2070,6 +2070,60 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
+  test("chiSquareIndependence: hand-computed 2x2, zero-cell grid inclusion, single-category NULL V") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // balanced 2x2 with association: e = 15 everywhere, chi2 = 4*25/15
+    val df = (Seq.fill(20)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++
+      Seq.fill(10)(("y", "1")) ++ Seq.fill(20)(("y", "2"))).toDF("a", "b")
+    val r = graft.ops.Analytics
+      .chiSquareIndependence(df, col("a"), col("b")).head()
+    assert(math.abs(r.getDouble(0) - 100.0 / 15) < 1e-6, s"$r")
+    assert(r.getLong(1) == 1L && r.getLong(3) == 60L, s"$r")
+    assert(math.abs(r.getDouble(2) - math.sqrt(100.0 / 15 / 60)) < 1e-6)
+    // perfect association via ZERO-observed cells: chi2 = n, V = 1 —
+    // only true if the unobserved grid cells are counted
+    val diag = (Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("y", "2")))
+      .toDF("a", "b")
+    val rd = graft.ops.Analytics
+      .chiSquareIndependence(diag, col("a"), col("b")).head()
+    assert(rd.getDouble(0) == 20.0 && rd.getDouble(2) == 1.0, s"$rd")
+    // one-category side: dof 0, V undefined -> NULL
+    val flat = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
+    val rf = graft.ops.Analytics
+      .chiSquareIndependence(flat, col("a"), col("b")).head()
+    assert(rf.getLong(1) == 0L && rf.isNullAt(2), s"$rf")
+  }
+
+  test("budgetSelect: greedy prefix by score, tie-broken by key, exact integer cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.7, 10L))
+      .toDF("id", "s", "tok")
+    val sel = graft.ops.DataPrep
+      .budgetSelect(df, col("id"), col("s"), col("tok"), budget = 25L)
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sel == Map(1L -> 10L, 2L -> 20L), s"$sel")
+    // exact boundary: a row landing exactly on the budget is KEPT
+    val exact = graft.ops.DataPrep
+      .budgetSelect(df, col("id"), col("s"), col("tok"), budget = 30L)
+    assert(exact.count() == 3L)
+    // ties in score resolve by key ascending
+    val ties = Seq((2L, 0.5, 10L), (1L, 0.5, 10L)).toDF("id", "s", "tok")
+    val tsel = graft.ops.DataPrep
+      .budgetSelect(ties, col("id"), col("s"), col("tok"), budget = 15L)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(tsel == Seq(1L), s"$tsel")
+    // null score/token rows are dropped, not budget-poisoning
+    val withNull = Seq((1L, Option(0.9), Option(10L)),
+      (2L, Option.empty[Double], Option(10L)),
+      (3L, Option(0.8), Option.empty[Long])).toDF("id", "s", "tok")
+    assert(graft.ops.DataPrep
+      .budgetSelect(withNull, col("id"), col("s"), col("tok"), 100L)
+      .count() == 1L)
+  }
+
   test("ridgeRegression: exact fit at lambda 0, shrinkage vs straight-line solve, constant-target NULL R2") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
