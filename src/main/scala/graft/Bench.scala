@@ -276,6 +276,35 @@ object Bench {
           val nc10 = curSamples.head._2._2
           val (ts1, n1) = spanRun(1)
           val (ts4, n4) = spanRun(4)
+          // PCA covariance at 1× vs 10× embeddings: the one-scan
+          // upper-triangle pass must scale with the SCAN (time ratio
+          // ≲10×, not d²-quadratic in anything), and replication must
+          // leave the covariance itself (co)invariant — sample cov of a
+          // 10×-replicated corpus is cov·10(n−1)/(10n−1), within 1e-3 of
+          // the original at this n, so a large drift flags a broken
+          // aggregation, not noise.
+          val embs = graft.sources.Sources.table(s2, sfDir, "embeddings")
+            .select("vec_id", "embedding")
+          val bigE = (0 until 10).map(i => embs.select(
+            (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            col("embedding"))).reduce(_ union _)
+          def covRun(df: org.apache.spark.sql.DataFrame): (Double, Map[(Int, Int), Double]) = {
+            val t0 = System.nanoTime()
+            val m = graft.functions.Pca.covarianceUpper(df, "embedding", 64)
+              .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+            ((System.nanoTime() - t0) / 1e9, m)
+          }
+          covRun(embs) // warm-up
+          val covSamples = (0 until 2).map { _ =>
+            System.gc(); val a = covRun(embs)
+            System.gc(); val b = covRun(bigE)
+            (a, b)
+          }
+          val (tcov1, m1) = (covSamples.map(_._1._1).min, covSamples.head._1._2)
+          val (tcov10, m10) = (covSamples.map(_._2._1).min, covSamples.head._2._2)
+          require(m1.size == 2080 && m10.size == 2080,
+            s"covariance cell counts: ${m1.size}/${m10.size}")
+          val covMaxDiff = m1.map { case (k, v) => math.abs(v - m10(k)) }.max
           // the quantity stride actually cuts: rows entering the
           // ownership distinct+groupBy shuffle
           val rows1 = graft.functions.SpanDedup
@@ -294,7 +323,8 @@ object Bench {
             f""""curate_ratio":${tc10 / tc1}%.2f,"curate_1x_n":$nc1,"curate_10x_n":$nc10,""" +
             f""""span1_sec":$ts1%.2f,"span4_sec":$ts4%.2f,""" +
             f""""span1_spans":$n1,"span4_spans":$n4,""" +
-            f""""span1_rows":$rows1,"span4_rows":$rows4}"""
+            f""""span1_rows":$rows1,"span4_rows":$rows4,""" +
+            f""""cov_ratio":${tcov10 / tcov1}%.2f,"cov_maxdiff":$covMaxDiff%.5f}"""
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead

@@ -816,43 +816,6 @@ object Analytics {
           round(col("__acc"), dp).as("accuracy"), col("n")): _*)
   }
 
-  /** Pearson χ² test of independence between two categorical columns
-    * (lang × source, split × label — the "is my metadata balanced"
-    * readout), plus Cramér's V effect size. Zero-observed cells with
-    * positive expectation COUNT (the crossed marginal grid, not just
-    * observed cells — dropping them understates χ²).
-    *
-    * Shape: one (a, b)-keyed corpus rollup; marginals, the |A|×|B|
-    * expected grid and the verdict all ride that bounded table. One
-    * row: (chi2, dof, cramers_v, n). V is NULL when either side has a
-    * single category (effect size undefined). */
-  def chiSquareIndependence(df: DataFrame, a: Column, b: Column,
-      dp: Int = 6): DataFrame = {
-    val obs = df.groupBy(a.as("__a"), b.as("__b"))
-      .agg(count(lit(1L)).as("__o"))
-    val ra = obs.groupBy("__a").agg(sum(col("__o")).as("__ra"))
-    val cb = obs.groupBy("__b").agg(sum(col("__o")).as("__cb"))
-    val tot = obs.agg(sum(col("__o")).as("__n"))
-    ra.crossJoin(cb).crossJoin(tot) // |A|×|B| bounded grid
-      .join(obs, Seq("__a", "__b"), "left")
-      .select(col("__a"), col("__b"), col("__n"),
-        coalesce(col("__o"), lit(0L)).as("__oc"),
-        (col("__ra") * col("__cb") / col("__n")).as("__e"))
-      .agg(
-        sum((col("__oc") - col("__e")) * (col("__oc") - col("__e")) /
-          col("__e")).as("__chi2"),
-        countDistinct(col("__a")).as("__ka"),
-        countDistinct(col("__b")).as("__kb"),
-        max(col("__n")).as("__nn"))
-      .select(round(col("__chi2"), dp).as("chi2"),
-        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
-        when(least(col("__ka"), col("__kb")) > 1,
-          round(sqrt(col("__chi2") /
-            (col("__nn") * (least(col("__ka"), col("__kb")) - 1))), dp))
-          .as("cramers_v"),
-        col("__nn").cast("long").as("n"))
-  }
-
   /** Ridge (L2) linear regression in ONE scan: the normal-equation
     * moments XᵀX, Xᵀy, yᵀy are a single aggregation (with an intercept
     * column folded in; (d+1)(d+2)/2 + d+2 sum expressions, partial-

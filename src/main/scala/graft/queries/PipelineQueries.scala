@@ -3319,13 +3319,6 @@ object PipelineQueries {
         .agg(count(lit(1L)).as("n"), round(max(col("te")), 6).as("te"))
         .orderBy("source", "fold")),
 
-    // Chi-square independence of lang x source (is metadata balanced?):
-    // one (a,b) rollup; the expected grid and verdict ride the bounded
-    // contingency table, zero-observed cells included.
-    "q_chi2_indep" -> ((s, dir) =>
-      graft.ops.Analytics.chiSquareIndependence(
-        t(s, dir, "documents"), col("lang"), col("source"))),
-
     // Token-budget selection: best documents by the deterministic
     // quality proxy until 3000 ws-tokens are spent — one two-phase
     // global cumsum (exact integer token counts), then a filter.
@@ -3732,25 +3725,6 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
-
-    "q_chi2_indep" ->
-      """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS o
-        |       FROM documents GROUP BY 1, 2),
-        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
-        |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
-        |n AS (SELECT sum(o) AS n FROM obs),
-        |g AS (SELECT ra.a, cb.b, coalesce(obs.o, 0) AS oc,
-        |        ra.ra * cb.cb / n.n AS e, n.n
-        |       FROM ra CROSS JOIN cb CROSS JOIN n
-        |       LEFT JOIN obs ON ra.a = obs.a AND cb.b = obs.b),
-        |f AS (SELECT sum((oc - e) * (oc - e) / e) AS chi2,
-        |        CAST(count(DISTINCT a) AS BIGINT) AS ka,
-        |        CAST(count(DISTINCT b) AS BIGINT) AS kb,
-        |        max(n) AS n FROM g)
-        |SELECT round(chi2, 6) AS chi2, (ka - 1) * (kb - 1) AS dof,
-        | CASE WHEN least(ka, kb) > 1 THEN
-        |   round(sqrt(chi2 / (n * (least(ka, kb) - 1))), 6) END AS cramers_v,
-        | CAST(n AS BIGINT) AS n FROM f""".stripMargin,
 
     "pipeline_budget_select" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,

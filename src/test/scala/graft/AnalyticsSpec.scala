@@ -2070,31 +2070,6 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
-  test("chiSquareIndependence: hand-computed 2x2, zero-cell grid inclusion, single-category NULL V") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // balanced 2x2 with association: e = 15 everywhere, chi2 = 4*25/15
-    val df = (Seq.fill(20)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++
-      Seq.fill(10)(("y", "1")) ++ Seq.fill(20)(("y", "2"))).toDF("a", "b")
-    val r = graft.ops.Analytics
-      .chiSquareIndependence(df, col("a"), col("b")).head()
-    assert(math.abs(r.getDouble(0) - 100.0 / 15) < 1e-6, s"$r")
-    assert(r.getLong(1) == 1L && r.getLong(3) == 60L, s"$r")
-    assert(math.abs(r.getDouble(2) - math.sqrt(100.0 / 15 / 60)) < 1e-6)
-    // perfect association via ZERO-observed cells: chi2 = n, V = 1 —
-    // only true if the unobserved grid cells are counted
-    val diag = (Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("y", "2")))
-      .toDF("a", "b")
-    val rd = graft.ops.Analytics
-      .chiSquareIndependence(diag, col("a"), col("b")).head()
-    assert(rd.getDouble(0) == 20.0 && rd.getDouble(2) == 1.0, s"$rd")
-    // one-category side: dof 0, V undefined -> NULL
-    val flat = Seq(("x", "1"), ("x", "2")).toDF("a", "b")
-    val rf = graft.ops.Analytics
-      .chiSquareIndependence(flat, col("a"), col("b")).head()
-    assert(rf.getLong(1) == 0L && rf.isNullAt(2), s"$rf")
-  }
-
   test("budgetSelect: greedy prefix by score, tie-broken by key, exact integer cut") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
