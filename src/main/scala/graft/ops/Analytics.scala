@@ -1896,6 +1896,29 @@ object Analytics {
     * minimax characterization pav(i) = max_{h≤i} min_{k≥i} avg(h..k),
     * which the oracle restates over the same bin table. NULL scores are
     * excluded up front (least/greatest would clamp them into a bin). */
+  /** Pool-adjacent-violators over (weight, weighted-sum) pairs in their
+    * given order: returns the fitted per-position values — the unique
+    * monotone non-decreasing weighted-least-squares fit. Exposed for
+    * property fuzzing (monotone / mass-preserving / minimax identity);
+    * [[isotonicCalibrate]] is the Spark face. */
+  private[graft] def pav(weights: Seq[Double],
+      sums: Seq[Double]): Seq[Double] = {
+    require(weights.length == sums.length && weights.forall(_ > 0),
+      "pav needs positive weights aligned with sums")
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Int)] // (weight, sum, member count)
+    weights.zip(sums).foreach { case (w0, s0) =>
+      var cur = (w0, s0, 1)
+      while (blocks.nonEmpty &&
+          blocks.last._2 / blocks.last._1 > cur._2 / cur._1) {
+        val p = blocks.remove(blocks.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 + cur._3)
+      }
+      blocks += cur
+    }
+    blocks.toSeq.flatMap { case (w, s0, k) => Seq.fill(k)(s0 / w) }
+  }
+
   def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
@@ -1910,24 +1933,9 @@ object Analytics {
     val rows = agg.collect().map(r => (r.getAs[Int]("bin"),
       r.getAs[Long]("n"), r.getAs[Double]("__avg_s"),
       r.getAs[Double]("__pos")))
-    // PAV over the ordered bins: merge any block whose rate falls below
-    // its predecessor's, pooling weights and positives
-    val blocks = scala.collection.mutable.ArrayBuffer
-      .empty[(Double, Double, List[Int])] // (weight, sumY, member bins)
-    rows.foreach { case (bin, n, _, pos) =>
-      var cur = (n.toDouble, pos, List(bin))
-      while (blocks.nonEmpty &&
-          blocks.last._2 / blocks.last._1 > cur._2 / cur._1) {
-        val p = blocks.remove(blocks.length - 1)
-        cur = (p._1 + cur._1, p._2 + cur._2, p._3 ++ cur._3)
-      }
-      blocks += cur
-    }
-    val pav = blocks.flatMap { case (w, sy, members) =>
-      members.map(_ -> sy / w)
-    }.toMap
-    val out = rows.map { case (bin, n, avgS, pos) =>
-      (bin, n, avgS, pos / n, pav(bin))
+    val fitted = pav(rows.map(_._2.toDouble), rows.map(_._4))
+    val out = rows.zip(fitted).map { case ((bin, n, avgS, pos), f) =>
+      (bin, n, avgS, pos / n, f)
     }.toSeq
     df.sparkSession.createDataFrame(out)
       .toDF("bin", "n", "avg_score", "raw_rate", "pav_rate")

@@ -221,4 +221,33 @@ object PropertySpec extends Properties("graft") {
       Prop(got.map(_.getInt(0)) == expect &&
         got.forall(r => r.getLong(1) == h(r.getInt(0))))
     }
+
+  // PAV (isotonic fit): for random weighted bin tables the fit must be
+  // monotone non-decreasing, preserve total weighted mass, never leave
+  // [min, max] of the raw rates, and equal the O(B^3) minimax
+  // brute-force max_{h<=i} min_{k>=i} avg(h..k) — the same identity the
+  // eval_isotonic DuckDB oracle restates.
+  property("pav: monotone, mass-preserving, equals the minimax brute force") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1, 50), Gen.choose(0, 50)))
+        .suchThat(_.nonEmpty)) { cells =>
+      val w = cells.map(_._1.toDouble)
+      val s = cells.zip(w).map { case ((_, pos), wi) =>
+        math.min(pos, wi.toInt).toDouble } // sums <= weights (rates in [0,1])
+      val fit = graft.ops.Analytics.pav(w, s)
+      val rates = w.zip(s).map { case (wi, si) => si / wi }
+      val minimax = rates.indices.map { i =>
+        (0 to i).map { h =>
+          (i until rates.length).map { k =>
+            val ww = w.slice(h, k + 1).sum
+            s.slice(h, k + 1).sum / ww
+          }.min
+        }.max
+      }
+      val eps = 1e-9
+      Prop(
+        fit.zip(fit.tail).forall { case (a, b) => a <= b + eps } &&
+        math.abs(fit.zip(w).map(p => p._1 * p._2).sum - s.sum) < 1e-6 &&
+        fit.forall(v => v >= rates.min - eps && v <= rates.max + eps) &&
+        fit.zip(minimax).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
 }
