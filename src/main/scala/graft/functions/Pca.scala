@@ -31,7 +31,10 @@ object Pca {
     * a DataFrame (i, j, n, cov) with 0-based i <= j — the auditable /
     * oracle-checkable face of the one-scan covariance pass. Rows whose
     * vector is null or not exactly `dim` long are dropped. */
-  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  /** The one-scan upper-triangle moment pass shared by the public
+    * faces: (i, j, n, Σxᵢxⱼ, Σxᵢ, Σxⱼ) for 0-based i <= j. */
+  private def momentsUpper(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = col(vecCol)
     val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
@@ -46,26 +49,41 @@ object Pca {
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1L)).as("n"), sum(col("p.xy")).as("__sxy"),
         sum(col("p.xi")).as("__si"), sum(col("p.xj")).as("__sj"))
+  }
+
+  def covarianceUpper(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    momentsUpper(df, vecCol, dim)
       .select(col("i"), col("j"), col("n"),
         // sample covariance needs n >= 2 (NULL otherwise — ANSI division
         // by the zero n−1 would throw, the heapsFit guard discipline)
         when(col("n") > 1,
           (col("__sxy") - col("__si") * col("__sj") / col("n")) /
             (col("n") - 1)).as("cov"))
+
+  /** The full symmetric d×d sample covariance AND the per-dim means,
+    * both from the SAME one-scan moment pass (the diagonal rows carry
+    * Σxᵢ), collected to the driver — bounded by d², never by corpus
+    * size, exactly one job. */
+  private def covarianceAndMeans(df: DataFrame, vecCol: String,
+      dim: Int): (Array[Array[Double]], Array[Double]) = {
+    val a = Array.fill(dim, dim)(0.0)
+    val means = Array.fill(dim)(0.0)
+    momentsUpper(df, vecCol, dim).collect().foreach { r =>
+      val (i, j, n) = (r.getAs[Int]("i"), r.getAs[Int]("j"),
+        r.getAs[Long]("n"))
+      val (sxy, si) = (r.getAs[Double]("__sxy"), r.getAs[Double]("__si"))
+      val c = (sxy - si * r.getAs[Double]("__sj") / n) / (n - 1)
+      a(i)(j) = c; a(j)(i) = c
+      if (i == j) means(i) = si / n
+    }
+    (a, means)
   }
 
   /** The full symmetric d×d sample covariance, collected to the driver
     * (bounded by d², never by corpus size). */
   def covarianceMatrix(df: DataFrame, vecCol: String,
-      dim: Int): Array[Array[Double]] = {
-    val a = Array.fill(dim, dim)(0.0)
-    covarianceUpper(df, vecCol, dim).collect().foreach { r =>
-      val (i, j, c) = (r.getAs[Int]("i"), r.getAs[Int]("j"),
-        r.getAs[Double]("cov"))
-      a(i)(j) = c; a(j)(i) = c
-    }
-    a
-  }
+      dim: Int): Array[Array[Double]] =
+    covarianceAndMeans(df, vecCol, dim)._1
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
     * (eigenvalues, eigenvectors-as-rows), sorted by eigenvalue
@@ -156,20 +174,12 @@ object Pca {
     }
   }
 
-  /** Fit a top-`k` PCA on the covariance of `vecCol` (one scan + the
-    * bounded driver eigen step). */
+  /** Fit a top-`k` PCA on the covariance of `vecCol` — exactly ONE job:
+    * covariance and means both come from the shared moment pass, the
+    * eigen step is bounded driver work. */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
-    val cov = covarianceMatrix(df, vecCol, dim)
-    val means = {
-      val v = col(vecCol)
-      val m = df.where(v.isNotNull && size(v) === dim)
-        .select(posexplode(v).as(Seq("__pos", "__x")))
-        .groupBy("__pos").agg(avg(col("__x").cast("double")).as("__m"))
-        .collect().map(r => r.getAs[Int]("__pos") -> r.getAs[Double]("__m"))
-        .toMap
-      Array.tabulate(dim)(m)
-    }
+    val (cov, means) = covarianceAndMeans(df, vecCol, dim)
     val (evals, evecs) = jacobiEigen(cov)
     PcaModel(means, evals, evecs.take(k))
   }
