@@ -816,6 +816,62 @@ object Analytics {
           round(col("__acc"), dp).as("accuracy"), col("n")): _*)
   }
 
+  /** Unbiased pass@k over per-task samples (Chen et al.,
+    * arXiv:2107.03374 §2.1): with n samples and c correct for a task,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * averaged over tasks — the standard code-eval readout, exact and
+    * unbiased where the naive (c/n)ᵏ is not. Tasks with n < k cannot
+    * support the estimator and are EXCLUDED from that k's mean (their
+    * count is visible via n_tasks). The product is computed as
+    * exp(Σ ln·) under c=0 / n−c<k guards so the factors are strictly
+    * positive. One (task)-keyed rollup; everything after rides the
+    * task-count-bounded table. Returns one row per k:
+    * (k, n_tasks, pass_at_k). */
+  def passAtK(df: DataFrame, task: Column, correct: Column,
+      ks: Seq[Int], dp: Int = 6): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val per = df.groupBy(task.as("__t"))
+      .agg(count(lit(1L)).as("__n"),
+        sum(correct.cast("double")).as("__c"))
+    ks.map { k =>
+      val n = col("__n")
+      val c = col("__c")
+      val logProd = aggregate(sequence(lit(0), lit(k - 1)),
+        lit(0.0), (acc, i) => acc + log((n - c - i) / (n - i)))
+      val p = when(c === 0.0, lit(0.0))
+        .when(n - c < k, lit(1.0))
+        .otherwise(lit(1.0) - exp(logProd))
+      per.where(n >= k)
+        .agg(count(lit(1L)).as("n_tasks"),
+          round(avg(p), dp).as("pass_at_k"))
+        .select(lit(k).as("k"), col("n_tasks"), col("pass_at_k"))
+    }.reduce(_ unionByName _).orderBy("k")
+  }
+
+  /** Fairness parity gaps of a binary predictor across slices: per
+    * group the selection rate avg(pred), TPR avg(pred | y=1) and FPR
+    * avg(pred | y=0); the verdict row reports the max−min spread of
+    * each — demographic-parity gap and the two equalized-odds gaps
+    * (Hardt et al., NeurIPS 2016). Groups missing a class are excluded
+    * from that class's spread (their rate is undefined, not zero). One
+    * group-keyed rollup; the verdict rides the |groups|-bounded table.
+    * One row: (n_groups, dp_gap, tpr_gap, fpr_gap). */
+  def parityGaps(df: DataFrame, group: Column, label: Column,
+      pred: Column, dp: Int = 6): DataFrame = {
+    val y = label.cast("double")
+    val p = pred.cast("double")
+    df.groupBy(group.as("__g"))
+      .agg(avg(p).as("__sel"),
+        avg(when(y === 1.0, p)).as("__tpr"),
+        avg(when(y === 0.0, p)).as("__fpr"))
+      .agg(count(lit(1L)).as("n_groups"),
+        round(max(col("__sel")) - min(col("__sel")), dp).as("dp_gap"),
+        round(max(col("__tpr")) - min(col("__tpr")), dp).as("tpr_gap"),
+        round(max(col("__fpr")) - min(col("__fpr")), dp).as("fpr_gap"))
+  }
+
   /** Ridge (L2) linear regression in ONE scan: the normal-equation
     * moments XᵀX, Xᵀy, yᵀy are a single aggregation (with an intercept
     * column folded in; (d+1)(d+2)/2 + d+2 sum expressions, partial-

@@ -3332,6 +3332,26 @@ object PipelineQueries {
           round(min((col("n_chars") % 97) / lit(96.0)), 6)
             .as("cutoff_score"))),
 
+    // Unbiased pass@k (Chen et al. 2021) over deterministic pseudo
+    // samples: one task rollup, estimator on the task-bounded table;
+    // tasks with n < k excluded from that k, visibly.
+    "eval_pass_at_k" -> ((s, dir) =>
+      graft.ops.Analytics.passAtK(
+        t(s, dir, "documents"),
+        col("doc_id") % 40,
+        (graft.ops.DataPrep.hashBucket(col("doc_id"), 100) < 30).cast("int"),
+        Seq(1, 5, 10))),
+
+    // Demographic-parity + equalized-odds gaps of a deterministic
+    // pseudo predictor across sources: one slice rollup, spread verdict
+    // on the bounded table; one-class slices excluded from that spread.
+    "eval_parity" -> ((s, dir) =>
+      graft.ops.Analytics.parityGaps(
+        t(s, dir, "documents"), col("source"),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0),
+        (graft.ops.DataPrep.hashBucket(col("doc_id"), 100) < 45).cast("int"))),
+
     // One-scan ridge regression: normal-equation moments in a single
     // aggregation (no explode, no shuffle beyond the final agg), driver
     // Cholesky over the 3x3 system. The oracle solves the SAME system
@@ -3738,6 +3758,42 @@ object PipelineQueries {
         | CAST(max(cum) AS BIGINT) AS tokens_used,
         | round(min(s), 6) AS cutoff_score
         |FROM sel""".stripMargin,
+
+    "eval_pass_at_k" ->
+      s"""WITH d AS (SELECT doc_id % 40 AS t,
+        |        CASE WHEN ${duckHex16("CAST(doc_id AS VARCHAR)")} % 100 < 30
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS correct
+        |       FROM documents),
+        |per AS (SELECT t, count(*) AS n, sum(correct) AS c FROM d GROUP BY 1),
+        |ks AS (SELECT CAST(v.k AS INT) AS k FROM (VALUES (1), (5), (10)) v(k)),
+        |p AS (SELECT ks.k,
+        |        CASE WHEN per.c = 0 THEN CAST(0 AS DOUBLE)
+        |             WHEN per.n - per.c < ks.k THEN CAST(1 AS DOUBLE)
+        |             ELSE 1 - exp(list_sum(list_transform(
+        |               generate_series(0, ks.k - 1),
+        |               i -> ln((per.n - per.c - i) / (per.n - i)))))
+        |        END AS pk
+        |       FROM ks JOIN per ON per.n >= ks.k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+        | round(avg(pk), 6) AS pass_at_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "eval_parity" ->
+      s"""WITH d AS (SELECT source AS g,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1 ELSE 0 END AS y,
+        |        CASE WHEN ${duckHex16("CAST(doc_id AS VARCHAR)")} % 100 < 45
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS p
+        |       FROM documents),
+        |g AS (SELECT g, avg(p) AS sel,
+        |        avg(p) FILTER (WHERE y = 1) AS tpr,
+        |        avg(p) FILTER (WHERE y = 0) AS fpr
+        |       FROM d GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        | round(max(sel) - min(sel), 6) AS dp_gap,
+        | round(max(tpr) - min(tpr), 6) AS tpr_gap,
+        | round(max(fpr) - min(fpr), 6) AS fpr_gap
+        |FROM g""".stripMargin,
 
     "eval_ridge" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,

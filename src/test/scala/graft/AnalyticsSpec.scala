@@ -2070,6 +2070,51 @@ class AnalyticsSpec extends SparkSuite {
       grouped.getDouble(1) == 0.875, s"$grouped vs $global")
   }
 
+  test("passAtK: hand-computed combinatorics, saturation, zero-correct, n<k exclusion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // task A: n=4, c=2 -> pass@1 = 1/2, pass@2 = 1 - C(2,2)/C(4,2) = 5/6,
+    // pass@3 = 1 (n-c < k); task B: n=4, c=0 -> 0 at every k
+    val df = Seq(("A", 1), ("A", 1), ("A", 0), ("A", 0),
+      ("B", 0), ("B", 0), ("B", 0), ("B", 0)).toDF("t", "ok")
+    val r = graft.ops.Analytics
+      .passAtK(df, col("t"), col("ok"), Seq(1, 2, 3, 5))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(r(1) == ((2L, Some(0.25))), s"${r(1)}")            // avg(0.5, 0)
+    assert(r(2)._1 == 2L &&
+      math.abs(r(2)._2.get - 5.0 / 12) < 1e-6, s"${r(2)}")
+    assert(r(3) == ((2L, Some(0.5))), s"${r(3)}")             // avg(1, 0)
+    // k = 5 > n = 4: no task can support it -> zero tasks, NULL mean
+    assert(r(5) == ((0L, None)), s"${r(5)}")
+    // pass@n equals the exhaustive truth: any correct sample -> 1
+    val all = graft.ops.Analytics.passAtK(df, col("t"), col("ok"), Seq(4))
+      .head()
+    assert(all.getDouble(2) == 0.5, s"$all")
+  }
+
+  test("parityGaps: hand-computed spreads; one-class slices excluded from that spread") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // g1: sel 0.5, tpr 1.0, fpr 0.0; g2: sel 0.25, tpr 0.0, fpr ~0.333
+    val df = Seq(
+      ("g1", 1, 1), ("g1", 1, 1), ("g1", 0, 0), ("g1", 0, 0),
+      ("g2", 1, 0), ("g2", 0, 1), ("g2", 0, 0), ("g2", 0, 0))
+      .toDF("g", "y", "p")
+    val r = graft.ops.Analytics
+      .parityGaps(df, col("g"), col("y"), col("p")).head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 0.25, s"$r")
+    assert(r.getDouble(2) == 1.0 &&
+      math.abs(r.getDouble(3) - 1.0 / 3) < 1e-6, s"$r")
+    // a slice with only positives has no FPR: it must not zero-fill
+    // the fpr spread (gap stays 0 across the remaining slice alone)
+    val onec = Seq(("a", 1, 1), ("a", 1, 0), ("b", 1, 1), ("b", 0, 1))
+      .toDF("g", "y", "p")
+    val ro = graft.ops.Analytics
+      .parityGaps(onec, col("g"), col("y"), col("p")).head()
+    assert(ro.getDouble(3) == 0.0, s"fpr spread over slice b only: $ro")
+  }
+
   test("budgetSelect: greedy prefix by score, tie-broken by key, exact integer cut") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
