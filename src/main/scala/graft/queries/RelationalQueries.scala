@@ -574,6 +574,53 @@ object RelationalQueries {
     // Distribution drift (PSI, 10 equi-width bins over the combined
     // range, Laplace-smoothed): view-event values vs purchase-event
     // values — the snapshot/train-serve monitoring gate.
+    // Streaming drift monitor: the SAME driftPsi operator scored per
+    // micro-batch (3 file-arrival batches of the purchase stream vs the
+    // static view-events reference) through foreachBatch — the offline
+    // PSI threshold transfers verbatim. The oracle restates all three
+    // batch verdicts from the deterministic event_id % 3 batch split.
+    "q_stream_drift" -> ((s, dir) => {
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/drift_stream")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val ev = t(s, dir, "events")
+      val purch = ev.where(col("event_type") === "purchase")
+        .select("event_id", "value")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        purch.where(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val ref = ev.where(col("event_type") === "view")
+      val out = s"$root/out"
+      val q = graft.streaming.Streams
+        .driftMonitor(stream, ref, col("value"), bins = 10) { (df, _) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out)
+        .select(col("batch_id"), round(col("psi"), 6).as("psi"),
+          col("n_a"), col("n_b"), col("n_bins"))
+        .orderBy("batch_id")
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Analytics.driftPsi(
@@ -1976,6 +2023,41 @@ object RelationalQueries {
         |   AND abs(value - roll_mean) > 3 * roll_std THEN value END), 4)
         |   AS max_anomaly_value
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_drift" ->
+      """WITH ref AS (SELECT value AS v FROM events
+        |             WHERE event_type = 'view' AND value IS NOT NULL),
+        |b AS (SELECT CAST(event_id % 3 AS BIGINT) AS batch_id, value AS v
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |ids AS (SELECT DISTINCT batch_id FROM b),
+        |bd AS (SELECT ids.batch_id,
+        |        least((SELECT min(v) FROM ref),
+        |          (SELECT min(v) FROM b WHERE b.batch_id = ids.batch_id)) AS lo,
+        |        greatest((SELECT max(v) FROM ref),
+        |          (SELECT max(v) FROM b WHERE b.batch_id = ids.batch_id)) AS hi
+        |       FROM ids),
+        |ha AS (SELECT bd.batch_id, least(9, CAST(floor((ref.v - bd.lo)
+        |         / ((bd.hi - bd.lo) / 10)) AS INT)) AS bin, count(*) AS c
+        |       FROM ref, bd GROUP BY 1, 2),
+        |hb AS (SELECT bd.batch_id, least(9, CAST(floor((b.v - bd.lo)
+        |         / ((bd.hi - bd.lo) / 10)) AS INT)) AS bin, count(*) AS c
+        |       FROM b JOIN bd ON b.batch_id = bd.batch_id GROUP BY 1, 2),
+        |grid AS (SELECT ids.batch_id, g.bin
+        |         FROM ids, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+        |m AS (SELECT grid.batch_id, grid.bin, coalesce(ha.c, 0) AS ca,
+        |        coalesce(hb.c, 0) AS cb
+        |      FROM grid
+        |      LEFT JOIN ha ON grid.batch_id = ha.batch_id AND grid.bin = ha.bin
+        |      LEFT JOIN hb ON grid.batch_id = hb.batch_id AND grid.bin = hb.bin),
+        |t AS (SELECT batch_id, sum(ca) AS na, sum(cb) AS nb
+        |      FROM m GROUP BY 1)
+        |SELECT m.batch_id,
+        | round(sum(((ca+0.5)/(t.na+5.0) - (cb+0.5)/(t.nb+5.0))
+        |   * ln(((ca+0.5)/(t.na+5.0))/((cb+0.5)/(t.nb+5.0)))), 6) AS psi,
+        | CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b, 10 AS n_bins
+        |FROM m JOIN t ON m.batch_id = t.batch_id
+        |GROUP BY m.batch_id, t.na, t.nb ORDER BY m.batch_id""".stripMargin,
 
     "q_drift_psi" ->
       """WITH va AS (SELECT value AS v FROM events

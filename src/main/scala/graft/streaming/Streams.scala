@@ -220,6 +220,25 @@ object Streams {
         indexIngestBatch(batch, batchId, idCol, textCol, indexDir, buckets)
       }
 
+  /** Per-micro-batch PSI drift monitor: every batch's value
+    * distribution is scored against a STATIC reference with
+    * [[graft.ops.Analytics.driftPsi]] — the same operator serving batch
+    * and stream, so the alert threshold calibrated offline transfers
+    * verbatim. One verdict row (batch_id, psi, n_a, n_b, n_bins) per
+    * batch goes to `sink`; reference side is `n_a`. State lives in the
+    * reference DataFrame (re-scanned per batch — broadcast-small by
+    * contract, or pre-aggregate it), NOT the state store: at 100 TB the
+    * per-batch cost is the batch scan plus a bins-sized merge. */
+  def driftMonitor(stream: DataFrame, reference: DataFrame, c: Column,
+      bins: Int = 10)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.ops.Analytics.driftPsi(reference, batch, c, bins)
+          .withColumn("batch_id", lit(batchId)), batchId)
+      }
+
   /** Watermarked stream-stream INTERVAL join — the attribution shape:
     * a right-side row matches a left-side row with the same `key` when
     * its timestamp lands in [l_ts, l_ts + within]. Both sides carry
