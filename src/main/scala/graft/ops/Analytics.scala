@@ -872,6 +872,86 @@ object Analytics {
         round(max(col("__fpr")) - min(col("__fpr")), dp).as("fpr_gap"))
   }
 
+  /** OLS with heteroscedasticity-robust (HC0, White 1980) standard
+    * errors — point estimates without honest uncertainty invite
+    * overreading, and the classical homoscedastic SEs are wrong for
+    * most observational data. Two scans total: the normal-equation
+    * moments (as [[ridgeRegression]]), then one residual-moment pass
+    * Σ eᵢ²·xᵢxᵢᵀ with the fitted weights shipped as literals; the
+    * sandwich (XᵀX)⁻¹ M (XᵀX)⁻¹ is bounded driver algebra. Returns one
+    * row per coefficient: (term, coef, se_hc0, t_stat), terms "b",
+    * "x1".."xd". */
+  def olsRobustSe(df: DataFrame, features: Seq[Column], target: Column,
+      dp: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size
+    val m = d + 1
+    val cols = target.cast("double").as("__y") +:
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__y").isNotNull +: (0 until d)
+        .map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+      .localCheckpoint(true) // scanned twice (moments + residual pass)
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(s"__x${i - 1}")
+    val moments =
+      (for (i <- 0 until m; j <- i until m)
+        yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
+      (0 until m).map(i => sum(x(i) * col("__y")).as(s"v_$i")) :+
+      count(lit(1L)).as("n")
+    val r = base.agg(moments.head, moments.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    require(n > m, s"need more rows than parameters, got $n for $m")
+    val a = Array.tabulate(m, m) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      r.getAs[Double](s"m_${lo}_$hi")
+    }
+    val b = Array.tabulate(m)(i => r.getAs[Double](s"v_$i"))
+    // Cholesky of XᵀX, reused to solve for w and each column of (XᵀX)⁻¹
+    val l = Array.fill(m, m)(0.0)
+    for (i <- 0 until m; j <- 0 to i) {
+      val s0 = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
+      if (i == j) l(i)(j) = math.sqrt(a(i)(i) - s0)
+      else l(i)(j) = (a(i)(j) - s0) / l(j)(j)
+    }
+    def solve(rhs: Array[Double]): Array[Double] = {
+      val z = Array.fill(m)(0.0)
+      for (i <- 0 until m)
+        z(i) = (rhs(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
+      val w = Array.fill(m)(0.0)
+      for (i <- m - 1 to 0 by -1)
+        w(i) = (z(i) - (i + 1 until m).map(k => l(k)(i) * w(k)).sum) / l(i)(i)
+      w
+    }
+    val w = solve(b)
+    val ainv = Array.tabulate(m)(j =>
+      solve(Array.tabulate(m)(i => if (i == j) 1.0 else 0.0)))
+    // residual-moment pass: M = Σ e² x xᵀ with w as literals
+    val e = (0 until d).foldLeft(col("__y") - lit(w(0)): Column) {
+      case (acc, i) => acc - lit(w(i + 1)) * col(s"__x$i")
+    }
+    val e2 = e * e
+    val mm = (for (i <- 0 until m; j <- i until m)
+      yield sum(e2 * x(i) * x(j)).as(s"mm_${i}_$j"))
+    val r2 = base.agg(mm.head, mm.tail: _*).head()
+    val mMat = Array.tabulate(m, m) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      r2.getAs[Double](s"mm_${lo}_$hi")
+    }
+    // sandwich: S = Ainv M Ainv (Ainv columns are Ainv rows — symmetric)
+    def mat(aa: Array[Array[Double]], bb: Array[Array[Double]]) =
+      Array.tabulate(m, m)((i, j) =>
+        (0 until m).map(k => aa(i)(k) * bb(k)(j)).sum)
+    val s = mat(mat(ainv, mMat), ainv)
+    def rd(x0: Double) = BigDecimal(x0).setScale(dp,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (0 until m).map { j =>
+      val se = math.sqrt(s(j)(j))
+      (if (j == 0) "b" else s"x$j", rd(w(j)), rd(se), rd(w(j) / se))
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("term", "coef", "se_hc0", "t_stat")
+  }
+
   /** Ridge (L2) linear regression in ONE scan: the normal-equation
     * moments XᵀX, Xᵀy, yᵀy are a single aggregation (with an intercept
     * column folded in; (d+1)(d+2)/2 + d+2 sum expressions, partial-

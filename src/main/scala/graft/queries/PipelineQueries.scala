@@ -3352,6 +3352,16 @@ object PipelineQueries {
           .otherwise(0),
         (graft.ops.DataPrep.hashBucket(col("doc_id"), 100) < 45).cast("int"))),
 
+    // OLS with HC0 (White) robust standard errors: moments scan +
+    // residual-moment scan, bounded driver sandwich algebra; the oracle
+    // solves the 2x2 case in closed form including the sandwich.
+    "eval_ols_robust" -> ((s, dir) =>
+      graft.ops.Analytics.olsRobustSe(
+          t(s, dir, "documents"),
+          Seq((col("doc_id") % 31) / lit(30.0)),
+          (col("n_chars") % 89) / lit(88.0))
+        .orderBy("term")),
+
     // One-scan ridge regression: normal-equation moments in a single
     // aggregation (no explode, no shuffle beyond the final agg), driver
     // Cholesky over the 3x3 system. The oracle solves the SAME system
@@ -3794,6 +3804,33 @@ object PipelineQueries {
         | round(max(tpr) - min(tpr), 6) AS tpr_gap,
         | round(max(fpr) - min(fpr), 6) AS fpr_gap
         |FROM g""".stripMargin,
+
+    "eval_ols_robust" ->
+      """WITH d AS (SELECT CAST(doc_id % 31 AS DOUBLE)/30 AS x,
+        |        CAST(n_chars % 89 AS DOUBLE)/88 AS y FROM documents),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |       sum(x*x) AS sxx, sum(y) AS sy, sum(x*y) AS sxy FROM d),
+        |w AS (SELECT (sy*sxx - sx*sxy) / (n*sxx - sx*sx) AS wb,
+        |       (n*sxy - sx*sy) / (n*sxx - sx*sx) AS wx,
+        |       n, sx, sxx FROM m),
+        |e AS (SELECT w.wb, w.wx, w.n, w.sx, w.sxx,
+        |       sum((y - wb - wx*x)*(y - wb - wx*x)) AS e0,
+        |       sum((y - wb - wx*x)*(y - wb - wx*x)*x) AS e1,
+        |       sum((y - wb - wx*x)*(y - wb - wx*x)*x*x) AS e2
+        |      FROM d, w GROUP BY w.wb, w.wx, w.n, w.sx, w.sxx),
+        |s AS (SELECT wb, wx,
+        |       (sxx*sxx*e0 - 2*sxx*sx*e1 + sx*sx*e2)
+        |         / ((n*sxx - sx*sx)*(n*sxx - sx*sx)) AS s00,
+        |       (sx*sx*e0 - 2*n*sx*e1 + n*n*e2)
+        |         / ((n*sxx - sx*sx)*(n*sxx - sx*sx)) AS s11 FROM e)
+        |SELECT * FROM (
+        | SELECT 'b' AS term, round(wb, 6) AS coef,
+        |  round(sqrt(s00), 6) AS se_hc0, round(wb/sqrt(s00), 6) AS t_stat
+        | FROM s
+        | UNION ALL
+        | SELECT 'x1', round(wx, 6), round(sqrt(s11), 6),
+        |  round(wx/sqrt(s11), 6) FROM s)
+        |ORDER BY term""".stripMargin,
 
     "eval_ridge" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,

@@ -2144,6 +2144,33 @@ class AnalyticsSpec extends SparkSuite {
       .count() == 1L)
   }
 
+  test("olsRobustSe: straight-line closed-form sandwich on a planted heteroscedastic fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((0.0, 1.1), (1.0, 2.8), (2.0, 5.9), (3.0, 6.2), (4.0, 9.7))
+    val (n0, sx, sxx, sy, sxy) = (pts.size.toDouble, pts.map(_._1).sum,
+      pts.map(p => p._1 * p._1).sum, pts.map(_._2).sum,
+      pts.map(p => p._1 * p._2).sum)
+    val det = n0 * sxx - sx * sx
+    val (wb, wx) = ((sy * sxx - sx * sxy) / det, (n0 * sxy - sx * sy) / det)
+    val es = pts.map { case (x, y) => (x, y - wb - wx * x) }
+    val (e0, e1, e2) = (es.map(e => e._2 * e._2).sum,
+      es.map(e => e._2 * e._2 * e._1).sum,
+      es.map(e => e._2 * e._2 * e._1 * e._1).sum)
+    val s00 = (sxx * sxx * e0 - 2 * sxx * sx * e1 + sx * sx * e2) / (det * det)
+    val s11 = (sx * sx * e0 - 2 * n0 * sx * e1 + n0 * n0 * e2) / (det * det)
+    val r = graft.ops.Analytics
+      .olsRobustSe(pts.toDF("x", "y"), Seq(col("x")), col("y"))
+      .orderBy("term").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("b", "x1"))
+    assert(math.abs(r(0).getDouble(1) - wb) < 1e-6 &&
+      math.abs(r(1).getDouble(1) - wx) < 1e-6, s"${r.toSeq}")
+    assert(math.abs(r(0).getDouble(2) - math.sqrt(s00)) < 1e-6, s"${r.toSeq}")
+    assert(math.abs(r(1).getDouble(2) - math.sqrt(s11)) < 1e-6, s"${r.toSeq}")
+    // t = coef/se (rounded views of the same internals)
+    assert(math.abs(r(1).getDouble(3) - wx / math.sqrt(s11)) < 1e-5)
+  }
+
   test("ridgeRegression: exact fit at lambda 0, shrinkage vs straight-line solve, constant-target NULL R2") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
