@@ -872,6 +872,51 @@ object Analytics {
         round(max(col("__fpr")) - min(col("__fpr")), dp).as("fpr_gap"))
   }
 
+  /** Wald's SPRT (sequential probability ratio test, Wald 1945) per
+    * key over Bernoulli outcomes: the cumulative log-likelihood ratio
+    * of H1: p=p1 vs H0: p=p0 walks until it crosses
+    * A = ln((1−β)/α) (accept H1) or B = ln(β/(1−α)) (accept H0) — the
+    * sequential early-stopping companion of the fixed-horizon tests
+    * (fewer samples on clear effects, error rates still bounded by
+    * α/β). Returns per key: (key, n, llr_final, decision ∈
+    * {accept_h1, accept_h0, continue}, decided_at = 1-based index of
+    * the FIRST crossing, NULL while continuing).
+    *
+    * Shape: one key-partitioned ordered window (parallel by key) + a
+    * key rollup — no single-reducer stage at any key cardinality. */
+  def sprt(df: DataFrame, key: Column, order: Seq[Column], success: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05, beta: Double = 0.2,
+      dp: Int = 6): DataFrame = {
+    require(order.nonEmpty, "sprt needs ordering columns")
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0/p1 must be distinct probabilities, got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    val (l1, l0) = (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)))
+    val (aThr, bThr) = (math.log((1 - beta) / alpha),
+      math.log(beta / (1 - alpha)))
+    val base = df.select((Seq(key.as("__k"),
+      success.cast("boolean").as("__y")) ++ order): _*)
+    val wOrd = Window.partitionBy(col("__k")).orderBy(order: _*)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = base
+      .withColumn("__llr", sum(when(col("__y"), lit(l1)).otherwise(lit(l0)))
+        .over(wRun))
+      .withColumn("__i", row_number().over(wOrd))
+    walked.groupBy(col("__k").as("key"))
+      .agg(count(lit(1L)).as("n"),
+        round(max(struct(col("__i"), col("__llr"))).getField("__llr"), dp)
+          .as("llr_final"),
+        min(when(col("__llr") >= aThr, col("__i"))).as("__up"),
+        min(when(col("__llr") <= bThr, col("__i"))).as("__dn"))
+      .select(col("key"), col("n"), col("llr_final"),
+        when(col("__up").isNotNull &&
+            (col("__dn").isNull || col("__up") <= col("__dn")), "accept_h1")
+          .when(col("__dn").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        least(col("__up"), col("__dn")).as("decided_at"))
+  }
+
   /** OLS with heteroscedasticity-robust (HC0, White 1980) standard
     * errors — point estimates without honest uncertainty invite
     * overreading, and the classical homoscedastic SEs are wrong for

@@ -3708,7 +3708,7 @@ object PipelineQueries {
   /** First 16 md5 bits of `expr` as a BIGINT — the version-proof
     * per-nibble strpos form (see CheckQueries.duckRowHash; the '0x'
     * cast idiom proved DuckDB-version-sensitive). */
-  private def duckHex16(expr: String): String =
+  private[queries] def duckHex16(expr: String): String =
     (0 until 4).map { i =>
       val w = 1L << (4 * (3 - i))
       s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) " +

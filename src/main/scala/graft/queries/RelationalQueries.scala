@@ -574,6 +574,17 @@ object RelationalQueries {
     // Distribution drift (PSI, 10 equi-width bins over the combined
     // range, Laplace-smoothed): view-event values vs purchase-event
     // values — the snapshot/train-serve monitoring gate.
+    // Wald SPRT per event type over a deterministic Bernoulli outcome:
+    // key-partitioned cumulative LLR walk, first-crossing decision
+    // against the alpha/beta thresholds; no single-reducer stage.
+    "q_sprt" -> ((s, dir) =>
+      graft.ops.Analytics.sprt(
+          t(s, dir, "events"), col("event_type"),
+          Seq(col("ts"), col("event_id")),
+          graft.ops.DataPrep.hashBucket(col("event_id"), 100) < 35,
+          p0 = 0.3, p1 = 0.5)
+        .orderBy("key")),
+
     // Streaming drift monitor: the SAME driftPsi operator scored per
     // micro-batch (3 file-arrival batches of the purchase stream vs the
     // static view-events reference) through foreachBatch — the offline
@@ -2023,6 +2034,39 @@ object RelationalQueries {
         |   AND abs(value - roll_mean) > 3 * roll_std THEN value END), 4)
         |   AS max_anomaly_value
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sprt" -> {
+      // the per-step LLR and thresholds interpolate the ENGINE's Scala
+      // doubles at full precision (Double.toString round-trips), so the
+      // cumulative walk is FP-identical on both sides — a libm ln()
+      // difference at the 17th digit must not flip a knife-edge crossing
+      val l1 = math.log(0.5 / 0.3)
+      val l0 = math.log(0.5 / 0.7)
+      val aT = math.log((1 - 0.2) / 0.05)
+      val bT = math.log(0.2 / (1 - 0.05))
+      s"""WITH d AS (SELECT event_type AS k, ts, event_id,
+        |        CASE WHEN ${PipelineQueries.duckHex16("CAST(event_id AS VARCHAR)")} % 100 < 35
+        |             THEN CAST($l1 AS DOUBLE)
+        |             ELSE CAST($l0 AS DOUBLE) END AS step
+        |       FROM events),
+        |w AS (SELECT k,
+        |        sum(step) OVER (PARTITION BY k ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+        |        row_number() OVER (PARTITION BY k ORDER BY ts, event_id) AS i
+        |       FROM d),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |        arg_max(llr, i) AS llr_last,
+        |        min(CASE WHEN llr >= CAST($aT AS DOUBLE) THEN i END) AS up,
+        |        min(CASE WHEN llr <= CAST($bT AS DOUBLE) THEN i END) AS dn
+        |       FROM w GROUP BY 1)
+        |SELECT k AS key, n, round(llr_last, 6) AS llr_final,
+        | CASE WHEN up IS NOT NULL AND (dn IS NULL OR up <= dn)
+        |        THEN 'accept_h1'
+        |      WHEN dn IS NOT NULL THEN 'accept_h0'
+        |      ELSE 'continue' END AS decision,
+        | CAST(least(up, dn) AS INT) AS decided_at
+        |FROM g ORDER BY key""".stripMargin
+    },
 
     "q_stream_drift" ->
       """WITH ref AS (SELECT value AS v FROM events

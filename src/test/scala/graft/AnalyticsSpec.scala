@@ -2144,6 +2144,30 @@ class AnalyticsSpec extends SparkSuite {
       .count() == 1L)
   }
 
+  test("sprt: first-crossing decisions on planted walks; continue when the walk stays inside") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // p0 = .25 vs p1 = .75 -> per-step LLR = ±ln 3 ≈ ±1.0986;
+    // alpha = beta = .05 -> thresholds ±ln 19 ≈ ±2.944: 3 same-sign
+    // steps decide
+    def run(rows: Seq[(String, Int, Boolean)]) = graft.ops.Analytics
+      .sprt(rows.toDF("k", "i", "y"), col("k"), Seq(col("i")), col("y"),
+        p0 = 0.25, p1 = 0.75, alpha = 0.05, beta = 0.05)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Int]))).toMap
+    val ups = (1 to 5).map(i => ("up", i, true))
+    val downs = (1 to 5).map(i => ("dn", i, false))
+    val mix = (1 to 8).map(i => ("mx", i, i % 2 == 1))
+    val r = run(ups ++ downs ++ mix)
+    assert(r("up") == (("accept_h1", Some(3))), s"${r("up")}")
+    assert(r("dn") == (("accept_h0", Some(3))), s"${r("dn")}")
+    assert(r("mx") == (("continue", None)), s"${r("mx")}")
+    // late reversal cannot undo the FIRST crossing
+    val rev = (1 to 4).map(i => ("rv", i, true)) ++
+      (5 to 20).map(i => ("rv", i, false))
+    assert(run(rev)("rv")._1 == "accept_h1")
+  }
+
   test("olsRobustSe: straight-line closed-form sandwich on a planted heteroscedastic fixture") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
