@@ -633,5 +633,25 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     val pq = plan(q("eval_conformal"))
     assert(pq.contains("rangepartitioning"),
       s"order statistic must ride the two-phase global rank:\n$pq")
+    // budget selection: same two-phase discipline, no single-data sort
+    val pb = plan(q("pipeline_budget_select"))
+    assert(pb.contains("rangepartitioning"),
+      s"budget cut must ride the two-phase cumsum:\n$pb")
+    // pass@k / parity: pure rollups, no join at all
+    for (name <- Seq("eval_pass_at_k", "eval_parity")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name is aggregation only:\n$p")
+    }
+    // SPRT: every window partitions by the key — never one reducer
+    val psp = plan(q("q_sprt"))
+    assert("Window \\[[^\\]]*\\], \\[__k".r.findFirstIn(psp).isDefined,
+      s"SPRT walk must partition by key:\n$psp")
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(psp).isEmpty,
+      s"no unpartitioned window over the events:\n$psp")
+    // target encoding: the row join is hash-keyed; the only loop join is
+    // the broadcast 1-row prior
+    val pt = plan(q("pipeline_target_encode"))
+    assert(!pt.contains("CartesianProduct"),
+      s"encode join must stay keyed:\n$pt")
   }
 }
