@@ -610,6 +610,48 @@ object DataPrep {
       .where(col("sample_rank") <= k)
   }
 
+  /** Curriculum mixing schedule: interpolate per-source mixture weights
+    * from `w_start` to `w_end` across `steps` checkpoints (linear, or
+    * half-cosine with `cosine = true`) and integerize each step's
+    * token allocation by largest remainder so every step sums EXACTLY
+    * to `stepBudget` — the annealed data-mix plan (start at the natural
+    * crawl mix, end at the curated target; the standard curriculum
+    * shape). Input: one row per source with `source`, `w_start`,
+    * `w_end` columns; weights are re-normalized within each step, so
+    * ends need not sum to 1. Returns (step, source, share, tokens).
+    *
+    * Shape: the steps × sources grid is bounded on both axes; every
+    * window rides that grid partitioned by step. */
+  def mixSchedule(weights: DataFrame, steps: Int, stepBudget: Long,
+      cosine: Boolean = false, dp: Int = 6): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(stepBudget > 0, s"stepBudget must be positive, got $stepBudget")
+    val grid = weights.sparkSession.range(0, steps)
+      .select(col("id").cast("int").as("step"))
+    val t =
+      if (steps == 1) lit(0.0)
+      else col("step") / (steps - 1)
+    val f = if (cosine) (lit(1.0) - cos(t * math.Pi)) / 2.0 else t
+    val wStep = Window.partitionBy(col("step"))
+    val rk = Window.partitionBy(col("step"))
+      .orderBy(col("__frac").desc, col("source"))
+    weights.crossJoin(grid) // bounded × bounded schedule grid
+      .withColumn("__w", col("w_start") + f * (col("w_end") - col("w_start")))
+      .withColumn("__share",
+        when(sum(col("__w")).over(wStep) > 0.0,
+          col("__w") / sum(col("__w")).over(wStep)))
+      .withColumn("__raw", lit(stepBudget) * col("__share"))
+      .withColumn("__fl", floor(col("__raw")))
+      .withColumn("__frac", col("__raw") - floor(col("__raw")))
+      .withColumn("__deficit", lit(stepBudget) - sum(col("__fl")).over(wStep))
+      .withColumn("__rnk", row_number().over(rk))
+      .select(col("step"), col("source"),
+        round(col("__share"), dp).as("share"),
+        when(col("__share").isNotNull,
+          col("__fl") + when(col("__rnk") <= col("__deficit"), 1L)
+            .otherwise(0L)).cast("long").as("tokens"))
+  }
+
   /** Greedy token-budget selection: rank rows by `score` descending
     * (ties by `key`) and keep the longest prefix whose cumulative
     * `tokens` stays within `budget` — the "fill a training budget with

@@ -3352,6 +3352,22 @@ object PipelineQueries {
           .otherwise(0),
         (graft.ops.DataPrep.hashBucket(col("doc_id"), 100) < 45).cast("int"))),
 
+    // Curriculum mix schedule: anneal from the natural per-source doc
+    // share to the uniform mix over 5 checkpoints, 10k tokens each,
+    // largest-remainder integerized per step; everything after the one
+    // source rollup rides the steps x sources grid.
+    "pipeline_mix_schedule" -> ((s, dir) => {
+      val src = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1L)).as("__c"))
+      val tot = src.agg(sum(col("__c")).as("__n"),
+        count(lit(1L)).cast("double").as("__k"))
+      val w = src.crossJoin(tot) // 1-row totals
+        .select(col("source"), (col("__c") / col("__n")).as("w_start"),
+          (lit(1.0) / col("__k")).as("w_end"))
+      graft.ops.DataPrep.mixSchedule(w, steps = 5, stepBudget = 10000L)
+        .orderBy("step", "source")
+    }),
+
     // OLS with HC0 (White) robust standard errors: moments scan +
     // residual-moment scan, bounded driver sandwich algebra; the oracle
     // solves the 2x2 case in closed form including the sandwich.
@@ -3804,6 +3820,30 @@ object PipelineQueries {
         | round(max(tpr) - min(tpr), 6) AS tpr_gap,
         | round(max(fpr) - min(fpr), 6) AS fpr_gap
         |FROM g""".stripMargin,
+
+    "pipeline_mix_schedule" ->
+      """WITH src AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS k FROM src),
+        |wz AS (SELECT source, c / CAST(tot.n AS DOUBLE) AS ws,
+        |        1 / tot.k AS we FROM src, tot),
+        |grid AS (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS step),
+        |w AS (SELECT wz.source, grid.step,
+        |       ws + (grid.step / CAST(4 AS DOUBLE)) * (we - ws) AS wk
+        |      FROM wz, grid),
+        |nm AS (SELECT step, source,
+        |        wk / sum(wk) OVER (PARTITION BY step) AS share FROM w),
+        |r AS (SELECT step, source, share, 10000 * share AS raw,
+        |       floor(10000 * share) AS fl,
+        |       10000 * share - floor(10000 * share) AS frac FROM nm),
+        |d AS (SELECT step, sum(fl) AS flsum FROM r GROUP BY 1),
+        |rk AS (SELECT step, source, row_number() OVER (PARTITION BY step
+        |        ORDER BY frac DESC, source) AS rnk FROM r)
+        |SELECT r.step, r.source, round(r.share, 6) AS share,
+        | CAST(r.fl + CASE WHEN rk.rnk <= 10000 - d.flsum
+        |   THEN 1 ELSE 0 END AS BIGINT) AS tokens
+        |FROM r JOIN rk ON r.step = rk.step AND r.source = rk.source
+        |JOIN d ON r.step = d.step
+        |ORDER BY r.step, r.source""".stripMargin,
 
     "eval_ols_robust" ->
       """WITH d AS (SELECT CAST(doc_id % 31 AS DOUBLE)/30 AS x,

@@ -2144,6 +2144,30 @@ class AnalyticsSpec extends SparkSuite {
       .count() == 1L)
   }
 
+  test("mixSchedule: endpoint fidelity, exact per-step budgets, cosine midpoint") {
+    import spark.implicits._
+    val w = Seq(("a", 0.8, 0.2), ("b", 0.2, 0.8)).toDF("source", "w_start", "w_end")
+    val r = graft.ops.DataPrep.mixSchedule(w, steps = 3, stepBudget = 100L)
+      .collect().map(x => (x.getInt(0), x.getString(1)) ->
+        (x.getDouble(2), x.getLong(3))).toMap
+    // endpoints reproduce the inputs; midpoint is the 50/50 mix
+    assert(r((0, "a")) == ((0.8, 80L)) && r((2, "a")) == ((0.2, 20L)), s"$r")
+    assert(r((1, "a")) == ((0.5, 50L)) && r((1, "b")) == ((0.5, 50L)), s"$r")
+    // every step's tokens sum exactly to the budget, unnormalized input
+    val odd = Seq(("a", 3.0, 1.0), ("b", 1.0, 1.0), ("c", 2.0, 1.0))
+      .toDF("source", "w_start", "w_end")
+    val sums = graft.ops.DataPrep.mixSchedule(odd, steps = 4, stepBudget = 997L)
+      .groupBy("step").agg(org.apache.spark.sql.functions.sum("tokens").as("t"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(sums == Seq.fill(4)(997L), s"$sums")
+    // half-cosine: midpoint of an odd step count is still the mean mix
+    val cosMid = graft.ops.DataPrep
+      .mixSchedule(w, steps = 3, stepBudget = 100L, cosine = true)
+      .where(org.apache.spark.sql.functions.col("step") === 1)
+      .collect().map(x => x.getString(1) -> x.getDouble(2)).toMap
+    assert(cosMid == Map("a" -> 0.5, "b" -> 0.5), s"$cosMid")
+  }
+
   test("sprt: first-crossing decisions on planted walks; continue when the walk stays inside") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
