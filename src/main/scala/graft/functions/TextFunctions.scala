@@ -287,29 +287,37 @@ object TextFunctions {
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     require(beta > 0, s"beta must be positive, got $beta")
-    def chars(c: Column) = regexp_replace(c, "\\s+", "")
-    def grams(side: Column, n: Int): Column = {
-      val t0 = chars(side)
-      when(length(t0) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(t0) - n + 1),
-          i => t0.substr(i, lit(n))))
-    }
+    // whitespace-strip once: the projected strings are scanned 2·maxN
+    // times (gram counts per order) — re-running regexp_replace and the
+    // caller's candidate construction on every pass measured 12.8s at
+    // sf0.1 where the checkpointed form runs the same plan in ~5s
+    val base = df.select(col(idCol).as("__id"),
+        regexp_replace(col(candCol), "\\s+", "").as("__cs"),
+        regexp_replace(col(refCol), "\\s+", "").as("__rs"))
+      .localCheckpoint(true)
+    def grams(side: Column, n: Int): Column =
+      when(length(side) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(side) - n + 1),
+          i => side.substr(i, lit(n))))
     def counts(side: Column, n: Int, out: String) =
-      df.select(col(idCol).as("__id"), explode(grams(side, n)).as("__g"))
+      base.select(col("__id"), explode(grams(side, n)).as("__g"))
         .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
+    // ALL 2·maxN totals in ONE aggregation — order-n totals are plain
+    // length arithmetic, one scan covers every order
+    val tExprs = (1 to maxN).flatMap(n => Seq(
+      coalesce(sum(greatest(length(col("__cs")) - n + 1, lit(0))
+        .cast("long")), lit(0L)).as(s"__tc$n"),
+      coalesce(sum(greatest(length(col("__rs")) - n + 1, lit(0))
+        .cast("long")), lit(0L)).as(s"__tr$n")))
+    val totals = base.agg(tExprs.head, tExprs.tail: _*)
     val perN = (1 to maxN).map { n =>
-      val clipped = counts(col(candCol), n, "__cc")
-        .join(counts(col(refCol), n, "__cr"), Seq("__id", "__g"))
+      val clipped = counts(col("__cs"), n, "__cc")
+        .join(counts(col("__rs"), n, "__cr"), Seq("__id", "__g"))
         .agg(coalesce(sum(least(col("__cc"), col("__cr"))), lit(0L))
           .as("clipped"))
-      val totals = df.agg(
-        coalesce(sum(greatest(length(chars(col(candCol))) - n + 1, lit(0))
-          .cast("long")), lit(0L)).as("total_cand"),
-        coalesce(sum(greatest(length(chars(col(refCol))) - n + 1, lit(0))
-          .cast("long")), lit(0L)).as("total_ref"))
       clipped.crossJoin(totals) // 1-row × 1-row verdict assembly
-        .select(lit(n).as("n"), col("clipped"), col("total_cand"),
-          col("total_ref"))
+        .select(lit(n).as("n"), col("clipped"),
+          col(s"__tc$n").as("total_cand"), col(s"__tr$n").as("total_ref"))
     }.reduce(_ unionByName _)
     val agg = perN.where(col("total_cand") > 0 && col("total_ref") > 0)
       .agg(
@@ -1201,32 +1209,50 @@ object TextFunctions {
     * gram-count rows cross an exchange. Scans are deliberately one per
     * order (the fused tagged-gram projection measured SLOWER — see
     * [[ngramDiversity]]). */
-  def bleuPrecisions(df: DataFrame, idCol: String, candCol: String,
-      refCol: String, maxN: Int = 4): DataFrame = {
+  /** Shared BLEU machinery: tokenize ONCE into a checkpointed
+    * (id, cand-tokens, ref-tokens) base (the gram passes re-scan it
+    * 2·maxN times — re-splitting per pass was measured at ~2× the
+    * cost), plus the per-order (n, clipped, total) table and the ONE
+    * fused totals/lengths aggregation. */
+  private def bleuStats(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int): (DataFrame, DataFrame) = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    def grams(side: Column, n: Int): Column = {
-      val t0 = tokensWs(side)
-      when(size(t0) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t0) - n),
-          i => concat_ws(" ", slice(t0, i + 1, lit(n)))))
-    }
+    val base = df.select(col(idCol).as("__id"),
+        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt"))
+      .localCheckpoint(true)
+    def grams(side: Column, n: Int): Column =
+      when(size(side) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(side) - n),
+          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
     def counts(side: Column, n: Int, out: String) =
-      df.select(col(idCol).as("__id"), explode(grams(side, n)).as("__g"))
+      base.select(col("__id"), explode(grams(side, n)).as("__g"))
         .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
-    (1 to maxN).map { n =>
-      val clipped = counts(col(candCol), n, "__cc")
-        .join(counts(col(refCol), n, "__cr"), Seq("__id", "__g"))
+    val tExprs = (1 to maxN).map(n =>
+      coalesce(sum(greatest(size(col("__ct")) - n + 1, lit(0))
+        .cast("long")), lit(0L)).as(s"__t$n")) ++ Seq(
+      coalesce(sum(size(col("__ct")).cast("long")), lit(0L))
+        .as("cand_tokens"),
+      coalesce(sum(size(col("__rt")).cast("long")), lit(0L))
+        .as("ref_tokens"))
+    val totals = base.agg(tExprs.head, tExprs.tail: _*)
+    val perN = (1 to maxN).map { n =>
+      counts(col("__ct"), n, "__cc")
+        .join(counts(col("__rt"), n, "__cr"), Seq("__id", "__g"))
         .agg(coalesce(sum(least(col("__cc"), col("__cr"))), lit(0L))
           .as("clipped"))
-      val total = df.agg(coalesce(sum(greatest(
-          size(tokensWs(col(candCol))) - n + 1, lit(0)).cast("long")),
-        lit(0L)).as("total"))
-      clipped.crossJoin(total) // 1-row × 1-row verdict assembly
-        .select(lit(n).as("n"), col("clipped"), col("total"),
-          when(col("total") > 0,
-            col("clipped").cast("double") / col("total")).as("precision"))
-    }.reduce(_ unionByName _).orderBy("n")
+        .crossJoin(totals) // 1-row × 1-row verdict assembly
+        .select(lit(n).as("n"), col("clipped"), col(s"__t$n").as("total"))
+    }.reduce(_ unionByName _)
+    (perN, totals)
   }
+
+  def bleuPrecisions(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame =
+    bleuStats(df, idCol, candCol, refCol, maxN)._1
+      .select(col("n"), col("clipped"), col("total"),
+        when(col("total") > 0,
+          col("clipped").cast("double") / col("total")).as("precision"))
+      .orderBy("n")
 
   /** Corpus-level BLEU from [[bleuPrecisions]] plus the brevity penalty
     * BP = exp(min(0, 1 − refLen/candLen)) over corpus token totals. One
@@ -1235,15 +1261,15 @@ object TextFunctions {
     * the candidate side is empty. */
   def corpusBleu(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
-    val prec = bleuPrecisions(df, idCol, candCol, refCol, maxN)
+    val (perN, totals) = bleuStats(df, idCol, candCol, refCol, maxN)
+    val prec = perN
+      .select(col("clipped"),
+        when(col("total") > 0,
+          col("clipped").cast("double") / col("total")).as("precision"))
       .agg(min(col("clipped")).as("__minc"),
         sum(log(when(col("precision") > 0, col("precision"))))
           .as("__logsum"))
-    val lens = df.agg(
-      coalesce(sum(size(tokensWs(col(candCol))).cast("long")), lit(0L))
-        .as("cand_tokens"),
-      coalesce(sum(size(tokensWs(col(refCol))).cast("long")), lit(0L))
-        .as("ref_tokens"))
+    val lens = totals.select(col("cand_tokens"), col("ref_tokens"))
     prec.crossJoin(lens) // 1-row × 1-row verdict assembly
       .select(
         when(col("cand_tokens") > 0 && col("__minc") > 0,
