@@ -364,8 +364,12 @@ object TextFunctions {
         expr("slice(w, 1, size(w)-1)"), expr("slice(w, 2, size(w)-1)"),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("grp"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint(true) // scanned twice (occ + bi rollups)
     val occ = pos.groupBy("grp", "w1", "w2").agg(count(lit(1L)).as("cg"))
+    // the gram-bounded bigram table feeds FOUR derivations (cv, cw,
+    // n1all, p) — materialize it once instead of re-rolling pos
     val bi = pos.groupBy("w1", "w2").agg(count(lit(1L)).as("cb"))
+      .localCheckpoint(true)
     val cv = bi.groupBy("w1")
       .agg(sum(col("cb")).as("cv"), count(lit(1L)).as("n1fwd"))
     val cw = bi.groupBy("w2").agg(count(lit(1L)).as("n1back"))
