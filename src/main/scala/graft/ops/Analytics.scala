@@ -872,6 +872,65 @@ object Analytics {
         round(max(col("__fpr")) - min(col("__fpr")), dp).as("fpr_gap"))
   }
 
+  /** Log-rank test (Mantel 1966) between two survival arms — the
+    * hypothesis test [[kaplanMeier]] lacks: at each distinct event
+    * time, arm A's observed deaths are compared with the hypergeometric
+    * expectation d·n_A/n given the at-risk sets, and the standardized
+    * sum is χ²₁ under "no difference". Right-censored rows (event =
+    * false) leave the risk set without counting as deaths, exactly as
+    * in the KM curve. One row:
+    * (n_times, obs_a, exp_a, var_a, z, chi2) — z is NULL when the
+    * variance is 0 (no time has both arms at risk with a death).
+    *
+    * Shape: one (time, arm) rollup of the subjects; at-risk counts come
+    * from a per-arm running sum over the DISTINCT-TIME-bounded rollup
+    * (two partitions, never subject-grain through a window); the
+    * verdict rides that bounded table. */
+  def logRankTest(df: DataFrame, time: Column, event: Column,
+      inA: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(time.cast("double").as("__t"),
+        event.cast("boolean").as("__e"), inA.cast("boolean").as("__a"))
+      .where(col("__t").isNotNull)
+    val cnt = base.groupBy(col("__t"), col("__a"))
+      .agg(count(lit(1L)).as("__x"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"))
+    val grid = cnt.select("__t").distinct()
+      .crossJoin(base.sparkSession.range(0, 2)
+        .select((col("id") === 1).as("__a"))) // 2-row arm axis
+      .join(cnt, Seq("__t", "__a"), "left")
+      .select(col("__t"), col("__a"),
+        coalesce(col("__x"), lit(0L)).as("__x"),
+        coalesce(col("__d"), lit(0L)).as("__d"))
+    val tot = base.groupBy(col("__a")).agg(count(lit(1L)).as("__N"))
+    val wArm = Window.partitionBy(col("__a")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid.join(tot, Seq("__a"))
+      .withColumn("__cx", sum(col("__x")).over(wArm))
+      // at risk AT t = arm total − exits strictly before t
+      .withColumn("__r", col("__N") - (col("__cx") - col("__x")))
+    val perTime = atRisk.groupBy(col("__t"))
+      .agg(sum(when(col("__a"), col("__d"))).as("__da"),
+        sum(col("__d")).as("__dt"),
+        sum(when(col("__a"), col("__r"))).as("__na"),
+        sum(col("__r")).as("__nt"))
+      .where(col("__dt") > 0 && col("__nt") > 1)
+    perTime.agg(count(lit(1L)).as("n_times"),
+        sum(col("__da")).cast("long").as("obs_a"),
+        sum(col("__dt") * col("__na") / col("__nt")).as("__ea"),
+        sum(col("__dt") * (col("__na") / col("__nt")) *
+          (lit(1.0) - col("__na") / col("__nt")) *
+          (col("__nt") - col("__dt")) / (col("__nt") - 1)).as("__va"))
+      .select(col("n_times"), col("obs_a"),
+        round(col("__ea"), dp).as("exp_a"),
+        round(col("__va"), dp).as("var_a"),
+        when(col("__va") > 0.0,
+          round((col("obs_a") - col("__ea")) / sqrt(col("__va")), dp))
+          .as("z"),
+        when(col("__va") > 0.0,
+          round((col("obs_a") - col("__ea")) * (col("obs_a") - col("__ea"))
+            / col("__va"), dp)).as("chi2"))
+  }
+
   /** Wald's SPRT (sequential probability ratio test, Wald 1945) per
     * key over Bernoulli outcomes: the cumulative log-likelihood ratio
     * of H1: p=p1 vs H0: p=p0 walks until it crosses

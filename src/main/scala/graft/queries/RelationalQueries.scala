@@ -574,6 +574,20 @@ object RelationalQueries {
     // Distribution drift (PSI, 10 equi-width bins over the combined
     // range, Laplace-smoothed): view-event values vs purchase-event
     // values — the snapshot/train-serve monitoring gate.
+    // Log-rank two-arm survival comparison over per-user event counts
+    // (the hypothesis test the Kaplan-Meier curve lacks): one
+    // (time, arm) rollup, at-risk sets from per-arm running sums over
+    // the distinct-time-bounded table, censoring honored.
+    "q_logrank" -> ((s, dir) => {
+      val subj = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1L)).as("t_obs"))
+        .select(col("t_obs"), (col("user_id") % 4 =!= 0).as("ev"),
+          (graft.ops.DataPrep.hashBucket(col("user_id"), 2) === 0)
+            .as("arm_a"))
+      graft.ops.Analytics
+        .logRankTest(subj, col("t_obs"), col("ev"), col("arm_a"))
+    }),
+
     // Wald SPRT per event type over a deterministic Bernoulli outcome:
     // key-partitioned cumulative LLR walk, first-crossing decision
     // against the alpha/beta thresholds; no single-reducer stage.
@@ -2034,6 +2048,41 @@ object RelationalQueries {
         |   AND abs(value - roll_mean) > 3 * roll_std THEN value END), 4)
         |   AS max_anomaly_value
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_logrank" ->
+      s"""WITH subj AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+        |        user_id % 4 != 0 AS e,
+        |        ${PipelineQueries.duckHex16("CAST(user_id AS VARCHAR)")} % 2 = 0 AS a
+        |       FROM events GROUP BY user_id),
+        |cnt AS (SELECT t, a, count(*) AS x,
+        |        sum(CASE WHEN e THEN 1 ELSE 0 END) AS d
+        |       FROM subj GROUP BY 1, 2),
+        |grid AS (SELECT ts.t, arms.a, coalesce(cnt.x, 0) AS x,
+        |        coalesce(cnt.d, 0) AS d
+        |       FROM (SELECT DISTINCT t FROM cnt) ts
+        |       CROSS JOIN (SELECT unnest([false, true]) AS a) arms
+        |       LEFT JOIN cnt ON ts.t = cnt.t AND arms.a = cnt.a),
+        |tot AS (SELECT a, count(*) AS n0 FROM subj GROUP BY 1),
+        |ar AS (SELECT grid.t, grid.a, grid.d,
+        |        tot.n0 - (sum(grid.x) OVER (PARTITION BY grid.a
+        |          ORDER BY grid.t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) - grid.x) AS r
+        |       FROM grid JOIN tot ON grid.a = tot.a),
+        |pt AS (SELECT t, sum(CASE WHEN a THEN d END) AS da, sum(d) AS dt,
+        |        sum(CASE WHEN a THEN r END) AS na, sum(r) AS nt
+        |       FROM ar GROUP BY 1 HAVING sum(d) > 0 AND sum(r) > 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |       CAST(sum(da) AS BIGINT) AS obs_a,
+        |       sum(dt * na / nt) AS ea,
+        |       sum(dt * (na / CAST(nt AS DOUBLE))
+        |         * (1 - na / CAST(nt AS DOUBLE))
+        |         * (nt - dt) / (nt - 1)) AS va
+        |      FROM pt)
+        |SELECT n_times, obs_a, round(ea, 6) AS exp_a, round(va, 6) AS var_a,
+        | CASE WHEN va > 0 THEN round((obs_a - ea) / sqrt(va), 6) END AS z,
+        | CASE WHEN va > 0 THEN
+        |   round((obs_a - ea) * (obs_a - ea) / va, 6) END AS chi2
+        |FROM f""".stripMargin,
 
     "q_sprt" -> {
       // the per-step LLR and thresholds interpolate the ENGINE's Scala

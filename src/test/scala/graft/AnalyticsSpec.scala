@@ -2144,6 +2144,39 @@ class AnalyticsSpec extends SparkSuite {
       .count() == 1L)
   }
 
+  test("logRankTest: hand-computed hypergeometric terms; censoring leaves risk set without a death") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A: events at 1, 2; B: events at 2, 3.
+    // t=1: E=1*2/4=.5, V=.25; t=2: rA=1 rB=2, dA=1 d=2, E=2/3, V=2/9;
+    // t=3: nt=1 -> excluded. obs=2, exp=7/6, var=17/36.
+    val df = Seq((1.0, true, true), (2.0, true, true),
+      (2.0, true, false), (3.0, true, false)).toDF("t", "e", "a")
+    val r = graft.ops.Analytics
+      .logRankTest(df, col("t"), col("e"), col("a")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"$r")
+    assert(math.abs(r.getDouble(2) - 7.0 / 6) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(3) - 17.0 / 36) < 1e-6, s"$r")
+    val z = (2 - 7.0 / 6) / math.sqrt(17.0 / 36)
+    assert(math.abs(r.getDouble(4) - z) < 1e-5 &&
+      math.abs(r.getDouble(5) - z * z) < 1e-5, s"$r")
+    // a censored subject leaves the risk set but is NOT a death:
+    // t=2 has d=1 (B's event), dA=0, rA=1 -> E=1/3 not 2/3
+    val cz = Seq((1.0, true, true), (2.0, false, true),
+      (2.0, true, false), (3.0, true, false)).toDF("t", "e", "a")
+    val rc = graft.ops.Analytics
+      .logRankTest(cz, col("t"), col("e"), col("a")).head()
+    assert(rc.getLong(1) == 1, s"$rc")
+    assert(math.abs(rc.getDouble(2) - (0.5 + 1.0 / 3)) < 1e-6, s"$rc")
+    // identical arms: zero variance of the difference only when no
+    // mixed-risk death times exist; here z is defined and |z| small
+    val same = Seq((1.0, true, true), (1.0, true, false),
+      (2.0, true, true), (2.0, true, false)).toDF("t", "e", "a")
+    val rs = graft.ops.Analytics
+      .logRankTest(same, col("t"), col("e"), col("a")).head()
+    assert(math.abs(rs.getDouble(4)) < 1e-9, s"symmetric arms -> z=0: $rs")
+  }
+
   test("mixSchedule: endpoint fidelity, exact per-step budgets, cosine midpoint") {
     import spark.implicits._
     val w = Seq(("a", 0.8, 0.2), ("b", 0.2, 0.8)).toDF("source", "w_start", "w_end")
