@@ -596,10 +596,13 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
   }
 
   test("round-11 operators: scan-shaped PCA, broadcast DB-index, keyed gram joins, partitioned rank windows") {
-    // covariance: pure in-scan expansion + one aggregate — no join, no window
+    // covariance: flat in-scan expansion + one aggregate; the slot→(i,j)
+    // mapping and Σxᵢ reattachment are BROADCAST joins over ≤d²-row
+    // frames — never a shuffle join, never a window
     val pc = plan(q("sim_pca_cov"))
-    assert(!pc.contains("Join") && !pc.contains("Window"),
-      s"covariance is explode+aggregate only:\n$pc")
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("ShuffledHashJoin")
+        && !pc.contains("CartesianProduct") && !pc.contains("Window"),
+      s"covariance joins must stay broadcast over bounded frames:\n$pc")
     // Mahalanobis scoring: stats ship as literals — no join; top-10 via
     // TakeOrdered, never a global sort
     val pm = plan(q("sim_outlier_maha"))
