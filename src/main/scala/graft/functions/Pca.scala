@@ -91,6 +91,13 @@ object Pca {
     val rows = momentsFlat(df, vecCol, dim).collect()
       .map(r => r.getAs[Int]("k") ->
         (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    // fail loudly (the ridgeRegression discipline) instead of a map
+    // NoSuchElementException on an empty/all-invalid corpus or NaN
+    // covariances from the n-1 divisor at n=1
+    require(rows.nonEmpty,
+      s"PCA: no valid $dim-dim vectors in column '$vecCol'")
+    require(rows(p)._1 >= 2,
+      s"PCA needs at least 2 valid vectors, got ${rows(p)._1}")
     val means = Array.tabulate(dim)(i => rows(p + i)._2 / rows(p + i)._1)
     val a = Array.fill(dim, dim)(0.0)
     for (i <- 0 until dim; j <- i until dim) {

@@ -662,9 +662,11 @@ object Analytics {
     * LM-perplexity filters) against any labeled slice.
     *
     * Tie-averaged ranks come from the distinct-SCORE histogram CDF
-    * (same trick as [[correlationStats]]' Spearman): the single-
-    * partition stage touches only distinct score values, never sorts
-    * the corpus through one reducer. Returns one row:
+    * (same trick as [[correlationStats]]' Spearman), and the CDF scan
+    * is the two-phase [[Windows.globalCumSum]] — a continuous
+    * classifier score has ~n distinct values, so an unpartitioned
+    * window over the histogram would still be a corpus-sized
+    * single-reducer sort at 100 TB. Returns one row:
     * (auc, brier, n_pos, n_neg). Scores must be non-null; labels 0/1. */
   def aucBrier(df: DataFrame, score: Column, label: Column,
       dp: Int = 6): DataFrame = {
@@ -672,12 +674,9 @@ object Analytics {
     val y = label.cast("double")
     val hist = df.groupBy(s.as("__s"))
       .agg(count(lit(1L)).as("__c"), sum(y).as("__pos"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // tie-averaged rank of every row with score v:
     //   cdf(v) − (c(v)+1)/2 + 1  where cdf is the inclusive running count
-    val ranked = hist
-      .withColumn("__cdf", sum(col("__c")).over(w))
+    val ranked = Windows.globalCumSum(hist, Seq(col("__s")), col("__c"), "__cdf")
       .select(col("__pos"),
         (col("__cdf") - (col("__c") + 1) / lit(2.0) + 1).as("__r"))
     val sums = ranked.agg(
@@ -790,6 +789,10 @@ object Analytics {
       .where((col("__y").isNotNull +: (0 until d)
         .map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
       .localCheckpoint(true) // scanned iters+1 times
+    // zero surviving rows would return NULL averages and NPE inside the
+    // gradient loop — fail loudly up front (the ridgeRegression guard)
+    require(base.count() > 0,
+      "logisticRegressionGD needs at least one row with non-null label and features")
     def zOf(w: Array[Double]): Column =
       (0 until d).foldLeft(lit(w(0)): Column) { case (acc, i) =>
         acc + lit(w(i + 1)) * col(s"__x$i")
@@ -976,6 +979,27 @@ object Analytics {
         least(col("__up"), col("__dn")).as("decided_at"))
   }
 
+  /** Driver-side Cholesky a = L·Lᵀ shared by [[olsRobustSe]] and
+    * [[ridgeRegression]]. Each pivot is guarded: a singular XᵀX
+    * (perfectly collinear features, or a constant feature duplicating
+    * the intercept) would otherwise sqrt a non-positive pivot and
+    * silently propagate NaN coefficients/SEs/t-stats. */
+  private def cholesky(a: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val l = Array.fill(m, m)(0.0)
+    for (i <- 0 until m; j <- 0 to i) {
+      val s0 = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
+      if (i == j) {
+        val pivot = a(i)(i) - s0
+        // relative tolerance: exact collinearity leaves a rounding-noise
+        // residue (~ulp·diag), not a clean <= 0 pivot
+        require(pivot > 1e-10 * math.max(1.0, a(i)(i)),
+          s"singular X'X at pivot $i — collinear (or constant) features")
+        l(i)(j) = math.sqrt(pivot)
+      } else l(i)(j) = (a(i)(j) - s0) / l(j)(j)
+    }
+    l
+  }
+
   /** OLS with heteroscedasticity-robust (HC0, White 1980) standard
     * errors — point estimates without honest uncertainty invite
     * overreading, and the classical homoscedastic SEs are wrong for
@@ -1011,12 +1035,7 @@ object Analytics {
     }
     val b = Array.tabulate(m)(i => r.getAs[Double](s"v_$i"))
     // Cholesky of XᵀX, reused to solve for w and each column of (XᵀX)⁻¹
-    val l = Array.fill(m, m)(0.0)
-    for (i <- 0 until m; j <- 0 to i) {
-      val s0 = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
-      if (i == j) l(i)(j) = math.sqrt(a(i)(i) - s0)
-      else l(i)(j) = (a(i)(j) - s0) / l(j)(j)
-    }
+    val l = cholesky(a, m)
     def solve(rhs: Array[Double]): Array[Double] = {
       val z = Array.fill(m)(0.0)
       for (i <- 0 until m)
@@ -1094,14 +1113,11 @@ object Analytics {
         (if (i == j && i > 0) lambda else 0.0)
     }
     val b = Array.tabulate(d + 1)(i => r.getAs[Double](s"v_$i"))
-    // Cholesky a = L·Lᵀ, then forward/back substitution
+    // Cholesky a = L·Lᵀ, then forward/back substitution (λ > 0 keeps
+    // the ridged XᵀX positive-definite even under collinear features;
+    // at λ = 0 the shared pivot guard fires instead of emitting NaN)
     val m = d + 1
-    val l = Array.fill(m, m)(0.0)
-    for (i <- 0 until m; j <- 0 to i) {
-      val s0 = (0 until j).map(k => l(i)(k) * l(j)(k)).sum
-      if (i == j) l(i)(j) = math.sqrt(a(i)(i) - s0)
-      else l(i)(j) = (a(i)(j) - s0) / l(j)(j)
-    }
+    val l = cholesky(a, m)
     val z = Array.fill(m)(0.0)
     for (i <- 0 until m)
       z(i) = (b(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
@@ -1479,23 +1495,21 @@ object Analytics {
     * sample covariance, and Spearman rank correlation. Pearson/covar are
     * single partial-aggregated co-moment passes. Spearman needs ranks:
     * computed as fractional (average) ranks via the VALUE-HISTOGRAM CDF
-    * — a groupBy to per-value counts, a cumulative sum over the
-    * (distinct-value-sized) histogram, and an equi-join back — instead
-    * of a per-row global sort window, so the single-partition stage
-    * touches only distinct values. For continuous columns with ~n
-    * distinct values, bucket first (e.g. round) or accept the
-    * histogram-sized sort; rows with a NULL in either column are
-    * excluded (pairwise deletion, matching corr/covar_samp). */
+    * — a groupBy to per-value counts, a two-phase
+    * [[Windows.globalCumSum]] over the (distinct-value-sized)
+    * histogram, and an equi-join back — no per-row global sort window
+    * AND no single-reducer histogram scan, so a continuous column with
+    * ~n distinct values still rank-scans in parallel. Rows with a NULL
+    * in either column are excluded (pairwise deletion, matching
+    * corr/covar_samp). */
   def correlationStats(df: DataFrame, x: Column, y: Column): DataFrame = {
     val base = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
       .localCheckpoint(true) // read three times: two rank joins + the agg
     def ranks(cn: String, out: String) = {
       val counts = base.groupBy(col(cn)).agg(count(lit(1L)).as("__c"))
-      val w = Window.orderBy(col(cn))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // average of the tie run's positions: cum − (c−1)/2
-      counts.withColumn("__cum", sum("__c").over(w))
+      Windows.globalCumSum(counts, Seq(col(cn)), col("__c"), "__cum")
         .select(col(cn), (col("__cum") - (col("__c") - 1) / 2.0).as(out))
     }
     base
@@ -1806,17 +1820,39 @@ object Analytics {
     * are a SUFFIX sum and the product a cumulative exp∘Σln, both over
     * the distinct-duration table — its cardinality is bounded by time
     * resolution, not subject count, which is what makes the global
-    * window acceptable (bucket durations upstream if truly
-    * continuous). Censored-only times contribute factor 1 and are
-    * folded implicitly; output rows are event times only. */
+    * window acceptable. For truly CONTINUOUS durations, pass
+    * `buckets > 0`: durations quantize to that many equi-width buckets
+    * (each bucket reported at its largest observed duration, so the
+    * curve stays a valid product-limit estimator over the coarsened
+    * times) — the one-flag scale-safe form. Censored-only times
+    * contribute factor 1 and are folded implicitly; output rows are
+    * event times only. */
   def kaplanMeier(durations: DataFrame, duration: Column, isEvent: Column,
-      dp: Int = 6): DataFrame = {
-    val hist = durations
+      dp: Int = 6, buckets: Int = 0): DataFrame = {
+    val raw = durations
       .select(duration.cast("double").as("t"), isEvent.cast("boolean").as("e"))
       .where(col("t").isNotNull)
-      .groupBy("t")
-      .agg(count(lit(1L)).as("__n"),
-        sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+    val hist =
+      if (buckets <= 0)
+        raw.groupBy("t")
+          .agg(count(lit(1L)).as("__n"),
+            sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+      else {
+        val bounds = raw.agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
+        raw.crossJoin(broadcast(bounds))
+          .select(col("t"), col("e"),
+            when(col("__hi") === col("__lo"), lit(0)).otherwise(
+              least(lit(buckets - 1), floor((col("t") - col("__lo")) /
+                ((col("__hi") - col("__lo")) / buckets)).cast("int")))
+              .as("__bin"))
+          // bucket reported at its LARGEST observed duration: every
+          // subject in the bucket is at risk through that time, so the
+          // product-limit identity holds over the coarsened grid
+          .groupBy(col("__bin"))
+          .agg(max(col("t")).as("t"), count(lit(1L)).as("__n"),
+            sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+          .drop("__bin")
+      }
     val wSuffix = Window.orderBy(col("t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wCum = Window.orderBy(col("t"))
@@ -2426,26 +2462,51 @@ object Analytics {
     * (threshold, gain, n_left, n_right) with ties to the smallest
     * threshold.
     *
+    * `buckets > 0` quantizes candidate thresholds to that many
+    * equi-width feature buckets first (threshold = the largest OBSERVED
+    * value in the bucket, so "x ≤ threshold" stays exact) — the
+    * one-flag scale-safe form for continuous features, where the
+    * distinct-value table is otherwise corpus-sized. 0 = every distinct
+    * value (exact).
+    *
     * Shape: one (value)-keyed aggregation (the only corpus exchange —
-    * cardinality = |distinct feature values|), cumulative windows over
-    * that value table, entropy algebra in-scan, one TakeOrdered(1). */
+    * cardinality = |distinct feature values| or `buckets`), a single
+    * two-phase [[Windows.globalCumSums]] over that value table (no
+    * single-reducer window even when the feature is continuous), grand
+    * totals broadcast from a 1-row aggregate, entropy algebra in-scan,
+    * one TakeOrdered(1). */
   def bestSplit(df: DataFrame, feature: Column, label: Column,
-      dp: Int = 6): DataFrame = {
-    val cells = df.select(feature.cast("double").as("__v"),
-        label.cast("double").as("__y"))
-      .groupBy(col("__v"))
-      .agg(count(lit(1L)).cast("double").as("__n"), sum(col("__y")).as("__p"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dp: Int = 6, buckets: Int = 0): DataFrame = {
+    val base = df.select(feature.cast("double").as("__v"),
+      label.cast("double").as("__y"))
+    val cells =
+      if (buckets <= 0)
+        base.groupBy(col("__v"))
+          .agg(count(lit(1L)).cast("double").as("__n"),
+            sum(col("__y")).as("__p"))
+      else {
+        val bounds = base.agg(min(col("__v")).as("__lo"),
+          max(col("__v")).as("__hi"))
+        base.crossJoin(broadcast(bounds))
+          .select(col("__v"), col("__y"),
+            when(col("__hi") === col("__lo"), lit(0)).otherwise(
+              least(lit(buckets - 1), floor((col("__v") - col("__lo")) /
+                ((col("__hi") - col("__lo")) / buckets)).cast("int")))
+              .as("__bin"))
+          .groupBy(col("__bin"))
+          .agg(max(col("__v")).as("__v"),
+            count(lit(1L)).cast("double").as("__n"),
+            sum(col("__y")).as("__p"))
+          .drop("__bin")
+      }
     def ent(p: Column): Column =
       when(p <= 0 || p >= 1, lit(0.0))
         .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
-    val cum = cells
-      .withColumn("__nl", sum(col("__n")).over(w))
-      .withColumn("__pl", sum(col("__p")).over(w))
-      .withColumn("__nt", sum(col("__n")).over(tot))
-      .withColumn("__pt", sum(col("__p")).over(tot))
+    val totals = cells.agg(sum(col("__n")).as("__nt"),
+      sum(col("__p")).as("__pt"))
+    val cum = Windows.globalCumSums(cells, Seq(col("__v")),
+        Seq(col("__n") -> "__nl", col("__p") -> "__pl"))
+      .crossJoin(broadcast(totals))
       .where(col("__nl") < col("__nt")) // the top value is not a split
     cum.select(col("__v").as("threshold"),
         round(ent(col("__pt") / col("__nt")) -

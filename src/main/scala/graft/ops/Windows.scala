@@ -71,22 +71,41 @@ object Windows {
     * (longs, decimals, integer cents) when downstream compares sit on
     * knife edges. */
   def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String = "cum", partitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "globalCumSum needs at least one order column")
-    val local = ranged(df, order, partitions)
-      .withColumn("__wlcs", sum(value).over(
-        Window.partitionBy(col("__wpid")).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy("__wpid")
-      .agg(sum(value).as("__wtot"))
-      .withColumn("__woff", sum(col("__wtot")).over(
-        Window.orderBy(col("__wpid"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("__wpid"), col("__woff"))
-    local.join(broadcast(offsets), Seq("__wpid"))
+      out: String = "cum", partitions: Int = 0): DataFrame =
+    globalCumSums(df, order, Seq(value -> out), partitions)
+
+  /** [[globalCumSum]] for SEVERAL value columns under the SAME order,
+    * in ONE range exchange: each (value, out) pair gets its own global
+    * running sum, all riding a single repartitionByRange + one local
+    * window pass + one broadcast offset table — instead of n stacked
+    * two-phase scans (n full-data exchanges). Same total-order and
+    * floating-point contracts as [[globalCumSum]]. */
+  def globalCumSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)], partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "globalCumSums needs at least one order column")
+    require(values.nonEmpty, "globalCumSums needs at least one value column")
+    val w = Window.partitionBy(col("__wpid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = values.zipWithIndex.foldLeft(ranged(df, order, partitions)) {
+      case (d, ((v, _), i)) => d.withColumn(s"__wlcs$i", sum(v).over(w))
+    }
+    val woff = Window.orderBy(col("__wpid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = values.zipWithIndex
+      .map { case ((v, _), i) => sum(v).as(s"__wtot$i") }
+    val offsets = values.indices.foldLeft(
+        local.groupBy("__wpid").agg(totals.head, totals.tail: _*)) {
+        (d, i) => d.withColumn(s"__woff$i", sum(col(s"__wtot$i")).over(woff))
+      }
+      .select(col("__wpid") +: values.indices.map(i => col(s"__woff$i")): _*)
+    val joined = values.zipWithIndex.foldLeft(
+      local.join(broadcast(offsets), Seq("__wpid"))) {
       // first range partition has no predecessor → offset 0 (coalesce
       // coerces the literal to the sum's own result type)
-      .withColumn(out, col("__wlcs") + coalesce(col("__woff"), lit(0)))
-      .drop("__wpid", "__wlcs", "__woff")
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__wlcs$i") + coalesce(col(s"__woff$i"), lit(0)))
+    }
+    joined.drop("__wpid")
+      .drop(values.indices.flatMap(i => Seq(s"__wlcs$i", s"__woff$i")): _*)
   }
 }

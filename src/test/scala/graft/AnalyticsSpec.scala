@@ -2393,4 +2393,67 @@ class AnalyticsSpec extends SparkSuite {
       .head() // k = ceil(6 * 0.6) = 4 -> sorted(1,2,2,2,9)(4) = 2
     assert(r2.getLong(1) == 4L && r2.getDouble(3) == 2.0, s"$r2")
   }
+
+  test("bestSplit buckets flag: bucketed == exact when the cut is a bucket max") {
+    import spark.implicits._
+    // x = 1..100, label = x > 60: the exact best threshold (60) is the
+    // max of bucket 5 under 10 equi-width buckets, so bucketed == exact
+    val df = (1 to 100).map(i => (i.toDouble, if (i > 60) 1 else 0)).toDF("x", "y")
+    val exact = Analytics.bestSplit(df, col("x"), col("y")).head()
+    val b10 = Analytics.bestSplit(df, col("x"), col("y"), buckets = 10).head()
+    assert(b10 == exact, s"bucketed $b10 vs exact $exact")
+    // more buckets than distinct values degenerates to exact
+    val fine = Analytics.bestSplit(df, col("x"), col("y"), buckets = 1000).head()
+    assert(fine == exact, s"fine-bucketed $fine vs exact $exact")
+  }
+
+  test("kaplanMeier buckets flag: fine buckets == exact; coarse matches hand-computed") {
+    import spark.implicits._
+    val d = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true), (5.0, false))
+      .toDF("t", "e")
+    val exact = Analytics.kaplanMeier(d, col("t"), col("e")).collect().toSet
+    val fine = Analytics.kaplanMeier(d, col("t"), col("e"), buckets = 100)
+      .collect().toSet
+    assert(fine == exact, s"fine buckets must reproduce exact: $fine vs $exact")
+    // buckets = 2 over [1,5]: bin [1,3) → t=2 (n=2, both events),
+    // bin [3,5] → t=5 (n=3, one event):
+    //   S(2) = 1 − 2/5 = 0.6;  S(5) = 0.6 · (1 − 1/3) = 0.4
+    val coarse = Analytics.kaplanMeier(d, col("t"), col("e"), buckets = 2)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(coarse == Map(2.0 -> 0.6, 5.0 -> 0.4), s"coarse KM: $coarse")
+  }
+
+  test("trainer guards fail loudly: empty GD input, collinear OLS, degenerate PCA") {
+    import spark.implicits._
+    // logisticRegressionGD: zero rows survive the null filter
+    val allNull = Seq((null.asInstanceOf[java.lang.Double], 1.0)).toDF("x", "y")
+    val eGd = intercept[IllegalArgumentException] {
+      Analytics.logisticRegressionGD(allNull, Seq(col("x")), col("y"))
+    }
+    assert(eGd.getMessage.contains("at least one row"), eGd.getMessage)
+    // olsRobustSe: perfectly collinear features → singular X'X, not NaN
+    val colin = (1 to 8).map(i => (i.toDouble, 2.0 * i, i + 0.5)).toDF("x1", "x2", "y")
+    val eOls = intercept[IllegalArgumentException] {
+      Analytics.olsRobustSe(colin, Seq(col("x1"), col("x2")), col("y"))
+    }
+    assert(eOls.getMessage.contains("singular"), eOls.getMessage)
+    // ridgeRegression at lambda = 0 with a constant feature (duplicates
+    // the intercept) hits the same shared pivot guard
+    val const = (1 to 8).map(i => (3.0, i.toDouble)).toDF("x", "y")
+    val eRidge = intercept[IllegalArgumentException] {
+      Analytics.ridgeRegression(const, Seq(col("x")), col("y"), lambda = 0.0)
+    }
+    assert(eRidge.getMessage.contains("singular"), eRidge.getMessage)
+    // PCA: empty corpus and n = 1 both fail loudly instead of NPE/NaN
+    val empty = Seq.empty[Seq[Double]].toDF("v")
+    val ePca = intercept[IllegalArgumentException] {
+      graft.functions.Pca.covarianceMatrix(empty, "v", 2)
+    }
+    assert(ePca.getMessage.contains("no valid"), ePca.getMessage)
+    val one = Seq(Seq(1.0, 2.0)).toDF("v")
+    val ePca1 = intercept[IllegalArgumentException] {
+      graft.functions.Pca.covarianceMatrix(one, "v", 2)
+    }
+    assert(ePca1.getMessage.contains("at least 2"), ePca1.getMessage)
+  }
 }

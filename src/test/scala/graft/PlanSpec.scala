@@ -657,4 +657,19 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(!pt.contains("CartesianProduct"),
       s"encode join must stay keyed:\n$pt")
   }
+
+  test("round-12: AUC/Spearman/bestSplit histogram scans ride two-phase range exchanges") {
+    // a continuous column has ~n distinct values, so these histogram CDFs
+    // must never order through an unpartitioned window — only the
+    // ≤numPartitions-row __wpid offset summary may (the Windows contract)
+    for ((name, valCols) <- Seq("q_auc" -> Seq("__s"),
+        "q_corr" -> Seq("__x", "__y"), "q_best_split" -> Seq("__v"))) {
+      val p = plan(q(name))
+      assert(p.contains("rangepartitioning"),
+        s"$name must range-repartition its value histogram:\n$p")
+      for (c <- valCols)
+        assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$c".r.findFirstIn(p).isEmpty,
+          s"$name: unpartitioned window over the $c histogram:\n$p")
+    }
+  }
 }

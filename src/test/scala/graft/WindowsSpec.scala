@@ -40,6 +40,36 @@ class WindowsSpec extends SparkSuite {
     }
   }
 
+  test("globalCumSums: several values in one range exchange, == stacked window sums") {
+    import spark.implicits._
+    val df = Seq((5L, 1L), (1L, 10L), (4L, 2L), (1L, 20L), (3L, 3L), (2L, 5L))
+      .zipWithIndex.map { case ((v, x), i) => (i.toLong, v, x) }
+      .toDF("id", "v", "x")
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.select(col("id"),
+        sum(col("v")).over(w).as("cv"), sum(col("x")).over(w).as("cx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = graft.ops.Windows.globalCumSums(df, Seq(col("v"), col("id")),
+          Seq(col("v") -> "cv", col("x") -> "cx"), partitions = parts)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("cv"), r.getAs[Long]("cx"))).toMap
+      assert(got == expected, s"parts=$parts: $got vs $expected")
+    }
+    // one range exchange total — adding value columns must not add
+    // exchanges over the single-value form
+    def nRange(d: org.apache.spark.sql.DataFrame) =
+      "rangepartitioning\\(".r.findAllIn(
+        d.queryExecution.executedPlan.toString).size
+    val multi = nRange(graft.ops.Windows.globalCumSums(df,
+      Seq(col("v"), col("id")), Seq(col("v") -> "cv", col("x") -> "cx")))
+    val single = nRange(graft.ops.Windows.globalCumSum(df,
+      Seq(col("v"), col("id")), col("v"), "cv"))
+    assert(multi == single,
+      s"multi-value cumsum added range exchanges: $multi vs $single")
+  }
+
   test("edge cases: empty input, null order keys, constant order values") {
     import spark.implicits._
     val empty = spark.emptyDataset[(Long, Long)].toDF("id", "v")
