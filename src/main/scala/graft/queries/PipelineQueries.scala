@@ -3175,16 +3175,31 @@ object PipelineQueries {
           round(col("cov"), 6).as("cov"))
         .orderBy("i", "j")),
 
-    // PCA explained-variance curve: the covariance scan feeds a bounded
-    // driver Jacobi eigendecomposition (d², the IPF bounded-driver-step
-    // discipline); k rows out. Eigenvalues are not ANSI-SQL-expressible
-    // → rows-only check here; PcaSpec pins the eigen step (hand-computed
-    // 2×2, A·v=λ·v residuals, orthonormality) and proves projected
-    // variance equals the eigenvalue on this same table.
+    // PCA explained-variance verdicts: the covariance scan feeds a
+    // bounded driver Jacobi eigendecomposition (d², the IPF
+    // bounded-driver-step discipline). Individual eigenvalues are not
+    // ANSI-SQL-expressible (PcaSpec pins them: hand-computed 2×2,
+    // A·v=λ·v residuals, orthonormality, projected variance == λ), but
+    // their INVARIANTS are — the sim_ivf_sweep verdict pattern: the
+    // eigenvalue sum must equal the covariance trace (Σ per-dim sample
+    // variances, restated by the oracle from the same SQL face as
+    // sim_pca_cov), ratios must sum to 1, the sequence must be
+    // non-increasing and non-negative (PSD), cum_ratio ≤ 1.
     "sim_pca_var" -> ((s, dir) => {
       val model = Pca.fit(t(s, dir, "embeddings"), "embedding", 64, 8)
-      s.createDataFrame(model.explained())
-        .toDF("component", "eigenvalue", "ratio", "cum_ratio")
+      val evals = model.eigenvalues // all 64, descending
+      val tot = evals.sum
+      def r(x: Double, dp: Int) = BigDecimal(x).setScale(dp,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = model.explained().map { case (c, _, _, cum) =>
+        (c, r(tot, 4), r(evals.map(_ / tot).sum, 6),
+          evals(c) >= -1e-9,
+          c + 1 >= evals.length || evals(c) >= evals(c + 1) - 1e-12,
+          cum <= 1.0 + 1e-9)
+      }
+      s.createDataFrame(rows)
+        .toDF("component", "trace", "ratio_sum_all",
+          "nonneg_ok", "nonincreasing_ok", "cum_le_one_ok")
         .orderBy("component")
     }),
 
@@ -6830,6 +6845,24 @@ object PipelineQueries {
         |   / (count(*) - 1), 6) + 0 AS cov
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // trace = Σ per-dim sample variances (the diagonal of the same
+    // moment-identity covariance sim_pca_cov restates); the eigen-step
+    // invariants are literal-true verdicts the engine must reproduce
+    "sim_pca_var" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |tr AS (SELECT round(sum(s2), 4) + 0 AS trace FROM
+        |       (SELECT i, (sum(v * v) - sum(v) * sum(v) / count(*))
+        |          / (count(*) - 1) AS s2 FROM x GROUP BY 1))
+        |SELECT CAST(c AS INT) AS component,
+        | (SELECT trace FROM tr) AS trace,
+        | CAST(1.0 AS DOUBLE) AS ratio_sum_all,
+        | true AS nonneg_ok, true AS nonincreasing_ok, true AS cum_le_one_ok
+        |FROM (SELECT unnest(range(8)) AS c)
+        |ORDER BY component""".stripMargin,
 
     "sim_outlier_maha" ->
       """WITH x AS (SELECT vec_id, CAST(i AS INT) AS i,
