@@ -3736,15 +3736,18 @@ object PipelineQueries {
     }),
   )
 
-  /** First 16 md5 bits of `expr` as a BIGINT — the version-proof
-    * per-nibble strpos form (see CheckQueries.duckRowHash; the '0x'
-    * cast idiom proved DuckDB-version-sensitive). */
-  private[queries] def duckHex16(expr: String): String =
-    (0 until 4).map { i =>
-      val w = 1L << (4 * (3 - i))
+  /** First `nibbles`·4 md5 bits of `expr` as a BIGINT — the
+    * version-proof per-nibble strpos form (see CheckQueries.duckRowHash;
+    * the '0x' cast idiom proved DuckDB-version-sensitive: the r09 red
+    * rows). */
+  private[queries] def duckHex(expr: String, nibbles: Int): String =
+    (0 until nibbles).map { i =>
+      val w = 1L << (4 * (nibbles - 1 - i))
       s"(CAST(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) " +
         s"AS BIGINT) - 1) * $w"
     }.mkString("(", " + ", ")")
+
+  private[queries] def duckHex16(expr: String): String = duckHex(expr, 4)
 
   /** The eval_logreg oracle: the SAME full-batch logistic GD unrolled
     * as a SQL CTE chain — w0 is zeros, each iteration computes the mean
@@ -4021,8 +4024,8 @@ object PipelineQueries {
     // key on the original doc_id → factor 2); the accuracy/separation
     // verdicts are the engine's own booleans.
     "pipeline_quality_clf" ->
-      """WITH b AS (SELECT
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000 AS bkt
+      s"""WITH b AS (SELECT
+        |  ${duckHex16("CAST(doc_id AS VARCHAR)")} % 1000 AS bkt
         | FROM documents)
         |SELECT CAST(2 * (SELECT count(*) FROM b WHERE bkt >= 800) AS BIGINT) AS n_test,
         | true AS acc_ok, true AS sep_ok,
@@ -5246,9 +5249,9 @@ object PipelineQueries {
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "pipeline_split" ->
-      """WITH s AS (SELECT *, CASE
-        |  WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 4)) AS INT) % 1000 < 800 THEN 'train'
-        |  WHEN CAST(concat('0x', substr(md5(CAST(source AS VARCHAR)), 1, 4)) AS INT) % 1000 < 900 THEN 'valid'
+      s"""WITH s AS (SELECT *, CASE
+        |  WHEN ${duckHex16("CAST(source AS VARCHAR)")} % 1000 < 800 THEN 'train'
+        |  WHEN ${duckHex16("CAST(source AS VARCHAR)")} % 1000 < 900 THEN 'valid'
         |  ELSE 'test' END AS split
         | FROM documents)
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
@@ -5259,8 +5262,8 @@ object PipelineQueries {
     // Same md5-bucket rule as pipeline_split (conv of the first 4 hex
     // chars), 10000 buckets, per-lang thresholds.
     "pipeline_sample" ->
-      """WITH s AS (SELECT *,
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS b
+      s"""WITH s AS (SELECT *,
+        |  ${duckHex16("CAST(doc_id AS VARCHAR)")} % 10000 AS b
         | FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS sampled_chars
@@ -5286,13 +5289,13 @@ object PipelineQueries {
     // budget / n * 10000 + 0.5) (Scala math.round); same md5 bucket rule
     // as pipeline_split/pipeline_sample.
     "pipeline_mix" ->
-      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
         |t(lang, w) AS (VALUES ('en', 0.4), ('zh', 0.2), ('de', 0.2), ('fr', 0.1), ('es', 0.1)),
         |b AS (SELECT min(n / w) AS budget FROM c JOIN t USING (lang)),
         |r AS (SELECT lang, CAST(floor(w * (SELECT budget FROM b) / n * 10000 + 0.5) AS INT) AS thr
         |  FROM c JOIN t USING (lang)),
         |k AS (SELECT d.* FROM documents d JOIN r USING (lang)
-        |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 < thr)
+        |  WHERE ${duckHex16("CAST(doc_id AS VARCHAR)")} % 10000 < thr)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS mixed_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
@@ -5340,14 +5343,12 @@ object PipelineQueries {
     // same md5-bucket split rule as pipeline_split; dup pairs from text
     // equality; straddle counts per unordered split pair
     "pipeline_split_leakage" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         | SELECT doc_id, text FROM documents
         | UNION ALL SELECT doc_id + 10000, text FROM documents),
         |s AS (SELECT doc_id, CASE
-        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-        |    AS INT) % 1000 < 800 THEN 'train'
-        |  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-        |    AS INT) % 1000 < 900 THEN 'valid'
+        |  WHEN ${duckHex16("CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+        |  WHEN ${duckHex16("CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'valid'
         |  ELSE 'test' END AS split, md5(text) AS dg
         | FROM corpus),
         |p AS (SELECT a.split AS sa, b.split AS sb FROM s a JOIN s b
@@ -6334,7 +6335,7 @@ object PipelineQueries {
     // pipeline_dsir's weight model with the Gumbel-perturbed ranking:
     // key = score − ln(−ln(u)), u from the same md5-hex uniform.
     "pipeline_dsir_sample" ->
-      """WITH tt AS (SELECT unnest(string_split(text,' ')) AS w
+      s"""WITH tt AS (SELECT unnest(string_split(text,' ')) AS w
         |           FROM documents WHERE lang = 'en'),
         |rt AS (SELECT unnest(string_split(text,' ')) AS w
         |       FROM documents WHERE lang <> 'en'),
@@ -6353,8 +6354,7 @@ object PipelineQueries {
         |       FROM dt JOIN wt ON dt.w = wt.w WHERE dt.w <> '' GROUP BY doc_id),
         |k AS (SELECT count(*) // 4 AS k FROM documents WHERE lang <> 'en'),
         |g AS (SELECT sc.*, round(dsir_score - ln(-ln(
-        |        (CAST(concat('0x', substr(md5(concat('0_',
-        |           CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+        |        (${duckHex("concat('0_', CAST(doc_id AS VARCHAR))", 8)} + 0.5)
         |        / 4294967296.0)), 6) AS gumbel_key FROM sc),
         |sel AS (SELECT * FROM (SELECT g.*, row_number()
         |          OVER (ORDER BY gumbel_key DESC, doc_id) AS rk FROM g)
