@@ -1383,17 +1383,27 @@ object Analytics {
         df.agg(percentile(v, lit(trim)).as("__lo"),
           percentile(v, lit(1 - trim)).as("__hi"))
       else
-        df.agg(approx_percentile(v, lit(trim), lit(accuracy)).as("__lo"),
-          approx_percentile(v, lit(1 - trim), lit(accuracy)).as("__hi"))
+        // one GK sketch serves both thresholds (an array probe is one
+        // insertion pass; two scalar probes would build the sketch twice)
+        df.agg(approx_percentile(v, array(lit(trim), lit(1 - trim)),
+            lit(accuracy)).as("__t"))
+          .select(element_at(col("__t"), 1).as("__lo"),
+            element_at(col("__t"), 2).as("__hi"))
     df.crossJoin(thr)
       .groupBy(col("__lo"), col("__hi"))
       .agg(
         avg(when(v.between(col("__lo"), col("__hi")), v)).as("trimmed_mean"),
         stddev_samp(least(greatest(v, col("__lo")), col("__hi"))).as("winsor_std"),
         count(lit(1L)).as("n"),
-        sum(when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L)).as("n_trimmed"))
+        sum(when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L)).as("n_trimmed"),
+        // inclusive tail masses: rank-of-threshold diagnostics (on the
+        // approx path, n_le_lo/n must sit within trim ± the GK rank
+        // error — the free self-check of the sketch's guarantee)
+        sum(when(v <= col("__lo"), 1L).otherwise(0L)).as("n_le_lo"),
+        sum(when(v >= col("__hi"), 1L).otherwise(0L)).as("n_ge_hi"))
       .select(col("__lo").as("p_lo"), col("__hi").as("p_hi"),
-        col("trimmed_mean"), col("winsor_std"), col("n"), col("n_trimmed"))
+        col("trimmed_mean"), col("winsor_std"), col("n"), col("n_trimmed"),
+        col("n_le_lo"), col("n_ge_hi"))
   }
 
   /** Distribution drift between two dataset versions on one numeric

@@ -811,6 +811,27 @@ object RelationalQueries {
           round(col("winsor_std"), 6).as("winsor_std"),
           col("n"), col("n_trimmed"))),
 
+    // The DEFAULT (scale) robustStats path under its own gate: approx
+    // GK-sketch thresholds, NO exact percentile / global sort anywhere
+    // (q_robust_stats above is the exact audit variant). The sketch's
+    // rank guarantee is verified in-engine the cheap way — one extra
+    // scan counts the fraction of rows at or below each approx
+    // threshold, which must sit within trim ± 2·(rank-error bound
+    // 1/accuracy) — and the oracle anchors the corpus (n) and restates
+    // the verdicts (the q_rfm_scale / sim_ivf_sweep pattern).
+    "q_robust_stats_scale" -> ((s, dir) => {
+      val eps = 2.0 / 10000 // 2x the GK rank-error bound at accuracy 10000
+      Analytics.robustStats(t(s, dir, "lineitem"), col("l_extendedprice"),
+          trim = 0.05)
+        .select(col("n"),
+          (abs(col("n_le_lo") / col("n").cast("double") - 0.05) <= eps)
+            .as("lo_rank_ok"),
+          (abs(lit(1.0) - col("n_ge_hi") / col("n").cast("double") - 0.95)
+            <= eps).as("hi_rank_ok"),
+          (col("n_trimmed") <= (lit(0.1) + 2 * eps) * col("n"))
+            .as("trim_frac_ok"))
+    }),
+
     // Approximate percentiles (GK sketch). Made oracle-VISIBLE: the exact
     // interpolated percentiles anchor the row (DuckDB quantile_cont
     // recomputes them) and the sketch estimates are verified in-engine
@@ -2493,6 +2514,12 @@ object RelationalQueries {
         | CAST(count(*) FILTER (WHERE l_extendedprice < q.lo
         |                          OR l_extendedprice > q.hi) AS BIGINT) AS n_trimmed
         |FROM lineitem, q GROUP BY q.lo, q.hi""".stripMargin,
+
+    // corpus anchor + the engine's GK rank-guarantee verdicts
+    "q_robust_stats_scale" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | true AS lo_rank_ok, true AS hi_rank_ok, true AS trim_frac_ok
+        |FROM lineitem""".stripMargin,
 
     "q_hll_incremental" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -240,6 +240,8 @@ class AnalyticsSpec extends SparkSuite {
     // winsorized: (2,2,3..10,10) -> var 9.2
     assert(math.abs(r.getAs[Double]("winsor_std") - math.sqrt(9.2)) < 1e-12)
     assert(r.getAs[Long]("n") == 11 && r.getAs[Long]("n_trimmed") == 2)
+    // inclusive tail masses: {1,2} at or below p_lo, {10,1000} at or above p_hi
+    assert(r.getAs[Long]("n_le_lo") == 2 && r.getAs[Long]("n_ge_hi") == 2)
     // approx default: same shape, thresholds inside the data range
     val a = Analytics.robustStats(df, col("v"), trim = 0.1).head
     assert(a.getAs[Double]("p_lo") >= 1.0 && a.getAs[Double]("p_hi") <= 1000.0)
