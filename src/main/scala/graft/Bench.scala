@@ -311,6 +311,44 @@ object Bench {
             .anchorGrams(docs, "doc_id", "text", 30, 1).count()
           val rows4 = graft.functions.SpanDedup
             .anchorGrams(docs, "doc_id", "text", 30, 4).count()
+          // Streaming ingest at INDEX scale: 12 equal 500-doc batches of
+          // guaranteed-novel synthetic text (md5 word soup — unique
+          // across batches, so every batch survives whole and the
+          // signature index grows by exactly one batch per step) through
+          // the SAME nearDupIngestBatch the stream runs. Batch 2 ingests
+          // against a 1-batch index, batch 12 against an 11-batch index —
+          // the ratio proves per-batch cost tracks the BATCH (plus one
+          // parallel index scan), not the quadratic index-rebuild
+          // alternative. dedup_stream_ingest (the board's heaviest row)
+          // is dominated by this machinery, so the gate belongs here.
+          val ingRoot = new java.io.File("target/fixtures/bench_ingest_scale")
+          def wipe(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+          }
+          wipe(ingRoot); ingRoot.mkdirs()
+          val ingBase = docs.where(col("doc_id") < 500)
+          def ingBatch(i: Int) = ingBase.select(
+            (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.concat_ws(" ",
+              org.apache.spark.sql.functions.transform(
+                org.apache.spark.sql.functions.sequence(lit(1), lit(40)),
+                j => org.apache.spark.sql.functions.substring(
+                  org.apache.spark.sql.functions.md5(
+                    org.apache.spark.sql.functions.concat(
+                      col("doc_id").cast("string"), lit("_" + i + "_"),
+                      j.cast("string"))), 1, 8))).as("text"))
+          val ingTimes = (0 to 11).map { i =>
+            System.gc()
+            val t0 = System.nanoTime()
+            val n = graft.streaming.Streams.nearDupIngestBatch(
+              ingBatch(i), i.toLong, "doc_id", "text",
+              s"${ingRoot.getPath}/idx", numHashes = 32, bands = 8).count()
+            require(n == 500, s"ingest batch $i: expected 500 novel survivors, got $n")
+            (System.nanoTime() - t0) / 1e9
+          }
+          wipe(ingRoot)
+          val ingB1 = ingTimes(1)   // index = 1 batch (500 sigs)
+          val ingB11 = ingTimes(11) // index = 11 batches (5500 sigs)
           // Compact key names: this block rides the driver-facing summary
           // line, which must stay under ~500 bytes total (BENCH_r05/r06
           // were parsed:null because the 6 KB per-query line overflowed
@@ -324,7 +362,9 @@ object Bench {
             f""""span1_sec":$ts1%.2f,"span4_sec":$ts4%.2f,""" +
             f""""span1_spans":$n1,"span4_spans":$n4,""" +
             f""""span1_rows":$rows1,"span4_rows":$rows4,""" +
-            f""""cov_ratio":${tcov10 / tcov1}%.2f,"cov_maxdiff":$covMaxDiff%.5f}"""
+            f""""cov_ratio":${tcov10 / tcov1}%.2f,"cov_maxdiff":$covMaxDiff%.5f,""" +
+            f""""ing_b1_sec":$ingB1%.2f,"ing_b11_sec":$ingB11%.2f,""" +
+            f""""ingest_batch_ratio":${ingB11 / ingB1}%.2f}"""
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead

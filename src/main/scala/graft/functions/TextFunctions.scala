@@ -282,7 +282,12 @@ object TextFunctions {
     *
     * One row: (chrf, chrp, chrr, n_orders). Same scale shape as
     * [[bleuPrecisions]]: per order, (id, gram)-keyed rollups + one
-    * equi-join, partial-aggregated, output-sensitive. */
+    * equi-join, partial-aggregated, output-sensitive. Deliberately NOT
+    * fused into one all-orders explode: the single-rollup variant
+    * (flat gram strings, n recovered as length(gram) — no struct tags)
+    * measured 13.7s vs 4.4s for this per-order form at sf0.1, the
+    * nested flatten∘transform∘transform HOF defeating codegen the same
+    * way [[ngramDiversity]]'s tagged fusion did. */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
@@ -1212,7 +1217,8 @@ object TextFunctions {
     * map-side partial aggregation; nothing is all-pairs and only
     * gram-count rows cross an exchange. Scans are deliberately one per
     * order (the fused tagged-gram projection measured SLOWER — see
-    * [[ngramDiversity]]). */
+    * [[ngramDiversity]], and the chrF flat-fusion measurement in
+    * [[chrF]]: 3× slower at sf0.1 even without struct tags). */
   /** Shared BLEU machinery: tokenize ONCE into a checkpointed
     * (id, cand-tokens, ref-tokens) base (the gram passes re-scan it
     * 2·maxN times — re-splitting per pass was measured at ~2× the

@@ -171,10 +171,11 @@ class CheckFuzzSpec extends SparkSuite {
     }
   }
 
-  test("100 random configs: every verdict equals the straight-line recomputation") {
+  test("100 random configs: every verdict equals the straight-line recomputation " +
+      s"[seed base ${FuzzRound.base}]") {
     val conditions = Seq(None, Some("id % 3 != 0"), Some("k < 20"), Some("id < 0") /* empty */)
     var emptySeen = 0
-    (0 until 100).foreach { seed =>
+    (FuzzRound.base until FuzzRound.base + 100).foreach { seed =>
       val rng = new scala.util.Random(seed)
       // java.util.Random's first small-seed draws are poorly mixed and
       // never hit index 3 across seeds 0..99 — pin every 10th config to
@@ -274,11 +275,12 @@ class CheckFuzzSpec extends SparkSuite {
     }
   }
 
-  test("30 random configs through YAML -> ConfigParser -> Runner match the recomputation") {
+  test("30 random configs through YAML -> ConfigParser -> Runner match the recomputation " +
+      s"[seed base ${FuzzRound.base + 100}]") {
     val path = "target/fixtures/fuzz/fx.parquet"
     fixture.write.mode("overwrite").parquet(path)
     val conditions = Seq(None, Some("id % 3 != 0"), Some("k < 20"), Some("id < 0"))
-    (100 until 130).foreach { seed =>
+    (FuzzRound.base + 100 until FuzzRound.base + 130).foreach { seed =>
       val rng = new scala.util.Random(seed)
       val cond =
         if (seed % 10 == 9) conditions.last

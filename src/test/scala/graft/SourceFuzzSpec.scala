@@ -60,8 +60,11 @@ class SourceFuzzSpec extends SparkSuite {
     df.collect().toSeq.map(_.toSeq).groupBy(identity).map {
       case (k, v) => k -> v.size }
 
-  test("20 random schemas round-trip through parquet, orc, json, and schema'd csv") {
-    (0 until 20).foreach { seed =>
+  test("20 random schemas round-trip through parquet, orc, json, and schema'd csv " +
+      s"[seed base ${FuzzRound.base + 200}]") {
+    // +200: disjoint from CheckFuzzSpec's base..base+130 range; the csv
+    // pool below adds +1000, still inside one round's 100000-wide band
+    (FuzzRound.base + 200 until FuzzRound.base + 220).foreach { seed =>
       val df = randomDf(seed)
       val expect = canon(df)
       val dir = s"$base/s$seed"
