@@ -315,6 +315,134 @@ object Analytics {
         .as("rank_biserial"))
   }
 
+  /** One-way ANOVA F (Fisher): does the mean of `value` differ across
+    * the levels of `group`?  F = [SSB/(k−1)] / [SSW/(N−k)] with the
+    * between/within sums of squares recovered from per-group
+    * (n, Σx, Σx²) moments — the k-group mean test completing the
+    * location family (t-test: 2 groups; MWU/KS: rank/shape; this:
+    * k means). Also reports η² = SSB/SST effect size.
+    *
+    * Shape: ONE group-keyed moment rollup (the only corpus exchange,
+    * |groups| rows out) and a 1-row verdict — no window, no join. The
+    * 0.05 critical value uses the standard normal-based Wilson–Hilferty
+    * style approximation via the χ² limit F·df1 ~ χ²_df1 for large df2
+    * (exact for the audit sizes where df2 ≫ df1); reject compares F·df1
+    * against χ²₀.₉₅(df1). F is NULL when k < 2, N ≤ k, or SSW = 0. */
+  def anovaF(df: DataFrame, value: Column, group: Column,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__g").isNotNull)
+    val per = base.groupBy("__g").agg(count(lit(1L)).as("__n"),
+      sum(col("__v")).as("__s"), sum(col("__v") * col("__v")).as("__ss"))
+    val tot = per.agg(
+      count(lit(1L)).as("k"),
+      sum(col("__n")).as("n"),
+      sum(col("__s")).as("__ts"),
+      sum(col("__ss")).as("__tss"),
+      sum(col("__s") * col("__s") / col("__n")).as("__sb"))
+    val ssb = col("__sb") - col("__ts") * col("__ts") / col("n")
+    val ssw = col("__tss") - col("__sb")
+    val sst = col("__tss") - col("__ts") * col("__ts") / col("n")
+    val df1 = (col("k") - 1).cast("double")
+    val df2 = (col("n") - col("k")).cast("double")
+    val f = (ssb / df1) / (ssw / df2)
+    val degenerate = col("k") < 2 || df2 <= 0 || ssw <= 0.0
+    tot.select(col("k"), col("n"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(f, dp)).as("f"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      when(sst > 0, round(ssb / sst, dp)).as("eta_sq"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(f * df1 > chiSq95(df1)).as("reject_05"))
+  }
+
+  /** χ²₀.₉₅(d) by the Wilson–Hilferty cube approximation
+    * d·(1 − 2/(9d) + z₀.₉₅·√(2/(9d)))³ — accurate to ~0.1% for d ≥ 1,
+    * and restated verbatim by the DuckDB oracles (a closed form both
+    * engines compute identically beats a quantile table). */
+  private def chiSq95(d: Column): Column = {
+    val t = lit(2.0) / (lit(9.0) * d)
+    d * pow(lit(1.0) - t + lit(1.644853626951473) * sqrt(t), 3)
+  }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952): the k-group rank test —
+    * [[mannWhitneyU]] generalized past two cohorts, for "does ANY
+    * group's distribution sit higher" without normality assumptions.
+    * Tie-averaged ranks from the distinct-value histogram CDF, the
+    * standard tie correction H/(1 − Σ(t³−t)/(N³−N)), and the χ²(k−1)
+    * approximation for the 0.05 verdict (via [[chiSq95]], so the
+    * oracle restates it exactly).
+    *
+    * Scale shape: one (value, group) rollup (the only corpus
+    * exchange), a value-keyed rollup off it, the two-phase
+    * [[Windows.globalCumSum]] CDF over the distinct-value table (no
+    * single-reducer window for continuous columns), an equi-join back,
+    * and |groups|-bounded algebra. H is NULL when every value is
+    * identical (tie correction hits 0) or k < 2. */
+  def kruskalWallis(df: DataFrame, value: Column, group: Column,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(group.as("__g"), value.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__g").isNotNull)
+    val cells = base.groupBy("__v", "__g").agg(count(lit(1L)).as("__c"))
+    val hv = cells.groupBy("__v").agg(sum(col("__c")).as("__ct"))
+    val ranked = Windows.globalCumSum(hv, Seq(col("__v")), col("__ct"), "__cum")
+      .select(col("__v"), col("__ct"),
+        // average of the tie run's positions
+        ((col("__cum") - col("__ct")).cast("double") +
+          (col("__ct") + 1) / lit(2.0)).as("__avgr"))
+    val perG = cells.join(ranked, "__v").groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__avgr")).as("__rg"))
+    val ties = ranked.agg(coalesce(sum(col("__ct").cast("double") *
+      col("__ct") * col("__ct") - col("__ct")), lit(0.0)).as("__tie"))
+    val tot = perG.crossJoin(broadcast(ties)).agg(
+      count(lit(1L)).as("k"),
+      sum(col("__ng")).as("n"),
+      sum(col("__rg") * col("__rg") / col("__ng")).as("__r2"),
+      max(col("__tie")).as("__tie"))
+    val n = col("n").cast("double")
+    val h = lit(12.0) / (n * (n + 1)) * col("__r2") - lit(3.0) * (n + 1)
+    val tieC = lit(1.0) - col("__tie") / (n * n * n - n)
+    val hc = h / tieC
+    val df1 = (col("k") - 1).cast("double")
+    val degenerate = col("k") < 2 || tieC <= 0.0
+    tot.select(col("k"), col("n"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(hc, dp)).as("h"),
+      (col("k") - 1).as("df"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(chiSq95(df1), dp)).as("crit_05"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(hc > chiSq95(df1)).as("reject_05"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
+    * Levene's test on MEDIAN-centered absolute deviations, the robust
+    * form): [[anovaF]] applied to z = |x − median_g|. The gatekeeper
+    * in front of mean tests (ANOVA assumes equal variances) and a
+    * direct per-slice dispersion-drift probe.
+    *
+    * `exact = false` (default, the 100 TB path) takes group medians
+    * from one mergeable approx_percentile rollup; `exact = true` is
+    * the oracle-audit variant on Spark's exact percentile. Medians
+    * broadcast back (|groups| rows); then the one-rollup [[anovaF]]
+    * shape on z. */
+  def brownForsythe(df: DataFrame, value: Column, group: Column,
+      exact: Boolean = false, accuracy: Int = 10000,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(group.as("__g0"), value.cast("double").as("__v0"))
+      .where(col("__v0").isNotNull && col("__g0").isNotNull)
+    val med =
+      if (exact)
+        base.groupBy("__g0").agg(percentile(col("__v0"), lit(0.5)).as("__m"))
+      else
+        base.groupBy("__g0").agg(
+          approx_percentile(col("__v0"), lit(0.5), lit(accuracy)).as("__m"))
+    val z = base.join(broadcast(med), "__g0")
+      .select(col("__g0"), abs(col("__v0") - col("__m")).as("__z"))
+    anovaF(z, col("__z"), col("__g0"), dp)
+  }
+
   /** Fleiss' κ multi-rater agreement (Fleiss 1971) over a long table
     * of (item, label) ratings — [[cohenKappa]]'s N-rater sibling for
     * redundantly-annotated data: per-item pairwise agreement
@@ -1839,30 +1967,7 @@ object Analytics {
     * event times only. */
   def kaplanMeier(durations: DataFrame, duration: Column, isEvent: Column,
       dp: Int = 6, buckets: Int = 0): DataFrame = {
-    val raw = durations
-      .select(duration.cast("double").as("t"), isEvent.cast("boolean").as("e"))
-      .where(col("t").isNotNull)
-    val hist =
-      if (buckets <= 0)
-        raw.groupBy("t")
-          .agg(count(lit(1L)).as("__n"),
-            sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
-      else {
-        val bounds = raw.agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
-        raw.crossJoin(broadcast(bounds))
-          .select(col("t"), col("e"),
-            when(col("__hi") === col("__lo"), lit(0)).otherwise(
-              least(lit(buckets - 1), floor((col("t") - col("__lo")) /
-                ((col("__hi") - col("__lo")) / buckets)).cast("int")))
-              .as("__bin"))
-          // bucket reported at its LARGEST observed duration: every
-          // subject in the bucket is at risk through that time, so the
-          // product-limit identity holds over the coarsened grid
-          .groupBy(col("__bin"))
-          .agg(max(col("t")).as("t"), count(lit(1L)).as("__n"),
-            sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
-          .drop("__bin")
-      }
+    val hist = survivalHist(durations, duration, isEvent, buckets)
     val wSuffix = Window.orderBy(col("t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wCum = Window.orderBy(col("t"))
@@ -1879,6 +1984,68 @@ object Analytics {
           .otherwise(round(exp(sum(col("__lnf")).over(wCum)), dp)))
       .where(col("n_events") > 0)
       .select(col("t"), col("n_risk"), col("n_events"), col("survival"))
+  }
+
+  /** The (duration → n_subjects, n_events) histogram shared by
+    * [[kaplanMeier]] and [[nelsonAalen]], with the optional equi-width
+    * `buckets` quantization (each bucket reported at its LARGEST
+    * observed duration: every subject in the bucket is at risk through
+    * that time, so the product-limit / hazard-sum identities hold over
+    * the coarsened grid). */
+  private def survivalHist(durations: DataFrame, duration: Column,
+      isEvent: Column, buckets: Int): DataFrame = {
+    val raw = durations
+      .select(duration.cast("double").as("t"), isEvent.cast("boolean").as("e"))
+      .where(col("t").isNotNull)
+    if (buckets <= 0)
+      raw.groupBy("t")
+        .agg(count(lit(1L)).as("__n"),
+          sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+    else {
+      val bounds = raw.agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
+      raw.crossJoin(broadcast(bounds))
+        .select(col("t"), col("e"),
+          when(col("__hi") === col("__lo"), lit(0)).otherwise(
+            least(lit(buckets - 1), floor((col("t") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)).cast("int")))
+            .as("__bin"))
+        .groupBy(col("__bin"))
+        .agg(max(col("t")).as("t"), count(lit(1L)).as("__n"),
+          sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+        .drop("__bin")
+    }
+  }
+
+  /** Nelson–Aalen cumulative hazard (Nelson 1972; Aalen 1978) over
+    * right-censored durations — [[kaplanMeier]]'s additive companion:
+    *
+    *   Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ     σ²(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ²
+    *
+    * The hazard view reads failure INTENSITY directly (slope changes
+    * flag wear-in/wear-out regimes the survival curve smooths over) and
+    * its estimator stays defined after the last event where KM's
+    * product hits 0. Censoring/risk-set semantics, the distinct-duration
+    * histogram shape, and the `buckets` quantization flag are all
+    * shared with [[kaplanMeier]] (one exchange; windows ride the
+    * time-resolution-bounded table). Output rows are event times only:
+    * (t, n_risk, n_events, cum_hazard, var_hazard). */
+  def nelsonAalen(durations: DataFrame, duration: Column, isEvent: Column,
+      dp: Int = 6, buckets: Int = 0): DataFrame = {
+    val hist = survivalHist(durations, duration, isEvent, buckets)
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_risk", sum(col("__n")).over(wSuffix))
+      .withColumn("cum_hazard", round(sum(
+        col("n_events").cast("double") / col("n_risk")).over(wCum), dp))
+      .withColumn("var_hazard", round(sum(
+        col("n_events").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk"))).over(wCum), dp))
+      .where(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("cum_hazard"), col("var_hazard"))
   }
 
   /** Debounce: collapse per-key event BURSTS (runs of events less than

@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Right-censored signup→purchase durations (shared by q_survival's
+    * Kaplan–Meier and q_hazard's Nelson–Aalen): per signup user, time to
+    * first purchase at-or-after signup, censored at the corpus horizon. */
+  private def signupToPurchaseDurations(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_timestamp(col("ts"))).as("s_ts"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), unix_timestamp(col("ts")).as("p_ts"))
+    signup
+      .join(purchase, col("p_uid") === col("user_id") &&
+        col("p_ts") >= col("s_ts"), "left")
+      .groupBy(col("user_id"), col("s_ts")).agg(min(col("p_ts")).as("c_ts"))
+      .crossJoin(ev.agg(max(unix_timestamp(col("ts"))).as("__h")))
+      .select((coalesce(col("c_ts"), col("__h")) - col("s_ts"))
+          .cast("double").as("duration"),
+        col("c_ts").isNotNull.as("is_event"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Broadcast dim join: orders ⋈ customer ⋈ nation, revenue per nation.
     // Dims broadcast → the fact side never shuffles for the join.
@@ -759,6 +778,29 @@ object RelationalQueries {
       Analytics.mannWhitneyU(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // One-way ANOVA F on quantity by return flag: one group-keyed
+    // moment rollup + 1-row verdict. Integer values keep every moment
+    // exact in doubles, so the oracle matches bit-for-bit at 6 dp.
+    "q_anova" -> ((s, dir) =>
+      Analytics.anovaF(t(s, dir, "lineitem"), col("l_quantity"),
+        col("l_returnflag"))),
+
+    // Kruskal-Wallis H on the same grouping: the k-group rank test —
+    // tie-averaged ranks via the two-phase histogram CDF (50 distinct
+    // quantities -> heavy ties exercise the correction), chi-square
+    // verdict via the shared Wilson-Hilferty closed form.
+    "q_kruskal" -> ((s, dir) =>
+      Analytics.kruskalWallis(t(s, dir, "lineitem"), col("l_quantity"),
+        col("l_returnflag"))),
+
+    // Brown-Forsythe variance homogeneity (Levene on median-centered
+    // |deviations|): the equal-variance gate in front of ANOVA. Audit
+    // variant on exact medians so DuckDB's quantile_cont restates them;
+    // the API default is the mergeable approx_percentile path.
+    "q_levene" -> ((s, dir) =>
+      Analytics.brownForsythe(t(s, dir, "lineitem"), col("l_quantity"),
+        col("l_linestatus"), exact = true)),
+
     // Fleiss' kappa over three deterministic raters (distinct
     // doc_id-keyed perturbations of the length threshold): per-item
     // pairwise agreement vs pooled-marginal chance; exchanges carry
@@ -1058,24 +1100,17 @@ object RelationalQueries {
     // users with no conversion CENSORED at the corpus horizon; at-risk
     // via suffix sum and the product limit via exp∘Σln over the
     // bounded distinct-duration table.
-    "q_survival" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val signup = ev.where(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(unix_timestamp(col("ts"))).as("s_ts"))
-      val purchase = ev.where(col("event_type") === "purchase")
-        .select(col("user_id").as("p_uid"), unix_timestamp(col("ts")).as("p_ts"))
-      val conv = signup
-        .join(purchase, col("p_uid") === col("user_id") &&
-          col("p_ts") >= col("s_ts"), "left")
-        .groupBy(col("user_id"), col("s_ts")).agg(min(col("p_ts")).as("c_ts"))
-      val durations = conv
-        .crossJoin(ev.agg(max(unix_timestamp(col("ts"))).as("__h")))
-        .select((coalesce(col("c_ts"), col("__h")) - col("s_ts"))
-            .cast("double").as("duration"),
-          col("c_ts").isNotNull.as("is_event"))
-      Analytics.kaplanMeier(durations, col("duration"), col("is_event"))
-        .orderBy("t")
-    }),
+    "q_survival" -> ((s, dir) =>
+      Analytics.kaplanMeier(signupToPurchaseDurations(s, dir),
+        col("duration"), col("is_event")).orderBy("t")),
+
+    // Nelson-Aalen cumulative hazard + variance over the SAME
+    // right-censored signup->purchase durations as q_survival — the
+    // additive hazard view next to KM's multiplicative survival view;
+    // identical risk-set semantics, oracle restates the hazard sums.
+    "q_hazard" -> ((s, dir) =>
+      Analytics.nelsonAalen(signupToPurchaseDurations(s, dir),
+        col("duration"), col("is_event")).orderBy("t")),
 
     // 2-D skyline (Pareto frontier maximizing recency AND value): the
     // bucket-grid decomposition — suffix max over a bounded bucket
@@ -2335,6 +2370,71 @@ object RelationalQueries {
         | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
         |FROM f""".stripMargin,
 
+    "q_anova" ->
+      """WITH per AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(l_quantity AS DOUBLE)) AS s,
+        |        sum(CAST(l_quantity AS DOUBLE) * l_quantity) AS ss
+        |       FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |       sum(s) AS ts, sum(ss) AS tss, sum(s * s / n) AS sb FROM per)
+        |SELECT k, n,
+        | round(((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)), 6) AS f,
+        | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        | round((sb - ts * ts / n) / (tss - ts * ts / n), 6) AS eta_sq,
+        | ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) * (k - 1) >
+        |   (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
+        |   AS reject_05
+        |FROM t""".stripMargin,
+
+    "q_kruskal" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |        l_returnflag AS g, CAST(count(*) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1, 2),
+        |hv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |rk AS (SELECT v, ct, CAST(sum(ct) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum FROM hv),
+        |r AS (SELECT v, ct,
+        |       (cum - ct) + (ct + 1) / CAST(2 AS DOUBLE) AS avgr FROM rk),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, sum(c * avgr) AS rg
+        |       FROM cells JOIN r USING (v) GROUP BY 1),
+        |tie AS (SELECT sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS tie FROM r),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(ng) AS BIGINT) AS n, sum(rg * rg / ng) AS r2 FROM pg),
+        |v AS (SELECT k, n,
+        |       (CAST(12 AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1)) * r2
+        |          - 3 * (CAST(n AS DOUBLE) + 1))
+        |        / (1 - (SELECT tie FROM tie)
+        |          / (CAST(n AS DOUBLE) * n * n - n)) AS h,
+        |       CAST(k - 1 AS BIGINT) AS df,
+        |       (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |         1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))),
+        |         3) AS crit
+        |      FROM tt)
+        |SELECT k, n, round(h, 6) AS h, df, round(crit, 6) AS crit_05,
+        | h > crit AS reject_05
+        |FROM v""".stripMargin,
+
+    "q_levene" ->
+      """WITH b AS (SELECT l_linestatus AS g,
+        |        CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+        |m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1),
+        |z AS (SELECT b.g, abs(b.v - m.med) AS v FROM b JOIN m USING (g)),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        sum(v) AS s, sum(v * v) AS ss FROM z GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+        |       sum(s) AS ts, sum(ss) AS tss, sum(s * s / n) AS sb FROM per)
+        |SELECT k, n,
+        | round(((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)), 6) AS f,
+        | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        | round((sb - ts * ts / n) / (tss - ts * ts / n), 6) AS eta_sq,
+        | ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) * (k - 1) >
+        |   (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
+        |   AS reject_05
+        |FROM t""".stripMargin,
+
     // same three raters, same pairwise-agreement and marginal algebra
     "q_fleiss" ->
       """WITH r AS (
@@ -2867,6 +2967,36 @@ object RelationalQueries {
         |      ELSE round(exp(sum(ln(CASE WHEN fac > 0 THEN fac END))
         |        OVER wc), 6) END AS survival
         |FROM f WHERE n_events > 0
+        |WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW)""".stripMargin,
+
+    // q_survival's CTE chain with the product replaced by the hazard
+    // sums (censored-only rows contribute 0 hazard, so windowing after
+    // the event filter is identical to the engine's window-then-filter)
+    "q_hazard" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)//1000000) AS s_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts)//1000000 AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts)//1000000) AS h FROM events),
+        |c AS (SELECT s.user_id, s.s_ts, min(p.p_ts) AS c_ts
+        |      FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |        AND p.p_ts >= s.s_ts
+        |      GROUP BY 1, 2),
+        |d AS (SELECT CAST(coalesce(c_ts, h.h) - s_ts AS DOUBLE) AS t,
+        |       c_ts IS NOT NULL AS e FROM c CROSS JOIN h),
+        |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (e) AS BIGINT) AS n_events
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT t, n_events, CAST(sum(n) OVER (ORDER BY t
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |       AS BIGINT) AS n_risk FROM hist)
+        |SELECT t, n_risk, n_events,
+        | round(sum(CAST(n_events AS DOUBLE) / n_risk) OVER wc, 6)
+        |   AS cum_hazard,
+        | round(sum(CAST(n_events AS DOUBLE) /
+        |   (CAST(n_risk AS DOUBLE) * n_risk)) OVER wc, 6) AS var_hazard
+        |FROM r WHERE n_events > 0
         |WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         |  AND CURRENT ROW)
         |ORDER BY t""".stripMargin,

@@ -2425,6 +2425,85 @@ class AnalyticsSpec extends SparkSuite {
     assert(coarse == Map(2.0 -> 0.6, 5.0 -> 0.4), s"coarse KM: $coarse")
   }
 
+  test("anovaF: textbook two-group F, eta squared, degenerate NULLs") {
+    import spark.implicits._
+    // A = (1,2,3), B = (4,5,6): SSB = 13.5, SSW = 4, df = (1,4) -> F = 13.5
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6))
+      .toDF("g", "v")
+    val r = Analytics.anovaF(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("f") == 13.5, s"$r")
+    assert(r.getAs[Long]("df1") == 1 && r.getAs[Long]("df2") == 4)
+    assert(r.getAs[Double]("eta_sq") == 0.771429, s"$r")
+    assert(r.getAs[Boolean]("reject_05"), s"$r")
+    // one group -> NULL F; zero within-variance -> NULL F
+    assert(Analytics.anovaF(df.where(col("g") === "A"), col("v"), col("g"))
+      .head().isNullAt(2))
+    val flat = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2)).toDF("g", "v")
+    assert(Analytics.anovaF(flat, col("v"), col("g")).head().isNullAt(2))
+  }
+
+  test("kruskalWallis: no-tie and tied fixtures against hand-computed H") {
+    import spark.implicits._
+    // A = (1,2,3), B = (4,5,6): rank sums 6/15 -> H = 27/7 = 3.857143
+    val df = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 4), ("B", 5), ("B", 6))
+      .toDF("g", "v")
+    val r = Analytics.kruskalWallis(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("h") == 3.857143, s"$r")
+    assert(r.getAs[Long]("df") == 1)
+    // Wilson-Hilferty chi2_0.95(1) = (1 - 2/9 + 1.6449 sqrt(2/9))^3
+    val crit = math.pow(1.0 - 2.0 / 9 +
+      1.644853626951473 * math.sqrt(2.0 / 9), 3)
+    assert(math.abs(r.getAs[Double]("crit_05") - crit) < 1e-6)
+    assert(r.getAs[Boolean]("reject_05") == (3.857143 > crit))
+    // ties: A = (1,1,2), B = (2,3,3): avg ranks 1.5/3.5/5.5,
+    // H = 3.047619, tie factor 1 - 18/210 -> corrected 10/3
+    val tied = Seq(("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3), ("B", 3))
+      .toDF("g", "v")
+    val rt = Analytics.kruskalWallis(tied, col("v"), col("g")).head()
+    assert(rt.getAs[Double]("h") == 3.333333, s"$rt")
+    // all values identical -> tie correction 0 -> NULL H
+    val const = Seq(("A", 7), ("B", 7)).toDF("g", "v")
+    assert(Analytics.kruskalWallis(const, col("v"), col("g")).head().isNullAt(2))
+  }
+
+  test("brownForsythe == anovaF on hand-centered |x - median_g|; approx path same shape") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    // medians: A -> 2.5, B -> 5 (interpolated); center by hand
+    val z = Seq(("A", 1.5), ("A", 0.5), ("A", 0.5), ("A", 7.5),
+      ("B", 1.0), ("B", 0.0), ("B", 1.0)).toDF("g", "z")
+    val expect = Analytics.anovaF(z, col("z"), col("g")).head()
+    val got = Analytics.brownForsythe(df, col("v"), col("g"), exact = true).head()
+    assert(got == expect, s"$got vs $expect")
+    // scale default (approx medians): the GK sketch returns a data
+    // ELEMENT (A -> 2, not the interpolated 2.5), so the expectation is
+    // anovaF over element-median-centered deviations
+    val z2 = Seq(("A", 1.0), ("A", 0.0), ("A", 1.0), ("A", 8.0),
+      ("B", 1.0), ("B", 0.0), ("B", 1.0)).toDF("g", "z")
+    val expect2 = Analytics.anovaF(z2, col("z"), col("g")).head()
+    val ap = Analytics.brownForsythe(df, col("v"), col("g")).head()
+    assert(ap == expect2, s"approx $ap vs $expect2")
+  }
+
+  test("nelsonAalen: textbook hazard sums; fine buckets == exact") {
+    import spark.implicits._
+    val d = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true), (5.0, false))
+      .toDF("t", "e")
+    val na = Analytics.nelsonAalen(d, col("t"), col("e"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    // H = 1/5, +1/4, +1/2; var = 1/25, +1/16, +1/4
+    assert(na == Map(1.0 -> ((5L, 0.2, 0.04)), 2.0 -> ((4L, 0.45, 0.1025)),
+      4.0 -> ((2L, 0.95, 0.3525))), s"textbook NA: $na")
+    val fine = Analytics.nelsonAalen(d, col("t"), col("e"), buckets = 100)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(fine == na, s"fine buckets must reproduce exact: $fine")
+  }
+
   test("trainer guards fail loudly: empty GD input, collinear OLS, degenerate PCA") {
     import spark.implicits._
     // logisticRegressionGD: zero rows survive the null filter
