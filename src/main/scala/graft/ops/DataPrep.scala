@@ -48,6 +48,36 @@ object DataPrep {
     df.withColumn(splitCol, label)
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * [[hashBucket]](key, k) — a pure function of the KEY, so folds are
+    * stable across engines/re-runs/cluster sizes and reproducible
+    * without storing the assignment. As with [[hashSplit]], pass a
+    * GROUP key (source, author, near-dup cluster id) so correlated
+    * rows share a fold instead of leaking across train/eval at every
+    * rotation. Per-row Column math, zero shuffles. */
+  def kFold(df: DataFrame, key: Column, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 0x10000, s"k must be in [2, 65536], got $k")
+    df.withColumn(foldCol, hashBucket(key, k))
+  }
+
+  /** Balance audit of a [[kFold]] assignment: per fold, the held-out
+    * size, the train-complement size, and the skew ratio n_test·k/N
+    * (1.0 = perfectly even; key-hash folds over few large groups CAN
+    * skew — this is the check that catches it before a 100 TB
+    * training run burns a rotation). One fold-keyed rollup + a
+    * broadcast 1-row total. */
+  def kFoldAudit(assign: DataFrame, foldCol: String, k: Int,
+      dp: Int = 6): DataFrame = {
+    val per = assign.groupBy(col(foldCol)).agg(count(lit(1L)).as("n_test"))
+    val tot = per.agg(sum(col("n_test")).as("__n"))
+    per.crossJoin(broadcast(tot))
+      .select(col(foldCol), col("n_test"),
+        (col("__n") - col("n_test")).as("n_train"),
+        round(col("n_test") * lit(k) / col("__n").cast("double"), dp)
+          .as("skew"))
+  }
+
   /** Time-ordered train/test split with an EMBARGO gap — the
     * leakage-safe discipline for temporal data that [[hashSplit]]'s
     * key hashing cannot give: train is strictly before `cutoff`, test

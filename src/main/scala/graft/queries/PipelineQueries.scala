@@ -3312,6 +3312,15 @@ object PipelineQueries {
           round(col("chrr"), 6).as("chrr"), col("n_orders"))
     }),
 
+    // Deterministic k-fold assignment keyed on SOURCE (group-level, so
+    // correlated documents share a fold — the leakage guard) + the
+    // balance audit: one fold rollup, broadcast total, skew verdicts.
+    "pipeline_kfold" -> ((s, dir) =>
+      graft.ops.DataPrep.kFoldAudit(
+          graft.ops.DataPrep.kFold(t(s, dir, "documents"),
+            col("source"), 5), "fold", 5)
+        .orderBy("fold")),
+
     // Neyman-optimal stratified allocation of a 1000-row sample across
     // sources by size x stddev, integerized by largest remainder: one
     // stratum-keyed aggregation, then |strata|-bounded arithmetic.
@@ -5261,6 +5270,17 @@ object PipelineQueries {
 
     // Same md5-bucket rule as pipeline_split (conv of the first 4 hex
     // chars), 10000 buckets, per-lang thresholds.
+    // the same md5-bucket fold rule restated per-nibble
+    "pipeline_kfold" ->
+      s"""WITH a AS (SELECT ${duckHex16("CAST(source AS VARCHAR)")} % 5
+        |        AS fold FROM documents),
+        |per AS (SELECT CAST(fold AS INT) AS fold,
+        |        CAST(count(*) AS BIGINT) AS n_test FROM a GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_test) AS BIGINT) AS n FROM per)
+        |SELECT fold, n_test, CAST(t.n - n_test AS BIGINT) AS n_train,
+        | round(n_test * 5 / CAST(t.n AS DOUBLE), 6) AS skew
+        |FROM per, t ORDER BY fold""".stripMargin,
+
     "pipeline_sample" ->
       s"""WITH s AS (SELECT *,
         |  ${duckHex16("CAST(doc_id AS VARCHAR)")} % 10000 AS b

@@ -665,6 +665,74 @@ object RelationalQueries {
         .orderBy("batch_id")
     }),
 
+    // Streaming cumulative quantile monitor: 3 file-arrival batches of
+    // the purchase stream fold into ONE persisted KLL blob (mergeable
+    // state, bytes not rows); after the stream drains, every per-batch
+    // estimate is rank-checked EXACTLY against the cumulative prefix it
+    // summarized (|frac(v <= est) - q| <= 4% band, generous vs the
+    // k=200 sketch's ~1.7% guarantee). Oracle anchors the cumulative
+    // counts per batch and restates the verdict grid.
+    "q_stream_quantile" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.9, 0.99)
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/quantile_stream")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val ev = t(s, dir, "events")
+      val purch = ev.where(col("event_type") === "purchase")
+        .select("event_id", "value")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        purch.where(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val out = s"$root/out"
+      val q = graft.streaming.Streams
+        .quantileMonitor(stream, col("value"), s"$root/state", qs) { (df, _) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val est = s.read.parquet(out)
+        .select(col("batch_id"), col("n_seen"),
+          posexplode(col("estimates")).as(Seq("qi", "est")))
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_seen"),
+          qs(r.getAs[Int]("qi")), r.getAs[Double]("est")))
+        .sortBy(x => (x._1, x._3))
+      // exact rank of every estimate over the cumulative prefix it
+      // summarized — ONE aggregation job for all 9 (batch, q) cells
+      val cells = est.zipWithIndex.flatMap { case ((b, _, _, e), i) =>
+        Seq(sum(when(pmod(col("event_id"), lit(3)) <= b &&
+            col("value") <= e, 1.0).otherwise(0.0)).as(s"__hit$i"),
+          sum(when(pmod(col("event_id"), lit(3)) <= b &&
+            col("value").isNotNull, 1.0).otherwise(0.0)).as(s"__n$i"))
+      }
+      val fr = purch.agg(cells.head, cells.tail: _*).head()
+      val rows = est.zipWithIndex.map { case ((b, n, qq, _), i) =>
+        val frac = fr.getAs[Double](s"__hit$i") / fr.getAs[Double](s"__n$i")
+        (b, qq, n, math.abs(frac - qq) <= 0.04)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("batch_id", "q", "n_seen", "rank_ok")
+        .orderBy("batch_id", "q")
+    }),
+
     "q_drift_psi" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Analytics.driftPsi(
@@ -2207,6 +2275,20 @@ object RelationalQueries {
         | CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b, 10 AS n_bins
         |FROM m JOIN t ON m.batch_id = t.batch_id
         |GROUP BY m.batch_id, t.na, t.nb ORDER BY m.batch_id""".stripMargin,
+
+    // cumulative prefix counts per batch + the engine's rank-band
+    // verdicts over its own sketch estimates
+    "q_stream_quantile" ->
+      """WITH p AS (SELECT event_id % 3 AS b, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |g AS (SELECT b, q FROM (SELECT unnest([0, 1, 2]) AS b),
+        |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |          CAST(0.99 AS DOUBLE)]) AS q))
+        |SELECT CAST(g.b AS BIGINT) AS batch_id, g.q AS q,
+        | (SELECT CAST(count(value) AS BIGINT) FROM p WHERE p.b <= g.b)
+        |   AS n_seen,
+        | true AS rank_ok
+        |FROM g ORDER BY 1, 2""".stripMargin,
 
     "q_drift_psi" ->
       """WITH va AS (SELECT value AS v FROM events

@@ -192,6 +192,54 @@ object Streams {
           shingleK, numHashes, bands, tauPct), batchId)
       }
 
+  /** One micro-batch of the streaming quantile monitor (public for
+    * restart-idempotence tests and batch backfills): the batch's values
+    * fold into a CUMULATIVE KLL sketch persisted as one blob-row
+    * parquet per batch id. Overwrite-by-batch-id is the
+    * [[nearDupIngestBatch]] exactly-once discipline — a replayed batch
+    * re-reads the latest PRIOR cumulative blob and rewrites its own
+    * partition, so the state stays exactly-once without a log. Returns
+    * one row: (batch_id, n_seen, qs..., one estimate column per rank).
+    *
+    * Scale shape: one aggregation over the batch, then a 2-blob merge —
+    * state is a single bounded mergeable blob (KBs at k=200), never
+    * data rows; at 100 TB/day the per-trigger cost is the batch scan. */
+  def quantileMonitorBatch(batch: DataFrame, batchId: Long, value: Column,
+      stateDir: String, qs: Seq[Double], k: Int = 200): DataFrame = {
+    import graft.functions.Kll
+    require(qs.nonEmpty, "need at least one quantile rank")
+    val spark = batch.sparkSession
+    val batchBlob = batch
+      .agg(Kll.sketchAgg(value, k).as("blob"),
+        count(value.cast("double")).as("n"))
+    val prior = indexPartitions(stateDir, batchId)
+      .sortBy(_.split("batch=").last.toLong).lastOption
+    val cum = prior.fold(batchBlob) { p =>
+      batchBlob.unionByName(spark.read.parquet(p).select("blob", "n"))
+        .agg(Kll.mergeAgg(col("blob"), k).as("blob"), sum(col("n")).as("n"))
+    }.localCheckpoint(true) // one result row; written AND read below
+    cum.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    cum.select(lit(batchId).as("batch_id"), col("n").as("n_seen"),
+      Kll.quantiles(col("blob"), qs).as("estimates"))
+  }
+
+  /** Streaming quantile monitor: after every micro-batch, `sink`
+    * receives the CUMULATIVE stream quantile estimates (batch_id,
+    * n_seen, estimates array aligned with `qs`) — p50/p99 latency or
+    * document-length percentiles over an unbounded stream from one
+    * declaration, with the offline KLL error guarantee carried through
+    * the merges. Same operator serves batch backfill
+    * ([[quantileMonitorBatch]]). */
+  def quantileMonitor(stream: DataFrame, value: Column, stateDir: String,
+      qs: Seq[Double], k: Int = 200)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(quantileMonitorBatch(batch, batchId, value, stateDir, qs, k),
+          batchId)
+      }
+
   /** Streaming inverted-index ingest: every micro-batch is indexed
     * ALONE (one term-keyed exchange over the batch — cost ∝ batch,
     * never corpus) and appended as its own `batch=N` partition family

@@ -391,6 +391,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("kFold: deterministic group-keyed folds; audit sizes and skew sum up") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"src${i % 10}")).toDF("id", "src")
+    val a = graft.ops.DataPrep.kFold(docs, col("src"), 5)
+    // every row of a group shares a fold (the leakage guard), stable re-run
+    assert(a.groupBy("src").agg(countDistinct(col("fold")).as("d"))
+      .where(col("d") > 1).count() == 0)
+    val b = graft.ops.DataPrep.kFold(docs, col("src"), 5)
+    assert(a.collect().toSet == b.collect().toSet)
+    val audit = graft.ops.DataPrep.kFoldAudit(a, "fold", 5).collect()
+    assert(audit.map(_.getAs[Long]("n_test")).sum == 200)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_train") == 200 - r.getAs[Long]("n_test"))
+      assert(r.getAs[Double]("skew") ==
+        BigDecimal(r.getAs[Long]("n_test") * 5 / 200.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.DataPrep.kFold(docs, col("src"), 1)
+    }
+  }
+
   test("hashSplit: deterministic, group-leakage-free, fractions validated") {
     val docs = graft.sources.Sources.table(spark, sf0001, "documents")
     val split = graft.ops.DataPrep.hashSplit(docs, col("source"),

@@ -376,4 +376,32 @@ class StreamingSpec extends SparkSuite {
     try q3.processAllAvailable() finally q3.stop()
     assert(spark.read.parquet(idx).count() == n2, "idle resume rewrote the index")
   }
+
+  test("quantileMonitorBatch: cumulative merge exact under k, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qmon").toFile.getPath
+    def batch(lo: Int, hi: Int) = (lo to hi).map(_.toDouble).toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.quantileMonitorBatch(df, id, col("v"), dir, Seq(0.5, 0.99))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2))).head
+    // 100 points fit the k=200 sketch exactly: inclusive quantiles are
+    // the true order statistics
+    val r0 = run(batch(1, 100), 0L)
+    assert(r0 == ((0L, 100L, Seq(50.0, 99.0))), s"$r0")
+    // cumulative: merge of two <=k sketches still exact at n=200
+    val r1 = run(batch(101, 200), 1L)
+    assert(r1 == ((1L, 200L, Seq(100.0, 198.0))), s"$r1")
+    // foreachBatch is at-least-once: a REPLAY of batch 1 must read the
+    // prior cumulative state (batch 0 only), not its own half-written
+    // blob — identical output, no double counting
+    val r1b = run(batch(101, 200), 1L)
+    assert(r1b == r1, s"replay diverged: $r1b vs $r1")
+    // the next batch continues from the exactly-once state; estimates
+    // stay inside the sketch rank band even once compaction kicks in
+    val r2 = run(batch(201, 300), 2L)
+    assert(r2._2 == 300L, s"$r2")
+    val Seq(e50, e99) = r2._3
+    assert(math.abs(e50 / 300.0 - 0.5) <= 0.02, s"p50 off: $e50")
+    assert(math.abs(e99 / 300.0 - 0.99) <= 0.02, s"p99 off: $e99")
+  }
 }
