@@ -19,6 +19,29 @@ object TextFunctions {
     * chars — the standard GPT-2-style pre-split shape. */
   def tokensRegex(c: Column): Column = regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
+  /** Hashing-trick term features (Weinberger et al., ICML 2009 — the
+    * "hashing trick"): each whitespace token maps to
+    * md5-bucket(token) mod `dim`, emitted long-form as
+    * (id, bucket, tf). The fixed-dimension featurizer that needs NO
+    * vocabulary build, broadcast, or second pass — at 100 TB the
+    * vocabulary table itself is the scale problem this removes, at the
+    * price of counted collisions. The bucket rule is
+    * [[graft.ops.DataPrep.hashBucket]] (first 16 md5 bits), so features
+    * are stable across engines/re-runs and oracle-checkable.
+    *
+    * Shape: one explode + one (id, bucket)-keyed rollup — map-side
+    * combined, output bounded by nnz, never dim·docs. */
+  def hashingTf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0 && dim <= 0x10000, s"dim must be in (0, 65536], got $dim")
+    docs.select(col(idCol),
+        explode(filter(tokensWs(col(textCol)), t => length(t) > 0)).as("__tok"))
+      .select(col(idCol),
+        graft.ops.DataPrep.hashBucket(col("__tok"), dim).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1L)).as("tf"))
+  }
+
   def tokenCountWs(c: Column): Column = size(tokensWs(c))
   def tokenCountRegex(c: Column): Column = size(tokensRegex(c))
 

@@ -1534,6 +1534,37 @@ object Analytics {
         col("n_le_lo"), col("n_ge_hi"))
   }
 
+  /** Robust MAD outlier screen: the modified z-score
+    * 0.6745·(x − median)/MAD (Iglewicz & Hoaglin 1993), with
+    * MAD = median(|x − median|) — the dispersion measure a 50%
+    * contamination cannot move, where mean/stddev z-scores break at one
+    * gross outlier. The standard screen marks |z| > 3.5.
+    *
+    * Two percentile passes (median, then MAD over the centered scan) +
+    * one map-only scoring scan with the two scalars broadcast.
+    * `exact = false` (default, the 100 TB path) rides mergeable
+    * approx_percentile sketches; `exact = true` is the oracle-audit
+    * variant. A zero MAD (≥half the data on one value) yields NULL
+    * scores, not a division artifact. Returns the input columns plus
+    * (mad_z, is_outlier). */
+  def madOutliers(df: DataFrame, c: Column, threshold: Double = 3.5,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val v = c.cast("double")
+    def med(d: DataFrame, x: Column) =
+      if (exact) d.agg(percentile(x, lit(0.5)).as("__m"))
+      else d.agg(approx_percentile(x, lit(0.5), lit(accuracy)).as("__m"))
+    val m = med(df, v)
+    val mad = med(df.crossJoin(broadcast(m)), abs(v - col("__m")))
+      .withColumnRenamed("__m", "__mad")
+    val z = lit(0.6745) * (v - col("__m")) / col("__mad")
+    df.crossJoin(broadcast(m)).crossJoin(broadcast(mad))
+      .withColumn("mad_z", when(col("__mad") > 0, z))
+      .withColumn("is_outlier",
+        when(col("__mad") > 0, abs(col("mad_z")) > threshold))
+      .drop("__m", "__mad")
+  }
+
   /** Distribution drift between two dataset versions on one numeric
     * column: Population Stability Index over `bins` equi-width buckets
     * spanning the COMBINED min/max —

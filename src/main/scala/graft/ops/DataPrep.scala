@@ -61,6 +61,36 @@ object DataPrep {
     df.withColumn(foldCol, hashBucket(key, k))
   }
 
+  /** Deterministic in-corpus negative sampling for contrastive
+    * training: order ids on the md5 HASH RING and give each anchor the
+    * next `k` ids clockwise (wrapping) — negatives that are uniform
+    * w.r.t. content (hash order is content-blind), reproducible across
+    * engines/re-runs/partitionings (no `rand()`), and regenerable
+    * instead of stored. Returns (id, neg_id, off) with off ∈ [1, k];
+    * every anchor gets exactly min(k, n−1) negatives, never itself.
+    *
+    * Shape: one two-phase global rank ([[graft.ops.Windows
+    * .globalRowNumber]] over the md5 order — no single-reducer sort),
+    * an in-scan explode of the k offsets, and ONE rank equi-join;
+    * nothing all-pairs at any corpus size. */
+  def ringNegatives(df: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(id.as("id")).distinct()
+    val ranked = Windows.globalRowNumber(base,
+        Seq(md5(col("id").cast("string")), col("id")), "__r")
+      .localCheckpoint(true) // read twice: anchors + candidates
+    val n = ranked.agg(count(lit(1L)).as("__n"))
+    val anchors = ranked.crossJoin(broadcast(n))
+      .select(col("id"), col("__r"), col("__n"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("off"))
+      .where(col("off") < col("__n")) // n <= k: only n-1 distinct others
+      .select(col("id"), col("off"),
+        (pmod(col("__r") - 1 + col("off"), col("__n")) + 1).as("__nr"))
+    anchors.join(ranked.select(col("id").as("neg_id"), col("__r").as("__nr")),
+        "__nr")
+      .select(col("id"), col("neg_id"), col("off"))
+  }
+
   /** Balance audit of a [[kFold]] assignment: per fold, the held-out
     * size, the train-complement size, and the skew ratio n_test·k/N
     * (1.0 = perfectly even; key-hash folds over few large groups CAN

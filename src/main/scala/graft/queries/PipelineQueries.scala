@@ -3312,6 +3312,25 @@ object PipelineQueries {
           round(col("chrr"), 6).as("chrr"), col("n_orders"))
     }),
 
+    // Hashing-trick features: tokens -> md5 bucket mod 1024, (id,
+    // bucket, tf) long form — the no-vocabulary featurizer; verdict =
+    // the 15 heaviest buckets (total tf + doc frequency).
+    "pipeline_hash_features" -> ((s, dir) =>
+      TF.hashingTf(t(s, dir, "documents"), "doc_id", "text", 1024)
+        .groupBy("bucket")
+        .agg(sum(col("tf")).as("total_tf"), count(lit(1L)).as("df"))
+        .orderBy(col("total_tf").desc, col("bucket")).limit(15)),
+
+    // Deterministic hash-ring negatives for contrastive training: each
+    // anchor's k=3 negatives are the next ids clockwise on the md5
+    // ring — two-phase global rank + ONE rank equi-join, no rand(), no
+    // all-pairs; the oracle replays the ring from the same md5 order.
+    "sim_ring_negatives" -> ((s, dir) =>
+      graft.ops.DataPrep.ringNegatives(
+          t(s, dir, "embeddings").where(col("vec_id") < 50),
+          col("vec_id"), 3)
+        .orderBy("id", "off")),
+
     // Deterministic k-fold assignment keyed on SOURCE (group-level, so
     // correlated documents share a fold — the leakage guard) + the
     // balance audit: one fold rollup, broadcast total, skew verdicts.
@@ -5270,6 +5289,35 @@ object PipelineQueries {
 
     // Same md5-bucket rule as pipeline_split (conv of the first 4 hex
     // chars), 10000 buckets, per-lang thresholds.
+    // same md5-bucket rule as the engine's hashBucket, per-nibble
+    "pipeline_hash_features" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |        unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        |       FROM documents),
+        |b AS (SELECT doc_id, ${duckHex16("tok")} % 1024 AS bucket
+        |      FROM tok WHERE tok <> ''),
+        |per AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+        |        FROM b GROUP BY 1, 2)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        | CAST(sum(tf) AS BIGINT) AS total_tf,
+        | CAST(count(*) AS BIGINT) AS df
+        |FROM per GROUP BY 1 ORDER BY total_tf DESC, bucket LIMIT 15""".stripMargin,
+
+    // the ring replayed from the same md5 total order
+    "sim_ring_negatives" ->
+      """WITH ids AS (SELECT DISTINCT vec_id AS id FROM embeddings
+        |             WHERE vec_id < 50),
+        |rk AS (SELECT id, row_number()
+        |        OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS r FROM ids),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+        |a AS (SELECT id, r, o.off FROM rk,
+        |       (SELECT unnest([1, 2, 3]) AS off) o, n WHERE o.off < n.n),
+        |j AS (SELECT a.id, a.off,
+        |       ((a.r - 1 + a.off) % (SELECT n FROM n)) + 1 AS nr FROM a)
+        |SELECT j.id, rk.id AS neg_id, CAST(j.off AS BIGINT) AS off
+        |FROM j JOIN rk ON rk.r = j.nr
+        |ORDER BY j.id, j.off""".stripMargin,
+
     // the same md5-bucket fold rule restated per-nibble
     "pipeline_kfold" ->
       s"""WITH a AS (SELECT ${duckHex16("CAST(source AS VARCHAR)")} % 5

@@ -921,6 +921,21 @@ object RelationalQueries {
           round(col("winsor_std"), 6).as("winsor_std"),
           col("n"), col("n_trimmed"))),
 
+    // Robust MAD outlier screen on doc lengths with 3 planted 50x
+    // inflations: modified z = 0.6745(x-med)/MAD. Exact-percentile audit
+    // variant (quantile_cont restates it); the API default rides approx
+    // sketches. Verdict row: outlier count must catch the plants.
+    "q_mad" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        (col("n_chars") * when(col("doc_id") < 3, 50).otherwise(1))
+          .cast("double").as("x"))
+      Analytics.madOutliers(d, col("x"), exact = true)
+        .agg(count(lit(1L)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          round(max(col("mad_z")), 6).as("max_z"),
+          round(min(col("mad_z")), 6).as("min_z"))
+    }),
+
     // The DEFAULT (scale) robustStats path under its own gate: approx
     // GK-sketch thresholds, NO exact percentile / global sort anywhere
     // (q_robust_stats above is the exact audit variant). The sketch's
@@ -2696,6 +2711,19 @@ object RelationalQueries {
         | CAST(count(*) FILTER (WHERE l_extendedprice < q.lo
         |                          OR l_extendedprice > q.hi) AS BIGINT) AS n_trimmed
         |FROM lineitem, q GROUP BY q.lo, q.hi""".stripMargin,
+
+    "q_mad" ->
+      """WITH x AS (SELECT CAST(n_chars * CASE WHEN doc_id < 3 THEN 50
+        |        ELSE 1 END AS DOUBLE) AS x FROM documents),
+        |m AS (SELECT quantile_cont(x, 0.5) AS m FROM x),
+        |d AS (SELECT x.x, m.m, abs(x.x - m.m) AS ax FROM x, m),
+        |md AS (SELECT quantile_cont(ax, 0.5) AS mad FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE abs(0.6745 * (x - m) / mad) > 3.5)
+        |   AS BIGINT) AS n_outliers,
+        | round(max(0.6745 * (x - m) / mad), 6) AS max_z,
+        | round(min(0.6745 * (x - m) / mad), 6) AS min_z
+        |FROM d, md""".stripMargin,
 
     // corpus anchor + the engine's GK rank-guarantee verdicts
     "q_robust_stats_scale" ->

@@ -391,6 +391,51 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("madOutliers: hand-computed modified z, zero-MAD NULLs, approx path shape") {
+    import spark.implicits._
+    // 1..9 plus 1000: median 5.5; sorted |dev| = 0.5,0.5,1.5,1.5,2.5,
+    // 2.5,3.5,3.5,4.5,994.5 -> MAD = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val r = Analytics.madOutliers(df, col("v"), exact = true)
+      .collect().map(x => x.getDouble(0) ->
+        (x.getAs[Double]("mad_z"), x.getAs[Boolean]("is_outlier"))).toMap
+    val z1 = 0.6745 * (1.0 - 5.5) / 2.5
+    assert(math.abs(r(1.0)._1 - z1) < 1e-12 && !r(1.0)._2, s"${r(1.0)}")
+    assert(r(1000.0)._2, "the gross outlier must be flagged")
+    assert(r.values.count(_._2) == 1, s"only the plant is out: $r")
+    // >= half the mass on one value -> MAD 0 -> NULL scores, no ANSI error
+    val flat = Seq(5.0, 5.0, 5.0, 9.0).toDF("v")
+    val rf = Analytics.madOutliers(flat, col("v"), exact = true).collect()
+    assert(rf.forall(_.isNullAt(1)), "zero MAD must NULL the scores")
+    // approx default: same schema, flags the same plant at this size
+    val ra = Analytics.madOutliers(df, col("v")).collect()
+    assert(ra.count(_.getAs[Boolean]("is_outlier")) == 1)
+  }
+
+  test("ringNegatives: k per anchor, never self, wraps, deterministic, n<=k clamps") {
+    import spark.implicits._
+    val ids = (1L to 10L).toDF("id")
+    val r = graft.ops.DataPrep.ringNegatives(ids, col("id"), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 30, s"10 anchors x 3: ${r.length}")
+    assert(r.forall { case (a, n, _) => a != n }, "self-negative")
+    r.groupBy(_._1).foreach { case (a, xs) =>
+      assert(xs.map(_._2).distinct.length == 3, s"anchor $a repeats a negative")
+    }
+    // ring order is the md5 order: off=1 neighbors chain through ALL ids
+    // (one cycle, not islands)
+    val next = r.filter(_._3 == 1L).map(x => x._1 -> x._2).toMap
+    val cycle = Iterator.iterate(1L)(next).drop(10).next()
+    assert(cycle == 1L, "off=1 edges must form one full cycle")
+    assert(graft.ops.DataPrep.ringNegatives(ids, col("id"), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(x => (x._1, x._3)).toSeq == r.sortBy(x => (x._1, x._3)).toSeq)
+    // k >= n: each anchor gets exactly n-1 negatives
+    val tiny = (1L to 3L).toDF("id")
+    val rt = graft.ops.DataPrep.ringNegatives(tiny, col("id"), 5).collect()
+    assert(rt.length == 6, s"3 anchors x 2 others: ${rt.length}")
+  }
+
   test("kFold: deterministic group-keyed folds; audit sizes and skew sum up") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"src${i % 10}")).toDF("id", "src")

@@ -1915,6 +1915,23 @@ class PipelineSpec extends SparkSuite {
     val short = Seq(("s", "solo")).toDF("lang", "text")
     assert(TF.kneserNeyBigramScores(short, "lang", "text").count() == 0L)
   }
+
+  test("hashingTf: tf counts per md5 bucket, collisions summed, empty text drops") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a  c"), (2L, "b b"), (3L, "   ")).toDF("id", "text")
+    val r = graft.functions.TextFunctions.hashingTf(docs, "id", "text", 64)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> x.getLong(2)).toMap
+    def b(tok: String) = docs.sparkSession.range(1)
+      .select(graft.ops.DataPrep.hashBucket(lit(tok), 64)).head.getInt(0)
+    // doc 1: a x2 (one bucket), b x1, c x1 — unless a/c collide, then 3
+    val (ba, bb, bc) = (b("a"), b("b"), b("c"))
+    assert(r((1L, ba)) == (if (ba == bc) 3L else 2L), s"$r")
+    assert(r((2L, bb)) == 2L, s"$r")
+    assert(!r.keys.exists(_._1 == 3L), "blank doc must emit no features")
+    // tf mass conserved: 4 + 2 tokens
+    assert(r.values.sum == 6L)
+  }
+
 }
 
 object PipelineSpec {
