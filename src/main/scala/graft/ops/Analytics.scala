@@ -1534,6 +1534,64 @@ object Analytics {
         col("n_le_lo"), col("n_ge_hi"))
   }
 
+  /** External cluster validation against reference labels — the three
+    * standard agreement indexes in one verdict row:
+    *
+    *   purity = Σ_c max_l n_cl / n
+    *   NMI    = MI(C;L) / √(H(C)·H(L))      (Strehl & Ghosh 2002)
+    *   ARI    = (Σ C(n_cl,2) − E) / (max − E), E = Σ_c C(n_c,2)·Σ_l C(n_l,2)/C(n,2)
+    *            (Hubert & Arabie 1985)
+    *
+    * The quality gate for any clustering used in curation (IVF cells,
+    * SemDedup cells, LPA communities) against known labels. NULL NMI
+    * when either partition is degenerate (zero entropy); NULL ARI when
+    * max == E (both partitions trivial).
+    *
+    * Shape: ONE (cluster, label) contingency rollup is the only corpus
+    * exchange (|C|·|L| cells, localCheckpoint'ed — read four times for
+    * marginals/indexes); everything after is cell-table algebra. */
+  def clusterAgreement(df: DataFrame, cluster: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val cells = df.select(cluster.as("__c"), label.as("__l"))
+      .where(col("__c").isNotNull && col("__l").isNotNull)
+      .groupBy("__c", "__l").agg(count(lit(1L)).as("__n"))
+      .localCheckpoint(true)
+    def choose2(x: Column): Column = x * (x - 1) / lit(2.0)
+    val mc = cells.groupBy("__c").agg(sum(col("__n")).as("__nc"))
+    val ml = cells.groupBy("__l").agg(sum(col("__n")).as("__nl"))
+    val tot = cells.agg(sum(col("__n")).cast("double").as("__t"))
+    // per-cluster max (purity numerator) + pair index off the cell table
+    val perC = cells.groupBy("__c").agg(max(col("__n")).as("__mx"))
+      .agg(sum(col("__mx")).as("__pure"), count(lit(1L)).as("n_clusters"))
+    val idx = cells.agg(sum(choose2(col("__n"))).as("__idx"))
+    val hc = mc.crossJoin(tot).agg(
+      sum(-(col("__nc") / col("__t")) * log(col("__nc") / col("__t")))
+        .as("__hc"),
+      sum(choose2(col("__nc"))).as("__a"))
+    val hl = ml.crossJoin(tot).agg(
+      sum(-(col("__nl") / col("__t")) * log(col("__nl") / col("__t")))
+        .as("__hl"),
+      sum(choose2(col("__nl"))).as("__b"),
+      count(lit(1L)).as("n_labels"))
+    val mi = cells
+      .join(mc, "__c").join(ml, "__l").crossJoin(tot)
+      .agg(sum((col("__n") / col("__t")) *
+        log(col("__t") * col("__n") / (col("__nc") * col("__nl"))))
+        .as("__mi"))
+    val r = perC.crossJoin(idx).crossJoin(hc).crossJoin(hl)
+      .crossJoin(mi).crossJoin(tot)
+    val expPairs = col("__a") * col("__b") / choose2(col("__t"))
+    val maxPairs = (col("__a") + col("__b")) / lit(2.0)
+    r.select(col("__t").cast("long").as("n"),
+      col("n_clusters"), col("n_labels"),
+      round(col("__pure") / col("__t"), dp).as("purity"),
+      when(col("__hc") > 0 && col("__hl") > 0,
+        round(col("__mi") / sqrt(col("__hc") * col("__hl")), dp)).as("nmi"),
+      when(abs(maxPairs - expPairs) > 0,
+        round((col("__idx") - expPairs) / (maxPairs - expPairs), dp))
+        .as("ari"))
+  }
+
   /** Robust MAD outlier screen: the modified z-score
     * 0.6745·(x − median)/MAD (Iglewicz & Hoaglin 1993), with
     * MAD = median(|x − median|) — the dispersion measure a 50%

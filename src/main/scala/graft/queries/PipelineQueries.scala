@@ -3287,6 +3287,29 @@ object PipelineQueries {
             .otherwise(0))
         .orderBy("grp")),
 
+    // k-fold cross-validated scorer eval END-TO-END: the kFold
+    // assignment (md5 group-keyed on source) feeds the per-slice
+    // rank-sum AUC/Brier — per-fold generalization spread from two
+    // existing operators, no new machinery; rank windows partition by
+    // fold, the oracle replays the fold rule per-nibble.
+    "eval_cv_auc" -> ((s, dir) =>
+      graft.ops.Analytics.aucBrierByGroup(
+          t(s, dir, "documents"),
+          graft.ops.DataPrep.hashBucket(col("source"), 5),
+          (col("n_chars") % 97) / lit(96.0),
+          when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+            .otherwise(0))
+        .orderBy("grp")),
+
+    // External cluster validation (purity / NMI / ARI) of a
+    // deterministic 5-cell assignment against the embedding labels:
+    // one contingency rollup, closed-form index algebra — the quality
+    // gate for curation clusterings, fully restated by the oracle.
+    "sim_cluster_agreement" -> ((s, dir) =>
+      graft.ops.Analytics.clusterAgreement(
+        t(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(5L)), col("label"))),
+
     // Split-conformal keep/drop thresholds over a nonconformity score:
     // the ceil((n+1)(1-alpha))-th order statistic per alpha, extracted
     // by the two-phase global rank (never a single-reducer sort).
@@ -7079,6 +7102,55 @@ object PipelineQueries {
         |   round((rpos - np * (np + 1) / 2) / (np * (n - np)), 6) END AS auc,
         | t.brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM a JOIN t ON a.g = t.g ORDER BY grp""".stripMargin,
+
+    // the per-slice AUC oracle with the slice = the per-nibble fold rule
+    "eval_cv_auc" ->
+      s"""WITH d AS (SELECT CAST(${duckHex16("CAST(source AS VARCHAR)")} % 5
+        |          AS INT) AS g,
+        |        CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1 ELSE 0 END AS y
+        |       FROM documents),
+        |h AS (SELECT g, s, count(*) AS c, sum(y) AS pos FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, pos,
+        |        sum(c) OVER (PARTITION BY g ORDER BY s)
+        |          - (c + 1) / CAST(2 AS DOUBLE) + 1 AS r
+        |       FROM h),
+        |a AS (SELECT g, sum(pos * r) AS rpos, sum(pos) AS np FROM rk GROUP BY 1),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        round(avg((s - y) * (s - y)), 6) AS brier
+        |       FROM d GROUP BY 1)
+        |SELECT a.g AS grp,
+        | CASE WHEN np > 0 AND n > np THEN
+        |   round((rpos - np * (np + 1) / 2) / (np * (n - np)), 6) END AS auc,
+        | t.brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
+        |FROM a JOIN t ON a.g = t.g ORDER BY grp""".stripMargin,
+
+    "sim_cluster_agreement" ->
+      """WITH cells AS (SELECT vec_id % 5 AS c, label AS l,
+        |        CAST(count(*) AS BIGINT) AS n
+        |       FROM embeddings WHERE label IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells),
+        |mc AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY 1),
+        |ml AS (SELECT l, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY 1),
+        |pure AS (SELECT sum(mx) AS p, CAST(count(*) AS BIGINT) AS k
+        |         FROM (SELECT c, max(n) AS mx FROM cells GROUP BY 1)),
+        |idx AS (SELECT sum(n * (n - 1) / 2.0) AS idx FROM cells),
+        |hc AS (SELECT sum(-(nc / t.t) * ln(nc / t.t)) AS hc,
+        |        sum(nc * (nc - 1) / 2.0) AS a FROM mc, t),
+        |hl AS (SELECT sum(-(nl / t.t) * ln(nl / t.t)) AS hl,
+        |        sum(nl * (nl - 1) / 2.0) AS b,
+        |        CAST(count(*) AS BIGINT) AS kl FROM ml, t),
+        |mi AS (SELECT sum((n / t.t) *
+        |         ln(t.t * n / (CAST(nc AS DOUBLE) * nl))) AS mi
+        |       FROM cells JOIN mc USING (c) JOIN ml USING (l), t)
+        |SELECT CAST(t.t AS BIGINT) AS n, pure.k AS n_clusters,
+        | hl.kl AS n_labels,
+        | round(pure.p / t.t, 6) AS purity,
+        | round(mi.mi / sqrt(hc.hc * hl.hl), 6) AS nmi,
+        | round((idx.idx - a * b / (t.t * (t.t - 1) / 2.0))
+        |   / ((a + b) / 2.0 - a * b / (t.t * (t.t - 1) / 2.0)), 6) AS ari
+        |FROM t, pure, idx, hc, hl, mi""".stripMargin,
 
     "eval_conformal" ->
       """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents

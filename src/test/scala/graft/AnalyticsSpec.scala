@@ -391,6 +391,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("clusterAgreement: hand-computed purity/NMI/ARI, perfect = 1s, degenerate NULLs") {
+    import spark.implicits._
+    // cells: A-x 3, A-y 1, B-y 2 -> purity 5/6; MI = .318257,
+    // H(C) = .636514, H(L) = ln 2 -> NMI .479139;
+    // idx 4, a 7, b 6, E 2.8, max 6.5 -> ARI 1.2/3.7
+    val df = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq.fill(2)(("B", "y"))).toDF("c", "l")
+    val r = Analytics.clusterAgreement(df, col("c"), col("l")).head()
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("n_clusters") == 2 &&
+      r.getAs[Long]("n_labels") == 2, s"$r")
+    assert(r.getAs[Double]("purity") == 0.833333, s"$r")
+    assert(r.getAs[Double]("nmi") == 0.479139, s"$r")
+    assert(r.getAs[Double]("ari") == 0.324324, s"$r")
+    // clusters == labels: all three indexes are exactly 1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("c", "l")
+    val rp = Analytics.clusterAgreement(perfect, col("c"), col("l")).head()
+    assert(rp.getAs[Double]("purity") == 1.0 &&
+      rp.getAs[Double]("nmi") == 1.0 && rp.getAs[Double]("ari") == 1.0, s"$rp")
+    // one cluster: zero entropy -> NULL NMI; one cluster AND one label:
+    // max == E -> NULL ARI too
+    val oneC = Seq(("A", "x"), ("A", "y")).toDF("c", "l")
+    val rc = Analytics.clusterAgreement(oneC, col("c"), col("l")).head()
+    assert(rc.isNullAt(4), s"NMI must be NULL on zero cluster entropy: $rc")
+    val trivial = Seq(("A", "x"), ("A", "x")).toDF("c", "l")
+    val rt = Analytics.clusterAgreement(trivial, col("c"), col("l")).head()
+    assert(rt.isNullAt(4) && rt.isNullAt(5), s"$rt")
+  }
+
   test("madOutliers: hand-computed modified z, zero-MAD NULLs, approx path shape") {
     import spark.implicits._
     // 1..9 plus 1000: median 5.5; sorted |dev| = 0.5,0.5,1.5,1.5,2.5,
