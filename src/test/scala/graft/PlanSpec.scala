@@ -658,6 +658,45 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"encode join must stay keyed:\n$pt")
   }
 
+  test("round-12 additions: scan-shaped stats, keyed ring join, fold windows partitioned") {
+    // Kruskal-Wallis: the distinct-value CDF rides the two-phase range
+    // exchange, never an unpartitioned window over the histogram
+    val pk = plan(q("q_kruskal"))
+    assert(pk.contains("rangepartitioning"),
+      s"KW rank CDF must range-repartition:\n$pk")
+    assert("Window \\[[^\\]]*\\], \\[\\], \\[__v".r.findFirstIn(pk).isEmpty,
+      s"no unpartitioned window over the value histogram:\n$pk")
+    // ANOVA / Brown-Forsythe: rollups + broadcast verdicts only — no
+    // sort-merge join, no cartesian anywhere
+    for (name <- Seq("q_anova", "q_levene")) {
+      val p = plan(q(name))
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name must stay rollup+broadcast shaped:\n$p")
+    }
+    // ring negatives: two-phase rank + ONE hash equi-join on the ring
+    // rank — never a cartesian pairing
+    val pr = plan(q("sim_ring_negatives"))
+    assert(pr.contains("rangepartitioning"),
+      s"ring rank must be the two-phase form:\n$pr")
+    assert(!pr.contains("CartesianProduct"),
+      s"ring join must stay keyed:\n$pr")
+    // hashing features: explode + rollups, no join at all
+    val ph = plan(q("pipeline_hash_features"))
+    assert(!ph.contains("Join"), s"hashingTf is aggregation only:\n$ph")
+    // CV AUC: every rank window partitions by the fold
+    val pc = plan(q("eval_cv_auc"))
+    assert("Window \\[[^\\]]*\\], \\[__g".r.findFirstIn(pc).isDefined,
+      s"rank window must partition by fold:\n$pc")
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(pc).isEmpty,
+      s"no unpartitioned window over the corpus:\n$pc")
+    // cluster agreement: the contingency rollup is the only corpus
+    // exchange; index algebra joins the CELL table (broadcast), never
+    // a cartesian
+    val pa = plan(q("sim_cluster_agreement"))
+    assert(!pa.contains("CartesianProduct"),
+      s"agreement algebra must stay broadcast-shaped:\n$pa")
+  }
+
   test("round-12: AUC/Spearman/bestSplit histogram scans ride two-phase range exchanges") {
     // a continuous column has ~n distinct values, so these histogram CDFs
     // must never order through an unpartitioned window — only the
