@@ -2564,6 +2564,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.kruskalWallis(const, col("v"), col("g")).head().isNullAt(2))
   }
 
+  test("kruskalWallis at k=2 equals mannWhitneyU z squared (independent implementations)") {
+    import spark.implicits._
+    // classical identity: the tie-corrected H statistic with two groups
+    // IS the tie-corrected rank-sum z squared — a differential check
+    // between two operators that share no code path
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      (if (rng.nextBoolean()) "A" else "B", rng.nextInt(12).toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    val h = Analytics.kruskalWallis(df, col("v"), col("g"))
+      .head().getAs[Double]("h")
+    val z = Analytics.mannWhitneyU(df, col("v"), col("g") === "A")
+      .head().getAs[Double]("z")
+    // rounding on each side is 6 dp, so match at 1e-5
+    assert(math.abs(h - z * z) < 1e-5, s"H=$h z^2=${z * z}")
+  }
+
   test("brownForsythe == anovaF on hand-centered |x - median_g|; approx path same shape") {
     import spark.implicits._
     val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
