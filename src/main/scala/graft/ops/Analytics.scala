@@ -1718,6 +1718,50 @@ object Analytics {
       .orderBy("period")
   }
 
+  /** Per-slice PSI against the POOLED corpus distribution — "which
+    * source/shard/language drifted" in one verdict table, the slice
+    * companion of [[psiOverTime]] (that one baselines on the first
+    * period; this one on everything). Same equi-width bins over the
+    * global min/max, same Laplace smoothing, same >0.25 drift rule of
+    * thumb. Returns (slice, n, psi, drifted) ordered by slice.
+    *
+    * Shape: one 1-row min/max aggregate, ONE (slice, bin) rollup (the
+    * only corpus exchange — the pooled histogram is the slice
+    * histograms' own rollup, not a second scan), a |slices|×bins grid
+    * fill, and a slice-keyed verdict rollup. */
+  def psiBySlice(df: DataFrame, slice: Column, value: Column,
+      bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = df.select(slice.as("__s"), value.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__s").isNotNull)
+    val bounds = v.agg(min("__v").as("__lo"), max("__v").as("__hi"))
+    val cells = v.crossJoin(broadcast(bounds))
+      .select(col("__s"),
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(bins - 1), floor((col("__v") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / bins)).cast("int"))).as("__bin"))
+      .groupBy("__s", "__bin").agg(count(lit(1L)).as("__c"))
+      .localCheckpoint(true) // pooled histogram + grid both read it
+    val pooled = cells.groupBy("__bin").agg(sum(col("__c")).as("__cb"))
+      .crossJoin(cells.agg(sum(col("__c")).as("__nb")))
+    val grid = cells.groupBy("__s").agg(sum(col("__c")).as("__n"))
+      .select(col("__s"), col("__n"),
+        explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
+      .join(cells, Seq("__s", "__bin"), "left")
+      .na.fill(0L, Seq("__c"))
+    val p = (col("__c").cast("double") + 0.5) /
+      (col("__n").cast("double") + lit(0.5 * bins))
+    val q = (col("__cb").cast("double") + 0.5) /
+      (col("__nb").cast("double") + lit(0.5 * bins))
+    grid.join(broadcast(pooled), "__bin")
+      .groupBy(col("__s"))
+      .agg(max(col("__n")).as("n"),
+        round(sum((p - q) * log(p / q)), dp).as("psi"))
+      .select(col("__s").as("slice"), col("n"), col("psi"),
+        (col("psi") > 0.25).as("drifted"))
+      .orderBy("slice")
+  }
+
   /** Column-pair association in one result row: Pearson correlation,
     * sample covariance, and Spearman rank correlation. Pearson/covar are
     * single partial-aggregated co-moment passes. Spearman needs ranks:

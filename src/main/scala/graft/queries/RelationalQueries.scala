@@ -733,6 +733,13 @@ object RelationalQueries {
         .orderBy("batch_id", "q")
     }),
 
+    // Per-source PSI against the POOLED length distribution — "which
+    // source drifted" triage: one (slice, bin) rollup is the only
+    // corpus exchange, the pooled histogram rolls up from it.
+    "q_slice_psi" -> ((s, dir) =>
+      Analytics.psiBySlice(t(s, dir, "documents"),
+        col("source"), col("n_chars"), bins = 10)),
+
     "q_drift_psi" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Analytics.driftPsi(
@@ -2361,6 +2368,33 @@ object RelationalQueries {
         | FROM grid g JOIN bc USING (bin) GROUP BY g.p, g.n)
         |SELECT p AS period, n, psi, psi > 0.25 AS drifted
         |FROM raw ORDER BY period""".stripMargin,
+
+    // q_psi_over_time's bin/smoothing algebra with the baseline = the
+    // POOLED histogram (a rollup of the slice cells)
+    "q_slice_psi" ->
+      """WITH v AS (SELECT source AS s, CAST(n_chars AS DOUBLE) AS v
+        | FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |bn AS (SELECT s, CASE WHEN hi = lo THEN 0
+        |  ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))
+        |  END AS bin FROM v, b),
+        |cells AS (SELECT s, bin, count(*) AS c FROM bn GROUP BY s, bin),
+        |pool AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY bin),
+        |nb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cells),
+        |per AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY s),
+        |grid AS (SELECT per.s, per.n, g.bin,
+        |   CAST(coalesce(cells.c, 0) AS BIGINT) AS c
+        |  FROM per CROSS JOIN (SELECT unnest(range(10)) AS bin) g
+        |  LEFT JOIN cells ON cells.s = per.s AND cells.bin = g.bin),
+        |raw AS (SELECT g.s, g.n, round(sum(
+        |   ((CAST(g.c AS DOUBLE) + 0.5) / (CAST(g.n AS DOUBLE) + 5)
+        |    - (CAST(pool.cb AS DOUBLE) + 0.5) / (CAST(nb.nb AS DOUBLE) + 5))
+        |   * ln(((CAST(g.c AS DOUBLE) + 0.5) / (CAST(g.n AS DOUBLE) + 5))
+        |      / ((CAST(pool.cb AS DOUBLE) + 0.5) / (CAST(nb.nb AS DOUBLE) + 5)))
+        |  ), 6) AS psi
+        | FROM grid g JOIN pool USING (bin) CROSS JOIN nb GROUP BY g.s, g.n)
+        |SELECT s AS slice, n, psi, psi > 0.25 AS drifted
+        |FROM raw ORDER BY slice""".stripMargin,
 
     // corr() per pair on the oracle side is fine — DuckDB's sample corr
     // equals the engine's covar_pop/sqrt(var_pop*var_pop) ratio exactly

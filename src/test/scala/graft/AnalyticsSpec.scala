@@ -391,6 +391,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("psiBySlice: identical slices score equally, a shifted slice drifts") {
+    import spark.implicits._
+    val a = (1 to 100).map(v => ("A", v.toDouble))
+    val b = (1 to 100).map(v => ("B", v.toDouble))
+    val c = (1 to 100).map(v => ("C", 900.0 + v))
+    val r = Analytics.psiBySlice((a ++ b ++ c).toDF("s", "v"),
+        col("s"), col("v"), bins = 10)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r.keySet == Set("A", "B", "C") && r.values.forall(_._1 == 100))
+    // A and B are the same distribution -> identical PSI vs the pool
+    assert(r("A") == r("B"), s"$r")
+    // C sits in the far bin the others never touch -> clear drift
+    assert(r("C")._2 > r("A")._2 && r("C")._3, s"$r")
+    // one slice == the pool: only the smoothing-constant asymmetry
+    // remains, far below the 0.25 rule
+    val solo = Analytics.psiBySlice(a.toDF("s", "v"), col("s"), col("v"))
+      .head()
+    assert(solo.getDouble(2) < 0.01 && !solo.getBoolean(3), s"$solo")
+  }
+
   test("clusterAgreement: hand-computed purity/NMI/ARI, perfect = 1s, degenerate NULLs") {
     import spark.implicits._
     // cells: A-x 3, A-y 1, B-y 2 -> purity 5/6; MI = .318257,
