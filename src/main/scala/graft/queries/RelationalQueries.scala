@@ -733,6 +733,62 @@ object RelationalQueries {
         .orderBy("batch_id", "q")
     }),
 
+    // Streaming cumulative distinct-user monitor: 3 file-arrival
+    // batches fold into ONE persisted HLL blob; each per-batch estimate
+    // is checked against the exact distinct count of the prefix it
+    // summarized (4% band vs lgK=12's ~1.6% standard error). The oracle
+    // anchors the exact prefix counts and restates the verdicts.
+    "q_stream_distinct" -> ((s, dir) => {
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/distinct_stream")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val ev = t(s, dir, "events").select("event_id", "user_id")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        ev.where(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val out = s"$root/out"
+      val q = graft.streaming.Streams
+        .distinctMonitor(stream, col("user_id"), s"$root/state") { (df, _) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val est = s.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Long]("n_rows_seen"), r.getAs[Long]("distinct_estimate")))
+        .sortBy(_._1)
+      // exact prefix distincts in ONE aggregation
+      val exacts = est.map { case (b, _) =>
+        countDistinct(when(pmod(col("event_id"), lit(3)) <= b,
+          col("user_id"))).as(s"__d$b")
+      }
+      val ex = ev.agg(exacts.head, exacts.tail: _*).head()
+      import s.implicits._
+      est.map { case (b, (n, e)) =>
+        val d = ex.getAs[Long](s"__d$b")
+        (b, n, d, math.abs(e - d) <= 0.04 * d)
+      }.toSeq.toDF("batch_id", "n_rows_seen", "n_exact", "est_ok")
+        .orderBy("batch_id")
+    }),
+
     // Per-source PSI against the POOLED length distribution — "which
     // source drifted" triage: one (slice, bin) rollup is the only
     // corpus exchange, the pooled histogram rolls up from it.
@@ -2368,6 +2424,17 @@ object RelationalQueries {
         | FROM grid g JOIN bc USING (bin) GROUP BY g.p, g.n)
         |SELECT p AS period, n, psi, psi > 0.25 AS drifted
         |FROM raw ORDER BY period""".stripMargin,
+
+    // exact prefix counts/distincts + the engine's HLL band verdicts
+    "q_stream_distinct" ->
+      """WITH p AS (SELECT event_id % 3 AS b, user_id FROM events)
+        |SELECT CAST(g.b AS BIGINT) AS batch_id,
+        | (SELECT CAST(count(user_id) AS BIGINT) FROM p WHERE p.b <= g.b)
+        |   AS n_rows_seen,
+        | (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM p
+        |   WHERE p.b <= g.b) AS n_exact,
+        | true AS est_ok
+        |FROM (SELECT unnest([0, 1, 2]) AS b) g ORDER BY batch_id""".stripMargin,
 
     // q_psi_over_time's bin/smoothing algebra with the baseline = the
     // POOLED histogram (a rollup of the slice cells)

@@ -223,6 +223,45 @@ object Streams {
       Kll.quantiles(col("blob"), qs).as("estimates"))
   }
 
+  /** One micro-batch of the streaming distinct-count monitor: the
+    * batch's values fold into a CUMULATIVE HLL sketch (Spark's native
+    * hll_sketch_agg / hll_union_agg blobs) persisted one blob-row
+    * parquet per batch id — the same overwrite-by-batch-id
+    * exactly-once discipline as [[quantileMonitorBatch]]. Returns one
+    * row: (batch_id, n_rows_seen, distinct_estimate). State is one
+    * bounded mergeable blob (2^lgK registers); at 100 TB/day the
+    * per-trigger cost is the batch scan. */
+  def distinctMonitorBatch(batch: DataFrame, batchId: Long, value: Column,
+      stateDir: String, lgK: Int = 12): DataFrame = {
+    val spark = batch.sparkSession
+    val batchBlob = batch.agg(hll_sketch_agg(value, lit(lgK)).as("blob"),
+      count(value).as("n"))
+    val prior = indexPartitions(stateDir, batchId)
+      .sortBy(_.split("batch=").last.toLong).lastOption
+    val cum = prior.fold(batchBlob) { p =>
+      batchBlob.unionByName(spark.read.parquet(p).select("blob", "n"))
+        .agg(hll_union_agg(col("blob"), lit(false)).as("blob"),
+          sum(col("n")).as("n"))
+    }.localCheckpoint(true) // one row; written AND read below
+    cum.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    cum.select(lit(batchId).as("batch_id"), col("n").as("n_rows_seen"),
+      hll_sketch_estimate(col("blob")).cast("long").as("distinct_estimate"))
+  }
+
+  /** Streaming distinct-cardinality monitor: after every micro-batch,
+    * `sink` receives the CUMULATIVE distinct estimate of `value` over
+    * the whole stream so far — unique users/documents/keys from one
+    * declaration, with HLL's mergeability carrying the error guarantee
+    * through the per-batch unions. */
+  def distinctMonitor(stream: DataFrame, value: Column, stateDir: String,
+      lgK: Int = 12)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(distinctMonitorBatch(batch, batchId, value, stateDir, lgK),
+          batchId)
+      }
+
   /** Streaming quantile monitor: after every micro-batch, `sink`
     * receives the CUMULATIVE stream quantile estimates (batch_id,
     * n_seen, estimates array aligned with `qs`) — p50/p99 latency or

@@ -377,6 +377,25 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(idx).count() == n2, "idle resume rewrote the index")
   }
 
+  test("distinctMonitorBatch: cumulative HLL union, overlap collapses, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dmon").toFile.getPath
+    def run(lo: Int, hi: Int, id: Long) =
+      Streams.distinctMonitorBatch((lo to hi).map(_.toLong).toDF("u"), id,
+          col("u"), dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // lgK=12 is exact at these cardinalities (sparse mode)
+    val r0 = run(1, 100, 0L)
+    assert(r0 == ((0L, 100L, 100L)), s"$r0")
+    // second batch OVERLAPS the first by half: rows add, distincts union
+    val r1 = run(51, 150, 1L)
+    assert(r1 == ((1L, 200L, 150L)), s"$r1")
+    // replay of batch 1 reads the prior state only — identical output
+    assert(run(51, 150, 1L) == r1, "replay diverged")
+    // and the next batch continues exactly-once
+    val r2 = run(151, 200, 2L)
+    assert(r2 == ((2L, 250L, 200L)), s"$r2")
+  }
+
   test("quantileMonitorBatch: cumulative merge exact under k, replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_qmon").toFile.getPath
     def batch(lo: Int, hi: Int) = (lo to hi).map(_.toDouble).toDF("v")
