@@ -708,6 +708,59 @@ object TextFunctions {
     filter(transform(split(c, "[.!?]+\\s+"), s => trim(s)),
       s => length(s) > 0)
 
+  /** Sentence-aware chunking for training/RAG windows: greedily pack
+    * CONSECUTIVE sentences ([[sentenceSplit]]) into chunks whose
+    * whitespace-token total stays ≤ `maxTokens` — a chunk never splits
+    * mid-sentence (the retrieval-quality property token-window
+    * chunking lacks), and a lone over-long sentence becomes its own
+    * chunk rather than being dropped or cut. Returns one row per chunk:
+    * (id, chunk_idx (0-based, contiguous per doc), chunk_text
+    * (". "-rejoined), n_sentences, n_tokens). Docs with no sentences
+    * emit nothing.
+    *
+    * Shape: pure in-scan HOF algebra — one `aggregate` fold computes
+    * the greedy assignment, one `transform` assembles chunk structs,
+    * one posexplode emits; zero shuffles, composes into any scan. The
+    * per-row work is O(sentences·chunks) HOF evaluation — fine at
+    * document grain. */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sents = sentenceSplit(col(textCol))
+    val toks = transform(sents, s => size(tokensWs(s)).cast("long"))
+    // greedy fold: (current chunk idx, tokens in it, per-sentence ids)
+    val zero = struct(lit(0).as("ci"), lit(0L).as("tc"),
+      array().cast("array<int>").as("ids"))
+    val assigned = aggregate(toks, zero, (acc, t) => {
+      val ci = acc.getField("ci")
+      val tc = acc.getField("tc")
+      when(tc > 0 && tc + t > maxTokens,
+        struct((ci + 1).as("ci"), t.as("tc"),
+          concat(acc.getField("ids"), array(ci + 1)).as("ids")))
+        .otherwise(struct(ci.as("ci"), (tc + t).as("tc"),
+          concat(acc.getField("ids"), array(ci)).as("ids")))
+    }).getField("ids")
+    val zipped = transform(sequence(lit(1), size(sents)), i =>
+      struct(element_at(assigned, i).as("ci"),
+        element_at(sents, i).as("s"),
+        element_at(toks, i).as("t")))
+    val chunks = when(size(sents) === 0, array().cast(
+        "array<struct<chunk_idx:int,chunk_text:string,n_sentences:int,n_tokens:bigint>>"))
+      .otherwise(transform(
+        sequence(lit(0), coalesce(array_max(assigned), lit(0))), ci => {
+          val members = filter(zipped, p => p.getField("ci") === ci)
+          struct(ci.as("chunk_idx"),
+            array_join(transform(members, p => p.getField("s")), ". ")
+              .as("chunk_text"),
+            size(members).as("n_sentences"),
+            aggregate(members, lit(0L),
+              (acc, p) => acc + p.getField("t")).as("n_tokens"))
+        }))
+    docs.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_text"),
+        col("__c.n_sentences"), col("__c.n_tokens"))
+  }
+
   /** Per-document sentence statistics as a struct: (n_sentences,
     * avg_sentence_tokens, max_sentence_tokens) — the sentence-length
     * half of readability scoring (long average sentences are the

@@ -3335,6 +3335,36 @@ object PipelineQueries {
           round(col("chrr"), 6).as("chrr"), col("n_orders"))
     }),
 
+    // Sentence-aware chunking over synthesized sentence breaks (the
+    // corpus has no punctuation — a period every 5 words, glued to the
+    // 5th word so whitespace-token mass is INVARIANT): per-doc verdicts
+    // prove bounded chunks (or lone over-long sentences), contiguous
+    // 0-based indexes, and exact token-mass conservation; the oracle
+    // anchors doc/token totals from the RAW corpus.
+    "pipeline_chunk_sent" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "")
+      val marked = d.select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))
+      val ch = TF.chunkBySentences(marked, "doc_id", "text", 12)
+      val perDoc = ch.groupBy("doc_id").agg(
+        count(lit(1L)).as("__nc"), max(col("chunk_idx")).as("__mx"),
+        sum(col("n_tokens")).as("__tok"),
+        min(col("n_tokens") <= 12 || col("n_sentences") === 1).as("__bok"))
+      val tot = d.agg(count(lit(1L)).as("n_docs"),
+        sum(size(TF.tokensWs(col("text")))).cast("long").as("total_tokens"))
+      perDoc.agg(count(lit(1L)).as("__docs"),
+          min(col("__mx") + 1 === col("__nc")).as("contiguous_ok"),
+          min(col("__bok")).as("bounded_ok"),
+          sum(col("__tok")).as("__sum"))
+        .crossJoin(tot)
+        .select(col("n_docs"), col("total_tokens"),
+          (col("__docs") === col("n_docs")).as("all_docs_ok"),
+          (col("__sum") === col("total_tokens")).as("mass_ok"),
+          col("bounded_ok"), col("contiguous_ok"))
+    }),
+
     // Hashing-trick features: tokens -> md5 bucket mod 1024, (id,
     // bucket, tf) long form — the no-vocabulary featurizer; verdict =
     // the 15 heaviest buckets (total tf + doc frequency).
@@ -5312,6 +5342,17 @@ object PipelineQueries {
 
     // Same md5-bucket rule as pipeline_split (conv of the first 4 hex
     // chars), 10000 buckets, per-lang thresholds.
+    // raw-corpus anchors + the engine's structural verdicts (chunking
+    // itself is engine-side; token mass is punctuation-invariant)
+    "pipeline_chunk_sent" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |   AS total_tokens,
+        | true AS all_docs_ok, true AS mass_ok,
+        | true AS bounded_ok, true AS contiguous_ok
+        |FROM documents
+        |WHERE text IS NOT NULL AND trim(text) <> ''""".stripMargin,
+
     // same md5-bucket rule as the engine's hashBucket, per-nibble
     "pipeline_hash_features" ->
       s"""WITH tok AS (SELECT doc_id,

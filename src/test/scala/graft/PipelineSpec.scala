@@ -1916,6 +1916,26 @@ class PipelineSpec extends SparkSuite {
     assert(TF.kneserNeyBigramScores(short, "lang", "text").count() == 0L)
   }
 
+  test("chunkBySentences: greedy packing, lone over-long sentence, empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b. c d. e f g h. i j"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // one 9-token sentence
+      (3L, "   ")).toDF("id", "text")
+    val r = graft.functions.TextFunctions
+      .chunkBySentences(docs, "id", "text", 5)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getString(2), x.getInt(3), x.getLong(4))).toMap
+    // doc 1: (a b + c d = 4 <= 5), then (e f g h), then (i j)
+    assert(r((1L, 0)) == (("a b. c d", 2, 4L)), s"$r")
+    assert(r((1L, 1)) == (("e f g h", 1, 4L)), s"$r")
+    assert(r((1L, 2)) == (("i j", 1, 2L)), s"$r")
+    // a lone sentence past the budget is its own chunk, never split
+    assert(r((2L, 0)) == (("w1 w2 w3 w4 w5 w6 w7 w8 w9", 1, 9L)), s"$r")
+    // blank doc emits nothing; nothing else leaked
+    assert(r.size == 4, s"$r")
+  }
+
   test("hashingTf: tf counts per md5 bucket, collisions summed, empty text drops") {
     import spark.implicits._
     val docs = Seq((1L, "a b a  c"), (2L, "b b"), (3L, "   ")).toDF("id", "text")
