@@ -391,6 +391,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("clusterAgreement NMI == mutualInformation mi/sqrt(h_a*h_b) (independent impls)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0 until 150)
+      .map(_ => (s"c${rng.nextInt(4)}", s"l${rng.nextInt(3)}"))
+      .toDF("c", "l")
+    val nmi = Analytics.clusterAgreement(df, col("c"), col("l"))
+      .head().getAs[Double]("nmi")
+    val m = Analytics.mutualInformation(df, col("c"), col("l"), dp = 9).head()
+    val expect = m.getAs[Double]("mi") /
+      math.sqrt(m.getAs[Double]("h_a") * m.getAs[Double]("h_b"))
+    assert(math.abs(nmi - expect) < 1e-5, s"nmi=$nmi vs $expect")
+  }
+
   test("psiBySlice: identical slices score equally, a shifted slice drifts") {
     import spark.implicits._
     val a = (1 to 100).map(v => ("A", v.toDouble))
