@@ -2467,6 +2467,58 @@ object Analytics {
       .orderBy(col("bin"))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over the same
+    * equal-width score bins as [[calibrationBins]], plus the expected
+    * calibration error:
+    *
+    *   REL = Σ n_k(p̄_k − ȳ_k)²/n   (calibration — smaller is better)
+    *   RES = Σ n_k(ȳ_k − ȳ)²/n     (discrimination — larger is better)
+    *   UNC = ȳ(1 − ȳ)              (irreducible base-rate term)
+    *   ECE = Σ n_k|p̄_k − ȳ_k|/n
+    *
+    * With binned (non-constant-per-bin) forecasts the identity
+    * Brier = REL − RES + UNC holds only up to the within-bin
+    * forecast-variance/covariance residual — reported explicitly as
+    * `residual` instead of silently absorbed, so the readout is honest
+    * about the binning. One bin-keyed aggregation (≤ `bins` rows — the
+    * only corpus exchange; the raw Brier rides the same pass) + 1-row
+    * algebra. NULL scores drop; returns one row. */
+  def brierDecomposition(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
+      .cast("int")
+    val y = label.cast("double")
+    val per = df.where(score.isNotNull)
+      .select(b.as("__b"), score.cast("double").as("__s"), y.as("__y"))
+      .groupBy("__b")
+      .agg(count(lit(1L)).as("__n"), sum(col("__s")).as("__ss"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__s") - col("__y")) * (col("__s") - col("__y")))
+          .as("__sq"))
+    val pk = col("__ss") / col("__n")
+    val yk = col("__sy") / col("__n")
+    val tot = per.agg(sum(col("__n")).as("n"), sum(col("__sy")).as("__ty"),
+      sum(col("__sq")).as("__tsq"),
+      sum(col("__n") * (pk - yk) * (pk - yk)).as("__rel"),
+      sum(col("__n") * abs(pk - yk)).as("__ece"),
+      sum(col("__n") * yk * yk).as("__syk2"))
+    val nD = col("n").cast("double")
+    val ybar = col("__ty") / nD
+    val brier = col("__tsq") / nD
+    val rel = col("__rel") / nD
+    // Σ n_k(ȳ_k − ȳ)²/n = Σ n_k ȳ_k²/n − ȳ²
+    val res = col("__syk2") / nD - ybar * ybar
+    val unc = ybar * (lit(1.0) - ybar)
+    tot.select(col("n"),
+      round(brier, dp).as("brier"),
+      round(col("__ece") / nD, dp).as("ece"),
+      round(rel, dp).as("reliability"),
+      round(res, dp).as("resolution"),
+      round(unc, dp).as("uncertainty"),
+      round(brier - (rel - res + unc), dp).as("residual"))
+  }
+
   /** Isotonic (PAV) probability calibration over the same equal-width
     * score bins as [[calibrationBins]]: per bin, the observed positive
     * rate is replaced by the pool-adjacent-violators fit — the unique

@@ -3287,6 +3287,16 @@ object PipelineQueries {
             .otherwise(0))
         .orderBy("grp")),
 
+    // Murphy decomposition + ECE of the deterministic pseudo-scorer:
+    // one bin rollup, closed-form algebra, within-bin residual reported
+    // honestly — the oracle restates every term.
+    "eval_brier_decomp" -> ((s, dir) =>
+      graft.ops.Analytics.brierDecomposition(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0), bins = 10)),
+
     // k-fold cross-validated scorer eval END-TO-END: the kFold
     // assignment (md5 group-keyed on source) feeds the per-slice
     // rank-sum AUC/Brier — per-fold generalization spread from two
@@ -7143,6 +7153,27 @@ object PipelineQueries {
         |   round((rpos - np * (np + 1) / 2) / (np * (n - np)), 6) END AS auc,
         | t.brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM a JOIN t ON a.g = t.g ORDER BY grp""".stripMargin,
+
+    "eval_brier_decomp" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents),
+        |per AS (SELECT greatest(0, least(CAST(floor(s * 10) AS INT), 9)) AS b,
+        |        CAST(count(*) AS BIGINT) AS n, sum(s) AS ss, sum(y) AS sy,
+        |        sum((s - y) * (s - y)) AS sq FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(sy) AS ty,
+        |       sum(sq) AS tsq,
+        |       sum(n * (ss / n - sy / n) * (ss / n - sy / n)) AS rel,
+        |       sum(n * abs(ss / n - sy / n)) AS ece,
+        |       sum(n * (sy / n) * (sy / n)) AS syk2 FROM per)
+        |SELECT n, round(tsq / n, 6) AS brier, round(ece / n, 6) AS ece,
+        | round(rel / n, 6) AS reliability,
+        | round(syk2 / n - (ty / n) * (ty / n), 6) AS resolution,
+        | round((ty / n) * (1 - ty / n), 6) AS uncertainty,
+        | round(tsq / n - (rel / n - (syk2 / n - (ty / n) * (ty / n))
+        |   + (ty / n) * (1 - ty / n)), 6) AS residual
+        |FROM t""".stripMargin,
 
     // the per-slice AUC oracle with the slice = the per-nibble fold rule
     "eval_cv_auc" ->

@@ -391,6 +391,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("brierDecomposition: hand-computed Murphy terms; constant-per-bin residual is 0") {
+    import spark.implicits._
+    // bins 1,1,3,9: brier .13, ECE .25, REL .13, RES .25, UNC .25,
+    // residual 0 (forecasts constant within every bin)
+    val df = Seq((0.1, 0), (0.1, 0), (0.3, 1), (0.9, 1)).toDF("s", "y")
+    val r = Analytics.brierDecomposition(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n") == 4, s"$r")
+    assert(r.getAs[Double]("brier") == 0.13 && r.getAs[Double]("ece") == 0.25 &&
+      r.getAs[Double]("reliability") == 0.13 &&
+      r.getAs[Double]("resolution") == 0.25 &&
+      r.getAs[Double]("uncertainty") == 0.25 &&
+      r.getAs[Double]("residual") == 0.0, s"$r")
+    // mixed forecasts inside one bin: identity gap reported, not hidden
+    val mixed = Seq((0.11, 0), (0.19, 1)).toDF("s", "y")
+    val rm = Analytics.brierDecomposition(mixed, col("s"), col("y")).head()
+    assert(rm.getAs[Double]("residual") != 0.0, s"$rm")
+  }
+
   test("clusterAgreement NMI == mutualInformation mi/sqrt(h_a*h_b) (independent impls)") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
