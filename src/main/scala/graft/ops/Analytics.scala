@@ -1623,6 +1623,47 @@ object Analytics {
       .drop("__m", "__mad")
   }
 
+  /** Per-group [[robustStats]]: trimmed mean, winsorized stddev, and
+    * tail masses computed INDEPENDENTLY per group value — the
+    * per-source/per-language length-hygiene table (a clean global
+    * trimmed mean hides one source whose tail is all boilerplate).
+    *
+    * Shape: one group-keyed percentile rollup (mergeable
+    * approx_percentile sketches by default — the 100 TB path; exact is
+    * the oracle-audit opt-in), thresholds broadcast back (|groups|
+    * rows), then one group-keyed stats pass. Nothing sorts globally at
+    * any group cardinality. */
+  def robustStatsByGroup(df: DataFrame, group: Column, c: Column,
+      trim: Double = 0.05, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    val base = df.select(group.as("__g"), c.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__g").isNotNull)
+    val v = col("__v")
+    val thr =
+      if (exact)
+        base.groupBy("__g").agg(percentile(v, lit(trim)).as("__lo"),
+          percentile(v, lit(1 - trim)).as("__hi"))
+      else
+        base.groupBy("__g")
+          .agg(approx_percentile(v, array(lit(trim), lit(1 - trim)),
+            lit(accuracy)).as("__t"))
+          .select(col("__g"), element_at(col("__t"), 1).as("__lo"),
+            element_at(col("__t"), 2).as("__hi"))
+    base.join(broadcast(thr), "__g")
+      .groupBy(col("__g"), col("__lo"), col("__hi"))
+      .agg(
+        avg(when(v.between(col("__lo"), col("__hi")), v)).as("trimmed_mean"),
+        stddev_samp(least(greatest(v, col("__lo")), col("__hi")))
+          .as("winsor_std"),
+        count(lit(1L)).as("n"),
+        sum(when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L))
+          .as("n_trimmed"))
+      .select(col("__g").as("grp"), col("__lo").as("p_lo"),
+        col("__hi").as("p_hi"), col("trimmed_mean"), col("winsor_std"),
+        col("n"), col("n_trimmed"))
+  }
+
   /** Distribution drift between two dataset versions on one numeric
     * column: Population Stability Index over `bins` equi-width buckets
     * spanning the COMBINED min/max —

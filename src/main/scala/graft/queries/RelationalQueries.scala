@@ -999,6 +999,20 @@ object RelationalQueries {
           round(min(col("mad_z")), 6).as("min_z"))
     }),
 
+    // Per-source robust length hygiene: trimmed mean / winsorized std
+    // per group, thresholds from one group-keyed percentile rollup
+    // broadcast back. Exact audit variant (quantile_cont restates it);
+    // the API default is the mergeable approx path.
+    "q_robust_by_source" -> ((s, dir) =>
+      Analytics.robustStatsByGroup(t(s, dir, "documents"),
+          col("source"), col("n_chars"), trim = 0.1, exact = true)
+        .select(col("grp"), round(col("p_lo"), 6).as("p_lo"),
+          round(col("p_hi"), 6).as("p_hi"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("winsor_std"), 6).as("winsor_std"),
+          col("n"), col("n_trimmed"))
+        .orderBy("grp")),
+
     // The DEFAULT (scale) robustStats path under its own gate: approx
     // GK-sketch thresholds, NO exact percentile / global sort anywhere
     // (q_robust_stats above is the exact audit variant). The sketch's
@@ -2812,6 +2826,23 @@ object RelationalQueries {
         | CAST(count(*) FILTER (WHERE l_extendedprice < q.lo
         |                          OR l_extendedprice > q.hi) AS BIGINT) AS n_trimmed
         |FROM lineitem, q GROUP BY q.lo, q.hi""".stripMargin,
+
+    "q_robust_by_source" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        | FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |q AS (SELECT g, quantile_cont(v, 0.1) AS lo,
+        |       quantile_cont(v, 0.9) AS hi FROM b GROUP BY 1)
+        |SELECT b.g AS grp, round(q.lo, 6) AS p_lo, round(q.hi, 6) AS p_hi,
+        | round(avg(CASE WHEN v BETWEEN q.lo AND q.hi THEN v END), 6)
+        |   AS trimmed_mean,
+        | round(stddev_samp(CASE WHEN v < q.lo THEN q.lo
+        |                        WHEN v > q.hi THEN q.hi ELSE v END), 6)
+        |   AS winsor_std,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE v < q.lo OR v > q.hi) AS BIGINT)
+        |   AS n_trimmed
+        |FROM b JOIN q ON b.g = q.g
+        |GROUP BY b.g, q.lo, q.hi ORDER BY grp""".stripMargin,
 
     "q_mad" ->
       """WITH x AS (SELECT CAST(n_chars * CASE WHEN doc_id < 3 THEN 50

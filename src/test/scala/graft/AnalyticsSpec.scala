@@ -391,6 +391,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("robustStatsByGroup: each group's row equals global robustStats on that slice") {
+    import spark.implicits._
+    val df = ((1 to 20).map(v => ("A", v.toDouble)) ++ Seq(("A", 500.0)) ++
+      (100 to 130).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val per = Analytics.robustStatsByGroup(df, col("g"), col("v"),
+        trim = 0.1, exact = true)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("A", "B")) {
+      val solo = Analytics.robustStats(df.where(col("g") === g), col("v"),
+        trim = 0.1, exact = true).head().toSeq.take(6)
+      per(g).zip(solo).foreach {
+        // doubles to 1e-9 relative: the grouped pass accumulates the
+        // stddev in a different order than the sliced global pass
+        case (a: Double, b: Double) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+            s"group $g: $a vs $b")
+        case (a, b) => assert(a == b, s"group $g: $a vs $b")
+      }
+    }
+  }
+
   test("brierDecomposition: hand-computed Murphy terms; constant-per-bin residual is 0") {
     import spark.implicits._
     // bins 1,1,3,9: brier .13, ECE .25, REL .13, RES .25, UNC .25,
