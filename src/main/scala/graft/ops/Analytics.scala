@@ -1623,6 +1623,73 @@ object Analytics {
       .drop("__m", "__mad")
   }
 
+  /** Autocorrelation + partial autocorrelation of a REGULAR (bucketed)
+    * series — the dependence fingerprint behind seasonality detection,
+    * AR-order choice, and "is this metric still iid" monitoring:
+    *
+    *   r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * (the standard biased estimator over the full-series mean), with
+    * PACF from the Durbin–Levinson recursion on the collected r_1..r_K
+    * — bounded driver algebra over maxLag doubles (the IPF
+    * bounded-driver-step discipline). Input is ONE ROW PER BUCKET
+    * (build it with a time-bucket groupBy), so the single-partition
+    * window is bounded by time resolution, never event count — the
+    * [[kaplanMeier]] argument. One window pass carries ALL `maxLag`
+    * leads (one exchange); one aggregation computes every lag's
+    * moments. Returns (lag, n_pairs, acf, pacf) for lag ∈ [1, maxLag].
+    * Lags with no pairs (series shorter than k) report NULLs. */
+  def acfPacf(series: DataFrame, order: Seq[Column], value: Column,
+      maxLag: Int, dp: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(order.nonEmpty, "acfPacf needs ordering columns")
+    val spark = series.sparkSession
+    val xbarDf = series.agg(avg(value.cast("double")).as("__m"))
+    val w = Window.orderBy(order: _*)
+    val centered = series.crossJoin(broadcast(xbarDf))
+      .select(((value.cast("double") - col("__m")).as("__c0") +: order): _*)
+    val withLeads = (1 to maxLag).foldLeft(centered) { (d, k) =>
+      d.withColumn(s"__c$k", lead(col("__c0"), k).over(w))
+    }
+    val aggs = (1 to maxLag).flatMap(k => Seq(
+      sum(col("__c0") * col(s"__c$k")).as(s"__num$k"),
+      count(col(s"__c$k")).as(s"__np$k"))) ++ Seq(
+      sum(col("__c0") * col("__c0")).as("__den"))
+    val r = withLeads.agg(aggs.head, aggs.tail: _*).head()
+    val den = r.getAs[Double]("__den")
+    val acfs = (1 to maxLag).map { k =>
+      val np = r.getAs[Long](s"__np$k")
+      if (np == 0 || den <= 0) (np, None)
+      else (np, Some(r.getAs[Double](s"__num$k") / den))
+    }
+    // Durbin–Levinson: phi_{k,k} from r_1..r_k
+    val rv = acfs.map(_._2.getOrElse(Double.NaN)).toArray
+    val pacf = Array.fill(maxLag)(Double.NaN)
+    val phi = Array.fill(maxLag + 1, maxLag + 1)(0.0)
+    var vk = 1.0
+    var ok = true
+    for (k <- 1 to maxLag if ok) {
+      if (rv(k - 1).isNaN || vk <= 0) ok = false
+      else {
+        val num = rv(k - 1) -
+          (1 until k).map(j => phi(k - 1)(j) * rv(k - 1 - j)).sum
+        phi(k)(k) = num / vk
+        for (j <- 1 until k)
+          phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+        vk *= (1.0 - phi(k)(k) * phi(k)(k))
+        pacf(k - 1) = phi(k)(k)
+      }
+    }
+    def rd(x: Double) = BigDecimal(x).setScale(dp,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (1 to maxLag).map { k =>
+      val (np, a) = acfs(k - 1)
+      (k, np, a.map(rd), if (pacf(k - 1).isNaN) None else Some(rd(pacf(k - 1))))
+    }
+    spark.createDataFrame(rows).toDF("lag", "n_pairs", "acf", "pacf")
+      .orderBy("lag")
+  }
+
   /** Per-group [[robustStats]]: trimmed mean, winsorized stddev, and
     * tail masses computed INDEPENDENTLY per group value — the
     * per-source/per-language length-hygiene table (a clean global

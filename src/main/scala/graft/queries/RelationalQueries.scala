@@ -733,6 +733,17 @@ object RelationalQueries {
         .orderBy("batch_id", "q")
     }),
 
+    // ACF + PACF (Durbin-Levinson) of the hourly event-count series:
+    // the window rides the time-resolution-bounded bucket table (the
+    // kaplanMeier argument); one pass carries all leads; PACF is
+    // bounded driver recursion the oracle unrolls in closed form.
+    "q_acf" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1L)).cast("double").as("x"))
+      Analytics.acfPacf(series, Seq(col("h")), col("x"), maxLag = 3)
+    }),
+
     // Streaming cumulative distinct-user monitor: 3 file-arrival
     // batches fold into ONE persisted HLL blob; each per-batch estimate
     // is checked against the exact distinct count of the prefix it
@@ -2438,6 +2449,34 @@ object RelationalQueries {
         | FROM grid g JOIN bc USING (bin) GROUP BY g.p, g.n)
         |SELECT p AS period, n, psi, psi > 0.25 AS drifted
         |FROM raw ORDER BY period""".stripMargin,
+
+    // Durbin-Levinson unrolled in closed form for K=3
+    "q_acf" ->
+      """WITH s AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |        CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),
+        |m AS (SELECT avg(x) AS m FROM s),
+        |c AS (SELECT h, x - m.m AS c0 FROM s, m),
+        |l AS (SELECT c0, lead(c0, 1) OVER (ORDER BY h) AS c1,
+        |       lead(c0, 2) OVER (ORDER BY h) AS c2,
+        |       lead(c0, 3) OVER (ORDER BY h) AS c3 FROM c),
+        |a AS (SELECT sum(c0 * c0) AS den,
+        |       sum(c0 * c1) AS s1, CAST(count(c1) AS BIGINT) AS np1,
+        |       sum(c0 * c2) AS s2, CAST(count(c2) AS BIGINT) AS np2,
+        |       sum(c0 * c3) AS s3, CAST(count(c3) AS BIGINT) AS np3 FROM l),
+        |r AS (SELECT np1, np2, np3, s1 / den AS r1, s2 / den AS r2,
+        |       s3 / den AS r3 FROM a),
+        |p AS (SELECT *, r1 AS p1,
+        |       (r2 - r1 * r1) / (1 - r1 * r1) AS p2 FROM r),
+        |pp AS (SELECT *, r1 * (1 - p2) AS phi21,
+        |        (1 - r1 * r1) * (1 - p2 * p2) AS v2 FROM p),
+        |f AS (SELECT *, (r3 - (phi21 * r2 + p2 * r1)) / v2 AS p3 FROM pp)
+        |SELECT g.lag,
+        | CASE g.lag WHEN 1 THEN np1 WHEN 2 THEN np2 ELSE np3 END AS n_pairs,
+        | round(CASE g.lag WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE r3 END, 6)
+        |   AS acf,
+        | round(CASE g.lag WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6)
+        |   AS pacf
+        |FROM (SELECT unnest([1, 2, 3]) AS lag) g, f ORDER BY lag""".stripMargin,
 
     // exact prefix counts/distincts + the engine's HLL band verdicts
     "q_stream_distinct" ->

@@ -391,6 +391,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(p.contains("Window"), s"expected a window stage:\n$p")
   }
 
+  test("acfPacf: hand-computed lags on 1..5; short-series NULLs") {
+    import spark.implicits._
+    // x = 1..5: centered (-2,-1,0,1,2), den 10; r1 = 4/10, r2 = -1/10;
+    // pacf1 = r1, pacf2 = (r2 - r1^2)/(1 - r1^2) = -0.26/0.84
+    val s = (1 to 5).map(i => (i, i.toDouble)).toDF("t", "x")
+    val r = Analytics.acfPacf(s, Seq(col("t")), col("x"), maxLag = 2)
+      .collect().map(x => x.getInt(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(1) == ((4L, 0.4, 0.4)), s"$r")
+    assert(r(2)._1 == 3L && r(2)._2 == -0.1, s"$r")
+    assert(math.abs(r(2)._3 - (-0.26 / 0.84)) < 1e-6, s"$r")
+    // series shorter than the lag: no pairs -> NULL acf/pacf
+    val tiny = Seq((1, 1.0), (2, 2.0)).toDF("t", "x")
+    val rt = Analytics.acfPacf(tiny, Seq(col("t")), col("x"), maxLag = 3)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(rt(2).getLong(1) == 0L && rt(2).isNullAt(2) && rt(2).isNullAt(3))
+    assert(rt(3).getLong(1) == 0L && rt(3).isNullAt(2))
+  }
+
   test("robustStatsByGroup: each group's row equals global robustStats on that slice") {
     import spark.implicits._
     val df = ((1 to 20).map(v => ("A", v.toDouble)) ++ Seq(("A", 500.0)) ++
