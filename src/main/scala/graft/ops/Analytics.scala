@@ -1639,11 +1639,11 @@ object Analytics {
     * leads (one exchange); one aggregation computes every lag's
     * moments. Returns (lag, n_pairs, acf, pacf) for lag ∈ [1, maxLag].
     * Lags with no pairs (series shorter than k) report NULLs. */
-  def acfPacf(series: DataFrame, order: Seq[Column], value: Column,
-      maxLag: Int, dp: Int = 6): DataFrame = {
-    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    require(order.nonEmpty, "acfPacf needs ordering columns")
-    val spark = series.sparkSession
+  /** Shared lag-moment pass for [[acfPacf]] and [[ljungBox]]: one
+    * window pass carrying all `maxLag` leads, one aggregation — returns
+    * (series length, per-lag (n_pairs, r_k)). */
+  private def acfMoments(series: DataFrame, order: Seq[Column],
+      value: Column, maxLag: Int): (Long, Seq[(Long, Option[Double])]) = {
     val xbarDf = series.agg(avg(value.cast("double")).as("__m"))
     val w = Window.orderBy(order: _*)
     val centered = series.crossJoin(broadcast(xbarDf))
@@ -1654,14 +1654,24 @@ object Analytics {
     val aggs = (1 to maxLag).flatMap(k => Seq(
       sum(col("__c0") * col(s"__c$k")).as(s"__num$k"),
       count(col(s"__c$k")).as(s"__np$k"))) ++ Seq(
-      sum(col("__c0") * col("__c0")).as("__den"))
+      sum(col("__c0") * col("__c0")).as("__den"),
+      count(col("__c0")).as("__nt"))
     val r = withLeads.agg(aggs.head, aggs.tail: _*).head()
     val den = r.getAs[Double]("__den")
     val acfs = (1 to maxLag).map { k =>
       val np = r.getAs[Long](s"__np$k")
-      if (np == 0 || den <= 0) (np, None)
+      if (np == 0 || den <= 0) (np, Option.empty[Double])
       else (np, Some(r.getAs[Double](s"__num$k") / den))
     }
+    (r.getAs[Long]("__nt"), acfs)
+  }
+
+  def acfPacf(series: DataFrame, order: Seq[Column], value: Column,
+      maxLag: Int, dp: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(order.nonEmpty, "acfPacf needs ordering columns")
+    val spark = series.sparkSession
+    val (_, acfs) = acfMoments(series, order, value, maxLag)
     // Durbin–Levinson: phi_{k,k} from r_1..r_k
     val rv = acfs.map(_._2.getOrElse(Double.NaN)).toArray
     val pacf = Array.fill(maxLag)(Double.NaN)
@@ -1688,6 +1698,40 @@ object Analytics {
     }
     spark.createDataFrame(rows).toDF("lag", "n_pairs", "acf", "pacf")
       .orderBy("lag")
+  }
+
+  /** Ljung–Box portmanteau whiteness test (Ljung & Box 1978) over the
+    * same [[acfMoments]] pass:
+    *
+    *   Q = n(n+2) Σ_{k=1..K} r_k²/(n−k)   ~  χ²(K) under iid
+    *
+    * — "is this metric still white noise" as one verdict row (the
+    * monitoring complement of [[acfPacf]]'s per-lag readout). Same
+    * bucketed-series contract; 0.05 verdict via the shared
+    * [[chiSq95]] closed form. Q is NULL when any lag lacks pairs.
+    * Returns (n, max_lag, q_stat, crit_05, reject_05). */
+  def ljungBox(series: DataFrame, order: Seq[Column], value: Column,
+      maxLag: Int, dp: Int = 6): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(order.nonEmpty, "ljungBox needs ordering columns")
+    val spark = series.sparkSession
+    val (n, acfs) = acfMoments(series, order, value, maxLag)
+    def rd(x: Double) = BigDecimal(x).setScale(dp,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q =
+      if (acfs.exists(_._2.isEmpty) || n <= maxLag) None
+      else Some(n * (n + 2.0) * (1 to maxLag).map { k =>
+        val r = acfs(k - 1)._2.get
+        r * r / (n - k)
+      }.sum)
+    val crit = {
+      val d = maxLag.toDouble
+      val t = 2.0 / (9.0 * d)
+      d * math.pow(1.0 - t + 1.644853626951473 * math.sqrt(t), 3)
+    }
+    spark.createDataFrame(Seq(
+        (n, maxLag, q.map(rd), rd(crit), q.map(_ > crit))))
+      .toDF("n", "max_lag", "q_stat", "crit_05", "reject_05")
   }
 
   /** Per-group [[robustStats]]: trimmed mean, winsorized stddev, and

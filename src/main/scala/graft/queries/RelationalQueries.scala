@@ -744,6 +744,14 @@ object RelationalQueries {
       Analytics.acfPacf(series, Seq(col("h")), col("x"), maxLag = 3)
     }),
 
+    // Ljung-Box whiteness verdict over the same hourly series/moments
+    "q_ljung_box" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1L)).cast("double").as("x"))
+      Analytics.ljungBox(series, Seq(col("h")), col("x"), maxLag = 3)
+    }),
+
     // Streaming cumulative distinct-user monitor: 3 file-arrival
     // batches fold into ONE persisted HLL blob; each per-batch estimate
     // is checked against the exact distinct count of the prefix it
@@ -2477,6 +2485,29 @@ object RelationalQueries {
         | round(CASE g.lag WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6)
         |   AS pacf
         |FROM (SELECT unnest([1, 2, 3]) AS lag) g, f ORDER BY lag""".stripMargin,
+
+    // q_acf's moment CTEs feeding the portmanteau sum + the shared
+    // Wilson-Hilferty critical value
+    "q_ljung_box" ->
+      """WITH s AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |        CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),
+        |m AS (SELECT avg(x) AS m, CAST(count(*) AS BIGINT) AS n FROM s),
+        |c AS (SELECT h, x - m.m AS c0 FROM s, m),
+        |l AS (SELECT c0, lead(c0, 1) OVER (ORDER BY h) AS c1,
+        |       lead(c0, 2) OVER (ORDER BY h) AS c2,
+        |       lead(c0, 3) OVER (ORDER BY h) AS c3 FROM c),
+        |a AS (SELECT sum(c0 * c0) AS den, sum(c0 * c1) AS s1,
+        |       sum(c0 * c2) AS s2, sum(c0 * c3) AS s3 FROM l),
+        |q AS (SELECT m.n, m.n * (m.n + 2.0) *
+        |       ((s1 / den) * (s1 / den) / (m.n - 1)
+        |        + (s2 / den) * (s2 / den) / (m.n - 2)
+        |        + (s3 / den) * (s3 / den) / (m.n - 3)) AS q_stat,
+        |       3 * pow(1 - CAST(2 AS DOUBLE) / 27 +
+        |         1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / 27), 3) AS crit
+        |      FROM a, m)
+        |SELECT n, 3 AS max_lag, round(q_stat, 6) AS q_stat,
+        | round(crit, 6) AS crit_05, q_stat > crit AS reject_05
+        |FROM q""".stripMargin,
 
     // exact prefix counts/distincts + the engine's HLL band verdicts
     "q_stream_distinct" ->

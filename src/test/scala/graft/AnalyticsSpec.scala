@@ -410,6 +410,23 @@ class AnalyticsSpec extends SparkSuite {
     assert(rt(3).getLong(1) == 0L && rt(3).isNullAt(2))
   }
 
+  test("ljungBox: hand-computed Q on 1..5; short-series NULL Q") {
+    import spark.implicits._
+    // r1 = .4, r2 = -.1, n = 5: Q = 5*7*(.16/4 + .01/3) = 1.516667
+    val s = (1 to 5).map(i => (i, i.toDouble)).toDF("t", "x")
+    val r = Analytics.ljungBox(s, Seq(col("t")), col("x"), maxLag = 2).head()
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Int]("max_lag") == 2)
+    assert(r.getAs[Double]("q_stat") == 1.516667, s"$r")
+    val crit = 2 * math.pow(1.0 - 1.0 / 9 +
+      1.644853626951473 * math.sqrt(1.0 / 9), 3)
+    assert(math.abs(r.getAs[Double]("crit_05") - crit) < 1e-6)
+    assert(!r.getAs[Boolean]("reject_05"))
+    // a lag with no pairs -> NULL Q and verdict
+    val tiny = Seq((1, 1.0), (2, 2.0)).toDF("t", "x")
+    val rt = Analytics.ljungBox(tiny, Seq(col("t")), col("x"), maxLag = 3).head()
+    assert(rt.isNullAt(2) && rt.isNullAt(4), s"$rt")
+  }
+
   test("robustStatsByGroup: each group's row equals global robustStats on that slice") {
     import spark.implicits._
     val df = ((1 to 20).map(v => ("A", v.toDouble)) ++ Seq(("A", 500.0)) ++
