@@ -2450,6 +2450,82 @@ object Analytics {
         dp).as("mi"))
   }
 
+  /** Theil's uncertainty coefficients (Theil 1970) — the DIRECTIONAL
+    * categorical-association pair [[mutualInformation]]'s symmetric MI
+    * and [[chiSquare]]'s Cramér's V both miss:
+    *
+    *   U(a|b) = MI/H(a)   "how much of a does knowing b explain"
+    *   U(b|a) = MI/H(b)
+    *
+    * Asymmetry is the point: postal code predicts city almost fully,
+    * city barely predicts postal code — feature triage needs the
+    * direction. Same one-contingency-rollup shape as
+    * [[mutualInformation]] (all terms unrounded internally); a
+    * zero-entropy (constant) side reports NULL for its coefficient.
+    * One row: (n, mi, u_a_given_b, u_b_given_a). */
+  def theilsU(df: DataFrame, a: Column, b: Column,
+      dp: Int = 6): DataFrame = {
+    val cells = df.groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1L)).as("__c"))
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val withMarg = cells
+      .withColumn("__ca", sum(col("__c")).over(wa))
+      .withColumn("__cb", sum(col("__c")).over(wb))
+      .crossJoin(cells.agg(sum(col("__c")).cast("double").as("__n")))
+    val p = col("__c") / col("__n")
+    withMarg.agg(
+        sum(col("__c")).cast("long").as("n"),
+        (-sum(p * log(col("__ca") / col("__n")))).as("__ha"),
+        (-sum(p * log(col("__cb") / col("__n")))).as("__hb"),
+        sum(p * log(col("__c") * col("__n") / (col("__ca") * col("__cb"))))
+          .as("__mi"))
+      .select(col("n"), round(col("__mi"), dp).as("mi"),
+        when(col("__ha") > 0, round(col("__mi") / col("__ha"), dp))
+          .as("u_a_given_b"),
+        when(col("__hb") > 0, round(col("__mi") / col("__hb"), dp))
+          .as("u_b_given_a"))
+  }
+
+  /** Cohen's d / Hedges' g standardized effect size for the two-cohort
+    * mean difference — the magnitude readout the [[welchTTest]] p-value
+    * alone hides (at corpus scale EVERYTHING is significant; what
+    * matters is whether the shift is 0.02σ or 0.8σ):
+    *
+    *   d = (x̄_a − x̄_b)/s_pooled,
+    *   s_pooled = √(((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2))
+    *   g = d·(1 − 3/(4(n_a+n_b) − 9))    (small-sample bias correction)
+    *
+    * ONE conditional-moment aggregation (no window, no join). NULL d
+    * when either cohort has < 2 rows or the pooled variance is 0.
+    * Rows with NULL value drop; NULL `inA` counts as cohort B. */
+  def effectSize(df: DataFrame, value: Column, inA: Column,
+      dp: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val s = df.select(v.as("__v"),
+        when(inA, 1).otherwise(0).as("__a"))
+      .where(col("__v").isNotNull)
+    val agg = s.agg(
+      count(when(col("__a") === 1, 1L)).as("n_a"),
+      count(when(col("__a") === 0, 1L)).as("n_b"),
+      avg(when(col("__a") === 1, col("__v"))).as("__ma"),
+      avg(when(col("__a") === 0, col("__v"))).as("__mb"),
+      var_samp(when(col("__a") === 1, col("__v"))).as("__va"),
+      var_samp(when(col("__a") === 0, col("__v"))).as("__vb"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val sp2 = ((nA - 1) * col("__va") + (nB - 1) * col("__vb")) /
+      (nA + nB - 2)
+    val d = (col("__ma") - col("__mb")) / sqrt(sp2)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (nA + nB) - 9))
+    agg.select(col("n_a"), col("n_b"),
+      round(col("__ma") - col("__mb"), dp).as("mean_diff"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && sp2 > 0,
+        round(d, dp)).as("cohens_d"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && sp2 > 0,
+        round(g, dp)).as("hedges_g"))
+  }
+
   /** p-chart (attribute control chart, Shewhart): per-bucket defect
     * rate against 3σ binomial control limits around the pooled rate —
     * the operations-monitoring classic for error/defect/violation

@@ -1319,6 +1319,19 @@ object RelationalQueries {
       Analytics.mutualInformation(t(s, dir, "events"),
         col("event_type"), col("user_id") % 5)),
 
+    // Theil's U on the same pair: the DIRECTIONAL association readout
+    // (U(a|b) vs U(b|a)) that symmetric MI / Cramer's V miss.
+    "q_theils_u" -> ((s, dir) =>
+      Analytics.theilsU(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 5)),
+
+    // Cohen's d / Hedges' g effect size of the en-vs-rest length shift:
+    // one conditional-moment aggregation — the magnitude readout next
+    // to q_ttest's significance.
+    "q_effect_size" -> ((s, dir) =>
+      Analytics.effectSize(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+
     // CUSUM change-point scores per user (self-calibrated target,
     // slack 0.5, alarm at h=10): the sequential small-shift detector,
     // computed via the prefix-min closed form — two stacked running
@@ -3355,6 +3368,39 @@ object RelationalQueries {
         | round(-sum((c/n) * ln(c/n)), 6) AS h_ab,
         | round(sum((c/n) * ln(c*n/(ca*cb))), 6) AS mi
         |FROM m""".stripMargin,
+
+    "q_theils_u" ->
+      """WITH cells AS (SELECT event_type AS a, user_id % 5 AS b,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |m AS (SELECT c,
+        |   sum(c) OVER (PARTITION BY a) AS ca,
+        |   sum(c) OVER (PARTITION BY b) AS cb,
+        |   (SELECT CAST(sum(c) AS DOUBLE) FROM cells) AS n
+        |  FROM cells),
+        |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |   -sum((c/n) * ln(ca/n)) AS ha, -sum((c/n) * ln(cb/n)) AS hb,
+        |   sum((c/n) * ln(c*n/(ca*cb))) AS mi FROM m)
+        |SELECT n, round(mi, 6) AS mi,
+        | CASE WHEN ha > 0 THEN round(mi / ha, 6) END AS u_a_given_b,
+        | CASE WHEN hb > 0 THEN round(mi / hb, 6) END AS u_b_given_a
+        |FROM agg""".stripMargin,
+
+    "q_effect_size" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |        coalesce(lang = 'en', false) AS a
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |       CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b,
+        |       avg(v) FILTER (a) AS ma, avg(v) FILTER (NOT a) AS mb,
+        |       var_samp(v) FILTER (a) AS va,
+        |       var_samp(v) FILTER (NOT a) AS vb FROM s),
+        |d AS (SELECT *, (ma - mb) / sqrt(((n_a - 1) * va + (n_b - 1) * vb)
+        |        / (n_a + n_b - 2)) AS cd FROM g)
+        |SELECT n_a, n_b, round(ma - mb, 6) AS mean_diff,
+        | round(cd, 6) AS cohens_d,
+        | round(cd * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)), 6)
+        |   AS hedges_g
+        |FROM d""".stripMargin,
 
     "q_cusum" ->
       """WITH b AS (SELECT user_id, ts, event_id,

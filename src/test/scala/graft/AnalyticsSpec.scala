@@ -410,6 +410,50 @@ class AnalyticsSpec extends SparkSuite {
     assert(rt(3).getLong(1) == 0L && rt(3).isNullAt(2))
   }
 
+  test("theilsU: perfect one-way prediction, independence, constant-side NULL") {
+    import spark.implicits._
+    // b determines a (a = b), but a only partly... use a = b for the
+    // perfect case: both U's are 1
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val rp = Analytics.theilsU(perfect, col("a"), col("b")).head()
+    assert(rp.getAs[Double]("u_a_given_b") == 1.0 &&
+      rp.getAs[Double]("u_b_given_a") == 1.0, s"$rp")
+    // asymmetric: b -> a is deterministic (b=1,2 -> a=x; b=3 -> a=y),
+    // a -> b is not: U(a|b) = 1, U(b|a) < 1
+    val asym = Seq(("x", 1), ("x", 2), ("y", 3), ("x", 1), ("x", 2), ("y", 3))
+      .toDF("a", "b")
+    val ra = Analytics.theilsU(asym, col("a"), col("b")).head()
+    assert(ra.getAs[Double]("u_a_given_b") == 1.0, s"$ra")
+    assert(ra.getAs[Double]("u_b_given_a") < 1.0, s"$ra")
+    // independent 2x2: MI 0, U's 0
+    val ind = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val ri = Analytics.theilsU(ind, col("a"), col("b")).head()
+    assert(ri.getAs[Double]("mi") == 0.0 &&
+      ri.getAs[Double]("u_a_given_b") == 0.0, s"$ri")
+    // constant a: H(a) = 0 -> U(a|b) NULL, not a division artifact
+    val const = Seq(("x", 1), ("x", 2)).toDF("a", "b")
+    assert(Analytics.theilsU(const, col("a"), col("b")).head().isNullAt(2))
+  }
+
+  test("effectSize: hand-computed d and g; degenerate NULLs") {
+    import spark.implicits._
+    // A = (1,2,3), B = (4,5,6): means 2/5, vars 1/1 -> pooled s = 1,
+    // d = -3; g = d*(1 - 3/(4*6-9)) = -3*0.8 = -2.4
+    val df = Seq((1, true), (2, true), (3, true),
+      (4, false), (5, false), (6, false)).toDF("v", "a")
+    val r = Analytics.effectSize(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("mean_diff") == -3.0 &&
+      r.getAs[Double]("cohens_d") == -3.0 &&
+      r.getAs[Double]("hedges_g") == -2.4, s"$r")
+    // one-row cohort or zero pooled variance -> NULL d
+    val tiny = Seq((1, true), (4, false), (5, false)).toDF("v", "a")
+    assert(Analytics.effectSize(tiny, col("v"), col("a")).head().isNullAt(3))
+    val flat = Seq((2, true), (2, true), (2, false), (2, false)).toDF("v", "a")
+    assert(Analytics.effectSize(flat, col("v"), col("a")).head().isNullAt(3))
+  }
+
   test("ljungBox: hand-computed Q on 1..5; short-series NULL Q") {
     import spark.implicits._
     // r1 = .4, r2 = -.1, n = 5: Q = 5*7*(.16/4 + .01/3) = 1.516667
