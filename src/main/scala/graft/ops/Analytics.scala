@@ -2487,6 +2487,39 @@ object Analytics {
           .as("u_b_given_a"))
   }
 
+  /** McNemar's test (McNemar 1947, continuity-corrected) for comparing
+    * two classifiers on the SAME evaluation rows — the paired test that
+    * two independent accuracy numbers cannot replace (shared examples
+    * correlate the errors):
+    *
+    *   χ² = (|b − c| − 1)² / (b + c)
+    *
+    * where b = rows only A gets right, c = rows only B gets right; the
+    * concordant rows drop out by design. ONE aggregation (no window,
+    * no join); verdict via the shared [[chiSq95]] χ²(1) closed form.
+    * χ² is NULL when b + c = 0 (the classifiers never disagree).
+    * Returns (n, n_both_right, n_only_a, n_only_b, n_both_wrong,
+    * chi2, crit_05, reject_05). */
+  def mcnemar(df: DataFrame, predA: Column, predB: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val ca = predA === label
+    val cb = predB === label
+    val agg = df.agg(count(lit(1L)).as("n"),
+      sum(when(ca && cb, 1L).otherwise(0L)).as("n_both_right"),
+      sum(when(ca && !cb, 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(!ca && cb, 1L).otherwise(0L)).as("n_only_b"),
+      sum(when(!ca && !cb, 1L).otherwise(0L)).as("n_both_wrong"))
+    val b = col("n_only_a").cast("double")
+    val c = col("n_only_b").cast("double")
+    val chi2 = (abs(b - c) - 1) * (abs(b - c) - 1) / (b + c)
+    val crit = chiSq95(lit(1.0))
+    agg.select(col("n"), col("n_both_right"), col("n_only_a"),
+      col("n_only_b"), col("n_both_wrong"),
+      when(b + c > 0, round(chi2, dp)).as("chi2"),
+      round(crit, dp).as("crit_05"),
+      when(b + c > 0, chi2 > crit).as("reject_05"))
+  }
+
   /** Cohen's d / Hedges' g standardized effect size for the two-cohort
     * mean difference — the magnitude readout the [[welchTTest]] p-value
     * alone hides (at corpus scale EVERYTHING is significant; what

@@ -1325,6 +1325,15 @@ object RelationalQueries {
       Analytics.theilsU(t(s, dir, "events"),
         col("event_type"), col("user_id") % 5)),
 
+    // McNemar paired-classifier comparison: two deterministic pseudo-
+    // classifiers over the SAME docs; the discordant-pair chi-square
+    // with continuity correction, verdict on the shared closed form.
+    "q_mcnemar" -> ((s, dir) =>
+      Analytics.mcnemar(t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0) > 0.5,
+        (col("n_chars") % 89) / lit(88.0) > 0.5,
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0)),
+
     // Cohen's d / Hedges' g effect size of the en-vs-rest length shift:
     // one conditional-moment aggregation — the magnitude readout next
     // to q_ttest's significance.
@@ -3384,6 +3393,30 @@ object RelationalQueries {
         | CASE WHEN ha > 0 THEN round(mi / ha, 6) END AS u_a_given_b,
         | CASE WHEN hb > 0 THEN round(mi / hb, 6) END AS u_b_given_a
         |FROM agg""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH d AS (SELECT
+        |   (CAST(n_chars % 97 AS DOUBLE) / 96 > 0.5) AS pa,
+        |   (CAST(n_chars % 89 AS DOUBLE) / 88 > 0.5) AS pb,
+        |   (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(count(*) FILTER (pa = y AND pb = y) AS BIGINT) AS n_both_right,
+        |   CAST(count(*) FILTER (pa = y AND pb <> y) AS BIGINT) AS n_only_a,
+        |   CAST(count(*) FILTER (pa <> y AND pb = y) AS BIGINT) AS n_only_b,
+        |   CAST(count(*) FILTER (pa <> y AND pb <> y) AS BIGINT) AS n_both_wrong
+        |  FROM d),
+        |v AS (SELECT *,
+        |   (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1)
+        |     * (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1)
+        |     / (n_only_a + n_only_b) AS chi2,
+        |   pow(1 - CAST(2 AS DOUBLE) / 9 +
+        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / 9), 3) AS crit
+        |  FROM g)
+        |SELECT n, n_both_right, n_only_a, n_only_b, n_both_wrong,
+        | round(chi2, 6) AS chi2, round(crit, 6) AS crit_05,
+        | chi2 > crit AS reject_05
+        |FROM v""".stripMargin,
 
     "q_effect_size" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,

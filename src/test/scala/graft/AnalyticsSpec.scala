@@ -436,6 +436,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.theilsU(const, col("a"), col("b")).head().isNullAt(2))
   }
 
+  test("mcnemar: hand-computed discordant chi2; agreement NULL") {
+    import spark.implicits._
+    // contingency: both right 3, only-A 6, only-B 1, both wrong 2
+    // chi2 = (|6-1|-1)^2/7 = 16/7
+    val rows = Seq.fill(3)((1, 1, 1)) ++ Seq.fill(6)((1, 0, 1)) ++
+      Seq.fill(1)((0, 1, 1)) ++ Seq.fill(2)((0, 0, 1))
+    val df = rows.toDF("pa", "pb", "y")
+    val r = Analytics.mcnemar(df, col("pa"), col("pb"), col("y")).head()
+    assert(r.getAs[Long]("n") == 12 && r.getAs[Long]("n_both_right") == 3 &&
+      r.getAs[Long]("n_only_a") == 6 && r.getAs[Long]("n_only_b") == 1 &&
+      r.getAs[Long]("n_both_wrong") == 2, s"$r")
+    assert(r.getAs[Double]("chi2") ==
+      BigDecimal(16.0 / 7).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, s"$r")
+    assert(!r.getAs[Boolean]("reject_05"), s"$r") // 2.29 < ~3.84
+    // classifiers that never disagree: no discordant pairs -> NULL chi2
+    val same = Seq((1, 1, 1), (0, 0, 1)).toDF("pa", "pb", "y")
+    val rs = Analytics.mcnemar(same, col("pa"), col("pb"), col("y")).head()
+    assert(rs.isNullAt(5) && rs.isNullAt(7), s"$rs")
+  }
+
   test("effectSize: hand-computed d and g; degenerate NULLs") {
     import spark.implicits._
     // A = (1,2,3), B = (4,5,6): means 2/5, vars 1/1 -> pooled s = 1,
