@@ -33,6 +33,34 @@ object Bench {
     "q_cube" -> 0.47, "chk_colstats" -> 0.45,
     "q_window_running" -> 0.43, "text_stats" -> 0.41)
 
+  /** Previous round's per-query seconds, read from the git-tracked
+    * `bench_history/prev.json` (promoted by the builder at round start
+    * from the prior round's full-run record): the CROSS-ROUND
+    * regression gate's reference. The frozen-v0 gate above covers only
+    * the 38 v0 queries; eval_chrf doubled in round 12 with no code
+    * change and nothing noticed until the judge diffed verdicts — this
+    * gate covers every query that existed last round. Missing or
+    * unparsable file → empty map → gate silently absent (a fresh
+    * checkout must still bench). */
+  private def prevRound: Map[String, Double] =
+    try {
+      val f = new java.io.File("bench_history/prev.json")
+      if (!f.isFile) Map.empty
+      else {
+        val qs = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f).get("queries")
+        if (qs == null) Map.empty
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** 1-minute system load average (−1 where unsupported) — emitted at
     * start and end so box-noise drift is attributable from the bench
     * artifact alone, without a judge rerun (the r10 cc100 number read
@@ -80,6 +108,7 @@ object Bench {
     val minOf2 = Set("dedup_stream_ingest", "q_stream_join",
       "q_stream_debounce", "q_stream_anomaly")
     val minOf2Floor = 3.0 // seconds
+    val prev = prevRound
     selected.foreach { case (name, fn) =>
       try {
         // Plan print stays OUTSIDE the timed region: building the frame a
@@ -99,7 +128,11 @@ object Bench {
         // 1.1s cold vs 0.4s warm, v0 0.47), and a gate that flags cold
         // codegen instead of regression needs a judge rerun to clear —
         // min-of-2 only on would-be violations keeps the run cheap.
-        val gateRetry = frozenV0.get(name).exists(v0 => t > 2 * v0)
+        // …and likewise a query whose first sample would breach the
+        // cross-round 2× gate vs bench_history/prev.json (same
+        // cold-codegen rationale; ≥0.5s floor matches the gate's own)
+        val gateRetry = frozenV0.get(name).exists(v0 => t > 2 * v0) ||
+          prev.get(name).exists(p => t > 2 * p && t >= 0.5)
         timings(name) =
           if (minOf2.contains(name) || t >= minOf2Floor || gateRetry) {
             System.gc(); math.min(t, sample())
@@ -398,13 +431,52 @@ object Bench {
             f""""worst":"${worst._1}","worst_ratio":${worst._2}%.2f}"""
         }
       }
+    // Cross-round regression gate (full sf0.1 runs only): every query
+    // vs its previous-round time from bench_history/prev.json. A
+    // violation = ratio > 2 AND current ≥ 0.5s (sub-half-second rows
+    // jitter by compile/GC noise; the floor keeps the gate about
+    // regressions); would-be violations were min-of-2 resampled above.
+    val regrJson =
+      if (args.nonEmpty || !sfDir.endsWith("sf0.1") || prev.isEmpty) ""
+      else {
+        val ratios = prev.toSeq.flatMap { case (k, p) =>
+          timings.get(k).map(t => (k, t, p, t / p)) }
+        if (ratios.isEmpty) ""
+        else {
+          val viol = ratios.filter { case (_, t, _, r) => r > 2.0 && t >= 0.5 }
+          val worst = ratios.maxBy(_._4)
+          f""","regr":{"prev_n":${ratios.size},"violations":${viol.size},""" +
+            f""""worst":${jstr(worst._1)},"worst_ratio":${worst._4}%.2f""" +
+            (if (viol.isEmpty) "}"
+             else viol.sortBy(-_._4).take(8).map { case (k, t, p, r) =>
+               f"${jstr(k)}:[$t%.2f,$p%.2f,$r%.2f]"
+             }.mkString(""","detail":{""", ",",
+               "}}")) // top-8 only: the compact line must fit the driver's tail capture
+        }
+      }
     // Full record — every per-query timing and error — goes to the FILE.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson$regrJson,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    // Per-query history is a first-class artifact (the r12 lesson:
+    // target/bench.json is overwritten by every run, so eval_chrf's 2×
+    // regression was invisible to every artifact): each FULL sf0.1 run
+    // also lands, immutably, in bench_history/run_<stamp>.json and in
+    // bench_history/latest.json — both git-tracked; the builder
+    // promotes latest → prev.json at the next round's start.
+    if (args.isEmpty && sfDir.endsWith("sf0.1")) try {
+      val hd = java.nio.file.Paths.get("bench_history")
+      java.nio.file.Files.createDirectories(hd)
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date)
+      java.nio.file.Files.write(hd.resolve(s"run_$stamp.json"),
+        (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(hd.resolve("latest.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // history must never fail the bench
     // The driver-facing stdout line is a COMPACT summary (≤500 bytes):
     // BENCH_r05 and r06 both came back parsed:null because the full line
     // (~6 KB of per-query timings) overflowed the driver's tail capture
@@ -412,7 +484,7 @@ object Bench {
     // the stdout line carries only what the round adjudication needs.
     val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
-      s"""$scaleJson$loadJson$gateJson,"sf":"$sfDir","detail":"target/bench.json"}"""
+      s"""$scaleJson$loadJson$gateJson$regrJson,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
     // The compact line must be the LAST bytes of output: rounds 1-9 all
     // shipped parsed:null because >2 KB of post-println shutdown WARNs
     // (BlockManager/DAGScheduler teardown on stderr) pushed the JSON out

@@ -270,12 +270,17 @@ object Similarity {
     * the minimal id sharing its EXACT vector (`__rep`, via a window
     * partitioned by the vector value — exact equality, no digest) and
     * whether self-similarity clears the threshold (`__selfdup`, one
-    * cosine per distinct vector). */
+    * cosine per distinct vector). The window's LEADING partition key is
+    * `xxhash64(vec)` with the full vector second: the exchange and the
+    * in-partition sort compare one long and fall back to the 64-float
+    * array only on hash ties, so exactness is untouched while the sort
+    * stops paying per-row array comparisons (the r12→r13 drift fix;
+    * 6.3s → measured in BENCH_r13). */
   private def replicaMarked(corpus: DataFrame, idCol: String,
       vecCol: String, minCos: Double, scoreDp: Int): DataFrame =
     corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
       .withColumn("__rep", min(col("__id")).over(
-        Window.partitionBy(col("__vec"))))
+        Window.partitionBy(xxhash64(col("__vec")), col("__vec"))))
       .withColumn("__selfdup",
         round(GraftFunctions.cosineSim(col("__vec"), col("__vec")),
           scoreDp) >= minCos)

@@ -324,10 +324,11 @@ object Analytics {
     *
     * Shape: ONE group-keyed moment rollup (the only corpus exchange,
     * |groups| rows out) and a 1-row verdict — no window, no join. The
-    * 0.05 critical value uses the standard normal-based Wilson–Hilferty
-    * style approximation via the χ² limit F·df1 ~ χ²_df1 for large df2
-    * (exact for the audit sizes where df2 ≫ df1); reject compares F·df1
-    * against χ²₀.₉₅(df1). F is NULL when k < 2, N ≤ k, or SSW = 0. */
+    * 0.05 verdict compares F·df1 against [[chiSq95]](df1) — the
+    * df2→∞ χ² limit of the F distribution, valid only when df2 ≫ df1;
+    * `reject_05` is therefore NULL when df2 < 20·df1 (small-group API
+    * use would otherwise over-reject: the true F crit at (1,4) is
+    * 7.71 vs χ²'s 3.84). F is NULL when k < 2, N ≤ k, or SSW = 0. */
   def anovaF(df: DataFrame, value: Column, group: Column,
       dp: Int = 6): DataFrame = {
     val base = df.select(group.as("__g"), value.cast("double").as("__v"))
@@ -352,17 +353,39 @@ object Analytics {
         .otherwise(round(f, dp)).as("f"),
       (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
       when(sst > 0, round(ssb / sst, dp)).as("eta_sq"),
-      when(degenerate, lit(null).cast("boolean"))
+      // the χ² verdict is the df2→∞ limit of the F distribution; at
+      // small df2 it substantially over-rejects (true F crit at (1,4)
+      // is 7.71 vs χ²'s 3.84) — NULL, not a wrong verdict, unless
+      // df2 >> df1 (the large-sample regime this engine targets)
+      when(degenerate || df2 < lit(20.0) * df1, lit(null).cast("boolean"))
         .otherwise(f * df1 > chiSq95(df1)).as("reject_05"))
   }
 
-  /** χ²₀.₉₅(d) by the Wilson–Hilferty cube approximation
-    * d·(1 − 2/(9d) + z₀.₉₅·√(2/(9d)))³ — accurate to ~0.1% for d ≥ 1,
-    * and restated verbatim by the DuckDB oracles (a closed form both
-    * engines compute identically beats a quantile table). */
+  /** χ²₀.₉₅(d): exact table constants for d ≤ 4 (Wilson–Hilferty is
+    * ~2.5% LOW at d = 1 — 3.747 vs the true 3.841 — which made df=1
+    * verdicts mildly anti-conservative), the Wilson–Hilferty cube
+    * d·(1 − 2/(9d) + z₀.₉₅·√(2/(9d)))³ for d ≥ 5 (within ~0.3%
+    * there). Restated verbatim — CASE arms included — by the DuckDB
+    * oracles (a closed form both engines compute identically beats a
+    * quantile table). */
   private def chiSq95(d: Column): Column = {
     val t = lit(2.0) / (lit(9.0) * d)
-    d * pow(lit(1.0) - t + lit(1.644853626951473) * sqrt(t), 3)
+    when(d === 1.0, lit(3.841458820694124))
+      .when(d === 2.0, lit(5.991464547107979))
+      .when(d === 3.0, lit(7.814727903251179))
+      .when(d === 4.0, lit(9.487729036781154))
+      .otherwise(d * pow(lit(1.0) - t + lit(1.644853626951473) * sqrt(t), 3))
+  }
+
+  /** Scala twin of [[chiSq95]] for driver-side verdicts (ljungBox). */
+  private def chiSq95Scala(d: Double): Double = d match {
+    case 1.0 => 3.841458820694124
+    case 2.0 => 5.991464547107979
+    case 3.0 => 7.814727903251179
+    case 4.0 => 9.487729036781154
+    case _ =>
+      val t = 2.0 / (9.0 * d)
+      d * math.pow(1.0 - t + 1.644853626951473 * math.sqrt(t), 3)
   }
 
   /** Kruskal–Wallis H (Kruskal & Wallis 1952): the k-group rank test —
@@ -1724,11 +1747,7 @@ object Analytics {
         val r = acfs(k - 1)._2.get
         r * r / (n - k)
       }.sum)
-    val crit = {
-      val d = maxLag.toDouble
-      val t = 2.0 / (9.0 * d)
-      d * math.pow(1.0 - t + 1.644853626951473 * math.sqrt(t), 3)
-    }
+    val crit = chiSq95Scala(maxLag.toDouble)
     spark.createDataFrame(Seq(
         (n, maxLag, q.map(rd), rd(crit), q.map(_ > crit))))
       .toDF("n", "max_lag", "q_stat", "crit_05", "reject_05")
@@ -1893,14 +1912,18 @@ object Analytics {
           least(lit(bins - 1), floor((col("__v") - col("__lo")) /
             ((col("__hi") - col("__lo")) / bins)).cast("int"))).as("__bin"))
       .groupBy("__s", "__bin").agg(count(lit(1L)).as("__c"))
-      .localCheckpoint(true) // pooled histogram + grid both read it
-    val pooled = cells.groupBy("__bin").agg(sum(col("__c")).as("__cb"))
-      .crossJoin(cells.agg(sum(col("__c")).as("__nb")))
+      .localCheckpoint(true) // grid (and through it the pooled rollup) + totals read it
     val grid = cells.groupBy("__s").agg(sum(col("__c")).as("__n"))
       .select(col("__s"), col("__n"),
         explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
       .join(cells, Seq("__s", "__bin"), "left")
       .na.fill(0L, Seq("__c"))
+    // pooled histogram rolls up from the ZERO-FILLED grid — bins empty
+    // across every slice still carry their smoothing mass in each
+    // slice's PSI sum, exactly as psiOverTime's zero-filled baseline
+    // does (an inner join against non-empty cells used to drop them)
+    val pooled = grid.groupBy("__bin").agg(sum(col("__c")).as("__cb"))
+      .crossJoin(cells.agg(sum(col("__c")).as("__nb")))
     val p = (col("__c").cast("double") + 0.5) /
       (col("__n").cast("double") + lit(0.5 * bins))
     val q = (col("__cb").cast("double") + 0.5) /
@@ -2743,14 +2766,17 @@ object Analytics {
     * `residual` instead of silently absorbed, so the readout is honest
     * about the binning. One bin-keyed aggregation (≤ `bins` rows — the
     * only corpus exchange; the raw Brier rides the same pass) + 1-row
-    * algebra. NULL scores drop; returns one row. */
+    * algebra. Rows with a NULL score OR a NULL label drop up front
+    * (a non-null score with a NULL label would otherwise count in the
+    * bin's n while its label skipped the sums, skewing p̄_k, ȳ_k, ECE
+    * and the Brier total); returns one row. */
   def brierDecomposition(df: DataFrame, score: Column, label: Column,
       bins: Int = 10, dp: Int = 6): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
       .cast("int")
     val y = label.cast("double")
-    val per = df.where(score.isNotNull)
+    val per = df.where(score.isNotNull && label.isNotNull)
       .select(b.as("__b"), score.cast("double").as("__s"), y.as("__y"))
       .groupBy("__b")
       .agg(count(lit(1L)).as("__n"), sum(col("__s")).as("__ss"),

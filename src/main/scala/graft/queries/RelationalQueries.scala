@@ -2524,8 +2524,7 @@ object RelationalQueries {
         |       ((s1 / den) * (s1 / den) / (m.n - 1)
         |        + (s2 / den) * (s2 / den) / (m.n - 2)
         |        + (s3 / den) * (s3 / den) / (m.n - 3)) AS q_stat,
-        |       3 * pow(1 - CAST(2 AS DOUBLE) / 27 +
-        |         1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / 27), 3) AS crit
+        |       CAST(7.814727903251179 AS DOUBLE) AS crit
         |      FROM a, m)
         |SELECT n, 3 AS max_lag, round(q_stat, 6) AS q_stat,
         | round(crit, 6) AS crit_05, q_stat > crit AS reject_05
@@ -2552,13 +2551,13 @@ object RelationalQueries {
         |  ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT))
         |  END AS bin FROM v, b),
         |cells AS (SELECT s, bin, count(*) AS c FROM bn GROUP BY s, bin),
-        |pool AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY bin),
         |nb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM cells),
         |per AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY s),
         |grid AS (SELECT per.s, per.n, g.bin,
         |   CAST(coalesce(cells.c, 0) AS BIGINT) AS c
         |  FROM per CROSS JOIN (SELECT unnest(range(10)) AS bin) g
         |  LEFT JOIN cells ON cells.s = per.s AND cells.bin = g.bin),
+        |pool AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM grid GROUP BY bin),
         |raw AS (SELECT g.s, g.n, round(sum(
         |   ((CAST(g.c AS DOUBLE) + 0.5) / (CAST(g.n AS DOUBLE) + 5)
         |    - (CAST(pool.cb AS DOUBLE) + 0.5) / (CAST(nb.nb AS DOUBLE) + 5))
@@ -2685,10 +2684,16 @@ object RelationalQueries {
         | round(((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)), 6) AS f,
         | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
         | round((sb - ts * ts / n) / (tss - ts * ts / n), 6) AS eta_sq,
-        | ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) * (k - 1) >
-        |   (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        | CASE WHEN (n - k) < 20 * (k - 1) THEN NULL
+        |  ELSE ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k))
+        |    * (k - 1) >
+        |   CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |    WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |    ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
         |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
-        |   AS reject_05
+        |   END END AS reject_05
         |FROM t""".stripMargin,
 
     "q_kruskal" ->
@@ -2712,9 +2717,13 @@ object RelationalQueries {
         |        / (1 - (SELECT tie FROM tie)
         |          / (CAST(n AS DOUBLE) * n * n - n)) AS h,
         |       CAST(k - 1 AS BIGINT) AS df,
-        |       (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |       CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |        WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |        WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |        WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |        ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
         |         1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))),
-        |         3) AS crit
+        |         3) END AS crit
         |      FROM tt)
         |SELECT k, n, round(h, 6) AS h, df, round(crit, 6) AS crit_05,
         | h > crit AS reject_05
@@ -2733,10 +2742,16 @@ object RelationalQueries {
         | round(((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)), 6) AS f,
         | CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
         | round((sb - ts * ts / n) / (tss - ts * ts / n), 6) AS eta_sq,
-        | ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) * (k - 1) >
-        |   (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        | CASE WHEN (n - k) < 20 * (k - 1) THEN NULL
+        |  ELSE ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k))
+        |    * (k - 1) >
+        |   CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |    WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |    ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
         |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
-        |   AS reject_05
+        |   END END AS reject_05
         |FROM t""".stripMargin,
 
     // same three raters, same pairwise-agreement and marginal algebra
@@ -3410,8 +3425,7 @@ object RelationalQueries {
         |   (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1)
         |     * (abs(CAST(n_only_a AS DOUBLE) - n_only_b) - 1)
         |     / (n_only_a + n_only_b) AS chi2,
-        |   pow(1 - CAST(2 AS DOUBLE) / 9 +
-        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / 9), 3) AS crit
+        |   CAST(3.841458820694124 AS DOUBLE) AS crit
         |  FROM g)
         |SELECT n, n_both_right, n_only_a, n_only_b, n_both_wrong,
         | round(chi2, 6) AS chi2, round(crit, 6) AS crit_05,

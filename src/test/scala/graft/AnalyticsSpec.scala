@@ -482,8 +482,7 @@ class AnalyticsSpec extends SparkSuite {
     val r = Analytics.ljungBox(s, Seq(col("t")), col("x"), maxLag = 2).head()
     assert(r.getAs[Long]("n") == 5 && r.getAs[Int]("max_lag") == 2)
     assert(r.getAs[Double]("q_stat") == 1.516667, s"$r")
-    val crit = 2 * math.pow(1.0 - 1.0 / 9 +
-      1.644853626951473 * math.sqrt(1.0 / 9), 3)
+    val crit = 5.991464547107979 // exact chi2_0.95(2): small-df table arm
     assert(math.abs(r.getAs[Double]("crit_05") - crit) < 1e-6)
     assert(!r.getAs[Boolean]("reject_05"))
     // a lag with no pairs -> NULL Q and verdict
@@ -529,6 +528,13 @@ class AnalyticsSpec extends SparkSuite {
     val mixed = Seq((0.11, 0), (0.19, 1)).toDF("s", "y")
     val rm = Analytics.brierDecomposition(mixed, col("s"), col("y")).head()
     assert(rm.getAs[Double]("residual") != 0.0, s"$rm")
+    // a non-null score with a NULL label drops ENTIRELY (not counted in
+    // the bin's n with its label skipped): result equals the clean frame
+    val withNull = Seq((Some(0.1), Some(0)), (Some(0.1), Some(0)),
+      (Some(0.3), Some(1)), (Some(0.9), Some(1)), (Some(0.5), None))
+      .toDF("s", "y")
+    val rn = Analytics.brierDecomposition(withNull, col("s"), col("y")).head()
+    assert(rn == r, s"$rn vs $r")
   }
 
   test("clusterAgreement NMI == mutualInformation mi/sqrt(h_a*h_b) (independent impls)") {
@@ -564,6 +570,24 @@ class AnalyticsSpec extends SparkSuite {
     val solo = Analytics.psiBySlice(a.toDF("s", "v"), col("s"), col("v"))
       .head()
     assert(solo.getDouble(2) < 0.01 && !solo.getBoolean(3), s"$solo")
+    // bins empty across EVERY slice still carry their smoothing mass —
+    // the pooled histogram rolls up from the zero-filled grid, matching
+    // psiOverTime. Values {0,10} x2 vs {0,0,10}: bins 1..8 empty in
+    // both slices; hand-computed PSI includes all 10 terms.
+    val gap = Seq(("A", 0.0), ("A", 10.0), ("B", 0.0), ("B", 0.0),
+      ("B", 10.0)).toDF("s", "v")
+    val rg = Analytics.psiBySlice(gap, col("s"), col("v"), bins = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    def psi(cs: Seq[Double], n: Double, pool: Seq[Double], nb: Double) =
+      BigDecimal(cs.zip(pool).map { case (c, cb) =>
+        val p = (c + 0.5) / (n + 5); val q = (cb + 0.5) / (nb + 5)
+        (p - q) * math.log(p / q)
+      }.sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pool = Seq(3.0) ++ Seq.fill(8)(0.0) ++ Seq(2.0)
+    val expA = psi(Seq(1.0) ++ Seq.fill(8)(0.0) ++ Seq(1.0), 2, pool, 5)
+    val expB = psi(Seq(2.0) ++ Seq.fill(8)(0.0) ++ Seq(1.0), 3, pool, 5)
+    assert(math.abs(rg("A") - expA) < 1e-9 &&
+      math.abs(rg("B") - expB) < 1e-9, s"$rg vs ($expA, $expB)")
   }
 
   test("clusterAgreement: hand-computed purity/NMI/ARI, perfect = 1s, degenerate NULLs") {
@@ -2706,7 +2730,9 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("f") == 13.5, s"$r")
     assert(r.getAs[Long]("df1") == 1 && r.getAs[Long]("df2") == 4)
     assert(r.getAs[Double]("eta_sq") == 0.771429, s"$r")
-    assert(r.getAs[Boolean]("reject_05"), s"$r")
+    // df2 = 4 < 20*df1: the chi2 limit over-rejects here, so the
+    // verdict is NULL by contract (not a wrong boolean)
+    assert(r.isNullAt(r.fieldIndex("reject_05")), s"$r")
     // one group -> NULL F; zero within-variance -> NULL F
     assert(Analytics.anovaF(df.where(col("g") === "A"), col("v"), col("g"))
       .head().isNullAt(2))
@@ -2723,9 +2749,7 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 6)
     assert(r.getAs[Double]("h") == 3.857143, s"$r")
     assert(r.getAs[Long]("df") == 1)
-    // Wilson-Hilferty chi2_0.95(1) = (1 - 2/9 + 1.6449 sqrt(2/9))^3
-    val crit = math.pow(1.0 - 2.0 / 9 +
-      1.644853626951473 * math.sqrt(2.0 / 9), 3)
+    val crit = 3.841458820694124 // exact chi2_0.95(1): small-df table arm
     assert(math.abs(r.getAs[Double]("crit_05") - crit) < 1e-6)
     assert(r.getAs[Boolean]("reject_05") == (3.857143 > crit))
     // ties: A = (1,1,2), B = (2,3,3): avg ranks 1.5/3.5/5.5,
