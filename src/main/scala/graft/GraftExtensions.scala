@@ -159,6 +159,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue()))
     inject("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings",
       exprs => JaroWinkler(exprs.head, exprs(1)))
+    inject("lcs_len", "lcs_len(a, b) - longest-common-subsequence length of two token arrays",
+      exprs => LcsLen(exprs.head, exprs(1)))
     inject("normalize_text", "normalize_text(text, form, strip_accents, case_fold) - Unicode-normalized text",
       exprs => NormalizeText(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,

@@ -177,6 +177,8 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Boolean]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lcs_len", exprs => LcsLen(exprs.head, exprs(1)), "built-in")
   }
 
   /** tokens array<string> → 64-bit simhash. */
@@ -202,6 +204,11 @@ object GraftFunctions {
     * DuckDB-compatible). */
   def jaroWinkler(a: Column, b: Column): Column =
     GraftColumn(JaroWinkler(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Longest-common-subsequence length of two token arrays (ROUGE-L
+    * kernel). */
+  def lcsLen(a: Column, b: Column): Column =
+    GraftColumn(LcsLen(GraftColumn.expr(a), GraftColumn.expr(b)))
 
   /** Fused-loop cosine similarity of two vectors. */
   def cosineSim(a: Column, b: Column): Column =

@@ -274,8 +274,11 @@ object Similarity {
     * `xxhash64(vec)` with the full vector second: the exchange and the
     * in-partition sort compare one long and fall back to the 64-float
     * array only on hash ties, so exactness is untouched while the sort
-    * stops paying per-row array comparisons (the r12→r13 drift fix;
-    * 6.3s → measured in BENCH_r13). */
+    * stops paying per-row array comparisons. (The r12 `sim_semdedup`
+    * 4.6→6.3s bench drift itself adjudicated as box noise: r12 code on
+    * an idle r13 box ran 5.32s, and the query's floor is its own
+    * brute-force truth pass — operator 1.2s warm vs 3.1-3.7s for the
+    * 2M-pair verdict join, r13 in-session profile.) */
   private def replicaMarked(corpus: DataFrame, idCol: String,
       vecCol: String, minCos: Double, scoreDp: Int): DataFrame =
     corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))

@@ -314,8 +314,9 @@ object TextFunctions {
     * regressed to 12.4s with no code change (BENCH_r12, judge-
     * reproduced 11.8s); the runtime-n flatten∘transform∘transform
     * fusion measured 13.7s (r12 in-session, measured-rejected); this
-    * concat-of-static-transforms form measured 2.9s at sf0.1
-    * (BENCH_r13). */
+    * concat-of-static-transforms form measured 2.7s at sf0.1 (r13
+    * in-session min-of-2; the round's driver number lands in
+    * BENCH_r13/bench_history). */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
@@ -381,6 +382,54 @@ object TextFunctions {
       coalesce(col("chrp"), lit(0.0)).as("chrp"),
       coalesce(col("chrr"), lit(0.0)).as("chrr"),
       col("n_orders"))
+  }
+
+  /** Corpus ROUGE-L (Lin, ACL 2004 §3): sentence-level LCS-based
+    * F_β between candidate and reference token sequences, averaged
+    * over pairs — the summarization-eval standard beside BLEU (chrF's
+    * contiguous-gram complement: LCS credits in-order content with
+    * arbitrary gaps). Per pair, over whitespace tokens:
+    *
+    *   P = LCS/|cand|,  R = LCS/|ref|,
+    *   F_β = (1+β²)·P·R / (R + β²·P)    (0 when LCS = 0)
+    *
+    * Pairs where either side tokenizes empty are excluded (P/R
+    * undefined) and counted in `n_skipped`; NULL sides drop up front.
+    * Returns one row: (n_pairs, n_skipped, avg_p, avg_r, avg_f).
+    *
+    * Scale shape: ONE scan — the [[LcsLen]] native expression runs the
+    * two-row DP per row in-scan (O(|c|·|r|) per pair, the edit-distance
+    * cost class), and the corpus rollup is a 1-row aggregate; no
+    * shuffle beyond the final partial-agg exchange. */
+  def rougeL(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      beta: Double = 1.0, dp: Int = 6): DataFrame = {
+    require(beta > 0, s"beta must be positive, got $beta")
+    val b2 = beta * beta
+    // tokensWs("") yields [""] — blank sides must tokenize EMPTY so the
+    // skip contract sees them
+    def toks(c: Column) =
+      when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(tokensWs(c))
+    val per = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(toks(col(candCol)).as("__c"), toks(col(refCol)).as("__r"))
+      .select(size(col("__c")).as("__nc"), size(col("__r")).as("__nr"),
+        GraftFunctions.lcsLen(col("__c"), col("__r")).as("__lcs"))
+    val scored = per.select(col("__nc"), col("__nr"), col("__lcs"),
+      when(col("__nc") > 0 && col("__nr") > 0,
+        col("__lcs").cast("double") / col("__nc")).as("__p"),
+      when(col("__nc") > 0 && col("__nr") > 0,
+        col("__lcs").cast("double") / col("__nr")).as("__r"))
+    scored.agg(
+        count(col("__p")).as("n_pairs"),
+        (count(lit(1L)) - count(col("__p"))).as("n_skipped"),
+        avg(col("__p")).as("__ap"), avg(col("__r")).as("__ar"),
+        avg(when(col("__p") + col("__r") > 0.0,
+            lit(1 + b2) * col("__p") * col("__r") /
+              (col("__r") + lit(b2) * col("__p")))
+          .otherwise(when(col("__p").isNotNull, lit(0.0)))).as("__af"))
+      .select(col("n_pairs"), col("n_skipped"),
+        round(col("__ap"), dp).as("avg_p"), round(col("__ar"), dp).as("avg_r"),
+        round(col("__af"), dp).as("avg_f"))
   }
 
   /** Interpolated Kneser–Ney bigram perplexity per group (Kneser & Ney,

@@ -502,6 +502,182 @@ object Analytics {
         .as("kappa"))
   }
 
+  /** Krippendorff's α (nominal data; Krippendorff, Content Analysis
+    * §12): the agreement coefficient that SURVIVES missing ratings —
+    * unlike [[fleissKappa]], which silently assumes comparable rating
+    * counts, α is defined on whatever (item, label) ratings exist,
+    * weighting each item's pairable ratings by 1/(m_u−1). Real
+    * annotation tables (multi-rater labeling with skips) need exactly
+    * this. Nominal distance metric; α = 1 − D_o/D_e over the
+    * coincidence matrix, computed WITHOUT materializing the matrix:
+    *
+    *   Σ_{c≠k} o_ck = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1)
+    *   n_c = Σ_k o_ck = Σ_u n_uc   (items with m_u ≥ 2)
+    *   α = 1 − (n−1) · Σ_{c≠k} o_ck / (n² − Σ_c n_c²)
+    *
+    * Items with fewer than 2 ratings carry no pairable values and are
+    * excluded everywhere (the standard treatment). α is NULL when no
+    * item is pairable or when every rating is one label (D_e = 0).
+    * Returns (n_items, n_ratings, n_labels, alpha).
+    *
+    * Scale shape: one (item, label) rollup, one item rollup, one label
+    * rollup — the [[fleissKappa]] exchanges exactly; nothing is
+    * corpus-sized past the first rollup. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      labelCol: String, dp: Int = 6): DataFrame = {
+    val cell = ratings.groupBy(col(itemCol).as("__i"),
+        col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1L)).as("__nuc"))
+      .localCheckpoint(true) // item rollup + label marginals both read it
+    val perItem = cell.groupBy("__i").agg(
+        sum(col("__nuc")).as("__mu"),
+        sum(col("__nuc") * col("__nuc")).as("__sq"))
+      .where(col("__mu") >= 2)
+    val items = perItem.agg(count(lit(1L)).as("n_items"),
+      coalesce(sum((col("__mu").cast("double") * col("__mu") - col("__sq")) /
+        (col("__mu") - 1).cast("double")), lit(0.0)).as("__do"))
+    val marg = cell.join(perItem.select("__i"), "__i")
+      .groupBy("__l").agg(sum(col("__nuc")).as("__nc"))
+      .agg(count(lit(1L)).as("n_labels"), sum(col("__nc")).as("__n"),
+        sum(col("__nc").cast("double") * col("__nc")).as("__nc2"))
+    val deNum = col("__n").cast("double") * col("__n") - col("__nc2")
+    items.crossJoin(marg).select(
+      col("n_items"), coalesce(col("__n"), lit(0L)).as("n_ratings"),
+      col("n_labels"),
+      when(col("n_items") === 0 || deNum <= 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) -
+          (col("__n") - 1).cast("double") * col("__do") / deNum, dp))
+        .as("alpha"))
+  }
+
+  /** Bradley–Terry paired-preference strengths (Bradley & Terry 1952)
+    * by Hunter's MM iteration (Hunter, Annals of Statistics 2004):
+    *
+    *   π_i ← W_i / Σ_{j≠i} n_ij/(π_i + π_j),   then normalize Σπ = 1
+    *
+    * over a (winner, loser) preference-pair table — the QA fit for
+    * RLHF/eval preference data: strengths expose annotator drift and
+    * item quality that raw win rates (ignoring opponent strength)
+    * miss. Self-pairs and NULL sides drop. Items are BOUNDED by
+    * contract (`maxItems`, default 4096 — models/sources/langs, not
+    * documents): one corpus rollup to the ≤items² pairwise-count
+    * table, which is collected and iterated on the DRIVER (the
+    * IPF/PAV bounded-driver discipline; unlike logisticRegressionGD
+    * there is no per-iteration scan at all). Exactly `iters` MM steps
+    * from the uniform start — a FIXED trajectory, so the oracle can
+    * unroll the identical recursion in SQL (the eval_logreg
+    * precedent); items that never lose would diverge under exact MLE
+    * (it does not exist), the fixed iteration count keeps both sides
+    * finite and identical. Returns (item, n_wins, n_games, strength)
+    * ordered by item. */
+  def bradleyTerry(df: DataFrame, winner: Column, loser: Column,
+      iters: Int = 20, maxItems: Int = 4096, dp: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(winner.cast("string").as("__w"),
+        loser.cast("string").as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val pc = base.groupBy("__w", "__l").agg(count(lit(1L)).as("__c"))
+      .limit(maxItems * maxItems + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val itemSeq = pc.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    require(itemSeq.length <= maxItems,
+      s"bradleyTerry: ${itemSeq.length} items exceeds maxItems=$maxItems " +
+        "(items are models/sources/raters, not documents)")
+    require(itemSeq.nonEmpty, "bradleyTerry needs at least one decided pair")
+    val idx = itemSeq.zipWithIndex.toMap
+    val k = itemSeq.length
+    val wins = new Array[Double](k)
+    val games = new Array[Double](k)
+    val nij = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    pc.foreach { case (w, l, c) =>
+      val (i, j) = (idx(w), idx(l))
+      wins(i) += c; games(i) += c; games(j) += c
+      val key = if (i < j) (i, j) else (j, i)
+      nij(key) = nij.getOrElse(key, 0.0) + c
+    }
+    var pi = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to iters) {
+      val denom = new Array[Double](k)
+      nij.foreach { case ((i, j), n) =>
+        val d = n / (pi(i) + pi(j))
+        denom(i) += d; denom(j) += d
+      }
+      val raw = Array.tabulate(k)(i =>
+        if (denom(i) > 0) wins(i) / denom(i) else 0.0)
+      val s = raw.sum
+      pi = if (s > 0) raw.map(_ / s) else raw
+    }
+    def rd(x: Double) = BigDecimal(x).setScale(dp,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    itemSeq.indices.map(i => (itemSeq(i), wins(i).toLong, games(i).toLong,
+        rd(pi(i))))
+      .toDF("item", "n_wins", "n_games", "strength")
+      .orderBy("item")
+  }
+
+  /** Preference-transitivity audit over the same (winner, loser) table
+    * as [[bradleyTerry]]: build the MAJORITY tournament (edge i→j when
+    * i beats j strictly more often than j beats i; ties undecided),
+    * then count directed 3-cycles (i→j→k→i — the Condorcet
+    * inconsistencies that make a preference dataset unfit to fit) among
+    * the triangles whose three pairs are all decided. Returns one row:
+    * (n_items, n_decided_pairs, n_triangles, n_cycles, cycle_rate)
+    * with cycle_rate = cycles/triangles (NULL when no triangle is
+    * fully decided).
+    *
+    * Scale shape: ONE corpus rollup to unordered-pair win counts
+    * (≤ items² rows); the majority-edge table and both triple joins run
+    * on that bounded table — broadcast equi-joins, never the corpus. */
+  def preferenceCycles(df: DataFrame, winner: Column,
+      loser: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(winner.cast("string").as("__w"),
+        loser.cast("string").as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val pair = base.select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__aw"))
+      .groupBy("__a", "__b")
+      .agg(sum(col("__aw")).as("__wa"),
+        (count(lit(1L)) - sum(col("__aw"))).as("__wb"))
+      .localCheckpoint(true) // edges + item count read it
+    val edges = pair.where(col("__wa") =!= col("__wb"))
+      .select(when(col("__wa") > col("__wb"), col("__a"))
+          .otherwise(col("__b")).as("__u"),
+        when(col("__wa") > col("__wb"), col("__b"))
+          .otherwise(col("__a")).as("__v"))
+      .localCheckpoint(true) // read by the two triple joins
+    val nItems = pair.select(explode(array(col("__a"), col("__b")))
+      .as("__i")).distinct().count()
+    // undirected decided triangles: a<b<c with all three pairs decided
+    val und = edges.select(least(col("__u"), col("__v")).as("__a"),
+      greatest(col("__u"), col("__v")).as("__b"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.__b") === col("e2.__a"))
+      .join(und.as("e3"), col("e3.__a") === col("e1.__a") &&
+        col("e3.__b") === col("e2.__b"))
+      .count()
+    // directed 3-cycles, canonicalized to start at the smallest item
+    val cyc = edges.as("d1")
+      .join(edges.as("d2"), col("d1.__v") === col("d2.__u"))
+      .join(edges.as("d3"), col("d2.__v") === col("d3.__u") &&
+        col("d3.__v") === col("d1.__u"))
+      .where(col("d1.__u") < col("d2.__u") && col("d1.__u") < col("d3.__u"))
+      .count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nItems, edges.count(), tri, cyc)).toDF(
+        "n_items", "n_decided_pairs", "n_triangles", "n_cycles")
+      .select(col("n_items"), col("n_decided_pairs"), col("n_triangles"),
+        col("n_cycles"),
+        when(col("n_triangles") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_cycles").cast("double") /
+            col("n_triangles"), dp)).as("cycle_rate"))
+  }
+
   /** Effective sample size and Kish design effect of a weighted corpus:
     * `ESS = (Σw)²/Σw²`, `deff = n·Σw²/(Σw)²` — what a reweighting
     * (raking, importance sampling, DSIR) actually cost in statistical

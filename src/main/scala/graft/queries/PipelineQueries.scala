@@ -3345,6 +3345,60 @@ object PipelineQueries {
           round(col("chrr"), 6).as("chrr"), col("n_orders"))
     }),
 
+    // ROUGE-L over a PLANTED construction whose LCS is analytically
+    // known: replace every 5th token (original index) with a
+    // doc-unique OOV marker, delete every 7th — OOV tokens match
+    // nothing and the surviving originals are a common subsequence, so
+    // LCS = #(i: i%5!=0 and i%7!=0) EXACTLY, however repetitive the
+    // vocabulary. The engine runs the real [[LcsLen]] DP; the oracle
+    // recomputes the closed form from token counts.
+    "eval_rouge_l" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val marked = transform(toks, (t, i) =>
+        when(i % 5 === 0, concat(lit("@"), col("doc_id").cast("string"),
+          lit("_"), i.cast("string"))).otherwise(t))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", filter(marked, (_, i) => i % 7 =!= 0)).as("cand"),
+        col("text").as("ref"))
+      TF.rougeL(pairs, "doc_id", "cand", "ref", beta = 1.0)
+    }),
+
+    // Bradley-Terry strengths over deterministic preference pairs:
+    // consecutive docs "compete", the longer one wins, items are the
+    // langs — the RLHF preference-data QA fit. The oracle unrolls the
+    // identical 20-step MM recursion as a CTE chain (the eval_logreg
+    // discipline).
+    "eval_bradley_terry" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("lang").as("la"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        col("lang").as("lb"), col("n_chars").as("cb"))
+      val m = a.join(b, "doc_id").where(col("ca") =!= col("cb"))
+      graft.ops.Analytics.bradleyTerry(
+        m.select(
+          when(col("ca") > col("cb"), col("la")).otherwise(col("lb")).as("w"),
+          when(col("ca") > col("cb"), col("lb")).otherwise(col("la")).as("l")),
+        col("w"), col("l"), iters = 20)
+    }),
+
+    // Transitivity audit of the same preference pairs: majority
+    // tournament over langs, directed 3-cycle (Condorcet) rate among
+    // fully-decided triangles.
+    "eval_pref_cycles" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("lang").as("la"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        col("lang").as("lb"), col("n_chars").as("cb"))
+      val m = a.join(b, "doc_id").where(col("ca") =!= col("cb"))
+      graft.ops.Analytics.preferenceCycles(
+        m.select(
+          when(col("ca") > col("cb"), col("la")).otherwise(col("lb")).as("w"),
+          when(col("ca") > col("cb"), col("lb")).otherwise(col("la")).as("l")),
+        col("w"), col("l"))
+    }),
+
     // Sentence-aware chunking over synthesized sentence breaks (the
     // corpus has no punctuation — a period every 5 words, glued to the
     // 5th word so whitespace-token mass is INVARIANT): per-doc verdicts
@@ -7276,6 +7330,105 @@ object PipelineQueries {
         | round(coalesce(chrp, 0), 6) AS chrp,
         | round(coalesce(chrr, 0), 6) AS chrr, n_orders
         |FROM ag""".stripMargin,
+
+    // the planted-construction closed form: LCS = #(i: i%5!=0, i%7!=0)
+    // per doc (OOV replacements match nothing; surviving originals ARE
+    // a common subsequence), kept = n - ceil(n/7)
+    "eval_rouge_l" ->
+      """WITH d AS (SELECT len(string_split_regex(trim(text), '\s+')) AS n
+        |       FROM documents),
+        |per AS (SELECT n,
+        |  n - ceil(CAST(n AS DOUBLE) / 7) AS kept,
+        |  n - ceil(CAST(n AS DOUBLE) / 5) - ceil(CAST(n AS DOUBLE) / 7)
+        |    + ceil(CAST(n AS DOUBLE) / 35) AS lcs FROM d),
+        |sc AS (SELECT
+        |  CASE WHEN kept > 0 AND n > 0 THEN lcs / kept END AS p,
+        |  CASE WHEN kept > 0 AND n > 0 THEN lcs / CAST(n AS DOUBLE) END AS r
+        | FROM per)
+        |SELECT CAST(count(p) AS BIGINT) AS n_pairs,
+        | CAST(count(*) - count(p) AS BIGINT) AS n_skipped,
+        | round(avg(p), 6) AS avg_p, round(avg(r), 6) AS avg_r,
+        | round(avg(CASE WHEN p IS NULL THEN NULL WHEN p + r > 0
+        |   THEN 2 * p * r / (p + r) ELSE CAST(0 AS DOUBLE) END), 6) AS avg_f
+        |FROM sc""".stripMargin,
+
+    // the full 20-step MM recursion unrolled lockstep with the engine
+    // (the eval_logreg discipline): same uniform start, same per-step
+    // normalization, same fixed iteration count
+    "eval_bradley_terry" -> {
+      val iters = 20
+      // AS MATERIALIZED is load-bearing: each step references the
+      // previous one 3 times, and DuckDB's default CTE inlining would
+      // re-expand the chain ~3^20 times (measured: "too many open
+      // files" from re-opening the base parquet)
+      val chain = (1 to iters).map { t =>
+        s"""it$t AS MATERIALIZED (SELECT sym.i, w.wi,
+           |  coalesce(w.wi, CAST(0 AS DOUBLE))
+           |    / sum(sym.nij / (a.s + b.s)) AS raw
+           | FROM sym JOIN it${t - 1}n a ON a.i = sym.i
+           | JOIN it${t - 1}n b ON b.i = sym.j
+           | LEFT JOIN wins w ON w.i = sym.i GROUP BY sym.i, w.wi),
+           |it${t}n AS MATERIALIZED (SELECT i,
+           |  raw / (SELECT sum(raw) FROM it$t) AS s
+           | FROM it$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (SELECT
+         |  CASE WHEN a.n_chars > b.n_chars THEN a.lang ELSE b.lang END AS w,
+         |  CASE WHEN a.n_chars > b.n_chars THEN b.lang ELSE a.lang END AS l
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         | WHERE a.n_chars <> b.n_chars),
+         |g AS (SELECT w AS i, l AS j, CAST(count(*) AS DOUBLE) AS nij
+         | FROM m WHERE w <> l GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT i, j, sum(nij) AS nij FROM
+         |  (SELECT i, j, nij FROM g UNION ALL SELECT j, i, nij FROM g)
+         | GROUP BY 1, 2),
+         |wins AS MATERIALIZED (SELECT i, sum(nij) AS wi FROM g GROUP BY 1),
+         |games AS (SELECT i, CAST(sum(nij) AS BIGINT) AS ng FROM sym
+         | GROUP BY 1),
+         |k AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS k FROM sym),
+         |it0n AS MATERIALIZED (SELECT DISTINCT sym.i,
+         |  CAST(1 AS DOUBLE) / k.k AS s
+         | FROM sym, k),
+         |$chain
+         |SELECT f.i AS item,
+         | CAST(coalesce(w.wi, 0) AS BIGINT) AS n_wins, games.ng AS n_games,
+         | round(f.s, 6) AS strength
+         |FROM it${iters}n f LEFT JOIN wins w ON w.i = f.i
+         |JOIN games ON games.i = f.i
+         |ORDER BY item""".stripMargin
+    },
+
+    // majority tournament + directed-triangle algebra restated directly
+    "eval_pref_cycles" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN a.n_chars > b.n_chars THEN a.lang ELSE b.lang END AS w,
+        |  CASE WHEN a.n_chars > b.n_chars THEN b.lang ELSE a.lang END AS l
+        | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        | WHERE a.n_chars <> b.n_chars),
+        |pair AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+        |  CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+        |  CAST(count(*) - sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wb
+        | FROM m WHERE w <> l GROUP BY 1, 2),
+        |edges AS (SELECT CASE WHEN wa > wb THEN a ELSE b END AS u,
+        |   CASE WHEN wa > wb THEN b ELSE a END AS v
+        |  FROM pair WHERE wa <> wb),
+        |items AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM
+        |  (SELECT a AS i FROM pair UNION ALL SELECT b FROM pair)),
+        |und AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM edges),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM und e1
+        |  JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cyc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM edges d1
+        |  JOIN edges d2 ON d1.v = d2.u
+        |  JOIN edges d3 ON d2.v = d3.u AND d3.v = d1.u
+        |  WHERE d1.u < d2.u AND d1.u < d3.u)
+        |SELECT items.n AS n_items,
+        | (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_decided_pairs,
+        | tri.t AS n_triangles, cyc.c AS n_cycles,
+        | CASE WHEN tri.t = 0 THEN NULL
+        |  ELSE round(CAST(cyc.c AS DOUBLE) / tri.t, 6) END AS cycle_rate
+        |FROM items, tri, cyc""".stripMargin,
 
     "pipeline_neyman" ->
       """WITH s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,

@@ -965,6 +965,22 @@ object RelationalQueries {
         "item", "label")
     }),
 
+    // Krippendorff's alpha over the SAME three raters WITH planted
+    // missing ratings (rater 2 skips doc_id%4==0, rater 3 skips
+    // doc_id%5==1 — docs hitting both are single-rated and excluded):
+    // the agreement statistic that survives exactly this.
+    "q_krippendorff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def rater(k: Int) = d.select(col("doc_id").as("item"),
+        when(col("n_chars") + (col("doc_id") * k) % 41 >= 300, "long")
+          .otherwise("short").as("label"))
+      Analytics.krippendorffAlpha(
+        rater(11)
+          .unionByName(rater(23).where(col("item") % 4 =!= 0))
+          .unionByName(rater(37).where(col("item") % 5 =!= 1)),
+        "item", "label")
+    }),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -2783,6 +2799,39 @@ object RelationalQueries {
         |    / (1 - mg.sq / (CAST(mg.tot AS DOUBLE) * mg.tot)), 6) END
         |   AS kappa
         |FROM pb, mg""".stripMargin,
+
+    // same three raters with the planted skips; the coincidence-matrix
+    // identities restated: Do = sum_u (mu^2 - sum_c n_uc^2)/(mu-1),
+    // n_c = sum_u n_uc over pairable items, De = n^2 - sum n_c^2
+    "q_krippendorff" ->
+      """WITH r AS (
+        | SELECT doc_id AS item, CASE WHEN n_chars + (doc_id * 11) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END AS label FROM documents
+        | UNION ALL SELECT doc_id, CASE WHEN n_chars + (doc_id * 23) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END FROM documents
+        |   WHERE doc_id % 4 <> 0
+        | UNION ALL SELECT doc_id, CASE WHEN n_chars + (doc_id * 37) % 41
+        |   >= 300 THEN 'long' ELSE 'short' END FROM documents
+        |   WHERE doc_id % 5 <> 1),
+        |cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nuc
+        | FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(nuc) AS BIGINT) AS mu,
+        |  CAST(sum(nuc * nuc) AS BIGINT) AS sq
+        | FROM cell GROUP BY 1 HAVING sum(nuc) >= 2),
+        |dn AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  coalesce(sum((CAST(mu AS DOUBLE) * mu - sq)
+        |    / CAST(mu - 1 AS DOUBLE)), 0) AS do_ FROM pi),
+        |ma AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        |  CAST(sum(nc) AS BIGINT) AS n,
+        |  sum(CAST(nc AS DOUBLE) * nc) AS nc2 FROM (
+        |   SELECT c.label, CAST(sum(c.nuc) AS BIGINT) AS nc
+        |   FROM cell c JOIN pi ON c.item = pi.item GROUP BY 1))
+        |SELECT dn.n_items, coalesce(ma.n, 0) AS n_ratings, ma.n_labels,
+        | CASE WHEN dn.n_items = 0
+        |   OR (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2) <= 0 THEN NULL
+        |  ELSE round(1 - CAST(ma.n - 1 AS DOUBLE) * dn.do_
+        |    / (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2), 6) END AS alpha
+        |FROM dn, ma""".stripMargin,
 
     // same raters, same confusion-rollup marginal algebra
     "q_kappa" ->

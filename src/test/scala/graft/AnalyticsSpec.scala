@@ -457,6 +457,104 @@ class AnalyticsSpec extends SparkSuite {
     assert(rs.isNullAt(5) && rs.isNullAt(7), s"$rs")
   }
 
+  test("bradleyTerry: closed-form 2-item fit, chain ordering, 0-win finiteness") {
+    import spark.implicits._
+    // A beats B 3-1: MM fixed point pi_A = W_A/n = 0.75 (reached in one
+    // step, stable thereafter)
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq.fill(1)(("B", "A")))
+      .toDF("w", "l")
+    val r = Analytics.bradleyTerry(ab, col("w"), col("l"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map("A" -> ((3L, 4L, 0.75)), "B" -> ((1L, 4L, 0.25))), s"$r")
+    // transitive chain: strengths respect the order
+    val chain = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("A", "C")).toDF("w", "l")
+    val s = Analytics.bradleyTerry(chain, col("w"), col("l"))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s"$s")
+    // an item that never loses stays FINITE (fixed iteration contract)
+    val nw = Seq(("A", "B"), ("A", "B")).toDF("w", "l")
+    val f = Analytics.bradleyTerry(nw, col("w"), col("l"))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(f == Map("A" -> 1.0, "B" -> 0.0), s"$f")
+    // self-pairs and NULL sides drop; nothing left -> loud failure
+    val junk = Seq(("A", "A"), (null, "B")).toDF("w", "l")
+    intercept[IllegalArgumentException] {
+      Analytics.bradleyTerry(junk, col("w"), col("l"))
+    }
+  }
+
+  test("preferenceCycles: planted Condorcet cycle, transitive zero, tie-undecided NULL") {
+    import spark.implicits._
+    // majority cycle A>B, B>C, C>A (2-1 each): 1 triangle, 1 cycle
+    val cyc = (Seq.fill(2)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(2)(("B", "C")) ++ Seq(("C", "B")) ++
+      Seq.fill(2)(("C", "A")) ++ Seq(("A", "C"))).toDF("w", "l")
+    val r = Analytics.preferenceCycles(cyc, col("w"), col("l")).head()
+    assert(r.getAs[Long]("n_items") == 3 &&
+      r.getAs[Long]("n_decided_pairs") == 3 &&
+      r.getAs[Long]("n_triangles") == 1 && r.getAs[Long]("n_cycles") == 1 &&
+      r.getAs[Double]("cycle_rate") == 1.0, s"$r")
+    // transitive tournament: same triangle, zero cycles
+    val tr = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("w", "l")
+    val rt = Analytics.preferenceCycles(tr, col("w"), col("l")).head()
+    assert(rt.getAs[Long]("n_triangles") == 1 &&
+      rt.getAs[Long]("n_cycles") == 0 &&
+      rt.getAs[Double]("cycle_rate") == 0.0, s"$rt")
+    // a tied pair is UNDECIDED: no edge, no triangle, NULL rate
+    val tie = Seq(("A", "B"), ("B", "A")).toDF("w", "l")
+    val rx = Analytics.preferenceCycles(tie, col("w"), col("l")).head()
+    assert(rx.getAs[Long]("n_decided_pairs") == 0 &&
+      rx.isNullAt(rx.fieldIndex("cycle_rate")), s"$rx")
+  }
+
+  test("krippendorffAlpha: brute-force coincidence differential with missing ratings; edges") {
+    import spark.implicits._
+    // independent reference: literal coincidence-matrix walk
+    def brute(ratings: Seq[(Int, String)]): Option[Double] = {
+      val byItem = ratings.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .filter(_._2.size >= 2)
+      if (byItem.isEmpty) return None
+      val o = scala.collection.mutable.Map.empty[(String, String), Double]
+      byItem.values.foreach { vs =>
+        val m = vs.size
+        for (g <- vs.indices; h <- vs.indices if g != h)
+          o((vs(g), vs(h))) = o.getOrElse((vs(g), vs(h)), 0.0) + 1.0 / (m - 1)
+      }
+      val labels = byItem.values.flatten.toSeq.distinct
+      val n = o.values.sum
+      val doNum = o.collect { case ((c, k), v) if c != k => v }.sum
+      val deNum = n * n - labels.map(c =>
+        labels.map(k => o.getOrElse((c, k), 0.0)).sum).map(x => x * x).sum
+      if (deNum <= 0) None else Some(1 - (n - 1) * doNum / deNum)
+    }
+    val rng = new scala.util.Random(29)
+    val ratings = (0 until 30).flatMap { i =>
+      Seq.fill(1 + rng.nextInt(4))((i, s"l${rng.nextInt(3)}"))
+    }
+    val got = Analytics.krippendorffAlpha(ratings.toDF("item", "label"),
+      "item", "label", dp = 9).head()
+    val exp = brute(ratings)
+    assert(exp.isDefined && math.abs(got.getAs[Double]("alpha") -
+      exp.get) < 1e-6, s"$got vs $exp")
+    // perfect agreement (mixed labels) -> 1
+    val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
+      .toDF("item", "label")
+    assert(Analytics.krippendorffAlpha(perfect, "item", "label")
+      .head().getAs[Double]("alpha") == 1.0)
+    // one label everywhere -> D_e = 0 -> NULL
+    val const = Seq((1, "a"), (1, "a"), (2, "a"), (2, "a"))
+      .toDF("item", "label")
+    val rc = Analytics.krippendorffAlpha(const, "item", "label").head()
+    assert(rc.isNullAt(rc.fieldIndex("alpha")), s"$rc")
+    // no pairable item -> NULL
+    val lone = Seq((1, "a"), (2, "b")).toDF("item", "label")
+    val rl = Analytics.krippendorffAlpha(lone, "item", "label").head()
+    assert(rl.getAs[Long]("n_items") == 0 &&
+      rl.isNullAt(rl.fieldIndex("alpha")), s"$rl")
+  }
+
   test("effectSize: hand-computed d and g; degenerate NULLs") {
     import spark.implicits._
     // A = (1,2,3), B = (4,5,6): means 2/5, vars 1/1 -> pooled s = 1,

@@ -1892,6 +1892,49 @@ class PipelineSpec extends SparkSuite {
     assert(chrf("xx", "yy")._1 == 0.0)
   }
 
+  test("LcsLen kernel: differential vs independent 2D DP; adversarial repeats; edges") {
+    // independent reference: full 2D table, no sharing with the kernel
+    def ref2d(a: Seq[String], b: Seq[String]): Int = {
+      val t = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        t(i)(j) = if (a(i - 1) == b(j - 1)) t(i - 1)(j - 1) + 1
+          else math.max(t(i - 1)(j), t(i)(j - 1))
+      t(a.length)(b.length)
+    }
+    def k(a: Seq[String], b: Seq[String]): Int =
+      graft.functions.LcsLen.lcs(a.toArray[AnyRef], b.toArray[AnyRef])
+    assert(k(Seq("a", "b", "c"), Seq("a", "x", "b", "y", "c")) == 3)
+    assert(k(Seq(), Seq("a")) == 0 && k(Seq("a"), Seq()) == 0)
+    assert(k(Seq("a", "a", "b", "a"), Seq("b", "a", "a", "a")) == 3)
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(4)}")
+      val b = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(4)}")
+      assert(k(a, b) == ref2d(a, b), s"$a vs $b")
+    }
+    // null elements match nothing (including each other)
+    assert(graft.functions.LcsLen.lcs(
+      Array[AnyRef](null, "a"), Array[AnyRef](null, "a")) == 1)
+  }
+
+  test("rougeL: hand-computed P/R/F averaging; empty-side skip contract") {
+    // ("a b c" vs "a x b y c"): LCS 3, P 1, R .6, F1 .75
+    // ("z" vs "a"): LCS 0 -> P 0, R 0, F 0
+    // ("" vs "a"): skipped
+    val df = Seq((1L, "a b c", "a x b y c"), (2L, "z", "a"), (3L, "", "a"))
+      .toDF("id", "cand", "ref")
+    val r = TF.rougeL(df, "id", "cand", "ref").head()
+    assert(r.getAs[Long]("n_pairs") == 2 && r.getAs[Long]("n_skipped") == 1,
+      s"$r")
+    assert(r.getAs[Double]("avg_p") == 0.5 && r.getAs[Double]("avg_r") == 0.3 &&
+      r.getAs[Double]("avg_f") == 0.375, s"$r")
+    // identical pair: all 1s
+    val one = TF.rougeL(Seq((1L, "a b", "a b")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").head()
+    assert(one.getAs[Double]("avg_p") == 1.0 &&
+      one.getAs[Double]("avg_r") == 1.0 && one.getAs[Double]("avg_f") == 1.0)
+  }
+
   test("kneserNeyBigramScores: hand-computed probabilities on a tiny corpus") {
     // corpus "a b a c" + "b a": bi counts (a,b)=1 (b,a)=2 (a,c)=1
     // c(a.)=2 N1+(a.)=2; c(b.)=2 N1+(b.)=1; N1+(.a)=N1+(.b)=N1+(.c)=1; N1+(..)=3
