@@ -369,8 +369,8 @@ case class BloomAnyContainBroadcast(child: Expression,
   * composition this skips one O(L)-long array allocation, an
   * O(L log L) sort and the dedup pass per document — the set
   * representation buys nothing for an ANY-membership predicate.
-  * Measured at sf0.1 (min-of-3, identical hit counts): composition
-  * 1.70s, fused 0.18s — 9.4× on the corpus scan. */
+  * Measured at sf0.1 (r6 in-session, min-of-3, identical hit counts):
+  * composition 1.70s, fused 0.18s — 9.4× on the corpus scan. */
 case class BloomContainsGram(child: Expression, n: Int,
     sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
     extends UnaryExpression with CodegenFallback {

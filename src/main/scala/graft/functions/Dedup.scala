@@ -49,7 +49,8 @@ object Dedup {
   // MinHash signatures are computed by the native MinHashSig expression
   // (GraftFunctions.minhashSig) — one string hash per shingle + tight
   // per-seed mixes; the equivalent aggregate/zip_with HOF composition
-  // measured ~20× slower at sf0.1 and was removed with its last caller.
+  // measured ~20× slower at sf0.1 (r2 in-session) and was removed with
+  // its last caller.
 
   /** LSH banding: one row per (id, band, bandHash). Two docs share a
     * (band, bandHash) key with prob 1-(1-j^r)^b — the classic S-curve.

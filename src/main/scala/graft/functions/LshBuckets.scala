@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * depends on (dim, planes, tables, seed): precomputed once per
   * executor, then a tight triple loop with zero allocation beyond the
   * output array. The HOF equivalent re-derives every sign via an
-  * interpreted per-element lambda (measured ~10× slower), and gaussian
+  * interpreted per-element lambda (measured ~10× slower, r2
+  * in-session), and gaussian
   * literal planes bake dim·planes·tables constants into the plan. */
 /** cosine(a, b) as a native expression: one fused loop accumulating dot
   * product and both norms (left-to-right, same order as the

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * array. The equivalent higher-order-function composition
   * (`aggregate` + `zip_with`) allocates an n-element array per shingle
   * per row and evaluates interpreted lambdas — measured ~20× slower at
-  * sf0.1 (the round-1 nested-transform version was ~250× slower). This is
+  * sf0.1 (r2 in-session; the round-1 nested-transform version was ~250×
+  * slower). This is
   * the "custom Expression beats composition" case from the design
   * preference order.
   */

@@ -37,7 +37,8 @@ object Pca {
     * (i, j) pair, slot P+i is xᵢ), as ONE flat double array — no
     * structs, no per-element (i, j) tags. The slot index IS the
     * identity, recovered by arithmetic afterwards; the struct-tagged
-    * variant of this pass measured 2.2× slower at sf0.1 (4.5s vs 2.0s —
+    * variant of this pass measured 2.2× slower at sf0.1 (r11
+    * in-session; 4.5s vs 2.0s —
     * tagging every element triples the exploded row width and defeats
     * the scalar codegen, the ngramDiversity lesson again). Output:
     * (k, n, s) with map-side combine capping the exchange at

@@ -184,8 +184,8 @@ object Similarity {
   // Bucket ids come from the native CosineLshBuckets expression
   // (GraftFunctions.cosineLshBuckets): seeded Rademacher sign matrix
   // derived on executors, all tables in one pass, plan size independent
-  // of dimension. The per-plane HOF composition measured ~10× slower and
-  // was removed with its last caller.
+  // of dimension. The per-plane HOF composition measured ~10× slower
+  // (r2 in-session) and was removed with its last caller.
 
   /** Approximate NN self-join via multi-table hyperplane LSH: `numTables`
     * independent hash tables of `numPlanes` bits each; vectors sharing a

@@ -141,7 +141,8 @@ object SpanDedup {
   * window start (slice + array_min + array_position allocate and
   * rescan per position — O(n·k) allocating lambda evals; 18.6s for the
   * sf0.1 corpus at stride 4 vs 6.7s for the stride-1 path it was meant
-  * to beat, so it was removed rather than kept as dead code). This is
+  * to beat (r6 in-session), so it was removed rather than kept as dead
+  * code). This is
   * the classic O(n) monotonic-deque sliding minimum: one pass, zero
   * allocation per element. PropertySpec pins the selection to an
   * inline per-window leftmost-argmin reference. */

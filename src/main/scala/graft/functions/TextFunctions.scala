@@ -324,7 +324,8 @@ object TextFunctions {
     // whitespace-strip once: the projected strings are scanned 2·maxN
     // times (gram counts per order) — re-running regexp_replace and the
     // caller's candidate construction on every pass measured 12.8s at
-    // sf0.1 where the checkpointed form runs the same plan in ~5s
+    // sf0.1 where the checkpointed form ran the same plan in ~5s
+    // (r11 in-session)
     val base = df.select(col(idCol).as("__id"),
         regexp_replace(col(candCol), "\\s+", "").as("__cs"),
         regexp_replace(col(refCol), "\\s+", "").as("__rs"))
@@ -794,7 +795,8 @@ object TextFunctions {
     * partitioning). The first version assembled chunks with NESTED
     * per-chunk HOFs instead — the interpreted HOF path re-evaluated
     * the assignment fold per chunk per sentence and measured 88s at
-    * sf0.1 where this exploded form runs ~1s; the exchange is honest
+    * sf0.1 where this exploded form runs ~1s (r12 in-session); the
+    * exchange is honest
     * (chunk-grain rows, keyed by (id, chunk)) rather than hidden
     * re-computation. */
   def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
@@ -1337,12 +1339,16 @@ object TextFunctions {
   def ngramDiversity(docs: DataFrame, groupCol: String, textCol: String,
       ns: Seq[Int] = Seq(1, 2, 3), dp: Int = 6): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
-    // Deliberately one lean scan PER n, not a fused tagged projection:
-    // the "share the gram scan" alternative (explode all orders once as
-    // (n, gram) structs, one (grp, n) rollup) was measured at sf0.1 and
-    // LOST — 3.1s → 8.4s — because struct-tagging every gram triples
-    // the exploded row width and defeats the per-column codegen of the
-    // plain long-hash explode. Scans are cheap; wrapped rows are not.
+    // Deliberately one lean scan PER n, not a fused projection — now
+    // measured-rejected TWICE: (a) the (n, gram) STRUCT tagging lost
+    // 3.1s → 8.4s (r11 in-session, tripled exploded row width); (b) the
+    // r13 chrF-style static unroll (flat (h << b) | n long tags, one
+    // explode, one (grp, n) rollup) ALSO lost, 4.3s → 12.7s (r13
+    // in-session): here fusion removes only cheap re-scans while
+    // tripling the rows through the countDistinct Expand in a single
+    // aggregation. chrF's fusion won because it deleted 10 gram-keyed
+    // SHUFFLES and 5 JOINS — fuse to remove exchanges, never to remove
+    // scans.
     ns.map { n =>
       docs.select(col(groupCol).as("grp"),
           explode(Boilerplate.gramHashes(col(textCol), n)).as("__g"))
@@ -1368,11 +1374,12 @@ object TextFunctions {
     * gram-count rows cross an exchange. Scans are deliberately one per
     * order (the fused tagged-gram projection measured SLOWER — see
     * [[ngramDiversity]], and the chrF flat-fusion measurement in
-    * [[chrF]]: 3× slower at sf0.1 even without struct tags). */
+    * [[chrF]]: 3× slower at sf0.1 even without struct tags — r12
+    * in-session). */
   /** Shared BLEU machinery: tokenize ONCE into a checkpointed
     * (id, cand-tokens, ref-tokens) base (the gram passes re-scan it
     * 2·maxN times — re-splitting per pass was measured at ~2× the
-    * cost), plus the per-order (n, clipped, total) table and the ONE
+    * cost, r11 in-session), plus the per-order (n, clipped, total) table and the ONE
     * fused totals/lengths aggregation. */
   private def bleuStats(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int): (DataFrame, DataFrame) = {

@@ -711,4 +711,42 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
           s"$name: unpartitioned window over the $c histogram:\n$p")
     }
   }
+
+  test("round-13 operators: one-explode gram fusion, scan-only ROUGE-L, keyed agreement rollups") {
+    // chrF after the r13 restructure: ONE explode per side (2 Generate
+    // nodes total), ONE gram equi-join — not 12 scans + 6 joins
+    val pc = plan(q("eval_chrf"))
+    // 3 explodes total: ONE gram explode per side + the 6-row literal
+    // order spine (was 12 gram explodes before the r13 restructure)
+    assert("Generate explode".r.findAllIn(pc).size == 3,
+      s"chrF must explode once per side (+ order spine):\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"chrF gram join stays keyed:\n$pc")
+    // ROUGE-L: the LCS DP runs in-scan — no join, no window, no
+    // corpus-keyed exchange beyond the final 1-row aggregate
+    val pr = plan(q("eval_rouge_l"))
+    assert(!pr.contains("Join") && !pr.contains("Window"),
+      s"rougeL is scan + 1-row aggregate only:\n$pr")
+    // distinct-n stays one lean scan PER order (the fusion was
+    // measured-rejected twice — see the ngramDiversity Scaladoc)
+    val pd = plan(q("text_distinct_n"))
+    assert("Generate explode".r.findAllIn(pd).size == 3,
+      s"ngramDiversity keeps one lean explode per order:\n$pd")
+    // Krippendorff: rollups + broadcast only — no sort-merge join, no
+    // window, no cartesian
+    val pk = plan(q("q_krippendorff"))
+    assert(!pk.contains("SortMergeJoin") && !pk.contains("CartesianProduct")
+      && !pk.contains("Window"),
+      s"krippendorffAlpha must stay rollup+broadcast shaped:\n$pk")
+    // semDedup replica window: the exchange/sort key LEADS with the
+    // xxhash64 of the vector (cheap long compare), full vector second
+    val ps = plan(graft.functions.Similarity.semDedupCells(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", nClusters = 4, minCos = 0.99))
+    // the hash is projected as _w0 and LEADS the window's partition
+    // spec (the raw vector second)
+    assert(ps.contains("xxhash64(embedding") &&
+      "windowspecdefinition\\(_w0".r.findFirstIn(ps).isDefined,
+      s"replica window must lead with the vector hash:\n$ps")
+  }
 }
