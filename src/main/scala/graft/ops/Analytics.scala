@@ -550,6 +550,167 @@ object Analytics {
         .as("alpha"))
   }
 
+  /** Krippendorff's α for INTERVAL data (numeric ratings; squared
+    * difference metric) — [[krippendorffAlpha]]'s companion for score
+    * annotations (quality 1-5, reward-model scores) where "how far
+    * apart" matters, still robust to missing ratings. Entirely from
+    * moments, no coincidence matrix and no pair expansion:
+    *
+    *   D_o-num = Σ_u (m_u·Σv²_u − (Σv_u)²)/(m_u − 1)
+    *   D_e-num = n·Σv² − (Σv)²        (over pairable items' ratings)
+    *   α = 1 − (n−1)·D_o-num / D_e-num
+    *
+    * (the ordered-pair factor 2 cancels). Items with < 2 ratings are
+    * excluded everywhere; α is NULL when nothing is pairable or all
+    * values are equal (D_e = 0). On {0,1} data this equals the nominal
+    * α exactly (δ² is the 0/1 disagreement indicator there) — the
+    * differential identity the spec pins. ONE (item) moment rollup +
+    * 1-row algebra. Returns (n_items, n_ratings, alpha). */
+  def krippendorffAlphaInterval(ratings: DataFrame, itemCol: String,
+      valueCol: String, dp: Int = 6): DataFrame = {
+    val base = ratings.select(col(itemCol).as("__i"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__i").isNotNull && col("__v").isNotNull)
+    val perItem = base.groupBy("__i").agg(count(lit(1L)).as("__m"),
+        sum(col("__v")).as("__s"), sum(col("__v") * col("__v")).as("__ss"))
+      .where(col("__m") >= 2)
+    perItem.agg(
+        count(lit(1L)).as("n_items"),
+        sum(col("__m")).as("__n"),
+        coalesce(sum((col("__m") * col("__ss") - col("__s") * col("__s")) /
+          (col("__m") - 1).cast("double")), lit(0.0)).as("__do"),
+        sum(col("__s")).as("__ts"), sum(col("__ss")).as("__tss"))
+      .select(col("n_items"), coalesce(col("__n"), lit(0L)).as("n_ratings"),
+        when(col("n_items") === 0 ||
+            col("__n") * col("__tss") - col("__ts") * col("__ts") <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - (col("__n") - 1).cast("double") *
+            col("__do") /
+            (col("__n") * col("__tss") - col("__ts") * col("__ts")), dp))
+          .as("alpha"))
+  }
+
+  /** Cochran's Q (Cochran 1950): do k binary classifiers/treatments
+    * have the same success rate over the same items — [[mcnemar]]'s
+    * k-way generalization, the first question of any multi-model eval
+    * table. Complete-design contract: items missing any of the k
+    * entries are EXCLUDED (reported as n_items_dropped).
+    *
+    *   Q = k(k−1)·Σ_j (C_j − N/k)² / (k·N − Σ_i R_i²)  ~  χ²(k−1)
+    *
+    * (C_j per-classifier successes, R_i per-item successes, N total).
+    * Q is NULL when every kept item is unanimous (denominator 0) or
+    * k < 2. Verdict via the shared [[chiSq95]]. Shape: one (item,
+    * classifier) dedup-free long-table scan → item rollup + classifier
+    * rollup; exchanges carry items and classifiers, never more. */
+  def cochranQ(df: DataFrame, item: Column, classifier: Column,
+      success: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(item.as("__i"), classifier.cast("string").as("__c"),
+        success.cast("boolean").cast("int").as("__s"))
+      .where(col("__i").isNotNull && col("__c").isNotNull &&
+        col("__s").isNotNull)
+      .localCheckpoint(true) // k-count + per-item + per-classifier reads
+    val k = base.select(countDistinct(col("__c")).as("k"))
+    val perItem = base.groupBy("__i")
+      .agg(count(lit(1L)).as("__cnt"), sum(col("__s")).as("__r"))
+      .crossJoin(broadcast(k))
+    val kept = perItem.where(col("__cnt") === col("k"))
+      .localCheckpoint(true) // row sums + the classifier-side semi join
+    val rows = kept.agg(count(lit(1L)).as("n_items"),
+      coalesce(sum(col("__r")), lit(0L)).as("__nn"),
+      coalesce(sum(col("__r") * col("__r")), lit(0L)).as("__r2"))
+    val dropped = perItem.where(col("__cnt") =!= col("k"))
+      .agg(count(lit(1L)).as("n_items_dropped"))
+    // Σ_j (C_j − N/k)² = ΣC_j² − N²/k (since ΣC_j = N) — so one
+    // classifier rollup plus closed-form algebra, no second pass
+    val cols = base.join(kept.select(col("__i")), "__i")
+      .groupBy("__c").agg(sum(col("__s")).as("__cj"))
+      .agg(count(lit(1L)).as("k"),
+        coalesce(sum(col("__cj").cast("double") * col("__cj")), lit(0.0))
+          .as("__cj2"))
+    val out = cols.crossJoin(broadcast(rows)).crossJoin(broadcast(dropped))
+    val kD = col("k").cast("double")
+    val dev = col("__cj2") - col("__nn").cast("double") * col("__nn") / kD
+    val denom = kD * col("__nn").cast("double") - col("__r2")
+    val q = kD * (kD - 1) * dev / denom
+    val df1 = kD - 1
+    out.select(
+      col("k"), col("n_items"), col("n_items_dropped"),
+      when(col("k") < 2 || denom <= 0, lit(null).cast("double"))
+        .otherwise(round(q, dp)).as("q_stat"),
+      when(col("k") < 2, lit(null).cast("double"))
+        .otherwise(round(chiSq95(df1), dp)).as("crit_05"),
+      when(col("k") < 2 || denom <= 0, lit(null).cast("boolean"))
+        .otherwise(q > chiSq95(df1)).as("reject_05"))
+  }
+
+  /** Friedman test (Friedman 1937): k treatments ranked WITHIN each of
+    * n blocks — "does any system rank consistently higher" over
+    * per-item scores, the rank-based complement of [[cochranQ]] (which
+    * needs binary outcomes) and the blocked sibling of
+    * [[kruskalWallis]] (which ignores blocking). Tie-averaged ranks
+    * within block; the tie-corrected statistic
+    *
+    *   χ²_F = [12n/(k(k+1))·Σ_j (r̄_j − (k+1)/2)²] / C,
+    *   C = 1 − Σ(t³−t) / (n·k(k²−1))
+    *
+    * ~ χ²(k−1). Complete-design contract as [[cochranQ]]: blocks
+    * missing any treatment drop (n_blocks_dropped). NULL when C ≤ 0
+    * (all blocks fully tied) or k < 2. Shape: one block-keyed rank
+    * window (k rows per partition — the partition IS the block), then
+    * treatment-sized rollups; nothing unpartitioned. */
+  def friedmanTest(df: DataFrame, block: Column, treatment: Column,
+      value: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(block.as("__b"), treatment.cast("string").as("__t"),
+        value.cast("double").as("__v"))
+      .where(col("__b").isNotNull && col("__t").isNotNull &&
+        col("__v").isNotNull)
+      .localCheckpoint(true)
+    val k = base.select(countDistinct(col("__t")).as("k"))
+    val sizes = base.groupBy("__b").agg(count(lit(1L)).as("__cnt"))
+      .crossJoin(broadcast(k))
+    val keptIds = sizes.where(col("__cnt") === col("k")).select(col("__b"))
+    val droppedDf = sizes.where(col("__cnt") =!= col("k"))
+      .agg(count(lit(1L)).as("n_blocks_dropped"))
+    val kept = base.join(keptIds, "__b")
+    // tie-averaged within-block rank: rank() + (ties−1)/2, both windows
+    // partitioned by the block (k-row partitions)
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val te = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = kept.select(col("__b"), col("__t"),
+      (rank().over(w) + (count(lit(1L)).over(te) - 1) / 2.0).as("__r"),
+      count(lit(1L)).over(te).as("__ct"))
+    val perT = ranked.groupBy("__t").agg(avg(col("__r")).as("__rbar"),
+      count(lit(1L)).as("__nb"))
+    // tie masses: each within-block tie RUN of size t contributes t³−t;
+    // a run of t rows each sees __ct = t, so sum((__ct²−1)) over rows
+    // = Σ t(t²−1) = Σ(t³−t)
+    val ties = ranked.agg(coalesce(sum(col("__ct").cast("double") *
+      col("__ct") - 1.0), lit(0.0)).as("__tie"))
+    // Σ_j (r̄_j − (k+1)/2)² = Σr̄² − k((k+1)/2)² because within-block
+    // ranks sum to k(k+1)/2 exactly (so Σ_j r̄_j = k(k+1)/2)
+    val agg = perT.agg(
+      count(lit(1L)).as("k"),
+      coalesce(max(col("__nb")), lit(0L)).as("n_blocks"),
+      coalesce(sum(col("__rbar") * col("__rbar")), lit(0.0)).as("__rb2"))
+    val kD = col("k").cast("double")
+    val n = col("n_blocks").cast("double")
+    val m = (kD + 1) / 2
+    val raw = lit(12.0) * n / (kD * (kD + 1)) * (col("__rb2") - kD * m * m)
+    val c = lit(1.0) - col("__tie") / (n * kD * (kD * kD - 1))
+    val stat = raw / c
+    val df1 = kD - 1
+    val degenerate = col("k") < 2 || col("n_blocks") === 0 || c <= 0.0
+    agg.crossJoin(broadcast(ties)).crossJoin(broadcast(droppedDf)).select(
+      col("k"), col("n_blocks"), col("n_blocks_dropped"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(stat, dp)).as("chi2_f"),
+      when(col("k") < 2, lit(null).cast("double"))
+        .otherwise(round(chiSq95(df1), dp)).as("crit_05"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(stat > chiSq95(df1)).as("reject_05"))
+  }
+
   /** Bradley–Terry paired-preference strengths (Bradley & Terry 1952)
     * by Hunter's MM iteration (Hunter, Annals of Statistics 2004):
     *

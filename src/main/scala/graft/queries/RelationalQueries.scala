@@ -981,6 +981,54 @@ object RelationalQueries {
         "item", "label")
     }),
 
+    // Interval-metric Krippendorff over three NUMERIC raters with the
+    // same planted skips — score annotations where distance matters.
+    "q_kripp_interval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def rater(k: Int) = d.select(col("doc_id").as("item"),
+        ((col("n_chars") + col("doc_id") * k) % 41).cast("double").as("v"))
+      Analytics.krippendorffAlphaInterval(
+        rater(11)
+          .unionByName(rater(23).where(col("item") % 4 =!= 0))
+          .unionByName(rater(37).where(col("item") % 5 =!= 1)),
+        "item", "v")
+    }),
+
+    // Cochran's Q over three deterministic pseudo-classifiers (the
+    // q_mcnemar pair + a parity scorer), classifier c skipping every
+    // 7th item — the k-way "same success rate?" eval-table gate with
+    // the complete-design drop exercised.
+    "q_cochran" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val y = col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0
+      def clf(name: String, pred: org.apache.spark.sql.Column, keep: org.apache.spark.sql.Column) =
+        d.where(keep).select(col("doc_id").as("item"),
+          lit(name).as("clf"), (pred === y).as("ok"))
+      Analytics.cochranQ(
+        clf("a", (col("n_chars") % 97).cast("double") / 96 > 0.5, lit(true))
+          .unionByName(clf("b",
+            (col("n_chars") % 89).cast("double") / 88 > 0.5, lit(true)))
+          .unionByName(clf("c", col("doc_id") % 2 === 0,
+            col("doc_id") % 7 =!= 0)),
+        col("item"), col("clf"), col("ok"))
+    }),
+
+    // Friedman blocked-rank test over three numeric scorers per doc
+    // (scorer c skipping every 11th block): "does any system rank
+    // consistently higher" with within-block ties tie-corrected.
+    "q_friedman" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def scorer(name: String, v: org.apache.spark.sql.Column, keep: org.apache.spark.sql.Column) =
+        d.where(keep).select(col("doc_id").as("item"),
+          lit(name).as("trt"), v.cast("double").as("v"))
+      Analytics.friedmanTest(
+        scorer("a", col("n_chars") % 97, lit(true))
+          .unionByName(scorer("b", col("n_chars") % 89, lit(true)))
+          .unionByName(scorer("c", (col("n_chars") + col("doc_id")) % 101,
+            col("doc_id") % 11 =!= 0)),
+        col("item"), col("trt"), col("v"))
+    }),
+
     // Multi-slice drift dashboard with FDR control: per-source z-screen
     // of mean doc length (normal CDF as in-scan Column algebra), then
     // Benjamini–Hochberg step-up over the 20-row test table. Windows
@@ -2832,6 +2880,133 @@ object RelationalQueries {
         |  ELSE round(1 - CAST(ma.n - 1 AS DOUBLE) * dn.do_
         |    / (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2), 6) END AS alpha
         |FROM dn, ma""".stripMargin,
+
+    // same raters as numeric scores, the moment identities restated:
+    // Do = sum_u (mu*ss_u - s_u^2)/(mu-1), De = n*ss - s^2
+    "q_kripp_interval" ->
+      """WITH r AS (
+        | SELECT doc_id AS item,
+        |   CAST((n_chars + doc_id * 11) % 41 AS DOUBLE) AS v FROM documents
+        | UNION ALL SELECT doc_id,
+        |   CAST((n_chars + doc_id * 23) % 41 AS DOUBLE) FROM documents
+        |   WHERE doc_id % 4 <> 0
+        | UNION ALL SELECT doc_id,
+        |   CAST((n_chars + doc_id * 37) % 41 AS DOUBLE) FROM documents
+        |   WHERE doc_id % 5 <> 1),
+        |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS mu,
+        |  sum(v) AS s, sum(v * v) AS ss
+        | FROM r GROUP BY 1 HAVING count(*) >= 2),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(mu), 0) AS BIGINT) AS n,
+        |  coalesce(sum((mu * ss - s * s) / CAST(mu - 1 AS DOUBLE)), 0)
+        |    AS do_,
+        |  coalesce(sum(s), 0) AS ts, coalesce(sum(ss), 0) AS tss FROM pi)
+        |SELECT n_items, n AS n_ratings,
+        | CASE WHEN n_items = 0 OR (n * tss - ts * ts) <= 0 THEN NULL
+        |  ELSE round(1 - CAST(n - 1 AS DOUBLE) * do_ / (n * tss - ts * ts),
+        |    6) END AS alpha
+        |FROM ag""".stripMargin,
+
+    // k=3 classifiers; Q restated via sum C_j^2 - N^2/k over kept items
+    "q_cochran" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y,
+        |  (CAST(n_chars % 97 AS DOUBLE) / 96 > 0.5) AS pa,
+        |  (CAST(n_chars % 89 AS DOUBLE) / 88 > 0.5) AS pb,
+        |  (doc_id % 2 = 0) AS pc FROM documents),
+        |r AS (SELECT doc_id AS item, 'a' AS clf, CAST(pa = y AS INT) AS s
+        |  FROM d
+        | UNION ALL SELECT doc_id, 'b', CAST(pb = y AS INT) FROM d
+        | UNION ALL SELECT doc_id, 'c', CAST(pc = y AS INT) FROM d
+        |  WHERE doc_id % 7 <> 0),
+        |kk AS (SELECT CAST(count(DISTINCT clf) AS BIGINT) AS kg FROM r),
+        |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(s) AS BIGINT) AS ri FROM r GROUP BY 1),
+        |kept AS (SELECT pi.item, pi.ri FROM pi, kk WHERE pi.cnt = kk.kg),
+        |rw AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(ri), 0) AS BIGINT) AS nn,
+        |  CAST(coalesce(sum(ri * ri), 0) AS BIGINT) AS r2 FROM kept),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM pi, kk
+        | WHERE pi.cnt <> kk.kg),
+        |cj AS (SELECT r.clf, CAST(sum(r.s) AS BIGINT) AS cj FROM r
+        | JOIN kept ON r.item = kept.item GROUP BY 1),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  coalesce(sum(CAST(cj AS DOUBLE) * cj), 0) AS cj2 FROM cj)
+        |SELECT k, n_items, nd AS n_items_dropped,
+        | CASE WHEN k < 2 OR (k * CAST(nn AS DOUBLE) - r2) <= 0 THEN NULL
+        |  ELSE round(k * (k - 1) * (cj2 - CAST(nn AS DOUBLE) * nn / k)
+        |    / (k * CAST(nn AS DOUBLE) - r2), 6) END AS q_stat,
+        | CASE WHEN k < 2 THEN NULL ELSE round(
+        |   CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |    WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |    ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
+        |   END, 6) END AS crit_05,
+        | CASE WHEN k < 2 OR (k * CAST(nn AS DOUBLE) - r2) <= 0 THEN NULL
+        |  ELSE k * (k - 1) * (cj2 - CAST(nn AS DOUBLE) * nn / k)
+        |    / (k * CAST(nn AS DOUBLE) - r2) >
+        |   CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |    WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |    WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |    WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |    ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
+        |   END END AS reject_05
+        |FROM cs, rw, drp""".stripMargin,
+
+    // same within-block tie-averaged ranks (rank() + (ct-1)/2), same
+    // tie mass sum(ct^2-1), same closed-form deviation rb2 - k*m^2
+    "q_friedman" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r AS (SELECT doc_id AS item, 'a' AS trt,
+        |  CAST(n_chars % 97 AS DOUBLE) AS v FROM documents
+        | UNION ALL SELECT doc_id, 'b', CAST(n_chars % 89 AS DOUBLE)
+        |  FROM documents
+        | UNION ALL SELECT doc_id, 'c',
+        |  CAST((n_chars + doc_id) % 101 AS DOUBLE) FROM documents
+        |  WHERE doc_id % 11 <> 0),
+        |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS kg FROM r),
+        |sz AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM r
+        | GROUP BY 1),
+        |kept AS (SELECT sz.item FROM sz, kk WHERE sz.cnt = kk.kg),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sz, kk
+        | WHERE sz.cnt <> kk.kg),
+        |rk AS (SELECT r.item, r.trt,
+        |  rank() OVER (PARTITION BY r.item ORDER BY r.v)
+        |    + (count(*) OVER (PARTITION BY r.item, r.v) - 1)
+        |      / CAST(2 AS DOUBLE) AS rr,
+        |  count(*) OVER (PARTITION BY r.item, r.v) AS ct
+        | FROM r JOIN kept ON r.item = kept.item),
+        |pt AS (SELECT trt, avg(rr) AS rbar, CAST(count(*) AS BIGINT) AS nb
+        | FROM rk GROUP BY 1),
+        |tie AS (SELECT coalesce(sum(CAST(ct AS DOUBLE) * ct - 1), 0)
+        |  AS tie FROM rk),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(coalesce(max(nb), 0) AS BIGINT) AS n_blocks,
+        |  coalesce(sum(rbar * rbar), 0) AS rb2 FROM pt),
+        |v AS (SELECT k, n_blocks, nd,
+        |  CAST(12 AS DOUBLE) * n_blocks / (k * (CAST(k AS DOUBLE) + 1))
+        |    * (rb2 - k * ((CAST(k AS DOUBLE) + 1) / 2)
+        |       * ((CAST(k AS DOUBLE) + 1) / 2)) AS raw,
+        |  1 - tie / (CAST(n_blocks AS DOUBLE) * k * (CAST(k AS DOUBLE) * k
+        |    - 1)) AS c,
+        |  CASE k - 1 WHEN 1 THEN CAST(3.841458820694124 AS DOUBLE)
+        |   WHEN 2 THEN CAST(5.991464547107979 AS DOUBLE)
+        |   WHEN 3 THEN CAST(7.814727903251179 AS DOUBLE)
+        |   WHEN 4 THEN CAST(9.487729036781154 AS DOUBLE)
+        |   ELSE (k - 1) * pow(1 - CAST(2 AS DOUBLE) / (9 * (k - 1)) +
+        |    1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
+        |  END AS crit
+        | FROM ag, tie, drp)
+        |SELECT k, n_blocks, nd AS n_blocks_dropped,
+        | CASE WHEN k < 2 OR n_blocks = 0 OR c <= 0 THEN NULL
+        |  ELSE round(raw / c, 6) END AS chi2_f,
+        | CASE WHEN k < 2 THEN NULL ELSE round(crit, 6) END AS crit_05,
+        | CASE WHEN k < 2 OR n_blocks = 0 OR c <= 0 THEN NULL
+        |  ELSE raw / c > crit END AS reject_05
+        |FROM v""".stripMargin,
 
     // same raters, same confusion-rollup marginal algebra
     "q_kappa" ->

@@ -555,6 +555,125 @@ class AnalyticsSpec extends SparkSuite {
       rl.isNullAt(rl.fieldIndex("alpha")), s"$rl")
   }
 
+  test("cochranQ: hand-computed Q; incomplete items dropped; unanimous NULL") {
+    import spark.implicits._
+    // C = (3,2,1), N = 6, sumR2 = 14: dev = 14 - 12 = 2, denom = 4,
+    // Q = 3*2*2/4 = 3.0 < chi2_.95(2) = 5.9915
+    val rows = Seq((1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 0), (2, "c", 0),
+      (3, "a", 1), (3, "b", 1), (3, "c", 1),
+      (4, "a", 0), (4, "b", 0), (4, "c", 0)).toDF("i", "c", "s")
+    val r = Analytics.cochranQ(rows, col("i"), col("c"), col("s") === 1)
+      .head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_items") == 4 &&
+      r.getAs[Long]("n_items_dropped") == 0, s"$r")
+    assert(r.getAs[Double]("q_stat") == 3.0, s"$r")
+    assert(r.getAs[Double]("crit_05") == 5.991465 &&
+      !r.getAs[Boolean]("reject_05"), s"$r")
+    // an item missing a classifier drops entirely (complete design)
+    val withHole = rows.unionByName(Seq((5, "a", 1), (5, "b", 0))
+      .toDF("i", "c", "s"))
+    val rh = Analytics.cochranQ(withHole, col("i"), col("c"), col("s") === 1)
+      .head()
+    assert(rh.getAs[Long]("n_items") == 4 &&
+      rh.getAs[Long]("n_items_dropped") == 1 &&
+      rh.getAs[Double]("q_stat") == 3.0, s"$rh")
+    // unanimous items only: denominator 0 -> NULL, never a divide
+    val flat = Seq((1, "a", 1), (1, "b", 1), (2, "a", 0), (2, "b", 0))
+      .toDF("i", "c", "s")
+    val rf = Analytics.cochranQ(flat, col("i"), col("c"), col("s") === 1)
+      .head()
+    assert(rf.isNullAt(rf.fieldIndex("q_stat")) &&
+      rf.isNullAt(rf.fieldIndex("reject_05")), s"$rf")
+  }
+
+  test("friedmanTest: hand-computed no-tie and tied chi2_F; incomplete blocks dropped") {
+    import spark.implicits._
+    // 3 blocks all ranking a<b<c: rbar = (1,2,3), dev = 14-12 = 2,
+    // chi2_F = 12*3/12 * 2 = 6 > 5.9915 -> reject
+    val rows = (1 to 3).flatMap(b => Seq((b, "a", 1.0), (b, "b", 2.0),
+      (b, "c", 3.0))).toDF("b", "t", "v")
+    val r = Analytics.friedmanTest(rows, col("b"), col("t"), col("v"))
+      .head()
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n_blocks") == 3 &&
+      r.getAs[Long]("n_blocks_dropped") == 0, s"$r")
+    assert(r.getAs[Double]("chi2_f") == 6.0 &&
+      r.getAs[Boolean]("reject_05"), s"$r")
+    // tie in one block: b1 = (1, 1, 2) -> ranks (1.5, 1.5, 3);
+    // rbar = (4/3+1/6, 7/3-1/6, 3) wait — recompute in-line instead:
+    // blocks 2,3 unchanged (1,2,3); rbar_a = (1.5+1+1)/3, rbar_b =
+    // (1.5+2+2)/3, rbar_c = 3; tie mass = 2 rows with ct=2 ->
+    // sum(ct^2-1) = 6, C = 1 - 6/(3*3*8) = 11/12
+    val tied = (Seq((1, "a", 1.0), (1, "b", 1.0), (1, "c", 2.0)) ++
+      (2 to 3).flatMap(b => Seq((b, "a", 1.0), (b, "b", 2.0),
+        (b, "c", 3.0)))).toDF("b", "t", "v")
+    val rt = Analytics.friedmanTest(tied, col("b"), col("t"), col("v"))
+      .head()
+    val rb2 = math.pow(3.5 / 3, 2) + math.pow(5.5 / 3, 2) + 9.0
+    val expect = (12.0 * 3 / 12 * (rb2 - 12.0)) / (11.0 / 12)
+    assert(math.abs(rt.getAs[Double]("chi2_f") -
+      BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"$rt vs $expect")
+    // incomplete block drops; fully-tied-everywhere -> C <= 0 -> NULL
+    val withHole = rows.unionByName(Seq((9, "a", 1.0), (9, "b", 2.0))
+      .toDF("b", "t", "v"))
+    assert(Analytics.friedmanTest(withHole, col("b"), col("t"), col("v"))
+      .head().getAs[Long]("n_blocks_dropped") == 1)
+    val allTied = (1 to 2).flatMap(b => Seq((b, "a", 5.0), (b, "b", 5.0),
+      (b, "c", 5.0))).toDF("b", "t", "v")
+    val ra = Analytics.friedmanTest(allTied, col("b"), col("t"), col("v"))
+      .head()
+    assert(ra.isNullAt(ra.fieldIndex("chi2_f")), s"$ra")
+  }
+
+  test("krippendorffAlphaInterval: equals nominal alpha on binary data; brute-force differential") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // binary identity: squared-difference distance IS the 0/1
+    // disagreement indicator, so interval alpha == nominal alpha
+    val bin = (0 until 25).flatMap { i =>
+      Seq.fill(1 + rng.nextInt(4))((i, rng.nextInt(2)))
+    }
+    val nom = Analytics.krippendorffAlpha(
+      bin.toDF("item", "label"), "item", "label", dp = 9)
+      .head().getAs[Double]("alpha")
+    val ivl = Analytics.krippendorffAlphaInterval(
+      bin.toDF("item", "v"), "item", "v", dp = 9)
+      .head().getAs[Double]("alpha")
+    assert(math.abs(nom - ivl) < 1e-8, s"nominal $nom vs interval $ivl")
+    // brute-force coincidence walk with squared-difference metric
+    def brute(ratings: Seq[(Int, Double)]): Option[Double] = {
+      val byItem = ratings.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .filter(_._2.size >= 2)
+      if (byItem.isEmpty) return None
+      var doSum = 0.0; var n = 0.0
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      byItem.values.foreach { vs =>
+        val m = vs.size; n += m
+        for (g <- vs.indices; h <- vs.indices if g != h) {
+          val d = vs(g) - vs(h); doSum += d * d / (m - 1)
+        }
+        vs.foreach(v => all += ((v, 1.0)))
+      }
+      var deSum = 0.0
+      for ((a, _) <- all; (b, _) <- all) deSum += (a - b) * (a - b)
+      if (deSum <= 0) None else Some(1 - (n - 1) * doSum / deSum)
+    }
+    val ratings = (0 until 20).flatMap { i =>
+      Seq.fill(1 + rng.nextInt(4))((i, rng.nextInt(7).toDouble))
+    }
+    val got = Analytics.krippendorffAlphaInterval(
+      ratings.toDF("item", "v"), "item", "v", dp = 9)
+      .head().getAs[Double]("alpha")
+    val exp = brute(ratings)
+    assert(exp.isDefined && math.abs(got - exp.get) < 1e-6,
+      s"$got vs $exp")
+    // constant values -> D_e = 0 -> NULL
+    val const = Seq((1, 2.0), (1, 2.0), (2, 2.0), (2, 2.0)).toDF("item", "v")
+    val rc = Analytics.krippendorffAlphaInterval(const, "item", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("alpha")), s"$rc")
+  }
+
   test("effectSize: hand-computed d and g; degenerate NULLs") {
     import spark.implicits._
     // A = (1,2,3), B = (4,5,6): means 2/5, vars 1/1 -> pooled s = 1,
