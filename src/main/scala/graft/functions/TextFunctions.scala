@@ -314,9 +314,10 @@ object TextFunctions {
     * regressed to 12.4s with no code change (BENCH_r12, judge-
     * reproduced 11.8s); the runtime-n flatten∘transform∘transform
     * fusion measured 13.7s (r12 in-session, measured-rejected); this
-    * concat-of-static-transforms form measured 2.7s at sf0.1 (r13
-    * in-session min-of-2; the round's driver number lands in
-    * BENCH_r13/bench_history). */
+    * concat-of-static-transforms form measured 2.7s isolated and
+    * 0.51s in the full closing run at sf0.1 (r13 in-session,
+    * bench_history/run_20260815_163355.json; the round's driver
+    * number lands in BENCH_r13). */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")

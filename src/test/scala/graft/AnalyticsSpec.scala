@@ -529,15 +529,17 @@ class AnalyticsSpec extends SparkSuite {
         labels.map(k => o.getOrElse((c, k), 0.0)).sum).map(x => x * x).sum
       if (deNum <= 0) None else Some(1 - (n - 1) * doNum / deNum)
     }
-    val rng = new scala.util.Random(29)
-    val ratings = (0 until 30).flatMap { i =>
-      Seq.fill(1 + rng.nextInt(4))((i, s"l${rng.nextInt(3)}"))
+    for (seed <- 29 to 33) {
+      val rng = new scala.util.Random(seed)
+      val ratings = (0 until 30).flatMap { i =>
+        Seq.fill(1 + rng.nextInt(4))((i, s"l${rng.nextInt(3)}"))
+      }
+      val got = Analytics.krippendorffAlpha(ratings.toDF("item", "label"),
+        "item", "label", dp = 9).head()
+      val exp = brute(ratings)
+      assert(exp.isDefined && math.abs(got.getAs[Double]("alpha") -
+        exp.get) < 1e-6, s"seed $seed: $got vs $exp")
     }
-    val got = Analytics.krippendorffAlpha(ratings.toDF("item", "label"),
-      "item", "label", dp = 9).head()
-    val exp = brute(ratings)
-    assert(exp.isDefined && math.abs(got.getAs[Double]("alpha") -
-      exp.get) < 1e-6, s"$got vs $exp")
     // perfect agreement (mixed labels) -> 1
     val perfect = Seq((1, "a"), (1, "a"), (2, "b"), (2, "b"))
       .toDF("item", "label")
@@ -626,6 +628,53 @@ class AnalyticsSpec extends SparkSuite {
     assert(ra.isNullAt(ra.fieldIndex("chi2_f")), s"$ra")
   }
 
+  test("cochranQ / friedmanTest: multi-seed brute-force differentials on random complete designs") {
+    import spark.implicits._
+    def rd6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 51 to 55) {
+      val rng = new scala.util.Random(seed)
+      val k = 3 + rng.nextInt(3)
+      val nI = 12 + rng.nextInt(20)
+      // Cochran: straight-line Q from the definition
+      val m = Array.fill(nI, k)(rng.nextInt(2))
+      val cj = (0 until k).map(j => (0 until nI).map(i => m(i)(j)).sum)
+      val ri = (0 until nI).map(i => m(i).sum)
+      val nTot = ri.sum
+      val denom = k.toDouble * nTot - ri.map(r => r * r).sum
+      val rows = for (i <- 0 until nI; j <- 0 until k)
+        yield (i, s"c$j", m(i)(j))
+      val got = Analytics.cochranQ(rows.toDF("i", "c", "s"),
+        col("i"), col("c"), col("s") === 1).head()
+      if (denom > 0) {
+        val dev = cj.map(c => (c - nTot.toDouble / k) *
+          (c - nTot.toDouble / k)).sum
+        val q = k * (k - 1) * dev / denom
+        assert(math.abs(got.getAs[Double]("q_stat") - rd6(q)) < 1e-6,
+          s"seed $seed: $got vs $q")
+      } else assert(got.isNullAt(got.fieldIndex("q_stat")), s"$got")
+      // Friedman: straight-line tie-averaged block ranks
+      val fv = Array.fill(nI, k)(rng.nextInt(5).toDouble)
+      def ranks(vs: Array[Double]): Array[Double] =
+        vs.map(v => vs.count(_ < v) + (vs.count(_ == v) + 1) / 2.0)
+      val rk = fv.map(ranks)
+      val rbar = (0 until k).map(j => (0 until nI).map(i => rk(i)(j)).sum / nI)
+      val dev2 = rbar.map(r => (r - (k + 1) / 2.0) * (r - (k + 1) / 2.0)).sum
+      val tie = fv.map(vs => vs.map(v => vs.count(_ == v)).map(t =>
+        t.toDouble * t - 1).sum).sum
+      val c = 1.0 - tie / (nI.toDouble * k * (k.toDouble * k - 1))
+      val frows = for (i <- 0 until nI; j <- 0 until k)
+        yield (i, s"t$j", fv(i)(j))
+      val gf = Analytics.friedmanTest(frows.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v")).head()
+      if (c > 0) {
+        val stat = 12.0 * nI / (k * (k + 1.0)) * dev2 / c
+        assert(math.abs(gf.getAs[Double]("chi2_f") - rd6(stat)) < 1e-5,
+          s"seed $seed: $gf vs $stat")
+      } else assert(gf.isNullAt(gf.fieldIndex("chi2_f")), s"$gf")
+    }
+  }
+
   test("krippendorffAlphaInterval: equals nominal alpha on binary data; brute-force differential") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
@@ -659,15 +708,18 @@ class AnalyticsSpec extends SparkSuite {
       for ((a, _) <- all; (b, _) <- all) deSum += (a - b) * (a - b)
       if (deSum <= 0) None else Some(1 - (n - 1) * doSum / deSum)
     }
-    val ratings = (0 until 20).flatMap { i =>
-      Seq.fill(1 + rng.nextInt(4))((i, rng.nextInt(7).toDouble))
+    for (seed <- 41 to 45) {
+      val r2 = new scala.util.Random(seed)
+      val ratings = (0 until 20).flatMap { i =>
+        Seq.fill(1 + r2.nextInt(4))((i, r2.nextInt(7).toDouble))
+      }
+      val got = Analytics.krippendorffAlphaInterval(
+        ratings.toDF("item", "v"), "item", "v", dp = 9)
+        .head().getAs[Double]("alpha")
+      val exp = brute(ratings)
+      assert(exp.isDefined && math.abs(got - exp.get) < 1e-6,
+        s"seed $seed: $got vs $exp")
     }
-    val got = Analytics.krippendorffAlphaInterval(
-      ratings.toDF("item", "v"), "item", "v", dp = 9)
-      .head().getAs[Double]("alpha")
-    val exp = brute(ratings)
-    assert(exp.isDefined && math.abs(got - exp.get) < 1e-6,
-      s"$got vs $exp")
     // constant values -> D_e = 0 -> NULL
     val const = Seq((1, 2.0), (1, 2.0), (2, 2.0), (2, 2.0)).toDF("item", "v")
     val rc = Analytics.krippendorffAlphaInterval(const, "item", "v").head()
