@@ -223,6 +223,115 @@ object Analytics {
         .otherwise(round((po - pe) / (lit(1) - pe), dp)).as("kappa"))
   }
 
+  /** Weighted Cohen's κ (Cohen 1968) for ORDINAL ratings: two raters'
+    * numeric scores joined on the item id, disagreement weighted by
+    * |v_a − v_b| (`"linear"`) or (v_a − v_b)² (`"quadratic"` — the QWK
+    * standard for score annotations):
+    *
+    *   κ_w = 1 − Σ o_ij·w_ij / Σ e_ij·w_ij,   e_ij = row_i·col_j / n
+    *
+    * computed on RAW score distances — the usual /(k−1) normalization
+    * cancels in the ratio, so no level indexing is needed. On binary
+    * {0,1} data both weightings equal unweighted [[cohenKappa]] (the
+    * differential identity the spec pins). κ is NULL when the expected
+    * weighted disagreement is 0 (a constant rater). One confusion
+    * rollup (|levels|² rows), marginal self-join of level vectors —
+    * nothing corpus-sized past the rollup. Returns
+    * (n_items, wo, we, kappa_w). */
+  def weightedKappa(a: DataFrame, b: DataFrame, idCol: String,
+      scoreCol: String, weights: String = "quadratic",
+      dp: Int = 6): DataFrame = {
+    require(weights == "quadratic" || weights == "linear",
+      s"weights must be quadratic|linear, got $weights")
+    def w(d: Column): Column =
+      if (weights == "quadratic") d * d else abs(d)
+    val ja = a.select(col(idCol).as("__id"),
+      col(scoreCol).cast("double").as("__va"))
+    val jb = b.select(col(idCol).as("__id"),
+      col(scoreCol).cast("double").as("__vb"))
+    val cm = ja.join(jb, "__id")
+      .where(col("__va").isNotNull && col("__vb").isNotNull)
+      .groupBy("__va", "__vb").agg(count(lit(1L)).as("__n"))
+      .localCheckpoint(true) // observed sum + both marginals read it
+    val obs = cm.agg(sum(col("__n")).as("n_items"),
+      coalesce(sum(col("__n").cast("double") *
+        w(col("__va") - col("__vb"))), lit(0.0)).as("__wo"))
+    val ma = cm.groupBy(col("__va").as("__v")).agg(sum("__n").as("__na"))
+    val mb = cm.groupBy(col("__vb").as("__v")).agg(sum("__n").as("__nb"))
+    val exp = ma.crossJoin(mb.select(col("__v").as("__v2"), col("__nb")))
+      .agg(coalesce(sum(col("__na").cast("double") * col("__nb") *
+        w(col("__v") - col("__v2"))), lit(0.0)).as("__wes"))
+    obs.crossJoin(exp).select(
+      col("n_items"),
+      round(col("__wo") / col("n_items"), dp).as("wo"),
+      round(col("__wes") / (col("n_items").cast("double") * col("n_items")),
+        dp).as("we"),
+      when(col("__wes") === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) - col("__wo") * col("n_items") /
+          col("__wes"), dp)).as("kappa_w"))
+  }
+
+  /** Kendall's τ-b rank correlation for BOUNDED ordinal scales (rating
+    * pairs, bucketed scores — the monotone-association readout that,
+    * unlike Spearman, is a direct probability statement: P(concordant)
+    * − P(discordant), tie-adjusted):
+    *
+    *   τ_b = (n_c − n_d) / √((n₀ − n₁)(n₀ − n₂))
+    *
+    * with n₀ = n(n−1)/2 and n₁/n₂ the x/y marginal tie-pair masses.
+    * Pair counting runs on the DISTINCT-CELL table: one (x, y) rollup,
+    * then a strict-upper-triangle cell self-join — O(cells²), so the
+    * contract bounds the scales (`maxCells`, default 4096 distinct
+    * (x, y) cells — ordinal data, not continuous columns; use
+    * Spearman via [[correlationStats]] for those). NULL when either
+    * margin is constant. Returns (n, n_c, n_d, tau_b). */
+  def kendallTauB(df: DataFrame, x: Column, y: Column,
+      maxCells: Int = 4096, dp: Int = 6): DataFrame = {
+    val cells = df.select(x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1L)).as("__n"))
+      .localCheckpoint(true) // pair join + marginals + count read it
+    require(cells.count() <= maxCells,
+      s"kendallTauB: more than $maxCells distinct (x, y) cells — " +
+        "this is the bounded-ordinal API; use Spearman for continuous data")
+    val a = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
+      col("__n").as("__na"))
+    val bb = cells.select(col("__x").as("__xb"), col("__y").as("__yb"),
+      col("__n").as("__nb"))
+    // strict upper triangle in (x, y) lexicographic order: every
+    // unordered cell pair exactly once
+    val pairs = a.join(bb, col("__xa") < col("__xb") ||
+        (col("__xa") === col("__xb") && col("__ya") < col("__yb")))
+      .agg(
+        coalesce(sum(when((col("__xa") < col("__xb") &&
+            col("__ya") < col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") > col("__yb")),
+          col("__na").cast("double") * col("__nb")).otherwise(0.0)),
+          lit(0.0)).as("__nc"),
+        coalesce(sum(when((col("__xa") < col("__xb") &&
+            col("__ya") > col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") < col("__yb")),
+          col("__na").cast("double") * col("__nb")).otherwise(0.0)),
+          lit(0.0)).as("__nd"))
+    val n = cells.agg(sum(col("__n")).as("n"))
+    val tx = cells.groupBy("__x").agg(sum(col("__n")).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("double") * (col("__t") - 1) / 2),
+        lit(0.0)).as("__n1"))
+    val ty = cells.groupBy("__y").agg(sum(col("__n")).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("double") * (col("__t") - 1) / 2),
+        lit(0.0)).as("__n2"))
+    val n0 = col("n").cast("double") * (col("n") - 1) / 2
+    val denom = sqrt((n0 - col("__n1")) * (n0 - col("__n2")))
+    n.crossJoin(pairs).crossJoin(tx).crossJoin(ty).select(
+      col("n"), col("__nc").cast("long").as("n_c"),
+      col("__nd").cast("long").as("n_d"),
+      when(n0 - col("__n1") <= 0.0 || n0 - col("__n2") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round((col("__nc") - col("__nd")) / denom, dp))
+        .as("tau_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test: the max vertical gap
     * between the empirical CDFs of cohort A (`inA`) and the rest —
     * the distribution-shape companion to the binned-PSI screen (PSI

@@ -981,6 +981,25 @@ object RelationalQueries {
         "item", "label")
     }),
 
+    // Quadratic-weighted kappa between two ordinal scorers — the QWK
+    // standard for score-annotation agreement; weights on raw score
+    // distances (the /(k-1) normalization cancels in the ratio).
+    "q_wkappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ra = d.select(col("doc_id"), (col("n_chars") % 5).as("score"))
+      val rb = d.select(col("doc_id"),
+        ((col("n_chars") + col("doc_id") % 3) % 5).as("score"))
+      Analytics.weightedKappa(ra, rb, "doc_id", "score",
+        weights = "quadratic")
+    }),
+
+    // Kendall's tau-b between two bucketed ordinal scores: pair
+    // counting on the distinct-cell table (bounded scales contract).
+    "q_kendall" -> ((s, dir) =>
+      Analytics.kendallTauB(t(s, dir, "documents"),
+        floor((col("n_chars") % 97).cast("double") / 10),
+        floor((col("n_chars") % 89).cast("double") / 10))),
+
     // Interval-metric Krippendorff over three NUMERIC raters with the
     // same planted skips — score annotations where distance matters.
     "q_kripp_interval" -> ((s, dir) => {
@@ -2880,6 +2899,60 @@ object RelationalQueries {
         |  ELSE round(1 - CAST(ma.n - 1 AS DOUBLE) * dn.do_
         |    / (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2), 6) END AS alpha
         |FROM dn, ma""".stripMargin,
+
+    // same confusion rollup, same raw-distance quadratic weights
+    "q_wkappa" ->
+      """WITH a AS (SELECT doc_id, CAST(n_chars % 5 AS DOUBLE) AS va
+        | FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST((n_chars + doc_id % 3) % 5 AS DOUBLE) AS vb FROM documents),
+        |cm AS (SELECT va, vb, CAST(count(*) AS BIGINT) AS n
+        | FROM a JOIN b USING (doc_id) GROUP BY 1, 2),
+        |o AS (SELECT CAST(sum(n) AS BIGINT) AS n_items,
+        |  coalesce(sum(CAST(n AS DOUBLE) * (va - vb) * (va - vb)), 0)
+        |    AS wo FROM cm),
+        |ma AS (SELECT va AS v, CAST(sum(n) AS BIGINT) AS na FROM cm
+        | GROUP BY 1),
+        |mb AS (SELECT vb AS v2, CAST(sum(n) AS BIGINT) AS nb FROM cm
+        | GROUP BY 1),
+        |e AS (SELECT coalesce(sum(CAST(na AS DOUBLE) * nb
+        |  * (v - v2) * (v - v2)), 0) AS wes FROM ma CROSS JOIN mb)
+        |SELECT n_items, round(wo / n_items, 6) AS wo,
+        | round(wes / (CAST(n_items AS DOUBLE) * n_items), 6) AS we,
+        | CASE WHEN wes = 0 THEN NULL
+        |  ELSE round(1 - wo * n_items / wes, 6) END AS kappa_w
+        |FROM o, e""".stripMargin,
+
+    // same distinct-cell pair counting, same tie-pair masses
+    "q_kendall" ->
+      """WITH s AS (SELECT
+        |  floor(CAST(n_chars % 97 AS DOUBLE) / 10) AS x,
+        |  floor(CAST(n_chars % 89 AS DOUBLE) / 10) AS y FROM documents),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM s
+        | GROUP BY 1, 2),
+        |p AS (SELECT
+        |  coalesce(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |    OR (a.x > b.x AND a.y > b.y)
+        |   THEN CAST(a.n AS DOUBLE) * b.n END), 0) AS nc,
+        |  coalesce(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |    OR (a.x > b.x AND a.y < b.y)
+        |   THEN CAST(a.n AS DOUBLE) * b.n END), 0) AS nd
+        | FROM cells a JOIN cells b
+        |  ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cells),
+        |t1 AS (SELECT coalesce(sum(CAST(t AS DOUBLE) * (t - 1) / 2), 0)
+        |  AS n1 FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells
+        |   GROUP BY x)),
+        |t2 AS (SELECT coalesce(sum(CAST(t AS DOUBLE) * (t - 1) / 2), 0)
+        |  AS n2 FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells
+        |   GROUP BY y))
+        |SELECT t.n, CAST(p.nc AS BIGINT) AS n_c, CAST(p.nd AS BIGINT) AS n_d,
+        | CASE WHEN (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - n1) <= 0
+        |   OR (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - n2) <= 0 THEN NULL
+        |  ELSE round((p.nc - p.nd) /
+        |   sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - n1)
+        |      * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - n2)), 6) END AS tau_b
+        |FROM t, p, t1, t2""".stripMargin,
 
     // same raters as numeric scores, the moment identities restated:
     // Do = sum_u (mu*ss_u - s_u^2)/(mu-1), De = n*ss - s^2

@@ -628,6 +628,80 @@ class AnalyticsSpec extends SparkSuite {
     assert(ra.isNullAt(ra.fieldIndex("chi2_f")), s"$ra")
   }
 
+  test("weightedKappa: binary == unweighted cohenKappa; hand-computed QWK; constant-rater NULL") {
+    import spark.implicits._
+    // binary {0,1}: |d| and d^2 are both the 0/1 disagreement indicator,
+    // so linear AND quadratic kappa_w == plain kappa
+    val rng = new scala.util.Random(17)
+    val ids = (0 until 200).map(i =>
+      (i.toLong, rng.nextInt(2), rng.nextInt(2)))
+    val a = ids.map(t => (t._1, t._2)).toDF("id", "score")
+    val b = ids.map(t => (t._1, t._3)).toDF("id", "score")
+    val plain = Analytics.cohenKappa(
+      a.withColumnRenamed("score", "label"),
+      b.withColumnRenamed("score", "label"), "id", "label", dp = 9)
+      .head().getAs[Double]("kappa")
+    for (w <- Seq("quadratic", "linear")) {
+      val kw = Analytics.weightedKappa(a, b, "id", "score", w, dp = 9)
+        .head().getAs[Double]("kappa_w")
+      assert(math.abs(kw - plain) < 1e-8, s"$w: $kw vs $plain")
+    }
+    // hand-computed 3-level quadratic: scores (1,1),(2,3),(3,1):
+    // wo = 0 + 1 + 4 = 5; marginals a: {1:1,2:1,3:1}, b: {1:2,3:1};
+    // wes = sum na*nb*d^2 = (1*2*0+1*1*4)+(1*2*1+1*1*1)+(1*2*4+1*1*0)
+    //     = 4 + 3 + 8 = 15; kappa = 1 - wo*n/wes = 1 - 15/15 = 0
+    val ha = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "score")
+    val hb = Seq((1L, 1), (2L, 3), (3L, 1)).toDF("id", "score")
+    val hr = Analytics.weightedKappa(ha, hb, "id", "score").head()
+    assert(hr.getAs[Long]("n_items") == 3 &&
+      hr.getAs[Double]("kappa_w") == 0.0, s"$hr")
+    // one rater constant AND the other constant -> wes = 0 -> NULL
+    val ca = Seq((1L, 2), (2L, 2)).toDF("id", "score")
+    val rc = Analytics.weightedKappa(ca, ca, "id", "score").head()
+    assert(rc.isNullAt(rc.fieldIndex("kappa_w")), s"$rc")
+  }
+
+  test("kendallTauB: monotone +1/-1, brute-force differential, bounded-cells contract") {
+    import spark.implicits._
+    val mono = (1 to 10).map(i => (i, i * 2)).toDF("x", "y")
+    assert(Analytics.kendallTauB(mono, col("x"), col("y"))
+      .head().getAs[Double]("tau_b") == 1.0)
+    val rev = (1 to 10).map(i => (i, -i)).toDF("x", "y")
+    assert(Analytics.kendallTauB(rev, col("x"), col("y"))
+      .head().getAs[Double]("tau_b") == -1.0)
+    // brute force over random ordinal pairs with heavy ties
+    def brute(ps: Seq[(Int, Int)]): Option[Double] = {
+      var nc = 0.0; var nd = 0.0
+      for (i <- ps.indices; j <- ps.indices if i < j) {
+        val s = (ps(i)._1 - ps(j)._1).sign * (ps(i)._2 - ps(j)._2).sign
+        if (s > 0) nc += 1 else if (s < 0) nd += 1
+      }
+      val n = ps.size.toDouble
+      val n0 = n * (n - 1) / 2
+      def tm(vs: Seq[Int]) = vs.groupBy(identity).values
+        .map(g => g.size.toDouble * (g.size - 1) / 2).sum
+      val d = (n0 - tm(ps.map(_._1))) * (n0 - tm(ps.map(_._2)))
+      if (d <= 0) None else Some((nc - nd) / math.sqrt(d))
+    }
+    for (seed <- 61 to 63) {
+      val rng = new scala.util.Random(seed)
+      val ps = Seq.fill(80)((rng.nextInt(5), rng.nextInt(4)))
+      val got = Analytics.kendallTauB(ps.toDF("x", "y"),
+        col("x"), col("y"), dp = 9).head().getAs[Double]("tau_b")
+      val exp = brute(ps)
+      assert(exp.isDefined && math.abs(got - exp.get) < 1e-8,
+        s"seed $seed: $got vs $exp")
+    }
+    // constant margin -> NULL; continuous data trips the cell bound
+    val flat = (1 to 5).map(i => (1, i)).toDF("x", "y")
+    val rf = Analytics.kendallTauB(flat, col("x"), col("y")).head()
+    assert(rf.isNullAt(rf.fieldIndex("tau_b")), s"$rf")
+    val wide = (1 to 50).map(i => (i, i)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Analytics.kendallTauB(wide, col("x"), col("y"), maxCells = 10)
+    }
+  }
+
   test("cochranQ / friedmanTest: multi-seed brute-force differentials on random complete designs") {
     import spark.implicits._
     def rd6(x: Double) = BigDecimal(x).setScale(6,
