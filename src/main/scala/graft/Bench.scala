@@ -108,7 +108,12 @@ object Bench {
     val minOf2 = Set("dedup_stream_ingest", "q_stream_join",
       "q_stream_debounce", "q_stream_anomaly")
     val minOf2Floor = 3.0 // seconds
-    val prev = prevRound
+    // the prev-reference resample arm only applies when the regr gate
+    // itself will run (full sf0.1 runs) — prev.json holds sf0.1 times,
+    // and resampling a bigger-SF run against them would ~double it for
+    // a gate that is then never reported
+    val regrGateActive = args.isEmpty && sfDir.endsWith("sf0.1")
+    val prev = if (regrGateActive) prevRound else Map.empty[String, Double]
     selected.foreach { case (name, fn) =>
       try {
         // Plan print stays OUTSIDE the timed region: building the frame a
@@ -437,7 +442,7 @@ object Bench {
     // jitter by compile/GC noise; the floor keeps the gate about
     // regressions); would-be violations were min-of-2 resampled above.
     val regrJson =
-      if (args.nonEmpty || !sfDir.endsWith("sf0.1") || prev.isEmpty) ""
+      if (!regrGateActive || prev.isEmpty) ""
       else {
         val ratios = prev.toSeq.flatMap { case (k, p) =>
           timings.get(k).map(t => (k, t, p, t / p)) }

@@ -634,7 +634,13 @@ object Analytics {
     * corpus-sized past the first rollup. */
   def krippendorffAlpha(ratings: DataFrame, itemCol: String,
       labelCol: String, dp: Int = 6): DataFrame = {
-    val cell = ratings.groupBy(col(itemCol).as("__i"),
+    // NULL items/labels drop up front (as in the interval twin): a
+    // missing rating is ABSENCE, not a label category — and a NULL
+    // item key would count into D_o via the item rollup while the
+    // marginal equi-join dropped it, making α internally inconsistent
+    val cell = ratings
+      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
         col(labelCol).cast("string").as("__l"))
       .agg(count(lit(1L)).as("__nuc"))
       .localCheckpoint(true) // item rollup + label marginals both read it
@@ -720,15 +726,21 @@ object Analytics {
         col("__s").isNotNull)
       .localCheckpoint(true) // k-count + per-item + per-classifier reads
     val k = base.select(countDistinct(col("__c")).as("k"))
+    // complete design = exactly one rating per classifier: both the
+    // row count AND the distinct-classifier count must equal k (a
+    // duplicate rating would otherwise mask a missing classifier)
     val perItem = base.groupBy("__i")
-      .agg(count(lit(1L)).as("__cnt"), sum(col("__s")).as("__r"))
+      .agg(count(lit(1L)).as("__cnt"),
+        countDistinct(col("__c")).as("__dcnt"), sum(col("__s")).as("__r"))
       .crossJoin(broadcast(k))
-    val kept = perItem.where(col("__cnt") === col("k"))
+    val kept = perItem.where(col("__cnt") === col("k") &&
+      col("__dcnt") === col("k"))
       .localCheckpoint(true) // row sums + the classifier-side semi join
     val rows = kept.agg(count(lit(1L)).as("n_items"),
       coalesce(sum(col("__r")), lit(0L)).as("__nn"),
       coalesce(sum(col("__r") * col("__r")), lit(0L)).as("__r2"))
-    val dropped = perItem.where(col("__cnt") =!= col("k"))
+    val dropped = perItem.where(col("__cnt") =!= col("k") ||
+        col("__dcnt") =!= col("k"))
       .agg(count(lit(1L)).as("n_items_dropped"))
     // Σ_j (C_j − N/k)² = ΣC_j² − N²/k (since ΣC_j = N) — so one
     // classifier rollup plus closed-form algebra, no second pass
@@ -776,10 +788,15 @@ object Analytics {
         col("__v").isNotNull)
       .localCheckpoint(true)
     val k = base.select(countDistinct(col("__t")).as("k"))
-    val sizes = base.groupBy("__b").agg(count(lit(1L)).as("__cnt"))
+    // complete block = exactly one value per treatment (row count AND
+    // distinct-treatment count both k — duplicates must not mask gaps)
+    val sizes = base.groupBy("__b").agg(count(lit(1L)).as("__cnt"),
+        countDistinct(col("__t")).as("__dcnt"))
       .crossJoin(broadcast(k))
-    val keptIds = sizes.where(col("__cnt") === col("k")).select(col("__b"))
-    val droppedDf = sizes.where(col("__cnt") =!= col("k"))
+    val keptIds = sizes.where(col("__cnt") === col("k") &&
+      col("__dcnt") === col("k")).select(col("__b"))
+    val droppedDf = sizes.where(col("__cnt") =!= col("k") ||
+        col("__dcnt") =!= col("k"))
       .agg(count(lit(1L)).as("n_blocks_dropped"))
     val kept = base.join(keptIds, "__b")
     // tie-averaged within-block rank: rank() + (ties−1)/2, both windows
@@ -829,9 +846,11 @@ object Analytics {
     * RLHF/eval preference data: strengths expose annotator drift and
     * item quality that raw win rates (ignoring opponent strength)
     * miss. Self-pairs and NULL sides drop. Items are BOUNDED by
-    * contract (`maxItems`, default 4096 — models/sources/langs, not
-    * documents): one corpus rollup to the ≤items² pairwise-count
-    * table, which is collected and iterated on the DRIVER (the
+    * contract (`maxItems`, default 1024 — models/sources/langs, not
+    * documents; the driver collect is capped at maxItems² pair rows,
+    * so 1024 bounds it at ~1M rows / tens of MB): one corpus rollup
+    * to the ≤items² pairwise-count table, which is collected and
+    * iterated on the DRIVER (the
     * IPF/PAV bounded-driver discipline; unlike logisticRegressionGD
     * there is no per-iteration scan at all). Exactly `iters` MM steps
     * from the uniform start — a FIXED trajectory, so the oracle can
@@ -841,8 +860,10 @@ object Analytics {
     * finite and identical. Returns (item, n_wins, n_games, strength)
     * ordered by item. */
   def bradleyTerry(df: DataFrame, winner: Column, loser: Column,
-      iters: Int = 20, maxItems: Int = 4096, dp: Int = 6): DataFrame = {
+      iters: Int = 20, maxItems: Int = 1024, dp: Int = 6): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxItems >= 1 && maxItems <= 46340, // 46341² overflows Int
+      s"maxItems must be in [1, 46340], got $maxItems")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(winner.cast("string").as("__w"),

@@ -2994,13 +2994,15 @@ object RelationalQueries {
         |  WHERE doc_id % 7 <> 0),
         |kk AS (SELECT CAST(count(DISTINCT clf) AS BIGINT) AS kg FROM r),
         |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT clf) AS BIGINT) AS dcnt,
         |  CAST(sum(s) AS BIGINT) AS ri FROM r GROUP BY 1),
-        |kept AS (SELECT pi.item, pi.ri FROM pi, kk WHERE pi.cnt = kk.kg),
+        |kept AS (SELECT pi.item, pi.ri FROM pi, kk
+        | WHERE pi.cnt = kk.kg AND pi.dcnt = kk.kg),
         |rw AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(coalesce(sum(ri), 0) AS BIGINT) AS nn,
         |  CAST(coalesce(sum(ri * ri), 0) AS BIGINT) AS r2 FROM kept),
         |drp AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM pi, kk
-        | WHERE pi.cnt <> kk.kg),
+        | WHERE pi.cnt <> kk.kg OR pi.dcnt <> kk.kg),
         |cj AS (SELECT r.clf, CAST(sum(r.s) AS BIGINT) AS cj FROM r
         | JOIN kept ON r.item = kept.item GROUP BY 1),
         |cs AS (SELECT CAST(count(*) AS BIGINT) AS k,
@@ -3032,8 +3034,7 @@ object RelationalQueries {
     // same within-block tie-averaged ranks (rank() + (ct-1)/2), same
     // tie mass sum(ct^2-1), same closed-form deviation rb2 - k*m^2
     "q_friedman" ->
-      """WITH d AS (SELECT doc_id FROM documents),
-        |r AS (SELECT doc_id AS item, 'a' AS trt,
+      """WITH r AS (SELECT doc_id AS item, 'a' AS trt,
         |  CAST(n_chars % 97 AS DOUBLE) AS v FROM documents
         | UNION ALL SELECT doc_id, 'b', CAST(n_chars % 89 AS DOUBLE)
         |  FROM documents
@@ -3041,11 +3042,13 @@ object RelationalQueries {
         |  CAST((n_chars + doc_id) % 101 AS DOUBLE) FROM documents
         |  WHERE doc_id % 11 <> 0),
         |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS kg FROM r),
-        |sz AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM r
+        |sz AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT trt) AS BIGINT) AS dcnt FROM r
         | GROUP BY 1),
-        |kept AS (SELECT sz.item FROM sz, kk WHERE sz.cnt = kk.kg),
+        |kept AS (SELECT sz.item FROM sz, kk
+        | WHERE sz.cnt = kk.kg AND sz.dcnt = kk.kg),
         |drp AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sz, kk
-        | WHERE sz.cnt <> kk.kg),
+        | WHERE sz.cnt <> kk.kg OR sz.dcnt <> kk.kg),
         |rk AS (SELECT r.item, r.trt,
         |  rank() OVER (PARTITION BY r.item ORDER BY r.v)
         |    + (count(*) OVER (PARTITION BY r.item, r.v) - 1)

@@ -555,6 +555,16 @@ class AnalyticsSpec extends SparkSuite {
     val rl = Analytics.krippendorffAlpha(lone, "item", "label").head()
     assert(rl.getAs[Long]("n_items") == 0 &&
       rl.isNullAt(rl.fieldIndex("alpha")), s"$rl")
+    // NULL items/labels are ABSENT ratings, not a category: result
+    // equals the same table with the null rows removed
+    val withNulls = Seq((Some(1), Some("a")), (Some(1), Some("a")),
+      (Some(2), Some("a")), (Some(2), Some("b")),
+      (Some(1), None), (None, Some("b")))
+      .toDF("item", "label")
+    val clean = Seq((1, "a"), (1, "a"), (2, "a"), (2, "b"))
+      .toDF("item", "label")
+    assert(Analytics.krippendorffAlpha(withNulls, "item", "label").head() ==
+      Analytics.krippendorffAlpha(clean, "item", "label").head())
   }
 
   test("cochranQ: hand-computed Q; incomplete items dropped; unanimous NULL") {
@@ -580,6 +590,15 @@ class AnalyticsSpec extends SparkSuite {
     assert(rh.getAs[Long]("n_items") == 4 &&
       rh.getAs[Long]("n_items_dropped") == 1 &&
       rh.getAs[Double]("q_stat") == 3.0, s"$rh")
+    // a DUPLICATE rating must not mask a missing classifier: item 6 has
+    // rows {a, a, c} — count 3 == k but only 2 distinct -> dropped
+    val withDup = rows.unionByName(Seq((6, "a", 1), (6, "a", 0),
+      (6, "c", 1)).toDF("i", "c", "s"))
+    val rdup = Analytics.cochranQ(withDup, col("i"), col("c"),
+      col("s") === 1).head()
+    assert(rdup.getAs[Long]("n_items") == 4 &&
+      rdup.getAs[Long]("n_items_dropped") == 1 &&
+      rdup.getAs[Double]("q_stat") == 3.0, s"$rdup")
     // unanimous items only: denominator 0 -> NULL, never a divide
     val flat = Seq((1, "a", 1), (1, "b", 1), (2, "a", 0), (2, "b", 0))
       .toDF("i", "c", "s")
@@ -602,7 +621,6 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getAs[Double]("chi2_f") == 6.0 &&
       r.getAs[Boolean]("reject_05"), s"$r")
     // tie in one block: b1 = (1, 1, 2) -> ranks (1.5, 1.5, 3);
-    // rbar = (4/3+1/6, 7/3-1/6, 3) wait — recompute in-line instead:
     // blocks 2,3 unchanged (1,2,3); rbar_a = (1.5+1+1)/3, rbar_b =
     // (1.5+2+2)/3, rbar_c = 3; tie mass = 2 rows with ct=2 ->
     // sum(ct^2-1) = 6, C = 1 - 6/(3*3*8) = 11/12
@@ -621,6 +639,14 @@ class AnalyticsSpec extends SparkSuite {
       .toDF("b", "t", "v"))
     assert(Analytics.friedmanTest(withHole, col("b"), col("t"), col("v"))
       .head().getAs[Long]("n_blocks_dropped") == 1)
+    // duplicate treatment must not mask a gap: block {a, a, c} dropped
+    val withDup = rows.unionByName(Seq((8, "a", 1.0), (8, "a", 2.0),
+      (8, "c", 3.0)).toDF("b", "t", "v"))
+    val rdup = Analytics.friedmanTest(withDup, col("b"), col("t"),
+      col("v")).head()
+    assert(rdup.getAs[Long]("n_blocks") == 3 &&
+      rdup.getAs[Long]("n_blocks_dropped") == 1 &&
+      rdup.getAs[Double]("chi2_f") == 6.0, s"$rdup")
     val allTied = (1 to 2).flatMap(b => Seq((b, "a", 5.0), (b, "b", 5.0),
       (b, "c", 5.0))).toDF("b", "t", "v")
     val ra = Analytics.friedmanTest(allTied, col("b"), col("t"), col("v"))
