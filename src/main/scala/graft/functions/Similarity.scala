@@ -425,4 +425,90 @@ object Similarity {
     scat.join(worst, col(clusterCol) === col("__ca"), "left")
       .select(col(clusterCol), col("n"), col("scatter"), col("worst_ratio"))
   }
+
+  /** Simplified (centroid) silhouette per cluster (Hruschka et al.
+    * 2004 — the O(n·k) surrogate of Rousseeuw 1987's O(n²) pairwise
+    * silhouette, the only form that scales): per point, a = distance
+    * to its OWN centroid, b = the closest OTHER centroid, and
+    *
+    *   s = (b − a) / max(a, b)      (0 when a = b = 0)
+    *
+    * averaged per cluster. Returns (cluster, n, avg_silhouette)
+    * ordered by cluster; with one cluster there is no "other" centroid
+    * and the average is NULL.
+    *
+    * Scale shape: one broadcast of the k-row centroid table against
+    * the corpus (n·k rows through ONE (id, cluster) rollup — k is the
+    * cluster count, bounded by contract), then a cluster-sized rollup.
+    * Nothing is pairwise in n. */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val cent = groupCentroids(df, clusterCol, vecCol, "__c")
+      .select(col(clusterCol).as("__oc"), col("__c"))
+    val p = df.select(col(idCol).as("__id"), col(clusterCol),
+      col(vecCol).as("__v"))
+    val ab = p.join(broadcast(cent))
+      .select(col("__id"), col(clusterCol),
+        sqrt(Ivf.sqDist(col("__v"), col("__c"))).as("__d"),
+        (col(clusterCol) === col("__oc")).as("__own"))
+      .groupBy("__id", clusterCol)
+      .agg(min(when(col("__own"), col("__d"))).as("__a"),
+        min(when(!col("__own"), col("__d"))).as("__b"))
+    ab.select(col(clusterCol),
+        when(col("__b").isNull, lit(null).cast("double"))
+          .when(greatest(col("__a"), col("__b")) > 0.0,
+            (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)).as("__s"))
+      .groupBy(clusterCol)
+      .agg(count(lit(1L)).as("n"), avg(col("__s")).as("avg_silhouette"))
+      .orderBy(clusterCol)
+  }
+
+  /** Calinski–Harabasz index (Caliński & Harabasz 1974): the
+    * variance-ratio cluster criterion
+    *
+    *   CH = [SSB/(k−1)] / [SSW/(n−k)]
+    *
+    * computed ENTIRELY from per-cluster moments — one posexplode scan
+    * to a (cluster, slot) rollup of (n, Σx, Σx²), then
+    * SSW = Σ_j (Σ‖x‖²_j − n_j‖c_j‖²) and
+    * SSB = Σ_j n_j‖c_j‖² − n‖c̄‖² by the usual decomposition; no join
+    * touches the corpus and no distance pass runs at all (the
+    * [[graft.functions.Pca]] flat-slot discipline). One row:
+    * (k, n, ssb, ssw, ch); CH is NULL when k < 2, n ≤ k, or SSW = 0.
+    * Callers filter null / wrong-dimension vectors first. */
+  def calinskiHarabasz(df: DataFrame, vecCol: String, clusterCol: String,
+      dp: Int = 6): DataFrame = {
+    val slots = df.select(col(clusterCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x0")))
+      .select(col("__g"), col("__i"), col("__x0").cast("double").as("__x"))
+      .groupBy("__g", "__i")
+      .agg(count(lit(1L)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+    val perCluster = slots.groupBy("__g").agg(
+      max(col("__n")).as("__nj"),
+      sum(col("__ss")).as("__ssq"),
+      sum(col("__s") * col("__s") / col("__n")).as("__njc2"))
+    // global per-slot sums for ‖c̄‖²: roll the slot sums up across
+    // clusters (k·d rows — bounded)
+    val globalC = slots.groupBy("__i")
+      .agg(sum(col("__s")).as("__ts"), sum(col("__n")).as("__tn"))
+      .agg(coalesce(sum(col("__ts") * col("__ts") / col("__tn")), lit(0.0))
+        .as("__nc2"))
+    val tot = perCluster.agg(
+      count(lit(1L)).as("k"),
+      sum(col("__nj")).as("n"),
+      coalesce(sum(col("__ssq") - col("__njc2")), lit(0.0)).as("__ssw"),
+      coalesce(sum(col("__njc2")), lit(0.0)).as("__sbpart"))
+    val ssb = col("__sbpart") - col("__nc2")
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val ch = (ssb / (kD - 1)) / (col("__ssw") / (nD - kD))
+    tot.crossJoin(broadcast(globalC)).select(
+      col("k"), col("n"),
+      round(ssb, dp).as("ssb"), round(col("__ssw"), dp).as("ssw"),
+      when(col("k") < 2 || col("n") <= col("k") || col("__ssw") <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(ch, dp)).as("ch"))
+  }
 }

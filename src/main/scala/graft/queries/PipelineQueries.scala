@@ -3229,6 +3229,27 @@ object PipelineQueries {
           round(col("worst_ratio"), 6).as("worst_ratio"))
         .orderBy("cluster")),
 
+    // Simplified (centroid) silhouette over the same mod-5 assignment:
+    // the O(n·k) cluster-quality readout beside Davies-Bouldin.
+    "sim_silhouette" -> ((s, dir) =>
+      Similarity.simplifiedSilhouette(
+          t(s, dir, "embeddings")
+            .where(size(col("embedding")) === 64)
+            .withColumn("cluster", pmod(col("vec_id"), lit(5L))),
+          "vec_id", "embedding", "cluster")
+        .select(col("cluster"), col("n"),
+          round(col("avg_silhouette"), 6).as("avg_silhouette"))
+        .orderBy("cluster")),
+
+    // Calinski-Harabasz variance-ratio criterion from pure per-cluster
+    // moments (no distance pass at all) — one posexplode rollup.
+    "sim_ch_index" -> ((s, dir) =>
+      Similarity.calinskiHarabasz(
+          t(s, dir, "embeddings")
+            .where(size(col("embedding")) === 64)
+            .withColumn("cluster", pmod(col("vec_id"), lit(5L))),
+          "embedding", "cluster")),
+
     // Isotonic (PAV) calibration over deterministic pseudo-scores: one
     // bin-keyed aggregation + the bounded driver PAV; the oracle
     // restates the fit via the minimax identity pav(i) = max_{h<=i}
@@ -7097,6 +7118,51 @@ object PipelineQueries {
         |SELECT s.cluster, s.n, round(s.scatter, 6) AS scatter,
         | round(r.worst, 6) AS worst_ratio
         |FROM s JOIN r ON s.cluster = r.cluster ORDER BY s.cluster""".stripMargin,
+
+    // same centroid distances, same own/other min split
+    "sim_silhouette" ->
+      """WITH x AS (SELECT vec_id, vec_id % 5 AS cluster, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |c AS (SELECT cluster AS oc, i, avg(v) AS cv FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.cluster, c.oc,
+        |        sqrt(sum((x.v - c.cv) * (x.v - c.cv))) AS dist
+        |       FROM x JOIN c ON x.i = c.i GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, cluster,
+        |        min(CASE WHEN cluster = oc THEN dist END) AS a,
+        |        min(CASE WHEN cluster <> oc THEN dist END) AS b
+        |       FROM d GROUP BY 1, 2),
+        |s AS (SELECT cluster, CASE WHEN b IS NULL THEN NULL
+        |        WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |        ELSE CAST(0 AS DOUBLE) END AS sil FROM ab)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(sil), 6) AS avg_silhouette
+        |FROM s GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // same moment decomposition: SSW = sum(ssq - nj*|cj|^2),
+    // SSB = sum(nj*|cj|^2) - n*|cbar|^2
+    "sim_ch_index" ->
+      """WITH x AS (SELECT vec_id % 5 AS cluster, CAST(i AS INT) AS i,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |sl AS (SELECT cluster, i, CAST(count(*) AS BIGINT) AS n,
+        |        sum(v) AS s, sum(v * v) AS ss FROM x GROUP BY 1, 2),
+        |pc AS (SELECT cluster, CAST(max(n) AS BIGINT) AS nj,
+        |        sum(ss) AS ssq, sum(s * s / n) AS njc2 FROM sl GROUP BY 1),
+        |gc AS (SELECT coalesce(sum(ts * ts / tn), 0) AS nc2 FROM
+        |  (SELECT i, sum(s) AS ts, CAST(sum(n) AS BIGINT) AS tn FROM sl
+        |   GROUP BY 1)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(nj) AS BIGINT) AS n,
+        |  coalesce(sum(ssq - njc2), 0) AS ssw,
+        |  coalesce(sum(njc2), 0) AS sbp FROM pc)
+        |SELECT k, n, round(sbp - gc.nc2, 6) AS ssb, round(ssw, 6) AS ssw,
+        | CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+        |  ELSE round(((sbp - gc.nc2) / (k - 1))
+        |    / (ssw / CAST(n - k AS DOUBLE)), 6) END AS ch
+        |FROM t, gc""".stripMargin,
 
     "eval_isotonic" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,

@@ -1816,6 +1816,51 @@ class PipelineSpec extends SparkSuite {
     assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
   }
 
+  test("simplifiedSilhouette: hand-computed 1-d fixture; single cluster NULL") {
+    import spark.implicits._
+    // A: [0], [2] (centroid 1); B: [10], [12] (centroid 11):
+    // s([0]) = (11-1)/11, s([2]) = (9-1)/9; B symmetric
+    val df = Seq((1L, "A", Seq(0.0f)), (2L, "A", Seq(2.0f)),
+      (3L, "B", Seq(10.0f)), (4L, "B", Seq(12.0f))).toDF("id", "cluster", "v")
+    val r = graft.functions.Similarity
+      .simplifiedSilhouette(df, "id", "v", "cluster")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    val expA = (10.0 / 11 + 8.0 / 9) / 2
+    assert(r("A")._1 == 2 && math.abs(r("A")._2 - expA) < 1e-12, s"$r")
+    assert(math.abs(r("B")._2 - expA) < 1e-12, s"$r") // mirror symmetry
+    // one cluster: no other centroid -> NULL average
+    val solo = df.where(col("cluster") === "A")
+    val rs = graft.functions.Similarity
+      .simplifiedSilhouette(solo, "id", "v", "cluster").head()
+    assert(rs.isNullAt(2), s"$rs")
+  }
+
+  test("calinskiHarabasz: hand-computed fixture; SSB+SSW = total SS; degenerate NULL") {
+    import spark.implicits._
+    // values 0,2 | 10,12: SSW = 4, global mean 6, SSB = 100, CH = 50
+    val df = Seq(("A", Seq(0.0f)), ("A", Seq(2.0f)),
+      ("B", Seq(10.0f)), ("B", Seq(12.0f))).toDF("cluster", "v")
+    val r = graft.functions.Similarity.calinskiHarabasz(df, "v", "cluster")
+      .head()
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4, s"$r")
+    assert(r.getAs[Double]("ssb") == 100.0 && r.getAs[Double]("ssw") == 4.0,
+      s"$r")
+    assert(r.getAs[Double]("ch") == 50.0, s"$r")
+    // SSB + SSW equals the total sum of squares about the global mean
+    assert(r.getAs[Double]("ssb") + r.getAs[Double]("ssw") == 104.0)
+    // zero within-variance -> NULL (not an infinite ratio)
+    val flat = Seq(("A", Seq(1.0f)), ("A", Seq(1.0f)),
+      ("B", Seq(5.0f)), ("B", Seq(5.0f))).toDF("cluster", "v")
+    val rf = graft.functions.Similarity.calinskiHarabasz(flat, "v", "cluster")
+      .head()
+    assert(rf.isNullAt(rf.fieldIndex("ch")), s"$rf")
+    // one cluster -> NULL
+    val one = df.where(col("cluster") === "A")
+    assert(graft.functions.Similarity.calinskiHarabasz(one, "v", "cluster")
+      .head().isNullAt(4))
+  }
+
   test("daviesBouldin: hand-computed 2-cluster fixture; coincident centroids give NULL ratio") {
     import spark.implicits._
     // cluster 0: (0,0),(2,0) -> centroid (1,0), scatter 1
