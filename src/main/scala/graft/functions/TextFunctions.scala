@@ -386,6 +386,119 @@ object TextFunctions {
       col("n_orders"))
   }
 
+  /** Paired bootstrap significance for corpus BLEU (Koehn, EMNLP
+    * 2004 §3 — the MT/summarization-eval standard): is system A's
+    * BLEU gain over system B on the SAME references real, or
+    * resampling noise? `b` deterministic Poisson(1) replicates (the
+    * md5(id:r) inverse-CDF coin of
+    * [[graft.ops.Analytics.poissonBootstrapMeanCI]] — no rand(); the
+    * p-value is a pure function of the data) each reweight the
+    * PER-DOC sufficient statistics (per-order clipped counts; totals
+    * are length arithmetic) and recompute both corpus BLEUs. The
+    * replicate delta is rounded to `dp` BEFORE every sign comparison
+    * so the counts restate exactly cross-engine (the
+    * randomizationTestMeanDiff discipline).
+    *
+    * Returns one row: (bleu_a, bleu_b, diff_obs, n_replicates,
+    * n_a_wins, n_b_wins, p_value) with
+    * p = (1 + #{r : δ_r opposes or ties the observed sign})/(b+1),
+    * NULL when diff_obs = 0.
+    *
+    * Scale shape: one gram explode per side over the concat of
+    * statically-unrolled per-order transforms (the chrF r13 form —
+    * word-gram strings of different orders cannot collide, the order
+    * is the gram's word count), TWO (id, gram) equi-joins against the
+    * once-computed reference counts, a ~n-row doc-stat table, then
+    * the b-way in-scan replication with map-side partials (the
+    * shuffle carries b groups — the established bootstrap cost:
+    * CPU is b× the doc-stat scan, never b× the gram work; measured
+    * ~7s at sf0.1 with b=199, r13 in-session). */
+  def pairedBootstrapBleu(df: DataFrame, idCol: String, candACol: String,
+      candBCol: String, refCol: String, b: Int = 199, maxN: Int = 4,
+      dp: Int = 6): DataFrame = {
+    require(b >= 19, s"need at least 19 replicates, got $b")
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        tokensWs(col(candACol)).as("__a"), tokensWs(col(candBCol)).as("__b"),
+        tokensWs(col(refCol)).as("__t"))
+      .localCheckpoint(true) // 3 gram scans + the lens pass read it
+    def grams(side: Column, n: Int): Column =
+      when(size(side) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(side) - n),
+          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
+    def gramsAll(side: Column): Column =
+      concat((1 to maxN).map(n => grams(side, n)): _*)
+    def cnt(side: Column, out: String) =
+      base.select(col("__id"), explode(gramsAll(side)).as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
+    val refCnt = cnt(col("__t"), "__cr")
+      .localCheckpoint(true) // joined by BOTH systems
+    def clip(side: Column, p: String) = {
+      val aggs = (1 to maxN).map(n =>
+        sum(when(size(split(col("__g"), " ")) === n,
+          least(col("__cc"), col("__cr")))).as(s"__$p$n"))
+      cnt(side, "__cc").join(refCnt, Seq("__id", "__g"))
+        .groupBy("__id").agg(aggs.head, aggs.tail: _*)
+    }
+    val lens = base.select(col("__id"),
+      size(col("__a")).cast("long").as("__la"),
+      size(col("__b")).cast("long").as("__lb"),
+      size(col("__t")).cast("long").as("__lt"))
+    val doc = lens.join(clip(col("__a"), "a"), Seq("__id"), "left")
+      .join(clip(col("__b"), "b"), Seq("__id"), "left")
+      .na.fill(0L)
+      .localCheckpoint(true) // observed agg + b-way replication read it
+    def sums(w: Column) =
+      Seq(sum(w * col("__la")).as("la"), sum(w * col("__lb")).as("lb"),
+        sum(w * col("__lt")).as("lt")) ++
+        (1 to maxN).flatMap(n => Seq(
+          sum(w * col(s"__a$n")).as(s"ca$n"),
+          sum(w * col(s"__b$n")).as(s"cb$n"),
+          sum(w * greatest(col("__la") - n + 1, lit(0L))).as(s"ta$n"),
+          sum(w * greatest(col("__lb") - n + 1, lit(0L))).as(s"tb$n")))
+    def bleuOf(p: String, lenC: String): Column = {
+      val minc = least((1 to maxN).map(n => col(s"c$p$n")): _*)
+      val okT = (1 to maxN).map(n => col(s"t$p$n") > 0).reduce(_ && _)
+      val logsum = (1 to maxN).map(n =>
+        log(col(s"c$p$n").cast("double") / col(s"t$p$n"))).reduce(_ + _)
+      when(col(lenC) > 0 && minc > 0 && okT,
+        exp(least(lit(0.0),
+          lit(1.0) - col("lt").cast("double") / col(lenC))) *
+          exp(logsum / maxN))
+        .otherwise(lit(0.0))
+    }
+    val obsSums = sums(lit(1L))
+    val obs = doc.agg(obsSums.head, obsSums.tail: _*)
+      .select(bleuOf("a", "la").as("__ba"), bleuOf("b", "lb").as("__bb"))
+    // the poissonBootstrapMeanCI Poisson(1) inverse-CDF coin, verbatim
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698603, 0.981011843,
+      0.996340153, 0.999405815, 0.999916758, 0.999989750)
+    val u = conv(substring(md5(concat_ws(":", col("__id"), col("__r"))),
+      1, 6), 16, 10).cast("double") / lit((1 << 24).toDouble)
+    val w = cdf.zipWithIndex.foldRight(lit(8): Column) {
+      case ((p, k), rest) => when(u < p, k).otherwise(rest)
+    }
+    val repSums = sums(col("__w").cast("long"))
+    val deltas = doc
+      .select(col("*"), explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .withColumn("__w", w)
+      .groupBy("__r").agg(repSums.head, repSums.tail: _*)
+      .select(round(bleuOf("a", "la") - bleuOf("b", "lb"), dp).as("__d"))
+    val stats = deltas.agg(
+      sum(when(col("__d") > 0, 1L).otherwise(0L)).as("n_a_wins"),
+      sum(when(col("__d") < 0, 1L).otherwise(0L)).as("n_b_wins"),
+      sum(when(col("__d") <= 0, 1L).otherwise(0L)).as("__le0"),
+      sum(when(col("__d") >= 0, 1L).otherwise(0L)).as("__ge0"))
+    val dObs = round(col("__ba") - col("__bb"), dp)
+    obs.crossJoin(stats).select(
+      round(col("__ba"), dp).as("bleu_a"), round(col("__bb"), dp).as("bleu_b"),
+      dObs.as("diff_obs"), lit(b).cast("long").as("n_replicates"),
+      col("n_a_wins"), col("n_b_wins"),
+      when(dObs > 0, round((col("__le0") + 1) / lit((b + 1).toDouble), dp))
+        .when(dObs < 0, round((col("__ge0") + 1) / lit((b + 1).toDouble), dp))
+        .otherwise(lit(null).cast("double")).as("p_value"))
+  }
+
   /** Corpus ROUGE-L (Lin, ACL 2004 §3): sentence-level LCS-based
     * F_β between candidate and reference token sequences, averaged
     * over pairs — the summarization-eval standard beside BLEU (chrF's

@@ -3366,6 +3366,20 @@ object PipelineQueries {
           round(col("chrr"), 6).as("chrr"), col("n_orders"))
     }),
 
+    // Koehn (2004) paired bootstrap: system A (in-order 80% prefix)
+    // vs system B (the same prefix REVERSED) on the full text as
+    // reference — A must win essentially every replicate, and the
+    // p-value is a pure function of the data via the md5 Poisson coin.
+    "eval_paired_bootstrap" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val cut = ceil(size(toks) * lit(0.8)).cast("int")
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), cut)).as("ca"),
+        concat_ws(" ", reverse(slice(toks, lit(1), cut))).as("cb"),
+        col("text").as("ref"))
+      TF.pairedBootstrapBleu(pairs, "doc_id", "ca", "cb", "ref", b = 199)
+    }),
+
     // ROUGE-L over a PLANTED construction whose LCS is analytically
     // known: replace every 5th token (original index) with a
     // doc-unique OOV marker, delete every 7th — OOV tokens match
@@ -7396,6 +7410,120 @@ object PipelineQueries {
         | round(coalesce(chrp, 0), 6) AS chrp,
         | round(coalesce(chrr, 0), 6) AS chrr, n_orders
         |FROM ag""".stripMargin,
+
+    // the full Koehn machinery restated: per-doc per-order clipped
+    // counts for BOTH systems, the md5 Poisson(1) coin (per-nibble
+    // strpos form), per-replicate weighted corpus BLEUs, rounded
+    // deltas, and the plus-one-smoothed sign count
+    "eval_paired_bootstrap" -> {
+      val uExpr = duckHex("CAST(d.id AS VARCHAR) || ':' || r.i", 6)
+      val ordersA = (1 to 4).map(n =>
+        s"ln(ca$n / CAST(ta$n AS DOUBLE))").mkString(" + ")
+      val ordersB = (1 to 4).map(n =>
+        s"ln(cb$n / CAST(tb$n AS DOUBLE))").mkString(" + ")
+      def bleuSql(lenC: String, c: String, t: String, orders: String) =
+        s"""CASE WHEN $lenC > 0
+           |   AND least(${c}1, ${c}2, ${c}3, ${c}4) > 0
+           |   AND ${t}1 > 0 AND ${t}2 > 0 AND ${t}3 > 0 AND ${t}4 > 0
+           |  THEN exp(least(CAST(0 AS DOUBLE),
+           |    1 - wlt / CAST($lenC AS DOUBLE))) * exp(($orders) / 4)
+           |  ELSE CAST(0 AS DOUBLE) END""".stripMargin
+      s"""WITH t0 AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |        string_split_regex(trim(text), '\\s+') AS rt
+         |       FROM documents),
+         |p AS (SELECT id, rt,
+         |  list_slice(rt, 1, CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE))
+         |    AS INT)) AS ca,
+         |  list_reverse(list_slice(rt, 1,
+         |    CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE)) AS INT))) AS cb
+         | FROM t0),
+         |ga AS (SELECT id, CAST(nn.n AS INT) AS n,
+         |  unnest(list_transform(generate_series(1, len(ca) - nn.n + 1),
+         |   i -> array_to_string(list_slice(ca, i, i + nn.n - 1), ' '))) AS g
+         | FROM p, range(1, 5) nn(n)),
+         |gb AS (SELECT id, CAST(nn.n AS INT) AS n,
+         |  unnest(list_transform(generate_series(1, len(cb) - nn.n + 1),
+         |   i -> array_to_string(list_slice(cb, i, i + nn.n - 1), ' '))) AS g
+         | FROM p, range(1, 5) nn(n)),
+         |gr AS (SELECT id, CAST(nn.n AS INT) AS n,
+         |  unnest(list_transform(generate_series(1, len(rt) - nn.n + 1),
+         |   i -> array_to_string(list_slice(rt, i, i + nn.n - 1), ' '))) AS g
+         | FROM p, range(1, 5) nn(n)),
+         |ac AS (SELECT id, n, g, count(*) AS c FROM ga GROUP BY 1, 2, 3),
+         |bc AS (SELECT id, n, g, count(*) AS c FROM gb GROUP BY 1, 2, 3),
+         |rc AS (SELECT id, n, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         |clA AS (SELECT ac.id,
+         |  ${(1 to 4).map(n => s"CAST(coalesce(sum(CASE WHEN ac.n = $n " +
+              s"THEN least(ac.c, rc.c) END), 0) AS BIGINT) AS a$n")
+              .mkString(", ")}
+         | FROM ac JOIN rc ON ac.id = rc.id AND ac.n = rc.n AND ac.g = rc.g
+         | GROUP BY 1),
+         |clB AS (SELECT bc.id,
+         |  ${(1 to 4).map(n => s"CAST(coalesce(sum(CASE WHEN bc.n = $n " +
+              s"THEN least(bc.c, rc.c) END), 0) AS BIGINT) AS b$n")
+              .mkString(", ")}
+         | FROM bc JOIN rc ON bc.id = rc.id AND bc.n = rc.n AND bc.g = rc.g
+         | GROUP BY 1),
+         |doc AS (SELECT p.id, CAST(len(ca) AS BIGINT) AS la,
+         |  CAST(len(cb) AS BIGINT) AS lb, CAST(len(rt) AS BIGINT) AS lt,
+         |  ${(1 to 4).map(n => s"coalesce(a$n, 0) AS a$n").mkString(", ")},
+         |  ${(1 to 4).map(n => s"coalesce(b$n, 0) AS b$n").mkString(", ")}
+         | FROM p LEFT JOIN clA ON p.id = clA.id
+         | LEFT JOIN clB ON p.id = clB.id),
+         |reps AS (SELECT r.i AS r, d.*,
+         |  $uExpr / 16777216.0 AS u
+         | FROM doc d CROSS JOIN (SELECT unnest(range(199)) AS i) r),
+         |wt AS (SELECT *, CASE
+         |  WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+         |  WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+         |  WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+         |  WHEN u < 0.999916758 THEN 6 WHEN u < 0.999989750 THEN 7
+         |  ELSE 8 END AS w FROM reps),
+         |gs AS (SELECT r, CAST(sum(w * la) AS BIGINT) AS wla,
+         |  CAST(sum(w * lb) AS BIGINT) AS wlb,
+         |  CAST(sum(w * lt) AS BIGINT) AS wlt,
+         |  ${(1 to 4).map(n =>
+              s"CAST(sum(w * a$n) AS BIGINT) AS ca$n, " +
+              s"CAST(sum(w * b$n) AS BIGINT) AS cb$n, " +
+              s"CAST(sum(w * greatest(la - $n + 1, 0)) AS BIGINT) AS ta$n, " +
+              s"CAST(sum(w * greatest(lb - $n + 1, 0)) AS BIGINT) AS tb$n")
+              .mkString(", ")}
+         | FROM wt GROUP BY r),
+         |rb AS (SELECT r,
+         |  ${bleuSql("wla", "ca", "ta", ordersA)} AS ba,
+         |  ${bleuSql("wlb", "cb", "tb", ordersB)} AS bb
+         | FROM gs),
+         |dd AS (SELECT round(ba - bb, 6) AS d FROM rb),
+         |st AS (SELECT
+         |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS naw,
+         |  CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nbw,
+         |  CAST(sum(CASE WHEN d <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS le0,
+         |  CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS ge0
+         | FROM dd),
+         |og AS (SELECT 1 AS r, CAST(sum(la) AS BIGINT) AS wla,
+         |  CAST(sum(lb) AS BIGINT) AS wlb, CAST(sum(lt) AS BIGINT) AS wlt,
+         |  ${(1 to 4).map(n =>
+              s"CAST(sum(a$n) AS BIGINT) AS ca$n, " +
+              s"CAST(sum(b$n) AS BIGINT) AS cb$n, " +
+              s"CAST(sum(greatest(la - $n + 1, 0)) AS BIGINT) AS ta$n, " +
+              s"CAST(sum(greatest(lb - $n + 1, 0)) AS BIGINT) AS tb$n")
+              .mkString(", ")}
+         | FROM doc),
+         |ob AS (SELECT
+         |  ${bleuSql("wla", "ca", "ta", ordersA)} AS ba,
+         |  ${bleuSql("wlb", "cb", "tb", ordersB)} AS bb
+         | FROM og)
+         |SELECT round(ba, 6) AS bleu_a, round(bb, 6) AS bleu_b,
+         | round(ba - bb, 6) AS diff_obs,
+         | CAST(199 AS BIGINT) AS n_replicates,
+         | naw AS n_a_wins, nbw AS n_b_wins,
+         | CASE WHEN round(ba - bb, 6) > 0
+         |   THEN round((le0 + 1) / CAST(200 AS DOUBLE), 6)
+         |  WHEN round(ba - bb, 6) < 0
+         |   THEN round((ge0 + 1) / CAST(200 AS DOUBLE), 6)
+         |  ELSE NULL END AS p_value
+         |FROM ob, st""".stripMargin
+    },
 
     // the planted-construction closed form: LCS = #(i: i%5!=0, i%7!=0)
     // per doc (OOV replacements match nothing; surviving originals ARE

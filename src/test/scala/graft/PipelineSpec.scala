@@ -1937,6 +1937,32 @@ class PipelineSpec extends SparkSuite {
     assert(chrf("xx", "yy")._1 == 0.0)
   }
 
+  test("pairedBootstrapBleu: perfect system sweeps, identical systems NULL p, deterministic") {
+    import spark.implicits._
+    // A == ref (BLEU 1), B garbled: A wins every replicate, p = 1/(b+1)
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"w$i x$i y$i z$i q$i", s"z$i w$i q$i x$i y$i",
+        s"w$i x$i y$i z$i q$i")).toDF("id", "ca", "cb", "ref")
+    val r = TF.pairedBootstrapBleu(docs, "id", "ca", "cb", "ref", b = 49)
+      .head()
+    assert(r.getAs[Double]("bleu_a") == 1.0, s"$r")
+    assert(r.getAs[Long]("n_a_wins") == 49 && r.getAs[Long]("n_b_wins") == 0,
+      s"$r")
+    assert(r.getAs[Double]("p_value") == 0.02, s"$r") // 1/50
+    // identical systems: every delta is exactly 0 -> no winner, NULL p
+    val same = docs.select(col("id"), col("ca"), col("ca").as("cb"),
+      col("ref"))
+    val rs = TF.pairedBootstrapBleu(same, "id", "ca", "cb", "ref", b = 49)
+      .head()
+    assert(rs.getAs[Double]("diff_obs") == 0.0 &&
+      rs.getAs[Long]("n_a_wins") == 0 && rs.getAs[Long]("n_b_wins") == 0 &&
+      rs.isNullAt(rs.fieldIndex("p_value")), s"$rs")
+    // pure function of the data: a second run is row-identical
+    val r2 = TF.pairedBootstrapBleu(docs, "id", "ca", "cb", "ref", b = 49)
+      .head()
+    assert(r == r2, s"$r vs $r2")
+  }
+
   test("LcsLen kernel: differential vs independent 2D DP; adversarial repeats; edges") {
     // independent reference: full 2D table, no sharing with the kernel
     def ref2d(a: Seq[String], b: Seq[String]): Int = {
