@@ -424,6 +424,61 @@ object Analytics {
         .as("rank_biserial"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED companion of
+    * [[mannWhitneyU]] — "did metric x systematically move vs metric y on
+    * the SAME items" (two scorers over one corpus, before/after a
+    * pipeline change), without assuming the differences are normal.
+    * Zero differences carry no sign information and are dropped before
+    * ranking (the classic Wilcoxon convention); their count is reported.
+    * |d| is ranked tie-averaged; W⁺/W⁻ are the positive/negative rank
+    * sums; the tie-corrected normal z is
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * Scale shape (the [[mannWhitneyU]] discipline): one row-level scan →
+    * per-distinct-|d| histogram (the only corpus exchange), the
+    * two-phase [[Windows.globalCumSum]] CDF for tie-averaged ranks, a
+    * 1-row rollup. `reject_05` (two-sided, |z| > 1.96) is NULL when
+    * n < 20 — the normal approximation is not trustworthy below that —
+    * or when the tie-corrected variance is 0 (all |d| identical). */
+  def wilcoxonSignedRank(df: DataFrame, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select((x.cast("double") - y.cast("double")).as("__d"))
+      .where(col("__d").isNotNull)
+    val h = s.groupBy(abs(col("__d")).as("__ad")).agg(
+      sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__d") < 0, 1L).otherwise(0L)).as("__cn"),
+      count(lit(1L)).as("__call"))
+    val nz = h.where(col("__ad") > 0)
+      .withColumn("__ct", col("__cp") + col("__cn"))
+    val r = Windows.globalCumSum(nz, Seq(col("__ad")), col("__ct"), "__cum")
+      .withColumn("__avgr",
+        (col("__cum") - col("__ct")).cast("double") + (col("__ct") + 1) / lit(2.0))
+    val a = r.agg(sum(col("__ct")).as("__n"),
+      sum(col("__cp") * col("__avgr")).as("__wp"),
+      sum(col("__cn") * col("__avgr")).as("__wn"),
+      sum(col("__ct").cast("double") * col("__ct") * col("__ct") - col("__ct"))
+        .as("__ties"))
+    // the zero bucket is one histogram row; counting it is a second agg
+    // over the bounded distinct-|d| table, not a second corpus scan
+    val zeros = h.where(col("__ad") === 0)
+      .agg(coalesce(sum(col("__call")), lit(0L)).as("n_zero"))
+    val n = col("__n").cast("double")
+    val mean = n * (n + 1) / lit(4.0)
+    val sigma2 = n * (n + 1) * (lit(2.0) * n + 1) / lit(24.0) -
+      col("__ties") / lit(48.0)
+    val z = (col("__wp") - mean) / sqrt(sigma2)
+    a.crossJoin(zeros).select(
+      coalesce(col("__n"), lit(0L)).as("n"), col("n_zero"),
+      round(col("__wp"), dp).as("w_plus"),
+      round(col("__wn"), dp).as("w_minus"),
+      when(col("__n").isNull || sigma2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round(z, dp)).as("z"),
+      when(col("__n").isNull || sigma2 <= 0.0 || col("__n") < 20,
+          lit(null).cast("boolean"))
+        .otherwise(abs(z) > lit(1.959963984540054)).as("reject_05"))
+  }
+
   /** One-way ANOVA F (Fisher): does the mean of `value` differ across
     * the levels of `group`?  F = [SSB/(k−1)] / [SSW/(N−k)] with the
     * between/within sums of squares recovered from per-group
@@ -703,6 +758,62 @@ object Analytics {
             col("__do") /
             (col("__n") * col("__tss") - col("__ts") * col("__ts")), dp))
           .as("alpha"))
+  }
+
+  /** Cronbach's α (Cronbach 1951): internal-consistency reliability of
+    * a k-item scale — do the k per-subject scores (k rubric criteria, k
+    * probe questions per document, k judge prompts) measure ONE
+    * underlying trait?
+    *
+    *   α = k/(k−1) · (1 − Σᵢ varᵢ / var_total)
+    *
+    * with varᵢ the sample variance of item i across complete subjects
+    * and var_total the sample variance of per-subject TOTAL scores.
+    * Complete-design contract (the [[cochranQ]] discipline): subjects
+    * missing any of the k items are EXCLUDED and reported; duplicate
+    * (subject, item) scores average into one cell first, so a repeated
+    * rating cannot masquerade as a missing one.
+    *
+    * Shape: one (subject, item) cell rollup (the only corpus
+    * exchange), a subject rollup and an item rollup off it (the item
+    * pass joins back subject-keyed), 1-row verdict algebra. α is NULL
+    * when k < 2, fewer than 2 complete subjects, or var_total = 0. */
+  def cronbachAlpha(df: DataFrame, subject: Column, item: Column,
+      score: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(subject.as("__s"), item.cast("string").as("__i"),
+        score.cast("double").as("__v"))
+      .where(col("__s").isNotNull && col("__i").isNotNull &&
+        col("__v").isNotNull)
+    val cells = base.groupBy("__s", "__i").agg(avg(col("__v")).as("__v"))
+      .localCheckpoint(true) // k-count + subject + item passes read it
+    val kdf = cells.agg(countDistinct(col("__i")).as("__k"))
+    val per = cells.groupBy("__s")
+      .agg(count(lit(1L)).as("__c"), sum(col("__v")).as("__t"))
+      .crossJoin(broadcast(kdf))
+    val complete = per.where(col("__c") === col("__k"))
+      .localCheckpoint(true) // totals rollup + item-pass semi-join
+    val subj = complete.agg(count(lit(1L)).as("__n"),
+      sum(col("__t")).as("__st"), sum(col("__t") * col("__t")).as("__stt"),
+      max(col("__k")).as("__kk"))
+    val dropped = per.agg(count(lit(1L)).as("__ntot"))
+    val items = cells.join(complete.select("__s"), Seq("__s"))
+      .groupBy("__i").agg(count(lit(1L)).as("__in"),
+        sum(col("__v")).as("__is"), sum(col("__v") * col("__v")).as("__iss"))
+      .where(col("__in") >= 2)
+      .agg(coalesce(sum((col("__iss") - col("__is") * col("__is") /
+        col("__in")) / (col("__in") - 1).cast("double")), lit(0.0))
+        .as("__sv"))
+    val varT = (col("__stt") - col("__st") * col("__st") / col("__n")) /
+      (col("__n") - 1).cast("double")
+    subj.crossJoin(dropped).crossJoin(items).select(
+      coalesce(col("__kk"), lit(0L)).as("k"),
+      col("__n").as("n_subjects"),
+      (col("__ntot") - col("__n")).as("n_dropped"),
+      when(col("__n") >= 2, round(col("__sv"), dp)).as("sum_item_var"),
+      when(col("__n") >= 2, round(varT, dp)).as("total_var"),
+      when(col("__kk") >= 2 && col("__n") >= 2 && varT > 0.0,
+        round(col("__kk") / (col("__kk") - 1).cast("double") *
+          (lit(1.0) - col("__sv") / varT), dp)).as("alpha"))
   }
 
   /** Cochran's Q (Cochran 1950): do k binary classifiers/treatments
@@ -1308,6 +1419,56 @@ object Analytics {
       col("brier"),
       col("__np").cast("long").as("n_pos"),
       (col("__n") - col("__np")).cast("long").as("n_neg"))
+  }
+
+  /** Average precision (the PR-curve area, sklearn's
+    * `average_precision_score` convention) + best achievable F1 — the
+    * precision-recall companion of [[aucBrier]]: under class imbalance
+    * (the usual curation regime — few "bad" documents in a huge corpus)
+    * ROC-AUC stays optimistically high while PR-AUC collapses, so both
+    * belong on the scorer's report card.
+    *
+    * Tie handling is deterministic by construction: every DISTINCT
+    * score is one threshold block, and
+    *
+    *   AP      = Σ_blocks (pos_s / n₊) · P(s)      (step interpolation)
+    *   best_f1 = max_blocks 2·TP(s) / (N(s) + n₊)
+    *
+    * with TP/N the cumulative positives/rows at score ≥ s. Cumulative
+    * counts come from ONE ascending two-phase
+    * [[Windows.globalCumSums]] pass (both sums share the exchange)
+    * flipped by the 1-row totals — no descending re-sort, no
+    * single-reducer window over a continuous score. AP is NULL when
+    * either class is absent (the PR curve is undefined). */
+  def averagePrecision(df: DataFrame, score: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val s = score.cast("double")
+    val y = label.cast("double")
+    val hist = df.groupBy(s.as("__s"))
+      .agg(count(lit(1L)).as("__c"), sum(y).as("__pos"))
+    val cum = Windows.globalCumSums(hist, Seq(col("__s")),
+      Seq((col("__c"): Column) -> "__cumc", (col("__pos"): Column) -> "__cump"))
+    val tot = hist.agg(sum(col("__c")).as("__n"), sum(col("__pos")).as("__np"))
+    // at-or-above-threshold counts from the ascending inclusive cumsum:
+    // TP(s) = n+ − cump(≤s) + pos(s), N(s) = n − cumc(≤s) + c(s)
+    val flipped = cum.crossJoin(broadcast(tot))
+      .withColumn("__tp", col("__np") - col("__cump") + col("__pos"))
+      .withColumn("__at", (col("__n") - col("__cumc") + col("__c")).cast("double"))
+    flipped.agg(
+      max(col("__np")).as("__npo"),
+      max(col("__n")).as("__no"),
+      sum(col("__pos") * col("__tp") / col("__at")).as("__apnum"),
+      max(lit(2.0) * col("__tp") / (col("__at") + col("__np")))
+        .as("__bestf1"))
+    .select(
+      when(col("__npo") > 0 && col("__no") > col("__npo"),
+        round(col("__apnum") / col("__npo"), dp)).as("ap"),
+      when(col("__npo") > 0 && col("__no") > col("__npo"),
+        round(col("__bestf1"), dp)).as("best_f1"),
+      col("__npo").cast("long").as("n_pos"),
+      (col("__no") - col("__npo")).cast("long").as("n_neg"),
+      when(col("__no") > 0, round(col("__npo") / col("__no").cast("double"), dp))
+        .as("prevalence"))
   }
 
   /** Per-slice [[aucBrier]]: the same tie-averaged rank-sum AUC + Brier

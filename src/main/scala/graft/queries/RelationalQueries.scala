@@ -452,6 +452,15 @@ object RelationalQueries {
       Analytics.aucBrier(t(s, dir, "lineitem"),
         col("l_discount"), (col("l_quantity") > 25).cast("int"))),
 
+    // PR-curve readout of the SAME scorer/label as q_auc: average
+    // precision (sklearn step convention — every distinct score is one
+    // threshold block; 11 discount levels plant heavy tie blocks) and
+    // the best F1 along the curve. The imbalance-honest companion of
+    // the ROC row above.
+    "eval_avg_precision" -> ((s, dir) =>
+      Analytics.averagePrecision(t(s, dir, "lineitem"),
+        col("l_discount"), (col("l_quantity") > 25).cast("int"))),
+
     // Exact join-size pre-flight from per-key counts — predicts
     // |lineitem ⋈ orders| without running the join; the verdict proves
     // the prediction equals the actual join's row count.
@@ -928,6 +937,15 @@ object RelationalQueries {
       Analytics.mannWhitneyU(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // Wilcoxon signed-rank on two deterministic paired pseudo-metrics
+    // over the SAME docs (the q_mcnemar construction, continuous): the
+    // paired companion of q_mann_whitney — integer differences keep
+    // every rank sum exact, the mod pair plants ties AND zeros so the
+    // drop-zeros convention and tie correction are both exercised.
+    "q_signed_rank" -> ((s, dir) =>
+      Analytics.wilcoxonSignedRank(t(s, dir, "documents"),
+        col("n_chars") % 97, col("n_chars") % 89)),
+
     // One-way ANOVA F on quantity by return flag: one group-keyed
     // moment rollup + 1-row verdict. Integer values keep every moment
     // exact in doubles, so the oracle matches bit-for-bit at 6 dp.
@@ -1046,6 +1064,25 @@ object RelationalQueries {
           .unionByName(scorer("c", (col("n_chars") + col("doc_id")) % 101,
             col("doc_id") % 11 =!= 0)),
         col("item"), col("trt"), col("v"))
+    }),
+
+    // Cronbach's alpha over three correlated numeric "rubric items" per
+    // doc (shared %97 component + independent perturbation; item c
+    // skipping every 11th subject exercises the complete-design drop):
+    // the internal-consistency readout beside the agreement (kappa/
+    // alpha) family. Integer scores keep every moment exact.
+    "q_cronbach" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def itm(name: String, v: org.apache.spark.sql.Column, keep: org.apache.spark.sql.Column) =
+        d.where(keep).select(col("doc_id").as("subj"),
+          lit(name).as("item"), v.cast("double").as("v"))
+      Analytics.cronbachAlpha(
+        itm("a", col("n_chars") % 97, lit(true))
+          .unionByName(itm("b", (col("n_chars") % 97) + (col("n_chars") % 13),
+            lit(true)))
+          .unionByName(itm("c", (col("n_chars") % 97) + (col("doc_id") % 7),
+            col("doc_id") % 11 =!= 0)),
+        col("subj"), col("item"), col("v"))
     }),
 
     // Multi-slice drift dashboard with FDR control: per-source z-screen
@@ -2756,6 +2793,35 @@ object RelationalQueries {
         | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
         |FROM f""".stripMargin,
 
+    "q_signed_rank" ->
+      """WITH s AS (SELECT CAST(n_chars % 97 AS DOUBLE) - (n_chars % 89) AS d
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT abs(d) AS ad,
+        |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |  CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM s GROUP BY 1),
+        |nz AS (SELECT ad, cp, cn, cp + cn AS ct FROM h WHERE ad > 0),
+        |r AS (SELECT *, (sum(ct) OVER (ORDER BY ad) - ct) +
+        |   (ct + 1) / 2.0 AS avgr FROM nz),
+        |a AS (SELECT CAST(sum(ct) AS BIGINT) AS n, sum(cp * avgr) AS wp,
+        |  sum(cn * avgr) AS wn,
+        |  sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS ties FROM r),
+        |f AS (SELECT n, wp, wn,
+        |  CAST(n AS DOUBLE) * (n + 1) / 4.0 AS mean,
+        |  CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0 - ties / 48.0
+        |    AS s2 FROM a)
+        |SELECT coalesce(n, 0) AS n,
+        | coalesce((SELECT CAST(sum(cnt) AS BIGINT) FROM h WHERE ad = 0),
+        |   0) AS n_zero,
+        | round(wp, 6) AS w_plus, round(wn, 6) AS w_minus,
+        | CASE WHEN n IS NULL OR s2 <= 0 THEN NULL
+        |  ELSE round((wp - mean) / sqrt(s2), 6) END AS z,
+        | CASE WHEN n IS NULL OR s2 <= 0 OR n < 20 THEN NULL
+        |  ELSE abs((wp - mean) / sqrt(s2)) > 1.959963984540054 END
+        |   AS reject_05
+        |FROM f""".stripMargin,
+
     "q_anova" ->
       """WITH per AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
         |        sum(CAST(l_quantity AS DOUBLE)) AS s,
@@ -2981,6 +3047,39 @@ object RelationalQueries {
         |FROM ag""".stripMargin,
 
     // k=3 classifiers; Q restated via sum C_j^2 - N^2/k over kept items
+    "q_cronbach" ->
+      """WITH base AS (
+        | SELECT doc_id AS s, 'a' AS i, CAST(n_chars % 97 AS DOUBLE) AS v
+        |  FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'b', CAST((n_chars % 97) + (n_chars % 13) AS DOUBLE)
+        |  FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'c', CAST((n_chars % 97) + (doc_id % 7) AS DOUBLE)
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |cells AS (SELECT s, i, avg(v) AS v FROM base GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS k FROM cells),
+        |per AS (SELECT s, CAST(count(*) AS BIGINT) AS c, sum(v) AS t
+        |        FROM cells GROUP BY 1),
+        |comp AS (SELECT per.s, per.t FROM per, kk WHERE per.c = kk.k),
+        |subj AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(t) AS st,
+        |         sum(t * t) AS stt FROM comp),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM per),
+        |im AS (SELECT i, CAST(count(*) AS BIGINT) AS inn, sum(v) AS isum,
+        |        sum(v * v) AS iss
+        |       FROM cells JOIN comp USING (s) GROUP BY 1),
+        |iv AS (SELECT coalesce(sum((iss - isum * isum / inn) / (inn - 1)),
+        |        0.0) AS sv FROM im WHERE inn >= 2)
+        |SELECT kk.k AS k, n AS n_subjects, ntot - n AS n_dropped,
+        | CASE WHEN n >= 2 THEN round(sv, 6) END AS sum_item_var,
+        | CASE WHEN n >= 2 THEN round((stt - st * st / n) / (n - 1), 6) END
+        |   AS total_var,
+        | CASE WHEN kk.k >= 2 AND n >= 2
+        |    AND (stt - st * st / n) / (n - 1) > 0
+        |  THEN round(CAST(kk.k AS DOUBLE) / (kk.k - 1) *
+        |   (1 - sv / ((stt - st * st / n) / (n - 1))), 6) END AS alpha
+        |FROM subj, tot, kk, iv""".stripMargin,
+
     "q_cochran" ->
       """WITH d AS (SELECT doc_id,
         |  (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y,
@@ -3291,6 +3390,33 @@ object RelationalQueries {
         |SELECT round((rpos - np*(np + 1)/2) / (np*(n - np)), 6) AS auc,
         | brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t, g""".stripMargin,
+
+    "eval_avg_precision" ->
+      """WITH d AS (SELECT l_discount AS s,
+        |        CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS y
+        |       FROM lineitem),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c, sum(y) AS pos
+        |      FROM d GROUP BY s),
+        |cum AS (SELECT *,
+        |  sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+        |  sum(pos) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cump
+        | FROM h),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, sum(pos) AS np FROM h),
+        |f AS (SELECT pos, np, n,
+        |  np - cump + pos AS tp,
+        |  CAST(n - cumc + c AS DOUBLE) AS at FROM cum, t),
+        |a AS (SELECT max(np) AS np, max(n) AS n,
+        |  sum(pos * tp / at) AS apnum,
+        |  max(2.0 * tp / (at + np)) AS bestf1 FROM f)
+        |SELECT
+        | CASE WHEN np > 0 AND n > np THEN round(apnum / np, 6) END AS ap,
+        | CASE WHEN np > 0 AND n > np THEN round(bestf1, 6) END AS best_f1,
+        | CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg,
+        | CASE WHEN n > 0 THEN round(np / CAST(n AS DOUBLE), 6) END
+        |   AS prevalence
+        |FROM a""".stripMargin,
 
     "q_join_size" ->
       """WITH ca AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS na

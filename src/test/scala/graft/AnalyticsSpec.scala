@@ -1909,6 +1909,83 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("cronbachAlpha: hand-computed alpha; incomplete subjects dropped; degenerate NULL") {
+    // items a, b with b = 2a over subjects 1..3: var_a = 1, var_b = 4,
+    // totals (3,6,9) var = 9 -> alpha = 2*(1 - 5/9) = 8/9
+    val df = Seq((1, "a", 1.0), (1, "b", 2.0), (2, "a", 2.0), (2, "b", 4.0),
+      (3, "a", 3.0), (3, "b", 6.0), (4, "a", 9.0)) // subj 4 misses item b
+      .toDF("subj", "item", "v")
+    val r = Analytics.cronbachAlpha(df, col("subj"), col("item"), col("v")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3 && r.getLong(2) == 1, s"$r")
+    assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 9.0, s"$r")
+    assert(math.abs(r.getDouble(5) - 8.0 / 9) < 1e-6, s"$r")
+    // duplicate (subject, item) ratings average into one cell: a second
+    // (1, a) rating of 3.0 makes the cell 2.0, shifting totals but not
+    // completeness
+    val dup = Seq((1, "a", 1.0), (1, "a", 3.0), (1, "b", 2.0),
+      (2, "a", 2.0), (2, "b", 4.0)).toDF("subj", "item", "v")
+    val rd = Analytics.cronbachAlpha(dup, col("subj"), col("item"), col("v")).head()
+    assert(rd.getLong(1) == 2 && rd.getLong(2) == 0, s"$rd")
+    // anticorrelated items with constant totals: var_total = 0 -> NULL
+    val const = Seq((1, "a", 1.0), (1, "b", 2.0), (2, "a", 2.0), (2, "b", 1.0))
+      .toDF("subj", "item", "v")
+    assert(Analytics.cronbachAlpha(const, col("subj"), col("item"), col("v"))
+      .head().isNullAt(5))
+    // single item: k/(k-1) undefined -> NULL
+    val one = Seq((1, "a", 1.0), (2, "a", 2.0)).toDF("subj", "item", "v")
+    assert(Analytics.cronbachAlpha(one, col("subj"), col("item"), col("v"))
+      .head().isNullAt(5))
+  }
+
+  test("averagePrecision: hand-computed AP/best-F1 with tie blocks; NULL one-class") {
+    // desc blocks: 0.9(c1,p1) P=1 | 0.8(c2,p1) P=2/3 | 0.7(c1,p0)
+    //   | 0.6(c1,p1) P=3/5 | 0.5(c1,p0)
+    // AP = (1 + 2/3 + 3/5)/3 = 34/45; best F1 at 0.6: 2*3/(5+3) = 0.75
+    val df = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.6, 1), (0.5, 0))
+      .toDF("s", "y")
+    val r = Analytics.averagePrecision(df, col("s"), col("y")).head()
+    assert(math.abs(r.getDouble(0) - 34.0 / 45) < 1e-6, s"$r")
+    assert(r.getDouble(1) == 0.75, s"$r")
+    assert(r.getLong(2) == 3 && r.getLong(3) == 3, s"$r")
+    assert(r.getDouble(4) == 0.5, s"$r")
+    // perfect separation: AP = 1 and best F1 = 1
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("s", "y")
+    val rp = Analytics.averagePrecision(perfect, col("s"), col("y")).head()
+    assert(rp.getDouble(0) == 1.0 && rp.getDouble(1) == 1.0, s"$rp")
+    // one class only: the PR curve is undefined -> NULL ap/best_f1
+    val onec = Seq((0.9, 1), (0.8, 1)).toDF("s", "y")
+    val r1 = Analytics.averagePrecision(onec, col("s"), col("y")).head()
+    assert(r1.isNullAt(0) && r1.isNullAt(1) && r1.getLong(2) == 2, s"$r1")
+  }
+
+  test("wilcoxonSignedRank: hand-computed W+/W-; ties averaged; zeros dropped") {
+    // d = x-y = [1,-2,3,-4,5]: |d| distinct, ranks 1..5
+    // W+ = 1+3+5 = 9, W- = 2+4 = 6; mean = 5*6/4 = 7.5
+    // s2 = 5*6*11/24 = 13.75 (no ties)
+    val df = Seq((2, 1), (0, 2), (4, 1), (0, 4), (6, 1)).toDF("x", "y")
+    val r = Analytics.wilcoxonSignedRank(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 0, s"$r")
+    assert(r.getDouble(2) == 9.0 && r.getDouble(3) == 6.0, s"$r")
+    assert(math.abs(r.getDouble(4) - (9.0 - 7.5) / math.sqrt(13.75)) < 1e-6, s"$r")
+    assert(r.isNullAt(5), s"reject_05 must be NULL below n=20: $r")
+
+    // d = [1,1,-1,2,0]: zero dropped (n=4, n_zero=1); the three |d|=1
+    // tie-average to rank 2, |d|=2 takes rank 4
+    // W+ = 2+2+4 = 8, W- = 2; ties = 3^3-3 = 24
+    // s2 = 4*5*9/24 - 24/48 = 7.5 - 0.5 = 7; z = (8-5)/sqrt(7)
+    val tied = Seq((2, 1), (3, 2), (1, 2), (5, 3), (4, 4)).toDF("x", "y")
+    val rt = Analytics.wilcoxonSignedRank(tied, col("x"), col("y")).head()
+    assert(rt.getLong(0) == 4 && rt.getLong(1) == 1, s"$rt")
+    assert(rt.getDouble(2) == 8.0 && rt.getDouble(3) == 2.0, s"$rt")
+    assert(math.abs(rt.getDouble(4) - 3.0 / math.sqrt(7.0)) < 1e-6, s"$rt")
+
+    // all differences zero: nothing to rank, NULL statistics, zero count
+    val allz = Seq((1, 1), (2, 2)).toDF("x", "y")
+    val rz = Analytics.wilcoxonSignedRank(allz, col("x"), col("y")).head()
+    assert(rz.getLong(0) == 0 && rz.getLong(1) == 2, s"$rz")
+    assert(rz.isNullAt(4) && rz.isNullAt(5), s"$rz")
+  }
+
   test("ohlcBars: hand-computed bars; timestamp ties broken by the tie column") {
     import spark.implicits._
     val df = Seq(
