@@ -1471,6 +1471,107 @@ object Analytics {
         .as("prevalence"))
   }
 
+  /** DeLong's test (DeLong et al. 1988) for two CORRELATED ROC-AUCs —
+    * "is scorer A significantly better than scorer B on the SAME
+    * labeled items", the question [[aucBrier]] alone cannot answer
+    * because the two AUCs share every item's noise. Uses the fast
+    * mid-rank form of the structural components (Sun & Xu 2014):
+    * for a positive item i and negative j,
+    *
+    *   V10(i) = (rank_all(xᵢ) − rank_pos(xᵢ)) / n₋
+    *   V01(j) = 1 − (rank_all(x_j) − rank_neg(x_j)) / n₊
+    *
+    * AUC = mean V10 = mean V01; Var(AUC_A − AUC_B) =
+    * (S10_A + S10_B − 2·S10_AB)/n₊ + (S01_A + S01_B − 2·S01_AB)/n₋
+    * with S the sample (co)variances of the components.
+    *
+    * Exactness: components are accumulated as 2·(rank−rank) — integers
+    * — so every moment sum is order-independent and exact in doubles
+    * at oracle scale; the float algebra happens once, in the 1-row
+    * verdict, identically in both engines.
+    *
+    * Scale shape: per scorer ONE distinct-score histogram + ONE
+    * two-phase [[Windows.globalCumSums]] pass (global + per-class
+    * mid-ranks share the exchange) + ONE score-keyed equi-join back;
+    * the moment rollup is a single aggregate with conditional sums —
+    * no item-keyed join between the models (both scores ride the same
+    * row). z is NULL when either class has < 2 items or the variance
+    * of the difference is 0 (e.g. identical scorers). */
+  def delongTest(df: DataFrame, scoreA: Column, scoreB: Column,
+      label: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(scoreA.cast("double").as("__sa"),
+        scoreB.cast("double").as("__sb"), label.cast("double").as("__y"))
+      .where(col("__sa").isNotNull && col("__sb").isNotNull &&
+        col("__y").isNotNull)
+      .localCheckpoint(true) // two rank joins read it
+    def rankTable(s: String, suf: String): DataFrame = {
+      val hist = base.groupBy(col(s).as(s + "k"))
+        .agg(count(lit(1L)).as("__c"), sum(col("__y").cast("long")).as("__p"))
+      val cum = Windows.globalCumSums(hist, Seq(col(s + "k")),
+        Seq((col("__c"): Column) -> "__cc",
+          (col("__p"): Column) -> "__cp"))
+      // 2·rank_all = 2cc − c + 1; 2·rank_pos = 2cp − p + 1;
+      // 2·rank_neg = 2(cc−cp) − (c−p) + 1  (all exact longs)
+      cum.select(col(s + "k"),
+        ((col("__cc") * 2 - col("__c")) - (col("__cp") * 2 - col("__p")))
+          .as("__d10" + suf),
+        ((col("__cc") * 2 - col("__c")) -
+          ((col("__cc") - col("__cp")) * 2 - (col("__c") - col("__p"))))
+          .as("__d01" + suf))
+    }
+    val ra = rankTable("__sa", "a")
+    val rb = rankTable("__sb", "b")
+    val rows = base
+      .join(ra, col("__sa") === col("__sak")).drop("__sak")
+      .join(rb, col("__sb") === col("__sbk")).drop("__sbk")
+    val pos = col("__y") === 1.0
+    val m = rows.agg(
+      sum(col("__y").cast("long")).as("__np"),
+      sum(when(pos, lit(0L)).otherwise(1L)).as("__nn"),
+      sum(when(pos, col("__d10a"))).as("__spa"),
+      sum(when(pos, col("__d10a") * col("__d10a"))).as("__sspa"),
+      sum(when(pos, col("__d10b"))).as("__spb"),
+      sum(when(pos, col("__d10b") * col("__d10b"))).as("__sspb"),
+      sum(when(pos, col("__d10a") * col("__d10b"))).as("__spab"),
+      sum(when(!pos, col("__d01a"))).as("__sna"),
+      sum(when(!pos, col("__d01a") * col("__d01a"))).as("__ssna"),
+      sum(when(!pos, col("__d01b"))).as("__snb"),
+      sum(when(!pos, col("__d01b") * col("__d01b"))).as("__ssnb"),
+      sum(when(!pos, col("__d01a") * col("__d01b"))).as("__snab"))
+    val np = col("__np").cast("double")
+    val nn = col("__nn").cast("double")
+    val aucA = col("__spa") / (lit(2.0) * np * nn)
+    val aucB = col("__spb") / (lit(2.0) * np * nn)
+    def s10(ss: Column, s: Column) =
+      (ss - s * s / np) / (lit(4.0) * nn * nn * (np - 1))
+    def s01(ss: Column, s: Column) =
+      (ss - s * s / nn) / (lit(4.0) * np * np * (nn - 1))
+    val c10 = (col("__spab") - col("__spa") * col("__spb") / np) /
+      (lit(4.0) * nn * nn * (np - 1))
+    val c01 = (col("__snab") - col("__sna") * col("__snb") / nn) /
+      (lit(4.0) * np * np * (nn - 1))
+    val varA = s10(col("__sspa"), col("__spa")) / np +
+      s01(col("__ssna"), col("__sna")) / nn
+    val varB = s10(col("__sspb"), col("__spb")) / np +
+      s01(col("__ssnb"), col("__snb")) / nn
+    val vdiff = (s10(col("__sspa"), col("__spa")) +
+        s10(col("__sspb"), col("__spb")) - lit(2.0) * c10) / np +
+      (s01(col("__ssna"), col("__sna")) +
+        s01(col("__ssnb"), col("__snb")) - lit(2.0) * c01) / nn
+    val ok = col("__np") >= 2 && col("__nn") >= 2
+    val z = (aucA - aucB) / sqrt(vdiff)
+    m.select(
+      when(col("__np") > 0 && col("__nn") > 0, round(aucA, dp)).as("auc_a"),
+      when(col("__np") > 0 && col("__nn") > 0, round(aucB, dp)).as("auc_b"),
+      when(ok, round(sqrt(varA), dp)).as("se_a"),
+      when(ok, round(sqrt(varB), dp)).as("se_b"),
+      when(ok && vdiff >= 0.0, round(sqrt(vdiff), dp)).as("se_diff"),
+      when(ok && vdiff > 0.0, round(z, dp)).as("z"),
+      when(ok && vdiff > 0.0, abs(z) > lit(1.959963984540054))
+        .as("reject_05"),
+      col("__np").as("n_pos"), col("__nn").as("n_neg"))
+  }
+
   /** Per-slice [[aucBrier]]: the same tie-averaged rank-sum AUC + Brier
     * computed independently for every `group` value — the fairness /
     * per-source audit of a curation scorer (a classifier can hold 0.9

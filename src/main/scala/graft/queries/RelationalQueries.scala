@@ -452,6 +452,15 @@ object RelationalQueries {
       Analytics.aucBrier(t(s, dir, "lineitem"),
         col("l_discount"), (col("l_quantity") > 25).cast("int"))),
 
+    // DeLong paired-AUC comparison of the two q_mcnemar pseudo-scorers
+    // on the q_mcnemar label: mid-rank structural components (Sun & Xu
+    // 2014) accumulated as exact scaled integers, covariance-corrected
+    // z for "is A's AUC really higher than B's on these SAME docs".
+    "eval_delong" -> ((s, dir) =>
+      Analytics.delongTest(t(s, dir, "documents"),
+        col("n_chars") % 97, col("n_chars") % 89,
+        (col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0).cast("int"))),
+
     // PR-curve readout of the SAME scorer/label as q_auc: average
     // precision (sklearn step convention — every distinct score is one
     // threshold block; 11 discount levels plant heavy tie blocks) and
@@ -3390,6 +3399,76 @@ object RelationalQueries {
         |SELECT round((rpos - np*(np + 1)/2) / (np*(n - np)), 6) AS auc,
         | brier, CAST(np AS BIGINT) AS n_pos, CAST(n - np AS BIGINT) AS n_neg
         |FROM t, g""".stripMargin,
+
+    "eval_delong" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) AS sa,
+        |        CAST(n_chars % 89 AS DOUBLE) AS sb,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |         THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents),
+        |ha AS (SELECT sa AS v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(y) AS BIGINT) AS p FROM d GROUP BY 1),
+        |ca AS (SELECT v, c, p,
+        |  CAST(sum(c) OVER w AS BIGINT) AS cc,
+        |  CAST(sum(p) OVER w AS BIGINT) AS cp FROM ha
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ra AS (SELECT v, (cc * 2 - c) - (cp * 2 - p) AS d10a,
+        |  (cc * 2 - c) - ((cc - cp) * 2 - (c - p)) AS d01a FROM ca),
+        |hb AS (SELECT sb AS v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(y) AS BIGINT) AS p FROM d GROUP BY 1),
+        |cb AS (SELECT v, c, p,
+        |  CAST(sum(c) OVER w AS BIGINT) AS cc,
+        |  CAST(sum(p) OVER w AS BIGINT) AS cp FROM hb
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |rb AS (SELECT v, (cc * 2 - c) - (cp * 2 - p) AS d10b,
+        |  (cc * 2 - c) - ((cc - cp) * 2 - (c - p)) AS d01b FROM cb),
+        |rr AS (SELECT d.y, ra.d10a, ra.d01a, rb.d10b, rb.d01b
+        |  FROM d JOIN ra ON d.sa = ra.v JOIN rb ON d.sb = rb.v),
+        |m AS (SELECT CAST(sum(y) AS BIGINT) AS np,
+        |  CAST(sum(1 - y) AS BIGINT) AS nn,
+        |  CAST(sum(CASE WHEN y = 1 THEN d10a END) AS DOUBLE) AS spa,
+        |  CAST(sum(CASE WHEN y = 1 THEN d10a * d10a END) AS DOUBLE) AS sspa,
+        |  CAST(sum(CASE WHEN y = 1 THEN d10b END) AS DOUBLE) AS spb,
+        |  CAST(sum(CASE WHEN y = 1 THEN d10b * d10b END) AS DOUBLE) AS sspb,
+        |  CAST(sum(CASE WHEN y = 1 THEN d10a * d10b END) AS DOUBLE) AS spab,
+        |  CAST(sum(CASE WHEN y = 0 THEN d01a END) AS DOUBLE) AS sna,
+        |  CAST(sum(CASE WHEN y = 0 THEN d01a * d01a END) AS DOUBLE) AS ssna,
+        |  CAST(sum(CASE WHEN y = 0 THEN d01b END) AS DOUBLE) AS snb,
+        |  CAST(sum(CASE WHEN y = 0 THEN d01b * d01b END) AS DOUBLE) AS ssnb,
+        |  CAST(sum(CASE WHEN y = 0 THEN d01a * d01b END) AS DOUBLE) AS snab
+        | FROM rr),
+        |f AS (SELECT np, nn,
+        |  CAST(np AS DOUBLE) AS npd, CAST(nn AS DOUBLE) AS nnd,
+        |  spa / (2.0 * np * nn) AS auca,
+        |  spb / (2.0 * np * nn) AS aucb,
+        |  (sspa - spa * spa / np) / (4.0 * nn * nn * (np - 1)) AS s10a,
+        |  (sspb - spb * spb / np) / (4.0 * nn * nn * (np - 1)) AS s10b,
+        |  (spab - spa * spb / np) / (4.0 * nn * nn * (np - 1)) AS c10,
+        |  (ssna - sna * sna / nn) / (4.0 * np * np * (nn - 1)) AS s01a,
+        |  (ssnb - snb * snb / nn) / (4.0 * np * np * (nn - 1)) AS s01b,
+        |  (snab - sna * snb / nn) / (4.0 * np * np * (nn - 1)) AS c01
+        | FROM m),
+        |g AS (SELECT *,
+        |  (s10a + s10b - 2.0 * c10) / npd + (s01a + s01b - 2.0 * c01) / nnd
+        |    AS vdiff FROM f)
+        |SELECT
+        | CASE WHEN np > 0 AND nn > 0 THEN round(auca, 6) END AS auc_a,
+        | CASE WHEN np > 0 AND nn > 0 THEN round(aucb, 6) END AS auc_b,
+        | CASE WHEN np >= 2 AND nn >= 2
+        |  THEN round(sqrt(s10a / npd + s01a / nnd), 6) END AS se_a,
+        | CASE WHEN np >= 2 AND nn >= 2
+        |  THEN round(sqrt(s10b / npd + s01b / nnd), 6) END AS se_b,
+        | CASE WHEN np >= 2 AND nn >= 2 AND vdiff >= 0
+        |  THEN round(sqrt(vdiff), 6) END AS se_diff,
+        | CASE WHEN np >= 2 AND nn >= 2 AND vdiff > 0
+        |  THEN round((auca - aucb) / sqrt(vdiff), 6) END AS z,
+        | CASE WHEN np >= 2 AND nn >= 2 AND vdiff > 0
+        |  THEN abs((auca - aucb) / sqrt(vdiff)) > 1.959963984540054 END
+        |   AS reject_05,
+        | np AS n_pos, nn AS n_neg
+        |FROM g""".stripMargin,
 
     "eval_avg_precision" ->
       """WITH d AS (SELECT l_discount AS s,

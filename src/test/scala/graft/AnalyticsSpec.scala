@@ -1909,6 +1909,38 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("delongTest: hand-computed components; identical scorers NULL z; auc matches aucBrier") {
+    // pos A-scores {3,1}, neg {2,0}: V10_A = {1, .5}, V01_A = {.5, 1}
+    //   -> auc_a = .75, S10_A = S01_A = .125, var_a = .125
+    // B: pos {3,0}, neg {2,1}: auc_b = .5, S10_B = .5, S01_B = 0,
+    //   cov10 = .25, cov01 = 0 -> vdiff = (.125+.5-.5)/2 + .125/2 = .125
+    //   z = .25/sqrt(.125) = .7071068
+    val df = Seq((3.0, 3.0, 1), (1.0, 0.0, 1), (2.0, 2.0, 0), (0.0, 1.0, 0))
+      .toDF("sa", "sb", "y")
+    val r = Analytics.delongTest(df, col("sa"), col("sb"), col("y")).head()
+    assert(r.getDouble(0) == 0.75 && r.getDouble(1) == 0.5, s"$r")
+    assert(math.abs(r.getDouble(2) - math.sqrt(0.125)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - math.sqrt(0.125)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - 0.25 / math.sqrt(0.125)) < 1e-6, s"$r")
+    assert(!r.getBoolean(6) && r.getLong(7) == 2 && r.getLong(8) == 2, s"$r")
+    // identical scorers: difference variance 0 -> z and verdict NULL
+    val same = Analytics.delongTest(df, col("sa"), col("sa"), col("y")).head()
+    assert(same.getDouble(4) == 0.0 && same.isNullAt(5) && same.isNullAt(6),
+      s"$same")
+    // differential: auc_a equals aucBrier's rank-sum AUC (independent
+    // implementations) on 200 seeded rows with heavy ties
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(200)((rnd.nextInt(20).toDouble,
+      rnd.nextInt(20).toDouble, rnd.nextInt(2)))
+    val big = data.toDF("sa", "sb", "y")
+    val d = Analytics.delongTest(big, col("sa"), col("sb"), col("y")).head()
+    val a = Analytics.aucBrier(big, col("sa"), col("y")).head()
+    val b = Analytics.aucBrier(big, col("sb"), col("y")).head()
+    assert(math.abs(d.getDouble(0) - a.getDouble(0)) < 1e-6, s"$d vs $a")
+    assert(math.abs(d.getDouble(1) - b.getDouble(0)) < 1e-6, s"$d vs $b")
+  }
+
   test("cronbachAlpha: hand-computed alpha; incomplete subjects dropped; degenerate NULL") {
     // items a, b with b = 2a over subjects 1..3: var_a = 1, var_b = 4,
     // totals (3,6,9) var = 9 -> alpha = 2*(1 - 5/9) = 8/9
