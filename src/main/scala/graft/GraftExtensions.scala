@@ -161,6 +161,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => JaroWinkler(exprs.head, exprs(1)))
     inject("lcs_len", "lcs_len(a, b) - longest-common-subsequence length of two token arrays",
       exprs => LcsLen(exprs.head, exprs(1)))
+    inject("token_edit_dist", "token_edit_dist(a, b) - token-level Levenshtein distance of two token arrays",
+      exprs => TokenEditDist(exprs.head, exprs(1)))
     inject("normalize_text", "normalize_text(text, form, strip_accents, case_fold) - Unicode-normalized text",
       exprs => NormalizeText(exprs.head,
         exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,

@@ -210,6 +210,11 @@ object GraftFunctions {
   def lcsLen(a: Column, b: Column): Column =
     GraftColumn(LcsLen(GraftColumn.expr(a), GraftColumn.expr(b)))
 
+  /** Token-level Levenshtein distance of two token arrays (word error
+    * rate kernel). */
+  def tokenEditDist(a: Column, b: Column): Column =
+    GraftColumn(TokenEditDist(GraftColumn.expr(a), GraftColumn.expr(b)))
+
   /** Fused-loop cosine similarity of two vectors. */
   def cosineSim(a: Column, b: Column): Column =
     GraftColumn(CosineSim(GraftColumn.expr(a), GraftColumn.expr(b)))

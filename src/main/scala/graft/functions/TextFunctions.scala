@@ -547,6 +547,48 @@ object TextFunctions {
         round(col("__af"), dp).as("avg_f"))
   }
 
+  /** Corpus word error rate: token-level Levenshtein edits between
+    * candidate and reference, summed over pairs and normalized by total
+    * reference words —
+    *
+    *   WER = Σ edit(cand_tokens, ref_tokens) / Σ |ref_tokens|
+    *
+    * (the ASR/translation standard; > 1 is possible when candidates run
+    * long). Also reports the mean per-sentence WER, which weights every
+    * utterance equally where the corpus ratio weights by length. Pairs
+    * whose REFERENCE tokenizes empty are skipped (per-pair WER is
+    * undefined there) and counted; an empty candidate against a real
+    * reference costs |ref| deletions as it should.
+    *
+    * Scale shape: per-pair [[TokenEditDist]] is one native in-scan
+    * expression (O(|c|·|r|) per pair, two-row DP — no cross-row state),
+    * then ONE 1-row rollup; nothing shuffles but the final aggregate. */
+  def wer(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      dp: Int = 6): DataFrame = {
+    def toks(c: Column) =
+      when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(tokensWs(c))
+    val per = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(toks(col(candCol)).as("__c"), toks(col(refCol)).as("__r"))
+      .select(size(col("__r")).as("__nr"),
+        GraftFunctions.tokenEditDist(col("__c"), col("__r")).as("__ed"))
+    val keep = col("__nr") > 0
+    per.agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_skipped"),
+        sum(when(keep, col("__ed").cast("long"))).as("total_edits"),
+        sum(when(keep, col("__nr").cast("long"))).as("total_ref_words"),
+        avg(when(keep, col("__ed").cast("double") / col("__nr")))
+          .as("__asw"))
+      .select(col("n_pairs"), col("n_skipped"),
+        coalesce(col("total_edits"), lit(0L)).as("total_edits"),
+        coalesce(col("total_ref_words"), lit(0L)).as("total_ref_words"),
+        when(col("total_ref_words") > 0,
+          round(col("total_edits").cast("double") / col("total_ref_words"),
+            dp)).as("wer"),
+        round(col("__asw"), dp).as("avg_sentence_wer"))
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity per group (Kneser & Ney,
     * ICASSP 1995; Chen & Goodman, TR-10-98 §2.7 with a fixed discount):
     *

@@ -3398,6 +3398,24 @@ object PipelineQueries {
       TF.rougeL(pairs, "doc_id", "cand", "ref", beta = 1.0)
     }),
 
+    // Corpus WER over the SAME planted construction as eval_rouge_l
+    // (every 5th token OOV-substituted, every 7th dropped): the
+    // word-level Levenshtein distance has the closed form
+    // ceil(n/7) + ceil(n/5) - ceil(n/35) — the substitute/delete
+    // alignment is optimal because dist >= n - LCS and LCS is exactly
+    // the surviving originals (OOV matches nothing) — which the oracle
+    // restates per doc.
+    "eval_wer" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val marked = transform(toks, (t, i) =>
+        when(i % 5 === 0, concat(lit("@"), col("doc_id").cast("string"),
+          lit("_"), i.cast("string"))).otherwise(t))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", filter(marked, (_, i) => i % 7 =!= 0)).as("cand"),
+        col("text").as("ref"))
+      TF.wer(pairs, "doc_id", "cand", "ref")
+    }),
+
     // Bradley-Terry strengths over deterministic preference pairs:
     // consecutive docs "compete", the longer one wins, items are the
     // langs — the RLHF preference-data QA fit. The oracle unrolls the
@@ -7545,6 +7563,22 @@ object PipelineQueries {
         | round(avg(CASE WHEN p IS NULL THEN NULL WHEN p + r > 0
         |   THEN 2 * p * r / (p + r) ELSE CAST(0 AS DOUBLE) END), 6) AS avg_f
         |FROM sc""".stripMargin,
+
+    "eval_wer" ->
+      """WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |   FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT n,
+        |  ceil(CAST(n AS DOUBLE) / 7) + ceil(CAST(n AS DOUBLE) / 5)
+        |    - ceil(CAST(n AS DOUBLE) / 35) AS ed FROM d WHERE n > 0)
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_pairs,
+        | (SELECT CAST(count(*) AS BIGINT) FROM d WHERE n = 0) AS n_skipped,
+        | CAST(sum(ed) AS BIGINT) AS total_edits,
+        | CAST(sum(n) AS BIGINT) AS total_ref_words,
+        | round(sum(ed) / CAST(sum(n) AS DOUBLE), 6) AS wer,
+        | round(avg(ed / CAST(n AS DOUBLE)), 6) AS avg_sentence_wer
+        |FROM per""".stripMargin,
 
     // the full 20-step MM recursion unrolled lockstep with the engine
     // (the eval_logreg discipline): same uniform start, same per-step

@@ -77,10 +77,12 @@ class ExtensionsSpec extends SparkSuite {
     val r2 = spark.sql(
       """SELECT deflate_ratio(repeat('the cat sat ', 200), 6) AS dr,
         | normalize_text('Café', 'NFC', true, true) AS nt,
-        | lcs_len(array('a', 'b', 'c'), array('a', 'x', 'b', 'y', 'c')) AS lcs
+        | lcs_len(array('a', 'b', 'c'), array('a', 'x', 'b', 'y', 'c')) AS lcs,
+        | token_edit_dist(array('a', 'b', 'c'), array('a', 'x', 'c')) AS ted
         |""".stripMargin).head()
     assert(r2.getDouble(0) < 0.05, s"injected deflate_ratio: ${r2.getDouble(0)}")
     assert(r2.getString(1) == "cafe", s"injected normalize_text: ${r2.getString(1)}")
     assert(r2.getInt(2) == 3, s"injected lcs_len: ${r2.getInt(2)}")
+    assert(r2.getInt(3) == 1, s"injected token_edit_dist: ${r2.getInt(3)}")
   }
 }

@@ -1988,6 +1988,58 @@ class PipelineSpec extends SparkSuite {
       Array[AnyRef](null, "a"), Array[AnyRef](null, "a")) == 1)
   }
 
+  test("TokenEditDist kernel: differential vs independent 2D DP; edges; nulls") {
+    // independent reference: full 2D Levenshtein table, no sharing
+    def ref2d(a: Seq[String], b: Seq[String]): Int = {
+      val t = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) t(i)(0) = i
+      for (j <- 0 to b.length) t(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        t(i)(j) = math.min(
+          t(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(t(i - 1)(j), t(i)(j - 1)) + 1)
+      t(a.length)(b.length)
+    }
+    def k(a: Seq[String], b: Seq[String]): Int =
+      graft.functions.TokenEditDist.dist(a.toArray[AnyRef], b.toArray[AnyRef])
+    assert(k(Seq("a", "b", "c"), Seq("a", "x", "c")) == 1)
+    assert(k(Seq(), Seq("a", "b")) == 2 && k(Seq("a", "b"), Seq()) == 2)
+    assert(k(Seq("a"), Seq("a")) == 0)
+    // asymmetric sides exercise the swap (DP iterates the longer side)
+    assert(k(Seq("x"), Seq("a", "b", "c", "d")) == 4)
+    val rng = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(4)}")
+      val b = Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(4)}")
+      assert(k(a, b) == ref2d(a, b), s"$a vs $b")
+    }
+    // null elements match nothing (including each other)
+    assert(graft.functions.TokenEditDist.dist(
+      Array[AnyRef](null, "a"), Array[AnyRef](null, "a")) == 1)
+  }
+
+  test("wer: hand-computed corpus/sentence WER; empty-ref skip; empty-cand deletions") {
+    // ("a b c" vs "a x c"): 1 sub / 3 ref words
+    // ("a b" vs "a b"): 0 edits / 2
+    // ("" vs "a b"): 2 deletions / 2 (empty candidate is NOT skipped)
+    // ("a" vs ""): skipped (reference empty)
+    val df = Seq((1L, "a b c", "a x c"), (2L, "a b", "a b"),
+      (3L, "", "a b"), (4L, "a", "")).toDF("id", "cand", "ref")
+    val r = TF.wer(df, "id", "cand", "ref").head()
+    assert(r.getAs[Long]("n_pairs") == 3 && r.getAs[Long]("n_skipped") == 1,
+      s"$r")
+    assert(r.getAs[Long]("total_edits") == 3 &&
+      r.getAs[Long]("total_ref_words") == 7, s"$r")
+    assert(math.abs(r.getAs[Double]("wer") - 3.0 / 7) < 1e-6, s"$r")
+    // mean sentence WER = (1/3 + 0 + 1)/3
+    assert(math.abs(r.getAs[Double]("avg_sentence_wer") - (1.0 / 3 + 1) / 3)
+      < 1e-6, s"$r")
+    // candidate longer than reference: WER can exceed 1
+    val long = TF.wer(Seq((1L, "x y z w", "a")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").head()
+    assert(long.getAs[Double]("wer") == 4.0, s"$long")
+  }
+
   test("rougeL: hand-computed P/R/F averaging; empty-side skip contract") {
     // ("a b c" vs "a x b y c"): LCS 3, P 1, R .6, F1 .75
     // ("z" vs "a"): LCS 0 -> P 0, R 0, F 0
