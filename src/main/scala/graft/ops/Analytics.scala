@@ -479,6 +479,60 @@ object Analytics {
         .otherwise(abs(z) > lit(1.959963984540054)).as("reject_05"))
   }
 
+  /** Pettitt change-point test (Pettitt 1979): the RANK-based "did the
+    * distribution shift, and when" — [[cusumChangepoint]]'s
+    * nonparametric companion (CUSUM needs a mean/slack model; Pettitt
+    * only needs an ordering). With tie-averaged value ranks r_i and
+    * rows in `order` sequence,
+    *
+    *   U_t = 2·Σ_{i≤t} r_i − t(n+1),   K = max_{t<n} |U_t|
+    *   p ≈ 2·exp(−6K² / (n³ + n²))     (the standard approximation)
+    *
+    * The split point is the t attaining K (earliest on ties). Doubled
+    * ranks keep every statistic an exact integer, so the oracle
+    * restates the algebra bit-for-bit.
+    *
+    * Scale shape: distinct-value histogram + one two-phase
+    * [[Windows.globalCumSum]] for the tie-averaged ranks, a value-keyed
+    * equi-join back, ONE more two-phase cumsum pass in time order
+    * (rank sum and position share the exchange via
+    * [[Windows.globalCumSums]]), and a 1-row max/argmax rollup — no
+    * single-reducer window anywhere. `order` must be a total order
+    * (tie-break it like q_ohlc); K is NULL when n < 2. */
+  def pettittTest(df: DataFrame, order: Seq[Column], value: Column,
+      dp: Int = 6): DataFrame = {
+    require(order.nonEmpty, "pettittTest needs at least one order column")
+    val s = df.select(order.zipWithIndex.map { case (c, i) =>
+        c.as(s"__o$i") } :+ value.cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val oc = order.indices.map(i => col(s"__o$i"))
+    val h = s.groupBy("__v").agg(count(lit(1L)).as("__c"))
+    // 2× tie-averaged rank: 2·cum_incl − count + 1 (exact long)
+    val r = Windows.globalCumSum(h, Seq(col("__v")), col("__c"), "__cum")
+      .select(col("__v"), (col("__cum") * 2 - col("__c") + 1).as("__r2"))
+    val ranked = s.join(r, "__v")
+    val cum = Windows.globalCumSums(ranked, oc,
+      Seq((col("__r2"): Column) -> "__s2", (lit(1L): Column) -> "__t"))
+    val tot = h.agg(sum(col("__c")).as("__n"))
+    val u = cum.crossJoin(broadcast(tot))
+      .where(col("__t") < col("__n"))
+      .select(col("__t"),
+        abs(col("__s2") - col("__t") * (col("__n") + 1)).as("__au"))
+    val m = u.agg(
+        max(struct(col("__au"), (-col("__t")).as("__nt"))).as("__mx"))
+      .crossJoin(broadcast(tot.select(coalesce(col("__n"), lit(0L))
+        .as("__n"))))
+    val n = col("__n").cast("double")
+    val k = col("__mx").getField("__au")
+    val p = lit(2.0) * exp(lit(-6.0) * k * k / (n * n * n + n * n))
+    m.select(
+      col("__n").as("n"),
+      k.as("k_stat"),
+      (-col("__mx").getField("__nt")).as("change_t"),
+      when(col("__n") >= 2, round(least(p, lit(1.0)), dp)).as("p_approx"),
+      when(col("__n") >= 2, least(p, lit(1.0)) < 0.05).as("reject_05"))
+  }
+
   /** One-way ANOVA F (Fisher): does the mean of `value` differ across
     * the levels of `group`?  F = [SSB/(k−1)] / [SSW/(N−k)] with the
     * between/within sums of squares recovered from per-group

@@ -598,6 +598,14 @@ object RelationalQueries {
         .orderBy("key")
     }),
 
+    // Pettitt rank change-point over the event value stream (total
+    // order (ts, event_id)): the nonparametric "did the distribution
+    // shift, and when" beside q_cusum_changepoint's mean-model CUSUM.
+    // Doubled tie-averaged ranks keep U_t exactly integer.
+    "q_pettitt" -> ((s, dir) =>
+      Analytics.pettittTest(t(s, dir, "events"),
+        Seq(col("ts"), col("event_id")), col("value"))),
+
     "q_anomaly" -> ((s, dir) =>
       Analytics.rollingAnomalies(t(s, dir, "events"), Seq(col("user_id")),
           col("ts"), 3600, col("value"), k = 3.0)
@@ -2396,6 +2404,32 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_pettitt" ->
+      """WITH s AS (SELECT ts, event_id, CAST(value AS DOUBLE) AS v
+        |       FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1),
+        |r AS (SELECT v, CAST(2 * sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - c + 1 AS BIGINT) AS r2 FROM h),
+        |cum AS (SELECT
+        |  CAST(sum(r2) OVER w AS BIGINT) AS s2,
+        |  CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS t
+        | FROM s JOIN r USING (v)
+        | WINDOW w AS (ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+        |u AS (SELECT t, abs(s2 - t * (n + 1)) AS au FROM cum, tot
+        |      WHERE t < n),
+        |m AS (SELECT max(au) AS k FROM u),
+        |am AS (SELECT min(t) AS change_t FROM u, m WHERE au = k),
+        |p AS (SELECT least(2.0 * exp(-6.0 * k * k /
+        |  (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)), 1.0) AS pv,
+        |  n, k FROM m, tot)
+        |SELECT n, k AS k_stat, change_t,
+        | CASE WHEN n >= 2 THEN round(pv, 6) END AS p_approx,
+        | CASE WHEN n >= 2 THEN pv < 0.05 END AS reject_05
+        |FROM p, am""".stripMargin,
 
     "q_cusum_changepoint" ->
       """WITH series AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,

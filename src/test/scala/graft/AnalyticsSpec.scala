@@ -1909,6 +1909,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("pettittTest: hand-computed K and split point; ties; flat series") {
+    // [1,2 | 10,11]: ranks 1..4, U = (-3,-4,-3) -> K=4 at t=2,
+    // p = 2 exp(-96/80) = 2 exp(-1.2)
+    val df = Seq((1, 1.0), (2, 2.0), (3, 10.0), (4, 11.0)).toDF("t", "v")
+    val r = Analytics.pettittTest(df, Seq(col("t")), col("v")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4 && r.getLong(2) == 2, s"$r")
+    assert(math.abs(r.getDouble(3) - 2.0 * math.exp(-1.2)) < 1e-6, s"$r")
+    assert(!r.getBoolean(4), s"$r")
+    // tie-averaged ranks: [5,5,7] -> 2r = (3,3,6), U = (-1,-2) -> K=2 at t=2
+    val tied = Seq((1, 5.0), (2, 5.0), (3, 7.0)).toDF("t", "v")
+    val rt = Analytics.pettittTest(tied, Seq(col("t")), col("v")).head()
+    assert(rt.getLong(1) == 2 && rt.getLong(2) == 2, s"$rt")
+    // flat series: K = 0, p clamps to 1, no rejection
+    val flat = Seq((1, 5.0), (2, 5.0)).toDF("t", "v")
+    val rf = Analytics.pettittTest(flat, Seq(col("t")), col("v")).head()
+    assert(rf.getLong(1) == 0 && rf.getDouble(3) == 1.0 && !rf.getBoolean(4),
+      s"$rf")
+    // single row: no interior split exists -> NULL K
+    val one = Analytics.pettittTest(Seq((1, 5.0)).toDF("t", "v"),
+      Seq(col("t")), col("v")).head()
+    assert(one.getLong(0) == 1 && one.isNullAt(1) && one.isNullAt(3), s"$one")
+  }
+
   test("delongTest: hand-computed components; identical scorers NULL z; auc matches aucBrier") {
     // pos A-scores {3,1}, neg {2,0}: V10_A = {1, .5}, V01_A = {.5, 1}
     //   -> auc_a = .75, S10_A = S01_A = .125, var_a = .125
