@@ -579,6 +579,60 @@ object Analytics {
         .otherwise(f * df1 > chiSq95(df1)).as("reject_05"))
   }
 
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
+    * (Mantel & Haenszel 1959): does a binary exposure move a binary
+    * outcome CONSISTENTLY across strata — the stratified A/B readout
+    * that a pooled 2×2 gets wrong whenever the strata differ in base
+    * rate (Simpson's paradox). Per stratum s with cells (a,b,c,d) and
+    * n_s rows:
+    *
+    *   OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ
+    *   χ²    = (Σaᵢ − ΣEᵢ)² / ΣVᵢ,  Eᵢ = (a+b)(a+c)/n,
+    *   Vᵢ    = (a+b)(c+d)(a+c)(b+d) / (n²(n−1))     ~ χ²(1)
+    *
+    * Strata with n < 2 contribute no variance (Vᵢ undefined) but stay
+    * in the OR sums, the standard convention. OR is NULL when the
+    * denominator Σbc/n is 0; χ² is NULL when ΣV = 0.
+    *
+    * Shape: ONE strata-keyed cell rollup (the only corpus exchange,
+    * |strata| rows out) + a 1-row verdict on the shared [[chiSq95]]
+    * closed form — no window, no join. */
+  def cmhTest(df: DataFrame, strata: Column, exposed: Column,
+      success: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(strata.as("__g"), exposed.cast("boolean").as("__e"),
+        success.cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__e").isNotNull &&
+        col("__y").isNotNull)
+    val per = base.groupBy("__g").agg(
+      sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("__b"),
+      sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("__c"),
+      sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("__d"))
+    val n = (col("__a") + col("__b") + col("__c") + col("__d"))
+      .cast("double")
+    val agg = per.agg(
+      count(lit(1L)).as("n_strata"),
+      sum(n).as("__n"),
+      sum(col("__a")).as("__sa"),
+      sum(col("__a").cast("double") * col("__d") / n).as("__sad"),
+      sum(col("__b").cast("double") * col("__c") / n).as("__sbc"),
+      sum((col("__a") + col("__b")).cast("double") * (col("__a") + col("__c"))
+        / n).as("__se"),
+      sum(when(n > 1,
+          (col("__a") + col("__b")).cast("double") * (col("__c") + col("__d"))
+            * (col("__a") + col("__c")) * (col("__b") + col("__d"))
+            / (n * n * (n - 1)))
+        .otherwise(0.0)).as("__sv"))
+    val d2 = col("__sa").cast("double") - col("__se")
+    val chi2 = d2 * d2 / col("__sv")
+    agg.select(col("n_strata"),
+      coalesce(col("__n"), lit(0.0)).cast("long").as("n"),
+      when(col("__sbc") > 0.0, round(col("__sad") / col("__sbc"), dp))
+        .as("or_mh"),
+      when(col("__sv") > 0.0, round(chi2, dp)).as("chi2"),
+      when(col("__sv") > 0.0, chi2 > chiSq95(lit(1.0))).as("reject_05"))
+  }
+
   /** χ²₀.₉₅(d): exact table constants for d ≤ 4 (Wilson–Hilferty is
     * ~2.5% LOW at d = 1 — 3.747 vs the true 3.841 — which made df=1
     * verdicts mildly anti-conservative), the Wilson–Hilferty cube

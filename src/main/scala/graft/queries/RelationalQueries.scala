@@ -954,6 +954,14 @@ object RelationalQueries {
       Analytics.mannWhitneyU(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // Cochran-Mantel-Haenszel across language strata: a pseudo-exposure
+    // (even length) vs the q_mcnemar label, stratified by lang — the
+    // Simpson's-paradox-proof pooled 2x2, with the MH common odds ratio.
+    "q_cmh" -> ((s, dir) =>
+      Analytics.cmhTest(t(s, dir, "documents"), col("lang"),
+        col("n_chars") % 2 === 0,
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0)),
+
     // Wilcoxon signed-rank on two deterministic paired pseudo-metrics
     // over the SAME docs (the q_mcnemar construction, continuous): the
     // paired companion of q_mann_whitney — integer differences keep
@@ -2835,6 +2843,38 @@ object RelationalQueries {
         |   AS z,
         | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
         |FROM f""".stripMargin,
+
+    "q_cmh" ->
+      """WITH base AS (SELECT lang AS g,
+        |  (n_chars % 2 = 0) AS e,
+        |  (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y FROM documents),
+        |per AS (SELECT g,
+        |  CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d
+        | FROM base GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  sum(CAST(a + b + c + d AS DOUBLE)) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa,
+        |  sum(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS sad,
+        |  sum(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sbc,
+        |  sum(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)) AS se,
+        |  sum(CASE WHEN a + b + c + d > 1 THEN
+        |    CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) /
+        |     (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d) *
+        |      (a + b + c + d - 1))
+        |   ELSE 0.0 END) AS sv
+        | FROM per)
+        |SELECT n_strata, CAST(n AS BIGINT) AS n,
+        | CASE WHEN sbc > 0 THEN round(sad / sbc, 6) END AS or_mh,
+        | CASE WHEN sv > 0 THEN round((sa - se) * (sa - se) / sv, 6) END
+        |   AS chi2,
+        | CASE WHEN sv > 0
+        |  THEN (sa - se) * (sa - se) / sv > 3.841458820694124 END
+        |   AS reject_05
+        |FROM ag""".stripMargin,
 
     "q_signed_rank" ->
       """WITH s AS (SELECT CAST(n_chars % 97 AS DOUBLE) - (n_chars % 89) AS d

@@ -1909,6 +1909,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("cmhTest: hand-computed OR_MH and chi2; degenerate strata") {
+    // two strata, each n=10: s1 (a,b,c,d)=(4,1,2,3), s2 (3,2,1,4)
+    // OR = (1.2+1.2)/(0.2+0.2) = 6; E = 3+2 = 5, V = 2/3+2/3
+    // chi2 = (7-5)^2/(4/3) = 3 -> not rejected at 3.8415
+    def stratum(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, true, true)) ++ Seq.fill(b)((g, true, false)) ++
+      Seq.fill(c)((g, false, true)) ++ Seq.fill(d)((g, false, false))
+    val df = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 3, 2, 1, 4))
+      .toDF("g", "e", "y")
+    val r = Analytics.cmhTest(df, col("g"), col("e"), col("y")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 20, s"$r")
+    assert(r.getDouble(2) == 6.0, s"$r")
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-6, s"$r")
+    assert(!r.getBoolean(4), s"$r")
+    // all outcomes positive: V = 0 in every stratum -> NULL chi2; the
+    // OR denominator is 0 too -> NULL or_mh
+    val ally = Seq(("s", true, true), ("s", false, true)).toDF("g", "e", "y")
+    val ra = Analytics.cmhTest(ally, col("g"), col("e"), col("y")).head()
+    assert(ra.isNullAt(2) && ra.isNullAt(3) && ra.isNullAt(4), s"$ra")
+    // single-row stratum contributes no variance but keeps its OR mass
+    val tiny = (stratum("s1", 4, 1, 2, 3) ++ Seq(("s2", true, true)))
+      .toDF("g", "e", "y")
+    val rt = Analytics.cmhTest(tiny, col("g"), col("e"), col("y")).head()
+    // OR = (4*3/10 + 0)/(1*2/10 + 0) = 6; V from s1 only = 2/3; the
+    // n=1 stratum's E equals its a (1 = 1*1/1), so sa - se = 5 - 4 = 1
+    assert(rt.getDouble(2) == 6.0, s"$rt")
+    assert(math.abs(rt.getDouble(3) - 1.0 / (2.0 / 3)) < 1e-6, s"$rt")
+  }
+
   test("pettittTest: hand-computed K and split point; ties; flat series") {
     // [1,2 | 10,11]: ranks 1..4, U = (-3,-4,-3) -> K=4 at t=2,
     // p = 2 exp(-96/80) = 2 exp(-1.2)
