@@ -579,6 +579,56 @@ object Analytics {
         .otherwise(f * df1 > chiSq95(df1)).as("reject_05"))
   }
 
+  /** First-order partial correlation: the linear association of x and
+    * y with the confounder z REGRESSED OUT of both —
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * the one-line answer to "is the metric pair really related, or do
+    * both just track z" (doc length confounding quality vs score,
+    * time confounding any pair of drifting metrics). Reports the three
+    * raw correlations beside the partial so the comparison is in the
+    * row.
+    *
+    * Shape: ONE fused moment aggregate (9 sums + count in a single
+    * scan, map-side partial) and a 1-row closed form — no window, no
+    * join, no second pass. Correlations are NULL for constant columns
+    * (0 variance); the partial is NULL when either control correlation
+    * is ±1 (nothing left to correlate). */
+  def partialCorr(df: DataFrame, x: Column, y: Column, z: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select(x.cast("double").as("__x"), y.cast("double").as("__y"),
+        z.cast("double").as("__z"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__z").isNotNull)
+    val m = s.agg(count(lit(1L)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__z")).as("__sz"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__z") * col("__z")).as("__szz"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__z")).as("__sxz"),
+      sum(col("__y") * col("__z")).as("__syz"))
+    val n = col("__n").cast("double")
+    def cov(sab: Column, sa: Column, sb: Column) = n * sab - sa * sb
+    def varr(saa: Column, sa: Column) = n * saa - sa * sa
+    val vx = varr(col("__sxx"), col("__sx"))
+    val vy = varr(col("__syy"), col("__sy"))
+    val vz = varr(col("__szz"), col("__sz"))
+    def r(sab: Column, sa: Column, sb: Column, va: Column, vb: Column) =
+      when(va > 0.0 && vb > 0.0, cov(sab, sa, sb) / sqrt(va * vb))
+    val rxy = r(col("__sxy"), col("__sx"), col("__sy"), vx, vy)
+    val rxz = r(col("__sxz"), col("__sx"), col("__sz"), vx, vz)
+    val ryz = r(col("__syz"), col("__sy"), col("__sz"), vy, vz)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    m.select(col("__n").as("n"),
+      round(rxy, dp).as("r_xy"), round(rxz, dp).as("r_xz"),
+      round(ryz, dp).as("r_yz"),
+      when(rxy.isNotNull && rxz.isNotNull && ryz.isNotNull && den > 0.0,
+        round((rxy - rxz * ryz) / sqrt(den), dp)).as("r_xy_given_z"))
+  }
+
   /** Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
     * (Mantel & Haenszel 1959): does a binary exposure move a binary
     * outcome CONSISTENTLY across strata — the stratified A/B readout

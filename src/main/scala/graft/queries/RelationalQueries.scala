@@ -860,6 +860,13 @@ object RelationalQueries {
           round(col("covar"), 2).as("covar"),
           round(col("spearman"), 6).as("spearman"))),
 
+    // Partial correlation of quantity and revenue with the discount
+    // regressed out of both: one fused 9-sum moment scan, 1-row closed
+    // form — q_corr's confounder-aware companion.
+    "q_partial_corr" -> ((s, dir) =>
+      Analytics.partialCorr(t(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))),
+
     // PSI drift time series: every day's value distribution vs the
     // first day (driftPsi's conventions unrolled over periods); the
     // baseline day must read exactly 0.
@@ -2843,6 +2850,35 @@ object RelationalQueries {
         |   AS z,
         | round(1 - 2 * ua / (CAST(na AS DOUBLE) * nb), 6) AS rank_biserial
         |FROM f""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |  CAST(l_extendedprice AS DOUBLE) AS y,
+        |  CAST(l_discount AS DOUBLE) AS z FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |   AND l_discount IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+        |  sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz FROM s),
+        |r AS (SELECT n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |   THEN (n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS rxy,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * szz - sz * sz > 0
+        |   THEN (n * sxz - sx * sz) /
+        |    sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) END AS rxz,
+        |  CASE WHEN n * syy - sy * sy > 0 AND n * szz - sz * sz > 0
+        |   THEN (n * syz - sy * sz) /
+        |    sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) END AS ryz
+        | FROM m)
+        |SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        | round(ryz, 6) AS r_yz,
+        | CASE WHEN rxy IS NOT NULL AND rxz IS NOT NULL AND ryz IS NOT NULL
+        |   AND (1 - rxz * rxz) * (1 - ryz * ryz) > 0
+        |  THEN round((rxy - rxz * ryz) /
+        |   sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) END AS r_xy_given_z
+        |FROM r""".stripMargin,
 
     "q_cmh" ->
       """WITH base AS (SELECT lang AS g,

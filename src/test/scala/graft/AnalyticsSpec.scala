@@ -1909,6 +1909,46 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("partialCorr: confounder-only association vanishes; perfect control NULL") {
+    // x = z + a, y = z + b with a, b orthogonal to z, to 1, and to each
+    // other (a = (1,-1,-1,1), b = (1,-3,3,-1)): both raw correlations
+    // are driven entirely by z, so the partial is EXACTLY 0
+    val df = Seq((2.0, 2.0, 1.0), (1.0, -1.0, 2.0), (2.0, 6.0, 3.0),
+      (5.0, 3.0, 4.0)).toDF("x", "y", "z")
+    val r = Analytics.partialCorr(df, col("x"), col("y"), col("z")).head()
+    assert(r.getLong(0) == 4, s"$r")
+    assert(r.getDouble(1) > 0.3, s"raw r_xy should be confounded up: $r")
+    assert(math.abs(r.getDouble(4)) < 1e-6, s"partial must vanish: $r")
+    // differential vs direct moment arithmetic on seeded data
+    val rnd = new scala.util.Random(23)
+    val data = Seq.fill(60)((rnd.nextInt(10).toDouble,
+      rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble))
+    val d = Analytics.partialCorr(data.toDF("x", "y", "z"),
+      col("x"), col("y"), col("z")).head()
+    def corr(u: Seq[Double], v: Seq[Double]): Double = {
+      val n = u.length
+      val (su, sv) = (u.sum, v.sum)
+      val cov = n * u.zip(v).map { case (a, b) => a * b }.sum - su * sv
+      cov / math.sqrt((n * u.map(a => a * a).sum - su * su) *
+        (n * v.map(a => a * a).sum - sv * sv))
+    }
+    val (xs, ys, zs) = (data.map(_._1), data.map(_._2), data.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val expect = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(d.getDouble(4) - expect) < 1e-6, s"$d vs $expect")
+    // x perfectly tracks z: nothing left to correlate -> NULL partial
+    val perfect = Seq((1.0, 2.0, 1.0), (2.0, 5.0, 2.0), (3.0, 3.0, 3.0))
+      .toDF("x", "y", "z")
+    assert(Analytics.partialCorr(perfect, col("x"), col("y"), col("z"))
+      .head().isNullAt(4))
+    // constant column: its correlations are NULL, and so is the partial
+    val const = Seq((1.0, 2.0, 7.0), (2.0, 5.0, 7.0), (3.0, 3.0, 7.0))
+      .toDF("x", "y", "z")
+    val rc = Analytics.partialCorr(const, col("x"), col("y"), col("z")).head()
+    assert(rc.isNullAt(2) && rc.isNullAt(3) && rc.isNullAt(4), s"$rc")
+  }
+
   test("cmhTest: hand-computed OR_MH and chi2; degenerate strata") {
     // two strata, each n=10: s1 (a,b,c,d)=(4,1,2,3), s2 (3,2,1,4)
     // OR = (1.2+1.2)/(0.2+0.2) = 6; E = 3+2 = 5, V = 2/3+2/3
