@@ -511,4 +511,71 @@ object Similarity {
         lit(null).cast("double"))
         .otherwise(round(ch, dp)).as("ch"))
   }
+
+  /** k-center greedy selection (Gonzalez 1985; Sener & Savarese, ICLR
+    * 2018 use it as the coreset rule for data selection): pick the
+    * point FARTHEST from everything picked so far, k times — the
+    * classic 2-approximation of the k-center cover, and the standard
+    * diversity-sampling rule for embedding-space curation (grab the
+    * most novel example next, not another near-duplicate of what you
+    * have). Deterministic by construction: the seed is the max-L2-norm
+    * point and every argmax breaks ties on the smallest id — no rand,
+    * replayable across engines.
+    *
+    * Returns (sel_rank 1..k, vec_id, radius): `radius` is the selected
+    * point's distance to the previously chosen set — the k-center
+    * coverage radius sequence, NON-INCREASING by construction (each
+    * pick is the max of a pointwise-shrinking min-distance field),
+    * which makes a free in-row oracle invariant.
+    *
+    * Scale shape: the bounded-driver-iteration discipline
+    * ([[graft.ops.Analytics.logisticRegressionGD]] precedent) — k ≤ 64
+    * by contract, each round is ONE distance scan against the SINGLE
+    * newest center (the running min-distance column carries all older
+    * centers, localCheckpoint'ed so lineage stays flat), one
+    * TakeOrdered(1), and a 1-row collect. Total k scans, O(k·n·d)
+    * work, never O(n²). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dp: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+    val seed = base
+      .select(col("__id"), col("__v"), l2Norm(col("__v")).as("__n"))
+      .orderBy(col("__n").desc, col("__id")).limit(1)
+      .collect() // 1 row by construction
+    if (seed.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("sel_rank", "vec_id", "radius")
+    val seedId = seed(0).getLong(0)
+    val seedVec = seed(0).getSeq[Float](1)
+    var picks = Vector[(Int, Long, Option[Double])]((1, seedId, None))
+    var cur = base.where(col("__id") =!= seedId)
+      .withColumn("__mind", Ivf.sqDist(col("__v"), typedLit(seedVec)))
+      .localCheckpoint(true)
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = cur.orderBy(col("__mind").desc, col("__id")).limit(1)
+        .collect() // 1 row per round, k <= 64 rounds by contract
+      if (top.isEmpty) exhausted = true
+      else {
+        val cid = top(0).getLong(0)
+        val cvec = top(0).getSeq[Float](1)
+        picks :+= ((r, cid, Some(math.sqrt(top(0).getDouble(2)))))
+        if (r < k) cur = cur.where(col("__id") =!= cid)
+          .withColumn("__mind",
+            least(col("__mind"), Ivf.sqDist(col("__v"), typedLit(cvec))))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    picks.toDF("sel_rank", "vec_id", "radius")
+      .select(col("sel_rank"), col("vec_id"),
+        round(col("radius"), dp).as("radius"))
+      .orderBy("sel_rank")
+  }
 }

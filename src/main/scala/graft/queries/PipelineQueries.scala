@@ -3231,6 +3231,16 @@ object PipelineQueries {
 
     // Simplified (centroid) silhouette over the same mod-5 assignment:
     // the O(n·k) cluster-quality readout beside Davies-Bouldin.
+    // k-center greedy diversity selection over the embeddings: max-norm
+    // seed, then 3 farthest-point rounds (min-id tie-breaks) — the
+    // coreset/diversity-sampling rule. The oracle replays the identical
+    // greedy chain as unrolled CTEs; the radius sequence is
+    // non-increasing by construction.
+    "sim_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(
+        t(s, dir, "embeddings").where(size(col("embedding")) === 64),
+        "vec_id", "embedding", k = 4)),
+
     "sim_silhouette" -> ((s, dir) =>
       Similarity.simplifiedSilhouette(
           t(s, dir, "embeddings")
@@ -7152,6 +7162,43 @@ object PipelineQueries {
         |FROM s JOIN r ON s.cluster = r.cluster ORDER BY s.cluster""".stripMargin,
 
     // same centroid distances, same own/other min split
+    // the identical greedy chain unrolled: max-norm seed, then three
+    // farthest-point rounds, min-id tie-breaks, picked ids excluded
+    "sim_kcenter" ->
+      """WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        |           WHERE len(embedding) = 64),
+        |ex AS (SELECT id, generate_subscripts(v, 1) AS pos,
+        |       CAST(unnest(v) AS DOUBLE) AS x FROM e),
+        |c1 AS (SELECT id FROM (SELECT id,
+        |        sqrt(list_sum(list_transform(v,
+        |          a -> CAST(a AS DOUBLE) * a))) AS nrm
+        |       FROM e) ORDER BY nrm DESC, id LIMIT 1),
+        |cx1 AS (SELECT pos, x FROM ex WHERE id = (SELECT id FROM c1)),
+        |d1 AS (SELECT ex.id, sum((ex.x - c.x) * (ex.x - c.x)) AS d
+        |       FROM ex JOIN cx1 c USING (pos)
+        |       WHERE ex.id <> (SELECT id FROM c1) GROUP BY ex.id),
+        |p2 AS (SELECT id, d FROM d1 ORDER BY d DESC, id LIMIT 1),
+        |cx2 AS (SELECT pos, x FROM ex WHERE id = (SELECT id FROM p2)),
+        |m2 AS (SELECT d1.id, least(d1.d, d2.d) AS d FROM d1
+        |       JOIN (SELECT ex.id, sum((ex.x - c.x) * (ex.x - c.x)) AS d
+        |             FROM ex JOIN cx2 c USING (pos) GROUP BY ex.id) d2
+        |         USING (id)
+        |       WHERE d1.id <> (SELECT id FROM p2)),
+        |p3 AS (SELECT id, d FROM m2 ORDER BY d DESC, id LIMIT 1),
+        |cx3 AS (SELECT pos, x FROM ex WHERE id = (SELECT id FROM p3)),
+        |m3 AS (SELECT m2.id, least(m2.d, d3.d) AS d FROM m2
+        |       JOIN (SELECT ex.id, sum((ex.x - c.x) * (ex.x - c.x)) AS d
+        |             FROM ex JOIN cx3 c USING (pos) GROUP BY ex.id) d3
+        |         USING (id)
+        |       WHERE m2.id <> (SELECT id FROM p3)),
+        |p4 AS (SELECT id, d FROM m3 ORDER BY d DESC, id LIMIT 1)
+        |SELECT 1 AS sel_rank, (SELECT id FROM c1) AS vec_id,
+        | CAST(NULL AS DOUBLE) AS radius
+        |UNION ALL SELECT 2, id, round(sqrt(d), 6) FROM p2
+        |UNION ALL SELECT 3, id, round(sqrt(d), 6) FROM p3
+        |UNION ALL SELECT 4, id, round(sqrt(d), 6) FROM p4
+        |ORDER BY sel_rank""".stripMargin,
+
     "sim_silhouette" ->
       """WITH x AS (SELECT vec_id, vec_id % 5 AS cluster, CAST(i AS INT) AS i,
         |        CAST(embedding[i+1] AS DOUBLE) AS v

@@ -1816,6 +1816,34 @@ class PipelineSpec extends SparkSuite {
     assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
   }
 
+  test("kCenterGreedy: hand-computed greedy order; non-increasing radii; duplicates; k > n") {
+    import spark.implicits._
+    // seed = max norm (id2 at (10,0)); then farthest-point rounds:
+    // id3 (0,3) at sqrt(109), id1 (0,0) at 3, id4 (9.5,0) at 0.5
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(10f, 0f)), (3L, Seq(0f, 3f)),
+      (4L, Seq(9.5f, 0f))).toDF("vec_id", "embedding")
+    val r = graft.functions.Similarity
+      .kCenterGreedy(df, "vec_id", "embedding", k = 4).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L, 4L), s"${r.toSeq}")
+    assert(r(0).isNullAt(2), s"${r.toSeq}")
+    assert(math.abs(r(1).getDouble(2) - math.sqrt(109)) < 1e-6, s"${r.toSeq}")
+    assert(r(2).getDouble(2) == 3.0 && r(3).getDouble(2) == 0.5, s"${r.toSeq}")
+    // radii non-increasing by construction
+    val radii = r.drop(1).map(_.getDouble(2)).toSeq
+    assert(radii == radii.sorted.reverse, s"$radii")
+    // all-identical points: min-id tie-breaks everywhere, zero radii
+    val dup = Seq((7L, Seq(1f, 1f)), (5L, Seq(1f, 1f)), (6L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rd = graft.functions.Similarity
+      .kCenterGreedy(dup, "vec_id", "embedding", k = 3).collect()
+    assert(rd.map(_.getLong(1)).toSeq == Seq(5L, 6L, 7L), s"${rd.toSeq}")
+    assert(rd.drop(1).forall(_.getDouble(2) == 0.0), s"${rd.toSeq}")
+    // k exceeding n stops at n picks
+    val rk = graft.functions.Similarity
+      .kCenterGreedy(dup, "vec_id", "embedding", k = 5).collect()
+    assert(rk.length == 3, s"${rk.toSeq}")
+  }
+
   test("simplifiedSilhouette: hand-computed 1-d fixture; single cluster NULL") {
     import spark.implicits._
     // A: [0], [2] (centroid 1); B: [10], [12] (centroid 11):
