@@ -710,6 +710,85 @@ object Analytics {
       d * math.pow(1.0 - t + 1.644853626951473 * math.sqrt(t), 3)
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test (Jonckheere
+    * 1954): does `value` increase MONOTONICALLY across the given group
+    * ORDER — the question [[kruskalWallis]] cannot ask (KW sees "any
+    * group differs"; JT is powered specifically against the ordered
+    * alternative: quality degrading across time buckets, score rising
+    * with model size). JT = Σ_{h<g} [#{x_h < x_g} + ½·ties], with the
+    * full tie-corrected variance (Hollander & Wolfe):
+    *
+    *   Var = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
+    *   A = N(N−1)(2N+5) − Σᵢ nᵢ(nᵢ−1)(2nᵢ+5) − Σᵥ t(t−1)(2t+5)
+    *   B = Σᵢ nᵢ(nᵢ−1)(nᵢ−2) · Σᵥ t(t−1)(t−2),
+    *   C = Σᵢ nᵢ(nᵢ−1) · Σᵥ t(t−1)
+    *
+    * At k = 2 this IS Mann–Whitney (differential-spec-pinned,
+    * including ties). JT is accumulated doubled so every pair count is
+    * an exact integer.
+    *
+    * Scale shape: one distinct-value histogram with k conditional
+    * count columns (the only corpus exchange), ONE two-phase
+    * [[Windows.globalCumSums]] pass carrying all k per-group CDFs in a
+    * single range exchange (no per-group single-reducer window), and a
+    * 1-row rollup. k ≤ 8 by contract (the conditional-column unroll);
+    * z is NULL when Var ≤ 0 (all values identical) or k < 2. */
+  def jonckheereTest(df: DataFrame, value: Column, group: Column,
+      orderedGroups: Seq[String], dp: Int = 6): DataFrame = {
+    val k = orderedGroups.size
+    require(k >= 2 && k <= 8,
+      s"need 2..8 ordered groups, got $k")
+    require(orderedGroups.distinct.size == k, "ordered groups must be distinct")
+    val g = group.cast("string")
+    val base = df.select(value.cast("double").as("__v"), g.as("__g"))
+      .where(col("__v").isNotNull && col("__g").isin(orderedGroups: _*))
+    val histCols = orderedGroups.zipWithIndex.map { case (gn, i) =>
+      sum(when(col("__g") === gn, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val hist = base.groupBy("__v").agg(histCols.head, histCols.tail: _*)
+    val cum = Windows.globalCumSums(hist, Seq(col("__v")),
+      orderedGroups.indices.map(i => (col(s"__c$i"): Column) -> s"__cum$i"))
+    // doubled JT contribution of the value block: for each group g,
+    // c_g · Σ_{h<g} (2·below_h + ties_h)
+    val jt2row = (1 until k).map { gi =>
+      val before = (0 until gi).map { h =>
+        (col(s"__cum$h") - col(s"__c$h")) * 2 + col(s"__c$h")
+      }.reduce(_ + _)
+      col(s"__c$gi") * before
+    }.reduce(_ + _)
+    val t = orderedGroups.indices.map(i => col(s"__c$i")).reduce(_ + _)
+    val aggCols = // tie moments ride the same rollup as the statistic
+      sum(jt2row).as("__jt2") ::
+        sum(t * (t - 1) * (lit(2L) * t + 5)).as("__tt5") ::
+        sum(t * (t - 1) * (t - 2)).as("__tt2") ::
+        sum(t * (t - 1)).as("__tt1") ::
+        orderedGroups.indices.map(i => sum(col(s"__c$i")).as(s"__n$i"))
+          .toList
+    val agg = cum.agg(aggCols.head, aggCols.tail: _*)
+    val ns = orderedGroups.indices.map(i => col(s"__n$i"))
+    val bigN = ns.reduce(_ + _)
+    val sumN2 = ns.map(n => n * n).reduce(_ + _)
+    val gn5 = ns.map(n => n * (n - 1) * (lit(2L) * n + 5)).reduce(_ + _)
+    val gn2 = ns.map(n => n * (n - 1) * (n - 2)).reduce(_ + _)
+    val gn1 = ns.map(n => n * (n - 1)).reduce(_ + _)
+    val nD = bigN.cast("double")
+    val a = nD * (nD - 1) * (lit(2.0) * nD + 5) - gn5 - col("__tt5")
+    // the B and C terms' divisors hit 0 at N <= 2 / N <= 1; their
+    // numerators are 0 there too (no triple/pair exists), so the guards
+    // only dodge ANSI divide-by-zero, never change the value
+    val vr = a / 72.0 +
+      when(nD > 2, gn2.cast("double") * col("__tt2") /
+        (lit(36.0) * nD * (nD - 1) * (nD - 2))).otherwise(0.0) +
+      when(nD > 1, gn1.cast("double") * col("__tt1") /
+        (lit(8.0) * nD * (nD - 1))).otherwise(0.0)
+    val mean2 = (nD * nD - sumN2) / 2.0
+    val z = (col("__jt2") - mean2) / (lit(2.0) * sqrt(vr))
+    agg.select(lit(k).as("k"), bigN.as("n"),
+      round(col("__jt2") / 2.0, dp).as("jt"),
+      when(vr > 0.0, round(z, dp)).as("z"),
+      when(vr > 0.0, abs(z) > lit(1.959963984540054)).as("reject_05"))
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952): the k-group rank test —
     * [[mannWhitneyU]] generalized past two cohorts, for "does ANY
     * group's distribution sit higher" without normality assumptions.

@@ -985,6 +985,14 @@ object RelationalQueries {
       Analytics.anovaF(t(s, dir, "lineitem"), col("l_quantity"),
         col("l_returnflag"))),
 
+    // Jonckheere-Terpstra ordered trend across the three return flags
+    // (alphabetical order as the deterministic ordering): the
+    // monotone-alternative companion of q_kruskal, full tie-corrected
+    // variance over the 50-distinct-quantity tie blocks.
+    "q_jonckheere" -> ((s, dir) =>
+      Analytics.jonckheereTest(t(s, dir, "lineitem"), col("l_quantity"),
+        col("l_returnflag"), Seq("A", "N", "R"))),
+
     // Kruskal-Wallis H on the same grouping: the k-group rank test —
     // tie-averaged ranks via the two-phase histogram CDF (50 distinct
     // quantities -> heavy ties exercise the correction), chi-square
@@ -2963,6 +2971,58 @@ object RelationalQueries {
         |     1.644853626951473 * sqrt(CAST(2 AS DOUBLE) / (9 * (k - 1))), 3)
         |   END END AS reject_05
         |FROM t""".stripMargin,
+
+    "q_jonckheere" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |  l_returnflag AS g FROM lineitem
+        | WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')),
+        |h AS (SELECT v,
+        |  CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        | FROM base GROUP BY 1),
+        |cum AS (SELECT *,
+        |  CAST(sum(c0) OVER w AS BIGINT) AS m0,
+        |  CAST(sum(c1) OVER w AS BIGINT) AS m1,
+        |  CAST(sum(c2) OVER w AS BIGINT) AS m2 FROM h
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT
+        |  CAST(sum(c1 * ((m0 - c0) * 2 + c0) +
+        |   c2 * ((m0 - c0) * 2 + c0 + (m1 - c1) * 2 + c1)) AS BIGINT)
+        |    AS jt2,
+        |  CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1) *
+        |   (2 * (c0 + c1 + c2) + 5)) AS BIGINT) AS tt5,
+        |  CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1) *
+        |   (c0 + c1 + c2 - 2)) AS BIGINT) AS tt2,
+        |  CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2 - 1)) AS BIGINT) AS tt1,
+        |  CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c2) AS BIGINT) AS n2
+        | FROM cum),
+        |f AS (SELECT jt2, n0 + n1 + n2 AS n,
+        |  n0 * n0 + n1 * n1 + n2 * n2 AS sn2,
+        |  CAST(n0 + n1 + n2 AS DOUBLE) AS nd,
+        |  n0 * (n0 - 1) * (2 * n0 + 5) + n1 * (n1 - 1) * (2 * n1 + 5) +
+        |   n2 * (n2 - 1) * (2 * n2 + 5) AS gn5,
+        |  n0 * (n0 - 1) * (n0 - 2) + n1 * (n1 - 1) * (n1 - 2) +
+        |   n2 * (n2 - 1) * (n2 - 2) AS gn2,
+        |  n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1) AS gn1,
+        |  tt5, tt2, tt1 FROM a),
+        |g AS (SELECT jt2, n, nd,
+        |  (nd * nd - sn2) / 2.0 AS mean2,
+        |  (nd * (nd - 1) * (2.0 * nd + 5) - gn5 - tt5) / 72.0 +
+        |   CASE WHEN nd > 2 THEN CAST(gn2 AS DOUBLE) * tt2 /
+        |    (36.0 * nd * (nd - 1) * (nd - 2)) ELSE 0.0 END +
+        |   CASE WHEN nd > 1 THEN CAST(gn1 AS DOUBLE) * tt1 /
+        |    (8.0 * nd * (nd - 1)) ELSE 0.0 END AS vr
+        | FROM f)
+        |SELECT 3 AS k, n, round(jt2 / 2.0, 6) AS jt,
+        | CASE WHEN vr > 0 THEN round((jt2 - mean2) / (2.0 * sqrt(vr)), 6)
+        |  END AS z,
+        | CASE WHEN vr > 0
+        |  THEN abs((jt2 - mean2) / (2.0 * sqrt(vr))) > 1.959963984540054
+        |  END AS reject_05
+        |FROM g""".stripMargin,
 
     "q_kruskal" ->
       """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v,

@@ -1909,6 +1909,40 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("jonckheereTest: hand-computed JT/z; k=2 equals Mann-Whitney with ties; flat NULL") {
+    // A=[1,2], B=[3,4], C=[5,6]: every cross pair ordered -> JT = 12,
+    // mean = (36-12)/4 = 6, Var = (6*5*17 - 3*2*1*9)/72 = 456/72 = 19/3
+    // (equals the classic no-tie form (36*15 - 3*4*7)/72)
+    val df = Seq(("A", 1), ("A", 2), ("B", 3), ("B", 4), ("C", 5), ("C", 6))
+      .toDF("g", "v")
+    val r = Analytics.jonckheereTest(df, col("v"), col("g"),
+      Seq("A", "B", "C")).head()
+    assert(r.getInt(0) == 3 && r.getLong(1) == 6, s"$r")
+    assert(r.getDouble(2) == 12.0, s"$r")
+    assert(math.abs(r.getDouble(3) - 6.0 / math.sqrt(19.0 / 3)) < 1e-6, s"$r")
+    assert(r.getBoolean(4), s"$r")
+    // k = 2 with heavy ties: |z_JT| must equal |z_MW| (independent
+    // implementations; JT counts "later beats earlier", MW ranks A)
+    val rnd = new scala.util.Random(31)
+    val data = Seq.fill(120)((if (rnd.nextBoolean()) "A" else "B",
+      rnd.nextInt(6)))
+    val two = data.toDF("g", "v")
+    val zj = Analytics.jonckheereTest(two, col("v"), col("g"),
+      Seq("A", "B")).head().getDouble(3)
+    val zm = Analytics.mannWhitneyU(two, col("v"), col("g") === "A")
+      .head().getDouble(4)
+    assert(math.abs(zj + zm) < 1e-9, s"JT $zj vs MW $zm")
+    // all values identical: variance 0 -> NULL z and verdict
+    val flat = Seq(("A", 5), ("B", 5)).toDF("g", "v")
+    val rf = Analytics.jonckheereTest(flat, col("v"), col("g"),
+      Seq("A", "B")).head()
+    assert(rf.getDouble(2) == 0.5 && rf.isNullAt(3) && rf.isNullAt(4), s"$rf")
+    // rows outside the given order are excluded
+    val extra = Seq(("A", 1), ("B", 2), ("X", 99)).toDF("g", "v")
+    assert(Analytics.jonckheereTest(extra, col("v"), col("g"),
+      Seq("A", "B")).head().getLong(1) == 2)
+  }
+
   test("partialCorr: confounder-only association vanishes; perfect control NULL") {
     // x = z + a, y = z + b with a, b orthogonal to z, to 1, and to each
     // other (a = (1,-1,-1,1), b = (1,-3,3,-1)): both raw correlations
