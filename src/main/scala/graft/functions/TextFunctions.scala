@@ -547,6 +547,63 @@ object TextFunctions {
         round(col("__af"), dp).as("avg_f"))
   }
 
+  /** ROUGE-N (Lin, ACL 2004 §2): clipped n-gram precision/recall/F1
+    * per candidate-reference pair, MACRO-averaged over pairs (the
+    * ROUGE convention — every summary weighs equally), one result row
+    * per order n = 1..maxN. The contiguous-gram complement of
+    * [[rougeL]]'s order-tolerant LCS: ROUGE-1 scores content overlap,
+    * ROUGE-2 local fluency. Pairs whose reference has no n-gram of an
+    * order are skipped FOR THAT ORDER (recall undefined) and counted;
+    * an empty candidate against a real reference scores 0.
+    *
+    * Scale shape (the corpusBleu discipline): per order, gram counts
+    * are (id, gram)-keyed rollups joined on (id, gram) — every
+    * exchange gram-keyed and output-sensitive; the per-pair P/R/F
+    * algebra rides an id-keyed left join back to the pair table, and
+    * the corpus rollup is 1 row per order. */
+  def rougeN(df: DataFrame, idCol: String, candCol: String, refCol: String,
+      maxN: Int = 2, dp: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
+    def toks(c: Column) =
+      when(length(trim(c)) === 0, array().cast("array<string>"))
+        .otherwise(tokensWs(c))
+    val base = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(col(idCol).as("__id"), toks(col(candCol)).as("__ct"),
+        toks(col(refCol)).as("__rt"))
+      .localCheckpoint(true) // 2·maxN gram rollups + maxN joins read it
+    def grams(side: Column, n: Int): Column =
+      when(size(side) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(side) - n),
+          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
+    def counts(side: Column, n: Int, out: String) =
+      base.select(col("__id"), explode(grams(side, n)).as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
+    (1 to maxN).map { n =>
+      val ov = counts(col("__ct"), n, "__cc")
+        .join(counts(col("__rt"), n, "__cr"), Seq("__id", "__g"))
+        .groupBy("__id")
+        .agg(sum(least(col("__cc"), col("__cr"))).as("__cl"))
+      val sc = base.select(col("__id"),
+          greatest(size(col("__ct")) - n + 1, lit(0)).cast("long").as("__cn"),
+          greatest(size(col("__rt")) - n + 1, lit(0)).cast("long").as("__rn"))
+        .join(ov, Seq("__id"), "left")
+        .withColumn("__cl", coalesce(col("__cl"), lit(0L)))
+      val keep = col("__rn") > 0
+      val p = when(keep, when(col("__cn") > 0,
+        col("__cl").cast("double") / col("__cn")).otherwise(0.0))
+      val r = when(keep, col("__cl").cast("double") / col("__rn"))
+      val f = when(keep, when(p + r > 0.0, lit(2.0) * p * r / (p + r))
+        .otherwise(0.0))
+      sc.agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_skipped"),
+        round(avg(p), dp).as("avg_p"), round(avg(r), dp).as("avg_r"),
+        round(avg(f), dp).as("avg_f"))
+        .select(lit(n).as("n"), col("n_pairs"), col("n_skipped"),
+          col("avg_p"), col("avg_r"), col("avg_f"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
+
   /** Corpus word error rate: token-level Levenshtein edits between
     * candidate and reference, summed over pairs and normalized by total
     * reference words —

@@ -3408,6 +3408,20 @@ object PipelineQueries {
       TF.rougeL(pairs, "doc_id", "cand", "ref", beta = 1.0)
     }),
 
+    // ROUGE-1/2 over the SAME reversed-80%-prefix construction as
+    // eval_bleu: reversal preserves unigram content (high ROUGE-1
+    // recall) while destroying local order (low ROUGE-2) — the two
+    // orders separate content overlap from fluency. Macro-averaged
+    // per-pair P/R/F, one row per order.
+    "eval_rouge_n" -> ((s, dir) => {
+      val toks = TF.tokensWs(col("text"))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", reverse(slice(toks, lit(1),
+          ceil(size(toks) * lit(0.8)).cast("int")))).as("cand"),
+        col("text").as("ref"))
+      TF.rougeN(pairs, "doc_id", "cand", "ref", maxN = 2)
+    }),
+
     // Corpus WER over the SAME planted construction as eval_rouge_l
     // (every 5th token OOV-substituted, every 7th dropped): the
     // word-level Levenshtein distance has the closed form
@@ -7610,6 +7624,49 @@ object PipelineQueries {
         | round(avg(CASE WHEN p IS NULL THEN NULL WHEN p + r > 0
         |   THEN 2 * p * r / (p + r) ELSE CAST(0 AS DOUBLE) END), 6) AS avg_f
         |FROM sc""".stripMargin,
+
+    "eval_rouge_n" ->
+      """WITH base AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS rt FROM documents),
+        |p AS (SELECT doc_id, rt, list_reverse(list_slice(rt, 1,
+        |        CAST(ceil(len(rt) * CAST(0.8 AS DOUBLE)) AS INT))) AS ct
+        |      FROM base),
+        |cg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(ct) - nn.n + 1),
+        |          i -> array_to_string(list_slice(ct, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 3) nn(n)),
+        |rg AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        unnest(list_transform(generate_series(1, len(rt) - nn.n + 1),
+        |          i -> array_to_string(list_slice(rt, i, i + nn.n - 1), ' '))) AS g
+        |       FROM p, range(1, 3) nn(n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT cc.doc_id, cc.n, sum(least(cc.c, rc.c)) AS cl
+        |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+        |         AND cc.g = rc.g GROUP BY 1, 2),
+        |pairs AS (SELECT doc_id, CAST(nn.n AS INT) AS n,
+        |        greatest(len(ct) - nn.n + 1, 0) AS cn,
+        |        greatest(len(rt) - nn.n + 1, 0) AS rn
+        |       FROM p, range(1, 3) nn(n)),
+        |sc AS (SELECT pairs.n, pairs.cn, pairs.rn,
+        |        coalesce(cl.cl, 0) AS cl
+        |       FROM pairs LEFT JOIN cl
+        |         ON cl.doc_id = pairs.doc_id AND cl.n = pairs.n),
+        |f AS (SELECT n, rn,
+        |  CASE WHEN rn > 0 THEN CASE WHEN cn > 0
+        |   THEN cl / CAST(cn AS DOUBLE) ELSE 0.0 END END AS p,
+        |  CASE WHEN rn > 0 THEN cl / CAST(rn AS DOUBLE) END AS r
+        | FROM sc),
+        |g AS (SELECT n, rn, p, r,
+        |  CASE WHEN p IS NULL THEN NULL WHEN p + r > 0
+        |   THEN 2.0 * p * r / (p + r) ELSE 0.0 END AS f1 FROM f)
+        |SELECT n,
+        | CAST(sum(CASE WHEN rn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN rn > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_skipped,
+        | round(avg(p), 6) AS avg_p, round(avg(r), 6) AS avg_r,
+        | round(avg(f1), 6) AS avg_f
+        |FROM g GROUP BY n ORDER BY n""".stripMargin,
 
     "eval_wer" ->
       """WITH d AS (SELECT CASE WHEN trim(text) = '' THEN 0

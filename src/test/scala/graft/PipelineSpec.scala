@@ -2068,6 +2068,32 @@ class PipelineSpec extends SparkSuite {
     assert(long.getAs[Double]("wer") == 4.0, s"$long")
   }
 
+  test("rougeN: hand-computed per-order P/R/F; clipping; empty-ref skip") {
+    // pair 1 ("a b c" vs "a x b y c"): R1 cl=3 -> P 1, R .6, F .75;
+    //   R2 cand {a b, b c} misses all ref bigrams -> 0
+    // pair 2 ("z" vs "a b"): zeros both orders (R2 cand has no bigram)
+    // pair 3 ("a" vs ""): skipped in both orders
+    val df = Seq((1L, "a b c", "a x b y c"), (2L, "z", "a b"), (3L, "a", ""))
+      .toDF("id", "cand", "ref")
+    val r = TF.rougeN(df, "id", "cand", "ref", maxN = 2).collect()
+    assert(r.length == 2, s"${r.toSeq}")
+    val r1 = r(0); val r2 = r(1)
+    assert(r1.getInt(0) == 1 && r1.getAs[Long]("n_pairs") == 2 &&
+      r1.getAs[Long]("n_skipped") == 1, s"$r1")
+    assert(r1.getAs[Double]("avg_p") == 0.5 &&
+      r1.getAs[Double]("avg_r") == 0.3 &&
+      r1.getAs[Double]("avg_f") == 0.375, s"$r1")
+    assert(r2.getInt(0) == 2 && r2.getAs[Long]("n_pairs") == 2 &&
+      r2.getAs[Double]("avg_f") == 0.0, s"$r2")
+    // clipping: cand "the the the" vs ref "the the" -> cl = 2,
+    // P = 2/3, R = 1, F = 0.8
+    val clip = TF.rougeN(Seq((1L, "the the the", "the the"))
+      .toDF("id", "cand", "ref"), "id", "cand", "ref", maxN = 1).head()
+    assert(math.abs(clip.getAs[Double]("avg_p") - 2.0 / 3) < 1e-6, s"$clip")
+    assert(clip.getAs[Double]("avg_r") == 1.0 &&
+      clip.getAs[Double]("avg_f") == 0.8, s"$clip")
+  }
+
   test("rougeL: hand-computed P/R/F averaging; empty-side skip contract") {
     // ("a b c" vs "a x b y c"): LCS 3, P 1, R .6, F1 .75
     // ("z" vs "a"): LCS 0 -> P 0, R 0, F 0
