@@ -698,6 +698,48 @@ object RelationalQueries {
     // summarized (|frac(v <= est) - q| <= 4% band, generous vs the
     // k=200 sketch's ~1.7% guarantee). Oracle anchors the cumulative
     // counts per batch and restates the verdict grid.
+    // Streaming deterministic bottom-k key sample: three event batches
+    // through sampleMonitor, final sample = the 32 smallest md5(user)
+    // priorities over every user seen — which the oracle recomputes
+    // directly (zero randomness, stream/batch parity by construction).
+    "q_stream_sample" -> ((s, dir) => {
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/sample_stream")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val ev = t(s, dir, "events").select("event_id", "user_id")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        ev.where(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val out = s"$root/out"
+      val q = graft.streaming.Streams
+        .sampleMonitor(stream, col("user_id"), s"$root/state", k = 32) {
+          (df, _) => df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out).where(col("batch_id") === 2)
+        .select(col("key"), col("priority"))
+        .orderBy("priority", "key")
+    }),
+
     "q_stream_quantile" -> ((s, dir) => {
       val qs = Seq(0.5, 0.9, 0.99)
       val root = new java.io.File(
@@ -2427,6 +2469,14 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
         | true AS ap50_ok, true AS ap99_ok
         |FROM lineitem""".stripMargin,
+
+    "q_stream_sample" ->
+      """SELECT key, priority FROM (
+        | SELECT DISTINCT CAST(user_id AS VARCHAR) AS key,
+        |  md5(CAST(user_id AS VARCHAR)) AS priority
+        | FROM events WHERE user_id IS NOT NULL
+        | ORDER BY priority, key LIMIT 32)
+        |ORDER BY priority, key""".stripMargin,
 
     "q_pettitt" ->
       """WITH s AS (SELECT ts, event_id, CAST(value AS DOUBLE) AS v

@@ -248,6 +248,49 @@ object Streams {
       hll_sketch_estimate(col("blob")).cast("long").as("distinct_estimate"))
   }
 
+  /** One micro-batch of the deterministic bottom-k sample monitor: the
+    * batch's distinct keys get md5 priorities, merge with the prior
+    * sample, and the k lexicographically-smallest (priority, key) rows
+    * survive — a KMV-style UNIFORM sample of every distinct key the
+    * stream has EVER seen, in bounded state, with zero randomness:
+    * replaying any batch (or the whole stream) reproduces the sample
+    * bit-for-bit, and the same rule run as one batch query gives the
+    * identical rows (stream/batch parity by construction). State is ≤ k
+    * rows of (key, priority) parquet under the overwrite-by-batch-id
+    * exactly-once discipline ([[quantileMonitorBatch]]). Per-trigger
+    * cost: the batch scan + a TakeOrdered(k). */
+  def sampleMonitorBatch(batch: DataFrame, batchId: Long, key: Column,
+      stateDir: String, k: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    val spark = batch.sparkSession
+    val b = batch.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull).distinct()
+      .withColumn("priority", md5(col("key")))
+    val prior = indexPartitions(stateDir, batchId)
+      .sortBy(_.split("batch=").last.toLong).lastOption
+    val merged = prior.fold(b) { p =>
+      b.unionByName(spark.read.parquet(p).select("key", "priority"))
+        .dropDuplicates("key")
+    }
+    val next = merged.orderBy(col("priority"), col("key")).limit(k)
+      .localCheckpoint(true) // <= k rows; written AND read below
+    next.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    next.select(lit(batchId).as("batch_id"), col("key"), col("priority"))
+  }
+
+  /** Streaming uniform-sample monitor: after every micro-batch, `sink`
+    * receives the CURRENT deterministic bottom-k key sample of the
+    * whole stream so far ([[sampleMonitorBatch]] per trigger) — the
+    * "show me k random-but-replayable examples of everything we have
+    * ingested" dashboard feed. */
+  def sampleMonitor(stream: DataFrame, key: Column, stateDir: String,
+      k: Int = 256)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(sampleMonitorBatch(batch, batchId, key, stateDir, k), batchId)
+      }
+
   /** Streaming distinct-cardinality monitor: after every micro-batch,
     * `sink` receives the CUMULATIVE distinct estimate of `value` over
     * the whole stream so far — unique users/documents/keys from one

@@ -396,6 +396,34 @@ class StreamingSpec extends SparkSuite {
     assert(r2 == ((2L, 250L, 200L)), s"$r2")
   }
 
+  test("sampleMonitorBatch: bottom-k by md5, cumulative, replay-idempotent, batch parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smon").toFile.getPath
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def run(keys: Seq[String], id: Long): Seq[(String, String)] =
+      Streams.sampleMonitorBatch(keys.toDF("k"), id, col("k"), dir, k = 3)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    def bottom3(keys: Seq[String]): Seq[(String, String)] =
+      keys.distinct.map(k => (k, md5hex(k)))
+        .sortBy { case (k, p) => (p, k) }.take(3)
+        .map { case (k, p) => (k, p) }.sorted
+    // batch 0: bottom-3 of its own distinct keys (duplicate collapsed)
+    val b0 = Seq("a", "b", "c", "d", "a")
+    assert(run(b0, 0L) == bottom3(b0), "batch 0 sample")
+    // batch 1 merges: the final sample is the bottom-3 of EVERYTHING
+    val b1 = Seq("e", "f", "g", "b")
+    val r1 = run(b1, 1L)
+    assert(r1 == bottom3(b0 ++ b1), "cumulative sample")
+    // replay of batch 1 reads the prior state only — identical output
+    assert(run(b1, 1L) == r1, "replay diverged")
+    // stream/batch parity: the same rule as ONE batch gives the same rows
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_smon2").toFile.getPath
+    val one = Streams.sampleMonitorBatch((b0 ++ b1).toDF("k"), 0L, col("k"),
+      dir2, k = 3).collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    assert(one == r1, "stream/batch parity")
+  }
+
   test("quantileMonitorBatch: cumulative merge exact under k, replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_qmon").toFile.getPath
     def batch(lo: Int, hi: Int) = (lo to hi).map(_.toDouble).toDF("v")
