@@ -382,4 +382,45 @@ object Graph {
           .as("q_c"))
       .orderBy("community")
   }
+  /** Degree assortativity (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the undirected edge set — "do hubs link
+    * to hubs (r > 0, social graphs) or to leaves (r < 0, the
+    * hub-and-spoke shape of web/co-occurrence graphs)". Computed over
+    * the symmetrized directed pairs (each undirected edge counted both
+    * ways, the standard convention), where the x/y marginals coincide
+    * and Pearson collapses to
+    *
+    *   r = (2M·Σ d_s·d_t − (Σ d_s)²) / (2M·Σ d_s² − (Σ d_s)²)
+    *
+    * Degrees are integers, so every moment is exact. Shape: canonical
+    * dedup + self-loop drop, ONE degree rollup, two node-keyed
+    * equi-joins back to the (2M-row) symmetrized pairs, a 1-row
+    * verdict. r is NULL for a degree-regular graph (0 variance). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String, dp: Int = 6): DataFrame = {
+    val c = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // read by the degree rollup and both joins
+    val sym = c.select(col("a").as("__s"), col("b").as("__d"))
+      .unionByName(c.select(col("b").as("__s"), col("a").as("__d")))
+    val deg = sym.groupBy("__s").agg(count(lit(1L)).as("__deg"))
+    val pairs = sym
+      .join(deg, Seq("__s"))
+      .join(deg.select(col("__s").as("__d"), col("__deg").as("__degd")),
+        Seq("__d"))
+    val m = pairs.agg(count(lit(1L)).as("__n"),
+      sum(col("__deg")).as("__sx"),
+      sum(col("__deg") * col("__deg")).as("__sxx"),
+      sum(col("__deg") * col("__degd")).as("__sxy"))
+    val num = col("__n").cast("double") * col("__sxy") -
+      col("__sx").cast("double") * col("__sx")
+    val den = col("__n").cast("double") * col("__sxx") -
+      col("__sx").cast("double") * col("__sx")
+    m.select(
+      (col("__n") / 2).cast("long").as("n_edges"),
+      when(den > 0.0, round(num / den, dp)).as("assortativity"))
+  }
 }
+

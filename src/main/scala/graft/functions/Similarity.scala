@@ -512,6 +512,85 @@ object Similarity {
         .otherwise(round(ch, dp)).as("ch"))
   }
 
+  /** Simplified Hopkins clusterability statistic (Hopkins & Skellam
+    * 1954; the plain-distance form): BEFORE spending a clustering run,
+    * "does this embedding space have structure at all?"
+    *
+    *   H = Σᵤ / (Σᵤ + Σ_w)
+    *
+    * where u_j are nearest-neighbor distances from m SYNTHETIC points
+    * uniform in the per-dimension bounding box to the data, and w_j
+    * are NN distances from m real probes to the REST of the data.
+    * H ≈ 0.5 → indistinguishable from uniform noise; → 1 → clustered.
+    *
+    * Zero randomness: real probes are the m smallest md5(id) keys and
+    * every synthetic coordinate is min_k + frac(md5("j:k"))·range_k
+    * with frac = the first 6 hex digits / 16⁶ (the Poisson-bootstrap
+    * md5-fraction idiom) — the whole construction replays identically
+    * in SQL, so the oracle recomputes H outright.
+    *
+    * Scale shape: one per-dimension min/max rollup (d-row table,
+    * driver-collected — d and m bounded by contract), one
+    * md5-bottom-m TakeOrdered for real probes, then ONE broadcast of
+    * the 2m-probe table against the corpus with a probe-keyed min
+    * rollup (n·2m rows through a map-side partial min — the
+    * simplifiedSilhouette n·k pattern). No pairwise n² anywhere. */
+  def hopkinsStatistic(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, dp: Int = 6): DataFrame = {
+    require(m >= 1 && m <= 128, s"m must be in [1, 128], got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true) // bounds + probes + the NN scan read it
+    // per-dimension bounding box: d-row rollup, driver-collected
+    val bounds = base
+      .select(posexplode(col("__v")).as(Seq("__k", "__x")))
+      .groupBy("__k")
+      .agg(min(col("__x").cast("double")).as("__lo"),
+        max(col("__x").cast("double")).as("__hi"))
+      .orderBy("__k").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val d = bounds.length
+    // m real probes: the m smallest md5(id) hex keys (uniform,
+    // replayable); collected — m <= 128 by contract
+    val real = base
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy(col("__h"), col("__id")).limit(m)
+      .select(col("__id"), col("__v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // m synthetic probes: md5("j:k") fraction scaled into the box
+    def frac(s: String): Double =
+      java.lang.Long.parseLong(java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString, 16) / 16777216.0
+    val synth = (0 until m).map { j =>
+      (j.toLong, (0 until d).map { k =>
+        val (lo, hi) = bounds(k)
+        (lo + frac(s"$j:$k") * (hi - lo)).toFloat
+      })
+    }
+    val probes =
+      real.toSeq.map { case (id, v) => (id, v, true) }
+        .union(synth.map { case (j, v) => (j, v, false) })
+        .toDF("__pid", "__pv", "__real")
+    val nn = base.join(broadcast(probes),
+        // a real probe must not count itself as its own neighbor
+        !col("__real") || col("__id") =!= col("__pid"))
+      .groupBy(col("__pid"), col("__real"))
+      .agg(min(sqrt(Ivf.sqDist(col("__v"), col("__pv")))).as("__d"))
+    nn.agg(
+        sum(when(!col("__real"), col("__d"))).as("__su"),
+        sum(when(col("__real"), col("__d"))).as("__sw"),
+        sum(when(col("__real"), 1L).otherwise(0L)).as("__mr"))
+      .select(col("__mr").as("m"),
+        round(col("__su"), dp).as("sum_u"),
+        round(col("__sw"), dp).as("sum_w"),
+        when(col("__su") + col("__sw") > 0.0,
+          round(col("__su") / (col("__su") + col("__sw")), dp)).as("h"))
+  }
+
   /** k-center greedy selection (Gonzalez 1985; Sener & Savarese, ICLR
     * 2018 use it as the coreset rule for data selection): pick the
     * point FARTHEST from everything picked so far, k times — the

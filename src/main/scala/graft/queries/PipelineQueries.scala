@@ -3231,6 +3231,15 @@ object PipelineQueries {
 
     // Simplified (centroid) silhouette over the same mod-5 assignment:
     // the O(n·k) cluster-quality readout beside Davies-Bouldin.
+    // Simplified Hopkins clusterability of the embedding space: m=16
+    // md5-bottom real probes vs 16 md5-fraction synthetic uniform
+    // points in the per-dim bounding box; H = sum_u/(sum_u + sum_w).
+    // Fully deterministic, so the oracle recomputes H outright.
+    "sim_hopkins" -> ((s, dir) =>
+      Similarity.hopkinsStatistic(
+        t(s, dir, "embeddings").where(size(col("embedding")) === 64),
+        "vec_id", "embedding", m = 16)),
+
     // k-center greedy diversity selection over the embeddings: max-norm
     // seed, then 3 farthest-point rounds (min-id tie-breaks) — the
     // coreset/diversity-sampling rule. The oracle replays the identical
@@ -3681,6 +3690,16 @@ object PipelineQueries {
       val edges = graft.functions.Graph
         .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
       graft.functions.Graph.triangleStats(edges, "src", "dst")
+    }),
+
+    // Degree assortativity of the same word graph: do high-degree words
+    // co-occur with each other (r > 0) or with rare words (r < 0) —
+    // Pearson over symmetrized endpoint degrees, all moments exact
+    // integers.
+    "graph_assortativity" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.degreeAssortativity(edges, "src", "dst")
     }),
 
     // Deterministic k-per-group sample: 3 docs per source ranked by the
@@ -7176,6 +7195,41 @@ object PipelineQueries {
         |FROM s JOIN r ON s.cluster = r.cluster ORDER BY s.cluster""".stripMargin,
 
     // same centroid distances, same own/other min split
+    // the whole deterministic construction restated: bounding box,
+    // md5-bottom real probes, md5-fraction synthetic coordinates
+    // (FLOAT-cast to mirror the engine's Seq[Float] probes), NN mins
+    "sim_hopkins" -> {
+      val fr = duckHex("CAST(j.j AS VARCHAR) || ':' || CAST(b.k AS VARCHAR)", 6) +
+        " / 16777216.0"
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |           WHERE len(embedding) = 64),
+         |ex AS (SELECT id, generate_subscripts(v, 1) - 1 AS k,
+         |       CAST(unnest(v) AS DOUBLE) AS x FROM e),
+         |b AS (SELECT k, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+         |realp AS (SELECT id FROM e
+         |          ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+         |sy AS (SELECT j.j, b.k, CAST(CAST(
+         |        b.lo + ($fr) * (b.hi - b.lo) AS FLOAT) AS DOUBLE) AS x
+         |       FROM range(16) j(j), b),
+         |dus AS (SELECT sy.j, ex.id,
+         |        sqrt(sum((ex.x - sy.x) * (ex.x - sy.x))) AS dist
+         |       FROM ex JOIN sy ON ex.k = sy.k GROUP BY 1, 2),
+         |du AS (SELECT j, min(dist) AS d FROM dus GROUP BY 1),
+         |rex AS (SELECT ex.id AS pid, ex.k, ex.x AS px
+         |        FROM ex JOIN realp ON ex.id = realp.id),
+         |dws AS (SELECT r.pid, o.id,
+         |        sqrt(sum((o.x - r.px) * (o.x - r.px))) AS dist
+         |       FROM ex o JOIN rex r ON o.k = r.k AND o.id <> r.pid
+         |       GROUP BY 1, 2),
+         |dw AS (SELECT pid, min(dist) AS d FROM dws GROUP BY 1),
+         |f AS (SELECT (SELECT sum(d) FROM du) AS su,
+         |  (SELECT sum(d) FROM dw) AS sw,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM realp) AS m)
+         |SELECT m, round(su, 6) AS sum_u, round(sw, 6) AS sum_w,
+         | CASE WHEN su + sw > 0 THEN round(su / (su + sw), 6) END AS h
+         |FROM f""".stripMargin
+    },
+
     // the identical greedy chain unrolled: max-norm seed, then three
     // farthest-point rounds, min-id tie-breaks, picked ids excluded
     "sim_kcenter" ->
@@ -7845,6 +7899,29 @@ object PipelineQueries {
         | round(CASE WHEN wd.nw > 0 THEN 3.0 * tri.t / wd.nw ELSE 0.0 END, 6)
         |   AS global_clustering
         |FROM tri CROSS JOIN wd""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e0 AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0),
+        |sym AS (SELECT a AS s, b AS d FROM c
+        |        UNION ALL SELECT b, a FROM c),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS dg FROM sym
+        |        GROUP BY 1),
+        |p AS (SELECT d1.dg AS ds, d2.dg AS dd FROM sym
+        |      JOIN deg d1 ON d1.s = sym.s JOIN deg d2 ON d2.s = sym.d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ds) AS DOUBLE) AS sx,
+        |  CAST(sum(ds * ds) AS DOUBLE) AS sxx,
+        |  CAST(sum(ds * dd) AS DOUBLE) AS sxy FROM p)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+        | CASE WHEN n * sxx - sx * sx > 0
+        |  THEN round((n * sxy - sx * sx) / (n * sxx - sx * sx), 6) END
+        |   AS assortativity
+        |FROM m""".stripMargin,
 
     "pipeline_reservoir" ->
       """SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (

@@ -180,4 +180,26 @@ class GraphSpec extends SparkSuite {
     assert(rm.length == 1 && rm(0).getDouble(3) == 0.0, rm.mkString(","))
     assert(2 * qc > 0.0, "the true split must score above the merged baseline")
   }
+  test("degreeAssortativity: star is -1; regular graph NULL; dups/self-loops normalized") {
+    import spark.implicits._
+    // star K1,3: center degree 3, leaves 1 -> perfectly disassortative
+    val star = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+      .toDF("src", "dst")
+    val r = graft.functions.Graph
+      .degreeAssortativity(star, "src", "dst").head()
+    assert(r.getLong(0) == 3 && r.getDouble(1) == -1.0, s"$r")
+    // 4-cycle: every degree 2 -> zero variance -> NULL
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val rc = graft.functions.Graph
+      .degreeAssortativity(cyc, "src", "dst").head()
+    assert(rc.getLong(0) == 4 && rc.isNullAt(1), s"$rc")
+    // duplicate directions and self-loops collapse before degrees
+    val messy = Seq(("c", "l1"), ("l1", "c"), ("c", "c"), ("c", "l2"),
+      ("c", "l3")).toDF("src", "dst")
+    val rm = graft.functions.Graph
+      .degreeAssortativity(messy, "src", "dst").head()
+    assert(rm.getLong(0) == 3 && rm.getDouble(1) == -1.0, s"$rm")
+  }
 }
+

@@ -1816,6 +1816,38 @@ class PipelineSpec extends SparkSuite {
     assert(r(4L)._4 == Some("curly_brace") && r(4L)._5 == None, s"${r(4L)}")
   }
 
+  test("hopkinsStatistic: clustered >> grid; deterministic; m capped at n") {
+    import spark.implicits._
+    // two tight clusters in a huge box: synthetic uniform probes land
+    // in empty space (u large), real probes sit on a neighbor (w tiny)
+    val clustered = ((0 until 10).map(i =>
+      (i.toLong, Seq(i * 0.1f, i * 0.1f))) ++
+      (0 until 10).map(i =>
+        (10L + i, Seq(100f + i * 0.1f, 100f + i * 0.1f))))
+      .toDF("vec_id", "embedding")
+    val rc = graft.functions.Similarity
+      .hopkinsStatistic(clustered, "vec_id", "embedding", m = 8).head()
+    assert(rc.getLong(0) == 8, s"$rc")
+    assert(rc.getDouble(3) > 0.8, s"clustered data must score high: $rc")
+    // a regular 5x5 grid fills its box: H falls toward the uniform 0.5
+    val grid = (for (i <- 0 until 5; j <- 0 until 5)
+      yield ((i * 5 + j).toLong, Seq(i.toFloat, j.toFloat)))
+      .toDF("vec_id", "embedding")
+    val rg = graft.functions.Similarity
+      .hopkinsStatistic(grid, "vec_id", "embedding", m = 8).head()
+    assert(rg.getDouble(3) < rc.getDouble(3), s"grid $rg vs clustered $rc")
+    // pure function of the data: a second run is row-identical
+    val rc2 = graft.functions.Similarity
+      .hopkinsStatistic(clustered, "vec_id", "embedding", m = 8).head()
+    assert(rc == rc2, s"$rc vs $rc2")
+    // m larger than the corpus: real probes cap at n
+    val tiny = Seq((1L, Seq(0f, 0f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rt = graft.functions.Similarity
+      .hopkinsStatistic(tiny, "vec_id", "embedding", m = 8).head()
+    assert(rt.getLong(0) == 2, s"$rt")
+  }
+
   test("kCenterGreedy: hand-computed greedy order; non-increasing radii; duplicates; k > n") {
     import spark.implicits._
     // seed = max norm (id2 at (10,0)); then farthest-point rounds:
