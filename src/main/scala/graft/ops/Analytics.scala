@@ -376,6 +376,53 @@ object Analytics {
         (col("__d") > crit).as("reject_05"))
   }
 
+  /** 1-D Wasserstein-1 (earth mover's) distance between cohort A and
+    * the rest:
+    *
+    *   W₁ = ∫ |F_A(x) − F_B(x)| dx
+    *       = Σ_i |F_A(vᵢ) − F_B(vᵢ)| · (vᵢ₊₁ − vᵢ)
+    *
+    * over the sorted distinct values — the drift metric that reports
+    * HOW FAR the mass moved in data units, where [[ksTest]] reports
+    * only the largest CDF gap and PSI/KL go degenerate on
+    * non-overlapping supports. The de-facto embedding/feature drift
+    * number in modern eval stacks.
+    *
+    * Scale shape (the [[ksTest]] discipline): distinct-value
+    * histogram, BOTH cohort CDFs in one two-phase
+    * [[Windows.globalCumSums]] exchange, one [[Windows.globalRowNumber]]
+    * pass + a rank-shifted self-join for the segment widths (vᵢ₊₁ −
+    * vᵢ), 1-row rollup. The last value has no segment — correctly so,
+    * both CDFs are 1 beyond it. W₁ is NULL when either cohort is
+    * empty. */
+  def wassersteinDistance(df: DataFrame, value: Column, inA: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select(value.cast("double").as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inA, 0L).otherwise(1L).as("__b"))
+      .where(col("__v").isNotNull)
+    val h = s.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      sum(col("__b")).as("__cb"))
+    val c = Windows.globalCumSums(h, Seq(col("__v")),
+      Seq((col("__ca"): Column) -> "__cuma", (col("__cb"): Column) -> "__cumb"))
+    val r = Windows.globalRowNumber(c, Seq(col("__v")), "__rn")
+    val nxt = r.select((col("__rn") - 1).as("__rn"), col("__v").as("__vn"))
+    val seg = r.join(nxt, "__rn")
+    val tot = h.agg(coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    val ok = col("__na") > 0L && col("__nb") > 0L
+    // agg without keys so a single-distinct-value input (no segments)
+    // still yields its one result row
+    val wsum = seg.crossJoin(broadcast(tot))
+      .agg(sum(when(ok,
+        abs(col("__cuma").cast("double") / col("__na") -
+          col("__cumb").cast("double") / col("__nb")) *
+          (col("__vn") - col("__v")))).as("__w"))
+    wsum.crossJoin(broadcast(tot))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(ok, round(coalesce(col("__w"), lit(0.0)), dp)).as("w1"))
+  }
+
   /** Mann–Whitney U rank test (Wilcoxon rank-sum) for "does cohort A
     * stochastically dominate the rest": U from tie-averaged ranks,
     * the tie-corrected normal z, and the rank-biserial effect size

@@ -996,6 +996,13 @@ object RelationalQueries {
       Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // 1-D Wasserstein (earth mover's) distance on the same cohorts:
+    // HOW FAR the length mass moved in characters — the quantitative
+    // companion of q_ks_test's largest-gap verdict.
+    "q_wasserstein" -> ((s, dir) =>
+      Analytics.wassersteinDistance(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+
     // Mann-Whitney U on the same cohorts: tie-averaged ranks from one
     // two-phase cumulative count, tie-corrected z, rank-biserial
     // effect size.
@@ -2882,6 +2889,30 @@ object RelationalQueries {
         |FROM d""".stripMargin,
 
     // same tie-averaged rank algebra, same tie-corrected variance
+    "q_wasserstein" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(sum(b) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |c AS (SELECT v,
+        |  CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM h
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |seg AS (SELECT v, cuma, cumb, lead(v) OVER (ORDER BY v) AS vn
+        |        FROM c),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |w AS (SELECT sum(abs(CAST(cuma AS DOUBLE) / na -
+        |        CAST(cumb AS DOUBLE) / nb) * (vn - v)) AS w1
+        |      FROM seg, tot WHERE vn IS NOT NULL)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN round(coalesce(w1, 0.0), 6) END
+        |   AS w1
+        |FROM w, tot""".stripMargin,
+
     "q_mann_whitney" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,

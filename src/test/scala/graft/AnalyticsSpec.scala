@@ -1909,6 +1909,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("wassersteinDistance: unit shift is 1; identical 0; degenerate edges") {
+    // A = {0,1}, B = {1,2}: every point shifted by 1 -> W1 = 1
+    val df = Seq((0.0, true), (1.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "ina")
+    val r = Analytics.wassersteinDistance(df, col("v"), col("ina")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 1.0, s"$r")
+    // identical distributions: 0
+    val same = (Seq(1.0, 2.0, 3.0).map((_, true)) ++
+      Seq(1.0, 2.0, 3.0).map((_, false))).toDF("v", "ina")
+    assert(Analytics.wassersteinDistance(same, col("v"), col("ina"))
+      .head().getDouble(2) == 0.0)
+    // scale check: doubling the shift doubles W1 (it is in data units)
+    val far = Seq((0.0, true), (1.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "ina")
+    assert(Analytics.wassersteinDistance(far, col("v"), col("ina"))
+      .head().getDouble(2) == 2.0)
+    // one distinct value: zero distance, still one row out
+    val one = Seq((5.0, true), (5.0, false)).toDF("v", "ina")
+    assert(Analytics.wassersteinDistance(one, col("v"), col("ina"))
+      .head().getDouble(2) == 0.0)
+    // empty cohort: NULL
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "ina")
+    assert(Analytics.wassersteinDistance(oneSided, col("v"), col("ina"))
+      .head().isNullAt(2))
+  }
+
   test("jonckheereTest: hand-computed JT/z; k=2 equals Mann-Whitney with ties; flat NULL") {
     // A=[1,2], B=[3,4], C=[5,6]: every cross pair ordered -> JT = 12,
     // mean = (36-12)/4 = 6, Var = (6*5*17 - 3*2*1*9)/72 = 456/72 = 19/3
