@@ -749,4 +749,46 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       "windowspecdefinition\\(_w0".r.findFirstIn(ps).isDefined,
       s"replica window must lead with the vector hash:\n$ps")
   }
+
+  test("round-13 late additions: two-phase rank CDFs, keyed joins, scan-only WER") {
+    // every new rank/CDF operator rides the two-phase range exchange —
+    // no unpartitioned window over a (potentially corpus-sized)
+    // distinct-value histogram
+    for ((name, valCol) <- Seq("q_signed_rank" -> "__ad",
+        "q_pettitt" -> "__v", "q_jonckheere" -> "__v",
+        "q_wasserstein" -> "__v", "eval_avg_precision" -> "__s")) {
+      val p = plan(q(name))
+      assert(p.contains("rangepartitioning"),
+        s"$name must range-repartition its histogram:\n$p")
+      assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$valCol".r.findFirstIn(p).isEmpty,
+        s"$name: unpartitioned window over the $valCol histogram:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+    }
+    // DeLong: two score-keyed equi-joins, never a cartesian or an
+    // item-keyed third join between the models
+    val pd = plan(q("eval_delong"))
+    assert(!pd.contains("CartesianProduct"), s"delong joins stay keyed:\n$pd")
+    assert(pd.contains("rangepartitioning"),
+      s"delong CDFs must be two-phase:\n$pd")
+    // WER: the Levenshtein DP runs in-scan — no join, no window
+    val pw = plan(q("eval_wer"))
+    assert(!pw.contains("Join") && !pw.contains("Window"),
+      s"wer is scan + 1-row aggregate only:\n$pw")
+    // partial correlation: ONE fused moment aggregate — no join at all
+    val pp = plan(q("q_partial_corr"))
+    assert(!pp.contains("Join"), s"partialCorr is aggregation only:\n$pp")
+    // CMH / Cronbach / assortativity / ROUGE-N: keyed rollups and
+    // joins only — no cartesian anywhere
+    for (name <- Seq("q_cmh", "q_cronbach", "graph_assortativity",
+        "eval_rouge_n")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+    }
+    // Hopkins: the probe table BROADCASTS against the corpus (the n·2m
+    // NN scan), never a shuffled or cartesian pairing
+    val ph = plan(q("sim_hopkins"))
+    assert(ph.contains("Broadcast"), s"hopkins probes must broadcast:\n$ph")
+    assert(!ph.contains("CartesianProduct"),
+      s"hopkins NN scan stays broadcast-shaped:\n$ph")
+  }
 }
