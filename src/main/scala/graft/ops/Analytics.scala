@@ -423,6 +423,49 @@ object Analytics {
         when(ok, round(coalesce(col("__w"), lit(0.0)), dp)).as("w1"))
   }
 
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962): the
+    * WHOLE-CDF distribution test —
+    *
+    *   T = nm/(n+m)² · Σ_x t_x · (F_A(x) − F_B(x))²
+    *
+    * summed over the combined sample (t_x = multiplicity). Where
+    * [[ksTest]] sees only the single largest CDF gap, CvM integrates
+    * every gap — far more sensitive to broad, tail, or multi-modal
+    * differences — and [[wassersteinDistance]] is its unsquared,
+    * unit-carrying cousin. `reject_05` uses the asymptotic 5% critical
+    * value T > 0.461 (exact under continuity; mildly approximate with
+    * ties, like every rank test here) and is NULL when either cohort
+    * is empty.
+    *
+    * Scale shape (the [[ksTest]] discipline): distinct-value
+    * histogram, both CDFs in ONE two-phase [[Windows.globalCumSums]]
+    * exchange, a 1-row rollup. */
+  def cramerVonMises(df: DataFrame, value: Column, inA: Column,
+      dp: Int = 6): DataFrame = {
+    val s = df.select(value.cast("double").as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inA, 0L).otherwise(1L).as("__b"))
+      .where(col("__v").isNotNull)
+    val h = s.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      sum(col("__b")).as("__cb"))
+    val c = Windows.globalCumSums(h, Seq(col("__v")),
+      Seq((col("__ca"): Column) -> "__cuma", (col("__cb"): Column) -> "__cumb"))
+    val tot = h.agg(coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    val ok = col("__na") > 0L && col("__nb") > 0L
+    val dF = col("__cuma").cast("double") / col("__na") -
+      col("__cumb").cast("double") / col("__nb")
+    val sums = c.crossJoin(broadcast(tot))
+      .agg(sum(when(ok, (col("__ca") + col("__cb")) * dF * dF)).as("__s"))
+    val n = col("__na").cast("double")
+    val m = col("__nb").cast("double")
+    val t = n * m / ((n + m) * (n + m)) * col("__s")
+    sums.crossJoin(broadcast(tot)).select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      when(ok, round(coalesce(t, lit(0.0)), dp)).as("cvm_t"),
+      when(ok, coalesce(t, lit(0.0)) > 0.461).as("reject_05"))
+  }
+
   /** Mann–Whitney U rank test (Wilcoxon rank-sum) for "does cohort A
     * stochastically dominate the rest": U from tie-averaged ranks,
     * the tie-corrected normal z, and the rank-biserial effect size

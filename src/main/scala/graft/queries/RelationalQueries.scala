@@ -996,6 +996,12 @@ object RelationalQueries {
       Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // Cramer-von Mises on the same cohorts: the whole-CDF test (KS
+    // sees only the largest gap; CvM integrates every gap).
+    "q_cvm" -> ((s, dir) =>
+      Analytics.cramerVonMises(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en")),
+
     // 1-D Wasserstein (earth mover's) distance on the same cohorts:
     // HOW FAR the length mass moved in characters — the quantitative
     // companion of q_ks_test's largest-gap verdict.
@@ -2889,6 +2895,33 @@ object RelationalQueries {
         |FROM d""".stripMargin,
 
     // same tie-averaged rank algebra, same tie-corrected variance
+    "q_cvm" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(sum(b) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |c AS (SELECT ca, cb,
+        |  CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM h
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |f AS (SELECT sum((ca + cb) *
+        |  (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) *
+        |  (CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)) AS s2
+        | FROM c, tot),
+        |g AS (SELECT CAST(na AS DOUBLE) * nb / ((na + nb) * (na + nb))
+        |  * s2 AS t, na, nb FROM f, tot)
+        |SELECT na AS n_a, nb AS n_b,
+        | CASE WHEN na > 0 AND nb > 0 THEN round(coalesce(t, 0.0), 6) END
+        |   AS cvm_t,
+        | CASE WHEN na > 0 AND nb > 0 THEN coalesce(t, 0.0) > 0.461 END
+        |   AS reject_05
+        |FROM g""".stripMargin,
+
     "q_wasserstein" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,

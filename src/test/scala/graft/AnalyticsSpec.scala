@@ -1909,6 +1909,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("cramerVonMises: hand-computed T; identical 0; disjoint rejects; empty NULL") {
+    // A = {0}, B = {1}: at 0 the CDF gap is 1 (t=1), at 1 it is 0
+    // T = (1*1/4) * 1 = 0.25
+    val df = Seq((0.0, true), (1.0, false)).toDF("v", "ina")
+    val r = Analytics.cramerVonMises(df, col("v"), col("ina")).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1, s"$r")
+    assert(r.getDouble(2) == 0.25 && !r.getBoolean(3), s"$r")
+    // identical distributions: T = 0
+    val same = (Seq(1.0, 2.0, 3.0).map((_, true)) ++
+      Seq(1.0, 2.0, 3.0).map((_, false))).toDF("v", "ina")
+    assert(Analytics.cramerVonMises(same, col("v"), col("ina"))
+      .head().getDouble(2) == 0.0)
+    // fully separated 20-vs-20: sum t*(dF)^2 = (2870 + 2470)/400,
+    // T = 0.25 * 13.35 = 3.3375 >> 0.461 -> reject
+    val split = ((1 to 20).map(v => (v.toDouble, true)) ++
+      (21 to 40).map(v => (v.toDouble, false))).toDF("v", "ina")
+    val rs = Analytics.cramerVonMises(split, col("v"), col("ina")).head()
+    assert(math.abs(rs.getDouble(2) - 3.3375) < 1e-6, s"$rs")
+    assert(rs.getBoolean(3), s"$rs")
+    // empty cohort: NULL statistic and verdict
+    val one = Seq((1.0, true), (2.0, true)).toDF("v", "ina")
+    val ro = Analytics.cramerVonMises(one, col("v"), col("ina")).head()
+    assert(ro.isNullAt(2) && ro.isNullAt(3), s"$ro")
+  }
+
   test("wassersteinDistance: unit shift is 1; identical 0; degenerate edges") {
     // A = {0,1}, B = {1,2}: every point shifted by 1 -> W1 = 1
     val df = Seq((0.0, true), (1.0, true), (1.0, false), (2.0, false))
