@@ -423,6 +423,145 @@ object Analytics {
         when(ok, round(coalesce(col("__w"), lit(0.0)), dp)).as("w1"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * adjust the experiment metric by its pre-period covariate,
+    *
+    *   y' = y − θ(x − x̄),   θ = cov(x, y) / var(x)
+    *
+    * and read the treatment lift off the adjusted means — the
+    * industry-standard way to cut A/B variance (often 40-60% when the
+    * pre-period correlates) without touching the point estimate's
+    * unbiasedness. Reports θ, raw and adjusted lift, their standard
+    * errors (per-arm residual variances), the pooled variance-reduction
+    * ratio 1 − var(y′)/var(y), and a normal-approximation verdict on
+    * the adjusted lift.
+    *
+    * Shape: ONE arm-keyed moment rollup (n, Σx, Σy, Σx², Σy², Σxy per
+    * arm — 2 rows out) and a 1-row closed form; θ comes from the
+    * pooled sums of the same rollup, so nothing scans twice. NULLs:
+    * everything when either arm has < 2 rows; θ (and the adjusted
+    * columns) when var(x) = 0. */
+  def cupedLift(df: DataFrame, metric: Column, covariate: Column,
+      treated: Column, dp: Int = 6): DataFrame = {
+    val s = df.select(metric.cast("double").as("__y"),
+        covariate.cast("double").as("__x"),
+        treated.cast("boolean").as("__t"))
+      .where(col("__y").isNotNull && col("__x").isNotNull &&
+        col("__t").isNotNull)
+    val per = s.groupBy("__t").agg(count(lit(1L)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    def arm(t: Boolean, c: String) =
+      first(when(col("__t") === t, col(c)), ignoreNulls = true)
+        .as(c + (if (t) "t" else "c"))
+    val armCols = Seq("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+      .flatMap(c => Seq(arm(true, c), arm(false, c)))
+    val w = per.agg(armCols.head, armCols.tail: _*)
+    val nt = col("__nt").cast("double")
+    val nc = col("__nc").cast("double")
+    val n = nt + nc
+    val sx = col("__sxt") + col("__sxc")
+    val sy = col("__syt") + col("__syc")
+    val sxx = col("__sxxt") + col("__sxxc")
+    val syy = col("__syyt") + col("__syyc")
+    val sxy = col("__sxyt") + col("__sxyc")
+    val varX = sxx - sx * sx / n
+    val covXY = sxy - sx * sy / n
+    // subexpression elimination can hoist a branch's division out of
+    // its CaseWhen guard (ANSI divide-by-zero on degenerate inputs),
+    // so every denominator that CAN be 0 is made intrinsically safe —
+    // the guarded outputs never read the poisoned values
+    def safe(b: Column) = when(b =!= 0.0, b).otherwise(lit(1.0))
+    val theta = covXY / safe(varX)
+    // per-arm sample variance of y and of the residual y − θx
+    def vy(syyA: Column, syA: Column, nA: Column) =
+      (syyA - syA * syA / nA) / safe(nA - 1)
+    def vres(syyA: Column, sxxA: Column, sxyA: Column, syA: Column,
+        sxA: Column, nA: Column) =
+      (syyA - lit(2.0) * theta * sxyA + theta * theta * sxxA -
+        (syA - theta * sxA) * (syA - theta * sxA) / nA) / safe(nA - 1)
+    val liftRaw = col("__syt") / nt - col("__syc") / nc
+    val liftAdj = liftRaw - theta * (col("__sxt") / nt - col("__sxc") / nc)
+    val seRaw = sqrt(vy(col("__syyt"), col("__syt"), nt) / nt +
+      vy(col("__syyc"), col("__syc"), nc) / nc)
+    val vrt = vres(col("__syyt"), col("__sxxt"), col("__sxyt"),
+      col("__syt"), col("__sxt"), nt)
+    val vrc = vres(col("__syyc"), col("__sxxc"), col("__sxyc"),
+      col("__syc"), col("__sxc"), nc)
+    val seAdj = sqrt(vrt / nt + vrc / nc)
+    val varY = syy - sy * sy / n
+    val varRes = syy - lit(2.0) * theta * sxy + theta * theta * sxx -
+      (sy - theta * sx) * (sy - theta * sx) / n
+    val okN = col("__nt") >= 2 && col("__nc") >= 2
+    val ok = okN && varX > 0.0
+    w.select(
+      col("__nt").as("n_t"), col("__nc").as("n_c"),
+      when(ok, round(theta, dp)).as("theta"),
+      when(okN, round(liftRaw, dp)).as("lift_raw"),
+      when(okN, round(seRaw, dp)).as("se_raw"),
+      when(ok, round(liftAdj, dp)).as("lift_adj"),
+      when(ok, round(seAdj, dp)).as("se_adj"),
+      when(ok && varY > 0.0, round(lit(1.0) - varRes / safe(varY), dp))
+        .as("var_reduction"),
+      when(ok && seAdj > 0.0, abs(liftAdj / seAdj) > lit(1.959963984540054))
+        .as("reject_05"))
+  }
+
+  /** Difference-in-differences (the canonical 2×2 panel estimator):
+    *
+    *   DiD = (ȳ_treated,post − ȳ_treated,pre)
+    *       − (ȳ_control,post − ȳ_control,pre)
+    *
+    * the causal lift under the parallel-trends assumption, when
+    * treatment was NOT randomized (a rollout, a policy change) — the
+    * question a plain post-period comparison answers wrongly whenever
+    * the groups differ at baseline. SE is the unpooled four-cell
+    * Welch form √(Σ s²ᵢ/nᵢ); normal-approximation verdict, NULL when
+    * any cell has < 2 rows.
+    *
+    * Shape: ONE (treated, post) cell rollup — 4 rows — and a 1-row
+    * closed form. */
+  def diffInDiff(df: DataFrame, metric: Column, treated: Column,
+      post: Column, dp: Int = 6): DataFrame = {
+    val s = df.select(metric.cast("double").as("__y"),
+        treated.cast("boolean").as("__t"), post.cast("boolean").as("__p"))
+      .where(col("__y").isNotNull && col("__t").isNotNull &&
+        col("__p").isNotNull)
+    val per = s.groupBy("__t", "__p").agg(count(lit(1L)).as("__n"),
+      sum(col("__y")).as("__s"), sum(col("__y") * col("__y")).as("__ss"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      first(when(col("__t") === t && col("__p") === p, col(c)),
+        ignoreNulls = true)
+        .as(c + (if (t) "t" else "c") + (if (p) "1" else "0"))
+    val cellCols = for {
+      c <- Seq("__n", "__s", "__ss"); t <- Seq(true, false)
+      p <- Seq(true, false)
+    } yield cell(t, p, c)
+    val w = per.agg(cellCols.head, cellCols.tail: _*)
+    def m(suf: String) = col("__s" + suf) / col("__n" + suf).cast("double")
+    def v(suf: String) = (col("__ss" + suf) -
+      col("__s" + suf) * col("__s" + suf) / col("__n" + suf)) /
+      // intrinsically-safe denominator: the cupedLift hoisting note
+      when(col("__n" + suf) > 1, (col("__n" + suf) - 1).cast("double"))
+        .otherwise(lit(1.0))
+    val did = (m("t1") - m("t0")) - (m("c1") - m("c0"))
+    val se = sqrt(Seq("t1", "t0", "c1", "c0")
+      .map(suf => v(suf) / col("__n" + suf)).reduce(_ + _))
+    val ok = Seq("t1", "t0", "c1", "c0")
+      .map(suf => coalesce(col("__n" + suf), lit(0L)) >= 2).reduce(_ && _)
+    w.select(
+      coalesce(col("__nt1"), lit(0L)).as("n_t_post"),
+      coalesce(col("__nt0"), lit(0L)).as("n_t_pre"),
+      coalesce(col("__nc1"), lit(0L)).as("n_c_post"),
+      coalesce(col("__nc0"), lit(0L)).as("n_c_pre"),
+      when(ok, round(did, dp)).as("did"),
+      when(ok, round(se, dp)).as("se"),
+      when(ok && se > 0.0, abs(did / se) > lit(1.959963984540054))
+        .as("reject_05"))
+  }
+
   /** Two-sample Cramér–von Mises criterion (Anderson 1962): the
     * WHOLE-CDF distribution test —
     *

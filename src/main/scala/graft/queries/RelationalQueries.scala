@@ -996,6 +996,39 @@ object RelationalQueries {
       Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // CUPED variance reduction: per-user event counts, first time half
+    // as the pre-period covariate, second half as the metric, arm =
+    // even user id. Integer counts keep every moment exact; theta and
+    // both lifts come from ONE arm-keyed rollup.
+    "q_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(unix_timestamp(col("ts"))).as("__mn"),
+        max(unix_timestamp(col("ts"))).as("__mx"))
+      val per = ev.crossJoin(broadcast(b)).groupBy("user_id")
+        .agg(sum(when(unix_timestamp(col("ts")) * 2 <
+            col("__mn") + col("__mx"), 1L).otherwise(0L)).as("x"),
+          sum(when(unix_timestamp(col("ts")) * 2 >=
+            col("__mn") + col("__mx"), 1L).otherwise(0L)).as("y"))
+      Analytics.cupedLift(per, col("y"), col("x"),
+        col("user_id") % 2 === 0)
+    }),
+
+    // Difference-in-differences on the same panel: per-(user, period)
+    // event counts, treated = even user id — the causal lift under
+    // parallel trends, four-cell Welch SE.
+    "q_did" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(unix_timestamp(col("ts"))).as("__mn"),
+        max(unix_timestamp(col("ts"))).as("__mx"))
+      val per = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"),
+          (unix_timestamp(col("ts")) * 2 >= col("__mn") + col("__mx"))
+            .as("post"))
+        .agg(count(lit(1L)).as("y"))
+      Analytics.diffInDiff(per, col("y"), col("user_id") % 2 === 0,
+        col("post"))
+    }),
+
     // Cramer-von Mises on the same cohorts: the whole-CDF test (KS
     // sees only the largest gap; CvM integrates every gap).
     "q_cvm" -> ((s, dir) =>
@@ -2895,6 +2928,109 @@ object RelationalQueries {
         |FROM d""".stripMargin,
 
     // same tie-averaged rank algebra, same tie-corrected variance
+    "q_cuped" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+        |        CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
+        |per AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2
+        |    < b.mn + b.mx THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+        |  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2
+        |    >= b.mn + b.mx THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        | FROM events, b GROUP BY user_id, b.mn, b.mx),
+        |a AS (SELECT (user_id % 2 = 0) AS t, CAST(count(*) AS BIGINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |  sum(y * y) AS syy, sum(x * y) AS sxy FROM per GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN t THEN n END) AS nt,
+        |  max(CASE WHEN NOT t THEN n END) AS nc,
+        |  max(CASE WHEN t THEN sx END) AS sxt,
+        |  max(CASE WHEN NOT t THEN sx END) AS sxc,
+        |  max(CASE WHEN t THEN sy END) AS syt,
+        |  max(CASE WHEN NOT t THEN sy END) AS syc,
+        |  max(CASE WHEN t THEN sxx END) AS sxxt,
+        |  max(CASE WHEN NOT t THEN sxx END) AS sxxc,
+        |  max(CASE WHEN t THEN syy END) AS syyt,
+        |  max(CASE WHEN NOT t THEN syy END) AS syyc,
+        |  max(CASE WHEN t THEN sxy END) AS sxyt,
+        |  max(CASE WHEN NOT t THEN sxy END) AS sxyc FROM a),
+        |f AS (SELECT *,
+        |  CAST(nt AS DOUBLE) AS ntd, CAST(nc AS DOUBLE) AS ncd,
+        |  CAST(nt AS DOUBLE) + nc AS n,
+        |  sxt + sxc AS sx, syt + syc AS sy, sxxt + sxxc AS sxx,
+        |  syyt + syyc AS syy, sxyt + sxyc AS sxy FROM w),
+        |g AS (SELECT *,
+        |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS th FROM f),
+        |h AS (SELECT *,
+        |  syt / ntd - syc / ncd AS lraw,
+        |  syt / ntd - syc / ncd - th * (sxt / ntd - sxc / ncd) AS ladj,
+        |  sqrt((syyt - syt * syt / ntd) / (ntd - 1) / ntd +
+        |       (syyc - syc * syc / ncd) / (ncd - 1) / ncd) AS seraw,
+        |  sqrt((syyt - 2.0 * th * sxyt + th * th * sxxt -
+        |        (syt - th * sxt) * (syt - th * sxt) / ntd) / (ntd - 1)
+        |        / ntd +
+        |       (syyc - 2.0 * th * sxyc + th * th * sxxc -
+        |        (syc - th * sxc) * (syc - th * sxc) / ncd) / (ncd - 1)
+        |        / ncd) AS seadj,
+        |  syy - 2.0 * th * sxy + th * th * sxx -
+        |   (sy - th * sx) * (sy - th * sx) / n AS vres,
+        |  syy - sy * sy / n AS vy FROM g)
+        |SELECT nt AS n_t, nc AS n_c,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND sxx - sx * sx / n > 0
+        |  THEN round(th, 6) END AS theta,
+        | CASE WHEN nt >= 2 AND nc >= 2 THEN round(lraw, 6) END AS lift_raw,
+        | CASE WHEN nt >= 2 AND nc >= 2 THEN round(seraw, 6) END AS se_raw,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND sxx - sx * sx / n > 0
+        |  THEN round(ladj, 6) END AS lift_adj,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND sxx - sx * sx / n > 0
+        |  THEN round(seadj, 6) END AS se_adj,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND sxx - sx * sx / n > 0
+        |   AND vy > 0 THEN round(1.0 - vres / vy, 6) END AS var_reduction,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND sxx - sx * sx / n > 0
+        |   AND seadj > 0 THEN abs(ladj / seadj) > 1.959963984540054 END
+        |   AS reject_05
+        |FROM h""".stripMargin,
+
+    "q_did" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+        |        CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),
+        |per AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) * 2 >= b.mn + b.mx AS post,
+        |  CAST(count(*) AS DOUBLE) AS y
+        | FROM events, b GROUP BY user_id, 2, b.mn, b.mx),
+        |a AS (SELECT (user_id % 2 = 0) AS t, post,
+        |  CAST(count(*) AS BIGINT) AS n, sum(y) AS s, sum(y * y) AS ss
+        | FROM per GROUP BY 1, 2),
+        |w AS (SELECT
+        |  max(CASE WHEN t AND post THEN n END) AS nt1,
+        |  max(CASE WHEN t AND NOT post THEN n END) AS nt0,
+        |  max(CASE WHEN NOT t AND post THEN n END) AS nc1,
+        |  max(CASE WHEN NOT t AND NOT post THEN n END) AS nc0,
+        |  max(CASE WHEN t AND post THEN s END) AS st1,
+        |  max(CASE WHEN t AND NOT post THEN s END) AS st0,
+        |  max(CASE WHEN NOT t AND post THEN s END) AS sc1,
+        |  max(CASE WHEN NOT t AND NOT post THEN s END) AS sc0,
+        |  max(CASE WHEN t AND post THEN ss END) AS sst1,
+        |  max(CASE WHEN t AND NOT post THEN ss END) AS sst0,
+        |  max(CASE WHEN NOT t AND post THEN ss END) AS ssc1,
+        |  max(CASE WHEN NOT t AND NOT post THEN ss END) AS ssc0 FROM a),
+        |f AS (SELECT *,
+        |  (st1 / CAST(nt1 AS DOUBLE) - st0 / CAST(nt0 AS DOUBLE)) -
+        |  (sc1 / CAST(nc1 AS DOUBLE) - sc0 / CAST(nc0 AS DOUBLE)) AS did,
+        |  sqrt((sst1 - st1 * st1 / nt1) / (nt1 - 1) / nt1 +
+        |       (sst0 - st0 * st0 / nt0) / (nt0 - 1) / nt0 +
+        |       (ssc1 - sc1 * sc1 / nc1) / (nc1 - 1) / nc1 +
+        |       (ssc0 - sc0 * sc0 / nc0) / (nc0 - 1) / nc0) AS se FROM w)
+        |SELECT nt1 AS n_t_post, nt0 AS n_t_pre, nc1 AS n_c_post,
+        | nc0 AS n_c_pre,
+        | CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
+        |  THEN round(did, 6) END AS did,
+        | CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
+        |  THEN round(se, 6) END AS se,
+        | CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
+        |   AND se > 0 THEN abs(did / se) > 1.959963984540054 END
+        |   AS reject_05
+        |FROM f""".stripMargin,
+
     "q_cvm" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,

@@ -1909,6 +1909,63 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("cupedLift: hand-computed theta/lifts/variance reduction; constant covariate NULL") {
+    // t: y = 2x over x=1..3; c: y = x over x=1..3
+    // theta = 6/4 = 1.5; lift_raw = 4-2 = 2; x-means equal -> adj = 2
+    // residual var = .25 per arm -> se_adj = sqrt(1/6)
+    // vy_t = 4, vy_c = 1 -> se_raw = sqrt(5/3); var_reduction = 1-7/16
+    val df = Seq((1.0, 2.0, true), (2.0, 4.0, true), (3.0, 6.0, true),
+      (1.0, 1.0, false), (2.0, 2.0, false), (3.0, 3.0, false))
+      .toDF("x", "y", "t")
+    val r = Analytics.cupedLift(df, col("y"), col("x"), col("t")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, s"$r")
+    assert(r.getDouble(2) == 1.5, s"$r")
+    assert(r.getDouble(3) == 2.0 && r.getDouble(5) == 2.0, s"$r")
+    assert(math.abs(r.getDouble(4) - math.sqrt(5.0 / 3)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(6) - math.sqrt(1.0 / 6)) < 1e-6, s"$r")
+    assert(r.getDouble(7) == 0.5625, s"$r")
+    assert(r.getBoolean(8), s"$r")
+    // constant covariate: var(x) = 0 -> theta and adjusted columns NULL,
+    // raw lift still reported
+    val const = Seq((5.0, 2.0, true), (5.0, 4.0, true),
+      (5.0, 1.0, false), (5.0, 2.0, false)).toDF("x", "y", "t")
+    val rc = Analytics.cupedLift(const, col("y"), col("x"), col("t")).head()
+    assert(rc.isNullAt(2) && rc.isNullAt(5) && !rc.isNullAt(3), s"$rc")
+    // an arm below 2 rows: everything NULL
+    val tiny = Seq((1.0, 2.0, true), (1.0, 1.0, false), (2.0, 2.0, false))
+      .toDF("x", "y", "t")
+    assert(Analytics.cupedLift(tiny, col("y"), col("x"), col("t"))
+      .head().isNullAt(3))
+  }
+
+  test("diffInDiff: hand-computed 2x2; baseline shift cancels; small cell NULL") {
+    def cell(t: Boolean, p: Boolean, ys: Seq[Double]) =
+      ys.map(y => (y, t, p))
+    // t-pre [1,2], t-post [4,5]; c-pre [1,3], c-post [2,4]
+    // DiD = (4.5-1.5) - (3-2) = 2; se = sqrt(.25+.25+1+1) = sqrt(2.5)
+    val df = (cell(true, false, Seq(1, 2)) ++ cell(true, true, Seq(4, 5)) ++
+      cell(false, false, Seq(1, 3)) ++ cell(false, true, Seq(2, 4)))
+      .toDF("y", "t", "p")
+    val r = Analytics.diffInDiff(df, col("y"), col("t"), col("p")).head()
+    assert((0 to 3).map(r.getLong) == Seq(2L, 2L, 2L, 2L), s"$r")
+    assert(r.getDouble(4) == 2.0, s"$r")
+    assert(math.abs(r.getDouble(5) - math.sqrt(2.5)) < 1e-6, s"$r")
+    assert(!r.getBoolean(6), s"$r")
+    // a pure baseline shift of the treated group cancels out: DiD = 0
+    val shifted = (cell(true, false, Seq(11, 12)) ++
+      cell(true, true, Seq(12, 13)) ++
+      cell(false, false, Seq(1, 2)) ++ cell(false, true, Seq(2, 3)))
+      .toDF("y", "t", "p")
+    assert(Analytics.diffInDiff(shifted, col("y"), col("t"), col("p"))
+      .head().getDouble(4) == 0.0)
+    // any cell below 2 rows: NULL estimate
+    val missing = (cell(true, false, Seq(1, 2)) ++ cell(true, true, Seq(4)) ++
+      cell(false, false, Seq(1, 3)) ++ cell(false, true, Seq(2, 4)))
+      .toDF("y", "t", "p")
+    assert(Analytics.diffInDiff(missing, col("y"), col("t"), col("p"))
+      .head().isNullAt(4))
+  }
+
   test("cramerVonMises: hand-computed T; identical 0; disjoint rejects; empty NULL") {
     // A = {0}, B = {1}: at 0 the CDF gap is 1 (t=1), at 1 it is 0
     // T = (1*1/4) * 1 = 0.25
