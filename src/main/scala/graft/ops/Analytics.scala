@@ -423,6 +423,112 @@ object Analytics {
         when(ok, round(coalesce(col("__w"), lit(0.0)), dp)).as("w1"))
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955): does a
+    * BINARY rate trend monotonically across ordered groups — the
+    * pass-rate-vs-model-size / defect-rate-vs-time-bucket question
+    * ([[jonckheereTest]] is its numeric-outcome sibling). With integer
+    * scores sᵢ = 0..k−1 over the given order,
+    *
+    *   T = Σ sᵢ(rᵢ − nᵢp̄),  Var = p̄(1−p̄)·(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)
+    *
+    * (rᵢ successes of nᵢ, p̄ pooled rate); z = T/√Var, two-sided 5%
+    * verdict. All moments are exact integers. NULL z when the pooled
+    * rate is 0 or 1 (no variance) or k < 2.
+    *
+    * Shape: ONE group-keyed rollup (k rows) and a 1-row closed form. */
+  def cochranArmitage(df: DataFrame, success: Column, group: Column,
+      orderedGroups: Seq[String], dp: Int = 6): DataFrame = {
+    val k = orderedGroups.size
+    require(k >= 2 && k <= 16, s"need 2..16 ordered groups, got $k")
+    require(orderedGroups.distinct.size == k, "ordered groups must be distinct")
+    val score = orderedGroups.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (g, i)) =>
+        when(group.cast("string") === g, i.toLong).otherwise(acc) }
+    val base = df.select(score.as("__s"),
+        success.cast("boolean").cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val per = base.groupBy("__s").agg(count(lit(1L)).as("__n"),
+      sum(col("__y")).as("__r"))
+    val a = per.agg(count(lit(1L)).as("k"),
+      sum(col("__n")).as("__nn"), sum(col("__r")).as("__rr"),
+      sum(col("__s") * col("__n")).as("__sn"),
+      sum(col("__s") * col("__s") * col("__n")).as("__ssn"),
+      sum(col("__s") * col("__r")).as("__sr"))
+    val n = col("__nn").cast("double")
+    val pbar = col("__rr") / n
+    val t = col("__sr") - col("__sn") * pbar
+    val vr = pbar * (lit(1.0) - pbar) *
+      (col("__ssn") - col("__sn").cast("double") * col("__sn") / n)
+    val safeVr = when(vr > 0.0, vr).otherwise(lit(1.0))
+    val z = t / sqrt(safeVr)
+    a.select(col("k"), col("__nn").as("n"),
+      when(n > 0, round(pbar, dp)).as("pooled_rate"),
+      round(t, dp).as("t_stat"),
+      when(col("k") >= 2 && vr > 0.0, round(z, dp)).as("z"),
+      when(col("k") >= 2 && vr > 0.0, abs(z) > lit(1.959963984540054))
+        .as("reject_05"))
+  }
+
+  /** Standardized-mean-difference covariate balance table (the
+    * propensity/observational-study pre-flight): for each covariate,
+    *
+    *   SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)
+    *
+    * |SMD| < 0.1 is the conventional "balanced" bar — read it BEFORE
+    * trusting any non-randomized comparison ([[diffInDiff]],
+    * [[cupedLift]] on observational arms). One row per covariate.
+    *
+    * Shape: ONE fused aggregate (6 conditional sums per covariate,
+    * k ≤ 16 covariates by contract) and a k-row posexplode of the
+    * 1-row verdict — the corpus is scanned once regardless of k. */
+  def smdBalance(df: DataFrame, treated: Column,
+      covariates: Seq[(String, Column)], dp: Int = 6): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 16,
+      s"need 1..16 covariates, got ${covariates.size}")
+    val t = treated.cast("boolean")
+    // rows with ANY NULL covariate drop entirely — a row must not count
+    // in n while its value skips the sums (the brierDecomposition
+    // NULL-label lesson)
+    val base = df.select((t.as("__t") +: covariates.zipWithIndex.map {
+      case ((_, c), i) => c.cast("double").as(s"__x$i") }): _*)
+      .where(covariates.indices.map(i => col(s"__x$i").isNotNull)
+        .foldLeft(col("__t").isNotNull)(_ && _))
+    val aggCols = covariates.indices.flatMap { i =>
+      def s(arm: Boolean, e: Column, nm: String) =
+        sum(when(col("__t") === arm, e).otherwise(lit(0.0)))
+          .as(s"__${nm}$i")
+      Seq(s(true, col(s"__x$i"), "st"), s(false, col(s"__x$i"), "sc"),
+        s(true, col(s"__x$i") * col(s"__x$i"), "qt"),
+        s(false, col(s"__x$i") * col(s"__x$i"), "qc"))
+    } ++ Seq(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"))
+    val w = base.agg(aggCols.head, aggCols.tail: _*)
+    val nt = col("__nt").cast("double")
+    val nc = col("__nc").cast("double")
+    def safe(b: Column) = when(b =!= 0.0, b).otherwise(lit(1.0))
+    val rows = covariates.zipWithIndex.map { case ((name, _), i) =>
+      val mt = col(s"__st$i") / safe(nt)
+      val mc = col(s"__sc$i") / safe(nc)
+      val vt = (col(s"__qt$i") - col(s"__st$i") * col(s"__st$i") / safe(nt)) /
+        safe(nt - 1)
+      val vc = (col(s"__qc$i") - col(s"__sc$i") * col(s"__sc$i") / safe(nc)) /
+        safe(nc - 1)
+      val pooled = sqrt((vt + vc) / 2.0)
+      val ok = col("__nt") >= 2 && col("__nc") >= 2
+      struct(lit(name).as("covariate"),
+        when(col("__nt") > 0, round(mt, dp)).as("mean_t"),
+        when(col("__nc") > 0, round(mc, dp)).as("mean_c"),
+        when(ok && pooled > 0.0, round((mt - mc) / safe(pooled), dp))
+          .as("smd"),
+        when(ok && pooled > 0.0, abs((mt - mc) / safe(pooled)) < 0.1)
+          .as("balanced"))
+    }
+    w.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.covariate"), col("__r.mean_t"), col("__r.mean_c"),
+        col("__r.smd"), col("__r.balanced"))
+      .orderBy("covariate")
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
     * adjust the experiment metric by its pre-period covariate,
     *

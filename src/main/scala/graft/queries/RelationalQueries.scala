@@ -996,6 +996,24 @@ object RelationalQueries {
       Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // Cochran-Armitage trend of the q_mcnemar label rate across the
+    // five langs in alphabetical order: the binary-outcome sibling of
+    // q_jonckheere, integer scores 0..4, exact moments.
+    "q_cochran_armitage" -> ((s, dir) =>
+      Analytics.cochranArmitage(t(s, dir, "documents"),
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0,
+        col("lang"), Seq("de", "en", "es", "fr", "zh"))),
+
+    // SMD covariate-balance table for a pseudo-treatment (doc_id%3):
+    // the observational-study pre-flight — one fused scan, one row per
+    // covariate, |SMD| < 0.1 balance verdicts.
+    "q_smd_balance" -> ((s, dir) =>
+      Analytics.smdBalance(t(s, dir, "documents"),
+        col("doc_id") % 3 === 0,
+        Seq("n_chars" -> col("n_chars"),
+          "len_mod97" -> (col("n_chars") % 97),
+          "id_mod13" -> (col("doc_id") % 13)))),
+
     // CUPED variance reduction: per-user event counts, first time half
     // as the pre-period covariate, second half as the metric, arm =
     // even user id. Integer counts keep every moment exact; theta and
@@ -2928,6 +2946,71 @@ object RelationalQueries {
         |FROM d""".stripMargin,
 
     // same tie-averaged rank algebra, same tie-corrected variance
+    "q_cochran_armitage" ->
+      """WITH base AS (SELECT
+        |  CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |   WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END AS s,
+        |  CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0 THEN 1 ELSE 0 END
+        |    AS y
+        | FROM documents),
+        |per AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS r
+        | FROM base WHERE s IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+        |  CAST(sum(s * n) AS BIGINT) AS sn,
+        |  CAST(sum(s * s * n) AS BIGINT) AS ssn,
+        |  CAST(sum(s * r) AS BIGINT) AS sr FROM per),
+        |f AS (SELECT *, rr / CAST(nn AS DOUBLE) AS pbar,
+        |  sr - sn * (rr / CAST(nn AS DOUBLE)) AS t FROM a),
+        |g AS (SELECT *, pbar * (1.0 - pbar) *
+        |  (ssn - CAST(sn AS DOUBLE) * sn / nn) AS vr FROM f)
+        |SELECT k, nn AS n, round(pbar, 6) AS pooled_rate,
+        | round(t, 6) AS t_stat,
+        | CASE WHEN k >= 2 AND vr > 0 THEN round(t / sqrt(vr), 6) END AS z,
+        | CASE WHEN k >= 2 AND vr > 0
+        |  THEN abs(t / sqrt(vr)) > 1.959963984540054 END AS reject_05
+        |FROM g""".stripMargin,
+
+    "q_smd_balance" ->
+      """WITH base AS (SELECT (doc_id % 3 = 0) AS t,
+        |  CAST(n_chars AS DOUBLE) AS x0,
+        |  CAST(n_chars % 97 AS DOUBLE) AS x1,
+        |  CAST(doc_id % 13 AS DOUBLE) AS x2 FROM documents
+        | WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  sum(CASE WHEN t THEN x0 ELSE 0 END) AS st0,
+        |  sum(CASE WHEN NOT t THEN x0 ELSE 0 END) AS sc0,
+        |  sum(CASE WHEN t THEN x0 * x0 ELSE 0 END) AS qt0,
+        |  sum(CASE WHEN NOT t THEN x0 * x0 ELSE 0 END) AS qc0,
+        |  sum(CASE WHEN t THEN x1 ELSE 0 END) AS st1,
+        |  sum(CASE WHEN NOT t THEN x1 ELSE 0 END) AS sc1,
+        |  sum(CASE WHEN t THEN x1 * x1 ELSE 0 END) AS qt1,
+        |  sum(CASE WHEN NOT t THEN x1 * x1 ELSE 0 END) AS qc1,
+        |  sum(CASE WHEN t THEN x2 ELSE 0 END) AS st2,
+        |  sum(CASE WHEN NOT t THEN x2 ELSE 0 END) AS sc2,
+        |  sum(CASE WHEN t THEN x2 * x2 ELSE 0 END) AS qt2,
+        |  sum(CASE WHEN NOT t THEN x2 * x2 ELSE 0 END) AS qc2
+        | FROM base),
+        |u AS (
+        | SELECT 'n_chars' AS covariate, st0 AS st, sc0 AS sc, qt0 AS qt,
+        |   qc0 AS qc, nt, nc FROM a
+        | UNION ALL SELECT 'len_mod97', st1, sc1, qt1, qc1, nt, nc FROM a
+        | UNION ALL SELECT 'id_mod13', st2, sc2, qt2, qc2, nt, nc FROM a),
+        |f AS (SELECT covariate, nt, nc,
+        |  st / CAST(nt AS DOUBLE) AS mt, sc / CAST(nc AS DOUBLE) AS mc,
+        |  (qt - st * st / CAST(nt AS DOUBLE)) / (nt - 1) AS vt,
+        |  (qc - sc * sc / CAST(nc AS DOUBLE)) / (nc - 1) AS vc FROM u),
+        |g AS (SELECT *, sqrt((vt + vc) / 2.0) AS pooled FROM f)
+        |SELECT covariate, round(mt, 6) AS mean_t, round(mc, 6) AS mean_c,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND pooled > 0
+        |  THEN round((mt - mc) / pooled, 6) END AS smd,
+        | CASE WHEN nt >= 2 AND nc >= 2 AND pooled > 0
+        |  THEN abs((mt - mc) / pooled) < 0.1 END AS balanced
+        |FROM g ORDER BY covariate""".stripMargin,
+
     "q_cuped" ->
       """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
         |        CAST(floor(epoch(max(ts))) AS BIGINT) AS mx FROM events),

@@ -1909,6 +1909,59 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("cochranArmitage: hand-computed trend z; flat rates 0; degenerate NULL") {
+    def grp(g: String, succ: Int, fail: Int) =
+      Seq.fill(succ)((g, true)) ++ Seq.fill(fail)((g, false))
+    // rates 2/10, 5/10, 8/10 over scores 0,1,2:
+    // T = 21 - 30*0.5 = 6; Var = .25*(50 - 900/30) = 5 -> z = 6/sqrt(5)
+    val df = (grp("a", 2, 8) ++ grp("b", 5, 5) ++ grp("c", 8, 2))
+      .toDF("g", "y")
+    val r = Analytics.cochranArmitage(df, col("y"), col("g"),
+      Seq("a", "b", "c")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 30, s"$r")
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 6.0, s"$r")
+    assert(math.abs(r.getDouble(4) - 6.0 / math.sqrt(5.0)) < 1e-6, s"$r")
+    assert(r.getBoolean(5), s"$r")
+    // identical rates: T = 0, no trend
+    val flat = (grp("a", 5, 5) ++ grp("b", 5, 5) ++ grp("c", 5, 5))
+      .toDF("g", "y")
+    val rf = Analytics.cochranArmitage(flat, col("y"), col("g"),
+      Seq("a", "b", "c")).head()
+    assert(rf.getDouble(3) == 0.0 && !rf.getBoolean(5), s"$rf")
+    // unanimous success: zero variance -> NULL z
+    val all = (grp("a", 5, 0) ++ grp("b", 5, 0)).toDF("g", "y")
+    assert(Analytics.cochranArmitage(all, col("y"), col("g"),
+      Seq("a", "b")).head().isNullAt(4))
+  }
+
+  test("smdBalance: hand-computed SMD; balanced arms; constant covariate NULL") {
+    // cov "u": t = [1,3] (mean 2, var 2), c = [5,9] (mean 7, var 8)
+    //   SMD = -5/sqrt(5); cov "v" identical across arms -> SMD 0
+    // cov "w" constant everywhere -> pooled sd 0 -> NULL
+    val df = Seq((true, 1.0, 1.0, 7.0), (true, 3.0, 2.0, 7.0),
+      (false, 5.0, 1.0, 7.0), (false, 9.0, 2.0, 7.0))
+      .toDF("t", "u", "v", "w")
+    val r = Analytics.smdBalance(df, col("t"),
+        Seq("u" -> col("u"), "v" -> col("v"), "w" -> col("w")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("u").getDouble(1) == 2.0 && r("u").getDouble(2) == 7.0,
+      s"${r("u")}")
+    assert(math.abs(r("u").getDouble(3) - (-5.0 / math.sqrt(5.0))) < 1e-6,
+      s"${r("u")}")
+    assert(!r("u").getBoolean(4), s"${r("u")}")
+    assert(r("v").getDouble(3) == 0.0 && r("v").getBoolean(4), s"${r("v")}")
+    assert(r("w").isNullAt(3) && r("w").isNullAt(4), s"${r("w")}")
+    // a NULL covariate drops the whole row (count matches the sums)
+    val withNull = Seq((true, 1.0, Some(1.0)), (true, 3.0, None),
+      (false, 5.0, Some(2.0)), (false, 9.0, Some(4.0)))
+      .toDF("t", "u", "v")
+    val rn = Analytics.smdBalance(withNull, col("t"),
+        Seq("u" -> col("u"), "v" -> col("v")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // treated arm keeps only (1, 1): n_t = 1 -> below the n >= 2 bar
+    assert(rn("u").getDouble(1) == 1.0 && rn("u").isNullAt(3), s"${rn("u")}")
+  }
+
   test("cupedLift: hand-computed theta/lifts/variance reduction; constant covariate NULL") {
     // t: y = 2x over x=1..3; c: y = x over x=1..3
     // theta = 6/4 = 1.5; lift_raw = 4-2 = 2; x-means equal -> adj = 2
