@@ -2271,6 +2271,68 @@ object Analytics {
           round(col("__acc"), dp).as("accuracy"), col("n")): _*)
   }
 
+  /** Inverse-propensity-weighted treatment effect (Horvitz & Thompson
+    * 1952; Hajek-normalized): the model-based causal estimate when
+    * treatment was not randomized — fit a propensity p̂(x) with the
+    * in-engine [[logisticRegressionGD]] (treatment as the label), clip
+    * it into [clip, 1−clip] (standard overlap trimming), and compare
+    * the weighted outcome means
+    *
+    *   ATE = Σ t·y/p̂ / Σ t/p̂  −  Σ (1−t)·y/(1−p̂) / Σ (1−t)/(1−p̂)
+    *
+    * Also reports each arm's effective sample size (Σw)²/Σw² — the
+    * overlap-health readout (ESS ≪ n means a few extreme weights own
+    * the estimate). Completes the causal tier: [[smdBalance]] checks
+    * raw balance, [[diffInDiff]]/[[cupedLift]] need panel structure,
+    * IPW handles plain confounded cross-sections.
+    *
+    * Shape: the GD fit is `iters` bounded-driver aggregations over the
+    * localCheckpoint'ed projection; the estimate is ONE more fused
+    * aggregation with the ROUNDED (dp) fitted weights as literals —
+    * rounded so the oracle's unrolled-CTE chain lands on bit-identical
+    * propensities. Deterministic end to end. */
+  def ipwEffect(df: DataFrame, outcome: Column, treated: Column,
+      features: Seq[Column], iters: Int = 8, lr: Double = 1.0,
+      clip: Double = 0.05, dp: Int = 6): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    val d = features.size
+    val cols = outcome.cast("double").as("__o") +:
+      treated.cast("boolean").cast("double").as("__t") +:
+      features.zipWithIndex.map { case (f, i) =>
+        f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__o").isNotNull +: col("__t").isNotNull +:
+        (0 until d).map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+      .localCheckpoint(true) // GD iterations + the estimate scan
+    val fit = logisticRegressionGD(base,
+      (0 until d).map(i => col(s"__x$i")), col("__t"), iters, lr, dp).head()
+    val w = (0 to d).map(fit.getDouble).toArray
+    val z = (0 until d).foldLeft(lit(w(0)): Column) { case (acc, i) =>
+      acc + lit(w(i + 1)) * col(s"__x$i") }
+    val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-z)), lit(clip)),
+      lit(1.0 - clip))
+    val wt = col("__t") / p
+    val wc = (lit(1.0) - col("__t")) / (lit(1.0) - p)
+    val a = base.agg(count(lit(1L)).as("n"), sum(col("__t")).as("__nt"),
+      sum(wt).as("__swt"), sum(wt * col("__o")).as("__swty"),
+      sum(wt * wt).as("__swt2"),
+      sum(wc).as("__swc"), sum(wc * col("__o")).as("__swcy"),
+      sum(wc * wc).as("__swc2"))
+    a.select(col("n"), col("__nt").cast("long").as("n_t"),
+      (col("n") - col("__nt")).cast("long").as("n_c"),
+      when(col("__swt") > 0, round(col("__swty") / col("__swt"), dp))
+        .as("mu_t"),
+      when(col("__swc") > 0, round(col("__swcy") / col("__swc"), dp))
+        .as("mu_c"),
+      when(col("__swt") > 0 && col("__swc") > 0,
+        round(col("__swty") / col("__swt") -
+          col("__swcy") / col("__swc"), dp)).as("ate"),
+      when(col("__swt2") > 0,
+        round(col("__swt") * col("__swt") / col("__swt2"), dp)).as("ess_t"),
+      when(col("__swc2") > 0,
+        round(col("__swc") * col("__swc") / col("__swc2"), dp)).as("ess_c"))
+  }
+
   /** Unbiased pass@k over per-task samples (Chen et al.,
     * arXiv:2107.03374 §2.1): with n samples and c correct for a task,
     *

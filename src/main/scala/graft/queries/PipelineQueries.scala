@@ -3649,6 +3649,20 @@ object PipelineQueries {
           .otherwise(0),
         iters = 8, lr = 1.0)),
 
+    // IPW treatment effect on the eval_logreg propensity model:
+    // treatment = the same pseudo-label, outcome = n_chars % 89,
+    // clipped Hajek means + per-arm effective sample sizes. The oracle
+    // unrolls the identical 8-step GD chain, rounds the weights exactly
+    // as the engine ships them, and restates the weighting.
+    "q_ipw" -> ((s, dir) =>
+      graft.ops.Analytics.ipwEffect(
+        t(s, dir, "documents"),
+        col("n_chars") % 89,
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0,
+        Seq((col("n_chars") % 97) / lit(96.0),
+          (col("doc_id") % 31) / lit(30.0)),
+        iters = 8, lr = 1.0)),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -4028,8 +4042,54 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The q_ipw oracle: the SAME unrolled GD chain as [[logregOracle]],
+    * weights rounded exactly as the engine ships them, then the
+    * clipped Hajek weighting restated. */
+  private def ipwOracle(iters: Int): String = {
+    val sig = "1/(1+exp(-(w.b + w.w1*d.x1 + w.w2*d.x2)))"
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CAST(doc_id % 31 AS DOUBLE)/30 AS x2,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+        |        CAST(n_chars % 89 AS DOUBLE) AS o
+        |       FROM documents),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
+        |        CAST(0 AS DOUBLE) AS w2)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |g$k AS (SELECT avg($sig - d.y) AS gb,
+        |        avg(($sig - d.y) * d.x1) AS g1,
+        |        avg(($sig - d.y) * d.x2) AS g2
+        |       FROM d, w${k - 1} w),
+        |w$k AS (SELECT w.b - gb AS b, w.w1 - g1 AS w1, w.w2 - g2 AS w2
+        |       FROM w${k - 1} w, g$k)""".stripMargin)
+    }
+    sb.append(s""",
+        |wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1,
+        |        round(w2, 6) AS w2 FROM w$iters),
+        |f AS (SELECT d.o, d.y AS t,
+        |  least(greatest($sig, 0.05), 0.95) AS p FROM d, wr w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(t) AS nt,
+        |  sum(t / p) AS swt, sum(t / p * o) AS swty,
+        |  sum(t / p * (t / p)) AS swt2,
+        |  sum((1 - t) / (1 - p)) AS swc,
+        |  sum((1 - t) / (1 - p) * o) AS swcy,
+        |  sum((1 - t) / (1 - p) * ((1 - t) / (1 - p))) AS swc2 FROM f)
+        |SELECT n, CAST(nt AS BIGINT) AS n_t, CAST(n - nt AS BIGINT) AS n_c,
+        | CASE WHEN swt > 0 THEN round(swty / swt, 6) END AS mu_t,
+        | CASE WHEN swc > 0 THEN round(swcy / swc, 6) END AS mu_c,
+        | CASE WHEN swt > 0 AND swc > 0
+        |  THEN round(swty / swt - swcy / swc, 6) END AS ate,
+        | CASE WHEN swt2 > 0 THEN round(swt * swt / swt2, 6) END AS ess_t,
+        | CASE WHEN swc2 > 0 THEN round(swc * swc / swc2, 6) END AS ess_c
+        |FROM a""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
+    "q_ipw" -> ipwOracle(8),
 
     "pipeline_budget_select" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,

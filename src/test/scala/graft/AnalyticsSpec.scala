@@ -1909,6 +1909,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("ipwEffect: constant propensity reduces to arm means; ESS = n per arm; deterministic") {
+    // constant feature -> the fitted propensity is the same for every
+    // row -> the Hajek means ARE the arm means and ESS = n per arm
+    val df = Seq((10.0, true, 1.0), (14.0, true, 1.0),
+      (1.0, false, 1.0), (3.0, false, 1.0), (5.0, false, 1.0))
+      .toDF("y", "t", "x")
+    val r = Analytics.ipwEffect(df, col("y"), col("t"), Seq(col("x")),
+      iters = 4).head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2 && r.getLong(2) == 3, s"$r")
+    assert(r.getDouble(3) == 12.0 && r.getDouble(4) == 3.0, s"$r")
+    assert(r.getDouble(5) == 9.0, s"$r")
+    assert(math.abs(r.getDouble(6) - 2.0) < 1e-6 &&
+      math.abs(r.getDouble(7) - 3.0) < 1e-6, s"$r")
+    // a real covariate: ESS can only shrink below the arm counts, and
+    // the estimate is a pure function of the data
+    val rnd = new scala.util.Random(41)
+    val data = Seq.fill(120) {
+      val x = rnd.nextInt(10) / 10.0
+      val t = rnd.nextInt(10) / 10.0 < 0.3 + 0.4 * x // confounded arm
+      (x * 10 + rnd.nextInt(5) + (if (t) 2 else 0), t, x)
+    }
+    val big = data.toDF("y", "t", "x")
+    val b1 = Analytics.ipwEffect(big, col("y"), col("t"), Seq(col("x"))).head()
+    val b2 = Analytics.ipwEffect(big, col("y"), col("t"), Seq(col("x"))).head()
+    assert(b1 == b2, s"$b1 vs $b2")
+    assert(b1.getDouble(6) <= b1.getLong(1) + 1e-9 &&
+      b1.getDouble(7) <= b1.getLong(2) + 1e-9, s"ESS <= n per arm: $b1")
+  }
+
   test("cochranArmitage: hand-computed trend z; flat rates 0; degenerate NULL") {
     def grp(g: String, succ: Int, fail: Int) =
       Seq.fill(succ)((g, true)) ++ Seq.fill(fail)((g, false))
