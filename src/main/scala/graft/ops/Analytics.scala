@@ -2271,6 +2271,73 @@ object Analytics {
           round(col("__acc"), dp).as("accuracy"), col("n")): _*)
   }
 
+  /** Sharp regression-discontinuity effect (Thistlethwaite & Campbell
+    * 1960; local-linear form): when treatment switches ON at a cutoff
+    * of a running variable (score ≥ threshold gets the new pipeline),
+    * the causal jump is the gap between two side-local linear fits
+    * evaluated AT the cutoff:
+    *
+    *   effect = â_R − â_L,   y ≈ a + b·(x − cutoff) per side,
+    *   Var(â) = s²·(1/n + x̄²/Sxx)     (s² the residual variance)
+    *
+    * over x ∈ [cutoff − h, cutoff) and [cutoff, cutoff + h]. Reports
+    * both slopes too — a slope mismatch warns the linear-local model
+    * is strained. NULLs when a side has < 3 rows or zero x-variance;
+    * the verdict additionally needs se > 0 (exact-fit data has no
+    * noise estimate).
+    *
+    * Shape: ONE conditional-moment rollup (5 sums + count per side in
+    * a single scan) and a 1-row closed form. */
+  def rddEffect(df: DataFrame, running: Column, outcome: Column,
+      cutoff: Double, bandwidth: Double, dp: Int = 6): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive, got $bandwidth")
+    val x = running.cast("double") - cutoff
+    val base = df.select(x.as("__x"), outcome.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") >= -bandwidth && col("__x") <= bandwidth)
+    val right = col("__x") >= 0.0
+    def side(r: Boolean, e: Column, nm: String) =
+      sum(when(if (r) right else !right, e).otherwise(lit(0.0)))
+        .as(nm + (if (r) "r" else "l"))
+    val aggCols = Seq(true, false).flatMap { r =>
+      Seq(sum(when(if (r) right else !right, 1L).otherwise(0L))
+          .as("__n" + (if (r) "r" else "l")),
+        side(r, col("__x"), "__sx"), side(r, col("__y"), "__sy"),
+        side(r, col("__x") * col("__x"), "__sxx"),
+        side(r, col("__y") * col("__y"), "__syy"),
+        side(r, col("__x") * col("__y"), "__sxy"))
+    }
+    val w = base.agg(aggCols.head, aggCols.tail: _*)
+    def safe(b: Column) = when(b =!= 0.0, b).otherwise(lit(1.0))
+    def fit(s: String) = {
+      val n = col("__n" + s).cast("double")
+      val sxx = col("__sxx" + s) - col("__sx" + s) * col("__sx" + s) / safe(n)
+      val sxy = col("__sxy" + s) - col("__sx" + s) * col("__sy" + s) / safe(n)
+      val b = sxy / safe(sxx)
+      val a = (col("__sy" + s) - b * col("__sx" + s)) / safe(n)
+      // residual variance via SSR = Σy² − aΣy − bΣxy, df = n − 2
+      val s2 = (col("__syy" + s) - a * col("__sy" + s) -
+        b * col("__sxy" + s)) / safe(n - 2)
+      val va = s2 * (lit(1.0) / safe(n) +
+        (col("__sx" + s) / safe(n)) * (col("__sx" + s) / safe(n)) / safe(sxx))
+      (n, sxx, b, a, va)
+    }
+    val (nl, sxxl, bl, al, val_) = fit("l")
+    val (nr, sxxr, br, ar, var_) = fit("r")
+    val okL = nl >= 3 && sxxl > 0.0
+    val okR = nr >= 3 && sxxr > 0.0
+    val ok = okL && okR
+    val effect = ar - al
+    val se = sqrt(val_ + var_)
+    w.select(col("__nl").as("n_l"), col("__nr").as("n_r"),
+      when(okL, round(bl, dp)).as("slope_l"),
+      when(okR, round(br, dp)).as("slope_r"),
+      when(ok, round(effect, dp)).as("effect"),
+      when(ok && val_ + var_ >= 0.0, round(se, dp)).as("se"),
+      when(ok && se > 0.0, abs(effect / safe(se)) > lit(1.959963984540054))
+        .as("reject_05"))
+  }
+
   /** Inverse-propensity-weighted treatment effect (Horvitz & Thompson
     * 1952; Hajek-normalized): the model-based causal estimate when
     * treatment was not randomized — fit a propensity p̂(x) with the

@@ -996,6 +996,16 @@ object RelationalQueries {
       Analytics.ksTest(t(s, dir, "documents"), col("n_chars"),
         col("lang") === "en")),
 
+    // Sharp regression discontinuity with a PLANTED +10 jump at the
+    // cutoff of a pseudo running variable: two side-local linear fits
+    // from one conditional-moment scan; the estimate recovers the jump.
+    "q_rdd" -> ((s, dir) =>
+      Analytics.rddEffect(t(s, dir, "documents"),
+        col("n_chars") % 200,
+        (col("n_chars") % 89) +
+          when(col("n_chars") % 200 >= 100, 10).otherwise(0),
+        cutoff = 100.0, bandwidth = 50.0)),
+
     // Cochran-Armitage trend of the q_mcnemar label rate across the
     // five langs in alphabetical order: the binary-outcome sibling of
     // q_jonckheere, integer scores 0..4, exact moments.
@@ -2946,6 +2956,57 @@ object RelationalQueries {
         |FROM d""".stripMargin,
 
     // same tie-averaged rank algebra, same tie-corrected variance
+    "q_rdd" ->
+      """WITH base AS (SELECT CAST(n_chars % 200 AS DOUBLE) - 100 AS x,
+        |  CAST((n_chars % 89) +
+        |   CASE WHEN n_chars % 200 >= 100 THEN 10 ELSE 0 END AS DOUBLE)
+        |    AS y
+        | FROM documents
+        | WHERE n_chars IS NOT NULL
+        |   AND CAST(n_chars % 200 AS DOUBLE) - 100 >= -50
+        |   AND CAST(n_chars % 200 AS DOUBLE) - 100 <= 50),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |  CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |  sum(CASE WHEN x >= 0 THEN x ELSE 0 END) AS sxr,
+        |  sum(CASE WHEN x < 0 THEN x ELSE 0 END) AS sxl,
+        |  sum(CASE WHEN x >= 0 THEN y ELSE 0 END) AS syr,
+        |  sum(CASE WHEN x < 0 THEN y ELSE 0 END) AS syl,
+        |  sum(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS sxxr,
+        |  sum(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS sxxl,
+        |  sum(CASE WHEN x >= 0 THEN y * y ELSE 0 END) AS syyr,
+        |  sum(CASE WHEN x < 0 THEN y * y ELSE 0 END) AS syyl,
+        |  sum(CASE WHEN x >= 0 THEN x * y ELSE 0 END) AS sxyr,
+        |  sum(CASE WHEN x < 0 THEN x * y ELSE 0 END) AS sxyl
+        | FROM base),
+        |f AS (SELECT nl, nr,
+        |  (sxyl - sxl * syl / nl) / (sxxl - sxl * sxl / nl) AS bl,
+        |  (sxyr - sxr * syr / nr) / (sxxr - sxr * sxr / nr) AS br,
+        |  sxxl - sxl * sxl / nl AS cxxl, sxxr - sxr * sxr / nr AS cxxr,
+        |  nl AS _nl, nr AS _nr, sxl, sxr, syl, syr, syyl, syyr, sxyl,
+        |  sxyr FROM a),
+        |g AS (SELECT *,
+        |  (syl - bl * sxl) / nl AS al, (syr - br * sxr) / nr AS ar FROM f),
+        |h AS (SELECT *,
+        |  (syyl - al * syl - bl * sxyl) / (nl - 2) AS s2l,
+        |  (syyr - ar * syr - br * sxyr) / (nr - 2) AS s2r FROM g),
+        |i AS (SELECT *,
+        |  s2l * (1.0 / nl + (sxl / nl) * (sxl / nl) / cxxl) AS va_l,
+        |  s2r * (1.0 / nr + (sxr / nr) * (sxr / nr) / cxxr) AS va_r FROM h)
+        |SELECT nl AS n_l, nr AS n_r,
+        | CASE WHEN nl >= 3 AND cxxl > 0 THEN round(bl, 6) END AS slope_l,
+        | CASE WHEN nr >= 3 AND cxxr > 0 THEN round(br, 6) END AS slope_r,
+        | CASE WHEN nl >= 3 AND cxxl > 0 AND nr >= 3 AND cxxr > 0
+        |  THEN round(ar - al, 6) END AS effect,
+        | CASE WHEN nl >= 3 AND cxxl > 0 AND nr >= 3 AND cxxr > 0
+        |   AND va_l + va_r >= 0
+        |  THEN round(sqrt(va_l + va_r), 6) END AS se,
+        | CASE WHEN nl >= 3 AND cxxl > 0 AND nr >= 3 AND cxxr > 0
+        |   AND sqrt(va_l + va_r) > 0
+        |  THEN abs((ar - al) / sqrt(va_l + va_r)) > 1.959963984540054 END
+        |   AS reject_05
+        |FROM i""".stripMargin,
+
     "q_cochran_armitage" ->
       """WITH base AS (SELECT
         |  CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2

@@ -1909,6 +1909,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.mannWhitneyU(tied, col("v"), col("ina")).head().isNullAt(4))
   }
 
+  test("rddEffect: hand-computed jump and intercept SE; bandwidth filter; degenerate NULL") {
+    // left (x-c, y): (-3,0), (-2,2), (-1,1): b=.5, a=2, SSR=1.5,
+    //   Var(a) = 1.5*(1/3 + 4/2) = 3.5
+    // right: (1,10), (2,11), (3,12): exact line b=1, a=9, Var 0
+    // effect = 7, se = sqrt(3.5)
+    val df = Seq((7.0, 0.0), (8.0, 2.0), (9.0, 1.0),
+      (11.0, 10.0), (12.0, 11.0), (13.0, 12.0),
+      (30.0, 99.0)) // outside the bandwidth: must be ignored
+      .toDF("x", "y")
+    val r = Analytics.rddEffect(df, col("x"), col("y"),
+      cutoff = 10.0, bandwidth = 5.0).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, s"$r")
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0, s"$r")
+    assert(r.getDouble(4) == 7.0, s"$r")
+    assert(math.abs(r.getDouble(5) - math.sqrt(3.5)) < 1e-6, s"$r")
+    assert(r.getBoolean(6), s"$r")
+    // an exact fit on BOTH sides: effect reported, se = 0 -> NULL verdict
+    val exact = Seq((8.0, 1.0), (9.0, 2.0), (7.0, 0.0),
+      (11.0, 6.0), (12.0, 7.0), (13.0, 8.0)).toDF("x", "y")
+    val re = Analytics.rddEffect(exact, col("x"), col("y"), 10.0, 5.0).head()
+    assert(re.getDouble(4) == 2.0 && re.getDouble(5) == 0.0 &&
+      re.isNullAt(6), s"$re")
+    // a side below 3 points: NULL effect
+    val thin = Seq((9.0, 1.0), (8.0, 2.0),
+      (11.0, 5.0), (12.0, 6.0), (13.0, 7.0)).toDF("x", "y")
+    assert(Analytics.rddEffect(thin, col("x"), col("y"), 10.0, 5.0)
+      .head().isNullAt(4))
+  }
+
   test("ipwEffect: constant propensity reduces to arm means; ESS = n per arm; deterministic") {
     // constant feature -> the fitted propensity is the same for every
     // row -> the Hajek means ARE the arm means and ESS = n per arm
