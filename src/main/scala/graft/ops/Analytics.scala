@@ -4236,6 +4236,142 @@ object Analytics {
       round(brier - (rel - res + unc), dp).as("residual"))
   }
 
+  /** Spiegelhalter's Z test of calibration (Spiegelhalter 1986): under
+    * perfect calibration E[(y−p)(1−2p)] = 0 with known variance
+    * Σ(1−2p)²p(1−p), so
+    *
+    *   Z = Σ(yᵢ−pᵢ)(1−2pᵢ) / √(Σ(1−2pᵢ)² pᵢ(1−pᵢ))
+    *
+    * is standard normal — a SIGNIFICANCE verdict on miscalibration
+    * that, unlike [[brierDecomposition]]'s ECE, needs NO binning (every
+    * prediction contributes at its own p, so it cannot be gamed by
+    * within-bin cancellation). The complement, not a replacement: ECE
+    * localizes WHERE the curve bends; Spiegelhalter answers WHETHER the
+    * deviation clears chance.
+    *
+    * Shape: ONE whole-corpus aggregation (3 sums, map-side partial),
+    * 1 row out — nothing to shuffle but the partials at any scale.
+    * Rows with NULL score or label are dropped; p ∈ {0,1} predictions
+    * contribute 0 variance and 0 numerator (exactly right: a certain,
+    * correct prediction says nothing about calibration noise; a
+    * certain, WRONG one makes |Z| → ∞, surfaced as NULL only when the
+    * TOTAL variance is 0). `reject_05` is two-sided at |Z| > 1.96,
+    * NULL when n < 20 (normal approximation floor, the
+    * [[wilcoxonSignedRank]] convention) or variance is 0. */
+  def spiegelhalterZ(df: DataFrame, score: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val p = score.cast("double")
+    val y = label.cast("double")
+    val a = df.where(score.isNotNull && label.isNotNull)
+      .select(p.as("__p"), y.as("__y"))
+      .agg(count(lit(1L)).as("n"),
+        sum((col("__y") - col("__p")) * (lit(1.0) - lit(2.0) * col("__p")))
+          .as("__num"),
+        sum((lit(1.0) - lit(2.0) * col("__p")) *
+          (lit(1.0) - lit(2.0) * col("__p")) *
+          col("__p") * (lit(1.0) - col("__p"))).as("__var"))
+    val z = when(col("__var").isNull || col("__var") <= 0.0,
+        lit(null).cast("double"))
+      .otherwise(round(col("__num") / sqrt(col("__var")), dp))
+    a.select(col("n"), z.as("z"),
+      when(col("n") < 20 || z.isNull, lit(null).cast("boolean"))
+        .otherwise(abs(z) > 1.96).as("reject_05"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980) over
+    * the SAME deterministic equal-width score bins as
+    * [[brierDecomposition]] / [[calibrationBins]] (the classic decile
+    * form cuts on score QUANTILES; equal-width keeps the binning
+    * scan-local and exactly restatable — the repo-wide calibration-bin
+    * convention, noted here because HL textbooks assume deciles):
+    *
+    *   HL = Σ_k (O_k − E_k)² / (n_k π̄_k (1 − π̄_k)),   π̄_k = E_k/n_k
+    *
+    * with O_k = observed positives, E_k = summed scores in bin k,
+    * referred to χ²(g−2). Bins where the expected rate is degenerate
+    * (π̄_k ∈ {0,1} — zero binomial variance, the term is undefined) are
+    * excluded and counted in `g_skipped`; df = g_used − 2.
+    *
+    * Shape: ONE corpus aggregation keyed by bin (≤ `bins` rows,
+    * map-side partial) + a 1-row rollup — the [[brierDecomposition]]
+    * cost envelope exactly. `reject_05` is NULL when df < 1. */
+  def hosmerLemeshow(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins > 2, s"bins must exceed 2 (df = bins used - 2), got $bins")
+    val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
+      .cast("int")
+    val per = df.where(score.isNotNull && label.isNotNull)
+      .select(b.as("__b"), score.cast("double").as("__s"),
+        label.cast("double").as("__y"))
+      .groupBy("__b")
+      .agg(count(lit(1L)).as("__n"), sum(col("__s")).as("__e"),
+        sum(col("__y")).as("__o"))
+    val pbar = col("__e") / col("__n")
+    val live = pbar > 0.0 && pbar < 1.0
+    val term = (col("__o") - col("__e")) * (col("__o") - col("__e")) /
+      (col("__n") * pbar * (lit(1.0) - pbar))
+    val tot = per.agg(sum(col("__n")).as("n"),
+      count(lit(1L)).as("__g"),
+      sum(when(live, 1L).otherwise(0L)).as("__gu"),
+      sum(when(live, term)).as("__hl"))
+    val dfree = (col("__gu") - 2L).cast("double")
+    tot.select(col("n"), col("__gu").as("g_used"),
+      (col("__g") - col("__gu")).as("g_skipped"),
+      round(coalesce(col("__hl"), lit(0.0)), dp).as("hl"),
+      when(col("__gu") >= 3L, col("__gu") - 2L).as("df"),
+      when(col("__gu") < 3L, lit(null).cast("boolean"))
+        .otherwise(coalesce(col("__hl"), lit(0.0)) > chiSq95(dfree))
+        .as("reject_05"))
+  }
+
+  /** Jarque–Bera normality test (Jarque & Bera 1980): are the sample's
+    * skewness and excess kurtosis jointly consistent with a normal
+    * distribution —
+    *
+    *   JB = n/6 · (g₁² + g₂²/4),  g₁ = m₃/m₂^{3/2},  g₂ = m₄/m₂² − 3
+    *
+    * referred to χ²(2). The NORMALITY GATE in front of every
+    * moment-based verdict in the repo (t-intervals, OLS residual
+    * assumptions, [[zScreenPerGroup]]): run it on residuals or metric
+    * columns before trusting a normal-theory p. [[ksTest]] /
+    * [[cramerVonMises]] compare two SAMPLES; JB asks one sample against
+    * the normal FAMILY (any mean/variance) — a different question.
+    *
+    * Shape: ONE whole-corpus aggregation (5 power sums, map-side
+    * partial), 1 row out; central moments recovered from raw power sums
+    * on the 1-row result. Power sums of order 4 overflow doubles'
+    * integer range only past |v|~2¹³ at petarow counts — acceptable for
+    * score-scale inputs; pre-center wide-range inputs if m₄ precision
+    * matters. `reject_05` uses the exact χ²(2) constant 5.991464547
+    * (the [[chiSq95]] table arm) and is NULL when n < 20 (JB's χ²
+    * approximation is notoriously slow to converge — below that the
+    * verdict would be noise) or when the variance is 0. */
+  def jarqueBera(df: DataFrame, value: Column, dp: Int = 6): DataFrame = {
+    val v = value.cast("double")
+    val a = df.where(value.isNotNull).select(v.as("__v"))
+      .agg(count(lit(1L)).as("n"), sum(col("__v")).as("__s1"),
+        sum(col("__v") * col("__v")).as("__s2"),
+        sum(col("__v") * col("__v") * col("__v")).as("__s3"),
+        sum(col("__v") * col("__v") * col("__v") * col("__v")).as("__s4"))
+    val nD = col("n").cast("double")
+    val m = col("__s1") / nD
+    val m2 = col("__s2") / nD - m * m
+    val m3 = col("__s3") / nD - lit(3.0) * m * col("__s2") / nD +
+      lit(2.0) * m * m * m
+    val m4 = col("__s4") / nD - lit(4.0) * m * col("__s3") / nD +
+      lit(6.0) * m * m * col("__s2") / nD - lit(3.0) * m * m * m * m
+    val ok = col("n") > 0L && m2 > 0.0
+    val skew = when(ok, m3 / pow(m2, 1.5))
+    val kurt = when(ok, m4 / (m2 * m2) - lit(3.0))
+    val jb = nD / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0))
+    a.select(col("n"),
+      round(skew, dp).as("skewness"),
+      round(kurt, dp).as("ex_kurtosis"),
+      round(jb, dp).as("jb"),
+      when(col("n") < 20 || jb.isNull, lit(null).cast("boolean"))
+        .otherwise(jb > 5.991464547107979).as("reject_05"))
+  }
+
   /** Isotonic (PAV) probability calibration over the same equal-width
     * score bins as [[calibrationBins]]: per bin, the observed positive
     * rate is replaced by the pool-adjacent-violators fit — the unique

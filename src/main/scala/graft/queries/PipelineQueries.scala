@@ -3337,6 +3337,29 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0), bins = 10)),
 
+    // Spiegelhalter's binning-free calibration Z on the SAME
+    // pseudo-scorer: every prediction contributes at its own p, so
+    // within-bin cancellation (which ECE cannot see) still registers;
+    // one 3-sum corpus rollup, the significance companion of
+    // eval_brier_decomp's decomposition.
+    "eval_spiegelhalter" -> ((s, dir) =>
+      graft.ops.Analytics.spiegelhalterZ(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0))),
+
+    // Hosmer-Lemeshow chi-square on the SAME bins as eval_brier_decomp:
+    // the classical goodness-of-fit verdict over the per-bin O/E gaps,
+    // degenerate-rate bins excluded and counted; chi2(g-2) critical
+    // value restated arm-for-arm by the oracle.
+    "eval_hosmer" -> ((s, dir) =>
+      graft.ops.Analytics.hosmerLemeshow(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0), bins = 10)),
+
     // k-fold cross-validated scorer eval END-TO-END: the kFold
     // assignment (md5 group-keyed on source) feeds the per-slice
     // rank-sum AUC/Brier — per-fold generalization spread from two
@@ -7500,6 +7523,50 @@ object PipelineQueries {
         | round((ty / n) * (1 - ty / n), 6) AS uncertainty,
         | round(tsq / n - (rel / n - (syk2 / n - (ty / n) * (ty / n))
         |   + (ty / n) * (1 - ty / n)), 6) AS residual
+        |FROM t""".stripMargin,
+
+    "eval_spiegelhalter" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS p,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum((y - p) * (1 - 2 * p)) AS num,
+        |        sum((1 - 2 * p) * (1 - 2 * p) * p * (1 - p)) AS var
+        |       FROM d)
+        |SELECT n,
+        | CASE WHEN var > 0 THEN round(num / sqrt(var), 6) END AS z,
+        | CASE WHEN n >= 20 AND var > 0
+        |      THEN abs(round(num / sqrt(var), 6)) > 1.96 END AS reject_05
+        |FROM a""".stripMargin,
+
+    "eval_hosmer" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS p,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |per AS (SELECT greatest(0, least(CAST(floor(p * 10) AS INT), 9)) AS b,
+        |        CAST(count(*) AS BIGINT) AS n, sum(p) AS e, sum(y) AS o
+        |       FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS g,
+        |        CAST(sum(CASE WHEN e / n > 0 AND e / n < 1
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS gu,
+        |        sum(CASE WHEN e / n > 0 AND e / n < 1 THEN
+        |              (o - e) * (o - e) / (n * (e / n) * (1 - e / n)) END)
+        |          AS hl
+        |       FROM per)
+        |SELECT n, gu AS g_used, g - gu AS g_skipped,
+        | round(coalesce(hl, 0.0), 6) AS hl,
+        | CASE WHEN gu >= 3 THEN gu - 2 END AS df,
+        | CASE WHEN gu >= 3 THEN coalesce(hl, 0.0) >
+        |   CASE WHEN gu - 2 = 1 THEN 3.841458820694124
+        |        WHEN gu - 2 = 2 THEN 5.991464547107979
+        |        WHEN gu - 2 = 3 THEN 7.814727903251179
+        |        WHEN gu - 2 = 4 THEN 9.487729036781154
+        |        ELSE (gu - 2) * pow(1 - 2.0 / (9 * (gu - 2)) +
+        |          1.644853626951473 * sqrt(2.0 / (9 * (gu - 2))), 3) END
+        |      END AS reject_05
         |FROM t""".stripMargin,
 
     // the per-slice AUC oracle with the slice = the per-nibble fold rule

@@ -1063,6 +1063,14 @@ object RelationalQueries {
       Analytics.cramerVonMises(t(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")),
 
+    // Jarque-Bera normality gate on order quantities: one 5-power-sum
+    // rollup -> joint skewness/kurtosis chi2(2) verdict (the uniform
+    // 1..50 quantity has ex. kurtosis ~ -1.2 -> loudly non-normal,
+    // pinning the reject arm). Integral values keep the power sums
+    // exact in doubles, so the oracle's sums match bit-for-bit.
+    "q_jarque_bera" -> ((s, dir) =>
+      Analytics.jarqueBera(t(s, dir, "lineitem"), col("l_quantity"))),
+
     // 1-D Wasserstein (earth mover's) distance on the same cohorts:
     // HOW FAR the length mass moved in characters — the quantitative
     // companion of q_ks_test's largest-gap verdict.
@@ -3201,6 +3209,31 @@ object RelationalQueries {
         | CASE WHEN na > 0 AND nb > 0 THEN coalesce(t, 0.0) > 0.461 END
         |   AS reject_05
         |FROM g""".stripMargin,
+
+    "q_jarque_bera" ->
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |           WHERE l_quantity IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s1,
+        |        sum(v * v) AS s2, sum(v * v * v) AS s3,
+        |        sum(v * v * v * v) AS s4 FROM s),
+        |m AS (SELECT n,
+        |        s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |        s3 / n - 3 * (s1 / n) * s2 / n
+        |          + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |        s4 / n - 4 * (s1 / n) * s3 / n
+        |          + 6 * (s1 / n) * (s1 / n) * s2 / n
+        |          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |       FROM a),
+        |j AS (SELECT n,
+        |        CASE WHEN n > 0 AND m2 > 0 THEN m3 / pow(m2, 1.5) END AS sk,
+        |        CASE WHEN n > 0 AND m2 > 0 THEN m4 / (m2 * m2) - 3 END AS ku
+        |       FROM m)
+        |SELECT n, round(sk, 6) AS skewness, round(ku, 6) AS ex_kurtosis,
+        | round(n / 6.0 * (sk * sk + ku * ku / 4), 6) AS jb,
+        | CASE WHEN n >= 20 AND sk IS NOT NULL
+        |      THEN n / 6.0 * (sk * sk + ku * ku / 4) > 5.991464547107979
+        | END AS reject_05
+        |FROM j""".stripMargin,
 
     "q_wasserstein" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,

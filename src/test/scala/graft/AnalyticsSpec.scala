@@ -3674,4 +3674,72 @@ class AnalyticsSpec extends SparkSuite {
     }
     assert(ePca1.getMessage.contains("at least 2"), ePca1.getMessage)
   }
+
+  test("jarqueBera: symmetric moments hand-computed; constant NULL; skewed rejects") {
+    import spark.implicits._
+    // {1..5}: m2 = 2, m3 = 0 (symmetric), m4 = 6.8
+    // skew = 0, ex kurt = 6.8/4 - 3 = -1.3, JB = 5/6 * (0 + 1.69/4)
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r = Analytics.jarqueBera(df, col("v")).head()
+    assert(r.getLong(0) == 5, s"$r")
+    assert(r.getDouble(1) == 0.0, s"$r")
+    assert(math.abs(r.getDouble(2) - (-1.3)) < 1e-9, s"$r")
+    assert(math.abs(r.getDouble(3) - 5.0 / 6.0 * (1.69 / 4.0)) < 1e-6, s"$r")
+    assert(r.isNullAt(4), s"n < 20 must gate the verdict: $r")
+    // constant column: zero variance -> all statistics NULL
+    val const = Seq.fill(25)(7.0).toDF("v")
+    val rc = Analytics.jarqueBera(const, col("v")).head()
+    assert(rc.isNullAt(1) && rc.isNullAt(2) && rc.isNullAt(3) && rc.isNullAt(4))
+    // 19 zeros + one 10 at n = 20: heavy right skew, verdict fires
+    val skewed = (Seq.fill(19)(0.0) :+ 10.0).toDF("v")
+    val rs = Analytics.jarqueBera(skewed, col("v")).head()
+    assert(rs.getDouble(1) > 4.0 && rs.getDouble(2) > 14.0, s"$rs")
+    assert(rs.getBoolean(4), s"$rs")
+  }
+
+  test("spiegelhalterZ: hand-computed z; zero-variance NULL; miscalibrated rejects") {
+    import spark.implicits._
+    // (p=.25,y=0),(p=.25,y=1): num = .25, var = 2*(.5^2*.25*.75) = .09375
+    val df = Seq((0.25, 0.0), (0.25, 1.0)).toDF("p", "y")
+    val r = Analytics.spiegelhalterZ(df, col("p"), col("y")).head()
+    assert(r.getLong(0) == 2, s"$r")
+    assert(math.abs(r.getDouble(1) - 0.25 / math.sqrt(0.09375)) < 1e-6, s"$r")
+    assert(r.isNullAt(2), s"n < 20 must gate the verdict: $r")
+    // p = 0.5 everywhere: (1-2p) = 0 -> zero variance -> NULL z
+    val half = Seq.fill(30)((0.5, 1.0)).toDF("p", "y")
+    val rh = Analytics.spiegelhalterZ(half, col("p"), col("y")).head()
+    assert(rh.isNullAt(1) && rh.isNullAt(2), s"$rh")
+    // 25 rows scored 0.1 but all positive: z = 18/1.2 = 15 -> reject
+    val bad = Seq.fill(25)((0.1, 1.0)).toDF("p", "y")
+    val rb = Analytics.spiegelhalterZ(bad, col("p"), col("y")).head()
+    assert(math.abs(rb.getDouble(1) - 15.0) < 1e-9, s"$rb")
+    assert(rb.getBoolean(2), s"$rb")
+  }
+
+  test("hosmerLemeshow: hand-computed HL; degenerate bins skipped; df gate") {
+    import spark.implicits._
+    // bin 2: O=1 E=1 (term 0); bin 5: O=2 E=2.2; bin 8: O=3 E=3.4;
+    // bin 0: pbar = 0 -> skipped. HL = .04/.99 + .16/.51 = 0.354130
+    val rows = Seq.fill(1)((0.25, 1.0)) ++ Seq.fill(3)((0.25, 0.0)) ++
+      Seq.fill(2)((0.55, 1.0)) ++ Seq.fill(2)((0.55, 0.0)) ++
+      Seq.fill(3)((0.85, 1.0)) ++ Seq.fill(1)((0.85, 0.0)) ++
+      Seq.fill(2)((0.0, 0.0))
+    val r = Analytics.hosmerLemeshow(rows.toDF("p", "y"), col("p"), col("y"))
+      .head()
+    assert(r.getLong(0) == 14 && r.getLong(1) == 3 && r.getLong(2) == 1, s"$r")
+    assert(math.abs(r.getDouble(3) -
+      (0.04 / 0.99 + 0.16 / 0.51)) < 1e-5, s"$r")
+    assert(r.getLong(4) == 1 && !r.getBoolean(5), s"$r")
+    // only two live bins: df < 1 -> df and verdict NULL
+    val two = (Seq.fill(4)((0.25, 1.0)) ++ Seq.fill(4)((0.25, 0.0)) ++
+      Seq.fill(4)((0.55, 1.0)) ++ Seq.fill(4)((0.55, 0.0))).toDF("p", "y")
+    val rt = Analytics.hosmerLemeshow(two, col("p"), col("y")).head()
+    assert(rt.getLong(1) == 2 && rt.isNullAt(4) && rt.isNullAt(5), s"$rt")
+    // perfectly calibrated bins (O_k = E_k exactly): HL = 0, no reject
+    val cal = (Seq.fill(1)((0.25, 1.0)) ++ Seq.fill(3)((0.25, 0.0)) ++
+      Seq.fill(2)((0.5, 1.0)) ++ Seq.fill(2)((0.5, 0.0)) ++
+      Seq.fill(3)((0.75, 1.0)) ++ Seq.fill(1)((0.75, 0.0))).toDF("p", "y")
+    val rcAll = Analytics.hosmerLemeshow(cal, col("p"), col("y")).head()
+    assert(rcAll.getDouble(3) == 0.0 && !rcAll.getBoolean(5), s"$rcAll")
+  }
 }
