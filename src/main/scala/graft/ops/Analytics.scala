@@ -3786,6 +3786,52 @@ object Analytics {
         col("cum_hazard"), col("var_hazard"))
   }
 
+  /** Restricted mean survival time (Irwin 1949; Royston & Parmar 2013):
+    * the area under the [[kaplanMeier]] curve up to horizon `tau` —
+    * "expected survival time over the next τ", the single-number
+    * summary that stays defined under censoring where the plain mean
+    * does not, and the standard effect measure when hazards are not
+    * proportional (log-rank loses power there; RMST difference does
+    * not). RMST = Σᵢ (tᵢ − tᵢ₋₁)·S(tᵢ₋₁) over event times ≤ τ, plus
+    * the tail (τ − t_last)·S(t_last); with no events before τ it is
+    * exactly τ.
+    *
+    * Shape: the [[kaplanMeier]] cost envelope — subjects collapse to
+    * the shared distinct-duration histogram (the only corpus-width
+    * exchange; `buckets` quantizes continuous durations exactly as
+    * there), the product and the trapezoid integration ride windows
+    * over that time-resolution-bounded table, 1 row out. The survival
+    * factors integrate UNROUNDED; only the final area rounds. */
+  def rmst(durations: DataFrame, duration: Column, isEvent: Column,
+      tau: Double, dp: Int = 6, buckets: Int = 0): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val hist = survivalHist(durations, duration, isEvent, buckets)
+    val wSuffix = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factor = lit(1.0) - col("n_events") / col("n_risk")
+    val km = hist
+      .withColumn("n_risk", sum(col("__n")).over(wSuffix))
+      .withColumn("__lnf", log(when(factor > 0, factor)))
+      .withColumn("__sv",
+        when(min(factor).over(wCum) <= 0, lit(0.0))
+          .otherwise(exp(sum(col("__lnf")).over(wCum))))
+      .where(col("n_events") > 0 && col("t") <= tau)
+    val wOrd = Window.orderBy(col("t"))
+    val integ = km
+      .withColumn("__pt", lag(col("t"), 1, 0.0).over(wOrd))
+      .withColumn("__ps", lag(col("__sv"), 1, 1.0).over(wOrd))
+    integ.agg(count(lit(1L)).as("n_times"),
+        coalesce(sum((col("t") - col("__pt")) * col("__ps")), lit(0.0))
+          .as("__area"),
+        max(col("t")).as("__tl"),
+        expr("max_by(__sv, t)").as("__sl"))
+      .select(col("n_times"), lit(tau).as("tau"),
+        round(col("__area") + (lit(tau) - coalesce(col("__tl"), lit(0.0))) *
+          coalesce(col("__sl"), lit(1.0)), dp).as("rmst"))
+  }
+
   /** Debounce: collapse per-key event BURSTS (runs of events less than
     * `gapSeconds` apart) to one row each — duplicate-click suppression,
     * retry-storm collapsing, sensor chatter. A new burst starts where
@@ -4461,6 +4507,53 @@ object Analytics {
       .agg(round(first(col("__slope")), dp).as("slope"),
         round(expr("percentile(__y - __slope * __x, 0.5)"), dp).as("intercept"),
         first(col("n_pairs")).as("n_pairs"))
+  }
+
+  /** Mann–Kendall trend test per key (Mann 1945; Kendall 1975): IS
+    * there a monotone trend at all — the SIGNIFICANCE companion of
+    * [[theilSenByKey]], which estimates the slope but carries no
+    * verdict. S = Σ_{i<j} sgn(vⱼ−vᵢ) over time order, the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z = (S∓1)/√Var(S). Distribution-free: quality
+    * drifting across ingestion months registers regardless of the
+    * metric's shape, where OLS-slope t-tests assume normal residuals.
+    *
+    * Shape: the [[theilSenByKey]] contract exactly — the pair set is a
+    * per-key equi-self-join (O(nₖ²) rows per key BY DEFINITION, so
+    * pre-aggregate to a bounded time grain first); keys shuffle once,
+    * pairs never leave their key's partition; n and the tie term are
+    * per-key rollups. Points sharing a timestamp within a key form no
+    * pair (strict `<`) — the estimator assumes one value per time, so
+    * aggregate to the grain first. `reject_05` (two-sided, |z| > 1.96)
+    * is NULL when n < 10 (the normal approximation floor for S) or
+    * Var(S) = 0 (all values tied). */
+  def mannKendallByKey(df: DataFrame, key: Column, t: Column, v: Column,
+      dp: Int = 6): DataFrame = {
+    val pts = df.select(key.as("k"), t.cast("double").as("__t"),
+      v.cast("double").as("__v"))
+    val a = pts.select(col("k"), col("__t").as("__ta"), col("__v").as("__va"))
+    val b = pts.select(col("k"), col("__t").as("__tb"), col("__v").as("__vb"))
+    val sTab = a.join(b, "k").where(col("__ta") < col("__tb"))
+      .groupBy("k").agg(sum(signum(col("__vb") - col("__va"))).as("__s"))
+    val nTab = pts.groupBy("k").agg(count(lit(1L)).as("n"))
+    val tieTab = pts.groupBy(col("k"), col("__v"))
+      .agg(count(lit(1L)).as("__c"))
+      .groupBy("k")
+      .agg(sum(col("__c").cast("double") * (col("__c") - 1) *
+        (lit(2) * col("__c") + 5)).as("__tt"))
+    val nD = col("n").cast("double")
+    val vs = (nD * (nD - 1) * (lit(2) * nD + 5) - col("__tt")) / lit(18.0)
+    val zRaw = when(col("__s") > 0, (col("__s") - 1) / sqrt(vs))
+      .when(col("__s") < 0, (col("__s") + 1) / sqrt(vs))
+      .otherwise(lit(0.0))
+    val z = when(vs <= 0.0, lit(null).cast("double")).otherwise(zRaw)
+    nTab.join(sTab, "k").join(tieTab, "k")
+      .select(col("k").as("key"), col("n"),
+        round(col("__s"), dp).as("s"),
+        round(vs, dp).as("var_s"),
+        round(z, dp).as("z"),
+        when(col("n") < 10 || z.isNull, lit(null).cast("boolean"))
+          .otherwise(abs(z) > 1.96).as("reject_05"))
   }
 
   /** RFM segmentation (Hughes 1994 — the classic customer-value grid):

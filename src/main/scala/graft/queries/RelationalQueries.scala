@@ -1575,6 +1575,15 @@ object RelationalQueries {
       Analytics.nelsonAalen(signupToPurchaseDurations(s, dir),
         col("duration"), col("is_event")).orderBy("t")),
 
+    // Restricted mean survival time over the SAME durations: area under
+    // the q_survival KM curve up to tau = 200000s — "expected time to
+    // purchase over the first ~55 hours", the censoring-safe single-
+    // number summary; the oracle replays the whole KM chain + the lag
+    // trapezoid.
+    "q_rmst" -> ((s, dir) =>
+      Analytics.rmst(signupToPurchaseDurations(s, dir),
+        col("duration"), col("is_event"), tau = 200000.0)),
+
     // 2-D skyline (Pareto frontier maximizing recency AND value): the
     // bucket-grid decomposition — suffix max over a bounded bucket
     // table + bucket-partitioned windows — against DuckDB's literal
@@ -1727,6 +1736,19 @@ object RelationalQueries {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
         .agg(count(lit(1L)).as("cnt"))
       Analytics.theilSenByKey(monthly, col("prio"), col("m"), col("cnt"))
+        .orderBy("key")
+    }),
+
+    // Mann-Kendall on the SAME monthly series: the distribution-free
+    // trend VERDICT beside q_theil_sen's slope estimate — S from the
+    // bounded per-key pair join, tie-corrected variance, continuity-
+    // corrected z.
+    "q_mann_kendall" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .agg(count(lit(1L)).as("cnt"))
+      Analytics.mannKendallByKey(monthly, col("prio"), col("m"), col("cnt"))
         .orderBy("key")
     }),
 
@@ -4452,6 +4474,44 @@ object RelationalQueries {
         |  AND CURRENT ROW)
         |ORDER BY t""".stripMargin,
 
+    "q_rmst" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)//1000000) AS s_ts
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, epoch_us(ts)//1000000 AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(epoch_us(ts)//1000000) AS h FROM events),
+        |c AS (SELECT s.user_id, s.s_ts, min(p.p_ts) AS c_ts
+        |      FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |        AND p.p_ts >= s.s_ts
+        |      GROUP BY 1, 2),
+        |d AS (SELECT CAST(coalesce(c_ts, h.h) - s_ts AS DOUBLE) AS t,
+        |       c_ts IS NOT NULL AS e FROM c CROSS JOIN h),
+        |hist AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (e) AS BIGINT) AS n_events
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT t, n_events, CAST(sum(n) OVER (ORDER BY t
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |       AS BIGINT) AS n_risk FROM hist),
+        |f AS (SELECT t, n_events, n_risk,
+        |       1.0 - n_events * 1.0 / n_risk AS fac FROM r),
+        |km AS (SELECT t, n_events,
+        |       CASE WHEN min(fac) OVER wc <= 0 THEN 0.0
+        |            ELSE exp(sum(ln(CASE WHEN fac > 0 THEN fac END))
+        |              OVER wc) END AS sv
+        |      FROM f
+        |      WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW)),
+        |e AS (SELECT t, sv FROM km WHERE n_events > 0 AND t <= 200000.0),
+        |lg AS (SELECT t, sv, lag(t, 1, 0.0) OVER (ORDER BY t) AS pt,
+        |       lag(sv, 1, 1.0) OVER (ORDER BY t) AS ps FROM e),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+        |       coalesce(sum((t - pt) * ps), 0.0) AS area,
+        |       max(t) AS tl, arg_max(sv, t) AS sl FROM lg)
+        |SELECT n_times, CAST(200000.0 AS DOUBLE) AS tau,
+        | round(area + (200000.0 - coalesce(tl, 0.0)) * coalesce(sl, 1.0), 6)
+        |   AS rmst
+        |FROM a""".stripMargin,
+
     "q_skyline" ->
       """WITH p AS (SELECT event_id, epoch_us(ts)//1000000 AS x, value AS y
         |           FROM events)
@@ -4640,6 +4700,34 @@ object RelationalQueries {
         | any_value(sl.n_pairs) AS n_pairs
         |FROM pts p JOIN sl ON p.k = sl.k
         |GROUP BY p.k ORDER BY key""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH pts AS (SELECT o_orderpriority AS k,
+        |        CAST(year(o_orderdate)*12 + month(o_orderdate) AS DOUBLE) AS x,
+        |        CAST(count(*) AS DOUBLE) AS y
+        |       FROM orders GROUP BY 1, year(o_orderdate)*12 + month(o_orderdate)),
+        |s AS (SELECT a.k AS k, sum(sign(b.y - a.y)) AS s
+        |      FROM pts a JOIN pts b ON a.k = b.k AND a.x < b.x GROUP BY 1),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1),
+        |tg AS (SELECT k, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM pts GROUP BY 1, 2),
+        |tt AS (SELECT k, sum(CAST(c AS DOUBLE) * (c - 1) * (2 * c + 5)) AS tt
+        |       FROM tg GROUP BY 1),
+        |j AS (SELECT n.k, n.n, s.s,
+        |        (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - tt.tt)
+        |          / 18.0 AS vs
+        |       FROM n JOIN s ON n.k = s.k JOIN tt ON n.k = tt.k),
+        |z AS (SELECT k, n, s, vs,
+        |        CASE WHEN vs > 0 THEN
+        |          CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)
+        |               WHEN s < 0 THEN (s + 1) / sqrt(vs)
+        |               ELSE 0.0 END END AS z
+        |       FROM j)
+        |SELECT k AS key, n, round(s, 6) AS s, round(vs, 6) AS var_s,
+        | round(z, 6) AS z,
+        | CASE WHEN n >= 10 AND z IS NOT NULL THEN abs(z) > 1.96 END
+        |   AS reject_05
+        |FROM z ORDER BY key""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,

@@ -3742,4 +3742,50 @@ class AnalyticsSpec extends SparkSuite {
     val rcAll = Analytics.hosmerLemeshow(cal, col("p"), col("y")).head()
     assert(rcAll.getDouble(3) == 0.0 && !rcAll.getBoolean(5), s"$rcAll")
   }
+
+  test("mannKendallByKey: S/var hand-computed; ties zero variance; trend rejects") {
+    import spark.implicits._
+    // strictly increasing, n=5: S = 10, Var = 5*4*15/18, z = 9/sqrt(50/3)
+    val up = (1 to 5).map(i => ("a", i, i)).toDF("k", "t", "v")
+    val r = Analytics.mannKendallByKey(up, col("k"), col("t"), col("v")).head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 5, s"$r")
+    assert(r.getDouble(2) == 10.0, s"$r")
+    assert(math.abs(r.getDouble(3) - 300.0 / 18.0) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - 9.0 / math.sqrt(50.0 / 3.0)) < 1e-6, s"$r")
+    assert(r.isNullAt(5), s"n < 10 must gate the verdict: $r")
+    // all values tied: S = 0, tie term swallows the variance -> NULL z
+    val flat = (1 to 6).map(i => ("a", i, 7)).toDF("k", "t", "v")
+    val rf = Analytics.mannKendallByKey(flat, col("k"), col("t"), col("v"))
+      .head()
+    assert(rf.getDouble(2) == 0.0 && rf.getDouble(3) == 0.0, s"$rf")
+    assert(rf.isNullAt(4) && rf.isNullAt(5), s"$rf")
+    // strictly decreasing, n=10: S = -45, Var = 10*9*25/18 = 125 -> reject
+    val down = (1 to 10).map(i => ("a", i, 11 - i)).toDF("k", "t", "v")
+    val rd = Analytics.mannKendallByKey(down, col("k"), col("t"), col("v"))
+      .head()
+    assert(rd.getDouble(2) == -45.0 && rd.getDouble(3) == 125.0, s"$rd")
+    assert(math.abs(rd.getDouble(4) - (-44.0 / math.sqrt(125.0))) < 1e-6, s"$rd")
+    assert(rd.getBoolean(5), s"$rd")
+  }
+
+  test("rmst: censored trapezoid hand-computed; pre-event tau; absorbing zero") {
+    import spark.implicits._
+    // events at 2 and 4, one censored at 5; tau=6:
+    // 2*1 + 2*(2/3) + 2*(1/3) = 4.0
+    val d = Seq((2.0, true), (4.0, true), (5.0, false)).toDF("t", "e")
+    val r = Analytics.rmst(d, col("t"), col("e"), tau = 6.0).head()
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 6.0, s"$r")
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-6, s"$r")
+    // tau before the first event: survival is 1 throughout -> RMST = tau
+    val re = Analytics.rmst(d, col("t"), col("e"), tau = 1.5).head()
+    assert(re.getLong(0) == 0 && re.getDouble(2) == 1.5, s"$re")
+    // everyone dies at t=1: area = 1*1 + (5-1)*0 = 1
+    val dead = Seq((1.0, true), (1.0, true)).toDF("t", "e")
+    val rz = Analytics.rmst(dead, col("t"), col("e"), tau = 5.0).head()
+    assert(math.abs(rz.getDouble(2) - 1.0) < 1e-9, s"$rz")
+    // event exactly at tau contributes no tail: 2*1 + 2*0.5 = 3
+    val at = Seq((2.0, true), (4.0, true)).toDF("t", "e")
+    val ra = Analytics.rmst(at, col("t"), col("e"), tau = 4.0).head()
+    assert(math.abs(ra.getDouble(2) - 3.0) < 1e-9, s"$ra")
+  }
 }
