@@ -1175,6 +1175,66 @@ object Analytics {
         .otherwise(hc > chiSq95(df1)).as("reject_05"))
   }
 
+  /** Dunn's post-hoc test (Dunn 1964) — WHICH groups differ once
+    * [[kruskalWallis]] rejects: every pair (a, b) is compared on the
+    * SAME pooled tie-averaged ranks KW used (re-ranking within each
+    * pair, as pairwise Mann–Whitney would, breaks the family's shared
+    * scale — the classical mistake Dunn's procedure exists to avoid):
+    *
+    *   z_ab = (R̄_a − R̄_b) / √[ (N(N+1)/12 − Σ(t³−t)/(12(N−1))) (1/n_a + 1/n_b) ]
+    *
+    * with two-sided p via [[normalCdf]] and Benjamini–Hochberg
+    * adjustment over the k(k−1)/2 pairs ([[bhAdjust]] — the repo's
+    * standing multiple-testing control; classic Dunn used Bonferroni,
+    * which BH dominates). p is computed from the ROUNDED z (the
+    * [[zScreenPerGroup]] consistency discipline); `reject_05` is
+    * p_adj ≤ 0.05. Pairs whose variance term is non-positive (N < 2 or
+    * everything tied) are dropped.
+    *
+    * Shape: the KW exchanges exactly — (value, group) cells, the
+    * two-phase [[Windows.globalCumSum]] rank CDF, one group rollup —
+    * then the pair table is a join of the GROUP-CARDINALITY-bounded
+    * summary with itself (k(k−1)/2 rows; the BH window rides that
+    * bounded table, never the corpus). */
+  def dunnTest(df: DataFrame, value: Column, group: Column,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(group.cast("string").as("__g"),
+        value.cast("double").as("__v"))
+      .where(col("__v").isNotNull && col("__g").isNotNull)
+    val cells = base.groupBy("__v", "__g").agg(count(lit(1L)).as("__c"))
+    val hv = cells.groupBy("__v").agg(sum(col("__c")).as("__ct"))
+    val ranked = Windows.globalCumSum(hv, Seq(col("__v")), col("__ct"), "__cum")
+      .select(col("__v"), col("__ct"),
+        ((col("__cum") - col("__ct")).cast("double") +
+          (col("__ct") + 1) / lit(2.0)).as("__avgr"))
+    val perG = cells.join(ranked, "__v").groupBy("__g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__avgr")).as("__rg"))
+    val ties = ranked.agg(coalesce(sum(col("__ct").cast("double") *
+      col("__ct") * col("__ct") - col("__ct")), lit(0.0)).as("__tie"))
+    val tot = perG.agg(sum(col("__ng")).as("__N"))
+    val a = perG.select(col("__g").as("g_a"), col("__ng").as("__na"),
+      (col("__rg") / col("__ng")).as("__ra"))
+    val b = perG.select(col("__g").as("g_b"), col("__ng").as("__nb"),
+      (col("__rg") / col("__ng")).as("__rb"))
+    val nD = col("__N").cast("double")
+    val sigma2 = (nD * (nD + 1) / lit(12.0) -
+        col("__tie") / (lit(12.0) * (nD - 1))) *
+      (lit(1.0) / col("__na") + lit(1.0) / col("__nb"))
+    val pairs = a.join(b, col("g_a") < col("g_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .where(sigma2 > 0.0)
+      .select(col("g_a"), col("g_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__ra"), dp).as("mean_rank_a"),
+        round(col("__rb"), dp).as("mean_rank_b"),
+        round((col("__ra") - col("__rb")) / sqrt(sigma2), dp).as("z"))
+    val withP = pairs.withColumn("p",
+      round(lit(2.0) * (lit(1.0) - normalCdf(abs(col("z")))), dp))
+    bhAdjust(withP, "p", concat(col("g_a"), lit("|"), col("g_b")), dp)
+      .withColumn("reject_05", col("p_adj") <= 0.05)
+  }
+
   /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
     * Levene's test on MEDIAN-centered absolute deviations, the robust
     * form): [[anovaF]] applied to z = |x − median_g|. The gatekeeper
@@ -2398,6 +2458,101 @@ object Analytics {
         round(col("__swt") * col("__swt") / col("__swt2"), dp)).as("ess_t"),
       when(col("__swc2") > 0,
         round(col("__swc") * col("__swc") / col("__swc2"), dp)).as("ess_c"))
+  }
+
+  /** AIPW / doubly-robust ATE (Robins, Rotnitzky & Zhao 1994): the
+    * augmented estimator that combines [[ipwEffect]]'s propensity
+    * weighting with per-arm outcome regressions —
+    *
+    *   ψᵢ = μ̂₁(xᵢ) − μ̂₀(xᵢ) + Tᵢ(Yᵢ−μ̂₁(xᵢ))/ê(xᵢ)
+    *                         − (1−Tᵢ)(Yᵢ−μ̂₀(xᵢ))/(1−ê(xᵢ))
+    *
+    * ATE = mean(ψ), SE = sd(ψ)/√n (the influence-function variance).
+    * Consistent if EITHER the propensity model or the outcome model is
+    * right (double robustness) — the estimator to reach for when
+    * neither nuisance fit is fully trusted, which is always.
+    *
+    * Nuisances: ê from [[logisticRegressionGD]] (bounded driver
+    * iterations, weights ROUNDED at dp before scoring — the
+    * [[ipwEffect]] reproducibility discipline), clipped to
+    * [clip, 1−clip]; μ̂ₜ from per-arm OLS via the shared [[cholesky]]
+    * normal equations (two (d+1)²-sum rollups), betas rounded at dp
+    * likewise. `ate_om` (the outcome-model-only estimate mean(μ̂₁−μ̂₀))
+    * is reported beside the AIPW `ate` — a large gap flags nuisance
+    * disagreement. z is NULL when sd(ψ) = 0.
+    *
+    * Shape: one filtered localCheckpoint of (o, t, x…); the GD chain
+    * (`iters` 1-row gradient jobs), two OLS moment rollups, one ψ
+    * rollup — every stage a whole-corpus map-side-partial aggregation,
+    * nothing driver-sized but (d+1)-vectors. */
+  def aipwEffect(df: DataFrame, outcome: Column, treated: Column,
+      features: Seq[Column], iters: Int = 8, lr: Double = 1.0,
+      clip: Double = 0.05, dp: Int = 6): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size
+    val m = d + 1
+    val cols = outcome.cast("double").as("__o") +:
+      treated.cast("boolean").cast("double").as("__t") +:
+      features.zipWithIndex.map { case (f, i) =>
+        f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__o").isNotNull +: col("__t").isNotNull +:
+        (0 until d).map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+      .localCheckpoint(true) // GD iterations + 2 OLS passes + the ψ scan
+    val fit = logisticRegressionGD(base,
+      (0 until d).map(i => col(s"__x$i")), col("__t"), iters, lr, dp).head()
+    val pw = (0 to d).map(fit.getDouble).toArray
+    val zLin = (0 until d).foldLeft(lit(pw(0)): Column) { case (acc, i) =>
+      acc + lit(pw(i + 1)) * col(s"__x$i") }
+    val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-zLin)), lit(clip)),
+      lit(1.0 - clip))
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(s"__x${i - 1}")
+    def olsBeta(arm: DataFrame): Array[Double] = {
+      val moments =
+        (for (i <- 0 until m; j <- i until m)
+          yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
+        (0 until m).map(i => sum(x(i) * col("__o")).as(s"v_$i")) :+
+        count(lit(1L)).as("n")
+      val r = arm.agg(moments.head, moments.tail: _*).head()
+      require(r.getAs[Long]("n") > m,
+        s"each arm needs more rows than parameters ($m)")
+      val a = Array.tabulate(m, m) { (i, j) =>
+        val (lo, hi) = (math.min(i, j), math.max(i, j))
+        r.getAs[Double](s"m_${lo}_$hi")
+      }
+      val rhs = Array.tabulate(m)(i => r.getAs[Double](s"v_$i"))
+      val l = cholesky(a, m)
+      val z = Array.fill(m)(0.0)
+      for (i <- 0 until m)
+        z(i) = (rhs(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
+      val w = Array.fill(m)(0.0)
+      for (i <- m - 1 to 0 by -1)
+        w(i) = (z(i) - (i + 1 until m).map(k => l(k)(i) * w(k)).sum) / l(i)(i)
+      w.map(v => BigDecimal(v)
+        .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val b1 = olsBeta(base.where(col("__t") === 1.0))
+    val b0 = olsBeta(base.where(col("__t") === 0.0))
+    def mu(bb: Array[Double]): Column =
+      (0 until d).foldLeft(lit(bb(0)): Column) { case (acc, i) =>
+        acc + lit(bb(i + 1)) * col(s"__x$i") }
+    val mu1 = mu(b1)
+    val mu0 = mu(b0)
+    val psi = mu1 - mu0 + col("__t") * (col("__o") - mu1) / p -
+      (lit(1.0) - col("__t")) * (col("__o") - mu0) / (lit(1.0) - p)
+    val agg = base.select(psi.as("__psi"), (mu1 - mu0).as("__dom"),
+        col("__t"))
+      .agg(count(lit(1L)).as("n"), sum(col("__t")).as("__nt"),
+        avg(col("__psi")).as("__ate"), avg(col("__dom")).as("__om"),
+        stddev_samp(col("__psi")).as("__sd"))
+    val se = col("__sd") / sqrt(col("n"))
+    agg.select(col("n"), col("__nt").cast("long").as("n_t"),
+      (col("n") - col("__nt")).cast("long").as("n_c"),
+      round(col("__ate"), dp).as("ate"),
+      round(col("__om"), dp).as("ate_om"),
+      round(se, dp).as("se"),
+      when(col("__sd") > 0, round(col("__ate") / se, dp)).as("z"))
   }
 
   /** Unbiased pass@k over per-task samples (Chen et al.,

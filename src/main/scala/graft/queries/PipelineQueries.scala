@@ -3686,6 +3686,19 @@ object PipelineQueries {
           (col("doc_id") % 31) / lit(30.0)),
         iters = 8, lr = 1.0)),
 
+    // Doubly-robust AIPW on the q_ipw panel (one covariate so the
+    // oracle can replay BOTH nuisances exactly): the GD propensity
+    // chain PLUS per-arm Cholesky OLS outcome models, combined in the
+    // influence-function estimator; ate_om beside ate flags nuisance
+    // disagreement.
+    "q_aipw" -> ((s, dir) =>
+      graft.ops.Analytics.aipwEffect(
+        t(s, dir, "documents"),
+        col("n_chars") % 89,
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0,
+        Seq((col("n_chars") % 97) / lit(96.0)),
+        iters = 8, lr = 1.0)),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -4110,9 +4123,67 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The q_aipw oracle: the single-covariate GD propensity chain (the
+    * [[ipwOracle]] recurrence), the per-arm 2×2 Cholesky OLS solved
+    * step-for-step in the engine's factor/substitution order (l00, l10,
+    * l11, z0, z1, back-substitution — all rounded at 6dp like the
+    * engine's driver-side betas), then the ψ rollup. */
+  private def aipwOracle(iters: Int): String = {
+    val sig = "1/(1+exp(-(w.b + w.w1*d.x1)))"
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+        |        CAST(n_chars % 89 AS DOUBLE) AS o
+        |       FROM documents),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1)"""
+        .stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |g$k AS (SELECT avg($sig - d.y) AS gb,
+        |        avg(($sig - d.y) * d.x1) AS g1
+        |       FROM d, w${k - 1} w),
+        |w$k AS (SELECT w.b - gb AS b, w.w1 - g1 AS w1
+        |       FROM w${k - 1} w, g$k)""".stripMargin)
+    }
+    def ols(tag: String, pred: String): String = s""",
+        |a$tag AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS sx,
+        |        sum(x1 * x1) AS sxx, sum(o) AS sy, sum(x1 * o) AS sxy
+        |       FROM d WHERE $pred),
+        |c$tag AS (SELECT *, sqrt(n) AS l00 FROM a$tag),
+        |e$tag AS (SELECT *, sx / l00 AS l10, sy / l00 AS z0 FROM c$tag),
+        |f$tag AS (SELECT *, sqrt(sxx - l10 * l10) AS l11 FROM e$tag),
+        |h$tag AS (SELECT *, (sxy - l10 * z0) / l11 AS z1 FROM f$tag),
+        |i$tag AS (SELECT *, z1 / l11 AS bx FROM h$tag),
+        |b$tag AS (SELECT round((z0 - l10 * bx) / l00, 6) AS b0,
+        |        round(bx, 6) AS b1 FROM i$tag)""".stripMargin
+    sb.append(ols("t", "y = 1"))
+    sb.append(ols("c", "y = 0"))
+    sb.append(s""",
+        |wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1 FROM w$iters),
+        |f AS (SELECT d.o, d.y AS t, d.x1,
+        |        least(greatest($sig, 0.05), 0.95) AS p,
+        |        bt.b0 + bt.b1 * d.x1 AS mu1,
+        |        bc.b0 + bc.b1 * d.x1 AS mu0
+        |       FROM d, wr w, bt, bc),
+        |ps AS (SELECT t, mu1 - mu0 + t * (o - mu1) / p
+        |         - (1 - t) * (o - mu0) / (1 - p) AS psi,
+        |        mu1 - mu0 AS dom FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(t) AS nt,
+        |        avg(psi) AS ate, avg(dom) AS om, stddev_samp(psi) AS sd
+        |       FROM ps)
+        |SELECT n, CAST(nt AS BIGINT) AS n_t, CAST(n - nt AS BIGINT) AS n_c,
+        | round(ate, 6) AS ate, round(om, 6) AS ate_om,
+        | round(sd / sqrt(n), 6) AS se,
+        | CASE WHEN sd > 0 THEN round(ate / (sd / sqrt(n)), 6) END AS z
+        |FROM a""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
     "q_ipw" -> ipwOracle(8),
+    "q_aipw" -> aipwOracle(8),
 
     "pipeline_budget_select" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,

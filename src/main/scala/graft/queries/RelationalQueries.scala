@@ -1125,6 +1125,14 @@ object RelationalQueries {
       Analytics.kruskalWallis(t(s, dir, "lineitem"), col("l_quantity"),
         col("l_returnflag"))),
 
+    // Dunn's post-hoc pairwise comparisons AFTER q_kruskal rejects:
+    // which flags differ, on the same pooled tie-averaged ranks, with
+    // BH control over the 3 pairs — the drill-down KW itself cannot
+    // answer.
+    "q_dunn" -> ((s, dir) =>
+      Analytics.dunnTest(t(s, dir, "lineitem"), col("l_quantity"),
+        col("l_returnflag")).orderBy("g_a", "g_b")),
+
     // Brown-Forsythe variance homogeneity (Levene on median-centered
     // |deviations|): the equal-variance gate in front of ANOVA. Audit
     // variant on exact medians so DuckDB's quantile_cont restates them;
@@ -3505,6 +3513,50 @@ object RelationalQueries {
         |SELECT k, n, round(h, 6) AS h, df, round(crit, 6) AS crit_05,
         | h > crit AS reject_05
         |FROM v""".stripMargin,
+
+    "q_dunn" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |        l_returnflag AS g, CAST(count(*) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1, 2),
+        |hv AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |rk AS (SELECT v, ct, CAST(sum(ct) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum FROM hv),
+        |r AS (SELECT v, ct,
+        |       (cum - ct) + (ct + 1) / CAST(2 AS DOUBLE) AS avgr FROM rk),
+        |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, sum(c * avgr) AS rg
+        |       FROM cells JOIN r USING (v) GROUP BY 1),
+        |tie AS (SELECT sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS tie FROM r),
+        |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS nn FROM pg),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+        |        a.rg / a.ng AS ra, b.rg / b.ng AS rb,
+        |        (CAST(nn AS DOUBLE) * (nn + 1) / 12.0 -
+        |          (SELECT tie FROM tie) / (12.0 * (CAST(nn AS DOUBLE) - 1)))
+        |          * (1.0 / a.ng + 1.0 / b.ng) AS s2
+        |       FROM pg a JOIN pg b ON a.g < b.g, tt),
+        |zz AS (SELECT g_a, g_b, n_a, n_b,
+        |        round(ra, 6) AS mean_rank_a, round(rb, 6) AS mean_rank_b,
+        |        round((ra - rb) / sqrt(s2), 6) AS z
+        |       FROM pr WHERE s2 > 0),
+        |pp AS (SELECT *, round(2 * (1 - (1 -
+        |   (exp(-0.5 * z * z) / 2.5066282746310002) *
+        |   ((1 / (1 + 0.2316419 * abs(z))) * (0.319381530 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (-0.356563782 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (1.781477937 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * (-1.821255978 +
+        |    (1 / (1 + 0.2316419 * abs(z))) * 1.330274429))))))), 6) AS p
+        |  FROM zz),
+        |r1 AS (SELECT *, row_number() OVER
+        |        (ORDER BY p, g_a || '|' || g_b) AS rk2 FROM pp),
+        |adj AS (SELECT g_a, g_b, n_a, n_b, mean_rank_a, mean_rank_b, z, p,
+        |        round(least(1.0, min(p * (SELECT CAST(count(*) AS DOUBLE)
+        |            FROM pp) / rk2)
+        |          OVER (ORDER BY p DESC, g_a || '|' || g_b DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |          AS p_adj
+        |       FROM r1)
+        |SELECT *, p_adj <= 0.05 AS reject_05 FROM adj
+        |ORDER BY g_a, g_b""".stripMargin,
 
     "q_levene" ->
       """WITH b AS (SELECT l_linestatus AS g,

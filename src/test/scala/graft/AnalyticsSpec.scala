@@ -3788,4 +3788,54 @@ class AnalyticsSpec extends SparkSuite {
     val ra = Analytics.rmst(at, col("t"), col("e"), tau = 4.0).head()
     assert(math.abs(ra.getDouble(2) - 3.0) < 1e-9, s"$ra")
   }
+
+  test("dunnTest: pooled-rank z hand-computed; BH separates the far pair; all-tied empty") {
+    import spark.implicits._
+    // a={1,2,3} b={4,5,6} c={7,8,9}: mean ranks 2/5/8, sigma2 = 5 per pair
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(7, 8, 9).map(("c", _))).toDF("g", "v")
+    val rows = Analytics.dunnTest(df, col("v"), col("g"))
+      .orderBy("g_a", "g_b").collect()
+    assert(rows.length == 3, rows.mkString)
+    val ab = rows(0); val ac = rows(1); val bc = rows(2)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getDouble(4) == 2.0 && ab.getDouble(5) == 5.0, s"$ab")
+    assert(math.abs(ab.getDouble(6) - (-3.0 / math.sqrt(5.0))) < 1e-6, s"$ab")
+    assert(math.abs(ac.getDouble(6) - (-6.0 / math.sqrt(5.0))) < 1e-6, s"$ac")
+    // BH: only the a-c pair survives at 0.05
+    assert(ac.getBoolean(9) && !ab.getBoolean(9) && !bc.getBoolean(9),
+      rows.mkString)
+    assert(ac.getDouble(8) < 0.05 && ab.getDouble(8) > 0.05, rows.mkString)
+    // everything tied: the variance term collapses, no pair survives
+    val flat = Seq(("a", 7), ("a", 7), ("b", 7), ("b", 7)).toDF("g", "v")
+    assert(Analytics.dunnTest(flat, col("v"), col("g")).count() == 0)
+  }
+
+  test("aipwEffect: exact linear nuisances recover the constant effect; null effect zero") {
+    import spark.implicits._
+    // o = 2 + 3x + 5t exactly: per-arm OLS fits exactly, residual terms
+    // vanish, ate = ate_om = 5 regardless of the propensity fit
+    val xs = Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    val data = xs.flatMap(x => Seq((2.0 + 3.0 * x + 5.0, true, x),
+      (2.0 + 3.0 * x, false, x))).toDF("o", "t", "x")
+    val r = Analytics.aipwEffect(data, col("o"), col("t"), Seq(col("x")))
+      .head()
+    assert(r.getLong(0) == 12 && r.getLong(1) == 6 && r.getLong(2) == 6, s"$r")
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-3, s"$r")
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-3, s"$r")
+    // no effect: both arms share the model, ate ~ 0
+    val zero = xs.flatMap(x => Seq((2.0 + 3.0 * x, true, x),
+      (2.0 + 3.0 * x, false, x))).toDF("o", "t", "x")
+    val rz = Analytics.aipwEffect(zero, col("o"), col("t"), Seq(col("x")))
+      .head()
+    assert(math.abs(rz.getDouble(3)) < 1e-3 && math.abs(rz.getDouble(4)) < 1e-3,
+      s"$rz")
+    // an arm with too few rows for the OLS fails loudly
+    val tiny = Seq((1.0, true, 0.5), (2.0, true, 0.7), (3.0, false, 0.1),
+      (4.0, false, 0.9), (5.0, false, 0.3)).toDF("o", "t", "x")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.aipwEffect(tiny, col("o"), col("t"), Seq(col("x")))
+    }
+    assert(e.getMessage.contains("each arm"), e.getMessage)
+  }
 }
