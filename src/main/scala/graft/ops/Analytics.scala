@@ -1765,6 +1765,90 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Two-proportion power / minimum-detectable-effect analysis of an
+    * A/B assignment: from the observed arm sizes and the CONTROL rate,
+    * the design's MDE at α=0.05 (two-sided) and 80% power —
+    *
+    *   MDE = (z₀.₉₇₅ + z₀.₈₀)·√(p_c(1−p_c)(1/n_t + 1/n_c))
+    *
+    * (exact constants 1.9599639845400545 and 0.8416212335729143) — and
+    * the ACHIEVED power for the lift actually observed,
+    * Φ(|Δ|/se₀ − z₀.₉₇₅) via [[normalCdf]]. The pre-experiment sanity
+    * readout every A/B table needs: a "significant" lift larger than
+    * the MDE of a later, smaller replication is expected to vanish
+    * (winner's curse), and an experiment whose observed power is ~5%
+    * was never going to answer its question. se₀ uses the control rate
+    * for both arms (the H0 design convention). Statistics are NULL
+    * when either arm is empty or p_c is degenerate (0 or 1).
+    *
+    * Shape: ONE whole-corpus aggregation (4 conditional counts), 1 row
+    * out. */
+  def powerMde(df: DataFrame, treated: Column, success: Column,
+      dp: Int = 6): DataFrame = {
+    val zA = 1.9599639845400545
+    val zB = 0.8416212335729143
+    val a = df.select(treated.cast("boolean").as("__t"),
+        success.cast("boolean").as("__s"))
+      .where(col("__t").isNotNull && col("__s").isNotNull)
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t") && col("__s"), 1L).otherwise(0L)).as("__xt"),
+        sum(when(!col("__t") && col("__s"), 1L).otherwise(0L)).as("__xc"))
+    val pt = col("__xt").cast("double") / col("n_t")
+    val pc = col("__xc").cast("double") / col("n_c")
+    val se0 = sqrt(pc * (lit(1.0) - pc) *
+      (lit(1.0) / col("n_t") + lit(1.0) / col("n_c")))
+    val ok = col("n_t") > 0 && col("n_c") > 0 && pc > 0.0 && pc < 1.0
+    a.select(col("n_t"), col("n_c"),
+      when(col("n_c") > 0, round(pc, dp)).as("rate_c"),
+      when(col("n_t") > 0, round(pt, dp)).as("rate_t"),
+      when(col("n_t") > 0 && col("n_c") > 0, round(pt - pc, dp)).as("lift"),
+      when(ok, round(lit(zA + zB) * se0, dp)).as("mde_80"),
+      when(ok, round(normalCdf(abs(pt - pc) / se0 - lit(zA)), dp))
+        .as("power_observed"))
+  }
+
+  /** Beta-binomial empirical-Bayes shrinkage of per-group rates
+    * (Robbins 1956; the baseball-batting classic): fit a Beta(α, β)
+    * prior to the observed per-group rates by method of moments —
+    * α+β = m(1−m)/v − 1 over the group-rate mean m and sample
+    * variance v — then report each group at its posterior mean
+    * (xᵢ+α)/(nᵢ+α+β). Small groups shrink hard toward the pool, big
+    * groups barely move: the per-source quality/pass-rate leaderboard
+    * that stops a 3-document source from topping the table at 100%.
+    * The MoM fit weights every group equally regardless of nᵢ (the
+    * standard simple form; a likelihood fit would weight by nᵢ).
+    * α and β are ROUNDED at dp before shrinking (the GD-weight
+    * reproducibility discipline) and NULL — with shrunk = raw — when
+    * the prior is undefined (v = 0, or v ≥ m(1−m) which implies a
+    * non-positive concentration).
+    *
+    * Shape: one group-keyed rollup (map-side partial), a 1-row prior
+    * rollup over the GROUP-cardinality-bounded table, broadcast back.
+    * Returns one row per group:
+    * (grp, n, successes, raw_rate, alpha, beta, shrunk_rate). */
+  def ebShrinkage(df: DataFrame, group: Column, success: Column,
+      dp: Int = 6): DataFrame = {
+    val per = df.where(success.isNotNull)
+      .groupBy(group.as("grp"))
+      .agg(count(lit(1L)).as("n"),
+        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("__x"))
+      .withColumn("__r", col("__x").cast("double") / col("n"))
+    val s = col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0
+    val ok = col("__v") > 0.0 && s > 0.0
+    val prior = per.agg(avg(col("__r")).as("__m"),
+        var_samp(col("__r")).as("__v"))
+      .select(round(when(ok, col("__m") * s), dp).as("alpha"),
+        round(when(ok, (lit(1.0) - col("__m")) * s), dp).as("beta"))
+    per.crossJoin(broadcast(prior))
+      .select(col("grp"), col("n"), col("__x").as("successes"),
+        round(col("__r"), dp).as("raw_rate"),
+        col("alpha"), col("beta"),
+        round(when(col("alpha").isNull, col("__r"))
+          .otherwise((col("__x") + col("alpha")) /
+            (col("n") + col("alpha") + col("beta"))), dp).as("shrunk_rate"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a table of test p-values:
     * `p_adj(k) = min over j ≥ k of (K·p_(j) / j)`, clamped to 1 — the
     * step-up control that keeps multi-metric drift dashboards honest.

@@ -3699,6 +3699,20 @@ object PipelineQueries {
         Seq((col("n_chars") % 97) / lit(96.0)),
         iters = 8, lr = 1.0)),
 
+    // Two-proportion power / MDE readout of a deterministic A/B split:
+    // the design-sanity row (minimum detectable lift at 80% power, and
+    // the power the observed lift actually had) — one 4-count rollup.
+    "q_power_mde" -> ((s, dir) =>
+      graft.ops.Analytics.powerMde(t(s, dir, "documents"),
+        col("doc_id") % 2 === 0, col("n_chars") % 7 < 3)),
+
+    // Empirical-Bayes shrinkage of per-source pass rates: Beta prior
+    // from the cross-source rate moments, each source reported at its
+    // posterior mean — the leaderboard fix for tiny-source 100% rates.
+    "q_eb_shrinkage" -> ((s, dir) =>
+      graft.ops.Analytics.ebShrinkage(t(s, dir, "documents"),
+        col("source"), col("n_chars") % 5 === 0).orderBy("grp")),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -4184,6 +4198,53 @@ object PipelineQueries {
     "eval_logreg" -> logregOracle(8),
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
+
+    "q_power_mde" ->
+      """WITH d AS (SELECT doc_id % 2 = 0 AS t, n_chars % 7 < 3 AS s
+        |           FROM documents),
+        |a AS (SELECT CAST(count(*) FILTER (t) AS BIGINT) AS n_t,
+        |        CAST(count(*) FILTER (NOT t) AS BIGINT) AS n_c,
+        |        CAST(count(*) FILTER (t AND s) AS DOUBLE) AS xt,
+        |        CAST(count(*) FILTER (NOT t AND s) AS DOUBLE) AS xc
+        |       FROM d),
+        |b AS (SELECT n_t, n_c, xt / n_t AS pt, xc / n_c AS pc FROM a),
+        |c AS (SELECT *, sqrt(pc * (1 - pc) *
+        |        (1.0 / n_t + 1.0 / n_c)) AS se0 FROM b),
+        |e AS (SELECT *,
+        |        abs(pt - pc) / se0 - 1.9599639845400545 AS x FROM c),
+        |f AS (SELECT *, (exp(-0.5 * x * x) / 2.5066282746310002) *
+        |   ((1 / (1 + 0.2316419 * abs(x))) * (0.319381530 +
+        |    (1 / (1 + 0.2316419 * abs(x))) * (-0.356563782 +
+        |    (1 / (1 + 0.2316419 * abs(x))) * (1.781477937 +
+        |    (1 / (1 + 0.2316419 * abs(x))) * (-1.821255978 +
+        |    (1 / (1 + 0.2316419 * abs(x))) * 1.330274429))))) AS pp
+        |  FROM e)
+        |SELECT n_t, n_c, round(pc, 6) AS rate_c, round(pt, 6) AS rate_t,
+        | round(pt - pc, 6) AS lift,
+        | round((1.9599639845400545 + 0.8416212335729143) * se0, 6)
+        |   AS mde_80,
+        | round(CASE WHEN x >= 0 THEN 1 - pp ELSE pp END, 6)
+        |   AS power_observed
+        |FROM f""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      """WITH per AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(*) FILTER (n_chars % 5 = 0) AS BIGINT) AS x
+        |       FROM documents GROUP BY 1),
+        |pr AS (SELECT avg(CAST(x AS DOUBLE) / n) AS m,
+        |        var_samp(CAST(x AS DOUBLE) / n) AS v FROM per),
+        |ab AS (SELECT
+        |        CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+        |             THEN round(m * (m * (1 - m) / v - 1), 6) END AS alpha,
+        |        CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+        |             THEN round((1 - m) * (m * (1 - m) / v - 1), 6) END
+        |          AS beta
+        |       FROM pr)
+        |SELECT grp, n, x AS successes,
+        | round(CAST(x AS DOUBLE) / n, 6) AS raw_rate, alpha, beta,
+        | round(CASE WHEN alpha IS NULL THEN CAST(x AS DOUBLE) / n
+        |       ELSE (x + alpha) / (n + alpha + beta) END, 6) AS shrunk_rate
+        |FROM per, ab ORDER BY grp""".stripMargin,
 
     "pipeline_budget_select" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,

@@ -3838,4 +3838,53 @@ class AnalyticsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("each arm"), e.getMessage)
   }
+
+  test("powerMde: hand-computed MDE and power; degenerate control NULL") {
+    import spark.implicits._
+    // treated 2/4, control 1/4: se0 = sqrt(.25*.75*.5), pc = 0.25
+    val df = (Seq(true, true, false, false).map((true, _)) ++
+      Seq(true, false, false, false).map((false, _))).toDF("t", "s")
+    val r = Analytics.powerMde(df, col("t"), col("s")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4, s"$r")
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 0.5, s"$r")
+    assert(r.getDouble(4) == 0.25, s"$r")
+    val se0 = math.sqrt(0.25 * 0.75 * 0.5)
+    val mde = (1.9599639845400545 + 0.8416212335729143) * se0
+    assert(math.abs(r.getDouble(5) - mde) < 1e-6, s"$r")
+    // x = .25/se0 - 1.96 = -1.1434: power ~ Phi(-1.14) ~ 0.126
+    assert(r.getDouble(6) > 0.12 && r.getDouble(6) < 0.14, s"$r")
+    // control never converts: pc = 0 -> design stats NULL
+    val deg = (Seq(true, false).map((true, _)) ++
+      Seq(false, false).map((false, _))).toDF("t", "s")
+    val rd = Analytics.powerMde(deg, col("t"), col("s")).head()
+    assert(rd.isNullAt(5) && rd.isNullAt(6), s"$rd")
+  }
+
+  test("ebShrinkage: MoM prior hand-computed; tiny group pulled in; flat NULL prior") {
+    import spark.implicits._
+    // rates .5, .3, 1.0: m=.6 v=.13 -> a+b = .24/.13-1, alpha=.6s beta=.4s
+    val rows = Seq.fill(5)(("a", true)) ++ Seq.fill(5)(("a", false)) ++
+      Seq.fill(3)(("b", true)) ++ Seq.fill(7)(("b", false)) ++
+      Seq.fill(2)(("c", true))
+    val r = Analytics.ebShrinkage(rows.toDF("g", "s"), col("g"), col("s"))
+      .orderBy("grp").collect()
+    val s = 0.24 / 0.13 - 1.0
+    val al = BigDecimal(0.6 * s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val be = BigDecimal(0.4 * s).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(0).getDouble(4) - al) < 1e-9, r.mkString)
+    assert(math.abs(r(0).getDouble(5) - be) < 1e-9, r.mkString)
+    // tiny 2/2 group shrinks well below 1.0; 10-row groups barely move
+    val cShrunk = r(2).getDouble(6)
+    assert(math.abs(cShrunk - (2.0 + al) / (2.0 + al + be)) < 1e-6, s"$cShrunk")
+    assert(cShrunk < 0.9, s"$cShrunk")
+    assert(math.abs(r(0).getDouble(6) - 0.5) < 0.01, r.mkString)
+    // all groups at the same rate: v = 0 -> NULL prior, shrunk = raw
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+    val rf = Analytics.ebShrinkage(flat.toDF("g", "s"), col("g"), col("s"))
+      .orderBy("grp").collect()
+    assert(rf.forall(_.isNullAt(4)) && rf.forall(_.getDouble(6) == 0.5),
+      rf.mkString)
+  }
 }
