@@ -68,6 +68,62 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x) / lit(scale))
   }
 
+  /** Explicit random-feature map for [[mmdRff]] (Rahimi & Recht, NeurIPS
+    * 2007 shape): feature j of x is √(2/D)·cos(γ·pⱼ(x) + 2πj/D), where
+    * pⱼ is the seeded Rademacher projection of [[randomProject]] and the
+    * phases are the deterministic 2πj/D grid (a FIXED feature map — the
+    * kernel it induces is exactly k(x,y) = Σⱼ φⱼ(x)φⱼ(y), PSD by
+    * construction, so the MMD below is a true MMD for that kernel; with
+    * random ω/b it would approximate the Gaussian kernel, but a
+    * deterministic map is what lets an oracle replay every coordinate).
+    * Pure Column algebra — no RNG state, no stored matrix. */
+  def rffFeatures(vec: Column, numFeatures: Int, gamma: Double = 1.0,
+      seed: Long = 42L): Column = {
+    require(numFeatures >= 1, s"numFeatures must be >= 1, got $numFeatures")
+    val p = randomProject(vec, numFeatures, seed)
+    zip_with(p, sequence(lit(0), lit(numFeatures - 1)), (v, j) =>
+      cos(lit(gamma) * v +
+          lit(2.0 * math.Pi / numFeatures) * j.cast("double")) *
+        lit(math.sqrt(2.0 / numFeatures)))
+  }
+
+  /** Kernel two-sample drift between two embedding cohorts via the
+    * random-feature MMD: MMD² = ‖mean_A φ(x) − mean_B φ(x)‖² over the
+    * [[rffFeatures]] map — the KERNEL companion of [[energyCurve]]
+    * (energy distance sees moments through pairwise Euclidean gaps;
+    * the cos features register distribution shape that means and
+    * covariances miss, e.g. a bimodal split with matched first two
+    * moments). Zero when the cohorts coincide; grows with any
+    * detectable shift under the induced kernel.
+    *
+    * Shape: NO pairwise anything — one in-scan feature map, one
+    * posexplode to (feature, value) scalars (exchange volume D·n
+    * scalars, partial-aggregated to D rows map-side), a D-row diff
+    * rollup, 1 row out. The estimator is the V-statistic (plug-in
+    * means); at corpus n the O(1/n) bias is far below reporting
+    * precision. mmd2 is NULL when either cohort is empty. */
+  def mmdRff(df: DataFrame, vecCol: String, inA: Column,
+      numFeatures: Int = 64, gamma: Double = 1.0, seed: Long = 42L,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(inA.cast("boolean").as("__a"),
+        rffFeatures(col(vecCol), numFeatures, gamma, seed).as("__phi"))
+      .where(col("__a").isNotNull && col("__phi").isNotNull)
+    val pos = base.select(col("__a"),
+      posexplode(col("__phi")).as(Seq("__pos", "__v")))
+    val perPos = pos.groupBy("__pos").agg(
+      avg(when(col("__a"), col("__v"))).as("__ma"),
+      avg(when(!col("__a"), col("__v"))).as("__mb"))
+    val counts = base.agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    perPos.agg(sum((col("__ma") - col("__mb")) *
+        (col("__ma") - col("__mb"))).as("__m2"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_a"), col("n_b"),
+        lit(numFeatures).as("d_features"),
+        when(ok, round(col("__m2"), dp)).as("mmd2"))
+  }
+
   /** Mean-pooled centroid vector per group (per-source / per-cluster
     * embedding aggregation): posexplode to (group, position, value),
     * average per position, reassemble ordered by position. Shuffles

@@ -748,6 +748,15 @@ object PipelineQueries {
       Similarity.energyCurve(t(s, dir, "embeddings"), "embedding",
         Seq(8, 16, 32, 64))),
 
+    // Random-feature MMD between the low- and high-label embedding
+    // cohorts: kernel two-sample drift with NO pairwise stage — one
+    // in-scan deterministic cos-feature map, a 64-row mean-diff
+    // rollup; the oracle replays every feature coordinate against the
+    // seed's sign matrix expanded as a literal.
+    "sim_mmd" -> ((s, dir) =>
+      Similarity.mmdRff(t(s, dir, "embeddings"), "embedding",
+        col("label") <= 4, numFeatures = 64, gamma = 1.0)),
+
     // Rule-based topic tagging (seeded keyword taxonomies): per-doc
     // best-scoring topic with first-listed tie-break, "none" below the
     // threshold — in-scan, zero shuffles until the summary rollup.
@@ -4194,10 +4203,47 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The seeded Rademacher sign matrix of Similarity.randomProject,
+    * replayed in plain Scala long arithmetic (same xor-fold/multiply
+    * rounds, every intermediate masked to 32 bits) and formatted as a
+    * DuckDB nested-list literal for the sim_project / sim_mmd oracles. */
+  private def rffSignRows(outDim: Int, dim: Int, seed: Long): String =
+    (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val m = 4294967295L
+        val h1 = i.toLong * 2654435761L + j.toLong * 97L + seed
+        val h2 = (((h1 >> 13) ^ h1) & m) * 40503L
+        val h3 = (((h2 >> 11) ^ h2) & m) * 69069L
+        val h4 = (h3 >> 9) ^ h3
+        1L - 2L * ((h4 >> 3) & 1L)
+      }.mkString("[", ",", "]")
+    }.mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
+
+    "sim_mmd" ->
+      s"""WITH sg AS (SELECT ${rffSignRows(64, 64, 42L)} AS m),
+        |e AS (SELECT CASE WHEN label <= 4 THEN 1 ELSE 0 END AS a,
+        |        embedding FROM embeddings),
+        |p AS (SELECT a, list_transform(range(1, 65), j ->
+        |    cos(1.0 * (list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |          * m[CAST(j AS INT)][CAST(i AS INT)])) / sqrt(64.0))
+        |      + 2 * pi() / 64 * (j - 1)) * sqrt(2.0 / 64)) AS phi
+        |   FROM e, sg),
+        |x AS (SELECT a, unnest(phi) AS v, unnest(range(0, 64)) AS pos
+        |      FROM p),
+        |pp AS (SELECT pos, avg(CASE WHEN a = 1 THEN v END) AS ma,
+        |        avg(CASE WHEN a = 0 THEN v END) AS mb FROM x GROUP BY 1),
+        |c AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |       CAST(count(*) - sum(a) AS BIGINT) AS n_b FROM e)
+        |SELECT n_a, n_b, 64 AS d_features,
+        | CASE WHEN n_a > 0 AND n_b > 0
+        |   THEN round(sum((ma - mb) * (ma - mb)), 6) END AS mmd2
+        |FROM pp, c GROUP BY n_a, n_b""".stripMargin,
 
     "q_power_mde" ->
       """WITH d AS (SELECT doc_id % 2 = 0 AS t, n_chars % 7 < 3 AS s

@@ -1071,6 +1071,33 @@ class PipelineSpec extends SparkSuite {
     assert(r(4) == ((2L, 1.0)), s"$r")
   }
 
+  test("mmdRff: identical cohorts zero; shifted cohorts positive; empty arm NULL") {
+    // same multiset on both sides: per-feature means coincide -> 0
+    val vs = Seq(Seq(1.0f, 0.0f, 2.0f), Seq(0.0f, 3.0f, 1.0f),
+      Seq(2.0f, 2.0f, 2.0f))
+    val same = (vs.map((_, true)) ++ vs.map((_, false)))
+      .toDF("embedding", "ina")
+    val r0 = Similarity.mmdRff(same, "embedding", col("ina"),
+      numFeatures = 16).head()
+    assert(r0.getLong(0) == 3 && r0.getLong(1) == 3, s"$r0")
+    assert(r0.getDouble(3) == 0.0, s"$r0")
+    // arm B shifted far away: strictly positive, bounded by 2*sum(phi^2)
+    val far = (vs.map((_, true)) ++
+      vs.map(v => (v.map(_ + 50.0f), false))).toDF("embedding", "ina")
+    val r1 = Similarity.mmdRff(far, "embedding", col("ina"),
+      numFeatures = 16).head()
+    assert(r1.getDouble(3) > 0.0 && r1.getDouble(3) < 8.0, s"$r1")
+    // empty arm: NULL statistic
+    val one = vs.map((_, true)).toDF("embedding", "ina")
+    val re = Similarity.mmdRff(one, "embedding", col("ina"),
+      numFeatures = 16).head()
+    assert(re.isNullAt(3), s"$re")
+    // deterministic across runs (no RNG state)
+    val r2 = Similarity.mmdRff(far, "embedding", col("ina"),
+      numFeatures = 16).head()
+    assert(r1.getDouble(3) == r2.getDouble(3))
+  }
+
   test("topicTag: score arithmetic, first-listed tie-break, none-threshold, empty text") {
     val docs = Seq(
       (1L, "join hash filter stream"),  // joins 2/4, streaming 1/4 → joins 0.5
