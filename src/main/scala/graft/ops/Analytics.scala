@@ -1018,6 +1018,78 @@ object Analytics {
       when(col("__sv") > 0.0, chi2 > chiSq95(lit(1.0))).as("reject_05"))
   }
 
+  /** Breslow–Day homogeneity test (Breslow & Day 1980, §IV.4): is the
+    * odds ratio actually COMMON across strata — the assumption
+    * [[cmhTest]] pools under without checking. Per stratum, the
+    * expected exposed-success count ã under the MH common odds ratio ψ
+    * solves the quadratic (ψ−1)ã² − [ψ(r₁+c₁) + (n−r₁−c₁)]ã + ψr₁c₁ = 0
+    * (the root keeping all four expected cells positive; linear
+    * ã = r₁c₁/n when ψ = 1), with asymptotic variance
+    * V = 1/(1/ã + 1/(r₁−ã) + 1/(c₁−ã) + 1/(n−r₁−c₁+ã)); then
+    * BD = Σ (a−ã)²/V is χ²(K−1) under homogeneity. A REJECT here means
+    * q_cmh's pooled or_mh is averaging genuinely different effects —
+    * report per-stratum ORs instead. (The small Tarone adjustment is
+    * omitted; it shifts BD by O(1) in the last term and matters only
+    * at tiny strata counts.)
+    *
+    * Strata where the root falls outside (max(0, r₁+c₁−n), min(r₁, c₁))
+    * or V ≤ 0 (degenerate margins — an empty arm or outcome) carry no
+    * information about ψ and are excluded; `n_used` counts the rest and
+    * df = n_used − 1. `reject_05` (vs [[chiSq95]]) is NULL when
+    * n_used < 2 or ψ is undefined.
+    *
+    * Shape: the [[cmhTest]] exchanges exactly — one stratum-keyed
+    * 4-count rollup, a broadcast 1-row ψ, per-stratum closed-form
+    * algebra on the strata-bounded table, 1 row out. */
+  def breslowDay(df: DataFrame, strata: Column, exposed: Column,
+      success: Column, dp: Int = 6): DataFrame = {
+    val base = df.select(strata.as("__g"), exposed.cast("boolean").as("__e"),
+        success.cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__e").isNotNull &&
+        col("__y").isNotNull)
+    val per = base.groupBy("__g").agg(
+      sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("__b"),
+      sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("__c"),
+      sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("__d"))
+    val nn = (col("__a") + col("__b") + col("__c") + col("__d"))
+      .cast("double")
+    val psiTab = per.agg(
+      sum(col("__a").cast("double") * col("__d") / nn).as("__sad"),
+      sum(col("__b").cast("double") * col("__c") / nn).as("__sbc"))
+      .select(when(col("__sbc") > 0.0, col("__sad") / col("__sbc"))
+        .as("__psi"))
+    val r1 = (col("__a") + col("__b")).cast("double")
+    val c1 = (col("__a") + col("__c")).cast("double")
+    val psi = col("__psi")
+    val aa = psi - 1.0
+    val bp = psi * (r1 + c1) + (nn - r1 - c1)
+    val cc = psi * r1 * c1
+    val atil = when(abs(aa) < 1e-12, r1 * c1 / nn)
+      .otherwise((bp - sqrt(bp * bp - lit(4.0) * aa * cc)) / (lit(2.0) * aa))
+    val v = lit(1.0) / (lit(1.0) / atil + lit(1.0) / (r1 - atil) +
+      lit(1.0) / (c1 - atil) + lit(1.0) / (nn - r1 - c1 + atil))
+    val valid = psi.isNotNull &&
+      atil > greatest(lit(0.0), r1 + c1 - nn) && atil < least(r1, c1) &&
+      v > 0.0
+    val term = (col("__a") - atil) * (col("__a") - atil) / v
+    val agg = per.crossJoin(broadcast(psiTab)).agg(
+      count(lit(1L)).as("n_strata"),
+      sum(when(valid, 1L).otherwise(0L)).as("n_used"),
+      sum(when(valid, term)).as("__bd"),
+      first(psi).as("__p"))
+    val dfree = (col("n_used") - 1).cast("double")
+    agg.select(col("n_strata"), col("n_used"),
+      round(col("__p"), dp).as("or_mh"),
+      when(col("n_used") >= 2, round(coalesce(col("__bd"), lit(0.0)), dp))
+        .as("bd_chi2"),
+      when(col("n_used") >= 2, col("n_used") - 1).as("df"),
+      when(col("n_used") < 2 || col("__p").isNull,
+          lit(null).cast("boolean"))
+        .otherwise(coalesce(col("__bd"), lit(0.0)) > chiSq95(dfree))
+        .as("reject_05"))
+  }
+
   /** χ²₀.₉₅(d): exact table constants for d ≤ 4 (Wilson–Hilferty is
     * ~2.5% LOW at d = 1 — 3.747 vs the true 3.841 — which made df=1
     * verdicts mildly anti-conservative), the Wilson–Hilferty cube

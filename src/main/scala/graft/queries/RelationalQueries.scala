@@ -1093,6 +1093,14 @@ object RelationalQueries {
         col("n_chars") % 2 === 0,
         col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0)),
 
+    // Breslow-Day homogeneity on the SAME stratified 2x2 panel: may
+    // q_cmh pool at all? Per-stratum expected cells under the common
+    // OR from the closed-form quadratic root, chi2(K-1) verdict.
+    "q_breslow_day" -> ((s, dir) =>
+      Analytics.breslowDay(t(s, dir, "documents"), col("lang"),
+        col("n_chars") % 2 === 0,
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0)),
+
     // Wilcoxon signed-rank on two deterministic paired pseudo-metrics
     // over the SAME docs (the q_mcnemar construction, continuous): the
     // paired companion of q_mann_whitney — integer differences keep
@@ -3376,6 +3384,60 @@ object RelationalQueries {
         |  THEN (sa - se) * (sa - se) / sv > 3.841458820694124 END
         |   AS reject_05
         |FROM ag""".stripMargin,
+
+    "q_breslow_day" ->
+      """WITH b AS (SELECT lang AS g, n_chars % 2 = 0 AS e,
+        |        doc_id % 3 = 0 OR n_chars % 5 = 0 AS y FROM documents),
+        |per AS (SELECT g,
+        |        CAST(count(*) FILTER (e AND y) AS BIGINT) AS a,
+        |        CAST(count(*) FILTER (e AND NOT y) AS BIGINT) AS bb,
+        |        CAST(count(*) FILTER (NOT e AND y) AS BIGINT) AS c,
+        |        CAST(count(*) FILTER (NOT e AND NOT y) AS BIGINT) AS d
+        |       FROM b GROUP BY 1),
+        |ps AS (SELECT CASE WHEN
+        |         sum(CAST(bb AS DOUBLE) * c / (a + bb + c + d)) > 0
+        |        THEN sum(CAST(a AS DOUBLE) * d / (a + bb + c + d))
+        |           / sum(CAST(bb AS DOUBLE) * c / (a + bb + c + d)) END
+        |         AS psi
+        |       FROM per),
+        |t AS (SELECT a, CAST(a + bb + c + d AS DOUBLE) AS nn,
+        |       CAST(a + bb AS DOUBLE) AS r1, CAST(a + c AS DOUBLE) AS c1,
+        |       psi FROM per, ps),
+        |q AS (SELECT a, nn, r1, c1, psi,
+        |       CASE WHEN abs(psi - 1.0) < 1e-12 THEN r1 * c1 / nn
+        |            ELSE (psi * (r1 + c1) + (nn - r1 - c1)
+        |              - sqrt((psi * (r1 + c1) + (nn - r1 - c1))
+        |                   * (psi * (r1 + c1) + (nn - r1 - c1))
+        |                 - 4.0 * (psi - 1.0) * (psi * r1 * c1)))
+        |              / (2.0 * (psi - 1.0)) END AS atil
+        |      FROM t),
+        |w AS (SELECT a, atil,
+        |       1.0 / (1.0 / atil + 1.0 / (r1 - atil) + 1.0 / (c1 - atil)
+        |         + 1.0 / (nn - r1 - c1 + atil)) AS v,
+        |       psi IS NOT NULL AND atil > greatest(0.0, r1 + c1 - nn)
+        |         AND atil < least(r1, c1) AS inb
+        |      FROM q),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |        CAST(count(*) FILTER (inb AND v > 0) AS BIGINT) AS n_used,
+        |        sum(CASE WHEN inb AND v > 0
+        |             THEN (a - atil) * (a - atil) / v END) AS bd
+        |       FROM w)
+        |SELECT n_strata, n_used,
+        | round((SELECT psi FROM ps), 6) AS or_mh,
+        | CASE WHEN n_used >= 2 THEN round(coalesce(bd, 0.0), 6) END
+        |   AS bd_chi2,
+        | CASE WHEN n_used >= 2 THEN n_used - 1 END AS df,
+        | CASE WHEN n_used >= 2 AND (SELECT psi FROM ps) IS NOT NULL
+        |  THEN coalesce(bd, 0.0) >
+        |    CASE WHEN n_used - 1 = 1 THEN 3.841458820694124
+        |         WHEN n_used - 1 = 2 THEN 5.991464547107979
+        |         WHEN n_used - 1 = 3 THEN 7.814727903251179
+        |         WHEN n_used - 1 = 4 THEN 9.487729036781154
+        |         ELSE (n_used - 1) * pow(1 - 2.0 / (9 * (n_used - 1)) +
+        |           1.644853626951473 * sqrt(2.0 / (9 * (n_used - 1))), 3)
+        |    END
+        | END AS reject_05
+        |FROM agg""".stripMargin,
 
     "q_signed_rank" ->
       """WITH s AS (SELECT CAST(n_chars % 97 AS DOUBLE) - (n_chars % 89) AS d

@@ -3887,4 +3887,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(rf.forall(_.isNullAt(4)) && rf.forall(_.getDouble(6) == 0.5),
       rf.mkString)
   }
+
+  test("breslowDay: homogeneous strata give 0; opposed ORs positive; 1 stratum NULL") {
+    import spark.implicits._
+    def cell(g: String, e: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((g, e, y))
+    // both strata at OR = 2 exactly -> psi = 2, a-tilde = a, BD = 0
+    val homo = (cell("s1", true, true, 10) ++ cell("s1", true, false, 10) ++
+      cell("s1", false, true, 5) ++ cell("s1", false, false, 10) ++
+      cell("s2", true, true, 4) ++ cell("s2", true, false, 2) ++
+      cell("s2", false, true, 2) ++ cell("s2", false, false, 2))
+      .toDF("g", "e", "y")
+    val r = Analytics.breslowDay(homo, col("g"), col("e"), col("y")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 2.0, s"$r")
+    assert(math.abs(r.getDouble(3)) < 1e-6, s"$r")
+    assert(r.getLong(4) == 1 && !r.getBoolean(5), s"$r")
+    // opposed strata (OR 9 vs 1/9): BD strictly positive
+    val het = (cell("s1", true, true, 9) ++ cell("s1", true, false, 1) ++
+      cell("s1", false, true, 1) ++ cell("s1", false, false, 1) ++
+      cell("s2", true, true, 1) ++ cell("s2", true, false, 9) ++
+      cell("s2", false, true, 9) ++ cell("s2", false, false, 9))
+      .toDF("g", "e", "y")
+    val rh = Analytics.breslowDay(het, col("g"), col("e"), col("y")).head()
+    assert(rh.getDouble(3) > 1.0, s"$rh")
+    // a single stratum carries no homogeneity question: df/verdict NULL
+    val one = (cell("s1", true, true, 5) ++ cell("s1", true, false, 5) ++
+      cell("s1", false, true, 5) ++ cell("s1", false, false, 5))
+      .toDF("g", "e", "y")
+    val ro = Analytics.breslowDay(one, col("g"), col("e"), col("y")).head()
+    assert(ro.getLong(1) == 1 && ro.isNullAt(3) && ro.isNullAt(4) &&
+      ro.isNullAt(5), s"$ro")
+  }
 }
