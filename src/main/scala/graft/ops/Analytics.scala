@@ -1837,6 +1837,90 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** TOST equivalence test (Schuirmann 1987): is cohort A's mean
+    * EQUIVALENT to the rest's within ±`delta` — the question every
+    * "no significant difference" misreads (failing to reject H0 is not
+    * evidence of equivalence; TOST makes equivalence the alternative).
+    * Two one-sided Welch z tests: z₁ = (Δ+δ)/se against Δ ≤ −δ and
+    * z₂ = (δ−Δ)/se against Δ ≥ δ; both must exceed z₀.₉₅
+    * (1.6448536269514722) to declare equivalence at 5% — identically,
+    * the 90% CI [Δ ± z₀.₉₅·se] must sit inside (−δ, δ), which is the
+    * readout shipped beside the verdict. The pipeline use: "the
+    * re-tokenized corpus's mean doc length is the same to within 50
+    * chars" is a claim TOST can certify and a plain t-test never can.
+    *
+    * Normal (z) critical values — corpus-scale n makes Welch df
+    * corrections vanish; `equivalent_05` is NULL when either cohort
+    * has n < 2 or se = 0. Shape: ONE whole-corpus rollup (per-cohort
+    * count/mean/variance via conditional aggregates), 1 row out. */
+  def tostEquivalence(df: DataFrame, value: Column, inA: Column,
+      delta: Double, dp: Int = 6): DataFrame = {
+    require(delta > 0, s"delta must be positive, got $delta")
+    val z95 = 1.6448536269514722
+    val v = value.cast("double")
+    val a = df.where(value.isNotNull && inA.isNotNull)
+      .select(v.as("__v"), inA.cast("boolean").as("__a"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        avg(when(col("__a"), col("__v"))).as("__ma"),
+        avg(when(!col("__a"), col("__v"))).as("__mb"),
+        var_samp(when(col("__a"), col("__v"))).as("__va"),
+        var_samp(when(!col("__a"), col("__v"))).as("__vb"))
+    val se = sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))
+    val diff = col("__ma") - col("__mb")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se > 0.0
+    a.select(col("n_a"), col("n_b"),
+      round(diff, dp).as("diff"),
+      when(ok, round(se, dp)).as("se"),
+      when(ok, round(diff - lit(z95) * se, dp)).as("ci90_lo"),
+      when(ok, round(diff + lit(z95) * se, dp)).as("ci90_hi"),
+      lit(delta).as("delta"),
+      when(ok, (diff + lit(delta)) / se > z95 &&
+        (lit(delta) - diff) / se > z95).as("equivalent_05"))
+  }
+
+  /** Chapman capture–recapture estimate (Chapman 1951): how big is the
+    * population two independent detectors are each catching part of —
+    *
+    *   N̂ = (n_A+1)(n_B+1)/(m+1) − 1,   m = |A ∩ B|
+    *
+    * with Seber's variance (n_A+1)(n_B+1)(n_A−m)(n_B−m)/((m+1)²(m+2)).
+    * The pipeline reading: run two DIFFERENT near-dup detectors
+    * (MinHash and SimHash, say) over the same corpus; the overlap of
+    * their catch lists estimates the TRUE duplicate population,
+    * `coverage_union` says what fraction the union actually caught,
+    * and N̂ − n_union is the estimated count still slipping through —
+    * turning "we caught 1.2M dups" into "an estimated 0.3M remain".
+    * Assumes independent detectors and homogeneous catchability
+    * (positively correlated detectors bias N̂ LOW — treat it as a
+    * floor). Estimates are NULL when either list is empty.
+    *
+    * Shape: ONE whole-corpus rollup (3 conditional counts), 1 row
+    * out. */
+  def captureRecapture(df: DataFrame, caughtA: Column, caughtB: Column,
+      dp: Int = 6): DataFrame = {
+    val ca = caughtA.cast("boolean")
+    val cb = caughtB.cast("boolean")
+    val a = df.select(ca.as("__a"), cb.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("__a") || col("__b"), 1L).otherwise(0L)).as("n_union"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val m = col("n_both").cast("double")
+    val nHat = (nA + 1) * (nB + 1) / (m + 1) - 1
+    val varHat = (nA + 1) * (nB + 1) * (nA - m) * (nB - m) /
+      ((m + 1) * (m + 1) * (m + 2))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    a.select(col("n_a"), col("n_b"), col("n_both"), col("n_union"),
+      when(ok, round(nHat, dp)).as("n_hat"),
+      when(ok, round(sqrt(varHat), dp)).as("se"),
+      when(ok && nHat > 0, round(col("n_union") / nHat, dp))
+        .as("coverage_union"))
+  }
+
   /** Two-proportion power / minimum-detectable-effect analysis of an
     * A/B assignment: from the observed arm sizes and the CONTROL rate,
     * the design's MDE at α=0.05 (two-sided) and 80% power —

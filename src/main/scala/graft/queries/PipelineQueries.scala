@@ -3722,6 +3722,22 @@ object PipelineQueries {
       graft.ops.Analytics.ebShrinkage(t(s, dir, "documents"),
         col("source"), col("n_chars") % 5 === 0).orderBy("grp")),
 
+    // TOST equivalence of en vs rest mean doc length within +/-50
+    // chars: certifies "the same, within margin" — the claim a plain
+    // t-test's non-rejection never supports; 90% CI shipped beside the
+    // two one-sided verdicts.
+    "q_tost" -> ((s, dir) =>
+      graft.ops.Analytics.tostEquivalence(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en", delta = 50.0)),
+
+    // Chapman capture-recapture over two deterministic pseudo-detector
+    // catch lists: estimated true dup population, what the union
+    // actually caught, and the remainder still slipping through.
+    "dedup_capture_recapture" -> ((s, dir) =>
+      graft.ops.Analytics.captureRecapture(t(s, dir, "documents"),
+        col("n_chars") % 3 === 0 && col("doc_id") % 2 === 0,
+        col("n_chars") % 3 === 0 && col("n_chars") % 5 < 3)),
+
     // Kneser-Ney bigram perplexity per language: the corpus-drift /
     // filtering readout with continuation-count smoothing; all model
     // tables vocabulary-bounded rollups, scoring joins the gram-bounded
@@ -4291,6 +4307,56 @@ object PipelineQueries {
         | round(CASE WHEN alpha IS NULL THEN CAST(x AS DOUBLE) / n
         |       ELSE (x + alpha) / (n + alpha + beta) END, 6) AS shrunk_rate
         |FROM per, ab ORDER BY grp""".stripMargin,
+
+    "q_tost" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |        lang = 'en' AS a FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |        CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b,
+        |        avg(v) FILTER (a) AS ma, avg(v) FILTER (NOT a) AS mb,
+        |        var_samp(v) FILTER (a) AS va,
+        |        var_samp(v) FILTER (NOT a) AS vb
+        |       FROM d),
+        |c AS (SELECT *, ma - mb AS diff,
+        |        sqrt(va / n_a + vb / n_b) AS se FROM g)
+        |SELECT n_a, n_b, round(diff, 6) AS diff,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+        |      THEN round(se, 6) END AS se,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+        |      THEN round(diff - 1.6448536269514722 * se, 6) END AS ci90_lo,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+        |      THEN round(diff + 1.6448536269514722 * se, 6) END AS ci90_hi,
+        | CAST(50.0 AS DOUBLE) AS delta,
+        | CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+        |      THEN (diff + 50.0) / se > 1.6448536269514722
+        |       AND (50.0 - diff) / se > 1.6448536269514722 END
+        |   AS equivalent_05
+        |FROM c""".stripMargin,
+
+    "dedup_capture_recapture" ->
+      """WITH d AS (SELECT n_chars % 3 = 0 AND doc_id % 2 = 0 AS a,
+        |        n_chars % 3 = 0 AND n_chars % 5 < 3 AS b FROM documents),
+        |g AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |        CAST(count(*) FILTER (b) AS BIGINT) AS n_b,
+        |        CAST(count(*) FILTER (a AND b) AS BIGINT) AS n_both,
+        |        CAST(count(*) FILTER (a OR b) AS BIGINT) AS n_union
+        |       FROM d),
+        |c AS (SELECT *,
+        |        (CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+        |          / (CAST(n_both AS DOUBLE) + 1) - 1 AS nhat,
+        |        (CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+        |          * (CAST(n_a AS DOUBLE) - n_both)
+        |          * (CAST(n_b AS DOUBLE) - n_both)
+        |          / ((CAST(n_both AS DOUBLE) + 1)
+        |             * (CAST(n_both AS DOUBLE) + 1)
+        |             * (CAST(n_both AS DOUBLE) + 2)) AS vhat
+        |       FROM g)
+        |SELECT n_a, n_b, n_both, n_union,
+        | CASE WHEN n_a > 0 AND n_b > 0 THEN round(nhat, 6) END AS n_hat,
+        | CASE WHEN n_a > 0 AND n_b > 0 THEN round(sqrt(vhat), 6) END AS se,
+        | CASE WHEN n_a > 0 AND n_b > 0 AND nhat > 0
+        |      THEN round(n_union / nhat, 6) END AS coverage_union
+        |FROM c""".stripMargin,
 
     "pipeline_budget_select" ->
       """WITH d AS (SELECT doc_id, CAST(n_chars % 97 AS DOUBLE)/96 AS s,

@@ -3919,4 +3919,48 @@ class AnalyticsSpec extends SparkSuite {
     assert(ro.getLong(1) == 1 && ro.isNullAt(3) && ro.isNullAt(4) &&
       ro.isNullAt(5), s"$ro")
   }
+
+  test("tostEquivalence: equal means certify within wide margin, not narrow; se=0 NULL") {
+    import spark.implicits._
+    // ma = mb = 12, va = 4, vb = 1 -> se = sqrt(5/3)
+    val df = (Seq(10.0, 12.0, 14.0).map((_, true)) ++
+      Seq(11.0, 12.0, 13.0).map((_, false))).toDF("v", "a")
+    val se = math.sqrt(4.0 / 3.0 + 1.0 / 3.0)
+    val r = Analytics.tostEquivalence(df, col("v"), col("a"), delta = 3.0)
+      .head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3, s"$r")
+    assert(r.getDouble(2) == 0.0, s"$r")
+    assert(math.abs(r.getDouble(3) - se) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - (-1.6448536269514722 * se)) < 1e-5,
+      s"$r")
+    assert(r.getBoolean(7), s"delta=3 > z95*se must certify: $r")
+    // margin tighter than the CI: cannot certify
+    val rn = Analytics.tostEquivalence(df, col("v"), col("a"), delta = 1.0)
+      .head()
+    assert(!rn.getBoolean(7), s"$rn")
+    // zero variance both arms: se = 0 -> NULL verdict
+    val const = (Seq(5.0, 5.0).map((_, true)) ++
+      Seq(5.0, 5.0).map((_, false))).toDF("v", "a")
+    val rc = Analytics.tostEquivalence(const, col("v"), col("a"), 1.0).head()
+    assert(rc.isNullAt(3) && rc.isNullAt(7), s"$rc")
+  }
+
+  test("captureRecapture: Chapman estimate hand-computed; empty list NULL") {
+    import spark.implicits._
+    // nA=20 nB=10 m=5: Nhat = 21*11/6 - 1 = 37.5, var = 68.75
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(15)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(10)((false, false))
+    val r = Analytics.captureRecapture(rows.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(r.getLong(0) == 20 && r.getLong(1) == 10 &&
+      r.getLong(2) == 5 && r.getLong(3) == 25, s"$r")
+    assert(r.getDouble(4) == 37.5, s"$r")
+    assert(math.abs(r.getDouble(5) - math.sqrt(68.75)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(6) - 25.0 / 37.5) < 1e-6, s"$r")
+    // detector B caught nothing: estimates NULL
+    val oneSided = Seq.fill(4)((true, false)).toDF("a", "b")
+    val ro = Analytics.captureRecapture(oneSided, col("a"), col("b")).head()
+    assert(ro.getLong(1) == 0 && ro.isNullAt(4) && ro.isNullAt(5) &&
+      ro.isNullAt(6), s"$ro")
+  }
 }
