@@ -2748,6 +2748,20 @@ object PipelineQueries {
         .orderBy("word")
     }),
 
+    // Personalized PageRank seeded at {join, scan} over the same word
+    // graph: topical authority as seen FROM the seed terms (restart and
+    // dangling mass both teleport to the seeds) — the entity-centric
+    // ranking global PageRank flattens; 3 unrolled iterations restated
+    // row-for-row by the oracle.
+    "graph_ppr" -> ((s, dir) => {
+      val edges = graft.functions.Graph
+        .wordCooccurrenceEdges(t(s, dir, "documents"), "text")
+      graft.functions.Graph.personalizedPageRank(edges, "src", "dst",
+          Seq("join", "scan"), iterations = 3)
+        .select(col("id").as("word"), round(col("r"), 6).as("ppr"))
+        .orderBy("word")
+    }),
+
     // HITS hubs/authorities over the same word co-occurrence graph —
     // PageRank's complement: directories (hubs) vs sources
     // (authorities), L2-normalized per half-step, 2 unrolled
@@ -7024,6 +7038,35 @@ object PipelineQueries {
         |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c3.c,0.0)+s3.s/nn.n) AS r
         |       FROM nodes CROSS JOIN nn CROSS JOIN s3 LEFT JOIN c3 ON nodes.id=c3.id)
         |SELECT id AS word, round(r, 6) AS pr FROM r3 ORDER BY word""".stripMargin,
+
+    "graph_ppr" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT DISTINCT w[i] AS src, w[i+1] AS dst
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |sd AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes
+        |       WHERE id IN ('join', 'scan')),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+        |m0 AS (SELECT id, CASE WHEN id IN ('join', 'scan')
+        |        THEN 1.0/sd.k ELSE 0.0 END AS sm FROM nodes, sd),
+        |r0 AS (SELECT id, sm AS r FROM m0),
+        |s1 AS (SELECT coalesce(sum(r),0.0) AS s FROM r0 WHERE id NOT IN (SELECT src FROM deg)),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r/deg.outdeg) AS c
+        |       FROM e JOIN r0 ON e.src=r0.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r1 AS (SELECT m0.id, m0.sm, (1 - 0.85)*m0.sm + 0.85*(coalesce(c1.c,0.0)+s1.s*m0.sm) AS r
+        |       FROM m0 CROSS JOIN s1 LEFT JOIN c1 ON m0.id=c1.id),
+        |s2 AS (SELECT coalesce(sum(r),0.0) AS s FROM r1 WHERE id NOT IN (SELECT src FROM deg)),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r/deg.outdeg) AS c
+        |       FROM e JOIN r1 ON e.src=r1.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r2 AS (SELECT r1.id, r1.sm, (1 - 0.85)*r1.sm + 0.85*(coalesce(c2.c,0.0)+s2.s*r1.sm) AS r
+        |       FROM r1 CROSS JOIN s2 LEFT JOIN c2 ON r1.id=c2.id),
+        |s3 AS (SELECT coalesce(sum(r),0.0) AS s FROM r2 WHERE id NOT IN (SELECT src FROM deg)),
+        |c3 AS (SELECT e.dst AS id, sum(r2.r/deg.outdeg) AS c
+        |       FROM e JOIN r2 ON e.src=r2.id JOIN deg ON e.src=deg.src GROUP BY e.dst),
+        |r3 AS (SELECT r2.id, (1 - 0.85)*r2.sm + 0.85*(coalesce(c3.c,0.0)+s3.s*r2.sm) AS r
+        |       FROM r2 CROSS JOIN s3 LEFT JOIN c3 ON r2.id=c3.id)
+        |SELECT id AS word, round(r, 6) AS ppr FROM r3 ORDER BY word""".stripMargin,
 
     "graph_hits" ->
       """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),

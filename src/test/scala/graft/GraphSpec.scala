@@ -27,6 +27,25 @@ class GraphSpec extends SparkSuite {
   }
   import spark.implicits._
 
+  test("personalizedPageRank: two hand-computed iterations; mass conserved; bad seeds fail") {
+    // a->b, b->{a,c}, c dangling; seed = a only
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("s", "d")
+    val out = Graph.personalizedPageRank(edges, "s", "d", Seq("a"),
+        iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1: a=.15, b=.85, c=0; iter2: a=.15+.85*.425, b=.85*.15, c=.85*.425
+    assert(math.abs(out("a") - 0.51125) < 1e-12, s"$out")
+    assert(math.abs(out("b") - 0.1275) < 1e-12, s"$out")
+    assert(math.abs(out("c") - 0.36125) < 1e-12, s"$out")
+    // nothing dangled into the void: total mass stays 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-12, s"$out")
+    // a seed set absent from the graph fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "s", "d", Seq("zz"), iterations = 1)
+    }
+    assert(e.getMessage.contains("seeds"), e.getMessage)
+  }
+
   test("pageRank matches the hand-computed first iteration on a 3-node graph") {
     // A→B, A→C, B→A; C dangling. n=3, r0=1/3 each, S=r(C)=1/3.
     // r1(A) = .05 + .85*(r(B)/1 + S/3) = .05 + .85*(1/3 + 1/9)
