@@ -2829,6 +2829,103 @@ object Analytics {
     }.reduce(_ unionByName _).orderBy("k")
   }
 
+  /** Multi-class classification report: per-class precision/recall/F1
+    * from one (label, pred) confusion rollup, plus `(macro)` and
+    * `(micro)` summary rows — the per-class table [[aucBrier]]'s
+    * threshold-free scores skip, and the first thing to read when a
+    * language-ID or quality classifier ships: macro-F1 catches the
+    * small class the accuracy number hides. Per class: P = tp/n_pred
+    * (NULL when the class is never predicted), R = tp/n_true (NULL when
+    * it never occurs), F1 = 2PR/(P+R) (NULL when both are 0 or either
+    * is NULL). The macro row averages with NULLs as 0 (the scikit-learn
+    * zero-division convention — an unpredicted class PULLS macro-P
+    * down, it does not vanish); micro-P = micro-R = accuracy for
+    * single-label classification, so the micro row carries accuracy in
+    * all three columns.
+    *
+    * Shape: ONE corpus rollup to the |labels|²-bounded confusion table
+    * (map-side partial); everything after rides that bounded table.
+    * Returns (cls, n_true, n_pred, tp, precision, recall, f1) ordered
+    * by cls, with "(macro)"/"(micro)" sorting first. */
+  def classificationReport(df: DataFrame, label: Column, pred: Column,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(label.cast("string").as("__y"),
+        pred.cast("string").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val cells = base.groupBy("__y", "__p").agg(count(lit(1L)).as("__c"))
+    val classes = cells.select(col("__y").as("cls"))
+      .union(cells.select(col("__p").as("cls"))).distinct()
+    val trueC = cells.groupBy(col("__y").as("cls"))
+      .agg(sum(col("__c")).as("n_true"))
+    val predC = cells.groupBy(col("__p").as("cls"))
+      .agg(sum(col("__c")).as("n_pred"))
+    val tpC = cells.where(col("__y") === col("__p"))
+      .select(col("__y").as("cls"), col("__c").as("tp"))
+    val per = classes
+      .join(trueC, Seq("cls"), "left")
+      .join(predC, Seq("cls"), "left")
+      .join(tpC, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred"))
+    val r = when(col("n_true") > 0, col("tp").cast("double") / col("n_true"))
+    val f1 = when(p.isNotNull && r.isNotNull && (p + r) > 0.0,
+      lit(2.0) * p * r / (p + r))
+    val perOut = per.select(col("cls"), col("n_true"), col("n_pred"),
+      col("tp"), round(p, dp).as("precision"), round(r, dp).as("recall"),
+      round(f1, dp).as("f1"))
+    val summary = per.agg(sum(col("n_true")).as("__n"),
+      sum(col("tp")).as("__tp"),
+      avg(coalesce(p, lit(0.0))).as("__mp"),
+      avg(coalesce(r, lit(0.0))).as("__mr"),
+      avg(coalesce(f1, lit(0.0))).as("__mf"))
+    val acc = col("__tp").cast("double") / col("__n")
+    val macroRow = summary.select(lit("(macro)").as("cls"),
+      col("__n").as("n_true"), col("__n").as("n_pred"), col("__tp").as("tp"),
+      round(col("__mp"), dp).as("precision"),
+      round(col("__mr"), dp).as("recall"), round(col("__mf"), dp).as("f1"))
+    val microRow = summary.select(lit("(micro)").as("cls"),
+      col("__n").as("n_true"), col("__n").as("n_pred"), col("__tp").as("tp"),
+      round(acc, dp).as("precision"), round(acc, dp).as("recall"),
+      round(acc, dp).as("f1"))
+    perOut.unionByName(macroRow).unionByName(microRow)
+  }
+
+  /** Regression error metrics in one aggregation: bias (mean signed
+    * error pred−actual), MAE, RMSE, MAPE (over actual ≠ 0 rows only —
+    * `n_mape` reports how many qualified), and R² = 1 − SSE/SStot —
+    * the one-row readout for any numeric predictor (length estimators,
+    * quality regressors, forecast columns). R² is NULL when the
+    * actuals are constant (SStot = 0; "explained variance" is
+    * undefined, not 1), MAPE when no row has a non-zero actual.
+    * SStot comes from raw power sums (Σy² − (Σy)²/n), so the whole
+    * table is ONE map-side-partial scan, 1 row out. */
+  def regressionMetrics(df: DataFrame, actual: Column, predicted: Column,
+      dp: Int = 6): DataFrame = {
+    val base = df.select(actual.cast("double").as("__y"),
+        predicted.cast("double").as("__p"))
+      .where(col("__y").isNotNull && col("__p").isNotNull)
+    val e = col("__p") - col("__y")
+    val a = base.agg(count(lit(1L)).as("n"),
+      sum(when(col("__y") =!= 0.0, 1L).otherwise(0L)).as("n_mape"),
+      sum(e).as("__se"), sum(abs(e)).as("__sae"), sum(e * e).as("__sse"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(when(col("__y") =!= 0.0, abs(e) / abs(col("__y")))).as("__sape"))
+    val nD = col("n").cast("double")
+    val sstot = col("__syy") - col("__sy") * col("__sy") / nD
+    a.select(col("n"), col("n_mape"),
+      when(col("n") > 0, round(col("__se") / nD, dp)).as("bias"),
+      when(col("n") > 0, round(col("__sae") / nD, dp)).as("mae"),
+      when(col("n") > 0, round(sqrt(col("__sse") / nD), dp)).as("rmse"),
+      when(col("n_mape") > 0, round(col("__sape") / col("n_mape"), dp))
+        .as("mape"),
+      when(sstot > 0.0, round(lit(1.0) - col("__sse") / sstot, dp))
+        .as("r2"))
+  }
+
   /** Fairness parity gaps of a binary predictor across slices: per
     * group the selection rate avg(pred), TPR avg(pred | y=1) and FPR
     * avg(pred | y=0); the verdict row reports the max−min spread of

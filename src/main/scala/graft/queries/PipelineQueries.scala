@@ -3360,6 +3360,24 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0), bins = 10)),
 
+    // Multi-class P/R/F1 report of a deterministic lang classifier
+    // that over-predicts "en" on every 4th doc: per-class rows + the
+    // macro/micro summary rows from ONE confusion rollup; macro-F1
+    // exposes the recall the over-prediction costs the other classes.
+    "eval_confusion" -> ((s, dir) =>
+      graft.ops.Analytics.classificationReport(
+        t(s, dir, "documents"), col("lang"),
+        when(col("doc_id") % 4 === 0, lit("en")).otherwise(col("lang")))
+        .orderBy("cls")),
+
+    // Regression error table (bias/MAE/RMSE/MAPE/R^2) of a planted
+    // length predictor with uniform integer error in [-10, 10]: one
+    // power-sum scan, every metric restated by the oracle.
+    "eval_regression_metrics" -> ((s, dir) =>
+      graft.ops.Analytics.regressionMetrics(
+        t(s, dir, "documents"), col("n_chars"),
+        col("n_chars") + (col("doc_id") % 21) - 10)),
+
     // Spiegelhalter's binning-free calibration Z on the SAME
     // pseudo-scorer: every prediction contributes at its own p, so
     // within-bin cancellation (which ECE cannot see) still registers;
@@ -7811,6 +7829,68 @@ object PipelineQueries {
         | round(tsq / n - (rel / n - (syk2 / n - (ty / n) * (ty / n))
         |   + (ty / n) * (1 - ty / n)), 6) AS residual
         |FROM t""".stripMargin,
+
+    "eval_confusion" ->
+      """WITH d AS (SELECT lang AS y,
+        |        CASE WHEN doc_id % 4 = 0 THEN 'en' ELSE lang END AS p
+        |       FROM documents),
+        |cells AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c
+        |          FROM d GROUP BY 1, 2),
+        |cls AS (SELECT y AS cls FROM cells UNION SELECT p FROM cells),
+        |tc AS (SELECT y AS cls, CAST(sum(c) AS BIGINT) AS n_true
+        |       FROM cells GROUP BY 1),
+        |pc AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS n_pred
+        |       FROM cells GROUP BY 1),
+        |tp AS (SELECT y AS cls, CAST(c AS BIGINT) AS tp FROM cells
+        |       WHERE y = p),
+        |per AS (SELECT cls.cls, coalesce(tc.n_true, 0) AS n_true,
+        |        coalesce(pc.n_pred, 0) AS n_pred, coalesce(tp.tp, 0) AS tp
+        |       FROM cls LEFT JOIN tc USING (cls) LEFT JOIN pc USING (cls)
+        |       LEFT JOIN tp USING (cls)),
+        |m AS (SELECT cls, n_true, n_pred, tp,
+        |        CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END
+        |          AS pr,
+        |        CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true END
+        |          AS rc
+        |       FROM per),
+        |m2 AS (SELECT *, CASE WHEN pr IS NOT NULL AND rc IS NOT NULL
+        |          AND pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc) END AS f1
+        |       FROM m),
+        |rows1 AS (SELECT cls, n_true, n_pred, tp, round(pr, 6) AS precision,
+        |        round(rc, 6) AS recall, round(f1, 6) AS f1 FROM m2),
+        |s AS (SELECT CAST(sum(n_true) AS BIGINT) AS n,
+        |        CAST(sum(tp) AS BIGINT) AS tps,
+        |        avg(coalesce(pr, 0.0)) AS mp, avg(coalesce(rc, 0.0)) AS mr,
+        |        avg(coalesce(f1, 0.0)) AS mf FROM m2)
+        |SELECT * FROM rows1
+        |UNION ALL
+        |SELECT '(macro)', n, n, tps, round(mp, 6), round(mr, 6),
+        | round(mf, 6) FROM s
+        |UNION ALL
+        |SELECT '(micro)', n, n, tps, round(CAST(tps AS DOUBLE) / n, 6),
+        | round(CAST(tps AS DOUBLE) / n, 6),
+        | round(CAST(tps AS DOUBLE) / n, 6) FROM s
+        |ORDER BY cls""".stripMargin,
+
+    "eval_regression_metrics" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS y,
+        |        CAST(n_chars + (doc_id % 21) - 10 AS DOUBLE) AS p
+        |       FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(*) FILTER (y <> 0) AS BIGINT) AS n_mape,
+        |        sum(p - y) AS se, sum(abs(p - y)) AS sae,
+        |        sum((p - y) * (p - y)) AS sse,
+        |        sum(y) AS sy, sum(y * y) AS syy,
+        |        sum(CASE WHEN y <> 0 THEN abs(p - y) / abs(y) END) AS sape
+        |       FROM d)
+        |SELECT n, n_mape,
+        | CASE WHEN n > 0 THEN round(se / n, 6) END AS bias,
+        | CASE WHEN n > 0 THEN round(sae / n, 6) END AS mae,
+        | CASE WHEN n > 0 THEN round(sqrt(sse / n), 6) END AS rmse,
+        | CASE WHEN n_mape > 0 THEN round(sape / n_mape, 6) END AS mape,
+        | CASE WHEN syy - sy * sy / n > 0
+        |      THEN round(1.0 - sse / (syy - sy * sy / n), 6) END AS r2
+        |FROM a""".stripMargin,
 
     "eval_spiegelhalter" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS p,

@@ -3963,4 +3963,52 @@ class AnalyticsSpec extends SparkSuite {
     assert(ro.getLong(1) == 0 && ro.isNullAt(4) && ro.isNullAt(5) &&
       ro.isNullAt(6), s"$ro")
   }
+
+  test("classificationReport: per-class P/R/F1; unpredicted class; macro/micro rows") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("y", "p")
+    val rows = Analytics.classificationReport(df, col("y"), col("p"))
+      .orderBy("cls").collect()
+    val byCls = rows.map(r => r.getString(0) -> r).toMap
+    val a = byCls("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 3 && a.getLong(3) == 2, s"$a")
+    assert(math.abs(a.getDouble(4) - 2.0 / 3) < 1e-6 &&
+      math.abs(a.getDouble(5) - 2.0 / 3) < 1e-6 &&
+      math.abs(a.getDouble(6) - 2.0 / 3) < 1e-6, s"$a")
+    val b = byCls("b")
+    assert(math.abs(b.getDouble(4) - 2.0 / 3) < 1e-6 &&
+      b.getDouble(5) == 1.0 && math.abs(b.getDouble(6) - 0.8) < 1e-6, s"$b")
+    // never predicted: NULL precision/F1, zero recall
+    val c = byCls("c")
+    assert(c.getLong(2) == 0 && c.isNullAt(4) && c.getDouble(5) == 0.0 &&
+      c.isNullAt(6), s"$c")
+    // macro treats NULLs as 0 (zero-division convention); micro = accuracy
+    val ma = byCls("(macro)")
+    assert(math.abs(ma.getDouble(4) - 4.0 / 9) < 1e-6 &&
+      math.abs(ma.getDouble(5) - 5.0 / 9) < 1e-6, s"$ma")
+    assert(math.abs(ma.getDouble(6) - (2.0 / 3 + 0.8) / 3) < 1e-6, s"$ma")
+    val mi = byCls("(micro)")
+    assert(math.abs(mi.getDouble(4) - 4.0 / 6) < 1e-6 &&
+      mi.getDouble(4) == mi.getDouble(6), s"$mi")
+  }
+
+  test("regressionMetrics: hand-computed error table; constant actuals NULL r2") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 2.0), (4.0, 2.0))
+      .toDF("y", "p")
+    val r = Analytics.regressionMetrics(df, col("y"), col("p")).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4, s"$r")
+    assert(r.getDouble(2) == -0.5 && r.getDouble(3) == 1.0, s"$r")
+    assert(math.abs(r.getDouble(4) - math.sqrt(1.5)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - (1.0 + 1.0 / 3 + 0.5) / 4) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(6) - (-0.2)) < 1e-9, s"$r")
+    // constant actuals: SStot = 0 -> R^2 undefined; zero actuals leave MAPE
+    val const = Seq((3.0, 3.0), (3.0, 4.0)).toDF("y", "p")
+    assert(Analytics.regressionMetrics(const, col("y"), col("p"))
+      .head().isNullAt(6))
+    val zeros = Seq((0.0, 1.0), (2.0, 2.0)).toDF("y", "p")
+    val rz = Analytics.regressionMetrics(zeros, col("y"), col("p")).head()
+    assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
+  }
 }
