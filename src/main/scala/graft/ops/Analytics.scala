@@ -2829,6 +2829,40 @@ object Analytics {
     }.reduce(_ unionByName _).orderBy("k")
   }
 
+  /** Platt scaling (Platt 1999): fit P(y=1|s) = σ(A·s + B) by the
+    * repo's bounded-iteration [[logisticRegressionGD]] and report the
+    * recalibration line beside the Brier score BEFORE (raw score used
+    * as probability — sensible only for scores already in [0,1]) and
+    * AFTER. The LINE is the diagnosis [[brierDecomposition]]'s bins
+    * can't give: A < 1 means over-confident tails, B ≠ −A/2-ish means
+    * systematic bias; and unlike [[isotonicCalibrate]]'s step fit it
+    * extrapolates smoothly and can't overfit sparse bins. Weights are
+    * the GD output ROUNDED at dp (the [[ipwEffect]] reproducibility
+    * discipline) — the after-Brier is computed with exactly the
+    * published line.
+    *
+    * Shape: the GD chain (`iters` 1-row gradient jobs over one
+    * localCheckpoint'ed scan) + ONE scoring rollup, 1 row out. */
+  def plattCalibration(df: DataFrame, score: Column, label: Column,
+      iters: Int = 8, lr: Double = 1.0, dp: Int = 6): DataFrame = {
+    val base = df.select(score.cast("double").as("__s"),
+        label.cast("double").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // GD iterations + the scoring scan
+    val fit = logisticRegressionGD(base, Seq(col("__s")), col("__y"),
+      iters, lr, dp).head()
+    val b = fit.getDouble(0)
+    val a = fit.getDouble(1)
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(a) * col("__s"))))
+    base.agg(count(lit(1L)).as("n"),
+        avg((col("__s") - col("__y")) * (col("__s") - col("__y")))
+          .as("__braw"),
+        avg((p - col("__y")) * (p - col("__y"))).as("__bcal"))
+      .select(col("n"), lit(a).as("slope"), lit(b).as("intercept"),
+        round(col("__braw"), dp).as("brier_raw"),
+        round(col("__bcal"), dp).as("brier_platt"))
+  }
+
   /** Multi-class classification report: per-class precision/recall/F1
     * from one (label, pred) confusion rollup, plus `(macro)` and
     * `(micro)` summary rows — the per-class table [[aucBrier]]'s

@@ -3390,6 +3390,17 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Platt recalibration line of the SAME pseudo-scorer: sigmoid fit
+    // by the unrolled GD chain (weights rounded, the q_ipw discipline),
+    // Brier before/after with exactly the published line; the oracle
+    // replays the whole 8-step recurrence plus the scoring pass.
+    "eval_platt" -> ((s, dir) =>
+      graft.ops.Analytics.plattCalibration(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0))),
+
     // Hosmer-Lemeshow chi-square on the SAME bins as eval_brier_decomp:
     // the classical goodness-of-fit verdict over the per-bin O/E gaps,
     // degenerate-rate bins excluded and counted; chi2(g-2) critical
@@ -4267,10 +4278,44 @@ object PipelineQueries {
       }.mkString("[", ",", "]")
     }.mkString("[", ", ", "]")
 
+  /** The eval_platt oracle: the single-covariate GD recurrence with the
+    * score as the one feature, rounded final weights, then Brier
+    * before/after in one scoring pass. */
+  private def plattOracle(iters: Int): String = {
+    val sig = "1/(1+exp(-(w.b + w.w1*d.x1)))"
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+        |       FROM documents),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1)"""
+        .stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |g$k AS (SELECT avg($sig - d.y) AS gb,
+        |        avg(($sig - d.y) * d.x1) AS g1
+        |       FROM d, w${k - 1} w),
+        |w$k AS (SELECT w.b - gb AS b, w.w1 - g1 AS w1
+        |       FROM w${k - 1} w, g$k)""".stripMargin)
+    }
+    sb.append(s""",
+        |wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1 FROM w$iters),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        avg((d.x1 - d.y) * (d.x1 - d.y)) AS braw,
+        |        avg(($sig - d.y) * ($sig - d.y)) AS bcal
+        |       FROM d, wr w)
+        |SELECT n, (SELECT w1 FROM wr) AS slope, (SELECT b FROM wr)
+        |   AS intercept,
+        | round(braw, 6) AS brier_raw, round(bcal, 6) AS brier_platt
+        |FROM a""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
+    "eval_platt" -> plattOracle(8),
 
     "sim_mmd" ->
       s"""WITH sg AS (SELECT ${rffSignRows(64, 64, 42L)} AS m),

@@ -4011,4 +4011,33 @@ class AnalyticsSpec extends SparkSuite {
     val rz = Analytics.regressionMetrics(zeros, col("y"), col("p")).head()
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
+
+  test("plattCalibration: line matches the GD fit; brier_raw exact; platt improves") {
+    import spark.implicits._
+    // well-separated scores, labels follow the score
+    val rows = Seq.fill(10)((0.1, 0.0)) ++ Seq.fill(2)((0.1, 1.0)) ++
+      Seq.fill(10)((0.9, 1.0)) ++ Seq.fill(2)((0.9, 0.0))
+    val df = rows.toDF("s", "y")
+    val r = Analytics.plattCalibration(df, col("s"), col("y")).head()
+    assert(r.getLong(0) == 24, s"$r")
+    // the published line IS the logisticRegressionGD fit
+    val gd = Analytics.logisticRegressionGD(
+      df.select(col("s").as("__s"), col("y").as("__y")),
+      Seq(col("__s")), col("__y")).head()
+    assert(r.getDouble(2) == gd.getDouble(0) &&
+      r.getDouble(1) == gd.getDouble(1), s"$r vs $gd")
+    assert(r.getDouble(1) > 0.0, s"positive association must fit A > 0: $r")
+    // brier_raw = avg((s - y)^2) exactly
+    val braw = rows.map { case (s, y) => (s - y) * (s - y) }.sum / 24.0
+    assert(math.abs(r.getDouble(3) -
+      BigDecimal(braw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"$r")
+    // after-Brier recomputed from the published line
+    val (a, b) = (r.getDouble(1), r.getDouble(2))
+    val bcal = rows.map { case (s, y) =>
+      val p = 1.0 / (1.0 + math.exp(-(b + a * s)))
+      (p - y) * (p - y)
+    }.sum / 24.0
+    assert(math.abs(r.getDouble(4) - bcal) < 1e-6, s"$r")
+  }
 }
