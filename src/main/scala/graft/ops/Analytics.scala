@@ -759,6 +759,89 @@ object Analytics {
         .as("rank_biserial"))
   }
 
+  /** Yuen's trimmed-mean two-sample test (Yuen 1974): compare LOCATION
+    * robustly — each cohort's top and bottom ⌊trim·n⌋ values are
+    * dropped from the mean and the variance is taken over the
+    * WINSORIZED sample (tails clamped to the trim boundaries), giving
+    *
+    *   t = (m̄t_A − m̄t_B) / √(d_A + d_B),
+    *   d_g = (wss_g − ws_g²/n_g) / (h_g(h_g−1)),  h_g = n_g − 2⌊trim·n⌋
+    *
+    * (the (n−1)·s²w/(h(h−1)) form with the sample-variance factor
+    * cancelled). The gap in the robust tier this closes:
+    * [[mannWhitneyU]] tests stochastic dominance, not means — under
+    * unequal variances/shapes it can reject with equal trimmed means;
+    * Yuen answers "did the TYPICAL value move" with outlier tails
+    * excised, the right question for metric drift on heavy-tailed
+    * corpus columns. Normal critical values (corpus-scale df, the
+    * repo's z convention); `reject_05` is NULL when either h ≤ 1,
+    * the pooled variance is 0, or either n < 20.
+    *
+    * Shape: the [[cramerVonMises]] envelope — per-distinct-value
+    * histogram (the only corpus exchange), ONE two-phase
+    * [[Windows.globalCumSums]] pass for both cohorts' CDFs, kept-count
+    * interval arithmetic per histogram row, a 1-row rollup. */
+  def yuenTrimmedTest(df: DataFrame, value: Column, inA: Column,
+      trim: Double = 0.2, dp: Int = 6): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    val s = df.select(value.cast("double").as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inA, 0L).otherwise(1L).as("__b"))
+      .where(col("__v").isNotNull)
+    val h = s.groupBy("__v").agg(sum(col("__a")).as("__ca"),
+      sum(col("__b")).as("__cb"))
+    val c = Windows.globalCumSums(h, Seq(col("__v")),
+      Seq((col("__ca"): Column) -> "__cuma",
+        (col("__cb"): Column) -> "__cumb"))
+    val tot = h.agg(coalesce(sum(col("__ca")), lit(0L)).as("__na"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__nb"))
+    val withK = c.crossJoin(broadcast(tot))
+      .withColumn("__ka", floor(lit(trim) * col("__na")).cast("long"))
+      .withColumn("__kb", floor(lit(trim) * col("__nb")).cast("long"))
+    val keptA = greatest(lit(0L), least(col("__cuma"), col("__na") - col("__ka")) -
+      greatest(col("__cuma") - col("__ca"), col("__ka")))
+    val keptB = greatest(lit(0L), least(col("__cumb"), col("__nb") - col("__kb")) -
+      greatest(col("__cumb") - col("__cb"), col("__kb")))
+    val agg = withK.agg(
+      first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+      first(col("__ka")).as("__ka"), first(col("__kb")).as("__kb"),
+      sum(keptA * col("__v")).as("__tsa"),
+      sum(keptB * col("__v")).as("__tsb"),
+      sum(keptA * col("__v") * col("__v")).as("__tqa"),
+      sum(keptB * col("__v") * col("__v")).as("__tqb"),
+      min(when(col("__cuma") >= col("__ka") + 1, col("__v"))).as("__vla"),
+      min(when(col("__cuma") >= col("__na") - col("__ka"), col("__v")))
+        .as("__vha"),
+      min(when(col("__cumb") >= col("__kb") + 1, col("__v"))).as("__vlb"),
+      min(when(col("__cumb") >= col("__nb") - col("__kb"), col("__v")))
+        .as("__vhb"))
+    val ha = col("n_a") - lit(2) * col("__ka")
+    val hb = col("n_b") - lit(2) * col("__kb")
+    val mta = when(ha > 0, col("__tsa") / ha)
+    val mtb = when(hb > 0, col("__tsb") / hb)
+    val wsa = col("__tsa") + col("__ka") * col("__vla") +
+      col("__ka") * col("__vha")
+    val wqa = col("__tqa") + col("__ka") * col("__vla") * col("__vla") +
+      col("__ka") * col("__vha") * col("__vha")
+    val wsb = col("__tsb") + col("__kb") * col("__vlb") +
+      col("__kb") * col("__vhb")
+    val wqb = col("__tqb") + col("__kb") * col("__vlb") * col("__vlb") +
+      col("__kb") * col("__vhb") * col("__vhb")
+    val da = (wqa - wsa * wsa / col("n_a")) /
+      (ha.cast("double") * (ha - 1))
+    val db = (wqb - wsb * wsb / col("n_b")) /
+      (hb.cast("double") * (hb - 1))
+    val ok = ha > 1 && hb > 1 && (da + db) > 0.0
+    val z = (mta - mtb) / sqrt(da + db)
+    agg.select(col("n_a"), col("n_b"), ha.as("h_a"), hb.as("h_b"),
+      round(mta, dp).as("tmean_a"), round(mtb, dp).as("tmean_b"),
+      round(mta - mtb, dp).as("diff"),
+      when(ok, round(sqrt(da + db), dp)).as("se"),
+      when(ok, round(z, dp)).as("z"),
+      when(ok && col("n_a") >= 20 && col("n_b") >= 20, abs(z) > 1.96)
+        .as("reject_05"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED companion of
     * [[mannWhitneyU]] — "did metric x systematically move vs metric y on
     * the SAME items" (two scorers over one corpus, before/after a

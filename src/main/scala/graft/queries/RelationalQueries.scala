@@ -1063,6 +1063,14 @@ object RelationalQueries {
       Analytics.cramerVonMises(t(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")),
 
+    // Yuen trimmed-mean test on the q_mann_whitney cohorts: did the
+    // TYPICAL doc length move (20% tails excised, winsorized variance)
+    // — the robust LOCATION verdict the rank test's stochastic-
+    // dominance answer is not.
+    "q_yuen" -> ((s, dir) =>
+      Analytics.yuenTrimmedTest(t(s, dir, "documents"),
+        col("n_chars"), col("lang") === "en", trim = 0.2)),
+
     // Jarque-Bera normality gate on order quantities: one 5-power-sum
     // rollup -> joint skewness/kurtosis chi2(2) verdict (the uniform
     // 1..50 quantity has ex. kurtosis ~ -1.2 -> loudly non-normal,
@@ -3246,6 +3254,61 @@ object RelationalQueries {
         |   AS cvm_t,
         | CASE WHEN na > 0 AND nb > 0 THEN coalesce(t, 0.0) > 0.461 END
         |   AS reject_05
+        |FROM g""".stripMargin,
+
+    "q_yuen" ->
+      """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS b
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |  CAST(sum(b) AS BIGINT) AS cb FROM s GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |  CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER w AS BIGINT) AS cumb FROM h
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |k AS (SELECT na, nb, CAST(floor(0.2 * na) AS BIGINT) AS ka,
+        |       CAST(floor(0.2 * nb) AS BIGINT) AS kb FROM tot),
+        |agg AS (SELECT any_value(na) AS na, any_value(nb) AS nb,
+        |  any_value(ka) AS ka, any_value(kb) AS kb,
+        |  sum(greatest(0, least(cuma, na - ka)
+        |    - greatest(cuma - ca, ka)) * v) AS tsa,
+        |  sum(greatest(0, least(cumb, nb - kb)
+        |    - greatest(cumb - cb, kb)) * v) AS tsb,
+        |  sum(greatest(0, least(cuma, na - ka)
+        |    - greatest(cuma - ca, ka)) * v * v) AS tqa,
+        |  sum(greatest(0, least(cumb, nb - kb)
+        |    - greatest(cumb - cb, kb)) * v * v) AS tqb,
+        |  min(CASE WHEN cuma >= ka + 1 THEN v END) AS vla,
+        |  min(CASE WHEN cuma >= na - ka THEN v END) AS vha,
+        |  min(CASE WHEN cumb >= kb + 1 THEN v END) AS vlb,
+        |  min(CASE WHEN cumb >= nb - kb THEN v END) AS vhb
+        | FROM c, k),
+        |f AS (SELECT na, nb, na - 2 * ka AS ha, nb - 2 * kb AS hb,
+        |  CASE WHEN na - 2 * ka > 0 THEN tsa / (na - 2 * ka) END AS mta,
+        |  CASE WHEN nb - 2 * kb > 0 THEN tsb / (nb - 2 * kb) END AS mtb,
+        |  tsa + ka * vla + ka * vha AS wsa,
+        |  tqa + ka * vla * vla + ka * vha * vha AS wqa,
+        |  tsb + kb * vlb + kb * vhb AS wsb,
+        |  tqb + kb * vlb * vlb + kb * vhb * vhb AS wqb
+        | FROM agg),
+        |g AS (SELECT *,
+        |  (wqa - wsa * wsa / na) / (CAST(ha AS DOUBLE) * (ha - 1)) AS da,
+        |  (wqb - wsb * wsb / nb) / (CAST(hb AS DOUBLE) * (hb - 1)) AS db
+        | FROM f)
+        |SELECT na AS n_a, nb AS n_b, ha AS h_a, hb AS h_b,
+        | round(mta, 6) AS tmean_a, round(mtb, 6) AS tmean_b,
+        | round(mta - mtb, 6) AS diff,
+        | CASE WHEN ha > 1 AND hb > 1 AND da + db > 0
+        |      THEN round(sqrt(da + db), 6) END AS se,
+        | CASE WHEN ha > 1 AND hb > 1 AND da + db > 0
+        |      THEN round((mta - mtb) / sqrt(da + db), 6) END AS z,
+        | CASE WHEN ha > 1 AND hb > 1 AND da + db > 0
+        |       AND na >= 20 AND nb >= 20
+        |      THEN abs((mta - mtb) / sqrt(da + db)) > 1.96 END AS reject_05
         |FROM g""".stripMargin,
 
     "q_jarque_bera" ->

@@ -4012,6 +4012,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("yuenTrimmedTest: outlier excised; hand-computed winsorized variance; flat NULL") {
+    import spark.implicits._
+    // A has a 100 outlier; 20% trim drops it -> trimmed means both 2
+    val df = (Seq(0.0, 1.0, 2.0, 3.0, 100.0).map((_, true)) ++
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0).map((_, false))).toDF("v", "a")
+    val r = Analytics.yuenTrimmedTest(df, col("v"), col("a")).head()
+    assert(r.getLong(0) == 5 && r.getLong(2) == 3, s"$r")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 2.0 &&
+      r.getDouble(6) == 0.0, s"$r")
+    // winsorized {1,1,2,3,3} both arms: d = 4/6 each, se = sqrt(4/3)
+    assert(math.abs(r.getDouble(7) - math.sqrt(4.0 / 3.0)) < 1e-6, s"$r")
+    assert(r.getDouble(8) == 0.0, s"$r")
+    assert(r.isNullAt(9), s"n < 20 must gate the verdict: $r")
+    // 20-vs-20 shifted: da = db = 385/132, z = -20/sqrt(770/132) -> reject
+    val big = ((1 to 20).map(i => (i.toDouble, true)) ++
+      (21 to 40).map(i => (i.toDouble, false))).toDF("v", "a")
+    val rb = Analytics.yuenTrimmedTest(big, col("v"), col("a")).head()
+    assert(rb.getLong(2) == 12 && rb.getDouble(4) == 10.5 &&
+      rb.getDouble(5) == 30.5, s"$rb")
+    assert(math.abs(rb.getDouble(8) - (-20.0 / math.sqrt(770.0 / 132.0)))
+      < 1e-6, s"$rb")
+    assert(rb.getBoolean(9), s"$rb")
+    // all values identical: zero winsorized variance -> NULL z/verdict
+    val flat = (Seq.fill(25)((7.0, true)) ++ Seq.fill(25)((7.0, false)))
+      .toDF("v", "a")
+    val rf = Analytics.yuenTrimmedTest(flat, col("v"), col("a")).head()
+    assert(rf.isNullAt(7) && rf.isNullAt(8) && rf.isNullAt(9), s"$rf")
+  }
+
   test("plattCalibration: line matches the GD fit; brier_raw exact; platt improves") {
     import spark.implicits._
     // well-separated scores, labels follow the score
