@@ -3010,6 +3010,80 @@ object Analytics {
     perOut.unionByName(macroRow).unionByName(microRow)
   }
 
+  /** Binary-classifier diagnostics in one aggregation: the 2×2 cells
+    * plus accuracy, balanced accuracy, Matthews correlation
+    * (MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the
+    * single number that stays honest under class imbalance, where
+    * accuracy and even F1 mislead) and Youden's J = TPR + TNR − 1.
+    * MCC/balanced-acc/J are NULL when a marginal is empty (a
+    * degenerate labeler or predictor — no correlation is defined).
+    * The binary drill-down beside [[classificationReport]]'s
+    * multi-class table. ONE 4-count map-side-partial scan, 1 row. */
+  def binaryDiagnostics(df: DataFrame, label: Column, pred: Column,
+      dp: Int = 6): DataFrame = {
+    val y = label.cast("boolean")
+    val p = pred.cast("boolean")
+    val a = df.where(y.isNotNull && p.isNotNull)
+      .select(y.as("__y"), p.as("__p"))
+      .agg(sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val tpD = col("tp").cast("double")
+    val tnD = col("tn").cast("double")
+    val tpr = tpD / (col("tp") + col("fn"))
+    val tnr = tnD / (col("tn") + col("fp"))
+    val denom = (col("tp") + col("fp")).cast("double") *
+      (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+      (col("tn") + col("fn"))
+    val ok = denom > 0.0
+    a.select(n.as("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(n > 0, round((tpD + tnD) / n, dp)).as("accuracy"),
+      when(ok, round((tpr + tnr) / lit(2.0), dp)).as("balanced_acc"),
+      when(ok, round((tpD * tnD - col("fp").cast("double") * col("fn")) /
+        sqrt(denom), dp)).as("mcc"),
+      when(ok, round(tpr + tnr - lit(1.0), dp)).as("youden_j"))
+  }
+
+  /** Gumbel block-maxima tail fit by method of moments (the
+    * Fisher–Tippett type-I domain — exponential-tailed metrics, which
+    * corpus length/latency columns overwhelmingly are): block the data,
+    * take per-block maxima, fit σ̂ = s·√6/π, μ̂ = m̄ − γ·σ̂
+    * (γ = 0.5772156649015329), and report return levels
+    * μ̂ − σ̂·ln(−ln(1 − 1/N)) — "the value exceeded about once per N
+    * blocks". The CAPACITY-PLANNING readout: today's corpus shows
+    * max_observed, but at 10×/100× the block count the fit says what
+    * max to provision for — a question no empirical quantile can
+    * answer beyond the data's edge. Fit is NULL with fewer than 2
+    * blocks or zero variance across maxima.
+    *
+    * Shape: one block-keyed max rollup (map-side partial), one 1-row
+    * moment pass over the block table, closed-form algebra. Returns
+    * (n_blocks, max_observed, mu, sigma, ret_level_10x, ret_level_100x)
+    * with the return levels at N = 10·blocks and 100·blocks. */
+  def gumbelTailFit(df: DataFrame, value: Column, block: Column,
+      dp: Int = 6): DataFrame = {
+    val maxima = df.where(value.isNotNull && block.isNotNull)
+      .groupBy(block.as("__b"))
+      .agg(max(value.cast("double")).as("__m"))
+    val a = maxima.agg(count(lit(1L)).as("n_blocks"),
+      max(col("__m")).as("__mx"), avg(col("__m")).as("__avg"),
+      stddev_samp(col("__m")).as("__sd"))
+    val sigma = col("__sd") * lit(math.sqrt(6.0) / math.Pi)
+    val mu = col("__avg") - lit(0.5772156649015329) * sigma
+    val ok = col("n_blocks") >= 2 && col("__sd") > 0.0
+    def retLevel(mult: Double): Column = {
+      val nBig = lit(mult) * col("n_blocks")
+      mu - sigma * log(-log(lit(1.0) - lit(1.0) / nBig))
+    }
+    a.select(col("n_blocks"), round(col("__mx"), dp).as("max_observed"),
+      when(ok, round(mu, dp)).as("mu"),
+      when(ok, round(sigma, dp)).as("sigma"),
+      when(ok, round(retLevel(10.0), dp)).as("ret_level_10x"),
+      when(ok, round(retLevel(100.0), dp)).as("ret_level_100x"))
+  }
+
   /** Regression error metrics in one aggregation: bias (mean signed
     * error pred−actual), MAE, RMSE, MAPE (over actual ≠ 0 rows only —
     * `n_mape` reports how many qualified), and R² = 1 − SSE/SStot —

@@ -3390,6 +3390,16 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Binary diagnostics of a deterministic thresholded predictor:
+    // 2x2 cells + accuracy, balanced accuracy, MCC and Youden's J from
+    // ONE 4-count scan — the imbalance-honest binary drill-down beside
+    // eval_confusion's multi-class table.
+    "eval_mcc" -> ((s, dir) =>
+      graft.ops.Analytics.binaryDiagnostics(
+        t(s, dir, "documents"),
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0,
+        col("n_chars") % 7 < 3)),
+
     // Platt recalibration line of the SAME pseudo-scorer: sigmoid fit
     // by the unrolled GD chain (weights rounded, the q_ipw discipline),
     // Brier before/after with exactly the published line; the oracle
@@ -4316,6 +4326,26 @@ object PipelineQueries {
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
     "eval_platt" -> plattOracle(8),
+
+    "eval_mcc" ->
+      """WITH d AS (SELECT (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y,
+        |        n_chars % 7 < 3 AS p FROM documents),
+        |a AS (SELECT CAST(count(*) FILTER (y AND p) AS BIGINT) AS tp,
+        |        CAST(count(*) FILTER (NOT y AND p) AS BIGINT) AS fp,
+        |        CAST(count(*) FILTER (y AND NOT p) AS BIGINT) AS fn,
+        |        CAST(count(*) FILTER (NOT y AND NOT p) AS BIGINT) AS tn
+        |       FROM d)
+        |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+        | round((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn), 6)
+        |   AS accuracy,
+        | round((CAST(tp AS DOUBLE) / (tp + fn)
+        |   + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0, 6) AS balanced_acc,
+        | round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
+        |   sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp)
+        |     * (tn + fn)), 6) AS mcc,
+        | round(CAST(tp AS DOUBLE) / (tp + fn)
+        |   + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6) AS youden_j
+        |FROM a""".stripMargin,
 
     "sim_mmd" ->
       s"""WITH sg AS (SELECT ${rffSignRows(64, 64, 42L)} AS m),

@@ -1063,6 +1063,14 @@ object RelationalQueries {
       Analytics.cramerVonMises(t(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")),
 
+    // Gumbel block-maxima tail fit over daily event-value maxima:
+    // method-of-moments location/scale and the 10x/100x return levels
+    // — what max to provision for at 100x the data, which no empirical
+    // quantile can say past the data's edge.
+    "q_evt" -> ((s, dir) =>
+      Analytics.gumbelTailFit(t(s, dir, "events"), col("value"),
+        to_date(col("ts")))),
+
     // Yuen trimmed-mean test on the q_mann_whitney cohorts: did the
     // TYPICAL doc length move (20% tails excised, winsorized variance)
     // — the robust LOCATION verdict the rank test's stochastic-
@@ -3255,6 +3263,25 @@ object RelationalQueries {
         | CASE WHEN na > 0 AND nb > 0 THEN coalesce(t, 0.0) > 0.461 END
         |   AS reject_05
         |FROM g""".stripMargin,
+
+    "q_evt" ->
+      """WITH m AS (SELECT CAST(ts AS DATE) AS b, max(value) AS mx
+        |           FROM events WHERE value IS NOT NULL
+        |             AND ts IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, max(mx) AS mxx,
+        |        avg(mx) AS m, stddev_samp(mx) AS sd FROM m),
+        |c AS (SELECT *, sd * (sqrt(6.0) / pi()) AS sigma FROM a),
+        |e AS (SELECT *, m - 0.5772156649015329 * sigma AS mu FROM c)
+        |SELECT n_blocks, round(mxx, 6) AS max_observed,
+        | CASE WHEN n_blocks >= 2 AND sd > 0 THEN round(mu, 6) END AS mu,
+        | CASE WHEN n_blocks >= 2 AND sd > 0 THEN round(sigma, 6) END
+        |   AS sigma,
+        | CASE WHEN n_blocks >= 2 AND sd > 0 THEN round(mu - sigma *
+        |   ln(-ln(1.0 - 1.0 / (10.0 * n_blocks))), 6) END AS ret_level_10x,
+        | CASE WHEN n_blocks >= 2 AND sd > 0 THEN round(mu - sigma *
+        |   ln(-ln(1.0 - 1.0 / (100.0 * n_blocks))), 6) END
+        |   AS ret_level_100x
+        |FROM e""".stripMargin,
 
     "q_yuen" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,

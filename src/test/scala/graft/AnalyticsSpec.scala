@@ -4012,6 +4012,48 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("binaryDiagnostics: hand-computed MCC/Youden; degenerate predictor NULL") {
+    import spark.implicits._
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(3)((false, false))
+    val r = Analytics.binaryDiagnostics(rows.toDF("y", "p"),
+      col("y"), col("p")).head()
+    assert(r.getLong(0) == 10 && r.getLong(1) == 4 && r.getLong(2) == 1 &&
+      r.getLong(3) == 2 && r.getLong(4) == 3, s"$r")
+    assert(r.getDouble(5) == 0.7, s"$r")
+    assert(math.abs(r.getDouble(6) - (4.0 / 6 + 3.0 / 4) / 2) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(7) - 10.0 / math.sqrt(600.0)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(8) - (4.0 / 6 + 3.0 / 4 - 1)) < 1e-6, s"$r")
+    // predictor that always fires: tn = fn = 0 -> correlation undefined
+    val always = Seq((true, true), (false, true)).toDF("y", "p")
+    val ra = Analytics.binaryDiagnostics(always, col("y"), col("p")).head()
+    assert(ra.getDouble(5) == 0.5 && ra.isNullAt(6) && ra.isNullAt(7) &&
+      ra.isNullAt(8), s"$ra")
+  }
+
+  test("gumbelTailFit: MoM params on known maxima; return levels grow; flat NULL") {
+    import spark.implicits._
+    // blocks with maxima 10, 20, 30 (each block has a smaller decoy)
+    val df = Seq(("b1", 10.0), ("b1", 1.0), ("b2", 20.0), ("b2", 5.0),
+      ("b3", 30.0), ("b3", 2.0)).toDF("b", "v")
+    val r = Analytics.gumbelTailFit(df, col("v"), col("b")).head()
+    assert(r.getLong(0) == 3 && r.getDouble(1) == 30.0, s"$r")
+    val sigma = 10.0 * (math.sqrt(6.0) / math.Pi)
+    val mu = 20.0 - 0.5772156649015329 * sigma
+    assert(math.abs(r.getDouble(2) - mu) < 1e-5, s"$r")
+    assert(math.abs(r.getDouble(3) - sigma) < 1e-5, s"$r")
+    val r10 = mu - sigma * math.log(-math.log(1.0 - 1.0 / 30.0))
+    val r100 = mu - sigma * math.log(-math.log(1.0 - 1.0 / 300.0))
+    assert(math.abs(r.getDouble(4) - r10) < 1e-5, s"$r")
+    assert(math.abs(r.getDouble(5) - r100) < 1e-5, s"$r")
+    assert(r.getDouble(5) > r.getDouble(4) &&
+      r.getDouble(4) > r.getDouble(1), s"levels must extrapolate up: $r")
+    // identical maxima: zero spread -> no fit
+    val flat = Seq(("b1", 5.0), ("b2", 5.0), ("b3", 5.0)).toDF("b", "v")
+    val rf = Analytics.gumbelTailFit(flat, col("v"), col("b")).head()
+    assert(rf.isNullAt(2) && rf.isNullAt(4), s"$rf")
+  }
+
   test("yuenTrimmedTest: outlier excised; hand-computed winsorized variance; flat NULL") {
     import spark.implicits._
     // A has a 100 outlier; 20% trim drops it -> trimmed means both 2
