@@ -668,6 +668,60 @@ object Analytics {
         .as("reject_05"))
   }
 
+  /** Event study — [[diffInDiff]] unrolled per period: for every
+    * period p, the treated−control gap relative to the BASE (earliest)
+    * period's gap,
+    *
+    *   effect_p = (ȳ_T,p − ȳ_C,p) − (ȳ_T,base − ȳ_C,base)
+    *
+    * — the standard pre-trend/dynamics readout DiD's single post
+    * number hides: flat pre-period effects VALIDATE parallel trends;
+    * the post-period profile shows the effect ramping or decaying.
+    * SE per period is the four-cell Welch form (treating the base-gap
+    * estimate as independent across rows — the simple two-diffs form,
+    * noted because regression event studies share the base across
+    * coefficients). The base row reports effect 0 with NULL se/z by
+    * construction; other rows get NULL se/z when any of the four
+    * cells has < 2 rows.
+    *
+    * Shape: ONE period-keyed rollup (conditional count/avg/var per
+    * arm), a 1-row base broadcast (limit 1 over the period-bounded
+    * table), closed-form algebra per period row. */
+  def eventStudy(df: DataFrame, metric: Column, treated: Column,
+      period: Column, dp: Int = 6): DataFrame = {
+    val s = df.select(metric.cast("double").as("__y"),
+        treated.cast("boolean").as("__t"), period.as("__p"))
+      .where(col("__y").isNotNull && col("__t").isNotNull &&
+        col("__p").isNotNull)
+    val per = s.groupBy("__p").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
+      avg(when(col("__t"), col("__y"))).as("__mt"),
+      avg(when(!col("__t"), col("__y"))).as("__mc"),
+      var_samp(when(col("__t"), col("__y"))).as("__vt"),
+      var_samp(when(!col("__t"), col("__y"))).as("__vc"))
+    val base = per.orderBy(col("__p")).limit(1)
+      .select(col("__p").as("__bp"), col("n_t").as("__bnt"),
+        col("n_c").as("__bnc"), col("__mt").as("__bmt"),
+        col("__mc").as("__bmc"), col("__vt").as("__bvt"),
+        col("__vc").as("__bvc"))
+    val joined = per.crossJoin(broadcast(base))
+    val diff = col("__mt") - col("__mc")
+    val baseDiff = col("__bmt") - col("__bmc")
+    val isBase = col("__p") === col("__bp")
+    val se = sqrt(col("__vt") / col("n_t") + col("__vc") / col("n_c") +
+      col("__bvt") / col("__bnt") + col("__bvc") / col("__bnc"))
+    val ok = !isBase && col("n_t") >= 2 && col("n_c") >= 2 &&
+      col("__bnt") >= 2 && col("__bnc") >= 2 && se > 0.0
+    val effect = when(isBase, lit(0.0)).otherwise(diff - baseDiff)
+    joined.select(col("__p").as("period"), col("n_t"), col("n_c"),
+        round(diff, dp).as("diff"),
+        round(effect, dp).as("effect"),
+        when(ok, round(se, dp)).as("se"),
+        when(ok, round((diff - baseDiff) / se, dp)).as("z"))
+      .orderBy("period")
+  }
+
   /** Two-sample Cramér–von Mises criterion (Anderson 1962): the
     * WHOLE-CDF distribution test —
     *
@@ -2783,6 +2837,91 @@ object Analytics {
         round(col("__swc") * col("__swc") / col("__swc2"), dp)).as("ess_c"))
   }
 
+  /** Driver-side OLS fit shared by [[aipwEffect]] and [[oaxacaBlinder]]:
+    * normal-equation moments in ONE rollup (columns `yName` +
+    * `__x0..__x{d-1}`, intercept implicit), the shared pivot-guarded
+    * [[cholesky]] solve, betas ROUNDED at dp (the GD-weight
+    * reproducibility discipline — oracles restate the factor/
+    * substitution chain term for term). */
+  private def fitOlsRounded(arm: DataFrame, d: Int, yName: String,
+      dp: Int): Array[Double] = {
+    val m = d + 1
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(s"__x${i - 1}")
+    val moments =
+      (for (i <- 0 until m; j <- i until m)
+        yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
+      (0 until m).map(i => sum(x(i) * col(yName)).as(s"v_$i")) :+
+      count(lit(1L)).as("n")
+    val r = arm.agg(moments.head, moments.tail: _*).head()
+    require(r.getAs[Long]("n") > m,
+      s"each arm/group needs more rows than parameters ($m)")
+    val a = Array.tabulate(m, m) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      r.getAs[Double](s"m_${lo}_$hi")
+    }
+    val rhs = Array.tabulate(m)(i => r.getAs[Double](s"v_$i"))
+    val l = cholesky(a, m)
+    val z = Array.fill(m)(0.0)
+    for (i <- 0 until m)
+      z(i) = (rhs(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
+    val w = Array.fill(m)(0.0)
+    for (i <- m - 1 to 0 by -1)
+      w(i) = (z(i) - (i + 1 until m).map(k => l(k)(i) * w(k)).sum) / l(i)(i)
+    w.map(v => BigDecimal(v)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Oaxaca–Blinder decomposition (Oaxaca 1973; Blinder 1973): split
+    * the mean-outcome gap between cohort A and the reference cohort B
+    * into the part EXPLAINED by covariate differences and the rest:
+    *
+    *   ȳ_A − ȳ_B = (x̄_A − x̄_B)'β_B  +  unexplained
+    *
+    * (the B-weights two-fold form: "what would A's outcome be if its
+    * covariates were priced at B's coefficients"). The "why do sources
+    * differ" analysis: if en docs score higher than the rest, is it
+    * their length profile (explained) or something about en itself
+    * (unexplained)? β_B from the shared [[fitOlsRounded]] Cholesky
+    * solve; the intercept cancels in the explained term (x̄ diff of
+    * the constant is 0).
+    *
+    * Shape: one localCheckpoint'ed scan, the reference-arm OLS moment
+    * rollup, ONE means rollup, driver algebra — 1 row out:
+    * (n_a, n_b, mean_a, mean_b, gap, explained, unexplained). */
+  def oaxacaBlinder(df: DataFrame, outcome: Column, inA: Column,
+      features: Seq[Column], dp: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val d = features.size
+    val cols = outcome.cast("double").as("__o") +:
+      inA.cast("boolean").as("__a") +:
+      features.zipWithIndex.map { case (f, i) =>
+        f.cast("double").as(s"__x$i") }
+    val base = df.select(cols: _*)
+      .where((col("__o").isNotNull +: col("__a").isNotNull +:
+        (0 until d).map(i => col(s"__x$i").isNotNull)).reduce(_ && _))
+      .localCheckpoint(true) // OLS moments + the means rollup
+    val bB = fitOlsRounded(base.where(!col("__a")), d, "__o", dp)
+    val aggCols: Seq[Column] =
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a") +:
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b") +:
+      avg(when(col("__a"), col("__o"))).as("__ma") +:
+      avg(when(!col("__a"), col("__o"))).as("__mb") +:
+      (0 until d).flatMap(i => Seq(
+        avg(when(col("__a"), col(s"__x$i"))).as(s"__xa$i"),
+        avg(when(!col("__a"), col(s"__x$i"))).as(s"__xb$i")))
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+    val gap = col("__ma") - col("__mb")
+    val explained = (0 until d).map(i =>
+      (col(s"__xa$i") - col(s"__xb$i")) * lit(bB(i + 1)))
+      .reduce(_ + _)
+    agg.select(col("n_a"), col("n_b"),
+      round(col("__ma"), dp).as("mean_a"),
+      round(col("__mb"), dp).as("mean_b"),
+      round(gap, dp).as("gap"),
+      round(explained, dp).as("explained"),
+      round(gap - explained, dp).as("unexplained"))
+  }
+
   /** AIPW / doubly-robust ATE (Robins, Rotnitzky & Zhao 1994): the
     * augmented estimator that combines [[ipwEffect]]'s propensity
     * weighting with per-arm outcome regressions —
@@ -2830,33 +2969,8 @@ object Analytics {
       acc + lit(pw(i + 1)) * col(s"__x$i") }
     val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-zLin)), lit(clip)),
       lit(1.0 - clip))
-    def x(i: Int): Column = if (i == 0) lit(1.0) else col(s"__x${i - 1}")
-    def olsBeta(arm: DataFrame): Array[Double] = {
-      val moments =
-        (for (i <- 0 until m; j <- i until m)
-          yield sum(x(i) * x(j)).as(s"m_${i}_$j")) ++
-        (0 until m).map(i => sum(x(i) * col("__o")).as(s"v_$i")) :+
-        count(lit(1L)).as("n")
-      val r = arm.agg(moments.head, moments.tail: _*).head()
-      require(r.getAs[Long]("n") > m,
-        s"each arm needs more rows than parameters ($m)")
-      val a = Array.tabulate(m, m) { (i, j) =>
-        val (lo, hi) = (math.min(i, j), math.max(i, j))
-        r.getAs[Double](s"m_${lo}_$hi")
-      }
-      val rhs = Array.tabulate(m)(i => r.getAs[Double](s"v_$i"))
-      val l = cholesky(a, m)
-      val z = Array.fill(m)(0.0)
-      for (i <- 0 until m)
-        z(i) = (rhs(i) - (0 until i).map(k => l(i)(k) * z(k)).sum) / l(i)(i)
-      val w = Array.fill(m)(0.0)
-      for (i <- m - 1 to 0 by -1)
-        w(i) = (z(i) - (i + 1 until m).map(k => l(k)(i) * w(k)).sum) / l(i)(i)
-      w.map(v => BigDecimal(v)
-        .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }
-    val b1 = olsBeta(base.where(col("__t") === 1.0))
-    val b0 = olsBeta(base.where(col("__t") === 0.0))
+    val b1 = fitOlsRounded(base.where(col("__t") === 1.0), d, "__o", dp)
+    val b0 = fitOlsRounded(base.where(col("__t") === 0.0), d, "__o", dp)
     def mu(bb: Array[Double]): Column =
       (0 until d).foldLeft(lit(bb(0)): Column) { case (acc, i) =>
         acc + lit(bb(i + 1)) * col(s"__x$i") }

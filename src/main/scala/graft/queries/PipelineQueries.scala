@@ -3761,6 +3761,17 @@ object PipelineQueries {
         Seq((col("n_chars") % 97) / lit(96.0)),
         iters = 8, lr = 1.0)),
 
+    // Oaxaca-Blinder decomposition of the en-vs-rest outcome gap: how
+    // much of it is the covariate profile (priced at the reference
+    // arm's Cholesky-OLS coefficients) vs unexplained — the "why do
+    // sources differ" split.
+    "q_oaxaca" -> ((s, dir) =>
+      graft.ops.Analytics.oaxacaBlinder(
+        t(s, dir, "documents"),
+        col("n_chars") % 89,
+        col("lang") === "en",
+        Seq((col("n_chars") % 97) / lit(96.0)))),
+
     // Two-proportion power / MDE readout of a deterministic A/B split:
     // the design-sanity row (minimum detectable lift at 80% power, and
     // the power the observed lift actually had) — one 4-count rollup.
@@ -4326,6 +4337,30 @@ object PipelineQueries {
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
     "eval_platt" -> plattOracle(8),
+
+    "q_oaxaca" ->
+      """WITH d AS (SELECT CAST(n_chars % 89 AS DOUBLE) AS o,
+        |        lang = 'en' AS a,
+        |        CAST(n_chars % 97 AS DOUBLE)/96 AS x1 FROM documents),
+        |ar AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS sx,
+        |        sum(x1 * x1) AS sxx, sum(o) AS sy, sum(x1 * o) AS sxy
+        |       FROM d WHERE NOT a),
+        |c1 AS (SELECT *, sqrt(n) AS l00 FROM ar),
+        |c2 AS (SELECT *, sx / l00 AS l10, sy / l00 AS z0 FROM c1),
+        |c3 AS (SELECT *, sqrt(sxx - l10 * l10) AS l11 FROM c2),
+        |c4 AS (SELECT *, (sxy - l10 * z0) / l11 AS z1 FROM c3),
+        |c5 AS (SELECT *, z1 / l11 AS bx FROM c4),
+        |bb AS (SELECT round(bx, 6) AS b1 FROM c5),
+        |g AS (SELECT CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |        CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b,
+        |        avg(o) FILTER (a) AS ma, avg(o) FILTER (NOT a) AS mb,
+        |        avg(x1) FILTER (a) AS xa, avg(x1) FILTER (NOT a) AS xb
+        |       FROM d)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        | round(ma - mb, 6) AS gap,
+        | round((xa - xb) * b1, 6) AS explained,
+        | round((ma - mb) - (xa - xb) * b1, 6) AS unexplained
+        |FROM g, bb""".stripMargin,
 
     "eval_mcc" ->
       """WITH d AS (SELECT (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y,

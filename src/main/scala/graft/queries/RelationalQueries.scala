@@ -1057,6 +1057,19 @@ object RelationalQueries {
         col("post"))
     }),
 
+    // Event study on the q_did panel unrolled per month: per-period
+    // treated-control gaps relative to the earliest month — flat
+    // pre-trends validate DiD's parallel-trends assumption, the post
+    // profile shows effect dynamics.
+    "q_event_study" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          floor((dayofmonth(col("ts")) - 1) / lit(7.0)).as("wk"))
+        .agg(count(lit(1L)).as("y"))
+      Analytics.eventStudy(perUser, col("y"), col("user_id") % 2 === 0,
+        col("wk"))
+    }),
+
     // Cramer-von Mises on the same cohorts: the whole-CDF test (KS
     // sees only the largest gap; CvM integrates every gap).
     "q_cvm" -> ((s, dir) =>
@@ -3236,6 +3249,35 @@ object RelationalQueries {
         |   AND se > 0 THEN abs(did / se) > 1.959963984540054 END
         |   AS reject_05
         |FROM f""".stripMargin,
+
+    "q_event_study" ->
+      """WITH pu AS (SELECT user_id,
+        |        CAST(floor((dayofmonth(ts) - 1) / 7.0) AS BIGINT) AS p,
+        |        CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+        |d AS (SELECT p, user_id % 2 = 0 AS t, y FROM pu),
+        |per AS (SELECT p, CAST(count(*) FILTER (t) AS BIGINT) AS n_t,
+        |        CAST(count(*) FILTER (NOT t) AS BIGINT) AS n_c,
+        |        avg(y) FILTER (t) AS mt, avg(y) FILTER (NOT t) AS mc,
+        |        var_samp(y) FILTER (t) AS vt,
+        |        var_samp(y) FILTER (NOT t) AS vc
+        |       FROM d GROUP BY 1),
+        |b AS (SELECT * FROM per ORDER BY p LIMIT 1),
+        |j AS (SELECT per.*, b.p AS bp, b.n_t AS bnt, b.n_c AS bnc,
+        |       b.mt AS bmt, b.mc AS bmc, b.vt AS bvt, b.vc AS bvc
+        |      FROM per, b),
+        |f AS (SELECT p, n_t, n_c, mt - mc AS diff,
+        |       CASE WHEN p = bp THEN 0.0
+        |            ELSE (mt - mc) - (bmt - bmc) END AS effect,
+        |       sqrt(vt / n_t + vc / n_c + bvt / bnt + bvc / bnc) AS se,
+        |       p = bp AS isb, bmt, bmc, bnt, bnc FROM j)
+        |SELECT p AS period, n_t, n_c, round(diff, 6) AS diff,
+        | round(effect, 6) AS effect,
+        | CASE WHEN NOT isb AND n_t >= 2 AND n_c >= 2 AND bnt >= 2
+        |       AND bnc >= 2 AND se > 0 THEN round(se, 6) END AS se,
+        | CASE WHEN NOT isb AND n_t >= 2 AND n_c >= 2 AND bnt >= 2
+        |       AND bnc >= 2 AND se > 0
+        |      THEN round((diff - (bmt - bmc)) / se, 6) END AS z
+        |FROM f ORDER BY period""".stripMargin,
 
     "q_cvm" ->
       """WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,

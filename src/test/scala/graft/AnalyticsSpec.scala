@@ -4012,6 +4012,50 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("eventStudy: per-period effects vs base; base row zero; hand-computed se") {
+    import spark.implicits._
+    // p1: T{1,3} C{0,2} diff 1 (base); p2: T{4,6} C{1,3} diff 3 -> effect 2
+    val df = Seq((1, true, 1.0), (1, true, 3.0), (1, false, 0.0),
+      (1, false, 2.0), (2, true, 4.0), (2, true, 6.0), (2, false, 1.0),
+      (2, false, 3.0)).toDF("p", "t", "y")
+    val rows = Analytics.eventStudy(df, col("y"), col("t"), col("p"))
+      .orderBy("period").collect()
+    assert(rows.length == 2, rows.mkString)
+    val base = rows(0); val p2 = rows(1)
+    assert(base.getInt(0) == 1 && base.getDouble(3) == 1.0 &&
+      base.getDouble(4) == 0.0, s"$base")
+    assert(base.isNullAt(5) && base.isNullAt(6),
+      s"base row must carry no se/z: $base")
+    assert(p2.getDouble(3) == 3.0 && p2.getDouble(4) == 2.0, s"$p2")
+    // all four cells var 2, n 2: se = sqrt(4 * 2/2) = 2; z = 1
+    assert(p2.getDouble(5) == 2.0 && p2.getDouble(6) == 1.0, s"$p2")
+  }
+
+  test("oaxacaBlinder: exact linear outcome fully explained; flat covariates zero") {
+    import spark.implicits._
+    // o = 2 + 3x in BOTH groups, A has higher x: gap fully explained
+    val df = (Seq(0.6, 0.8, 1.0, 0.9).map(x => (2 + 3 * x, true, x)) ++
+      Seq(0.0, 0.2, 0.4, 0.1).map(x => (2 + 3 * x, false, x)))
+      .toDF("o", "a", "x")
+    val r = Analytics.oaxacaBlinder(df, col("o"), col("a"), Seq(col("x")))
+      .head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4, s"$r")
+    val gap = r.getDouble(4)
+    assert(math.abs(gap - 3.0 * (0.825 - 0.175)) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(5) - gap) < 1e-4,
+      s"covariate-priced gap must absorb everything: $r")
+    assert(math.abs(r.getDouble(6)) < 1e-4, s"$r")
+    // same covariates, shifted outcome: all unexplained
+    val shift = (Seq(0.1, 0.5, 0.9, 0.3).map(x => (10 + 3 * x, true, x)) ++
+      Seq(0.1, 0.5, 0.9, 0.3).map(x => (2 + 3 * x, false, x)))
+      .toDF("o", "a", "x")
+    val rs = Analytics.oaxacaBlinder(shift, col("o"), col("a"),
+      Seq(col("x"))).head()
+    assert(math.abs(rs.getDouble(4) - 8.0) < 1e-6, s"$rs")
+    assert(math.abs(rs.getDouble(5)) < 1e-4 &&
+      math.abs(rs.getDouble(6) - 8.0) < 1e-4, s"$rs")
+  }
+
   test("binaryDiagnostics: hand-computed MCC/Youden; degenerate predictor NULL") {
     import spark.implicits._
     val rows = Seq.fill(4)((true, true)) ++ Seq.fill(1)((false, true)) ++
