@@ -2430,6 +2430,99 @@ object Analytics {
       (col("__n") - col("__np")).cast("long").as("n_neg"))
   }
 
+  /** ROC-AUC with the Hanley–McNeil confidence interval (Hanley &
+    * McNeil, Radiology 1982): the same tie-averaged rank AUC as
+    * [[aucBrier]], plus its closed-form standard error
+    *
+    *   se² = [A(1−A) + (n₊−1)(Q₁−A²) + (n₋−1)(Q₂−A²)] / (n₊·n₋),
+    *   Q₁ = A/(2−A),  Q₂ = 2A²/(1+A)
+    *
+    * and the 95% normal CI (clamped to [0,1]) — the error bar the bare
+    * AUC number always needed: an AUC of 0.71 on 50 positives and one
+    * on 50k positives are different claims. [[delongTest]] compares
+    * two correlated AUCs; this is the single-scorer readout. se/CI are
+    * NULL when either class is empty.
+    *
+    * Shape: [[aucBrier]]'s exactly — score histogram, one two-phase
+    * rank pass, a 1-row closed form. */
+  def aucConfidence(df: DataFrame, score: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val s = score.cast("double")
+    val y = label.cast("double")
+    val hist = df.groupBy(s.as("__s"))
+      .agg(count(lit(1L)).as("__c"), sum(y).as("__pos"))
+    val ranked = Windows.globalCumSum(hist, Seq(col("__s")), col("__c"), "__cdf")
+      .select(col("__pos"),
+        (col("__cdf") - (col("__c") + 1) / lit(2.0) + 1).as("__r"))
+    val sums = ranked.agg(
+      sum(col("__pos") * col("__r")).as("__rpos"),
+      sum(col("__pos")).as("__np"))
+    val totals = df.agg(count(lit(1L)).as("__n"))
+    val joined = sums.crossJoin(totals)
+    val np = col("__np")
+    val nn = col("__n") - col("__np")
+    val a = (col("__rpos") - np * (np + 1) / 2) / (np * nn)
+    val q1 = a / (lit(2.0) - a)
+    val q2 = lit(2.0) * a * a / (lit(1.0) + a)
+    val se = sqrt((a * (lit(1.0) - a) + (np - 1) * (q1 - a * a) +
+      (nn - 1) * (q2 - a * a)) / (np * nn))
+    val ok = np > 0.0 && nn > 0.0
+    val zc = lit(1.959963984540054)
+    joined.select(
+      np.cast("long").as("n_pos"), nn.cast("long").as("n_neg"),
+      when(ok, round(a, dp)).as("auc"),
+      when(ok, round(se, dp)).as("se"),
+      when(ok, round(greatest(lit(0.0), a - zc * se), dp)).as("ci95_lo"),
+      when(ok, round(least(lit(1.0), a + zc * se), dp)).as("ci95_hi"))
+  }
+
+  /** Confident-learning label-noise estimate (the Northcutt et al.,
+    * JAIR 2021 counting idea, binary form): using a scorer trusted
+    * more than the labels, per-class confidence thresholds are the
+    * class-conditional mean scores t₊ = mean(s | y=1),
+    * t₋ = mean(s | y=0); a row labeled 0 scoring ≥ t₊ is confidently
+    * mislabeled-negative, a row labeled 1 scoring ≤ t₋ confidently
+    * mislabeled-positive. Reported: both suspect counts, the implied
+    * overall noise rate, and the per-class rates — the LABEL-QUALITY
+    * audit for bought/scraped/weak-supervision training labels, where
+    * "how dirty is this" decides relabel-vs-drop before any training
+    * run. Estimates are NULL when either class is empty (no
+    * threshold exists).
+    *
+    * Shape: one 1-row threshold rollup (two conditional means), one
+    * counting scan against the broadcast thresholds — two map-side-
+    * partial passes, 1 row out. */
+  def labelNoiseEstimate(df: DataFrame, score: Column, label: Column,
+      dp: Int = 6): DataFrame = {
+    val s = score.cast("double")
+    val y = label.cast("boolean")
+    val base = df.where(s.isNotNull && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+    val th = base.agg(avg(when(col("__y"), col("__s"))).as("__tp"),
+      avg(when(!col("__y"), col("__s"))).as("__tn"))
+    val counted = base.crossJoin(broadcast(th)).agg(
+      count(lit(1L)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("__y") && col("__s") >= col("__tp"), 1L).otherwise(0L))
+        .as("n_flip_to_neg"),
+      sum(when(col("__y") && col("__s") <= col("__tn"), 1L).otherwise(0L))
+        .as("n_flip_to_pos"),
+      first(col("__tp")).as("__tp"), first(col("__tn")).as("__tn"))
+    val nPos = col("n_pos")
+    val nNeg = col("n") - col("n_pos")
+    val ok = col("__tp").isNotNull && col("__tn").isNotNull
+    counted.select(col("n"), nPos.as("n_pos"), nNeg.as("n_neg"),
+      round(col("__tp"), dp).as("thresh_pos"),
+      round(col("__tn"), dp).as("thresh_neg"),
+      col("n_flip_to_neg"), col("n_flip_to_pos"),
+      when(ok, round((col("n_flip_to_neg") + col("n_flip_to_pos"))
+        .cast("double") / col("n"), dp)).as("est_noise_rate"),
+      when(ok && nNeg > 0, round(col("n_flip_to_neg").cast("double") / nNeg,
+        dp)).as("rate_neg_labeled"),
+      when(ok && nPos > 0, round(col("n_flip_to_pos").cast("double") / nPos,
+        dp)).as("rate_pos_labeled"))
+  }
+
   /** Average precision (the PR-curve area, sklearn's
     * `average_precision_score` convention) + best achievable F1 — the
     * precision-recall companion of [[aucBrier]]: under class imbalance

@@ -3390,6 +3390,26 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // ROC-AUC with the Hanley-McNeil closed-form CI on the shared
+    // pseudo-scorer: the error bar the bare AUC number needs; same
+    // rank machinery as eval_auc_by_source, one extra closed form.
+    "eval_auc_ci" -> ((s, dir) =>
+      graft.ops.Analytics.aucConfidence(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0))),
+
+    // Confident-learning label-noise audit: class-conditional mean
+    // scores as confidence thresholds, confidently-contradicted labels
+    // counted per direction — "how dirty are these labels" before any
+    // training run.
+    "pipeline_label_noise" -> ((s, dir) =>
+      graft.ops.Analytics.labelNoiseEstimate(
+        t(s, dir, "documents"),
+        (col("n_chars") % 97) / lit(96.0),
+        col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0)),
+
     // Binary diagnostics of a deterministic thresholded predictor:
     // 2x2 cells + accuracy, balanced accuracy, MCC and Youden's J from
     // ONE 4-count scan — the imbalance-honest binary drill-down beside
@@ -4337,6 +4357,54 @@ object PipelineQueries {
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
     "eval_platt" -> plattOracle(8),
+
+    "eval_auc_ci" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1.0 ELSE 0.0 END AS y FROM documents),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c, sum(y) AS pos
+        |      FROM d GROUP BY 1),
+        |rk AS (SELECT pos, sum(c) OVER (ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - (c + 1) / CAST(2 AS DOUBLE) + 1 AS r FROM h),
+        |sm AS (SELECT sum(pos * r) AS rpos, sum(pos) AS np FROM rk),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |a AS (SELECT np, n - np AS nn,
+        |       (rpos - np * (np + 1) / 2) / (np * (n - np)) AS auc
+        |      FROM sm, tt),
+        |b AS (SELECT *, auc / (2 - auc) AS q1,
+        |       2 * auc * auc / (1 + auc) AS q2 FROM a),
+        |c AS (SELECT *, sqrt((auc * (1 - auc) + (np - 1) * (q1 - auc * auc)
+        |       + (nn - 1) * (q2 - auc * auc)) / (np * nn)) AS se FROM b)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        | round(auc, 6) AS auc, round(se, 6) AS se,
+        | round(greatest(0.0, auc - 1.959963984540054 * se), 6) AS ci95_lo,
+        | round(least(1.0, auc + 1.959963984540054 * se), 6) AS ci95_hi
+        |FROM c""".stripMargin,
+
+    "pipeline_label_noise" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        (doc_id % 3 = 0 OR n_chars % 5 = 0) AS y FROM documents),
+        |th AS (SELECT avg(s) FILTER (y) AS tp,
+        |        avg(s) FILTER (NOT y) AS tn FROM d),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(*) FILTER (y) AS BIGINT) AS n_pos,
+        |        CAST(count(*) FILTER (NOT y AND s >= th.tp) AS BIGINT)
+        |          AS n_flip_to_neg,
+        |        CAST(count(*) FILTER (y AND s <= th.tn) AS BIGINT)
+        |          AS n_flip_to_pos,
+        |        any_value(th.tp) AS tp, any_value(th.tn) AS tn
+        |       FROM d, th)
+        |SELECT n, n_pos, n - n_pos AS n_neg,
+        | round(tp, 6) AS thresh_pos, round(tn, 6) AS thresh_neg,
+        | n_flip_to_neg, n_flip_to_pos,
+        | round(CAST(n_flip_to_neg + n_flip_to_pos AS DOUBLE) / n, 6)
+        |   AS est_noise_rate,
+        | round(CAST(n_flip_to_neg AS DOUBLE) / (n - n_pos), 6)
+        |   AS rate_neg_labeled,
+        | round(CAST(n_flip_to_pos AS DOUBLE) / n_pos, 6)
+        |   AS rate_pos_labeled
+        |FROM a""".stripMargin,
 
     "q_oaxaca" ->
       """WITH d AS (SELECT CAST(n_chars % 89 AS DOUBLE) AS o,

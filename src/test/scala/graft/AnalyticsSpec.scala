@@ -4012,6 +4012,47 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("aucConfidence: hand-computed Hanley-McNeil se; perfect separation; empty class") {
+    import spark.implicits._
+    // pos {0.4,0.8}, neg {0.2,0.6}: AUC .75, se^2 = .305357/4
+    val df = Seq((0.4, 1), (0.8, 1), (0.2, 0), (0.6, 0)).toDF("s", "y")
+    val r = Analytics.aucConfidence(df, col("s"), col("y")).head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 0.75, s"$r")
+    val q1 = 0.75 / 1.25; val q2 = 1.125 / 1.75
+    val se = math.sqrt((0.75 * 0.25 + (q1 - 0.5625) + (q2 - 0.5625)) / 4)
+    assert(math.abs(r.getDouble(3) - se) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - (0.75 - 1.959963984540054 * se)) < 1e-5
+      && r.getDouble(5) == 1.0, s"$r")
+    // perfect separation: se = 0, CI degenerate at 1
+    val perfect = Seq((0.8, 1), (0.9, 1), (0.1, 0), (0.2, 0)).toDF("s", "y")
+    val rp = Analytics.aucConfidence(perfect, col("s"), col("y")).head()
+    assert(rp.getDouble(2) == 1.0 && rp.getDouble(3) == 0.0 &&
+      rp.getDouble(4) == 1.0, s"$rp")
+    // one class only: no AUC
+    val one = Seq((0.5, 1), (0.6, 1)).toDF("s", "y")
+    assert(Analytics.aucConfidence(one, col("s"), col("y"))
+      .head().isNullAt(2))
+  }
+
+  test("labelNoiseEstimate: confidently-contradicted labels counted; one-class NULL") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.8, true), (0.2, true),
+      (0.1, false), (0.2, false), (0.7, false)).toDF("s", "y")
+    val r = Analytics.labelNoiseEstimate(df, col("s"), col("y")).head()
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 3, s"$r")
+    assert(math.abs(r.getDouble(3) - 19.0 / 30) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-6, s"$r")
+    assert(r.getLong(5) == 1 && r.getLong(6) == 1, s"$r")
+    assert(math.abs(r.getDouble(7) - 2.0 / 6) < 1e-6, s"$r")
+    assert(math.abs(r.getDouble(8) - 1.0 / 3) < 1e-6 &&
+      math.abs(r.getDouble(9) - 1.0 / 3) < 1e-6, s"$r")
+    // a single-class label column has no contradiction threshold
+    val onecls = Seq((0.5, true), (0.9, true)).toDF("s", "y")
+    val ro = Analytics.labelNoiseEstimate(onecls, col("s"), col("y")).head()
+    assert(ro.isNullAt(7) && ro.isNullAt(8) && ro.isNullAt(9), s"$ro")
+  }
+
   test("eventStudy: per-period effects vs base; base row zero; hand-computed se") {
     import spark.implicits._
     // p1: T{1,3} C{0,2} diff 1 (base); p2: T{4,6} C{1,3} diff 3 -> effect 2
