@@ -1601,6 +1601,77 @@ object Analytics {
           .as("alpha"))
   }
 
+  /** Krippendorff's α for ORDINAL data — the Likert/grade-scale member
+    * of the α family ([[krippendorffAlpha]] treats 1-vs-2 and 1-vs-5 as
+    * equally wrong; [[krippendorffAlphaInterval]] prices them by raw
+    * numeric gap, which overweights arbitrary level spacing). The
+    * ordinal metric prices a (c, k) disagreement by the MARGINAL MASS
+    * between the levels,
+    *
+    *   δ²(c,k) = (Σ_{g=c..k} n_g − (n_c + n_k)/2)²
+    *
+    * so skipping a rarely-used middle level costs little and jumping
+    * across popular ones costs much — Krippendorff's own prescription.
+    * α = 1 − (n−1)·D_o/D_e with D_o = Σ_u Σ_{c≠k} n_uc·n_uk·δ²/(m_u−1)
+    * and D_e = Σ_{c≠k} n_c·n_k·δ², the [[krippendorffAlpha]] algebra
+    * with δ² inserted (δ²≡1 recovers it — on a 2-level scale the
+    * single pair's δ² cancels, so ordinal == nominal exactly: the
+    * differential the spec pins). Items with < 2 ratings drop, as in
+    * the nominal twin; α is NULL when D_e ≤ 0.
+    *
+    * Shape: the (item, level) rollup is the only corpus exchange; the
+    * level marginals, their cumulative sums, and the level-PAIR table
+    * (|levels|² rows) are all bounded-scale algebra, and D_o's per-item
+    * pair expansion joins item-keyed cells to the broadcast pair
+    * table — ≤ |levels|² rows per item. */
+  def krippendorffAlphaOrdinal(ratings: DataFrame, itemCol: String,
+      levelCol: String, dp: Int = 6): DataFrame = {
+    val cell = ratings
+      .where(col(itemCol).isNotNull && col(levelCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        col(levelCol).cast("double").as("__l"))
+      .agg(count(lit(1L)).as("__nuc"))
+      .localCheckpoint(true) // item rollup, marginals, and D_o all read it
+    val perItem = cell.groupBy("__i").agg(sum(col("__nuc")).as("__mu"))
+      .where(col("__mu") >= 2)
+    val kept = cell.join(perItem, "__i")
+    val marg = kept.groupBy("__l").agg(sum(col("__nuc")).as("__nc"))
+    // the level table is bounded by the rating scale — window is safe
+    val margCum = marg.withColumn("__cum",
+      sum(col("__nc")).over(Window.orderBy(col("__l"))))
+    val pa = margCum.select(col("__l").as("__lc"), col("__nc").as("__ncc"),
+      col("__cum").as("__cumc"))
+    val pb = margCum.select(col("__l").as("__lk"), col("__nc").as("__nck"),
+      col("__cum").as("__cumk"))
+    val delta = (col("__cumk") - col("__cumc")).cast("double") +
+      (col("__ncc") - col("__nck")) / lit(2.0)
+    val pairs = pa.join(pb, col("__lc") < col("__lk"))
+      .select(col("__lc"), col("__lk"), col("__ncc"), col("__nck"),
+        (delta * delta).as("__d2"))
+      .localCheckpoint(true) // D_e rollup + the broadcast D_o join
+    val de = pairs.agg(coalesce(sum(lit(2.0) * col("__ncc") * col("__nck") *
+      col("__d2")), lit(0.0)).as("__de"))
+    val ka = kept.select(col("__i"), col("__l").as("__lc"),
+      col("__nuc").as("__na"), col("__mu"))
+    val kb = kept.select(col("__i"), col("__l").as("__lk"),
+      col("__nuc").as("__nb"))
+    val doNum = ka.join(kb, Seq("__i")).where(col("__lc") < col("__lk"))
+      .join(broadcast(pairs.select("__lc", "__lk", "__d2")),
+        Seq("__lc", "__lk"))
+      .agg(coalesce(sum(lit(2.0) * col("__na") * col("__nb") * col("__d2") /
+        (col("__mu") - 1).cast("double")), lit(0.0)).as("__do"))
+    val counts = perItem.agg(count(lit(1L)).as("n_items"),
+      coalesce(sum(col("__mu")), lit(0L)).as("n_ratings"))
+    val nLevels = marg.agg(count(lit(1L)).as("n_levels"))
+    val nD = col("n_ratings").cast("double")
+    counts.crossJoin(nLevels).crossJoin(doNum).crossJoin(de).select(
+      col("n_items"), col("n_ratings"), col("n_levels"),
+      when(col("n_items") === 0 || col("__de") <= 0.0,
+          lit(null).cast("double"))
+        .otherwise(round(lit(1.0) - (nD - 1) * col("__do") / col("__de"),
+          dp)).as("alpha"))
+  }
+
   /** Cronbach's α (Cronbach 1951): internal-consistency reliability of
     * a k-item scale — do the k per-subject scores (k rubric criteria, k
     * probe questions per document, k judge prompts) measure ONE

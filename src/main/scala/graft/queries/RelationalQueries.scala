@@ -1240,6 +1240,22 @@ object RelationalQueries {
         "item", "v")
     }),
 
+    // Ordinal-metric Krippendorff over three 0-4 graders with the
+    // same planted skips: disagreements priced by the marginal mass
+    // between levels — the Likert-scale member between the nominal
+    // and interval twins.
+    "q_kripp_ordinal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def rater(k: Int) = d.select(col("doc_id").as("item"),
+        floor(((col("n_chars") + col("doc_id") * k) % 41)
+          .cast("double") / 10).as("lvl"))
+      Analytics.krippendorffAlphaOrdinal(
+        rater(11)
+          .unionByName(rater(23).where(col("item") % 4 =!= 0))
+          .unionByName(rater(37).where(col("item") % 5 =!= 1)),
+        "item", "lvl")
+    }),
+
     // Cochran's Q over three deterministic pseudo-classifiers (the
     // q_mcnemar pair + a parity scorer), classifier c skipping every
     // 7th item — the k-way "same success rate?" eval-table gate with
@@ -3839,6 +3855,45 @@ object RelationalQueries {
         |  ELSE round(1 - CAST(ma.n - 1 AS DOUBLE) * dn.do_
         |    / (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2), 6) END AS alpha
         |FROM dn, ma""".stripMargin,
+
+    "q_kripp_ordinal" ->
+      """WITH r AS (
+        | SELECT doc_id AS item, floor(CAST((n_chars + doc_id * 11) % 41
+        |   AS DOUBLE) / 10) AS lvl FROM documents
+        | UNION ALL SELECT doc_id, floor(CAST((n_chars + doc_id * 23) % 41
+        |   AS DOUBLE) / 10) FROM documents WHERE doc_id % 4 <> 0
+        | UNION ALL SELECT doc_id, floor(CAST((n_chars + doc_id * 37) % 41
+        |   AS DOUBLE) / 10) FROM documents WHERE doc_id % 5 <> 1),
+        |cell AS (SELECT item, lvl, CAST(count(*) AS BIGINT) AS nuc
+        | FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(nuc) AS BIGINT) AS mu
+        | FROM cell GROUP BY 1 HAVING sum(nuc) >= 2),
+        |kept AS (SELECT c.item, c.lvl, c.nuc, pi.mu
+        | FROM cell c JOIN pi ON c.item = pi.item),
+        |marg AS (SELECT lvl, CAST(sum(nuc) AS BIGINT) AS nc
+        | FROM kept GROUP BY 1),
+        |mc AS (SELECT lvl, nc, CAST(sum(nc) OVER (ORDER BY lvl
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum FROM marg),
+        |pr AS (SELECT a.lvl AS lc, b.lvl AS lk, a.nc AS ncc, b.nc AS nck,
+        |  (CAST(b.cum - a.cum AS DOUBLE) + (a.nc - b.nc) / 2.0)
+        |  * (CAST(b.cum - a.cum AS DOUBLE) + (a.nc - b.nc) / 2.0) AS d2
+        | FROM mc a JOIN mc b ON a.lvl < b.lvl),
+        |de AS (SELECT coalesce(sum(2.0 * ncc * nck * d2), 0.0) AS de
+        | FROM pr),
+        |dn AS (SELECT coalesce(sum(2.0 * ka.nuc * kb.nuc * pr.d2
+        |   / CAST(ka.mu - 1 AS DOUBLE)), 0.0) AS do_
+        | FROM kept ka JOIN kept kb ON ka.item = kb.item
+        |   AND ka.lvl < kb.lvl
+        | JOIN pr ON pr.lc = ka.lvl AND pr.lk = kb.lvl),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(mu), 0) AS BIGINT) AS n_ratings FROM pi),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_levels FROM marg)
+        |SELECT ct.n_items, ct.n_ratings, nl.n_levels,
+        | CASE WHEN ct.n_items = 0 OR de.de <= 0 THEN NULL
+        |  ELSE round(1 - (CAST(ct.n_ratings AS DOUBLE) - 1) * dn.do_
+        |    / de.de, 6) END AS alpha
+        |FROM ct, nl, dn, de""".stripMargin,
 
     // same confusion rollup, same raw-distance quadratic weights
     "q_wkappa" ->

@@ -4012,6 +4012,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("krippendorffAlphaOrdinal: hand-computed; perfect 1; binary == nominal") {
+    import spark.implicits._
+    // i1{1,2} i2{1,3} i3{2,2}: De = 180, Do = 53, alpha = 1 - 5*53/180
+    val df = Seq((1, 1.0), (1, 2.0), (2, 1.0), (2, 3.0), (3, 2.0),
+      (3, 2.0)).toDF("item", "lvl")
+    val r = Analytics.krippendorffAlphaOrdinal(df, "item", "lvl").head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 6 && r.getLong(2) == 3,
+      s"$r")
+    assert(math.abs(r.getDouble(3) - (1.0 - 5.0 * 53 / 180)) < 1e-6, s"$r")
+    // unanimous items: D_o = 0 -> alpha = 1
+    val perfect = Seq((1, 1.0), (1, 1.0), (2, 3.0), (2, 3.0))
+      .toDF("item", "lvl")
+    assert(Analytics.krippendorffAlphaOrdinal(perfect, "item", "lvl")
+      .head().getDouble(3) == 1.0)
+    // two-level scale: the single pair's delta^2 cancels -> == nominal
+    val bin = Seq((1, 0.0), (1, 1.0), (2, 1.0), (2, 1.0), (3, 0.0),
+      (3, 0.0), (4, 0.0), (4, 1.0), (4, 1.0)).toDF("item", "lvl")
+    val ord = Analytics.krippendorffAlphaOrdinal(bin, "item", "lvl")
+      .head().getDouble(3)
+    val nom = Analytics.krippendorffAlpha(
+      bin.select(col("item"), col("lvl").cast("string").as("label")),
+      "item", "label").head().getDouble(3)
+    assert(math.abs(ord - nom) < 1e-9, s"ordinal $ord vs nominal $nom")
+  }
+
   test("aucConfidence: hand-computed Hanley-McNeil se; perfect separation; empty class") {
     import spark.implicits._
     // pos {0.4,0.8}, neg {0.2,0.6}: AUC .75, se^2 = .305357/4
