@@ -2045,6 +2045,66 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Ratio-of-sums metric comparison with the delta-method CI: for
+    * per-unit (numerator, denominator) pairs — revenue per session,
+    * clicks per impression, tokens kept per doc — each arm's metric is
+    * R = Σy/Σx, whose uncertainty a naive mean-of-ratios bootstrap gets
+    * wrong; the delta method gives
+    *
+    *   var(R) = (σ²_y − 2R·σ_xy + R²·σ²_x) / (n·x̄²)
+    *
+    * from per-unit sample (co)variances (raw power sums, computed in
+    * ONE conditional-aggregate pass for both arms). Reported: per-arm
+    * ratios, the difference, its SE, z, and the 5% two-sided verdict —
+    * NULL when either arm has n < 2 or Σx = 0; the verdict additionally
+    * gated at n ≥ 20 per arm (the repo's normal-approximation floor).
+    * THE missing piece next to [[powerMde]] (proportions) and plain
+    * mean tests: most production metrics are ratios of sums.
+    *
+    * Shape: ONE whole-corpus rollup (10 conditional sums), 1 row. */
+  def ratioMetricTest(df: DataFrame, num: Column, den: Column,
+      inA: Column, dp: Int = 6): DataFrame = {
+    val y = num.cast("double")
+    val x = den.cast("double")
+    val base = df.where(num.isNotNull && den.isNotNull && inA.isNotNull)
+      .select(y.as("__y"), x.as("__x"), inA.cast("boolean").as("__a"))
+    def arm(flag: Column, suf: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"n$suf"),
+      sum(when(flag, col("__x"))).as(s"__sx$suf"),
+      sum(when(flag, col("__y"))).as(s"__sy$suf"),
+      sum(when(flag, col("__x") * col("__x"))).as(s"__sxx$suf"),
+      sum(when(flag, col("__y") * col("__y"))).as(s"__syy$suf"),
+      sum(when(flag, col("__x") * col("__y"))).as(s"__sxy$suf"))
+    val aggs = arm(col("__a"), "_a") ++ arm(!col("__a"), "_b")
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def ratio(suf: String) = col(s"__sy$suf") / col(s"__sx$suf")
+    def varR(suf: String): Column = {
+      val n = col(s"n$suf").cast("double")
+      val r = ratio(suf)
+      val vx = (col(s"__sxx$suf") - col(s"__sx$suf") * col(s"__sx$suf") / n) /
+        (n - 1)
+      val vy = (col(s"__syy$suf") - col(s"__sy$suf") * col(s"__sy$suf") / n) /
+        (n - 1)
+      val cxy = (col(s"__sxy$suf") - col(s"__sx$suf") * col(s"__sy$suf") / n) /
+        (n - 1)
+      val xbar = col(s"__sx$suf") / n
+      (vy - lit(2.0) * r * cxy + r * r * vx) / (n * xbar * xbar)
+    }
+    val okA = col("n_a") >= 2 && col("__sx_a") =!= 0.0
+    val okB = col("n_b") >= 2 && col("__sx_b") =!= 0.0
+    val se = sqrt(varR("_a") + varR("_b"))
+    val diff = ratio("_a") - ratio("_b")
+    val ok = okA && okB && se > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("__sx_a") =!= 0.0, round(ratio("_a"), dp)).as("ratio_a"),
+      when(col("__sx_b") =!= 0.0, round(ratio("_b"), dp)).as("ratio_b"),
+      when(okA && okB, round(diff, dp)).as("diff"),
+      when(ok, round(se, dp)).as("se"),
+      when(ok, round(diff / se, dp)).as("z"),
+      when(ok && col("n_a") >= 20 && col("n_b") >= 20,
+        abs(diff / se) > 1.959963984540054).as("reject_05"))
+  }
+
   /** TOST equivalence test (Schuirmann 1987): is cohort A's mean
     * EQUIVALENT to the rest's within ±`delta` — the question every
     * "no significant difference" misreads (failing to reject H0 is not

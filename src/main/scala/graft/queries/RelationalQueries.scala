@@ -1057,6 +1057,18 @@ object RelationalQueries {
         col("post"))
     }),
 
+    // Ratio-of-sums A/B comparison (value per event across per-user
+    // units) with the delta-method CI: the inference most production
+    // metrics actually need — a naive mean-of-ratios SE is wrong for
+    // Σy/Σx metrics.
+    "q_ratio_metric" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value")).as("y"), count(lit(1L)).as("x"))
+      Analytics.ratioMetricTest(perUser, col("y"), col("x"),
+        col("user_id") % 2 === 0)
+    }),
+
     // Event study on the q_did panel unrolled per month: per-period
     // treated-control gaps relative to the earliest month — flat
     // pre-trends validate DiD's parallel-trends assumption, the post
@@ -3264,6 +3276,44 @@ object RelationalQueries {
         | CASE WHEN nt1 >= 2 AND nt0 >= 2 AND nc1 >= 2 AND nc0 >= 2
         |   AND se > 0 THEN abs(did / se) > 1.959963984540054 END
         |   AS reject_05
+        |FROM f""".stripMargin,
+
+    "q_ratio_metric" ->
+      """WITH pu AS (SELECT user_id, sum(value) AS y,
+        |        CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1),
+        |d AS (SELECT y, x, user_id % 2 = 0 AS a FROM pu
+        |      WHERE y IS NOT NULL),
+        |g AS (SELECT
+        |  CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |  sum(x) FILTER (a) AS sxa, sum(y) FILTER (a) AS sya,
+        |  sum(x*x) FILTER (a) AS sxxa, sum(y*y) FILTER (a) AS syya,
+        |  sum(x*y) FILTER (a) AS sxya,
+        |  CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b,
+        |  sum(x) FILTER (NOT a) AS sxb, sum(y) FILTER (NOT a) AS syb,
+        |  sum(x*x) FILTER (NOT a) AS sxxb, sum(y*y) FILTER (NOT a) AS syyb,
+        |  sum(x*y) FILTER (NOT a) AS sxyb FROM d),
+        |v1 AS (SELECT *, sya / sxa AS ra, syb / sxb AS rb,
+        |  (syya - sya*sya/n_a)/(n_a - 1) AS vya,
+        |  (sxxa - sxa*sxa/n_a)/(n_a - 1) AS vxa,
+        |  (sxya - sxa*sya/n_a)/(n_a - 1) AS cxya, sxa/n_a AS xba,
+        |  (syyb - syb*syb/n_b)/(n_b - 1) AS vyb,
+        |  (sxxb - sxb*sxb/n_b)/(n_b - 1) AS vxb,
+        |  (sxyb - sxb*syb/n_b)/(n_b - 1) AS cxyb, sxb/n_b AS xbb
+        | FROM g),
+        |v2 AS (SELECT *,
+        |  (vya - 2.0*ra*cxya + ra*ra*vxa)/(n_a*xba*xba) AS va,
+        |  (vyb - 2.0*rb*cxyb + rb*rb*vxb)/(n_b*xbb*xbb) AS vb FROM v1),
+        |f AS (SELECT *, sqrt(va + vb) AS se, ra - rb AS diff,
+        |  n_a >= 2 AND sxa <> 0 AND n_b >= 2 AND sxb <> 0 AS okn
+        | FROM v2)
+        |SELECT n_a, n_b,
+        | CASE WHEN sxa <> 0 THEN round(ra, 6) END AS ratio_a,
+        | CASE WHEN sxb <> 0 THEN round(rb, 6) END AS ratio_b,
+        | CASE WHEN okn THEN round(diff, 6) END AS diff,
+        | CASE WHEN okn AND se > 0 THEN round(se, 6) END AS se,
+        | CASE WHEN okn AND se > 0 THEN round(diff / se, 6) END AS z,
+        | CASE WHEN okn AND se > 0 AND n_a >= 20 AND n_b >= 20
+        |      THEN abs(diff / se) > 1.959963984540054 END AS reject_05
         |FROM f""".stripMargin,
 
     "q_event_study" ->

@@ -4012,6 +4012,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("ratioMetricTest: delta-method var hand-computed; proportional arm zero var") {
+    import spark.implicits._
+    // A: (10,2),(20,3) -> R=6, var=0.64; B: (5,1),(15,3) -> R=5, var=0
+    val df = Seq((10.0, 2.0, true), (20.0, 3.0, true),
+      (5.0, 1.0, false), (15.0, 3.0, false)).toDF("y", "x", "a")
+    val r = Analytics.ratioMetricTest(df, col("y"), col("x"), col("a"))
+      .head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 6.0 && r.getDouble(3) == 5.0, s"$r")
+    assert(r.getDouble(4) == 1.0, s"$r")
+    assert(math.abs(r.getDouble(5) - 0.8) < 1e-9, s"$r")
+    assert(math.abs(r.getDouble(6) - 1.25) < 1e-9, s"$r")
+    assert(r.isNullAt(7), s"n < 20 must gate the verdict: $r")
+    // a single-unit arm has no variance estimate
+    val tiny = Seq((10.0, 2.0, true), (5.0, 1.0, false),
+      (15.0, 3.0, false)).toDF("y", "x", "a")
+    val rt = Analytics.ratioMetricTest(tiny, col("y"), col("x"), col("a"))
+      .head()
+    assert(rt.getDouble(2) == 5.0 && rt.isNullAt(5) && rt.isNullAt(6),
+      s"$rt")
+  }
+
   test("krippendorffAlphaOrdinal: hand-computed; perfect 1; binary == nominal") {
     import spark.implicits._
     // i1{1,2} i2{1,3} i3{2,2}: De = 180, Do = 53, alpha = 1 - 5*53/180
