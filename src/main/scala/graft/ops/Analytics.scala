@@ -1803,6 +1803,70 @@ object Analytics {
     * (all blocks fully tied) or k < 2. Shape: one block-keyed rank
     * window (k rows per partition — the partition IS the block), then
     * treatment-sized rollups; nothing unpartitioned. */
+  /** Page's L trend test (Page 1963): in a complete blocked design, do
+    * the treatments trend in the HYPOTHESIZED order — the blocked
+    * companion of [[jonckheereTest]], and what [[friedmanTest]] cannot
+    * ask (Friedman sees "some treatment differs"; Page is powered
+    * against the ordered alternative — model versions improving
+    * release over release, checkpoint quality by step). L = Σⱼ wⱼ·Rⱼ
+    * over order index wⱼ = 1..k and within-block rank sums Rⱼ, with
+    *
+    *   E[L] = b·k(k+1)²/4,   Var(L) = b·(k³−k)²/(144(k−1))
+    *
+    * and one-sided z = (L−E)/√Var (reject at z > 1.6448536269514722,
+    * 5%). Ranks are tie-averaged; the classical variance assumes
+    * continuity, so with heavy ties z is mildly approximate (the
+    * repo-wide rank-test caveat). `reject_05` is NULL below 12 blocks
+    * (exact tables territory) or for degenerate k/b. Complete-block
+    * discipline is [[friedmanTest]]'s exactly: a block missing any
+    * treatment (by distinct count — duplicates cannot mask gaps) is
+    * dropped and counted; treatments outside `order` are ignored.
+    *
+    * Shape: the Friedman exchanges — block-keyed completeness rollup,
+    * within-block k-row rank windows, one 1-row rollup. */
+  def pageTrendTest(df: DataFrame, block: Column, treatment: Column,
+      value: Column, order: Seq[String], dp: Int = 6): DataFrame = {
+    require(order.size >= 2, s"need >= 2 ordered treatments, got $order")
+    require(order.distinct.size == order.size, s"order repeats: $order")
+    val k = order.size
+    val base = df.select(block.as("__b"), treatment.cast("string").as("__t"),
+        value.cast("double").as("__v"))
+      .where(col("__b").isNotNull && col("__v").isNotNull &&
+        col("__t").isin(order: _*))
+      .localCheckpoint(true)
+    val sizes = base.groupBy("__b").agg(count(lit(1L)).as("__cnt"),
+      countDistinct(col("__t")).as("__dcnt"))
+    val keptIds = sizes.where(col("__cnt") === k && col("__dcnt") === k)
+      .select(col("__b"))
+    val dropped = sizes.where(col("__cnt") =!= k || col("__dcnt") =!= k)
+      .agg(count(lit(1L)).as("n_blocks_dropped"))
+    val kept = base.join(keptIds, "__b")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val te = Window.partitionBy(col("__b"), col("__v"))
+    val weightExpr = order.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (t, i)) =>
+        when(col("__t") === t, lit((i + 1).toDouble)).otherwise(acc) }
+    val ranked = kept.select(col("__b"),
+      (rank().over(w) + (count(lit(1L)).over(te) - 1) / 2.0).as("__r"),
+      weightExpr.as("__w"))
+    val agg = ranked.agg(
+      (count(lit(1L)) / k).cast("long").as("n_blocks"),
+      coalesce(sum(col("__r") * col("__w")), lit(0.0)).as("__l"))
+    val n = col("n_blocks").cast("double")
+    val kD = k.toDouble
+    val eL = n * lit(kD * (kD + 1) * (kD + 1) / 4.0)
+    val varL = n * lit((kD * kD * kD - kD) * (kD * kD * kD - kD) /
+      (144.0 * (kD - 1)))
+    val z = (col("__l") - eL) / sqrt(varL)
+    val ok = col("n_blocks") > 0
+    agg.crossJoin(broadcast(dropped)).select(
+      lit(k).as("k"), col("n_blocks"), col("n_blocks_dropped"),
+      when(ok, round(col("__l"), dp)).as("l_stat"),
+      when(ok, round(eL, dp)).as("e_l"),
+      when(ok, round(z, dp)).as("z"),
+      when(col("n_blocks") >= 12, z > 1.6448536269514722).as("reject_05"))
+  }
+
   def friedmanTest(df: DataFrame, block: Column, treatment: Column,
       value: Column, dp: Int = 6): DataFrame = {
     val base = df.select(block.as("__b"), treatment.cast("string").as("__t"),

@@ -1252,6 +1252,23 @@ object RelationalQueries {
         "item", "v")
     }),
 
+    // Page's L over three blocked pseudo-systems (s23 skipping every
+    // 4th doc -> dropped blocks exercised): the ordered-alternative
+    // trend test Friedman's any-difference answer is not.
+    "q_page" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def sys(name: String, k: Int, keep: org.apache.spark.sql.Column) =
+        d.where(keep).select(col("doc_id").as("item"),
+          lit(name).as("sys"),
+          ((col("n_chars") + col("doc_id") * k) % 41).as("score"))
+      Analytics.pageTrendTest(
+        sys("s11", 11, lit(true))
+          .unionByName(sys("s23", 23, col("doc_id") % 4 =!= 0))
+          .unionByName(sys("s37", 37, lit(true))),
+        col("item"), col("sys"), col("score"),
+        Seq("s11", "s23", "s37"))
+    }),
+
     // Ordinal-metric Krippendorff over three 0-4 graders with the
     // same planted skips: disagreements priced by the marginal mass
     // between levels — the Likert-scale member between the nominal
@@ -3905,6 +3922,38 @@ object RelationalQueries {
         |  ELSE round(1 - CAST(ma.n - 1 AS DOUBLE) * dn.do_
         |    / (CAST(ma.n AS DOUBLE) * ma.n - ma.nc2), 6) END AS alpha
         |FROM dn, ma""".stripMargin,
+
+    "q_page" ->
+      """WITH r AS (
+        | SELECT doc_id AS b, 's11' AS t,
+        |  CAST((n_chars + doc_id * 11) % 41 AS DOUBLE) AS v FROM documents
+        | UNION ALL SELECT doc_id, 's23',
+        |  CAST((n_chars + doc_id * 23) % 41 AS DOUBLE) FROM documents
+        |  WHERE doc_id % 4 <> 0
+        | UNION ALL SELECT doc_id, 's37',
+        |  CAST((n_chars + doc_id * 37) % 41 AS DOUBLE) FROM documents),
+        |sz AS (SELECT b, count(*) AS c, count(DISTINCT t) AS dc
+        |       FROM r GROUP BY 1),
+        |keep AS (SELECT b FROM sz WHERE c = 3 AND dc = 3),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM sz
+        |        WHERE c <> 3 OR dc <> 3),
+        |kk AS (SELECT r.* FROM r JOIN keep USING (b)),
+        |rk AS (SELECT b, t, rank() OVER (PARTITION BY b ORDER BY v)
+        |   + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rr FROM kk),
+        |ag AS (SELECT CAST(count(*) / 3 AS BIGINT) AS nb,
+        |  coalesce(sum(rr * (CASE t WHEN 's11' THEN 1.0
+        |    WHEN 's23' THEN 2.0 ELSE 3.0 END)), 0.0) AS l FROM rk),
+        |f AS (SELECT nb, l, CAST(nb AS DOUBLE) * 12.0 AS el,
+        |       CAST(nb AS DOUBLE) * 2.0 AS vl FROM ag)
+        |SELECT 3 AS k, nb AS n_blocks,
+        | (SELECT nd FROM drp) AS n_blocks_dropped,
+        | CASE WHEN nb > 0 THEN round(l, 6) END AS l_stat,
+        | CASE WHEN nb > 0 THEN round(el, 6) END AS e_l,
+        | CASE WHEN nb > 0 THEN round((l - el) / sqrt(vl), 6) END AS z,
+        | CASE WHEN nb >= 12
+        |      THEN (l - el) / sqrt(vl) > 1.6448536269514722 END
+        |   AS reject_05
+        |FROM f""".stripMargin,
 
     "q_kripp_ordinal" ->
       """WITH r AS (

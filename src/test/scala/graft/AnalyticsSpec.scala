@@ -4012,6 +4012,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("pageTrendTest: perfect trend rejects; reverse does not; incomplete dropped") {
+    import spark.implicits._
+    // 12 complete blocks, values strictly increasing in the order
+    val up = (1 to 12).flatMap(b => Seq((b, "a", 1.0), (b, "b", 2.0),
+      (b, "c", 3.0))) ++ Seq((99, "a", 1.0), (99, "b", 2.0)) // incomplete
+    val r = Analytics.pageTrendTest(up.toDF("b", "t", "v"), col("b"),
+      col("t"), col("v"), Seq("a", "b", "c")).head()
+    assert(r.getInt(0) == 3 && r.getLong(1) == 12 && r.getLong(2) == 1,
+      s"$r")
+    // L = 12 * (1 + 4 + 9) = 168, E = 144, Var = 24
+    assert(r.getDouble(3) == 168.0 && r.getDouble(4) == 144.0, s"$r")
+    assert(math.abs(r.getDouble(5) - 24.0 / math.sqrt(24.0)) < 1e-6, s"$r")
+    assert(r.getBoolean(6), s"$r")
+    // reverse the hypothesized order: z flips sign, one-sided no reject
+    val rr = Analytics.pageTrendTest(up.toDF("b", "t", "v"), col("b"),
+      col("t"), col("v"), Seq("c", "b", "a")).head()
+    assert(rr.getDouble(5) < 0 && !rr.getBoolean(6), s"$rr")
+    // below 12 blocks the normal verdict is withheld
+    val few = (1 to 5).flatMap(b => Seq((b, "a", 1.0), (b, "b", 2.0),
+      (b, "c", 3.0)))
+    assert(Analytics.pageTrendTest(few.toDF("b", "t", "v"), col("b"),
+      col("t"), col("v"), Seq("a", "b", "c")).head().isNullAt(6))
+  }
+
   test("ratioMetricTest: delta-method var hand-computed; proportional arm zero var") {
     import spark.implicits._
     // A: (10,2),(20,3) -> R=6, var=0.64; B: (5,1),(15,3) -> R=5, var=0
