@@ -2109,6 +2109,54 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Numeric-scorer agreement: Bland–Altman bias and limits of
+    * agreement (Bland & Altman, Lancet 1986) plus Lin's concordance
+    * correlation coefficient (Lin, Biometrics 1989) —
+    *
+    *   CCC = 2σ_xy / (σ²_x + σ²_y + (μ_x − μ_y)²)
+    *
+    * — the NUMERIC twin of the κ family: two reward models or quality
+    * scorers can correlate at r = 0.99 and still disagree by a
+    * constant 2 points; Pearson misses that, CCC and the (bias ±
+    * 1.96·sd_diff) limits don't. Population moments (the n-divisor;
+    * at corpus n the distinction is cosmetic and the oracle restates
+    * the same divisor). r and CCC are NULL when either scorer is
+    * constant; limits need n ≥ 2.
+    *
+    * Shape: ONE whole-corpus rollup (6 power sums), 1 row out. */
+  def numericAgreement(df: DataFrame, x: Column, y: Column,
+      dp: Int = 6): DataFrame = {
+    val xc = x.cast("double")
+    val yc = y.cast("double")
+    val a = df.where(x.isNotNull && y.isNotNull)
+      .select(xc.as("__x"), yc.as("__y"))
+      .agg(count(lit(1L)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("__sx") / nD
+    val my = col("__sy") / nD
+    val vx = col("__sxx") / nD - mx * mx
+    val vy = col("__syy") / nD - my * my
+    val cxy = col("__sxy") / nD - mx * my
+    val bias = mx - my
+    // sd of per-row differences from the same moments:
+    // var(x−y) = vx + vy − 2cxy
+    val sdDiff = sqrt(vx + vy - lit(2.0) * cxy)
+    val ok = col("n") >= 2 && vx > 0.0 && vy > 0.0
+    val ccc = lit(2.0) * cxy / (vx + vy + bias * bias)
+    a.select(col("n"),
+      when(col("n") > 0, round(bias, dp)).as("bias"),
+      when(col("n") >= 2, round(bias - lit(1.959963984540054) * sdDiff, dp))
+        .as("loa_lo"),
+      when(col("n") >= 2, round(bias + lit(1.959963984540054) * sdDiff, dp))
+        .as("loa_hi"),
+      when(ok, round(cxy / sqrt(vx * vy), dp)).as("pearson_r"),
+      when(ok, round(ccc, dp)).as("ccc"))
+  }
+
   /** Ratio-of-sums metric comparison with the delta-method CI: for
     * per-unit (numerator, denominator) pairs — revenue per session,
     * clicks per impression, tokens kept per doc — each arm's metric is

@@ -3390,6 +3390,15 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Bland-Altman limits + Lin's CCC between two integer pseudo-
+    // scorers over the same docs: the numeric-agreement readout the
+    // kappa family (categorical) cannot give — constant offsets that
+    // Pearson's r is blind to hit CCC and the bias line directly.
+    "eval_ccc" -> ((s, dir) =>
+      graft.ops.Analytics.numericAgreement(
+        t(s, dir, "documents"),
+        col("n_chars") % 97, col("n_chars") % 89)),
+
     // ROC-AUC with the Hanley-McNeil closed-form CI on the shared
     // pseudo-scorer: the error bar the bare AUC number needs; same
     // rank machinery as eval_auc_by_source, one extra closed form.
@@ -4357,6 +4366,31 @@ object PipelineQueries {
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
     "eval_platt" -> plattOracle(8),
+
+    "eval_ccc" ->
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) AS x,
+        |        CAST(n_chars % 89 AS DOUBLE) AS y FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |        sum(x * y) AS sxy FROM d),
+        |m AS (SELECT n, sx / n AS mx, sy / n AS my,
+        |        sxx / n - (sx / n) * (sx / n) AS vx,
+        |        syy / n - (sy / n) * (sy / n) AS vy,
+        |        sxy / n - (sx / n) * (sy / n) AS cxy FROM a),
+        |f AS (SELECT *, mx - my AS bias,
+        |        sqrt(vx + vy - 2.0 * cxy) AS sdd FROM m)
+        |SELECT n,
+        | CASE WHEN n > 0 THEN round(bias, 6) END AS bias,
+        | CASE WHEN n >= 2
+        |      THEN round(bias - 1.959963984540054 * sdd, 6) END AS loa_lo,
+        | CASE WHEN n >= 2
+        |      THEN round(bias + 1.959963984540054 * sdd, 6) END AS loa_hi,
+        | CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |      THEN round(cxy / sqrt(vx * vy), 6) END AS pearson_r,
+        | CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |      THEN round(2.0 * cxy / (vx + vy + bias * bias), 6) END
+        |   AS ccc
+        |FROM f""".stripMargin,
 
     "eval_auc_ci" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS s,

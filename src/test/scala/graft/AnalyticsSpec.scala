@@ -4012,6 +4012,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("numericAgreement: constant offset hits CCC not r; identical perfect; constant NULL") {
+    import spark.implicits._
+    // y = x + 2: r = 1 but CCC = 2v/(2v+4) with pop v = 1.25
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, x + 2)).toDF("x", "y")
+    val r = Analytics.numericAgreement(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 4 && r.getDouble(1) == -2.0, s"$r")
+    assert(r.getDouble(2) == -2.0 && r.getDouble(3) == -2.0,
+      s"zero diff spread collapses the limits onto the bias: $r")
+    assert(r.getDouble(4) == 1.0, s"$r")
+    assert(math.abs(r.getDouble(5) - 2.5 / 6.5) < 1e-6, s"$r")
+    // identical scorers: full concordance
+    val same = Seq(1.0, 5.0, 9.0).map(x => (x, x)).toDF("x", "y")
+    val rs = Analytics.numericAgreement(same, col("x"), col("y")).head()
+    assert(rs.getDouble(1) == 0.0 && rs.getDouble(4) == 1.0 &&
+      rs.getDouble(5) == 1.0, s"$rs")
+    // a constant scorer admits no correlation
+    val const = Seq((1.0, 3.0), (2.0, 3.0)).toDF("x", "y")
+    val rc = Analytics.numericAgreement(const, col("x"), col("y")).head()
+    assert(rc.isNullAt(4) && rc.isNullAt(5) && !rc.isNullAt(1), s"$rc")
+  }
+
   test("pageTrendTest: perfect trend rejects; reverse does not; incomplete dropped") {
     import spark.implicits._
     // 12 complete blocks, values strictly increasing in the order
