@@ -1430,7 +1430,7 @@ object Analytics {
     val sigma2 = (nD * (nD + 1) / lit(12.0) -
         col("__tie") / (lit(12.0) * (nD - 1))) *
       (lit(1.0) / col("__na") + lit(1.0) / col("__nb"))
-    val pairs = a.join(b, col("g_a") < col("g_b"))
+    val pairs = a.join(broadcast(b), col("g_a") < col("g_b"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
       .where(sigma2 > 0.0)
       .select(col("g_a"), col("g_b"),
@@ -1645,7 +1645,7 @@ object Analytics {
       col("__cum").as("__cumk"))
     val delta = (col("__cumk") - col("__cumc")).cast("double") +
       (col("__ncc") - col("__nck")) / lit(2.0)
-    val pairs = pa.join(pb, col("__lc") < col("__lk"))
+    val pairs = pa.join(broadcast(pb), col("__lc") < col("__lk"))
       .select(col("__lc"), col("__lk"), col("__ncc"), col("__nck"),
         (delta * delta).as("__d2"))
       .localCheckpoint(true) // D_e rollup + the broadcast D_o join

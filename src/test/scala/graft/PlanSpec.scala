@@ -791,4 +791,39 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(!ph.contains("CartesianProduct"),
       s"hopkins NN scan stays broadcast-shaped:\n$ph")
   }
+
+  test("round-13 third-session additions: single-rollup tests, two-phase CDFs, no pairwise scans") {
+    // one-aggregation significance/effect rows: no join in the plan at
+    // all — the whole test is a scan + 1-row rollup (power sums)
+    for (name <- Seq("q_jarque_bera", "eval_spiegelhalter", "q_power_mde",
+        "q_tost", "dedup_capture_recapture", "eval_mcc",
+        "eval_regression_metrics", "eval_ccc")) {
+      val p = plan(q(name))
+      assert(!p.contains("Join"), s"$name is scan + rollup only:\n$p")
+    }
+    // two-phase histogram CDFs (no unpartitioned corpus window)
+    for (name <- Seq("q_yuen", "eval_auc_ci")) {
+      val p = plan(q(name))
+      assert(p.contains("rangepartitioning"),
+        s"$name must range-repartition its histogram:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+    }
+    // Dunn/Breslow-Day/event-study/EB-shrinkage: rollups + BOUNDED
+    // (group/stratum/period/prior) join tables — never a corpus-sized
+    // cartesian; Mann-Kendall's pair join is keyed
+    for (name <- Seq("q_dunn", "q_breslow_day", "q_event_study",
+        "q_eb_shrinkage", "q_mann_kendall", "q_kripp_ordinal", "q_page")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+    }
+    // MMD: the feature map is IN-SCAN — exactly one corpus exchange
+    // (the 64-row per-feature rollup); no join between embedding rows
+    val pm = plan(q("sim_mmd"))
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("SortMergeJoin"),
+      s"mmd must not pair embedding rows:\n$pm")
+    // PPR: every contribution pass is a node-keyed equi-join
+    val pp = plan(q("graph_ppr"))
+    assert(!pp.contains("CartesianProduct"), s"ppr stays keyed:\n$pp")
+  }
 }
