@@ -2109,6 +2109,90 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Poisson overdispersion test on count data: the dispersion index
+    * VMR = s²/x̄ with (n−1)·VMR ~ χ²(n−1) under Poisson, normalized by
+    * the classic √(2χ²) − √(2df−1) ~ N(0,1) approximation (sound for
+    * the corpus-scale df here). Per-entity event counts that REJECT
+    * high are bursty/clumped (bots, retry storms, scripted traffic —
+    * [[debounce]]'s diagnosis sibling); rejecting low means
+    * suspiciously REGULAR activity (rate limiters, cron). The verdict
+    * [[gini]]/concentration tables gesture at but never test.
+    * `reject_05` is two-sided, NULL when x̄ = 0, n < 20, or VMR is
+    * undefined. ONE rollup (3 power sums), 1 row:
+    * (n, mean, vmr, chi2, z, reject_05). */
+  def overdispersionTest(df: DataFrame, count: Column,
+      dp: Int = 6): DataFrame = {
+    val c = count.cast("double")
+    val a = df.where(count.isNotNull).select(c.as("__c"))
+      .agg(org.apache.spark.sql.functions.count(lit(1L)).as("n"),
+        sum(col("__c")).as("__s"), sum(col("__c") * col("__c")).as("__ss"))
+    val nD = col("n").cast("double")
+    val mean = col("__s") / nD
+    val vr = (col("__ss") - col("__s") * col("__s") / nD) / (nD - 1)
+    val vmr = vr / mean
+    val chi2 = (nD - 1) * vmr
+    val z = sqrt(lit(2.0) * chi2) - sqrt(lit(2.0) * (nD - 1) - 1)
+    val ok = col("n") >= 2 && mean > 0.0
+    a.select(col("n"),
+      when(col("n") > 0, round(mean, dp)).as("mean"),
+      when(ok, round(vmr, dp)).as("vmr"),
+      when(ok, round(chi2, dp)).as("chi2"),
+      when(ok, round(z, dp)).as("z"),
+      when(ok && col("n") >= 20, abs(z) > 1.96).as("reject_05"))
+  }
+
+  /** Cook's-distance influence diagnostics for the simple regression
+    * y ~ a + b·x (Cook 1977): per row, residual e, leverage
+    * h = 1/n + (x−x̄)²/Sxx, and D = e²h/(2s²(1−h)²); returns the top-k
+    * most influential rows — WHICH documents/users/outliers own the
+    * fitted slope, the accountability view [[regressionMetrics]]'
+    * aggregates can't give (one pathological row can hold a trend
+    * hostage; this names it). Fit scalars (x̄, Sxx, a, b, s²) are
+    * driver values ROUNDED at dp before scoring (the GD-weight
+    * reproducibility discipline); ties in D break by id.
+    *
+    * Shape: one 1-row moment rollup, then an in-scan score with the
+    * broadcast scalars and a TakeOrdered top-k — no sort, no join.
+    * Requires n > 2 (s² needs df) and Sxx > 0 (non-constant x). */
+  def regressionInfluence(df: DataFrame, id: Column, x: Column, y: Column,
+      topK: Int = 10, dp: Int = 6): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.select(id.as("id"), x.cast("double").as("__x"),
+        y.cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true) // moment pass + scoring pass
+    val r = base.agg(count(lit(1L)).as("n"), sum(col("__x")).as("sx"),
+      sum(col("__y")).as("sy"), sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__y") * col("__y")).as("syy")).head()
+    val n = r.getAs[Long]("n")
+    require(n > 2, s"need more than 2 rows to estimate s^2, got $n")
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nD = n.toDouble
+    val xbar = r.getAs[Double]("sx") / nD
+    val sxxC = r.getAs[Double]("sxx") - r.getAs[Double]("sx") * xbar
+    require(sxxC > 0, "constant x admits no regression")
+    val b = (r.getAs[Double]("sxy") -
+      r.getAs[Double]("sx") * r.getAs[Double]("sy") / nD) / sxxC
+    val a0 = r.getAs[Double]("sy") / nD - b * xbar
+    val sse = r.getAs[Double]("syy") - r.getAs[Double]("sy") *
+      r.getAs[Double]("sy") / nD - b * b * sxxC
+    val s2 = sse / (nD - 2)
+    val (xbR, sxxR, bR, aR, s2R) = (rd(xbar), rd(sxxC), rd(b), rd(a0), rd(s2))
+    val e = col("__y") - lit(aR) - lit(bR) * col("__x")
+    val h = lit(1.0 / nD) + (col("__x") - lit(xbR)) * (col("__x") - lit(xbR)) /
+      lit(sxxR)
+    val d = e * e * h / (lit(2.0 * s2R) * (lit(1.0) - h) * (lit(1.0) - h))
+    base.select(col("id"), col("__x").as("x"), col("__y").as("y"),
+        round(e, dp).as("resid"), round(h, dp).as("leverage"),
+        d.as("__d"))
+      .orderBy(col("__d").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("x"), col("y"), col("resid"), col("leverage"),
+        round(col("__d"), dp).as("cooks_d"))
+  }
+
   /** Numeric-scorer agreement: Bland–Altman bias and limits of
     * agreement (Bland & Altman, Lancet 1986) plus Lin's concordance
     * correlation coefficient (Lin, Biometrics 1989) —

@@ -1057,6 +1057,24 @@ object RelationalQueries {
         col("post"))
     }),
 
+    // Poisson overdispersion verdict on per-user event counts: VMR
+    // chi-square via the sqrt-2-chi2 normal form — bursty (bots,
+    // retries) rejects high, suspiciously regular (cron) rejects low.
+    "q_overdispersion" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1L)).as("c"))
+      Analytics.overdispersionTest(perUser, col("c"))
+    }),
+
+    // Cook's-distance top-10 over the standing (score, outcome) pair:
+    // WHICH documents own the fitted slope — fit scalars rounded
+    // driver-side (the GD discipline), scoring in-scan, TakeOrdered
+    // top-k.
+    "q_influence" -> ((s, dir) =>
+      Analytics.regressionInfluence(t(s, dir, "documents"),
+        col("doc_id"), (col("n_chars") % 97) / lit(96.0),
+        col("n_chars") % 89, topK = 10)),
+
     // Ratio-of-sums A/B comparison (value per event across per-user
     // units) with the delta-method CI: the inference most production
     // metrics actually need — a naive mean-of-ratios SE is wrong for
@@ -3294,6 +3312,45 @@ object RelationalQueries {
         |   AND se > 0 THEN abs(did / se) > 1.959963984540054 END
         |   AS reject_05
         |FROM f""".stripMargin,
+
+    "q_overdispersion" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS c
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS s,
+        |        sum(c * c) AS ss FROM pu),
+        |m AS (SELECT n, s / n AS mean,
+        |        ((ss - s * s / n) / (n - 1)) / (s / n) AS vmr FROM a),
+        |f AS (SELECT *, (CAST(n AS DOUBLE) - 1) * vmr AS chi2 FROM m),
+        |g AS (SELECT *, sqrt(2.0 * chi2)
+        |        - sqrt(2.0 * (CAST(n AS DOUBLE) - 1) - 1) AS z FROM f)
+        |SELECT n, round(mean, 6) AS mean, round(vmr, 6) AS vmr,
+        | round(chi2, 6) AS chi2, round(z, 6) AS z,
+        | CASE WHEN n >= 20 AND mean > 0 THEN abs(z) > 1.96 END
+        |   AS reject_05
+        |FROM g""".stripMargin,
+
+    "q_influence" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(n_chars % 97 AS DOUBLE)/96
+        |        AS x, CAST(n_chars % 89 AS DOUBLE) AS y FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+        |        sum(y * y) AS syy FROM d),
+        |m1 AS (SELECT n, sx / n AS xbar0, sx, sy, sxx, sxy, syy FROM a),
+        |m2 AS (SELECT *, sxx - sx * xbar0 AS sxxc FROM m1),
+        |m3 AS (SELECT *, (sxy - sx * sy / n) / sxxc AS b0 FROM m2),
+        |m4 AS (SELECT *, sy / n - b0 * xbar0 AS a0,
+        |        syy - sy * sy / n - b0 * b0 * sxxc AS sse FROM m3),
+        |m5 AS (SELECT n, round(xbar0, 6) AS xb, round(sxxc, 6) AS sxxr,
+        |        round(b0, 6) AS br, round(a0, 6) AS ar,
+        |        round(sse / (CAST(n AS DOUBLE) - 2), 6) AS s2 FROM m4),
+        |sc AS (SELECT d.id, d.x, d.y, m5.s2, d.y - ar - br * d.x AS e,
+        |        1.0 / n + (d.x - xb) * (d.x - xb) / sxxr AS h
+        |       FROM d, m5),
+        |dd AS (SELECT *, e * e * h /
+        |        ((2.0 * s2) * (1.0 - h) * (1.0 - h)) AS cd FROM sc)
+        |SELECT id, x, y, round(e, 6) AS resid, round(h, 6) AS leverage,
+        | round(cd, 6) AS cooks_d
+        |FROM dd ORDER BY cd DESC, id LIMIT 10""".stripMargin,
 
     "q_ratio_metric" ->
       """WITH pu AS (SELECT user_id, sum(value) AS y,

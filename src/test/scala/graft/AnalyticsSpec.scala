@@ -4012,6 +4012,70 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("overdispersionTest: regular counts reject low, bursty high; tiny hand case") {
+    import spark.implicits._
+    // all counts identical: VMR 0 -> z = -sqrt(2(n-1)-1), far low
+    val flat = Seq.fill(25)(4).toDF("c")
+    val rf = Analytics.overdispersionTest(flat, col("c")).head()
+    assert(rf.getDouble(2) == 0.0 && rf.getDouble(3) == 0.0, s"$rf")
+    assert(math.abs(rf.getDouble(4) - (-math.sqrt(47.0))) < 1e-6, s"$rf")
+    assert(rf.getBoolean(5), s"$rf")
+    // bursty: 20 zeros + 5 twenties
+    val burst = (Seq.fill(20)(0) ++ Seq.fill(5)(20)).toDF("c")
+    val rb = Analytics.overdispersionTest(burst, col("c")).head()
+    assert(rb.getDouble(2) > 10.0 && rb.getDouble(4) > 10.0 &&
+      rb.getBoolean(5), s"$rb")
+    // n = 2 hand case: {3,5} -> vmr .5, chi2 .5, z = 0; verdict gated
+    val two = Seq(3, 5).toDF("c")
+    val rt = Analytics.overdispersionTest(two, col("c")).head()
+    assert(rt.getDouble(2) == 0.5 && rt.getDouble(3) == 0.5 &&
+      rt.getDouble(4) == 0.0 && rt.isNullAt(5), s"$rt")
+  }
+
+  test("regressionInfluence: planted outlier tops the table; guards fire") {
+    import spark.implicits._
+    val clean = (0 to 4).map(i => (i.toLong, i.toDouble, 2.0 + 3.0 * i))
+    val df = (clean :+ ((99L, 10.0, 0.0))).toDF("id", "x", "y")
+    val rows = Analytics.regressionInfluence(df, col("id"), col("x"),
+      col("y"), topK = 3).collect()
+    assert(rows.length == 3, rows.mkString)
+    assert(rows.head.getLong(0) == 99L,
+      s"the planted outlier must top Cook's table: ${rows.mkString}")
+    assert(rows.head.getDouble(4) > rows(1).getDouble(4) ||
+      rows.head.getDouble(5) > rows(1).getDouble(5), rows.mkString)
+    // constant x / too-few rows fail loudly
+    val constX = Seq((1L, 2.0, 1.0), (2L, 2.0, 2.0), (3L, 2.0, 3.0),
+      (4L, 2.0, 4.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.regressionInfluence(constX, col("id"), col("x"), col("y"))
+    }
+    assert(e.getMessage.contains("constant x"), e.getMessage)
+    val few = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0)).toDF("id", "x", "y")
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.regressionInfluence(few, col("id"), col("x"), col("y"))
+    }
+    assert(e2.getMessage.contains("more than 2"), e2.getMessage)
+  }
+
+  test("yuenTrimmedTest at vanishing trim equals the Welch z on the raw means") {
+    import spark.implicits._
+    // n < 1000 and trim 1e-4: floor(trim*n) = 0 -> no trimming, the
+    // winsorized variance IS the sample variance: d = s^2/n, so z must
+    // equal the plain Welch statistic computed from raw moments
+    val a = Seq(3.0, 7.0, 8.0, 12.0, 1.0, 6.0)
+    val b = Seq(5.0, 9.0, 11.0, 4.0, 13.0)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("v", "ina")
+    val r = Analytics.yuenTrimmedTest(df, col("v"), col("ina"),
+      trim = 1e-4).head()
+    def m(s: Seq[Double]) = s.sum / s.size
+    def v(s: Seq[Double]) =
+      s.map(x => (x - m(s)) * (x - m(s))).sum / (s.size - 1)
+    val welch = (m(a) - m(b)) / math.sqrt(v(a) / a.size + v(b) / b.size)
+    assert(r.getLong(2) == a.size && r.getLong(3) == b.size, s"$r")
+    assert(math.abs(r.getDouble(8) - welch) < 1e-6,
+      s"zero-trim Yuen must reduce to Welch: $r vs $welch")
+  }
+
   test("numericAgreement: constant offset hits CCC not r; identical perfect; constant NULL") {
     import spark.implicits._
     // y = x + 2: r = 1 but CCC = 2v/(2v+4) with pop v = 1.25
