@@ -2109,6 +2109,58 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Granger causality test, lag 1 (Granger 1969): does yesterday's x
+    * help predict today's y beyond yesterday's y —
+    *
+    *   restricted:  y_t ~ a + b·y_{t−1}
+    *   full:        y_t ~ a + b·y_{t−1} + c·x_{t−1}
+    *   F = (SSE_r − SSE_f) / (SSE_f / (n−3))
+    *
+    * the PREDICTIVE-precedence notion of causality ([[diffInDiff]]/
+    * [[ipwEffect]] need an intervention; Granger needs only the two
+    * series) — does ingest volume lead quality drift, does traffic
+    * lead conversions. Input is a BOUNDED time-indexed series (the
+    * [[theilSenByKey]] pre-aggregation contract — daily/bucket grain);
+    * both nuisance fits ride the shared [[fitOlsRounded]] Cholesky
+    * solve (betas rounded at dp, restated term-for-term by the
+    * oracle), SSEs are one scan each with the betas as literals.
+    * `reject_05` compares F against [[chiSq95]](1) — the df₂→∞ limit,
+    * so it is NULL when n−3 < 20 (the [[anovaF]] small-df₂ discipline)
+    * or SSE_f = 0. Returns 1 row:
+    * (n, b_ylag, b_xlag, sse_r, sse_f, f_stat, reject_05). */
+  def grangerTest(df: DataFrame, t: Column, y: Column, x: Column,
+      dp: Int = 6): DataFrame = {
+    val series = df.select(t.as("__t"), y.cast("double").as("__yv"),
+        x.cast("double").as("__xv"))
+      .where(col("__t").isNotNull && col("__yv").isNotNull &&
+        col("__xv").isNotNull)
+    // the series is bucket-grain bounded by contract — global lag OK
+    val w = Window.orderBy(col("__t"))
+    val base = series
+      .withColumn("__x0", lag(col("__yv"), 1).over(w))
+      .withColumn("__x1", lag(col("__xv"), 1).over(w))
+      .where(col("__x0").isNotNull && col("__x1").isNotNull)
+      .select(col("__yv").as("__o"), col("__x0"), col("__x1"))
+      .localCheckpoint(true) // two OLS moment passes + two SSE scans
+    val bF = fitOlsRounded(base, 2, "__o", dp)
+    val bR = fitOlsRounded(base.select(col("__o"), col("__x0")), 1, "__o", dp)
+    val eR = col("__o") - lit(bR(0)) - lit(bR(1)) * col("__x0")
+    val eF = col("__o") - lit(bF(0)) - lit(bF(1)) * col("__x0") -
+      lit(bF(2)) * col("__x1")
+    val agg = base.agg(count(lit(1L)).as("n"),
+      sum(eR * eR).as("__sser"), sum(eF * eF).as("__ssef"))
+    val nD = col("n").cast("double")
+    val f = (col("__sser") - col("__ssef")) / (col("__ssef") / (nD - 3))
+    val ok = col("__ssef") > 0.0
+    agg.select(col("n"),
+      lit(bF(1)).as("b_ylag"), lit(bF(2)).as("b_xlag"),
+      round(col("__sser"), dp).as("sse_r"),
+      round(col("__ssef"), dp).as("sse_f"),
+      when(ok, round(f, dp)).as("f_stat"),
+      when(!ok || nD - 3 < 20, lit(null).cast("boolean"))
+        .otherwise(f > chiSq95(lit(1.0))).as("reject_05"))
+  }
+
   /** Poisson overdispersion test on count data: the dispersion index
     * VMR = s²/x̄ with (n−1)·VMR ~ χ²(n−1) under Poisson, normalized by
     * the classic √(2χ²) − √(2df−1) ~ N(0,1) approximation (sound for

@@ -1057,6 +1057,17 @@ object RelationalQueries {
         col("post"))
     }),
 
+    // Granger lag-1 on the daily (value-sum -> event-count) pair: does
+    // yesterday's traffic value predict today's activity beyond
+    // activity's own lag — predictive precedence, no intervention
+    // needed; both nuisance OLS fits Cholesky-unrolled by the oracle.
+    "q_granger" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1L)).as("y"), sum(col("value")).as("x"))
+      Analytics.grangerTest(daily, col("d"), col("y"), col("x"))
+    }),
+
     // Poisson overdispersion verdict on per-user event counts: VMR
     // chi-square via the sqrt-2-chi2 normal form — bursty (bots,
     // retries) rejects high, suspiciously regular (cron) rejects low.
@@ -3312,6 +3323,53 @@ object RelationalQueries {
         |   AND se > 0 THEN abs(did / se) > 1.959963984540054 END
         |   AS reject_05
         |FROM f""".stripMargin,
+
+    "q_granger" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |        CAST(count(*) AS DOUBLE) AS y, sum(value) AS x
+        |       FROM events GROUP BY 1),
+        |lagd AS (SELECT y AS o, lag(y) OVER (ORDER BY d) AS x0,
+        |        lag(x) OVER (ORDER BY d) AS x1 FROM daily),
+        |b AS (SELECT o, x0, x1 FROM lagd
+        |      WHERE x0 IS NOT NULL AND x1 IS NOT NULL),
+        |mm AS (SELECT CAST(count(*) AS DOUBLE) AS a00, sum(x0) AS a01,
+        |        sum(x1) AS a02, sum(x0*x0) AS a11, sum(x0*x1) AS a12,
+        |        sum(x1*x1) AS a22, sum(o) AS v0, sum(x0*o) AS v1,
+        |        sum(x1*o) AS v2, CAST(count(*) AS BIGINT) AS n FROM b),
+        |f1 AS (SELECT *, sqrt(a00) AS l00 FROM mm),
+        |f2 AS (SELECT *, a01/l00 AS l10, a02/l00 AS l20, v0/l00 AS z0
+        |       FROM f1),
+        |f3 AS (SELECT *, sqrt(a11 - l10*l10) AS l11 FROM f2),
+        |f4 AS (SELECT *, (a12 - l20*l10)/l11 AS l21,
+        |        (v1 - l10*z0)/l11 AS z1 FROM f3),
+        |f5 AS (SELECT *, sqrt(a22 - (l20*l20 + l21*l21)) AS l22 FROM f4),
+        |f6 AS (SELECT *, (v2 - (l20*z0 + l21*z1))/l22 AS z2 FROM f5),
+        |f7 AS (SELECT *, z2/l22 AS w2 FROM f6),
+        |f8 AS (SELECT *, (z1 - l21*w2)/l11 AS w1 FROM f7),
+        |f9 AS (SELECT *, (z0 - (l10*w1 + l20*w2))/l00 AS w0 FROM f8),
+        |bf AS (SELECT round(w0, 6) AS f0, round(w1, 6) AS f1w,
+        |        round(w2, 6) AS f2w FROM f9),
+        |r1 AS (SELECT *, sqrt(a00) AS m00 FROM mm),
+        |r2 AS (SELECT *, a01/m00 AS m10, v0/m00 AS y0 FROM r1),
+        |r3 AS (SELECT *, sqrt(a11 - m10*m10) AS m11 FROM r2),
+        |r4 AS (SELECT *, (v1 - m10*y0)/m11 AS y1 FROM r3),
+        |r5 AS (SELECT *, y1/m11 AS u1 FROM r4),
+        |br AS (SELECT round((y0 - m10*u1)/m00, 6) AS r0,
+        |        round(u1, 6) AS r1w FROM r5),
+        |ss AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum((o - br.r0 - br.r1w*x0)*(o - br.r0 - br.r1w*x0)) AS sser,
+        |  sum((o - bf.f0 - bf.f1w*x0 - bf.f2w*x1)
+        |    * (o - bf.f0 - bf.f1w*x0 - bf.f2w*x1)) AS ssef
+        | FROM b, br, bf),
+        |ff AS (SELECT *, (sser - ssef)
+        |        / (ssef / (CAST(n AS DOUBLE) - 3)) AS f FROM ss)
+        |SELECT n, (SELECT f1w FROM bf) AS b_ylag,
+        | (SELECT f2w FROM bf) AS b_xlag,
+        | round(sser, 6) AS sse_r, round(ssef, 6) AS sse_f,
+        | CASE WHEN ssef > 0 THEN round(f, 6) END AS f_stat,
+        | CASE WHEN ssef > 0 AND CAST(n AS DOUBLE) - 3 >= 20
+        |      THEN f > 3.841458820694124 END AS reject_05
+        |FROM ff""".stripMargin,
 
     "q_overdispersion" ->
       """WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS c

@@ -4012,6 +4012,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("grangerTest: planted lead-lag rejects; small series withholds; AR-perfect NULL") {
+    import spark.implicits._
+    // y_t = x_{t-1} + small wiggle: x leads y, y's own lag is noise
+    def x(t: Int) = ((t * 7) % 13).toDouble
+    val rows = (1 to 30).map { t =>
+      val yv = if (t == 1) 0.0 else x(t - 1) + ((t % 3) - 1) * 0.1
+      (t, yv, x(t))
+    }
+    val r = Analytics.grangerTest(rows.toDF("t", "y", "x"), col("t"),
+      col("y"), col("x")).head()
+    assert(r.getLong(0) == 29, s"$r")
+    assert(math.abs(r.getDouble(2) - 1.0) < 0.05,
+      s"the x-lag coefficient must be ~1: $r")
+    assert(r.getDouble(4) < r.getDouble(3), s"$r")
+    assert(r.getDouble(5) > 3.842 && r.getBoolean(6), s"$r")
+    // the same construction on 10 points: df2 < 20 withholds the verdict
+    val few = (1 to 10).map { t =>
+      val yv = if (t == 1) 0.0 else x(t - 1) + ((t % 3) - 1) * 0.1
+      (t, yv, x(t))
+    }
+    val rf = Analytics.grangerTest(few.toDF("t", "y", "x"), col("t"),
+      col("y"), col("x")).head()
+    assert(rf.isNullAt(6), s"$rf")
+    // y_t follows its own lag exactly: SSE_f = 0 -> no F, no verdict
+    val ar = (1 to 30).map(t => (t, t.toDouble, x(t)))
+    val ra = Analytics.grangerTest(ar.toDF("t", "y", "x"), col("t"),
+      col("y"), col("x")).head()
+    assert(ra.isNullAt(5) && ra.isNullAt(6), s"$ra")
+  }
+
   test("overdispersionTest: regular counts reject low, bursty high; tiny hand case") {
     import spark.implicits._
     // all counts identical: VMR 0 -> z = -sqrt(2(n-1)-1), far low
