@@ -2109,6 +2109,53 @@ object Analytics {
         round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), dp).as("p"))
   }
 
+  /** Fixed-frequency periodogram over a bucketed series: for each
+    * CANDIDATE period p, the spectral power
+    *
+    *   P(p) = (Σ v'ₜ·cos(2πt/p))² + (Σ v'ₜ·sin(2πt/p))²
+    *
+    * on the mean-centered series v', with `power_share` = P/Σv'² and
+    * an `is_peak` flag on the arg-max — WHICH cycle dominates, the
+    * question [[seasonalDecompose]] (given-period) and [[acf]]
+    * (lag-domain, smeared across harmonics) answer only indirectly.
+    * Candidates are explicit: a data-dependent frequency search would
+    * need the full FFT; the curated-candidate form is the
+    * SQL-restatable one and what a drift dashboard wants anyway
+    * ("is it daily, weekly, or monthly?").
+    *
+    * Shape: a 1-row mean broadcast, then ONE aggregation carrying the
+    * statically-unrolled cos/sin sums for every candidate (map-side
+    * partial; the [[passAtK]] per-k union shape on the 1-row result).
+    * Series is bucket-grain bounded by contract. Returns one row per
+    * candidate: (period, power, power_share, is_peak). */
+  def periodogram(df: DataFrame, t: Column, value: Column,
+      periods: Seq[Int], dp: Int = 6): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must be >= 2, got $periods")
+    require(periods.distinct.size == periods.size, s"periods repeat: $periods")
+    val base = df.select(t.cast("double").as("__t"),
+        value.cast("double").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val m = base.agg(avg(col("__v")).as("__m"))
+    val c = base.crossJoin(broadcast(m))
+      .select(col("__t"), (col("__v") - col("__m")).as("__vc"))
+    val aggs = periods.flatMap(p => Seq(
+      sum(col("__vc") * cos(lit(2.0 * math.Pi / p) * col("__t")))
+        .as(s"__c$p"),
+      sum(col("__vc") * sin(lit(2.0 * math.Pi / p) * col("__t")))
+        .as(s"__s$p"))) :+ sum(col("__vc") * col("__vc")).as("__ss")
+    val one = c.agg(aggs.head, aggs.tail: _*)
+    def pw(p: Int) = col(s"__c$p") * col(s"__c$p") +
+      col(s"__s$p") * col(s"__s$p")
+    val maxPw = periods.map(pw).reduce(greatest(_, _))
+    periods.map(p => one.select(lit(p).as("period"),
+        round(pw(p), dp).as("power"),
+        when(col("__ss") > 0, round(pw(p) / col("__ss"), dp))
+          .as("power_share"),
+        (pw(p) === maxPw).as("is_peak")))
+      .reduce(_ unionByName _).orderBy("period")
+  }
+
   /** Granger causality test, lag 1 (Granger 1969): does yesterday's x
     * help predict today's y beyond yesterday's y —
     *

@@ -1057,6 +1057,17 @@ object RelationalQueries {
         col("post"))
     }),
 
+    // Fixed-frequency periodogram over daily event counts: which cycle
+    // (2-8 days) dominates, from one statically-unrolled cos/sin
+    // aggregation on the centered series — the dominant-period
+    // detector beside q_seasonal's given-period decomposition.
+    "q_periodogram" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(dayofmonth(col("ts")).as("d"))
+        .agg(count(lit(1L)).as("y"))
+      Analytics.periodogram(daily, col("d"), col("y"), (2 to 8))
+    }),
+
     // Granger lag-1 on the daily (value-sum -> event-count) pair: does
     // yesterday's traffic value predict today's activity beyond
     // activity's own lag — predictive precedence, no intervention
@@ -2504,7 +2515,33 @@ object RelationalQueries {
         s"AS BIGINT) - 1) * $w"
     }.mkString("(", " + ", ")")
 
+  /** The q_periodogram oracle: the statically-unrolled per-candidate
+    * cos/sin sums, powers, arg-max peak flag — generated for the same
+    * period list the query passes. */
+  private def periodogramOracle(periods: Seq[Int]): String = {
+    val sums = periods.flatMap(p => Seq(
+      s"sum(vc * cos(2 * pi() / $p * t)) AS c$p",
+      s"sum(vc * sin(2 * pi() / $p * t)) AS s$p")).mkString(", ")
+    val pws = periods.map(p => s"c$p * c$p + s$p * s$p AS p$p")
+      .mkString(", ")
+    val maxExpr = periods.map(p => s"p$p")
+      .reduce((a, b) => s"greatest($a, $b)")
+    val rows = periods.map(p =>
+      s"SELECT $p AS period, round(p$p, 6) AS power, " +
+      s"CASE WHEN ss > 0 THEN round(p$p / ss, 6) END AS power_share, " +
+      s"p$p = mx AS is_peak FROM pw").mkString(" UNION ALL ")
+    s"""WITH daily AS (SELECT CAST(dayofmonth(ts) AS DOUBLE) AS t,
+       |  CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY dayofmonth(ts)),
+       |m AS (SELECT avg(y) AS mn FROM daily),
+       |c AS (SELECT t, y - mn AS vc FROM daily, m),
+       |a AS (SELECT $sums, sum(vc * vc) AS ss FROM c),
+       |px AS (SELECT *, $pws FROM a),
+       |pw AS (SELECT *, $maxExpr AS mx FROM px)
+       |$rows ORDER BY period""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_periodogram" -> periodogramOracle(2 to 8),
     "q_join_bcast" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey

@@ -4012,6 +4012,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("periodogram: planted cycle peaks at its period; flat series zero power") {
+    import spark.implicits._
+    // pure 4-cycle: v = cos(2*pi*t/4) over 40 points
+    val cyc = (0 until 40).map(t =>
+      (t.toDouble, math.cos(2 * math.Pi * t / 4))).toDF("t", "v")
+    val rows = Analytics.periodogram(cyc, col("t"), col("v"), Seq(2, 4, 8))
+      .orderBy("period").collect()
+    assert(rows.length == 3, rows.mkString)
+    val byP = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byP(4).getBoolean(3), s"period 4 must peak: ${rows.mkString}")
+    assert(!byP(2).getBoolean(3) && !byP(8).getBoolean(3), rows.mkString)
+    assert(byP(4).getDouble(2) > 0.9,
+      s"a pure tone holds ~all the variance: ${byP(4)}")
+    assert(byP(4).getDouble(1) > 100 * math.max(byP(2).getDouble(1), 1e-9),
+      rows.mkString)
+    // constant series: zero centered mass everywhere
+    val flat = (0 until 20).map(t => (t.toDouble, 5.0)).toDF("t", "v")
+    val rf = Analytics.periodogram(flat, col("t"), col("v"), Seq(2, 4))
+      .collect()
+    assert(rf.forall(r => r.getDouble(1) < 1e-9 && r.isNullAt(2)),
+      rf.mkString)
+  }
+
   test("grangerTest: planted lead-lag rejects; small series withholds; AR-perfect NULL") {
     import spark.implicits._
     // y_t = x_{t-1} + small wiggle: x leads y, y's own lag is noise
