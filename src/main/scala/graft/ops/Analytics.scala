@@ -3441,6 +3441,56 @@ object Analytics {
       round(gap - explained, dp).as("unexplained"))
   }
 
+  /** Covariate-shift importance-weighted metric (the density-ratio
+    * trick, Shimodaira 2000): estimate a metric's value ON the target
+    * domain using only SOURCE-domain rows, by reweighting each source
+    * row with w = ê(x)/(1−ê(x)) from a domain classifier
+    * P(target | x) ([[logisticRegressionGD]], weights rounded at dp,
+    * probabilities clipped — the [[ipwEffect]] nuisance discipline
+    * exactly). The pipeline question this answers: "our labeled eval
+    * set is last quarter's distribution — what would accuracy be on
+    * TODAY's mix?" — without labeling today. Reported beside the
+    * weighted estimate: both domains' raw metrics (when the target IS
+    * labeled, metric_target vs metric_weighted measures how much of
+    * the gap covariates explain) and the effective sample size of the
+    * weights (a collapsed ESS means the domains barely overlap and
+    * the estimate is resting on a handful of rows). Estimates are
+    * NULL when a domain is empty.
+    *
+    * Shape: the GD chain + ONE conditional-rollup scan, 1 row out. */
+  def shiftWeightedMetric(df: DataFrame, inTarget: Column, feature: Column,
+      metric: Column, iters: Int = 8, lr: Double = 1.0,
+      clip: Double = 0.05, dp: Int = 6): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0, 0.5), got $clip")
+    val base = df.select(inTarget.cast("boolean").cast("double").as("__d"),
+        feature.cast("double").as("__x0"), metric.cast("double").as("__m"))
+      .where(col("__d").isNotNull && col("__x0").isNotNull &&
+        col("__m").isNotNull)
+      .localCheckpoint(true) // GD iterations + the weighted rollup
+    val fit = logisticRegressionGD(base, Seq(col("__x0")), col("__d"),
+      iters, lr, dp).head()
+    val (b0, b1) = (fit.getDouble(0), fit.getDouble(1))
+    val p = least(greatest(
+      lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x0")))),
+      lit(clip)), lit(1.0 - clip))
+    val w = p / (lit(1.0) - p)
+    val src = lit(1.0) - col("__d")
+    val a = base.agg(
+      sum(src).as("__ns"), sum(col("__d")).as("__nt"),
+      avg(when(col("__d") === 0.0, col("__m"))).as("__ms"),
+      avg(when(col("__d") === 1.0, col("__m"))).as("__mt"),
+      sum(src * w).as("__sw"), sum(src * w * col("__m")).as("__swm"),
+      sum(src * w * w).as("__sw2"))
+    a.select(col("__ns").cast("long").as("n_source"),
+      col("__nt").cast("long").as("n_target"),
+      round(col("__ms"), dp).as("metric_source"),
+      round(col("__mt"), dp).as("metric_target"),
+      when(col("__sw") > 0, round(col("__swm") / col("__sw"), dp))
+        .as("metric_weighted"),
+      when(col("__sw2") > 0,
+        round(col("__sw") * col("__sw") / col("__sw2"), dp)).as("ess"))
+  }
+
   /** AIPW / doubly-robust ATE (Robins, Rotnitzky & Zhao 1994): the
     * augmented estimator that combines [[ipwEffect]]'s propensity
     * weighting with per-arm outcome regressions —

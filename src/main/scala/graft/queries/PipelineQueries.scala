@@ -3390,6 +3390,18 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Importance-weighted metric under covariate shift: what the
+    // pseudo-accuracy would be on the en (target) mix, estimated from
+    // non-en (source) rows via a GD domain classifier's density
+    // ratio — with the labeled-target truth and the weights' ESS
+    // reported beside it.
+    "eval_shift_weighted" -> ((s, dir) =>
+      graft.ops.Analytics.shiftWeightedMetric(
+        t(s, dir, "documents"),
+        col("lang") === "en",
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("n_chars") % 7 < 3, 1.0).otherwise(0.0))),
+
     // Bland-Altman limits + Lin's CCC between two integer pseudo-
     // scorers over the same docs: the numeric-agreement readout the
     // kappa family (categorical) cannot give — constant offsets that
@@ -4361,11 +4373,53 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The eval_shift_weighted oracle: the single-covariate GD domain-
+    * classifier recurrence (label = target-domain flag), rounded
+    * weights, clipped density ratio, one weighted rollup. */
+  private def shiftOracle(iters: Int): String = {
+    val sig = "1/(1+exp(-(w.b + w.w1*d.x1)))"
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE)/96 AS x1,
+        |        CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+        |             ELSE CAST(0 AS DOUBLE) END AS y,
+        |        CASE WHEN n_chars % 7 < 3 THEN CAST(1 AS DOUBLE)
+        |             ELSE CAST(0 AS DOUBLE) END AS m
+        |       FROM documents),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1)"""
+        .stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |g$k AS (SELECT avg($sig - d.y) AS gb,
+        |        avg(($sig - d.y) * d.x1) AS g1
+        |       FROM d, w${k - 1} w),
+        |w$k AS (SELECT w.b - gb AS b, w.w1 - g1 AS w1
+        |       FROM w${k - 1} w, g$k)""".stripMargin)
+    }
+    sb.append(s""",
+        |wr AS (SELECT round(b, 6) AS b, round(w1, 6) AS w1 FROM w$iters),
+        |f AS (SELECT d.y, d.m,
+        |        least(greatest($sig, 0.05), 0.95) AS p FROM d, wr w),
+        |f2 AS (SELECT y, m, p / (1 - p) AS wt FROM f),
+        |a AS (SELECT sum(1 - y) AS ns, sum(y) AS nt,
+        |        avg(CASE WHEN y = 0 THEN m END) AS ms,
+        |        avg(CASE WHEN y = 1 THEN m END) AS mt,
+        |        sum((1 - y) * wt) AS sw, sum((1 - y) * wt * m) AS swm,
+        |        sum((1 - y) * wt * wt) AS sw2 FROM f2)
+        |SELECT CAST(ns AS BIGINT) AS n_source, CAST(nt AS BIGINT)
+        |   AS n_target,
+        | round(ms, 6) AS metric_source, round(mt, 6) AS metric_target,
+        | CASE WHEN sw > 0 THEN round(swm / sw, 6) END AS metric_weighted,
+        | CASE WHEN sw2 > 0 THEN round(sw * sw / sw2, 6) END AS ess
+        |FROM a""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "eval_logreg" -> logregOracle(8),
     "q_ipw" -> ipwOracle(8),
     "q_aipw" -> aipwOracle(8),
     "eval_platt" -> plattOracle(8),
+    "eval_shift_weighted" -> shiftOracle(8),
 
     "eval_ccc" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) AS x,

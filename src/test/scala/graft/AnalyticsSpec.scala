@@ -4012,6 +4012,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("shiftWeightedMetric: no-shift weights are flat; shift pulls toward target") {
+    import spark.implicits._
+    // domain independent of x: classifier ~ intercept-only, weighted
+    // metric stays at the source mean
+    val flat = (0 until 40).map { i =>
+      val x = (i % 10) / 10.0
+      (i % 2 == 0, x, if (x >= 0.5) 1.0 else 0.0)
+    }.toDF("d", "x", "m")
+    val rf = Analytics.shiftWeightedMetric(flat, col("d"), col("x"),
+      col("m")).head()
+    assert(rf.getLong(0) == 20 && rf.getLong(1) == 20, s"$rf")
+    assert(math.abs(rf.getDouble(4) - rf.getDouble(2)) < 0.05, s"$rf")
+    // target = high-x rows, metric = x: upweighting high-x source rows
+    // must pull the estimate above the raw source mean, toward target
+    val shifted = (0 until 40).map { i =>
+      val x = (i % 10) / 10.0
+      (x >= 0.6, x, x)
+    }.toDF("d", "x", "m")
+    val rs = Analytics.shiftWeightedMetric(shifted, col("d"), col("x"),
+      col("m")).head()
+    assert(rs.getDouble(4) > rs.getDouble(2), s"$rs")
+    assert(rs.getDouble(3) > rs.getDouble(4),
+      s"clipped ratios cannot overshoot the target here: $rs")
+    assert(rs.getDouble(5) <= rs.getLong(0).toDouble + 1e-9, s"$rs")
+  }
+
   test("periodogram: planted cycle peaks at its period; flat series zero power") {
     import spark.implicits._
     // pure 4-cycle: v = cos(2*pi*t/4) over 40 points
