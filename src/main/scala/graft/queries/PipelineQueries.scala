@@ -748,6 +748,49 @@ object PipelineQueries {
       Similarity.energyCurve(t(s, dir, "embeddings"), "embedding",
         Seq(8, 16, 32, 64))),
 
+    // STREAMING embedding drift: 3 file-arrival batches of the vector
+    // feed, each scored by random-feature MMD^2 against the static
+    // reference means (computed once) — semantic drift per micro-batch
+    // that scalar PSI monitors can't see; the oracle replays every
+    // batch from the vec_id % 3 split with the sign-matrix literal.
+    "sim_stream_drift" -> ((s, dir) => {
+      val root = new java.io.File(
+        s"/root/repo/target/fixtures/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/embed_drift_stream")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete(); ()
+      }
+      wipe(root); root.mkdirs()
+      val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+      val em = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val now = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        val tmp = new java.io.File(root, s"__tmp$i")
+        em.where(pmod(col("vec_id"), lit(3)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(stage, s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        wipe(tmp)
+        dst.setLastModified(now - 300000L + i * 60000L)
+      }
+      val schema = s.read.parquet(s"${stage.getPath}/b0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+      val out = s"$root/out"
+      val q = graft.streaming.Streams
+        .embeddingDriftMonitor(stream, em, "embedding") { (df, _) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(out)
+        .select(col("batch_id"), col("n"), col("mmd2"))
+        .orderBy("batch_id")
+    }),
+
     // Random-feature MMD between the low- and high-label embedding
     // cohorts: kernel two-sample drift with NO pairwise stage — one
     // in-scan deterministic cos-feature map, a 64-row mean-diff
@@ -4537,6 +4580,26 @@ object PipelineQueries {
         | round(CAST(tp AS DOUBLE) / (tp + fn)
         |   + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6) AS youden_j
         |FROM a""".stripMargin,
+
+    "sim_stream_drift" ->
+      s"""WITH sg AS (SELECT ${rffSignRows(64, 64, 42L)} AS m),
+        |e AS (SELECT vec_id % 3 AS bid, embedding FROM embeddings),
+        |p AS (SELECT bid, list_transform(range(1, 65), j ->
+        |    cos(1.0 * (list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |          * m[CAST(j AS INT)][CAST(i AS INT)])) / sqrt(64.0))
+        |      + 2 * pi() / 64 * (j - 1)) * sqrt(2.0 / 64)) AS phi
+        |   FROM e, sg),
+        |x AS (SELECT bid, unnest(phi) AS v, unnest(range(0, 64)) AS pos
+        |      FROM p),
+        |rm AS (SELECT pos, avg(v) AS mr FROM x GROUP BY 1),
+        |bm AS (SELECT bid, pos, avg(v) AS mb, CAST(count(*) AS BIGINT)
+        |        AS nb FROM x GROUP BY 1, 2),
+        |o AS (SELECT bid, max(nb) AS n,
+        |       sum((mb - mr) * (mb - mr)) AS mmd2
+        |      FROM bm JOIN rm USING (pos) GROUP BY 1)
+        |SELECT CAST(bid AS BIGINT) AS batch_id, n, round(mmd2, 6) AS mmd2
+        |FROM o ORDER BY batch_id""".stripMargin,
 
     "sim_mmd" ->
       s"""WITH sg AS (SELECT ${rffSignRows(64, 64, 42L)} AS m),

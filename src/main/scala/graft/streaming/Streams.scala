@@ -369,6 +369,45 @@ object Streams {
           .withColumn("batch_id", lit(batchId)), batchId)
       }
 
+  /** Streaming EMBEDDING-drift monitor: per micro-batch, the
+    * random-feature MMD² between the batch's vectors and a static
+    * reference cohort ([[graft.functions.Similarity.mmdRff]]'s kernel
+    * two-sample distance, scored batch-by-batch) — semantic drift in
+    * an arriving embedding feed that scalar monitors ([[driftMonitor]]
+    * over one column's PSI) cannot see: a topic shift that leaves
+    * every marginal moment alone still moves the mean feature
+    * embedding. The reference's D per-feature means are computed ONCE
+    * (localCheckpoint) and re-joined per batch on the D-bounded
+    * feature axis; per-batch work is one in-scan feature map + a
+    * D-row rollup — cost tracks the batch, never the history.
+    * Emits (batch_id, n, mmd2) per micro-batch. */
+  def embeddingDriftMonitor(stream: DataFrame, reference: DataFrame,
+      vecCol: String, numFeatures: Int = 64, gamma: Double = 1.0,
+      seed: Long = 42L, dp: Int = 6)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.functions.Similarity
+    val refMeans = reference
+      .select(posexplode(Similarity.rffFeatures(col(vecCol), numFeatures,
+        gamma, seed)).as(Seq("__pos", "__v")))
+      .groupBy("__pos").agg(avg(col("__v")).as("__mr"))
+      .localCheckpoint(true) // one reference pass, reused every batch
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bm = batch
+          .select(posexplode(Similarity.rffFeatures(col(vecCol),
+            numFeatures, gamma, seed)).as(Seq("__pos", "__v")))
+          .groupBy("__pos").agg(avg(col("__v")).as("__mb"),
+            count(lit(1L)).as("__nb")) // each row lands once per feature
+        val out = bm.join(refMeans, "__pos")
+          .agg(coalesce(first(col("__nb")), lit(0L)).as("n"),
+            round(coalesce(sum((col("__mb") - col("__mr")) *
+              (col("__mb") - col("__mr"))), lit(0.0)), dp).as("mmd2"))
+          .withColumn("batch_id", lit(batchId))
+        sink(out, batchId)
+      }
+  }
+
   /** Watermarked stream-stream INTERVAL join — the attribution shape:
     * a right-side row matches a left-side row with the same `key` when
     * its timestamp lands in [l_ts, l_ts + within]. Both sides carry

@@ -377,6 +377,45 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(idx).count() == n2, "idle resume rewrote the index")
   }
 
+  test("embeddingDriftMonitor: identical batch scores 0, shifted batch positive") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_edrift").toFile
+    val stage = new java.io.File(root, "arrivals"); stage.mkdirs()
+    val ref = Seq(Seq(1.0f, 0.0f, 2.0f), Seq(0.0f, 3.0f, 1.0f),
+      Seq(2.0f, 2.0f, 2.0f)).toDF("embedding")
+    def put(name: String, df: org.apache.spark.sql.DataFrame, at: Long) = {
+      val tmp = new java.io.File(root, "__tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stage, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(at)
+    }
+    val now = System.currentTimeMillis()
+    put("b0.parquet", ref, now - 200000L) // the reference itself
+    put("b1.parquet", ref.select(transform(col("embedding"),
+      v => v + 40.0f).as("embedding")), now - 100000L) // far shift
+    val schema = spark.read.parquet(s"${stage.getPath}/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.getPath)
+    val out = s"$root/out"
+    val q = Streams.embeddingDriftMonitor(stream, ref, "embedding",
+        numFeatures = 16) { (df, _) =>
+        df.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.read.parquet(out).orderBy("batch_id")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 2, rows.mkString)
+    assert(rows(0) == ((0L, 3L, 0.0)),
+      s"the reference batch must score exactly 0: ${rows.mkString}")
+    assert(rows(1)._3 > 0.0, s"shifted batch must register: ${rows.mkString}")
+  }
+
   test("distinctMonitorBatch: cumulative HLL union, overlap collapses, replay-idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dmon").toFile.getPath
     def run(lo: Int, hi: Int, id: Long) =
