@@ -78,11 +78,35 @@ object Similarity {
     * deterministic map is what lets an oracle replay every coordinate).
     * Pure Column algebra — no RNG state, no stored matrix. */
   def rffFeatures(vec: Column, numFeatures: Int, gamma: Double = 1.0,
-      seed: Long = 42L): Column = {
+      seed: Long = 42L, inputDim: Int = 64): Column = {
     require(numFeatures >= 1, s"numFeatures must be >= 1, got $numFeatures")
-    val p = randomProject(vec, numFeatures, seed)
-    zip_with(p, sequence(lit(0), lit(numFeatures - 1)), (v, j) =>
-      cos(lit(gamma) * v +
+    require(inputDim >= 1, s"inputDim must be >= 1, got $inputDim")
+    // the [[randomProject]] sign hash depends only on (i, j, seed) —
+    // plan-time constants — so the matrix is EVALUATED HERE ONCE (the
+    // Scala twin of the Column hash, bit-identical long arithmetic)
+    // and shipped as a literal: the per-row work drops from D·dim
+    // interpreted hash chains to D·dim multiply-adds. Vectors shorter
+    // than inputDim use their own length (zip_with stops at the
+    // shorter side exactly like the hash form did).
+    val scale = math.sqrt(numFeatures.toDouble)
+    val m = 4294967295L
+    val signs: Seq[Seq[Double]] = (0 until numFeatures).map { j =>
+      (0 until inputDim).map { i =>
+        val h1 = i.toLong * 2654435761L + j.toLong * 97L + seed
+        val h2 = (((h1 >> 13) ^ h1) & m) * 40503L
+        val h3 = (((h2 >> 11) ^ h2) & m) * 69069L
+        val h4 = (h3 >> 9) ^ h3
+        (1L - 2L * ((h4 >> 3) & 1L)).toDouble
+      }
+    }
+    val lit2d = typedLit(signs)
+    transform(sequence(lit(0), lit(numFeatures - 1)), j =>
+      cos(lit(gamma) *
+          (aggregate(
+            zip_with(vec,
+              slice(element_at(lit2d, (j + 1).cast("int")), lit(1), size(vec)),
+              (v, s) => v.cast("double") * s),
+            lit(0.0), (acc, x) => acc + x) / lit(scale)) +
           lit(2.0 * math.Pi / numFeatures) * j.cast("double")) *
         lit(math.sqrt(2.0 / numFeatures)))
   }
