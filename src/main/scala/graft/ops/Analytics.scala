@@ -5648,6 +5648,78 @@ object Analytics {
       round(brier - (rel - res + unc), dp).as("residual"))
   }
 
+  /** Per-group expected calibration error: [[brierDecomposition]]'s
+    * equal-width-bin ECE and Brier computed PER SLICE (per source, per
+    * language, per model version) — a pooled ECE of 0.02 routinely
+    * hides a slice at 0.15 (the [[aucBrierByGroup]] lesson applied to
+    * calibration). Same bin convention, same NULL-label/score drop.
+    * One (group, bin) rollup (map-side partial) + a group rollup —
+    * returns (grp, n, ece, brier) per populated group. */
+  def eceByGroup(df: DataFrame, group: Column, score: Column,
+      label: Column, bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val b = greatest(lit(0), least(floor(score * bins), lit(bins - 1)))
+      .cast("int")
+    val per = df.where(score.isNotNull && label.isNotNull)
+      .select(group.as("grp"), b.as("__b"),
+        score.cast("double").as("__s"), label.cast("double").as("__y"))
+      .groupBy(col("grp"), col("__b"))
+      .agg(count(lit(1L)).as("__n"), sum(col("__s")).as("__ss"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__s") - col("__y")) * (col("__s") - col("__y")))
+          .as("__sq"))
+    val pk = col("__ss") / col("__n")
+    val yk = col("__sy") / col("__n")
+    per.groupBy("grp")
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__n") * abs(pk - yk)).as("__ece"),
+        sum(col("__sq")).as("__tsq"))
+      .select(col("grp"), col("n"),
+        round(col("__ece") / col("n"), dp).as("ece"),
+        round(col("__tsq") / col("n"), dp).as("brier"))
+  }
+
+  /** Two-sample Poisson rate-ratio test: arm A's event rate per unit
+    * exposure against arm B's —
+    *
+    *   z = ln(r_A/r_B) / √(1/x_A + 1/x_B),   r = Σevents / Σexposure
+    *
+    * (the standard log-rate-ratio form, conditional on exposures) —
+    * the COUNT-metric inference beside [[powerMde]] (proportions) and
+    * [[ratioMetricTest]] (continuous ratios): crashes per
+    * device-day, requests per active hour, where the denominator is
+    * exposure TIME, not trials. Statistics are NULL when any arm has
+    * zero events or zero exposure; `reject_05` additionally needs
+    * x ≥ 10 per arm (the log-normal approximation floor). ONE 4-sum
+    * rollup, 1 row:
+    * (x_a, x_b, t_a, t_b, rate_a, rate_b, ratio, z, reject_05). */
+  def rateRatioTest(df: DataFrame, inA: Column, events: Column,
+      exposure: Column, dp: Int = 6): DataFrame = {
+    val a = df.where(inA.isNotNull && events.isNotNull &&
+        exposure.isNotNull)
+      .select(inA.cast("boolean").as("__a"),
+        events.cast("double").as("__e"), exposure.cast("double").as("__t"))
+      .agg(sum(when(col("__a"), col("__e"))).as("__xa"),
+        sum(when(!col("__a"), col("__e"))).as("__xb"),
+        sum(when(col("__a"), col("__t"))).as("__ta"),
+        sum(when(!col("__a"), col("__t"))).as("__tb"))
+    val ra = col("__xa") / col("__ta")
+    val rb = col("__xb") / col("__tb")
+    val ok = col("__xa") > 0.0 && col("__xb") > 0.0 &&
+      col("__ta") > 0.0 && col("__tb") > 0.0
+    val z = log(ra / rb) / sqrt(lit(1.0) / col("__xa") +
+      lit(1.0) / col("__xb"))
+    a.select(col("__xa").cast("long").as("x_a"),
+      col("__xb").cast("long").as("x_b"),
+      round(col("__ta"), dp).as("t_a"), round(col("__tb"), dp).as("t_b"),
+      when(col("__ta") > 0.0, round(ra, dp)).as("rate_a"),
+      when(col("__tb") > 0.0, round(rb, dp)).as("rate_b"),
+      when(ok, round(ra / rb, dp)).as("ratio"),
+      when(ok, round(z, dp)).as("z"),
+      when(ok && col("__xa") >= 10.0 && col("__xb") >= 10.0,
+        abs(z) > 1.96).as("reject_05"))
+  }
+
   /** Spiegelhalter's Z test of calibration (Spiegelhalter 1986): under
     * perfect calibration E[(y−p)(1−2p)] = 0 with known variance
     * Σ(1−2p)²p(1−p), so

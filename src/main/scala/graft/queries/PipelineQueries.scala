@@ -3495,6 +3495,16 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Per-source ECE/Brier on the SAME pseudo-scorer: the pooled
+    // calibration row per slice — a clean pooled ECE can hide a badly
+    // calibrated source.
+    "eval_ece_by_source" -> ((s, dir) =>
+      graft.ops.Analytics.eceByGroup(
+        t(s, dir, "documents"), col("source"),
+        (col("n_chars") % 97) / lit(96.0),
+        when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
+          .otherwise(0), bins = 10).orderBy("grp")),
+
     // Hosmer-Lemeshow chi-square on the SAME bins as eval_brier_decomp:
     // the classical goodness-of-fit verdict over the per-bin O/E gaps,
     // degenerate-rate bins excluded and counted; chi2(g-2) critical
@@ -8220,6 +8230,22 @@ object PipelineQueries {
         | CASE WHEN syy - sy * sy / n > 0
         |      THEN round(1.0 - sse / (syy - sy * sy / n), 6) END AS r2
         |FROM a""".stripMargin,
+
+    "eval_ece_by_source" ->
+      """WITH d AS (SELECT source AS grp,
+        |        CAST(n_chars % 97 AS DOUBLE) / 96 AS s,
+        |        CASE WHEN doc_id % 3 = 0 OR n_chars % 5 = 0
+        |             THEN 1.0 ELSE 0.0 END AS y
+        |       FROM documents),
+        |per AS (SELECT grp,
+        |        greatest(0, least(CAST(floor(s * 10) AS INT), 9)) AS b,
+        |        CAST(count(*) AS BIGINT) AS n, sum(s) AS ss,
+        |        sum(y) AS sy, sum((s - y) * (s - y)) AS sq
+        |       FROM d GROUP BY 1, 2)
+        |SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+        | round(sum(n * abs(ss / n - sy / n)) / sum(n), 6) AS ece,
+        | round(sum(sq) / sum(n), 6) AS brier
+        |FROM per GROUP BY grp ORDER BY grp""".stripMargin,
 
     "eval_spiegelhalter" ->
       """WITH d AS (SELECT CAST(n_chars % 97 AS DOUBLE) / 96 AS p,

@@ -1079,6 +1079,19 @@ object RelationalQueries {
       Analytics.grangerTest(daily, col("d"), col("y"), col("x"))
     }),
 
+    // Two-sample Poisson rate-ratio on per-user (purchases, active
+    // days): count-per-exposure inference — the metric family where
+    // the denominator is TIME, not trials.
+    "q_rate_ratio" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"),
+          countDistinct(to_date(col("ts"))).as("days"))
+      Analytics.rateRatioTest(perUser, col("user_id") % 2 === 0,
+        col("ev"), col("days"))
+    }),
+
     // Poisson overdispersion verdict on per-user event counts: VMR
     // chi-square via the sqrt-2-chi2 normal form — bursty (bots,
     // retries) rejects high, suspiciously regular (cron) rejects low.
@@ -3407,6 +3420,31 @@ object RelationalQueries {
         | CASE WHEN ssef > 0 AND CAST(n AS DOUBLE) - 3 >= 20
         |      THEN f > 3.841458820694124 END AS reject_05
         |FROM ff""".stripMargin,
+
+    "q_rate_ratio" ->
+      """WITH pu AS (SELECT user_id,
+        |        CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE)
+        |          AS ev,
+        |        CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS days
+        |       FROM events GROUP BY 1),
+        |a AS (SELECT sum(CASE WHEN user_id % 2 = 0 THEN ev END) AS xa,
+        |        sum(CASE WHEN user_id % 2 <> 0 THEN ev END) AS xb,
+        |        sum(CASE WHEN user_id % 2 = 0 THEN days END) AS ta,
+        |        sum(CASE WHEN user_id % 2 <> 0 THEN days END) AS tb
+        |       FROM pu),
+        |f AS (SELECT *, xa / ta AS ra, xb / tb AS rb,
+        |        xa > 0 AND xb > 0 AND ta > 0 AND tb > 0 AS ok FROM a),
+        |g AS (SELECT *, ln(ra / rb) / sqrt(1.0 / xa + 1.0 / xb) AS z
+        |      FROM f)
+        |SELECT CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+        | round(ta, 6) AS t_a, round(tb, 6) AS t_b,
+        | CASE WHEN ta > 0 THEN round(ra, 6) END AS rate_a,
+        | CASE WHEN tb > 0 THEN round(rb, 6) END AS rate_b,
+        | CASE WHEN ok THEN round(ra / rb, 6) END AS ratio,
+        | CASE WHEN ok THEN round(z, 6) END AS z,
+        | CASE WHEN ok AND xa >= 10 AND xb >= 10 THEN abs(z) > 1.96 END
+        |   AS reject_05
+        |FROM g""".stripMargin,
 
     "q_overdispersion" ->
       """WITH pu AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS c

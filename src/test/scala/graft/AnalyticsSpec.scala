@@ -4012,6 +4012,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("eceByGroup: calibrated slice 0, miscalibrated slice exposed") {
+    import spark.implicits._
+    val df = Seq(("g1", 0.5, 1.0), ("g1", 0.5, 0.0),
+      ("g2", 0.1, 1.0), ("g2", 0.1, 1.0)).toDF("g", "s", "y")
+    val rows = Analytics.eceByGroup(df, col("g"), col("s"), col("y"))
+      .orderBy("grp").collect()
+    assert(rows.length == 2, rows.mkString)
+    assert(rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 0.25,
+      s"${rows(0)}")
+    assert(math.abs(rows(1).getDouble(2) - 0.9) < 1e-9 &&
+      math.abs(rows(1).getDouble(3) - 0.81) < 1e-9, s"${rows(1)}")
+  }
+
+  test("rateRatioTest: hand-computed log-rate z; zero-event arm NULL") {
+    import spark.implicits._
+    val df = Seq((true, 20.0, 10.0), (false, 10.0, 10.0))
+      .toDF("a", "ev", "t")
+    val r = Analytics.rateRatioTest(df, col("a"), col("ev"), col("t"))
+      .head()
+    assert(r.getLong(0) == 20 && r.getLong(1) == 10, s"$r")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.0 &&
+      r.getDouble(6) == 2.0, s"$r")
+    val z = math.log(2.0) / math.sqrt(1.0 / 20 + 1.0 / 10)
+    assert(math.abs(r.getDouble(7) - z) < 1e-6, s"$r")
+    assert(!r.getBoolean(8), s"1.79 < 1.96 must not reject: $r")
+    // an arm with zero events has no defined log rate ratio
+    val zero = Seq((true, 0.0, 5.0), (false, 10.0, 10.0))
+      .toDF("a", "ev", "t")
+    val rz = Analytics.rateRatioTest(zero, col("a"), col("ev"), col("t"))
+      .head()
+    assert(rz.isNullAt(6) && rz.isNullAt(7) && rz.isNullAt(8), s"$rz")
+  }
+
   test("shiftWeightedMetric: no-shift weights are flat; shift pulls toward target") {
     import spark.implicits._
     // domain independent of x: classifier ~ intercept-only, weighted
