@@ -5050,6 +5050,37 @@ object Analytics {
           .as("top10_share"))
   }
 
+  /** Theil's T inequality index (Theil 1967): T = (1/n)Σ (xᵢ/μ)ln(xᵢ/μ)
+    * over non-negative unit totals — [[gini]]'s information-theoretic
+    * companion, and the one that DECOMPOSES: T is 0 at perfect
+    * equality, ln(n) at total concentration, so `theil_norm` = T/ln(n)
+    * lands in [0,1] comparable across table sizes (Gini compresses the
+    * top tail; Theil is exactly sensitive there — the right lens for
+    * "how concentrated is the corpus on a few domains"). Zero-total
+    * units contribute 0 (x·ln x → 0). T is NULL when the total is 0 or
+    * n < 2. One unit rollup + one 1-row pass with the broadcast mean:
+    * (n_units, total, theil, theil_norm). */
+  def theilInequality(df: DataFrame, unit: Column, quantity: Column,
+      dp: Int = 6): DataFrame = {
+    val units = df.groupBy(unit.as("__u"))
+      .agg(sum(quantity.cast("double")).as("__x"))
+      .where(col("__x") >= 0)
+    val m = units.agg(count(lit(1L)).as("n_units"), avg(col("__x")).as("__m"),
+      sum(col("__x")).as("__tot"))
+    val term = when(col("__x") > 0,
+      (col("__x") / col("__m")) * log(col("__x") / col("__m")))
+      .otherwise(lit(0.0))
+    val t = units.crossJoin(broadcast(m))
+      .agg(first(col("n_units")).as("n_units"),
+        first(col("__tot")).as("__tot"),
+        avg(term).as("__t"))
+    val ok = col("n_units") >= 2 && col("__tot") > 0.0
+    t.select(col("n_units"), round(col("__tot"), 4).as("total"),
+      when(ok, round(col("__t"), dp)).as("theil"),
+      when(ok, round(col("__t") / log(col("n_units").cast("double")), dp))
+        .as("theil_norm"))
+  }
+
   /** Kaplan–Meier survival curve (product-limit estimator, JASA 1958)
     * over right-censored durations: one row per (subject, duration,
     * event?) in, the step function S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) out —

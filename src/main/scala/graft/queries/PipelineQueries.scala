@@ -2791,6 +2791,15 @@ object PipelineQueries {
         .orderBy("word")
     }),
 
+    // Reciprocity + dyad census of the word co-occurrence digraph: how
+    // much of the linkage is mutual (conversation) vs one-way
+    // (citation) — what PageRank's flows mean depends on it.
+    "graph_reciprocity" -> ((s, dir) =>
+      graft.functions.Graph.reciprocity(
+        graft.functions.Graph
+          .wordCooccurrenceEdges(t(s, dir, "documents"), "text"),
+        "src", "dst")),
+
     // Personalized PageRank seeded at {join, scan} over the same word
     // graph: topical authority as seen FROM the seed terms (restart and
     // dangling mass both teleport to the seeds) — the entity-centric
@@ -7395,6 +7404,21 @@ object PipelineQueries {
         |r3 AS (SELECT nodes.id, 0.15/nn.n + 0.85*(coalesce(c3.c,0.0)+s3.s/nn.n) AS r
         |       FROM nodes CROSS JOIN nn CROSS JOIN s3 LEFT JOIN c3 ON nodes.id=c3.id)
         |SELECT id AS word, round(r, 6) AS pr FROM r3 ORDER BY word""".stripMargin,
+
+    "graph_reciprocity" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT DISTINCT w[i] AS s, w[i+1] AS d
+        |      FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)
+        |      WHERE w[i] <> w[i+1]),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2
+        |      FROM e a JOIN e b ON a.s = b.d AND a.d = b.s),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_edges, n_edges - m2 // 2 AS n_dyads, m2 // 2 AS n_mutual,
+        | n_edges - m2 AS n_asym,
+        | CASE WHEN n_edges > 0
+        |      THEN round(CAST(m2 AS DOUBLE) / n_edges, 6) END
+        |   AS reciprocity
+        |FROM t, m""".stripMargin,
 
     "graph_ppr" ->
       """WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -1079,6 +1079,13 @@ object RelationalQueries {
       Analytics.grangerTest(daily, col("d"), col("y"), col("x"))
     }),
 
+    // Theil T inequality of per-customer revenue beside q_gini's
+    // Lorenz view: top-tail-exact, ln(n)-normalized for cross-table
+    // comparability.
+    "q_theil_inequality" -> ((s, dir) =>
+      Analytics.theilInequality(t(s, dir, "orders"),
+        col("o_custkey"), col("o_totalprice"))),
+
     // Two-sample Poisson rate-ratio on per-user (purchases, active
     // days): count-per-exposure inference — the metric family where
     // the denominator is TIME, not trials.
@@ -3420,6 +3427,22 @@ object RelationalQueries {
         | CASE WHEN ssef > 0 AND CAST(n AS DOUBLE) - 3 >= 20
         |      THEN f > 3.841458820694124 END AS reject_05
         |FROM ff""".stripMargin,
+
+    "q_theil_inequality" ->
+      """WITH u AS (SELECT o_custkey AS c, sum(o_totalprice) AS x
+        |           FROM orders GROUP BY 1),
+        |up AS (SELECT x FROM u WHERE x >= 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mu,
+        |        sum(x) AS tot FROM up),
+        |t AS (SELECT any_value(n) AS n, any_value(tot) AS tot,
+        |        avg(CASE WHEN x > 0 THEN (x / mu) * ln(x / mu)
+        |            ELSE 0.0 END) AS th
+        |      FROM up, m)
+        |SELECT n AS n_units, round(tot, 4) AS total,
+        | CASE WHEN n >= 2 AND tot > 0 THEN round(th, 6) END AS theil,
+        | CASE WHEN n >= 2 AND tot > 0
+        |      THEN round(th / ln(CAST(n AS DOUBLE)), 6) END AS theil_norm
+        |FROM t""".stripMargin,
 
     "q_rate_ratio" ->
       """WITH pu AS (SELECT user_id,

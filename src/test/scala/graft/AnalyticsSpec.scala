@@ -4012,6 +4012,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("theilInequality: equal units 0, concentrated ln(n), zeros contribute 0") {
+    import spark.implicits._
+    // perfectly equal: T = 0
+    val eq = Seq(("a", 5.0), ("b", 5.0), ("c", 5.0), ("d", 5.0))
+      .toDF("u", "x")
+    val re = Analytics.theilInequality(eq, col("u"), col("x")).head()
+    assert(re.getLong(0) == 4 && re.getDouble(2) == 0.0 &&
+      re.getDouble(3) == 0.0, s"$re")
+    // one unit owns everything: T = ln(n), norm = 1
+    val conc = Seq(("a", 12.0), ("b", 0.0), ("c", 0.0), ("d", 0.0))
+      .toDF("u", "x")
+    val rc = Analytics.theilInequality(conc, col("u"), col("x")).head()
+    assert(math.abs(rc.getDouble(2) - math.log(4.0)) < 1e-6 &&
+      math.abs(rc.getDouble(3) - 1.0) < 1e-6, s"$rc")
+    // hand case: {1, 3}: mu = 2, T = ((1/2)ln(1/2) + (3/2)ln(3/2)) / 2
+    val two = Seq(("a", 1.0), ("b", 3.0)).toDF("u", "x")
+    val rt = Analytics.theilInequality(two, col("u"), col("x")).head()
+    val expect = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    assert(math.abs(rt.getDouble(2) - expect) < 1e-6, s"$rt")
+  }
+
   test("eceByGroup: calibrated slice 0, miscalibrated slice exposed") {
     import spark.implicits._
     val df = Seq(("g1", 0.5, 1.0), ("g1", 0.5, 0.0),

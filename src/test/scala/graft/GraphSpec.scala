@@ -27,6 +27,21 @@ class GraphSpec extends SparkSuite {
   }
   import spark.implicits._
 
+  test("reciprocity: dyad census hand-counted; self-loops and duplicates ignored") {
+    // a<->b mutual; a->c, c->d one-way; self-loop and a duplicate edge
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+      ("a", "c"), ("x", "x")).toDF("s", "d")
+    val r = Graph.reciprocity(edges, "s", "d").head()
+    assert(r.getLong(0) == 4, s"$r")  // distinct non-loop edges
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1 && r.getLong(3) == 2,
+      s"$r")
+    assert(r.getDouble(4) == 0.5, s"$r")
+    // a pure DAG has zero reciprocity
+    val dag = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "d")
+    val rd = Graph.reciprocity(dag, "s", "d").head()
+    assert(rd.getLong(2) == 0 && rd.getDouble(4) == 0.0, s"$rd")
+  }
+
   test("personalizedPageRank: two hand-computed iterations; mass conserved; bad seeds fail") {
     // a->b, b->{a,c}, c dangling; seed = a only
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("s", "d")
