@@ -797,9 +797,19 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     // all — the whole test is a scan + 1-row rollup (power sums)
     for (name <- Seq("q_jarque_bera", "eval_spiegelhalter", "q_power_mde",
         "q_tost", "dedup_capture_recapture", "eval_mcc",
-        "eval_regression_metrics", "eval_ccc")) {
+        "eval_regression_metrics", "eval_ccc", "q_overdispersion",
+        "q_rate_ratio")) {
       val p = plan(q(name))
       assert(!p.contains("Join"), s"$name is scan + rollup only:\n$p")
+    }
+    // broadcast-only second passes (mean/prior/total shipped, never
+    // shuffled back): theil, periodogram, per-source ECE stay
+    // cartesian-free with no sort-merge join
+    for (name <- Seq("q_theil_inequality", "q_periodogram",
+        "eval_ece_by_source", "graph_reciprocity")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name must not shuffle-join:\n$p")
     }
     // two-phase histogram CDFs (no unpartitioned corpus window)
     for (name <- Seq("q_yuen", "eval_auc_ci")) {
