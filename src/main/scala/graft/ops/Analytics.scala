@@ -5679,6 +5679,44 @@ object Analytics {
       round(brier - (rel - res + unc), dp).as("residual"))
   }
 
+  /** Top-k selection churn between two scorers: the Jaccard overlap of
+    * the two top-k sets (deterministic (score desc, id) tie-break) —
+    * the RETRAINING-STABILITY readout curation pipelines need before
+    * swapping a quality model: an AUC delta of 0.002 can still replace
+    * 40% of the selected corpus, and this measures exactly that.
+    * `expected_random` = k/n is the overlap fraction two independent
+    * scorers would produce — overlap below it means the scorers
+    * actively disagree about the top. Requires 1 ≤ k ≤ n.
+    *
+    * Shape: two two-phase [[Windows.globalRowNumber]] rank passes (no
+    * single-reducer sort at any n), one id-keyed equi-join of the two
+    * k-row selections, 1 row out:
+    * (k, n, n_both, jaccard, expected_random). */
+  def topKOverlap(df: DataFrame, id: Column, scoreA: Column,
+      scoreB: Column, k: Int, dp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(id.as("__id"), scoreA.cast("double").as("__sa"),
+        scoreB.cast("double").as("__sb"))
+      .where(col("__id").isNotNull && col("__sa").isNotNull &&
+        col("__sb").isNotNull)
+      .localCheckpoint(true) // ranked twice
+    val topA = Windows.globalRowNumber(base,
+        Seq(col("__sa").desc, col("__id")), out = "__ra")
+      .where(col("__ra") <= k).select(col("__id"))
+    val topB = Windows.globalRowNumber(base,
+        Seq(col("__sb").desc, col("__id")), out = "__rb")
+      .where(col("__rb") <= k).select(col("__id"))
+    val both = topA.join(topB, Seq("__id")).agg(count(lit(1L)).as("n_both"))
+    val n = base.agg(count(lit(1L)).as("n"))
+    both.crossJoin(broadcast(n)).select(
+      lit(k).as("k"), col("n"), col("n_both"),
+      when(col("n") >= k,
+        round(col("n_both").cast("double") / (lit(2 * k) - col("n_both")),
+          dp)).as("jaccard"),
+      when(col("n") > 0, round(lit(k.toDouble) / col("n"), dp))
+        .as("expected_random"))
+  }
+
   /** Per-group expected calibration error: [[brierDecomposition]]'s
     * equal-width-bin ECE and Brier computed PER SLICE (per source, per
     * language, per model version) — a pooled ECE of 0.02 routinely

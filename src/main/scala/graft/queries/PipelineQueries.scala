@@ -3504,6 +3504,16 @@ object PipelineQueries {
         when(col("doc_id") % 3 === 0 || col("n_chars") % 5 === 0, 1)
           .otherwise(0))),
 
+    // Top-1000 selection churn between the two standing pseudo-scorers:
+    // how much of the selected corpus a scorer swap would replace —
+    // the stability number an AUC delta hides; two two-phase rank
+    // passes, one id-keyed join.
+    "pipeline_topk_churn" -> ((s, dir) =>
+      graft.ops.Analytics.topKOverlap(
+        t(s, dir, "documents"), col("doc_id"),
+        (col("n_chars") % 97) / lit(96.0),
+        (col("n_chars") % 89) / lit(88.0), k = 1000)),
+
     // Per-source ECE/Brier on the SAME pseudo-scorer: the pooled
     // calibration row per slice — a clean pooled ECE can hide a badly
     // calibrated source.
@@ -8254,6 +8264,26 @@ object PipelineQueries {
         | CASE WHEN syy - sy * sy / n > 0
         |      THEN round(1.0 - sse / (syy - sy * sy / n), 6) END AS r2
         |FROM a""".stripMargin,
+
+    "pipeline_topk_churn" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |        CAST(n_chars % 97 AS DOUBLE) / 96 AS sa,
+        |        CAST(n_chars % 89 AS DOUBLE) / 88 AS sb FROM documents),
+        |ra AS (SELECT id, row_number() OVER (ORDER BY sa DESC, id) AS r
+        |       FROM d),
+        |rb AS (SELECT id, row_number() OVER (ORDER BY sb DESC, id) AS r
+        |       FROM d),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+        |       FROM ra JOIN rb USING (id)
+        |       WHERE ra.r <= 1000 AND rb.r <= 1000),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT 1000 AS k, n, n_both,
+        | CASE WHEN n >= 1000 THEN
+        |   round(CAST(n_both AS DOUBLE) / (2000 - n_both), 6) END
+        |   AS jaccard,
+        | CASE WHEN n > 0 THEN round(1000.0 / n, 6) END
+        |   AS expected_random
+        |FROM bt, nn""".stripMargin,
 
     "eval_ece_by_source" ->
       """WITH d AS (SELECT source AS grp,

@@ -4012,6 +4012,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(rz.getLong(1) == 1 && rz.getDouble(5) == 0.0, s"$rz")
   }
 
+  test("topKOverlap: identical scorers 1, reversed 0, partial hand-counted") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => (i.toLong, i.toDouble, (7 - i).toDouble))
+      .toDF("id", "a", "b")
+    // same scorer: top-2 sets identical
+    val r1 = Analytics.topKOverlap(df, col("id"), col("a"), col("a"), 2)
+      .head()
+    assert(r1.getInt(0) == 2 && r1.getLong(1) == 6 && r1.getLong(2) == 2,
+      s"$r1")
+    assert(r1.getDouble(3) == 1.0, s"$r1")
+    assert(math.abs(r1.getDouble(4) - 2.0 / 6) < 1e-6, s"$r1")
+    // reversed scorer: disjoint top-2 sets
+    val r0 = Analytics.topKOverlap(df, col("id"), col("a"), col("b"), 2)
+      .head()
+    assert(r0.getLong(2) == 0 && r0.getDouble(3) == 0.0, s"$r0")
+    // partial: top-4 of a = {6,5,4,3}, of b = {1,2,3,4} -> both = 2,
+    // jaccard = 2/6
+    val rp = Analytics.topKOverlap(df, col("id"), col("a"), col("b"), 4)
+      .head()
+    assert(rp.getLong(2) == 2 &&
+      math.abs(rp.getDouble(3) - 2.0 / 6) < 1e-6, s"$rp")
+  }
+
   test("theilInequality: equal units 0, concentrated ln(n), zeros contribute 0") {
     import spark.implicits._
     // perfectly equal: T = 0
