@@ -22,6 +22,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CheckQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
-  def oracleSql: Map[String, String] =
-    CheckQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
+  /** The half-boundary-exposed regression-family oracles go through
+    * [[queries.OracleRounding]] so DuckDB rounds the same digits Spark
+    * does (VERDICT r13 #1/#2). */
+  def oracleSql: Map[String, String] = OracleRounding(
+    CheckQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql)
 }

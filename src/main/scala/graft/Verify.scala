@@ -47,6 +47,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Compare-environment stamp (VERDICT r13 #4): the r13 q_influence
+    // split (builder-green, driver-red) was only diagnosable by
+    // re-deriving the rounding math — record the engine side of the
+    // compare environment in the artifact dir and on stderr so a
+    // builder/driver disagreement names its suspects. (The DuckDB /
+    // Python versions are the driver's side; the verify skill's
+    // compare script prints them.)
+    val env = Map(
+      "spark" -> spark.version,
+      "java" -> System.getProperty("java.version"),
+      "scala" -> scala.util.Properties.versionNumberString,
+      "oracle_rounding_exposed" ->
+        graft.queries.OracleRounding.exposed.toSeq.sorted.mkString(","))
+    val envJson = env.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/compare_env.json"), envJson)
+    System.err.println(s"[verify] env: $envJson")
     spark.stop()
   }
 }
