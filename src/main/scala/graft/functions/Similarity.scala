@@ -87,7 +87,11 @@ object Similarity {
     // and shipped as a literal: the per-row work drops from D·dim
     // interpreted hash chains to D·dim multiply-adds. Vectors shorter
     // than inputDim use their own length (zip_with stops at the
-    // shorter side exactly like the hash form did).
+    // shorter side exactly like the hash form did); vectors LONGER
+    // than inputDim are truncated to their first inputDim coordinates
+    // (previously the sign side ran out, zip_with null-padded, and the
+    // null poisoned aggregate() into an all-NULL feature vector —
+    // ADVICE r13).
     val scale = math.sqrt(numFeatures.toDouble)
     val m = 4294967295L
     val signs: Seq[Seq[Double]] = (0 until numFeatures).map { j =>
@@ -100,11 +104,12 @@ object Similarity {
       }
     }
     val lit2d = typedLit(signs)
+    val effLen = least(size(vec), lit(inputDim))
     transform(sequence(lit(0), lit(numFeatures - 1)), j =>
       cos(lit(gamma) *
           (aggregate(
-            zip_with(vec,
-              slice(element_at(lit2d, (j + 1).cast("int")), lit(1), size(vec)),
+            zip_with(slice(vec, lit(1), effLen),
+              slice(element_at(lit2d, (j + 1).cast("int")), lit(1), effLen),
               (v, s) => v.cast("double") * s),
             lit(0.0), (acc, x) => acc + x) / lit(scale)) +
           lit(2.0 * math.Pi / numFeatures) * j.cast("double")) *
@@ -129,9 +134,16 @@ object Similarity {
   def mmdRff(df: DataFrame, vecCol: String, inA: Column,
       numFeatures: Int = 64, gamma: Double = 1.0, seed: Long = 42L,
       dp: Int = 6): DataFrame = {
-    val base = df.select(inA.cast("boolean").as("__a"),
+    // Filter NULL vectors BEFORE the feature map: transform over
+    // sequence() always yields a non-null array (of nulls when vec is
+    // NULL), so a __phi.isNotNull guard after the map never fires and
+    // NULL-vector rows would inflate n_a/n_b while contributing
+    // nothing to the feature means (ADVICE r13). The counts below must
+    // mirror the rows actually entering the estimate.
+    val base = df.where(inA.cast("boolean").isNotNull &&
+        col(vecCol).isNotNull)
+      .select(inA.cast("boolean").as("__a"),
         rffFeatures(col(vecCol), numFeatures, gamma, seed).as("__phi"))
-      .where(col("__a").isNotNull && col("__phi").isNotNull)
     val pos = base.select(col("__a"),
       posexplode(col("__phi")).as(Seq("__pos", "__v")))
     val perPos = pos.groupBy("__pos").agg(

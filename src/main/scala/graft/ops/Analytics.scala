@@ -5686,7 +5686,10 @@ object Analytics {
     * 40% of the selected corpus, and this measures exactly that.
     * `expected_random` = k/n is the overlap fraction two independent
     * scorers would produce — overlap below it means the scorers
-    * actively disagree about the top. Requires 1 ≤ k ≤ n.
+    * actively disagree about the top. Requires k ≥ 1; when n < k both
+    * top sets are the whole table, so jaccard reports the actual full
+    * overlap 1.0 (denominator 2·min(k,n) − n_both; the old n ≥ k guard
+    * returned NULL there, which misread as undefined — ADVICE r13).
     *
     * Shape: two two-phase [[Windows.globalRowNumber]] rank passes (no
     * single-reducer sort at any n), one id-keyed equi-join of the two
@@ -5710,8 +5713,9 @@ object Analytics {
     val n = base.agg(count(lit(1L)).as("n"))
     both.crossJoin(broadcast(n)).select(
       lit(k).as("k"), col("n"), col("n_both"),
-      when(col("n") >= k,
-        round(col("n_both").cast("double") / (lit(2 * k) - col("n_both")),
+      when(col("n") > 0,
+        round(col("n_both").cast("double") /
+          (lit(2L) * least(lit(k.toLong), col("n")) - col("n_both")),
           dp)).as("jaccard"),
       when(col("n") > 0, round(lit(k.toDouble) / col("n"), dp))
         .as("expected_random"))
@@ -6036,8 +6040,13 @@ object Analytics {
     * Var(S) = 0 (all values tied). */
   def mannKendallByKey(df: DataFrame, key: Column, t: Column, v: Column,
       dp: Int = 6): DataFrame = {
+    // NULL t/v filtered like the sibling per-key tests (a NULL v makes
+    // signum NULL and silently shrinks S); single-point keys survive
+    // the left join below with S = 0, Var(S) = 0, NULL verdict —
+    // previously the inner join dropped them entirely (ADVICE r13).
     val pts = df.select(key.as("k"), t.cast("double").as("__t"),
-      v.cast("double").as("__v"))
+        v.cast("double").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
     val a = pts.select(col("k"), col("__t").as("__ta"), col("__v").as("__va"))
     val b = pts.select(col("k"), col("__t").as("__tb"), col("__v").as("__vb"))
     val sTab = a.join(b, "k").where(col("__ta") < col("__tb"))
@@ -6050,13 +6059,14 @@ object Analytics {
         (lit(2) * col("__c") + 5)).as("__tt"))
     val nD = col("n").cast("double")
     val vs = (nD * (nD - 1) * (lit(2) * nD + 5) - col("__tt")) / lit(18.0)
-    val zRaw = when(col("__s") > 0, (col("__s") - 1) / sqrt(vs))
-      .when(col("__s") < 0, (col("__s") + 1) / sqrt(vs))
+    val s0 = coalesce(col("__s"), lit(0.0)) // zero-pair key: S = 0
+    val zRaw = when(s0 > 0, (s0 - 1) / sqrt(vs))
+      .when(s0 < 0, (s0 + 1) / sqrt(vs))
       .otherwise(lit(0.0))
     val z = when(vs <= 0.0, lit(null).cast("double")).otherwise(zRaw)
-    nTab.join(sTab, "k").join(tieTab, "k")
+    nTab.join(sTab, Seq("k"), "left").join(tieTab, "k")
       .select(col("k").as("key"), col("n"),
-        round(col("__s"), dp).as("s"),
+        round(s0, dp).as("s"),
         round(vs, dp).as("var_s"),
         round(z, dp).as("z"),
         when(col("n") < 10 || z.isNull, lit(null).cast("boolean"))

@@ -8277,10 +8277,12 @@ object PipelineQueries {
         |       FROM ra JOIN rb USING (id)
         |       WHERE ra.r <= 1000 AND rb.r <= 1000),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |-- denominator 2*min(k,n) - n_both: n < k means both top sets
+        |-- are the full table, actual overlap 1.0 (ADVICE r13)
         |SELECT 1000 AS k, n, n_both,
-        | CASE WHEN n >= 1000 THEN
-        |   round(CAST(n_both AS DOUBLE) / (2000 - n_both), 6) END
-        |   AS jaccard,
+        | CASE WHEN n > 0 THEN
+        |   round(CAST(n_both AS DOUBLE) / (2 * least(1000, n) - n_both), 6)
+        |   END AS jaccard,
         | CASE WHEN n > 0 THEN round(1000.0 / n, 6) END
         |   AS expected_random
         |FROM bt, nn""".stripMargin,

@@ -5326,10 +5326,13 @@ object RelationalQueries {
         |       FROM pts GROUP BY 1, 2),
         |tt AS (SELECT k, sum(CAST(c AS DOUBLE) * (c - 1) * (2 * c + 5)) AS tt
         |       FROM tg GROUP BY 1),
-        |j AS (SELECT n.k, n.n, s.s,
+        |-- LEFT join + COALESCE: a single-point key forms zero pairs
+        |-- (no s row) but must still report with S = 0 and a NULL
+        |-- verdict, matching the engine (ADVICE r13)
+        |j AS (SELECT n.k, n.n, COALESCE(s.s, 0.0) AS s,
         |        (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5) - tt.tt)
         |          / 18.0 AS vs
-        |       FROM n JOIN s ON n.k = s.k JOIN tt ON n.k = tt.k),
+        |       FROM n LEFT JOIN s ON n.k = s.k JOIN tt ON n.k = tt.k),
         |z AS (SELECT k, n, s, vs,
         |        CASE WHEN vs > 0 THEN
         |          CASE WHEN s > 0 THEN (s - 1) / sqrt(vs)

@@ -386,7 +386,11 @@ object Streams {
       seed: Long = 42L, dp: Int = 6)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     import graft.functions.Similarity
-    val refMeans = reference
+    // NULL vectors are dropped BEFORE the feature map on both sides:
+    // rffFeatures(NULL) is a non-null array of nulls, so without this
+    // filter the per-batch n counts rows that contribute nothing to
+    // the feature means (ADVICE r13, same defect as mmdRff's).
+    val refMeans = reference.where(col(vecCol).isNotNull)
       .select(posexplode(Similarity.rffFeatures(col(vecCol), numFeatures,
         gamma, seed)).as(Seq("__pos", "__v")))
       .groupBy("__pos").agg(avg(col("__v")).as("__mr"))
@@ -394,7 +398,7 @@ object Streams {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bm = batch
+        val bm = batch.where(col(vecCol).isNotNull)
           .select(posexplode(Similarity.rffFeatures(col(vecCol),
             numFeatures, gamma, seed)).as(Seq("__pos", "__v")))
           .groupBy("__pos").agg(avg(col("__v")).as("__mb"),
