@@ -408,6 +408,49 @@ object Bench {
           wipe(ingRoot)
           val ingB1 = ingTimes(1)   // index = 1 batch (500 sigs)
           val ingB11 = ingTimes(11) // index = 11 batches (5500 sigs)
+          // ExactSubstr output-sensitivity at 10× (the dedup_exact_substr
+          // operator's scale gate): a 40-token banner planted on every
+          // 10th doc, 1× vs a 10× corpus whose organic tokens are
+          // replica-suffixed (no cross-replica organic repeats — the
+          // banner and each replica's own intra-replica repeats are the
+          // only duplicated text, so verified OUTPUT grows ~10× while
+          // input grows 10×). Runtime must track the SCAN (ratio ≲10×):
+          // the ownership set stays bounded by duplicated text, so a
+          // blow-up here means the broadcast-back or the span windows
+          // stopped scaling, not noise. Outputs asserted deterministic.
+          val bannerXs = (1 to 40).map(i => s"xsb$i").mkString(" ")
+          def plantXs(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("doc_id"),
+              org.apache.spark.sql.functions.when(col("doc_id") % 10 === 0,
+                org.apache.spark.sql.functions.concat(col("text"),
+                  lit(" " + bannerXs))).otherwise(col("text")).as("text"))
+          val xs1 = plantXs(docs)
+          // offsets are multiples of 10^7, so the % 10 plant density is
+          // identical across replicas
+          val xsBig = plantXs((0 until 10).map(i => docs.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            org.apache.spark.sql.functions.concat_ws(" ",
+              org.apache.spark.sql.functions.transform(
+                org.apache.spark.sql.functions.split(
+                  org.apache.spark.sql.functions.trim(col("text")), "\\s+"),
+                tk => org.apache.spark.sql.functions.concat(
+                  tk, lit("_" + i)))).as("text"))).reduce(_ union _))
+          def xsRun(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+            def once(): (Double, Long) = {
+              System.gc()
+              val t0 = System.nanoTime()
+              val r = graft.functions.SpanDedup
+                .dropExactSubstr(df, "doc_id", "text", minTokens = 20)
+                .agg(org.apache.spark.sql.functions.sum(col("tokens_removed")))
+                .head.getLong(0)
+              ((System.nanoTime() - t0) / 1e9, r)
+            }
+            val (ta, na) = once(); val (tb, nb) = once()
+            require(na == nb, s"nondeterministic exact-substr removal: $na vs $nb")
+            (math.min(ta, tb), na)
+          }
+          val (txs1, nxs1) = xsRun(xs1)
+          val (txs10, nxs10) = xsRun(xsBig)
           // Compact key names: this block rides the driver-facing summary
           // line, which must stay under ~500 bytes total (BENCH_r05/r06
           // were parsed:null because the 6 KB per-query line overflowed
@@ -423,7 +466,10 @@ object Bench {
             f""""span1_rows":$rows1,"span4_rows":$rows4,""" +
             f""""cov_ratio":${tcov10 / tcov1}%.2f,"cov_maxdiff":$covMaxDiff%.5f,""" +
             f""""ing_b1_sec":$ingB1%.2f,"ing_b11_sec":$ingB11%.2f,""" +
-            f""""ingest_batch_ratio":${ingB11 / ingB1}%.2f}"""
+            f""""ingest_batch_ratio":${ingB11 / ingB1}%.2f,""" +
+            f""""xs_1x_sec":$txs1%.2f,"xs_10x_sec":$txs10%.2f,""" +
+            f""""xs_ratio":${txs10 / txs1}%.2f,""" +
+            f""""xs_rm_1x":$nxs1,"xs_rm_10x":$nxs10}"""
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead

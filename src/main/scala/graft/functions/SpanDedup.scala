@@ -130,6 +130,92 @@ object SpanDedup {
         coalesce(size(col("__spans")), lit(0)).as("n_spans"),
         (length(t) - length(col("clean"))).as("chars_removed"))
   }
+
+  /** ExactSubstr span dedup at TOKEN granularity (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * published 50-token standard that [[dropRepeatedSpans]]' char
+    * windows approximate): any token run of length >= `minTokens` that
+    * occurs verbatim in more than one document is cut from every
+    * occurrence except the canonical one (minimum doc id keeps its
+    * text). Detection is EXACT at token grain — a repeat of m >=
+    * minTokens tokens has all m − minTokens + 1 of its token k-grams
+    * repeated, so the union of covered windows recovers the maximal
+    * span with exact token boundaries (no winnowing slop, no stride
+    * edge loss). The published method sorts a corpus suffix array and
+    * extends neighbors; the gram-adjacency restatement here is the
+    * same detection re-expressed as a keyed aggregation (Spark's
+    * groupBy IS the distributed sorted-gram adjacency — grams that
+    * would sort adjacent land in the same reduce group, without paying
+    * a global sort). Like the sibling, repeats are CROSS-document
+    * (count of distinct docs >= 2); intra-document self-repeats are
+    * out of scope.
+    *
+    * Returns (idCol, clean, n_tokens, n_spans, tokens_removed) for
+    * every input document; `clean` is the kept tokens joined by single
+    * spaces (the operator works in token space, so output whitespace
+    * is normalized — documents with no cut spans also come back
+    * space-joined). Documents shorter than `minTokens` tokens cannot
+    * contain a qualifying span and pass through whole.
+    *
+    * Scale shape ([[dropRepeatedSpans]]' contract at token grain): the
+    * gram pass explodes one row per token position in-scan; ownership
+    * shuffles DISTINCT (doc, 8-byte gram-hash) pairs with map-side
+    * partials; the repeated-gram set — bounded by actually-duplicated
+    * text — broadcasts back; span merge windows over MARKED positions
+    * only; the cut is a per-row indexed filter over the doc's own
+    * token array. Nothing quadratic; clean documents never shuffle
+    * after the ownership pass. */
+  def dropExactSubstr(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val toks = TextFunctions.tokensWs(col(textCol))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+    // one 8-byte hash per token k-gram start; docs under k tokens
+    // contribute nothing (they cannot contain a >= k-token repeat)
+    val grams = base
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ",
+            slice(col("__toks"), i + lit(1), lit(k)))))))
+      .toDF(idCol, "__pos", "__g")
+    val own = grams.select(col(idCol), col("__g")).distinct()
+      .groupBy("__g")
+      .agg(min(col(idCol)).as("__keep"), count(lit(1L)).as("__df"))
+      .where(col("__df") >= 2)
+      .select("__g", "__keep")
+    val marked = grams.join(broadcast(own), Seq("__g"))
+      .where(col(idCol) =!= col("__keep"))
+      .select(col(idCol), col("__pos"))
+    // merge covered token windows [pos, pos + k) into maximal spans —
+    // identical machinery to [[dropRepeatedSpans]], token-indexed
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = marked
+      .withColumn("__prev_end", max(col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prev_end").isNull || col("__pos") > col("__prev_end"), 1)
+          .otherwise(0))
+      .withColumn("__span", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("__pos").as("__s"), (max(col("__pos")) + k).as("__e"))
+    val spanArr = spans.groupBy(idCol)
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    // cut: keep token i iff no span covers it (spans are few per doc —
+    // the exists() scan is O(tokens · spans) with tiny span counts)
+    val kept = filter(col("__toks"), (_, i) =>
+      !exists(col("__spans"), sp =>
+        i >= sp.getField("__s") && i < sp.getField("__e")))
+    base.join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ", kept)).as("clean"),
+        size(col("__toks")).as("n_tokens"),
+        coalesce(size(col("__spans")), lit(0)).as("n_spans"),
+        when(col("__spans").isNull, lit(0))
+          .otherwise(size(col("__toks")) - size(kept)).as("tokens_removed"))
+  }
 }
 
 /** Native winnowed-anchor selection: hash array → array<struct<pos int,

@@ -1595,6 +1595,31 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // ExactSubstr span dedup (Lee et al. 2022's published 50-token
+    // standard, here at minTokens=12 against a 21-token banner planted
+    // on every 7th doc): the maximal repeated token run is cut from
+    // every occurrence except the minimum-id canonical one, with EXACT
+    // token boundaries (no winnowing slop). The oracle restates the
+    // gram ownership with token-12-gram STRINGS where the engine
+    // carries xxhash64 of the same grams.
+    "dedup_exact_substr" -> ((s, dir) => {
+      val banner = " exact span alpha beta gamma delta epsilon zeta eta" +
+        " theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(banner)))
+          .otherwise(col("text")).as("text"))
+      graft.functions.SpanDedup.dropExactSubstr(planted, "doc_id", "text",
+          minTokens = 12)
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tokens_total"),
+          sum(col("n_spans")).cast("long").as("n_spans"),
+          sum(col("tokens_removed")).cast("long").as("tokens_removed"),
+          sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
     // docs (a planted banner on every 4th doc) scored per document. The
     // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
@@ -6461,6 +6486,55 @@ object PipelineQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_spans) AS BIGINT) AS n_spans,
         | CAST(sum(raw_len - length(clean)) AS BIGINT) AS chars_removed,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        |FROM res GROUP BY source ORDER BY source""".stripMargin,
+
+    // Token-12-gram ownership on gram STRINGS (engine: xxhash64 of the
+    // same grams); covered windows [pos, pos+12) merged per doc by the
+    // same cummax/break machinery as text_span_dedup, then the cut is
+    // restated as positions NOT covered by any span (the engine's
+    // indexed filter), space-joined in position order.
+    "dedup_exact_substr" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 7 = 0
+        |   THEN text || ' exact span alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau'
+        |   ELSE text END AS text
+        | FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |   array_to_string(toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 12)], ' ') AS gram
+        | FROM tk, unnest(range(0, greatest(len(toks) - 11, 0))) AS u(i)),
+        |own AS (SELECT gram, min(doc_id) AS keep, count(DISTINCT doc_id) AS df
+        | FROM g GROUP BY gram),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+        | WHERE own.df >= 2 AND g.doc_id != own.keep),
+        |w AS (SELECT doc_id, pos, max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+        |sb AS (SELECT doc_id, pos,
+        |   CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM w),
+        |sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 12 AS e FROM (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM sb) GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+        |   toks[CAST(u.i AS INT) + 1] AS tok
+        | FROM tk, unnest(range(0, len(toks))) AS u(i)),
+        |kept AS (SELECT pos.doc_id, p, tok FROM pos
+        | LEFT JOIN sp ON pos.doc_id = sp.doc_id AND p >= sp.s AND p < sp.e
+        | WHERE sp.doc_id IS NULL),
+        |cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |spn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        | FROM sp GROUP BY doc_id),
+        |res AS (SELECT tk.doc_id, tk.source, len(tk.toks) AS n_tokens,
+        |   coalesce(c.clean, '') AS clean,
+        |   len(tk.toks) - coalesce(c.n_kept, 0) AS tokens_removed,
+        |   coalesce(spn.n_spans, 0) AS n_spans
+        | FROM tk LEFT JOIN cln c USING (doc_id) LEFT JOIN spn USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        | CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        | CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
         | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
         |FROM res GROUP BY source ORDER BY source""".stripMargin,
 

@@ -69,6 +69,67 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("exact-substr dedup: maximal token spans cut everywhere but the canonical doc") {
+    import graft.functions.SpanDedup
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared"),
+      (2L, s"gamma delta epsilon $shared zeta   eta"), // ragged whitespace
+      (3L, "nothing repeated in this one at all"),
+      (4L, shared)). // whole doc = the shared run
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropExactSubstr(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // canonical doc 1 keeps its text (space-joined, already normal)
+    assert(out(1L) == (s"alpha beta $shared", 14, 0, 0))
+    // untouched doc passes through space-joined
+    assert(out(3L) == ("nothing repeated in this one at all", 7, 0, 0))
+    // doc 2: exactly the 12 shared tokens cut, unique text survives,
+    // whitespace normalized to single spaces
+    assert(out(2L) == ("gamma delta epsilon zeta eta", 17, 1, 12))
+    // doc 4 is the repeat in its entirety
+    assert(out(4L) == ("", 12, 1, 12))
+  }
+
+  test("exact-substr dedup: k-token floor is exact; shorter repeats and short docs survive") {
+    import graft.functions.SpanDedup
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"one $run10 two $run9"),
+      (2L, s"three $run10 four"),  // shares exactly 10 tokens
+      (3L, s"five $run9 six seven"), // shares only 9 — below the floor
+      (4L, run9)).                  // 9 tokens total: under minTokens
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropExactSubstr(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3), r.getInt(4))).toMap
+    assert(out(2L) == ("three four", 1, 10), "exactly-k repeat cut whole")
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0, "k-1 repeat is below the floor")
+    assert(out(4L) == (run9, 0, 0), "doc under k tokens passes through whole")
+    assert(out(1L)._2 == 0, "canonical min-id doc keeps its text")
+  }
+
+  test("exact-substr dedup: disjoint repeats are separate spans, adjacent ones merge") {
+    import graft.functions.SpanDedup
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a x y z $b"),
+      (2L, s"p $a q r s t u v w $b"), // two disjoint repeats
+      (3L, s"m $a $b n")).            // repeats adjacent: one merged span
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropExactSubstr(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3), r.getInt(4))).toMap
+    assert(out(2L) == ("p q r s t u v w", 2, 20), "two disjoint spans")
+    // doc 3: "a1..a10 b1..b10" — covered windows touch ([1,11) and
+    // [11,21)) and merge into a single span of 20 tokens
+    assert(out(3L) == ("m n", 1, 20), "adjacent repeats merge to one span")
+    assert(out(1L)._2 == 0, "canonical doc untouched")
+  }
+
   test("token counts: whitespace and regex pre-tokenization") {
     val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
       .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))

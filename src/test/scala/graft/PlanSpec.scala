@@ -131,6 +131,20 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"TF-IDF pair generation degraded to all-pairs:\n$p")
   }
 
+  test("exact-substr dedup: gram ownership broadcasts back, never all-pairs") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val p = plan(graft.functions.SpanDedup.dropExactSubstr(
+      docs, "doc_id", "text", minTokens = 12))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact-substr marking degraded to all-pairs:\n$p")
+    // the repeated-gram set (bounded by duplicated text) must ride a
+    // broadcast hash join back onto the in-scan gram stream — a
+    // shuffle there would move one row per corpus token
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the ownership broadcast join:\n$p")
+  }
+
   test("semDedup candidates come from (cluster, sub-cell) equi-joins — never all-pairs") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
       .select("vec_id", "embedding")
