@@ -587,8 +587,14 @@ object Bench {
         .format(new java.util.Date)
       java.nio.file.Files.write(hd.resolve(s"run_$stamp.json"),
         (full + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(hd.resolve("latest.json"),
-        (full + "\n").getBytes("UTF-8"))
+      // latest.json is the NEXT round's per-query + scale gate
+      // reference — only a full run may claim it (a SCALE_ONLY run
+      // once clobbered it with a 0-query record, which would have
+      // silently emptied the regr gate after the round-start
+      // promotion; scale-only runs still land as run_<stamp>.json)
+      if (timings.nonEmpty)
+        java.nio.file.Files.write(hd.resolve("latest.json"),
+          (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // history must never fail the bench
     // The driver-facing stdout line is a COMPACT summary (≤500 bytes):
     // BENCH_r05 and r06 both came back parsed:null because the full line
