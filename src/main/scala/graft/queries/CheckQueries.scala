@@ -73,18 +73,22 @@ object CheckQueries {
     // ---- parity: the reference's ten checks + execution machinery ----
     "chk_fused" -> ((s, dir) => fusedQuery(s, dir)),
 
+    // MinNumRows verdict on the fused quick-check pass (reference check #1).
     "chk_rowcount" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "lineitem"), Seq(MinNumRows(1000, "rowcount")))),
 
+    // nullCheck with a fractional threshold over a planted nullable column (reference check #2).
     "chk_nullcheck" -> ((s, dir) =>
       Runner.verdictDF(
         t(s, dir, "lineitem").withColumn("ls_null", expr("nullif(l_linestatus, 'F')")),
         Seq(NullCheck("ls_null", Some("30%"), "nullcheck")))),
 
+    // negativeCheck with an absolute threshold; NULLs are not counted (reference check #3).
     "chk_negative" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "customer"),
         Seq(NegativeCheck("c_acctbal", Some("100"), "neg")))),
 
+    // rangeCheck matrix: inverted-inclusive numeric bounds, inclusive bounds, and a column-reference bound (reference check #4).
     "chk_range" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "lineitem"), Seq(
         RangeCheck("l_quantity", Some(Bound.Num(2)), Some(Bound.Num(49)),
@@ -94,34 +98,42 @@ object CheckQueries {
         RangeCheck("l_discount", None, Some(Bound.Ref("l_tax")),
           inclusive = false, Some("50%"), "range3")))),
 
+    // stringLengthCheck with inclusive bounds and a percent threshold (reference check #5).
     "chk_strlen" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "documents"), Seq(
         StringLengthCheck("text", Some(100), Some(400), Some("40%"), "strlen")))),
 
+    // stringRegexCheck with a null-guarded pattern and fractional threshold (reference check #6).
     "chk_regex" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "orders"), Seq(
         StringRegexCheck("o_orderpriority", "^[1-3]-", Some("0.3"), "regex")))),
 
+    // columnMaxCheck driver-side verdicts for a numeric and a string column (reference check #7).
     "chk_colmax" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "lineitem"), Seq(
         ColumnMaxCheck("l_quantity", Bound.Num(50), "qmax"),
         ColumnMaxCheck("l_returnflag", Bound.Str("R"), "fmax")))),
 
+    // columnSumCheck with inverted-inclusive bounds on the one-row aggregate pass (reference check #8).
     "chk_colsum" -> ((s, dir) =>
       Runner.verdictDF(t(s, dir, "lineitem"), Seq(
         ColumnSumCheck("l_quantity", Some(100000.0), Some(2000000.0),
           inclusive = false, "colsum")))),
 
+    // uniqueCheck counting duplicated KEYS (not rows) on a key that does repeat (reference check #9).
     "chk_unique_dup" -> ((s, dir) =>
       Runner.uniqueDF(t(s, dir, "lineitem"), Seq("l_orderkey"), "unique")),
 
+    // uniqueCheck on the true primary key - the zero-duplicates verdict path (reference check #9).
     "chk_unique_ok" -> ((s, dir) =>
       Runner.uniqueDF(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber"), "unique")),
 
+    // colstats two-pass profile: count/min/max/mean, sample stddev, 10 equal-width bins (reference check #10).
     "chk_colstats" -> ((s, dir) =>
       Runner.colStatsDF(t(s, dir, "lineitem"), "l_quantity")),
 
+    // Error-detail pass: per-row failing keys via the or-folded predicate + limit (the reference quickChecks detail report).
     "chk_detail" -> ((s, dir) =>
       Runner.errorDetailsDF(t(s, dir, "customer"), Seq("c_custkey"),
         Seq(NegativeCheck("c_acctbal")), 20, deterministic = true)),

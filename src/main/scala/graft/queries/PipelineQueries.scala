@@ -1531,6 +1531,7 @@ object PipelineQueries {
         .orderBy("lang", "source")
     }),
 
+    // Cluster-balanced sampling after coarse-quantizer assignment: per-cluster quotas balance a skewed corpus.
     "pipeline_cluster_balance" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val assigned = Ivf.clusterAssign(emb, "embedding", nClusters = 8, seed = 42L)
@@ -1798,6 +1799,7 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Real PNG decode over synthesized gray fixtures: pixel stats recomputed arithmetically by the oracle, every row must decode.
     "mm_decode" -> ((s, dir) => {
       GraftFunctions.register(s)
       val st = GraftFunctions.pngPixelStats(
@@ -2058,6 +2060,7 @@ object PipelineQueries {
         (count(when(col("st").isNull, 1)) === 0).as("all_decoded_ok"))
     }),
 
+    // MJPEG AVI near-dup: per-video frame pHashes bridged to Hamming matching - the video twin of image near-dup.
     "mm_video_dedup" -> ((s, dir) => {
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents").where(col("doc_id") < 30).select("doc_id")
@@ -3350,6 +3353,7 @@ object PipelineQueries {
         t(s, dir, "embeddings").where(size(col("embedding")) === 64),
         "vec_id", "embedding", k = 4)),
 
+    // Simplified (centroid) silhouette per cluster over the 64-d embeddings - the O(n*k) surrogate of the pairwise form.
     "sim_silhouette" -> ((s, dir) =>
       Similarity.simplifiedSilhouette(
           t(s, dir, "embeddings")

@@ -178,6 +178,7 @@ object RelationalQueries {
                 col("sum_qty"), col("n"))
         .orderBy("rf", "ls")),
 
+    // CUBE rollup over two dimensions with grouping-id disambiguation.
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -606,6 +607,7 @@ object RelationalQueries {
       Analytics.pettittTest(t(s, dir, "events"),
         Seq(col("ts"), col("event_id")), col("value"))),
 
+    // Rolling z-score anomaly flags over a daily event series (trailing window mean/stddev, warmup NULLs).
     "q_anomaly" -> ((s, dir) =>
       Analytics.rollingAnomalies(t(s, dir, "events"), Seq(col("user_id")),
           col("ts"), 3600, col("value"), k = 3.0)
@@ -740,6 +742,7 @@ object RelationalQueries {
         .orderBy("priority", "key")
     }),
 
+    // Streaming cumulative quantile monitor: per-micro-batch KLL merge into one persisted blob, estimates rank-checked.
     "q_stream_quantile" -> ((s, dir) => {
       val qs = Seq(0.5, 0.9, 0.99)
       val root = new java.io.File(
@@ -883,6 +886,7 @@ object RelationalQueries {
       Analytics.psiBySlice(t(s, dir, "documents"),
         col("source"), col("n_chars"), bins = 10)),
 
+    // Population stability index between two cohorts on shared bins with add-epsilon smoothing.
     "q_drift_psi" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Analytics.driftPsi(
@@ -1429,6 +1433,7 @@ object RelationalQueries {
       Analytics.poissonBootstrapMeanCI(t(s, dir, "documents"),
         col("doc_id"), col("n_chars"), b = 200, alpha = 0.05)),
 
+    // Median / IQR / MAD robust location-scale profile per group (exact percentiles).
     "q_robust_stats" -> ((s, dir) =>
       Analytics.robustStats(t(s, dir, "lineitem"), col("l_extendedprice"),
           trim = 0.05, exact = true)
