@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnowed_anchors", "winnowed_anchors(hashes, stride) - array(struct(pos, g)) of winnowed sliding-window minima",
       exprs => WinnowedAnchorsExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()))
+    inject("self_repeat_spans", "self_repeat_spans(token_hashes, k) - array(struct(s, e)) of intra-array repeated k-gram spans (first occurrence kept)",
+      exprs => SelfRepeatSpansExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
     inject("png_resize", "png_resize(blob, out_w, out_h, bilinear) - decode, resize, re-encode a PNG",
       exprs => PngResize(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -216,6 +216,51 @@ object SpanDedup {
         when(col("__spans").isNull, lit(0))
           .otherwise(size(col("__toks")) - size(kept)).as("tokens_removed"))
   }
+
+  /** INTRA-document ExactSubstr: token runs of length >= `minTokens`
+    * that occur more than once WITHIN a document are cut from every
+    * occurrence except the first — the self-repeat half of Lee et al.
+    * 2022's suffix-array dedup ([[dropExactSubstr]] covers the
+    * cross-document half; compose both for the full published
+    * semantics). Boilerplate loops, template echoes and copy-pasted
+    * paragraphs inside one document are the target; periodic text
+    * ("A B C A B C A B C…") collapses to its first period, because
+    * every later window's k-gram has an earlier occurrence.
+    *
+    * Same output shape as [[dropExactSubstr]]: (idCol, clean,
+    * n_tokens, n_spans, tokens_removed), clean space-joined.
+    *
+    * Scale shape: ZERO shuffles — the whole operator is one in-scan
+    * projection. Per row, tokens hash once (Column side), then
+    * [[SelfRepeatSpansExpr]] rolls a polynomial gram key over the
+    * token-hash array and collects covered windows in a single O(n)
+    * pass (seen-set membership; spans merged on the fly). Bounded
+    * Column algebra cannot express the seen-set — an exists() over a
+    * growing prefix is O(n·k·n) interpreted lambda evals — which is
+    * this expression's justification under the repo's native-expr
+    * convention. */
+  def dropSelfRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    import org.apache.spark.sql.GraftColumn
+    val toks = TextFunctions.tokensWs(col(textCol))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+    val spans = GraftColumn(SelfRepeatSpansExpr(
+      GraftColumn.expr(transform(col("__toks"), t => xxhash64(t))),
+      minTokens))
+    val withSpans = base.select(col(idCol), col("__toks"),
+      spans.as("__spans"))
+    val kept = filter(col("__toks"), (_, i) =>
+      !exists(col("__spans"), sp =>
+        i >= sp.getField("s") && i < sp.getField("e")))
+    withSpans.select(col(idCol),
+      when(size(col("__spans")) === 0, concat_ws(" ", col("__toks")))
+        .otherwise(concat_ws(" ", kept)).as("clean"),
+      size(col("__toks")).as("n_tokens"),
+      size(col("__spans")).as("n_spans"),
+      when(size(col("__spans")) === 0, lit(0))
+        .otherwise(size(col("__toks")) - size(kept)).as("tokens_removed"))
+  }
 }
 
 /** Native winnowed-anchor selection: hash array → array<struct<pos int,
@@ -279,5 +324,74 @@ case class WinnowedAnchorsExpr(child: Expression, stride: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowedAnchorsExpr =
+    copy(child = newChild)
+}
+
+/** Native intra-document repeated-window detection for
+  * [[SpanDedup.dropSelfRepeats]]: token-hash array → array<struct<s
+  * int, e int>> of merged token spans covered by k-gram windows whose
+  * gram has an EARLIER occurrence in the same array (keep-first:
+  * the first occurrence's windows are never covered).
+  *
+  * Gram keys are a forward-rolling polynomial over the token hashes
+  * (base B = 0x9E3779B97F4A7C15, Java wrapping arithmetic):
+  * key(p) = Σⱼ h(p+j)·B^(k−1−j), updated in O(1) per position —
+  * key(p+1) = (key(p) − h(p)·B^(k−1))·B + h(p+k). One O(n) pass, one
+  * HashSet membership per position, spans merged on the fly (a covered
+  * position either extends the open span or starts a new one — the
+  * cummax/break window of the cross-doc path collapses to two locals
+  * here because positions arrive in order). 64-bit collision risk is
+  * the same class the corpus-level gram hashing already accepts. */
+case class SelfRepeatSpansExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("s", IntegerType, nullable = false),
+      StructField("e", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "self_repeat_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"self_repeat_spans requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData].toLongArray()
+    val n = h.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val B = 0x9E3779B97F4A7C15L
+    // Bᵏ⁻¹ for the rolling update
+    var bk1 = 1L
+    var i = 0
+    while (i < k - 1) { bk1 *= B; i += 1 }
+    // initial key over positions [0, k)
+    var key = 0L
+    i = 0
+    while (i < k) { key = key * B + h(i); i += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var spanS = -1; var spanE = -1 // open span [spanS, spanE)
+    var p = 0
+    val last = n - k
+    while (p <= last) {
+      if (!seen.add(key)) {
+        // repeat occurrence: cover [p, p + k)
+        if (spanS >= 0 && p <= spanE) { if (p + k > spanE) spanE = p + k }
+        else {
+          if (spanS >= 0) out += InternalRow(spanS, spanE)
+          spanS = p; spanE = p + k
+        }
+      }
+      if (p < last) key = (key - h(p) * bk1) * B + h(p + k)
+      p += 1
+    }
+    if (spanS >= 0) out += InternalRow(spanS, spanE)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SelfRepeatSpansExpr =
     copy(child = newChild)
 }

@@ -1621,6 +1621,29 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Intra-document ExactSubstr (the self-repeat half of Lee et al.
+    // 2022, zero shuffles — one native-expression scan): a 15-token
+    // phrase planted TWICE in a row on every 5th doc; the second
+    // occurrence must be cut, the first kept, and docs sharing text
+    // only ACROSS documents stay untouched.
+    "dedup_self_substr" -> ((s, dir) => {
+      val phrase = (1 to 15).map(i => s"selfrep$i").mkString(" ")
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(s" $phrase $phrase")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.SpanDedup.dropSelfRepeats(planted, "doc_id", "text",
+          minTokens = 12)
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tokens_total"),
+          sum(col("n_spans")).cast("long").as("n_spans"),
+          sum(col("tokens_removed")).cast("long").as("tokens_removed"),
+          sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
     // docs (a planted banner on every 4th doc) scored per document. The
     // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
@@ -6490,6 +6513,57 @@ object PipelineQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_spans) AS BIGINT) AS n_spans,
         | CAST(sum(raw_len - length(clean)) AS BIGINT) AS chars_removed,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        |FROM res GROUP BY source ORDER BY source""".stripMargin,
+
+    // Per-doc first-occurrence ownership on gram STRINGS (engine: a
+    // rolling polynomial over xxhash64 token hashes inside the native
+    // self_repeat_spans expression): covered = positions whose gram
+    // has an earlier occurrence in the SAME doc; same merge/cut/
+    // aggregate machinery as dedup_exact_substr.
+    "dedup_self_substr" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0
+        |   THEN text || ' ' ||
+        |     'selfrep1 selfrep2 selfrep3 selfrep4 selfrep5 selfrep6 selfrep7 selfrep8 selfrep9 selfrep10 selfrep11 selfrep12 selfrep13 selfrep14 selfrep15'
+        |     || ' ' ||
+        |     'selfrep1 selfrep2 selfrep3 selfrep4 selfrep5 selfrep6 selfrep7 selfrep8 selfrep9 selfrep10 selfrep11 selfrep12 selfrep13 selfrep14 selfrep15'
+        |   ELSE text END AS text
+        | FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |   array_to_string(toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 12)], ' ') AS gram
+        | FROM tk, unnest(range(0, greatest(len(toks) - 11, 0))) AS u(i)),
+        |fg AS (SELECT doc_id, gram, min(pos) AS fp FROM g GROUP BY 1, 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN fg USING (doc_id, gram)
+        | WHERE g.pos > fg.fp),
+        |w AS (SELECT doc_id, pos, max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+        |sb AS (SELECT doc_id, pos,
+        |   CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM w),
+        |sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 12 AS e FROM (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM sb) GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+        |   toks[CAST(u.i AS INT) + 1] AS tok
+        | FROM tk, unnest(range(0, len(toks))) AS u(i)),
+        |kept AS (SELECT pos.doc_id, p, tok FROM pos
+        | LEFT JOIN sp ON pos.doc_id = sp.doc_id AND p >= sp.s AND p < sp.e
+        | WHERE sp.doc_id IS NULL),
+        |cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |spn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        | FROM sp GROUP BY doc_id),
+        |res AS (SELECT tk.doc_id, tk.source, len(tk.toks) AS n_tokens,
+        |   coalesce(c.clean, '') AS clean,
+        |   len(tk.toks) - coalesce(c.n_kept, 0) AS tokens_removed,
+        |   coalesce(spn.n_spans, 0) AS n_spans
+        | FROM tk LEFT JOIN cln c USING (doc_id) LEFT JOIN spn USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        | CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        | CAST(sum(tokens_removed) AS BIGINT) AS tokens_removed,
         | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
         |FROM res GROUP BY source ORDER BY source""".stripMargin,
 

@@ -130,6 +130,50 @@ class PipelineSpec extends SparkSuite {
     assert(out(1L)._2 == 0, "canonical doc untouched")
   }
 
+  test("self-repeat dedup: later intra-doc occurrences cut, first kept, cross-doc untouched") {
+    import graft.functions.SpanDedup
+    val phrase = (1 to 15).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words $phrase middle filler $phrase outro"),
+      (2L, s"$phrase only once here with unique tail tokens"),
+      (3L, s"$phrase and again in another doc $phrase")).
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropSelfRepeats(docs, "doc_id", "text", minTokens = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // doc 1: second occurrence of the 15-token phrase cut exactly
+    assert(out(1L) == (s"intro words $phrase middle filler outro", 35, 1, 15))
+    // doc 2 repeats nothing within itself — untouched even though its
+    // phrase also appears in docs 1 and 3 (self-only semantics)
+    assert(out(2L) == (s"$phrase only once here with unique tail tokens", 22, 0, 0))
+    // doc 3: its own second occurrence cut, regardless of other docs
+    assert(out(3L) == (s"$phrase and again in another doc", 35, 1, 15))
+  }
+
+  test("self-repeat dedup: periodic text collapses to its first period") {
+    import graft.functions.SpanDedup
+    val docs = Seq(
+      (1L, Seq.fill(5)("a b c d").mkString(" ")), // period 4, 20 tokens
+      (2L, "x y z w x y z"), // repeat of 3 < k: untouched
+      (3L, "u1 u2 u3")).     // under k tokens entirely
+      toDF("doc_id", "text")
+    val out = SpanDedup.dropSelfRepeats(docs, "doc_id", "text", minTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // windows after the first 4-gram all repeat → one span [4, 20)
+    assert(out(1L) == ("a b c d", 20, 1, 16))
+    assert(out(2L) == ("x y z w x y z", 7, 0, 0))
+    assert(out(3L) == ("u1 u2 u3", 3, 0, 0))
+  }
+
+  test("self-repeat spans expression is SQL-callable and matches the operator") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT self_repeat_spans(transform(split('a b c a b c a b c', ' '),
+        |  t -> xxhash64(t)), 3) AS sp""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(x => (x.getInt(0), x.getInt(1))) == Seq((3, 9)))
+  }
+
   test("token counts: whitespace and regex pre-tokenization") {
     val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
       .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))

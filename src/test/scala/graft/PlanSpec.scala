@@ -145,6 +145,16 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"expected the ownership broadcast join:\n$p")
   }
 
+  test("self-repeat dedup is a single in-scan projection — zero exchanges") {
+    val docs = graft.sources.Sources.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    val p = plan(graft.functions.SpanDedup.dropSelfRepeats(
+      docs, "doc_id", "text", minTokens = 12))
+    assert(!p.contains("Exchange"),
+      s"self-repeat dedup must not shuffle — it is per-row algebra:\n$p")
+    assert(!p.contains("Join"), s"self-repeat dedup must not join:\n$p")
+  }
+
   test("semDedup candidates come from (cluster, sub-cell) equi-joins — never all-pairs") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
       .select("vec_id", "embedding")
