@@ -83,6 +83,51 @@ object Decontam {
       .select(col(idCol), col("benchmark")).distinct()
   }
 
+  /** SEMANTIC contamination screen — the embedding-space companion of
+    * [[contaminatedIds]]' exact n-gram path: a corpus document is
+    * flagged when its embedding's cosine against ANY benchmark
+    * embedding reaches `minCos`. Paraphrased eval items (translated,
+    * reworded, reformatted) share few exact 13-grams but land close in
+    * embedding space — the documented blind spot of n-gram-only
+    * decontamination; run BOTH screens before a release.
+    *
+    * Returns one row per corpus row: (idCol, best_cos — max cosine vs
+    * the benchmark set rounded at dp, NULL for NULL vectors —
+    * contaminated flag from the unrounded max). Compose with a
+    * left-anti join on the flagged ids to drop.
+    *
+    * Scale shape: the benchmark side is EVAL-SUITE-BOUNDED (`maxBench`
+    * contract, like hopkinsStatistic's probe cap) and collects ONCE to
+    * the driver into a single plan-time 2-d literal — the RFF
+    * sign-matrix discipline — so the corpus pass is ONE in-scan HOF
+    * fold per row over the native fused-loop [[CosineSim]]: zero
+    * shuffles, zero joins, no corpus×bench row explosion. O(n·m·d)
+    * arithmetic is the brute-force floor; for benchmark sets beyond
+    * `maxBench`, pre-reduce them (dedup / centroid per item) or fall
+    * back to the IVF search path. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, benchVecCol: String,
+      minCos: Double = 0.9, maxBench: Int = 4096, dp: Int = 6): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0, s"minCos in (-1, 1], got $minCos")
+    val bvecs: Seq[Seq[Double]] = bench
+      .select(col(benchVecCol).cast("array<double>"))
+      .where(col(benchVecCol).isNotNull)
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(bvecs.nonEmpty, "benchmark embedding set is empty")
+    require(bvecs.size <= maxBench,
+      s"benchmark set ${bvecs.size} exceeds maxBench=$maxBench — " +
+        "pre-reduce the suite or use the IVF search path")
+    val blit = typedLit(bvecs)
+    val vec = col(vecCol).cast("array<double>")
+    val best = aggregate(blit, lit(-1.0), (acc, bv) =>
+      greatest(acc, GraftFunctions.cosineSim(vec, bv)))
+    corpus.select(col(idCol),
+      when(col(vecCol).isNull, lit(null).cast("double"))
+        .otherwise(round(best, dp)).as("best_cos"),
+      when(col(vecCol).isNull, lit(null).cast("boolean"))
+        .otherwise(best >= minCos).as("contaminated"))
+  }
+
   /** Serialized Bloom filter over the benchmark's gram hashes — built
     * distributedly (`DataFrameStatFunctions.bloomFilter` runs a
     * treeAggregate of mergeable partial sketches), sized by

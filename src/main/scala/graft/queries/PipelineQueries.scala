@@ -1621,6 +1621,24 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Embedding-space decontamination: vec_id < 20 plays the benchmark
+    // suite; every corpus embedding's best cosine against it decides
+    // the flag (bench members flag themselves at ~1.0). One in-scan
+    // fold over the plan-time benchmark literal — no corpus×bench
+    // explosion; the oracle replays the full cross product.
+    "pipeline_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") < 20)
+      graft.functions.Decontam.semanticContamination(
+          emb, bench, "vec_id", "embedding", "embedding", minCos = 0.8)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1L)).as("n"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+          round(avg(col("best_cos")), 4).as("avg_best"))
+        .orderBy("label")
+    }),
+
     // Intra-document ExactSubstr (the self-repeat half of Lee et al.
     // 2022, zero shuffles — one native-expression scan): a 15-token
     // phrase planted TWICE in a row on every 5th doc; the second
@@ -6515,6 +6533,29 @@ object PipelineQueries {
         | CAST(sum(raw_len - length(clean)) AS BIGINT) AS chars_removed,
         | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
         |FROM res GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full corpus×bench cosine cross product (the engine folds the
+    // bench side as a plan-time literal instead); round(max, 6)
+    // mirrors the engine's per-row rounding, flag from the unrounded
+    // max, avg of the rounded values rounded at 4.
+    "pipeline_semantic_decontam" ->
+      """WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings
+        |           WHERE vec_id < 20 AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |s AS (SELECT c.vec_id, c.label,
+        |        CASE WHEN c.v IS NULL THEN NULL
+        |          ELSE round(max(list_cosine_similarity(c.v, b.bv)), 6) END
+        |          AS best_cos,
+        |        CASE WHEN c.v IS NULL THEN NULL
+        |          ELSE max(list_cosine_similarity(c.v, b.bv)) >= 0.8 END
+        |          AS contaminated
+        |       FROM c, b GROUP BY c.vec_id, c.label, c.v IS NULL)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_contaminated,
+        | round(avg(best_cos), 4) AS avg_best
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     // Per-doc first-occurrence ownership on gram STRINGS (engine: a
     // rolling polynomial over xxhash64 token hashes inside the native

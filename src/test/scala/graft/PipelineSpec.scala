@@ -174,6 +174,38 @@ class PipelineSpec extends SparkSuite {
     assert(r.map(x => (x.getInt(0), x.getInt(1))) == Seq((3, 9)))
   }
 
+  test("semantic decontamination: cosine vs the benchmark set, scaled copies flagged, NULL vec NULL row") {
+    import graft.functions.Decontam
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("bid", "bvec")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // scaled copy of bench 100: cos 1
+      (2L, Array(0.0f, 0.0f, 3.0f, 0.0f)),   // orthogonal to both: cos 0
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f)),   // cos 1/sqrt(2) ~ 0.7071
+      (4L, null.asInstanceOf[Array[Float]])). // no embedding
+      toDF("id", "vec")
+    val out = Decontam.semanticContamination(corpus, bench, "id", "vec", "bvec",
+        minCos = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Boolean]))).toMap
+    assert(out(1L) == (Some(1.0), Some(true)), "scaled copy is contamination")
+    assert(out(2L) == (Some(0.0), Some(false)))
+    assert(out(3L) == (Some(0.707107), Some(false)), "0.707 below minCos 0.9")
+    assert(out(4L) == (None, None), "NULL vector screens as NULL, not clean")
+    // threshold edges: minCos at 0.7 flags doc 3 too
+    val loose = Decontam.semanticContamination(corpus, bench, "id", "vec", "bvec",
+        minCos = 0.7)
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(loose(3L) == true)
+    // contract: oversized benchmark set throws
+    intercept[IllegalArgumentException] {
+      Decontam.semanticContamination(corpus, bench, "id", "vec", "bvec",
+        maxBench = 1)
+    }
+  }
+
   test("token counts: whitespace and regex pre-tokenization") {
     val df = Seq("hello world", "  a  b c ", "one,two!").toDF("text")
       .select(TF.tokenCountWs(col("text")).as("ws"), TF.tokenCountRegex(col("text")).as("re"))

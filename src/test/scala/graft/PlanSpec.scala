@@ -155,6 +155,15 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert(!p.contains("Join"), s"self-repeat dedup must not join:\n$p")
   }
 
+  test("semantic decontamination corpus pass is in-scan — zero exchanges, zero joins") {
+    val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
+    val p = plan(graft.functions.Decontam.semanticContamination(
+      emb, emb.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", "embedding"))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"semantic decontam corpus pass must fold the bench literal in-scan:\n$p")
+  }
+
   test("semDedup candidates come from (cluster, sub-cell) equi-joins — never all-pairs") {
     val emb = graft.sources.Sources.table(spark, sf0001, "embeddings")
       .select("vec_id", "embedding")
