@@ -1662,6 +1662,40 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // FULL ExactSubstr composition (Lee et al. 2022 end to end):
+    // intra-doc self-repeats cut first, then cross-document repeats on
+    // the self-cleaned text — both plants at once (doubled phrase on
+    // every 5th doc, shared banner on every 7th; doc_ids divisible by
+    // 35 carry both). The oracle chains both CTE machines over the
+    // same intermediate text, proving the composition, not just the
+    // stages.
+    "dedup_substr_full" -> ((s, dir) => {
+      val phrase = (1 to 15).map(i => s"selfrep$i").mkString(" ")
+      val banner = " exact span alpha beta gamma delta epsilon zeta eta" +
+        " theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+      val planted = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(s" $phrase $phrase")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(banner)).otherwise(lit("")))
+          .as("text"))
+      val self = graft.functions.SpanDedup.dropSelfRepeats(
+        planted, "doc_id", "text", minTokens = 12)
+      val cross = graft.functions.SpanDedup.dropExactSubstr(
+        self.select(col("doc_id"), col("clean").as("text")),
+        "doc_id", "text", minTokens = 12)
+      cross.select(col("doc_id"), col("clean"),
+          col("tokens_removed").as("cross_removed"))
+        .join(self.select(col("doc_id"),
+          col("tokens_removed").as("self_removed")), "doc_id")
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1L)).as("n_docs"),
+          sum(col("self_removed")).cast("long").as("self_removed"),
+          sum(col("cross_removed")).cast("long").as("cross_removed"),
+          sum(length(col("clean"))).cast("long").as("clean_chars"))
+        .orderBy("source")
+    }),
+
     // Cross-corpus boilerplate share: word-5-grams recurring in >= 50
     // docs (a planted banner on every 4th doc) scored per document. The
     // df pass explodes per-doc DISTINCT gram hashes; survivors broadcast;
@@ -6556,6 +6590,82 @@ object PipelineQueries {
         |   AS n_contaminated,
         | round(avg(best_cos), 4) AS avg_best
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
+
+    // The two CTE machines chained: stage 1 = per-doc first-occurrence
+    // self-repeat cut, stage 2 = cross-doc min-id-canonical cut over
+    // stage 1's cleaned text. Every stage-2 structure (g2/own2/m2/...)
+    // reruns the dedup_exact_substr algebra on d2.
+    "dedup_substr_full" ->
+      """WITH d AS (SELECT doc_id, source, text
+        |   || CASE WHEN doc_id % 5 = 0 THEN ' ' ||
+        |     'selfrep1 selfrep2 selfrep3 selfrep4 selfrep5 selfrep6 selfrep7 selfrep8 selfrep9 selfrep10 selfrep11 selfrep12 selfrep13 selfrep14 selfrep15'
+        |     || ' ' ||
+        |     'selfrep1 selfrep2 selfrep3 selfrep4 selfrep5 selfrep6 selfrep7 selfrep8 selfrep9 selfrep10 selfrep11 selfrep12 selfrep13 selfrep14 selfrep15'
+        |     ELSE '' END
+        |   || CASE WHEN doc_id % 7 = 0
+        |     THEN ' exact span alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau'
+        |     ELSE '' END AS text
+        | FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM d),
+        |g AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |   array_to_string(toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 12)], ' ') AS gram
+        | FROM tk, unnest(range(0, greatest(len(toks) - 11, 0))) AS u(i)),
+        |fg AS (SELECT doc_id, gram, min(pos) AS fp FROM g GROUP BY 1, 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN fg USING (doc_id, gram)
+        | WHERE g.pos > fg.fp),
+        |w AS (SELECT doc_id, pos, max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+        |sb AS (SELECT doc_id, pos,
+        |   CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM w),
+        |sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 12 AS e FROM (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM sb) GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+        |   toks[CAST(u.i AS INT) + 1] AS tok
+        | FROM tk, unnest(range(0, len(toks))) AS u(i)),
+        |kept AS (SELECT pos.doc_id, p, tok FROM pos
+        | LEFT JOIN sp ON pos.doc_id = sp.doc_id AND p >= sp.s AND p < sp.e
+        | WHERE sp.doc_id IS NULL),
+        |cln AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |d2 AS (SELECT tk.doc_id, tk.source,
+        |   len(tk.toks) - coalesce(c.n_kept, 0) AS self_removed,
+        |   coalesce(c.clean, '') AS text
+        | FROM tk LEFT JOIN cln c USING (doc_id)),
+        |tk2 AS (SELECT doc_id, source, self_removed,
+        |   string_split_regex(trim(text), '\s+') AS toks FROM d2),
+        |g2 AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |   array_to_string(toks[(CAST(u.i AS INT) + 1):(CAST(u.i AS INT) + 12)], ' ') AS gram
+        | FROM tk2, unnest(range(0, greatest(len(toks) - 11, 0))) AS u(i)),
+        |own2 AS (SELECT gram, min(doc_id) AS keep, count(DISTINCT doc_id) AS df
+        | FROM g2 GROUP BY gram),
+        |m2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN own2 USING (gram)
+        | WHERE own2.df >= 2 AND g2.doc_id != own2.keep),
+        |w2 AS (SELECT doc_id, pos, max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m2),
+        |sb2 AS (SELECT doc_id, pos,
+        |   CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM w2),
+        |sp2 AS (SELECT doc_id, span, min(pos) AS s, max(pos) + 12 AS e FROM (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+        |  FROM sb2) GROUP BY 1, 2),
+        |pos2 AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+        |   toks[CAST(u.i AS INT) + 1] AS tok
+        | FROM tk2, unnest(range(0, len(toks))) AS u(i)),
+        |kept2 AS (SELECT pos2.doc_id, p, tok FROM pos2
+        | LEFT JOIN sp2 ON pos2.doc_id = sp2.doc_id AND p >= sp2.s AND p < sp2.e
+        | WHERE sp2.doc_id IS NULL),
+        |cln2 AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kept2 GROUP BY doc_id),
+        |res AS (SELECT tk2.doc_id, tk2.source, tk2.self_removed,
+        |   len(tk2.toks) - coalesce(c2.n_kept, 0) AS cross_removed,
+        |   coalesce(c2.clean, '') AS clean
+        | FROM tk2 LEFT JOIN cln2 c2 USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(self_removed) AS BIGINT) AS self_removed,
+        | CAST(sum(cross_removed) AS BIGINT) AS cross_removed,
+        | CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+        |FROM res GROUP BY source ORDER BY source""".stripMargin,
 
     // Per-doc first-occurrence ownership on gram STRINGS (engine: a
     // rolling polynomial over xxhash64 token hashes inside the native
