@@ -48,7 +48,11 @@ object OracleRounding {
     "q_did",            // four FP group means + interaction
     "q_ipw",            // propensity-weighted FP sums
     "q_aipw",           // doubly-robust: propensity + outcome fits
-    "q_event_study"     // per-period FP coefficient path
+    "q_event_study",    // per-period FP coefficient path
+    "eval_logreg",      // unrolled GD chain, rounded weights
+    "pipeline_quality_clf", // hashed-ngram logistic, same GD shape
+    "q_elasticity",     // log-log OLS slope from FP moments
+    "q_theil_sen"       // median-of-slopes FP ratios, rounded outputs
   )
 
   /** Rewrite every `round(expr[, dp])` call in `sql` (case-insensitive,
