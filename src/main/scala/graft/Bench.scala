@@ -534,7 +534,12 @@ object Bench {
     // violation here is either a real regression or sustained box
     // load; either way it is named in-artifact with both numbers.
     // *_sec keys gate at 2× with a 0.5s floor; *ratio* keys (already
-    // size-normalized) gate at 2× directly.
+    // size-normalized) gate at 2× with a 1.5 absolute floor — a ratio
+    // near 1 is the IDEAL (per-batch cost flat, 10× run tracking the
+    // scan), and doubling from a noise-depressed reference to a
+    // still-ideal value is not a regression (the r14 idle run measured
+    // ingest_batch_ratio 1.09 vs an r13 loaded-box 0.53 — flagged 2.06×
+    // while being the best value the metric can take).
     val sgateJson =
       if (scaleJson.isEmpty || prevScale.isEmpty) ""
       else try {
@@ -552,7 +557,7 @@ object Bench {
         val gated = prevScale.toSeq.flatMap { case (k, p) =>
           cur.get(k).collect {
             case t if k.endsWith("_sec") && p > 0 => (k, t, p, t / p, t >= 0.5)
-            case t if k.contains("ratio") && p > 0 => (k, t, p, t / p, true)
+            case t if k.contains("ratio") && p > 0 => (k, t, p, t / p, t > 1.5)
           }
         }
         if (gated.isEmpty) ""
