@@ -6440,4 +6440,63 @@ object Analytics {
             sqrt(col(s"__v_$a") * col(s"__v_$b")), dp)).as("corr"))
     }.reduce(_ unionByName _).orderBy("col_a", "col_b")
   }
+
+  /** Empirical-Bayes (James–Stein) shrinkage of per-group means toward
+    * the grand mean (Efron & Morris 1975; the one-way random-effects
+    * MoM estimator, Searle et al.): a small group's noisy mean borrows
+    * strength from the corpus — THE fix for per-source quality scores
+    * where a 30-doc source's raw mean whipsaws while a 30k-doc
+    * source's barely moves. τ̂² = max(0, (SSB − (K−1)σ̂²) /
+    * (N − Σn²/N)) with σ̂² the pooled within-group variance
+    * SSW/(N−K); shrink weight B_k = (σ̂²/n_k)/(σ̂²/n_k + τ̂²);
+    * shrunk_k = B_k·ȳ + (1−B_k)·ȳ_k. τ̂² = 0 (all signal is noise)
+    * collapses every group to the grand mean; τ̂² large leaves raw
+    * means alone. shrunk/weight are NULL when K < 3 or N ≤ K (no
+    * within-group df).
+    *
+    * Shape: ONE per-key moment rollup (map-side partial) + a 1-row
+    * global reduce of those K rows broadcast back — the corpus is
+    * scanned once, the K-row table twice; no windows, no per-group
+    * passes. */
+  def ebShrinkMeans(df: DataFrame, key: Column, value: Column,
+      dp: Int = 6): DataFrame = {
+    val per = df.select(key.as("k"), value.cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1L)).as("n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+    val nD = col("n").cast("double")
+    val tot = per.agg(
+      sum(col("n")).as("__N"), count(lit(1L)).as("__K"),
+      sum(col("__s")).as("__S"),
+      sum(col("__ss") - col("__s") * col("__s") / nD).as("__ssw"),
+      sum(col("__s") * col("__s") / nD).as("__sb0"),
+      sum(nD * nD).as("__n2"))
+    // the join-back side gets fresh attribute names: tot's plan subtree
+    // contains per's attributes, and a crossJoin of per with an
+    // aggregate-of-per makes bare col("__s") ambiguous at analysis
+    val perR = per.select(col("k").as("key"), col("n"),
+      col("__s").as("__ps"), col("__ss").as("__pss"))
+    val joined = perR.crossJoin(broadcast(tot))
+    val pn = col("n").cast("double")
+    val bigN = col("__N").cast("double")
+    val kD = col("__K").cast("double")
+    val gm = col("__S") / bigN
+    val sigma2 = col("__ssw") / (bigN - kD)           // pooled within
+    val ssb = col("__sb0") - col("__S") * col("__S") / bigN
+    val tau2 = greatest(lit(0.0),
+      (ssb - (kD - 1) * sigma2) / (bigN - col("__n2") / bigN))
+    val ok = col("__K") >= 3 && col("__N") > col("__K")
+    // constant data: σ²=τ²=0 → define B=1 (full shrink to the grand
+    // mean, which equals every raw mean) instead of 0/0
+    val denom = sigma2 / pn + tau2
+    val b = when(denom === 0.0, lit(1.0)).otherwise((sigma2 / pn) / denom)
+    val mean = col("__ps") / pn
+    joined.select(col("key"), col("n"),
+        round(mean, dp).as("mean"),
+        when(ok, round(b * gm + (lit(1.0) - b) * mean, dp)).as("shrunk"),
+        when(ok, round(b, dp)).as("weight"),
+        when(ok, round(gm, dp)).as("grand_mean"))
+      .orderBy("key")
+  }
 }

@@ -1789,6 +1789,19 @@ object RelationalQueries {
       Analytics.effectSize(t(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")),
 
+    // Empirical-Bayes (James-Stein) shrinkage of per-cohort means
+    // toward the grand mean (Efron-Morris; one-way random-effects MoM
+    // tau2): small cohorts borrow strength, big ones barely move.
+    // A planted per-cohort effect (k/2 added to every value) makes
+    // tau2 > 0 so the shrink is PARTIAL: weights vary with n instead
+    // of collapsing to the homogeneous-data B=1 regime.
+    "q_eb_shrink" -> ((s, dir) =>
+      Analytics.ebShrinkMeans(
+        t(s, dir, "events").where(col("value").isNotNull)
+          .select(col("user_id"),
+            (col("value") + (col("user_id") % 37).cast("double") / 2).as("v")),
+        col("user_id") % 37, col("v"))),
+
     // CUSUM change-point scores per user (self-calibrated target,
     // slack 0.5, alarm at h=10): the sequential small-shift detector,
     // computed via the prefix-min closed form — two stacked running
@@ -5228,6 +5241,33 @@ object RelationalQueries {
         | round(cd * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)), 6)
         |   AS hedges_g
         |FROM d""".stripMargin,
+
+    // Same moment algebra: per-cohort (n, s, ss) rollup, 1-row totals,
+    // sigma2 = SSW/(N-K), tau2 = max(0, (SSB-(K-1)sigma2)/(N-n2/N)),
+    // B = (sigma2/n)/(sigma2/n + tau2) with the constant-data B=1 guard.
+    "q_eb_shrink" ->
+      """WITH d AS (SELECT user_id % 37 AS k,
+        |            value + CAST(user_id % 37 AS DOUBLE) / 2 AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |per AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |        sum(v * v) AS ss FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |        CAST(count(*) AS DOUBLE) AS kk, sum(s) AS st,
+        |        sum(ss - s * s / n) AS ssw, sum(s * s / n) AS sb0,
+        |        sum(CAST(n AS DOUBLE) * n) AS n2 FROM per),
+        |c AS (SELECT nn, kk, st / nn AS gm, ssw / (nn - kk) AS sigma2,
+        |       greatest(0, (sb0 - st * st / nn - (kk - 1) * (ssw / (nn - kk)))
+        |         / (nn - n2 / nn)) AS tau2 FROM tot),
+        |r AS (SELECT per.k, per.n, per.s / per.n AS mean, c.gm, c.nn, c.kk,
+        |       CASE WHEN c.sigma2 / per.n + c.tau2 = 0 THEN 1.0
+        |         ELSE (c.sigma2 / per.n) / (c.sigma2 / per.n + c.tau2) END AS b
+        |      FROM per, c)
+        |SELECT k AS key, n, round(mean, 6) AS mean,
+        | CASE WHEN kk >= 3 AND nn > kk
+        |   THEN round(b * gm + (1 - b) * mean, 6) END AS shrunk,
+        | CASE WHEN kk >= 3 AND nn > kk THEN round(b, 6) END AS weight,
+        | CASE WHEN kk >= 3 AND nn > kk THEN round(gm, 6) END AS grand_mean
+        |FROM r ORDER BY key""".stripMargin,
 
     "q_cusum" ->
       """WITH b AS (SELECT user_id, ts, event_id,

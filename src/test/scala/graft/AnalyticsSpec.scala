@@ -4508,4 +4508,37 @@ class AnalyticsSpec extends SparkSuite {
     }.sum / 24.0
     assert(math.abs(r.getDouble(4) - bcal) < 1e-6, s"$r")
   }
+
+  test("ebShrinkMeans: hand-computed Efron-Morris shrink, constant-data full shrink, K<3 NULL") {
+    // groups A:[0,2] B:[3,5] C:[8,10] -> sigma2=2, tau2=46/3, B=3/49
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 3.0), ("b", 5.0),
+      ("c", 8.0), ("c", 10.0)).toDF("k", "v")
+    val out = Analytics.ebShrinkMeans(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def rd(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") == (1.0, rd(60.0 / 49), rd(3.0 / 49), rd(14.0 / 3)))
+    assert(out("b") == (4.0, rd(198.0 / 49), rd(3.0 / 49), rd(14.0 / 3)))
+    assert(out("c") == (9.0, rd(428.0 / 49), rd(3.0 / 49), rd(14.0 / 3)))
+    // constant data: B = 1, every shrunk mean IS the grand mean
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0),
+      ("c", 5.0), ("c", 5.0)).toDF("k", "v")
+    Analytics.ebShrinkMeans(const, col("k"), col("v")).collect().foreach { r =>
+      assert(r.getDouble(3) == 5.0 && r.getDouble(4) == 1.0, s"$r")
+    }
+    // K = 2: verdict columns NULL, raw means still reported
+    val two = Seq(("a", 1.0), ("a", 3.0), ("b", 4.0), ("b", 8.0)).toDF("k", "v")
+    Analytics.ebShrinkMeans(two, col("k"), col("v")).collect().foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), s"$r")
+    }
+    // big group barely moves, tiny group moves hard (monotone weights)
+    val skew = (1 to 100).map(i => ("big", 10.0 + (i % 3))) ++
+      Seq(("tiny", 100.0), ("tiny", 102.0), ("mid", 50.0), ("mid", 51.0),
+        ("mid", 52.0), ("mid", 49.0))
+    val s2 = Analytics.ebShrinkMeans(skew.toDF("k", "v"), col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(s2("big") < s2("mid") && s2("mid") < s2("tiny"),
+      s"weights must grow as n shrinks: $s2")
+  }
 }
