@@ -3155,7 +3155,12 @@ object Analytics {
     val scored = df.select(score.cast("double").as("__s"))
       .where(col("__s").isNotNull)
     val n = scored.count()
-    val ks = alphas.map(a => a -> math.ceil((n + 1) * (1 - a)).toLong)
+    // exact decimal ceil (the conformalCoverage discipline): FP
+    // (1 - alpha) sits one ulp off for decimal alphas, bumping ceil a
+    // rank high exactly when (n+1)(1-alpha) is an integer
+    val ks = alphas.map(a => a ->
+      (BigDecimal(n + 1) * (BigDecimal(1) - BigDecimal(a.toString)))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
     val ranked = Windows.globalRowNumber(scored, Seq(col("__s")), "__rn")
       .where(col("__rn").isin(ks.map(_._2).filter(_ <= n): _*))
     val spec = ks.map { case (a, k) => (a, k, n) }
@@ -6441,9 +6446,69 @@ object Analytics {
     }.reduce(_ unionByName _).orderBy("col_a", "col_b")
   }
 
-  /** Empirical-Bayes (James–Stein) shrinkage of per-group means toward
+  /** Split-conformal coverage audit (Papadopoulos et al. 2002; Vovk's
+    * inductive conformal convention, Angelopoulos & Bates 2023
+    * tutorial): a deterministic md5-coin calibration half fixes the
+    * conformal quantile q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * nonconformity |label − pred|, and every SLICE of the held-out
+    * half is audited against the marginal guarantee — per-group
+    * coverage ≥ 1−α is what exchangeability promises ON AVERAGE, so a
+    * slice far below target is direct evidence the model's errors are
+    * not exchangeable across that slice (the conditional-coverage gap
+    * every conformal deployment has to monitor).
+    *
+    * Output per group: (grp, n_test, coverage, covered — coverage ≥
+    * 1−α on the unrounded fraction — qhat, target). q̂ = +∞ when
+    * ⌈(n_cal+1)(1−α)⌉ > n_cal (calibration too small for the level:
+    * the honest infinite interval, coverage 1 everywhere).
+    *
+    * Shape: split is per-row Column math ([[graft.ops.DataPrep
+    * .hashBucket]] md5 coin — replayable in SQL); q̂ is ONE two-phase
+    * [[Windows.globalRowNumber]] rank pass + a 1-row driver read (the
+    * [[regressionInfluence]] bounded-driver discipline); the audit is
+    * one group rollup with q̂ broadcast as a literal. */
+  def conformalCoverage(df: DataFrame, id: Column, group: Column,
+      pred: Column, label: Column, alpha: Double = 0.1,
+      calibFrac: Double = 0.5, dp: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(calibFrac > 0 && calibFrac < 1,
+      s"calibFrac in (0,1), got $calibFrac")
+    val base = df.select(id.as("__id"), group.as("grp"),
+        abs(label.cast("double") - pred.cast("double")).as("__nc"))
+      .where(col("__nc").isNotNull)
+      .localCheckpoint(true) // split + rank + audit reuse one pass
+    val thr = math.round(calibFrac * 1000).toInt
+    val coin = graft.ops.DataPrep.hashBucket(col("__id"), 1000) < thr
+    val calib = base.where(coin)
+    val test = base.where(!coin)
+    val nCal = calib.count()
+    require(nCal > 0, "empty calibration split")
+    // k in EXACT decimal arithmetic: FP (1 - 0.2) is the double just
+    // above 0.8, so math.ceil((n+1)*(1-alpha)) lands one rank high
+    // whenever (n+1)(1-alpha) is an exact integer — caught against the
+    // DuckDB restatement, whose 0.8 literal is a DECIMAL
+    val k = (BigDecimal(nCal + 1) * (BigDecimal(1) - BigDecimal(alpha.toString)))
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    val qhat =
+      if (k > nCal) Double.PositiveInfinity
+      else Windows.globalRowNumber(calib,
+          Seq(col("__nc"), col("__id")), out = "__rn")
+        .where(col("__rn") === k).head().getAs[Double]("__nc")
+    val cov = avg(when(col("__nc") <= qhat, 1.0).otherwise(0.0))
+    test.groupBy("grp")
+      .agg(count(lit(1L)).as("n_test"), cov.as("__cov"))
+      .select(col("grp"), col("n_test"),
+        round(col("__cov"), dp).as("coverage"),
+        (col("__cov") >= 1 - alpha).as("covered"),
+        round(lit(qhat), dp).as("qhat"),
+        lit(1 - alpha).as("target"))
+      .orderBy("grp")
+  }
+
+  /** Empirical-Bayes (James–Stein) shrinkage of per-group MEANS toward
     * the grand mean (Efron & Morris 1975; the one-way random-effects
-    * MoM estimator, Searle et al.): a small group's noisy mean borrows
+    * MoM estimator, Searle et al.) — the continuous companion of
+    * [[ebShrinkage]]'s Beta-binomial RATE shrinkage: a small group's noisy mean borrows
     * strength from the corpus — THE fix for per-source quality scores
     * where a 30-doc source's raw mean whipsaws while a 30k-doc
     * source's barely moves. τ̂² = max(0, (SSB − (K−1)σ̂²) /

@@ -50,7 +50,8 @@ object OracleRounding {
     "q_aipw",           // doubly-robust: propensity + outcome fits
     "q_event_study",    // per-period FP coefficient path
     "eval_logreg",      // unrolled GD chain, rounded weights
-    "pipeline_quality_clf", // hashed-ngram logistic, same GD shape
+    // (pipeline_quality_clf is the same GD shape but its oracle emits
+    // integer counts only — nothing rounded, nothing exposed)
     "q_elasticity",     // log-log OLS slope from FP moments
     "q_theil_sen"       // median-of-slopes FP ratios, rounded outputs
   )

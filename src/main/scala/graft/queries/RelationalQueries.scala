@@ -1789,6 +1789,17 @@ object RelationalQueries {
       Analytics.effectSize(t(s, dir, "documents"),
         col("n_chars"), col("lang") === "en")),
 
+    // Split-conformal coverage audit per event_type: md5-coin
+    // calibration half fixes qhat (the ceil((n+1)(1-alpha))-th
+    // smallest |value - pred|), held-out slices audited against the
+    // 1-alpha marginal guarantee — the conditional-coverage monitor.
+    "q_conformal" -> ((s, dir) =>
+      Analytics.conformalCoverage(
+        t(s, dir, "events").where(col("value").isNotNull),
+        col("event_id"), col("event_type"),
+        (col("user_id") % 100).cast("double"), col("value"),
+        alpha = 0.2)),
+
     // Empirical-Bayes (James-Stein) shrinkage of per-cohort means
     // toward the grand mean (Efron-Morris; one-way random-effects MoM
     // tau2): small cohorts borrow strength, big ones barely move.
@@ -5241,6 +5252,28 @@ object RelationalQueries {
         | round(cd * (1 - CAST(3 AS DOUBLE) / (4 * (n_a + n_b) - 9)), 6)
         |   AS hedges_g
         |FROM d""".stripMargin,
+
+    // Split replayed with the md5-bucket rule; qhat = the
+    // ceil((ncal+1)*0.8)-th smallest nonconformity (ORDER BY nc, id
+    // OFFSET k-1); per-slice coverage on the held-out half.
+    "q_conformal" ->
+      s"""WITH b AS (SELECT event_id AS id, event_type AS grp,
+        |    abs(value - CAST(user_id % 100 AS DOUBLE)) AS nc,
+        |    ${PipelineQueries.duckHex16("CAST(event_id AS VARCHAR)")} % 1000 < 500 AS coin
+        |  FROM events WHERE value IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS ncal FROM b WHERE coin),
+        |r AS (SELECT nc, row_number() OVER (ORDER BY nc, id) AS rn
+        |      FROM b WHERE coin),
+        |q AS (SELECT r.nc AS qhat FROM r, nn
+        |      WHERE r.rn = CAST(ceil((nn.ncal + 1) * 0.8) AS BIGINT)),
+        |t AS (SELECT grp, nc FROM b WHERE NOT coin)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_test,
+        | round(avg(CASE WHEN nc <= q.qhat THEN 1.0 ELSE 0.0 END), 6)
+        |   AS coverage,
+        | avg(CASE WHEN nc <= q.qhat THEN 1.0 ELSE 0.0 END) >= 0.8
+        |   AS covered,
+        | round(q.qhat, 6) AS qhat, CAST(0.8 AS DOUBLE) AS target
+        |FROM t, q GROUP BY grp, q.qhat ORDER BY grp""".stripMargin,
 
     // Same moment algebra: per-cohort (n, s, ss) rollup, 1-row totals,
     // sigma2 = SSW/(N-K), tau2 = max(0, (SSB-(K-1)sigma2)/(N-n2/N)),

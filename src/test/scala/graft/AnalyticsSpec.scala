@@ -4541,4 +4541,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(s2("big") < s2("mid") && s2("mid") < s2("tiny"),
       s"weights must grow as n shrinks: $s2")
   }
+
+  test("conformalCoverage: finite-sample quantile rank, slice audit, infinite-interval edge") {
+    // ids chosen only for determinism; nonconformity |label - pred|
+    val rows = (1L to 400L).map { i =>
+      (i, if (i % 2 == 0) "even" else "odd",
+        0.0, (i % 10).toDouble) // pred 0 -> nc = i % 10
+    }
+    val df = rows.toDF("id", "grp", "pred", "label")
+    val out = Analytics.conformalCoverage(df, col("id"), col("grp"),
+      col("pred"), col("label"), alpha = 0.2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getDouble(4))).toMap
+    // qhat is a value from the nc domain {0..9}; both slices share it
+    val (qE, qO) = (out("even")._4, out("odd")._4)
+    assert(qE == qO && qE >= 0.0 && qE <= 9.0, s"$out")
+    // nc is uniform over 0..9 in BOTH splits: coverage must sit near
+    // (qhat+1)/10 and at/above the 0.8 guarantee for the 80% quantile
+    out.values.foreach { case (n, cov, covFlag, q) =>
+      assert(n > 0 && cov >= (q + 1) / 10.0 - 0.15 && cov <= (q + 1) / 10.0 + 0.15,
+        s"coverage $cov inconsistent with qhat $q")
+      assert(covFlag == (cov >= 0.8), s"$out")
+    }
+    // alpha so small that ceil((ncal+1)(1-alpha)) > ncal -> infinite
+    // interval, coverage exactly 1 everywhere
+    val tiny = (1L to 8L).map(i => (i, "g", 0.0, i.toDouble)).toDF("id", "grp", "pred", "label")
+    val inf = Analytics.conformalCoverage(tiny, col("id"), col("grp"),
+      col("pred"), col("label"), alpha = 0.01).head()
+    assert(inf.getDouble(2) == 1.0 && inf.getBoolean(3) &&
+      inf.getDouble(4).isPosInfinity, s"$inf")
+  }
 }

@@ -29,6 +29,23 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     (CheckQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries)(
       name)(spark, sf0001)
 
+  /** Caller plan + the two-phase rank/cumsum SUB-plans built during
+    * frame construction: the r14 boundary-consistency fix checkpoints
+    * the ranked frame, so the range exchange no longer appears in the
+    * caller's executedPlan — Windows captures each sub-plan instead
+    * (the checkpoint is eager, so construction builds and records
+    * them). Assertions about the two-phase shape read `sub`; negative
+    * corpus-window assertions must scan BOTH. */
+  private def planWithRank(body: => DataFrame): (String, Seq[String]) = {
+    graft.ops.Windows.capturePlans.set(true)
+    graft.ops.Windows.capturedPlans.clear()
+    try {
+      val p = plan(body)
+      import scala.jdk.CollectionConverters._
+      (p, graft.ops.Windows.capturedPlans.asScala.toList)
+    } finally graft.ops.Windows.capturePlans.set(false)
+  }
+
   test("q_join_bcast broadcasts the dimension side (no shuffle of the fact table)") {
     val p = plan(q("q_join_bcast"))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
@@ -666,13 +683,14 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(pa).isEmpty,
       s"no unpartitioned window over the corpus:\n$pa")
     // conformal: the global rank is the two-phase range-repartition form
-    val pq = plan(q("eval_conformal"))
-    assert(pq.contains("rangepartitioning"),
-      s"order statistic must ride the two-phase global rank:\n$pq")
+    // (inside the checkpointed rank stage since the r14 boundary fix)
+    val (_, sq) = planWithRank(q("eval_conformal"))
+    assert(sq.exists(_.contains("rangepartitioning")),
+      s"order statistic must ride the two-phase global rank:\n${sq.mkString}")
     // budget selection: same two-phase discipline, no single-data sort
-    val pb = plan(q("pipeline_budget_select"))
-    assert(pb.contains("rangepartitioning"),
-      s"budget cut must ride the two-phase cumsum:\n$pb")
+    val (_, sb) = planWithRank(q("pipeline_budget_select"))
+    assert(sb.exists(_.contains("rangepartitioning")),
+      s"budget cut must ride the two-phase cumsum:\n${sb.mkString}")
     // pass@k / parity: pure rollups, no join at all
     for (name <- Seq("eval_pass_at_k", "eval_parity")) {
       val p = plan(q(name))
@@ -694,11 +712,13 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
   test("round-12 additions: scan-shaped stats, keyed ring join, fold windows partitioned") {
     // Kruskal-Wallis: the distinct-value CDF rides the two-phase range
     // exchange, never an unpartitioned window over the histogram
-    val pk = plan(q("q_kruskal"))
-    assert(pk.contains("rangepartitioning"),
-      s"KW rank CDF must range-repartition:\n$pk")
-    assert("Window \\[[^\\]]*\\], \\[\\], \\[__v".r.findFirstIn(pk).isEmpty,
-      s"no unpartitioned window over the value histogram:\n$pk")
+    val (pk, sk) = planWithRank(q("q_kruskal"))
+    assert(sk.exists(_.contains("rangepartitioning")),
+      s"KW rank CDF must range-repartition:\n${sk.mkString}")
+    (pk +: sk).foreach { p =>
+      assert("Window \\[[^\\]]*\\], \\[\\], \\[__v".r.findFirstIn(p).isEmpty,
+        s"no unpartitioned window over the value histogram:\n$p")
+    }
     // ANOVA / Brown-Forsythe: rollups + broadcast verdicts only — no
     // sort-merge join, no cartesian anywhere
     for (name <- Seq("q_anova", "q_levene")) {
@@ -708,11 +728,11 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
     // ring negatives: two-phase rank + ONE hash equi-join on the ring
     // rank — never a cartesian pairing
-    val pr = plan(q("sim_ring_negatives"))
-    assert(pr.contains("rangepartitioning"),
-      s"ring rank must be the two-phase form:\n$pr")
-    assert(!pr.contains("CartesianProduct"),
-      s"ring join must stay keyed:\n$pr")
+    val (pr, sr) = planWithRank(q("sim_ring_negatives"))
+    assert(sr.exists(_.contains("rangepartitioning")),
+      s"ring rank must be the two-phase form:\n${sr.mkString}")
+    (pr +: sr).foreach(p => assert(!p.contains("CartesianProduct"),
+      s"ring join must stay keyed:\n$p"))
     // hashing features: explode + rollups, no join at all
     val ph = plan(q("pipeline_hash_features"))
     assert(!ph.contains("Join"), s"hashingTf is aggregation only:\n$ph")
@@ -736,12 +756,12 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     // ≤numPartitions-row __wpid offset summary may (the Windows contract)
     for ((name, valCols) <- Seq("q_auc" -> Seq("__s"),
         "q_corr" -> Seq("__x", "__y"), "q_best_split" -> Seq("__v"))) {
-      val p = plan(q(name))
-      assert(p.contains("rangepartitioning"),
-        s"$name must range-repartition its value histogram:\n$p")
-      for (c <- valCols)
-        assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$c".r.findFirstIn(p).isEmpty,
-          s"$name: unpartitioned window over the $c histogram:\n$p")
+      val (p, sub) = planWithRank(q(name))
+      assert(sub.exists(_.contains("rangepartitioning")),
+        s"$name must range-repartition its value histogram:\n${sub.mkString}")
+      for (c <- valCols; pl <- p +: sub)
+        assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$c".r.findFirstIn(pl).isEmpty,
+          s"$name: unpartitioned window over the $c histogram:\n$pl")
     }
   }
 
@@ -790,19 +810,22 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     for ((name, valCol) <- Seq("q_signed_rank" -> "__ad",
         "q_pettitt" -> "__v", "q_jonckheere" -> "__v",
         "q_wasserstein" -> "__v", "eval_avg_precision" -> "__s")) {
-      val p = plan(q(name))
-      assert(p.contains("rangepartitioning"),
-        s"$name must range-repartition its histogram:\n$p")
-      assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$valCol".r.findFirstIn(p).isEmpty,
-        s"$name: unpartitioned window over the $valCol histogram:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+      val (p, sub) = planWithRank(q(name))
+      assert(sub.exists(_.contains("rangepartitioning")),
+        s"$name must range-repartition its histogram:\n${sub.mkString}")
+      for (pl <- p +: sub) {
+        assert(s"Window \\[[^\\]]*\\], \\[\\], \\[$valCol".r.findFirstIn(pl).isEmpty,
+          s"$name: unpartitioned window over the $valCol histogram:\n$pl")
+        assert(!pl.contains("CartesianProduct"), s"$name stays keyed:\n$pl")
+      }
     }
     // DeLong: two score-keyed equi-joins, never a cartesian or an
     // item-keyed third join between the models
-    val pd = plan(q("eval_delong"))
-    assert(!pd.contains("CartesianProduct"), s"delong joins stay keyed:\n$pd")
-    assert(pd.contains("rangepartitioning"),
-      s"delong CDFs must be two-phase:\n$pd")
+    val (pd, sd) = planWithRank(q("eval_delong"))
+    (pd +: sd).foreach(p => assert(!p.contains("CartesianProduct"),
+      s"delong joins stay keyed:\n$p"))
+    assert(sd.exists(_.contains("rangepartitioning")),
+      s"delong CDFs must be two-phase:\n${sd.mkString}")
     // WER: the Levenshtein DP runs in-scan — no join, no window
     val pw = plan(q("eval_wer"))
     assert(!pw.contains("Join") && !pw.contains("Window"),
@@ -846,10 +869,11 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     }
     // two-phase histogram CDFs (no unpartitioned corpus window)
     for (name <- Seq("q_yuen", "eval_auc_ci")) {
-      val p = plan(q(name))
-      assert(p.contains("rangepartitioning"),
-        s"$name must range-repartition its histogram:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$name stays keyed:\n$p")
+      val (p, sub) = planWithRank(q(name))
+      assert(sub.exists(_.contains("rangepartitioning")),
+        s"$name must range-repartition its histogram:\n${sub.mkString}")
+      (p +: sub).foreach(pl => assert(!pl.contains("CartesianProduct"),
+        s"$name stays keyed:\n$pl"))
     }
     // Dunn/Breslow-Day/event-study/EB-shrinkage: rollups + BOUNDED
     // (group/stratum/period/prior) join tables — never a corpus-sized

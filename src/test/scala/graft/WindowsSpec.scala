@@ -115,4 +115,38 @@ class WindowsSpec extends SparkSuite {
         s"data rows crossed a single-partition exchange: ${e.output.map(_.name)}")
     }
   }
+
+  test("rank-k read stays exact above the sampler threshold with a pruned offsets consumer") {
+    // Regression (r14): globalRowNumber's offsets rollup and final join
+    // used to instantiate the range exchange TWICE; divergent column
+    // pruning between the consumers made the two instantiations
+    // canonically different, so they sampled DIFFERENT boundaries (the
+    // sampler seed derives from the rddId) and offsets no longer
+    // matched local ranks — q_conformal's order statistic at sf0.01
+    // read rank 4042 as the value at true rank 4015. Fires only above
+    // the exhaustive-sampling threshold (~20·partitions rows), which is
+    // why small fixtures stayed green. The frame here reproduces the
+    // triggering shape: a checkpointed parent, a filter, and a single
+    // rank-k read that prunes every column but the rank.
+    import spark.implicits._
+    val n = 20000L
+    val df = (1L to n).map(i => (i, ((i * 48271) % 9973).toDouble))
+      .toDF("id", "v").localCheckpoint(true)
+    val sub = df.where(col("id") % 3 =!= 0)
+    val k = 7001L
+    val ranked = graft.ops.Windows.globalRowNumber(sub,
+      Seq(col("v"), col("id")), out = "rn")
+    val atK = ranked.where(col("rn") === k).select("v", "id").head()
+    // ground truth by definition of rank: exactly k rows at or below
+    val below = sub.where(col("v") < atK.getDouble(0) ||
+      (col("v") === atK.getDouble(0) && col("id") <= atK.getLong(1))).count()
+    assert(below == k, s"rank-$k read returned the value at true rank $below")
+    // and the cumsum twin: the global running count at the same spot
+    // must agree with the rank
+    val cum = graft.ops.Windows.globalCumSum(sub,
+      Seq(col("v"), col("id")), lit(1L), out = "c")
+    val cAtK = cum.where(col("v") === atK.getDouble(0) &&
+      col("id") === atK.getLong(1)).head().getAs[Long]("c")
+    assert(cAtK == k, s"cumsum at the rank-$k row reads $cAtK")
+  }
 }
