@@ -749,4 +749,76 @@ object Similarity {
         round(col("radius"), dp).as("radius"))
       .orderBy("sel_rank")
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998): greedy top-k trading relevance against redundancy —
+    * each round picks argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+    * (ties by id). THE diversification rule for retrieval results and
+    * diverse exemplar picks: plain top-k by relevance returns k
+    * near-duplicates of the best hit; MMR's second term charges each
+    * candidate for its similarity to what is already selected.
+    * [[kCenterGreedy]] is the pure-coverage corner (λ → 0 with
+    * distance in place of similarity); this is the tunable middle.
+    *
+    * Determinism contract: the per-pick max-similarity is ROUNDED at
+    * 6dp before scoring (the sim_knn rank-agreement discipline) and
+    * (1−λ) is computed in exact decimal — FP `1 - 0.7` is one ulp off
+    * DuckDB's `0.3` literal, which would let a knife-edge argmax
+    * diverge between engines.
+    *
+    * Shape: the [[kCenterGreedy]] contract — k ≤ 64 bounded-driver
+    * rounds, each ONE scan against the SINGLE newest pick (the running
+    * max-sim column carries older picks, localCheckpoint'ed so lineage
+    * stays flat), one TakeOrdered(1), one 1-row collect. O(k·n·d),
+    * never O(n²). Returns (sel_rank, id, rel, score) — the seed's
+    * score is λ·rel (empty selected set ⇒ zero redundancy term). */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      relCol: Column, k: Int, lambda: Double = 0.7,
+      dp: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val oneMinus = (BigDecimal(1) - BigDecimal(lambda.toString)).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"), relCol.cast("double").as("__rel"))
+      .where(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__rel").isNotNull)
+    val seed = base.orderBy(col("__rel").desc, col("__id")).limit(1)
+      .collect() // 1 row by construction
+    if (seed.isEmpty)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("sel_rank", "id", "rel", "score")
+    val seedId = seed(0).getLong(0)
+    var picks = Vector[(Int, Long, Double, Double)](
+      (1, seedId, seed(0).getDouble(2), lambda * seed(0).getDouble(2)))
+    def simTo(vec: Seq[Float]) =
+      round(GraftFunctions.cosineSim(col("__v"), typedLit(vec)), 6)
+    var cur = base.where(col("__id") =!= seedId)
+      .withColumn("__ms", simTo(seed(0).getSeq[Float](1)))
+      .localCheckpoint(true)
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = cur
+        .withColumn("__sc",
+          lit(lambda) * col("__rel") - lit(oneMinus) * col("__ms"))
+        .orderBy(col("__sc").desc, col("__id")).limit(1)
+        .collect() // 1 row per round, k <= 64 rounds by contract
+      if (top.isEmpty) exhausted = true
+      else {
+        val cid = top(0).getLong(0)
+        picks :+= ((r, cid, top(0).getDouble(2), top(0).getAs[Double]("__sc")))
+        if (r < k) cur = cur.where(col("__id") =!= cid)
+          .withColumn("__ms",
+            greatest(col("__ms"), simTo(top(0).getSeq[Float](1))))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    picks.toDF("sel_rank", "id", "rel", "score")
+      .select(col("sel_rank"), col("id"), round(col("rel"), dp).as("rel"),
+        round(col("score"), dp).as("score"))
+      .orderBy("sel_rank")
+  }
 }

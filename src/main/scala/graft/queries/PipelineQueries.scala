@@ -1621,6 +1621,15 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // MMR diversity-aware top-k (Carbonell-Goldstein): relevance from
+    // the modulo fixture, redundancy from embedding cosine; 4 greedy
+    // rounds the oracle unrolls as CTEs.
+    "sim_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(
+        t(s, dir, "embeddings").where(size(col("embedding")) === 64),
+        "vec_id", "embedding",
+        (col("vec_id") % 23).cast("double") / 22, k = 4)),
+
     // Embedding-space decontamination: vec_id < 20 plays the benchmark
     // suite; every corpus embedding's best cosine against it decides
     // the flag (bench members flag themselves at ~1.0). One in-scan
@@ -8329,6 +8338,37 @@ object PipelineQueries {
         |UNION ALL SELECT 2, id, round(sqrt(d), 6) FROM p2
         |UNION ALL SELECT 3, id, round(sqrt(d), 6) FROM p3
         |UNION ALL SELECT 4, id, round(sqrt(d), 6) FROM p4
+        |ORDER BY sel_rank""".stripMargin,
+
+    // The sim_kcenter unrolled-greedy pattern with MMR's scoring:
+    // round-6 cosines (the rank-agreement discipline), 0.7/0.3 weights
+    // written as plain literals (the engine computes (1-lambda) in
+    // exact decimal to land on the same doubles).
+    "sim_mmr" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |        CAST(vec_id % 23 AS DOUBLE) / 22 AS rel FROM embeddings
+        |       WHERE len(embedding) = 64),
+        |p1 AS (SELECT id, v, rel FROM e ORDER BY rel DESC, id LIMIT 1),
+        |m1 AS (SELECT e.id, e.v, e.rel,
+        |        round(list_cosine_similarity(e.v, p1.v), 6) AS ms
+        |       FROM e, p1 WHERE e.id <> p1.id),
+        |p2 AS (SELECT id, v, rel, 0.7 * rel - 0.3 * ms AS sc FROM m1
+        |       ORDER BY sc DESC, id LIMIT 1),
+        |m2 AS (SELECT m1.id, m1.v, m1.rel,
+        |        greatest(m1.ms, round(list_cosine_similarity(m1.v, p2.v), 6)) AS ms
+        |       FROM m1, p2 WHERE m1.id <> p2.id),
+        |p3 AS (SELECT id, v, rel, 0.7 * rel - 0.3 * ms AS sc FROM m2
+        |       ORDER BY sc DESC, id LIMIT 1),
+        |m3 AS (SELECT m2.id, m2.v, m2.rel,
+        |        greatest(m2.ms, round(list_cosine_similarity(m2.v, p3.v), 6)) AS ms
+        |       FROM m2, p3 WHERE m2.id <> p3.id),
+        |p4 AS (SELECT id, rel, 0.7 * rel - 0.3 * ms AS sc FROM m3
+        |       ORDER BY sc DESC, id LIMIT 1)
+        |SELECT 1 AS sel_rank, id, round(rel, 6) AS rel,
+        |  round(0.7 * rel, 6) AS score FROM p1
+        |UNION ALL SELECT 2, id, round(rel, 6), round(sc, 6) FROM p2
+        |UNION ALL SELECT 3, id, round(rel, 6), round(sc, 6) FROM p3
+        |UNION ALL SELECT 4, id, round(rel, 6), round(sc, 6) FROM p4
         |ORDER BY sel_rank""".stripMargin,
 
     "sim_silhouette" ->

@@ -2368,6 +2368,31 @@ class PipelineSpec extends SparkSuite {
     assert(r.values.sum == 6L)
   }
 
+  test("mmrSelect: redundant near-duplicate of the top hit is deferred for a diverse pick") {
+    import graft.functions.Similarity
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 1.00),  // best relevance
+      (2L, Array(1f, 0.01f, 0f, 0f), 0.99), // near-duplicate of 1
+      (3L, Array(0f, 1f, 0f, 0f), 0.60),  // orthogonal, mid relevance
+      (4L, Array(0f, 0f, 1f, 0f), 0.50)). // orthogonal, lower
+      toDF("id", "vec", "rel")
+    val out = Similarity.mmrSelect(df, "id", "vec", col("rel"), k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    // pure top-k by relevance would pick (1, 2, 3, 4); MMR defers the
+    // near-duplicate 2 behind the diverse 3
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L, 4L), s"${out.toSeq}")
+    assert(out(0)._3 == 0.7, "seed score is lambda*rel")
+    // scores non-increasing is NOT guaranteed by MMR, but each pick must
+    // beat the alternatives at its round: pick 2 (id 3) scored 0.42
+    assert(math.abs(out(1)._3 - 0.42) < 1e-9, s"${out.toSeq}")
+    // lambda = 1: pure relevance order, redundancy ignored
+    val pure = Similarity.mmrSelect(df, "id", "vec", col("rel"), k = 3,
+      lambda = 1.0).collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"$pure")
+    // k beyond n exhausts gracefully
+    assert(Similarity.mmrSelect(df, "id", "vec", col("rel"), k = 9)
+      .count() == 4)
+  }
 }
 
 object PipelineSpec {
