@@ -4642,6 +4642,63 @@ object Analytics {
         lit(bins).as("n_bins"))
   }
 
+  /** Per-DIMENSION embedding drift: [[driftPsi]]'s PSI computed for
+    * every coordinate of an embedding column between two cohorts —
+    * names WHICH dimensions moved, where the kernel MMD
+    * ([[graft.functions.Similarity.mmdRff]]) only answers whether
+    * anything did. The actionable follow-up readout: a handful of hot
+    * dimensions usually traces to one upstream feature/encoder change,
+    * while uniform low-grade drift across all dims reads as population
+    * shift. Same conventions as driftPsi — equi-width bins over each
+    * dimension's OWN min/max across both cohorts, Laplace
+    * (c+0.5)/(n+0.5·bins) smoothing, degenerate (constant) dimensions
+    * bin to 0 and score PSI 0.
+    *
+    * Shape: ONE posexplode scan → a d-row per-dim bounds rollup
+    * broadcast back → one (dim, bin) rollup with map-side partials →
+    * the dense d×bins grid (bounded) → a per-dim fold over the sorted
+    * bin list. Never pairs rows; exchange volume is d·n scalars
+    * partial-aggregated map-side. */
+  def embeddingDimDrift(df: DataFrame, vecCol: String, inA: Column,
+      bins: Int = 10, dp: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val ex = df.where(col(vecCol).isNotNull &&
+        inA.cast("boolean").isNotNull)
+      .select(inA.cast("boolean").as("__a"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("__a"), col("dim"), col("__x").cast("double").as("__x"))
+      .where(col("__x").isNotNull)
+    val bounds = ex.groupBy("dim")
+      .agg(min("__x").as("__lo"), max("__x").as("__hi"))
+    val binned = ex.join(broadcast(bounds), Seq("dim"))
+      .select(col("dim"), col("__a"),
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(lit(bins - 1), floor((col("__x") - col("__lo")) /
+            ((col("__hi") - col("__lo")) / bins)).cast("int"))).as("__bin"))
+      .groupBy("dim", "__bin")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val grid = bounds.select("dim").crossJoin(
+        df.sparkSession.range(0, bins).select(col("id").cast("int").as("__bin")))
+      .join(binned, Seq("dim", "__bin"), "left")
+      .select(col("dim"), col("__bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    grid.groupBy("dim")
+      .agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"),
+        array_sort(collect_list(struct(col("__bin"), col("__ca"),
+          col("__cb")))).as("__h"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        round(aggregate(transform(col("__h"), s => {
+          val p = (s.getField("__ca").cast("double") + 0.5) /
+            (col("n_a").cast("double") + lit(0.5 * bins))
+          val q = (s.getField("__cb").cast("double") + 0.5) /
+            (col("n_b").cast("double") + lit(0.5 * bins))
+          (p - q) * log(p / q)
+        }), lit(0.0), (acc, x) => acc + x), dp).as("psi"))
+      .orderBy("dim")
+  }
+
   /** [[driftPsi]] unrolled over TIME: PSI of every `bucket` period's
     * value distribution against the FIRST period (the monitoring time
     * series a drift dashboard plots, not a single A/B number). Same

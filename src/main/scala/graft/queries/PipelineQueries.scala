@@ -1621,6 +1621,14 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Per-dimension embedding PSI between the label cohorts: WHICH
+    // coordinates moved (sim_mmd's actionable follow-up). One explode
+    // scan, per-dim bounds broadcast, dense dim x bin grid.
+    "sim_dim_drift" -> ((s, dir) =>
+      graft.ops.Analytics.embeddingDimDrift(
+        t(s, dir, "embeddings").where(size(col("embedding")) === 64),
+        "embedding", col("label") <= 4)),
+
     // MMR diversity-aware top-k (Carbonell-Goldstein): relevance from
     // the modulo fixture, redundancy from embedding cosine; 4 greedy
     // rounds the oracle unrolls as CTEs.
@@ -8339,6 +8347,38 @@ object PipelineQueries {
         |UNION ALL SELECT 3, id, round(sqrt(d), 6) FROM p3
         |UNION ALL SELECT 4, id, round(sqrt(d), 6) FROM p4
         |ORDER BY sel_rank""".stripMargin,
+
+    // Same bin/smoothing conventions as q_drift_psi, per dimension:
+    // equi-width bins over each dim's own min/max, Laplace
+    // (c+0.5)/(n+0.5*bins), constant dims bin to 0.
+    "sim_dim_drift" ->
+      """WITH x AS (SELECT label <= 4 AS a, CAST(i AS INT) AS dim,
+        |        CAST(embedding[i+1] AS DOUBLE) AS v
+        |       FROM embeddings, range(64) r(i)
+        |       WHERE len(embedding) = 64),
+        |b AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY 1),
+        |h AS (SELECT x.dim,
+        |        CASE WHEN b.hi = b.lo THEN 0 ELSE
+        |          least(9, CAST(floor((x.v - b.lo) / ((b.hi - b.lo) / 10))
+        |            AS INT)) END AS bin,
+        |        CAST(count(*) FILTER (x.a) AS BIGINT) AS ca,
+        |        CAST(count(*) FILTER (NOT x.a) AS BIGINT) AS cb
+        |       FROM x JOIN b USING (dim) GROUP BY 1, 2),
+        |g AS (SELECT d.dim, gg.bin,
+        |        coalesce(h.ca, 0) AS ca, coalesce(h.cb, 0) AS cb
+        |       FROM (SELECT DISTINCT dim FROM b) d
+        |       CROSS JOIN (SELECT CAST(u.i AS INT) AS bin
+        |                   FROM unnest(range(0, 10)) AS u(i)) gg
+        |       LEFT JOIN h ON h.dim = d.dim AND h.bin = gg.bin),
+        |tot AS (SELECT dim, CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM g GROUP BY dim),
+        |t AS (SELECT g.dim, tot.n_a, tot.n_b,
+        |        sum(((g.ca + 0.5) / (tot.n_a + 5.0)
+        |           - (g.cb + 0.5) / (tot.n_b + 5.0))
+        |          * ln(((g.ca + 0.5) / (tot.n_a + 5.0))
+        |              / ((g.cb + 0.5) / (tot.n_b + 5.0)))) AS psi
+        |       FROM g JOIN tot USING (dim) GROUP BY 1, 2, 3)
+        |SELECT dim, n_a, n_b, round(psi, 6) AS psi FROM t ORDER BY dim""".stripMargin,
 
     // The sim_kcenter unrolled-greedy pattern with MMR's scoring:
     // round-6 cosines (the rank-agreement discipline), 0.7/0.3 weights

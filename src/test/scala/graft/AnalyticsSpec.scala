@@ -4571,4 +4571,31 @@ class AnalyticsSpec extends SparkSuite {
     assert(inf.getDouble(2) == 1.0 && inf.getBoolean(3) &&
       inf.getDouble(4).isPosInfinity, s"$inf")
   }
+
+  test("embeddingDimDrift: shifted dimension scores hot, constant dims score zero") {
+    val rows = (1 to 40).map { i =>
+      val a = i % 2 == 0
+      val v0 = (i % 7).toFloat + (if (a) 0f else 20f) // dim 0 shifted in B
+      (i.toLong, a, Array(v0, 5f, (i % 3).toFloat))   // dim 1 constant,
+    }                                                 // dim 2 identical dists
+    val df = rows.toDF("id", "a", "vec")
+    val out = Analytics.embeddingDimDrift(df, "vec", col("a"), bins = 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out(0)._1 == 20 && out(0)._2 == 20)
+    // disjoint supports: dim 0 PSI far above the 0.2 "moved" bar
+    assert(out(0)._3 > 1.0, s"shifted dim must be hot: $out")
+    // constant dim: all mass in bin 0 both sides -> PSI exactly 0
+    assert(out(1)._3 == 0.0, s"constant dim must score 0: $out")
+    // near-identical distributions on dim 2: (i%3) histograms differ
+    // by at most one count between the parity cohorts -> PSI tiny,
+    // far below the shifted dim and below the 0.2 "moved" bar
+    assert(out(2)._3 < 0.05 && out(2)._3 < out(0)._3 / 50,
+      s"near-identical dists must score tiny: $out")
+    // NULL vectors drop from both counts
+    val withNull = rows.map(r => (r._1, r._2, r._3)) :+ ((99L, true, null.asInstanceOf[Array[Float]]))
+    val n2 = Analytics.embeddingDimDrift(withNull.toDF("id", "a", "vec"),
+      "vec", col("a")).where(col("dim") === 0).head()
+    assert(n2.getLong(1) == 20 && n2.getLong(2) == 20, s"$n2")
+  }
 }
