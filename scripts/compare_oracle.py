@@ -8,7 +8,7 @@ under sorted column order — the driver's documented compare rule.
 
 Usage: python3 scripts/compare_oracle.py <sfDir> <verifyOut> [name ...]
 """
-import sys, json, glob, os, hashlib
+import sys, json, glob, os, hashlib, decimal
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
@@ -26,6 +26,13 @@ oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 def canon(v):
     if v is None:
         return "NULL"
+    # DECIMAL results coerce to float like the driver's pandas-backed
+    # compare does (r15: q_mann_kendall's DECIMAL(38,1) `s` vs the
+    # engine's DOUBLE was green at the driver but red here via the
+    # str(Decimal) path — the oracles are now DOUBLE-cast anyway, this
+    # keeps the dev loop faithful if one slips through again)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         return f"{v:.6g}"
     if isinstance(v, bool):

@@ -5877,7 +5877,7 @@ object PipelineQueries {
         |  round(CASE WHEN l.lam IS NULL THEN cap
         |    ELSE least(l.lam * w, cap) END, 6) AS alloc
         | FROM ann, l)
-        |SELECT src, avail AS avail_tokens, round(w, 6) AS weight,
+        |SELECT src, avail AS avail_tokens, round(CAST(w AS DOUBLE), 6) AS weight,
         | round(cap, 6) AS cap, alloc,
         | round(alloc / avail, 6) AS epochs,
         | alloc = round(cap, 6) AS capped

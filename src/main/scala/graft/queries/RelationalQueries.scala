@@ -5035,7 +5035,7 @@ object RelationalQueries {
         |   CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
         |   CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
         |  FROM events WHERE event_type = 'signup'),
-        |x AS (SELECT n_a, n_b, 0.5 AS expected_a_frac,
+        |x AS (SELECT n_a, n_b, CAST(0.5 AS DOUBLE) AS expected_a_frac,
         |   round(pow(n_a - (n_a + n_b) * 0.5, 2) / ((n_a + n_b) * 0.5)
         |     + pow(n_b - (n_a + n_b) * 0.5, 2) / ((n_a + n_b) * 0.5), 6)
         |     AS chi2 FROM c)
@@ -5255,17 +5255,24 @@ object RelationalQueries {
 
     // Split replayed with the md5-bucket rule; qhat = the
     // ceil((ncal+1)*0.8)-th smallest nonconformity (ORDER BY nc, id
-    // OFFSET k-1); per-slice coverage on the held-out half.
+    // OFFSET k-1); per-slice coverage on the held-out half. The NULL
+    // filter mirrors the engine's __nc.isNotNull exactly (nc is NULL
+    // iff value OR user_id is NULL), and the empty-rank corner
+    // synthesizes qhat = +∞ — the engine's honest infinite interval
+    // when ⌈(ncal+1)(1−α)⌉ > ncal — instead of an empty cross join
+    // returning zero rows (ADVICE r14).
     "q_conformal" ->
       s"""WITH b AS (SELECT event_id AS id, event_type AS grp,
         |    abs(value - CAST(user_id % 100 AS DOUBLE)) AS nc,
         |    ${PipelineQueries.duckHex16("CAST(event_id AS VARCHAR)")} % 1000 < 500 AS coin
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS ncal FROM b WHERE coin),
         |r AS (SELECT nc, row_number() OVER (ORDER BY nc, id) AS rn
         |      FROM b WHERE coin),
-        |q AS (SELECT r.nc AS qhat FROM r, nn
-        |      WHERE r.rn = CAST(ceil((nn.ncal + 1) * 0.8) AS BIGINT)),
+        |q AS (SELECT coalesce(
+        |        (SELECT r.nc FROM r, nn
+        |         WHERE r.rn = CAST(ceil((nn.ncal + 1) * 0.8) AS BIGINT)),
+        |        CAST('infinity' AS DOUBLE)) AS qhat),
         |t AS (SELECT grp, nc FROM b WHERE NOT coin)
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_test,
         | round(avg(CASE WHEN nc <= q.qhat THEN 1.0 ELSE 0.0 END), 6)
@@ -5417,7 +5424,7 @@ object RelationalQueries {
         |               WHEN s < 0 THEN (s + 1) / sqrt(vs)
         |               ELSE 0.0 END END AS z
         |       FROM j)
-        |SELECT k AS key, n, round(s, 6) AS s, round(vs, 6) AS var_s,
+        |SELECT k AS key, n, round(CAST(s AS DOUBLE), 6) AS s, round(vs, 6) AS var_s,
         | round(z, 6) AS z,
         | CASE WHEN n >= 10 AND z IS NOT NULL THEN abs(z) > 1.96 END
         |   AS reject_05
