@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   * analytics queries layered on top (ABC/Pareto, rank-delta movers). */
 object Windows {
 
-  /** Test-only capture of the two-phase rank/cumsum SUB-plans: the r14
-    * boundary-consistency fix materializes `local` behind an eager
-    * checkpoint, which removes the range exchange from the caller's
-    * executedPlan — PlanSpec pins the two-phase shape from these
-    * captures instead. Populated only while `capturePlans` is set. */
+  /** Test-only capture of the two-phase rank/cumsum SUB-plans: the
+    * boundary-consistency fix pins `local` behind an RDD leaf
+    * (GraftColumn.pinned), which removes the range exchange from the
+    * caller's executedPlan — PlanSpec pins the two-phase shape from
+    * these captures instead. Populated only while `capturePlans` is
+    * set. */
   private[graft] val capturePlans =
     new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] val capturedPlans =
@@ -60,24 +61,29 @@ object Windows {
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       out: String = "rn", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")
-    // MATERIALIZED before fanning out (r14 bug fix): `local` feeds both
-    // the offsets rollup and the final join, and without materialization
-    // the two physical instantiations of the range exchange can sample
-    // DIFFERENT boundaries (RangePartitioner's sample seed derives from
-    // the rddId, which differs per instantiation) — offsets computed
-    // under one boundary set joined against local ranks from another
-    // yield silently wrong global ranks. Small fixtures never fire it
-    // (sampling is exhaustive below ~20·partitions rows, so boundaries
-    // are seed-independent), which is how the spec's value-equality
-    // matrix stayed green; q_conformal's rank-4042 read at sf0.01 was
-    // off by 27 until this. localCheckpoint pins ONE partitioning for
-    // both consumers.
+    // PINNED to one physical instantiation before fanning out (r14 bug
+    // fix, r15 cost fix): `local` feeds both the offsets rollup and the
+    // final join, and two separate physical instantiations of the range
+    // exchange can sample DIFFERENT boundaries (RangePartitioner's
+    // sample seed derives from the rddId, which differs per
+    // instantiation) — offsets computed under one boundary set joined
+    // against local ranks from another yield silently wrong global
+    // ranks. Small fixtures never fire it (sampling is exhaustive below
+    // ~20·partitions rows, so boundaries are seed-independent), which is
+    // how the spec's value-equality matrix stayed green; q_conformal's
+    // rank-4042 read at sf0.01 was off by 27 until this. r14 pinned via
+    // eager localCheckpoint — correct but it materialized the whole
+    // ranked frame to executor block storage per call AND truncated
+    // lineage (executor loss ⇒ job restart on a real cluster).
+    // GraftColumn.pinned shares ONE RDD object instead: one
+    // ShuffleDependency, one boundary set, shuffle map outputs reused
+    // across the two consumer jobs, lineage intact, nothing stored.
     val local = {
       val l = ranged(df, order, partitions)
         .withColumn("__wlrn", row_number().over(
           Window.partitionBy(col("__wpid")).orderBy(order: _*)))
       capture(l)
-      l.localCheckpoint(true)
+      org.apache.spark.sql.GraftColumn.pinned(l)
     }
     val offsets = local.groupBy("__wpid")
       .agg(count(lit(1L)).as("__wcnt"))
@@ -115,15 +121,15 @@ object Windows {
     require(values.nonEmpty, "globalCumSums needs at least one value column")
     val w = Window.partitionBy(col("__wpid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialized for the same reason as [[globalRowNumber]]: the
-    // offsets rollup and the final join must read ONE instantiation of
-    // the range exchange, or their boundary sets can differ
+    // pinned for the same reason as [[globalRowNumber]]: the offsets
+    // rollup and the final join must read ONE instantiation of the
+    // range exchange, or their boundary sets can differ
     val local = {
       val l = values.zipWithIndex.foldLeft(ranged(df, order, partitions)) {
         case (d, ((v, _), i)) => d.withColumn(s"__wlcs$i", sum(v).over(w))
       }
       capture(l)
-      l.localCheckpoint(true)
+      org.apache.spark.sql.GraftColumn.pinned(l)
     }
     val woff = Window.orderBy(col("__wpid"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -24,4 +24,31 @@ object GraftColumn {
 
   /** Unwrap a Column to its Catalyst expression. */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Pin a DataFrame to ONE physical instantiation: compile the plan to
+    * its InternalRow RDD once and rewrap that RDD as a leaf relation.
+    *
+    * Why this exists (graft.ops.Windows, VERDICT r14 #4): a DataFrame
+    * consumed by two downstream plans is physically planned TWICE, and
+    * any non-deterministic planning choice — RangePartitioner's sample
+    * seed derives from the rddId, so a `repartitionByRange` can sample
+    * DIFFERENT boundaries per instantiation — silently diverges between
+    * the consumers. Pinning shares one RDD object, hence one
+    * ShuffleDependency and one set of range boundaries, WITHOUT the
+    * costs of the materializing alternatives: no `localCheckpoint`
+    * (which truncates lineage — unrecoverable on executor loss — and
+    * writes every partition to block storage), no `persist` (whose
+    * CacheManager entry outlives the call). Downstream jobs re-use the
+    * pinned RDD's shuffle map outputs (DAGScheduler stage reuse) and
+    * recompute only the post-shuffle narrow stages; executor loss
+    * recovers through ordinary lineage, and the fixed partitioner
+    * object keeps recomputed partitions boundary-consistent.
+    *
+    * Note `toRdd` on an AQE plan finalizes eagerly (intermediate query
+    * stages run at call time), so pin AFTER the frame is fully built. */
+  def pinned(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema)
+  }
 }
