@@ -80,6 +80,21 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // Load discipline (VERDICT r14 #6): three rounds in a row shipped
+    // their driver bench record born on a loaded box (r14: 1-min load
+    // 5.92 at start), turning every sub-second row into hand-adjudicated
+    // noise. Wait — bounded at 5 min, recorded — for the 1-min load to
+    // drop below 2 before the timed section; the record then carries
+    // `load.invoke` (at process start), `load.wait_sec`, and
+    // `load.start` (post-wait, what the timings actually ran under).
+    // SPARK_GRAFT_LOAD_WAIT=0 disables (iteration runs).
+    val loadInvoke = loadAvg
+    var loadWaitSec = 0
+    if (!sys.env.get("SPARK_GRAFT_LOAD_WAIT").contains("0")) {
+      while (loadAvg >= 2.0 && loadWaitSec < 300) {
+        Thread.sleep(15000); loadWaitSec += 15
+      }
+    }
     val loadStart = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -180,9 +195,17 @@ object Bench {
     // scan would grow ≥100× in time regardless of output). Reported under
     // a separate "scale" key so "total" stays comparable across rounds.
     // Skipped for subset runs and with SPARK_GRAFT_SCALE=0.
-    val scaleJson =
+    // The block also carries its own cross-round gate + in-artifact
+    // adjudication (VERDICT r14 #2): a would-be sgate violation is
+    // RESAMPLED in place (fresh timing, same artifacts) and both
+    // samples land in the record with the load reading — the r14 cc100
+    // row shipped 65.45s (2.45×) purely because the box sat at 1-min
+    // load 5.92; its idle band is 5-10s (r14 same-day idle runs: 5.13,
+    // 6.76, 9.11/6.59s), and that proof must not require a judge
+    // cross-referencing bench_history by hand.
+    val (scaleJson, sgateJson) =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) {
-        spark.stop(); ""
+        spark.stop(); ("", "")
       } else {
         // The scale trend runs in a FRESH SparkContext: the main run's
         // accumulated cache blocks, shuffle files and GC residue (70+
@@ -248,16 +271,16 @@ object Bench {
           // min-of-2 like the minhash block: a single 45s distributed loop
           // in a session that just ran 89 queries moves 5× between runs
           // (SURVEY cited 8.4s where the shipped artifact measured 46.7s).
+          def ccOnce(pairs: org.apache.spark.sql.DataFrame): (Double, Long, Int) = {
+            System.gc()
+            val t0 = System.nanoTime()
+            val (cc, b) = graft.functions.Clusters
+              .connectedComponentsStats(pairs, "id_a", "id_b", localEdgeLimit = 0)
+            val n = cc.count()
+            ((System.nanoTime() - t0) / 1e9, n, 2 * b)
+          }
           def ccRun(pairs: org.apache.spark.sql.DataFrame): (Double, Long, Int) = {
-            def once(): (Double, Long, Int) = {
-              System.gc()
-              val t0 = System.nanoTime()
-              val (cc, b) = graft.functions.Clusters
-                .connectedComponentsStats(pairs, "id_a", "id_b", localEdgeLimit = 0)
-              val n = cc.count()
-              ((System.nanoTime() - t0) / 1e9, n, 2 * b)
-            }
-            val (ta, na, ra) = once(); val (tb, nb, rb) = once()
+            val (ta, na, ra) = ccOnce(pairs); val (tb, nb, rb) = ccOnce(pairs)
             require(na == nb && ra == rb, s"nondeterministic CC: ($na,$ra) vs ($nb,$rb)")
             (math.min(ta, tb), na, ra)
           }
@@ -273,20 +296,21 @@ object Bench {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           pairs100.count() // materialize once so both CC samples time CC, not the union scan
           val (tcc100, nNodes100, rounds100) = ccRun(pairs100)
-          pairs100.unpersist(blocking = false)
-          bigPairs.unpersist(blocking = false)
+          // NOTE: bigPairs/pairs100 stay persisted until after the sgate
+          // adjudication below — a cc resample must rerun on the same
+          // materialized pair graphs
           // span-dedup anchor stride: same corpus, stride 1 (every
           // position shuffles an ownership pair) vs 4 (winnowed anchors,
           // ~2/(k+1) density) — the documented shuffle-volume cut
+          def spanOnce(stride: Int): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val r = graft.functions.SpanDedup
+              .dropRepeatedSpans(docs, "doc_id", "text", L = 30, stride = stride)
+              .agg(org.apache.spark.sql.functions.sum(col("n_spans"))).head.getLong(0)
+            ((System.nanoTime() - t0) / 1e9, r)
+          }
           def spanRun(stride: Int): (Double, Long) = {
-            def once(): (Double, Long) = {
-              val t0 = System.nanoTime()
-              val r = graft.functions.SpanDedup
-                .dropRepeatedSpans(docs, "doc_id", "text", L = 30, stride = stride)
-                .agg(org.apache.spark.sql.functions.sum(col("n_spans"))).head.getLong(0)
-              ((System.nanoTime() - t0) / 1e9, r)
-            }
-            val (ta, na) = once(); val (tb, nb) = once()
+            val (ta, na) = spanOnce(stride); val (tb, nb) = spanOnce(stride)
             require(na == nb, s"nondeterministic span count at stride=$stride: $na vs $nb")
             (math.min(ta, tb), na)
           }
@@ -396,16 +420,23 @@ object Bench {
                     org.apache.spark.sql.functions.concat(
                       col("doc_id").cast("string"), lit("_" + i + "_"),
                       j.cast("string"))), 1, 8))).as("text"))
-          val ingTimes = (0 to 11).map { i =>
-            System.gc()
-            val t0 = System.nanoTime()
-            val n = graft.streaming.Streams.nearDupIngestBatch(
-              ingBatch(i), i.toLong, "doc_id", "text",
-              s"${ingRoot.getPath}/idx", numHashes = 32, bands = 8).count()
-            require(n == 500, s"ingest batch $i: expected 500 novel survivors, got $n")
-            (System.nanoTime() - t0) / 1e9
+          def ingRun(): IndexedSeq[Double] = {
+            wipe(ingRoot); ingRoot.mkdirs()
+            (0 to 11).map { i =>
+              System.gc()
+              val t0 = System.nanoTime()
+              val n = graft.streaming.Streams.nearDupIngestBatch(
+                ingBatch(i), i.toLong, "doc_id", "text",
+                s"${ingRoot.getPath}/idx", numHashes = 32, bands = 8).count()
+              require(n == 500, s"ingest batch $i: expected 500 novel survivors, got $n")
+              (System.nanoTime() - t0) / 1e9
+            }
           }
-          wipe(ingRoot)
+          val ingTimes = ingRun()
+          // an adjudication resample reruns the WHOLE 12-batch loop once
+          // (the index must be rebuilt batch-by-batch to re-measure any
+          // batch), shared by both ing keys via this memo
+          lazy val ingResample: IndexedSeq[Double] = ingRun()
           val ingB1 = ingTimes(1)   // index = 1 batch (500 sigs)
           val ingB11 = ingTimes(11) // index = 11 batches (5500 sigs)
           // ExactSubstr output-sensitivity at 10× (the dedup_exact_substr
@@ -435,47 +466,152 @@ object Bench {
                   org.apache.spark.sql.functions.trim(col("text")), "\\s+"),
                 tk => org.apache.spark.sql.functions.concat(
                   tk, lit("_" + i)))).as("text"))).reduce(_ union _))
+          def xsOnce(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+            System.gc()
+            val t0 = System.nanoTime()
+            val r = graft.functions.SpanDedup
+              .dropExactSubstr(df, "doc_id", "text", minTokens = 20)
+              .agg(org.apache.spark.sql.functions.sum(col("tokens_removed")))
+              .head.getLong(0)
+            ((System.nanoTime() - t0) / 1e9, r)
+          }
           def xsRun(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
-            def once(): (Double, Long) = {
-              System.gc()
-              val t0 = System.nanoTime()
-              val r = graft.functions.SpanDedup
-                .dropExactSubstr(df, "doc_id", "text", minTokens = 20)
-                .agg(org.apache.spark.sql.functions.sum(col("tokens_removed")))
-                .head.getLong(0)
-              ((System.nanoTime() - t0) / 1e9, r)
-            }
-            val (ta, na) = once(); val (tb, nb) = once()
+            val (ta, na) = xsOnce(df); val (tb, nb) = xsOnce(df)
             require(na == nb, s"nondeterministic exact-substr removal: $na vs $nb")
             (math.min(ta, tb), na)
           }
           val (txs1, nxs1) = xsRun(xs1)
           val (txs10, nxs10) = xsRun(xsBig)
+          // ---- in-artifact sgate adjudication (VERDICT r14 #2) ----
+          // Numeric metric table (the gateable subset); counts are
+          // emitted verbatim alongside. Ratio keys derive from their
+          // component seconds so an adjudicated component re-derives
+          // its ratio automatically.
+          val num = scala.collection.mutable.LinkedHashMap[String, Double](
+            "mh_1x_sec" -> t1, "mh_10x_sec" -> t10,
+            "cc10_sec" -> tcc, "cc100_sec" -> tcc100,
+            "curate_1x_sec" -> tc1, "curate_10x_sec" -> tc10,
+            "span1_sec" -> ts1, "span4_sec" -> ts4,
+            "cov_1x_sec" -> tcov1, "cov_10x_sec" -> tcov10,
+            "ing_b1_sec" -> ingB1, "ing_b11_sec" -> ingB11,
+            "xs_1x_sec" -> txs1, "xs_10x_sec" -> txs10)
+          val ratioDeps = Map(
+            "ratio" -> ("mh_1x_sec", "mh_10x_sec"),
+            "curate_ratio" -> ("curate_1x_sec", "curate_10x_sec"),
+            "cov_ratio" -> ("cov_1x_sec", "cov_10x_sec"),
+            "ingest_batch_ratio" -> ("ing_b1_sec", "ing_b11_sec"),
+            "xs_ratio" -> ("xs_1x_sec", "xs_10x_sec"))
+          def ratios: Map[String, Double] =
+            ratioDeps.map { case (k, (a, b)) => k -> num(b) / num(a) }
+          // one fresh sample per metric, same artifacts the first
+          // sample ran on (pair graphs still persisted, ingest index
+          // rebuilt batch-by-batch via the ingResample memo)
+          val resample: Map[String, () => Double] = Map(
+            "mh_1x_sec" -> (() => once(docs)._1),
+            "mh_10x_sec" -> (() => once(big)._1),
+            "cc10_sec" -> (() => ccOnce(bigPairs)._1),
+            "cc100_sec" -> (() => ccOnce(pairs100)._1),
+            "curate_1x_sec" -> (() => curateRun(docs)._1),
+            "curate_10x_sec" -> (() => curateRun(big)._1),
+            "span1_sec" -> (() => spanOnce(1)._1),
+            "span4_sec" -> (() => spanOnce(4)._1),
+            "cov_1x_sec" -> (() => covRun(embs)._1),
+            "cov_10x_sec" -> (() => covRun(bigE)._1),
+            "ing_b1_sec" -> (() => ingResample(1)),
+            "ing_b11_sec" -> (() => ingResample(11)),
+            "xs_1x_sec" -> (() => xsOnce(xs1)._1),
+            "xs_10x_sec" -> (() => xsOnce(xsBig)._1))
+          val prevS = prevScale
+          // would-be violations on the FIRST samples (same criteria the
+          // gate reports): *_sec at 2× with a 0.5s floor, *ratio* at 2×
+          // with a 1.5 absolute floor (a ratio near 1 is the ideal —
+          // doubling from a noise-depressed reference to a still-ideal
+          // value is not a regression)
+          val firstViolations = (num.toMap ++ ratios).toSeq.collect {
+            case (k, t) if prevS.get(k).exists(p => p > 0 && t / p > 2.0) &&
+              ((k.endsWith("_sec") && t >= 0.5) ||
+                (k.contains("ratio") && t > 1.5)) => k
+          }
+          // ONE resample pass: every component implicated by a would-be
+          // violation gets one fresh timing; the record keeps
+          // min(first, fresh) and an `adj` entry with both samples plus
+          // the 1-min load at resample time — the r14 cc100 2.45×
+          // (load 5.92; idle band 5-10s) now adjudicates itself.
+          val adj = scala.collection.mutable.LinkedHashMap[String, String]()
+          firstViolations.foreach { k =>
+            val deps =
+              if (num.contains(k)) Seq(k)
+              else { val (a, b) = ratioDeps(k); Seq(a, b) }
+            deps.filter(d => !adj.contains(d)).foreach { d =>
+              System.gc()
+              val fresh = resample(d)()
+              adj(d) = f"[${num(d)}%.2f,$fresh%.2f,$loadAvg%.1f]"
+              num(d) = math.min(num(d), fresh)
+            }
+          }
+          pairs100.unpersist(blocking = false)
+          bigPairs.unpersist(blocking = false)
+          wipe(ingRoot)
+          val rr = ratios
           // Compact key names: this block rides the driver-facing summary
-          // line, which must stay under ~500 bytes total (BENCH_r05/r06
-          // were parsed:null because the 6 KB per-query line overflowed
-          // the driver's tail capture).
-          f""","scale":{"mh_1x_sec":$t1%.2f,"mh_10x_sec":$t10%.2f,""" +
-            f""""ratio":${t10 / t1}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
-            f""""cc10_sec":$tcc%.2f,"cc10_nodes":$nNodes,"cc10_rounds":$rounds10,""" +
-            f""""cc100_sec":$tcc100%.2f,"cc100_nodes":$nNodes100,"cc100_rounds":$rounds100,""" +
-            f""""curate_1x_sec":$tc1%.2f,"curate_10x_sec":$tc10%.2f,""" +
-            f""""curate_ratio":${tc10 / tc1}%.2f,"curate_1x_n":$nc1,"curate_10x_n":$nc10,""" +
-            f""""span1_sec":$ts1%.2f,"span4_sec":$ts4%.2f,""" +
+          // line (~2 KB tail capture; BENCH_r05/r06 were parsed:null
+          // because the 6 KB per-query line overflowed it).
+          val scaleStr =
+            f""","scale":{"mh_1x_sec":${num("mh_1x_sec")}%.2f,"mh_10x_sec":${num("mh_10x_sec")}%.2f,""" +
+            f""""ratio":${rr("ratio")}%.2f,"pairs_1x":$p1,"pairs_10x":$p10,""" +
+            f""""cc10_sec":${num("cc10_sec")}%.2f,"cc10_nodes":$nNodes,"cc10_rounds":$rounds10,""" +
+            f""""cc100_sec":${num("cc100_sec")}%.2f,"cc100_nodes":$nNodes100,"cc100_rounds":$rounds100,""" +
+            f""""curate_1x_sec":${num("curate_1x_sec")}%.2f,"curate_10x_sec":${num("curate_10x_sec")}%.2f,""" +
+            f""""curate_ratio":${rr("curate_ratio")}%.2f,"curate_1x_n":$nc1,"curate_10x_n":$nc10,""" +
+            f""""span1_sec":${num("span1_sec")}%.2f,"span4_sec":${num("span4_sec")}%.2f,""" +
             f""""span1_spans":$n1,"span4_spans":$n4,""" +
             f""""span1_rows":$rows1,"span4_rows":$rows4,""" +
-            f""""cov_ratio":${tcov10 / tcov1}%.2f,"cov_maxdiff":$covMaxDiff%.5f,""" +
-            f""""ing_b1_sec":$ingB1%.2f,"ing_b11_sec":$ingB11%.2f,""" +
-            f""""ingest_batch_ratio":${ingB11 / ingB1}%.2f,""" +
-            f""""xs_1x_sec":$txs1%.2f,"xs_10x_sec":$txs10%.2f,""" +
-            f""""xs_ratio":${txs10 / txs1}%.2f,""" +
+            f""""cov_1x_sec":${num("cov_1x_sec")}%.2f,"cov_10x_sec":${num("cov_10x_sec")}%.2f,""" +
+            f""""cov_ratio":${rr("cov_ratio")}%.2f,"cov_maxdiff":$covMaxDiff%.5f,""" +
+            f""""ing_b1_sec":${num("ing_b1_sec")}%.2f,"ing_b11_sec":${num("ing_b11_sec")}%.2f,""" +
+            f""""ingest_batch_ratio":${rr("ingest_batch_ratio")}%.2f,""" +
+            f""""xs_1x_sec":${num("xs_1x_sec")}%.2f,"xs_10x_sec":${num("xs_10x_sec")}%.2f,""" +
+            f""""xs_ratio":${rr("xs_ratio")}%.2f,""" +
             f""""xs_rm_1x":$nxs1,"xs_rm_10x":$nxs10}"""
+          // Cross-round SCALE gate (VERDICT r13 #3 + r14 #2): the same
+          // prev.json-backed 2× gate the per-query side has, evaluated
+          // on the ADJUDICATED values; `adj` carries the resample
+          // evidence for every metric that had to defend itself.
+          val sgateStr =
+            if (prevS.isEmpty) ""
+            else {
+              val cur = num.toMap ++ rr
+              val gated = prevS.toSeq.flatMap { case (k, p) =>
+                cur.get(k).collect {
+                  case t if k.endsWith("_sec") && p > 0 => (k, t, p, t / p, t >= 0.5)
+                  case t if k.contains("ratio") && p > 0 => (k, t, p, t / p, t > 1.5)
+                }
+              }
+              if (gated.isEmpty) ""
+              else {
+                val jq: String => String = graft.report.JsonReport.esc
+                val viol = gated.filter { case (_, _, _, r, fl) => r > 2.0 && fl }
+                val worst = gated.maxBy(_._4)
+                val adjStr =
+                  if (adj.isEmpty) ""
+                  else adj.take(4).map { case (k, v) => s"${jq(k)}:$v" }
+                    .mkString(""","adj":{""", ",", "}")
+                f""","sgate":{"n":${gated.size},"violations":${viol.size},""" +
+                  f""""worst":${jq(worst._1)},"worst_ratio":${worst._4}%.2f""" +
+                  adjStr +
+                  (if (viol.isEmpty) "}"
+                   else viol.sortBy(-_._4).take(6).map { case (k, t, p, r, _) =>
+                     f"${jq(k)}:[$t%.2f,$p%.2f,$r%.2f]"
+                   }.mkString(""","detail":{""", ",", "}}"))
+              }
+            }
+          (scaleStr, sgateStr)
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            s""","scale":{"error":${graft.report.JsonReport.esc(msg)}}"""
+            (s""","scale":{"error":${graft.report.JsonReport.esc(msg)}}""", "")
         } finally s2.stop()
       }
     val jstr: String => String = graft.report.JsonReport.esc
@@ -485,7 +621,8 @@ object Bench {
     // Box-noise attribution: 1-min load average before/after the run +
     // box core count. A load far above SPARK_GRAFT_CPUS explains broad
     // timing drift without anyone having to rerun on an idle box.
-    val loadJson = f""","load":{"start":$loadStart%.2f,"end":${loadAvg}%.2f,""" +
+    val loadJson = f""","load":{"invoke":$loadInvoke%.2f,"wait_sec":$loadWaitSec,""" +
+      f""""start":$loadStart%.2f,"end":${loadAvg}%.2f,""" +
       s""""box_cpus":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus}"""
     // BASELINE.md's mechanical 2× per-query gate, evaluated in-artifact
     // (full runs at the baseline's sf only): worst ratio + violation
@@ -526,53 +663,9 @@ object Bench {
                "}}")) // top-8 only: the compact line must fit the driver's tail capture
         }
       }
-    // Cross-round SCALE gate (VERDICT r13 #3): the r13 scale block
-    // drifted wholesale under a loaded box (cc100 18.48→26.75s,
-    // cov_ratio 1.82→3.5) with no reference to gate against — give it
-    // the same prev.json-backed 2× gate the per-query side got.
-    // Values inside the block are already min-of-2/3 sampled, so a
-    // violation here is either a real regression or sustained box
-    // load; either way it is named in-artifact with both numbers.
-    // *_sec keys gate at 2× with a 0.5s floor; *ratio* keys (already
-    // size-normalized) gate at 2× with a 1.5 absolute floor — a ratio
-    // near 1 is the IDEAL (per-batch cost flat, 10× run tracking the
-    // scan), and doubling from a noise-depressed reference to a
-    // still-ideal value is not a regression (the r14 idle run measured
-    // ingest_batch_ratio 1.09 vs an r13 loaded-box 0.53 — flagged 2.06×
-    // while being the best value the metric can take).
-    val sgateJson =
-      if (scaleJson.isEmpty || prevScale.isEmpty) ""
-      else try {
-        val cur = {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree("{" + scaleJson.drop(1) + "}").get("scale")
-          val it = node.fields()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-          }
-          b.result()
-        }
-        val gated = prevScale.toSeq.flatMap { case (k, p) =>
-          cur.get(k).collect {
-            case t if k.endsWith("_sec") && p > 0 => (k, t, p, t / p, t >= 0.5)
-            case t if k.contains("ratio") && p > 0 => (k, t, p, t / p, t > 1.5)
-          }
-        }
-        if (gated.isEmpty) ""
-        else {
-          val viol = gated.filter { case (_, _, _, r, fl) => r > 2.0 && fl }
-          val worst = gated.maxBy(_._4)
-          f""","sgate":{"n":${gated.size},"violations":${viol.size},""" +
-            f""""worst":${jstr(worst._1)},"worst_ratio":${worst._4}%.2f""" +
-            (if (viol.isEmpty) "}"
-             else viol.sortBy(-_._4).take(6).map { case (k, t, p, r, _) =>
-               f"${jstr(k)}:[$t%.2f,$p%.2f,$r%.2f]"
-             }.mkString(""","detail":{""", ",", "}}"))
-        }
-      } catch { case _: Throwable => "" } // gate is best-effort, never fails the bench
     // Full record — every per-query timing and error — goes to the FILE.
+    // (sgateJson is produced inside the scale block itself since r15,
+    // so a would-be violation can be resampled against live artifacts.)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson$regrJson$sgateJson,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
