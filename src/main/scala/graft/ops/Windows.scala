@@ -61,31 +61,38 @@ object Windows {
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       out: String = "rn", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one order column")
-    // PINNED to one physical instantiation before fanning out (r14 bug
-    // fix, r15 cost fix): `local` feeds both the offsets rollup and the
-    // final join, and two separate physical instantiations of the range
-    // exchange can sample DIFFERENT boundaries (RangePartitioner's
-    // sample seed derives from the rddId, which differs per
-    // instantiation) — offsets computed under one boundary set joined
-    // against local ranks from another yield silently wrong global
-    // ranks. Small fixtures never fire it (sampling is exhaustive below
-    // ~20·partitions rows, so boundaries are seed-independent), which is
-    // how the spec's value-equality matrix stayed green; q_conformal's
-    // rank-4042 read at sf0.01 was off by 27 until this. r14 pinned via
-    // eager localCheckpoint — correct but it materialized the whole
-    // ranked frame to executor block storage per call AND truncated
-    // lineage (executor loss ⇒ job restart on a real cluster).
-    // GraftColumn.pinned shares ONE RDD object instead: one
-    // ShuffleDependency, one boundary set, shuffle map outputs reused
-    // across the two consumer jobs, lineage intact, nothing stored.
-    val local = {
-      val l = ranged(df, order, partitions)
-        .withColumn("__wlrn", row_number().over(
-          Window.partitionBy(col("__wpid")).orderBy(order: _*)))
-      capture(l)
-      org.apache.spark.sql.GraftColumn.pinned(l)
+    // The RANGED frame is PINNED to one physical instantiation before
+    // fanning out (r14 bug fix, r15 cost fix): both consumers — the
+    // offsets rollup and the ranked side of the final join — must see
+    // the SAME range partitioning, and two separate physical
+    // instantiations of the range exchange can sample DIFFERENT
+    // boundaries (RangePartitioner's sample seed derives from the
+    // rddId, which differs per instantiation) — offsets computed under
+    // one boundary set joined against local ranks from another yield
+    // silently wrong global ranks. Small fixtures never fire it
+    // (sampling is exhaustive below ~20·partitions rows, so boundaries
+    // are seed-independent), which is how the spec's value-equality
+    // matrix stayed green for 13 rounds; q_conformal's rank-4042 read
+    // at sf0.01 was off by 27 until r14. The r14 fix localCheckpointed
+    // the whole RANKED frame — correct, but it materialized the corpus
+    // to executor block storage per call AND truncated lineage
+    // (executor loss ⇒ job restart on a real cluster). r15:
+    // GraftColumn.pinned shares ONE RDD object instead (one
+    // ShuffleDependency, one boundary set, lineage intact, nothing
+    // stored), and the offsets rollup reads the PRE-window ranged frame
+    // — per-partition counts don't need ranks — so the window itself
+    // has exactly one consumer and runs exactly once.
+    val wloc = Window.partitionBy(col("__wpid")).orderBy(order: _*)
+    val pr = {
+      val r = ranged(df, order, partitions)
+      // test-only: the captured sub-plan must show the range exchange
+      // (the pin hides it from every consumer plan behind an RDD leaf)
+      if (capturePlans.get)
+        capture(r.withColumn("__wlrn", row_number().over(wloc)))
+      org.apache.spark.sql.GraftColumn.pinned(r)
     }
-    val offsets = local.groupBy("__wpid")
+    val local = pr.withColumn("__wlrn", row_number().over(wloc))
+    val offsets = pr.groupBy("__wpid")
       .agg(count(lit(1L)).as("__wcnt"))
       .withColumn("__woff", coalesce(sum(col("__wcnt")).over(
           Window.orderBy(col("__wpid"))
@@ -121,22 +128,26 @@ object Windows {
     require(values.nonEmpty, "globalCumSums needs at least one value column")
     val w = Window.partitionBy(col("__wpid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pinned for the same reason as [[globalRowNumber]]: the offsets
-    // rollup and the final join must read ONE instantiation of the
-    // range exchange, or their boundary sets can differ
-    val local = {
-      val l = values.zipWithIndex.foldLeft(ranged(df, order, partitions)) {
-        case (d, ((v, _), i)) => d.withColumn(s"__wlcs$i", sum(v).over(w))
+    // pinned for the same reason as [[globalRowNumber]], and likewise
+    // the offsets rollup reads the PRE-window ranged frame (per-
+    // partition totals don't need the running sums), so the window has
+    // one consumer and runs once
+    def localized(d: DataFrame): DataFrame =
+      values.zipWithIndex.foldLeft(d) {
+        case (acc, ((v, _), i)) => acc.withColumn(s"__wlcs$i", sum(v).over(w))
       }
-      capture(l)
-      org.apache.spark.sql.GraftColumn.pinned(l)
+    val pr = {
+      val r = ranged(df, order, partitions)
+      if (capturePlans.get) capture(localized(r))
+      org.apache.spark.sql.GraftColumn.pinned(r)
     }
+    val local = localized(pr)
     val woff = Window.orderBy(col("__wpid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totals = values.zipWithIndex
       .map { case ((v, _), i) => sum(v).as(s"__wtot$i") }
     val offsets = values.indices.foldLeft(
-        local.groupBy("__wpid").agg(totals.head, totals.tail: _*)) {
+        pr.groupBy("__wpid").agg(totals.head, totals.tail: _*)) {
         (d, i) => d.withColumn(s"__woff$i", sum(col(s"__wtot$i")).over(woff))
       }
       .select(col("__wpid") +: values.indices.map(i => col(s"__woff$i")): _*)
