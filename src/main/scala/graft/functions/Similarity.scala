@@ -239,36 +239,49 @@ object Similarity {
     *
     * where avgᵏ is the mean cosine of the k nearest neighbors in the
     * OTHER corpus — normalizing by neighborhood density kills the
-    * hubness failure of raw-cosine mining. Keeps each x's best-margin y
-    * with rounded-margin > `minMargin` (rounded comparisons + id
-    * tie-breaks keep selection deterministic across engines).
+    * hubness failure of raw-cosine mining. Candidates are each x's
+    * k-NN in Y (the retrieve-then-margin recipe — the margin re-ranks
+    * the retrieved neighborhood); each x keeps its best-margin
+    * candidate with rounded-margin > `minMargin` (rounded comparisons
+    * + id tie-breaks keep selection deterministic across engines).
     *
-    * This is the EXACT variant: one broadcast cross-score of the two
-    * corpora (materialized once, reused for both direction averages and
-    * the margin join). At billion-vector scale, swap the cross-score for
-    * ANN candidates (annSelfJoin / IvfPq.search over the union) — the
-    * margin algebra downstream is unchanged. */
+    * Scale shape (r15 — the sf1 record caught the previous version at
+    * 171× the sf0.1 time): the |X|·|Y| cosine matrix is STREAMED, never
+    * stored — the old variant localCheckpointed all |X|·|Y| scored rows
+    * (100M rows ⇒ 529s at sf1, bench_history/sf1_20260816_170051) and
+    * ran three windows plus a margin join over the materialized matrix.
+    * Now each direction is one broadcast scan whose per-id top-k is cut
+    * map-side (WindowGroupLimit), so shuffles only ever carry ≤
+    * k·(ids·partitions) rows, and the margin join touches k·|X|
+    * candidate rows. At billion-vector scale, swap the broadcast scans
+    * for ANN candidates (annSelfJoin / IvfPq.search over the union) —
+    * the margin algebra downstream is unchanged. */
   def marginBitextPairs(xs: DataFrame, xidCol: String, xvecCol: String,
       ys: DataFrame, yidCol: String, yvecCol: String,
       k: Int, minMargin: Double, scoreDp: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val scored = xs.crossJoin(broadcast(ys))
+    def pairs = xs.crossJoin(broadcast(ys))
       .select(col(xidCol).as("xid"), col(yidCol).as("yid"),
         GraftFunctions.cosineSim(col(xvecCol), col(yvecCol)).as("cos"))
-      .localCheckpoint(true) // read 3×: both direction averages + margin join
-    def nnAvg(idCol: String, otherCol: String, out: String) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(round(col("cos"), scoreDp).desc, col(otherCol))
-      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
-        .groupBy(idCol).agg(avg("cos").as(out))
-    }
-    val m = scored
-      .join(nnAvg("xid", "yid", "ax"), "xid")
-      .join(nnAvg("yid", "xid", "ay"), "yid")
-      .withColumn("margin", col("cos") / ((col("ax") + col("ay")) / 2))
+    val wx = Window.partitionBy(col("xid"))
+      .orderBy(round(col("cos"), scoreDp).desc, col("yid"))
+    val wy = Window.partitionBy(col("yid"))
+      .orderBy(round(col("cos"), scoreDp).desc, col("xid"))
+    // forward k-NN: the candidate set AND x's neighborhood average ride
+    // these k·|X| rows; materialized (tiny) so the matrix scan is not
+    // re-run for the second consumer
+    val fwd = pairs.withColumn("__rk", row_number().over(wx))
+      .where(col("__rk") <= k).select(col("xid"), col("yid"), col("cos"))
+      .localCheckpoint(true)
+    val ax = fwd.groupBy("xid").agg(avg("cos").as("ax"))
+    val ay = pairs.withColumn("__rk", row_number().over(wy))
+      .where(col("__rk") <= k)
+      .groupBy("yid").agg(avg("cos").as("ay"))
     val best = Window.partitionBy(col("xid"))
       .orderBy(round(col("margin"), scoreDp).desc, col("yid"))
-    m.withColumn("__rk", row_number().over(best))
+    fwd.join(ax, "xid").join(ay, "yid")
+      .withColumn("margin", col("cos") / ((col("ax") + col("ay")) / 2))
+      .withColumn("__rk", row_number().over(best))
       .where(col("__rk") === 1 && round(col("margin"), scoreDp) > minMargin)
       .select(col("xid"), col("yid"), col("margin"))
   }

@@ -7637,6 +7637,8 @@ object PipelineQueries {
 
     // Full margin restatement: cross cosine table, per-side top-4
     // neighborhood averages, ratio margin, best partner per source.
+    // retrieve-then-margin (engine parity, r15): candidates = x's 4-NN
+    // in Y; the margin re-ranks the retrieved neighborhood
     "sim_bitext" ->
       """WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |           WHERE label % 2 = 0),
@@ -7644,16 +7646,17 @@ object PipelineQueries {
         |      WHERE label % 2 = 1),
         |c AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
         |       list_cosine_similarity(x.v, y.v) AS cos FROM x, y),
-        |fx AS (SELECT xid, avg(cos) AS ax FROM (
+        |f AS (SELECT xid, yid, cos FROM (
         |        SELECT c.*, row_number() OVER (PARTITION BY xid
         |          ORDER BY round(cos, 6) DESC, yid) AS rk FROM c)
-        |       WHERE rk <= 4 GROUP BY xid),
+        |      WHERE rk <= 4),
+        |fx AS (SELECT xid, avg(cos) AS ax FROM f GROUP BY xid),
         |fy AS (SELECT yid, avg(cos) AS ay FROM (
         |        SELECT c.*, row_number() OVER (PARTITION BY yid
         |          ORDER BY round(cos, 6) DESC, xid) AS rk FROM c)
         |       WHERE rk <= 4 GROUP BY yid),
-        |m AS (SELECT c.xid, c.yid, c.cos / ((fx.ax + fy.ay) / 2) AS margin
-        |      FROM c JOIN fx USING (xid) JOIN fy USING (yid)),
+        |m AS (SELECT f.xid, f.yid, f.cos / ((fx.ax + fy.ay) / 2) AS margin
+        |      FROM f JOIN fx USING (xid) JOIN fy USING (yid)),
         |best AS (SELECT * FROM (
         |          SELECT m.*, row_number() OVER (PARTITION BY xid
         |            ORDER BY round(margin, 6) DESC, yid) AS rk FROM m)
