@@ -260,7 +260,14 @@ object Similarity {
       ys: DataFrame, yidCol: String, yvecCol: String,
       k: Int, minMargin: Double, scoreDp: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def pairs = xs.crossJoin(broadcast(ys))
+    // the matrix scan's parallelism is the X side's partition count —
+    // a source read of few parquet files would otherwise run |X|·|Y|
+    // cosines on a handful of tasks (r15: the 2-file embeddings table
+    // put sf1's 100M cosines on 2 tasks); a round-robin exchange of the
+    // (small, pre-product) X rows is noise next to the scan it unlocks
+    val xr = xs.repartition(
+      xs.sparkSession.sessionState.conf.numShufflePartitions)
+    def pairs = xr.crossJoin(broadcast(ys))
       .select(col(xidCol).as("xid"), col(yidCol).as("yid"),
         GraftFunctions.cosineSim(col(xvecCol), col(yvecCol)).as("cos"))
     val wx = Window.partitionBy(col("xid"))
