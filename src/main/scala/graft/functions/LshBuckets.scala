@@ -38,6 +38,12 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // zero-norm input → NULL regardless of children's nullability (the
+  // Divide convention). Without this, non-nullable array children make
+  // nullSafeCodeGen render `ev.isNull` as the literal `false` and the
+  // generated `false = true;` is a Java compile error — which silently
+  // drops the whole stage back to interpreted execution.
+  override def nullable: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true

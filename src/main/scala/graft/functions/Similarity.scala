@@ -245,21 +245,38 @@ object Similarity {
     * candidate with rounded-margin > `minMargin` (rounded comparisons
     * + id tie-breaks keep selection deterministic across engines).
     *
-    * Scale shape (r15 — the sf1 record caught the previous version at
-    * 171× the sf0.1 time): the |X|·|Y| cosine matrix is STREAMED, never
-    * stored — the old variant localCheckpointed all |X|·|Y| scored rows
-    * (100M rows ⇒ 529s at sf1, bench_history/sf1_20260816_170051) and
-    * ran three windows plus a margin join over the materialized matrix.
-    * Now each direction is one broadcast scan whose per-id top-k is cut
-    * map-side (WindowGroupLimit), so shuffles only ever carry ≤
-    * k·(ids·partitions) rows, and the margin join touches k·|X|
-    * candidate rows. At billion-vector scale, swap the broadcast scans
-    * for ANN candidates (annSelfJoin / IvfPq.search over the union) —
-    * the margin algebra downstream is unchanged. */
+    * Scale shape (r16): the |X|·|Y| cosine matrix is scanned ONCE and
+    * never stored. Each scored pair is emitted under both roles
+    * (forward: grouped by xid; backward: grouped by yid — the cosine is
+    * computed once, in the projection below the explode), so a single
+    * window over (role, group-id) cuts BOTH direction top-k lists
+    * map-side (WindowGroupLimit) in the same scan; r15 ran the cross
+    * scan twice, once per direction
+    * (bench_history/sf1_20260816_184059 measured the two-scan shape at
+    * 82.8s under load). Shuffles only ever carry ≤ k·(ids·partitions)
+    * cut rows, and the margin join touches k·|X| candidate rows.
+    *
+    * Above `annPairThreshold` candidate pairs (default 16M — sf0.1's
+    * 1M-pair corpus stays exact, sf1's 100M-pair corpus switches) the
+    * brute scan is replaced by IVF cell candidates
+    * ([[marginBitextPairsAnn]], nLists ≈ √n) — identical margin algebra
+    * downstream, near-linear candidate cost; pass `annPairThreshold = 0`
+    * to force the exact scan. The id columns of the two sides must
+    * share a data type (they interleave in one role-tagged stream). */
   def marginBitextPairs(xs: DataFrame, xidCol: String, xvecCol: String,
       ys: DataFrame, yidCol: String, yvecCol: String,
-      k: Int, minMargin: Double, scoreDp: Int = 6): DataFrame = {
+      k: Int, minMargin: Double, scoreDp: Int = 6,
+      annPairThreshold: Long = 16L * 1000 * 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    if (annPairThreshold > 0) {
+      val nx = xs.count(); val ny = ys.count()
+      if (nx > 0 && ny > 0 && nx > annPairThreshold / ny) {
+        val nLists = math.max(16, math.ceil(math.sqrt((nx + ny).toDouble)).toInt)
+        return marginBitextPairsAnn(xs, xidCol, xvecCol, ys, yidCol, yvecCol,
+          k, minMargin, scoreDp, nLists = nLists,
+          nProbe = math.max(4, nLists / 8))
+      }
+    }
     // the matrix scan's parallelism is the X side's partition count —
     // a source read of few parquet files would otherwise run |X|·|Y|
     // cosines on a handful of tasks (r15: the 2-file embeddings table
@@ -267,23 +284,126 @@ object Similarity {
     // (small, pre-product) X rows is noise next to the scan it unlocks
     val xr = xs.repartition(
       xs.sparkSession.sessionState.conf.numShufflePartitions)
-    def pairs = xr.crossJoin(broadcast(ys))
+    val pairs = xr.crossJoin(broadcast(ys))
       .select(col(xidCol).as("xid"), col(yidCol).as("yid"),
         GraftFunctions.cosineSim(col(xvecCol), col(yvecCol)).as("cos"))
-    val wx = Window.partitionBy(col("xid"))
-      .orderBy(round(col("cos"), scoreDp).desc, col("yid"))
-    val wy = Window.partitionBy(col("yid"))
-      .orderBy(round(col("cos"), scoreDp).desc, col("xid"))
-    // forward k-NN: the candidate set AND x's neighborhood average ride
-    // these k·|X| rows; materialized (tiny) so the matrix scan is not
-    // re-run for the second consumer
-    val fwd = pairs.withColumn("__rk", row_number().over(wx))
-      .where(col("__rk") <= k).select(col("xid"), col("yid"), col("cos"))
+    cutAndMargin(doubleRoles(pairs), k, minMargin, scoreDp)
+  }
+
+  /** ANN variant of [[marginBitextPairs]] — the billion-vector shape:
+    * candidates come from shared IVF cells instead of the full cross
+    * scan. ONE coarse quantizer is trained over the union of both sides
+    * (one bounded sampling job, seeded — [[Ivf.clusterAssign]]'s
+    * protocol); every vector probes its `nProbe` nearest of `nLists`
+    * cells and meets the OTHER side's members there, so both direction
+    * candidate sets come from a single list-id EQUI-join
+    * (≈ nProbe/nLists of the matrix, never all-pairs), and the margin
+    * algebra downstream is byte-identical to the exact path. With
+    * `nProbe = nLists` every cell is probed and the result equals the
+    * exact scan (the structural anchor `sim_bitext_ann`'s oracle
+    * leans on); recall/cost trades off via nProbe with no plan change. */
+  def marginBitextPairsAnn(xs: DataFrame, xidCol: String, xvecCol: String,
+      ys: DataFrame, yidCol: String, yvecCol: String,
+      k: Int, minMargin: Double, scoreDp: Int = 6,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxTrainRows: Int = 1 << 16): DataFrame =
+    cutAndMargin(annCandidates(xs, xidCol, xvecCol, ys, yidCol, yvecCol,
+      nLists, nProbe, seed, trainFraction, maxTrainRows), k, minMargin,
+      scoreDp)
+
+  /** The role-tagged ANN candidate stream behind [[marginBitextPairsAnn]]
+    * — exposed (package-private) so PlanSpec can assert its shape: one
+    * list-id EQUI-join, the only nested loop the nLists-row centroid
+    * broadcast. */
+  private[graft] def annCandidates(xs: DataFrame, xidCol: String,
+      xvecCol: String, ys: DataFrame, yidCol: String, yvecCol: String,
+      nLists: Int, nProbe: Int, seed: Long,
+      trainFraction: Double, maxTrainRows: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, nLists=$nLists], got $nProbe")
+    val spark = xs.sparkSession
+    val u = xs.select(lit(0).as("side"), col(xidCol).as("id"),
+        col(xvecCol).as("vec"))
+      .unionByName(ys.select(lit(1).as("side"), col(yidCol).as("id"),
+        col(yvecCol).as("vec")))
+    val sampled = Pq.collectSample(u, "vec", trainFraction, seed, maxTrainRows)
+    val coarse = Pq.trainLocal(sampled, m = 1, ksub = nLists, seed = seed,
+      maxIter = 5)
+    // in-scan cell assignment; null / wrong-dimension vectors drop
+    // (unsearchable — ivfKnn's null-cell contract)
+    // the assignment scan feeds BOTH the probe side and the member side
+    // of the candidate join — materialize it once (this IS the IVF
+    // index build: ids + vectors + cell, tiny next to the pair work).
+    // The round-robin exchange first gives the probe scan its
+    // parallelism (the r15 2-file-source lesson).
+    val assigned = u.select(col("side"), col("id"), col("vec"),
+        element_at(Pq.encode(col("vec"), coarse), 1).as("__list"))
+      .where(col("__list").isNotNull)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
+    // centroids as data (tiny: nLists rows), broadcast into the probe rank
+    val dim = coarse.dsub
+    val centroids = spark.createDataFrame(
+      (0 until coarse.ksub).map(t =>
+        (t, (0 until dim).map(c => coarse.flat(t * dim + c).toDouble).toArray)))
+      .toDF("__list", "__centroid")
+    val probeW = Window.partitionBy(col("side"), col("id"))
+      .orderBy(col("__cdist"), col("__list"))
+    val probes = assigned.select(col("side"), col("id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdist", Ivf.sqDist(col("vec"), col("__centroid")))
+      .withColumn("__crank", row_number().over(probeW))
+      .where(col("__crank") <= nProbe)
+      .select(col("side").as("role"), col("id").as("gid"),
+        col("vec").as("__pvec"), col("__list"))
+    // each pair meets at most once (the member side sits in exactly one
+    // cell), so the equi-join needs no dedup; role 0 = x probing Y,
+    // role 1 = y probing X — both directions from this one join
+    probes.join(assigned.select(col("side"), col("id").as("oid"),
+        col("vec"), col("__list")), Seq("__list"))
+      .where(col("role") =!= col("side"))
+      .select(col("role"), col("gid"), col("oid"),
+        GraftFunctions.cosineSim(col("__pvec"), col("vec")).as("cos"))
+  }
+
+  /** Both-role stream of a scored-pairs frame: every (xid, yid, cos) row
+    * once as (role 0, xid, yid) and once as (role 1, yid, xid) — the
+    * cosine is referenced, not recomputed (it is a named column below
+    * the explode, evaluated once per pair in the same codegen stage). */
+  private[graft] def doubleRoles(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(lit(0).as("role"), col("xid").as("gid"),
+          col("yid").as("oid"), col("cos")),
+        struct(lit(1).as("role"), col("yid").as("gid"),
+          col("xid").as("oid"), col("cos")))).as("e"))
+      .select(col("e.role").as("role"), col("e.gid").as("gid"),
+        col("e.oid").as("oid"), col("e.cos").as("cos"))
+
+  /** Per-(role, id) top-k cut of a role-tagged candidate stream + the
+    * margin selection. ONE window spec serves both directions, so the
+    * rank filter is cut map-side (WindowGroupLimit) inside the scan
+    * that produced the candidates; only the tiny cut — ≤ k·(|X|+|Y|)
+    * rows — is materialized (read by the candidate set and both
+    * neighborhood averages). Exposed for the PlanSpec single-scan
+    * assert. */
+  private[graft] def bitextCut(doubled: DataFrame, k: Int,
+      scoreDp: Int): DataFrame = {
+    val w = Window.partitionBy(col("role"), col("gid"))
+      .orderBy(round(col("cos"), scoreDp).desc, col("oid"))
+    doubled.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).select(col("role"), col("gid"),
+        col("oid"), col("cos"))
+  }
+
+  private def cutAndMargin(doubled: DataFrame, k: Int, minMargin: Double,
+      scoreDp: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cut = bitextCut(doubled, k, scoreDp).localCheckpoint(true)
+    val fwd = cut.where(col("role") === 0)
+      .select(col("gid").as("xid"), col("oid").as("yid"), col("cos"))
     val ax = fwd.groupBy("xid").agg(avg("cos").as("ax"))
-    val ay = pairs.withColumn("__rk", row_number().over(wy))
-      .where(col("__rk") <= k)
-      .groupBy("yid").agg(avg("cos").as("ay"))
+    val ay = cut.where(col("role") === 1)
+      .groupBy(col("gid").as("yid")).agg(avg("cos").as("ay"))
     val best = Window.partitionBy(col("xid"))
       .orderBy(round(col("margin"), scoreDp).desc, col("yid"))
     fwd.join(ax, "xid").join(ay, "yid")

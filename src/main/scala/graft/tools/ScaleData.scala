@@ -57,14 +57,28 @@ object ScaleData {
     wr(rd("nation"), "nation", 1)
 
     /** Replicate `df` `reps` times, adding replica·OFF to each column
-      * in `keys` (the table's own keys + FKs into scaling tables). */
+      * in `keys` (the table's own keys + FKs into scaling tables).
+      * Guard (ADVICE r15): offsetting only injects whole replicas if
+      * every source key is already < OFF — scaling an ALREADY-scaled
+      * dir (sf1 → sf10) would otherwise silently collide keys across
+      * replicas and break the 1:1 join-fanout invariant. */
     def replicate(df: DataFrame, keys: Seq[String])(
-        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val maxes = df.agg(max(col(keys.head)).cast("long").as(keys.head),
+        keys.tail.map(k => max(col(k)).cast("long").as(k)): _*).first()
+      keys.zipWithIndex.foreach { case (k, j) =>
+        val m = if (maxes.isNullAt(j)) 0L else maxes.getLong(j)
+        require(m < OFF,
+          s"key $k max $m >= offset $OFF — source dir looks already " +
+            "scaled; replicating it would collide keys across replicas " +
+            "(re-scale from the ORIGINAL sf dir, or raise OFF)")
+      }
       (0 until reps).map { i =>
         val shifted = keys.foldLeft(df)((d, k) =>
           d.withColumn(k, col(k) + lit(i * OFF)))
         perReplica(shifted, i)
       }.reduce(_ unionByName _)
+    }
 
     // c_name gets a per-replica suffix: names replicated verbatim gave
     // every name 10 exact copies, so the SymSpell edit-distance miner's

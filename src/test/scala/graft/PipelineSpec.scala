@@ -892,6 +892,48 @@ class PipelineSpec extends SparkSuite {
     assert(margin > 1.0)
   }
 
+  test("bitext ANN path at full probe equals the exact scan bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = emb.where(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairsOf(Similarity.marginBitextPairs(xs, "xid", "xv",
+      ys, "yid", "yv", k = 4, minMargin = 1.0, annPairThreshold = 0))
+    // nProbe = nLists probes every cell: candidates are the full cross
+    // product, so the mined pairs (and their float margins) must match
+    // exactly — the structural anchor sim_bitext_ann's oracle leans on
+    val full = pairsOf(Similarity.marginBitextPairsAnn(xs, "xid", "xv",
+      ys, "yid", "yv", k = 4, minMargin = 1.0, nLists = 4, nProbe = 4))
+    assert(exact.nonEmpty, "fixture must mine at least one pair")
+    assert(full == exact,
+      s"full-probe ANN diverged: missing=${exact -- full} extra=${full -- exact}")
+    // sparse probing returns a subset of sources, one pair per source
+    val sparse = pairsOf(Similarity.marginBitextPairsAnn(xs, "xid", "xv",
+      ys, "yid", "yv", k = 4, minMargin = 1.0, nLists = 4, nProbe = 1))
+    assert(sparse.map(_._1).size == sparse.size, "one pair per source")
+  }
+
+  test("bitext auto-switches to ANN candidates above the pair threshold") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = emb.where(col("vec_id") >= 20 && col("vec_id") < 60)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+      .unionByName(emb.where(col("vec_id") === 3)
+        .select((col("vec_id") + 9000L).as("yid"), col("embedding").as("yv")))
+    // threshold of 1 forces the ANN path on this tiny corpus; the
+    // planted exact clone shares its source's cell (identical vector ⇒
+    // identical argmin), so it must still be retrieved and mined
+    val mined = Similarity.marginBitextPairs(xs, "xid", "xv", ys, "yid", "yv",
+        k = 4, minMargin = 1.0, annPairThreshold = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined.get(3L).contains(9003L),
+      s"clone pair must survive the ANN switch, got ${mined.get(3L)}")
+  }
+
   test("Gumbel-top-k resampling: seed-deterministic, low temperature = top-k") {
     val scored = (1L to 100L).map(i => (i, i.toDouble / 10)).toDF("id", "s")
     def sel(t: Double, seed: Long) = graft.functions.Dsir

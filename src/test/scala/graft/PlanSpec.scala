@@ -333,6 +333,64 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"corpus shuffled before the join:\n$streamedSide")
   }
 
+  test("bitext: ONE cross scan feeds BOTH direction top-k cuts (no repeated scan)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = emb.where(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    // the un-checkpointed cut — the exact subtree marginBitextPairs
+    // materializes: both direction cuts must hang off a SINGLE
+    // broadcast cross scan (r15 ran the |X|·|Y| scan once per direction)
+    val pairs = xs.repartition(8).crossJoin(broadcast(ys))
+      .select(col("xid"), col("yid"),
+        graft.functions.GraftFunctions.cosineSim(col("xv"), col("yv")).as("cos"))
+    val p = plan(graft.functions.Similarity.bitextCut(
+      graft.functions.Similarity.doubleRoles(pairs), k = 4, scoreDp = 6))
+    val nCross = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nCross == 1, s"expected exactly one cross scan, got $nCross:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bitext cut:\n$p")
+    // the per-(role, id) rank filter must cut map-side inside that scan
+    assert(p.contains("WindowGroupLimit"), s"top-k cut not pushed map-side:\n$p")
+  }
+
+  test("bitext margin algebra downstream of the cut has zero cross scans") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = emb.where(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    val p = plan(graft.functions.Similarity.marginBitextPairs(
+      xs, "xid", "xv", ys, "yid", "yv", k = 4, minMargin = 1.0,
+      annPairThreshold = 0))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"margin algebra re-scans the matrix (must read the materialized cut):\n$p")
+  }
+
+  test("bitext ANN path: candidates come from a list-id EQUI-join, no cross matrix") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val xs = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id").as("xid"), col("embedding").as("xv"))
+    val ys = emb.where(col("label") % 2 === 1)
+      .select(col("vec_id").as("yid"), col("embedding").as("yv"))
+    // the candidate-generation subtree the ANN path cuts: one list-id
+    // EQUI-join carries the vector pairs; the only nested loop is the
+    // tiny nLists-row centroid broadcast, never a vector-pair matrix
+    val p = plan(graft.functions.Similarity.bitextCut(
+      graft.functions.Similarity.annCandidates(xs, "xid", "xv",
+        ys, "yid", "yv", nLists = 8, nProbe = 2, seed = 42L,
+        trainFraction = 1.0, maxTrainRows = 1 << 16),
+      k = 4, scoreDp = 6))
+    assert(!p.contains("CartesianProduct"), s"cartesian in ANN bitext:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"candidates not an equi-join:\n$p")
+    val nCross = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nCross <= 1, s"vector-pair matrix scan in ANN path ($nCross):\n$p")
+  }
+
   test("sim_hard_negatives broadcasts the anchors, never shuffles the corpus") {
     val p = plan(q("sim_hard_negatives"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
