@@ -79,6 +79,21 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Bounded wait for the 1-min load to drop below 2 — the start-wait
+    * discipline, reusable at the points r15 showed it missing (the
+    * record started at load 1.94 but ENDED at 12.69, and the scale
+    * block + tail resamples bore it: cc100 21.35s vs its 5-10s idle
+    * band, all four regr violations in the loaded tail). Returns the
+    * seconds waited; honors SPARK_GRAFT_LOAD_WAIT=0 (iteration runs). */
+  private def waitForCalm(maxSec: Int, stepSec: Int = 5): Int = {
+    if (sys.env.get("SPARK_GRAFT_LOAD_WAIT").contains("0")) return 0
+    var waited = 0
+    while (loadAvg >= 2.0 && waited < maxSec) {
+      Thread.sleep(stepSec * 1000L); waited += stepSec
+    }
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
     // Load discipline (VERDICT r14 #6): three rounds in a row shipped
     // their driver bench record born on a loaded box (r14: 1-min load
@@ -89,12 +104,7 @@ object Bench {
     // `load.start` (post-wait, what the timings actually ran under).
     // SPARK_GRAFT_LOAD_WAIT=0 disables (iteration runs).
     val loadInvoke = loadAvg
-    var loadWaitSec = 0
-    if (!sys.env.get("SPARK_GRAFT_LOAD_WAIT").contains("0")) {
-      while (loadAvg >= 2.0 && loadWaitSec < 300) {
-        Thread.sleep(15000); loadWaitSec += 15
-      }
-    }
+    val loadWaitSec = waitForCalm(300, stepSec = 15)
     val loadStart = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -138,6 +148,14 @@ object Bench {
     // a gate that is then never reported
     val regrGateActive = args.isEmpty && sfDir.endsWith("sf0.1")
     val prev = if (regrGateActive) prevRound else Map.empty[String, Double]
+    // gate-driven resample evidence (VERDICT r15 #6): every would-be
+    // frozen/regr-gate violation that triggered a resample records
+    // [first, fresh, 1-min load at resample] so a contaminated tail
+    // self-adjudicates in-artifact — the way the scale block's `adj`
+    // already does. The resample also WAITS (bounded 60s) for calm
+    // first: adjudication beats prevention only if the fresh sample
+    // isn't born under the same load that doomed the first.
+    val regrAdj = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try {
         // Plan print stays OUTSIDE the timed region: building the frame a
@@ -163,7 +181,12 @@ object Bench {
         val gateRetry = frozenV0.get(name).exists(v0 => t > 2 * v0) ||
           prev.get(name).exists(p => t > 2 * p && t >= 0.5)
         var best =
-          if (minOf2.contains(name) || t >= minOf2Floor || gateRetry) {
+          if (gateRetry) {
+            waitForCalm(60); System.gc()
+            val fresh = sample()
+            regrAdj(name) = f"[$t%.2f,$fresh%.2f,$loadAvg%.1f]"
+            math.min(t, fresh)
+          } else if (minOf2.contains(name) || t >= minOf2Floor) {
             System.gc(); math.min(t, sample())
           } else t
         // Targeted THIRD sample for the micro-batch jitter class
@@ -175,7 +198,10 @@ object Bench {
         // a third minimum is the cheapest in-artifact adjudication.
         if (minOf2.contains(name) &&
             prev.get(name).exists(p => best > 2 * p && best >= 0.5)) {
-          System.gc(); best = math.min(best, sample())
+          waitForCalm(60); System.gc()
+          val fresh = sample()
+          regrAdj(name) = f"[$best%.2f,$fresh%.2f,$loadAvg%.1f]"
+          best = math.min(best, fresh)
         }
         timings(name) = best
       } catch {
@@ -203,9 +229,11 @@ object Bench {
     // load 5.92; its idle band is 5-10s (r14 same-day idle runs: 5.13,
     // 6.76, 9.11/6.59s), and that proof must not require a judge
     // cross-referencing bench_history by hand.
-    val (scaleJson, sgateJson) =
+    var scaleWaitSec = -1
+    var scaleStartLoad = -1.0
+    val (scaleJson, sgateJson, sgateJsonCompact) =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALE").contains("0")) {
-        spark.stop(); ("", "")
+        spark.stop(); ("", "", "")
       } else {
         // The scale trend runs in a FRESH SparkContext: the main run's
         // accumulated cache blocks, shuffle files and GC residue (70+
@@ -213,6 +241,13 @@ object Bench {
         // r4 bench measured exactly that (ratio 13.2× in-session vs ~4×
         // isolated, identical pair counts).
         spark.stop()
+        // Tail load discipline (VERDICT r15 #3): the start-wait cannot
+        // protect the END of a 7-minute run — r15's record started at
+        // load 1.94 and ended at 12.69, with cc100 reading 21.35s vs
+        // its 5-10s idle band. Re-check and wait HERE, bounded like the
+        // start-wait, so the scale rows start as calm as the main run.
+        scaleWaitSec = waitForCalm(300, stepSec = 15)
+        scaleStartLoad = loadAvg
         val s2 = SparkSession.builder()
           .master(s"local[$cpus]")
           .config("spark.sql.shuffle.partitions", cpus)
@@ -527,27 +562,39 @@ object Bench {
           // with a 1.5 absolute floor (a ratio near 1 is the ideal —
           // doubling from a noise-depressed reference to a still-ideal
           // value is not a regression)
-          val firstViolations = (num.toMap ++ ratios).toSeq.collect {
+          def violationsNow: Seq[String] = (num.toMap ++ ratios).toSeq.collect {
             case (k, t) if prevS.get(k).exists(p => p > 0 && t / p > 2.0) &&
               ((k.endsWith("_sec") && t >= 0.5) ||
                 (k.contains("ratio") && t > 1.5)) => k
           }
-          // ONE resample pass: every component implicated by a would-be
-          // violation gets one fresh timing; the record keeps
-          // min(first, fresh) and an `adj` entry with both samples plus
-          // the 1-min load at resample time — the r14 cc100 2.45×
-          // (load 5.92; idle band 5-10s) now adjudicates itself.
+          def depsOf(k: String): Seq[String] =
+            if (num.contains(k)) Seq(k)
+            else { val (a, b) = ratioDeps(k); Seq(a, b) }
+          // Resample passes: every component implicated by a would-be
+          // violation gets one fresh timing (after a bounded wait for
+          // calm — adjudication beats prevention only if the fresh
+          // sample isn't born under the load that doomed the first);
+          // the record keeps min(first, fresh) and an `adj` entry with
+          // both samples plus the 1-min load at resample time. A SECOND
+          // pass covers violations the first pass CREATES (ADVICE r15:
+          // adjudicating only a ratio's 1x denominator downward raises
+          // the recomputed ratio — such a ratio must get its other
+          // component resampled too, not ship unflagged); components
+          // never resample twice, so the loop is bounded.
           val adj = scala.collection.mutable.LinkedHashMap[String, String]()
-          firstViolations.foreach { k =>
-            val deps =
-              if (num.contains(k)) Seq(k)
-              else { val (a, b) = ratioDeps(k); Seq(a, b) }
-            deps.filter(d => !adj.contains(d)).foreach { d =>
-              System.gc()
-              val fresh = resample(d)()
-              adj(d) = f"[${num(d)}%.2f,$fresh%.2f,$loadAvg%.1f]"
-              num(d) = math.min(num(d), fresh)
+          var pass = 0
+          var pending = violationsNow
+          while (pending.nonEmpty && pass < 2) {
+            pending.foreach { k =>
+              depsOf(k).filter(d => !adj.contains(d)).foreach { d =>
+                waitForCalm(60); System.gc()
+                val fresh = resample(d)()
+                adj(d) = f"[${num(d)}%.2f,$fresh%.2f,$loadAvg%.1f]"
+                num(d) = math.min(num(d), fresh)
+              }
             }
+            pass += 1
+            pending = violationsNow.filter(k => depsOf(k).exists(d => !adj.contains(d)))
           }
           pairs100.unpersist(blocking = false)
           bigPairs.unpersist(blocking = false)
@@ -577,8 +624,8 @@ object Bench {
           // prev.json-backed 2× gate the per-query side has, evaluated
           // on the ADJUDICATED values; `adj` carries the resample
           // evidence for every metric that had to defend itself.
-          val sgateStr =
-            if (prevS.isEmpty) ""
+          val (sgateFull, sgateCompact) =
+            if (prevS.isEmpty) ("", "")
             else {
               val cur = num.toMap ++ rr
               val gated = prevS.toSeq.flatMap { case (k, p) =>
@@ -587,31 +634,40 @@ object Bench {
                   case t if k.contains("ratio") && p > 0 => (k, t, p, t / p, t > 1.5)
                 }
               }
-              if (gated.isEmpty) ""
+              if (gated.isEmpty) ("", "")
               else {
                 val jq: String => String = graft.report.JsonReport.esc
                 val viol = gated.filter { case (_, _, _, r, fl) => r > 2.0 && fl }
                 val worst = gated.maxBy(_._4)
-                val adjStr =
-                  if (adj.isEmpty) ""
-                  else adj.take(4).map { case (k, v) => s"${jq(k)}:$v" }
-                    .mkString(""","adj":{""", ",", "}")
-                f""","sgate":{"n":${gated.size},"violations":${viol.size},""" +
-                  f""""worst":${jq(worst._1)},"worst_ratio":${worst._4}%.2f""" +
-                  adjStr +
-                  (if (viol.isEmpty) "}"
-                   else viol.sortBy(-_._4).take(6).map { case (k, t, p, r, _) =>
-                     f"${jq(k)}:[$t%.2f,$p%.2f,$r%.2f]"
-                   }.mkString(""","detail":{""", ",", "}}"))
+                // the FILE record carries the complete adj map (ADVICE
+                // r15: min(first,fresh) applies to every adjudicated
+                // component, so its two-sample evidence must ship);
+                // only the ≤500-byte driver line truncates, and then it
+                // says how many entries it dropped
+                def adjBlock(entries: Seq[(String, String)]): String =
+                  if (entries.isEmpty) ""
+                  else entries.map { case (k, v) => s"${jq(k)}:$v" }
+                    .mkString(""","adj":{""", ",", "}") +
+                    (if (entries.size < adj.size)
+                      s""","adj_more":${adj.size - entries.size}""" else "")
+                def sg(adjStr: String): String =
+                  f""","sgate":{"n":${gated.size},"violations":${viol.size},""" +
+                    f""""worst":${jq(worst._1)},"worst_ratio":${worst._4}%.2f""" +
+                    adjStr +
+                    (if (viol.isEmpty) "}"
+                     else viol.sortBy(-_._4).take(6).map { case (k, t, p, r, _) =>
+                       f"${jq(k)}:[$t%.2f,$p%.2f,$r%.2f]"
+                     }.mkString(""","detail":{""", ",", "}}"))
+                (sg(adjBlock(adj.toSeq)), sg(adjBlock(adj.take(4).toSeq)))
               }
             }
-          (scaleStr, sgateStr)
+          (scaleStr, sgateFull, sgateCompact)
         } catch {
           // a scale-block failure must not swallow the per-query timings
           // already collected — report it inside the JSON instead
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            (s""","scale":{"error":${graft.report.JsonReport.esc(msg)}}""", "")
+            (s""","scale":{"error":${graft.report.JsonReport.esc(msg)}}""", "", "")
         } finally s2.stop()
       }
     val jstr: String => String = graft.report.JsonReport.esc
@@ -623,6 +679,9 @@ object Bench {
     // timing drift without anyone having to rerun on an idle box.
     val loadJson = f""","load":{"invoke":$loadInvoke%.2f,"wait_sec":$loadWaitSec,""" +
       f""""start":$loadStart%.2f,"end":${loadAvg}%.2f,""" +
+      (if (scaleWaitSec >= 0)
+        f""""scale_wait_sec":$scaleWaitSec,"scale_start":$scaleStartLoad%.2f,"""
+       else "") +
       s""""box_cpus":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus}"""
     // BASELINE.md's mechanical 2× per-query gate, evaluated in-artifact
     // (full runs at the baseline's sf only): worst ratio + violation
@@ -654,8 +713,19 @@ object Bench {
         else {
           val viol = ratios.filter { case (_, t, _, r) => r > 2.0 && t >= 0.5 }
           val worst = ratios.maxBy(_._4)
+          // per-violation resample evidence [first, fresh, load-at-
+          // resample] (VERDICT r15 #6) — only queries that triggered a
+          // gate retry carry one, so the block stays small; capped the
+          // same way `detail` is for the driver line's tail capture
+          val adjStr =
+            if (regrAdj.isEmpty) ""
+            else regrAdj.take(8).map { case (k, v) => s"${jstr(k)}:$v" }
+              .mkString(""","adj":{""", ",", "}") +
+              (if (regrAdj.size > 8) s""","adj_more":${regrAdj.size - 8}"""
+               else "")
           f""","regr":{"prev_n":${ratios.size},"violations":${viol.size},""" +
             f""""worst":${jstr(worst._1)},"worst_ratio":${worst._4}%.2f""" +
+            adjStr +
             (if (viol.isEmpty) "}"
              else viol.sortBy(-_._4).take(8).map { case (k, t, p, r) =>
                f"${jstr(k)}:[$t%.2f,$p%.2f,$r%.2f]"
@@ -701,7 +771,7 @@ object Bench {
     // the stdout line carries only what the round adjudication needs.
     val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
-      s"""$scaleJson$loadJson$gateJson$regrJson$sgateJson,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
+      s"""$scaleJson$loadJson$gateJson$regrJson$sgateJsonCompact,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
     // The compact line must be the LAST bytes of output: rounds 1-9 all
     // shipped parsed:null because >2 KB of post-println shutdown WARNs
     // (BlockManager/DAGScheduler teardown on stderr) pushed the JSON out
