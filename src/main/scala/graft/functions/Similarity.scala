@@ -259,10 +259,15 @@ object Similarity {
     * Above `annPairThreshold` candidate pairs (default 16M — sf0.1's
     * 1M-pair corpus stays exact, sf1's 100M-pair corpus switches) the
     * brute scan is replaced by IVF cell candidates
-    * ([[marginBitextPairsAnn]], nLists ≈ √n) — identical margin algebra
-    * downstream, near-linear candidate cost; pass `annPairThreshold = 0`
-    * to force the exact scan. The id columns of the two sides must
-    * share a data type (they interleave in one role-tagged stream). */
+    * ([[marginBitextPairsAnn]], nLists ≈ √n, nProbe clamped) —
+    * identical margin algebra downstream, subquadratic candidate cost;
+    * pass `annPairThreshold = 0` to force the exact scan. Measured at
+    * sf1 (20k vectors, idle box, start load 1.96): 19.2s vs 3.15s at
+    * sf0.1 = 6.1× at 10× data
+    * (bench_history/sf1_targeted_20260816_223833.json), vs 529.3s for
+    * the r15 pre-rewrite shape and 82.8s post-rewrite-still-two-scans.
+    * The id columns of the two sides must share a data type (they
+    * interleave in one role-tagged stream). */
   def marginBitextPairs(xs: DataFrame, xidCol: String, xvecCol: String,
       ys: DataFrame, yidCol: String, yvecCol: String,
       k: Int, minMargin: Double, scoreDp: Int = 6,
@@ -271,10 +276,17 @@ object Similarity {
     if (annPairThreshold > 0) {
       val nx = xs.count(); val ny = ys.count()
       if (nx > 0 && ny > 0 && nx > annPairThreshold / ny) {
+        // √n cells, CLAMPED probe count: candidate work is then
+        // n·nProbe·E|cell| = nProbe·n^1.5 — subquadratic because the
+        // probed share SHRINKS as n grows (the standard IVF recall/cost
+        // trade; at extreme n raise nProbe via the explicit-params API
+        // if recall matters more than cost). An unclamped nLists/8
+        // would probe a constant fraction — a constant-factor saving,
+        // still quadratic.
         val nLists = math.max(16, math.ceil(math.sqrt((nx + ny).toDouble)).toInt)
         return marginBitextPairsAnn(xs, xidCol, xvecCol, ys, yidCol, yvecCol,
           k, minMargin, scoreDp, nLists = nLists,
-          nProbe = math.max(4, nLists / 8))
+          nProbe = math.min(16, math.max(4, nLists / 8)))
       }
     }
     // the matrix scan's parallelism is the X side's partition count —

@@ -2555,10 +2555,14 @@ object PipelineQueries {
           seed = 42L)
         .localCheckpoint(true) // tiny id list; read by 3 verdicts
       val auditCap = 4096L
+      // the planted-clone guard must name the EXACT clone id band
+      // [1e6, 1e6+10): a bare `>= 1e6` also matches every key-offset
+      // replica id (≥ 1e7) at sf1+, silently un-capping the audit
+      val planted = col("vec_id") < 10 ||
+        (col("vec_id") >= 1000000L && col("vec_id") < 1000010L)
       val audited = (if (n <= auditCap) aug
-        else aug.where(col("vec_id") < 10 || col("vec_id") >= 1000000L ||
-          pmod(xxhash64(col("vec_id")),
-            lit(math.ceil(n.toDouble / auditCap).toLong)) === 0))
+        else aug.where(planted || pmod(xxhash64(col("vec_id")),
+          lit(math.ceil(n.toDouble / auditCap).toLong)) === 0))
         .localCheckpoint(true) // ≤ ~auditCap rows; read by truth passes
       val gdup = audited.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         .join(broadcast(audited.select(col("vec_id").as("id_b"), col("embedding").as("vb"))),
