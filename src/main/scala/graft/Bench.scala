@@ -152,9 +152,14 @@ object Bench {
     // frozen/regr-gate violation that triggered a resample records
     // [first, fresh, 1-min load at resample] so a contaminated tail
     // self-adjudicates in-artifact — the way the scale block's `adj`
-    // already does. The resample also WAITS (bounded 60s) for calm
-    // first: adjudication beats prevention only if the fresh sample
-    // isn't born under the same load that doomed the first.
+    // already does. Record-ONLY, no wait: mid-run the 1-min load is
+    // dominated by the bench's OWN just-finished 32-thread samples (a
+    // 5s burst alone lifts the average by ~2.7), so a load<2 wait here
+    // burns its full bound on self-decay dozens of times per run — the
+    // r16 trial run that waited spent 25 min wall for 459s of timings
+    // with fresh samples unchanged. Waits stay where external load is
+    // separable from self-load: process start and the scale-block
+    // boundary (both after a stopped/cold section).
     val regrAdj = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try {
@@ -182,7 +187,7 @@ object Bench {
           prev.get(name).exists(p => t > 2 * p && t >= 0.5)
         var best =
           if (gateRetry) {
-            waitForCalm(60); System.gc()
+            System.gc()
             val fresh = sample()
             regrAdj(name) = f"[$t%.2f,$fresh%.2f,$loadAvg%.1f]"
             math.min(t, fresh)
@@ -198,7 +203,7 @@ object Bench {
         // a third minimum is the cheapest in-artifact adjudication.
         if (minOf2.contains(name) &&
             prev.get(name).exists(p => best > 2 * p && best >= 0.5)) {
-          waitForCalm(60); System.gc()
+          System.gc()
           val fresh = sample()
           regrAdj(name) = f"[$best%.2f,$fresh%.2f,$loadAvg%.1f]"
           best = math.min(best, fresh)
@@ -704,7 +709,12 @@ object Bench {
     // violation = ratio > 2 AND current ≥ 0.5s (sub-half-second rows
     // jitter by compile/GC noise; the floor keeps the gate about
     // regressions); would-be violations were min-of-2 resampled above.
-    val regrJson =
+    // per-violation resample evidence [first, fresh, load-at-resample]
+    // (VERDICT r15 #6) — only queries that triggered a gate retry carry
+    // one. The FILE record ships the complete map; the driver line
+    // truncates to 8 + adj_more (tail-capture budget), same convention
+    // as the sgate adj split.
+    def regrJson(adjCap: Int): String =
       if (!regrGateActive || prev.isEmpty) ""
       else {
         val ratios = prev.toSeq.flatMap { case (k, p) =>
@@ -713,16 +723,13 @@ object Bench {
         else {
           val viol = ratios.filter { case (_, t, _, r) => r > 2.0 && t >= 0.5 }
           val worst = ratios.maxBy(_._4)
-          // per-violation resample evidence [first, fresh, load-at-
-          // resample] (VERDICT r15 #6) — only queries that triggered a
-          // gate retry carry one, so the block stays small; capped the
-          // same way `detail` is for the driver line's tail capture
+          val shown = regrAdj.take(adjCap)
           val adjStr =
             if (regrAdj.isEmpty) ""
-            else regrAdj.take(8).map { case (k, v) => s"${jstr(k)}:$v" }
+            else shown.map { case (k, v) => s"${jstr(k)}:$v" }
               .mkString(""","adj":{""", ",", "}") +
-              (if (regrAdj.size > 8) s""","adj_more":${regrAdj.size - 8}"""
-               else "")
+              (if (regrAdj.size > shown.size)
+                s""","adj_more":${regrAdj.size - shown.size}""" else "")
           f""","regr":{"prev_n":${ratios.size},"violations":${viol.size},""" +
             f""""worst":${jstr(worst._1)},"worst_ratio":${worst._4}%.2f""" +
             adjStr +
@@ -737,7 +744,7 @@ object Bench {
     // (sgateJson is produced inside the scale block itself since r15,
     // so a would-be violation can be resampled against live artifacts.)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson$regrJson$sgateJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$scaleJson$loadJson$gateJson${regrJson(Int.MaxValue)}$sgateJson,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -771,7 +778,7 @@ object Bench {
     // the stdout line carries only what the round adjudication needs.
     val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
-      s"""$scaleJson$loadJson$gateJson$regrJson$sgateJsonCompact,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
+      s"""$scaleJson$loadJson$gateJson${regrJson(8)}$sgateJsonCompact,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
     // The compact line must be the LAST bytes of output: rounds 1-9 all
     // shipped parsed:null because >2 KB of post-println shutdown WARNs
     // (BlockManager/DAGScheduler teardown on stderr) pushed the JSON out

@@ -2550,9 +2550,14 @@ object PipelineQueries {
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
         .localCheckpoint(true) // read by train/assign + the truth pass
       val n = aug.count()
+      // n/250 holds E|cell| ≈ 250 (the paper's convention rescaled);
+      // the 512 cap bounds the DRIVER-side k-means (k centroids ×
+      // sample × 5 Lloyd iterations is single-threaded) — beyond it
+      // E|cell| grows again but maxCell's sub-splitting keeps pair
+      // work O(maxCell·n) regardless
       val dropped = Similarity.semDedupDropIds(aug, "vec_id", "embedding",
-          nClusters = math.max(8, (n / 250L).toInt), minCos = 0.995,
-          seed = 42L)
+          nClusters = math.min(512, math.max(8, (n / 250L).toInt)),
+          minCos = 0.995, seed = 42L)
         .localCheckpoint(true) // tiny id list; read by 3 verdicts
       val auditCap = 4096L
       // the planted-clone guard must name the EXACT clone id band

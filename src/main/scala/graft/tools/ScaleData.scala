@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   *    collapse semdedup cells and tie every top-k).
   *
   * Usage: runMain graft.tools.ScaleData <srcDir> <dstDir> [replicas]
+  *        [tables] — optional comma-list restricts output (a targeted
+  *        100× run needs only documents,embeddings; skipping lineitem's
+  *        60M-row write saves most of the generation time).
   */
 object ScaleData {
 
@@ -35,6 +38,8 @@ object ScaleData {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions",
@@ -44,13 +49,15 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, dst, reps) finally spark.stop()
+    try generate(spark, src, dst, reps, only) finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, reps: Int,
+      only: Set[String] = Set.empty): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def wr(df: => DataFrame, t: String, files: Int): Unit =
+      if (only.isEmpty || only.contains(t))
+        df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // fixed enumerations: verbatim at every SF
     wr(rd("region"), "region", 1)
