@@ -149,11 +149,23 @@ object Pq {
   }
 
   /** Seeded k-means++ init + Lloyd. Returns the distinct centroids found
-    * (≤ k when the data has fewer distinct points). */
+    * (≤ k when the data has fewer distinct points).
+    *
+    * The two n·k·d distance sweeps (seeding's nearest-center update and
+    * Lloyd's assignment) run PARALLEL over points — each point's result
+    * is independent and written to its own slot, and every reduction
+    * that follows (the pick scan, the centroid sums) stays serial in
+    * point order, so the output is bit-identical to the sequential
+    * loop. This is the driver-side cost that grows with nClusters (the
+    * r16 sf10 probe measured the k=512 single-threaded sweeps — ~13G
+    * multiply-adds — dominating sim_semdedup's 253s row; see
+    * target/bench_sf10_r16.json decomposition in SURVEY §8). */
   private def lloyd(pts: Array[Array[Double]], k: Int, maxIter: Int,
       rnd: scala.util.Random): Array[Array[Double]] = {
     val n = pts.length
     val kEff = math.min(k, n)
+    def parSweep(body: Int => Unit): Unit =
+      java.util.stream.IntStream.range(0, n).parallel().forEach(i => body(i))
     // k-means++ seeding: each next center drawn ∝ distance² to the
     // nearest chosen one (Arthur & Vassilvitskii, SODA 2007)
     val centers = new Array[Array[Double]](kEff)
@@ -161,8 +173,8 @@ object Pq {
     val d2 = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < kEff) {
-      var i = 0
-      while (i < n) { d2(i) = math.min(d2(i), sqDist(pts(i), centers(c - 1))); i += 1 }
+      val prev = centers(c - 1)
+      parSweep { i => d2(i) = math.min(d2(i), sqDist(pts(i), prev)) }
       val total = d2.sum
       var pick = if (total > 0) rnd.nextDouble() * total else 0.0
       var idx = 0
@@ -171,11 +183,10 @@ object Pq {
       c += 1
     }
     val assign = new Array[Int](n)
+    val next = new Array[Int](n)
     var iter = 0
     while (iter < maxIter) {
-      var moved = false
-      var i = 0
-      while (i < n) {
+      parSweep { i =>
         var best = 0; var bestD = Double.MaxValue
         var t = 0
         while (t < kEff) {
@@ -183,7 +194,12 @@ object Pq {
           if (d < bestD) { bestD = d; best = t }
           t += 1
         }
-        if (assign(i) != best) { assign(i) = best; moved = true }
+        next(i) = best
+      }
+      var moved = false
+      var i = 0
+      while (i < n) {
+        if (assign(i) != next(i)) { assign(i) = next(i); moved = true }
         i += 1
       }
       if (!moved && iter > 0) iter = maxIter

@@ -2576,11 +2576,20 @@ object PipelineQueries {
         .select(col("id_b").as("vec_id")).distinct()
         .localCheckpoint(true) // tiny id list; read by 2 verdicts
       // audited drops, certified against the WHOLE corpus (a dropped id
-      // outside the subset is simply not audited; below the cap this is
-      // exactly the old global check)
-      val dcheck = dropped.join(audited, Seq("vec_id"), "left_semi")
+      // outside the subset is simply not audited; below the caps this
+      // is exactly the old global check). The certificate is
+      // O(|checked drops|·n), so the checked set is ALSO hash-capped at
+      // 512 once it exceeds that — at sf10 the r16 probe measured the
+      // uncapped certificate at ~810M pairs (4k audited drops × 200k
+      // corpus), half the row's wall
+      val dcheckAll = dropped.join(audited, Seq("vec_id"), "left_semi")
         .join(aug, Seq("vec_id"))
         .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .localCheckpoint(true) // ≤ ~auditCap rows; counted then probed
+      val nd = dcheckAll.count()
+      val dcheck = if (nd <= 512) dcheckAll
+        else dcheckAll.where(pmod(xxhash64(col("id_b")),
+          lit(math.ceil(nd / 512.0).toLong)) === 0)
       val certified = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
         .join(broadcast(dcheck), col("id_a") < col("id_b"))
         .where(round(GraftFunctions.cosineSim(col("va"), col("vb")), 4) >= 0.995)
