@@ -158,8 +158,9 @@ object Pq {
     * point order, so the output is bit-identical to the sequential
     * loop. This is the driver-side cost that grows with nClusters (the
     * r16 sf10 probe measured the k=512 single-threaded sweeps — ~13G
-    * multiply-adds — dominating sim_semdedup's 253s row; see
-    * target/bench_sf10_r16.json decomposition in SURVEY §8). */
+    * multiply-adds — dominating sim_semdedup's 253s row;
+    * bench_history/sf10_probe_20260817_001700.json, decomposition in
+    * SURVEY §8). */
   private def lloyd(pts: Array[Array[Double]], k: Int, maxIter: Int,
       rnd: scala.util.Random): Array[Array[Double]] = {
     val n = pts.length

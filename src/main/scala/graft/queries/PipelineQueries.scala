@@ -2579,9 +2579,9 @@ object PipelineQueries {
       // outside the subset is simply not audited; below the caps this
       // is exactly the old global check). The certificate is
       // O(|checked drops|·n), so the checked set is ALSO hash-capped at
-      // 512 once it exceeds that — at sf10 the r16 probe measured the
-      // uncapped certificate at ~810M pairs (4k audited drops × 200k
-      // corpus), half the row's wall
+      // 512 once it exceeds that — at sf10 the uncapped certificate was
+      // ~810M pairs (4k audited drops × 200k corpus), about half the
+      // row's wall (bench_history/sf10_probe_20260817_001700.json)
       val dcheckAll = dropped.join(audited, Seq("vec_id"), "left_semi")
         .join(aug, Seq("vec_id"))
         .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
