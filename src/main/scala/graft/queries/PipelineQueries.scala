@@ -2582,8 +2582,7 @@ object PipelineQueries {
       // 512 once it exceeds that — at sf10 the uncapped certificate was
       // ~810M pairs (4k audited drops × 200k corpus), about half the
       // row's wall (bench_history/sf10_probe_20260817_001700.json)
-      val dcheckAll = dropped.join(audited, Seq("vec_id"), "left_semi")
-        .join(aug, Seq("vec_id"))
+      val dcheckAll = audited.join(dropped, Seq("vec_id"), "left_semi")
         .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
         .localCheckpoint(true) // ≤ ~auditCap rows; counted then probed
       val nd = dcheckAll.count()
@@ -2596,7 +2595,8 @@ object PipelineQueries {
         .select(col("id_b").as("vec_id")).distinct()
       aug.agg(count(lit(1L)).as("n_in"))
         .crossJoin(gdup.agg(count(lit(1L)).as("n_gdup")))
-        .crossJoin(dropped.where(col("vec_id") >= 1000000L)
+        .crossJoin(dropped.where(col("vec_id") >= 1000000L &&
+            col("vec_id") < 1000010L) // the clone band, NOT bare >= 1e6
           .agg(count(lit(1L)).as("n_clone_drop")))
         .crossJoin(dcheck.select(col("id_b").as("vec_id"))
           .join(certified, Seq("vec_id"), "left_anti")
