@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{col, lit, xxhash64}
@@ -191,7 +190,7 @@ object Bpe {
   * Native expression: the per-word merge loop over int arrays with a
   * shared rank map is per-row byte crunching, the [[PngCodec]] tier. */
 case class BpeStats(child: Expression, merges: Bpe.Merges)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -299,7 +298,7 @@ object Decontam {
   * resolved broadcast value): membership against a per-row sketch is a
   * different operator with a per-row deserialize cost. */
 case class BloomAnyContain(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_any_contain"
@@ -344,7 +343,7 @@ case class BloomAnyContain(left: Expression, right: Expression)
   * One-sided like the filter itself: the count can only overcount. */
 case class BloomCountHashes(child: Expression,
     sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bloom_count_hashes"
@@ -376,7 +375,7 @@ case class BloomCountHashes(child: Expression,
 
 case class BloomAnyContainBroadcast(child: Expression,
     sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_any_contain"
@@ -418,7 +417,7 @@ case class BloomAnyContainBroadcast(child: Expression,
   * composition 1.70s, fused 0.18s — 9.4× on the corpus scan. */
 case class BloomContainsGram(child: Expression, n: Int,
     sketch: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains_gram"

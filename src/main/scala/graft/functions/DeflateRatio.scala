@@ -3,7 +3,6 @@ package graft.functions
 import java.util.zip.Deflater
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * compressibility orderings and the java.util.zip reference round
   * trip. */
 case class DeflateRatio(child: Expression, level: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(level >= 1 && level <= 9, s"deflate level must be in 1..9, got $level")
 

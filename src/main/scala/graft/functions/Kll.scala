@@ -8,7 +8,6 @@ import org.apache.spark.sql.GraftColumn
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -136,7 +135,7 @@ case class KllMergeAgg(
   * for the [[JpegDims]] reason: the blob's interior is a multi-level
   * compactor layout only the sketch library can walk. */
 case class KllQuantiles(child: Expression, qs: Seq[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
     s"quantile ranks must be in [0,1], got $qs")

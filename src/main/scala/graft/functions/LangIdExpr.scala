@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * composition-only reference implementation and the two are asserted
   * equal in tests). */
 case class LangIdExpr(child: Expression, lists: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * cannot express the variable-length DP, and an interpreted HOF
   * re-derivation would re-allocate per step. */
 case class LcsLen(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lcs_len"

@@ -114,7 +114,7 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 case class CosineLshBuckets(child: Expression, numPlanes: Int, numTables: Int,
-    seed: Long) extends UnaryExpression with CodegenFallback {
+    seed: Long) extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "cosine_lsh_buckets"

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -22,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * preference order.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -78,7 +77,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * materializes four intermediate arrays of boxed values per row and
   * dominated both dedup featurize stages. */
 case class CharShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_shingle_hashes"
@@ -119,7 +118,7 @@ case class CharShingleHashes(child: Expression, k: Int)
   * equivalent (`zip_with` + `aggregate`) pays interpreted-lambda overhead
   * per component on every candidate pair. */
 case class MinHashAgree(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "minhash_agree"
@@ -156,7 +155,7 @@ case class MinHashAgree(left: Expression, right: Expression)
   * sizes). Inputs must be deduplicated and ascending (sort_array over
   * array_distinct hashes). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"

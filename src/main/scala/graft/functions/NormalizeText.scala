@@ -3,7 +3,6 @@ package graft.functions
 import java.text.Normalizer
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * upstream of their tokenization. */
 case class NormalizeText(child: Expression, form: String,
     stripAccents: Boolean, caseFold: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
     s"form must be one of NFC/NFD/NFKC/NFKD, got $form")

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
@@ -301,7 +300,7 @@ object Pq {
   * once per task; a HOF composition would rebuild the codebook literal
   * per element (no CSE for interpreted HOFs). */
 case class PqEncode(child: Expression, cb: Pq.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -345,7 +344,7 @@ case class PqEncode(child: Expression, cb: Pq.Codebooks)
 
 /** codes → reconstructed vector (concatenated centroids). */
 case class PqDecode(child: Expression, cb: Pq.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullable: Boolean = true
@@ -381,7 +380,7 @@ case class PqDecode(child: Expression, cb: Pq.Codebooks)
   * distance of query subvector j to centroid t. Computed once per query
   * row; every corpus candidate afterwards costs m lookups. */
 case class PqAdcTable(child: Expression, cb: Pq.Codebooks)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -423,7 +422,7 @@ case class PqAdcTable(child: Expression, cb: Pq.Codebooks)
 
 /** (codes, flattened table) → Σ_j table(j·ksub + codes(j)). */
 case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

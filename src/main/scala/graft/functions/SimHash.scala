@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * preference order.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -217,6 +216,18 @@ object GraftFunctions {
     * rate kernel). */
   def tokenEditDist(a: Column, b: Column): Column =
     GraftColumn(TokenEditDist(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Per-order clipped n-gram matches of a (cand, ref) token-array pair
+    * — the BLEU/ROUGE-N overlap numerator as one in-scan kernel
+    * (array<long> of size maxN). */
+  def clippedGramMatches(cand: Column, ref: Column, maxN: Int): Column =
+    GraftColumn(ClippedGramMatches(
+      GraftColumn.expr(cand), GraftColumn.expr(ref), maxN))
+
+  /** Character-gram sibling of [[clippedGramMatches]] (chrF numerator). */
+  def clippedCharGramMatches(cand: Column, ref: Column, maxN: Int): Column =
+    GraftColumn(ClippedCharGramMatches(
+      GraftColumn.expr(cand), GraftColumn.expr(ref), maxN))
 
   /** Fused-loop cosine similarity of two vectors. */
   def cosineSim(a: Column, b: Column): Column =

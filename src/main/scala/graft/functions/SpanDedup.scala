@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -278,7 +277,7 @@ object SpanDedup {
   * allocation per element. PropertySpec pins the selection to an
   * inline per-window leftmost-argmin reference. */
 case class WinnowedAnchorsExpr(child: Expression, stride: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(stride >= 1, s"stride must be >= 1, got $stride")
 
@@ -343,7 +342,7 @@ case class WinnowedAnchorsExpr(child: Expression, stride: Int)
   * here because positions arrive in order). 64-bit collision risk is
   * the same class the corpus-level gram hashing already accepts. */
 case class SelfRepeatSpansExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(k >= 2, s"k must be >= 2, got $k")
 

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Round-robin widen a low-parallelism input before a heavy per-row
+    * kernel (r16): a sub-MB doc table arrives as ONE scan split, which
+    * serializes an in-scan kernel on one core while the rest of the
+    * box idles (guide §2.6 idle-capacity class — measured: the r16
+    * chrF kernel ran 11.9s on the 1-split sf0.1 scan vs sub-second
+    * spread over the cores). No-op whenever the input already has
+    * >= defaultParallelism partitions — at production scale the scan
+    * has thousands of splits and this adds ZERO exchanges; only a
+    * small input pays one tiny round-robin exchange to use the whole
+    * box. Deterministic (sortBeforeRepartition stays on), and every
+    * consumer below is either an exact long sum or a 6dp-rounded
+    * double aggregate (the established cross-engine order-tolerance
+    * discipline). */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokens (trimmed first so leading/trailing space yields no
     * empty tokens). */
   def tokensWs(c: Column): Column = split(trim(c), "\\s+")
@@ -303,73 +321,48 @@ object TextFunctions {
     *
     *   chrF_β = (1+β²)·CHRP·CHRR / (β²·CHRP + CHRR)   (0 when both are 0)
     *
-    * One row: (chrf, chrp, chrr, n_orders). Scale shape: ONE explode
-    * scan per side over a `concat` of statically-unrolled per-order
-    * flat transforms (each order's lambda is its own codegen'd
-    * `transform` — no runtime-n nested HOF), ONE (id, gram)-keyed
-    * rollup per side, ONE equi-join, order recovered as length(gram);
-    * a broadcast 6-row order spine re-admits orders whose clipped sum
-    * is zero. Partial-aggregated, output-sensitive. History: the
-    * per-order form (12 rollups + 6 joins) ran 6.1s (BENCH_r11) then
-    * regressed to 12.4s with no code change (BENCH_r12, judge-
-    * reproduced 11.8s); the runtime-n flatten∘transform∘transform
-    * fusion measured 13.7s (r12 in-session, measured-rejected); this
-    * concat-of-static-transforms form measured 2.7s isolated and
+    * One row: (chrf, chrp, chrr, n_orders). Scale shape (r16): the
+    * per-order clipped sums are within-row quantities — ONE
+    * shuffle-free scan through [[ClippedCharGramMatches]] and a 1-row
+    * aggregate carrying clips and totals together; no gram ever
+    * crosses an exchange. History: the per-order explode form (12
+    * rollups + 6 joins) ran 6.1s (BENCH_r11) then regressed to 12.4s
+    * with no code change (BENCH_r12, judge-reproduced 11.8s); the
+    * runtime-n flatten∘transform∘transform fusion measured 13.7s (r12
+    * in-session, measured-rejected); the r13 concat-of-static-
+    * transforms explode/rollup/join form measured 2.7s isolated and
     * 0.51s in the full closing run at sf0.1 (r13 in-session,
-    * bench_history/run_20260815_163355.json; the round's driver
-    * number lands in BENCH_r13). */
+    * bench_history/run_20260815_163355.json). */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     require(beta > 0, s"beta must be positive, got $beta")
-    // whitespace-strip once: the projected strings are scanned 2·maxN
-    // times (gram counts per order) — re-running regexp_replace and the
-    // caller's candidate construction on every pass measured 12.8s at
-    // sf0.1 where the checkpointed form ran the same plan in ~5s
-    // (r11 in-session)
-    val base = df.select(col(idCol).as("__id"),
+    // r16: every order's clipped sum is a within-row quantity
+    // ([[ClippedCharGramMatches]]) — ONE shuffle-free scan folds the
+    // per-order clips AND the 2·maxN length-arithmetic totals into a
+    // single 1-row aggregate (guide §2.3/§2.4); the r13 concat-of-
+    // static-transforms explode/rollup/join history lives in the
+    // Scaladoc above. Clipped counts are longs — bit-identical to the
+    // exploded form.
+    val aggs = (1 to maxN).map(n =>
+      coalesce(sum(element_at(col("__cl"), n)), lit(0L)).as(s"__c$n")) ++
+      (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(greatest(length(col("__cs")) - n + 1, lit(0))
+          .cast("long")), lit(0L)).as(s"__tc$n"),
+        coalesce(sum(greatest(length(col("__rs")) - n + 1, lit(0))
+          .cast("long")), lit(0L)).as(s"__tr$n")))
+    val statsRow = widen(df.select(
         regexp_replace(col(candCol), "\\s+", "").as("__cs"),
-        regexp_replace(col(refCol), "\\s+", "").as("__rs"))
-      .localCheckpoint(true)
-    def grams(side: Column, n: Int): Column =
-      when(length(side) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(side) - n + 1),
-          i => side.substr(i, lit(n))))
-    // every order's grams in ONE array per row: concat of maxN
-    // statically-unrolled flat transforms — one explode scan and one
-    // (id, gram) rollup per side instead of maxN each; a gram's order
-    // is its length, so flat strings need no tags
-    def gramsAll(side: Column): Column =
-      concat((1 to maxN).map(n => grams(side, n)): _*)
-    def counts(side: Column, out: String) =
-      base.select(col("__id"), explode(gramsAll(side)).as("__g"))
-        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
-    // ALL 2·maxN totals in ONE aggregation — order-n totals are plain
-    // length arithmetic, one scan covers every order
-    val tExprs = (1 to maxN).flatMap(n => Seq(
-      coalesce(sum(greatest(length(col("__cs")) - n + 1, lit(0))
-        .cast("long")), lit(0L)).as(s"__tc$n"),
-      coalesce(sum(greatest(length(col("__rs")) - n + 1, lit(0))
-        .cast("long")), lit(0L)).as(s"__tr$n")))
-    val totals = base.agg(tExprs.head, tExprs.tail: _*)
-    // per-order clipped sums from the ONE join; orders with a zero
-    // clipped sum (no matching grams) have no row here and are
-    // re-admitted by the order spine below with clipped = 0
-    val byOrder = counts(col("__cs"), "__cc")
-      .join(counts(col("__rs"), "__cr"), Seq("__id", "__g"))
-      .groupBy(length(col("__g")).as("n"))
-      .agg(sum(least(col("__cc"), col("__cr"))).as("__clip"))
-    val tcArr = array((1 to maxN).map(n => col(s"__tc$n")): _*)
-    val trArr = array((1 to maxN).map(n => col(s"__tr$n")): _*)
-    val spine = totals.select(
-        explode(sequence(lit(1), lit(maxN))).as("n"),
-        tcArr.as("__tca"), trArr.as("__tra"))
-      .select(col("n"),
-        element_at(col("__tca"), col("n")).as("total_cand"),
-        element_at(col("__tra"), col("n")).as("total_ref"))
-    val perN = spine.join(byOrder, Seq("n"), "left")
-      .select(col("n"), coalesce(col("__clip"), lit(0L)).as("clipped"),
-        col("total_cand"), col("total_ref"))
+        regexp_replace(col(refCol), "\\s+", "").as("__rs")))
+      .select(col("__cs"), col("__rs"),
+        GraftFunctions.clippedCharGramMatches(col("__cs"), col("__rs"), maxN)
+          .as("__cl"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row; the maxN perN rows read it
+    val perN = (1 to maxN).map { n =>
+      statsRow.select(lit(n).as("n"), col(s"__c$n").as("clipped"),
+        col(s"__tc$n").as("total_cand"), col(s"__tr$n").as("total_ref"))
+    }.reduce(_ unionByName _)
     val agg = perN.where(col("total_cand") > 0 && col("total_ref") > 0)
       .agg(
         avg(col("clipped").cast("double") / col("total_cand")).as("chrp"),
@@ -404,15 +397,16 @@ object TextFunctions {
     * p = (1 + #{r : δ_r opposes or ties the observed sign})/(b+1),
     * NULL when diff_obs = 0.
     *
-    * Scale shape: one gram explode per side over the concat of
-    * statically-unrolled per-order transforms (the chrF r13 form —
-    * word-gram strings of different orders cannot collide, the order
-    * is the gram's word count), TWO (id, gram) equi-joins against the
-    * once-computed reference counts, a ~n-row doc-stat table, then
-    * the b-way in-scan replication with map-side partials (the
-    * shuffle carries b groups — the established bootstrap cost:
-    * CPU is b× the doc-stat scan, never b× the gram work; measured
-    * ~7s at sf0.1 with b=199, r13 in-session). */
+    * Scale shape (r16): the per-doc clipped counts are a pure function
+    * of one row's token arrays, so the doc-stat table is built in ONE
+    * shuffle-free scan through [[ClippedGramMatches]] — the r13–r15
+    * form exploded every (id, gram) pair and paid three gram-grain
+    * exchanges plus two (id, gram) joins for a decision that never
+    * crosses rows (guide §2.3/§2.4; the counts are bit-identical, see
+    * the kernel's equivalence note). The b-way in-scan replication
+    * with map-side partials is unchanged (the shuffle carries b
+    * groups — the established bootstrap cost: CPU is b× the doc-stat
+    * scan, never b× the gram work). */
   def pairedBootstrapBleu(df: DataFrame, idCol: String, candACol: String,
       candBCol: String, refCol: String, b: Int = 199, maxN: Int = 4,
       dp: Int = 6): DataFrame = {
@@ -421,31 +415,17 @@ object TextFunctions {
     val base = df.select(col(idCol).cast("string").as("__id"),
         tokensWs(col(candACol)).as("__a"), tokensWs(col(candBCol)).as("__b"),
         tokensWs(col(refCol)).as("__t"))
-      .localCheckpoint(true) // 3 gram scans + the lens pass read it
-    def grams(side: Column, n: Int): Column =
-      when(size(side) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(side) - n),
-          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
-    def gramsAll(side: Column): Column =
-      concat((1 to maxN).map(n => grams(side, n)): _*)
-    def cnt(side: Column, out: String) =
-      base.select(col("__id"), explode(gramsAll(side)).as("__g"))
-        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
-    val refCnt = cnt(col("__t"), "__cr")
-      .localCheckpoint(true) // joined by BOTH systems
-    def clip(side: Column, p: String) = {
-      val aggs = (1 to maxN).map(n =>
-        sum(when(size(split(col("__g"), " ")) === n,
-          least(col("__cc"), col("__cr")))).as(s"__$p$n"))
-      cnt(side, "__cc").join(refCnt, Seq("__id", "__g"))
-        .groupBy("__id").agg(aggs.head, aggs.tail: _*)
-    }
-    val lens = base.select(col("__id"),
-      size(col("__a")).cast("long").as("__la"),
-      size(col("__b")).cast("long").as("__lb"),
-      size(col("__t")).cast("long").as("__lt"))
-    val doc = lens.join(clip(col("__a"), "a"), Seq("__id"), "left")
-      .join(clip(col("__b"), "b"), Seq("__id"), "left")
+    val doc = widen(base).select(col("__id"),
+        size(col("__a")).cast("long").as("__la"),
+        size(col("__b")).cast("long").as("__lb"),
+        size(col("__t")).cast("long").as("__lt"),
+        GraftFunctions.clippedGramMatches(col("__a"), col("__t"), maxN)
+          .as("__ca"),
+        GraftFunctions.clippedGramMatches(col("__b"), col("__t"), maxN)
+          .as("__cb"))
+      .select(Seq(col("__id"), col("__la"), col("__lb"), col("__lt")) ++
+        (1 to maxN).map(n => element_at(col("__ca"), n).as(s"__a$n")) ++
+        (1 to maxN).map(n => element_at(col("__cb"), n).as(s"__b$n")): _*)
       .na.fill(0L)
       .localCheckpoint(true) // observed agg + b-way replication read it
     def sums(w: Column) =
@@ -556,51 +536,48 @@ object TextFunctions {
     * order are skipped FOR THAT ORDER (recall undefined) and counted;
     * an empty candidate against a real reference scores 0.
     *
-    * Scale shape (the corpusBleu discipline): per order, gram counts
-    * are (id, gram)-keyed rollups joined on (id, gram) — every
-    * exchange gram-keyed and output-sensitive; the per-pair P/R/F
-    * algebra rides an id-keyed left join back to the pair table, and
-    * the corpus rollup is 1 row per order. */
+    * Scale shape (r16, the corpusBleu discipline): the per-pair clipped
+    * overlap is a within-row quantity, computed in-scan by
+    * [[ClippedGramMatches]] — ONE shuffle-free pass and a 1-row
+    * aggregate cover every order; nothing gram-grain ever crosses an
+    * exchange. */
   def rougeN(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 2, dp: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
     def toks(c: Column) =
       when(length(trim(c)) === 0, array().cast("array<string>"))
         .otherwise(tokensWs(c))
-    val base = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
-      .select(col(idCol).as("__id"), toks(col(candCol)).as("__ct"),
-        toks(col(refCol)).as("__rt"))
-      .localCheckpoint(true) // 2·maxN gram rollups + maxN joins read it
-    def grams(side: Column, n: Int): Column =
-      when(size(side) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(side) - n),
-          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
-    def counts(side: Column, n: Int, out: String) =
-      base.select(col("__id"), explode(grams(side, n)).as("__g"))
-        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
-    (1 to maxN).map { n =>
-      val ov = counts(col("__ct"), n, "__cc")
-        .join(counts(col("__rt"), n, "__cr"), Seq("__id", "__g"))
-        .groupBy("__id")
-        .agg(sum(least(col("__cc"), col("__cr"))).as("__cl"))
-      val sc = base.select(col("__id"),
-          greatest(size(col("__ct")) - n + 1, lit(0)).cast("long").as("__cn"),
-          greatest(size(col("__rt")) - n + 1, lit(0)).cast("long").as("__rn"))
-        .join(ov, Seq("__id"), "left")
-        .withColumn("__cl", coalesce(col("__cl"), lit(0L)))
-      val keep = col("__rn") > 0
-      val p = when(keep, when(col("__cn") > 0,
-        col("__cl").cast("double") / col("__cn")).otherwise(0.0))
-      val r = when(keep, col("__cl").cast("double") / col("__rn"))
+    // r16: the per-pair overlap is a within-row quantity
+    // ([[ClippedGramMatches]]) — ONE shuffle-free scan + a 1-row
+    // aggregate covers every order, replacing 2·maxN gram rollups and
+    // maxN (id, gram) joins (guide §2.3/§2.4). The per-pair P/R/F
+    // algebra and skip contract are verbatim; only where the clipped
+    // count comes from changed.
+    val sc = widen(df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt")))
+      .select(size(col("__ct")).as("__szc"), size(col("__rt")).as("__szr"),
+        GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
+          .as("__clips"))
+    val aggs = (1 to maxN).flatMap { n =>
+      val cn = greatest(col("__szc") - n + 1, lit(0)).cast("long")
+      val rn = greatest(col("__szr") - n + 1, lit(0)).cast("long")
+      val cl = coalesce(element_at(col("__clips"), n), lit(0L))
+      val keep = rn > 0
+      val p = when(keep, when(cn > 0, cl.cast("double") / cn).otherwise(0.0))
+      val r = when(keep, cl.cast("double") / rn)
       val f = when(keep, when(p + r > 0.0, lit(2.0) * p * r / (p + r))
         .otherwise(0.0))
-      sc.agg(
-        sum(when(keep, 1L).otherwise(0L)).as("n_pairs"),
-        sum(when(keep, 0L).otherwise(1L)).as("n_skipped"),
-        round(avg(p), dp).as("avg_p"), round(avg(r), dp).as("avg_r"),
-        round(avg(f), dp).as("avg_f"))
-        .select(lit(n).as("n"), col("n_pairs"), col("n_skipped"),
-          col("avg_p"), col("avg_r"), col("avg_f"))
+      Seq(sum(when(keep, 1L).otherwise(0L)).as(s"__np$n"),
+        sum(when(keep, 0L).otherwise(1L)).as(s"__ns$n"),
+        round(avg(p), dp).as(s"__ap$n"), round(avg(r), dp).as(s"__ar$n"),
+        round(avg(f), dp).as(s"__af$n"))
+    }
+    val row = sc.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row; maxN output rows read it
+    (1 to maxN).map { n =>
+      row.select(lit(n).as("n"), col(s"__np$n").as("n_pairs"),
+        col(s"__ns$n").as("n_skipped"), col(s"__ap$n").as("avg_p"),
+        col(s"__ar$n").as("avg_r"), col(s"__af$n").as("avg_f"))
     }.reduce(_ unionByName _).orderBy("n")
   }
 
@@ -1581,47 +1558,48 @@ object TextFunctions {
     * total candidate n-grams. Returns one row per order n ∈ [1, maxN]:
     * (n, clipped, total, precision).
     *
-    * Shape: per order, two gram-count rollups keyed by (id, gram) and
-    * one equi-join on that same key — co-partitioned, output-sensitive,
-    * map-side partial aggregation; nothing is all-pairs and only
-    * gram-count rows cross an exchange. Scans are deliberately one per
-    * order (the fused tagged-gram projection measured SLOWER — see
-    * [[ngramDiversity]], and the chrF flat-fusion measurement in
-    * [[chrF]]: 3× slower at sf0.1 even without struct tags — r12
-    * in-session). */
-  /** Shared BLEU machinery: tokenize ONCE into a checkpointed
-    * (id, cand-tokens, ref-tokens) base (the gram passes re-scan it
-    * 2·maxN times — re-splitting per pass was measured at ~2× the
-    * cost, r11 in-session), plus the per-order (n, clipped, total) table and the ONE
-    * fused totals/lengths aggregation. */
+    * Shape (r16): the clip is a within-row quantity — ONE shuffle-free
+    * scan through [[ClippedGramMatches]] and a 1-row aggregate cover
+    * every order (see [[bleuStats]]; the r11–r15 per-order
+    * rollup+join history and the scan-fusion measurements it cites
+    * are preserved there and in [[ngramDiversity]]). */
+  /** Shared BLEU machinery (r16): ONE shuffle-free scan — tokenize,
+    * compute every order's clipped matches in-row
+    * ([[ClippedGramMatches]]), and fold clipped counts, gram totals
+    * and token totals into a single 1-row aggregate that the per-order
+    * table and the callers' crossJoins all read (the r11–r15 form paid
+    * 2·maxN gram rollups + maxN (id, gram) joins for these same
+    * longs). */
   private def bleuStats(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int): (DataFrame, DataFrame) = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val base = df.select(col(idCol).as("__id"),
-        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt"))
-      .localCheckpoint(true)
-    def grams(side: Column, n: Int): Column =
-      when(size(side) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(side) - n),
-          i => concat_ws(" ", slice(side, i + 1, lit(n)))))
-    def counts(side: Column, n: Int, out: String) =
-      base.select(col("__id"), explode(grams(side, n)).as("__g"))
-        .groupBy("__id", "__g").agg(count(lit(1L)).as(out))
-    val tExprs = (1 to maxN).map(n =>
-      coalesce(sum(greatest(size(col("__ct")) - n + 1, lit(0))
-        .cast("long")), lit(0L)).as(s"__t$n")) ++ Seq(
-      coalesce(sum(size(col("__ct")).cast("long")), lit(0L))
-        .as("cand_tokens"),
-      coalesce(sum(size(col("__rt")).cast("long")), lit(0L))
-        .as("ref_tokens"))
-    val totals = base.agg(tExprs.head, tExprs.tail: _*)
+    // r16: every per-order clipped count is a within-row quantity
+    // ([[ClippedGramMatches]]) — ONE shuffle-free scan + a 1-row
+    // aggregate replaces maxN (id, gram) explode/count/join pipelines
+    // (guide §2.3/§2.4); sums of per-doc longs are exact, so clipped/
+    // total values are bit-identical to the exploded form
+    val aggs = (1 to maxN).map(n =>
+      coalesce(sum(element_at(col("__cl"), n)), lit(0L)).as(s"__c$n")) ++
+      (1 to maxN).map(n =>
+        coalesce(sum(greatest(size(col("__ct")) - n + 1, lit(0))
+          .cast("long")), lit(0L)).as(s"__t$n")) ++ Seq(
+        coalesce(sum(size(col("__ct")).cast("long")), lit(0L))
+          .as("cand_tokens"),
+        coalesce(sum(size(col("__rt")).cast("long")), lit(0L))
+          .as("ref_tokens"))
+    val statsRow = widen(df.select(
+        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt")))
+      .select(col("__ct"), col("__rt"),
+        GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
+          .as("__cl"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row; perN, totals and callers read it
+    val totals = statsRow.select(
+      (1 to maxN).map(n => col(s"__t$n")) ++
+        Seq(col("cand_tokens"), col("ref_tokens")): _*)
     val perN = (1 to maxN).map { n =>
-      counts(col("__ct"), n, "__cc")
-        .join(counts(col("__rt"), n, "__cr"), Seq("__id", "__g"))
-        .agg(coalesce(sum(least(col("__cc"), col("__cr"))), lit(0L))
-          .as("clipped"))
-        .crossJoin(totals) // 1-row × 1-row verdict assembly
-        .select(lit(n).as("n"), col("clipped"), col(s"__t$n").as("total"))
+      statsRow.select(lit(n).as("n"), col(s"__c$n").as("clipped"),
+        col(s"__t$n").as("total"))
     }.reduce(_ unionByName _)
     (perN, totals)
   }

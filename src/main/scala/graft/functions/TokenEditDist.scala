@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * match nothing — including another NULL — so each costs one edit
   * against any token (SQL-equality discipline, as in [[LcsLen]]). */
 case class TokenEditDist(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_edit_dist"

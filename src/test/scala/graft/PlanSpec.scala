@@ -824,14 +824,14 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
   }
 
   test("round-13 operators: one-explode gram fusion, scan-only ROUGE-L, keyed agreement rollups") {
-    // chrF after the r13 restructure: ONE explode per side (2 Generate
-    // nodes total), ONE gram equi-join — not 12 scans + 6 joins
+    // chrF after the r16 kernel restructure: the per-order clip is
+    // computed in-row (ClippedCharGramMatches) — ZERO gram explodes
+    // and zero gram joins (the r13 form still exploded once per side
+    // and joined once; the r11 form was 12 scans + 6 joins)
     val pc = plan(q("eval_chrf"))
-    // 3 explodes total: ONE gram explode per side + the 6-row literal
-    // order spine (was 12 gram explodes before the r13 restructure)
-    assert("Generate explode".r.findAllIn(pc).size == 3,
-      s"chrF must explode once per side (+ order spine):\n$pc")
-    assert(!pc.contains("CartesianProduct"), s"chrF gram join stays keyed:\n$pc")
+    assert("Generate explode".r.findAllIn(pc).isEmpty,
+      s"chrF computes clips in-scan — no gram explode:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"chrF stays cartesian-free:\n$pc")
     // ROUGE-L: the LCS DP runs in-scan — no join, no window, no
     // corpus-keyed exchange beyond the final 1-row aggregate
     val pr = plan(q("eval_rouge_l"))
