@@ -11,24 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Round-robin widen a low-parallelism input before a heavy per-row
-    * kernel (r16): a sub-MB doc table arrives as ONE scan split, which
-    * serializes an in-scan kernel on one core while the rest of the
-    * box idles (guide §2.6 idle-capacity class — measured: the r16
-    * chrF kernel ran 11.9s on the 1-split sf0.1 scan vs sub-second
-    * spread over the cores). No-op whenever the input already has
-    * >= defaultParallelism partitions — at production scale the scan
-    * has thousands of splits and this adds ZERO exchanges; only a
-    * small input pays one tiny round-robin exchange to use the whole
-    * box. Deterministic (sortBeforeRepartition stays on), and every
-    * consumer below is either an exact long sum or a 6dp-rounded
-    * double aggregate (the established cross-engine order-tolerance
-    * discipline). */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Whitespace tokens (trimmed first so leading/trailing space yields no
     * empty tokens). */
   def tokensWs(c: Column): Column = split(trim(c), "\\s+")
@@ -351,18 +333,23 @@ object TextFunctions {
           .cast("long")), lit(0L)).as(s"__tc$n"),
         coalesce(sum(greatest(length(col("__rs")) - n + 1, lit(0))
           .cast("long")), lit(0L)).as(s"__tr$n")))
-    val statsRow = widen(df.select(
+    val statsRow = df.select(
         regexp_replace(col(candCol), "\\s+", "").as("__cs"),
-        regexp_replace(col(refCol), "\\s+", "").as("__rs")))
+        regexp_replace(col(refCol), "\\s+", "").as("__rs"))
       .select(col("__cs"), col("__rs"),
         GraftFunctions.clippedCharGramMatches(col("__cs"), col("__rs"), maxN)
           .as("__cl"))
       .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // 1 row; the maxN perN rows read it
-    val perN = (1 to maxN).map { n =>
-      statsRow.select(lit(n).as("n"), col(s"__c$n").as("clipped"),
-        col(s"__tc$n").as("total_cand"), col(s"__tr$n").as("total_ref"))
-    }.reduce(_ unionByName _)
+    // ONE explode over a struct array (not maxN unioned 1-row selects,
+    // not a checkpoint): perN is this 1-row frame's only consumer, so
+    // the whole query is a single job with one small plan (the unioned
+    // form paid maxN subplans + an eager checkpoint job — measured
+    // +0.5s/query fixed cost at every SF, r16 in-session)
+    val perN = statsRow.select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"), col(s"__c$n").as("clipped"),
+          col(s"__tc$n").as("total_cand"), col(s"__tr$n").as("total_ref"))): _*))
+        .as("__p"))
+      .select("__p.*")
     val agg = perN.where(col("total_cand") > 0 && col("total_ref") > 0)
       .agg(
         avg(col("clipped").cast("double") / col("total_cand")).as("chrp"),
@@ -415,7 +402,7 @@ object TextFunctions {
     val base = df.select(col(idCol).cast("string").as("__id"),
         tokensWs(col(candACol)).as("__a"), tokensWs(col(candBCol)).as("__b"),
         tokensWs(col(refCol)).as("__t"))
-    val doc = widen(base).select(col("__id"),
+    val doc = base.select(col("__id"),
         size(col("__a")).cast("long").as("__la"),
         size(col("__b")).cast("long").as("__lb"),
         size(col("__t")).cast("long").as("__lt"),
@@ -553,8 +540,8 @@ object TextFunctions {
     // maxN (id, gram) joins (guide §2.3/§2.4). The per-pair P/R/F
     // algebra and skip contract are verbatim; only where the clipped
     // count comes from changed.
-    val sc = widen(df.where(col(candCol).isNotNull && col(refCol).isNotNull)
-      .select(toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt")))
+    val sc = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+      .select(toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
       .select(size(col("__ct")).as("__szc"), size(col("__rt")).as("__szr"),
         GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
           .as("__clips"))
@@ -572,13 +559,15 @@ object TextFunctions {
         round(avg(p), dp).as(s"__ap$n"), round(avg(r), dp).as(s"__ar$n"),
         round(avg(f), dp).as(s"__af$n"))
     }
-    val row = sc.agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // 1 row; maxN output rows read it
-    (1 to maxN).map { n =>
-      row.select(lit(n).as("n"), col(s"__np$n").as("n_pairs"),
-        col(s"__ns$n").as("n_skipped"), col(s"__ap$n").as("avg_p"),
-        col(s"__ar$n").as("avg_r"), col(s"__af$n").as("avg_f"))
-    }.reduce(_ unionByName _).orderBy("n")
+    // single job: 1-row agg -> explode of the per-order struct array
+    // (the chrF/bleuStats r16 shape; no checkpoint, no unioned subplans)
+    sc.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"), col(s"__np$n").as("n_pairs"),
+          col(s"__ns$n").as("n_skipped"), col(s"__ap$n").as("avg_p"),
+          col(s"__ar$n").as("avg_r"), col(s"__af$n").as("avg_f"))): _*))
+        .as("__p"))
+      .select("__p.*").orderBy("n")
   }
 
   /** Corpus word error rate: token-level Levenshtein edits between
@@ -1587,8 +1576,8 @@ object TextFunctions {
           .as("cand_tokens"),
         coalesce(sum(size(col("__rt")).cast("long")), lit(0L))
           .as("ref_tokens"))
-    val statsRow = widen(df.select(
-        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt")))
+    val statsRow = df.select(
+        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt"))
       .select(col("__ct"), col("__rt"),
         GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
           .as("__cl"))
@@ -1597,10 +1586,10 @@ object TextFunctions {
     val totals = statsRow.select(
       (1 to maxN).map(n => col(s"__t$n")) ++
         Seq(col("cand_tokens"), col("ref_tokens")): _*)
-    val perN = (1 to maxN).map { n =>
-      statsRow.select(lit(n).as("n"), col(s"__c$n").as("clipped"),
-        col(s"__t$n").as("total"))
-    }.reduce(_ unionByName _)
+    val perN = statsRow.select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"), col(s"__c$n").as("clipped"),
+          col(s"__t$n").as("total"))): _*)).as("__p"))
+      .select("__p.*")
     (perN, totals)
   }
 

@@ -825,13 +825,14 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
 
   test("round-13 operators: one-explode gram fusion, scan-only ROUGE-L, keyed agreement rollups") {
     // chrF after the r16 kernel restructure: the per-order clip is
-    // computed in-row (ClippedCharGramMatches) — ZERO gram explodes
-    // and zero gram joins (the r13 form still exploded once per side
-    // and joined once; the r11 form was 12 scans + 6 joins)
+    // computed in-row (ClippedCharGramMatches) — the ONLY explode left
+    // is the maxN-row order spine over the 1-row stats aggregate, and
+    // there are zero gram joins (the r13 form exploded every gram once
+    // per side and joined once; the r11 form was 12 scans + 6 joins)
     val pc = plan(q("eval_chrf"))
-    assert("Generate explode".r.findAllIn(pc).isEmpty,
-      s"chrF computes clips in-scan — no gram explode:\n$pc")
-    assert(!pc.contains("CartesianProduct"), s"chrF stays cartesian-free:\n$pc")
+    assert("Generate explode".r.findAllIn(pc).size == 1,
+      s"chrF explodes only the 1-row order spine — grams stay in-scan:\n$pc")
+    assert(!pc.contains("Join"), s"chrF carries no gram join:\n$pc")
     // ROUGE-L: the LCS DP runs in-scan — no join, no window, no
     // corpus-keyed exchange beyond the final 1-row aggregate
     val pr = plan(q("eval_rouge_l"))
