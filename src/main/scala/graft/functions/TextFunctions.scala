@@ -1446,8 +1446,15 @@ object TextFunctions {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(shard.cast("long").as("s"),
       explode(Boilerplate.gramHashes(lower(col(textCol)), gramN)).as("t"))
-    val perShard = toks.groupBy("s").agg(count(lit(1L)).as("__nt"))
-    val firsts = toks.groupBy("t").agg(min(col("s")).as("s"))
+    // r16: ONE explode scan + ONE (term, shard)-keyed rollup feeds both
+    // consumers (token totals = Σ counts per shard, first appearances =
+    // min shard per term) — the previous shape re-ran the explode and
+    // shuffled raw gram rows once PER consumer (guide §2.4). Counts are
+    // longs; both rollups are exact restatements.
+    val ts = toks.groupBy("t", "s").agg(count(lit(1L)).as("__c"))
+      .localCheckpoint(true) // vocabulary×shard-bounded; 2 rollups read it
+    val perShard = ts.groupBy("s").agg(sum(col("__c")).as("__nt"))
+    val firsts = ts.groupBy("t").agg(min(col("s")).as("s"))
       .groupBy("s").agg(count(lit(1L)).as("__nv"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -4326,14 +4326,58 @@ object Analytics {
             (col("n") + 1).cast("double") / col("n"), dp)).as("gini"))
   }
 
+  /** Exact interpolated percentiles by distributed rank selection — a
+    * 1-row frame with one column per requested (p, name).
+    *
+    * Spark's built-in exact `percentile` is an ImperativeAggregate over
+    * an OpenHashMap of BOXED keys: measured 3.3–4.5s for two
+    * percentiles over sf0.1's 600k-distinct lineitem prices in every
+    * variant (r16 in-session), and at scale the map is per-partition
+    * driver-merged state. This path reuses the proven two-phase rank
+    * machinery ([[graft.ops.Windows.globalRowNumber]] — range exchange
+    * + local ranks + offset join, nothing driver-sized) and one
+    * conditional-max pass: value-at-rank selection plus Percentile's
+    * OWN interpolation arithmetic, operation for operation —
+    * position = p·(n−1) (double·long), lower/higher = floor/ceil,
+    * result = (higher−position)·lowerVal + (position−lower)·higherVal
+    * — so results are bit-identical to the built-in (ties need no
+    * ordering discipline: equal keys yield equal values at any tie
+    * rank; NULLs are dropped as Percentile drops them; empty input →
+    * NULL). */
+  private[graft] def exactPercentileRow(df: DataFrame, c: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "exactPercentileRow needs at least one percentile")
+    val nn = df.select(c.cast("double").as("__v")).where(col("__v").isNotNull)
+    val ranked = graft.ops.Windows.globalRowNumber(nn, Seq(col("__v")),
+      out = "__rn")
+    val maxPos = nn.agg((count(lit(1L)) - 1L).as("__maxpos"))
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * col("__maxpos")
+      Seq(
+        max(when(col("__rn") - 1L === floor(pos), col("__v")))
+          .as(s"__lv_$name"),
+        max(when(col("__rn") - 1L === ceil(pos), col("__v")))
+          .as(s"__hv_$name"))
+    } :+ first(col("__maxpos")).as("__maxpos")
+    val row = ranked.crossJoin(maxPos).agg(aggs.head, aggs.tail: _*)
+    row.select(ps.map { case (p, name) =>
+      val pos = lit(p) * col("__maxpos")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(hi === lo, col(s"__lv_$name"))
+        .otherwise((hi.cast("double") - pos) * col(s"__lv_$name") +
+          (pos - lo.cast("double")) * col(s"__hv_$name"))
+        .as(name)
+    }: _*)
+  }
+
   def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
     val v = c.cast("double")
     val thr =
       if (exact)
-        df.agg(percentile(v, lit(trim)).as("__lo"),
-          percentile(v, lit(1 - trim)).as("__hi"))
+        exactPercentileRow(df, v, Seq(trim -> "__lo", (1 - trim) -> "__hi"))
       else
         // one GK sketch serves both thresholds (an array probe is one
         // insertion pass; two scalar probes would build the sketch twice)
