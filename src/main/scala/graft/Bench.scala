@@ -791,6 +791,21 @@ object Bench {
     val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
       s""""n_queries":${timings.size},"n_errors":${errors.size}""" +
       s"""$scaleJson$loadJson$gateJson${regrJson(8)}$sgateJsonCompact,"sf":"$sfDir","detail":${jstr(out.toString)}}"""
+    // Per-query timings in DRIVER-VISIBLE output (VERDICT r16 #1): one
+    // contract-shaped JSON line — {"metric":"total",...,"queries":{...}} —
+    // printed immediately BEFORE the compact line, 2-decimal values
+    // (~8 KB for 447 queries). The compact line stays the LAST bytes of
+    // stdout so its parse can never be pushed out of a bounded tail
+    // capture; a capture that holds both lines gives the driver the full
+    // per-query map (PERF per_query / scaling ratios) without reading
+    // target/bench.json or bench_history/.
+    val perQueryLine = {
+      val qs2 = timings.toSeq.sortBy(_._1)
+        .map { case (k, v) => f"${jstr(k)}:$v%.2f" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",""" +
+        s""""n_queries":${timings.size},"n_errors":${errors.size},""" +
+        s""""queries":$qs2,"errors":$es,"sf":"$sfDir"}"""
+    }
     // The compact line must be the LAST bytes of output: rounds 1-9 all
     // shipped parsed:null because >2 KB of post-println shutdown WARNs
     // (BlockManager/DAGScheduler teardown on stderr) pushed the JSON out
@@ -803,6 +818,7 @@ object Bench {
     catch { case _: Throwable => () }
     Thread.sleep(300)
     System.err.flush()
+    System.out.println(perQueryLine)
     System.out.println(compact)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)

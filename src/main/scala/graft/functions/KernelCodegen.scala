@@ -46,8 +46,16 @@ private[graft] object KernelCodegen {
          |}
        """.stripMargin
     } else {
+      // enforce the documented trap (ADVICE r16): a kernel returning
+      // null under a non-nullable declaration must fail LOUDLY here —
+      // unchecked it would either NPE on primitive unboxing or silently
+      // emit a garbage value with isNull = false
       s"""
          |Object $r = $call;
+         |if ($r == null) {
+         |  throw new IllegalStateException(
+         |    "kernel returned null for non-nullable expression");
+         |}
          |${ev.value} = ($boxed) $r;
        """.stripMargin
     }

@@ -268,6 +268,20 @@ object Similarity {
     * the r15 pre-rewrite shape and 82.8s post-rewrite-still-two-scans.
     * The id columns of the two sides must share a data type (they
     * interleave in one role-tagged stream). */
+  /** The PRODUCTION IVF derivation the auto-switch above the pair
+    * threshold uses — exposed so the oracle-visible recall anchor
+    * (`sim_bitext_recall`) measures exactly the setting production
+    * runs, with no copy to drift: √n cells (candidate work
+    * n·nProbe·E|cell| = nProbe·√n·n — subquadratic because the probed
+    * SHARE shrinks as n grows; an unclamped nLists/8 would probe a
+    * constant fraction — a constant-factor saving, still quadratic),
+    * probe count clamped to [4, 16]. At extreme n raise nProbe via the
+    * explicit-params API if recall matters more than cost. */
+  def bitextAnnParams(n: Long): (Int, Int) = {
+    val nLists = math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+    (nLists, math.min(16, math.max(4, nLists / 8)))
+  }
+
   def marginBitextPairs(xs: DataFrame, xidCol: String, xvecCol: String,
       ys: DataFrame, yidCol: String, yvecCol: String,
       k: Int, minMargin: Double, scoreDp: Int = 6,
@@ -276,17 +290,9 @@ object Similarity {
     if (annPairThreshold > 0) {
       val nx = xs.count(); val ny = ys.count()
       if (nx > 0 && ny > 0 && nx > annPairThreshold / ny) {
-        // √n cells, CLAMPED probe count: candidate work is then
-        // n·nProbe·E|cell| = nProbe·n^1.5 — subquadratic because the
-        // probed share SHRINKS as n grows (the standard IVF recall/cost
-        // trade; at extreme n raise nProbe via the explicit-params API
-        // if recall matters more than cost). An unclamped nLists/8
-        // would probe a constant fraction — a constant-factor saving,
-        // still quadratic.
-        val nLists = math.max(16, math.ceil(math.sqrt((nx + ny).toDouble)).toInt)
+        val (nLists, nProbe) = bitextAnnParams(nx + ny)
         return marginBitextPairsAnn(xs, xidCol, xvecCol, ys, yidCol, yvecCol,
-          k, minMargin, scoreDp, nLists = nLists,
-          nProbe = math.min(16, math.max(4, nLists / 8)))
+          k, minMargin, scoreDp, nLists = nLists, nProbe = nProbe)
       }
     }
     // the matrix scan's parallelism is the X side's partition count —

@@ -15,6 +15,26 @@ object TextFunctions {
     * empty tokens). */
   def tokensWs(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Give a narrow-input kernel scan the session's parallelism — IF it
+    * lacks it (guide §2: the clipped-gram kernels cost O(L·maxN) hashmap
+    * work per row, and a one-row-group parquet fixture runs the whole
+    * corpus on ONE task). Conditional on the input's actual partition
+    * count, so at scale — where the source is already split — this is a
+    * no-op and no corpus-wide exchange is ever added; locally the
+    * round-robin exchange moves ~MBs of pre-gram text once.
+    *
+    * History (honest reversal): r16 measured widen() as a LOSS (token
+    * kernel 0.30s→0.47s) and deleted it. Re-measured r17 with the
+    * kernels' true in-bench cost — 1-task 0.81–1.30s vs widened
+    * 0.35–0.66s warm for both char and token kernels (probe logs in
+    * OPTIMIZATION_r17.md) — the r16 rejection does not reproduce, and
+    * eval_chrf's standing cold-cost regression (VERDICT r16 #4) was
+    * exactly this serial scan. */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** BPE-ish pre-tokenization: word runs OR single non-word-non-space
     * chars — the standard GPT-2-style pre-split shape. */
   def tokensRegex(c: Column): Column = regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
@@ -317,7 +337,8 @@ object TextFunctions {
     * bench_history/run_20260815_163355.json). */
   def chrF(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
-    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(maxN >= 1 && maxN <= 8,
+      s"maxN must be in [1,8] (clipped-gram kernel bound), got $maxN")
     require(beta > 0, s"beta must be positive, got $beta")
     // r16: every order's clipped sum is a within-row quantity
     // ([[ClippedCharGramMatches]]) — ONE shuffle-free scan folds the
@@ -333,9 +354,11 @@ object TextFunctions {
           .cast("long")), lit(0L)).as(s"__tc$n"),
         coalesce(sum(greatest(length(col("__rs")) - n + 1, lit(0))
           .cast("long")), lit(0L)).as(s"__tr$n")))
-    val statsRow = df.select(
-        regexp_replace(col(candCol), "\\s+", "").as("__cs"),
-        regexp_replace(col(refCol), "\\s+", "").as("__rs"))
+    val statsRow = widen(df.select(
+        col(candCol).as("__c0"), col(refCol).as("__r0")))
+      .select(
+        regexp_replace(col("__c0"), "\\s+", "").as("__cs"),
+        regexp_replace(col("__r0"), "\\s+", "").as("__rs"))
       .select(col("__cs"), col("__rs"),
         GraftFunctions.clippedCharGramMatches(col("__cs"), col("__rs"), maxN)
           .as("__cl"))
@@ -398,10 +421,14 @@ object TextFunctions {
       candBCol: String, refCol: String, b: Int = 199, maxN: Int = 4,
       dp: Int = 6): DataFrame = {
     require(b >= 19, s"need at least 19 replicates, got $b")
-    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val base = df.select(col(idCol).cast("string").as("__id"),
-        tokensWs(col(candACol)).as("__a"), tokensWs(col(candBCol)).as("__b"),
-        tokensWs(col(refCol)).as("__t"))
+    require(maxN >= 1 && maxN <= 8,
+      s"maxN must be in [1,8] (clipped-gram kernel bound), got $maxN")
+    val base = widen(df.select(col(idCol).cast("string").as("__id"),
+        col(candACol).as("__ca0"), col(candBCol).as("__cb0"),
+        col(refCol).as("__r0")))
+      .select(col("__id"),
+        tokensWs(col("__ca0")).as("__a"), tokensWs(col("__cb0")).as("__b"),
+        tokensWs(col("__r0")).as("__t"))
     val doc = base.select(col("__id"),
         size(col("__a")).cast("long").as("__la"),
         size(col("__b")).cast("long").as("__lb"),
@@ -527,7 +554,15 @@ object TextFunctions {
     * overlap is a within-row quantity, computed in-scan by
     * [[ClippedGramMatches]] — ONE shuffle-free pass and a 1-row
     * aggregate cover every order; nothing gram-grain ever crosses an
-    * exchange. */
+    * exchange.
+    *
+    * Row contract (ADVICE r16): each ROW is one candidate–reference
+    * pair and clipping is strictly per row — `idCol` is retained for
+    * signature stability but no longer participates (the r11–r15
+    * explode form merged gram counts per id before clipping, so rows
+    * sharing an id scored differently; per-row is the standard
+    * per-segment ROUGE semantics). Pass pre-paired rows; duplicate ids
+    * are simply independent pairs. */
   def rougeN(df: DataFrame, idCol: String, candCol: String, refCol: String,
       maxN: Int = 2, dp: Int = 6): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"maxN must be in [1,4], got $maxN")
@@ -540,8 +575,9 @@ object TextFunctions {
     // maxN (id, gram) joins (guide §2.3/§2.4). The per-pair P/R/F
     // algebra and skip contract are verbatim; only where the clipped
     // count comes from changed.
-    val sc = df.where(col(candCol).isNotNull && col(refCol).isNotNull)
-      .select(toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+    val sc = widen(df.where(col(candCol).isNotNull && col(refCol).isNotNull)
+        .select(col(candCol).as("__c0"), col(refCol).as("__r0")))
+      .select(toks(col("__c0")).as("__ct"), toks(col("__r0")).as("__rt"))
       .select(size(col("__ct")).as("__szc"), size(col("__rt")).as("__szr"),
         GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
           .as("__clips"))
@@ -1451,8 +1487,19 @@ object TextFunctions {
     // min shard per term) — the previous shape re-ran the explode and
     // shuffled raw gram rows once PER consumer (guide §2.4). Counts are
     // longs; both rollups are exact restatements.
-    val ts = toks.groupBy("t", "s").agg(count(lit(1L)).as("__c"))
-      .localCheckpoint(true) // vocabulary×shard-bounded; 2 rollups read it
+    // r17: the eager localCheckpoint is gone — it materialized the
+    // rollup in an EXTRA job that cost +1.5–2s at sf0.1 (VERDICT r16
+    // #2). GraftColumn.pinned shares ONE physical instantiation instead
+    // (the Windows.globalRowNumber discipline): both rollups read the
+    // same shuffle dependency, so the explode scan + (t, s) exchange map
+    // side run ONCE inside the single final job and only the tiny
+    // vocabulary-bounded reduce side is re-evaluated per consumer —
+    // nothing is stored and no extra job runs. (Plain exchange reuse
+    // does NOT fire here: the optimizer collapses the `firsts` branch's
+    // rollup pair into a direct per-term aggregate, de-canonicalizing
+    // the two subtrees.)
+    val ts = org.apache.spark.sql.GraftColumn.pinned(
+      toks.groupBy("t", "s").agg(count(lit(1L)).as("__c")))
     val perShard = ts.groupBy("s").agg(sum(col("__c")).as("__nt"))
     val firsts = ts.groupBy("t").agg(min(col("s")).as("s"))
       .groupBy("s").agg(count(lit(1L)).as("__nv"))
@@ -1565,10 +1612,16 @@ object TextFunctions {
     * and token totals into a single 1-row aggregate that the per-order
     * table and the callers' crossJoins all read (the r11–r15 form paid
     * 2·maxN gram rollups + maxN (id, gram) joins for these same
-    * longs). */
+    * longs).
+    *
+    * Row contract (ADVICE r16): each ROW is one candidate–reference
+    * pair and clipping is strictly per row (the standard per-segment
+    * BLEU semantics); `idCol` no longer merges anything — rows sharing
+    * an id are independent pairs. */
   private def bleuStats(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int): (DataFrame, DataFrame) = {
-    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(maxN >= 1 && maxN <= 8,
+      s"maxN must be in [1,8] (clipped-gram kernel bound), got $maxN")
     // r16: every per-order clipped count is a within-row quantity
     // ([[ClippedGramMatches]]) — ONE shuffle-free scan + a 1-row
     // aggregate replaces maxN (id, gram) explode/count/join pipelines
@@ -1583,8 +1636,10 @@ object TextFunctions {
           .as("cand_tokens"),
         coalesce(sum(size(col("__rt")).cast("long")), lit(0L))
           .as("ref_tokens"))
-    val statsRow = df.select(
-        tokensWs(col(candCol)).as("__ct"), tokensWs(col(refCol)).as("__rt"))
+    val statsRow = widen(df.select(
+        col(candCol).as("__c0"), col(refCol).as("__r0")))
+      .select(
+        tokensWs(col("__c0")).as("__ct"), tokensWs(col("__r0")).as("__rt"))
       .select(col("__ct"), col("__rt"),
         GraftFunctions.clippedGramMatches(col("__ct"), col("__rt"), maxN)
           .as("__cl"))

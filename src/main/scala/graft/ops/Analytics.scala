@@ -1462,7 +1462,10 @@ object Analytics {
       .where(col("__v0").isNotNull && col("__g0").isNotNull)
     val med =
       if (exact)
-        base.groupBy("__g0").agg(percentile(col("__v0"), lit(0.5)).as("__m"))
+        // grouped rank selection, not the built-in's per-group boxed
+        // map (r17 — bit-identical, see exactPercentileByGroup)
+        exactPercentileByGroup(base, col("__g0"), col("__v0"),
+          Seq(0.5 -> "__m")).withColumnRenamed("__g", "__g0")
       else
         base.groupBy("__g0").agg(
           approx_percentile(col("__v0"), lit(0.5), lit(accuracy)).as("__m"))
@@ -4371,6 +4374,54 @@ object Analytics {
     }: _*)
   }
 
+  /** Exact interpolated percentiles PER GROUP by within-group rank
+    * selection — [[exactPercentileRow]]'s grouped sibling (VERDICT r16
+    * #6). The built-in grouped `percentile` keeps one OpenHashMap of
+    * BOXED keys PER GROUP inside every aggregation buffer — per-group
+    * distinct-value state that merges through the shuffle and is the §5
+    * executor-memory hazard exactly. This shape instead pays one hash
+    * exchange on the group key and a within-group SORT (spillable):
+    * `row_number` and the non-null count share the single window pass,
+    * and the value-at-rank selection is a same-partitioning groupBy (no
+    * second exchange) using Percentile's OWN interpolation arithmetic —
+    * results bit-identical to the built-in (GroupedPercentileRankSpec).
+    *
+    * NULL values sort LAST and are never selected (position p·(n−1)
+    * stays below the first NULL rank; Percentile drops NULLs the same
+    * way); a group whose values are ALL NULL keeps its row with NULL
+    * percentiles, matching the built-in. Output: one row per group —
+    * column `__g` plus one double per requested (p, name). */
+  private[graft] def exactPercentileByGroup(df: DataFrame, g: Column,
+      c: Column, ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty, "exactPercentileByGroup needs at least one percentile")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(g.as("__g"), c.cast("double").as("__v"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v").asc_nulls_last)
+    val wAll = Window.partitionBy(col("__g"))
+    // count(col) skips NULLs: __maxpos = (#non-null in group) − 1; NULL
+    // rows rank AFTER every non-null row, so no selectable position can
+    // reach them. Both window functions share one exchange + one sort.
+    val ranked = base.select(col("__g"), col("__v"),
+      (row_number().over(wOrd).cast("long") - 1L).as("__rn"),
+      (count(col("__v")).over(wAll) - 1L).as("__maxpos"))
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * col("__maxpos")
+      Seq(
+        max(when(col("__rn") === floor(pos), col("__v"))).as(s"__lv_$name"),
+        max(when(col("__rn") === ceil(pos), col("__v"))).as(s"__hv_$name"))
+    } :+ first(col("__maxpos")).as("__maxpos")
+    ranked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
+      .select(col("__g") +: ps.map { case (p, name) =>
+        val pos = lit(p) * col("__maxpos")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        when(hi === lo, col(s"__lv_$name"))
+          .otherwise((hi.cast("double") - pos) * col(s"__lv_$name") +
+            (pos - lo.cast("double")) * col(s"__hv_$name"))
+          .as(name)
+      }: _*)
+  }
+
   def robustStats(df: DataFrame, c: Column, trim: Double = 0.05,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
@@ -4478,7 +4529,9 @@ object Analytics {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val v = c.cast("double")
     def med(d: DataFrame, x: Column) =
-      if (exact) d.agg(percentile(x, lit(0.5)).as("__m"))
+      // exact path: rank selection, not the built-in's boxed value map
+      // (r17 — bit-identical, see exactPercentileRow)
+      if (exact) exactPercentileRow(d, x, Seq(0.5 -> "__m"))
       else d.agg(approx_percentile(x, lit(0.5), lit(accuracy)).as("__m"))
     val m = med(df, v)
     val mad = med(df.crossJoin(broadcast(m)), abs(v - col("__m")))
@@ -4617,8 +4670,10 @@ object Analytics {
     val v = col("__v")
     val thr =
       if (exact)
-        base.groupBy("__g").agg(percentile(v, lit(trim)).as("__lo"),
-          percentile(v, lit(1 - trim)).as("__hi"))
+        // grouped rank selection, not the built-in's per-group boxed
+        // map (r17 — bit-identical, see exactPercentileByGroup)
+        exactPercentileByGroup(base, col("__g"), v,
+          Seq(trim -> "__lo", (1 - trim) -> "__hi"))
       else
         base.groupBy("__g")
           .agg(approx_percentile(v, array(lit(trim), lit(1 - trim)),
@@ -6116,14 +6171,22 @@ object Analytics {
     val slopes = a.join(bb, "k").where(col("__xa") < col("__xb"))
       .select(col("k"),
         ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__m"))
-    val m = slopes.groupBy("k")
-      .agg(expr("percentile(__m, 0.5)").as("__slope"),
-        count(lit(1L)).as("n_pairs"))
-    pts.join(m, "k")
-      .groupBy(col("k").as("key"))
-      .agg(round(first(col("__slope")), dp).as("slope"),
-        round(expr("percentile(__y - __slope * __x, 0.5)"), dp).as("intercept"),
-        first(col("n_pairs")).as("n_pairs"))
+    // r17: per-key medians by within-group rank selection (bit-identical
+    // to the built-in — GroupedPercentileRankSpec), NOT the built-in's
+    // per-group boxed map: the pair table is O(nₖ²) rows per key, so the
+    // map was a distinct-slopes-sized aggregation buffer per key — the
+    // exact §5 hazard this family's contract worries about. n_pairs
+    // counts ALL pairs (NULL slopes included), as count(1) did.
+    val med = exactPercentileByGroup(slopes, col("k"), col("__m"),
+      Seq(0.5 -> "__slope")).withColumnRenamed("__g", "k")
+    val m = slopes.groupBy("k").agg(count(lit(1L)).as("n_pairs"))
+      .join(med, "k")
+    val ic = exactPercentileByGroup(pts.join(m, "k"), col("k"),
+        col("__y") - col("__slope") * col("__x"), Seq(0.5 -> "__ic"))
+      .withColumnRenamed("__g", "k")
+    m.join(ic, "k")
+      .select(col("k").as("key"), round(col("__slope"), dp).as("slope"),
+        round(col("__ic"), dp).as("intercept"), col("n_pairs"))
   }
 
   /** Mann–Kendall trend test per key (Mann 1945; Kendall 1975): IS
@@ -6306,10 +6369,18 @@ object Analytics {
     val daily = df.groupBy(to_date(ts).as("__d"))
       .agg(round(sum(value), sumDp).as("__v"))
       .withColumn("__dow", dayofweek(col("__d")))
+    // r17: the weekday median by within-group rank selection
+    // (bit-identical — GroupedPercentileRankSpec) instead of the
+    // built-in's per-group boxed map; count/mean stay one rollup and
+    // join the 7-row median table.
+    val med = exactPercentileByGroup(daily, col("__dow"), col("__v"),
+      Seq(0.5 -> "__med")).withColumnRenamed("__g", "__dow")
     val prof = daily.groupBy(col("__dow"))
       .agg(count(lit(1L)).as("n_days"),
-        round(expr("percentile(__v, 0.5)"), dp).as("med_value"),
         round(avg(col("__v")), dp).as("mean_value"))
+      .join(med, "__dow")
+      .select(col("__dow"), col("n_days"),
+        round(col("__med"), dp).as("med_value"), col("mean_value"))
     val ratio = daily
       .join(broadcast(prof.select(col("__dow"), col("med_value"))), "__dow")
       .agg(round(

@@ -438,9 +438,13 @@ object DataPrep {
   def quantileThreshold(df: DataFrame, score: Column, q: Double,
       exact: Boolean = false, accuracy: Int = 10000): Double = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
-    val agg = if (exact) percentile(score, lit(q))
-      else percentile_approx(score, lit(q), lit(accuracy))
-    val row = df.agg(agg.cast("double")).head
+    // exact path: rank selection (bit-identical to the built-in —
+    // PercentileRankSpec), not the boxed per-value aggregation map (r17)
+    val row = if (exact)
+      graft.ops.Analytics.exactPercentileRow(df, score, Seq(q -> "__t"))
+        .select(col("__t").cast("double")).head
+    else df.agg(
+      percentile_approx(score, lit(q), lit(accuracy)).cast("double")).head
     require(!row.isNullAt(0),
       s"quantileThreshold: input has no non-null '$score' values (empty input?)")
     row.getDouble(0)
@@ -456,12 +460,26 @@ object DataPrep {
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(splits.nonEmpty && splits.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile splits must be in [0,1], got $splits")
-    val pcts = array(splits.map(lit): _*)
-    val agg = if (exact) percentile(score, pcts)
-      else percentile_approx(score, pcts, lit(accuracy))
-    // approx_percentile preserves the input type (e.g. array<bigint> for
-    // a bigint score) — normalize so callers always read doubles
-    df.agg(agg.cast("array<double>").as("thresholds"))
+    // exact path: rank selection (bit-identical to the built-in —
+    // PercentileRankSpec), not the boxed per-value aggregation map (r17);
+    // all splits ride the ONE ranked pass, assembled back into the array
+    // shape callers expect
+    if (exact)
+      graft.ops.Analytics.exactPercentileRow(df, score,
+          splits.zipWithIndex.map { case (q, i) => q -> s"__t$i" })
+        // empty/all-null input: the built-in yields a NULL array, not an
+        // array of NULLs — restate that (every split is null together)
+        .select(when(col("__t0").isNull, lit(null))
+          .otherwise(array(splits.indices.map(i =>
+            col(s"__t$i").cast("double")): _*))
+          .cast("array<double>").as("thresholds"))
+    else {
+      val pcts = array(splits.map(lit): _*)
+      // approx_percentile preserves the input type (e.g. array<bigint>
+      // for a bigint score) — normalize so callers always read doubles
+      df.agg(percentile_approx(score, pcts, lit(accuracy))
+        .cast("array<double>").as("thresholds"))
+    }
   }
 
   /** Assign each row a named quantile bucket of `score` — the CCNet-style
@@ -870,11 +888,25 @@ object DataPrep {
     val v = col(c).cast("double")
     def statAgg: Column = stat match {
       case "mean" => avg(v)
-      case _ if exact => percentile(v, lit(0.5)).cast("double")
       case _ => percentile_approx(v, lit(0.5), lit(accuracy)).cast("double")
     }
-    val perGroup = df.groupBy(group.map(col): _*).agg(statAgg.as("__fill"))
-    val globalFill = df.agg(statAgg.cast("double")).head() match {
+    // exact median: rank selection per group / globally (bit-identical
+    // to the built-in — GroupedPercentileRankSpec), not the boxed
+    // per-group value map (r17)
+    val exactMedian = stat == "median" && exact
+    val perGroup =
+      if (exactMedian)
+        graft.ops.Analytics.exactPercentileByGroup(df,
+            struct(group.map(col): _*), v, Seq(0.5 -> "__fill"))
+          .select(group.map(n => col("__g").getField(n).as(n)) :+
+            col("__fill"): _*)
+      else df.groupBy(group.map(col): _*).agg(statAgg.as("__fill"))
+    val globalRow =
+      if (exactMedian)
+        graft.ops.Analytics.exactPercentileRow(df, v, Seq(0.5 -> "__m"))
+          .select(col("__m").cast("double")).head()
+      else df.agg(statAgg.cast("double")).head()
+    val globalFill = globalRow match {
       case r if r.isNullAt(0) => null
       case r => java.lang.Double.valueOf(r.getDouble(0))
     }

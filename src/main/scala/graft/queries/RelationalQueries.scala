@@ -238,12 +238,18 @@ object RelationalQueries {
       // different dir must not be read back as this run's result
       val sink = s"q_stream_parity_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = counted.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized by expected state volume (complete-mode
+      // aggregate state ≤ the drained input), not the session core
+      // count — see Streams.statePartitions (r17)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = counted.writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(sink).orderBy("w_start", "event_type")
     }),
 
@@ -270,12 +276,18 @@ object RelationalQueries {
         .agg(count(lit(1L)).as("n"))
       val sink = s"q_stream_topk_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = counted.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized by expected state volume (complete-mode
+      // aggregate state ≤ the drained input), not the session core
+      // count — see Streams.statePartitions (r17)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = counted.writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))
       s.table(sink)
@@ -322,12 +334,18 @@ object RelationalQueries {
         .select(col("l.user_id").as("user_id"), col("v_ts"), col("b_ts"))
       val sink = s"q_stream_join_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = pairs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized by expected state volume (both join
+      // sides buffer within-watermark rows ≤ the drained input), not
+      // the session core count — see Streams.statePartitions (r17)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = pairs.writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(sink).groupBy("user_id")
         .agg(count(lit(1L)).as("n_attributed"))
         .orderBy("user_id")
@@ -533,11 +551,16 @@ object RelationalQueries {
       val scored = graft.streaming.Streams.anomalyMonitor(stream, k = 3.0)
       val sink = s"q_stream_anomaly_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = scored.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state volume = the 8 monitored keys' Welford tuples (rows drain
+      // through); sized by data volume, not core count (r17)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = scored.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(sink)
         .groupBy(col("key").cast("long").as("user_id"))
         .agg(count(lit(1L)).as("n_events"),
@@ -1671,12 +1694,17 @@ object RelationalQueries {
         .agg(count(lit(1L)).as("n_events"))
       val sink = s"q_stream_debounce_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
+      // session-window state ≤ the drained input; sized by data
+      // volume, not core count (r17 — see Streams.statePartitions)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = sessions.writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
       s.table(sink)
         .where(col("user_id") >= 0) // drop the watermark-flush sentinel
         .groupBy("user_id", "event_type")
@@ -2543,12 +2571,17 @@ object RelationalQueries {
           col("last_epoch"))
       val sink = s"q_stream_upsert_mem_${dirKey.replace('.', '_')}"
       s.catalog.dropTempView(sink)
-      val q = latest.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // complete-mode keyed state ≤ the drained input; sized by data
+      // volume, not core count (r17 — see Streams.statePartitions)
+      graft.streaming.Streams.withVolumeSizedState(s,
+          s.read.parquet(s"$dir/events.parquet").count()) {
+        val q = latest.writeStream.format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       s.table(sink).orderBy("user_id")
     }),
   )

@@ -17,6 +17,46 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   */
 object Streams {
 
+  /** State/shuffle partition count for a streaming query, derived from
+    * expected STATE VOLUME instead of the session core count (guide
+    * §2.2 partition sizing; VERDICT r16 #4). A streaming query's
+    * stateful operators instantiate one state store PER shuffle
+    * partition PER operator PER micro-batch — with the session's
+    * local[32] inheritance, q_stream_join paid 256 HDFSBackedStateStore
+    * open/evict/commit cycles per batch to hold ~40k rows of state
+    * (recentProgress decomposition, OPTIMIZATION_r16). The rule:
+    * one partition per `targetBytes` (default 64 MB — the low end of
+    * the guide's 100 MB–1 GB shuffle-partition band, leaving headroom
+    * for store overhead) of expected state, clamped to [1, 4096].
+    * `expectedStateRows` is a conservative upper bound — for
+    * AvailableNow full-drain fixtures, the input row count; in
+    * production, the keys-within-watermark estimate. At sf0.1 (100k
+    * events ≈ 13 MB) this yields 1; at 1 TB of state it yields the
+    * same thousands a cluster would configure — production-sized by
+    * formula, not by core count. */
+  def statePartitions(expectedStateRows: Long, bytesPerRow: Long = 128L,
+      targetBytes: Long = 64L << 20): Int = {
+    require(bytesPerRow > 0 && targetBytes > 0, "sizes must be positive")
+    val rows = math.max(0L, expectedStateRows)
+    math.min(4096L, math.max(1L,
+      (rows * bytesPerRow + targetBytes - 1) / targetBytes)).toInt
+  }
+
+  /** Run `body` (a streaming query: start → drain → stop) with
+    * `spark.sql.shuffle.partitions` set to [[statePartitions]] of the
+    * expected state volume, restoring the session value afterwards.
+    * The conf is captured by the stream at its FIRST start and pinned
+    * into the checkpoint, so this is the one place state partitioning
+    * can be chosen; the batch reads around the stream keep the
+    * session's own parallelism. */
+  def withVolumeSizedState[T](s: org.apache.spark.sql.SparkSession,
+      expectedStateRows: Long, bytesPerRow: Long = 128L)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions(expectedStateRows, bytesPerRow).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling event-time counts per key, watermarked. Late rows beyond
     * `watermark` are dropped; closed windows emit exactly once in append
     * mode. */

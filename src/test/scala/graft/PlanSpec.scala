@@ -569,8 +569,13 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"approx sketch must partial-aggregate map-side:\n$approx")
     val exact = plan(graft.ops.DataPrep.quantileThresholdsDF(
       docs, col("n_chars"), Seq(1.0 / 3.0, 2.0 / 3.0), exact = true))
-    assert(exact.contains("percentile") && !exact.contains("percentile_approx"),
-      s"exact=true must ship the exact percentile:\n$exact")
+    // r17: the exact path is value-at-rank selection (exactPercentileRow
+    // — bit-identical, PercentileRankSpec) — NO percentile aggregate of
+    // either kind appears; the rank machinery's window does
+    assert(!exact.contains("percentile"),
+      s"exact=true must ship rank selection, not a percentile aggregate:\n$exact")
+    assert(exact.contains("row_number"),
+      s"exact path is value-at-rank selection over the ranked frame:\n$exact")
     // the bucketed plan itself folds the thresholds as literals: per-row
     // math inside the scan, no join against a threshold row
     val bucketed = plan(graft.ops.DataPrep.bucketByQuantiles(

@@ -490,4 +490,25 @@ class StreamingSpec extends SparkSuite {
     assert(math.abs(e50 / 300.0 - 0.5) <= 0.02, s"p50 off: $e50")
     assert(math.abs(e99 / 300.0 - 0.99) <= 0.02, s"p99 off: $e99")
   }
+
+  test("statePartitions: volume-derived, clamped, restores the session conf") {
+    // the formula: ceil(rows*bytes / 64MB) clamped to [1, 4096]
+    assert(Streams.statePartitions(0L) == 1)
+    assert(Streams.statePartitions(100000L) == 1)            // 12.8 MB
+    assert(Streams.statePartitions(1000000L, 128L) == 2)     // 128 MB
+    assert(Streams.statePartitions(1L << 33, 128L) == 4096)  // 1 TB clamps
+    assert(Streams.statePartitions(524288L, 128L) == 1)      // exactly 64 MB
+    assert(Streams.statePartitions(524289L, 128L) == 2)      // one byte over
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val inside = Streams.withVolumeSizedState(spark, 100000L) {
+      spark.conf.get(key)
+    }
+    assert(inside == "1", s"conf inside the wrap: $inside")
+    assert(spark.conf.get(key) == before, "session conf must be restored")
+    intercept[RuntimeException] {
+      Streams.withVolumeSizedState(spark, 100000L) { sys.error("boom") }
+    }
+    assert(spark.conf.get(key) == before, "restored on failure too")
+  }
 }
