@@ -235,6 +235,18 @@ object Pq {
     GraftColumn(PqEncode(GraftColumn.expr(vec), cb))
   }
 
+  /** vector → the `n` nearest subspace-0 centroids as array<int>,
+    * ordered by (squared L2 distance asc, centroid index asc) — the IVF
+    * probe LIST computed in-scan (r17). Replaces the
+    * crossJoin(centroids) + window probe rank whose row blowup was
+    * |vectors|·nLists (sf10 measured 200k·448 = 90M rows through a
+    * 90M-row window sort for 3.2M probe rows out). Requires a
+    * 1-subspace codebook. */
+  def encodeTop(vec: Column, cb: Codebooks, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumn
+    GraftColumn(PqEncodeTop(GraftColumn.expr(vec), cb, n))
+  }
+
   /** codes → array<float> reconstruction (centroid concatenation) — for
     * reconstruction-quality auditing and rerank-free consumers. */
   def decode(codes: Column, cb: Codebooks): Column = {
@@ -339,6 +351,62 @@ case class PqEncode(child: Expression, cb: Pq.Codebooks)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** vector → the `n` nearest subspace-0 centroids, ordered by (squared
+  * L2 distance asc, index asc) — [[PqEncode]]'s probe-LIST sibling for
+  * IVF probing (1-subspace codebooks only). The distance accumulation
+  * order matches [[Ivf.sqDist]]'s sequential fold exactly (0.0 seed,
+  * dim-ascending `acc + diff²`, float elements widened per element), so
+  * the selected lists and their tie-breaks are bit-identical to the
+  * crossJoin + `row_number over (dist, list)` probe rank this replaces.
+  * Null / wrong-dimension vectors → null (the unsearchable contract). */
+case class PqEncodeTop(child: Expression, cb: Pq.Codebooks, n: Int)
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  require(cb.m == 1, s"pq_encode_top needs a 1-subspace codebook, got m=${cb.m}")
+  require(n >= 1 && n <= cb.ksub,
+    s"n must be in [1, ksub=${cb.ksub}], got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_top"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Pq.vecTypeCheck(prettyName, child.dataType)
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val Pq.Codebooks(_, ksub, dsub, flat) = cb
+    if (v.numElements() != dsub) return null
+    val dist = new Array[Double](ksub)
+    var t = 0
+    while (t < ksub) {
+      var d = 0.0
+      var c = 0
+      while (c < dsub) {
+        val diff = Pq.elemAsDouble(v, c, isFloat) - flat(t * dsub + c)
+        d += diff * diff
+        c += 1
+      }
+      dist(t) = d
+      t += 1
+    }
+    val idx = Array.tabulate(ksub)(java.lang.Integer.valueOf)
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val cmp = java.lang.Double.compare(dist(a), dist(b))
+        if (cmp != 0) cmp else java.lang.Integer.compare(a, b)
+      }
+    })
+    new GenericArrayData(idx.take(n).map(_.intValue))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeTop =
     copy(child = newChild)
 }
 

@@ -359,27 +359,28 @@ object Similarity {
       .where(col("__list").isNotNull)
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
-    // centroids as data (tiny: nLists rows), broadcast into the probe rank
-    val dim = coarse.dsub
-    val centroids = spark.createDataFrame(
-      (0 until coarse.ksub).map(t =>
-        (t, (0 until dim).map(c => coarse.flat(t * dim + c).toDouble).toArray)))
-      .toDF("__list", "__centroid")
-    val probeW = Window.partitionBy(col("side"), col("id"))
-      .orderBy(col("__cdist"), col("__list"))
-    val probes = assigned.select(col("side"), col("id"), col("vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cdist", Ivf.sqDist(col("vec"), col("__centroid")))
-      .withColumn("__crank", row_number().over(probeW))
-      .where(col("__crank") <= nProbe)
-      .select(col("side").as("role"), col("id").as("gid"),
-        col("vec").as("__pvec"), col("__list"))
+    // probe lists computed IN-SCAN (r17 — PqEncodeTop: the n nearest
+    // cells per vector, bit-identical metric and tie-break to the
+    // former crossJoin(centroids) + row_number probe rank). The old
+    // shape materialized |vectors|·nLists rows through a window sort —
+    // 90M rows at sf10 (200k vectors × 448 cells) for 3.2M probe rows
+    // out, measured 217s for the sim_bitext row; this emits the
+    // nProbe rows per vector directly.
+    val probes = assigned.select(col("side").as("role"), col("id").as("gid"),
+      col("vec").as("__pvec"),
+      explode(Pq.encodeTop(col("vec"), coarse, nProbe)).as("__list"),
+      // the side a probe wants to MEET — part of the join KEY (r17), so
+      // the join only ever enumerates opposite-side pairs: the former
+      // role =!= side post-filter made the merge enumerate BOTH sides'
+      // members per cell and discard half (1.4B enumerated for 0.7B
+      // kept at sf10)
+      (lit(1) - col("side")).as("__pside"))
     // each pair meets at most once (the member side sits in exactly one
     // cell), so the equi-join needs no dedup; role 0 = x probing Y,
     // role 1 = y probing X — both directions from this one join
-    probes.join(assigned.select(col("side"), col("id").as("oid"),
-        col("vec"), col("__list")), Seq("__list"))
-      .where(col("role") =!= col("side"))
+    probes.join(assigned.select(col("side").as("__pside"),
+        col("id").as("oid"), col("vec"), col("__list")),
+        Seq("__list", "__pside"))
       .select(col("role"), col("gid"), col("oid"),
         GraftFunctions.cosineSim(col("__pvec"), col("vec")).as("cos"))
   }
@@ -398,25 +399,52 @@ object Similarity {
         col("e.oid").as("oid"), col("e.cos").as("cos"))
 
   /** Per-(role, id) top-k cut of a role-tagged candidate stream + the
-    * margin selection. ONE window spec serves both directions, so the
-    * rank filter is cut map-side (WindowGroupLimit) inside the scan
-    * that produced the candidates; only the tiny cut — ≤ k·(|X|+|Y|)
-    * rows — is materialized (read by the candidate set and both
-    * neighborhood averages). Exposed for the PlanSpec single-scan
-    * assert. */
+    * margin selection. r17: the cut is a bounded TOP-K AGGREGATE
+    * ([[TopKByScoreAgg]]), not a Sort→Window rank filter — the window
+    * form sorted the ENTIRE candidate stream per partition before its
+    * group-limit could cut (at sf10 the ANN stream is ~1.4B rows:
+    * measured ~3.4 µs/row of sort+spill; the sim_bitext row read 150s),
+    * where the aggregate keeps a k-bounded buffer per (role, gid),
+    * partial-aggregates map-side (the exchange carries ≤ k rows per
+    * group per partition) and never sorts anything but k-element
+    * buffers. The kept set is bit-identical: the ordering struct's
+    * score field is the SAME round(cos, scoreDp) expression the window
+    * ordered by, ids are unique per group (a pair meets at most once),
+    * and the aggregate's (score DESC NULLS LAST, id ASC) comparator is
+    * the window's orderBy exactly (KernelCodegenSpec-style parity in
+    * PipelineSpec's full-probe bit-equality + PlanSpec's shape pin).
+    * Only the tiny cut — ≤ k·(|X|+|Y|) rows — is materialized (read by
+    * the candidate set and both neighborhood averages). Exposed for
+    * the PlanSpec single-scan assert. */
   private[graft] def bitextCut(doubled: DataFrame, k: Int,
       scoreDp: Int): DataFrame = {
-    val w = Window.partitionBy(col("role"), col("gid"))
-      .orderBy(round(col("cos"), scoreDp).desc, col("oid"))
-    doubled.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k).select(col("role"), col("gid"),
-        col("oid"), col("cos"))
+    val entry = struct(round(col("cos"), scoreDp).as("r6"),
+      col("oid"), col("cos"))
+    doubled.groupBy(col("role"), col("gid"))
+      .agg(TopK.topKByScore(entry, k).as("__tk"))
+      .select(col("role"), col("gid"), explode(col("__tk")).as("__e"))
+      .select(col("role"), col("gid"), col("__e.oid").as("oid"),
+        col("__e.cos").as("cos"))
   }
 
   private def cutAndMargin(doubled: DataFrame, k: Int, minMargin: Double,
       scoreDp: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cut = bitextCut(doubled, k, scoreDp).localCheckpoint(true)
+    // ObjectHashAggregate falls back to SORT-BASED aggregation after
+    // 128 distinct keys per task (its default guards unbounded buffers
+    // like collect_list) — which would re-introduce exactly the
+    // full-stream sort the top-k aggregate exists to avoid. The top-k
+    // buffers here are k-bounded (~a few hundred bytes per group), so
+    // up to ~1M groups per task is a bounded ~100s-of-MB, not a §5
+    // hazard; set the threshold for the cut's materialization only and
+    // restore.
+    val spark = doubled.sparkSession
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.get(fbKey)
+    spark.conf.set(fbKey, (1 << 20).toString)
+    val cut =
+      try bitextCut(doubled, k, scoreDp).localCheckpoint(true)
+      finally spark.conf.set(fbKey, fbPrev)
     val fwd = cut.where(col("role") === 0)
       .select(col("gid").as("xid"), col("oid").as("yid"), col("cos"))
     val ax = fwd.groupBy("xid").agg(avg("cos").as("ax"))

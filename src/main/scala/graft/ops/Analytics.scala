@@ -4336,11 +4336,16 @@ object Analytics {
     * an OpenHashMap of BOXED keys: measured 3.3–4.5s for two
     * percentiles over sf0.1's 600k-distinct lineitem prices in every
     * variant (r16 in-session), and at scale the map is per-partition
-    * driver-merged state. This path reuses the proven two-phase rank
-    * machinery ([[graft.ops.Windows.globalRowNumber]] — range exchange
-    * + local ranks + offset join, nothing driver-sized) and one
-    * conditional-max pass: value-at-rank selection plus Percentile's
-    * OWN interpolation arithmetic, operation for operation —
+    * driver-merged state. This path rolls values up to (value → count)
+    * first (map-side partials collapse duplicates; HashAggregate
+    * spills where the built-in's map cannot), runs the proven
+    * two-phase cumulative machinery over the DISTINCT values only
+    * ([[graft.ops.Windows.globalCumSum]] — range exchange + local sums
+    * + offset join, nothing driver-sized; r17, was a raw-row
+    * globalRowNumber in r16), and one conditional-max pass: a value
+    * row covers 0-based ranks [cum − c, cum − 1], selection plus
+    * Percentile's OWN interpolation arithmetic, operation for
+    * operation —
     * position = p·(n−1) (double·long), lower/higher = floor/ceil,
     * result = (higher−position)·lowerVal + (position−lower)·higherVal
     * — so results are bit-identical to the built-in (ties need no
@@ -4351,15 +4356,26 @@ object Analytics {
       ps: Seq[(Double, String)]): DataFrame = {
     require(ps.nonEmpty, "exactPercentileRow needs at least one percentile")
     val nn = df.select(c.cast("double").as("__v")).where(col("__v").isNotNull)
-    val ranked = graft.ops.Windows.globalRowNumber(nn, Seq(col("__v")),
-      out = "__rn")
+    // r17: rank over a DISTINCT-VALUE count rollup, not over raw rows —
+    // the (value → count) HashAggregate partial-aggregates map-side (a
+    // 50-distinct column collapses before the exchange, where the r16
+    // raw-row rank paid a full range sort of every row) and, unlike
+    // Percentile's OpenHashMap buffer, spills gracefully when distinct
+    // IS large. The cumulative count walk then selects values at the
+    // same 0-based ranks the raw form ranked: a value row covers ranks
+    // [cum − c, cum − 1].
+    val cnt = nn.groupBy("__v").agg(count(lit(1L)).as("__c"))
+    val ranked = graft.ops.Windows.globalCumSum(cnt, Seq(col("__v")),
+      col("__c"), "__cum")
     val maxPos = nn.agg((count(lit(1L)) - 1L).as("__maxpos"))
     val aggs = ps.flatMap { case (p, name) =>
       val pos = lit(p) * col("__maxpos")
       Seq(
-        max(when(col("__rn") - 1L === floor(pos), col("__v")))
+        max(when(col("__cum") - col("__c") <= floor(pos) &&
+            floor(pos) < col("__cum"), col("__v")))
           .as(s"__lv_$name"),
-        max(when(col("__rn") - 1L === ceil(pos), col("__v")))
+        max(when(col("__cum") - col("__c") <= ceil(pos) &&
+            ceil(pos) < col("__cum"), col("__v")))
           .as(s"__hv_$name"))
     } :+ first(col("__maxpos")).as("__maxpos")
     val row = ranked.crossJoin(maxPos).agg(aggs.head, aggs.tail: _*)
@@ -4379,15 +4395,19 @@ object Analytics {
     * #6). The built-in grouped `percentile` keeps one OpenHashMap of
     * BOXED keys PER GROUP inside every aggregation buffer — per-group
     * distinct-value state that merges through the shuffle and is the §5
-    * executor-memory hazard exactly. This shape instead pays one hash
-    * exchange on the group key and a within-group SORT (spillable):
-    * `row_number` and the non-null count share the single window pass,
-    * and the value-at-rank selection is a same-partitioning groupBy (no
-    * second exchange) using Percentile's OWN interpolation arithmetic —
-    * results bit-identical to the built-in (GroupedPercentileRankSpec).
+    * executor-memory hazard exactly (it also never spills). This shape
+    * pays a (group, value) COUNT ROLLUP — map-side partials collapse
+    * duplicated values before any exchange, and HashAggregate spills
+    * gracefully when distinct is large — then ONE within-group sort of
+    * the distinct values shared by the cumulative and total count
+    * windows, and a same-partitioning groupBy (no second exchange)
+    * doing value-at-rank selection (a value row covers 0-based ranks
+    * [cum − c, cum − 1]) with Percentile's OWN interpolation arithmetic
+    * — results bit-identical to the built-in
+    * (GroupedPercentileRankSpec).
     *
-    * NULL values sort LAST and are never selected (position p·(n−1)
-    * stays below the first NULL rank; Percentile drops NULLs the same
+    * NULL values never enter the cumulative count and sort LAST, so no
+    * selectable position reaches them (Percentile drops NULLs the same
     * way); a group whose values are ALL NULL keeps its row with NULL
     * percentiles, matching the built-in. Output: one row per group —
     * column `__g` plus one double per requested (p, name). */
@@ -4396,19 +4416,33 @@ object Analytics {
     require(ps.nonEmpty, "exactPercentileByGroup needs at least one percentile")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(g.as("__g"), c.cast("double").as("__v"))
+    // r17 (same shape as the global form): rank over a per-group
+    // DISTINCT-VALUE count rollup. The (g, value) HashAggregate
+    // partial-aggregates map-side — a low-cardinality column (q_levene's
+    // 50 quantity values) collapses before any exchange, where a raw
+    // per-group sort paid O(n log n) over every row (measured 1.5→5.3s
+    // at sf1 before this form) — and spills when distinct IS large,
+    // unlike the built-in's per-group boxed map. NULL values keep their
+    // (g, NULL) rollup row (so all-NULL groups keep a NULL-percentile
+    // output row, like the built-in) but never enter the cumulative
+    // count, and they sort last, so no selectable rank reaches them.
+    val cnt = base.groupBy("__g", "__v").agg(count(lit(1L)).as("__c"))
     val wOrd = Window.partitionBy(col("__g")).orderBy(col("__v").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("__g"))
-    // count(col) skips NULLs: __maxpos = (#non-null in group) − 1; NULL
-    // rows rank AFTER every non-null row, so no selectable position can
-    // reach them. Both window functions share one exchange + one sort.
-    val ranked = base.select(col("__g"), col("__v"),
-      (row_number().over(wOrd).cast("long") - 1L).as("__rn"),
-      (count(col("__v")).over(wAll) - 1L).as("__maxpos"))
+    val nnc = when(col("__v").isNotNull, col("__c")).otherwise(0L)
+    // both windows share one exchange + one (distinct-values) sort; a
+    // value row covers 0-based ranks [cum − c, cum − 1] of its group
+    val ranked = cnt.select(col("__g"), col("__v"), col("__c"),
+      sum(nnc).over(wOrd).as("__cum"),
+      (sum(nnc).over(wAll) - 1L).as("__maxpos"))
     val aggs = ps.flatMap { case (p, name) =>
       val pos = lit(p) * col("__maxpos")
       Seq(
-        max(when(col("__rn") === floor(pos), col("__v"))).as(s"__lv_$name"),
-        max(when(col("__rn") === ceil(pos), col("__v"))).as(s"__hv_$name"))
+        max(when(col("__v").isNotNull && col("__cum") - col("__c") <= floor(pos) &&
+            floor(pos) < col("__cum"), col("__v"))).as(s"__lv_$name"),
+        max(when(col("__v").isNotNull && col("__cum") - col("__c") <= ceil(pos) &&
+            ceil(pos) < col("__cum"), col("__v"))).as(s"__hv_$name"))
     } :+ first(col("__maxpos")).as("__maxpos")
     ranked.groupBy("__g").agg(aggs.head, aggs.tail: _*)
       .select(col("__g") +: ps.map { case (p, name) =>
@@ -4529,9 +4563,16 @@ object Analytics {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     val v = c.cast("double")
     def med(d: DataFrame, x: Column) =
-      // exact path: rank selection, not the built-in's boxed value map
-      // (r17 — bit-identical, see exactPercentileRow)
-      if (exact) exactPercentileRow(d, x, Seq(0.5 -> "__m"))
+      // exact path: the built-in, DELIBERATELY (r17 measured rejection
+      // of the exactPercentileRow sweep here): the two medians are
+      // sequential (MAD needs the median) and each 1-row result is
+      // re-referenced by later crossJoins, so the rank machinery's
+      // per-pass cost ran 3-4x — q_mad measured 0.36→1.9-2.8s warm at
+      // sf0.1 and 0.38→2.0s at sf1. The §5 hazard doesn't apply: this
+      // exact branch is the oracle-audit variant over bounded-distinct
+      // audit columns (the buffer is distinct-bounded); the 100 TB
+      // path is the approx default below.
+      if (exact) d.agg(percentile(x, lit(0.5)).as("__m"))
       else d.agg(approx_percentile(x, lit(0.5), lit(accuracy)).as("__m"))
     val m = med(df, v)
     val mad = med(df.crossJoin(broadcast(m)), abs(v - col("__m")))

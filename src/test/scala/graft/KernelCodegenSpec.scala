@@ -129,6 +129,29 @@ class KernelCodegenSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode_top probe lists: codegen == interpreted, rank-1 == encode") {
+    // 1-subspace coarse quantizer (the IVF probe shape); wrong-dim → NULL
+    val cb1 = Pq.Codebooks(1, 6, 4,
+      Array.tabulate(6 * 4)(i => (i % 5).toFloat - 2f))
+    val vecs = Seq(
+      (1L, Array.tabulate(4)(i => i.toDouble / 2)),
+      (2L, Array.tabulate(4)(i => -i.toDouble)),
+      (3L, Array.tabulate(4)(_ => 0.0)),
+      (4L, Array.tabulate(7)(i => i.toDouble)) // wrong dim → NULL
+    ).toDF("id", "v")
+    assertParity("pq-encode-top") {
+      vecs.select(Pq.encodeTop(col("v"), cb1, 3).as("probes"))
+    }
+    // the probe list's rank-1 entry IS the assigned cell (the structural
+    // fact the bitext recall anchor leans on)
+    val both = vecs.where(col("id") < 4)
+      .select(element_at(Pq.encodeTop(col("v"), cb1, 3), 1).as("top"),
+        element_at(Pq.encode(col("v"), cb1), 1).as("cell"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"rank-1 probe must equal the assigned cell: $r"))
+  }
+
   test("bridged kernels fuse into whole-stage codegen stages") {
     // The point of the bridge: a CodegenFallback expression excluded its
     // WHOLE operator from WholeStageCodegen (CollapseCodegenStages

@@ -351,8 +351,15 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
     val nCross = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(nCross == 1, s"expected exactly one cross scan, got $nCross:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in bitext cut:\n$p")
-    // the per-(role, id) rank filter must cut map-side inside that scan
-    assert(p.contains("WindowGroupLimit"), s"top-k cut not pushed map-side:\n$p")
+    // r17: the per-(role, id) top-k is a bounded AGGREGATE cutting
+    // map-side (partial top_k_by_score inside the scan stage) — the
+    // former Sort→Window(GroupLimit) form sorted the whole candidate
+    // stream per partition first (150s at sf10)
+    assert(p.contains("top_k_by_score"), s"top-k cut not the bounded aggregate:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"top-k aggregate must partial-aggregate map-side:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      s"the sort+window cut is back:\n$p")
   }
 
   test("bitext margin algebra downstream of the cut has zero cross scans") {
@@ -569,13 +576,14 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       s"approx sketch must partial-aggregate map-side:\n$approx")
     val exact = plan(graft.ops.DataPrep.quantileThresholdsDF(
       docs, col("n_chars"), Seq(1.0 / 3.0, 2.0 / 3.0), exact = true))
-    // r17: the exact path is value-at-rank selection (exactPercentileRow
-    // — bit-identical, PercentileRankSpec) — NO percentile aggregate of
-    // either kind appears; the rank machinery's window does
+    // r17: the exact path is value-at-rank selection over the
+    // distinct-value count rollup (exactPercentileRow — bit-identical,
+    // PercentileRankSpec) — NO percentile aggregate of either kind
+    // appears; the cumulative-count rank walk does
     assert(!exact.contains("percentile"),
       s"exact=true must ship rank selection, not a percentile aggregate:\n$exact")
-    assert(exact.contains("row_number"),
-      s"exact path is value-at-rank selection over the ranked frame:\n$exact")
+    assert(exact.contains("__cum"),
+      s"exact path is rank selection over the cumulative count rollup:\n$exact")
     // the bucketed plan itself folds the thresholds as literals: per-row
     // math inside the scan, no join against a threshold row
     val bucketed = plan(graft.ops.DataPrep.bucketByQuantiles(
