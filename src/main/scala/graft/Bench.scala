@@ -778,8 +778,14 @@ object Bench {
       // reference — only a full run may claim it (a SCALE_ONLY run
       // once clobbered it with a 0-query record, which would have
       // silently emptied the regr gate after the round-start
-      // promotion; scale-only runs still land as run_<stamp>.json)
-      if (timings.nonEmpty)
+      // promotion; scale-only runs still land as run_<stamp>.json).
+      // r17: a LOW-CORE run may not claim it either — the driver's
+      // 8-core sweep after the r16 record left latest.json holding
+      // 8-core timings, and a blind round-start promotion would have
+      // gated round 17 against the wrong reference (caught by hand
+      // this round; now structural).
+      if (timings.nonEmpty &&
+          cpus.toIntOption.contains(Runtime.getRuntime.availableProcessors))
         java.nio.file.Files.write(hd.resolve("latest.json"),
           (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // history must never fail the bench
