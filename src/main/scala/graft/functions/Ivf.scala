@@ -80,18 +80,16 @@ object Ivf {
       element_at(Pq.encode(col(vecCol), coarse), 1).as("__list"))
       .where(col("__list").isNotNull)
 
-    // centroids as data (tiny: nLists rows), broadcast into the probe rank
-    val dim = coarse.dsub
-    val centroids = spark.createDataFrame(
-      (0 until coarse.ksub).map(t =>
-        (t, (0 until dim).map(c => coarse.flat(t * dim + c).toDouble).toArray)))
-      .toDF("__list", "__centroid")
-    val probeW = Window.partitionBy(col(qidCol)).orderBy(col("__cdist"), col("__list"))
-    val probes = queries.select(col(qidCol), col(qvecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cdist", sqDist(col(qvecCol), col("__centroid")))
-      .withColumn("__crank", row_number().over(probeW))
-      .where(col("__crank") <= nProbe)
+    // probe lists computed IN-SCAN (r17 — PqEncodeTop, the bitext
+    // annCandidates fix applied here for the same reason): the former
+    // crossJoin(centroids) + row_number probe rank materialized
+    // |queries|·nLists rows through a window sort; the kernel emits the
+    // nProbe nearest cells per query directly, with the identical
+    // metric and (distance, list) tie-break (KernelCodegenSpec parity).
+    // Null / wrong-dimension query vectors yield a null probe list and
+    // drop — the same unsearchable contract as the corpus side.
+    val probes = queries.select(col(qidCol), col(qvecCol),
+        explode(Pq.encodeTop(col(qvecCol), coarse, nProbe)).as("__list"))
       .select(col(qidCol), col(qvecCol), col("__list"))
 
     val scored = probes.join(assigned, "__list")

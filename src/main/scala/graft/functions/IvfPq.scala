@@ -120,17 +120,19 @@ object IvfPq {
       (0 until ix.nLists).map(t =>
         (t, (0 until dim).map(c => ix.coarse.flat(t * dim + c).toDouble).toArray)))
       .toDF("list", "__centroid")
-    val probeW = Window.partitionBy(col(qidCol)).orderBy(col("__cdist"), col("list"))
-    queries.select(col(qidCol), col(qvecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__cdist", Ivf.sqDist(col(qvecCol), col("__centroid")))
-      // a malformed (null / wrong-dim) query vector yields null distance
-      // to EVERY cell; under ASC's NULLS FIRST it would still "select"
-      // nProbe arbitrary cells — phantom probes that pollute the
-      // probedLists pruning diagnostic. Such a query probes nothing.
-      .where(col("__cdist").isNotNull)
-      .withColumn("__crank", row_number().over(probeW))
-      .where(col("__crank") <= nProbe)
+    // probe lists computed IN-SCAN (r17 — PqEncodeTop, the bitext/ivfKnn
+    // fix applied here too): the nProbe nearest cells per query with the
+    // identical metric and (distance, list) tie-break the former
+    // crossJoin + row_number rank produced, without materializing
+    // |queries|·nLists rows through a window sort. A malformed (null /
+    // wrong-dim) query vector yields a NULL probe list and explodes to
+    // nothing — the same "such a query probes nothing" contract the old
+    // null-distance filter enforced. The probed cells' centroids
+    // (needed downstream for the residual ADC tables) re-attach through
+    // the tiny nLists-row broadcast join.
+    queries.select(col(qidCol), col(qvecCol),
+        explode(Pq.encodeTop(col(qvecCol), ix.coarse, nProbe)).as("list"))
+      .join(broadcast(centroids), "list")
       .select(col(qidCol), col("list"), col("__centroid"), col(qvecCol))
   }
 

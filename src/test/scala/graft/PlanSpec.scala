@@ -213,12 +213,13 @@ class PlanSpec extends SparkSuite with org.scalatest.BeforeAndAfterAll {
       q0, "qid", "qvec", k = 5, nProbe = 2))
     assert(p.contains("BroadcastHashJoin"),
       s"probe tables must broadcast onto the index scan:\n$p")
-    // exactly TWO shuffle exchanges are allowed — the probe-rank window
-    // (tiny: queries × nLists rows) and the final top-k window (qid, id,
-    // dist triples). An index-side shuffle would add a third.
+    // exactly ONE shuffle exchange is allowed — the final top-k window
+    // (qid, id, dist triples). r17: the probe-rank window's shuffle is
+    // GONE (PqEncodeTop computes probe lists in-scan); an index-side
+    // shuffle would add a second.
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles == 2,
-      s"expected probe-rank + top-k shuffles only, found $shuffles:\n$p")
+    assert(shuffles == 1,
+      s"expected the top-k shuffle only, found $shuffles:\n$p")
   }
 
   test("q_asof has no join operator — union + window, not a range-join explosion") {
