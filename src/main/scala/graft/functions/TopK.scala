@@ -99,7 +99,16 @@ case class TopKByScoreAgg(
   override def update(buf: scala.collection.mutable.ArrayBuffer[InternalRow],
       input: InternalRow): scala.collection.mutable.ArrayBuffer[InternalRow] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[InternalRow].copy())
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      // acceptance test on the TRANSIENT row first (reads only the
+      // score/id fields) so the overwhelmingly-common reject path does
+      // no work; an ACCEPTED entry materializes through the unsafe
+      // projection + copy — a deep, self-owned byte image
+      // (GenericInternalRow.copy() is shallow: a string id would alias
+      // the operator's reused input buffer)
+      if (buf.length < k || lessThan(r, buf.last)) insert(buf, proj(r).copy())
+    }
     buf
   }
 
